@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: reads Verify output
+parquet + oracle_sql.json, runs each oracle in DuckDB against the same
+sf dir, sorts columns by name + rows by all columns, and compares
+values exactly. Dev tool only — not part of the Spark library."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(out_dir)):
+    path = os.path.join(out_dir, name)
+    if not os.path.isdir(path):
+        continue
+    files = glob.glob(f"{path}/*.parquet")
+    if not files:
+        results[name] = "NO_OUTPUT"
+        continue
+    got = con.sql(f"SELECT * FROM '{files[0]}'").df()
+    if name not in oracle:
+        results[name] = f"ROWS_ONLY rows={len(got)}"
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        results[name] = f"ORACLE_SQL_ERROR {e}"
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        results[name] = f"COLS got={list(got.columns)} exp={list(exp.columns)}"
+        continue
+    if got.dtypes.to_dict() != exp.dtypes.to_dict():
+        results[name] = (f"DTYPES got={got.dtypes.to_dict()} "
+                         f"exp={exp.dtypes.to_dict()}")
+        # don't continue — still check values after dtype note
+    gs = got.sort_values(by=list(got.columns), ignore_index=True)
+    es = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    if len(gs) != len(es):
+        results[name] = f"ROWS got={len(gs)} exp={len(es)}"
+        continue
+    if gs.equals(es):
+        results[name] = results.get(name, "OK") if results.get(name) else "OK"
+        if results[name] != "OK":
+            results[name] = "VALUES_OK_" + results[name]
+    else:
+        diff_cols = [c for c in gs.columns if not gs[c].equals(es[c])]
+        detail = []
+        for c in diff_cols[:3]:
+            neq = gs.index[gs[c] != es[c]].tolist()[:3]
+            detail.append(f"{c}@{neq} got={[gs[c][i] for i in neq[:2]]} exp={[es[c][i] for i in neq[:2]]}")
+        results[name] = f"VALUES {diff_cols} {detail}"
+
+ok = sum(1 for v in results.values() if v == "OK" or v.startswith("ROWS_ONLY"))
+for k, v in sorted(results.items()):
+    mark = "PASS" if (v == "OK" or v.startswith("ROWS_ONLY")) else "FAIL"
+    print(f"{mark} {k}: {v}")
+print(f"\n{ok}/{len(results)} pass")

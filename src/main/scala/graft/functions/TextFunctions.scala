@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation,
+  * built entirely from `org.apache.spark.sql.functions` higher-order
+  * functions so every step stays inside whole-stage codegen (no UDFs;
+  * see the build brief's "Functions, not UDFs").
+  */
+object TextFunctions {
+
+  /** Character k-shingles of `text` as an array (distinct not applied —
+    * callers explode + distinct as needed). 1-based `substring`
+    * matches SQL semantics on both Spark and DuckDB. */
+  def shingles(text: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k)))
+
+  /** Whitespace tokens (trimmed, split on runs of whitespace). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Canonical text: lowercase, non-alphanumeric runs collapsed to a
+    * single space, trimmed — the normalization step of RDW's ingest
+    * validation generalized to document fingerprinting. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Word n-grams (n >= 2) joined by a single space. Spark `sequence`
+    * counts DOWN when stop < start, so short arrays are guarded to an
+    * empty result explicitly. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array())
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+
+  /** Count of tokens that are members of `words`. */
+  def tokenCountIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Deterministic 64-bit mix of a string via two xxhash64 seeds —
+    * used as the hash family for MinHash/SimHash. Pure column
+    * expression, codegen'd. */
+  def hash64(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  /** MinHash signature: for each of `numPerms` seeds, the minimum
+    * xxhash64 over the element array. `aggregate` folds per row —
+    * no shuffle, no UDF. */
+  def minHashSignature(elems: Column, numPerms: Int): Column =
+    transform(sequence(lit(0), lit(numPerms - 1)),
+      s => aggregate(elems, lit(Long.MaxValue),
+        (acc, e) => least(acc, xxhash64(s, e))))
+
+  /** 64-bit SimHash over token array: per bit, sign of the sum of
+    * (+1/-1) contributions of each token's hash bit. */
+  def simHash(toks: Column): Column = {
+    val bits = (0 until 64).map { b =>
+      val contrib = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

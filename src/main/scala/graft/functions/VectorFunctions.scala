@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector primitives over `array<float>` embedding columns, composed
+  * from codegen'd higher-order functions (`zip_with` + `aggregate`) —
+  * no UDF, no driver round-trip. Accumulation is left-to-right in
+  * DOUBLE, matching DuckDB's `list_cosine_similarity` order so oracle
+  * hashes line up.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Σ aᵢ² in double precision. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Random-hyperplane LSH signature: `numBits` deterministic
+    * pseudo-random hyperplanes; plane j's component for dimension i is
+    * derived from xxhash64(j, i) scaled to [-1, 1). The signature is
+    * the integer whose bit j is sign(v · plane_j). Fully deterministic
+    * and reproducible across runs and engines — no RNG state.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, numBits: Int, seed: Int = 0): Column = {
+    val bits = (0 until numBits).map { j =>
+      // dot(vec, plane_j) where plane_j[i] = hashToUnit(seed + j, i)
+      val contrib = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast(DoubleType) * hashToUnit(lit(seed + j), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(contrib >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Deterministic pseudo-random double in [-1, 1) from two ints. */
+  private def hashToUnit(a: Column, b: Column): Column =
+    (pmod(xxhash64(a, b), lit(1000003L)).cast(DoubleType) / lit(500001.5)) - lit(1.0)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composable `DataFrame => DataFrame` operators for the RDW-shaped
+  * semantics that Spark has no single built-in for (SURVEY.md §3).
+  * Each is declarative (window/groupBy based) so Catalyst keeps partial
+  * aggregation, pushdown and whole-stage codegen; none collects to the
+  * driver.
+  */
+object Operators {
+
+  /** Latest-wins merge: RDW re-submitted exams replace prior results
+    * (reference: /root/reference/docs/Runbook.md "migrate",
+    * docs/Norms.md import rules "Update: … replaces"). Keeps exactly
+    * one row per natural key — the newest by `ordering` with a
+    * deterministic tie-break the caller encodes in `ordering`.
+    *
+    * Scale: one shuffle on the natural key; at 100 TB this is the
+    * minimal possible movement for a keyed dedup (same shuffle a
+    * groupBy would pay). No driver-side state.
+    */
+  def latestWins(df: DataFrame, keys: Seq[Column], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-k per group with a deterministic tie-break (RDW "top
+    * performers per org"). Window row_number, never a driver-side
+    * sort — scales to any group count; k rows per group survive the
+    * single shuffle.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[Column], ordering: Seq[Column],
+                   k: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ordering: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** As-of join: for each left row, the most recent right row with
+    * rightTime strictly before leftTime, same key. Implemented as
+    * union + single sort-window pass (one shuffle on the key), NOT a
+    * join — a range join would explode at scale, and the union trick
+    * is the standard streaming/CDC formulation.
+    *
+    * `rightCols` are the right-side payload columns carried to the
+    * matched left rows (null when no prior right row exists).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isRight", lit(0))
+      .select(Seq(col(key), col("__t"), col("__isRight")) ++
+        left.columns.filter(_ != key).map(c => col(c)) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rightTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isRight", lit(1))
+      .select(Seq(col(key), col("__t"), col("__isRight")) ++
+        left.columns.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    // Right rows sort AFTER left rows at equal timestamps (__isRight
+    // desc? no: asc puts 0 first) — so an equal-time right row is NOT
+    // visible to the left row: strictly-before semantics.
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__isRight"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) {
+      case (df, c) => df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__isRight") === 0)
+      .select(Seq(col(key)) ++
+        left.columns.filter(_ != key).map(col) ++
+        rightCols.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Gap-based sessionization: new session when the gap to the previous
+    * event for the same key exceeds `gapSeconds`. lag + running sum of
+    * session-start flags — one shuffle on the key, linear per
+    * partition, the canonical scalable formulation.
+    */
+  def sessionize(df: DataFrame, key: String, time: String, gapSeconds: Long,
+                 sessionCol: String = "session_id"): DataFrame = {
+    val order = Window.partitionBy(col(key)).orderBy(col(time))
+    val run = Window.partitionBy(col(key)).orderBy(col(time))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(time), 1).over(order))
+      .withColumn("__new", when(col("__prev").isNull, lit(0))
+        .when(unix_micros(col(time)) - unix_micros(col("__prev")) > gapSeconds * 1000000L, lit(1))
+        .otherwise(lit(0)))
+      .withColumn(sessionCol, sum(col("__new")).over(run))
+      .drop("__prev", "__new")
+  }
+
+  /** Range join against a small bounds table (RDW date-effective norms
+    * lookup — reference /root/reference/docs/Norms.md). The bounds side
+    * is broadcast so the big side never shuffles; Spark plans a
+    * BroadcastNestedLoopJoin which at 1000 executors is a map-side-only
+    * pass over the fact table.
+    */
+  def rangeLookup(facts: DataFrame, bounds: DataFrame, value: Column,
+                  lo: Column, hi: Column): DataFrame =
+    facts.join(broadcast(bounds), value >= lo && value < hi)
+}

@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Tables => T}
+import graft.QUtil._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** LLM-training-data pipeline operators (SURVEY.md §2 d/s/t/m/e
+  * families): deduplication, similarity search, text analysis,
+  * multimodal plumbing, and batch-equivalents of the streaming jobs.
+  * Everything is built from codegen'd column expressions — no UDFs —
+  * so the same plan scales from sf0.001 to a 1000-executor sweep.
+  *
+  * Queries whose semantics aren't ANSI-SQL-expressible (MinHash/SimHash
+  * banding, hyperplane LSH) have no oracle entry → driver records a
+  * rows-only check, as allowed by the contract.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  // ======================= dedup: documents ================================
+
+  // -- d01: exact dedup via content hash -----------------------------------
+  private val d01: Q = (s, d) =>
+    T.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("content_hash"))
+
+  private val d01Sql =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS dup_cnt, MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- d02: normalized-text fingerprint dedup ------------------------------
+  private val d02: Q = (s, d) =>
+    T.documents(s, d)
+      .groupBy(md5(TF.canonicalize(col("text"))).as("fingerprint"))
+      .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("fingerprint"))
+
+  private val d02Sql =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+      |  COUNT(*) AS dup_cnt, MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- d03: char-16-gram Jaccard near-dup pairs ----------------------------
+  // Shingle self-join bucketed by the shingle value itself: the join
+  // key-space is bounded (each shingle joins only its own occurrences),
+  // the canonical scalable near-dup candidate generation.
+  private val d03: Q = (s, d) => {
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(TF.shingles(col("text"), 16))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = round(col("shared").cast(DoubleType) /
+      (col("na") + col("nb") - col("shared")), 4)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "sa_id").withColumnRenamed("n", "na"),
+        col("a_id") === col("sa_id"))
+      .join(sizes.withColumnRenamed("doc_id", "sb_id").withColumnRenamed("n", "nb"),
+        col("b_id") === col("sb_id"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.3)
+      .select("a_id", "b_id", "shared", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val d03Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(length(text) - 15, 1)),
+      |      i -> substr(text, i, 16))) AS s
+      |  FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, shared,
+      |  ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jaccard
+      |FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      |WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // -- d04: MinHash + LSH band bucketing (rows-only) -----------------------
+  private val d04: Q = (s, d) => {
+    val numPerms = 32; val bands = 8; val rowsPerBand = 4
+    val sigs = T.documents(s, d).select(col("doc_id"),
+      TF.minHashSignature(array_distinct(TF.shingles(col("text"), 8)), numPerms).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      val elems = (1 to rowsPerBand).map(j => element_at(col("sig"), b * rowsPerBand + j))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: elems: _*).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+    cand.withColumn("est_jaccard",
+        round(aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, x) => acc + x).cast(DoubleType) / numPerms, 4))
+      .select("a_id", "b_id", "est_jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  // -- d05: SimHash hamming-near pairs (rows-only) -------------------------
+  private val d05: Q = (s, d) => {
+    val sigs = T.documents(s, d).select(col("doc_id"),
+      TF.simHash(TF.tokens(col("text"))).as("sig"))
+    // 4 chunks of 16 bits: equal-chunk bucketing finds every pair with
+    // hamming <= 3 guaranteed (pigeonhole); wider pairs filtered below.
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sig"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
+    }
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+        explode(array(chunkCols: _*)).as("cc"))
+      .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        TF.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ======================= similarity: embeddings ==========================
+
+  // -- s01: brute-force cosine top-k per query vector ----------------------
+  private val s01: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cands = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    cands.crossJoin(broadcast(qs))
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val s01Sql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cand_id, embedding FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT q_id, cand_id,
+      |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+      |  FROM c, q),
+      |r AS (SELECT q_id, cand_id, cos,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+      |      FROM scored)
+      |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  // -- s02: random-hyperplane LSH bucketed ANN (rows-only) -----------------
+  private val s02: Q = (s, d) => {
+    val dim = 64; val bits = 6; val tables = 4
+    // OR-amplified multi-table LSH: 4 independent 6-bit hyperplane
+    // signatures; a candidate is probed if it co-buckets with the query
+    // in ANY table. Explode (table, bucket) keys → equi-join — the join
+    // key bounds the candidate set, which is what makes this the scale
+    // path vs s01's brute force.
+    val sigCols = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        VF.hyperplaneSignature(col("embedding"), dim, bits, seed = t * 1000).as("bucket"))
+    }
+    val emb = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("tbl"), col("bucket"))
+    val cands = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(qs), Seq("tbl", "bucket"))
+      .select(col("q_id"), col("cand_id"), col("q_vec"), col("embedding")).distinct()
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // ======================= text analysis: documents ========================
+
+  // -- t01: marker-based language ID heuristic -----------------------------
+  private val t01: Q = (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang").as("claimed_lang"),
+        when(col("text").contains(" der "), "de")
+          .when(col("text").contains(" le "), "fr")
+          .when(col("text").contains(" el "), "es")
+          .when(col("text").contains(" 的"), "zh")
+          .otherwise("en").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  private val t01Sql =
+    """SELECT doc_id, lang AS claimed_lang,
+      |  CASE WHEN text LIKE '% der %' THEN 'de'
+      |       WHEN text LIKE '% le %' THEN 'fr'
+      |       WHEN text LIKE '% el %' THEN 'es'
+      |       WHEN text LIKE '% 的%' THEN 'zh'
+      |       ELSE 'en' END AS predicted_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- t02: length/punct/stopword quality scoring --------------------------
+  private val t02: Q = (s, d) => {
+    val toks = TF.tokens(col("text"))
+    val nTok = size(toks)
+    val stopRatio = TF.tokenCountIn(toks, stopwords).cast(DoubleType) / nTok
+    val punctRatio = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+      .cast(DoubleType) / length(col("text"))
+    val quality = lit(0.5) * least(lit(1.0), nTok / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio) - lit(0.2) * punctRatio
+    T.documents(s, d)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(quality, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t02Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       |  ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+       |    / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_ratio,
+       |  ROUND(CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / length(text), 4) AS punct_ratio,
+       |  ROUND(0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
+       |    + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')))
+       |    - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |      / length(text), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- t03: token counting (whitespace + BPE-ish regex) --------------------
+  private val t03: Q = (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(TF.tokens(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val t03Sql =
+    """SELECT doc_id, n_chars,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- t04: corpus word-bigram frequency -----------------------------------
+  private val t04: Q = (s, d) =>
+    T.documents(s, d)
+      .select(explode(TF.wordNgrams(split(col("text"), " "), 2)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(100)
+
+  private val t04Sql =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+      |      FROM t WHERE len(toks) >= 2)
+      |SELECT ngram, COUNT(*) AS cnt FROM b
+      |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
+
+  // ======================= multimodal plumbing =============================
+
+  // -- m01: opaque binary column + typed metadata --------------------------
+  // The "decode" is a clearly-stubbed deterministic fake (byte-length
+  // arithmetic standing in for image dims); the Spark-side plumbing —
+  // binary column, schema, codegen'd metadata extraction — is real.
+  private val m01: Q = (s, d) =>
+    T.documents(s, d)
+      .withColumn("payload", col("text").cast(BinaryType))
+      .select(col("doc_id"), col("source"),
+        octet_length(col("payload")).as("n_bytes"),
+        substring(hex(col("payload")), 1, 8).as("magic_hex"),
+        md5(col("payload")).as("content_md5"),
+        (octet_length(col("payload")) % 640).as("fake_width"),
+        (octet_length(col("payload")) * 7 % 480).as("fake_height"))
+      .orderBy(col("doc_id"))
+
+  private val m01Sql =
+    """SELECT doc_id, source,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  substr(hex(encode(text)), 1, 8) AS magic_hex,
+      |  md5(text) AS content_md5,
+      |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+      |  CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ======================= streaming batch-equivalents =====================
+
+  // -- e01: tumbling-window agg (streaming job in graft.streaming) ---------
+  private val e01: Q = (s, d) =>
+    T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val e01Sql =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS cnt, ${sqlMoneySum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- e02: watermark dedupe (first event per key) -------------------------
+  private val e02: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  private val e02Sql =
+    """SELECT user_id, event_type, event_id, ts FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
+    "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
+    "d05_dedup_simhash" -> d05,
+    "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02,
+    "t01_langid" -> t01, "t02_quality_score" -> t02,
+    "t03_token_count" -> t03, "t04_ngram_stats" -> t04,
+    "m01_binary_meta" -> m01,
+    "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02)
+
+  /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01Sql, "d02_dedup_fingerprint" -> d02Sql,
+    "d03_dedup_ngram_jaccard" -> d03Sql,
+    "s01_ann_bruteforce" -> s01Sql,
+    "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
+    "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
+    "m01_binary_meta" -> m01Sql,
+    "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql)
+}

@@ -1,0 +1,620 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QUtil, Tables => T}
+import graft.QUtil._
+import graft.operators.Operators
+
+/** Relational / RDW ETL+reporting operator coverage (SURVEY.md §2,
+  * q01–q32). Each query has a DuckDB oracle in [[oracle]] with
+  * IDENTICAL column aliases and deterministic ORDER BY; numeric policy
+  * per QUtil (exact decimal aggregation surfaced as double).
+  *
+  * Reference semantics sources (no code copied — reference is config/
+  * docs only): /root/reference/docs/Architecture.md (aggregate
+  * reporting measures), docs/Norms.md (percentile/norms tables),
+  * docs/Runbook.md (latest-wins migrate), docs/StudentGroups.md
+  * (membership joins).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // -- q01: TPC-H Q1 shape = RDW aggregate measures ------------------------
+  private val q01: Q = (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlMoneySum("l_quantity")} AS sum_qty,
+       |  ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       |  ${sqlMoneyAvg("l_quantity")} AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -- q02: filtered scan w/ projection + pushdown -------------------------
+  private val q02: Q = (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        to_timestamp(lit("1996-01-01")), to_timestamp(lit("1996-12-31"))) &&
+        col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -- q03: 5-table star join, agg by org hierarchy ------------------------
+  private val q03: Q = (s, d) =>
+    T.lineitem(s, d)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"), col("o_year"))
+
+  private val q03Sql =
+    """SELECT r_name, n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // -- q04: fact ⋈ small-dim broadcast join --------------------------------
+  private val q04: Q = (s, d) =>
+    T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("p_brand"))
+
+  private val q04Sql =
+    s"""SELECT p_brand, ${sqlMoneySum("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // -- q05: exact interpolated percentiles per group (Norms.md) ------------
+  private val q05: Q = (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.50)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
+
+  private val q05Sql =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+      |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      |  ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- q06: rank per group (top performers per org) ------------------------
+  private val q06: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T.customer(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rnk")
+      .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+  }
+
+  private val q06Sql =
+    """SELECT c_mktsegment, c_custkey, c_name, c_acctbal, CAST(rnk AS INTEGER) AS rnk
+      |FROM (SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+      |        rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |      FROM customer)
+      |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin
+
+  // -- q07: year-over-year trend via lag (longitudinal) --------------------
+  private val q07: Q = (s, d) => {
+    val rev = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("o_year"))
+    rev.withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .withColumn("yoy_diff", col("rev") - col("prev_rev"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  private val q07Sql =
+    s"""WITH rev AS (
+       |  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |    ${sqlMoneySum("o_totalprice")} AS rev
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, o_year, rev,
+       |  lag(rev) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_rev,
+       |  rev - lag(rev) OVER (PARTITION BY n_name ORDER BY o_year) AS yoy_diff
+       |FROM rev ORDER BY n_name, o_year""".stripMargin
+
+  // -- q08: pivot status × year (performance-level matrix) -----------------
+  private val q08: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_year"),
+        coalesce(col("F"), lit(0L)).as("status_f"),
+        coalesce(col("O"), lit(0L)).as("status_o"),
+        coalesce(col("P"), lit(0L)).as("status_p"))
+      .orderBy(col("o_year"))
+
+  private val q08Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q09: ROLLUP over org hierarchy --------------------------------------
+  private val q09: Q = (s, d) =>
+    T.customer(s, d)
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  private val q09Sql =
+    s"""SELECT r_name, n_name, COUNT(*) AS cnt, ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // -- q10: CUBE over two dims ---------------------------------------------
+  private val q10: Q = (s, d) =>
+    T.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val q10Sql =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       |  ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // -- q11: GROUPING SETS (custom dim combos) ------------------------------
+  private val q11: Q = (s, d) => {
+    T.customer(s, d).createOrReplaceTempView("graft_customer")
+    T.nation(s, d).createOrReplaceTempView("graft_nation")
+    T.region(s, d).createOrReplaceTempView("graft_region")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q11Sql =
+    s"""SELECT r_name, n_name, COUNT(*) AS cnt, ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // -- q12: distinct students tested per org -------------------------------
+  private val q12: Q = (s, d) =>
+    T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(countDistinct(col("c_custkey")).as("students_tested"),
+        count(lit(1)).as("n_results"))
+      .orderBy(col("n_name"))
+
+  private val q12Sql =
+    """SELECT n_name, COUNT(DISTINCT c_custkey) AS students_tested, COUNT(*) AS n_results
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // -- q13: % meeting threshold (percent-at-performance-level) -------------
+  private val q13: Q = (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (sum(when(col("l_quantity") >= 30, 1).otherwise(0)).cast(DoubleType) / count(lit(1)))
+          .as("rate_high_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  private val q13Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate_high_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- q14: EXISTS (students with results) ---------------------------------
+  private val q14: Q = (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val q14Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- q15: NOT EXISTS (students without results) --------------------------
+  private val q15: Q = (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val q15Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- q16: latest-wins dedup (exam replace semantics) ---------------------
+  private val q16: Q = (s, d) =>
+    Operators.latestWins(T.orders(s, d),
+        keys = Seq(col("o_custkey")),
+        ordering = Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+
+  private val q16Sql =
+    """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // -- q17: running total over time ----------------------------------------
+  private val q17: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.orders(s, d)
+      .withColumn("cum_spend", sum(money(col("o_totalprice"))).over(w).cast(DoubleType))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "cum_spend")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val q17Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // -- q18: cut-points → performance levels --------------------------------
+  private val q18: Q = (s, d) =>
+    T.orders(s, d)
+      .withColumn("level",
+        when(col("o_totalprice") < 100000, "L1_below")
+          .when(col("o_totalprice") < 200000, "L2_approaching")
+          .when(col("o_totalprice") < 350000, "L3_meets")
+          .otherwise("L4_exceeds"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("level"))
+
+  private val q18Sql =
+    s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'L1_below'
+       |  WHEN o_totalprice < 200000 THEN 'L2_approaching'
+       |  WHEN o_totalprice < 350000 THEN 'L3_meets'
+       |  ELSE 'L4_exceeds' END AS level,
+       |  COUNT(*) AS cnt, ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q19: top-k per group with deterministic tie-break -------------------
+  private val q19: Q = (s, d) =>
+    Operators.topKPerGroup(
+        T.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys = Seq(col("o_custkey")),
+        ordering = Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3)
+      .orderBy(col("o_custkey"), col("rn"))
+
+  private val q19Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // -- q20: union two sources + reconcile (import merge) -------------------
+  private val q20: Q = (s, d) => {
+    val o = T.orders(s, d)
+    val a = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b = o.filter(col("o_totalprice") > 300000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    a.union(b).distinct().orderBy("o_orderkey")
+  }
+
+  private val q20Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |UNION
+      |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 300000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -- q21: range join (date-effective tier lookup) ------------------------
+  private val q21: Q = (s, d) => {
+    val sp = s; import sp.implicits._
+    val tiers = Seq(("T1_low", 0.0, 50.0), ("T2_mid", 50.0, 150.0),
+      ("T3_high", 150.0, 1000000.0)).toDF("tier", "lo", "hi")
+    Operators.rangeLookup(T.events(s, d), tiers, col("value"), col("lo"), col("hi"))
+      .groupBy(col("event_type"), col("tier"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("tier"))
+  }
+
+  private val q21Sql =
+    s"""WITH tiers(tier, lo, hi) AS (VALUES
+       |  ('T1_low', 0.0, 50.0), ('T2_mid', 50.0, 150.0), ('T3_high', 150.0, 1000000.0))
+       |SELECT event_type, tier, COUNT(*) AS cnt, ${sqlMoneySum("value")} AS sum_value
+       |FROM events JOIN tiers ON value >= lo AND value < hi
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- q22: as-of join (latest prior error per user) -----------------------
+  private val q22: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts")
+    Operators.asOfJoin(purchases, errors, key = "user_id",
+        leftTime = "ts", rightTime = "ts", rightCols = Seq("ts"))
+      .withColumnRenamed("asof_ts", "last_error_ts")
+      .select("user_id", "event_id", "ts", "value", "last_error_ts")
+      .orderBy("event_id")
+  }
+
+  private val q22Sql =
+    """SELECT p.user_id, p.event_id, p.ts, p.value,
+      |  (SELECT max(e.ts) FROM events e
+      |   WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts < p.ts) AS last_error_ts
+      |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin
+
+  // -- q23: gap-based sessionization ---------------------------------------
+  private val q23: Q = (s, d) =>
+    Operators.sessionize(T.events(s, d), "user_id", "ts", gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  private val q23Sql =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+       |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |y AS (
+       |  SELECT user_id, ts, value,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM x)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  ${sqlMoneySum("value")} AS sum_value
+       |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // -- q24: HAVING on aggregates -------------------------------------------
+  private val q24: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_spend"))
+      .filter(col("n_orders") >= 10 && col("total_spend") > 1000000)
+      .orderBy(col("o_custkey"))
+
+  private val q24Sql =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders, ${sqlMoneySum("o_totalprice")} AS total_spend
+       |FROM orders GROUP BY o_custkey
+       |HAVING COUNT(*) >= 10 AND ${sqlMoneySum("o_totalprice")} > 1000000
+       |ORDER BY o_custkey""".stripMargin
+
+  // -- q25: string normalization (ingest validation) -----------------------
+  private val q25: Q = (s, d) =>
+    T.part(s, d)
+      .withColumn("norm_name",
+        trim(regexp_replace(regexp_replace(upper(col("p_name")), "[^A-Z0-9 ]", ""), " +", " ")))
+      .select("p_partkey", "p_name", "norm_name")
+      .orderBy("p_partkey")
+
+  private val q25Sql =
+    """SELECT p_partkey, p_name,
+      |  trim(regexp_replace(regexp_replace(upper(p_name), '[^A-Z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_name
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // -- q26: month truncation + agg -----------------------------------------
+  private val q26: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("o_month"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_month"))
+
+  private val q26Sql =
+    s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month,
+       |  COUNT(*) AS cnt, ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q27: coalesce/nullif semantics --------------------------------------
+  private val q27: Q = (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(coalesce(nullif(col("l_returnflag"), lit("N")), lit("NONE")).as("flag_or_none"))
+      .agg(count(lit(1)).as("cnt"),
+        count(nullif(col("l_linestatus"), lit("F"))).as("non_f_status"))
+      .orderBy(col("flag_or_none"))
+
+  private val q27Sql =
+    """SELECT COALESCE(NULLIF(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+      |  COUNT(*) AS cnt, COUNT(NULLIF(l_linestatus, 'F')) AS non_f_status
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q28: exact decimal revenue by year ----------------------------------
+  private val q28: Q = (s, d) =>
+    T.lineitem(s, d)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          * (lit(1) + rate(col("l_tax")))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_year"))
+
+  private val q28Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q29: rule-based validation split (exam processor) -------------------
+  private val q29: Q = (s, d) =>
+    T.orders(s, d)
+      .withColumn("validation",
+        when(col("o_totalprice") <= 0, "neg_price")
+          .when(col("o_totalprice") > 450000, "suspicious_high")
+          .when(!col("o_orderstatus").isin("F", "O", "P"), "bad_status")
+          .otherwise("valid"))
+      .groupBy(col("validation"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("validation"))
+
+  private val q29Sql =
+    s"""SELECT CASE WHEN o_totalprice <= 0 THEN 'neg_price'
+       |  WHEN o_totalprice > 450000 THEN 'suspicious_high'
+       |  WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 'bad_status'
+       |  ELSE 'valid' END AS validation,
+       |  COUNT(*) AS cnt, ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q30: correlated subquery (TPC-H Q17 shape), decorrelated ------------
+  private val q30: Q = (s, d) => {
+    val li = T.lineitem(s, d)
+    val th = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((moneyAvg(col("l_quantity")) * 0.2).as("thresh"))
+    li.join(th, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("thresh"))
+      .agg((moneySum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("cnt"))
+  }
+
+  private val q30Sql =
+    s"""WITH th AS (
+       |  SELECT l_partkey, (${sqlMoneyAvg("l_quantity")}) * 0.2 AS thresh
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT ${sqlMoneySum("l.l_extendedprice")} / 7.0 AS avg_yearly, COUNT(*) AS cnt
+       |FROM lineitem l JOIN th ON l.l_partkey = th.l_partkey
+       |WHERE l.l_quantity < th.thresh""".stripMargin
+
+  // -- q31: norms lookup — score → percentile_rank via range join ----------
+  private val q31: Q = (s, d) => {
+    val o = T.orders(s, d)
+    val taus = (0 to 10).map(_ / 10.0)
+    val qs = o.agg(expr(s"percentile(o_totalprice, array(${taus.mkString(",")}))").as("q"))
+    val norms = qs.select(explode(expr(
+      """transform(sequence(0, 9), i -> struct(
+        |  i AS decile,
+        |  element_at(q, i + 1) AS lo,
+        |  CASE WHEN i = 9 THEN element_at(q, 11) + 1 ELSE element_at(q, i + 2) END AS hi))"""
+        .stripMargin)).as("n")).select("n.*")
+    Operators.rangeLookup(o, norms, col("o_totalprice"), col("lo"), col("hi"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("decile") * 10).as("percentile_rank"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q31Sql =
+    """WITH qs AS (
+      |  SELECT quantile_cont(o_totalprice, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS q
+      |  FROM orders),
+      |norms AS (
+      |  SELECT CAST(i AS INTEGER) AS decile, q[i + 1] AS lo,
+      |    CASE WHEN i = 9 THEN q[11] + 1 ELSE q[i + 2] END AS hi
+      |  FROM qs, generate_series(0, 9) t(i))
+      |SELECT o_orderkey, o_totalprice, CAST(decile * 10 AS INTEGER) AS percentile_rank
+      |FROM orders JOIN norms ON o_totalprice >= lo AND o_totalprice < hi
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -- q32: high-cardinality agg (AQE/skew path) ---------------------------
+  private val q32: Q = (s, d) =>
+    T.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        moneySum(col("value")).as("sum_value"),
+        moneyAvg(col("value")).as("avg_value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val q32Sql =
+    s"""SELECT user_id, event_type, COUNT(*) AS cnt,
+       |  ${sqlMoneySum("value")} AS sum_value, ${sqlMoneyAvg("value")} AS avg_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q01_agg_summary" -> q01, "q02_filter_project" -> q02, "q03_star_join" -> q03,
+    "q04_broadcast_join" -> q04, "q05_percentiles" -> q05, "q06_window_rank" -> q06,
+    "q07_longitudinal" -> q07, "q08_pivot" -> q08, "q09_rollup" -> q09,
+    "q10_cube" -> q10, "q11_grouping_sets" -> q11, "q12_distinct_count" -> q12,
+    "q13_conditional_rates" -> q13, "q14_semi_join" -> q14, "q15_anti_join" -> q15,
+    "q16_latest_wins" -> q16, "q17_running_total" -> q17, "q18_bucketing" -> q18,
+    "q19_topk_per_group" -> q19, "q20_union_merge" -> q20, "q21_range_join" -> q21,
+    "q22_asof_join" -> q22, "q23_sessionize" -> q23, "q24_having" -> q24,
+    "q25_string_norm" -> q25, "q26_date_trunc" -> q26, "q27_null_handling" -> q27,
+    "q28_revenue" -> q28, "q29_validate_split" -> q29, "q30_correlated_sub" -> q30,
+    "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_summary" -> q01Sql, "q02_filter_project" -> q02Sql, "q03_star_join" -> q03Sql,
+    "q04_broadcast_join" -> q04Sql, "q05_percentiles" -> q05Sql, "q06_window_rank" -> q06Sql,
+    "q07_longitudinal" -> q07Sql, "q08_pivot" -> q08Sql, "q09_rollup" -> q09Sql,
+    "q10_cube" -> q10Sql, "q11_grouping_sets" -> q11Sql, "q12_distinct_count" -> q12Sql,
+    "q13_conditional_rates" -> q13Sql, "q14_semi_join" -> q14Sql, "q15_anti_join" -> q15Sql,
+    "q16_latest_wins" -> q16Sql, "q17_running_total" -> q17Sql, "q18_bucketing" -> q18Sql,
+    "q19_topk_per_group" -> q19Sql, "q20_union_merge" -> q20Sql, "q21_range_join" -> q21Sql,
+    "q22_asof_join" -> q22Sql, "q23_sessionize" -> q23Sql, "q24_having" -> q24Sql,
+    "q25_string_norm" -> q25Sql, "q26_date_trunc" -> q26Sql, "q27_null_handling" -> q27Sql,
+    "q28_revenue" -> q28Sql, "q29_validate_split" -> q29Sql, "q30_correlated_sub" -> q30Sql,
+    "q31_norms_lookup" -> q31Sql, "q32_skew_agg" -> q32Sql)
+}
