@@ -1,0 +1,13 @@
+/* Lives in org.apache.spark.sql.* solely to reach the private[sql]
+ * Expression ⇄ Column converters — the standard extension-library
+ * pattern for registering custom Catalyst expressions without a fork. */
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object SqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

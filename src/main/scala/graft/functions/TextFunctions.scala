@@ -43,20 +43,38 @@ object TextFunctions {
     * expression, codegen'd. */
   def hash64(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
-  /** MinHash signature: for each of `numPerms` seeds, the minimum
-    * xxhash64 over the element array. `aggregate` folds per row —
-    * no shuffle, no UDF. */
+  /** MinHash signature: hash each element ONCE with xxhash64, then
+    * derive the `numPerms` permutations arithmetically (xor-multiply
+    * mix with odd constants — bijective on Long, overflow wraps
+    * deterministically). One string-hash pass instead of numPerms
+    * passes: this is what keeps the signature O(shingles) per row at
+    * corpus scale. Pure column expressions, no shuffle, no UDF. */
   def minHashSignature(elems: Column, numPerms: Int): Column =
+    minHashFromHashes(transform(elems, e => xxhash64(e)), numPerms)
+
+  /** MinHash from a pre-hashed long array. IMPORTANT at scale: bind
+    * the hash array with its own `withColumn` before calling this —
+    * higher-order functions are not whole-stage-codegen'd, so an
+    * inline hash expression would be re-evaluated once per
+    * permutation instead of once per row. */
+  def minHashFromHashes(hashes: Column, numPerms: Int): Column =
+    // xxhash64 over (seed, long) is fixed-width input — cheap, and
+    // ANSI-safe (a raw multiply mix overflows under Spark 4 ANSI mode).
     transform(sequence(lit(0), lit(numPerms - 1)),
-      s => aggregate(elems, lit(Long.MaxValue),
-        (acc, e) => least(acc, xxhash64(s, e))))
+      s => aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(s, h))))
 
   /** 64-bit SimHash over token array: per bit, sign of the sum of
-    * (+1/-1) contributions of each token's hash bit. */
-  def simHash(toks: Column): Column = {
+    * (+1/-1) contributions of each token's hash bit. Tokens are
+    * hashed once up front; the 64 bit-sums then fold over longs. */
+  def simHash(toks: Column): Column = simHashFromHashes(transform(toks, t => xxhash64(t)))
+
+  /** SimHash from a pre-hashed long array — same binding caveat as
+    * [[minHashFromHashes]]. */
+  def simHashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { b =>
-      val contrib = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
       when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

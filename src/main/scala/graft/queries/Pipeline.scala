@@ -94,8 +94,11 @@ object Pipeline {
   // -- d04: MinHash + LSH band bucketing (rows-only) -----------------------
   private val d04: Q = (s, d) => {
     val numPerms = 32; val bands = 8; val rowsPerBand = 4
-    val sigs = T.documents(s, d).select(col("doc_id"),
-      TF.minHashSignature(array_distinct(TF.shingles(col("text"), 8)), numPerms).as("sig"))
+    // Native one-pass expression: interpreted HOF minhash costs
+    // numPerms × shingles lambda evals per row — see MinHashShingles.
+    val sigs = T.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.GraftColumns.minHashShingles(col("text"), 8, numPerms).as("sig"))
     val bandCols = (0 until bands).map { b =>
       val elems = (1 to rowsPerBand).map(j => element_at(col("sig"), b * rowsPerBand + j))
       struct(lit(b).as("band"), xxhash64(lit(b) +: elems: _*).as("bh"))
@@ -120,8 +123,9 @@ object Pipeline {
 
   // -- d05: SimHash hamming-near pairs (rows-only) -------------------------
   private val d05: Q = (s, d) => {
-    val sigs = T.documents(s, d).select(col("doc_id"),
-      TF.simHash(TF.tokens(col("text"))).as("sig"))
+    val sigs = T.documents(s, d)
+      .withColumn("hashes", transform(TF.tokens(col("text")), t => xxhash64(t)))
+      .select(col("doc_id"), TF.simHashFromHashes(col("hashes")).as("sig"))
     // 4 chunks of 16 bits: equal-chunk bucketing finds every pair with
     // hamming <= 3 guaranteed (pigeonhole); wider pairs filtered below.
     val chunkCols = (0 until 4).map { c =>

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produce all k-grams, 1-based, clipped at the end") {
+    val out = Seq("abcdef").toDF("t")
+      .select(TF.shingles(col("t"), 4).as("s")).as[Seq[String]].head()
+    assert(out == Seq("abcd", "bcde", "cdef"))
+  }
+
+  test("wordNgrams guards short arrays (Spark sequence counts down!)") {
+    val out = Seq("a b c", "solo").toDF("t")
+      .select(TF.wordNgrams(split(col("t"), " "), 2).as("n")).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b", "b c"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("canonicalize lowercases and collapses non-alphanumerics") {
+    val out = Seq("  Hello,  WORLD!! 42 ").toDF("t")
+      .select(TF.canonicalize(col("t")).as("c")).as[String].head()
+    assert(out == "hello world 42")
+  }
+
+  test("minhash: identical inputs → identical signatures; est jaccard sane") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy dog",
+                 "completely different words entirely here now").toDF("t")
+      .withColumn("hashes", transform(array_distinct(TF.shingles(col("t"), 4)), e => xxhash64(e)))
+      .select(TF.minHashFromHashes(col("hashes"), 32).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    val agree02 = sigs(0).zip(sigs(2)).count { case (a, b) => a == b }
+    assert(agree02 < 16, s"unrelated texts should not agree on most permutations ($agree02/32)")
+  }
+
+  test("simhash: identical → hamming 0; near texts closer than far texts") {
+    val df = Seq("alpha beta gamma delta epsilon zeta eta theta",
+                 "alpha beta gamma delta epsilon zeta eta iota",
+                 "one two three four five six seven eight").toDF("t")
+      .withColumn("hashes", transform(TF.tokens(col("t")), t => xxhash64(t)))
+      .select(TF.simHashFromHashes(col("hashes")).as("sig"))
+    val s = df.as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(0), s(0)) == 0)
+    assert(ham(s(0), s(1)) < ham(s(0), s(2)),
+      s"near pair ${ham(s(0), s(1))} should be closer than far pair ${ham(s(0), s(2))}")
+  }
+
+  test("dot and cosine compute exact values") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val (dot, cos) = df.select(VF.dot(col("a"), col("b")).as("d"),
+      VF.cosine(col("a"), col("b")).as("c")).as[(Double, Double)].head()
+    assert(dot == 32.0)
+    assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq(Seq(0.5f, -1.5f, 2.5f)).toDF("a")
+    val c = df.select(VF.cosine(col("a"), col("a")).as("c")).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("hyperplane signature is deterministic and seed-sensitive") {
+    val df = Seq(Seq.tabulate(64)(i => (i % 7 - 3).toFloat)).toDF("v")
+    val (s1, s2, s3) = df.select(
+      VF.hyperplaneSignature(col("v"), 64, 8).as("a"),
+      VF.hyperplaneSignature(col("v"), 64, 8).as("b"),
+      VF.hyperplaneSignature(col("v"), 64, 8, seed = 99).as("c"))
+      .as[(Long, Long, Long)].head()
+    assert(s1 == s2)
+    assert(s1 != s3)
+  }
+
+  test("tokenCountIn counts membership") {
+    val out = Seq("the cat and the hat").toDF("t")
+      .select(TF.tokenCountIn(TF.tokens(col("t")), Seq("the", "and")).as("n"))
+      .as[Int].head()
+    assert(out == 3)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Operators
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latestWins keeps exactly the newest row per key with tie-break") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "old"),
+      (1L, ts("2024-02-01 00:00:00"), "new"),
+      (2L, ts("2024-01-01 00:00:00"), "only"),
+      (3L, ts("2024-01-01 00:00:00"), "a"),
+      (3L, ts("2024-01-01 00:00:00"), "b") // same time: highest payload wins via ordering
+    ).toDF("k", "t", "v")
+    val out = Operators.latestWins(df, Seq(col("k")), Seq(col("t").desc, col("v").desc))
+      .orderBy("k").as[(Long, Timestamp, String)].collect()
+    assert(out.map(_._3).toSeq == Seq("new", "only", "b"))
+  }
+
+  test("topKPerGroup returns k rows per group, deterministically") {
+    val df = Seq((1, 10), (1, 20), (1, 30), (2, 5), (2, 5)).toDF("g", "v")
+    val out = Operators.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc, col("v")), 2)
+      .orderBy("g", "rn").select("g", "v", "rn").as[(Int, Int, Int)].collect()
+    assert(out.toSeq == Seq((1, 30, 1), (1, 20, 2), (2, 5, 1), (2, 5, 2)))
+  }
+
+  test("asOfJoin carries the latest strictly-prior right value") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")
+    ).toDF("user_id", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 200.0),
+      (1L, ts("2024-01-01 12:00:00"), 300.0), // equal to p2's time: must NOT match
+      (2L, ts("2024-01-01 09:30:00"), 400.0)  // after p3: must NOT match
+    ).toDF("user_id", "rt", "rv")
+    val out = Operators.asOfJoin(left, right, "user_id", "t", "rt", Seq("rv"))
+      .orderBy("t").select("name", "asof_rv").as[(String, Option[Double])].collect()
+    assert(out.toSeq == Seq(("p3", None), ("p1", Some(100.0)), ("p2", Some(200.0))))
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")), // same session (10 min)
+      (1L, ts("2024-01-01 01:00:00")), // gap 50 min > 30 → new session
+      (2L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Operators.sessionize(df, "user_id", "ts", 1800)
+      .orderBy("user_id", "ts").select("user_id", "session_id")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L)))
+  }
+
+  test("rangeLookup assigns each fact to its [lo, hi) bound") {
+    val facts = Seq(("a", 5.0), ("b", 50.0), ("c", 149.9)).toDF("id", "v")
+    val bounds = Seq(("low", 0.0, 50.0), ("high", 50.0, 150.0)).toDF("tier", "lo", "hi")
+    val out = Operators.rangeLookup(facts, bounds, col("v"), col("lo"), col("hi"))
+      .orderBy("id").select("id", "tier").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("a", "low"), ("b", "high"), ("c", "high")))
+  }
+}

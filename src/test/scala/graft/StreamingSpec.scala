@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.streaming.StreamingJobs
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming jobs against MemoryStream, with the batch
+  * computation on the same rows as the oracle. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 10.0),
+    Ev(2, ts("2024-01-01 00:45:00"), 1, "click", 20.0),
+    Ev(3, ts("2024-01-01 01:05:00"), 2, "view", 5.0),
+    Ev(4, ts("2024-01-01 01:15:00"), 1, "click", 2.5),
+    Ev(5, ts("2024-01-01 01:20:00"), 2, "view", 7.5))
+
+  test("tumblingAgg over a stream equals the batch window agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows)
+    val q = StreamingJobs.tumblingAgg(ms.toDF())
+      .writeStream.format("memory").queryName("t_agg").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("t_agg")
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    val batch = rows.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start"), col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3) // (00h click), (01h click), (01h view)
+  }
+
+  test("dedupe keeps one row per (user_id, event_type)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows)
+    val q = StreamingJobs.dedupe(ms.toDF())
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("t_dedup").select("user_id", "event_type")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "click"), (2L, "view")))
+    assert(spark.table("t_dedup").count() == 2)
+  }
+}
