@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions.MinHashShingles
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql` users get them too:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *
+  *   SELECT minhash_shingles(text, 8, 32) FROM documents
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+/** The function registrations, shared between the extensions path and
+  * runtime registration on a live session (SqlBridge.register). */
+object GraftFunctions {
+  type Registration = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)
+
+  private def intArg(e: Expression, fn: String, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+
+  val all: Seq[Registration] = Seq((
+    new FunctionIdentifier("minhash_shingles"),
+    new ExpressionInfo(classOf[MinHashShingles].getName, "minhash_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "minhash_shingles(text, k, numPerms) takes exactly 3 arguments")
+      MinHashShingles(children.head,
+        intArg(children(1), "minhash_shingles", "k"),
+        intArg(children(2), "minhash_shingles", "numPerms"))
+    }))
+}

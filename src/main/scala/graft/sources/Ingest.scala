@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingest ETL surface mirroring RDW's pipeline (reference
+  * /root/reference/docs/Architecture.md "Exam Processor" /
+  * "Package Processor", docs/Runbook.Pipeline.md): schema-enforced
+  * reads with a validation split of malformed records, and
+  * partitioned mart writes for the migrate step.
+  *
+  * Scale notes: PERMISSIVE parse keeps the read map-only (no
+  * pre-pass); the corrupt-record column costs nothing for clean rows.
+  * Partitioned writes lay data out for partition pruning at query
+  * time — the 100 TB layout story is decided here, at write time.
+  */
+object Ingest {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Schema-enforced CSV read; malformed rows land in [[CorruptCol]]
+    * instead of failing the job (RDW: bad exam submissions are
+    * diverted, not fatal). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(CorruptCol, "string"))
+      .csv(path)
+
+  /** Schema-enforced JSON-lines read, same validation contract. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(CorruptCol, "string"))
+      .json(path)
+
+  /** Split a permissive read into (valid, rejected) — the rule-based
+    * validation fork of the exam processor. The parsed batch is
+    * cached at the fork: both branches are consumed downstream, and
+    * Spark refuses corrupt-record-only queries on a raw file scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). Ingest
+    * batches are incremental slices, not the whole warehouse, so the
+    * cache is bounded. */
+  def validationSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      parsed.filter(col(CorruptCol).isNotNull))
+  }
+
+  /** Migrate-style mart write: partitioned parquet, dynamic overwrite
+    * so an incremental re-migrate replaces only touched partitions
+    * (RDW Runbook.md "migrate" semantics). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

@@ -76,6 +76,23 @@ class FunctionsSpec extends SparkSpec {
     assert(s1 != s3)
   }
 
+  test("minhash_shingles: SQL registration matches the Column API and is fast-path native") {
+    org.apache.spark.sql.graftbridge.SqlBridge.registerGraftFunctions(spark)
+    val viaSql = spark.sql("SELECT minhash_shingles('abcdefgh', 4, 8) AS s")
+      .as[Seq[Long]].head()
+    val viaCol = Seq("abcdefgh").toDF("t")
+      .select(graft.functions.GraftColumns.minHashShingles(col("t"), 4, 8).as("s"))
+      .as[Seq[Long]].head()
+    assert(viaSql.length == 8)
+    assert(viaSql == viaCol)
+    // identical text → identical signature; different text → different
+    val two = Seq("aaaa bbbb cccc", "aaaa bbbb cccc", "xxxx yyyy zzzz").toDF("t")
+      .select(graft.functions.GraftColumns.minHashShingles(col("t"), 4, 16).as("s"))
+      .as[Seq[Long]].collect()
+    assert(two(0) == two(1))
+    assert(two(0) != two(2))
+  }
+
   test("tokenCountIn counts membership") {
     val out = Seq("the cat and the hat").toDF("t")
       .select(TF.tokenCountIn(TF.tokens(col("t")), Seq("the", "and")).as("n"))

@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan assertions: the properties that make these operators
+  * viable at 100 TB are checked here, not just eyeballed — broadcast
+  * joins on dims, filter/column pushdown into the parquet scan,
+  * map-side partial aggregation, no cartesian products where an
+  * equi-join is expected. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03 star join broadcasts the nation/region dims") {
+    val p = plan("q03_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+  }
+
+  test("q04 broadcasts the part dim (no shuffle of the fact table for the join)") {
+    val p = plan("q04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "fact table should not sort-merge against a small dim")
+  }
+
+  test("q02 pushes filters and prunes columns into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("l_quantity"), "quantity predicate should reach the scan")
+    // Column pruning: the scan must not read money rate columns the query never uses.
+    assert(!p.contains("l_tax"), "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_agg_summary")
+    assert(p.contains("partial"), s"expected partial HashAggregate in:\n$p")
+  }
+
+  test("q14 semi join and q15 anti join plan as joins, not subquery loops") {
+    assert(plan("q14_semi_join").contains("LeftSemi"))
+    assert(plan("q15_anti_join").contains("LeftAnti"))
+  }
+
+  test("q21 range lookup broadcasts the bounds side") {
+    val p = plan("q21_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounds table must broadcast (map-side-only pass over facts):\n$p")
+  }
+
+  test("s01 brute-force ANN broadcasts the query vectors") {
+    val p = plan("s01_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("d03 shingle self-join is an equi-join on the shingle (bounded key-space)") {
+    val p = plan("d03_dedup_ngram_jaccard")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"shingle join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian pair explosion")
+  }
+
+  test("q16 latest-wins is a single window pass (one shuffle), not a self-join") {
+    val p = plan("q16_latest_wins")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"))
+    assert(!p.contains("Join"), s"latest-wins must not self-join:\n$p")
+  }
+
+  test("q19 top-k benefits from WindowGroupLimit pushdown (rank filter before full sort)") {
+    val p = plan("q19_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+}
