@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal decode plumbing: opaque binary payloads flow through a
+  * typed Dataset and are decoded per-partition (the mapPartitions
+  * batch shape a real image/audio decoder needs — open codec once per
+  * partition, stream records through it).
+  *
+  * The decode itself is a clearly-marked STUB — image/audio libraries
+  * are not available in this container — computing deterministic fake
+  * dimensions and a byte-mean "brightness". A deployment swaps
+  * [[Multimodal.decodeStub]] for a real decoder; every other part
+  * (schema, Encoders, partition batching, feature shape) is real and
+  * tested.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, source: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, source: String, n_bytes: Int,
+                           width: Int, height: Int, brightness: Double)
+
+  /** STUB decoder: byte-length arithmetic in place of image dims; mean
+    * of the first 256 bytes normalized to [0,1] as "brightness". */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
+    val n = payload.length
+    val take = math.min(n, 256)
+    val brightness =
+      if (take == 0) 0.0
+      else payload.iterator.take(take).map(b => b & 0xff).sum.toDouble / take / 255.0
+    (n % 640, n * 7 % 480, math.rint(brightness * 10000) / 10000)
+  }
+
+  /** Per-partition feature extraction — one decoder instance per
+    * partition, records streamed through; no driver involvement. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // a real decoder would be initialized HERE, once per partition
+      it.map { r =>
+        val (w, h, b) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.source, r.payload.length, w, h, b)
+      }
+    }
+  }
+}

@@ -24,6 +24,15 @@ object Pipeline {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** documents is a single small parquet file → Spark schedules ONE
+    * task for it, serializing the CPU-heavy per-row work (shingling,
+    * hashing). Spread it across the cluster first — at warehouse
+    * scale the input arrives already partitioned and this is a no-op
+    * choice, but an engine must not be single-threaded just because
+    * the scan is. */
+  private def docsSpread(s: SparkSession, d: String) =
+    T.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   // ======================= dedup: documents ================================
 
   // -- d01: exact dedup via content hash -----------------------------------
@@ -50,12 +59,24 @@ object Pipeline {
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -- d03: char-16-gram Jaccard near-dup pairs ----------------------------
-  // Shingle self-join bucketed by the shingle value itself: the join
-  // key-space is bounded (each shingle joins only its own occurrences),
-  // the canonical scalable near-dup candidate generation.
+  // Shingle self-join bucketed by the shingle value itself, with
+  // stop-shingle pruning: a shingle present in > maxDf docs contributes
+  // O(df²) join pairs but almost no discrimination — dropping them
+  // bounds the worst-case join output per key, which is what keeps this
+  // operator viable on a billion-document corpus. Jaccard is computed
+  // over the pruned vocabulary, identically on both engines.
   private val d03: Q = (s, d) => {
-    val sh = T.documents(s, d)
+    val maxDf = 100
+    val shAll = docsSpread(s, d)
       .select(col("doc_id"), explode(array_distinct(TF.shingles(col("text"), 16))).as("s"))
+    val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    // Materialize the pruned shingle set: it is read three times
+    // (sizes + both self-join sides) and the shingle explode is an
+    // interpreted HOF — recomputing it per reference dominates the
+    // query. At warehouse scale this is a checkpoint of the inverted
+    // index, the standard shape for near-dup pipelines.
+    val sh = shAll.join(rare, "s").persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -75,11 +96,13 @@ object Pipeline {
   }
 
   private val d03Sql =
-    """WITH sh AS (
+    """WITH sh_all AS (
       |  SELECT DISTINCT doc_id,
       |    unnest(list_transform(generate_series(1, greatest(length(text) - 15, 1)),
       |      i -> substr(text, i, 16))) AS s
       |  FROM documents),
+      |rare AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) <= 100),
+      |sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare ON sh_all.s = rare.s),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
@@ -96,7 +119,7 @@ object Pipeline {
     val numPerms = 32; val bands = 8; val rowsPerBand = 4
     // Native one-pass expression: interpreted HOF minhash costs
     // numPerms × shingles lambda evals per row — see MinHashShingles.
-    val sigs = T.documents(s, d)
+    val sigs = docsSpread(s, d)
       .select(col("doc_id"),
         graft.functions.GraftColumns.minHashShingles(col("text"), 8, numPerms).as("sig"))
     val bandCols = (0 until bands).map { b =>
@@ -123,7 +146,7 @@ object Pipeline {
 
   // -- d05: SimHash hamming-near pairs (rows-only) -------------------------
   private val d05: Q = (s, d) => {
-    val sigs = T.documents(s, d)
+    val sigs = docsSpread(s, d)
       .withColumn("hashes", transform(TF.tokens(col("text")), t => xxhash64(t)))
       .select(col("doc_id"), TF.simHashFromHashes(col("hashes")).as("sig"))
     // 4 chunks of 16 bits: equal-chunk bucketing finds every pair with
@@ -135,6 +158,7 @@ object Pipeline {
     val chunked = sigs.select(col("doc_id"), col("sig"),
         explode(array(chunkCols: _*)).as("cc"))
       .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+      .persist() // both self-join sides read this; simhash is 64 interpreted folds
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
@@ -279,7 +303,7 @@ object Pipeline {
 
   // -- t04: corpus word-bigram frequency -----------------------------------
   private val t04: Q = (s, d) =>
-    T.documents(s, d)
+    docsSpread(s, d)
       .select(explode(TF.wordNgrams(split(col("text"), " "), 2)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
@@ -319,6 +343,16 @@ object Pipeline {
       |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
       |  CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- m02: typed mapPartitions decode (rows-only; decode is stubbed) ------
+  private val m02: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
+      .as[Multimodal.MediaRecord]
+    Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
+  }
 
   // ======================= streaming batch-equivalents =====================
 
@@ -361,7 +395,7 @@ object Pipeline {
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04,
-    "m01_binary_meta" -> m01,
+    "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02)
 
   /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */

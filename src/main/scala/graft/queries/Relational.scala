@@ -591,8 +591,30 @@ object Relational {
        |  ${sqlMoneySum("value")} AS sum_value, ${sqlMoneyAvg("value")} AS avg_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q33: HLL approx distinct (OLAP sketch; rows-only) -------------------
+  // Pairs the sketch with the exact count so accuracy is visible in the
+  // output; rows-only because DuckDB's approx algorithm differs.
+  private val q33: Q = (s, d) =>
+    T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(approx_count_distinct(col("c_custkey"), rsd = 0.02).as("approx_students"),
+        countDistinct(col("c_custkey")).as("exact_students"))
+      .orderBy(col("n_name"))
+
+  // -- q34: approx percentile sketch (rows-only) ---------------------------
+  private val q34: Q = (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)").as("approx_q"),
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("exact_q"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34) ++ Map(
     "q01_agg_summary" -> q01, "q02_filter_project" -> q02, "q03_star_join" -> q03,
     "q04_broadcast_join" -> q04, "q05_percentiles" -> q05, "q06_window_rank" -> q06,
     "q07_longitudinal" -> q07, "q08_pivot" -> q08, "q09_rollup" -> q09,

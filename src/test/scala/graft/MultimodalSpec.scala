@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractFeatures decodes per-partition with deterministic stub features") {
+    val media = Seq((1L, "s0", "abc"), (2L, "s1", ""))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
+      .as[Multimodal.MediaRecord]
+    val out = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes == 3)
+    assert(out(0).width == 3 && out(0).height == 21)
+    // brightness of "abc" = mean(97,98,99)/255 = 98/255 rounded to 4dp
+    assert(out(0).brightness == math.rint(98.0 / 255.0 * 10000) / 10000)
+    assert(out(1).n_bytes == 0 && out(1).brightness == 0.0)
+  }
+
+  test("approx sketches track exact values (q33/q34 self-check)") {
+    val d33 = SparkEntry.queries("q33_approx_distinct")(spark, sfDir)
+      .select("approx_students", "exact_students").as[(Long, Long)].collect()
+    d33.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(2L, (exact * 0.1).toLong),
+        s"approx $approx too far from exact $exact")
+    }
+    val d34 = SparkEntry.queries("q34_approx_percentile")(spark, sfDir)
+      .select("approx_q", "exact_q").as[(Seq[Double], Seq[Double])].collect()
+    d34.foreach { case (approx, exact) =>
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.max(1.0, e * 0.05), s"approx $a vs exact $e")
+      }
+    }
+  }
+}
