@@ -97,12 +97,30 @@ object Operators {
   }
 
   /** Range join against a small bounds table (RDW date-effective norms
-    * lookup — reference /root/reference/docs/Norms.md). The bounds side
-    * is broadcast so the big side never shuffles; Spark plans a
-    * BroadcastNestedLoopJoin which at 1000 executors is a map-side-only
-    * pass over the fact table.
+    * lookup — reference /root/reference/docs/Norms.md:24-28, the
+    * percentile_rank/score table with "minimum inclusive score for
+    * percentile rank"). The bounds side is broadcast so the big side
+    * never shuffles; Spark plans a BroadcastNestedLoopJoin which at
+    * 1000 executors is a map-side-only pass over the fact table.
     */
   def rangeLookup(facts: DataFrame, bounds: DataFrame, value: Column,
                   lo: Column, hi: Column): DataFrame =
     facts.join(broadcast(bounds), value >= lo && value < hi)
+
+  /** Incremental migrate: apply an updates batch onto the current
+    * latest-state projection, natural key + recency ordering deciding
+    * the survivor (reference /root/reference/docs/Architecture.md
+    * "Migrate Reporting Service" — keeps the reporting mart up to date
+    * with warehouse changes; docs/Norms.md:30 "Update: Loading a
+    * percentile table with the same unique identifier replaces the
+    * existing table").
+    *
+    * Scale: union is free (no shuffle); the latest-wins window is one
+    * shuffle on the natural key. Combined with
+    * [[graft.sources.Ingest.writePartitioned]]'s dynamic overwrite,
+    * only partitions containing updated keys rewrite.
+    */
+  def migrate(current: DataFrame, updates: DataFrame,
+              keys: Seq[Column], ordering: Seq[Column]): DataFrame =
+    latestWins(current.unionByName(updates), keys, ordering)
 }

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Structured Streaming jobs mirroring the batch semantics of
@@ -36,4 +39,54 @@ object StreamingJobs {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicates(Seq("user_id", "event_type"))
+
+  case class EventRow(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based streaming sessionization with explicit per-key state
+    * (flatMapGroupsWithState + event-time timeout): a session closes
+    * when a later event arrives past the gap, or when the watermark
+    * passes last-event + gap. State per key is one small struct —
+    * bounded regardless of stream length, the property that matters
+    * on an unbounded 100 TB/day stream. Mirrors the batch
+    * [[graft.operators.Operators.sessionize]] semantics.
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[EventRow],
+                       gapSeconds: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def update(userId: Long, it: Iterator[EventRow],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def emit(st: SessionState) = SessionOut(userId,
+        new Timestamp(st.start), new Timestamp(st.last), st.n, st.sum)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        var st = state.getOption.orNull
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          st = if (st == null) SessionState(t, t, 1, e.value)
+          else if (t - st.last > gapMs) { closed += emit(st); SessionState(t, t, 1, e.value) }
+          else st.copy(last = math.max(st.last, t), n = st.n + 1, sum = st.sum + e.value)
+        }
+        if (st != null) {
+          state.update(st)
+          state.setTimeoutTimestamp(st.last + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -61,6 +61,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L)))
   }
 
+  test("migrate applies updates with latest-wins over the union") {
+    val current = Seq((1L, ts("2024-01-01 00:00:00"), "v1"),
+                      (2L, ts("2024-01-01 00:00:00"), "v1")).toDF("k", "t", "v")
+    val updates = Seq((1L, ts("2024-02-01 00:00:00"), "v2"), // replaces key 1
+                      (3L, ts("2024-01-15 00:00:00"), "v1")) // new key 3
+      .toDF("k", "t", "v")
+    val out = Operators.migrate(current, updates,
+        Seq(col("k")), Seq(col("t").desc, col("v").desc))
+      .orderBy("k").as[(Long, Timestamp, String)].collect()
+    assert(out.map(r => (r._1, r._3)).toSeq == Seq((1L, "v2"), (2L, "v1"), (3L, "v1")))
+  }
+
   test("rangeLookup assigns each fact to its [lo, hi) bound") {
     val facts = Seq(("a", 5.0), ("b", 50.0), ("c", 149.9)).toDF("id", "v")
     val bounds = Seq(("low", 0.0, 50.0), ("high", 50.0, 150.0)).toDF("tier", "lo", "hi")

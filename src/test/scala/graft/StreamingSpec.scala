@@ -47,6 +47,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3) // (00h click), (01h click), (01h view)
   }
 
+  test("sessionizeStream closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingJobs.EventRow
+    val ms = MemoryStream[EventRow]
+    val q = StreamingJobs.sessionizeStream(spark, ms.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("t_sess").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 2 h
+      // later (gap-closes the first, opens a second)
+      ms.addData(
+        EventRow(1, ts("2024-01-01 00:00:00"), 1.0),
+        EventRow(1, ts("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      ms.addData(EventRow(1, ts("2024-01-01 02:00:00"), 5.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past session 2's
+      // timeout, flushing it via EventTimeTimeout
+      ms.addData(EventRow(2, ts("2024-01-02 12:00:00"), 0.5))
+      q.processAllAvailable()
+      ms.addData(EventRow(2, ts("2024-01-03 12:00:00"), 0.5))
+      q.processAllAvailable()
+
+      val sessions = spark.table("t_sess")
+        .as[StreamingJobs.SessionOut].collect().filter(_.user_id == 1L)
+        .sortBy(_.session_start.getTime)
+      assert(sessions.length == 2, s"expected both sessions closed, got ${sessions.toSeq}")
+      assert(sessions(0).n_events == 2 && sessions(0).sum_value == 3.0)
+      assert(sessions(0).session_end == ts("2024-01-01 00:10:00"))
+      assert(sessions(1).n_events == 1 && sessions(1).sum_value == 5.0)
+    } finally q.stop()
+  }
+
   test("dedupe keeps one row per (user_id, event_type)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
