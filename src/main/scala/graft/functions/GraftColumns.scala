@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.MinHashShingles
+import graft.functions.expressions.{CharShingles, MinHashShingles}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -12,4 +12,8 @@ object GraftColumns {
     * (see [[MinHashShingles]]). */
   def minHashShingles(text: Column, k: Int, numPerms: Int): Column =
     SqlBridge.column(MinHashShingles(SqlBridge.expression(text), k, numPerms))
+
+  /** Distinct character k-shingles in one pass (see [[CharShingles]]). */
+  def charShingles(text: Column, k: Int): Column =
+    SqlBridge.column(CharShingles(SqlBridge.expression(text), k))
 }

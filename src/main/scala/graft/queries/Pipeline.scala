@@ -68,15 +68,16 @@ object Pipeline {
   private val d03: Q = (s, d) => {
     val maxDf = 100
     val shAll = docsSpread(s, d)
-      .select(col("doc_id"), explode(array_distinct(TF.shingles(col("text"), 16))).as("s"))
-    val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("s")
-    // Materialize the pruned shingle set: it is read three times
-    // (sizes + both self-join sides) and the shingle explode is an
-    // interpreted HOF — recomputing it per reference dominates the
-    // query. At warehouse scale this is a checkpoint of the inverted
-    // index, the standard shape for near-dup pipelines.
-    val sh = shAll.join(rare, "s").persist()
+      .select(col("doc_id"),
+        explode(graft.functions.GraftColumns.charShingles(col("text"), 16)).as("s"))
+    // df-prune via a window count: ONE shuffle on s (vs groupBy +
+    // join-back = three), and the persisted result keeps its
+    // s-partitioning, which the self-join below reuses. The persist
+    // is the inverted-index checkpoint every near-dup pipeline has.
+    val sh = shAll
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf).drop("df")
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -101,8 +102,9 @@ object Pipeline {
       |    unnest(list_transform(generate_series(1, greatest(length(text) - 15, 1)),
       |      i -> substr(text, i, 16))) AS s
       |  FROM documents),
-      |rare AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) <= 100),
-      |sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare ON sh_all.s = rare.s),
+      |sh AS (SELECT doc_id, s FROM (
+      |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh_all)
+      |  WHERE df <= 100),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared

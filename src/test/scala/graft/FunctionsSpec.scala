@@ -93,6 +93,16 @@ class FunctionsSpec extends SparkSpec {
     assert(two(0) != two(2))
   }
 
+  test("charShingles native expression equals the HOF formulation") {
+    val df = Seq("abcabcabc", "xy").toDF("t")
+    val native = df.select(graft.functions.GraftColumns.charShingles(col("t"), 4).as("s"))
+      .as[Seq[String]].collect().map(_.sorted.toSeq)
+    val hof = df.select(array_distinct(TF.shingles(col("t"), 4)).as("s"))
+      .as[Seq[String]].collect().map(_.sorted.toSeq)
+    assert(native.toSeq == hof.toSeq)
+    assert(native(1) == Seq("xy")) // shorter than k → whole string
+  }
+
   test("tokenCountIn counts membership") {
     val out = Seq("the cat and the hat").toDF("t")
       .select(TF.tokenCountIn(TF.tokens(col("t")), Seq("the", "and")).as("n"))
