@@ -65,18 +65,25 @@ object Relational {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // -- q03: 5-table star join, agg by org hierarchy ------------------------
-  private val q03: Q = (s, d) =>
-    T.lineitem(s, d)
+  // Lineitem is pre-aggregated to order grain BELOW the join: the
+  // orders⋈lineitem shuffle then moves one row per order instead of
+  // ~4 line items — the decisive reduction at 100 TB, and exactly
+  // equivalent because sum is associative (decimal, so order-free).
+  private val q03: Q = (s, d) => {
+    val perOrder = T.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))).as("rev"),
+        count(lit(1)).as("items"))
+    perOrder
       .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(
-        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
-          .cast(DoubleType).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+        sum(col("items")).as("n_items"))
       .orderBy(col("r_name"), col("n_name"), col("o_year"))
+  }
 
   private val q03Sql =
     """SELECT r_name, n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -492,14 +499,21 @@ object Relational {
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -- q28: exact decimal revenue by year ----------------------------------
-  private val q28: Q = (s, d) =>
-    T.lineitem(s, d)
+  // Same pre-aggregation-below-join shape as q03 (sum associativity on
+  // exact decimals makes it value-identical).
+  private val q28: Q = (s, d) => {
+    val perOrder = T.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+        * (lit(1) + rate(col("l_tax")))).as("rev"),
+        count(lit(1)).as("items"))
+    perOrder
       .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
-      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
-          * (lit(1) + rate(col("l_tax")))).cast(DoubleType).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+        sum(col("items")).as("n_items"))
       .orderBy(col("o_year"))
+  }
 
   private val q28Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
