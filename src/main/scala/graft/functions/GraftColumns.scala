@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharShingles, MinHashShingles}
+import graft.functions.expressions.{CharShingles, MinHashShingles, SimHashTokens}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -16,4 +16,9 @@ object GraftColumns {
   /** Distinct character k-shingles in one pass (see [[CharShingles]]). */
   def charShingles(text: Column, k: Int): Column =
     SqlBridge.column(CharShingles(SqlBridge.expression(text), k))
+
+  /** 64-bit SimHash over whitespace tokens in one pass (see
+    * [[SimHashTokens]]). */
+  def simHashTokens(text: Column): Column =
+    SqlBridge.column(SimHashTokens(SqlBridge.expression(text)))
 }

@@ -148,9 +148,10 @@ object Pipeline {
 
   // -- d05: SimHash hamming-near pairs (rows-only) -------------------------
   private val d05: Q = (s, d) => {
+    // Native one-pass simhash (64 interpreted folds/row otherwise).
     val sigs = docsSpread(s, d)
-      .withColumn("hashes", transform(TF.tokens(col("text")), t => xxhash64(t)))
-      .select(col("doc_id"), TF.simHashFromHashes(col("hashes")).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.GraftColumns.simHashTokens(col("text")).as("sig"))
     // 4 chunks of 16 bits: equal-chunk bucketing finds every pair with
     // hamming <= 3 guaranteed (pigeonhole); wider pairs filtered below.
     val chunkCols = (0 until 4).map { c =>
@@ -227,6 +228,49 @@ object Pipeline {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     cands.join(broadcast(qs), Seq("tbl", "bucket"))
       .select(col("q_id"), col("cand_id"), col("q_vec"), col("embedding")).distinct()
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // -- s03: IVF ANN — KMeans coarse quantizer + nProbe search (rows-only) --
+  // The third ANN tier: s01 exact brute force, s02 LSH buckets, s03
+  // IVF. Centroids are trained once (on a sample at warehouse scale),
+  // every vector is assigned to its nearest centroid, and a query only
+  // scans the nProbe closest inverted lists — candidate count is
+  // corpus/k × nProbe instead of the whole corpus.
+  private val s03: Q = (s, d) => {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sp = s; import sp.implicits._
+    val k = 16; val nProbe = 2
+    val emb = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+    val qs = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // nProbe nearest centroids per query (tiny cross join, broadcast)
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
+    val probes = qs.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -VF.dot(col("q_vec"), col("centroid")) /
+        (sqrt(VF.normSq(col("q_vec"))) * sqrt(VF.normSq(col("centroid")))))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
+      .join(broadcast(probes), "cluster") // only the probed inverted lists
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -394,7 +438,7 @@ object Pipeline {
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
     "d05_dedup_simhash" -> d05,
-    "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02,
+    "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,

@@ -93,6 +93,23 @@ class FunctionsSpec extends SparkSpec {
     assert(two(0) != two(2))
   }
 
+  test("simHashTokens: identical → hamming 0; near texts closer than far") {
+    val df = Seq("alpha beta gamma delta epsilon zeta eta theta",
+                 "alpha beta gamma delta epsilon zeta eta iota",
+                 "one two three four five six seven eight").toDF("t")
+      .select(graft.functions.GraftColumns.simHashTokens(col("t")).as("sig"))
+    val s = df.as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(0), s(0)) == 0)
+    assert(ham(s(0), s(1)) < ham(s(0), s(2)))
+    // whitespace-run splitting matches tokens(): leading/multiple spaces ignored
+    val pair = Seq(("  a   b c ", "a b c")).toDF("x", "y")
+      .select(graft.functions.GraftColumns.simHashTokens(col("x")).as("sx"),
+        graft.functions.GraftColumns.simHashTokens(col("y")).as("sy"))
+      .as[(Long, Long)].head()
+    assert(pair._1 == pair._2)
+  }
+
   test("charShingles native expression equals the HOF formulation") {
     val df = Seq("abcabcabc", "xy").toDF("t")
     val native = df.select(graft.functions.GraftColumns.charShingles(col("t"), 4).as("s"))
