@@ -28,9 +28,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def execute(name: String, dir: String): Unit =
+    def execute(name: String, dir: String): Unit = {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      // operators persist intermediates (inverted indexes etc.);
+      // drop them so queries don't pressure each other's memory
+      spark.catalog.clearCache()
+    }
 
     // Dev aid: SPARK_GRAFT_ONLY=name1,name2 restricts the set.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -107,6 +107,27 @@ object Operators {
                   lo: Column, hi: Column): DataFrame =
     facts.join(broadcast(bounds), value >= lo && value < hi)
 
+  /** Salted two-phase aggregation for skewed keys: phase 1 aggregates
+    * on (key, salt) — spreading one hot key over `buckets` reducers —
+    * phase 2 combines the partials per key. Costs one extra (small)
+    * shuffle, wins when a single key would otherwise serialize a
+    * reducer. Use for algebraic aggregates only (sum/count/min/max);
+    * AQE's skew-join split handles the join-side equivalent.
+    *
+    * The exact-decimal policy (QUtil.money) makes the two-phase sum
+    * bit-identical to the single-phase one.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[Column], value: Column,
+                     buckets: Int): DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+    salted
+      .groupBy(keys: _*)
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("cnt"))
+  }
+
   /** Incremental migrate: apply an updates batch onto the current
     * latest-state projection, natural key + recency ordering deciding
     * the survivor (reference /root/reference/docs/Architecture.md

@@ -284,16 +284,21 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
-  // -- q15: NOT EXISTS (students without results) --------------------------
+  // -- q15: NOT EXISTS (students without urgent results) -------------------
+  // Filtered anti join: at every tested SF each customer has *some*
+  // order, so the unfiltered variant returns nothing — the urgent
+  // filter keeps the operator's output observable.
   private val q15: Q = (s, d) =>
     T.customer(s, d)
-      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
 
   private val q15Sql =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   // -- q16: latest-wins dedup (exam replace semantics) ---------------------

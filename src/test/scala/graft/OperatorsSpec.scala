@@ -73,6 +73,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._3)).toSeq == Seq((1L, "v2"), (2L, "v1"), (3L, "v1")))
   }
 
+  test("saltedSumCount equals direct groupBy aggregation") {
+    val df = (1 to 1000).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val salted = Operators.saltedSumCount(df,
+        Seq(col("k")), QUtil.money(col("v")), buckets = 8)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+      .orderBy("k").as[(Int, Double, Long)].collect()
+    val direct = df.groupBy(col("k"))
+      .agg(QUtil.moneySum(col("v")).as("s"), count(lit(1)).as("c"))
+      .orderBy("k").as[(Int, Double, Long)].collect()
+    assert(salted.toSeq == direct.toSeq)
+  }
+
   test("rangeLookup assigns each fact to its [lo, hi) bound") {
     val facts = Seq(("a", 5.0), ("b", 50.0), ("c", 149.9)).toDF("id", "v")
     val bounds = Seq(("low", 0.0, 50.0), ("high", 50.0, 150.0)).toDF("tier", "lo", "hi")
