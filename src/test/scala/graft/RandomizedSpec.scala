@@ -1,0 +1,105 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftColumns
+import graft.operators.Operators
+
+/** Seeded randomized invariants — each property generates one batch
+  * and checks it in a single Spark job (not one job per case). */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val vocab = Vector("spark", "query", "join", "scan", "filter", "agg",
+    "window", "sort", "hash", "merge", "row", "column", "table", "stream")
+
+  private def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("minhash estimate tracks true shingle jaccard on random near-dup pairs") {
+    // pairs: (base, mutated copy) with varying mutation rates
+    val pairs = (0 until 40).map { i =>
+      val base = doc(60)
+      val toks = base.split(" ")
+      val mutRate = i % 4 * 0.15
+      val mutated = toks.map(t =>
+        if (rnd.nextDouble() < mutRate) vocab(rnd.nextInt(vocab.size)) else t).mkString(" ")
+      (i.toLong, base, mutated)
+    }
+    def shingleSet(t: String) = t.sliding(8).toSet
+    val expected = pairs.map { case (i, a, b) =>
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      i -> (sa intersect sb).size.toDouble / (sa union sb).size
+    }.toMap
+    val est = pairs.toDF("id", "a", "b")
+      .select(col("id"),
+        GraftColumns.minHashShingles(col("a"), 8, 128).as("sa"),
+        GraftColumns.minHashShingles(col("b"), 8, 128).as("sb"))
+      .select(col("id"), (aggregate(zip_with(col("sa"), col("sb"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+        .cast("double") / 128).as("est"))
+      .as[(Long, Double)].collect().toMap
+    pairs.foreach { case (i, _, _) =>
+      assert(math.abs(est(i) - expected(i)) < 0.2,
+        s"pair $i: est ${est(i)} vs true ${expected(i)}")
+    }
+  }
+
+  test("latestWins emits exactly one row per key, the maximal one") {
+    val rows = (0 until 500).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(1000), rnd.nextInt(100))
+    }
+    val df = rows.toDF("k", "t", "tie")
+    val out = Operators.latestWins(df, Seq(col("k")),
+        Seq(col("t").desc, col("tie").desc))
+      .as[(Long, Int, Int)].collect()
+    val byKey = rows.groupBy(_._1)
+    assert(out.length == byKey.size)
+    out.foreach { case (k, t, tie) =>
+      val best = byKey(k).maxBy(r => (r._2, r._3))
+      assert((t, tie) == (best._2, best._3), s"key $k: got ($t,$tie) want $best")
+    }
+  }
+
+  test("saltedSumCount equals direct aggregation on skewed random data") {
+    // 90% of rows on one hot key — the scenario salting exists for
+    val rows = (0 until 2000).map { _ =>
+      val k = if (rnd.nextDouble() < 0.9) 0L else rnd.nextInt(20).toLong
+      (k, math.rint(rnd.nextDouble() * 10000) / 100)
+    }
+    val df = rows.toDF("k", "v")
+    val salted = Operators.saltedSumCount(df, Seq(col("k")), QUtil.money(col("v")), 16)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+      .orderBy("k").as[(Long, Double, Long)].collect()
+    val direct = df.groupBy("k")
+      .agg(QUtil.moneySum(col("v")).as("s"), count(lit(1)).as("c"))
+      .orderBy("k").as[(Long, Double, Long)].collect()
+    assert(salted.toSeq == direct.toSeq)
+  }
+
+  test("sessionize: within-session gaps <= threshold, cross-session gaps > threshold") {
+    val ts0 = 1700000000000000L // µs
+    val rows = (0 until 300).scanLeft((0L, ts0)) { case ((_, prev), i) =>
+      val user = i % 5
+      val gap = if (rnd.nextDouble() < 0.2) 3600L * 1000000 else rnd.nextInt(600) * 1000000L
+      (user.toLong, prev + gap)
+    }.drop(1).map { case (u, t) => (u, new java.sql.Timestamp(t / 1000)) }
+    val df = rows.toDF("user_id", "ts")
+    val out = Operators.sessionize(df, "user_id", "ts", gapSeconds = 1800)
+      .select("user_id", "ts", "session_id")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1).values
+    out.foreach { events =>
+      val sorted = events.toSeq.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Seq((_, t1, s1), (_, t2, s2)) =>
+          val gapS = (t2.getTime - t1.getTime) / 1000.0
+          if (s1 == s2) assert(gapS <= 1800, s"same session but gap $gapS")
+          else assert(gapS > 1800, s"new session but gap $gapS")
+        case _ =>
+      }
+    }
+  }
+}
