@@ -347,6 +347,24 @@ object Pipeline {
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t05: group-scoped corpus stats (per language × source) --------------
+  private val t05: Q = (s, d) =>
+    T.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  private val t05Sql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- t04: corpus word-bigram frequency -----------------------------------
   private val t04: Q = (s, d) =>
     docsSpread(s, d)
@@ -440,7 +458,7 @@ object Pipeline {
     "d05_dedup_simhash" -> d05,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
-    "t03_token_count" -> t03, "t04_ngram_stats" -> t04,
+    "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02)
 
@@ -451,6 +469,7 @@ object Pipeline {
     "s01_ann_bruteforce" -> s01Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
+    "t05_group_stats" -> t05Sql,
     "m01_binary_meta" -> m01Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql)
 }

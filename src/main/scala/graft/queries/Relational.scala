@@ -631,9 +631,32 @@ object Relational {
         expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("exact_q"))
       .orderBy(col("l_returnflag"))
 
+  // -- q35: SCD-2 history build (validity intervals via lead) --------------
+  // RDW keeps full import history; a latest-state row plus effective
+  // ranges is the standard warehouse shape. valid_to = next change's
+  // date (null = current), one window pass.
+  private val q35: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+        (lead(col("o_orderdate"), 1).over(w).isNull).as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+  }
+
+  private val q35Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  lead(o_orderdate) OVER w IS NULL AS is_current
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
-    "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34) ++ Map(
+    "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
+    "q35_scd2_history" -> q35) ++ Map(
     "q01_agg_summary" -> q01, "q02_filter_project" -> q02, "q03_star_join" -> q03,
     "q04_broadcast_join" -> q04, "q05_percentiles" -> q05, "q06_window_rank" -> q06,
     "q07_longitudinal" -> q07, "q08_pivot" -> q08, "q09_rollup" -> q09,
@@ -647,6 +670,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q35_scd2_history" -> q35Sql) ++ Map(
     "q01_agg_summary" -> q01Sql, "q02_filter_project" -> q02Sql, "q03_star_join" -> q03Sql,
     "q04_broadcast_join" -> q04Sql, "q05_percentiles" -> q05Sql, "q06_window_rank" -> q06Sql,
     "q07_longitudinal" -> q07Sql, "q08_pivot" -> q08Sql, "q09_rollup" -> q09Sql,
