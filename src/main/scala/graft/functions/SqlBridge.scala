@@ -3,13 +3,27 @@
  * pattern for registering custom Catalyst expressions without a fork. */
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a raw LogicalPlan (custom operators). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Register graft's planner strategies on a live session (idempotent;
+    * the extensions config path applies them at session build). */
+  def registerGraftStrategies(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+  }
 
   /** Register graft's SQL functions on an already-running session
     * (the extensions config path only applies at session build). */

@@ -78,6 +78,41 @@ object Operators {
         rightCols.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
   }
 
+  /** As-of join via the custom sort-merge physical operator
+    * ([[graft.plans.AsOfJoinExec]]) — same semantics as [[asOfJoin]]
+    * (strictly-prior right row per key carried as `asof_<col>`), but a
+    * dedicated merge pass instead of union+window: no null-padded union
+    * rows through the shuffle, O(1) state per key. Registers the
+    * planner strategy on the session if needed.
+    */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    val spark = left.sparkSession
+    SqlBridge.registerGraftStrategies(spark)
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias the right side so its output attribute ids are fresh:
+    // when both inputs derive from the same source (a self as-of
+    // join), DeduplicateRelations rewrites the right subtree's ids but
+    // cannot rewrite the custom node's key/time/payload expressions —
+    // the alias layer keeps our references stable.
+    val rPlan = right.select(right.columns.map(c =>
+      right.col(c).as(c)).toIndexedSeq: _*).queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val payload = rightCols.map(c => attr(rPlan, c))
+    val payloadOut = payload.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    SqlBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      payload, payloadOut))
+  }
+
   /** Gap-based sessionization: new session when the gap to the previous
     * event for the same key exceeds `gapSeconds`. lag + running sum of
     * session-start flags — one shuffle on the key, linear per

@@ -15,8 +15,10 @@ import graft.functions.expressions.MinHashShingles
   *   SELECT minhash_shingles(text, 8, 32) FROM documents
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 /** The function registrations, shared between the extensions path and

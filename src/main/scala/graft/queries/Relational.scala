@@ -653,10 +653,28 @@ object Relational {
       |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
 
+  // -- q36: as-of join via the custom AsOfJoinExec SparkPlan ---------------
+  // Same semantics and oracle as q22, but planned through graft's
+  // sort-merge as-of operator (AsOfJoinPlan/Strategy/Exec) instead of
+  // the composed union+window — the oracle certifies the custom
+  // physical operator end-to-end.
+  private val q36: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts")
+    Operators.asOfJoinNative(purchases, errors, key = "user_id",
+        leftTime = "ts", rightTime = "ts", rightCols = Seq("ts"))
+      .withColumnRenamed("asof_ts", "last_error_ts")
+      .select("user_id", "event_id", "ts", "value", "last_error_ts")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
-    "q35_scd2_history" -> q35) ++ Map(
+    "q35_scd2_history" -> q35, "q36_asof_native" -> q36) ++ Map(
     "q01_agg_summary" -> q01, "q02_filter_project" -> q02, "q03_star_join" -> q03,
     "q04_broadcast_join" -> q04, "q05_percentiles" -> q05, "q06_window_rank" -> q06,
     "q07_longitudinal" -> q07, "q08_pivot" -> q08, "q09_rollup" -> q09,
@@ -670,7 +688,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
-    "q35_scd2_history" -> q35Sql) ++ Map(
+    "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql) ++ Map(
     "q01_agg_summary" -> q01Sql, "q02_filter_project" -> q02Sql, "q03_star_join" -> q03Sql,
     "q04_broadcast_join" -> q04Sql, "q05_percentiles" -> q05Sql, "q06_window_rank" -> q06Sql,
     "q07_longitudinal" -> q07Sql, "q08_pivot" -> q08Sql, "q09_rollup" -> q09Sql,

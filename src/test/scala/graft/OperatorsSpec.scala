@@ -61,6 +61,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L)))
   }
 
+  test("asOfJoinNative (custom SparkPlan) matches the composed asOfJoin") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")
+    ).toDF("user_id", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 200.0),
+      (1L, ts("2024-01-01 12:00:00"), 300.0),
+      (2L, ts("2024-01-01 09:30:00"), 400.0)
+    ).toDF("user_id", "rt", "rv")
+    val native = Operators.asOfJoinNative(left, right, "user_id", "t", "rt", Seq("rv"))
+      .orderBy("t").select("name", "asof_rv").as[(String, Option[Double])].collect()
+    assert(native.toSeq == Seq(("p3", None), ("p1", Some(100.0)), ("p2", Some(200.0))))
+    assert(Operators.asOfJoinNative(left, right, "user_id", "t", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "custom physical operator must appear in the plan")
+
+    // larger randomized cross-check against the composed formulation
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000000L
+    val lBig = (0 until 400).map(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(base + rnd.nextInt(100000) * 1000L), s"L$i"))
+      .toDF("user_id", "t", "name")
+    val rBig = (0 until 400).map(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(base + rnd.nextInt(100000) * 1000L), rnd.nextInt(1000).toDouble))
+      .toDF("user_id", "rt", "rv")
+    val a = Operators.asOfJoinNative(lBig, rBig, "user_id", "t", "rt", Seq("rv"))
+      .select("user_id", "t", "name", "asof_rv")
+      .as[(Long, Timestamp, String, Option[Double])].collect().sortBy(r => (r._1, r._2.getTime, r._3))
+    val b = Operators.asOfJoin(lBig, rBig, "user_id", "t", "rt", Seq("rv"))
+      .select("user_id", "t", "name", "asof_rv")
+      .as[(Long, Timestamp, String, Option[Double])].collect().sortBy(r => (r._1, r._2.getTime, r._3))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("migrate applies updates with latest-wins over the union") {
     val current = Seq((1L, ts("2024-01-01 00:00:00"), "v1"),
                       (2L, ts("2024-01-01 00:00:00"), "v1")).toDF("k", "t", "v")
