@@ -671,10 +671,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // -- q37: reconciliation report (import vs migrate consistency) ----------
+  // RDW's Task Service generates a daily import reconciliation report
+  // (reference /root/reference/docs/Architecture.md "Task Service");
+  // here: orders⇄lineitem referential consistency + volume counts, via
+  // two anti-join probes unioned with totals.
+  private val q37: Q = (s, d) => {
+    val o = T.orders(s, d); val l = T.lineitem(s, d)
+    val orphanOrders = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt")).select(lit("orders_without_items").as("check_name"), col("cnt"))
+    val orphanItems = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt")).select(lit("items_without_order").as("check_name"), col("cnt"))
+    val totals = o.agg(count(lit(1)).as("cnt")).select(lit("total_orders").as("check_name"), col("cnt"))
+      .union(l.agg(count(lit(1)).as("cnt")).select(lit("total_items").as("check_name"), col("cnt")))
+    orphanOrders.union(orphanItems).union(totals).orderBy(col("check_name"))
+  }
+
+  private val q37Sql =
+    """SELECT 'orders_without_items' AS check_name, COUNT(*) AS cnt FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |UNION ALL
+      |SELECT 'items_without_order' AS check_name, COUNT(*) AS cnt FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'total_orders' AS check_name, COUNT(*) AS cnt FROM orders
+      |UNION ALL
+      |SELECT 'total_items' AS check_name, COUNT(*) AS cnt FROM lineitem
+      |ORDER BY check_name""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
-    "q35_scd2_history" -> q35, "q36_asof_native" -> q36) ++ Map(
+    "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
+    "q37_reconcile" -> q37) ++ Map(
     "q01_agg_summary" -> q01, "q02_filter_project" -> q02, "q03_star_join" -> q03,
     "q04_broadcast_join" -> q04, "q05_percentiles" -> q05, "q06_window_rank" -> q06,
     "q07_longitudinal" -> q07, "q08_pivot" -> q08, "q09_rollup" -> q09,
@@ -688,7 +717,8 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
-    "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql) ++ Map(
+    "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
+    "q37_reconcile" -> q37Sql) ++ Map(
     "q01_agg_summary" -> q01Sql, "q02_filter_project" -> q02Sql, "q03_star_join" -> q03Sql,
     "q04_broadcast_join" -> q04Sql, "q05_percentiles" -> q05Sql, "q06_window_rank" -> q06Sql,
     "q07_longitudinal" -> q07Sql, "q08_pivot" -> q08Sql, "q09_rollup" -> q09Sql,

@@ -61,4 +61,18 @@ object Ingest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Bucketed mart table: co-locates join keys at WRITE time so the
+    * recurring fact⋈fact joins of the reporting layer run with no
+    * shuffle at all — at 100 TB this converts every per-report join
+    * into a map-side zip of pre-sorted buckets. Same bucket count on
+    * both tables is required for the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

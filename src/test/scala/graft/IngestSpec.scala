@@ -40,6 +40,22 @@ class IngestSpec extends SparkSpec {
     assert(rejected.count() == 1)
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    Ingest.writeBucketed(orders, "graft_b_orders", "o_orderkey", 4)
+    Ingest.writeBucketed(lineitem, "graft_b_lineitem", "l_orderkey", 4)
+    val joined = spark.table("graft_b_orders")
+      .join(spark.table("graft_b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == orders.join(lineitem,
+      col("o_orderkey") === col("l_orderkey")).groupBy("o_orderkey").count().count())
+  }
+
   test("partitioned mart write round-trips and prunes partitions") {
     val out = Files.createTempDirectory("graft_mart").toFile.getAbsolutePath + "/mart"
     val df = Seq((1L, 2023, 10.0), (2L, 2023, 20.0), (3L, 2024, 30.0))
