@@ -20,9 +20,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Columns every table must expose — enforced at load so a schema
+    * drift in the source fails fast with a clear message instead of an
+    * AnalysisException deep inside some query. */
+  val expectedColumns: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  private def checked(name: String, df: DataFrame): DataFrame = {
+    val missing = expectedColumns.getOrElse(name, Nil).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"table $name is missing expected columns: $missing")
+    df
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else checked(name, spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     * default ([PARQUET_TYPE_ILLEGAL]). Read it as a nanosecond long via
@@ -44,7 +68,8 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     // integral DIV, not `/`: epoch-nanos (~1.7e18) overflows double precision
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    checked("events",
+      eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
