@@ -83,8 +83,10 @@ object Pipeline {
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
-    val jac = round(col("shared").cast(DoubleType) /
-      (col("na") + col("nb") - col("shared")), 4)
+    // unrounded: a single IEEE division of exact ints is bit-identical
+    // across engines, while round(x,4) can diverge on half-boundaries
+    val jac = col("shared").cast(DoubleType) /
+      (col("na") + col("nb") - col("shared"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "sa_id").withColumnRenamed("n", "na"),
         col("a_id") === col("sa_id"))
@@ -111,9 +113,9 @@ object Pipeline {
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT a_id, b_id, shared,
-      |  ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jaccard
+      |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
       |FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-      |WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.3
+      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
       |ORDER BY a_id, b_id""".stripMargin
 
   // -- d04: MinHash + LSH band bucketing (rows-only) -----------------------
@@ -309,28 +311,32 @@ object Pipeline {
       .cast(DoubleType) / length(col("text"))
     val quality = lit(0.5) * least(lit(1.0), nTok / lit(100.0)) +
       lit(0.3) * (lit(1.0) - stopRatio) - lit(0.2) * punctRatio
+    // NOT rounded: the unrounded doubles are bit-identical across
+    // engines (same IEEE ops in the same order), while round(x, 4)
+    // diverges on half-boundary values (Spark rounds the exact binary
+    // expansion, DuckDB rounds x*1e4) — observed at sf0.1.
     T.documents(s, d)
       .select(col("doc_id"), nTok.as("n_tokens"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(punctRatio, 4).as("punct_ratio"),
-        round(quality, 4).as("quality"))
+        stopRatio.as("stop_ratio"),
+        punctRatio.as("punct_ratio"),
+        quality.as("quality"))
       .orderBy(col("doc_id"))
   }
 
   private val t02Sql =
     s"""SELECT doc_id,
        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
-       |  ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
        |      x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
-       |    / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_ratio,
-       |  ROUND(CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |    / length(text), 4) AS punct_ratio,
-       |  ROUND(0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
+       |    / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+       |  CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS punct_ratio,
+       |  0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
        |    + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
        |        x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
        |      / len(string_split_regex(trim(text), '\\s+')))
        |    - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |      / length(text), 4) AS quality
+       |      / length(text) AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // -- t03: token counting (whitespace + BPE-ish regex) --------------------
