@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharShingles, MinHashShingles, SimHashTokens}
+import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -21,4 +21,9 @@ object GraftColumns {
     * [[SimHashTokens]]). */
   def simHashTokens(text: Column): Column =
     SqlBridge.column(SimHashTokens(SqlBridge.expression(text)))
+
+  /** Cosine similarity of two numeric arrays in one pass (see
+    * [[CosineSimilarity]]). */
+  def cosineSim(a: Column, b: Column): Column =
+    SqlBridge.column(CosineSimilarity(SqlBridge.expression(a), SqlBridge.expression(b)))
 }

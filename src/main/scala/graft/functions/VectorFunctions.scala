@@ -21,9 +21,12 @@ object VectorFunctions {
   def normSq(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+  /** Cosine similarity in double precision. Native one-pass expression
+    * (see [[graft.functions.expressions.CosineSimilarity]]) — the HOF
+    * composition `dot/(sqrt(normSq)·sqrt(normSq))` is interpreted per
+    * element and dominates pairwise workloads; the native loop keeps
+    * the identical IEEE op order, so results are bit-equal. */
+  def cosine(a: Column, b: Column): Column = GraftColumns.cosineSim(a, b)
 
   /** Random-hyperplane LSH signature: `numBits` deterministic
     * pseudo-random hyperplanes; plane j's component for dimension i is

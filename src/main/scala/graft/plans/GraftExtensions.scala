@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.MinHashShingles
+import graft.functions.expressions.{CosineSimilarity, MinHashShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -42,5 +42,11 @@ object GraftFunctions {
       MinHashShingles(children.head,
         intArg(children(1), "minhash_shingles", "k"),
         intArg(children(2), "minhash_shingles", "numPerms"))
+    }), (
+    new FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "cosine_sim(a, b) takes exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
     }))
 }

@@ -175,6 +175,32 @@ object Pipeline {
       .orderBy("a_id", "b_id")
   }
 
+  // -- d06: embedding-cosine near-dup pairs (blocked self-join) ------------
+  // Embed → block → verify, the standard near-dup shape at corpus scale:
+  // the blocking key (label here; a coarse-quantizer cluster id at
+  // warehouse scale) turns the O(n²) all-pairs cosine into an equi-join
+  // whose fan-out is bounded per block; exact cosine then verifies each
+  // candidate. The data's minimum |cos − 0.35| margin (5e-5 at sf0.1)
+  // dwarfs cross-engine ulp drift, so threshold membership is stable.
+  private val d06: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = emb.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a_id"), col("b_id"), col("label"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d06Sql =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ======================= similarity: embeddings ==========================
 
   // -- s01: brute-force cosine top-k per query vector ----------------------
@@ -264,8 +290,7 @@ object Pipeline {
     // nProbe nearest centroids per query (tiny cross join, broadcast)
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
     val probes = qs.crossJoin(broadcast(centroids))
-      .withColumn("cdist", -VF.dot(col("q_vec"), col("centroid")) /
-        (sqrt(VF.normSq(col("q_vec"))) * sqrt(VF.normSq(col("centroid")))))
+      .withColumn("cdist", -VF.cosine(col("q_vec"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cluster"))
@@ -461,7 +486,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
-    "d05_dedup_simhash" -> d05,
+    "d05_dedup_simhash" -> d05, "d06_dedup_embedding" -> d06,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -471,7 +496,7 @@ object Pipeline {
   /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql, "d02_dedup_fingerprint" -> d02Sql,
-    "d03_dedup_ngram_jaccard" -> d03Sql,
+    "d03_dedup_ngram_jaccard" -> d03Sql, "d06_dedup_embedding" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,

@@ -65,6 +65,29 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native cosine is bit-equal to the HOF formulation and handles double arrays") {
+    import org.apache.spark.sql.types.DoubleType
+    val df = Seq((Seq(0.1f, -2.3f, 4.5f, 0.007f), Seq(3.3f, 0.0f, -1.25f, 9.9f)))
+      .toDF("a", "b")
+    val hof = VF.dot(col("a"), col("b")) /
+      (sqrt(VF.normSq(col("a"))) * sqrt(VF.normSq(col("b"))))
+    val (native, viaHof) = df.select(VF.cosine(col("a"), col("b")).as("n"), hof.as("h"))
+      .as[(Double, Double)].head()
+    assert(java.lang.Double.doubleToLongBits(native) ==
+      java.lang.Double.doubleToLongBits(viaHof))
+    // mixed float/double operands (s03 probes: float query × double centroid)
+    val mixed = df.select(VF.cosine(col("a"),
+      transform(col("b"), x => x.cast(DoubleType))).as("m")).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(mixed) ==
+      java.lang.Double.doubleToLongBits(native))
+    // SQL registration path
+    org.apache.spark.sql.graftbridge.SqlBridge.registerGraftFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c").as[Double].head()
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
   test("hyperplane signature is deterministic and seed-sensitive") {
     val df = Seq(Seq.tabulate(64)(i => (i % 7 - 3).toFloat)).toDF("v")
     val (s1, s2, s3) = df.select(

@@ -59,6 +59,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian pair explosion")
   }
 
+  test("d06 embedding near-dup blocks on label (equi-join, no all-pairs cartesian)") {
+    val p = plan("d06_dedup_embedding")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"blocked self-join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian pair explosion")
+  }
+
   test("q16 latest-wins is a single window pass (one shuffle), not a self-join") {
     val p = plan("q16_latest_wins")
     assert(p.contains("Window") || p.contains("WindowGroupLimit"))
