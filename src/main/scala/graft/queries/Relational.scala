@@ -699,11 +699,66 @@ object Relational {
       |SELECT 'total_items' AS check_name, COUNT(*) AS cnt FROM lineitem
       |ORDER BY check_name""".stripMargin
 
+  // -- q38: set operations — cohort retention/churn (import diff) ----------
+  // RDW's migrate step diffs the imported state against the reporting
+  // mart to decide inserts/updates/deletes (reference
+  // /root/reference/docs/Runbook.md "migrate"); the set-op shape:
+  // INTERSECT = unchanged/retained keys, EXCEPT each way = churned vs
+  // acquired. Distinct key sets shuffle once each; the set ops are
+  // key-only semi/anti-style comparisons, no payload duplication.
+  private val q38: Q = (s, d) => {
+    val o = T.orders(s, d)
+    def cohort(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val a = cohort(1995); val b = cohort(1996)
+    a.intersect(b).withColumn("cohort", lit("retained"))
+      .union(a.except(b).withColumn("cohort", lit("churned")))
+      .union(b.except(a).withColumn("cohort", lit("acquired")))
+      .select(col("cohort"), col("custkey"))
+      .orderBy(col("cohort"), col("custkey"))
+  }
+
+  private val q38Sql =
+    """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |     b AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT 'retained' AS cohort, custkey FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+      |UNION ALL
+      |SELECT 'churned' AS cohort, custkey FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+      |UNION ALL
+      |SELECT 'acquired' AS cohort, custkey FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+      |ORDER BY cohort, custkey""".stripMargin
+
+  // -- q39: ntile quartile bands per group (percentile-band report) --------
+  // RDW reports band students into quartiles/quintiles per org (reference
+  // /root/reference/docs/Norms.md percentile bands). ntile over a TOTAL
+  // order (balance, then unique key) is deterministic and both engines
+  // implement the SQL-standard remainder distribution. One shuffle on
+  // the partition key; the band agg reuses the window's partitioning.
+  private val q39: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    T.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("cnt"), moneyAvg(col("c_acctbal")).as("avg_bal"))
+      .orderBy(col("c_nationkey"), col("quartile"))
+  }
+
+  private val q39Sql =
+    s"""SELECT c_nationkey, quartile, COUNT(*) AS cnt,
+       |  ${sqlMoneyAvg("c_acctbal")} AS avg_bal
+       |FROM (SELECT c_nationkey, c_acctbal,
+       |        CAST(ntile(4) OVER (PARTITION BY c_nationkey
+       |          ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+       |      FROM customer)
+       |GROUP BY c_nationkey, quartile
+       |ORDER BY c_nationkey, quartile""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
-    "q37_reconcile" -> q37) ++ Map(
+    "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
     "q01_agg_summary" -> q01, "q02_filter_project" -> q02, "q03_star_join" -> q03,
     "q04_broadcast_join" -> q04, "q05_percentiles" -> q05, "q06_window_rank" -> q06,
     "q07_longitudinal" -> q07, "q08_pivot" -> q08, "q09_rollup" -> q09,
@@ -718,7 +773,8 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
-    "q37_reconcile" -> q37Sql) ++ Map(
+    "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
+    "q39_ntile_bands" -> q39Sql) ++ Map(
     "q01_agg_summary" -> q01Sql, "q02_filter_project" -> q02Sql, "q03_star_join" -> q03Sql,
     "q04_broadcast_join" -> q04Sql, "q05_percentiles" -> q05Sql, "q06_window_rank" -> q06Sql,
     "q07_longitudinal" -> q07Sql, "q08_pivot" -> q08Sql, "q09_rollup" -> q09Sql,
