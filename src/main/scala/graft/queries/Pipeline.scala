@@ -482,6 +482,29 @@ object Pipeline {
       |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // -- e03: stream-stream interval join (click→purchase attribution) -------
+  // Runs graft.streaming.StreamingJobs.attributionJoin on batch frames
+  // (withWatermark is a no-op in batch) — the exact code path the
+  // streaming job executes, so this oracle certifies the stream too.
+  private val e03: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    graft.streaming.StreamingJobs.attributionJoin(clicks, purchases)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  private val e03Sql =
+    """SELECT c.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.ts AS purchase_ts, c.ts AS click_ts, p.value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
@@ -491,7 +514,8 @@ object Pipeline {
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
-    "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02)
+    "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
+    "e03_stream_join" -> e03)
 
   /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
   val oracle: Map[String, String] = Map(
@@ -502,5 +526,6 @@ object Pipeline {
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
     "t05_group_stats" -> t05Sql,
     "m01_binary_meta" -> m01Sql,
-    "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql)
+    "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
+    "e03_stream_join" -> e03Sql)
 }

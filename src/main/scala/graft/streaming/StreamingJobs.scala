@@ -40,6 +40,25 @@ object StreamingJobs {
       .withWatermark("ts", "2 hours")
       .dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * purchase matches same-user clicks at most 1 h before it. Both
+    * sides watermarked; the time-range bound lets Spark evict click
+    * state older than (purchase watermark − 1 h), so join state is
+    * O(1 h of clicks), never O(stream). One shuffle per side on
+    * user_id. `withWatermark` is a no-op in batch, so the same
+    * function run on batch frames is the oracle for the stream.
+    *
+    * Expects `clicks(user_id, click_id, click_ts)` and
+    * `purchases(p_user_id, purchase_id, purchase_ts, value)`. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("click_ts", "2 hours")
+      .join(purchases.withWatermark("purchase_ts", "2 hours"),
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+
   case class EventRow(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

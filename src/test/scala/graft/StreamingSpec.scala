@@ -10,6 +10,9 @@ import graft.streaming.StreamingJobs
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
+case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
+case class Purchase(p_user_id: Long, purchase_id: Long,
+                    purchase_ts: Timestamp, value: Double)
 
 /** Structured Streaming jobs against MemoryStream, with the batch
   * computation on the same rows as the oracle. */
@@ -77,6 +80,33 @@ class StreamingSpec extends SparkSpec {
       assert(sessions(0).session_end == ts("2024-01-01 00:10:00"))
       assert(sessions(1).n_events == 1 && sessions(1).sum_value == 5.0)
     } finally q.stop()
+  }
+
+  test("attributionJoin stream-stream interval join equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Click(1, 101, ts("2024-01-01 00:05:00")),
+      Click(1, 102, ts("2024-01-01 00:45:00")),
+      Click(2, 103, ts("2024-01-01 01:05:00")),
+      Click(2, 104, ts("2024-01-01 03:00:00"))) // > 1 h before any purchase
+    val purchases = Seq(
+      Purchase(1, 201, ts("2024-01-01 01:00:00"), 30.0),  // matches 101+102
+      Purchase(1, 202, ts("2024-01-01 02:30:00"), 10.0),  // no click within 1 h
+      Purchase(2, 203, ts("2024-01-01 01:30:00"), 5.0))   // matches 103
+    val mc = MemoryStream[Click]; val mp = MemoryStream[Purchase]
+    mc.addData(clicks); mp.addData(purchases)
+    val q = StreamingJobs.attributionJoin(mc.toDF(), mp.toDF())
+      .writeStream.format("memory").queryName("t_attr").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("t_attr")
+      .orderBy("purchase_id", "click_id")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Double)].collect().toSeq
+    val batch = StreamingJobs.attributionJoin(clicks.toDF(), purchases.toDF())
+      .orderBy("purchase_id", "click_id")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Double)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(r => (r._2, r._3)) == Seq((201L, 101L), (201L, 102L), (203L, 103L)))
   }
 
   test("dedupe keeps one row per (user_id, event_type)") {
