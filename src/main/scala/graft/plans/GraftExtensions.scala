@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CosineSimilarity, MinHashShingles}
+import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -48,5 +48,17 @@ object GraftFunctions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "cosine_sim(a, b) takes exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
+    }), (
+    new FunctionIdentifier("char_shingles"),
+    new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "char_shingles(text, k) takes exactly 2 arguments")
+      CharShingles(children.head, intArg(children(1), "char_shingles", "k"))
+    }), (
+    new FunctionIdentifier("simhash_tokens"),
+    new ExpressionInfo(classOf[SimHashTokens].getName, "simhash_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "simhash_tokens(text) takes exactly 1 argument")
+      SimHashTokens(children.head)
     }))
 }

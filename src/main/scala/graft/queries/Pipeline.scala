@@ -449,6 +449,39 @@ object Pipeline {
     Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
   }
 
+  // -- m03: frame sampling over a video-shaped binary column ---------------
+  // The frame-sample shape of a real video pipeline: each payload
+  // expands to its sampled frames (explode of a bounded sequence —
+  // map-only, zero shuffle, stays in whole-stage codegen), each frame
+  // carrying its timestamp and a slice of the payload. The "1 byte ≈
+  // 1 ms, frame every 1000 ms, cap 8" duration model is the STUB —
+  // a deployment derives it from the container header — while the
+  // Spark plumbing (bounded explode, per-frame slice, schema) is real.
+  private val m03: Q = (s, d) => {
+    val frameMs = 1000; val maxFrames = 8
+    T.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+      .withColumn("frame_idx", explode(sequence(lit(0),
+        least(floor(col("n_bytes") / lit(frameMs)).cast(IntegerType), lit(maxFrames - 1)))))
+      .select(col("doc_id"), col("n_bytes"), col("frame_idx"),
+        (col("frame_idx") * lit(frameMs)).as("frame_ts_ms"),
+        expr(s"substring(hex(payload), frame_idx * ${frameMs * 2} + 1, 16)").as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val m03Sql =
+    """WITH b AS (
+      |  SELECT doc_id, encode(text) AS payload,
+      |    unnest(generate_series(0,
+      |      least(CAST(floor(octet_length(encode(text)) / 1000) AS INTEGER), 7))) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+      |  CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(frame_idx * 1000 AS INTEGER) AS frame_ts_ms,
+      |  substr(hex(payload), CAST(frame_idx * 2000 + 1 AS INTEGER), 16) AS frame_hex
+      |FROM b ORDER BY doc_id, frame_idx""".stripMargin
+
   // ======================= streaming batch-equivalents =====================
 
   // -- e01: tumbling-window agg (streaming job in graft.streaming) ---------
@@ -514,6 +547,7 @@ object Pipeline {
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
+    "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03)
 
@@ -525,7 +559,7 @@ object Pipeline {
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
     "t05_group_stats" -> t05Sql,
-    "m01_binary_meta" -> m01Sql,
+    "m01_binary_meta" -> m01Sql, "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql)
 }

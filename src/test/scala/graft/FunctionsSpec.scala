@@ -88,6 +88,19 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(viaSql - 1.0) < 1e-12)
   }
 
+  test("char_shingles and simhash_tokens SQL registrations match the Column API") {
+    org.apache.spark.sql.graftbridge.SqlBridge.registerGraftFunctions(spark)
+    val viaSql = spark.sql("SELECT char_shingles('abcdef', 4) AS s").as[Seq[String]].head()
+    val viaCol = Seq("abcdef").toDF("t")
+      .select(graft.functions.GraftColumns.charShingles(col("t"), 4).as("s"))
+      .as[Seq[String]].head()
+    assert(viaSql == viaCol && viaSql.toSet == Set("abcd", "bcde", "cdef"))
+    val simSql = spark.sql("SELECT simhash_tokens('hello world') AS h").as[Long].head()
+    val simCol = Seq("hello world").toDF("t")
+      .select(graft.functions.GraftColumns.simHashTokens(col("t")).as("h")).as[Long].head()
+    assert(simSql == simCol)
+  }
+
   test("hyperplane signature is deterministic and seed-sensitive") {
     val df = Seq(Seq.tabulate(64)(i => (i % 7 - 3).toFloat)).toDF("v")
     val (s1, s2, s3) = df.select(
