@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens}
+import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens, WinnowFingerprint}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -26,4 +26,9 @@ object GraftColumns {
     * [[CosineSimilarity]]). */
   def cosineSim(a: Column, b: Column): Column =
     SqlBridge.column(CosineSimilarity(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Winnowed rolling-hash document fingerprint (see
+    * [[WinnowFingerprint]]). */
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    SqlBridge.column(WinnowFingerprint(SqlBridge.expression(text), k, w))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens}
+import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -60,5 +60,14 @@ object GraftFunctions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "simhash_tokens(text) takes exactly 1 argument")
       SimHashTokens(children.head)
+    }), (
+    new FunctionIdentifier("winnow_fingerprint"),
+    new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "winnow_fingerprint(text, k, w) takes exactly 3 arguments")
+      WinnowFingerprint(children.head,
+        intArg(children(1), "winnow_fingerprint", "k"),
+        intArg(children(2), "winnow_fingerprint", "w"))
     }))
 }

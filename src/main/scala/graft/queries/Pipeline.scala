@@ -413,6 +413,45 @@ object Pipeline {
       |SELECT ngram, COUNT(*) AS cnt FROM b
       |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
 
+  // -- t06: winnowed rolling-hash fingerprint ------------------------------
+  // MOSS-style copy-detection sketch (see WinnowFingerprint): k=8 gram
+  // rolling hash, w=4 window minima, distinct set per doc. Map-only —
+  // the per-doc summary columns keep the oracle comparable without
+  // array-typed output. The DuckDB oracle replicates the hash family
+  // with list_reduce and the winnow with a ROWS window min.
+  private val t06: Q = (s, d) => {
+    val fp = graft.functions.GraftColumns.winnowFingerprint(col("text"), 8, 4)
+    docsSpread(s, d)
+      .select(col("doc_id"), fp.as("fp"))
+      .filter(size(col("fp")) > 0)
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        aggregate(col("fp"), lit(0L), (a, x) => a + x).as("fp_sum"),
+        array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t06Sql =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+      |  FROM documents WHERE length(text) >= 8),
+      |h AS (
+      |  SELECT doc_id, i,
+      |    list_reduce(list_transform(generate_series(0, 7),
+      |      j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) AS hv
+      |  FROM pos),
+      |wnd AS (
+      |  SELECT doc_id, i,
+      |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+      |    count(*) OVER (PARTITION BY doc_id) AS ng
+      |  FROM h),
+      |fp AS (SELECT DISTINCT doc_id, sel FROM wnd WHERE i <= ng - 3)
+      |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_fp,
+      |  CAST(SUM(sel) AS BIGINT) AS fp_sum,
+      |  MIN(sel) AS fp_min, MAX(sel) AS fp_max
+      |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ======================= multimodal plumbing =============================
 
   // -- m01: opaque binary column + typed metadata --------------------------
@@ -546,6 +585,7 @@ object Pipeline {
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
+    "t06_fingerprint" -> t06,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
@@ -558,7 +598,7 @@ object Pipeline {
     "s01_ann_bruteforce" -> s01Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
-    "t05_group_stats" -> t05Sql,
+    "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,
     "m01_binary_meta" -> m01Sql, "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql)
