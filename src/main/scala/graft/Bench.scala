@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   *   projections away, so half the work wouldn't be measured.
   * - one warmup pass at sf0.001 first so JIT/classloading cost isn't
   *   attributed to whichever query happens to run first.
+  * - each query timed REPS times, median reported: a single shared-VM
+  *   GC pause can otherwise multiply one query's number by 5× (seen
+  *   in round 1: q28 13.3 s in-suite vs 2.25 s isolated).
+  * - a query that throws reports -1 (and its name under "failed") so
+  *   downstream consumers never mistake a failure for a fast run.
   * - AQE on with skew-join handling — the same settings a cluster
   *   deployment would run.
   */
@@ -45,15 +50,26 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $n: ${e.getMessage}") }
     }
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try execute(name, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { execute(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name: ${e.getMessage}"); None
+        }
+      }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -18,17 +19,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `dot / (sqrt(na) * sqrt(nb))` — the exact IEEE op order of the HOF
   * version and of DuckDB's `list_cosine_similarity` on DOUBLE[], so
   * oracle hashes are bit-identical.
+  *
+  * Edge-case contract (mirrors DuckDB so the oracle stays exact,
+  * verified against duckdb 1.0.0):
+  *  - mismatched array lengths raise (DuckDB: "list dimensions must
+  *    be equal") rather than silently truncating;
+  *  - a zero-norm input yields -1.0 (DuckDB's result for the
+  *    degenerate 0/0 case — sorts such pairs last by similarity);
+  *  - non-float/double array inputs are rejected at analysis time by
+  *    [[checkInputDataTypes]], not at eval time.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"cosine_sim expects array<float|double>, got $other")
+    case _ => false
   }
   private lazy val leftFloat = elemIsFloat(left)
   private lazy val rightFloat = elemIsFloat(right)
@@ -36,7 +55,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"$prettyName: array dimensions must be equal, got " +
+          s"${a.numElements()} and ${b.numElements()}")
+    }
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -47,7 +71,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) -1.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def withNewChildrenInternal(

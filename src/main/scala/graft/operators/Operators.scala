@@ -52,30 +52,36 @@ object Operators {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightCols: Seq[String]): DataFrame = {
+    // All payload columns travel in ONE struct (non-null for every
+    // right row, even when every field inside is null) so a single
+    // last(ignoreNulls) carries the whole most-recent right row.
+    // Carrying each column independently would mix columns from
+    // different right rows when a payload value is legitimately NULL.
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val leftTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__isRight", lit(0))
       .select(Seq(col(key), col("__t"), col("__isRight")) ++
-        left.columns.filter(_ != key).map(c => col(c)) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        left.columns.filter(_ != key).map(c => col(c)) :+
+        lit(null).cast(payloadSchema).as("__r"): _*)
     val rightTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__isRight", lit(1))
       .select(Seq(col(key), col("__t"), col("__isRight")) ++
-        left.columns.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        left.columns.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(c => col(c).as(c)): _*).as("__r"): _*)
     // Right rows sort AFTER left rows at equal timestamps (__isRight
     // desc? no: asc puts 0 first) — so an equal-time right row is NOT
     // visible to the left row: strictly-before semantics.
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__isRight"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) {
-      case (df, c) => df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__isRight") === 0)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__isRight") === 0)
       .select(Seq(col(key)) ++
         left.columns.filter(_ != key).map(col) ++
-        rightCols.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("__last").getField(c).as(s"asof_$c")): _*)
   }
 
   /** As-of join via the custom sort-merge physical operator
@@ -179,4 +185,108 @@ object Operators {
   def migrate(current: DataFrame, updates: DataFrame,
               keys: Seq[Column], ordering: Seq[Column]): DataFrame =
     latestWins(current.unionByName(updates), keys, ordering)
+
+  /** Soft-delete-aware migrate: RDW bulk-deletes exams by marking
+    * `deleted = 1` in the warehouse and letting migrate remove them
+    * from the reporting marts (reference
+    * /root/reference/docs/Runbook.BulkDeleteExams.md:32-33,104 —
+    * "the exams are soft deleted … migrate propagates the change").
+    * Latest-wins runs across upserts AND tombstones — so a
+    * delete-then-reinsert ordering resolves correctly by recency —
+    * and only then are surviving tombstones dropped. Filtering the
+    * deletes BEFORE the merge would resurrect the previous version,
+    * which is exactly the bug this operator exists to prevent.
+    *
+    * Scale: identical movement to [[migrate]] — one shuffle on the
+    * natural key; the tombstone filter is a map-side post-pass.
+    */
+  def migrateWithDeletes(current: DataFrame, updates: DataFrame,
+                         keys: Seq[Column], ordering: Seq[Column],
+                         deletedCol: String = "deleted"): DataFrame =
+    latestWins(current.unionByName(updates), keys, ordering)
+      .filter(!coalesce(col(deletedCol), lit(false)))
+      .drop(deletedCol)
+
+  /** Interval-overlap detection (RDW norms load validation: loading a
+    * percentile table whose [start_date, end_date] overlaps an
+    * existing table for the same assessment is a validation error —
+    * reference /root/reference/docs/Norms.md:31 "the date ranges for
+    * a given assessment may not overlap"). Returns the offending
+    * pairs. Self-join on the entity key with the standard interval
+    * intersection predicate `a.start <= b.end AND b.start <= a.end`;
+    * `a.id < b.id` keeps each pair once.
+    *
+    * Scale: the join key is the entity id, so fan-out per key is
+    * bounded by versions-per-entity (small by construction — norms
+    * tables per assessment number in the tens). No cartesian.
+    */
+  def overlappingIntervals(df: DataFrame, key: String, id: String,
+                           start: String, end: String): DataFrame = {
+    val a = df.select(col(key).as("a_key"), col(id).as("a_id"),
+      col(start).as("a_start"), col(end).as("a_end"))
+    val b = df.select(col(key).as("b_key"), col(id).as("b_id"),
+      col(start).as("b_start"), col(end).as("b_end"))
+    a.join(b, col("a_key") === col("b_key") && col("a_id") < col("b_id") &&
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("a_key").as(key), col("a_id"), col("b_id"),
+        col("a_start"), col("a_end"), col("b_start"), col("b_end"))
+  }
+
+  /** Audit change-log diff: who-changed-what per natural key (RDW
+    * audits exam/student modifications and documents querying the
+    * old vs new values of each change — reference
+    * /root/reference/docs/Runbook.Audit.md:1-15). One lag window per
+    * tracked column over the version ordering; rows where any tracked
+    * value changed survive, carrying (old_<col>, new_<col>) pairs.
+    * Complements the SCD-2 validity intervals (q35): that gives WHEN
+    * each version was live, this gives WHAT changed between versions.
+    *
+    * Scale: single shuffle on the natural key, one window pass for
+    * all tracked columns (same frame → one sort).
+    */
+  def auditDiff(df: DataFrame, keys: Seq[String], versionCols: Seq[String],
+                tracked: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(versionCols.map(col): _*)
+    val withOld = tracked.foldLeft(df) { case (acc, c) =>
+      acc.withColumn(s"old_$c", lag(col(c), 1).over(w))
+    }
+    val changed = tracked.map(c => !(col(s"old_$c") <=> col(c)))
+      .reduce(_ || _)
+    // first version per key has no predecessor — not a modification.
+    // A lag'd literal marker (not the tracked values, which may all be
+    // legitimately null on the prior row) decides existence.
+    withOld
+      .withColumn("__has_prior", lag(lit(1), 1).over(w).isNotNull)
+      .filter(col("__has_prior") && changed)
+      .select((keys ++ versionCols).map(col) ++
+        tracked.flatMap(c => Seq(col(s"old_$c"), col(c).as(s"new_$c"))): _*)
+  }
+
+  /** Student-group batch replace (RDW group import: a new group file
+    * REPLACES the whole membership — members absent from the new file
+    * are removed, reference /root/reference/docs/StudentGroups.md —
+    * "the file completely replaces any previous definition of the
+    * group"). Returns the reconciliation report of the replace: one
+    * row per (group, member) with action `added` / `removed` /
+    * `kept`; the post-replace membership is exactly the incoming
+    * file (`action != 'removed'`).
+    *
+    * Scale: one full-outer shuffle join on (group, member) — key-only
+    * payloads, no skew (group sizes are classroom-bounded).
+    */
+  def groupReplace(current: DataFrame, incoming: DataFrame,
+                   groupCol: String, memberCol: String): DataFrame = {
+    val inc = incoming.select(col(groupCol), col(memberCol)).withColumn("__inc", lit(1))
+    // replace is scoped to the groups the file defines — a file for
+    // group A must not touch group B's membership
+    val cur = current.select(col(groupCol), col(memberCol))
+      .join(inc.select(groupCol).distinct(), Seq(groupCol), "left_semi")
+      .withColumn("__cur", lit(1))
+    cur.join(inc, Seq(groupCol, memberCol), "full_outer")
+      .select(col(groupCol), col(memberCol),
+        when(col("__cur").isNull, "added")
+          .when(col("__inc").isNull, "removed")
+          .otherwise("kept").as("action"))
+  }
 }

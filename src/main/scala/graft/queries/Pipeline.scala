@@ -177,10 +177,11 @@ object Pipeline {
 
   // -- d06: embedding-cosine near-dup pairs (blocked self-join) ------------
   // Embed → block → verify, the standard near-dup shape at corpus scale:
-  // the blocking key (label here; a coarse-quantizer cluster id at
-  // warehouse scale) turns the O(n²) all-pairs cosine into an equi-join
+  // the blocking key turns the O(n²) all-pairs cosine into an equi-join
   // whose fan-out is bounded per block; exact cosine then verifies each
-  // candidate. The data's minimum |cos − 0.35| margin (5e-5 at sf0.1)
+  // candidate. The `label` key here keeps the query ANSI-expressible
+  // (oracle-exact); d07 is the warehouse-scale variant blocking on a
+  // coarse-quantizer cluster id, whose count grows with the corpus. The data's minimum |cos − 0.35| margin (5e-5 at sf0.1)
   // dwarfs cross-engine ulp drift, so threshold membership is stable.
   private val d06: Q = (s, d) => {
     val emb = T.embeddings(s, d)
@@ -200,6 +201,74 @@ object Pipeline {
       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** KMeans coarse quantizer shared by s03 (IVF probe lists) and d07
+    * (near-dup blocking key). The fit runs on a seeded SAMPLE, not the
+    * corpus: at 100 TB a full-data fit would dominate the whole query,
+    * and quantizer quality only needs a representative sample (the
+    * classic IVF recipe — train on ~100k vectors, assign everything).
+    * Assignment (`model.transform`) is map-only over the corpus.
+    */
+  private def kmeansAssign(s: SparkSession, d: String, k: Int) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(emb.sample(withReplacement = false, fraction = 0.5, seed = 42))
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    (assigned, model)
+  }
+
+  // -- d07: embedding near-dup, coarse-quantizer blocking (rows-only) ------
+  // The warehouse-scale variant of d06: the blocking key is a KMeans
+  // cluster id instead of `label`. With few distinct labels each d06
+  // block is O(n²/|labels|); cluster count scales with the corpus
+  // (k ≈ √n in practice), keeping per-block fan-out bounded no matter
+  // how big the corpus grows. Pairs straddling one cluster boundary
+  // are the classic recall loss of single-assignment blocking, so each
+  // vector blocks under its TOP-2 nearest centroids (multi-probe):
+  // the top-2 pick is a per-row array_sort over the broadcast centroid
+  // literals — map-only, ×2 fan-out, no window shuffle. Same verify
+  // step (exact cosine); duplicate pair hits from shared clusters
+  // dedupe on bare ids. Recall vs the exact d06 output is
+  // spec-checked in PipelineScaleSpec.
+  //
+  // k = 8 fits the 500-vector test corpus (k ≈ √n); at warehouse
+  // scale k grows with the corpus while probes stays fixed, so the
+  // per-block fan-out (n·probes/k per cluster) keeps shrinking
+  // relative to n² — the same k scaling every IVF index uses.
+  private val d07: Q = (s, d) => {
+    val probes = 3
+    val (_, model) = kmeansAssign(s, d, k = 8)
+    // centroids are driver-side (k × dim doubles) → literal array, so
+    // the top-2 assignment never joins or shuffles
+    val centroidArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cluster"),
+        array(c.toArray.map(lit(_)): _*).as("centroid"))
+    }: _*)
+    val assigned = T.embeddings(s, d)
+      .withColumn("__scored", transform(centroidArr,
+        c => struct((-VF.cosine(col("embedding"), c.getField("centroid"))).as("d"),
+          c.getField("cluster").as("cluster"))))
+      .withColumn("cluster",
+        explode(slice(array_sort(col("__scored")), 1, probes).getField("cluster")))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+      .distinct() // a pair can co-block in both of its shared clusters
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   // ======================= similarity: embeddings ==========================
 
@@ -244,18 +313,27 @@ object Pipeline {
       struct(lit(t).as("tbl"),
         VF.hyperplaneSignature(col("embedding"), dim, bits, seed = t * 1000).as("bucket"))
     }
-    val emb = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("tbl"), col("bucket"))
-    val cands = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding"), col("tbl"), col("bucket"))
+    // Signatures travel WITHOUT the embedding payload: the OR-dedupe
+    // of candidates (a vector can co-bucket with a query in several
+    // tables) is a distinct over bare (q_id, cand_id) ids, so no
+    // 64-float arrays move through that exchange. Vectors are joined
+    // back only for the surviving candidate set.
+    val sigs = T.embeddings(s, d)
+      .select(col("vec_id"), explode(array(sigCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qsig = sigs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val csig = sigs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
+    val candIds = csig.join(broadcast(qsig), Seq("tbl", "bucket"))
+      .select(col("q_id"), col("cand_id")).distinct()
+    val base = T.embeddings(s, d)
+    val qVecs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    cands.join(broadcast(qs), Seq("tbl", "bucket"))
-      .select(col("q_id"), col("cand_id"), col("q_vec"), col("embedding")).distinct()
+    candIds
+      .join(base.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      .join(broadcast(qVecs), "q_id")
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -265,23 +343,15 @@ object Pipeline {
 
   // -- s03: IVF ANN — KMeans coarse quantizer + nProbe search (rows-only) --
   // The third ANN tier: s01 exact brute force, s02 LSH buckets, s03
-  // IVF. Centroids are trained once (on a sample at warehouse scale),
-  // every vector is assigned to its nearest centroid, and a query only
+  // IVF. Centroids are trained ONCE on a seeded sample (kmeansAssign —
+  // a full-corpus fit would dominate the query at 100 TB), every
+  // vector is assigned to its nearest centroid, and a query only
   // scans the nProbe closest inverted lists — candidate count is
   // corpus/k × nProbe instead of the whole corpus.
   private val s03: Q = (s, d) => {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val sp = s; import sp.implicits._
     val k = 16; val nProbe = 2
-    val emb = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(emb)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val (assigned, model) = kmeansAssign(s, d, k)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cluster", "centroid")
@@ -582,6 +652,7 @@ object Pipeline {
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
     "d05_dedup_simhash" -> d05, "d06_dedup_embedding" -> d06,
+    "d07_dedup_embedding_ivf" -> d07,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,

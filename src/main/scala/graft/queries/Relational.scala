@@ -623,12 +623,22 @@ object Relational {
       .orderBy(col("n_name"))
 
   // -- q34: approx percentile sketch (rows-only) ---------------------------
+  // Scalar columns (not arrays): the driver's rows-only check sorts the
+  // result frame in pandas, which cannot hash array cells. Pairs each
+  // approx quantile with the exact one so sketch accuracy is visible;
+  // rows-only because DuckDB's approx_quantile sketch differs.
   private val q34: Q = (s, d) =>
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)").as("approx_q"),
-        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("exact_q"))
+        expr("approx_percentile(l_quantity, 0.25, 10000)").as("approx_p25"),
+        expr("approx_percentile(l_quantity, 0.50, 10000)").as("approx_p50"),
+        expr("approx_percentile(l_quantity, 0.75, 10000)").as("approx_p75"),
+        expr("approx_percentile(l_quantity, 0.95, 10000)").as("approx_p95"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("exact_p25"),
+        round(expr("percentile(l_quantity, 0.50)"), 4).as("exact_p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("exact_p75"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("exact_p95"))
       .orderBy(col("l_returnflag"))
 
   // -- q35: SCD-2 history build (validity intervals via lead) --------------
@@ -754,8 +764,133 @@ object Relational {
        |GROUP BY c_nationkey, quartile
        |ORDER BY c_nationkey, quartile""".stripMargin
 
+  // -- q40: soft-delete migrate (tombstone-aware latest-wins) --------------
+  // RDW bulk-deletes exams by marking deleted=1 in the warehouse and
+  // letting migrate drop them from the marts (reference
+  // /root/reference/docs/Runbook.BulkDeleteExams.md:32-33,104). The
+  // orders log is treated as the per-customer change stream: each
+  // order is a new version of that customer's latest exam, status 'F'
+  // plays the tombstone. Split into a "current" batch and an
+  // "updates" batch to exercise the real migrate path — the result
+  // must equal latest-wins over the full log with tombstones dropped
+  // AFTER the merge (dropping before would resurrect prior versions).
+  private val q40: Q = (s, d) => {
+    val base = T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), (col("o_orderstatus") === "F").as("deleted"))
+    val current = base.filter(col("o_orderdate") < to_date(lit("1996-01-01")))
+    val updates = base.filter(col("o_orderdate") >= to_date(lit("1996-01-01")))
+    Operators.migrateWithDeletes(current, updates,
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q40Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |    (o_orderstatus = 'F') AS deleted,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 AND NOT deleted
+      |ORDER BY o_custkey""".stripMargin
+
+  // -- q41: norms interval-overlap validation ------------------------------
+  // Loading a percentile table whose [start_date, end_date] overlaps
+  // an existing one for the same assessment is a validation error
+  // (reference /root/reference/docs/Norms.md:31 "the date ranges for a
+  // given assessment may not overlap"). Each order models a 30-day
+  // norms window per customer; the operator reports the offending
+  // pairs. Self-join on the entity key — fan-out bounded by
+  // versions-per-entity, no cartesian.
+  private val q41: Q = (s, d) => {
+    val intervals = T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("start_date"),
+        date_add(col("o_orderdate"), 30).as("end_date"))
+    Operators.overlappingIntervals(intervals, key = "o_custkey",
+        id = "o_orderkey", start = "start_date", end = "end_date")
+      .orderBy(col("o_custkey"), col("a_id"), col("b_id"))
+  }
+
+  private val q41Sql =
+    """WITH iv AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS start_date,
+      |              CAST(o_orderdate AS DATE) + 30 AS end_date FROM orders)
+      |SELECT a.o_custkey, a.o_orderkey AS a_id, b.o_orderkey AS b_id,
+      |  a.start_date AS a_start, a.end_date AS a_end,
+      |  b.start_date AS b_start, b.end_date AS b_end
+      |FROM iv a JOIN iv b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      | AND a.start_date <= b.end_date AND b.start_date <= a.end_date
+      |ORDER BY a.o_custkey, a_id, b_id""".stripMargin
+
+  // -- q42: audit change-log diff (old vs new values per change) -----------
+  // RDW audits exam/student modifications and documents querying
+  // who-changed-what with the old and new values (reference
+  // /root/reference/docs/Runbook.Audit.md:1-15). lag over the natural
+  // key's version order; rows where any tracked value changed survive
+  // with (old_, new_) pairs — the WHAT to q35's SCD-2 WHEN.
+  private val q42: Q = (s, d) =>
+    Operators.auditDiff(
+        T.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+        keys = Seq("o_custkey"),
+        versionCols = Seq("o_orderdate", "o_orderkey"),
+        tracked = Seq("o_totalprice", "o_orderstatus"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+
+  private val q42Sql =
+    """SELECT o_custkey, o_orderdate, o_orderkey,
+      |  old_o_totalprice, o_totalprice AS new_o_totalprice,
+      |  old_o_orderstatus, o_orderstatus AS new_o_orderstatus
+      |FROM (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice, o_orderstatus,
+      |    lag(o_totalprice) OVER w AS old_o_totalprice,
+      |    lag(o_orderstatus) OVER w AS old_o_orderstatus,
+      |    lag(1) OVER w AS has_prior
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |WHERE has_prior IS NOT NULL
+      |  AND (old_o_totalprice IS DISTINCT FROM o_totalprice
+      |       OR old_o_orderstatus IS DISTINCT FROM o_orderstatus)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // -- q43: student-group batch replace ------------------------------------
+  // A new group file REPLACES the whole membership — members absent
+  // from the new file are removed (reference
+  // /root/reference/docs/StudentGroups.md batch-replace semantics).
+  // Current membership and the incoming file are both modeled from
+  // customer; the query is the replace reconciliation report
+  // (added / removed / kept per member). Full-outer join on
+  // (group, member) — key-only payloads.
+  private val q43: Q = (s, d) => {
+    val c = T.customer(s, d)
+    val current = c.filter(col("c_acctbal") > 5000)
+      .select(col("c_mktsegment"), col("c_custkey"))
+    val incoming = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_mktsegment"), col("c_custkey"))
+    Operators.groupReplace(current, incoming, "c_mktsegment", "c_custkey")
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  private val q43Sql =
+    """WITH inc AS (SELECT c_mktsegment, c_custkey FROM customer WHERE c_custkey % 3 = 0),
+      |     cur AS (SELECT c_mktsegment, c_custkey FROM customer WHERE c_acctbal > 5000
+      |             AND c_mktsegment IN (SELECT c_mktsegment FROM inc))
+      |SELECT COALESCE(cur.c_mktsegment, inc.c_mktsegment) AS c_mktsegment,
+      |       COALESCE(cur.c_custkey, inc.c_custkey) AS c_custkey,
+      |       CASE WHEN cur.c_custkey IS NULL THEN 'added'
+      |            WHEN inc.c_custkey IS NULL THEN 'removed'
+      |            ELSE 'kept' END AS action
+      |FROM cur FULL OUTER JOIN inc
+      |  ON cur.c_mktsegment = inc.c_mktsegment AND cur.c_custkey = inc.c_custkey
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
+    "q42_audit_diff" -> q42, "q43_group_replace" -> q43) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -772,6 +907,8 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q40_soft_delete_migrate" -> q40Sql, "q41_norms_overlap" -> q41Sql,
+    "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(

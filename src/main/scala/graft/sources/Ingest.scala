@@ -62,6 +62,50 @@ object Ingest {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Tenant-partitioned mart write: a single engine instance hosts
+    * multiple tenants, each with partitioned data (reference
+    * /root/reference/docs/Runbook.MultiTenancy.md:17). The tenant
+    * column is the OUTERMOST partition directory, so every
+    * tenant-scoped query prunes to that tenant's files before any
+    * byte is read — the sharding story that makes one 100 TB mart
+    * serve many isolated tenants. Further partition columns (e.g.
+    * school year) nest inside the tenant directory.
+    */
+  def writeTenantPartitioned(df: DataFrame, path: String, tenantCol: String,
+                             partitionCols: Seq[String] = Nil): Unit =
+    writePartitioned(df, path, tenantCol +: partitionCols)
+
+  /** Tenant-scoped read over a tenant-partitioned mart: the equality
+    * filter on the partition column becomes a `PartitionFilters`
+    * entry in the scan (asserted in IngestSpec), i.e. directory-level
+    * pruning, not a post-read filter. Compose operators on top of
+    * this frame to make any query tenant-scoped.
+    */
+  def forTenant(spark: SparkSession, path: String, tenantCol: String,
+                tenant: String): DataFrame =
+    spark.read.parquet(path).filter(col(tenantCol) === tenant)
+
+  /** Strict-header CSV contract (RDW student-group import: the file
+    * must carry the exact documented header set, reference
+    * /root/reference/docs/StudentGroups.md:141). Fails fast with the
+    * missing/unexpected names — a wrong-shape file must be rejected
+    * before any row is parsed, not diverted row-by-row.
+    */
+  def readCsvStrictHeader(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame = {
+    val header = spark.read.option("header", "false").csv(path).limit(1)
+      .collect().headOption
+      .map(r => (0 until r.length).map(i => Option(r.getString(i)).getOrElse("")))
+      .getOrElse(Seq.empty)
+    val expected = schema.fieldNames.toSeq
+    if (header != expected) {
+      throw new IllegalArgumentException(
+        s"group file header mismatch: expected ${expected.mkString(",")}, " +
+          s"got ${header.mkString(",")}")
+    }
+    readCsv(spark, path, schema)
+  }
+
   /** Bucketed mart table: co-locates join keys at WRITE time so the
     * recurring fact⋈fact joins of the reporting layer run with no
     * shuffle at all — at 100 TB this converts every per-report join

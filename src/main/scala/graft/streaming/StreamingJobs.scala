@@ -33,12 +33,20 @@ object StreamingJobs {
         col("cnt"), col("sum_value"))
 
   /** Watermarked stream dedupe: first arrival per (user_id,
-    * event_type) wins; state for keys older than the watermark is
-    * dropped. */
+    * event_type) wins. `dropDuplicatesWithinWatermark` (not plain
+    * `dropDuplicates`) is what actually bounds the state: with the
+    * plain variant Spark only evicts dedup state when the event-time
+    * column is part of the duplicate keys — it isn't here — so state
+    * would grow with distinct keys forever. The within-watermark
+    * variant expires each key's state once the watermark passes its
+    * first-seen time + delay, which is the semantics a re-submission
+    * window needs (duplicates arrive close together; a re-submission
+    * 2 h later is a legitimate new version, handled by latest-wins
+    * downstream). */
   def dedupe(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates(Seq("user_id", "event_type"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
   /** Stream-stream interval join (click→purchase attribution): each
     * purchase matches same-user clicks at most 1 h before it. Both
@@ -97,7 +105,15 @@ object StreamingJobs {
         }
         if (st != null) {
           state.update(st)
-          state.setTimeoutTimestamp(st.last + gapMs)
+          // setTimeoutTimestamp throws if the requested time is not
+          // strictly after the current watermark — reachable here
+          // because flatMapGroupsWithState does NOT pre-drop late
+          // events, so a straggler with last + gap <= watermark would
+          // otherwise kill the query. Clamp: the session then times
+          // out on the next trigger, which is the correct semantics
+          // for an already-expired session.
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
         }
         closed.result().iterator
       }

@@ -56,6 +56,46 @@ class IngestSpec extends SparkSpec {
       col("o_orderkey") === col("l_orderkey")).groupBy("o_orderkey").count().count())
   }
 
+  test("tenant-partitioned mart: a tenant-scoped query prunes to that tenant's partitions") {
+    val out = Files.createTempDirectory("graft_tenants").toFile.getAbsolutePath + "/mart"
+    val df = Seq(
+      ("district_a", 1L, 2023, 10.0), ("district_a", 2L, 2024, 20.0),
+      ("district_b", 3L, 2023, 30.0), ("district_b", 4L, 2024, 40.0),
+      ("district_c", 5L, 2023, 50.0))
+      .toDF("tenant", "id", "year", "v")
+    Ingest.writeTenantPartitioned(df, out, "tenant", Seq("year"))
+    val scoped = Ingest.forTenant(spark, out, "tenant", "district_b")
+    assert(scoped.count() == 2)
+    assert(scoped.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    val plan = scoped.queryExecution.executedPlan.toString
+    // the tenant predicate must be a PartitionFilter on the scan
+    // (directory pruning), never a post-scan Filter over all tenants
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("tenant")), s"tenant filter not pushed to partitions:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(tenant"),
+      "tenant is a partition column, not a data column")
+    // nested pruning still works inside the tenant directory
+    val nested = scoped.filter(col("year") === 2024)
+    val nestedPf = nested.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(nestedPf.contains("tenant") && nestedPf.contains("year"))
+    assert(nested.count() == 1)
+  }
+
+  test("strict-header group CSV: exact header passes, wrong header is rejected before parsing") {
+    val dir = Files.createTempDirectory("graft_grp").toFile
+    val good = new java.io.File(dir, "good.csv")
+    Files.writeString(good.toPath, "id,score,name\n1,95.5,alice\n")
+    assert(Ingest.readCsvStrictHeader(spark, good.getAbsolutePath, schema)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    val bad = new java.io.File(dir, "bad.csv")
+    Files.writeString(bad.toPath, "id,name,score\n1,alice,95.5\n") // reordered
+    val e = intercept[IllegalArgumentException] {
+      Ingest.readCsvStrictHeader(spark, bad.getAbsolutePath, schema)
+    }
+    assert(e.getMessage.contains("header mismatch"))
+  }
+
   test("partitioned mart write round-trips and prunes partitions") {
     val out = Files.createTempDirectory("graft_mart").toFile.getAbsolutePath + "/mart"
     val df = Seq((1L, 2023, 10.0), (2L, 2023, 20.0), (3L, 2024, 30.0))

@@ -29,11 +29,11 @@ class MultimodalSpec extends SparkSpec {
         s"approx $approx too far from exact $exact")
     }
     val d34 = SparkEntry.queries("q34_approx_percentile")(spark, sfDir)
-      .select("approx_q", "exact_q").as[(Seq[Double], Seq[Double])].collect()
-    d34.foreach { case (approx, exact) =>
-      approx.zip(exact).foreach { case (a, e) =>
-        assert(math.abs(a - e) <= math.max(1.0, e * 0.05), s"approx $a vs exact $e")
-      }
+    Seq("p25", "p50", "p75", "p95").foreach { p =>
+      d34.select(s"approx_$p", s"exact_$p").as[(Double, Double)].collect()
+        .foreach { case (a, e) =>
+          assert(math.abs(a - e) <= math.max(1.0, e * 0.05), s"$p approx $a vs exact $e")
+        }
     }
   }
 }

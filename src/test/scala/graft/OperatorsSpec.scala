@@ -98,6 +98,85 @@ class OperatorsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("asOfJoin carries ALL payload columns from the SAME right row, including its genuine NULLs") {
+    // The most recent prior right row has rv1 = NULL: per-column
+    // last(ignoreNulls) would resurrect the older 100.0 for rv1 while
+    // taking rv2 from the newer row — mixing two right rows. The
+    // struct carry must deliver (NULL, 20.0) from the newest row.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "p1")).toDF("user_id", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(100.0), Some(10.0)),
+      (1L, ts("2024-01-01 11:00:00"), None, Some(20.0))
+    ).toDF("user_id", "rt", "rv1", "rv2")
+    val out = Operators.asOfJoin(left, right, "user_id", "t", "rt", Seq("rv1", "rv2"))
+      .select("asof_rv1", "asof_rv2").as[(Option[Double], Option[Double])].collect()
+    assert(out.toSeq == Seq((None, Some(20.0))))
+    val native = Operators.asOfJoinNative(left, right, "user_id", "t", "rt", Seq("rv1", "rv2"))
+      .select("asof_rv1", "asof_rv2").as[(Option[Double], Option[Double])].collect()
+    assert(native.toSeq == Seq((None, Some(20.0))))
+  }
+
+  test("migrateWithDeletes: tombstones remove keys, delete-then-reinsert resolves by recency") {
+    val current = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "v1", false),
+      (2L, ts("2024-01-01 00:00:00"), "v1", false),
+      (3L, ts("2024-01-01 00:00:00"), "v1", false)).toDF("k", "t", "v", "deleted")
+    val updates = Seq(
+      (1L, ts("2024-02-01 00:00:00"), "del", true),   // delete key 1
+      (2L, ts("2024-02-01 00:00:00"), "del", true),   // delete key 2 ...
+      (2L, ts("2024-03-01 00:00:00"), "v2", false),   // ... then reinsert: alive as v2
+      (3L, ts("2023-12-01 00:00:00"), "del", true)    // STALE delete: older than current → ignored
+    ).toDF("k", "t", "v", "deleted")
+    val out = Operators.migrateWithDeletes(current, updates,
+        Seq(col("k")), Seq(col("t").desc, col("v").desc))
+      .orderBy("k").select("k", "v").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((2L, "v2"), (3L, "v1")))
+  }
+
+  test("overlappingIntervals reports each overlapping pair once, per key") {
+    val df = Seq(
+      ("math", 1L, 10, 20),
+      ("math", 2L, 15, 25),   // overlaps 1
+      ("math", 3L, 21, 30),   // overlaps 2 (21<=25), NOT 1 (21>20)
+      ("ela", 4L, 10, 20),    // different key: no cross-key pair
+      ("ela", 5L, 30, 40)     // disjoint
+    ).toDF("assessment", "norms_id", "start_d", "end_d")
+    val out = Operators.overlappingIntervals(df, "assessment", "norms_id", "start_d", "end_d")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("auditDiff emits old/new pairs only for real modifications") {
+    val df = Seq(
+      (1L, 1, 100.0, "ok"),
+      (1L, 2, 100.0, "ok"),     // nothing changed → no row
+      (1L, 3, 150.0, "ok"),     // price changed
+      (1L, 4, 150.0, "flagged") // status changed
+    ).toDF("k", "ver", "price", "status")
+    val out = Operators.auditDiff(df, Seq("k"), Seq("ver"), Seq("price", "status"))
+      .orderBy("ver")
+      .select("ver", "old_price", "new_price", "old_status", "new_status")
+      .as[(Int, Option[Double], Double, String, String)].collect()
+    assert(out.toSeq == Seq(
+      (3, Some(100.0), 150.0, "ok", "ok"),
+      (4, Some(150.0), 150.0, "ok", "flagged")))
+  }
+
+  test("groupReplace classifies added/removed/kept and incoming file defines the survivors") {
+    val current = Seq(("g1", 1L), ("g1", 2L), ("g2", 5L)).toDF("grp", "member")
+    val incoming = Seq(("g1", 2L), ("g1", 3L)).toDF("grp", "member")
+    val out = Operators.groupReplace(current, incoming, "grp", "member")
+    val byAction = out.select("grp", "member", "action")
+      .as[(String, Long, String)].collect().toSet
+    // replace is per-group: g2 is absent from the incoming file, so it
+    // is untouched (not wiped, not reported)
+    assert(byAction == Set(
+      ("g1", 1L, "removed"), ("g1", 2L, "kept"), ("g1", 3L, "added")))
+    val survivors = out.filter(col("action") =!= "removed")
+      .select("grp", "member").as[(String, Long)].collect().toSet
+    assert(survivors == Set(("g1", 2L), ("g1", 3L)))
+  }
+
   test("migrate applies updates with latest-wins over the union") {
     val current = Seq((1L, ts("2024-01-01 00:00:00"), "v1"),
                       (2L, ts("2024-01-01 00:00:00"), "v1")).toDF("k", "t", "v")

@@ -1,0 +1,46 @@
+package graft
+
+/** Scale-shape assertions for the LLM-pipeline operators: the
+  * properties the round-1 verdict flagged as `weak` are pinned here —
+  * d07's quantizer blocking recalls most of d06's exact pairs, s02's
+  * candidate dedup moves ids (not embedding arrays) through its
+  * exchange, and the sampled KMeans fit stays deterministic.
+  */
+class PipelineScaleSpec extends SparkSpec {
+
+  test("d07 quantizer blocking recovers most of d06's exact near-dup pairs") {
+    val exact = SparkEntry.queries("d06_dedup_embedding")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = SparkEntry.queries("d07_dedup_embedding_ivf")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "d06 found no pairs at sf0.001 — recall undefined")
+    val recall = blocked.intersect(exact).size.toDouble / exact.size
+    info(s"d07 recall vs d06: $recall (${blocked.intersect(exact).size}/${exact.size})")
+    assert(recall >= 0.5,
+      s"cluster-blocked near-dup recall too low: $recall — quantizer not separating")
+    // every reported pair is a true near-dup (precision of the verify step)
+    val verified = SparkEntry.queries("d07_dedup_embedding_ivf")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("cosine") < 0.35).count()
+    assert(verified == 0)
+  }
+
+  test("s02 candidate dedup exchanges bare ids, never embedding arrays") {
+    val df = SparkEntry.queries("s02_ann_lsh")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val distinctAggs = plan.linesIterator
+      .filter(_.contains("HashAggregate(keys=")).toSeq
+    assert(distinctAggs.nonEmpty, s"expected a distinct HashAggregate in:\n$plan")
+    distinctAggs.foreach { l =>
+      assert(!l.contains("embedding") && !l.contains("q_vec"),
+        s"embedding payload must not pass through the dedupe exchange:\n$l")
+    }
+  }
+
+  test("sampled KMeans fit (s03/d07) is deterministic across runs") {
+    def run() = SparkEntry.queries("s03_ann_ivf")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(run() == run(), "seeded sample + seeded fit must reproduce identical output")
+  }
+}

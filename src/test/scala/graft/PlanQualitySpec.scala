@@ -76,4 +76,35 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q19_topk_per_group")
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
+
+  test("q40 soft-delete migrate is one window pass over the union (no join, no extra shuffle)") {
+    val p = plan("q40_soft_delete_migrate")
+    assert(p.contains("Window"), s"expected latest-wins window in:\n$p")
+    assert(!p.contains("Join"), s"migrate must not self-join:\n$p")
+  }
+
+  test("q41 interval overlap is an equi-join on the entity key, not a cartesian") {
+    val p = plan("q41_norms_overlap")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"overlap self-join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range predicates must ride the custkey equi-join, not a nested loop")
+  }
+
+  test("q42 audit diff is a single window pass (all lags share one sort)") {
+    val p = plan("q42_audit_diff")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), s"audit diff must not self-join:\n$p")
+    // one Window operator evaluates all three lag columns
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) +
+      p.linesIterator.count(_.trim.startsWith("Window")) <= 2,
+      s"expected one window pass in:\n$p")
+  }
+
+  test("d07 quantizer-blocked near-dup joins on the cluster id, not all-pairs") {
+    val p = plan("d07_dedup_embedding_ivf")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"blocked self-join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian pair explosion")
+  }
 }

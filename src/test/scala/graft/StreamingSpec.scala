@@ -122,4 +122,58 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "click"), (2L, "view")))
     assert(spark.table("t_dedup").count() == 2)
   }
+
+  test("dedupe state is evicted once the watermark passes (bounded state, key re-emits later)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.dedupe(ms.toDF())
+      .writeStream.format("memory").queryName("t_dedup_wm").outputMode("append").start()
+    try {
+      // duplicate inside the 2 h watermark window → deduped
+      ms.addData(Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(2, ts("2024-01-01 00:30:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the key's expiry, then re-send
+      // the SAME key: with dropDuplicatesWithinWatermark its state was
+      // evicted, so the re-submission is a NEW row (plain
+      // dropDuplicates would hold the state forever and swallow it)
+      ms.addData(Ev(3, ts("2024-01-02 00:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, ts("2024-01-02 00:00:01"), 1, "click", 3.0))
+      q.processAllAvailable()
+      val clicks = spark.table("t_dedup_wm")
+        .filter(col("user_id") === 1).select("event_id").as[Long].collect().toSet
+      assert(clicks == Set(1L, 4L),
+        s"expected eviction + re-emit for the late re-submission, got $clicks")
+    } finally q.stop()
+  }
+
+  test("sessionizeStream survives an event at-or-below the watermark (timeout clamp)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingJobs.EventRow
+    val ms = MemoryStream[EventRow]
+    val q = StreamingJobs.sessionizeStream(spark, ms.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("t_sess_late").outputMode("append").start()
+    try {
+      // push the watermark far ahead
+      ms.addData(EventRow(1, ts("2024-01-02 00:00:00"), 1.0))
+      q.processAllAvailable()
+      // straggler whose last + gap is far BELOW the watermark: without
+      // the clamp setTimeoutTimestamp throws and kills the query
+      ms.addData(EventRow(2, ts("2024-01-01 00:00:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark again to flush any admitted state
+      ms.addData(EventRow(3, ts("2024-01-03 00:00:00"), 3.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      // Spark 4.1 drops the below-watermark row before it reaches the
+      // state function, so the straggler produces no session; the
+      // clamp guards the remaining at-the-boundary case. The contract
+      // under test: a straggler NEVER kills the query.
+      val flushed = spark.table("t_sess_late")
+        .as[StreamingJobs.SessionOut].collect().filter(_.user_id == 2L)
+      assert(flushed.isEmpty || flushed.head.n_events == 1)
+    } finally q.stop()
+  }
 }
