@@ -21,14 +21,17 @@ object Multimodal {
                            width: Int, height: Int, brightness: Double)
 
   /** STUB decoder: byte-length arithmetic in place of image dims; mean
-    * of the first 256 bytes normalized to [0,1] as "brightness". */
+    * of the first 256 bytes normalized to [0,1] as "brightness".
+    * Unrounded: the raw IEEE double (int sum / take / 255, same op
+    * order as the DuckDB oracle) is bit-identical across engines,
+    * while a half-even rint diverges from SQL ROUND on ties. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
     val n = payload.length
     val take = math.min(n, 256)
     val brightness =
       if (take == 0) 0.0
       else payload.iterator.take(take).map(b => b & 0xff).sum.toDouble / take / 255.0
-    (n % 640, n * 7 % 480, math.rint(brightness * 10000) / 10000)
+    (n % 640, n * 7 % 480, brightness)
   }
 
   /** Per-partition feature extraction — one decoder instance per

@@ -263,6 +263,28 @@ object Operators {
         tracked.flatMap(c => Seq(col(s"old_$c"), col(c).as(s"new_$c"))): _*)
   }
 
+  /** Embargo / report-availability filter (RDW hides test results
+    * until a district's embargo is Released — reference
+    * /root/reference/docs/Runbook.ManualDataModifications.md:23-30,
+    * district_embargo status 0=Loading, 1=Reviewing, 2=Released;
+    * Runbook.md:275 "test results availability (embargo) settings").
+    * Facts left-join the (tiny, admin-curated) settings table and
+    * keep rows whose status is in `visibleStatuses`; facts with no
+    * embargo row fall back to `defaultVisible` — embargo is an
+    * opt-in restriction, absence means released.
+    *
+    * Scale: settings is an admin table (per district×year×subject) —
+    * always broadcast, so the visibility gate is a map-only pass over
+    * the fact table, never a shuffle.
+    */
+  def embargoFilter(facts: DataFrame, settings: DataFrame, keys: Seq[String],
+                    statusCol: String, visibleStatuses: Seq[Int],
+                    defaultVisible: Boolean = true): DataFrame =
+    facts.join(broadcast(settings), keys, "left_outer")
+      .filter(when(col(statusCol).isNull, lit(defaultVisible))
+        .otherwise(col(statusCol).isin(visibleStatuses: _*)))
+      .drop(statusCol)
+
   /** Student-group batch replace (RDW group import: a new group file
     * REPLACES the whole membership — members absent from the new file
     * are removed, reference /root/reference/docs/StudentGroups.md —

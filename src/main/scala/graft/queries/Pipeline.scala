@@ -548,7 +548,11 @@ object Pipeline {
       |  CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // -- m02: typed mapPartitions decode (rows-only; decode is stubbed) ------
+  // -- m02: typed mapPartitions decode (decode is stubbed) -----------------
+  // The stub decode is deterministic byte arithmetic, so even the
+  // mapPartitions path gets a FULL DuckDB oracle: the oracle re-derives
+  // each payload byte from hex() pairs (DuckDB can't subscript BLOBs)
+  // and replays the same IEEE division order for the brightness mean.
   private val m02: Q = (s, d) => {
     import s.implicits._
     import graft.operators.Multimodal
@@ -557,6 +561,24 @@ object Pipeline {
       .as[Multimodal.MediaRecord]
     Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
   }
+
+  private val m02Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source, octet_length(encode(text)) AS n,
+      |    hex(encode(text)) AS hx
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, source, n,
+      |    list_transform(generate_series(0, least(n, 256) - 1),
+      |      i -> 16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1)
+      |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1)) AS bytes
+      |  FROM h)
+      |SELECT doc_id, source, CAST(n AS INTEGER) AS n_bytes,
+      |  CAST(n % 640 AS INTEGER) AS width,
+      |  CAST(n * 7 % 480 AS INTEGER) AS height,
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE CAST(list_sum(bytes) AS DOUBLE) / least(n, 256) / 255.0 END AS brightness
+      |FROM b ORDER BY doc_id""".stripMargin
 
   // -- m03: frame sampling over a video-shaped binary column ---------------
   // The frame-sample shape of a real video pipeline: each payload
@@ -670,7 +692,8 @@ object Pipeline {
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
     "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,
-    "m01_binary_meta" -> m01Sql, "m03_frame_sample" -> m03Sql,
+    "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
+    "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql)
 }

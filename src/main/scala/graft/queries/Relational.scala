@@ -887,10 +887,35 @@ object Relational {
       |  ON cur.c_mktsegment = inc.c_mktsegment AND cur.c_custkey = inc.c_custkey
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  // -- q44: embargo / report-availability gate -----------------------------
+  // Results are visible only once their embargo is Released (status 2)
+  // — reference /root/reference/docs/Runbook.ManualDataModifications.md
+  // :23-30. Settings are derived per school year here (year % 3 plays
+  // the admin-set status); the engine path exercises the broadcast
+  // left-join + visibility gate, the oracle states the released set
+  // directly.
+  private val q44: Q = (s, d) => {
+    val o = T.orders(s, d).withColumn("school_year", year(col("o_orderdate")))
+    val settings = o.select(col("school_year")).distinct()
+      .withColumn("embargo", pmod(col("school_year"), lit(3)))
+    Operators.embargoFilter(o, settings, Seq("school_year"), "embargo",
+        visibleStatuses = Seq(2))
+      .groupBy(col("school_year"))
+      .agg(count(lit(1)).as("visible_results"))
+      .orderBy(col("school_year"))
+  }
+
+  private val q44Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS school_year,
+      |  COUNT(*) AS visible_results
+      |FROM orders WHERE year(o_orderdate) % 3 = 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
-    "q42_audit_diff" -> q42, "q43_group_replace" -> q43) ++ Map(
+    "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
+    "q44_embargo_gate" -> q44) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -909,6 +934,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q40_soft_delete_migrate" -> q40Sql, "q41_norms_overlap" -> q41Sql,
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
+    "q44_embargo_gate" -> q44Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(

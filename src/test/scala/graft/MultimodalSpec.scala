@@ -16,8 +16,9 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
     assert(out(0).n_bytes == 3)
     assert(out(0).width == 3 && out(0).height == 21)
-    // brightness of "abc" = mean(97,98,99)/255 = 98/255 rounded to 4dp
-    assert(out(0).brightness == math.rint(98.0 / 255.0 * 10000) / 10000)
+    // brightness of "abc" = mean(97,98,99)/255 = 98/255 (raw double,
+    // same IEEE op order as the DuckDB oracle)
+    assert(out(0).brightness == 294.0 / 3 / 255.0)
     assert(out(1).n_bytes == 0 && out(1).brightness == 0.0)
   }
 
