@@ -67,6 +67,82 @@ object StreamingJobs {
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
 
+  /** Streaming migrate: keeps a latest-state mart continuously up to
+    * date with a change stream — RDW's Migrate Reporting Service
+    * ("watches the data warehouse for changes and copies any changes
+    * … within a few minutes", reference
+    * /root/reference/docs/Architecture.md "Migrate Reporting
+    * Service"). Each micro-batch merges into the mart via
+    * [[graft.operators.Operators.migrateWithDeletes]] (latest-wins
+    * across upserts AND tombstones) and publishes a NEW snapshot
+    * directory `v_<batchId>`, then atomically swaps the `_LATEST`
+    * pointer file. Snapshot-versioning rather than in-place
+    * overwrite: Spark (correctly) refuses to overwrite a path it is
+    * reading, a failed publish leaves the previous snapshot live, and
+    * old snapshots give time travel for free — the same commit model
+    * table formats use. Batch replays after a restart rewrite the
+    * same `v_<batchId>` directory, so the publish is idempotent.
+    *
+    * Scale: the merge is one shuffle on the natural key per batch;
+    * the snapshot write is the same partitioned layout as any mart
+    * write. At warehouse scale the mart would be key-partitioned so
+    * only touched partitions rewrite; here the full-snapshot write
+    * keeps the commit model exact.
+    */
+  def migrateStream(updates: DataFrame, martRoot: String,
+                    keys: Seq[String], versionCol: String, tieBreakCol: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val ordering = Seq(col(versionCol).desc, col(tieBreakCol).desc)
+        val merged = readMartLatest(sp, martRoot) match {
+          case Some(current) =>
+            // the published mart carries only survivors (the deleted
+            // column is dropped at merge time) — every mart row is
+            // alive, so it re-enters the merge with deleted = false
+            graft.operators.Operators.migrateWithDeletes(
+              current.withColumn("deleted", lit(false)),
+              batch.toDF(), keys.map(col), ordering)
+          case None =>
+            graft.operators.Operators.migrateWithDeletes(
+              batch.toDF().limit(0), batch.toDF(), keys.map(col), ordering)
+        }
+        val snapshot = s"$martRoot/v_$batchId"
+        merged.write.mode("overwrite").parquet(snapshot)
+        publishLatest(sp, martRoot, s"v_$batchId")
+        ()
+      }
+      .start()
+
+  /** Read the current mart snapshot via the `_LATEST` pointer. */
+  def readMartLatest(spark: SparkSession, martRoot: String): Option[DataFrame] = {
+    val fs = fileSystem(spark, martRoot)
+    val ptr = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val name = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      Some(spark.read.parquet(s"$martRoot/$name"))
+    }
+  }
+
+  private def publishLatest(spark: SparkSession, martRoot: String, name: String): Unit = {
+    val fs = fileSystem(spark, martRoot)
+    val tmp = new org.apache.hadoop.fs.Path(martRoot, s"_LATEST.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"failed to publish mart snapshot $name")
+  }
+
+  private def fileSystem(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   case class EventRow(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -109,6 +109,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(r => (r._2, r._3)) == Seq((201L, 101L), (201L, 102L), (203L, 103L)))
   }
 
+  test("migrateStream keeps the mart current across batches (upserts, tombstones, snapshots)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_stream").toString + "/mart"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mart_ckpt").toString
+    case class Change(k: Long, ver: Long, v: String, deleted: Boolean)
+    val ms = MemoryStream[(Long, Long, String, Boolean)]
+    val q = StreamingJobs.migrateStream(
+      ms.toDF().toDF("k", "ver", "v", "deleted"),
+      root, keys = Seq("k"), versionCol = "ver", tieBreakCol = "v", checkpoint = ckpt)
+    try {
+      // batch 0: initial load
+      ms.addData((1L, 1L, "a1", false), (2L, 1L, "b1", false))
+      q.processAllAvailable()
+      def mart() = StreamingJobs.readMartLatest(spark, root).get
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(mart() == Set((1L, "a1"), (2L, "b1")))
+      // batch 1: re-submit key 1, tombstone key 2, insert key 3
+      ms.addData((1L, 2L, "a2", false), (2L, 2L, "b-del", true), (3L, 1L, "c1", false))
+      q.processAllAvailable()
+      assert(mart() == Set((1L, "a2"), (3L, "c1")))
+      // prior snapshot still readable (time travel), pointer moved on
+      assert(spark.read.parquet(s"$root/v_0").count() == 2)
+    } finally q.stop()
+  }
+
   test("dedupe keeps one row per (user_id, event_type)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
