@@ -631,14 +631,15 @@ object Relational {
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, 0.25, 10000)").as("approx_p25"),
-        expr("approx_percentile(l_quantity, 0.50, 10000)").as("approx_p50"),
-        expr("approx_percentile(l_quantity, 0.75, 10000)").as("approx_p75"),
-        expr("approx_percentile(l_quantity, 0.95, 10000)").as("approx_p95"),
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("exact_p25"),
-        round(expr("percentile(l_quantity, 0.50)"), 4).as("exact_p50"),
-        round(expr("percentile(l_quantity, 0.75)"), 4).as("exact_p75"),
-        round(expr("percentile(l_quantity, 0.95)"), 4).as("exact_p95"))
+        // ONE sketch / one exact pass for all four taus (the array
+        // form shares the digest); scalars are extracted afterwards
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)").as("aq"),
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("eq"))
+      .select(Seq(col("l_returnflag")) ++
+        Seq("25" -> 1, "50" -> 2, "75" -> 3, "95" -> 4).map { case (p, i) =>
+          element_at(col("aq"), i).as(s"approx_p$p") } ++
+        Seq("25" -> 1, "50" -> 2, "75" -> 3, "95" -> 4).map { case (p, i) =>
+          round(element_at(col("eq"), i), 4).as(s"exact_p$p") }: _*)
       .orderBy(col("l_returnflag"))
 
   // -- q35: SCD-2 history build (validity intervals via lead) --------------

@@ -62,6 +62,45 @@ object Ingest {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** XML exam-result ingest (TDSReport/TRT payloads — reference
+    * /root/reference/docs/API.md:415 `"<TDSReport><Test..."`, one XML
+    * document per submission, archived as individual files). Read
+    * with `wholetext` (one row per file, matching the archive layout)
+    * and projected with Spark's BUILT-IN xpath expressions — map-only,
+    * codegen-adjacent, no external XML library. `xpath(...)[0]` (not
+    * `xpath_string`) so a missing node yields a genuine NULL rather
+    * than an empty string / 0 — [[requiredSplit]] then applies the
+    * same divert-don't-fail contract as the CSV/JSON readers.
+    *
+    * Scale: each submission is independent, so this parallelizes per
+    * file with zero shuffles; at warehouse scale the archive is
+    * compacted into larger containers but the per-record xpath
+    * projection is unchanged.
+    */
+  def readExamXml(spark: SparkSession, path: String): DataFrame = {
+    // try_element_at: a missing node gives NULL (ANSI element_at throws)
+    def attr(xp: String) = expr(s"try_element_at(xpath(value, '$xp'), 1)")
+    spark.read.option("wholetext", "true").text(path)
+      .select(
+        attr("/TDSReport/Test/@name").as("test_name"),
+        attr("/TDSReport/Test/@subject").as("subject"),
+        attr("/TDSReport/Test/@grade").as("grade"),
+        attr("/TDSReport/Examinee/@key").cast("long").as("student_key"),
+        attr("/TDSReport/Opportunity/@key").as("opportunity_key"),
+        attr("/TDSReport/Opportunity/@status").as("status"),
+        attr("/TDSReport/Opportunity/Score[@measureOf=\"Overall\"]/@value")
+          .cast("double").as("scale_score"),
+        attr("/TDSReport/Opportunity/@dateCompleted").cast("timestamp").as("date_completed"))
+  }
+
+  /** Rule-based required-field fork for sources without a parser
+    * corrupt-record channel (XML): rows missing any required field are
+    * diverted, mirroring [[validationSplit]]. */
+  def requiredSplit(df: DataFrame, required: Seq[String]): (DataFrame, DataFrame) = {
+    val bad = required.map(col(_).isNull).reduce(_ || _)
+    (df.filter(!bad), df.filter(bad))
+  }
+
   /** Tenant-partitioned mart write: a single engine instance hosts
     * multiple tenants, each with partitioned data (reference
     * /root/reference/docs/Runbook.MultiTenancy.md:17). The tenant

@@ -56,6 +56,34 @@ class IngestSpec extends SparkSpec {
       col("o_orderkey") === col("l_orderkey")).groupBy("o_orderkey").count().count())
   }
 
+  test("XML exam ingest (TDSReport): xpath projection + required-field divert") {
+    val dir = Files.createTempDirectory("graft_xml").toFile
+    Files.writeString(new java.io.File(dir, "exam1.xml").toPath,
+      """<TDSReport>
+        |  <Test name="SBAC-ICA-G7M" subject="MATH" grade="07"/>
+        |  <Examinee key="12345"/>
+        |  <Opportunity key="opp-1" status="completed" dateCompleted="2024-03-01 10:00:00">
+        |    <Score measureOf="Overall" value="2551.5"/>
+        |  </Opportunity>
+        |</TDSReport>
+        |""".stripMargin)
+    Files.writeString(new java.io.File(dir, "exam2.xml").toPath,
+      """<TDSReport>
+        |  <Test name="SBAC-ICA-G7E" subject="ELA" grade="07"/>
+        |  <Opportunity key="opp-2" status="appeal"/>
+        |</TDSReport>
+        |""".stripMargin) // no Examinee key → required-field divert
+    val parsed = Ingest.readExamXml(spark, dir.getAbsolutePath)
+    val (valid, rejected) = Ingest.requiredSplit(parsed,
+      Seq("test_name", "student_key", "opportunity_key"))
+    val v = valid.as[(String, String, String, Long, String, String, Double, java.sql.Timestamp)]
+      .collect()
+    assert(v.length == 1)
+    assert(v.head._1 == "SBAC-ICA-G7M" && v.head._4 == 12345L && v.head._7 == 2551.5)
+    assert(rejected.count() == 1)
+    assert(rejected.select("test_name").as[String].head() == "SBAC-ICA-G7E")
+  }
+
   test("tenant-partitioned mart: a tenant-scoped query prunes to that tenant's partitions") {
     val out = Files.createTempDirectory("graft_tenants").toFile.getAbsolutePath + "/mart"
     val df = Seq(
