@@ -133,18 +133,19 @@ object Pipeline {
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = banded.as("a")
+    // est_jaccard is computed BEFORE the pair dedupe so the distinct
+    // exchange moves three scalars per candidate, not two 32-long
+    // signature arrays (same fix as s02's id-only dedupe: at corpus
+    // scale the network dominates the recomputed fold).
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
-      .distinct()
-    cand.withColumn("est_jaccard",
-        round(aggregate(zip_with(col("sa"), col("sb"),
+        round(aggregate(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, x) => acc + x).cast(DoubleType) / numPerms, 4))
-      .select("a_id", "b_id", "est_jaccard")
+          (acc, x) => acc + x).cast(DoubleType) / numPerms, 4).as("est_jaccard"))
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
