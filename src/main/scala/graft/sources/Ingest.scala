@@ -66,31 +66,62 @@ object Ingest {
     * /root/reference/docs/API.md:415 `"<TDSReport><Test..."`, one XML
     * document per submission, archived as individual files). Read
     * with `wholetext` (one row per file, matching the archive layout)
-    * and projected with Spark's BUILT-IN xpath expressions — map-only,
-    * codegen-adjacent, no external XML library. `xpath(...)[0]` (not
-    * `xpath_string`) so a missing node yields a genuine NULL rather
-    * than an empty string / 0 — [[requiredSplit]] then applies the
-    * same divert-don't-fail contract as the CSV/JSON readers.
+    * and parsed with Spark 4's BUILT-IN `from_xml` in PERMISSIVE mode
+    * — unparseable payloads land in [[CorruptCol]] (same
+    * [[validationSplit]] contract as CSV/JSON; Spark's `xpath`
+    * expressions were rejected for this: they THROW on a malformed
+    * document, which turns one bad submission into a dead job), and
+    * missing required fields are genuine NULLs for [[requiredSplit]].
     *
     * Scale: each submission is independent, so this parallelizes per
     * file with zero shuffles; at warehouse scale the archive is
-    * compacted into larger containers but the per-record xpath
-    * projection is unchanged.
+    * compacted into larger containers but the per-record projection
+    * is unchanged.
     */
-  def readExamXml(spark: SparkSession, path: String): DataFrame = {
-    // try_element_at: a missing node gives NULL (ANSI element_at throws)
-    def attr(xp: String) = expr(s"try_element_at(xpath(value, '$xp'), 1)")
-    spark.read.option("wholetext", "true").text(path)
+  def readExamXml(spark: SparkSession, path: String): DataFrame =
+    parseExamXml(spark.read.option("wholetext", "true").text(path))
+
+  /** Pre-ingest transform pipeline (reference
+    * /root/reference/docs/Runbook.Pipeline.md "Purpose of the
+    * Pipeline": admin-managed scripts that fix formatting
+    * idiosyncrasies of third-party submissions BEFORE the normal
+    * ingestion parse). The reference runs sandboxed Groovy; here each
+    * stage is a declarative Column→Column transform over the raw
+    * payload — composed left-to-right, fully codegen'd, map-only, and
+    * redeployable without touching the parser, which is the property
+    * the Pipeline exists for.
+    */
+  def preprocess(raw: DataFrame, payloadCol: String,
+                 stages: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame =
+    raw.withColumn(payloadCol, stages.foldLeft(col(payloadCol))((c, f) => f(c)))
+
+  /** `from_xml` projection of TDSReport payloads in a `value` column —
+    * split from [[readExamXml]] so a [[preprocess]] pipeline can run
+    * between read and parse. */
+  def parseExamXml(raw: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType.fromDDL(
+      "Test struct<_name:string,_subject:string,_grade:string>, " +
+        "Examinee struct<_key:bigint>, " +
+        "Opportunity struct<_key:string,_status:string,_dateCompleted:timestamp," +
+        "Score:struct<_measureOf:string,_value:double>>, " +
+        s"$CorruptCol string")
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol,
+      "timestampFormat" -> "yyyy-MM-dd HH:mm:ss").asJava
+    raw
+      .select(from_xml(col("value"), schema, opts).as("x"))
       .select(
-        attr("/TDSReport/Test/@name").as("test_name"),
-        attr("/TDSReport/Test/@subject").as("subject"),
-        attr("/TDSReport/Test/@grade").as("grade"),
-        attr("/TDSReport/Examinee/@key").cast("long").as("student_key"),
-        attr("/TDSReport/Opportunity/@key").as("opportunity_key"),
-        attr("/TDSReport/Opportunity/@status").as("status"),
-        attr("/TDSReport/Opportunity/Score[@measureOf=\"Overall\"]/@value")
-          .cast("double").as("scale_score"),
-        attr("/TDSReport/Opportunity/@dateCompleted").cast("timestamp").as("date_completed"))
+        col("x.Test._name").as("test_name"),
+        col("x.Test._subject").as("subject"),
+        col("x.Test._grade").as("grade"),
+        col("x.Examinee._key").as("student_key"),
+        col("x.Opportunity._key").as("opportunity_key"),
+        col("x.Opportunity._status").as("status"),
+        col("x.Opportunity.Score._value").as("scale_score"),
+        col("x.Opportunity._dateCompleted").as("date_completed"),
+        col(s"x.$CorruptCol").as(CorruptCol))
   }
 
   /** Rule-based required-field fork for sources without a parser

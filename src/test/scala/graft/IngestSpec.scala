@@ -56,7 +56,7 @@ class IngestSpec extends SparkSpec {
       col("o_orderkey") === col("l_orderkey")).groupBy("o_orderkey").count().count())
   }
 
-  test("XML exam ingest (TDSReport): xpath projection + required-field divert") {
+  test("XML exam ingest (TDSReport): permissive parse, corrupt + required-field diverts") {
     val dir = Files.createTempDirectory("graft_xml").toFile
     Files.writeString(new java.io.File(dir, "exam1.xml").toPath,
       """<TDSReport>
@@ -73,15 +73,42 @@ class IngestSpec extends SparkSpec {
         |  <Opportunity key="opp-2" status="appeal"/>
         |</TDSReport>
         |""".stripMargin) // no Examinee key → required-field divert
+    Files.writeString(new java.io.File(dir, "exam3.xml").toPath,
+      "this is not an XML document <<<\n") // unparseable → corrupt divert, job survives
     val parsed = Ingest.readExamXml(spark, dir.getAbsolutePath)
-    val (valid, rejected) = Ingest.requiredSplit(parsed,
+    val (wellFormed, corrupt) = Ingest.validationSplit(parsed)
+    assert(corrupt.count() == 1)
+    val (valid, diverted) = Ingest.requiredSplit(wellFormed,
       Seq("test_name", "student_key", "opportunity_key"))
-    val v = valid.as[(String, String, String, Long, String, String, Double, java.sql.Timestamp)]
-      .collect()
+    val v = valid
+      .select("test_name", "student_key", "scale_score", "date_completed")
+      .as[(String, Long, Double, java.sql.Timestamp)].collect()
     assert(v.length == 1)
-    assert(v.head._1 == "SBAC-ICA-G7M" && v.head._4 == 12345L && v.head._7 == 2551.5)
-    assert(rejected.count() == 1)
-    assert(rejected.select("test_name").as[String].head() == "SBAC-ICA-G7E")
+    assert(v.head._1 == "SBAC-ICA-G7M" && v.head._2 == 12345L && v.head._3 == 2551.5)
+    assert(v.head._4 == java.sql.Timestamp.valueOf("2024-03-01 10:00:00"))
+    assert(diverted.count() == 1)
+    assert(diverted.select("test_name").as[String].head() == "SBAC-ICA-G7E")
+  }
+
+  test("pre-ingest transform pipeline fixes third-party quirks before the parse") {
+    // a submission with two formatting idiosyncrasies: a UTF-8 BOM and
+    // a legacy attribute name (studentKey instead of key)
+    val raw = Seq(
+      "﻿<TDSReport><Test name=\"T1\" subject=\"MATH\" grade=\"07\"/>" +
+        "<Examinee studentKey=\"77\"/><Opportunity key=\"o1\" status=\"completed\"/></TDSReport>")
+      .toDF("value")
+    // unparsed, the Examinee key is missing → diverted
+    assert(Ingest.requiredSplit(Ingest.parseExamXml(raw),
+      Seq("student_key"))._2.count() == 1)
+    // two pipeline stages (strip BOM, rename the legacy attribute)
+    // repair the payload without touching the parser
+    val fixed = Ingest.preprocess(raw, "value", Seq(
+      c => regexp_replace(c, "^﻿", ""),
+      c => regexp_replace(c, "studentKey=", "key=")))
+    val (valid, rejected) = Ingest.requiredSplit(Ingest.parseExamXml(fixed),
+      Seq("test_name", "student_key", "opportunity_key"))
+    assert(rejected.count() == 0)
+    assert(valid.select("student_key").as[Long].head() == 77L)
   }
 
   test("tenant-partitioned mart: a tenant-scoped query prunes to that tenant's partitions") {
