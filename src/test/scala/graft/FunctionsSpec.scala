@@ -65,6 +65,22 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("cosine edge contract matches DuckDB: length mismatch raises, zero-norm = -1, bad types rejected") {
+    val mismatched = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      mismatched.select(VF.cosine(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("dimensions must be equal") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimensions must be equal")))
+    val zero = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(zero.select(VF.cosine(col("a"), col("b")).as("c")).as[Double].head() == -1.0)
+    // non-numeric arrays fail at ANALYSIS time, not mid-job
+    val strings = Seq((Seq("x"), Seq("y"))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      strings.select(VF.cosine(col("a"), col("b"))).collect()
+    }
+  }
+
   test("native cosine is bit-equal to the HOF formulation and handles double arrays") {
     import org.apache.spark.sql.types.DoubleType
     val df = Seq((Seq(0.1f, -2.3f, 4.5f, 0.007f), Seq(3.3f, 0.0f, -1.25f, 9.9f)))

@@ -39,8 +39,11 @@ class PipelineScaleSpec extends SparkSpec {
   }
 
   test("sampled KMeans fit (s03/d07) is deterministic across runs") {
-    def run() = SparkEntry.queries("s03_ann_ivf")(spark, sfDir)
-      .collect().map(_.toString).toSeq
-    assert(run() == run(), "seeded sample + seeded fit must reproduce identical output")
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { d =>
+      def run() = SparkEntry.queries("s03_ann_ivf")(spark, d)
+        .collect().map(_.toString).toSeq
+      assert(run() == run(),
+        s"seeded sample + seeded fit must reproduce identical output at $d")
+    }
   }
 }

@@ -109,6 +109,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(r => (r._2, r._3)) == Seq((201L, 101L), (201L, 102L), (203L, 103L)))
   }
 
+  test("tumblingAgg runs from a parquet file source (deployment topology, not just MemoryStream)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
+    val src = s"$dir/events"
+    rows.toDF().write.parquet(src)
+    val stream = spark.readStream
+      .schema(rows.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = StreamingJobs.tumblingAgg(stream)
+      .writeStream.format("memory").queryName("t_file_agg").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_file_agg")
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    val batch = StreamingJobs.tumblingAgg(rows.toDF())
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(streamed == batch && streamed.size == 3)
+  }
+
   test("migrateStream keeps the mart current across batches (upserts, tombstones, snapshots)") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_mart_stream").toString + "/mart"
