@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens, WinnowFingerprint}
+import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, NearestClusters, SimHashTokens, WinnowFingerprint}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -31,4 +31,11 @@ object GraftColumns {
     * [[WinnowFingerprint]]). */
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     SqlBridge.column(WinnowFingerprint(SqlBridge.expression(text), k, w))
+
+  /** Indices of the k nearest centroids by cosine, one tight loop per
+    * row (see [[NearestClusters]]). Centroids are driver-side
+    * (quantizer output), held as a plain matrix, not per-row
+    * re-evaluated literals. */
+  def nearestClusters(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
+    SqlBridge.column(NearestClusters(SqlBridge.expression(vec), centroids, k))
 }

