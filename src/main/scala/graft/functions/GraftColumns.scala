@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, NearestClusters, SimHashTokens, WinnowFingerprint}
+import graft.functions.expressions.{CharShingles, CosineSimilarity, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, WinnowFingerprint}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -38,4 +38,9 @@ object GraftColumns {
     * re-evaluated literals. */
   def nearestClusters(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
     SqlBridge.column(NearestClusters(SqlBridge.expression(vec), centroids, k))
+
+  /** 64-bit-max hyperplane LSH signature against a precomputed plane
+    * matrix, one tight loop per row (see [[HyperplaneSignature]]). */
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    SqlBridge.column(HyperplaneSignature(SqlBridge.expression(vec), planes))
 }

@@ -33,8 +33,20 @@ object VectorFunctions {
     * derived from xxhash64(j, i) scaled to [-1, 1). The signature is
     * the integer whose bit j is sign(v · plane_j). Fully deterministic
     * and reproducible across runs and engines — no RNG state.
+    *
+    * The plane matrix is materialized ONCE driver-side (same xxhash64
+    * chain Spark's expression evaluates — parity spec-asserted against
+    * [[hyperplaneSignatureHof]]) and signing runs through the native
+    * [[graft.functions.expressions.HyperplaneSignature]] loop; the HOF
+    * formulation re-hashed numBits × dim times per ROW, interpreted.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, numBits: Int, seed: Int = 0): Column = {
+  def hyperplaneSignature(vec: Column, dim: Int, numBits: Int, seed: Int = 0): Column =
+    GraftColumns.hyperplaneSignature(vec,
+      Array.tabulate(numBits, dim)((j, i) => hashToUnitScala(seed + j, i)))
+
+  /** HOF reference formulation of [[hyperplaneSignature]] — kept as
+    * the parity oracle for the native expression. */
+  def hyperplaneSignatureHof(vec: Column, dim: Int, numBits: Int, seed: Int = 0): Column = {
     val bits = (0 until numBits).map { j =>
       // dot(vec, plane_j) where plane_j[i] = hashToUnit(seed + j, i)
       val contrib = aggregate(
@@ -49,4 +61,14 @@ object VectorFunctions {
   /** Deterministic pseudo-random double in [-1, 1) from two ints. */
   private def hashToUnit(a: Column, b: Column): Column =
     (pmod(xxhash64(a, b), lit(1000003L)).cast(DoubleType) / lit(500001.5)) - lit(1.0)
+
+  /** Driver-side replica of [[hashToUnit]]: Spark's xxhash64(a, b)
+    * chains XxHash64Function over the operands starting from seed 42. */
+  private def hashToUnitScala(a: Int, b: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    val h1 = XxHash64Function.hash(a, IntegerType, 42L)
+    val h2 = XxHash64Function.hash(b, IntegerType, h1)
+    (java.lang.Math.floorMod(h2, 1000003L).toDouble / 500001.5) - 1.0
+  }
 }

@@ -65,6 +65,21 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native hyperplaneSignature is bit-exact with the HOF formulation") {
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    val df = Seq.tabulate(40)(_ => Seq.fill(dim)(rnd.nextGaussian().toFloat)).toDF("v")
+    Seq(0, 1000, 3000).foreach { seed =>
+      val rows = df.select(
+        VF.hyperplaneSignature(col("v"), dim, 6, seed).as("native"),
+        VF.hyperplaneSignatureHof(col("v"), dim, 6, seed).as("ref"))
+        .as[(Long, Long)].collect()
+      rows.foreach { case (n, r) =>
+        assert(n == r, s"seed $seed: native $n != hof $r — plane replication drifted")
+      }
+    }
+  }
+
   test("nearestClusters matches the array_sort HOF formulation, including ties") {
     import graft.functions.GraftColumns
     val rnd = new scala.util.Random(11)
