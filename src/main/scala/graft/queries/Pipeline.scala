@@ -216,7 +216,13 @@ object Pipeline {
     val emb = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
+    // random init, not kmeans||: the parallel init is itself iterative
+    // (k·initSteps distributed passes) and dominates the fit once k
+    // scales as √n; for coarse quantization (blocking / probe lists)
+    // random-init quality is equivalent after a few Lloyd iterations —
+    // recall is spec-gated either way (PipelineScaleSpec).
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(emb.sample(withReplacement = false, fraction = 0.5, seed = 42))
     val assigned = model.transform(emb)
