@@ -118,6 +118,73 @@ object Pipeline {
       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
       |ORDER BY a_id, b_id""".stripMargin
 
+  // -- d08: winnowed-fingerprint Jaccard near-dup pairs --------------------
+  // d03 over a WINNOWED index (t06's MOSS-style fingerprints: k=8 gram
+  // rolling hash, w=4 window minima) instead of every shingle — the
+  // standard industrial mitigation when the full inverted index is too
+  // large: ~2/(w+1) of the positions survive winnowing, guaranteed to
+  // include each window's minimum, so containment still surfaces.
+  // Same df-pruned equi-join shape as d03; jaccard is over fingerprint
+  // sets (an estimate of shingle jaccard). Fully oracle-exact: the
+  // DuckDB SQL replays the identical hash family and winnow.
+  private val d08: Q = (s, d) => {
+    val maxDf = 100
+    val fp = docsSpread(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftColumns.winnowFingerprint(col("text"), 8, 4)).as("h"))
+    val pruned = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= maxDf).drop("df")
+      .persist()
+    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast(DoubleType) /
+      (col("na") + col("nb") - col("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "sa_id").withColumnRenamed("n", "na"),
+        col("a_id") === col("sa_id"))
+      .join(sizes.withColumnRenamed("doc_id", "sb_id").withColumnRenamed("n", "nb"),
+        col("b_id") === col("sb_id"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.3)
+      .select("a_id", "b_id", "shared", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val d08Sql =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+      |  FROM documents WHERE length(text) >= 8),
+      |h AS (
+      |  SELECT doc_id, i,
+      |    list_reduce(list_transform(generate_series(0, 7),
+      |      j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) AS hv
+      |  FROM pos),
+      |wnd AS (
+      |  SELECT doc_id, i,
+      |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+      |    count(*) OVER (PARTITION BY doc_id) AS ng
+      |  FROM h),
+      |fp AS (SELECT DISTINCT doc_id, sel FROM wnd WHERE i <= ng - 3),
+      |pr AS (SELECT doc_id, sel FROM (
+      |  SELECT doc_id, sel, COUNT(*) OVER (PARTITION BY sel) AS df FROM fp)
+      |  WHERE df <= 100),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM pr GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      |  FROM pr a JOIN pr b ON a.sel = b.sel AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, shared,
+      |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+      |FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
+      |ORDER BY a_id, b_id""".stripMargin
+
   // -- d04: MinHash + LSH band bucketing (rows-only) -----------------------
   private val d04: Q = (s, d) => {
     val numPerms = 32; val bands = 8; val rowsPerBand = 4
@@ -680,7 +747,7 @@ object Pipeline {
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
     "d05_dedup_simhash" -> d05, "d06_dedup_embedding" -> d06,
-    "d07_dedup_embedding_ivf" -> d07,
+    "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -694,6 +761,7 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql, "d02_dedup_fingerprint" -> d02Sql,
     "d03_dedup_ngram_jaccard" -> d03Sql, "d06_dedup_embedding" -> d06Sql,
+    "d08_dedup_winnow_jaccard" -> d08Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,

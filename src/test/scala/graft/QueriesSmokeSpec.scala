@@ -8,7 +8,8 @@ class QueriesSmokeSpec extends SparkSpec {
 
   // Queries whose result can legitimately be empty at tiny scale.
   private val mayBeEmpty = Set("q15_anti_join", "d03_dedup_ngram_jaccard",
-    "d04_dedup_minhash", "d05_dedup_simhash", "q24_having")
+    "d04_dedup_minhash", "d05_dedup_simhash", "d08_dedup_winnow_jaccard",
+    "q24_having")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
