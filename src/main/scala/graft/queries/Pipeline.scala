@@ -185,6 +185,49 @@ object Pipeline {
       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
       |ORDER BY a_id, b_id""".stripMargin
 
+  // -- d09: benchmark decontamination --------------------------------------
+  // Training-set decontamination: find corpus documents that share ≥5
+  // distinct 16-gram shingles with any document in a held-out
+  // benchmark set (stand-in here: doc_id % 20 == 0 — in production
+  // the eval-suite table). The benchmark index is TINY relative to
+  // the corpus by construction (eval suites are ~1e5 docs vs 1e10),
+  // so it is broadcast: the corpus side streams map-only through the
+  // hash join, zero corpus shuffle before the pair aggregation.
+  // Bench-side df pruning bounds fan-out if a boilerplate shingle
+  // ever saturates the benchmark. Removal is then q15's anti-join on
+  // the contaminated ids.
+  private val d09: Q = (s, d) => {
+    val maxBenchDf = 100
+    val sh = docsSpread(s, d).select(col("doc_id"),
+      explode(graft.functions.GraftColumns.charShingles(col("text"), 16)).as("s"))
+    val benchPruned = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxBenchDf).drop("df")
+    val corpus = sh.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("s"))
+    corpus.join(broadcast(benchPruned), "s")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .orderBy(col("corpus_id"), col("bench_id"))
+  }
+
+  private val d09Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(length(text) - 15, 1)),
+      |      i -> substr(text, i, 16))) AS s
+      |  FROM documents),
+      |bp AS (SELECT bench_id, s FROM (
+      |  SELECT doc_id AS bench_id, s, COUNT(*) OVER (PARTITION BY s) AS df
+      |  FROM sh WHERE doc_id % 20 = 0) WHERE df <= 100),
+      |c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT corpus_id, bench_id, COUNT(*) AS shared
+      |FROM c JOIN bp USING (s)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |ORDER BY corpus_id, bench_id""".stripMargin
+
   // -- d04: MinHash + LSH band bucketing (rows-only) -----------------------
   private val d04: Q = (s, d) => {
     val numPerms = 32; val bands = 8; val rowsPerBand = 4
@@ -470,8 +513,9 @@ object Pipeline {
       |       ELSE 'en' END AS predicted_lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // -- t02: length/punct/stopword quality scoring --------------------------
-  private val t02: Q = (s, d) => {
+  // Quality formula shared by t02 (scoring) and p01 (curation gate):
+  // one definition so the two queries can never drift apart.
+  private def qualityParts = {
     val toks = TF.tokens(col("text"))
     val nTok = size(toks)
     val stopRatio = TF.tokenCountIn(toks, stopwords).cast(DoubleType) / nTok
@@ -479,6 +523,12 @@ object Pipeline {
       .cast(DoubleType) / length(col("text"))
     val quality = lit(0.5) * least(lit(1.0), nTok / lit(100.0)) +
       lit(0.3) * (lit(1.0) - stopRatio) - lit(0.2) * punctRatio
+    (nTok, stopRatio, punctRatio, quality)
+  }
+
+  // -- t02: length/punct/stopword quality scoring --------------------------
+  private val t02: Q = (s, d) => {
+    val (nTok, stopRatio, punctRatio, quality) = qualityParts
     // NOT rounded: the unrounded doubles are bit-identical across
     // engines (same IEEE ops in the same order), while round(x, 4)
     // diverges on half-boundary values (Spark rounds the exact binary
@@ -594,6 +644,95 @@ object Pipeline {
       |  CAST(SUM(sel) AS BIGINT) AS fp_sum,
       |  MIN(sel) AS fp_min, MAX(sel) AS fp_max
       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- t07: deterministic stratified sampling ------------------------------
+  // Training-mixture sampling: each language stratum is kept at its own
+  // rate, decided by a salted md5 bucket of the document id — fully
+  // deterministic (re-runs and backfills pick the SAME sample, unlike
+  // rand()-based sampling whose draw depends on partition layout),
+  // map-only (the rate table rides along as a CASE; a real mixture
+  // config would be a broadcast dim), and exactly replayable in the
+  // oracle because md5 agrees across engines. Rates: hex bucket < '80'
+  // = 50%, '40' = 25%, '20' = 12.5% of 256 two-hex-char buckets.
+  private val t07: Q = (s, d) => {
+    val bucket = substring(
+      md5(concat(col("doc_id").cast(StringType), lit("|graft"))), 1, 2)
+    val thresh = when(col("lang") === "en", "80")
+      .when(col("lang") === "de", "40")
+      .when(col("lang") === "fr", "40")
+      .when(col("lang") === "es", "20")
+      .otherwise("zz") // other strata kept whole ('zz' > any hex bucket)
+    T.documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < thresh)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t07Sql =
+    """SELECT doc_id, lang, source,
+      |  substr(md5(CAST(doc_id AS VARCHAR) || '|graft'), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|graft'), 1, 2) <
+      |  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+      |            WHEN 'fr' THEN '40' WHEN 'es' THEN '20' ELSE 'zz' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ======================= corpus curation (end-to-end) ====================
+
+  // -- p01: flagship curation chain ----------------------------------------
+  // The full training-data curation pass as ONE declarative plan:
+  //   1. metadata language gate (keep claimed lang = 'en'),
+  //   2. quality gate (t02's score ≥ 0.55),
+  //   3. exact dedup (d01's content hash, keeper = lowest doc_id),
+  //   4. per-source token budget (cumulative BPE-ish tokens ≤ 400 —
+  //      the per-stratum cap of a mixture recipe).
+  // Stages 1–2 are map-only and fuse into the scan; stage 3–4 are one
+  // shuffle each (hash partition, then source partition). Catalyst
+  // sees the whole chain, so filters push below the windows where
+  // legal — the composition costs nothing vs hand-fused stages.
+  private val p01: Q = (s, d) => {
+    val (_, _, _, quality) = qualityParts
+    val wDedup = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val wBudget = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.documents(s, d)
+      .filter(col("lang") === "en")
+      .withColumn("quality", quality)
+      .filter(col("quality") >= 0.55)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .withColumn("bpe_tokens",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+      .withColumn("cum_tokens", sum(col("bpe_tokens")).over(wBudget))
+      .filter(col("cum_tokens") <= 400)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("bpe_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p01Sql =
+    s"""WITH gated AS (
+       |  SELECT doc_id, source, text,
+       |    0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
+       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')))
+       |      - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / length(text) AS quality
+       |  FROM documents WHERE lang = 'en'),
+       |q AS (SELECT * FROM gated WHERE quality >= 0.55),
+       |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q),
+       |k AS (SELECT doc_id, source, quality,
+       |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+       |  FROM d WHERE rn = 1),
+       |c AS (SELECT doc_id, source, quality, bpe_tokens,
+       |    CAST(SUM(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM k)
+       |SELECT doc_id, source, quality, bpe_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin
 
   // ======================= multimodal plumbing =============================
 
@@ -748,10 +887,12 @@ object Pipeline {
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
     "d05_dedup_simhash" -> d05, "d06_dedup_embedding" -> d06,
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
+    "d09_decontaminate" -> d09,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
-    "t06_fingerprint" -> t06,
+    "t06_fingerprint" -> t06, "t07_stratified_sample" -> t07,
+    "p01_curate_corpus" -> p01,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
@@ -761,11 +902,12 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql, "d02_dedup_fingerprint" -> d02Sql,
     "d03_dedup_ngram_jaccard" -> d03Sql, "d06_dedup_embedding" -> d06Sql,
-    "d08_dedup_winnow_jaccard" -> d08Sql,
+    "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
     "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,
+    "t07_stratified_sample" -> t07Sql, "p01_curate_corpus" -> p01Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,

@@ -107,4 +107,25 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"blocked self-join must be an equi-join:\n$p")
     assert(!p.contains("CartesianProduct"), "no cartesian pair explosion")
   }
+
+  test("d09 decontamination broadcasts the benchmark index (corpus side map-only)") {
+    val p = plan("d09_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench index must broadcast so the corpus never shuffles for the join:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs explosion")
+  }
+
+  test("t07 stratified sample is map-only (zero exchanges)") {
+    val p = plan("t07_stratified_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"salted-hash sampling must not shuffle:\n$p")
+    assert(!p.contains("Join"), "sampling is a filter, not a join")
+  }
+
+  test("p01 curation chain has exactly its two declared shuffles (dedup + budget)") {
+    val p = plan("p01_curate_corpus")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2, s"expected 2 hash exchanges (content_hash, source), got $shuffles:\n$p")
+    assert(!p.contains("Join"), "curation gates must fuse into the scan, not join")
+  }
 }
