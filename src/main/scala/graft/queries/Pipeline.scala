@@ -678,6 +678,60 @@ object Pipeline {
       |            WHEN 'fr' THEN '40' WHEN 'es' THEN '20' ELSE 'zz' END
       |ORDER BY doc_id""".stripMargin
 
+  // -- t08: repetition / boilerplate signals -------------------------------
+  // Gopher-style within-document repetition stats: distinct-token
+  // ratio, share of the most frequent token, share of the most
+  // frequent word bigram — high top-gram shares mark boilerplate or
+  // looping text that quality gates drop. Per-doc gram aggregation is
+  // bounded by tokens-per-doc (not corpus size); the final doc_id
+  // join moves three doubles per doc. Shares are single IEEE
+  // divisions of exact integer counts — bit-identical across engines
+  // without rounding (t02's policy).
+  private val t08: Q = (s, d) => {
+    val toks = docsSpread(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+    val uni = toks
+      .select(col("doc_id"), col("n_tok"), explode(col("toks")).as("g"))
+      .groupBy(col("doc_id"), col("n_tok"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_distinct"), max(col("c")).as("top_c"))
+      .select(col("doc_id"),
+        (col("n_distinct") / col("n_tok")).as("distinct_ratio"),
+        (col("top_c") / col("n_tok")).as("top_token_share"))
+    val bi = toks.filter(col("n_tok") >= 2)
+      .select(col("doc_id"), (col("n_tok") - 1).as("n_bi"),
+        explode(TF.wordNgrams(col("toks"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("n_bi"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_bi"))
+      .agg(max(col("c")).as("top_c"))
+      .select(col("doc_id"), (col("top_c") / col("n_bi")).as("top_bigram_share"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  private val t08Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |uni AS (SELECT doc_id, len(toks) AS n_tok, unnest(toks) AS g FROM tok),
+      |uc AS (SELECT doc_id, n_tok, g, COUNT(*) AS c FROM uni GROUP BY 1, 2, 3),
+      |us AS (SELECT doc_id, n_tok, COUNT(*) AS n_distinct, MAX(c) AS top_c
+      |       FROM uc GROUP BY 1, 2),
+      |bi AS (
+      |  SELECT doc_id, len(toks) - 1 AS n_bi,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+      |  FROM tok WHERE len(toks) >= 2),
+      |bc AS (SELECT doc_id, n_bi, g, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+      |bs AS (SELECT doc_id, MAX(c) / n_bi AS top_bigram_share
+      |       FROM bc GROUP BY doc_id, n_bi)
+      |SELECT us.doc_id, us.n_distinct / us.n_tok AS distinct_ratio,
+      |  us.top_c / us.n_tok AS top_token_share, bs.top_bigram_share
+      |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+      |ORDER BY us.doc_id""".stripMargin
+
   // ======================= corpus curation (end-to-end) ====================
 
   // -- p01: flagship curation chain ----------------------------------------
@@ -733,6 +787,41 @@ object Pipeline {
        |  FROM k)
        |SELECT doc_id, source, quality, bpe_tokens, cum_tokens
        |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin
+
+  // -- p02: sequence packing into context windows --------------------------
+  // Pretraining packs documents by concatenating each source stream
+  // and slicing at the context length: a doc's bin is its starting
+  // token offset DIV the context budget, its offset within the bin
+  // the remainder. One window shuffle per source stream (q17's
+  // running-total shape), integer arithmetic only — deterministic,
+  // layout-independent, exactly replayable on backfill.
+  private val p02: Q = (s, d) => {
+    val budget = 512
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.documents(s, d)
+      .withColumn("bpe_tokens",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+      .withColumn("start_tok",
+        sum(col("bpe_tokens")).over(w) - col("bpe_tokens"))
+      .select(col("doc_id"), col("source"), col("bpe_tokens"),
+        expr(s"start_tok div $budget").as("bin_id"),
+        pmod(col("start_tok"), lit(budget)).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p02Sql =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+      |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+      |      OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS cum
+      |  FROM documents)
+      |SELECT doc_id, source, bpe_tokens,
+      |  (cum - bpe_tokens) // 512 AS bin_id,
+      |  (cum - bpe_tokens) % 512 AS bin_offset
+      |FROM c ORDER BY doc_id""".stripMargin
 
   // ======================= multimodal plumbing =============================
 
@@ -892,7 +981,8 @@ object Pipeline {
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "t06_fingerprint" -> t06, "t07_stratified_sample" -> t07,
-    "p01_curate_corpus" -> p01,
+    "t08_repetition" -> t08,
+    "p01_curate_corpus" -> p01, "p02_pack_sequences" -> p02,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
@@ -907,7 +997,8 @@ object Pipeline {
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
     "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,
-    "t07_stratified_sample" -> t07Sql, "p01_curate_corpus" -> p01Sql,
+    "t07_stratified_sample" -> t07Sql, "t08_repetition" -> t08Sql,
+    "p01_curate_corpus" -> p01Sql, "p02_pack_sequences" -> p02Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,

@@ -912,11 +912,61 @@ object Relational {
       |FROM orders WHERE year(o_orderdate) % 3 = 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- q45: missing-data (field completeness) report -----------------------
+  // RDW ships a missing_data_report that computes, per administration
+  // year and assessment, the percent of results with each functionally-
+  // required-but-technically-optional field populated (reference
+  // /root/reference/docs/Runbook.DataSpecifications.md:96-128).
+  // o_orderpriority's '4-NOT SPECIFIED' is the unpopulated sentinel
+  // here. Integer counts divided in ONE IEEE division then rounded —
+  // bit-identical across engines (same policy as q13).
+  private val q45: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast(IntegerType)
+          .as("test_administration_year"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("total_results"),
+        round(lit(100.0) *
+          sum(when(col("o_orderpriority") =!= "4-NOT SPECIFIED", 1L)
+            .otherwise(0L)) / count(lit(1)), 4).as("pct_with_priority"))
+      .orderBy(col("test_administration_year"), col("o_orderstatus"))
+
+  private val q45Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS test_administration_year,
+      |  o_orderstatus, COUNT(*) AS total_results,
+      |  round(100.0 * CAST(SUM(CASE WHEN o_orderpriority <> '4-NOT SPECIFIED'
+      |    THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 4) AS pct_with_priority
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- q46: stable pseudonymization (de-identification) --------------------
+  // "StudentIdentifier may be de-identified but must be the same year
+  // over year" (reference /root/reference/docs/Runbook.DataSpecifications
+  // .md:18): pseudonyms must be deterministic so longitudinal joins
+  // still work after de-identification. Salted SHA-256 of the natural
+  // key — map-only, layout-independent, and the grouping across years
+  // below IS the year-over-year joinability proof (one pseudo_id per
+  // customer regardless of year).
+  private val q46: Q = (s, d) =>
+    T.orders(s, d)
+      .withColumn("pseudo_id",
+        sha2(concat(lit("tenant1|"), col("o_custkey").cast(StringType)), 256))
+      .groupBy(col("pseudo_id"),
+        year(col("o_orderdate")).cast(IntegerType).as("school_year"))
+      .agg(count(lit(1)).as("n_results"))
+      .orderBy(col("pseudo_id"), col("school_year"))
+
+  private val q46Sql =
+    """SELECT sha256('tenant1|' || CAST(o_custkey AS VARCHAR)) AS pseudo_id,
+      |  CAST(year(o_orderdate) AS INTEGER) AS school_year,
+      |  COUNT(*) AS n_results
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
-    "q44_embargo_gate" -> q44) ++ Map(
+    "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
+    "q46_pseudonymize" -> q46) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -935,7 +985,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q40_soft_delete_migrate" -> q40Sql, "q41_norms_overlap" -> q41Sql,
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
-    "q44_embargo_gate" -> q44Sql,
+    "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,
+    "q46_pseudonymize" -> q46Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(

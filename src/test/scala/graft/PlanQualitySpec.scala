@@ -128,4 +128,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(shuffles == 2, s"expected 2 hash exchanges (content_hash, source), got $shuffles:\n$p")
     assert(!p.contains("Join"), "curation gates must fuse into the scan, not join")
   }
+
+  test("p02 sequence packing is one window shuffle, no join") {
+    val p = plan("p02_pack_sequences")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 hash exchange (source window), got $shuffles:\n$p")
+    assert(!p.contains("Join"), "bin assignment is window arithmetic, not a join")
+  }
+
+  test("t08 repetition stats join per-doc aggregates on doc_id (no cartesian)") {
+    val p = plan("t08_repetition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"uni/bi branches must equi-join on doc_id:\n$p")
+  }
+
+  test("q46 pseudonymization aggregates partially below the shuffle") {
+    val p = plan("q46_pseudonymize")
+    assert(p.contains("partial"), s"expected partial HashAggregate in:\n$p")
+    assert(!p.contains("Join"), "pseudonym is a map-side hash, not a lookup join")
+  }
 }
