@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharShingles, CosineSimilarity, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, WinnowFingerprint}
+import graft.functions.expressions.{CharShingles, CosineSimilarity, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -43,4 +43,9 @@ object GraftColumns {
     * matrix, one tight loop per row (see [[HyperplaneSignature]]). */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
     SqlBridge.column(HyperplaneSignature(SqlBridge.expression(vec), planes))
+
+  /** Per-document repetition stats struct in one pass (see
+    * [[TokenRepetitionStats]]). */
+  def tokenRepetitionStats(text: Column): Column =
+    SqlBridge.column(TokenRepetitionStats(SqlBridge.expression(text)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens, WinnowFingerprint}
+import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -69,5 +69,12 @@ object GraftFunctions {
       WinnowFingerprint(children.head,
         intArg(children(1), "winnow_fingerprint", "k"),
         intArg(children(2), "winnow_fingerprint", "w"))
+    }), (
+    new FunctionIdentifier("token_repetition_stats"),
+    new ExpressionInfo(classOf[TokenRepetitionStats].getName, "token_repetition_stats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "token_repetition_stats(text) takes exactly 1 argument")
+      TokenRepetitionStats(children.head)
     }))
 }

@@ -682,35 +682,23 @@ object Pipeline {
   // Gopher-style within-document repetition stats: distinct-token
   // ratio, share of the most frequent token, share of the most
   // frequent word bigram — high top-gram shares mark boilerplate or
-  // looping text that quality gates drop. Per-doc gram aggregation is
-  // bounded by tokens-per-doc (not corpus size); the final doc_id
-  // join moves three doubles per doc. Shares are single IEEE
-  // divisions of exact integer counts — bit-identical across engines
-  // without rounding (t02's policy).
-  private val t08: Q = (s, d) => {
-    val toks = docsSpread(s, d)
-      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-      .withColumn("n_tok", size(col("toks")))
-    val uni = toks
-      .select(col("doc_id"), col("n_tok"), explode(col("toks")).as("g"))
-      .groupBy(col("doc_id"), col("n_tok"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_tok"))
-      .agg(count(lit(1)).as("n_distinct"), max(col("c")).as("top_c"))
+  // looping text that quality gates drop. The declarative shape
+  // (explode → groupBy(doc, gram) → groupBy(doc), twice, + join)
+  // costs four shuffles and one exchange row per gram occurrence;
+  // the native TokenRepetitionStats expression computes the whole
+  // struct in one pass per row, making this MAP-ONLY (parity with
+  // the declarative formulation is spec-asserted). Shares are single
+  // IEEE divisions of exact integer counts — bit-identical across
+  // engines without rounding (t02's policy).
+  private val t08: Q = (s, d) =>
+    docsSpread(s, d)
+      .withColumn("st", graft.functions.GraftColumns.tokenRepetitionStats(col("text")))
       .select(col("doc_id"),
-        (col("n_distinct") / col("n_tok")).as("distinct_ratio"),
-        (col("top_c") / col("n_tok")).as("top_token_share"))
-    val bi = toks.filter(col("n_tok") >= 2)
-      .select(col("doc_id"), (col("n_tok") - 1).as("n_bi"),
-        explode(TF.wordNgrams(col("toks"), 2)).as("g"))
-      .groupBy(col("doc_id"), col("n_bi"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_bi"))
-      .agg(max(col("c")).as("top_c"))
-      .select(col("doc_id"), (col("top_c") / col("n_bi")).as("top_bigram_share"))
-    uni.join(bi, Seq("doc_id"), "left")
+        (col("st.n_distinct") / col("st.n_tok")).as("distinct_ratio"),
+        (col("st.top_token_c") / col("st.n_tok")).as("top_token_share"),
+        when(col("st.n_bi") > 0, col("st.top_bigram_c") / col("st.n_bi"))
+          .as("top_bigram_share"))
       .orderBy(col("doc_id"))
-  }
 
   private val t08Sql =
     """WITH tok AS (

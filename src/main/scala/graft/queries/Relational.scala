@@ -961,12 +961,51 @@ object Relational {
       |  COUNT(*) AS n_results
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q47: incremental aggregate maintenance ------------------------------
+  // RDW's Migrate OLAP keeps the aggregate mart current by applying
+  // deltas, not recomputing (reference /root/reference/docs/
+  // Architecture.md "watches the data warehouse for changes and
+  // copies any changes"; Runbook.ImportMigrate.md). The engine
+  // property that makes this sound: the mart stores ALGEBRAIC partial
+  // aggregates (exact decimal sum + count), so merging a delta batch
+  // is a re-aggregation of partials — work scales with |delta| + |mart|,
+  // never the 100-TB fact history. The oracle is the full recompute;
+  // hash-equality IS the maintenance-correctness proof. Derived
+  // measures (avg) come from merged partials at read time.
+  private val q47: Q = (s, d) => {
+    val o = T.orders(s, d).withColumn("school_year",
+      year(col("o_orderdate")).cast(IntegerType))
+    val cut = to_timestamp(lit("1997-01-01"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("school_year"), col("o_orderstatus"))
+      .agg(sum(money(col("o_totalprice"))).as("sum_price_dec"),
+        count(lit(1)).as("n_results"))
+    val stored = partials(o.filter(col("o_orderdate") < cut))   // the mart
+    val delta = partials(o.filter(col("o_orderdate") >= cut))   // the changes
+    stored.unionByName(delta)
+      .groupBy(col("school_year"), col("o_orderstatus"))
+      .agg(sum(col("sum_price_dec")).as("merged_dec"),
+        sum(col("n_results")).as("n_results"))
+      .select(col("school_year"), col("o_orderstatus"),
+        col("merged_dec").cast(DoubleType).as("sum_price"),
+        col("n_results"),
+        (col("merged_dec").cast(DoubleType) / col("n_results")).as("avg_price"))
+      .orderBy(col("school_year"), col("o_orderstatus"))
+  }
+
+  private val q47Sql =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS school_year, o_orderstatus,
+       |  ${sqlMoneySum("o_totalprice")} AS sum_price,
+       |  COUNT(*) AS n_results,
+       |  ${sqlMoneyAvg("o_totalprice")} AS avg_price
+       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
     "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
-    "q46_pseudonymize" -> q46) ++ Map(
+    "q46_pseudonymize" -> q46, "q47_incremental_agg" -> q47) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -986,7 +1025,7 @@ object Relational {
     "q40_soft_delete_migrate" -> q40Sql, "q41_norms_overlap" -> q41Sql,
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
     "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,
-    "q46_pseudonymize" -> q46Sql,
+    "q46_pseudonymize" -> q46Sql, "q47_incremental_agg" -> q47Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(

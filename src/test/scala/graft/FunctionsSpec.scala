@@ -208,6 +208,31 @@ class FunctionsSpec extends SparkSpec {
     assert(native(1) == Seq("xy")) // shorter than k → whole string
   }
 
+  test("tokenRepetitionStats native struct equals the explode/groupBy formulation") {
+    val df = Seq(
+      "the cat and the hat and the cat",  // repeats: 'the'×3, 'the cat'×2
+      "all distinct words here",
+      "solo",
+      "loop loop loop loop").toDF("t")
+    val native = df
+      .select(graft.functions.GraftColumns.tokenRepetitionStats(col("t")).as("st"))
+      .select(col("st.n_tok"), col("st.n_distinct"), col("st.top_token_c"),
+        col("st.n_bi"), col("st.top_bigram_c"))
+      .as[(Int, Int, Int, Int, Int)].collect().toSeq
+    // declarative reference: token/bigram maps per row
+    val expected = Seq("the cat and the hat and the cat",
+        "all distinct words here", "solo", "loop loop loop loop").map { t =>
+      val toks = t.trim.split("\\s+").toSeq
+      val bis = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      (toks.size, toks.distinct.size,
+        toks.groupBy(identity).values.map(_.size).max,
+        bis.size,
+        if (bis.isEmpty) 0 else bis.groupBy(identity).values.map(_.size).max)
+    }
+    assert(native == expected)
+    assert(native.head == ((8, 4, 3, 7, 2)))
+  }
+
   test("tokenCountIn counts membership") {
     val out = Seq("the cat and the hat").toDF("t")
       .select(TF.tokenCountIn(TF.tokens(col("t")), Seq("the", "and")).as("n"))

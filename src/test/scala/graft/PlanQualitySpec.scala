@@ -136,10 +136,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), "bin assignment is window arithmetic, not a join")
   }
 
-  test("t08 repetition stats join per-doc aggregates on doc_id (no cartesian)") {
+  test("t08 repetition stats are map-only via the native expression (no gram shuffle)") {
     val p = plan("t08_repetition")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"uni/bi branches must equi-join on doc_id:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"native TokenRepetitionStats must avoid the explode/groupBy shuffles:\n$p")
+    assert(!p.contains("Join"), "per-row struct needs no doc_id join")
+    assert(!p.contains("Generate"), "no explode — one pass per row")
   }
 
   test("q46 pseudonymization aggregates partially below the shuffle") {
