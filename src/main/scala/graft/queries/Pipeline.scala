@@ -780,18 +780,37 @@ object Pipeline {
   // Pretraining packs documents by concatenating each source stream
   // and slicing at the context length: a doc's bin is its starting
   // token offset DIV the context budget, its offset within the bin
-  // the remainder. One window shuffle per source stream (q17's
-  // running-total shape), integer arithmetic only — deterministic,
-  // layout-independent, exactly replayable on backfill.
+  // the remainder. A single per-source running-sum window would be
+  // CORRECT but serializes each source onto one task — with a fixed
+  // source count the per-partition work grows linearly with the
+  // corpus (measured: 12× at a 10× corpus). So the prefix sum is
+  // hierarchical: local cumsums per (source, shard) run in parallel
+  // across shards (shard = contiguous doc_id range, so shard order =
+  // stream order), the shard-total table (#shards rows, corpus/512)
+  // is prefix-summed per source and broadcast back as base offsets.
+  // Same output as the flat window — the DuckDB oracle IS the flat
+  // window — deterministic integer arithmetic throughout.
   private val p02: Q = (s, d) => {
     val budget = 512
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    T.documents(s, d)
+    val shardSize = 512 // docs per shard; ~1e6 at warehouse scale
+    val base = T.documents(s, d)
       .withColumn("bpe_tokens",
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    val wLocal = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum(col("bpe_tokens")).over(wLocal))
+    val offsets = base.groupBy(col("source"), col("shard"))
+      .agg(sum(col("bpe_tokens")).as("shard_tokens"))
+      .withColumn("base_off",
+        coalesce(sum(col("shard_tokens")).over(
+          Window.partitionBy(col("source")).orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("shard"), col("base_off"))
+    local.join(broadcast(offsets), Seq("source", "shard"))
       .withColumn("start_tok",
-        sum(col("bpe_tokens")).over(w) - col("bpe_tokens"))
+        col("base_off") + col("local_cum") - col("bpe_tokens"))
       .select(col("doc_id"), col("source"), col("bpe_tokens"),
         expr(s"start_tok div $budget").as("bin_id"),
         pmod(col("start_tok"), lit(budget)).as("bin_offset"))

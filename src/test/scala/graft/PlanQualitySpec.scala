@@ -129,11 +129,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), "curation gates must fuse into the scan, not join")
   }
 
-  test("p02 sequence packing is one window shuffle, no join") {
+  test("p02 sharded packing broadcasts the shard-offset table (no fact sort-merge)") {
     val p = plan("p02_pack_sequences")
-    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(shuffles == 1, s"expected 1 hash exchange (source window), got $shuffles:\n$p")
-    assert(!p.contains("Join"), "bin assignment is window arithmetic, not a join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard base offsets (corpus/512 rows) must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the fact side must not shuffle for the offset join")
   }
 
   test("t08 repetition stats are map-only via the native expression (no gram shuffle)") {
