@@ -311,4 +311,37 @@ object Operators {
           .when(col("__inc").isNull, "removed")
           .otherwise("kept").as("action"))
   }
+
+  /** Connected components of an undirected edge list by distributed
+    * min-label propagation: every vertex repeatedly takes the minimum
+    * component id among itself and its neighbors until fixpoint.
+    * Returns one row per vertex appearing in `edges` with its
+    * component id (= the component's minimum vertex id).
+    *
+    * Scale: the vertex set is docs-in-pairs (≪ corpus for dedup
+    * graphs); each round is one equi-join + one groupBy, and the
+    * number of rounds is bounded by the component diameter — dup
+    * chains, not corpus size. The driver loop counts ROUNDS, never
+    * rows; propagation is monotone (labels only decrease) so
+    * convergence is guaranteed.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges.select(col(src), col(dst))
+      .union(edges.select(col(dst), col(src)))
+      .toDF("src", "dst").cache()
+    var comp = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = und.join(comp, und("src") === comp("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = comp.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")).cache()
+      converged = next.as("n").join(comp.as("c"), "id")
+        .filter(col("n.comp") =!= col("c.comp"))
+        .isEmpty
+      comp = next
+    }
+    comp
+  }
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import graft.{Tables => T}
 import graft.QUtil._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.Operators
 
 /** LLM-training-data pipeline operators (SURVEY.md §2 d/s/t/m/e
   * families): deduplication, similarity search, text analysis,
@@ -227,6 +228,43 @@ object Pipeline {
       |FROM c JOIN bp USING (s)
       |GROUP BY 1, 2 HAVING COUNT(*) >= 5
       |ORDER BY corpus_id, bench_id""".stripMargin
+
+  // -- d10: dedup clusters via connected components ------------------------
+  // Pair lists (d03–d09) aren't what a dedup pass applies: the unit of
+  // removal is the duplicate CLUSTER — keep one doc per connected
+  // component of the near-dup graph (A~B, B~C ⇒ drop two of {A,B,C},
+  // which no pairwise pass gets right). Distributed min-label
+  // propagation: each vertex repeatedly takes the min component id
+  // among itself and its neighbors until fixpoint — the standard
+  // Pregel-style loop, O(cluster diameter) rounds of one equi-join +
+  // one groupBy each. The driver loop is over ROUNDS (small, bounded
+  // by the longest dup chain), never over rows. Pairs come from d06's
+  // oracle-exact near-dup query; the oracle replays the closure with
+  // a recursive CTE.
+  private val d10: Q = (s, d) =>
+    Operators.connectedComponents(
+        d06(s, d).select(col("a_id"), col("b_id")), "a_id", "b_id")
+      .select(col("id").as("vec_id"), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("is_keeper"))
+      .orderBy(col("vec_id"))
+
+  private val d10Sql =
+    """WITH RECURSIVE
+      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |      FROM embeddings a JOIN embeddings b
+      |        ON a.label = b.label AND a.vec_id < b.vec_id
+      |      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) >= 0.35),
+      |e AS (SELECT a_id AS src, b_id AS dst FROM p
+      |      UNION ALL SELECT b_id, a_id FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |comp AS (SELECT src AS vec_id, least(src, MIN(dst)) AS cluster_id
+      |         FROM reach GROUP BY src)
+      |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
+      |FROM comp ORDER BY vec_id""".stripMargin
 
   // -- d04: MinHash + LSH band bucketing (rows-only) -----------------------
   private val d04: Q = (s, d) => {
@@ -983,7 +1021,7 @@ object Pipeline {
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
     "d05_dedup_simhash" -> d05, "d06_dedup_embedding" -> d06,
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
-    "d09_decontaminate" -> d09,
+    "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -1000,6 +1038,7 @@ object Pipeline {
     "d01_dedup_exact" -> d01Sql, "d02_dedup_fingerprint" -> d02Sql,
     "d03_dedup_ngram_jaccard" -> d03Sql, "d06_dedup_embedding" -> d06Sql,
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
+    "d10_dedup_clusters" -> d10Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,

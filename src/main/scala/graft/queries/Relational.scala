@@ -1000,12 +1000,47 @@ object Relational {
        |  ${sqlMoneyAvg("o_totalprice")} AS avg_price
        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q48: payload-hash idempotent import ---------------------------------
+  // "Import payloads are hashed and duplicate content is detected,
+  // returning any previous import request for the given content"
+  // (reference /root/reference/docs/API.md:263) — resubmitting a
+  // payload must no-op and map to the original import. Each order
+  // plays an import request whose payload hash is the exam content;
+  // the earliest import per hash is the canonical one. One window
+  // shuffle on the hash; the hash itself is map-side, so detection
+  // cost is q16's latest-wins shape.
+  private val q48: Q = (s, d) => {
+    val w = Window.partitionBy(col("payload_hash"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    T.orders(s, d)
+      .withColumn("payload_hash", md5(concat_ws("|",
+        col("o_custkey").cast(StringType), col("o_orderstatus"),
+        col("o_orderpriority"))))
+      .withColumn("first_import_id", first(col("o_orderkey")).over(w))
+      .withColumn("is_duplicate", col("first_import_id") =!= col("o_orderkey"))
+      .select(col("o_orderkey"), col("payload_hash"),
+        col("first_import_id"), col("is_duplicate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q48Sql =
+    """SELECT o_orderkey,
+      |  md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+      |    o_orderpriority)) AS payload_hash,
+      |  first_value(o_orderkey) OVER w AS first_import_id,
+      |  first_value(o_orderkey) OVER w <> o_orderkey AS is_duplicate
+      |FROM orders
+      |WINDOW w AS (PARTITION BY md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+      |  o_orderstatus, o_orderpriority)) ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
     "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
-    "q46_pseudonymize" -> q46, "q47_incremental_agg" -> q47) ++ Map(
+    "q46_pseudonymize" -> q46, "q47_incremental_agg" -> q47,
+    "q48_import_dedup" -> q48) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -1026,6 +1061,7 @@ object Relational {
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
     "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,
     "q46_pseudonymize" -> q46Sql, "q47_incremental_agg" -> q47Sql,
+    "q48_import_dedup" -> q48Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(

@@ -208,4 +208,15 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("id").select("id", "tier").as[(String, String)].collect()
     assert(out.toSeq == Seq(("a", "low"), ("b", "high"), ("c", "high")))
   }
+
+  test("connectedComponents: chains close transitively, disjoint clusters stay apart") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // triangle 20-21-22 with a redundant edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val out = Operators.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }

@@ -145,6 +145,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Generate"), "no explode — one pass per row")
   }
 
+  test("q48 import dedup is one window pass on the payload hash, no join") {
+    val p = plan("q48_import_dedup")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), s"duplicate detection must not rescan prior imports:\n$p")
+  }
+
   test("q46 pseudonymization aggregates partially below the shuffle") {
     val p = plan("q46_pseudonymize")
     assert(p.contains("partial"), s"expected partial HashAggregate in:\n$p")
