@@ -1015,6 +1015,40 @@ object Pipeline {
       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // -- e04: streaming curation gates + admission stats ---------------------
+  // The continuous form of p01's gates: per-window per-language doc
+  // counts and how many pass the language+quality admission. Runs
+  // StreamingJobs.curateStream on a BATCH frame (withWatermark is a
+  // no-op in batch) so the exact streaming code path is what the
+  // oracle certifies — e03's trick; the MemoryStream spec proves the
+  // incremental execution matches. Arrival time is synthesized
+  // deterministically (doc_id minutes past a fixed epoch) in both
+  // engines.
+  private val e04: Q = (s, d) => {
+    val (_, _, _, quality) = qualityParts
+    val docs = T.documents(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.curateStream(docs, quality)
+      .orderBy(col("window_start"), col("lang"))
+  }
+
+  private val e04Sql =
+    s"""WITH d AS (
+       |  SELECT lang, text,
+       |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+       |    0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
+       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')))
+       |      - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / length(text) AS quality
+       |  FROM documents)
+       |SELECT date_trunc('hour', ts) AS window_start, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN lang = 'en' AND quality >= 0.55 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
@@ -1031,7 +1065,7 @@ object Pipeline {
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
-    "e03_stream_join" -> e03)
+    "e03_stream_join" -> e03, "e04_stream_curation" -> e04)
 
   /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
   val oracle: Map[String, String] = Map(
@@ -1048,5 +1082,5 @@ object Pipeline {
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
-    "e03_stream_join" -> e03Sql)
+    "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql)
 }

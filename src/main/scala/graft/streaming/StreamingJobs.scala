@@ -67,6 +67,26 @@ object StreamingJobs {
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
 
+  /** Streaming corpus curation: quality/language gates + per-window
+    * per-language admission stats over a document stream — the
+    * continuous form of the batch curation chain (p01's gates). The
+    * caller supplies the quality expression so stream and batch can
+    * never diverge (it IS the batch formula). `withWatermark` is a
+    * no-op in batch, so running this same function on a batch frame
+    * is the oracle for the stream (e03's trick).
+    *
+    * Scale: gates are map-side; one shuffle on (window, lang); state
+    * bounded to (watermark horizon / window) × languages. */
+  def curateStream(docs: DataFrame, quality: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .withColumn("kept", col("lang") === "en" && quality >= 0.55)
+      .groupBy(window(col("ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("window.start").as("window_start"), col("lang"),
+        col("n_docs"), col("n_kept"))
+
   /** Streaming migrate: keeps a latest-state mart continuously up to
     * date with a change stream — RDW's Migrate Reporting Service
     * ("watches the data warehouse for changes and copies any changes

@@ -50,6 +50,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3) // (00h click), (01h click), (01h view)
   }
 
+  test("curateStream over a stream equals the batch run of the same function") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:05:00"), "the quick brown fox jumps over the lazy dog " * 12, "en"),
+      (2L, ts("2024-01-01 00:10:00"), "a b", "en"),                 // short → fails quality
+      (3L, ts("2024-01-01 00:40:00"), "der schnelle braune fuchs", "de"), // wrong lang
+      (4L, ts("2024-01-01 01:05:00"), "data table join scan filter " * 20, "en"),
+      (5L, ts("2024-01-01 01:30:00"), "!!! ??? ,,, ...", "en"))     // punct → fails quality
+    val quality = {
+      import graft.functions.{TextFunctions => TF}
+      val toks = TF.tokens(col("text"))
+      val nTok = size(toks)
+      val stopRatio = TF.tokenCountIn(toks,
+        Seq("the", "a", "of", "and", "to", "in")).cast("double") / nTok
+      val punctRatio = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+        .cast("double") / length(col("text"))
+      lit(0.5) * least(lit(1.0), nTok / lit(100.0)) +
+        lit(0.3) * (lit(1.0) - stopRatio) - lit(0.2) * punctRatio
+    }
+    val ms = MemoryStream[(Long, Timestamp, String, String)]
+    ms.addData(docs)
+    val q = StreamingJobs.curateStream(
+        ms.toDF().toDF("doc_id", "ts", "text", "lang"), quality)
+      .writeStream.format("memory").queryName("t_curate").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("t_curate").orderBy("window_start", "lang")
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.curateStream(
+        docs.toDF("doc_id", "ts", "text", "lang"), quality)
+      .orderBy("window_start", "lang")
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    // hour 0: en {1 kept of 2}, de {0 of 1}; hour 1: en {1 kept of 2}
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "de", 1L, 0L),
+      (ts("2024-01-01 00:00:00"), "en", 2L, 1L),
+      (ts("2024-01-01 01:00:00"), "en", 2L, 1L)))
+  }
+
   test("sessionizeStream closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingJobs.EventRow
