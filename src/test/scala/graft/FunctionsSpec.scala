@@ -208,6 +208,20 @@ class FunctionsSpec extends SparkSpec {
     assert(native(1) == Seq("xy")) // shorter than k → whole string
   }
 
+  test("cosine doGenCode compiles and runs inside codegen (fallback disabled)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq(
+          (Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 1.0f, 2.0f)),
+          (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)))
+        .toDF("a", "b")
+        .select(graft.functions.GraftColumns.cosineSim(col("a"), col("b")).as("c"))
+        .as[Double].collect().toSeq
+      assert(math.abs(out.head - 8.0 / 9.0) < 1e-12)
+      assert(out(1) == -1.0) // zero-norm contract survives codegen
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("tokenRepetitionStats native struct equals the explode/groupBy formulation") {
     val df = Seq(
       "the cat and the hat and the cat",  // repeats: 'the'×3, 'the cat'×2
