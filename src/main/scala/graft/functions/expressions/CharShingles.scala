@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * exploded into joins/aggregations).
   */
 case class CharShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

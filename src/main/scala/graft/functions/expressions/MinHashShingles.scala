@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * repetition.
   */
 case class MinHashShingles(child: Expression, k: Int, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -2,7 +2,6 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
@@ -23,7 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 case class NearestClusters(child: Expression,
                            centroids: Array[Array[Double]], k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * matching `split(trim(text), "\\s+")`.
   */
 case class SimHashTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
 
   override def dataType: DataType = LongType
 

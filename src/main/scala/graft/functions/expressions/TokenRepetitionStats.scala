@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * its empty-text behavior (one empty token).
   */
 case class TokenRepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tok", IntegerType, nullable = false),

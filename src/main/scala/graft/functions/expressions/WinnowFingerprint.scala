@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the DuckDB oracle via `list_reduce`, so t06 is oracle-exact.
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
   require(k >= 2 && w >= 1, "winnow_fingerprint requires k >= 2, w >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -222,6 +222,26 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("UnaryRefCodegen expressions run with codegen fallback disabled (long/array/struct)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq("the cat and the hat").toDF("t")
+      val sim = df.select(graft.functions.GraftColumns.simHashTokens(col("t")).as("s"))
+        .as[Long].head()
+      val sim2 = df.select(graft.functions.GraftColumns.simHashTokens(col("t")).as("s"))
+        .as[Long].head()
+      assert(sim == sim2) // deterministic through the generated call
+      val sh = df.select(graft.functions.GraftColumns.charShingles(col("t"), 4).as("s"))
+        .as[Seq[String]].head()
+      assert(sh.contains("the ") && sh.contains(" cat"))
+      val st = df.select(
+          graft.functions.GraftColumns.tokenRepetitionStats(col("t")).as("st"))
+        .select(col("st.n_tok"), col("st.n_distinct"), col("st.top_token_c"))
+        .as[(Int, Int, Int)].head()
+      assert(st == ((5, 4, 2)))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("tokenRepetitionStats native struct equals the explode/groupBy formulation") {
     val df = Seq(
       "the cat and the hat and the cat",  // repeats: 'the'×3, 'the cat'×2
