@@ -529,6 +529,70 @@ object Pipeline {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // -- s04: product-quantization ANN (rows-only) ---------------------------
+  // The fourth ANN tier and the MEMORY story: s01 exact, s02 LSH
+  // buckets, s03 IVF lists, s04 compressed scan + exact re-rank.
+  // Each vector is encoded as M=8 one-byte codes (nearest centroid
+  // of each dim/M-subvector, spherical PQ — codebooks fit per
+  // subspace on a seeded SAMPLE, like s03's quantizer), a 32×
+  // compression: at 100 TB of embeddings the shortlist scan reads
+  // codes, not floats. Scoring is two-stage, the deployed PQ shape:
+  // (1) ADC shortlist via reconstruction — approx_cos(q, x) =
+  // cosine(q, concat_m codebook_m[code_m]), codebooks as plan
+  // literals, native CosineSimilarity inside codegen; (2) exact
+  // re-rank fetches full vectors for shortlist × queries rows only.
+  // Composes with s03 as IVF-PQ (probe lists, then ADC within them);
+  // here the full compressed scan keeps recall measurable against
+  // s01 (PipelineScaleSpec).
+  private val s04: Q = (s, d) => {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // shortlist = 10× the final k, the usual PQ re-rank budget: at
+    // corpus scale it is a CONSTANT per query while the compressed
+    // scan it follows is what grows.
+    val numSub = 8; val ksub = 16; val shortlist = 50
+    val emb = T.embeddings(s, d)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val sub = dim / numSub
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until numSub).map { m =>
+      val train = emb.sample(withReplacement = false, 0.5, seed = 42)
+        .select(array_to_vector(slice(col("embedding"), m * sub + 1, sub)).as("features"))
+      new KMeans().setK(ksub).setSeed(42 + m).setMaxIter(10).setInitMode("random")
+        .fit(train).clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+    val codeCols = (0 until numSub).map { m =>
+      element_at(graft.functions.GraftColumns.nearestClusters(
+        slice(col("embedding"), m * sub + 1, sub),
+        codebooks(m).map(_.toArray).toArray, 1), 1).as(s"code$m")
+    }
+    val coded = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id") +: codeCols: _*)
+    val recon = flatten(array((0 until numSub).map { m =>
+      element_at(typedlit(codebooks(m)), col(s"code$m") + 1)
+    }: _*))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // Stage 1 — ADC shortlist over codes only (the compressed scan).
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("cand_id"))
+    val short = coded.crossJoin(broadcast(qs))
+      .withColumn("approx_cos", VF.cosine(col("q_vec"), recon))
+      .withColumn(s"rn_a", row_number().over(wApprox))
+      .filter(col("rn_a") <= shortlist)
+      .select(col("q_id"), col("cand_id"))
+    // Stage 2 — exact re-rank: full vectors are fetched for the
+    // shortlist ONLY (shortlist × queries rows, not the corpus).
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    short
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   // ======================= text analysis: documents ========================
 
   // -- t01: marker-based language ID heuristic -----------------------------
@@ -1057,6 +1121,7 @@ object Pipeline {
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
+    "s04_ann_pq" -> s04,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "t06_fingerprint" -> t06, "t07_stratified_sample" -> t07,

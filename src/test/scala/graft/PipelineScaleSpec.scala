@@ -26,6 +26,24 @@ class PipelineScaleSpec extends SparkSpec {
     assert(verified == 0)
   }
 
+  test("s04 PQ top-5 recalls a usable share of s01's exact top-5") {
+    def top(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top("s01_ann_bruteforce")
+    val pq = top("s04_ann_pq")
+    assert(exact.nonEmpty)
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    info(s"s04 recall vs s01: $recall (${pq.intersect(exact).size}/${exact.size})")
+    // recall@5 here = "is the true top-5 inside the PQ top-20
+    // shortlist" (the re-rank stage scores the shortlist exactly, so
+    // shortlist membership is the only loss). Gate well below the
+    // observed value: 8 one-byte codes over 64 dims is still lossy
+    // and the gate exists to catch degenerate codebooks, not to pin
+    // the exact recall.
+    assert(recall >= 0.5, s"PQ shortlist recall degenerate: $recall")
+  }
+
   test("s02 candidate dedup exchanges bare ids, never embedding arrays") {
     val df = SparkEntry.queries("s02_ann_lsh")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
