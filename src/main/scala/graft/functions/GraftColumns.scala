@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharShingles, CosineSimilarity, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
+import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -16,6 +16,11 @@ object GraftColumns {
   /** Distinct character k-shingles in one pass (see [[CharShingles]]). */
   def charShingles(text: Column, k: Int): Column =
     SqlBridge.column(CharShingles(SqlBridge.expression(text), k))
+
+  /** ALL character k-grams, duplicates kept — the LM occurrence
+    * stream (see [[CharGrams]]). */
+  def charGrams(text: Column, k: Int): Column =
+    SqlBridge.column(CharGrams(SqlBridge.expression(text), k))
 
   /** 64-bit SimHash over whitespace tokens in one pass (see
     * [[SimHashTokens]]). */

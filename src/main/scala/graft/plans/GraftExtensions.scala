@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
+import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -54,6 +54,12 @@ object GraftFunctions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "char_shingles(text, k) takes exactly 2 arguments")
       CharShingles(children.head, intArg(children(1), "char_shingles", "k"))
+    }), (
+    new FunctionIdentifier("char_grams"),
+    new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "char_grams(text, k) takes exactly 2 arguments")
+      CharGrams(children.head, intArg(children(1), "char_grams", "k"))
     }), (
     new FunctionIdentifier("simhash_tokens"),
     new ExpressionInfo(classOf[SimHashTokens].getName, "simhash_tokens"),

@@ -544,22 +544,50 @@ object Pipeline {
   // Composes with s03 as IVF-PQ (probe lists, then ADC within them);
   // here the full compressed scan keeps recall measurable against
   // s01 (PipelineScaleSpec).
-  private val s04: Q = (s, d) => {
+  /** PQ subspace codebooks, fit per dim/numSub-subvector on a seeded
+    * SAMPLE (s03's quantizer policy — a full-corpus fit would dominate
+    * at 100 TB). Returned as plain matrices: they become plan literals
+    * in the ADC reconstruction. Shared by s04 (flat PQ) and s05
+    * (IVF-PQ). */
+  private def pqCodebooks(s: SparkSession, d: String,
+      numSub: Int, ksub: Int): (Int, Seq[Seq[Seq[Double]]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val emb = T.embeddings(s, d)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val sub = dim / numSub
+    // One cached training sample feeds all 8 subspace fits (was: 8
+    // separate sample scans), and the fits run CONCURRENTLY — they
+    // are independent Spark jobs in one session, so the scheduler
+    // interleaves them across the executor pool. Sequential fits
+    // measured 10.8 s of the s04 bench; the work is 8 × (tiny k-means
+    // on a sample), i.e. job-overhead-bound, exactly what concurrent
+    // submission hides. Results are unchanged: same seeds, same data.
+    val train = emb.sample(withReplacement = false, 0.5, seed = 42)
+      .select(col("embedding")).persist()
+    train.count() // materialize before the concurrent readers fork
+    val futs = (0 until numSub).map { m => Future {
+      val feats = train
+        .select(array_to_vector(slice(col("embedding"), m * sub + 1, sub)).as("features"))
+      new KMeans().setK(ksub).setSeed(42 + m).setMaxIter(10).setInitMode("random")
+        .fit(feats).clusterCenters.map(_.toArray.toSeq).toSeq
+    }}
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      futs.map(f => Await.result(f, Duration.Inf))
+    train.unpersist()
+    (sub, codebooks)
+  }
+
+  private val s04: Q = (s, d) => {
     // shortlist = 10× the final k, the usual PQ re-rank budget: at
     // corpus scale it is a CONSTANT per query while the compressed
     // scan it follows is what grows.
     val numSub = 8; val ksub = 16; val shortlist = 50
     val emb = T.embeddings(s, d)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val sub = dim / numSub
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until numSub).map { m =>
-      val train = emb.sample(withReplacement = false, 0.5, seed = 42)
-        .select(array_to_vector(slice(col("embedding"), m * sub + 1, sub)).as("features"))
-      new KMeans().setK(ksub).setSeed(42 + m).setMaxIter(10).setInitMode("random")
-        .fit(train).clusterCenters.map(_.toArray.toSeq).toSeq
-    }
+    val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
     val codeCols = (0 until numSub).map { m =>
       element_at(graft.functions.GraftColumns.nearestClusters(
         slice(col("embedding"), m * sub + 1, sub),
@@ -582,6 +610,72 @@ object Pipeline {
       .select(col("q_id"), col("cand_id"))
     // Stage 2 — exact re-rank: full vectors are fetched for the
     // shortlist ONLY (shortlist × queries rows, not the corpus).
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    short
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // -- s05: IVF-PQ ANN (rows-only) -----------------------------------------
+  // The production ANN composition — s03's probe-list restriction ×
+  // s04's compressed scoring, i.e. what FAISS deploys as IVFx,PQy:
+  // a query reads ONLY its nProbe inverted lists (√n-sized, so
+  // candidates ≈ √n·nProbe), and within those lists the ADC pass
+  // reads 8 one-byte codes per vector instead of dim floats (32×).
+  // The two levers multiply: at 100 TB the probe restriction bounds
+  // WHICH vectors are touched and PQ bounds the BYTES per touched
+  // vector; the exact re-rank then fetches full vectors for the
+  // per-query-constant shortlist only. Spherical PQ on raw vectors
+  // (not residuals) keeps the codebooks cluster-independent — one
+  // codebook set serves every list, the classic simplification when
+  // recall is re-rank-protected. Recall vs s01 is spec-gated
+  // (PipelineScaleSpec); banding/quantization isn't ANSI-expressible
+  // → rows-only.
+  private val s05: Q = (s, d) => {
+    // nProbe 4 (vs s03's 2): PQ loses additional candidates inside
+    // the probed lists, so IVF-PQ spends more probes to hold recall —
+    // the standard FAISS tuning trade. 4 lists of √n vectors is still
+    // a vanishing fraction of a warehouse corpus.
+    val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
+    val n = T.embeddings(s, d).count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (assigned, model) = kmeansAssign(s, d, k)
+    val cents = model.clusterCenters.map(_.toArray)
+    val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
+    val codeCols = (0 until numSub).map { m =>
+      element_at(graft.functions.GraftColumns.nearestClusters(
+        slice(col("embedding"), m * sub + 1, sub),
+        codebooks(m).map(_.toArray).toArray, 1), 1).as(s"code$m")
+    }
+    // inverted lists store (cluster, codes): 8 bytes + a list id per
+    // vector — the compressed index a 100-TB corpus can actually hold
+    val coded = assigned.filter(col("vec_id") >= 10)
+      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++ codeCols: _*)
+    val recon = flatten(array((0 until numSub).map { m =>
+      element_at(typedlit(codebooks(m)), col(s"code$m") + 1)
+    }: _*))
+    val probes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("cluster", explode(
+        graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    // Stage 1 — ADC over the probed lists only.
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("cand_id"))
+    val short = coded.join(broadcast(probes), "cluster")
+      .withColumn("approx_cos", VF.cosine(col("q_vec"), recon))
+      .withColumn("rn_a", row_number().over(wApprox))
+      .filter(col("rn_a") <= shortlist)
+      .select(col("q_id"), col("cand_id")) // (q, cand) unique: single-assignment lists
+    // Stage 2 — exact re-rank on the shortlist.
+    val emb = T.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val wExact = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     short
       .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
@@ -822,6 +916,76 @@ object Pipeline {
       |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
       |ORDER BY us.doc_id""".stripMargin
 
+  // -- t09: corpus char-trigram LM scoring ---------------------------------
+  // The language-model quality gate every pretraining pipeline runs:
+  // estimate a character-trigram unigram LM from the corpus itself,
+  // then score each document against it. Scores are kept in frequency
+  // space — avg corpus frequency of the doc's trigram occurrences and
+  // the share of occurrences whose trigram is corpus-rare (the
+  // OOV-ish signal) — because rational stats of exact integers are
+  // bit-identical across engines; log-perplexity is this same plan
+  // with ln() in the final projection (and the same monotone ordering
+  // on the rare-mass signal), but a cross-engine double log-sum
+  // cannot hash-match, so the exactness policy (t02/t08) prefers the
+  // rational form.
+  //
+  // Shape, sized for 100 TB: per-(doc, gram) counts are ONE shuffle
+  // (`dtf` — each doc is one row, so the map-side partial IS the
+  // final count and the exchange moves distinct grams per doc, not
+  // occurrences); the model aggregates over a key space bounded by
+  // |alphabet|³ — partial-agg compresses it map-side and the result
+  // broadcasts no matter how big the corpus; scoring is then a
+  // map-side broadcast join plus one per-doc agg. The occurrence
+  // product c·cnt runs in DECIMAL (QUtil's money policy) so the
+  // arithmetic stays exact well past the long range a 100-TB corpus
+  // would overflow.
+  private val t09: Q = (s, d) => {
+    val dtf = docsSpread(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftColumns.charGrams(col("text"), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // the LM-estimation checkpoint: counted once, read twice
+    // "rare" is CORPUS-RELATIVE — cnt ≤ mean/4 — phrased as the pure
+    // integer predicate cnt·4·n_grams ≤ total so no division ever
+    // truncates differently across engines, and the gate keeps meaning
+    // at any corpus size (a fixed absolute threshold goes degenerate
+    // the moment the corpus grows).
+    val model = dtf.groupBy(col("g"))
+      .agg(sum(col("c")).as("cnt"))
+    val tot = model.agg(sum(col("cnt")).as("total_c"),
+      count(lit(1)).as("n_grams")) // one row: the model's normalizing stats
+    dtf.join(broadcast(model), "g")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(col("c").cast(DecimalType(19, 0)) * col("cnt").cast(DecimalType(19, 0)))
+          .as("tf_sum"),
+        sum(when(col("cnt") * 4L * col("n_grams") <= col("total_c"), col("c"))
+          .otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tri"),
+        (col("tf_sum").cast(DoubleType) / col("n_tri")).as("avg_tf"),
+        (col("n_rare").cast(DoubleType) / col("n_tri")).as("rare_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t09Sql =
+    """WITH tri AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+      |      i -> substr(text, i, 3))) AS g
+      |  FROM documents),
+      |dtf AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+      |model AS (SELECT g, CAST(SUM(c) AS BIGINT) AS cnt FROM dtf GROUP BY g),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_c, COUNT(*) AS n_grams
+      |        FROM model)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+      |  CAST(SUM(c * cnt) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS avg_tf,
+      |  CAST(SUM(CASE WHEN cnt * 4 * n_grams <= total_c THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(c) AS BIGINT) AS rare_rate
+      |FROM dtf JOIN model USING (g) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ======================= corpus curation (end-to-end) ====================
 
   // -- p01: flagship curation chain ----------------------------------------
@@ -931,6 +1095,133 @@ object Pipeline {
       |  (cum - bpe_tokens) // 512 AS bin_id,
       |  (cum - bpe_tokens) % 512 AS bin_offset
       |FROM c ORDER BY doc_id""".stripMargin
+
+  // -- p03: temperature-based source mixing --------------------------------
+  // α-sampling (the multilingual-LM mixture recipe): each source's
+  // sampled mass scales as n^α with α = 1/2, i.e. per-doc admission
+  // rate r_s = min(1, C/√n_s) — big sources are downsampled hard,
+  // small sources kept whole, which is exactly how pretraining
+  // mixtures rebalance a web-scale crawl against small curated
+  // sources. Two deliberate exactness choices:
+  //   * no cross-source normalizer — r_s uses only √ and ÷, both
+  //     IEEE-correctly-rounded, so Spark and DuckDB compute the SAME
+  //     double (a normalizer would sum doubles across sources in
+  //     engine-dependent order);
+  //   * admission is t07's deterministic salted-hash test at a
+  //     per-source VARIABLE rate: u(doc) = first 8 md5 hex chars vs a
+  //     threshold string lpad(hex(⌊r·2³²⌋)) — layout-independent,
+  //     backfill-stable, replayable in the oracle.
+  // Scale shape: the per-source stats are one bounded agg (|sources|
+  // rows → broadcast); the admission test is map-side; one final
+  // per-source agg. The fact table is never shuffled.
+  private val p03: Q = (s, d) => {
+    val c = 3.0
+    val docs = T.documents(s, d)
+      .withColumn("u", substring(
+        md5(concat(col("doc_id").cast(StringType), lit("|mix"))), 1, 8))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("samp_rate",
+        least(lit(1.0), lit(c) / sqrt(col("n_docs").cast(DoubleType))))
+      .withColumn("thresh", when(col("samp_rate") >= 1.0, lit("zzzzzzzz"))
+        .otherwise(lower(lpad(
+          hex(floor(col("samp_rate") * lit(4294967296.0))), 8, "0"))))
+    docs.join(broadcast(stats), "source")
+      .groupBy(col("source"), col("n_docs"), col("samp_rate"))
+      .agg(sum(when(col("u") < col("thresh"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("source"), col("n_docs"), col("samp_rate"), col("n_sampled"),
+        (col("n_sampled").cast(DoubleType) / col("n_docs")).as("eff_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val p03Sql =
+    """WITH st AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |r AS (SELECT source, n_docs,
+      |        least(CAST(1.0 AS DOUBLE),
+      |              CAST(3.0 AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE))) AS samp_rate
+      |      FROM st),
+      |t AS (SELECT source, n_docs, samp_rate,
+      |        CASE WHEN samp_rate >= 1.0 THEN 'zzzzzzzz'
+      |             ELSE printf('%08x', CAST(floor(samp_rate * 4294967296.0) AS BIGINT))
+      |        END AS thresh
+      |      FROM r),
+      |a AS (SELECT d.source, t.n_docs, t.samp_rate,
+      |        CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 8) < t.thresh
+      |             THEN 1 ELSE 0 END AS adm
+      |      FROM documents d JOIN t USING (source))
+      |SELECT source, n_docs, samp_rate, CAST(SUM(adm) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(adm) AS DOUBLE) / n_docs AS eff_rate
+      |FROM a GROUP BY source, n_docs, samp_rate ORDER BY source""".stripMargin
+
+  // -- t10: count-min-sketch heavy hitters ---------------------------------
+  // Frequent-token estimation with BOUNDED state: a depth-4 ×
+  // width-256 count-min sketch whose hash rows are md5-derived, so
+  // the whole sketch — not just the exact side — replays bit-for-bit
+  // in the DuckDB oracle (a sketch query with a full hash-exact
+  // oracle). The scale story is the counter table: 1024 cells no
+  // matter the corpus size, built by one partial-agged groupBy over a
+  // bounded key space (the shuffle moves ≤ depth·width rows per
+  // partition), and mergeable across any sharding by plain addition —
+  // the standard one-pass heavy-hitter pass a boilerplate/stopword
+  // gate runs at 100 TB where an exact per-token groupBy would
+  // shuffle the whole vocabulary. The exact top-20 here is the
+  // verification set: CMS guarantees est ≥ exact (one-sided error ≤
+  // εN with ε = e/width at δ = e⁻⁴) — over_err quantifies it and
+  // PipelineScaleSpec gates it.
+  private val t10: Q = (s, d) => {
+    val depth = 4; val width = 256
+    val toks = docsSpread(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .persist() // one tokenization, read by sketch build + exact top-k
+    def bucket(tok: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(tok, lit(s"|$r"))), 1, 4), 16, 10)
+        .cast(IntegerType) % width
+    val rows = (0 until depth).map(r =>
+      struct(lit(r).as("r"), bucket(col("tok"), r).as("bucket")))
+    val counters = toks
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .limit(20)
+    val probes = top.select(col("tok"), col("exact_cnt"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), bucket(col("tok"), r).as("bucket"))): _*)).as("rb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    probes.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cell")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("over_err"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  private val t10Sql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+      |rb AS (
+      |  SELECT tok, r,
+      |    CAST(('0x' || substr(md5(tok || '|' || CAST(r AS VARCHAR)), 1, 4)) AS INTEGER)
+      |      % 256 AS bucket
+      |  FROM tk, (SELECT unnest(generate_series(0, 3)) AS r)),
+      |counters AS (SELECT r, bucket, COUNT(*) AS cell FROM rb GROUP BY 1, 2),
+      |top AS (SELECT tok, COUNT(*) AS exact_cnt FROM tk GROUP BY tok
+      |        ORDER BY exact_cnt DESC, tok LIMIT 20),
+      |probes AS (
+      |  SELECT t.tok, t.exact_cnt, r.r,
+      |    CAST(('0x' || substr(md5(t.tok || '|' || CAST(r.r AS VARCHAR)), 1, 4)) AS INTEGER)
+      |      % 256 AS bucket
+      |  FROM top t, (SELECT unnest(generate_series(0, 3)) AS r) r)
+      |SELECT p.tok, p.exact_cnt, MIN(c.cell) AS cms_est,
+      |  MIN(c.cell) - p.exact_cnt AS over_err
+      |FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+      |GROUP BY p.tok, p.exact_cnt
+      |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
 
   // ======================= multimodal plumbing =============================
 
@@ -1121,12 +1412,14 @@ object Pipeline {
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
-    "s04_ann_pq" -> s04,
+    "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "t06_fingerprint" -> t06, "t07_stratified_sample" -> t07,
-    "t08_repetition" -> t08,
+    "t08_repetition" -> t08, "t09_ngram_lm" -> t09,
+    "t10_heavy_hitters" -> t10,
     "p01_curate_corpus" -> p01, "p02_pack_sequences" -> p02,
+    "p03_temperature_mix" -> p03,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
@@ -1143,7 +1436,9 @@ object Pipeline {
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
     "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,
     "t07_stratified_sample" -> t07Sql, "t08_repetition" -> t08Sql,
+    "t09_ngram_lm" -> t09Sql, "t10_heavy_hitters" -> t10Sql,
     "p01_curate_corpus" -> p01Sql, "p02_pack_sequences" -> p02Sql,
+    "p03_temperature_mix" -> p03Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,

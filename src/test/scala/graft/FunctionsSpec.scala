@@ -208,6 +208,19 @@ class FunctionsSpec extends SparkSpec {
     assert(native(1) == Seq("xy")) // shorter than k → whole string
   }
 
+  test("charGrams keeps duplicates in position order (the LM occurrence stream)") {
+    val df = Seq("ababa", "xy", "").toDF("t")
+    val got = df.select(graft.functions.GraftColumns.charGrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("aba", "bab", "aba")) // duplicate kept, unlike charShingles
+    assert(got(1) == Seq("xy"))                // shorter than k → whole string
+    assert(got(2) == Seq(""))                  // SQL substr('', 1, 3) semantics
+    // SQL registration path (GraftExtensions)
+    val viaSql = spark.sql("SELECT char_grams('ababa', 3) AS g")
+      .as[Seq[String]].head()
+    assert(viaSql == Seq("aba", "bab", "aba"))
+  }
+
   test("cosine doGenCode compiles and runs inside codegen (fallback disabled)") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {

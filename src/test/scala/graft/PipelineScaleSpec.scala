@@ -44,6 +44,22 @@ class PipelineScaleSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ shortlist recall degenerate: $recall")
   }
 
+  test("s05 IVF-PQ top-5 recalls a usable share of s01's exact top-5") {
+    def top(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top("s01_ann_bruteforce")
+    val ivfpq = top("s05_ann_ivfpq")
+    assert(exact.nonEmpty)
+    val recall = ivfpq.intersect(exact).size.toDouble / exact.size
+    info(s"s05 recall vs s01: $recall (${ivfpq.intersect(exact).size}/${exact.size})")
+    // Two stacked approximations (probe restriction × PQ shortlist),
+    // each individually gated at 0.5 — the composition is gated lower:
+    // the spec catches degenerate quantizers/codebooks, not the exact
+    // recall number.
+    assert(recall >= 0.4, s"IVF-PQ recall degenerate: $recall")
+  }
+
   test("s02 candidate dedup exchanges bare ids, never embedding arrays") {
     val df = SparkEntry.queries("s02_ann_lsh")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -156,4 +156,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial"), s"expected partial HashAggregate in:\n$p")
     assert(!p.contains("Join"), "pseudonym is a map-side hash, not a lookup join")
   }
+
+  test("t09 LM scoring broadcasts the model (bounded key space, no fact sort-merge)") {
+    val p = plan("t09_ngram_lm")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |alphabet|³-bounded model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "scoring must not shuffle the occurrence stream against the model")
+  }
+
+  test("p03 temperature mixing broadcasts the per-source stats (fact never shuffled for the join)") {
+    val p = plan("p03_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|-row rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t10 CMS counters aggregate partially (bounded cells) and broadcast into the probe join") {
+    val p = plan("t10_heavy_hitters")
+    assert(p.contains("partial"), s"expected partial HashAggregate in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-cell counter table must broadcast:\n$p")
+  }
 }
