@@ -38,6 +38,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       // operators persist intermediates (inverted indexes etc.);
       // drop them so queries don't pressure each other's memory
+      CacheScope.drain()
       spark.catalog.clearCache()
     }
 

@@ -22,7 +22,8 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        spark.catalog.clearCache() // drop per-query persisted intermediates
+        CacheScope.drain()         // release per-query persisted intermediates
+        spark.catalog.clearCache() // and anything persisted outside the scope
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -42,12 +42,14 @@ object GraftColumns {
     * (quantizer output), held as a plain matrix, not per-row
     * re-evaluated literals. */
   def nearestClusters(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
-    SqlBridge.column(NearestClusters(SqlBridge.expression(vec), centroids, k))
+    SqlBridge.column(NearestClusters(SqlBridge.expression(vec),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, k))
 
   /** 64-bit-max hyperplane LSH signature against a precomputed plane
     * matrix, one tight loop per row (see [[HyperplaneSignature]]). */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
-    SqlBridge.column(HyperplaneSignature(SqlBridge.expression(vec), planes))
+    SqlBridge.column(HyperplaneSignature(SqlBridge.expression(vec),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
 
   /** Per-document repetition stats struct in one pass (see
     * [[TokenRepetitionStats]]). */

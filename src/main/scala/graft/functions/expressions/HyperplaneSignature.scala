@@ -8,9 +8,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 /** Random-hyperplane LSH signature: bit j of the result is
   * sign(v · plane_j). The plane matrix is precomputed driver-side
   * (deterministic hash family, see
-  * [[graft.functions.VectorFunctions.hyperplaneSignature]]) and held
-  * as a plain `Array[Array[Double]]`, so signing is numBits × dim
-  * multiply-adds in one compiled loop per row.
+  * [[graft.functions.VectorFunctions.hyperplaneSignature]]); signing
+  * is numBits × dim multiply-adds in one compiled loop per row over a
+  * lazily-materialized primitive matrix.
+  *
+  * The constructor parameter is `Seq[Seq[Double]]`, NOT arrays: case
+  * classes over arrays compare by identity, which silently breaks
+  * Catalyst canonicalization / `semanticEquals` / common-subexpression
+  * elimination — two structurally identical signatures would never
+  * dedupe. Structural-equality params keep the expression a first-
+  * class Catalyst citizen; the hot loop still runs on primitives.
+  *
+  * A vector whose dimension differs from the plane dimension raises
+  * (same contract as [[CosineSimilarity]]) — a garbage signature for a
+  * wrong-dim vector would silently poison every downstream bucket.
   *
   * The HOF formulation (one `aggregate(zip_with(...))` per bit with a
   * per-element `xxhash64`) evaluates numBits × dim interpreted
@@ -18,7 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * parity with it is asserted in FunctionsSpec (the driver-side plane
   * replication uses the same xxhash64 chain Spark evaluates).
   */
-case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
+case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression with UnaryRefCodegen {
 
   override def dataType: DataType = LongType
@@ -35,18 +46,23 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  // primitive copy for the hot loop; built once per task, not per row
+  private lazy val planeArr: Array[Array[Double]] = planes.map(_.toArray).toArray
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val dim = a.numElements()
     var sig = 0L
     var j = 0
-    while (j < planes.length) {
-      val plane = planes(j)
-      val n = math.min(dim, plane.length)
+    while (j < planeArr.length) {
+      val plane = planeArr(j)
+      if (plane.length != dim) {
+        throw new IllegalArgumentException(
+          s"$prettyName: vector dimension $dim does not match plane dimension ${plane.length}")
+      }
       var dot = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
         dot += x * plane(i)
         i += 1

@@ -14,14 +14,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * struct(-cosine, idx)))`) evaluates an interpreted lambda per
   * centroid per row — k × dim work with per-element overhead, the
   * assignment hot spot once k scales as √corpus. This expression
-  * holds the centroid matrix as a plain `Array[Array[Double]]`
-  * (materialized ONCE from the foldable literal, not per row) and
-  * keeps a running top-k insertion, so assignment is one tight loop.
+  * holds the centroid matrix as `Seq[Seq[Double]]` — structural
+  * equality, so Catalyst canonicalization / `semanticEquals` /
+  * common-subexpression elimination see two identical assignments as
+  * one (array params compare by identity and silently defeat all
+  * three) — and materializes a primitive copy ONCE for the hot loop,
+  * keeping a running top-k insertion, so assignment is one tight loop.
   *
-  * Zero-norm inputs score -1.0, consistent with [[CosineSimilarity]].
+  * Zero-norm inputs score -1.0, consistent with [[CosineSimilarity]];
+  * a vector whose dimension differs from the centroid dimension
+  * raises (same contract) — a garbage assignment would silently
+  * poison the inverted lists.
   */
 case class NearestClusters(child: Expression,
-                           centroids: Array[Array[Double]], k: Int)
+                           centroids: Seq[Seq[Double]], k: Int)
     extends UnaryExpression with UnaryRefCodegen {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -39,9 +45,12 @@ case class NearestClusters(child: Expression,
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  // centroid norms precomputed once — the per-row loop only needs dots
+  // primitive copy + norms precomputed once — the per-row loop only
+  // needs dots over primitive arrays
+  private lazy val centArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
   private lazy val centNorms: Array[Double] =
-    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    centArr.map(c => math.sqrt(c.map(x => x * x).sum))
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -54,16 +63,19 @@ case class NearestClusters(child: Expression,
       vec(i) = x; vNormSq += x * x; i += 1
     }
     val vNorm = math.sqrt(vNormSq)
-    val kk = math.min(k, centroids.length)
+    val kk = math.min(k, centArr.length)
     val bestIdx = new Array[Int](kk)
     val bestScore = Array.fill(kk)(Double.NegativeInfinity)
     var c = 0
-    while (c < centroids.length) {
-      val cent = centroids(c)
-      val n = math.min(dim, cent.length)
+    while (c < centArr.length) {
+      val cent = centArr(c)
+      if (cent.length != dim) {
+        throw new IllegalArgumentException(
+          s"$prettyName: vector dimension $dim does not match centroid dimension ${cent.length}")
+      }
       var dot = 0.0
       var j = 0
-      while (j < n) { dot += vec(j) * cent(j); j += 1 }
+      while (j < dim) { dot += vec(j) * cent(j); j += 1 }
       val denom = vNorm * centNorms(c)
       val cos = if (denom == 0.0) -1.0 else dot / denom
       // ascending index iteration + strict > keeps the lower index on ties

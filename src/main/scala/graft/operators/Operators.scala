@@ -334,7 +334,7 @@ object Operators {
     // Labels only ever decrease, so the label SUM is strictly
     // monotone until fixpoint — an unchanged sum IS convergence.
     // One tiny aggregate per round instead of a self-join diff.
-    var prevSum = BigDecimal(-1)
+    var prevSum: Option[BigDecimal] = None
     var converged = false
     while (!converged) {
       val viaNeighbors = und.join(comp, und("src") === comp("id"))
@@ -355,12 +355,16 @@ object Operators {
       val next = comp.unionByName(viaNeighbors).unionByName(viaLabel)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      val s = BigDecimal(next.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head().getDecimal(0))
-      converged = s == prevSum
+      // sum over an empty frame is null: an empty vertex set (clean
+      // corpus, zero near-dup pairs) is already converged — without
+      // the guard the BigDecimal constructor NPEs.
+      val s = Option(next.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head().getDecimal(0)).map(BigDecimal(_))
+      converged = s.isEmpty || s == prevSum
       prevSum = s
       comp = next
     }
+    und.unpersist()
     comp
   }
 }

@@ -78,7 +78,7 @@ object Pipeline {
     val sh = shAll
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf).drop("df")
-      .persist()
+      .transform(graft.CacheScope.cached)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -136,7 +136,7 @@ object Pipeline {
     val pruned = fp
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= maxDf).drop("df")
-      .persist()
+      .transform(graft.CacheScope.cached)
     val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = pruned.as("a")
       .join(pruned.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -312,7 +312,7 @@ object Pipeline {
     val chunked = sigs.select(col("doc_id"), col("sig"),
         explode(array(chunkCols: _*)).as("cc"))
       .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
-      .persist() // both self-join sides read this; simhash is 64 interpreted folds
+      .transform(graft.CacheScope.cached) // both self-join sides read this; simhash is 64 interpreted folds
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
@@ -945,7 +945,7 @@ object Pipeline {
         explode(graft.functions.GraftColumns.charGrams(col("text"), 3)).as("g"))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
-      .persist() // the LM-estimation checkpoint: counted once, read twice
+      .transform(graft.CacheScope.cached) // the LM-estimation checkpoint: counted once, read twice
     // "rare" is CORPUS-RELATIVE — cnt ≤ mean/4 — phrased as the pure
     // integer predicate cnt·4·n_grams ≤ total so no division ever
     // truncates differently across engines, and the gate keeps meaning
@@ -1173,7 +1173,7 @@ object Pipeline {
     val toks = docsSpread(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .persist() // one tokenization, read by sketch build + exact top-k
+      .transform(graft.CacheScope.cached) // one tokenization, read by sketch build + exact top-k
     def bucket(tok: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
       conv(substring(md5(concat(tok, lit(s"|$r"))), 1, 4), 16, 10)
         .cast(IntegerType) % width

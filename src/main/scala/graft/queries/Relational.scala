@@ -610,37 +610,217 @@ object Relational {
        |  ${sqlMoneySum("value")} AS sum_value, ${sqlMoneyAvg("value")} AS avg_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  // -- q33: HLL approx distinct (OLAP sketch; rows-only) -------------------
-  // Pairs the sketch with the exact count so accuracy is visible in the
-  // output; rows-only because DuckDB's approx algorithm differs.
-  private val q33: Q = (s, d) =>
-    T.orders(s, d)
+  // -- q33: HLL approx distinct (OLAP sketch; ORACLE-EXACT) ----------------
+  // A full HyperLogLog built from first principles so the sketch itself
+  // replays in DuckDB (t10's trick, applied to HLL): md5-derived 32-bit
+  // hash, m = 256 registers from the top 8 bits, rank = leading-zero
+  // count of the low 24 bits via length(bin(x)) — pure integer
+  // arithmetic both engines. The register harmonic sum is kept EXACT by
+  // scaling to 2^25 (every 2^(25-rank) term is an integer; Σ fits a
+  // long), so the only floating-point ops are one constant-folded alpha,
+  // one division, and the small-range linear-counting branch — each a
+  // single correctly-rounded IEEE op, hence hash-identical across
+  // engines after round(·,4). Paired with the exact count so sketch
+  // accuracy is visible (spec gates ≤10%). The register build is ONE
+  // partial-aggregated shuffle on (group, register) — 256 cells per
+  // group no matter how many rows, the property that makes HLL the
+  // 100-TB count-distinct (the exact column here is the expensive one;
+  // a warehouse deployment would drop it).
+  private val q33: Q = (s, d) => {
+    val base = T.orders(s, d)
       .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"))
-      .agg(approx_count_distinct(col("c_custkey"), rsd = 0.02).as("approx_students"),
-        countDistinct(col("c_custkey")).as("exact_students"))
+      .select(col("n_name"), col("c_custkey"))
+    val hashed = base
+      .withColumn("hv",
+        conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("r", expr("hv DIV 16777216"))
+      .withColumn("rest", col("hv") % 16777216L)
+      .withColumn("rho", when(col("rest") === 0, lit(25))
+        .otherwise(lit(25) - length(bin(col("rest")))))
+    val regs = hashed.groupBy(col("n_name"), col("r"))
+      .agg(max(col("rho")).as("mj"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val sk = regs.groupBy(col("n_name"))
+      .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 25 - mj) AS BIGINT)"))
+        .as("s_present"), count(lit(1)).as("n_present"))
+      .withColumn("s_total",
+        col("s_present") + (lit(256L) - col("n_present")) * 33554432L)
+      .withColumn("v_zero", lit(256L) - col("n_present"))
+      .withColumn("e_raw", alpha * lit(2199023255552.0) / col("s_total"))
+      .withColumn("approx_students",
+        round(when(col("e_raw") <= 640.0 && col("v_zero") > 0,
+          lit(256.0) * log(lit(256.0) / col("v_zero")))
+          .otherwise(col("e_raw")), 4))
+    val exact = base.groupBy(col("n_name"))
+      .agg(countDistinct(col("c_custkey")).as("exact_students"))
+    sk.join(exact, Seq("n_name"))
+      .withColumn("err_pct", round(lit(100.0) *
+        abs(col("approx_students") - col("exact_students").cast("double")) /
+        col("exact_students"), 4))
+      .select("n_name", "approx_students", "exact_students", "err_pct")
       .orderBy(col("n_name"))
+  }
 
-  // -- q34: approx percentile sketch (rows-only) ---------------------------
-  // Scalar columns (not arrays): the driver's rows-only check sorts the
-  // result frame in pandas, which cannot hash array cells. Pairs each
-  // approx quantile with the exact one so sketch accuracy is visible;
-  // rows-only because DuckDB's approx_quantile sketch differs.
-  private val q34: Q = (s, d) =>
-    T.lineitem(s, d)
+  // Same HLL replayed in DuckDB: identical hash family (md5 hex → int),
+  // identical integer register/rank arithmetic, identical
+  // double-literal constants. SUM casts through BIGINT (DuckDB sums to
+  // HUGEINT) and every double constant is CAST explicitly (DuckDB
+  // parses decimal literals as DECIMAL, whose arithmetic differs).
+  private val q33Sql =
+    """WITH base AS (
+      |  SELECT n_name, c_custkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |h AS (
+      |  SELECT n_name,
+      |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM base),
+      |rr AS (
+      |  SELECT n_name, hv // 16777216 AS r,
+      |    CASE WHEN hv % 16777216 = 0 THEN 25
+      |         ELSE 25 - length(bin(hv % 16777216)) END AS rho
+      |  FROM h),
+      |regs AS (SELECT n_name, r, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+      |sk AS (
+      |  SELECT n_name,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT)
+      |      + (256 - COUNT(*)) * 33554432 AS s_total,
+      |    256 - COUNT(*) AS v_zero
+      |  FROM regs GROUP BY 1),
+      |est AS (
+      |  SELECT n_name, v_zero,
+      |    CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+      |      * CAST(2199023255552 AS DOUBLE) / s_total AS e_raw
+      |  FROM sk),
+      |apx AS (
+      |  SELECT n_name,
+      |    round(CASE WHEN e_raw <= 640.0 AND v_zero > 0
+      |          THEN 256.0 * ln(256.0 / v_zero) ELSE e_raw END, 4) AS approx_students
+      |  FROM est),
+      |ex AS (SELECT n_name, COUNT(DISTINCT c_custkey) AS exact_students
+      |       FROM base GROUP BY 1)
+      |SELECT a.n_name, a.approx_students, x.exact_students,
+      |  round(100.0 * abs(a.approx_students - CAST(x.exact_students AS DOUBLE))
+      |    / x.exact_students, 4) AS err_pct
+      |FROM apx a JOIN ex x ON a.n_name = x.n_name
+      |ORDER BY a.n_name""".stripMargin
+
+  // -- q34: approx percentile sketch (ORACLE-EXACT) ------------------------
+  // A 128-bin equal-width histogram percentile estimator built from
+  // first principles so the sketch replays in DuckDB (the q33/t10
+  // move, applied to quantiles): bin assignment is pure integer
+  // arithmetic (((vi-mn)*128) DIV width), the per-bin cumulative
+  // counts are exact longs, and the estimate is linear interpolation
+  // inside the covering bin — a handful of IEEE ops over exact
+  // integers, written with identical parenthesization in both engines,
+  // hence hash-identical after round(·,4). Paired with the exact
+  // interpolated percentile (q05's oracle-proven idiom) so sketch
+  // error is visible; spec gates ≤5%.
+  //
+  // Scale: the histogram is ONE partial-aggregated shuffle with ≤128
+  // cells per group regardless of row count, and the cells are
+  // mergeable by addition — the single-pass / streamable property
+  // that replaces a full sort at 100 TB (same role as a t-digest,
+  // with a deterministic replayable construction).
+  private val q34: Q = (s, d) => {
+    val li = T.lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("bigint").as("vi"))
+    val stats = li.groupBy("l_returnflag").agg(
+      min(col("vi")).as("mn"), max(col("vi")).as("mx"), count(lit(1)).as("n"))
+    val hist = li.join(broadcast(stats), Seq("l_returnflag"))
+      .withColumn("bin", expr("((vi - mn) * 128) DIV (mx - mn + 1)"))
+      .groupBy(col("l_returnflag"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val taus = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95))
+    val tgt = stats.select(col("l_returnflag"), col("mn"), col("mx"), col("n"),
+        explode(array(taus.map { case (l, t) =>
+          struct(lit(l).as("lbl"), lit(t).as("tau")) }: _*)).as("tt"))
+      .select(col("l_returnflag"), col("mn"), col("mx"),
+        col("tt.lbl").as("lbl"),
+        (col("tt.tau") * (col("n") - 1).cast("double") + lit(1.0)).as("t"))
+    // first (lowest) bin whose cumulative count covers the target rank
+    val sel = tgt.join(cum, Seq("l_returnflag"))
+      .filter(col("cum").cast("double") >= col("t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"), col("lbl")).orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+    val wbin = (col("mx") - col("mn") + 1).cast("double") / lit(128.0)
+    val est = (col("mn").cast("double") + col("bin").cast("double") * wbin) +
+      ((col("t") - col("cum_prev").cast("double")) / col("cnt").cast("double")) * wbin
+    val aggCols = taus.map { case (l, _) =>
+      max(when(col("lbl") === l, col("ap"))).as(s"approx_$l") }
+    val approx = sel.withColumn("ap", round(est, 4))
       .groupBy(col("l_returnflag"))
-      .agg(
-        // ONE sketch / one exact pass for all four taus (the array
-        // form shares the digest); scalars are extracted afterwards
-        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)").as("aq"),
-        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("eq"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val exact = T.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("eq"))
       .select(Seq(col("l_returnflag")) ++
         Seq("25" -> 1, "50" -> 2, "75" -> 3, "95" -> 4).map { case (p, i) =>
-          element_at(col("aq"), i).as(s"approx_p$p") } ++
-        Seq("25" -> 1, "50" -> 2, "75" -> 3, "95" -> 4).map { case (p, i) =>
           round(element_at(col("eq"), i), 4).as(s"exact_p$p") }: _*)
+    approx.join(exact, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
+  }
+
+  // Same histogram replayed in DuckDB: identical integer binning,
+  // identical interpolation parenthesization; window SUM casts through
+  // DOUBLE only at comparison/arithmetic points (DuckDB widens to
+  // HUGEINT where Spark stays long — values never exceed 2^53 so the
+  // double images coincide).
+  private val q34Sql =
+    """WITH li AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS vi FROM lineitem),
+      |st AS (SELECT l_returnflag, MIN(vi) AS mn, MAX(vi) AS mx, COUNT(*) AS n
+      |       FROM li GROUP BY 1),
+      |hist AS (
+      |  SELECT l.l_returnflag, ((l.vi - s.mn) * 128) // (s.mx - s.mn + 1) AS bin,
+      |    COUNT(*) AS cnt
+      |  FROM li l JOIN st s ON l.l_returnflag = s.l_returnflag GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, bin, cnt,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+      |  FROM hist),
+      |tt AS (SELECT * FROM (VALUES
+      |  ('p25', CAST(0.25 AS DOUBLE)), ('p50', CAST(0.5 AS DOUBLE)),
+      |  ('p75', CAST(0.75 AS DOUBLE)), ('p95', CAST(0.95 AS DOUBLE))) AS t(lbl, tau)),
+      |tgt AS (
+      |  SELECT s.l_returnflag, s.mn, s.mx, tt.lbl,
+      |    tt.tau * CAST(s.n - 1 AS DOUBLE) + 1.0 AS t
+      |  FROM st s CROSS JOIN tt),
+      |sel AS (
+      |  SELECT g.l_returnflag, g.mn, g.mx, g.lbl, g.t, c.bin, c.cnt,
+      |    c.cum - c.cnt AS cum_prev,
+      |    row_number() OVER (PARTITION BY g.l_returnflag, g.lbl ORDER BY c.bin) AS rn
+      |  FROM tgt g JOIN cum c ON g.l_returnflag = c.l_returnflag
+      |  WHERE CAST(c.cum AS DOUBLE) >= g.t),
+      |est AS (
+      |  SELECT l_returnflag, lbl,
+      |    round((CAST(mn AS DOUBLE)
+      |        + CAST(bin AS DOUBLE) * (CAST(mx - mn + 1 AS DOUBLE) / 128.0))
+      |      + ((t - CAST(cum_prev AS DOUBLE)) / CAST(cnt AS DOUBLE))
+      |        * (CAST(mx - mn + 1 AS DOUBLE) / 128.0), 4) AS ap
+      |  FROM sel WHERE rn = 1),
+      |apx AS (
+      |  SELECT l_returnflag,
+      |    MAX(CASE WHEN lbl = 'p25' THEN ap END) AS approx_p25,
+      |    MAX(CASE WHEN lbl = 'p50' THEN ap END) AS approx_p50,
+      |    MAX(CASE WHEN lbl = 'p75' THEN ap END) AS approx_p75,
+      |    MAX(CASE WHEN lbl = 'p95' THEN ap END) AS approx_p95
+      |  FROM est GROUP BY 1),
+      |ex AS (
+      |  SELECT l_returnflag,
+      |    ROUND(quantile_cont(l_quantity, 0.25), 4) AS exact_p25,
+      |    ROUND(quantile_cont(l_quantity, 0.50), 4) AS exact_p50,
+      |    ROUND(quantile_cont(l_quantity, 0.75), 4) AS exact_p75,
+      |    ROUND(quantile_cont(l_quantity, 0.95), 4) AS exact_p95
+      |  FROM lineitem GROUP BY 1)
+      |SELECT a.l_returnflag, a.approx_p25, a.approx_p50, a.approx_p75, a.approx_p95,
+      |  x.exact_p25, x.exact_p50, x.exact_p75, x.exact_p95
+      |FROM apx a JOIN ex x ON a.l_returnflag = x.l_returnflag
+      |ORDER BY a.l_returnflag""".stripMargin
 
   // -- q35: SCD-2 history build (validity intervals via lead) --------------
   // RDW keeps full import history; a latest-state row plus effective
@@ -1075,5 +1255,6 @@ object Relational {
     "q22_asof_join" -> q22Sql, "q23_sessionize" -> q23Sql, "q24_having" -> q24Sql,
     "q25_string_norm" -> q25Sql, "q26_date_trunc" -> q26Sql, "q27_null_handling" -> q27Sql,
     "q28_revenue" -> q28Sql, "q29_validate_split" -> q29Sql, "q30_correlated_sub" -> q30Sql,
-    "q31_norms_lookup" -> q31Sql, "q32_skew_agg" -> q32Sql)
+    "q31_norms_lookup" -> q31Sql, "q32_skew_agg" -> q32Sql,
+    "q33_approx_distinct" -> q33Sql, "q34_approx_percentile" -> q34Sql)
 }

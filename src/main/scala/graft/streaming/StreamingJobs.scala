@@ -100,8 +100,13 @@ object StreamingJobs {
     * overwrite: Spark (correctly) refuses to overwrite a path it is
     * reading, a failed publish leaves the previous snapshot live, and
     * old snapshots give time travel for free — the same commit model
-    * table formats use. Batch replays after a restart rewrite the
-    * same `v_<batchId>` directory, so the publish is idempotent.
+    * table formats use. Batch replays after a restart are idempotent
+    * in BOTH crash windows: before the publish, the replay rebuilds
+    * `v_<batchId>` from the previous snapshot; after the publish (but
+    * before the checkpoint commit), `_LATEST` already names
+    * `v_<batchId>`, so the replay detects the applied batch and
+    * skips the merge entirely — it must, because re-merging would
+    * read the very directory it overwrites.
     *
     * Scale: the merge is one shuffle on the natural key per batch;
     * the snapshot write is the same partitioned layout as any mart
@@ -116,6 +121,12 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
+        // Replay after a crash between publishLatest and the streaming
+        // checkpoint commit: the batch was fully applied, _LATEST already
+        // points at this batch's snapshot. Merging again would read
+        // v_<batchId> while overwriting it — skip instead.
+        if (readLatestName(sp, martRoot).contains(s"v_$batchId")) ()
+        else {
         val ordering = Seq(col(versionCol).desc, col(tieBreakCol).desc)
         val merged = readMartLatest(sp, martRoot) match {
           case Some(current) =>
@@ -132,19 +143,24 @@ object StreamingJobs {
         val snapshot = s"$martRoot/v_$batchId"
         merged.write.mode("overwrite").parquet(snapshot)
         publishLatest(sp, martRoot, s"v_$batchId")
+        }
         ()
       }
       .start()
 
   /** Read the current mart snapshot via the `_LATEST` pointer. */
-  def readMartLatest(spark: SparkSession, martRoot: String): Option[DataFrame] = {
+  def readMartLatest(spark: SparkSession, martRoot: String): Option[DataFrame] =
+    readLatestName(spark, martRoot)
+      .map(name => spark.read.parquet(s"$martRoot/$name"))
+
+  /** The snapshot directory name `_LATEST` currently points at, if any. */
+  def readLatestName(spark: SparkSession, martRoot: String): Option[String] = {
     val fs = fileSystem(spark, martRoot)
     val ptr = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
-      val name = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      Some(spark.read.parquet(s"$martRoot/$name"))
+      Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
     }
   }
 

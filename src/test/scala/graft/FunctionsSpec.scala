@@ -96,7 +96,7 @@ class FunctionsSpec extends SparkSpec {
       c => struct((-VF.cosine(col("v"), c.getField("cent"))).as("d"),
         c.getField("idx").as("idx")))), 1, 3).getField("idx")
     val rows = df.select(
-      GraftColumns.nearestClusters(col("v"), cents, 3).as("native"), hof.as("ref"))
+      graft.functions.GraftColumns.nearestClusters(col("v"), cents, 3).as("native"), hof.as("ref"))
       .as[(Seq[Int], Seq[Int])].collect()
     rows.foreach { case (native, ref) => assert(native == ref, s"$native != $ref") }
   }
@@ -162,6 +162,43 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(s1 == s2)
     assert(s1 != s3)
+  }
+
+  test("hyperplaneSignature / nearestClusters raise on dimension mismatch (CosineSimilarity contract)") {
+    // a wrong-dim vector must fail loudly — a silently truncated dot
+    // product would poison every downstream LSH bucket / IVF list
+    val bad = Seq(Seq.tabulate(5)(_.toDouble)).toDF("v")
+    val planes = Array.tabulate(4, 8)((j, i) => (j + i + 1).toDouble)
+    val e1 = intercept[Exception] {
+      bad.select(graft.functions.GraftColumns.hyperplaneSignature(col("v"), planes)).collect()
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg(e1).contains("does not match plane dimension"))
+    val e2 = intercept[Exception] {
+      bad.select(graft.functions.GraftColumns.nearestClusters(col("v"), planes, 2)).collect()
+    }
+    assert(msg(e2).contains("does not match centroid dimension"))
+  }
+
+  test("matrix-holding expressions canonicalize structurally (CSE sees duplicates)") {
+    // case classes over Array params compare by identity, which would
+    // defeat semanticEquals / common-subexpression elimination; the
+    // Seq[Seq[Double]] params restore structural equality. Two
+    // instances built from DISTINCT backing arrays must compare equal.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.expressions.{HyperplaneSignature, NearestClusters}
+    val child = BoundReference(0, ArrayType(DoubleType), nullable = false)
+    def mat = Array.tabulate(4, 8)((j, i) => (j - i).toDouble)
+      .map(_.toIndexedSeq).toIndexedSeq
+    val s1 = HyperplaneSignature(child, mat)
+    val s2 = HyperplaneSignature(child, mat)
+    assert(s1 == s2 && s1.semanticEquals(s2))
+    val n1 = NearestClusters(child, mat, 2)
+    val n2 = NearestClusters(child, mat, 2)
+    assert(n1 == n2 && n1.semanticEquals(n2))
   }
 
   test("minhash_shingles: SQL registration matches the Column API and is fast-path native") {

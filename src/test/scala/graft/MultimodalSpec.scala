@@ -24,9 +24,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("approx sketches track exact values (q33/q34 self-check)") {
     val d33 = SparkEntry.queries("q33_approx_distinct")(spark, sfDir)
-      .select("approx_students", "exact_students").as[(Long, Long)].collect()
+      .select("approx_students", "exact_students").as[(Double, Long)].collect()
     d33.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact) <= math.max(2L, (exact * 0.1).toLong),
+      assert(math.abs(approx - exact) <= math.max(2.0, exact * 0.1),
         s"approx $approx too far from exact $exact")
     }
     val d34 = SparkEntry.queries("q34_approx_percentile")(spark, sfDir)

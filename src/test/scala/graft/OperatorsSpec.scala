@@ -219,4 +219,11 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("connectedComponents: empty edge list returns empty, not NPE (clean corpus)") {
+    // sum() over an empty frame is null — the convergence check must
+    // treat that as converged, not feed it to BigDecimal
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Operators.connectedComponents(edges, "a", "b").count() == 0)
+  }
 }

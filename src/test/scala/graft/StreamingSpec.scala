@@ -194,6 +194,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("migrateStream replay after crash-between-publish-and-commit is a no-op (idempotent)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_replay").toString + "/mart"
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_mart_rck1").toString
+    // run batch 0 normally: _LATEST now points at v_0
+    val ms1 = MemoryStream[(Long, Long, String, Boolean)]
+    val q1 = StreamingJobs.migrateStream(ms1.toDF().toDF("k", "ver", "v", "deleted"),
+      root, keys = Seq("k"), versionCol = "ver", tieBreakCol = "v", checkpoint = ckpt1)
+    try { ms1.addData((1L, 1L, "a1", false)); q1.processAllAvailable() } finally q1.stop()
+    assert(StreamingJobs.readLatestName(spark, root).contains("v_0"))
+    // simulate the crash window: the checkpoint is GONE (fresh dir) but
+    // _LATEST already names v_0 — the replayed batch 0 must detect the
+    // applied batch and skip, instead of merging v_0 into itself
+    // (which Spark rejects as overwrite-of-a-read-path and would
+    // re-fail on every restart)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_mart_rck2").toString
+    val ms2 = MemoryStream[(Long, Long, String, Boolean)]
+    val q2 = StreamingJobs.migrateStream(ms2.toDF().toDF("k", "ver", "v", "deleted"),
+      root, keys = Seq("k"), versionCol = "ver", tieBreakCol = "v", checkpoint = ckpt2)
+    try {
+      ms2.addData((1L, 1L, "a1", false))
+      q2.processAllAvailable() // batchId 0 again — must not throw
+      // batch 1 then applies on top of the published snapshot
+      ms2.addData((2L, 1L, "b1", false))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val mart = StreamingJobs.readMartLatest(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(mart == Set((1L, "a1"), (2L, "b1")))
+    assert(StreamingJobs.readLatestName(spark, root).contains("v_1"))
+  }
+
   test("dedupe keeps one row per (user_id, event_type)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
