@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
+import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -55,4 +55,11 @@ object GraftColumns {
     * [[TokenRepetitionStats]]). */
   def tokenRepetitionStats(text: Column): Column =
     SqlBridge.column(TokenRepetitionStats(SqlBridge.expression(text)))
+
+  /** HyperLogLog register aggregate over a 32-bit hash column:
+    * struct(s_total, v_zero), mergeable 256-byte buffer (see
+    * [[HllRegisters]]). */
+  def hllRegisters(hash32: Column): Column =
+    SqlBridge.column(
+      HllRegisters(SqlBridge.expression(hash32)).toAggregateExpression())
 }

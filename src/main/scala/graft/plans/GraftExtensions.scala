@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, MinHashShingles, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
+import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, HllRegisters, MinHashShingles, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -82,5 +82,13 @@ object GraftFunctions {
       require(children.size == 1,
         "token_repetition_stats(text) takes exactly 1 argument")
       TokenRepetitionStats(children.head)
+    }), (
+    new FunctionIdentifier("hll_registers"),
+    new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "hll_registers(hash32) takes exactly 1 argument")
+      // the analyzer wraps AggregateFunction in AggregateExpression
+      HllRegisters(children.head)
     }))
 }

@@ -1223,6 +1223,55 @@ object Pipeline {
       |GROUP BY p.tok, p.exact_cnt
       |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
 
+  // -- t11: PII redaction ----------------------------------------------------
+  // The de-identification scrub every training corpus (and RDW export —
+  // "StudentIdentifier may be de-identified", reference /root/reference/
+  // docs/Runbook.DataSpecifications.md) runs before text leaves the
+  // warehouse: regex-redact student identifiers and money amounts,
+  // emitting per-doc match counts and the md5 of the redacted text (the
+  // audit trail proves redaction was byte-identical without shipping
+  // the text). The corpus word-soup carries no PII, so each document is
+  // prefixed with a header joined from the customer table (name =
+  // student id, balance = amount) — the join is the realistic shape:
+  // PII enters free text from structured records.
+  //
+  // Scale: redaction is MAP-ONLY codegen'd regex over the scan; the
+  // header join is key-equi on doc_id. Both engine sides print doubles
+  // only inside redacted spans, so formatting differences cannot reach
+  // the hash.
+  private val t11: Q = (s, d) => {
+    val cust = T.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val idPat = "Customer#[0-9]+"
+    val amtPat = "[0-9]+\\.[0-9]+"
+    docsSpread(s, d)
+      .join(cust, col("doc_id") === col("c_custkey"), "left")
+      .withColumn("raw", concat(lit("From: "),
+        coalesce(col("c_name"), lit("unknown")), lit(" balance "),
+        coalesce(col("c_acctbal").cast(StringType), lit("n/a")),
+        lit(" :: "), col("text")))
+      .withColumn("redacted", regexp_replace(
+        regexp_replace(col("raw"), idPat, "[STUDENT]"), amtPat, "[AMOUNT]"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(idPat)).as("n_ids"),
+        regexp_count(col("raw"), lit(amtPat)).as("n_amounts"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t11Sql =
+    """WITH raw AS (
+      |  SELECT d.doc_id,
+      |    'From: ' || COALESCE(c.c_name, 'unknown') || ' balance ' ||
+      |    COALESCE(CAST(c.c_acctbal AS VARCHAR), 'n/a') || ' :: ' || d.text AS raw
+      |  FROM documents d LEFT JOIN customer c ON d.doc_id = c.c_custkey)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, 'Customer#[0-9]+')) AS INTEGER) AS n_ids,
+      |  CAST(len(regexp_extract_all(raw, '[0-9]+\.[0-9]+')) AS INTEGER) AS n_amounts,
+      |  md5(regexp_replace(regexp_replace(raw, 'Customer#[0-9]+', '[STUDENT]', 'g'),
+      |    '[0-9]+\.[0-9]+', '[AMOUNT]', 'g')) AS redacted_md5
+      |FROM raw ORDER BY doc_id""".stripMargin
+
   // ======================= multimodal plumbing =============================
 
   // -- m01: opaque binary column + typed metadata --------------------------
@@ -1405,6 +1454,28 @@ object Pipeline {
        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------------
+  // -- e05: streaming near-dup detection (SimHash chunk buckets) -----------
+  // The continuous form of d05: per-(chunk, value) buckets hold the
+  // docs within a 1 h event-time horizon and every new arrival is
+  // checked against its bucket (hamming ≤ 3). Runs StreamingJobs
+  // .nearDupStream on a BATCH frame (the same code path the stream
+  // executes — flatMapGroupsWithState works in batch with empty
+  // state); rows-only because SimHash banding is not ANSI-SQL, but
+  // StreamingSpec asserts this output == a declarative self-join
+  // oracle == the incremental MemoryStream run. Arrival time is
+  // synthesized deterministically (doc_id minutes past a fixed
+  // epoch), e04's convention.
+  private val e05: Q = (s, d) => {
+    val docs = T.documents(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+      .select(col("doc_id"), col("ts"), col("text"))
+    graft.streaming.StreamingJobs.nearDupStream(
+      graft.streaming.StreamingJobs.simhashChunks(docs), horizonSeconds = 3600)
+      .toDF()
+      .orderBy(col("chunk"), col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
@@ -1417,13 +1488,14 @@ object Pipeline {
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "t06_fingerprint" -> t06, "t07_stratified_sample" -> t07,
     "t08_repetition" -> t08, "t09_ngram_lm" -> t09,
-    "t10_heavy_hitters" -> t10,
+    "t10_heavy_hitters" -> t10, "t11_pii_redact" -> t11,
     "p01_curate_corpus" -> p01, "p02_pack_sequences" -> p02,
     "p03_temperature_mix" -> p03,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
-    "e03_stream_join" -> e03, "e04_stream_curation" -> e04)
+    "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
+    "e05_stream_neardup" -> e05)
 
   /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
   val oracle: Map[String, String] = Map(
@@ -1437,6 +1509,7 @@ object Pipeline {
     "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,
     "t07_stratified_sample" -> t07Sql, "t08_repetition" -> t08Sql,
     "t09_ngram_lm" -> t09Sql, "t10_heavy_hitters" -> t10Sql,
+    "t11_pii_redact" -> t11Sql,
     "p01_curate_corpus" -> p01Sql, "p02_pack_sequences" -> p02Sql,
     "p03_temperature_mix" -> p03Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,

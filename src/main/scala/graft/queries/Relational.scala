@@ -621,41 +621,37 @@ object Relational {
   // one division, and the small-range linear-counting branch — each a
   // single correctly-rounded IEEE op, hence hash-identical across
   // engines after round(·,4). Paired with the exact count so sketch
-  // accuracy is visible (spec gates ≤10%). The register build is ONE
-  // partial-aggregated shuffle on (group, register) — 256 cells per
-  // group no matter how many rows, the property that makes HLL the
-  // 100-TB count-distinct (the exact column here is the expensive one;
-  // a warehouse deployment would drop it).
+  // accuracy is visible (spec gates ≤10%).
+  //
+  // The register build runs through the native [[graft.functions
+  // .expressions.HllRegisters]] TypedImperativeAggregate: the 256-byte
+  // max-rank buffer IS the aggregation state, merged map-side, so the
+  // exchange moves one sketch per group per task — no (group,
+  // register) intermediate shuffle at all. That is the property that
+  // makes HLL the 100-TB count-distinct (the exact column here is the
+  // expensive one; a warehouse deployment would drop it). The
+  // declarative (group × register) formulation is bit-equal by
+  // construction and kept as the spec parity oracle (FunctionsSpec).
   private val q33: Q = (s, d) => {
     val base = T.orders(s, d)
       .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("c_custkey"))
-    val hashed = base
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    base
       .withColumn("hv",
         conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
           .cast("long"))
-      .withColumn("r", expr("hv DIV 16777216"))
-      .withColumn("rest", col("hv") % 16777216L)
-      .withColumn("rho", when(col("rest") === 0, lit(25))
-        .otherwise(lit(25) - length(bin(col("rest")))))
-    val regs = hashed.groupBy(col("n_name"), col("r"))
-      .agg(max(col("rho")).as("mj"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
-    val sk = regs.groupBy(col("n_name"))
-      .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 25 - mj) AS BIGINT)"))
-        .as("s_present"), count(lit(1)).as("n_present"))
-      .withColumn("s_total",
-        col("s_present") + (lit(256L) - col("n_present")) * 33554432L)
-      .withColumn("v_zero", lit(256L) - col("n_present"))
+      .groupBy(col("n_name"))
+      .agg(graft.functions.GraftColumns.hllRegisters(col("hv")).as("hll"),
+        countDistinct(col("c_custkey")).as("exact_students"))
+      .withColumn("s_total", col("hll.s_total"))
+      .withColumn("v_zero", col("hll.v_zero").cast("long"))
       .withColumn("e_raw", alpha * lit(2199023255552.0) / col("s_total"))
       .withColumn("approx_students",
         round(when(col("e_raw") <= 640.0 && col("v_zero") > 0,
           lit(256.0) * log(lit(256.0) / col("v_zero")))
           .otherwise(col("e_raw")), 4))
-    val exact = base.groupBy(col("n_name"))
-      .agg(countDistinct(col("c_custkey")).as("exact_students"))
-    sk.join(exact, Seq("n_name"))
       .withColumn("err_pct", round(lit(100.0) *
         abs(col("approx_students") - col("exact_students").cast("double")) /
         col("exact_students"), 4))
@@ -1214,13 +1210,70 @@ object Relational {
       |  o_orderstatus, o_orderpriority)) ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // -- q49: claim-score summary per org -------------------------------------
+  // RDW exams carry per-claim scale scores and performance levels, with
+  // the levels "depend[ing] on the subject being pre-configured with its
+  // claim scores" (reference /root/reference/docs/Runbook.BulkDeleteExams
+  // .md:30 — exam_score holds the Opportunity's claims ScaleScore and
+  // PerformanceLevel; cut points come from subject config, Runbook
+  // .ImportMigrate.md:20 item_difficulty_cuts). Lineitem rows play the
+  // claim scores (l_linenumber 1..4 = claim index, l_extendedprice =
+  // scale score); the claim-specific cut-point table is the subject
+  // config, broadcast onto the fact scan; output is the claim score
+  // summary the aggregate service renders — per org × claim: count,
+  // money-exact average score, % at/above standard.
+  //
+  // Scale: cut points are config (4 rows, broadcast — a map-side
+  // CASE); the summary is ONE partial-aggregated shuffle keyed
+  // (org, claim) — 25×4 cells. Same shape at 100 TB.
+  private val q49: Q = (s, d) => {
+    val sp = s; import sp.implicits._
+    val cuts = (1 to 4).map(c => (c, 20000.0 + 5000 * c, 40000.0 + 5000 * c))
+      .toDF("claim", "cut_low", "cut_high")
+    T.lineitem(s, d)
+      .filter(col("l_linenumber") <= 4)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(cuts), col("l_linenumber") === col("claim"))
+      .withColumn("level", when(col("l_extendedprice") < col("cut_low"), 1)
+        .when(col("l_extendedprice") < col("cut_high"), 2).otherwise(3))
+      .groupBy(col("n_name"), col("claim"))
+      .agg(count(lit(1)).as("n_scores"),
+        round(QUtil.moneyAvg(col("l_extendedprice")), 4).as("avg_score"),
+        round(lit(100.0) * sum(when(col("level") >= 2, 1L).otherwise(0L)) /
+          count(lit(1)), 4).as("pct_at_above"))
+      .orderBy(col("n_name"), col("claim"))
+  }
+
+  private val q49Sql =
+    s"""WITH cuts AS (SELECT * FROM (VALUES
+      |  (1, 25000.0, 45000.0), (2, 30000.0, 50000.0),
+      |  (3, 35000.0, 55000.0), (4, 40000.0, 60000.0)) AS t(claim, cut_low, cut_high)),
+      |scored AS (
+      |  SELECT n_name, l_linenumber AS claim, l_extendedprice,
+      |    CASE WHEN l_extendedprice < cut_low THEN 1
+      |         WHEN l_extendedprice < cut_high THEN 2 ELSE 3 END AS level
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN cuts ON l_linenumber = claim
+      |  WHERE l_linenumber <= 4)
+      |SELECT n_name, claim, COUNT(*) AS n_scores,
+      |  ROUND(${QUtil.sqlMoneyAvg("l_extendedprice")}, 4) AS avg_score,
+      |  ROUND(100.0 * CAST(SUM(CASE WHEN level >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    / COUNT(*), 4) AS pct_at_above
+      |FROM scored GROUP BY n_name, claim
+      |ORDER BY n_name, claim""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
     "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
     "q46_pseudonymize" -> q46, "q47_incremental_agg" -> q47,
-    "q48_import_dedup" -> q48) ++ Map(
+    "q48_import_dedup" -> q48, "q49_claim_scores" -> q49) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -1241,7 +1294,7 @@ object Relational {
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
     "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,
     "q46_pseudonymize" -> q46Sql, "q47_incremental_agg" -> q47Sql,
-    "q48_import_dedup" -> q48Sql,
+    "q48_import_dedup" -> q48Sql, "q49_claim_scores" -> q49Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(

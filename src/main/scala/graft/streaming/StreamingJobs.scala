@@ -236,4 +236,95 @@ object StreamingJobs {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class ChunkRow(chunk: Int, cv: Long, doc_id: Long, ts: Timestamp, sig: Long)
+  case class NearDupHit(chunk: Int, a_id: Long, b_id: Long, hamming: Int)
+  case class BucketState(entries: List[(Long, Long, Long)]) // (docId, sig, tsMs)
+
+  /** Streaming near-duplicate detection over a document stream — the
+    * continuous form of d05's SimHash dedup: each doc's 64-bit SimHash
+    * (native [[graft.functions.expressions.SimHashTokens]]) splits
+    * into 4 × 16-bit chunks; by pigeonhole, any pair within hamming
+    * distance 3 agrees on at least one chunk, so per-(chunk, value)
+    * buckets are a complete blocking scheme. Each bucket holds the
+    * docs seen within `horizonSeconds` of event time and emits a hit
+    * for every prior doc within hamming ≤ 3 of a new arrival.
+    *
+    * Output: (chunk, a_id, b_id, hamming) with a earlier than b by
+    * (ts, doc_id) — a pair near-dup via k chunks appears k times, as
+    * in d05's per-chunk candidate semantics; the declarative
+    * equivalent (self-join on (chunk, value) with an event-time range
+    * predicate) is the batch oracle, spec-asserted against BOTH the
+    * batch run of this code path and the incremental MemoryStream run.
+    *
+    * Scale: state per bucket is the docs within the horizon that share
+    * a 16-bit chunk value — the stream-time analogue of d05's bounded
+    * buckets; event-time timeout evicts whole buckets once the
+    * watermark passes. Signature + chunking are map-side; the only
+    * shuffle is the groupByKey on (chunk, value).
+    */
+  def nearDupStream(chunked: Dataset[ChunkRow],
+                    horizonSeconds: Long): Dataset[NearDupHit] = {
+    import chunked.sparkSession.implicits._
+    val horizonMs = horizonSeconds * 1000L
+
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+    def update(key: (Int, Long), it: Iterator[ChunkRow],
+               state: GroupState[BucketState]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // (ts, doc_id) order makes pair direction deterministic in
+        // batch mode and across micro-batch boundaries
+        val sorted = it.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+        var entries = state.getOption.map(_.entries).getOrElse(Nil)
+        val hits = Seq.newBuilder[NearDupHit]
+        var maxTs = Long.MinValue
+        sorted.foreach { r =>
+          val t = r.ts.getTime
+          maxTs = math.max(maxTs, t)
+          entries = entries.filter(_._3 >= t - horizonMs)
+          entries.foreach { case (aId, aSig, _) =>
+            val h = ham(aSig, r.sig)
+            if (h <= 3 && aId != r.doc_id)
+              hits += NearDupHit(key._1, aId, r.doc_id, h)
+          }
+          entries = (r.doc_id, r.sig, t) :: entries
+        }
+        state.update(BucketState(entries))
+        // In batch mode the watermark node is eliminated from the plan
+        // and GroupState refuses watermark/timeout calls; timeouts
+        // can't fire in batch anyway, so only arm them when streaming.
+        try {
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
+        } catch { case _: UnsupportedOperationException => () }
+        hits.result().iterator
+      }
+    }
+
+    chunked
+      .groupByKey(r => (r.chunk, r.cv))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Map a document frame (doc_id, ts, text) to the 4-chunk SimHash
+    * rows [[nearDupStream]] consumes; the watermark rides the chunk
+    * rows. Shared by the batch oracle path and the streaming path so
+    * they cannot diverge. */
+  def simhashChunks(docs: DataFrame): Dataset[ChunkRow] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.functions.GraftColumns.simHashTokens(col("text"))
+    docs
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sig"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
+        }: _*)).as("ck"))
+      .select(col("ck.chunk").as("chunk"), col("ck.cv").as("cv"),
+        col("doc_id"), col("ts"), col("sig"))
+      .withWatermark("ts", "2 hours")
+      .as[ChunkRow]
+  }
 }

@@ -182,6 +182,39 @@ class FunctionsSpec extends SparkSpec {
     assert(msg(e2).contains("does not match centroid dimension"))
   }
 
+  test("hll_registers native aggregate == declarative register build, partitioning-invariant, SQL-registered") {
+    import org.apache.spark.sql.types.LongType
+    val df = spark.range(5000).select((col("id") % 7).as("g"),
+      conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast(LongType).as("hv"))
+    def native(parts: Int) = df.repartition(parts).groupBy(col("g"))
+      .agg(graft.functions.GraftColumns.hllRegisters(col("hv")).as("h"))
+      .select(col("g"), col("h.s_total"), col("h.v_zero"))
+      .as[(Long, Long, Int)].collect().toSet
+    // declarative (group × register) formulation — the shape the
+    // DuckDB oracle replays; the aggregate must be bit-equal to it
+    val decl = df
+      .withColumn("r", expr("hv DIV 16777216"))
+      .withColumn("rest", col("hv") % 16777216L)
+      .withColumn("rho", when(col("rest") === 0, lit(25))
+        .otherwise(lit(25) - length(bin(col("rest")))))
+      .groupBy(col("g"), col("r")).agg(max(col("rho")).as("mj"))
+      .groupBy(col("g"))
+      .agg((sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 25 - mj) AS BIGINT)")) +
+        (lit(256L) - count(lit(1))) * 33554432L).as("s_total"),
+        (lit(256L) - count(lit(1))).cast("int").as("v_zero"))
+      .select(col("g"), col("s_total"), col("v_zero"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(native(1) == decl)
+    assert(native(13) == decl, "merge across partitions must be exact")
+    org.apache.spark.sql.graftbridge.SqlBridge.registerGraftFunctions(spark)
+    df.createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql(
+      "SELECT g, h.s_total, h.v_zero FROM (SELECT g, hll_registers(hv) AS h FROM hll_in GROUP BY g)")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSql == decl)
+  }
+
   test("matrix-holding expressions canonicalize structurally (CSE sees duplicates)") {
     // case classes over Array params compare by identity, which would
     // defeat semanticEquals / common-subexpression elimination; the

@@ -178,4 +178,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the 1024-cell counter table must broadcast:\n$p")
   }
+
+  test("q33 HLL runs as a single object-hash aggregate (sketches merged map-side)") {
+    val p = plan("q33_approx_distinct")
+    assert(p.contains("hll_registers"), s"native HLL aggregate missing from:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial"),
+      "register buffers must partial-aggregate before the exchange")
+  }
+
+  test("q49 claim summary broadcasts config dims and partial-aggregates") {
+    val p = plan("q49_claim_scores")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cut-point config and nation dims must broadcast:\n$p")
+    assert(p.contains("partial"), s"expected partial HashAggregate in:\n$p")
+  }
+
+  test("t11 PII redaction is regex-over-scan with no aggregate shuffle") {
+    val p = plan("t11_pii_redact")
+    assert(!p.contains("HashAggregate"),
+      "redaction must be map-only — counts/hashes are per-row projections")
+  }
 }

@@ -226,6 +226,62 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingJobs.readLatestName(spark, root).contains("v_1"))
   }
 
+  test("nearDupStream: stream == batch code path == declarative self-join oracle") {
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate pair within the horizon (docs 10/11, hamming 0 → hits
+    // on all 4 chunks), unrelated doc 12, and doc 13 textually equal
+    // to 10 but OUTSIDE the 1 h horizon — the horizon must exclude it
+    // from pairing with 10/11
+    val near = "alpha beta gamma delta epsilon zeta eta theta"
+    val mk = Seq(
+      (10L, ts("2024-01-01 00:00:00"), near),
+      (11L, ts("2024-01-01 00:10:00"), near),
+      (12L, ts("2024-01-01 00:20:00"), "one two three four five six seven eight"),
+      (13L, ts("2024-01-01 02:00:00"), near))
+    val docs = mk.toDF("doc_id", "ts", "text")
+    val horizon = 3600L
+
+    // 1) batch run of the exact streaming code path
+    val batch = StreamingJobs.nearDupStream(
+      StreamingJobs.simhashChunks(docs), horizon)
+      .collect().toSet
+
+    // 2) declarative oracle: bucket self-join with the same horizon
+    val ch = StreamingJobs.simhashChunks(docs).toDF()
+    val a = ch.select(col("chunk"), col("cv"), col("doc_id").as("a_id"),
+      col("ts").as("a_ts"), col("sig").as("a_sig"))
+    val b = ch.select(col("chunk"), col("cv"), col("doc_id").as("b_id"),
+      col("ts").as("b_ts"), col("sig").as("b_sig"))
+    val decl = a.join(b, Seq("chunk", "cv"))
+      .filter((col("a_ts") < col("b_ts")) ||
+        (col("a_ts") === col("b_ts") && col("a_id") < col("b_id")))
+      .filter(col("a_ts") >= col("b_ts") - expr(s"INTERVAL $horizon SECOND"))
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= 3 && col("a_id") =!= col("b_id"))
+      .select(col("chunk"), col("a_id"), col("b_id"), col("hamming"))
+      .as[StreamingJobs.NearDupHit].collect().toSet
+    assert(batch == decl, s"batch path $batch != declarative $decl")
+    assert(batch.size == 4 && batch.forall(h =>
+      h.a_id == 10 && h.b_id == 11 && h.hamming == 0),
+      s"expected the 10-11 pair on all 4 chunks (13 is outside the horizon): $batch")
+
+    // 3) incremental MemoryStream run, fed across two micro-batches
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val stream = StreamingJobs.nearDupStream(
+      StreamingJobs.simhashChunks(ms.toDF().toDF("doc_id", "ts", "text")), horizon)
+    val q = stream.writeStream.format("memory").queryName("t_neardup")
+      .outputMode("append").start()
+    try {
+      ms.addData(mk.take(2).map(r => (r._1, r._2, r._3)))
+      q.processAllAvailable()
+      ms.addData(mk.drop(2).map(r => (r._1, r._2, r._3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_neardup")
+      .as[StreamingJobs.NearDupHit].collect().toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("dedupe keeps one row per (user_id, event_type)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
