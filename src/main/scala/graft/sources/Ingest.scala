@@ -189,4 +189,37 @@ object Ingest {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  case class CompactionStats(filesBefore: Int, filesAfter: Int,
+                             bytesBefore: Long)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Continuous ingest (micro-batch
+    * migrate, per-import writes) accretes many small files; at 100 TB
+    * that multiplies scan tasks, footer reads and name-node pressure
+    * until planning dominates queries — periodic compaction is the
+    * standard mart maintenance every table format schedules.
+    *
+    * The rewrite goes to a NEW snapshot directory (the caller swaps a
+    * pointer or path atomically — migrateStream's `v_N`/`_LATEST`
+    * commit model): Spark refuses to overwrite a path it is reading,
+    * and a crashed compaction must leave the live data untouched.
+    * `coalesce` (not `repartition`) merges files without a shuffle —
+    * compaction moves every byte once through the writers and nothing
+    * through an exchange.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    CompactionStats(files.size, after, bytes)
+  }
 }

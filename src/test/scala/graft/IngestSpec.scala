@@ -151,6 +151,27 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.contains("header mismatch"))
   }
 
+  test("compaction merges small files into target-sized outputs without losing rows") {
+    val in = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact_out").toString + "/v1"
+    // micro-batch-style accretion: 20 tiny files
+    spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(20).write.mode("overwrite").parquet(in)
+    val stats = Ingest.compact(spark, in, out, targetBytes = 1L * 1024 * 1024)
+    assert(stats.filesBefore == 20)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"expected fewer files, got $stats")
+    // byte-for-byte content preservation
+    val a = spark.read.parquet(in).orderBy("id").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(a == b)
+    // the merge plans as coalesce, not an exchange: compaction must
+    // move bytes through writers only, never through a shuffle
+    val plan = spark.read.parquet(in).coalesce(3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"coalesce must not shuffle:\n$plan")
+  }
+
   test("partitioned mart write round-trips and prunes partitions") {
     val out = Files.createTempDirectory("graft_mart").toFile.getAbsolutePath + "/mart"
     val df = Seq((1L, 2023, 10.0), (2L, 2023, 20.0), (3L, 2024, 30.0))
