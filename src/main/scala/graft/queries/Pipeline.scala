@@ -1454,6 +1454,30 @@ object Pipeline {
        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------------
+  // -- e06: continuous OLAP aggregate maintenance --------------------------
+  // The read path of StreamingJobs.olapMigrateStream (RDW Migrate
+  // OLAP as a stream): the mart stores algebraic partials (exact
+  // decimal sum + count), reads derive sum/avg via olapDerive. This
+  // entry certifies EXACTLY those shared helpers on a batch frame —
+  // the oracle is the full recompute, and StreamingSpec proves a mart
+  // maintained across micro-batch merges (with a crash replay in the
+  // middle) byte-equals this same derivation.
+  private val e06: Q = (s, d) => {
+    val ev = T.events(s, d).withColumn("mart_hour", date_trunc("hour", col("ts")))
+    graft.streaming.StreamingJobs.olapDerive(
+      graft.streaming.StreamingJobs.olapPartials(
+        ev, Seq("mart_hour", "event_type"), "value"),
+      Seq("mart_hour", "event_type"))
+      .orderBy(col("mart_hour"), col("event_type"))
+  }
+
+  private val e06Sql =
+    """SELECT date_trunc('hour', ts) AS mart_hour, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e05: streaming near-dup detection (SimHash chunk buckets) -----------
   // The continuous form of d05: per-(chunk, value) buckets hold the
   // docs within a 1 h event-time horizon and every new arrival is
@@ -1495,7 +1519,7 @@ object Pipeline {
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
-    "e05_stream_neardup" -> e05)
+    "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06)
 
   /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
   val oracle: Map[String, String] = Map(
@@ -1515,5 +1539,6 @@ object Pipeline {
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
-    "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql)
+    "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
+    "e06_stream_olap_migrate" -> e06Sql)
 }

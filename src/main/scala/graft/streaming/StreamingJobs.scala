@@ -308,6 +308,66 @@ object StreamingJobs {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Algebraic partial aggregates for the OLAP mart: exact decimal sum
+    * + row count per key. Shared by the continuous migrate
+    * ([[olapMigrateStream]]) and the batch oracle (e06) so the stored
+    * shape cannot diverge from the certified one. The fixed
+    * DECIMAL(30,2) keeps the mart schema stable across arbitrarily
+    * many merge generations (Spark would otherwise widen the sum type
+    * every merge until it hit the precision cap). */
+  def olapPartials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(12, 2)))
+        .cast(DecimalType(30, 2)).as("sum_dec"),
+        count(lit(1)).as("n_rows"))
+
+  /** Derive the read-time measures from stored partials: exact decimal
+    * sum surfaced as double, count, and avg as ONE IEEE division —
+    * the q47 exactness policy, so a mart maintained by any number of
+    * delta merges hash-equals the full recompute. */
+  def olapDerive(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials.select(keys.map(col) ++ Seq(
+      col("sum_dec").cast(DoubleType).as("sum_value"),
+      col("n_rows"),
+      (col("sum_dec").cast(DoubleType) / col("n_rows")).as("avg_value")): _*)
+
+  /** Continuous OLAP aggregate maintenance — RDW's Migrate OLAP
+    * Service as a stream (reference /root/reference/docs/Architecture
+    * .md "Migrate OLAP … watches the data warehouse for changes",
+    * migrated daily; here the same merge runs per micro-batch).
+    * Each batch's rows partial-aggregate ([[olapPartials]]) and merge
+    * into the mart by RE-AGGREGATING partials — sums add, counts add
+    * — so maintenance work scales with |delta| + |mart|, never the
+    * fact history (q47's algebraic-partials property, run
+    * continuously). Snapshots + `_LATEST` pointer give the same
+    * atomic commit and crash-replay idempotency as [[migrateStream]]:
+    * a replayed batch whose snapshot is already published is SKIPPED —
+    * essential here, because re-merging partials would double-count.
+    */
+  def olapMigrateStream(updates: DataFrame, martRoot: String,
+                        keys: Seq[String], valueCol: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        if (readLatestName(sp, martRoot).contains(s"v_$batchId")) ()
+        else {
+          val delta = olapPartials(batch.toDF(), keys, valueCol)
+          val merged = readMartLatest(sp, martRoot) match {
+            case Some(cur) => cur.unionByName(delta)
+              .groupBy(keys.map(col): _*)
+              .agg(sum(col("sum_dec")).cast(DecimalType(30, 2)).as("sum_dec"),
+                sum(col("n_rows")).as("n_rows"))
+            case None => delta
+          }
+          merged.write.mode("overwrite").parquet(s"$martRoot/v_$batchId")
+          publishLatest(sp, martRoot, s"v_$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** Map a document frame (doc_id, ts, text) to the 4-chunk SimHash
     * rows [[nearDupStream]] consumes; the watermark rides the chunk
     * rows. Shared by the batch oracle path and the streaming path so

@@ -226,6 +226,72 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingJobs.readLatestName(spark, root).contains("v_1"))
   }
 
+  test("olapMigrateStream: mart maintained across batches == full recompute; replay can't double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_olap_mart").toString + "/mart"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_olap_ck1").toString
+    def feed(ms: MemoryStream[Ev], evs: Seq[Ev], q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      ms.addData(evs); q.processAllAvailable()
+    }
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.olapMigrateStream(
+      ms.toDF().withColumn("mart_hour", date_trunc("hour", col("ts"))),
+      root, keys = Seq("mart_hour", "event_type"), valueCol = "value",
+      checkpoint = ckpt)
+    try {
+      feed(ms, rows.take(3), q)
+      feed(ms, rows.drop(3), q)
+    } finally q.stop()
+    def derived = StreamingJobs.olapDerive(
+      StreamingJobs.readMartLatest(spark, root).get,
+      Seq("mart_hour", "event_type"))
+      .orderBy("mart_hour", "event_type")
+      .as[(Timestamp, String, Double, Long, Double)].collect().toSeq
+    val full = StreamingJobs.olapDerive(
+      StreamingJobs.olapPartials(
+        rows.toDF().withColumn("mart_hour", date_trunc("hour", col("ts"))),
+        Seq("mart_hour", "event_type"), "value"),
+      Seq("mart_hour", "event_type"))
+      .orderBy("mart_hour", "event_type")
+      .as[(Timestamp, String, Double, Long, Double)].collect().toSeq
+    assert(derived == full,
+      s"mart after 2 delta merges must equal the full recompute:\n$derived\n$full")
+    // crash replay: fresh checkpoint, batch 0 re-fed while _LATEST
+    // already points at the final snapshot — a re-merge would
+    // double-count the partials, so the applied batch must be skipped
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_olap_ck2").toString
+    val before = derived
+    val latestBefore = StreamingJobs.readLatestName(spark, root)
+    // _LATEST is v_1; replay of batch 1 (same id) must no-op
+    assert(latestBefore.contains("v_1"))
+    // genuinely-new data under a fresh checkpoint re-enters as batch 0
+    // (≠ v_1) and must merge — this publishes v_0 and moves the pointer
+    val ms2 = MemoryStream[Ev]
+    val q2 = StreamingJobs.olapMigrateStream(
+      ms2.toDF().withColumn("mart_hour", date_trunc("hour", col("ts"))),
+      root, keys = Seq("mart_hour", "event_type"), valueCol = "value",
+      checkpoint = ckpt2)
+    try {
+      feed(ms2, rows.drop(3), q2)
+    } finally q2.stop()
+    assert(StreamingJobs.readLatestName(spark, root).contains("v_0"))
+    val snapshotNow = derived
+    assert(snapshotNow != before, "new data must change the mart")
+    // crash replay: ANOTHER fresh checkpoint re-feeds batch 0 while
+    // _LATEST already names v_0 — re-merging partials would
+    // double-count, so the applied batch id must be skipped
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft_olap_ck3").toString
+    val ms3 = MemoryStream[Ev]
+    val q3 = StreamingJobs.olapMigrateStream(
+      ms3.toDF().withColumn("mart_hour", date_trunc("hour", col("ts"))),
+      root, keys = Seq("mart_hour", "event_type"), valueCol = "value",
+      checkpoint = ckpt3)
+    try {
+      feed(ms3, rows.take(3), q3)
+    } finally q3.stop()
+    assert(derived == snapshotNow, "an already-published batch id must not re-merge")
+  }
+
   test("nearDupStream: stream == batch code path == declarative self-join oracle") {
     implicit val sqlCtx = spark.sqlContext
     // duplicate pair within the horizon (docs 10/11, hamming 0 → hits
