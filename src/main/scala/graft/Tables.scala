@@ -48,6 +48,19 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else checked(name, spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Register every table as a temp view (plus graft's native SQL
+    * functions), making the whole engine reachable from `spark.sql`:
+    *
+    *   Tables.registerAll(spark, sfDir)
+    *   spark.sql("SELECT minhash_shingles(text, 8, 32) FROM documents")
+    *
+    * Views are lazy — each still plans as a plain pushdown-friendly
+    * parquet scan (events keeps its ns→µs loader semantics). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    org.apache.spark.sql.graftbridge.SqlBridge.registerGraftFunctions(spark)
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     * default ([PARQUET_TYPE_ILLEGAL]). Read it as a nanosecond long via
     * the legacy flag and convert to a microsecond TimestampType — the

@@ -200,4 +200,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("HashAggregate"),
       "redaction must be map-only — counts/hashes are per-row projections")
   }
+
+  test("PlanAudit extracts the structural scale properties programmatically") {
+    import graft.plans.PlanAudit
+    val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
+    assert(a3.broadcastHashJoins >= 2, s"star join should broadcast dims: ${a3.render}")
+    val a2 = PlanAudit.of(SparkEntry.queries("q02_filter_project")(spark, sfDir))
+    assert(a2.scansWithPushedFilters >= 1, s"filters must reach the scan: ${a2.render}")
+    // the one exchange is the deterministic ORDER BY the oracle needs
+    assert(a2.exchanges <= 1 && a2.sortMergeJoins == 0,
+      s"filter+project must not shuffle beyond the output sort: ${a2.render}")
+    val a1 = PlanAudit.executed(SparkEntry.queries("q01_agg_summary")(spark, sfDir))
+    assert(a1.partialAggregates >= 1 && a1.codegenSpans >= 1, a1.render)
+  }
 }

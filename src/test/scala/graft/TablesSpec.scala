@@ -14,6 +14,22 @@ class TablesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("registerAll exposes every table and native function to spark.sql") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    Tables.all.foreach { t =>
+      assert(spark.sql(s"SELECT count(*) AS n FROM $t").as[Long].head() > 0, t)
+    }
+    // the events view carries the ns→µs loader conversion
+    assert(spark.sql("SELECT date_trunc('hour', ts) AS h FROM events LIMIT 1")
+      .schema("h").dataType == org.apache.spark.sql.types.TimestampType)
+    // native functions resolve through the same SQL surface
+    val c = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM embeddings LIMIT 1")
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
   test("schema drift fails fast with a named column list") {
     val bad = Tables.orders(spark, sfDir).drop("o_totalprice")
     val e = intercept[IllegalArgumentException] {
