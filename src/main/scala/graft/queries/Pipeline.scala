@@ -1478,6 +1478,49 @@ object Pipeline {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e07: stateful sessionization, oracle-certified ----------------------
+  // The flatMapGroupsWithState sessionizer run in BATCH mode (end of
+  // input closes the trailing session, playing the watermark's role)
+  // against a declarative SQL oracle — a custom arbitrary-state
+  // operator certified by DuckDB, not just by a parity spec. All
+  // engine-sensitive arithmetic happens OUTSIDE the state function:
+  // Catalyst casts value → DECIMAL(12,2) cents and epoch-µs on the way
+  // in, timestamp_micros / one division on the way out; the state
+  // holds only exact longs.
+  private val e07: Q = (s, d) => {
+    import s.implicits._
+    val rows = T.events(s, d).select(col("user_id"), col("ts"),
+      (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      .as[graft.streaming.StreamingJobs.SessRow]
+    graft.streaming.StreamingJobs.sessionizeExact(rows, gapSeconds = 1800)
+      .toDF()
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        col("n_events"),
+        (col("cents").cast(DoubleType) / 100.0).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val e07Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS v FROM events),
+      |l AS (
+      |  SELECT user_id, ts, v,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts, v,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM l)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events, CAST(CAST(SUM(v) AS DECIMAL(30,2)) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // -- e05: streaming near-dup detection (SimHash chunk buckets) -----------
   // The continuous form of d05: per-(chunk, value) buckets hold the
   // docs within a 1 h event-time horizon and every new arrival is
@@ -1519,7 +1562,8 @@ object Pipeline {
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
-    "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06)
+    "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
+    "e07_stream_sessionize" -> e07)
 
   /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
   val oracle: Map[String, String] = Map(
@@ -1540,5 +1584,6 @@ object Pipeline {
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
-    "e06_stream_olap_migrate" -> e06Sql)
+    "e06_stream_olap_migrate" -> e06Sql,
+    "e07_stream_sessionize" -> e07Sql)
 }

@@ -237,6 +237,72 @@ object StreamingJobs {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class SessRow(user_id: Long, ts: Timestamp, cents: Long)
+  case class SessAgg(user_id: Long, start_us: Long, end_us: Long,
+                     n_events: Long, cents: Long)
+
+  /** Oracle-grade gap sessionization with explicit per-key state: the
+    * same flatMapGroupsWithState shape as [[sessionizeStream]], but
+    * every quantity the state holds is an exact integer — event time
+    * as epoch MICROseconds (events carry sub-millisecond precision a
+    * long-ms state would silently truncate) and money as cents
+    * (pre-cast through Catalyst's DECIMAL(12,2), the cast already
+    * proven to match DuckDB's) — so the BATCH run of this exact code
+    * path hash-matches a declarative SQL oracle (e07). In batch the
+    * timeout machinery does not exist; end-of-input plays the role of
+    * the watermark, so the trailing open session emits instead of
+    * parking in state (detected by the watermark probe throwing).
+    *
+    * Scale: state per key is one 4-long struct, bounded regardless of
+    * stream length; one shuffle on user_id.
+    */
+  def sessionizeExact(events: Dataset[SessRow],
+                      gapSeconds: Long): Dataset[SessAgg] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+    def update(userId: Long, it: Iterator[SessRow],
+               state: GroupState[SessAgg]): Iterator[SessAgg] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.iterator
+        state.remove()
+        out
+      } else {
+        val sorted = it.toSeq.sortBy(r => micros(r.ts))
+        var st = state.getOption.orNull
+        val closed = Seq.newBuilder[SessAgg]
+        sorted.foreach { e =>
+          val t = micros(e.ts)
+          st = if (st == null) SessAgg(userId, t, t, 1, e.cents)
+          else if (t - st.end_us > gapUs) {
+            closed += st; SessAgg(userId, t, t, 1, e.cents)
+          } else st.copy(end_us = math.max(st.end_us, t),
+            n_events = st.n_events + 1, cents = st.cents + e.cents)
+        }
+        if (st != null) {
+          try {
+            val wm = state.getCurrentWatermarkMs()
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.end_us / 1000L + gapSeconds * 1000L, wm + 1))
+          } catch { case _: UnsupportedOperationException =>
+            // batch mode: no watermark, no timeouts — end of input
+            // closes the trailing session
+            closed += st
+          }
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class ChunkRow(chunk: Int, cv: Long, doc_id: Long, ts: Timestamp, sig: Long)
   case class NearDupHit(chunk: Int, a_id: Long, b_id: Long, hamming: Int)
   case class BucketState(entries: List[(Long, Long, Long)]) // (docId, sig, tsMs)

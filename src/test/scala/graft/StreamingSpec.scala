@@ -292,6 +292,41 @@ class StreamingSpec extends SparkSpec {
     assert(derived == snapshotNow, "an already-published batch id must not re-merge")
   }
 
+  test("sessionizeExact: incremental stream equals the batch run (trailing session via timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingJobs.SessRow
+    val evs = Seq(
+      SessRow(1, ts("2024-01-01 00:00:00"), 1000),
+      SessRow(1, ts("2024-01-01 00:10:00"), 250),   // same session (gap 30 min)
+      SessRow(1, ts("2024-01-01 01:30:00"), 700),   // new session
+      SessRow(2, ts("2024-01-01 00:05:00"), 50))
+    val batch = StreamingJobs.sessionizeExact(evs.toDS(), gapSeconds = 1800)
+      .collect().toSet
+    assert(batch.size == 3, s"expected 3 sessions incl. trailing ones: $batch")
+    assert(batch.exists(s => s.user_id == 1 && s.n_events == 2 && s.cents == 1250))
+    val ms = MemoryStream[SessRow]
+    val q = StreamingJobs.sessionizeExact(ms.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("t_sess_exact")
+      .outputMode("append").start()
+    try {
+      // user 2's 00:05 event must ride the FIRST batch — in a later
+      // batch it would sit below the watermark and be dropped as late
+      ms.addData(Seq(evs(0), evs(1), evs(3)))
+      q.processAllAvailable()
+      ms.addData(Seq(evs(2)))
+      q.processAllAvailable()
+      // push the watermark far forward so open sessions time out
+      ms.addData(SessRow(99, ts("2024-01-02 12:00:00"), 1))
+      q.processAllAvailable()
+      ms.addData(SessRow(98, ts("2024-01-03 12:00:00"), 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_sess_exact")
+      .as[StreamingJobs.SessAgg].collect().toSet
+      .filter(s => s.user_id == 1 || s.user_id == 2)
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("nearDupStream: stream == batch code path == declarative self-join oracle") {
     implicit val sqlCtx = spark.sqlContext
     // duplicate pair within the horizon (docs 10/11, hamming 0 → hits
