@@ -1272,6 +1272,85 @@ object Pipeline {
       |    '[0-9]+\.[0-9]+', '[AMOUNT]', 'g')) AS redacted_md5
       |FROM raw ORDER BY doc_id""".stripMargin
 
+  // -- t12: context-window chunking ----------------------------------------
+  // Splitting documents into overlapping context-window chunks with
+  // stable ids — the step between curation and tokenization in every
+  // pretraining pipeline (overlap preserves cross-boundary context).
+  // Chunk count and offsets are pure integer arithmetic; chunk
+  // identity is the md5 of the chunk text, so chunks are addressable
+  // and dedupable downstream. Spark's sequence(a, b) counts DOWN when
+  // b < a, so the count is clamped before the explode (the classic
+  // trap).
+  //
+  // Scale: map-only explode — each doc expands to ceil(len/stride)
+  // rows with no shuffle; the explode fan-out is bounded by document
+  // length, not corpus size.
+  private val t12: Q = (s, d) => {
+    val winC = 400; val overlap = 80; val stride = winC - overlap // 320
+    docsSpread(s, d)
+      .withColumn("len", length(col("text")))
+      // chunks fully cover the doc: last chunk may be short
+      .withColumn("n_chunks",
+        greatest(lit(1), expr(s"CAST(ceil((len - $overlap) / $stride.0) AS INT)")))
+      .withColumn("idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("chunk_start", col("idx") * stride + 1)
+      .withColumn("chunk_text", expr(s"substr(text, chunk_start, $winC)"))
+      .select(col("doc_id"), col("idx").as("chunk_idx"),
+        col("chunk_start"),
+        length(col("chunk_text")).as("chunk_len"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val t12Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    greatest(1, CAST(ceil((length(text) - 80) / 320.0) AS INTEGER)) AS n_chunks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  CAST(chunk_idx * 320 + 1 AS INTEGER) AS chunk_start,
+      |  CAST(length(substr(text, CAST(chunk_idx * 320 + 1 AS INTEGER), 400)) AS INTEGER)
+      |    AS chunk_len,
+      |  md5(substr(text, CAST(chunk_idx * 320 + 1 AS INTEGER), 400)) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -- p04: deterministic training order + shard assignment ----------------
+  // The last step before writing training shards: a reproducible
+  // global permutation (order by a salted content-independent hash —
+  // the "global shuffle" every pretraining run needs so batches are
+  // i.i.d.-ish) and a shard id so a 1000-worker loader can each read
+  // one file. Hash-ordering IS a total sort — the one genuinely
+  // global operation in the pipeline — and Spark's range-partitioned
+  // sort is exactly the distributed machinery for it; the hash key
+  // distributes uniformly by construction, so no skew.
+  private val p04: Q = (s, d) => {
+    val shards = 8
+    docsSpread(s, d)
+      .withColumn("order_hash", md5(concat(lit("ord1|"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("order_hash"), 1, 4), 16, 10).cast("int") % shards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("order_hash"), col("doc_id"))))
+      .select(col("doc_id"), col("order_hash"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val p04Sql =
+    """WITH h AS (
+      |  SELECT doc_id, md5('ord1|' || CAST(doc_id AS VARCHAR)) AS order_hash
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, order_hash,
+      |    CAST(('0x' || substr(order_hash, 1, 4)) AS INTEGER) % 8 AS shard
+      |  FROM h)
+      |SELECT doc_id, order_hash, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY order_hash, doc_id)
+      |    AS INTEGER) AS pos
+      |FROM sh ORDER BY shard, pos""".stripMargin
+
   // ======================= multimodal plumbing =============================
 
   // -- m01: opaque binary column + typed metadata --------------------------
@@ -1556,8 +1635,9 @@ object Pipeline {
     "t06_fingerprint" -> t06, "t07_stratified_sample" -> t07,
     "t08_repetition" -> t08, "t09_ngram_lm" -> t09,
     "t10_heavy_hitters" -> t10, "t11_pii_redact" -> t11,
+    "t12_chunking" -> t12,
     "p01_curate_corpus" -> p01, "p02_pack_sequences" -> p02,
-    "p03_temperature_mix" -> p03,
+    "p03_temperature_mix" -> p03, "p04_train_order" -> p04,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
@@ -1577,9 +1657,9 @@ object Pipeline {
     "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,
     "t07_stratified_sample" -> t07Sql, "t08_repetition" -> t08Sql,
     "t09_ngram_lm" -> t09Sql, "t10_heavy_hitters" -> t10Sql,
-    "t11_pii_redact" -> t11Sql,
+    "t11_pii_redact" -> t11Sql, "t12_chunking" -> t12Sql,
     "p01_curate_corpus" -> p01Sql, "p02_pack_sequences" -> p02Sql,
-    "p03_temperature_mix" -> p03Sql,
+    "p03_temperature_mix" -> p03Sql, "p04_train_order" -> p04Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
