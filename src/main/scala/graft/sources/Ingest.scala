@@ -190,6 +190,33 @@ object Ingest {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Expire old mart snapshots: keep the `keep` highest-numbered
+    * `v_<n>` directories plus whatever `_LATEST` names, delete the
+    * rest, and return the deleted names. The snapshot commit model
+    * ([[graft.streaming.StreamingJobs.migrateStream]]) trades disk
+    * for atomicity and time travel; without periodic expiry a
+    * continuous migrate accumulates one full mart copy per
+    * micro-batch. The pointer's target is never deleted even if it
+    * falls outside the keep window (a reader may hold it).
+    */
+  def expireSnapshots(spark: SparkSession, martRoot: String,
+                      keep: Int): Seq[String] = {
+    require(keep >= 1, "must keep at least one snapshot")
+    val root = new org.apache.hadoop.fs.Path(martRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val live = graft.streaming.StreamingJobs.readLatestName(spark, martRoot)
+    val versions = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("v_\\d+"))
+      .sortBy(n => -n.drop(2).toLong)
+    val doomed = versions.drop(keep).filterNot(live.contains)
+    doomed.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    doomed
+  }
+
   case class CompactionStats(filesBefore: Int, filesAfter: Int,
                              bytesBefore: Long)
 
