@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-/** Session-lifetime registry of persisted intermediates.
+/** Per-driver-thread registry of persisted intermediates.
   *
   * Several operators persist an intermediate frame that the RETURNED
   * (lazy) DataFrame reads more than once — d03/d08's inverted index,
@@ -13,16 +13,31 @@ import org.apache.spark.sql.DataFrame
   * `CacheScope.drain()`. [[Verify]] and [[Bench]] drain after every
   * query; a long-lived session embedding the library should do the
   * same, otherwise cached blocks accumulate until eviction pressure.
+  *
+  * The registry is thread-local: query construction happens on the
+  * driver thread that calls the query function (persist() is lazy, so
+  * registration is part of plan construction), and that same thread
+  * drains once the result is consumed. Scoping per thread means two
+  * concurrent drivers sharing one SparkSession cannot unpersist each
+  * other's intermediates mid-query — a process-global queue would let
+  * one driver's drain() silently force the other's self-join inputs
+  * to recompute. Contract: drain() from the thread that built the
+  * query; frames registered on a thread that never drains stay cached
+  * until unpersisted elsewhere or evicted.
   */
 object CacheScope {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private val live = new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
+    override def initialValue(): java.util.ArrayDeque[DataFrame] =
+      new java.util.ArrayDeque[DataFrame]
+  }
 
-  /** Persist `df` and register it for the next [[drain]]. */
-  def cached(df: DataFrame): DataFrame = { live.add(df.persist()); df }
+  /** Persist `df` and register it for this thread's next [[drain]]. */
+  def cached(df: DataFrame): DataFrame = { live.get.add(df.persist()); df }
 
-  /** Unpersist every frame registered since the last drain. */
+  /** Unpersist every frame this thread registered since its last drain. */
   def drain(): Unit = {
-    var f = live.poll()
-    while (f != null) { f.unpersist(); f = live.poll() }
+    val q = live.get
+    var f = q.poll()
+    while (f != null) { f.unpersist(); f = q.poll() }
   }
 }

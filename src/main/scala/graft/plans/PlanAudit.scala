@@ -44,11 +44,18 @@ object PlanAudit {
   def of(df: DataFrame): PlanAudit = {
     val p = df.queryExecution.executedPlan.toString
     PlanAudit(
-      exchanges = count(p, "Exchange"),
+      // shuffle exchanges only: "Exchange hashpartitioning(…)" etc.
+      // A bare "Exchange" count would also match BroadcastExchange and
+      // ReusedExchange, so a plan that GAINED a broadcast dim join
+      // would read as a shuffle regression — the inverse of the signal
+      // a CI gate wants.
+      exchanges = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).length,
       broadcastHashJoins = count(p, "BroadcastHashJoin"),
       sortMergeJoins = count(p, "SortMergeJoin"),
       nestedLoopJoins = count(p, "NestedLoopJoin"),
-      partialAggregates = count(p, "partial"),
+      // anchored on "partial_" (the function-mode prefix): a bare
+      // "partial" substring also matches unrelated tokens
+      partialAggregates = count(p, "partial_"),
       scansWithPushedFilters =
         // a pushed-filter entry that is just "[]" pushed nothing
         "PushedFilters: \\[[^\\]]".r.findAllIn(p).length,

@@ -87,92 +87,205 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("lang"),
         col("n_docs"), col("n_kept"))
 
+  // ---- mart commit model: bucket-partitioned snapshots + manifest ----
+
+  /** Run identity for the replay guard: a stable 8-hex tag derived
+    * from the checkpoint path. Structured Streaming batch ids are only
+    * unique WITHIN one checkpoint lineage — they restart at 0 under a
+    * fresh/lost checkpoint — so the applied-batch marker must be
+    * scoped to the checkpoint: a bare batch-id marker would mistake a
+    * NEW run's first batch for the old run's already-applied batch 0
+    * and silently drop genuinely new data. */
+  def runTag(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
+  /** Snapshot directory name for one applied batch of one run. */
+  def snapshotName(tag: String, batchId: Long): String = s"v_${tag}_$batchId"
+
+  /** Deterministic hash bucket of the natural key — the unit of the
+    * incremental mart publish. Spark's `hash` is a fixed murmur3, so
+    * the bucket of a key is stable across batches, runs and restarts
+    * (internal layout only — never part of an oracle-checked result). */
+  def bucketExpr(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  /** The mart manifest `_LATEST` points at: the last applied snapshot
+    * (replay guard) and, per bucket, the snapshot directory currently
+    * holding that bucket's rows. Untouched buckets keep pointing at
+    * the snapshot that last wrote them — their files are never
+    * rewritten, which is what makes the per-batch publish O(delta). */
+  case class MartManifest(applied: String, buckets: Map[Int, String])
+
   /** Streaming migrate: keeps a latest-state mart continuously up to
     * date with a change stream — RDW's Migrate Reporting Service
     * ("watches the data warehouse for changes and copies any changes
     * … within a few minutes", reference
     * /root/reference/docs/Architecture.md "Migrate Reporting
-    * Service"). Each micro-batch merges into the mart via
+    * Service"). Each micro-batch merges via
     * [[graft.operators.Operators.migrateWithDeletes]] (latest-wins
-    * across upserts AND tombstones) and publishes a NEW snapshot
-    * directory `v_<batchId>`, then atomically swaps the `_LATEST`
-    * pointer file. Snapshot-versioning rather than in-place
-    * overwrite: Spark (correctly) refuses to overwrite a path it is
-    * reading, a failed publish leaves the previous snapshot live, and
-    * old snapshots give time travel for free — the same commit model
-    * table formats use. Batch replays after a restart are idempotent
-    * in BOTH crash windows: before the publish, the replay rebuilds
-    * `v_<batchId>` from the previous snapshot; after the publish (but
-    * before the checkpoint commit), `_LATEST` already names
-    * `v_<batchId>`, so the replay detects the applied batch and
-    * skips the merge entirely — it must, because re-merging would
-    * read the very directory it overwrites.
+    * across upserts AND tombstones) — see [[applyMigrateBatch]] for
+    * the incremental commit model (only buckets the delta touches are
+    * rewritten; the manifest swap is atomic; replays are idempotent).
     *
-    * Scale: the merge is one shuffle on the natural key per batch;
-    * the snapshot write is the same partitioned layout as any mart
-    * write. At warehouse scale the mart would be key-partitioned so
-    * only touched partitions rewrite; here the full-snapshot write
-    * keeps the commit model exact.
-    */
+    * Scale: per batch, one shuffle of |delta| + |touched buckets| on
+    * the natural key, and a write of the touched buckets only — work
+    * is O(delta), never O(mart). `expireEvery > 0` additionally runs
+    * [[expireMartSnapshots]] every that-many batches so a long-running
+    * migrate does not accumulate one snapshot per batch. */
   def migrateStream(updates: DataFrame, martRoot: String,
                     keys: Seq[String], versionCol: String, tieBreakCol: String,
-                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                    checkpoint: String, nBuckets: Int = 16,
+                    expireEvery: Int = 0, expireKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = runTag(checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sp = batch.sparkSession
-        // Replay after a crash between publishLatest and the streaming
-        // checkpoint commit: the batch was fully applied, _LATEST already
-        // points at this batch's snapshot. Merging again would read
-        // v_<batchId> while overwriting it — skip instead.
-        if (readLatestName(sp, martRoot).contains(s"v_$batchId")) ()
-        else {
-        val ordering = Seq(col(versionCol).desc, col(tieBreakCol).desc)
-        val merged = readMartLatest(sp, martRoot) match {
-          case Some(current) =>
-            // the published mart carries only survivors (the deleted
-            // column is dropped at merge time) — every mart row is
-            // alive, so it re-enters the merge with deleted = false
-            graft.operators.Operators.migrateWithDeletes(
-              current.withColumn("deleted", lit(false)),
-              batch.toDF(), keys.map(col), ordering)
-          case None =>
-            graft.operators.Operators.migrateWithDeletes(
-              batch.toDF().limit(0), batch.toDF(), keys.map(col), ordering)
-        }
-        val snapshot = s"$martRoot/v_$batchId"
-        merged.write.mode("overwrite").parquet(snapshot)
-        publishLatest(sp, martRoot, s"v_$batchId")
-        }
+        val applied = applyMigrateBatch(batch.toDF(), batchId, tag, martRoot,
+          keys, versionCol, tieBreakCol, nBuckets)
+        if (applied && expireEvery > 0 && batchId % expireEvery == 0)
+          expireMartSnapshots(batch.sparkSession, martRoot, expireKeep)
         ()
       }
       .start()
+  }
 
-  /** Read the current mart snapshot via the `_LATEST` pointer. */
+  /** Apply one change batch to the mart, incrementally: merge the
+    * delta into ONLY the hash buckets it touches, write those buckets
+    * to a fresh snapshot directory `v_<runTag>_<batchId>` (one
+    * partitioned write), and atomically swap the `_LATEST` manifest so
+    * touched buckets point at the new snapshot while untouched buckets
+    * keep their existing directories byte-for-byte. Returns false (and
+    * does nothing) when the manifest already records this exact
+    * (runTag, batchId) as applied — the crash window between publish
+    * and the streaming checkpoint commit replays the batch, and
+    * re-merging would double-apply it. A replayed batch id from a
+    * DIFFERENT checkpoint (batch ids restart at 0 under a fresh one)
+    * has a different runTag, so it merges as the new data it is.
+    *
+    * Crash safety: a crash before the manifest swap leaves the live
+    * manifest untouched (the half-written snapshot dir is orphaned and
+    * later expired); the replay rebuilds it from the previous
+    * manifest's directories — never from the directory being written. */
+  def applyMigrateBatch(batch: DataFrame, batchId: Long, tag: String,
+                        martRoot: String, keys: Seq[String],
+                        versionCol: String, tieBreakCol: String,
+                        nBuckets: Int = 16): Boolean = {
+    val sp = batch.sparkSession
+    val snap = snapshotName(tag, batchId)
+    val manifest = readManifest(sp, martRoot)
+    if (manifest.exists(_.applied == snap)) false
+    else {
+      // ≤ nBuckets values — bounded by configuration, not data
+      val touched = batch.select(bucketExpr(keys, nBuckets).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val bucketMap = manifest.map(_.buckets).getOrElse(Map.empty[Int, String])
+      val curPaths = touched.toSeq.sorted.flatMap(bucketMap.get).distinct
+        .map(d => s"$martRoot/$d")
+      val ordering = Seq(col(versionCol).desc, col(tieBreakCol).desc)
+      // the published mart carries only survivors (the deleted column
+      // is dropped at merge time) — every mart row is alive, so it
+      // re-enters the merge with deleted = false
+      val current =
+        if (curPaths.isEmpty) batch.limit(0)
+        else sp.read.parquet(curPaths: _*).withColumn("deleted", lit(false))
+      val merged = graft.operators.Operators.migrateWithDeletes(
+        current, batch, keys.map(col), ordering)
+      merged.withColumn("_b", bucketExpr(keys, nBuckets))
+        .write.partitionBy("_b").mode("overwrite").parquet(s"$martRoot/$snap")
+      publishManifest(sp, martRoot, snap, touched, bucketMap)
+      true
+    }
+  }
+
+  /** Read the current mart state via the `_LATEST` manifest (all live
+    * bucket directories as one frame). */
   def readMartLatest(spark: SparkSession, martRoot: String): Option[DataFrame] =
-    readLatestName(spark, martRoot)
-      .map(name => spark.read.parquet(s"$martRoot/$name"))
+    readManifest(spark, martRoot).flatMap { m =>
+      val dirs = m.buckets.values.toSeq.distinct.sorted.map(d => s"$martRoot/$d")
+      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    }
 
-  /** The snapshot directory name `_LATEST` currently points at, if any. */
-  def readLatestName(spark: SparkSession, martRoot: String): Option[String] = {
+  /** The last applied snapshot name the manifest records, if any. */
+  def readLatestName(spark: SparkSession, martRoot: String): Option[String] =
+    readManifest(spark, martRoot).map(_.applied)
+
+  /** Parse `_LATEST`. Two formats: the bucket manifest
+    * (`applied=<snap>` then `<bucket>=<dir>` lines), and the legacy
+    * single-directory pointer (one bare name) which reads as a
+    * one-bucket manifest. */
+  def readManifest(spark: SparkSession, martRoot: String): Option[MartManifest] = {
     val fs = fileSystem(spark, martRoot)
     val ptr = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
-      Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
+      val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      if (lines.isEmpty) None
+      else if (lines.head.startsWith("applied=")) {
+        val buckets = lines.tail.map { l =>
+          val Array(b, d) = l.split("=", 2)
+          b.toInt -> d
+        }.toMap
+        Some(MartManifest(lines.head.stripPrefix("applied="), buckets))
+      } else Some(MartManifest(lines.head, Map(0 -> lines.head)))
     }
   }
 
-  private def publishLatest(spark: SparkSession, martRoot: String, name: String): Unit = {
+  /** Swap the manifest atomically (write-temp + rename): touched
+    * buckets move to the new snapshot (buckets whose merge left no
+    * survivors drop out), untouched buckets keep their entries. */
+  private def publishManifest(spark: SparkSession, martRoot: String,
+                              snap: String, touched: Set[Int],
+                              prev: Map[Int, String]): Unit = {
     val fs = fileSystem(spark, martRoot)
-    val tmp = new org.apache.hadoop.fs.Path(martRoot, s"_LATEST.tmp")
-    val ptr = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
+    val snapPath = new org.apache.hadoop.fs.Path(martRoot, snap)
+    val written: Map[Int, String] =
+      if (!fs.exists(snapPath)) Map.empty
+      else fs.listStatus(snapPath).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_b=") => n.drop(3).toInt -> s"$snap/$n" }
+        .toMap
+    val next = (prev -- touched) ++ written
+    val content = (s"applied=$snap" +:
+      next.toSeq.sortBy(_._1).map { case (b, d) => s"$b=$d" }).mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(martRoot, "_LATEST.tmp")
+    val ptrPath = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
     val out = fs.create(tmp, true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
-    fs.delete(ptr, false)
-    if (!fs.rename(tmp, ptr))
-      throw new java.io.IOException(s"failed to publish mart snapshot $name")
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(ptrPath, false)
+    if (!fs.rename(tmp, ptrPath))
+      throw new java.io.IOException(s"failed to publish mart snapshot $snap")
+  }
+
+  /** Expire snapshot directories no longer referenced by the manifest,
+    * keeping the `keep` most recently modified unreferenced ones as a
+    * time-travel window. Directories the manifest references (any
+    * bucket entry, or the applied marker) are never deleted — a
+    * reader resolved through the manifest may hold them. Returns the
+    * deleted names. */
+  def expireMartSnapshots(spark: SparkSession, martRoot: String,
+                          keep: Int): Seq[String] = {
+    require(keep >= 0, "keep must be non-negative")
+    val fs = fileSystem(spark, martRoot)
+    val rootP = new org.apache.hadoop.fs.Path(martRoot)
+    if (!fs.exists(rootP)) return Nil
+    val referenced: Set[String] = readManifest(spark, martRoot) match {
+      case Some(m) => m.buckets.values.map(_.split("/")(0)).toSet + m.applied
+      case None => Set.empty
+    }
+    val doomed = fs.listStatus(rootP).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("v_"))
+      .filterNot(s => referenced.contains(s.getPath.getName))
+      .sortBy(-_.getModificationTime)
+      .drop(keep)
+      .map(_.getPath.getName)
+    doomed.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, n), true))
+    doomed
   }
 
   private def fileSystem(spark: SparkSession, root: String) =
@@ -213,7 +326,11 @@ object StreamingJobs {
           val t = e.ts.getTime
           st = if (st == null) SessionState(t, t, 1, e.value)
           else if (t - st.last > gapMs) { closed += emit(st); SessionState(t, t, 1, e.value) }
-          else st.copy(last = math.max(st.last, t), n = st.n + 1, sum = st.sum + e.value)
+          // a watermark-admitted out-of-order event may predate the
+          // stored session start — lower start alongside raising last,
+          // or the streamed session_start diverges from the batch run
+          else st.copy(start = math.min(st.start, t),
+            last = math.max(st.last, t), n = st.n + 1, sum = st.sum + e.value)
         }
         if (st != null) {
           state.update(st)
@@ -279,7 +396,11 @@ object StreamingJobs {
           st = if (st == null) SessAgg(userId, t, t, 1, e.cents)
           else if (t - st.end_us > gapUs) {
             closed += st; SessAgg(userId, t, t, 1, e.cents)
-          } else st.copy(end_us = math.max(st.end_us, t),
+          // min on start_us: a watermark-admitted out-of-order event
+          // that predates the stored session start must lower it, as
+          // the batch/oracle run (which sorts all events first) does
+          } else st.copy(start_us = math.min(st.start_us, t),
+            end_us = math.max(st.end_us, t),
             n_events = st.n_events + 1, cents = st.cents + e.cents)
         }
         if (st != null) {
@@ -350,10 +471,18 @@ object StreamingJobs {
           val t = r.ts.getTime
           maxTs = math.max(maxTs, t)
           entries = entries.filter(_._3 >= t - horizonMs)
-          entries.foreach { case (aId, aSig, _) =>
+          entries.foreach { case (aId, aSig, aTs) =>
             val h = ham(aSig, r.sig)
-            if (h <= 3 && aId != r.doc_id)
-              hits += NearDupHit(key._1, aId, r.doc_id, h)
+            if (h <= 3 && aId != r.doc_id) {
+              // orient each pair by (ts, doc_id) against the STORED
+              // entry: on a timestamp tie split across micro-batches
+              // the new arrival may sort before the stored doc, and
+              // the declarative oracle's direction must still hold
+              if (aTs < t || (aTs == t && aId < r.doc_id))
+                hits += NearDupHit(key._1, aId, r.doc_id, h)
+              else
+                hits += NearDupHit(key._1, r.doc_id, aId, h)
+            }
           }
           entries = (r.doc_id, r.sig, t) :: entries
         }
@@ -403,36 +532,62 @@ object StreamingJobs {
     * migrated daily; here the same merge runs per micro-batch).
     * Each batch's rows partial-aggregate ([[olapPartials]]) and merge
     * into the mart by RE-AGGREGATING partials — sums add, counts add
-    * — so maintenance work scales with |delta| + |mart|, never the
-    * fact history (q47's algebraic-partials property, run
-    * continuously). Snapshots + `_LATEST` pointer give the same
-    * atomic commit and crash-replay idempotency as [[migrateStream]]:
-    * a replayed batch whose snapshot is already published is SKIPPED —
-    * essential here, because re-merging partials would double-count.
-    */
+    * — so maintenance work scales with |delta| + |touched buckets|,
+    * never the fact history (q47's algebraic-partials property, run
+    * continuously). Commit model is [[applyOlapBatch]] — same
+    * incremental bucket publish, atomic manifest swap and
+    * checkpoint-scoped replay guard as [[applyMigrateBatch]]; the
+    * guard is essential here because re-merging partials would
+    * double-count. */
   def olapMigrateStream(updates: DataFrame, martRoot: String,
                         keys: Seq[String], valueCol: String,
-                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                        checkpoint: String, nBuckets: Int = 16,
+                        expireEvery: Int = 0, expireKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = runTag(checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sp = batch.sparkSession
-        if (readLatestName(sp, martRoot).contains(s"v_$batchId")) ()
-        else {
-          val delta = olapPartials(batch.toDF(), keys, valueCol)
-          val merged = readMartLatest(sp, martRoot) match {
-            case Some(cur) => cur.unionByName(delta)
-              .groupBy(keys.map(col): _*)
-              .agg(sum(col("sum_dec")).cast(DecimalType(30, 2)).as("sum_dec"),
-                sum(col("n_rows")).as("n_rows"))
-            case None => delta
-          }
-          merged.write.mode("overwrite").parquet(s"$martRoot/v_$batchId")
-          publishLatest(sp, martRoot, s"v_$batchId")
-        }
+        val applied = applyOlapBatch(batch.toDF(), batchId, tag, martRoot,
+          keys, valueCol, nBuckets)
+        if (applied && expireEvery > 0 && batchId % expireEvery == 0)
+          expireMartSnapshots(batch.sparkSession, martRoot, expireKeep)
         ()
       }
       .start()
+  }
+
+  /** Apply one delta batch to the OLAP partials mart incrementally:
+    * re-aggregate the delta's partials with the current partials of
+    * ONLY the buckets the delta touches, write those buckets to a
+    * fresh snapshot, swap the manifest. Same idempotency contract as
+    * [[applyMigrateBatch]] (skip iff this exact (runTag, batchId) is
+    * the applied marker). Returns whether the batch was applied. */
+  def applyOlapBatch(batch: DataFrame, batchId: Long, tag: String,
+                     martRoot: String, keys: Seq[String], valueCol: String,
+                     nBuckets: Int = 16): Boolean = {
+    val sp = batch.sparkSession
+    val snap = snapshotName(tag, batchId)
+    val manifest = readManifest(sp, martRoot)
+    if (manifest.exists(_.applied == snap)) false
+    else {
+      val delta = olapPartials(batch, keys, valueCol)
+      val touched = delta.select(bucketExpr(keys, nBuckets).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val bucketMap = manifest.map(_.buckets).getOrElse(Map.empty[Int, String])
+      val curPaths = touched.toSeq.sorted.flatMap(bucketMap.get).distinct
+        .map(d => s"$martRoot/$d")
+      val merged =
+        if (curPaths.isEmpty) delta
+        else sp.read.parquet(curPaths: _*).unionByName(delta)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("sum_dec")).cast(DecimalType(30, 2)).as("sum_dec"),
+            sum(col("n_rows")).as("n_rows"))
+      merged.withColumn("_b", bucketExpr(keys, nBuckets))
+        .write.partitionBy("_b").mode("overwrite").parquet(s"$martRoot/$snap")
+      publishManifest(sp, martRoot, snap, touched, bucketMap)
+      true
+    }
+  }
 
   /** Map a document frame (doc_id, ts, text) to the 4-chunk SimHash
     * rows [[nearDupStream]] consumes; the watermark rides the chunk

@@ -189,41 +189,113 @@ class StreamingSpec extends SparkSpec {
       ms.addData((1L, 2L, "a2", false), (2L, 2L, "b-del", true), (3L, 1L, "c1", false))
       q.processAllAvailable()
       assert(mart() == Set((1L, "a2"), (3L, "c1")))
-      // prior snapshot still readable (time travel), pointer moved on
-      assert(spark.read.parquet(s"$root/v_0").count() == 2)
+      // prior snapshot still readable (time travel), manifest moved on
+      val tag = StreamingJobs.runTag(ckpt)
+      assert(spark.read.parquet(s"$root/${StreamingJobs.snapshotName(tag, 0)}").count() == 2)
+      assert(StreamingJobs.readLatestName(spark, root)
+        .contains(StreamingJobs.snapshotName(tag, 1)))
     } finally q.stop()
   }
 
-  test("migrateStream replay after crash-between-publish-and-commit is a no-op (idempotent)") {
+  test("applyMigrateBatch replay guard is checkpoint-scoped: same-run replay skips, new-run batch 0 merges") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_mart_replay").toString + "/mart"
-    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_mart_rck1").toString
-    // run batch 0 normally: _LATEST now points at v_0
-    val ms1 = MemoryStream[(Long, Long, String, Boolean)]
-    val q1 = StreamingJobs.migrateStream(ms1.toDF().toDF("k", "ver", "v", "deleted"),
-      root, keys = Seq("k"), versionCol = "ver", tieBreakCol = "v", checkpoint = ckpt1)
-    try { ms1.addData((1L, 1L, "a1", false)); q1.processAllAvailable() } finally q1.stop()
-    assert(StreamingJobs.readLatestName(spark, root).contains("v_0"))
-    // simulate the crash window: the checkpoint is GONE (fresh dir) but
-    // _LATEST already names v_0 — the replayed batch 0 must detect the
-    // applied batch and skip, instead of merging v_0 into itself
-    // (which Spark rejects as overwrite-of-a-read-path and would
-    // re-fail on every restart)
-    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_mart_rck2").toString
-    val ms2 = MemoryStream[(Long, Long, String, Boolean)]
-    val q2 = StreamingJobs.migrateStream(ms2.toDF().toDF("k", "ver", "v", "deleted"),
-      root, keys = Seq("k"), versionCol = "ver", tieBreakCol = "v", checkpoint = ckpt2)
-    try {
-      ms2.addData((1L, 1L, "a1", false))
-      q2.processAllAvailable() // batchId 0 again — must not throw
-      // batch 1 then applies on top of the published snapshot
-      ms2.addData((2L, 1L, "b1", false))
-      q2.processAllAvailable()
-    } finally q2.stop()
+    def mart() = StreamingJobs.readMartLatest(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    val b0 = Seq((1L, 1L, "a1", false)).toDF("k", "ver", "v", "deleted")
+    // run 1, batch 0 applies
+    assert(StreamingJobs.applyMigrateBatch(b0, 0L, "run1", root,
+      Seq("k"), "ver", "v"))
+    assert(mart() == Set((1L, "a1")))
+    // crash window between publish and checkpoint commit: Spark
+    // replays batch 0 from the SAME checkpoint — the applied marker
+    // matches (runTag, batchId) and the merge must be skipped
+    assert(!StreamingJobs.applyMigrateBatch(b0, 0L, "run1", root,
+      Seq("k"), "ver", "v"))
+    assert(mart() == Set((1L, "a1")))
+    // a FRESH checkpoint restarts batch ids at 0: its batch 0 is
+    // genuinely new data and MUST merge — a bare batch-id guard would
+    // silently discard it (the round-3 advice scenario)
+    val b0run2 = Seq((2L, 1L, "b1", false)).toDF("k", "ver", "v", "deleted")
+    assert(StreamingJobs.applyMigrateBatch(b0run2, 0L, "run2", root,
+      Seq("k"), "ver", "v"))
+    assert(mart() == Set((1L, "a1"), (2L, "b1")),
+      "new run's first batch must merge, not be mistaken for a replay")
+    assert(StreamingJobs.readLatestName(spark, root)
+      .contains(StreamingJobs.snapshotName("run2", 0)))
+  }
+
+  test("incremental publish: untouched buckets keep their files byte-identical across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_incr").toString + "/mart"
+    val nBuckets = 4
+    // find two keys landing in different buckets with the engine's own
+    // bucket function
+    val buckets = spark.range(1, 50).toDF("k")
+      .withColumn("b", StreamingJobs.bucketExpr(Seq("k"), nBuckets))
+      .as[(Long, Int)].collect().toMap
+    val k1 = 1L
+    val k2 = (2L to 49L).find(k => buckets(k) != buckets(k1)).get
+    def batchDF(rows: (Long, Long, String, Boolean)*) =
+      rows.toDF("k", "ver", "v", "deleted")
+    assert(StreamingJobs.applyMigrateBatch(
+      batchDF((k1, 1L, "a1", false), (k2, 1L, "b1", false)),
+      0L, "t", root, Seq("k"), "ver", "v", nBuckets))
+    val m0 = StreamingJobs.readManifest(spark, root).get
+    val untouchedDir = s"$root/${m0.buckets(buckets(k2))}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileState(dir: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filter(_.isFile)
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+    val before = fileState(untouchedDir)
+    // batch 1 touches only k1's bucket
+    assert(StreamingJobs.applyMigrateBatch(
+      batchDF((k1, 2L, "a2", false)),
+      1L, "t", root, Seq("k"), "ver", "v", nBuckets))
+    val m1 = StreamingJobs.readManifest(spark, root).get
+    // k2's bucket still references the batch-0 snapshot dir, unrewritten
+    assert(m1.buckets(buckets(k2)) == m0.buckets(buckets(k2)),
+      s"untouched bucket must keep its directory: $m0 -> $m1")
+    assert(m1.buckets(buckets(k1)) != m0.buckets(buckets(k1)),
+      "touched bucket must move to the new snapshot")
+    assert(fileState(untouchedDir) == before,
+      "untouched bucket files must be byte-identical (same name/len/mtime)")
+    // and the merged mart equals the full-recompute semantics
     val mart = StreamingJobs.readMartLatest(spark, root).get
       .select("k", "v").as[(Long, String)].collect().toSet
-    assert(mart == Set((1L, "a1"), (2L, "b1")))
-    assert(StreamingJobs.readLatestName(spark, root).contains("v_1"))
+    assert(mart == Set((k1, "a2"), (k2, "b1")))
+  }
+
+  test("migrateStream expiry hook keeps snapshot count bounded with readers unbroken") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_expire").toString + "/mart"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mart_expck").toString
+    val ms = MemoryStream[(Long, Long, String, Boolean)]
+    val q = StreamingJobs.migrateStream(
+      ms.toDF().toDF("k", "ver", "v", "deleted"),
+      root, keys = Seq("k"), versionCol = "ver", tieBreakCol = "v",
+      checkpoint = ckpt, nBuckets = 2, expireEvery = 1, expireKeep = 0)
+    try {
+      (1L to 5L).foreach { i =>
+        ms.addData((i % 2, i, s"v$i", false))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v_")).toSet
+    val referenced = StreamingJobs.readManifest(spark, root).get
+      .buckets.values.map(_.split("/")(0)).toSet
+    // every surviving dir is manifest-referenced or the applied marker:
+    // expiry deleted the orphans but never a dir a reader can reach
+    assert(snapDirs.size <= referenced.size + 1,
+      s"unreferenced snapshots must be expired: $snapDirs vs $referenced")
+    val mart = StreamingJobs.readMartLatest(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(mart == Set((0L, "v4"), (1L, "v5")))
   }
 
   test("olapMigrateStream: mart maintained across batches == full recompute; replay can't double-count") {
@@ -256,40 +328,23 @@ class StreamingSpec extends SparkSpec {
       .as[(Timestamp, String, Double, Long, Double)].collect().toSeq
     assert(derived == full,
       s"mart after 2 delta merges must equal the full recompute:\n$derived\n$full")
-    // crash replay: fresh checkpoint, batch 0 re-fed while _LATEST
-    // already points at the final snapshot — a re-merge would
-    // double-count the partials, so the applied batch must be skipped
-    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_olap_ck2").toString
+    assert(StreamingJobs.readLatestName(spark, root)
+      .contains(StreamingJobs.snapshotName(StreamingJobs.runTag(ckpt), 1)))
+    // crash replay within the SAME run (same checkpoint → same runTag):
+    // the applied marker matches, so re-merging the partials — which
+    // would double-count — must be skipped
     val before = derived
-    val latestBefore = StreamingJobs.readLatestName(spark, root)
-    // _LATEST is v_1; replay of batch 1 (same id) must no-op
-    assert(latestBefore.contains("v_1"))
-    // genuinely-new data under a fresh checkpoint re-enters as batch 0
-    // (≠ v_1) and must merge — this publishes v_0 and moves the pointer
-    val ms2 = MemoryStream[Ev]
-    val q2 = StreamingJobs.olapMigrateStream(
-      ms2.toDF().withColumn("mart_hour", date_trunc("hour", col("ts"))),
-      root, keys = Seq("mart_hour", "event_type"), valueCol = "value",
-      checkpoint = ckpt2)
-    try {
-      feed(ms2, rows.drop(3), q2)
-    } finally q2.stop()
-    assert(StreamingJobs.readLatestName(spark, root).contains("v_0"))
-    val snapshotNow = derived
-    assert(snapshotNow != before, "new data must change the mart")
-    // crash replay: ANOTHER fresh checkpoint re-feeds batch 0 while
-    // _LATEST already names v_0 — re-merging partials would
-    // double-count, so the applied batch id must be skipped
-    val ckpt3 = java.nio.file.Files.createTempDirectory("graft_olap_ck3").toString
-    val ms3 = MemoryStream[Ev]
-    val q3 = StreamingJobs.olapMigrateStream(
-      ms3.toDF().withColumn("mart_hour", date_trunc("hour", col("ts"))),
-      root, keys = Seq("mart_hour", "event_type"), valueCol = "value",
-      checkpoint = ckpt3)
-    try {
-      feed(ms3, rows.take(3), q3)
-    } finally q3.stop()
-    assert(derived == snapshotNow, "an already-published batch id must not re-merge")
+    val replay = rows.drop(3).toDF()
+      .withColumn("mart_hour", date_trunc("hour", col("ts")))
+    assert(!StreamingJobs.applyOlapBatch(replay, 1L,
+      StreamingJobs.runTag(ckpt), root,
+      Seq("mart_hour", "event_type"), "value"))
+    assert(derived == before, "an already-applied (run, batch) must not re-merge")
+    // a DIFFERENT run's batch 1 (fresh checkpoint, ids restart) is new
+    // data and must merge — checkpoint-scoped guard, not bare batch id
+    assert(StreamingJobs.applyOlapBatch(replay, 1L, "otherrun", root,
+      Seq("mart_hour", "event_type"), "value"))
+    assert(derived != before, "a new run's delta must merge into the mart")
   }
 
   test("sessionizeExact: incremental stream equals the batch run (trailing session via timeout)") {
