@@ -86,4 +86,28 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Row count from parquet footer metadata: a driver-side footer read
+    * per file — no Spark job, no data scan. Index builds (IVF list
+    * sizing, training-sample caps) need only the corpus cardinality at
+    * planning time; a full `count()` would launch a cluster-wide scan
+    * per query for a number the file footers already hold. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isFile) Seq(fs.getFileStatus(p))
+      else fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Embeddings cardinality via footer metadata (no scan). */
+  def embeddingsCount(s: SparkSession, d: String): Long =
+    parquetRowCount(s, s"$d/embeddings.parquet")
 }

@@ -351,14 +351,34 @@ object Pipeline {
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** KMeans coarse quantizer shared by s03 (IVF probe lists) and d07
-    * (near-dup blocking key). The fit runs on a seeded SAMPLE, not the
-    * corpus: at 100 TB a full-data fit would dominate the whole query,
-    * and quantizer quality only needs a representative sample (the
-    * classic IVF recipe — train on ~100k vectors, assign everything).
-    * Assignment (`model.transform`) is map-only over the corpus.
+  /** Deterministic ≈`cap`-row training sample: t07's salted-md5
+    * admission test at rate cap/n. Unlike `sample(fraction)` the
+    * training-set SIZE is an absolute cap, not a corpus fraction — at
+    * 100 TB of embeddings a 25–50% fraction is a 25–50 TB k-means
+    * input, where the cap stays what the fit needs. The hash test is
+    * map-side, layout-independent (repartition-stable) and replayable,
+    * unlike `rand()` sampling. */
+  private[graft] def trainingSample(df: DataFrame, idCol: org.apache.spark.sql.Column,
+                                    n: Long, cap: Long, salt: String): DataFrame =
+    if (n <= cap) df
+    else {
+      // first 8 md5 hex chars as a uniform draw in [0, 2^32)
+      val threshold = math.ceil(math.pow(2, 32) * cap.toDouble / n).toLong
+      df.filter(conv(substring(md5(concat(idCol.cast(StringType), lit(s"|$salt"))), 1, 8),
+        16, 10).cast(LongType) < lit(threshold))
+    }
+
+  /** KMeans coarse quantizer shared by s03/s05 (IVF probe lists) and
+    * d07 (near-dup blocking key). The fit runs on a capped SAMPLE, not
+    * the corpus: at 100 TB a full-data fit would dominate the whole
+    * query, and quantizer quality only needs ~tens of training rows
+    * per centroid (the classic IVF recipe — train on ~100k vectors,
+    * assign everything). The cap is 64·k rows (floor 2048) — ABSOLUTE,
+    * scaling with the centroid count the fit estimates rather than the
+    * corpus it samples from. Assignment (`model.transform`) is
+    * map-only over the corpus.
     */
-  private def kmeansAssign(s: SparkSession, d: String, k: Int) = {
+  private def kmeansAssign(s: SparkSession, d: String, k: Int, n: Long) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = T.embeddings(s, d)
@@ -369,10 +389,11 @@ object Pipeline {
     // scales as √n; for coarse quantization (blocking / probe lists)
     // random-init quality is equivalent after a few Lloyd iterations —
     // recall is spec-gated either way (PipelineScaleSpec).
+    val cap = math.max(2048L, 64L * k)
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(emb.sample(withReplacement = false, fraction = 0.5, seed = 42))
+      .fit(trainingSample(emb, col("vec_id"), n, cap, "kmtrain"))
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("cluster"))
     (assigned, model)
@@ -396,13 +417,14 @@ object Pipeline {
   // pairs k·(n·probes/k)²/2 = n^1.5·probes²/2 — sub-quadratic — where
   // any FIXED k degrades to O(n²/k). Measured on a 10× corpus
   // (20k vectors): fixed k=8 took 100 s; adaptive k brings the same
-  // run to seconds. n comes from parquet metadata (count() without a
-  // scan), a planning-time lookup every IVF index build does.
+  // run to seconds. n comes from parquet FOOTER metadata — a
+  // driver-side lookup, no scan job — the planning-time read every
+  // IVF index build does.
   private val d07: Q = (s, d) => {
     val probes = 3
-    val n = T.embeddings(s, d).count()
+    val n = T.embeddingsCount(s, d)
     val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (_, model) = kmeansAssign(s, d, k)
+    val (_, model) = kmeansAssign(s, d, k, n)
     // centroids are driver-side (k × dim doubles), held inside the
     // native NearestClusters expression — the top-`probes` assignment
     // is one compiled loop per row, no join, no shuffle, no per-row
@@ -509,9 +531,9 @@ object Pipeline {
   // (one compiled loop/row) — no crossJoin, no window shuffle.
   private val s03: Q = (s, d) => {
     val nProbe = 2
-    val n = T.embeddings(s, d).count()
+    val n = T.embeddingsCount(s, d)
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, model) = kmeansAssign(s, d, k)
+    val (assigned, model) = kmeansAssign(s, d, k, n)
     val cents = model.clusterCenters.map(_.toArray)
     val probes = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -565,14 +587,15 @@ object Pipeline {
     // interleaves them across the executor pool. Sequential fits
     // measured 10.8 s of the s04 bench; the work is 8 × (tiny k-means
     // on a sample), i.e. job-overhead-bound, exactly what concurrent
-    // submission hides. Results are unchanged: same seeds, same data.
-    // 25% sample, 6 Lloyd iterations: a 16-centroid codebook in a
-    // low-dim subspace converges in a handful of iterations; halving
-    // both train size and iterations took the measured fit cost from
-    // 2.8/3.5 s (s04/s05, isolated) to well under that while the
-    // recall-vs-s01 specs stay green — at 100 TB the sample size is an
-    // absolute cap (say 1M vectors), not a fraction.
-    val train = emb.sample(withReplacement = false, 0.25, seed = 42)
+    // submission hides. 6 Lloyd iterations: a 16-centroid codebook in
+    // a low-dim subspace converges in a handful of iterations
+    // (recall-vs-s01 spec-gated). The training-set size is an ABSOLUTE
+    // cap of 256·ksub rows (the ~hundreds-per-centroid PQ recipe), not
+    // a corpus fraction — a fraction of 100 TB is still terabytes of
+    // k-means input; the cap is what the 16-centroid fit needs
+    // regardless of corpus size. n comes from footer metadata.
+    val n = T.embeddingsCount(s, d)
+    val train = trainingSample(emb, col("vec_id"), n, 256L * ksub, "pqtrain")
       .select(col("embedding")).persist()
     train.count() // materialize before the concurrent readers fork
     val futs = (0 until numSub).map { m => Future {
@@ -648,9 +671,9 @@ object Pipeline {
     // the standard FAISS tuning trade. 4 lists of √n vectors is still
     // a vanishing fraction of a warehouse corpus.
     val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
-    val n = T.embeddings(s, d).count()
+    val n = T.embeddingsCount(s, d)
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, model) = kmeansAssign(s, d, k)
+    val (assigned, model) = kmeansAssign(s, d, k, n)
     val cents = model.clusterCenters.map(_.toArray)
     val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
     val codeCols = (0 until numSub).map { m =>

@@ -80,4 +80,32 @@ class PipelineScaleSpec extends SparkSpec {
         s"seeded sample + seeded fit must reproduce identical output at $d")
     }
   }
+
+  test("trainingSample is an absolute-row cap: ≈cap rows, layout-independent, identity under cap") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 10000).toDF("vec_id")
+    val n = 10000L
+    val cap = 1000L
+    val sampled = graft.queries.Pipeline.trainingSample(df, col("vec_id"), n, cap, "spec")
+    val got = sampled.count()
+    // binomial(10000, 0.1): ±40% of cap is a >6-sigma window
+    assert(got > cap * 0.6 && got < cap * 1.4,
+      s"expected ≈$cap rows from an absolute cap, got $got")
+    // layout-independent: the admitted SET survives any repartitioning
+    // (the property fraction-sampling lacks and the reason for the
+    // salted-hash idiom)
+    val re = graft.queries.Pipeline.trainingSample(
+      df.repartition(17), col("vec_id"), n, cap, "spec")
+    assert(re.collect().map(_.getLong(0)).toSet ==
+      sampled.collect().map(_.getLong(0)).toSet)
+    // under the cap the corpus passes through whole
+    val small = graft.queries.Pipeline.trainingSample(df, col("vec_id"), 500L, cap, "spec")
+    assert(small.count() == 10000L)
+  }
+
+  test("embeddings cardinality comes from parquet footers (matches count, no scan job)") {
+    val meta = Tables.embeddingsCount(spark, sfDir)
+    val scanned = Tables.embeddings(spark, sfDir).count()
+    assert(meta == scanned, s"footer metadata count $meta != scan count $scanned")
+  }
 }
