@@ -12,19 +12,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order functions are evaluated interpreted (no whole-stage
   * codegen), so numPerms × shingles lambda invocations per row cost
   * ~100 ns each — 100+ s for a 50k-doc corpus. This expression does
-  * the whole signature in one tight JVM loop per row (FNV-1a rolling
-  * window hash + xxhash-style avalanche mix per permutation, no
-  * allocation per shingle), ~1000× less interpreter overhead. At
-  * 100 TB this is the difference between a map-only pass and an
-  * unusable operator.
+  * the whole signature in one tight JVM loop per row (polynomial
+  * shingle hash + affine permutation per slot, no allocation per
+  * shingle), ~1000× less interpreter overhead. At 100 TB this is the
+  * difference between a map-only pass and an unusable operator.
   *
-  * Duplicates shingles need no dedup: min() is idempotent under
+  * HASH FAMILY IS ORACLE-REPLAYABLE (the t06/d08 winnow precedent):
+  * shingle hash `h = fold((acc*131 + char) mod 1e9+7)` — DuckDB's
+  * `list_reduce` computes it exactly — and permutation p applies
+  * `(a_p·h + b_p) mod 1e9+7`. The modulus is PRIME, so any affine map
+  * with a_p ≠ 0 is a true bijection of Z_p — exactly the permutation
+  * family MinHash needs — and every operation stays below 2^63, so
+  * plain BIGINT arithmetic reproduces it in any engine. (The previous
+  * murmur-finalizer family mixed in 64-bit overflow, which no ANSI
+  * engine can replay — the one reason d04 was rows-only.)
+  *
+  * Duplicate shingles need no dedup: min() is idempotent under
   * repetition.
   */
 case class MinHashShingles(child: Expression, k: Int, numPerms: Int)
     extends UnaryExpression with UnaryRefCodegen {
+  import MinHashShingles._
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // permutation constants, precomputed once per expression instance
+  private lazy val as: Array[Long] = Array.tabulate(numPerms)(aConst)
+  private lazy val bs: Array[Long] = Array.tabulate(numPerms)(bConst)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
@@ -33,13 +47,13 @@ case class MinHashShingles(child: Expression, k: Int, numPerms: Int)
     var i = 0
     while (i < n) {
       val end = math.min(i + k, text.length)
-      // FNV-1a over the shingle's chars — no substring allocation.
-      var h = 0xcbf29ce484222325L
+      // polynomial hash over the shingle's chars — no substring allocation
+      var h = 0L
       var j = i
-      while (j < end) { h = (h ^ text.charAt(j)) * 0x100000001b3L; j += 1 }
+      while (j < end) { h = (h * 131L + text.charAt(j)) % M; j += 1 }
       var p = 0
       while (p < numPerms) {
-        val x = mix(h, p)
+        val x = (as(p) * h + bs(p)) % M // a,h < M ≈ 2^30 ⇒ product < 2^60
         if (x < mins(p)) mins(p) = x
         p += 1
       }
@@ -48,17 +62,21 @@ case class MinHashShingles(child: Expression, k: Int, numPerms: Int)
     new GenericArrayData(mins)
   }
 
-  /** murmur3-finalizer avalanche of (h, seed) — a cheap, well-mixed
-    * permutation family. */
-  @inline private def mix(h: Long, seed: Int): Long = {
-    var x = h ^ (seed.toLong * 0x9E3779B97F4A7C15L)
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33
-    x
-  }
-
   override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
     copy(child = newChild)
   override def prettyName: String = "minhash_shingles"
+}
+
+object MinHashShingles {
+  /** Prime modulus shared with [[WinnowFingerprint]] — affine maps mod
+    * a prime are bijections, and all arithmetic fits signed 64-bit. */
+  val M = 1000000007L
+  private val AC = 0x9E3779B97F4AL % M
+  private val BC = 0xC2B2AE3D27D4L % M
+
+  /** Permutation multipliers/offsets — deterministic golden-ratio
+    * multiples, exposed so the DuckDB oracle SQL interpolates the SAME
+    * constants. */
+  def aConst(p: Int): Long = { val a = AC * (p + 1) % M; if (a == 0) 1L else a }
+  def bConst(p: Int): Long = BC * (p + 1) % M
 }

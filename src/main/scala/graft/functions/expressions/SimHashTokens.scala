@@ -8,12 +8,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Same rationale as [[MinHashShingles]]: the HOF formulation costs 64
   * interpreted folds per row (one per bit); this walks the string
-  * once, hashes each token with FNV-1a + avalanche, and updates 64
-  * counters in a tight loop. Token boundaries are whitespace runs,
-  * matching `split(trim(text), "\\s+")`.
+  * once, hashes each token, and updates 64 counters in a tight loop.
+  * Token boundaries are whitespace runs, matching
+  * `split(trim(text), "\\s+")`.
+  *
+  * ORACLE-REPLAYABLE bit draws (the d04/t06/d08 family): token hash is
+  * the polynomial `fold((acc*131 + char) mod 1e9+7)` and bit b of a
+  * token is the PARITY of the affine bijection `(a_b·h + b_b) mod
+  * 1e9+7` — prime modulus, everything under 2^63, so DuckDB replays
+  * signature construction, chunk blocking and hamming distances in
+  * plain SQL. Counter semantics: bit set in token hash → +1, else −1;
+  * sig bit b = (count_b > 0); zero tokens → sig 0.
   */
 case class SimHashTokens(child: Expression)
     extends UnaryExpression with UnaryRefCodegen {
+  import SimHashTokens._
 
   override def dataType: DataType = LongType
 
@@ -25,18 +34,15 @@ case class SimHashTokens(child: Expression)
     while (i < n) {
       while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
       if (i < n) {
-        var h = 0xcbf29ce484222325L
+        var h = 0L
         while (i < n && !Character.isWhitespace(text.charAt(i))) {
-          h = (h ^ text.charAt(i)) * 0x100000001b3L
+          h = (h * 131L + text.charAt(i)) % M
           i += 1
         }
-        // avalanche so low bits are well-mixed
-        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-        h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-        h ^= h >>> 33
         var b = 0
         while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          val v = (as(b) * h + bs(b)) % M
+          if ((v & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
       }
@@ -50,4 +56,17 @@ case class SimHashTokens(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHashTokens =
     copy(child = newChild)
   override def prettyName: String = "simhash_tokens"
+}
+
+object SimHashTokens {
+  val M = 1000000007L
+  private val AC = 0xC6A4A7935BD1L % M
+  private val BC = 0x8EBC6AF09C88L % M
+
+  /** Per-bit draw constants — exposed so the DuckDB oracle SQL
+    * interpolates the SAME family. */
+  def aConst(b: Int): Long = { val a = AC * (b + 1) % M; if (a == 0) 1L else a }
+  def bConst(b: Int): Long = BC * (b + 1) % M
+  private[expressions] val as: Array[Long] = Array.tabulate(64)(aConst)
+  private[expressions] val bs: Array[Long] = Array.tabulate(64)(bConst)
 }

@@ -266,7 +266,14 @@ object Pipeline {
       |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
       |FROM comp ORDER BY vec_id""".stripMargin
 
-  // -- d04: MinHash + LSH band bucketing (rows-only) -----------------------
+  // -- d04: MinHash + LSH band bucketing (ORACLE-EXACT) --------------------
+  // Graduated from rows-only in round 4: the hash family is the
+  // replayable affine-mod-prime construction (see MinHashShingles —
+  // polynomial shingle hash + a_p·h+b_p mod 1e9+7 bijections), so the
+  // whole signature → banding → candidate pipeline replays in DuckDB
+  // as plain SQL: banding is just GROUP BY (band, band value).
+  // est_jaccard is matches/32 — an exact power-of-two division, no
+  // rounding (round() can diverge across engines on half-boundaries).
   private val d04: Q = (s, d) => {
     val numPerms = 32; val bands = 8; val rowsPerBand = 4
     // Native one-pass expression: interpreted HOF minhash costs
@@ -274,30 +281,71 @@ object Pipeline {
     val sigs = docsSpread(s, d)
       .select(col("doc_id"),
         graft.functions.GraftColumns.minHashShingles(col("text"), 8, numPerms).as("sig"))
+    // band key = the 4 slot minima verbatim (comma-joined decimal —
+    // the cross-engine-stable encoding); same ≤bands×docs key space
+    // as a hashed band key
     val bandCols = (0 until bands).map { b =>
-      val elems = (1 to rowsPerBand).map(j => element_at(col("sig"), b * rowsPerBand + j))
-      struct(lit(b).as("band"), xxhash64(lit(b) +: elems: _*).as("bh"))
+      val elems = (1 to rowsPerBand).map(j =>
+        element_at(col("sig"), b * rowsPerBand + j).cast(StringType))
+      struct(lit(b).as("band"), concat_ws(",", elems: _*).as("bv"))
     }
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     // est_jaccard is computed BEFORE the pair dedupe so the distinct
     // exchange moves three scalars per candidate, not two 32-long
     // signature arrays (same fix as s02's id-only dedupe: at corpus
     // scale the network dominates the recomputed fold).
     banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(aggregate(zip_with(col("a.sig"), col("b.sig"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, x) => acc + x).cast(DoubleType) / numPerms, 4).as("est_jaccard"))
+          (acc, x) => acc + x).cast(DoubleType) / numPerms).as("est_jaccard"))
       .distinct()
       .orderBy("a_id", "b_id")
   }
 
-  // -- d05: SimHash hamming-near pairs (rows-only) -------------------------
+  private val d04Sql: String = {
+    import graft.functions.expressions.MinHashShingles.{aConst, bConst}
+    val aList = (0 until 32).map(aConst).mkString(", ")
+    val bList = (0 until 32).map(bConst).mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(generate_series(0, CAST(least(7, length(text) - i) AS INTEGER)),
+       |        j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+       |        (acc, c) -> (acc * 131 + c) % 1000000007) END AS h
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+       |        FROM documents)),
+       |perms AS (SELECT unnest(generate_series(0, 31)) AS p,
+       |                 unnest([$aList]) AS a,
+       |                 unnest([$bList]) AS b),
+       |sig AS (SELECT doc_id, p, min((a * h + b) % 1000000007) AS mv
+       |        FROM sh, perms GROUP BY doc_id, p),
+       |bandv AS (SELECT doc_id, CAST(p // 4 AS INTEGER) AS band,
+       |            string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS bv
+       |          FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bandv a JOIN bandv b
+       |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |mm AS (SELECT c.a_id, c.b_id, SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) AS m
+       |       FROM cand c
+       |       JOIN sig sa ON sa.doc_id = c.a_id
+       |       JOIN sig sb ON sb.doc_id = c.b_id AND sb.p = sa.p
+       |       GROUP BY 1, 2)
+       |SELECT a_id, b_id, CAST(m AS DOUBLE) / 32 AS est_jaccard
+       |FROM mm ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // -- d05: SimHash hamming-near pairs (ORACLE-EXACT) ----------------------
+  // Graduated from rows-only in round 4: bit draws are parities of the
+  // affine-mod-prime family (see SimHashTokens), so signature
+  // construction, 16-bit chunk blocking AND hamming distances replay
+  // in DuckDB — the chunk table is just (doc, b//16, Σ bit·2^(b%16)).
   private val d05: Q = (s, d) => {
     // Native one-pass simhash (64 interpreted folds/row otherwise).
     val sigs = docsSpread(s, d)
@@ -318,10 +366,52 @@ object Pipeline {
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        TF.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+        TF.hamming64(col("a.sig"), col("b.sig")).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
       .orderBy("a_id", "b_id")
+  }
+
+  private val d05Sql: String = {
+    import graft.functions.expressions.SimHashTokens.{aConst, bConst}
+    val aList = (0 until 64).map(aConst).mkString(", ")
+    val bList = (0 until 64).map(bConst).mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(generate_series(1, length(tok)),
+       |        i -> CAST(unicode(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)),
+       |      (acc, c) -> (acc * 131 + c) % 1000000007) AS h
+       |  FROM toks),
+       |bitdef AS (SELECT unnest(generate_series(0, 63)) AS b,
+       |                  unnest([$aList]) AS a,
+       |                  unnest([$bList]) AS bb),
+       |cnt AS (
+       |  SELECT d.doc_id, p.b,
+       |    SUM(CASE WHEN t.h IS NULL THEN 0
+       |             WHEN ((p.a * t.h + p.bb) % 1000000007) % 2 = 1 THEN 1
+       |             ELSE -1 END) AS c
+       |  FROM documents d CROSS JOIN bitdef p LEFT JOIN th t ON t.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |bits AS (SELECT doc_id, b, CASE WHEN c > 0 THEN 1 ELSE 0 END AS bit FROM cnt),
+       |chunks AS (
+       |  SELECT doc_id, CAST(b // 16 AS INTEGER) AS chunk,
+       |    SUM(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER))) AS cv
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM chunks a JOIN chunks b
+       |           ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id),
+       |mm AS (SELECT c.a_id, c.b_id,
+       |         CAST(SUM(CASE WHEN ba.bit <> bb2.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |       FROM cand c
+       |       JOIN bits ba ON ba.doc_id = c.a_id
+       |       JOIN bits bb2 ON bb2.doc_id = c.b_id AND bb2.b = ba.b
+       |       GROUP BY 1, 2)
+       |SELECT a_id, b_id, hamming FROM mm WHERE hamming <= 12
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   // -- d06: embedding-cosine near-dup pairs (blocked self-join) ------------
@@ -1677,7 +1767,8 @@ object Pipeline {
   /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql, "d02_dedup_fingerprint" -> d02Sql,
-    "d03_dedup_ngram_jaccard" -> d03Sql, "d06_dedup_embedding" -> d06Sql,
+    "d03_dedup_ngram_jaccard" -> d03Sql, "d04_dedup_minhash" -> d04Sql,
+    "d05_dedup_simhash" -> d05Sql, "d06_dedup_embedding" -> d06Sql,
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
     "s01_ann_bruteforce" -> s01Sql,
