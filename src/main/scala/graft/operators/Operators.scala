@@ -207,6 +207,69 @@ object Operators {
       .filter(!coalesce(col(deletedCol), lit(false)))
       .drop(deletedCol)
 
+  /** Norms-import structural validation (reference
+    * /root/reference/docs/Norms.md:32-36): within each percentile
+    * table (the `tableKeys` identifier), in file order (`lineNo`):
+    *
+    *  - `rank_not_increasing` — `percentile_rank` must be strictly
+    *    greater than the previous row's (Norms.md:36 "Order");
+    *  - `score_decreasing` — `score` must be greater or equal to the
+    *    previous row's (Norms.md:36);
+    *  - `identity_mismatch` — a rank row's identity fields must match
+    *    the table's identity row, i.e. its first file row
+    *    (Norms.md:35 "The identity fields must match the identity
+    *    row");
+    *  - `too_few_ranks` — at least three percentile ranks per table
+    *    (Norms.md:34), reported on the table's first line;
+    *  - `table_not_contiguous` — after a table's rank rows, the same
+    *    table id may not reappear later in the file (Norms.md:32),
+    *    detected as a gap in the table's line range and reported on
+    *    its first line.
+    *
+    * Emits ONE ROW PER VIOLATION — the "attempt to evaluate the
+    * entire import request and report all validation errors"
+    * contract (Norms.md:37; the caller gates the whole load on the
+    * report being empty: "No percentile tables are loaded if there
+    * are any errors").
+    *
+    * Scale: every check reads from ONE window partitioned by the
+    * table id (lag, first_value, and unbounded count/min/max share
+    * the sort) — a single shuffle over the import file, which is
+    * small by construction (norms CSVs are per-assessment tables).
+    */
+  def validateNormsImport(file: DataFrame, tableKeys: Seq[String],
+                          lineNo: String, identityFields: Seq[String],
+                          rankCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(tableKeys.map(col): _*).orderBy(col(lineNo))
+    val wAll = Window.partitionBy(tableKeys.map(col): _*)
+    val idMismatch = identityFields
+      .map(f => col(f) =!= first(col(f)).over(w))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // window columns materialize BEFORE the explode — the analyzer
+    // cannot extract window expressions nested inside explode/filter
+    val flagged = file
+      .withColumn("_prev_pr", lag(col(rankCol), 1).over(w))
+      .withColumn("_prev_sc", lag(col(scoreCol), 1).over(w))
+      .withColumn("_id_bad", idMismatch)
+      .withColumn("_tbl_min", min(col(lineNo)).over(wAll))
+      .withColumn("_tbl_max", max(col(lineNo)).over(wAll))
+      .withColumn("_tbl_cnt", count(lit(1)).over(wAll))
+    val checks = array(
+      when(col("_prev_pr").isNotNull && col(rankCol) <= col("_prev_pr"),
+        lit("rank_not_increasing")),
+      when(col("_prev_sc").isNotNull && col(scoreCol) < col("_prev_sc"),
+        lit("score_decreasing")),
+      when(col("_prev_pr").isNotNull && col("_id_bad"), lit("identity_mismatch")),
+      when(col(lineNo) === col("_tbl_min") && col("_tbl_cnt") < 3,
+        lit("too_few_ranks")),
+      when(col(lineNo) === col("_tbl_min") &&
+        col("_tbl_max") - col("_tbl_min") + 1 =!= col("_tbl_cnt"),
+        lit("table_not_contiguous")))
+    flagged
+      .withColumn("violation", explode(filter(checks, _.isNotNull)))
+      .select(tableKeys.map(col) :+ col(lineNo) :+ col("violation"): _*)
+  }
+
   /** Interval-overlap detection (RDW norms load validation: loading a
     * percentile table whose [start_date, end_date] overlaps an
     * existing table for the same assessment is a validation error —

@@ -1226,10 +1226,22 @@ object Relational {
   // Scale: cut points are config (4 rows, broadcast — a map-side
   // CASE); the summary is ONE partial-aggregated shuffle keyed
   // (org, claim) — 25×4 cells. Same shape at 100 TB.
+  /** The claim cut-point payload q49 ingests — the assessment-package
+    * (tabulator CSV) shape of API.md:693; inlined so the query stays a
+    * pure (spark, dir) function while still exercising the strict
+    * package-config parse end-to-end. */
+  private val q49ClaimConfigCsv: String =
+    """claim,cut_low,cut_high
+      |1,25000.0,45000.0
+      |2,30000.0,50000.0
+      |3,35000.0,55000.0
+      |4,40000.0,60000.0""".stripMargin
+
   private val q49: Q = (s, d) => {
-    val sp = s; import sp.implicits._
-    val cuts = (1 to 4).map(c => (c, 20000.0 + 5000 * c, 40000.0 + 5000 * c))
-      .toDF("claim", "cut_low", "cut_high")
+    // config arrives through the package-processor ingest path
+    // (strict schema + FAILFAST), not a hardcoded frame — see
+    // Ingest.parseClaimConfigCsv
+    val cuts = graft.sources.Ingest.parseClaimConfigCsv(s, q49ClaimConfigCsv)
     T.lineitem(s, d)
       .filter(col("l_linenumber") <= 4)
       .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -1267,13 +1279,190 @@ object Relational {
       |FROM scored GROUP BY n_name, claim
       |ORDER BY n_name, claim""".stripMargin
 
+  // -- q50: norms import rank-row/identity structural validation -----------
+  // Every norms CSV load runs the Norms.md:32-36 row-structure checks
+  // and gates the WHOLE import on the result ("No percentile tables
+  // are loaded if there are any errors", Norms.md:37) — the engine
+  // validated interval overlap (q41) but not row structure until now.
+  // The import file is modeled from orders: percentile table id =
+  // o_orderpriority, global file position = o_orderkey, rank/score
+  // from order fields (naturally non-monotonic → real rank/score/
+  // contiguity violations); the identity field derives from the table
+  // key so identity_mismatch stays a spec-covered class rather than
+  // data noise. One window pass per table — see
+  // [[Operators.validateNormsImport]].
+  private val q50: Q = (s, d) => {
+    val file = T.orders(s, d)
+      .filter(col("o_orderkey") % 64 === 0)
+      .select(col("o_orderpriority").as("assessment_id"),
+        col("o_orderkey").as("line_no"),
+        (col("o_orderkey") % 97).cast("int").as("percentile_rank"),
+        col("o_totalprice").as("score"),
+        substring(col("o_orderpriority"), 1, 1).as("subject_code"))
+    Operators.validateNormsImport(file, Seq("assessment_id"), "line_no",
+        Seq("subject_code"), "percentile_rank", "score")
+      .orderBy(col("assessment_id"), col("line_no"), col("violation"))
+  }
+
+  private val q50Sql =
+    """WITH file AS (
+      |  SELECT o_orderpriority AS assessment_id, o_orderkey AS line_no,
+      |    CAST(o_orderkey % 97 AS INTEGER) AS percentile_rank,
+      |    o_totalprice AS score,
+      |    substr(o_orderpriority, 1, 1) AS subject_code
+      |  FROM orders WHERE o_orderkey % 64 = 0),
+      |flags AS (
+      |  SELECT assessment_id, line_no,
+      |    lag(percentile_rank) OVER w AS prev_pr, percentile_rank,
+      |    lag(score) OVER w AS prev_sc, score,
+      |    first_value(subject_code) OVER w AS first_subj, subject_code,
+      |    min(line_no) OVER t AS tbl_min, max(line_no) OVER t AS tbl_max,
+      |    count(*) OVER t AS tbl_cnt
+      |  FROM file
+      |  WINDOW w AS (PARTITION BY assessment_id ORDER BY line_no),
+      |         t AS (PARTITION BY assessment_id))
+      |SELECT assessment_id, line_no, violation FROM (
+      |  SELECT assessment_id, line_no, 'rank_not_increasing' AS violation
+      |  FROM flags WHERE prev_pr IS NOT NULL AND percentile_rank <= prev_pr
+      |  UNION ALL
+      |  SELECT assessment_id, line_no, 'score_decreasing'
+      |  FROM flags WHERE prev_sc IS NOT NULL AND score < prev_sc
+      |  UNION ALL
+      |  SELECT assessment_id, line_no, 'identity_mismatch'
+      |  FROM flags WHERE prev_pr IS NOT NULL AND subject_code <> first_subj
+      |  UNION ALL
+      |  SELECT assessment_id, line_no, 'too_few_ranks'
+      |  FROM flags WHERE line_no = tbl_min AND tbl_cnt < 3
+      |  UNION ALL
+      |  SELECT assessment_id, line_no, 'table_not_contiguous'
+      |  FROM flags WHERE line_no = tbl_min AND tbl_max - tbl_min + 1 <> tbl_cnt)
+      |ORDER BY assessment_id, line_no, violation""".stripMargin
+
+  // -- q51: ART organization sync (daily upsert-diff) ----------------------
+  // The Task Service "synchronizes organization data from ART (daily)"
+  // (reference /root/reference/docs/Runbook.md:199, Architecture.md
+  // "Task Service"): an incoming org snapshot diffs against the current
+  // hierarchy into a create/update/no-op decision per org plus the
+  // applied latest state — q43's full-outer reconcile shape with q42's
+  // attribute-change detection. Orgs modeled from customer (org id,
+  // name, parent = nation, type = segment); the incoming snapshot
+  // omits some orgs (→ retain) and resyncs some attributes (→ update).
+  //
+  // Scale: one full-outer shuffle on org_id; attribute compare is
+  // map-side. Org registries are dimension-sized, but the same plan
+  // holds if they weren't.
+  private val q51: Q = (s, d) => {
+    val cur = T.customer(s, d).filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey").as("org_id"), col("c_name").as("cur_name"),
+        col("c_nationkey").as("cur_parent"), col("c_mktsegment").as("cur_type"))
+    val inc = T.customer(s, d).filter(col("c_custkey") % 9 =!= 4)
+      .select(col("c_custkey").as("org_id"), col("c_name").as("inc_name"),
+        col("c_nationkey").as("inc_parent"),
+        when(col("c_custkey") % 7 === 0, lit("RESYNCED"))
+          .otherwise(col("c_mktsegment")).as("inc_type"))
+    cur.join(inc, Seq("org_id"), "full_outer")
+      .withColumn("decision",
+        when(col("cur_name").isNull, lit("create"))
+          .when(col("inc_name").isNull, lit("retain"))
+          .when(col("cur_name") =!= col("inc_name") ||
+            col("cur_parent") =!= col("inc_parent") ||
+            col("cur_type") =!= col("inc_type"), lit("update"))
+          .otherwise(lit("noop")))
+      .select(col("org_id"), col("decision"),
+        coalesce(col("inc_name"), col("cur_name")).as("org_name"),
+        coalesce(col("inc_parent"), col("cur_parent")).as("parent_id"),
+        coalesce(col("inc_type"), col("cur_type")).as("org_type"))
+      .orderBy(col("org_id"))
+  }
+
+  private val q51Sql =
+    """WITH cur AS (
+      |  SELECT c_custkey AS org_id, c_name AS cur_name,
+      |    c_nationkey AS cur_parent, c_mktsegment AS cur_type
+      |  FROM customer WHERE c_custkey % 10 <> 0),
+      |inc AS (
+      |  SELECT c_custkey AS org_id, c_name AS inc_name,
+      |    c_nationkey AS inc_parent,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'RESYNCED' ELSE c_mktsegment END AS inc_type
+      |  FROM customer WHERE c_custkey % 9 <> 4)
+      |SELECT COALESCE(cur.org_id, inc.org_id) AS org_id,
+      |  CASE WHEN cur_name IS NULL THEN 'create'
+      |       WHEN inc_name IS NULL THEN 'retain'
+      |       WHEN cur_name <> inc_name OR cur_parent <> inc_parent
+      |            OR cur_type <> inc_type THEN 'update'
+      |       ELSE 'noop' END AS decision,
+      |  COALESCE(inc_name, cur_name) AS org_name,
+      |  COALESCE(inc_parent, cur_parent) AS parent_id,
+      |  COALESCE(inc_type, cur_type) AS org_type
+      |FROM cur FULL OUTER JOIN inc ON cur.org_id = inc.org_id
+      |ORDER BY org_id""".stripMargin
+
+  /** The accessibility-configuration payload q52 ingests (reference
+    * /root/reference/docs/API.md:622 — XML raw body); codes map onto
+    * the event stream's type values, with 'error' deliberately
+    * unregistered to exercise the unknown-code validation bucket. */
+  private val q52AccommodationsXml: String =
+    """<AccessibilityConfig>
+      |  <Accommodation code="click" description="pointer input"/>
+      |  <Accommodation code="view" description="screen magnification"/>
+      |  <Accommodation code="purchase" description="extended time"/>
+      |  <Accommodation code="signup" description="text to speech"/>
+      |</AccessibilityConfig>""".stripMargin
+
+  // -- q52: accommodations ingest + frequency report -----------------------
+  // The Accommodations entity (API.md:622): ingest the code registry
+  // (XML payload → Ingest.parseAccommodationsXml), validate result
+  // codes against it (unregistered codes land in an UNKNOWN bucket
+  // instead of dropping rows), and report per-code frequency: result
+  // count, distinct students, share of all results.
+  //
+  // Scale: registry is broadcast (it is a config payload); one
+  // partial-agg shuffle on the code; the share window runs over the
+  // aggregated frame (rows = #codes, not #results).
+  private val q52: Q = (s, d) => {
+    val registry = graft.sources.Ingest
+      .parseAccommodationsXml(s, q52AccommodationsXml)
+    val ev = T.events(s, d)
+    ev.join(broadcast(registry), ev("event_type") === registry("code"), "left")
+      .select(
+        coalesce(col("code"), lit("UNKNOWN")).as("acc_code"),
+        coalesce(col("description"), lit("unregistered code")).as("acc_desc"),
+        col("user_id"))
+      .groupBy(col("acc_code"), col("acc_desc"))
+      .agg(count(lit(1)).as("n_results"),
+        countDistinct(col("user_id")).as("n_students"))
+      .withColumn("pct_of_results",
+        round(lit(100.0) * col("n_results") /
+          sum(col("n_results")).over(Window.partitionBy()), 4))
+      .orderBy(col("acc_code"))
+  }
+
+  private val q52Sql =
+    """WITH registry AS (SELECT * FROM (VALUES
+      |  ('click', 'pointer input'), ('view', 'screen magnification'),
+      |  ('purchase', 'extended time'), ('signup', 'text to speech'))
+      |  AS t(code, description)),
+      |tagged AS (
+      |  SELECT COALESCE(code, 'UNKNOWN') AS acc_code,
+      |    COALESCE(description, 'unregistered code') AS acc_desc, user_id
+      |  FROM events LEFT JOIN registry ON event_type = code),
+      |agg AS (
+      |  SELECT acc_code, acc_desc, COUNT(*) AS n_results,
+      |    COUNT(DISTINCT user_id) AS n_students
+      |  FROM tagged GROUP BY 1, 2)
+      |SELECT acc_code, acc_desc, n_results, n_students,
+      |  ROUND(100.0 * n_results / SUM(n_results) OVER (), 4) AS pct_of_results
+      |FROM agg ORDER BY acc_code""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
     "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
     "q46_pseudonymize" -> q46, "q47_incremental_agg" -> q47,
-    "q48_import_dedup" -> q48, "q49_claim_scores" -> q49) ++ Map(
+    "q48_import_dedup" -> q48, "q49_claim_scores" -> q49,
+    "q50_norms_validate" -> q50, "q51_org_sync" -> q51,
+    "q52_accommodations" -> q52) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -1295,6 +1484,8 @@ object Relational {
     "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,
     "q46_pseudonymize" -> q46Sql, "q47_incremental_agg" -> q47Sql,
     "q48_import_dedup" -> q48Sql, "q49_claim_scores" -> q49Sql,
+    "q50_norms_validate" -> q50Sql, "q51_org_sync" -> q51Sql,
+    "q52_accommodations" -> q52Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(

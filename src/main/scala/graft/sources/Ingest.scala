@@ -124,6 +124,45 @@ object Ingest {
         col(s"x.$CorruptCol").as(CorruptCol))
   }
 
+  /** Accommodations payload ingest (reference
+    * /root/reference/docs/API.md:622 "Create Accommodation Import
+    * Request" — Smarter Balanced accessibility-configuration XML,
+    * posted as a raw body). Parses the code/description registry that
+    * joins to results for accommodation-frequency reporting (q52).
+    * PERMISSIVE `from_xml` like [[parseExamXml]]: a malformed payload
+    * yields zero codes, never a dead job. */
+  def parseAccommodationsXml(spark: SparkSession, xml: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val schema = StructType.fromDDL(
+      s"Accommodation array<struct<_code:string,_description:string>>, $CorruptCol string")
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol).asJava
+    Seq(xml).toDF("value")
+      .select(from_xml(col("value"), schema, opts).as("x"))
+      .select(explode(col("x.Accommodation")).as("a"))
+      .select(col("a._code").as("code"), col("a._description").as("description"))
+  }
+
+  /** Claim/cut-point configuration ingest (reference
+    * /root/reference/docs/API.md:693 "Create Package Import Request" —
+    * assessment-package CSV, tabulator output, defining subject/claim
+    * scoring config). STRICT schema + FAILFAST: package config is the
+    * "critical data elements" path (API.md "cannot be updated later"),
+    * so a malformed row must reject the whole payload, unlike the
+    * permissive result-stream parsers. */
+  def parseClaimConfigCsv(spark: SparkSession, csv: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType.fromDDL(
+      "claim int not null, cut_low double not null, cut_high double not null")
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(spark.createDataset(csv.linesIterator.toSeq))
+  }
+
   /** Rule-based required-field fork for sources without a parser
     * corrupt-record channel (XML): rows missing any required field are
     * diverted, mirroring [[validationSplit]]. */

@@ -210,4 +210,30 @@ class IngestSpec extends SparkSpec {
     assert(after.filter(col("year") === 2024).as[(Long, Double, Int)].collect()
       .map(_._1).toSeq == Seq(9L))
   }
+
+  test("accommodations XML payload round-trips the code registry; malformed payload yields no codes") {
+    val xml =
+      """<AccessibilityConfig>
+        |  <Accommodation code="TTS" description="text to speech"/>
+        |  <Accommodation code="MAG" description="magnification"/>
+        |</AccessibilityConfig>""".stripMargin
+    val got = Ingest.parseAccommodationsXml(spark, xml)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("TTS", "text to speech"), ("MAG", "magnification")))
+    // PERMISSIVE contract: broken XML must not kill the job
+    assert(Ingest.parseAccommodationsXml(spark, "<not-even-xml").count() == 0)
+  }
+
+  test("claim-config CSV parses strictly and rejects malformed package payloads") {
+    val cfg = Ingest.parseClaimConfigCsv(spark,
+      "claim,cut_low,cut_high\n1,10.0,20.0\n2,15.0,25.0")
+    assert(cfg.as[(Int, Double, Double)].collect().toSet ==
+      Set((1, 10.0, 20.0), (2, 15.0, 25.0)))
+    // FAILFAST: package config is the critical-elements path — a bad
+    // row rejects the payload instead of silently nulling
+    intercept[org.apache.spark.SparkException] {
+      Ingest.parseClaimConfigCsv(spark,
+        "claim,cut_low,cut_high\n1,notanumber,20.0").collect()
+    }
+  }
 }

@@ -226,4 +226,37 @@ class OperatorsSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Operators.connectedComponents(edges, "a", "b").count() == 0)
   }
+
+  test("validateNormsImport reports every Norms.md:32-36 violation class, one row each") {
+    // (assessment_id, line_no, percentile_rank, score, subject)
+    val file = Seq(
+      // table A: fully valid (3 ranks, increasing, contiguous)
+      ("A", 1L, 10, 100.0, "M"), ("A", 2L, 25, 150.0, "M"), ("A", 3L, 50, 150.0, "M"),
+      // table B: rank repeats on line 5, score drops on line 6,
+      // identity field flips on line 6
+      ("B", 4L, 10, 100.0, "E"), ("B", 5L, 10, 120.0, "E"), ("B", 6L, 30, 90.0, "X"),
+      // table C: only two ranks
+      ("C", 7L, 10, 50.0, "M"), ("C", 8L, 20, 60.0, "M"),
+      // table D: split around table C's block (lines 9 and 12)
+      ("D", 9L, 5, 10.0, "S"), ("D", 12L, 15, 20.0, "S"),
+      ("C", 10L, 30, 70.0, "M"), ("C", 11L, 40, 80.0, "M"))
+      .toDF("assessment_id", "line_no", "percentile_rank", "score", "subject")
+    val out = Operators.validateNormsImport(file, Seq("assessment_id"),
+        "line_no", Seq("subject"), "percentile_rank", "score")
+      .as[(String, Long, String)].collect().toSet
+    assert(out == Set(
+      ("B", 5L, "rank_not_increasing"),
+      ("B", 6L, "score_decreasing"),
+      ("B", 6L, "identity_mismatch"),
+      ("C", 7L, "table_not_contiguous"), // C's lines 7,8,10,11 straddle D's 9
+      ("D", 9L, "too_few_ranks"),
+      ("D", 9L, "table_not_contiguous")),
+      s"got $out")
+    // a fully valid file yields an empty report — the load gate
+    val clean = Seq(("A", 1L, 10, 1.0, "M"), ("A", 2L, 20, 2.0, "M"),
+      ("A", 3L, 30, 2.0, "M")).toDF("assessment_id", "line_no",
+      "percentile_rank", "score", "subject")
+    assert(Operators.validateNormsImport(clean, Seq("assessment_id"),
+      "line_no", Seq("subject"), "percentile_rank", "score").count() == 0)
+  }
 }
