@@ -10,9 +10,17 @@ import org.apache.spark.sql.SparkSession
   *   projections away, so half the work wouldn't be measured.
   * - one warmup pass at sf0.001 first so JIT/classloading cost isn't
   *   attributed to whichever query happens to run first.
-  * - each query timed REPS times, median reported: a single shared-VM
-  *   GC pause can otherwise multiply one query's number by 5× (seen
-  *   in round 1: q28 13.3 s in-suite vs 2.25 s isolated).
+  * - each query timed REPS times, median reported alongside min: a
+  *   single shared-VM GC pause can otherwise multiply one query's
+  *   number by 5× (seen in round 1: q28 13.3 s in-suite vs 2.25 s
+  *   isolated).
+  * - reps are ROUND-ROBINED across queries (rep r runs every query
+  *   once before rep r+1): back-to-back reps let one noisy VM window
+  *   own all of a query's samples — round 3's driver run reported
+  *   3–5× medians for five queries that measured at baseline in
+  *   isolation. Spreading a query's reps minutes apart makes a median
+  *   artifact require three independent noise windows to hit the same
+  *   query, and the per-query "min" exposes any that remain.
   * - a query that throws reports -1 (and its name under "failed") so
   *   downstream consumers never mistake a failure for a fast run.
   * - AQE on with skew-join handling — the same settings a cluster
@@ -52,24 +60,32 @@ object Bench {
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = names.map { name =>
-      val times = (1 to reps).flatMap { _ =>
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
-        try { execute(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
+        try {
+          execute(name, sfDir)
+          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name: ${e.getMessage}"); None
+            System.err.println(s"[bench] $name: ${e.getMessage}")
         }
       }
-      val median =
-        if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
-      name -> median
     }
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = names.map { name =>
+      val ts = samples(name)
+      val median = if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+      val minT = if (ts.isEmpty) -1.0 else ts.min
+      (name, median, minT)
+    }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -201,6 +201,30 @@ class PlanQualitySpec extends SparkSpec {
       "redaction must be map-only — counts/hashes are per-row projections")
   }
 
+  test("q50 norms validation shares one window shuffle (lag/first/min/max/count co-partitioned)") {
+    val p = plan("q50_norms_validate")
+    // both window specs partition by the table key, so all six window
+    // functions ride ONE exchange; the second hash exchange would mean
+    // the ordered and unbounded frames stopped sharing their sort
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected the single table-key exchange, got $shuffles:\n$p")
+    assert(!p.contains("Join"), "row-structure validation is a window pass, not a join")
+  }
+
+  test("q51 org sync is one full-outer equi-join, no nested loop") {
+    val p = plan("q51_org_sync")
+    assert(p.contains("FullOuter"), s"expected a full-outer reconcile join:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"upsert-diff must be an equi-join on org_id:\n$p")
+  }
+
+  test("q52 accommodations broadcasts the code registry and partial-aggregates") {
+    val p = plan("q52_accommodations")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"config registry must broadcast (events side map-only into the join):\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation in:\n$p")
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
