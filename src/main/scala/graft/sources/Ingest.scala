@@ -256,6 +256,40 @@ object Ingest {
     doomed
   }
 
+  /** Raw-import archive: every payload that enters the system is
+    * archived verbatim BEFORE parsing (reference
+    * /root/reference/docs/Architecture.md "Overview": "S3 … used to
+    * archive all data that enters the system"). The layout is
+    * deterministic — `<root>/<entity>/dt=<receive date>` partitions
+    * with a content hash per payload — so any day's raw inputs replay
+    * with partition pruning and no catalog, and a resubmitted payload
+    * is identifiable by its hash (q48's duplicate-content contract at
+    * the storage layer). Append-mode: an archive is immutable and
+    * additive; nothing ever rewrites it.
+    *
+    * Scale: map-only write (hash + date are projections), one
+    * partition directory per day per entity — the bounded layout an
+    * object store wants.
+    */
+  def archiveRaw(df: DataFrame, entity: String, payloadCol: String,
+                 receivedAtCol: String, archiveRoot: String): Unit =
+    df.select(
+        col(payloadCol).cast(org.apache.spark.sql.types.StringType).as("payload"),
+        md5(col(payloadCol).cast(org.apache.spark.sql.types.StringType)).as("payload_md5"),
+        to_date(col(receivedAtCol)).as("dt"))
+      .write.mode("append")
+      .partitionBy("dt")
+      .parquet(s"$archiveRoot/$entity")
+
+  /** Read one entity's archived raw payloads, optionally pruned to a
+    * single receive date (partition pruning — a replay touches only
+    * that day's files). */
+  def readArchive(spark: SparkSession, archiveRoot: String, entity: String,
+                  date: Option[String] = None): DataFrame = {
+    val all = spark.read.parquet(s"$archiveRoot/$entity")
+    date.fold(all)(dt => all.filter(col("dt") === dt))
+  }
+
   case class CompactionStats(filesBefore: Int, filesAfter: Int,
                              bytesBefore: Long)
 

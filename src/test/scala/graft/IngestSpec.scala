@@ -10,6 +10,8 @@ import graft.sources.Ingest
 class IngestSpec extends SparkSpec {
   import spark.implicits._
 
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("score", DoubleType),
     StructField("name", StringType)))
@@ -209,6 +211,33 @@ class IngestSpec extends SparkSpec {
     assert(after.filter(col("year") === 2023).count() == 2)
     assert(after.filter(col("year") === 2024).as[(Long, Double, Int)].collect()
       .map(_._1).toSeq == Seq(9L))
+  }
+
+  test("raw-import archive: deterministic dt layout, content hashes, pruned replay") {
+    val root = Files.createTempDirectory("graft_archive").toString
+    val day1 = Seq(("<xml>a</xml>", ts("2024-03-01 10:00:00")),
+                   ("<xml>b</xml>", ts("2024-03-01 11:00:00")))
+    val day2 = Seq(("<xml>c</xml>", ts("2024-03-02 09:00:00")))
+    Ingest.archiveRaw((day1 ++ day2).toDF("payload", "received_at"),
+      "exams", "payload", "received_at", root)
+    // immutable + additive: a later batch appends, never rewrites
+    Ingest.archiveRaw(Seq(("<xml>d</xml>", ts("2024-03-02 12:00:00")))
+      .toDF("payload", "received_at"), "exams", "payload", "received_at", root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/exams"))
+      .map(_.getPath.getName).filter(_.startsWith("dt=")).toSet
+    assert(parts == Set("dt=2024-03-01", "dt=2024-03-02"), s"got $parts")
+    // replay one day: only that partition's rows, hashes content-stable
+    val replay = Ingest.readArchive(spark, root, "exams", Some("2024-03-02"))
+    assert(replay.select("payload").as[String].collect().toSet ==
+      Set("<xml>c</xml>", "<xml>d</xml>"))
+    val hashed = replay.filter(col("payload_md5") =!= md5(col("payload"))).count()
+    assert(hashed == 0, "archived hash must equal recomputed content hash")
+    // pruning: the day filter becomes a PartitionFilter, not a scan filter
+    val plan = replay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("dt"),
+      s"replay must prune to the day's partition:\n$plan")
   }
 
   test("accommodations XML payload round-trips the code registry; malformed payload yields no codes") {

@@ -438,6 +438,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("nearDupStream orients same-timestamp pairs by doc_id even when split across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // two near-dup docs with the SAME timestamp; the LARGER doc_id
+    // arrives in the FIRST micro-batch. A stored-entry-is-always-'a'
+    // assumption would emit (20, 7) and diverge from the batch run,
+    // which sorts by (ts, doc_id) and emits (7, 20).
+    val near = "alpha beta gamma delta epsilon zeta eta theta"
+    val t0 = ts("2024-01-01 00:00:00")
+    val docs = Seq((20L, t0, near), (7L, t0, near))
+    val batch = StreamingJobs.nearDupStream(
+      StreamingJobs.simhashChunks(docs.toDF("doc_id", "ts", "text")), 3600L)
+      .collect().toSet
+    assert(batch.nonEmpty && batch.forall(h => h.a_id == 7L && h.b_id == 20L),
+      s"batch orientation must be (7, 20): $batch")
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingJobs.nearDupStream(
+        StreamingJobs.simhashChunks(ms.toDF().toDF("doc_id", "ts", "text")), 3600L)
+      .writeStream.format("memory").queryName("t_neardup_tie")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(docs(0))) // doc 20 first
+      q.processAllAvailable()
+      ms.addData(Seq(docs(1))) // doc 7 in a LATER batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_neardup_tie")
+      .as[StreamingJobs.NearDupHit].collect().toSet
+    assert(streamed == batch,
+      s"tie split across micro-batches must keep the oracle's pair direction: $streamed vs $batch")
+  }
+
   test("dedupe keeps one row per (user_id, event_type)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
