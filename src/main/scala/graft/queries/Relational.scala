@@ -1454,6 +1454,40 @@ object Relational {
       |  ROUND(100.0 * n_results / SUM(n_results) OVER (), 4) AS pct_of_results
       |FROM agg ORDER BY acc_code""".stripMargin
 
+  // -- q53: resubmit unprocessed results (daily task) ----------------------
+  // The Task Service's third daily duty: "Resubmitting unprocessed
+  // test results (daily)" (reference /root/reference/docs/
+  // Runbook.md:199) — q51 covers org sync and q37 the reconciliation
+  // report. Import requests modeled from orders: a non-final status
+  // ('F' = fully processed) that has aged past the stuck threshold
+  // (30 days before the newest request in the system — "now" must be
+  // data-derived to stay replayable) is selected for resubmission,
+  // oldest first.
+  //
+  // Scale: one agg to a scalar (the reference clock), broadcast back
+  // over a pushdown-friendly filtered scan — no shuffle of the fact
+  // table beyond the output sort.
+  private val q53: Q = (s, d) => {
+    val clock = T.orders(s, d).agg(max(col("o_orderdate")).as("as_of"))
+    T.orders(s, d)
+      .filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(clock))
+      .withColumn("age_days", datediff(col("as_of"), col("o_orderdate")))
+      .filter(col("age_days") > 30)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("age_days"))
+      .orderBy(col("age_days").desc, col("o_orderkey"))
+  }
+
+  private val q53Sql =
+    """WITH clock AS (SELECT max(o_orderdate) AS as_of FROM orders)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(as_of AS DATE)) AS INTEGER) AS age_days
+      |FROM orders, clock
+      |WHERE o_orderstatus <> 'F'
+      |  AND date_diff('day', CAST(o_orderdate AS DATE), CAST(as_of AS DATE)) > 30
+      |ORDER BY age_days DESC, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
@@ -1462,7 +1496,7 @@ object Relational {
     "q46_pseudonymize" -> q46, "q47_incremental_agg" -> q47,
     "q48_import_dedup" -> q48, "q49_claim_scores" -> q49,
     "q50_norms_validate" -> q50, "q51_org_sync" -> q51,
-    "q52_accommodations" -> q52) ++ Map(
+    "q52_accommodations" -> q52, "q53_resubmit_unprocessed" -> q53) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -1485,7 +1519,7 @@ object Relational {
     "q46_pseudonymize" -> q46Sql, "q47_incremental_agg" -> q47Sql,
     "q48_import_dedup" -> q48Sql, "q49_claim_scores" -> q49Sql,
     "q50_norms_validate" -> q50Sql, "q51_org_sync" -> q51Sql,
-    "q52_accommodations" -> q52Sql,
+    "q52_accommodations" -> q52Sql, "q53_resubmit_unprocessed" -> q53Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(

@@ -229,14 +229,15 @@ object Ingest {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
-  /** Expire old mart snapshots: keep the `keep` highest-numbered
-    * `v_<n>` directories plus whatever `_LATEST` names, delete the
-    * rest, and return the deleted names. The snapshot commit model
-    * ([[graft.streaming.StreamingJobs.migrateStream]]) trades disk
-    * for atomicity and time travel; without periodic expiry a
-    * continuous migrate accumulates one full mart copy per
-    * micro-batch. The pointer's target is never deleted even if it
-    * falls outside the keep window (a reader may hold it).
+  /** Expire old snapshots of a LEGACY single-directory-pointer mart
+    * (plain `v_<n>` dirs + a `_LATEST` file naming one of them — the
+    * layout [[compact]]-style maintenance produces): keep the `keep`
+    * highest-numbered versions plus whatever `_LATEST` names, delete
+    * the rest, and return the deleted names. The pointer's target is
+    * never deleted even outside the keep window (a reader may hold
+    * it). The bucket-manifest marts the continuous migrates write are
+    * expired by [[graft.streaming.StreamingJobs.expireMartSnapshots]]
+    * instead, which understands manifest references.
     */
   def expireSnapshots(spark: SparkSession, martRoot: String,
                       keep: Int): Seq[String] = {
