@@ -96,10 +96,20 @@ object Tables {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isFile) Seq(fs.getFileStatus(p))
-      else fs.listStatus(p).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // recursive: partitioned datasets nest their files under
+    // key=value directories
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    if (fs.getFileStatus(p).isFile) files += fs.getFileStatus(p)
+    else {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) files += f
+      }
+    }
+    // fail fast: a silent 0 would make trainingSample pass the WHOLE
+    // corpus to a fit (n <= cap) — the exact failure the cap prevents
+    require(files.nonEmpty, s"no parquet files under $path — cannot derive row count")
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -71,12 +71,26 @@ object MinHashShingles {
   /** Prime modulus shared with [[WinnowFingerprint]] — affine maps mod
     * a prime are bijections, and all arithmetic fits signed 64-bit. */
   val M = 1000000007L
-  private val AC = 0x9E3779B97F4AL % M
-  private val BC = 0xC2B2AE3D27D4L % M
 
-  /** Permutation multipliers/offsets — deterministic golden-ratio
-    * multiples, exposed so the DuckDB oracle SQL interpolates the SAME
-    * constants. */
-  def aConst(p: Int): Long = { val a = AC * (p + 1) % M; if (a == 0) 1L else a }
-  def bConst(p: Int): Long = BC * (p + 1) % M
+  /** splitmix64 finalizer: the standard avalanche mix — a_p and b_p
+    * must be INDEPENDENT draws. (A linear family like a_p = c·(p+1),
+    * b_p = d·(p+1) factors every permutation as (p+1)·(c·h+d): one
+    * shingle hash near the shared root zeroes ALL slots at once and
+    * slot minima correlate across p, which breaks the estimator.) */
+  private[expressions] def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Permutation multipliers/offsets — independent pseudo-random
+    * constants from indexed splitmix64 draws, reduced mod M. They are
+    * plain literals to any other engine: the DuckDB oracle SQL
+    * interpolates the SAME values. */
+  def aConst(p: Int): Long = {
+    val a = (mix64(2L * p) >>> 1) % M
+    if (a == 0) 1L else a
+  }
+  def bConst(p: Int): Long = (mix64(2L * p + 1) >>> 1) % M
 }

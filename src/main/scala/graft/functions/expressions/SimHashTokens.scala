@@ -32,10 +32,10 @@ case class SimHashTokens(child: Expression)
     val n = text.length
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isSep(text.charAt(i))) i += 1
       if (i < n) {
         var h = 0L
-        while (i < n && !Character.isWhitespace(text.charAt(i))) {
+        while (i < n && !isSep(text.charAt(i))) {
           h = (h * 131L + text.charAt(i)) % M
           i += 1
         }
@@ -60,13 +60,25 @@ case class SimHashTokens(child: Expression)
 
 object SimHashTokens {
   val M = 1000000007L
-  private val AC = 0xC6A4A7935BD1L % M
-  private val BC = 0x8EBC6AF09C88L % M
 
-  /** Per-bit draw constants — exposed so the DuckDB oracle SQL
-    * interpolates the SAME family. */
-  def aConst(b: Int): Long = { val a = AC * (b + 1) % M; if (a == 0) 1L else a }
-  def bConst(b: Int): Long = BC * (b + 1) % M
+  /** Per-bit draw constants — independent splitmix64 draws (see
+    * [[MinHashShingles.mix64]] for why a shared linear factor is
+    * degenerate), offset into a different index stream than the
+    * minhash family. Exposed so the DuckDB oracle SQL interpolates
+    * the SAME values. */
+  def aConst(b: Int): Long = {
+    val a = (MinHashShingles.mix64(1000L + 2L * b) >>> 1) % M
+    if (a == 0) 1L else a
+  }
+  def bConst(b: Int): Long = (MinHashShingles.mix64(1000L + 2L * b + 1) >>> 1) % M
   private[expressions] val as: Array[Long] = Array.tabulate(64)(aConst)
   private[expressions] val bs: Array[Long] = Array.tabulate(64)(bConst)
+
+  /** Token boundary = the ASCII `\s` class BOTH regex engines agree
+    * on ([ \t\n\f\r]): Java's default `\s` (TF.tokens) and
+    * DuckDB/RE2's `\s` are exactly this set, while
+    * Character.isWhitespace also matches U+001C–1F, U+2028 etc. and
+    * would silently diverge from the oracle's tokenization. */
+  private[expressions] def isSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 }

@@ -246,8 +246,13 @@ object Operators {
       .map(f => col(f) =!= first(col(f)).over(w))
       .reduceOption(_ || _).getOrElse(lit(false))
     // window columns materialize BEFORE the explode — the analyzer
-    // cannot extract window expressions nested inside explode/filter
+    // cannot extract window expressions nested inside explode/filter.
+    // The "not the first row" sentinel is lag over the NON-NULL order
+    // key (lineNo): lag(rankCol) would go NULL whenever the PREVIOUS
+    // row's rank is missing, silently disabling the order and identity
+    // checks on the row after a malformed one.
     val flagged = file
+      .withColumn("_has_prev", lag(col(lineNo), 1).over(w).isNotNull)
       .withColumn("_prev_pr", lag(col(rankCol), 1).over(w))
       .withColumn("_prev_sc", lag(col(scoreCol), 1).over(w))
       .withColumn("_id_bad", idMismatch)
@@ -255,11 +260,14 @@ object Operators {
       .withColumn("_tbl_max", max(col(lineNo)).over(wAll))
       .withColumn("_tbl_cnt", count(lit(1)).over(wAll))
     val checks = array(
-      when(col("_prev_pr").isNotNull && col(rankCol) <= col("_prev_pr"),
-        lit("rank_not_increasing")),
-      when(col("_prev_sc").isNotNull && col(scoreCol) < col("_prev_sc"),
-        lit("score_decreasing")),
-      when(col("_prev_pr").isNotNull && col("_id_bad"), lit("identity_mismatch")),
+      // required on every row, identity and rank alike (Norms.md:24-25)
+      when(col(rankCol).isNull || col(scoreCol).isNull,
+        lit("missing_required_field")),
+      when(col("_has_prev") && col("_prev_pr").isNotNull &&
+        col(rankCol) <= col("_prev_pr"), lit("rank_not_increasing")),
+      when(col("_has_prev") && col("_prev_sc").isNotNull &&
+        col(scoreCol) < col("_prev_sc"), lit("score_decreasing")),
+      when(col("_has_prev") && col("_id_bad"), lit("identity_mismatch")),
       when(col(lineNo) === col("_tbl_min") && col("_tbl_cnt") < 3,
         lit("too_few_ranks")),
       when(col(lineNo) === col("_tbl_min") &&

@@ -1313,6 +1313,7 @@ object Relational {
       |  FROM orders WHERE o_orderkey % 64 = 0),
       |flags AS (
       |  SELECT assessment_id, line_no,
+      |    lag(line_no) OVER w IS NOT NULL AS has_prev,
       |    lag(percentile_rank) OVER w AS prev_pr, percentile_rank,
       |    lag(score) OVER w AS prev_sc, score,
       |    first_value(subject_code) OVER w AS first_subj, subject_code,
@@ -1322,14 +1323,17 @@ object Relational {
       |  WINDOW w AS (PARTITION BY assessment_id ORDER BY line_no),
       |         t AS (PARTITION BY assessment_id))
       |SELECT assessment_id, line_no, violation FROM (
-      |  SELECT assessment_id, line_no, 'rank_not_increasing' AS violation
-      |  FROM flags WHERE prev_pr IS NOT NULL AND percentile_rank <= prev_pr
+      |  SELECT assessment_id, line_no, 'missing_required_field' AS violation
+      |  FROM flags WHERE percentile_rank IS NULL OR score IS NULL
+      |  UNION ALL
+      |  SELECT assessment_id, line_no, 'rank_not_increasing'
+      |  FROM flags WHERE has_prev AND prev_pr IS NOT NULL AND percentile_rank <= prev_pr
       |  UNION ALL
       |  SELECT assessment_id, line_no, 'score_decreasing'
-      |  FROM flags WHERE prev_sc IS NOT NULL AND score < prev_sc
+      |  FROM flags WHERE has_prev AND prev_sc IS NOT NULL AND score < prev_sc
       |  UNION ALL
       |  SELECT assessment_id, line_no, 'identity_mismatch'
-      |  FROM flags WHERE prev_pr IS NOT NULL AND subject_code <> first_subj
+      |  FROM flags WHERE has_prev AND subject_code <> first_subj
       |  UNION ALL
       |  SELECT assessment_id, line_no, 'too_few_ranks'
       |  FROM flags WHERE line_no = tbl_min AND tbl_cnt < 3

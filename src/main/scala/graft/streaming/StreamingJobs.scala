@@ -89,17 +89,34 @@ object StreamingJobs {
 
   // ---- mart commit model: bucket-partitioned snapshots + manifest ----
 
-  /** Run identity for the replay guard: a stable 8-hex tag derived
-    * from the checkpoint path. Structured Streaming batch ids are only
-    * unique WITHIN one checkpoint lineage — they restart at 0 under a
-    * fresh/lost checkpoint — so the applied-batch marker must be
-    * scoped to the checkpoint: a bare batch-id marker would mistake a
-    * NEW run's first batch for the old run's already-applied batch 0
-    * and silently drop genuinely new data. */
-  def runTag(checkpoint: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+  /** Run identity for the replay guard, stored INSIDE the checkpoint
+    * directory (`_graft_run_id`) so it shares the checkpoint's exact
+    * lifecycle. Structured Streaming batch ids are only unique WITHIN
+    * one checkpoint lineage — they restart at 0 under a fresh/lost
+    * checkpoint — so the applied-batch marker must be scoped to the
+    * LINEAGE, not the path: a tag derived from the path alone would
+    * (a) keep matching after ops wipe a corrupt checkpoint and
+    * restart at the same configured path, silently dropping the new
+    * lineage's first batch, and (b) stop matching when the same
+    * directory is addressed through a different path spelling,
+    * double-applying a replay. The id file is created with the
+    * checkpoint, dies with it, and is indifferent to how the path is
+    * written. */
+  def ensureRunTag(spark: SparkSession, checkpoint: String): String = {
+    val fs = fileSystem(spark, checkpoint)
+    val dir = new org.apache.hadoop.fs.Path(checkpoint)
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_run_id")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    } else {
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val out = fs.create(p, true)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+      tag
+    }
+  }
 
   /** Snapshot directory name for one applied batch of one run. */
   def snapshotName(tag: String, batchId: Long): String = s"v_${tag}_$batchId"
@@ -112,11 +129,18 @@ object StreamingJobs {
     pmod(hash(keys.map(col): _*), lit(nBuckets))
 
   /** The mart manifest `_LATEST` points at: the last applied snapshot
-    * (replay guard) and, per bucket, the snapshot directory currently
-    * holding that bucket's rows. Untouched buckets keep pointing at
-    * the snapshot that last wrote them — their files are never
-    * rewritten, which is what makes the per-batch publish O(delta). */
-  case class MartManifest(applied: String, buckets: Map[Int, String])
+    * (replay guard), the bucket scheme it was written with, and, per
+    * bucket, the snapshot directory currently holding that bucket's
+    * rows. Untouched buckets keep pointing at the snapshot that last
+    * wrote them — their files are never rewritten, which is what makes
+    * the per-batch publish O(delta). The scheme is recorded because an
+    * incremental merge is only valid against the SAME bucketing: a
+    * mart written with different nBuckets (or the legacy single-dir
+    * layout, scheme None) must be fully re-bucketed on first touch, or
+    * old rows for merged keys would stay reachable beside their
+    * replacements. */
+  case class MartManifest(applied: String, scheme: Option[Int],
+                          buckets: Map[Int, String])
 
   /** Streaming migrate: keeps a latest-state mart continuously up to
     * date with a change stream — RDW's Migrate Reporting Service
@@ -138,7 +162,7 @@ object StreamingJobs {
                     keys: Seq[String], versionCol: String, tieBreakCol: String,
                     checkpoint: String, nBuckets: Int = 16,
                     expireEvery: Int = 0, expireKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = runTag(checkpoint)
+    val tag = ensureRunTag(updates.sparkSession, checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -177,25 +201,39 @@ object StreamingJobs {
     val manifest = readManifest(sp, martRoot)
     if (manifest.exists(_.applied == snap)) false
     else {
-      // ≤ nBuckets values — bounded by configuration, not data
-      val touched = batch.select(bucketExpr(keys, nBuckets).as("_b"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      val bucketMap = manifest.map(_.buckets).getOrElse(Map.empty[Int, String])
-      val curPaths = touched.toSeq.sorted.flatMap(bucketMap.get).distinct
-        .map(d => s"$martRoot/$d")
-      val ordering = Seq(col(versionCol).desc, col(tieBreakCol).desc)
-      // the published mart carries only survivors (the deleted column
-      // is dropped at merge time) — every mart row is alive, so it
-      // re-enters the merge with deleted = false
-      val current =
-        if (curPaths.isEmpty) batch.limit(0)
-        else sp.read.parquet(curPaths: _*).withColumn("deleted", lit(false))
-      val merged = graft.operators.Operators.migrateWithDeletes(
-        current, batch, keys.map(col), ordering)
-      merged.withColumn("_b", bucketExpr(keys, nBuckets))
-        .write.partitionBy("_b").mode("overwrite").parquet(s"$martRoot/$snap")
-      publishManifest(sp, martRoot, snap, touched, bucketMap)
-      true
+      // a mart written under a DIFFERENT bucket scheme (changed
+      // nBuckets, or the legacy single-dir layout) cannot be merged
+      // incrementally — rows for the delta's keys live in directories
+      // the new scheme cannot address. First touch re-buckets the
+      // whole mart once; every later batch is incremental again.
+      val rebucket = manifest.exists(!_.scheme.contains(nBuckets))
+      val delta = batch.persist() // read twice: touched-bucket probe + merge
+      try {
+        // ≤ nBuckets values — bounded by configuration, not data
+        val touched =
+          if (rebucket) (0 until nBuckets).toSet
+          else delta.select(bucketExpr(keys, nBuckets).as("_b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        val bucketMap = manifest.map(_.buckets).getOrElse(Map.empty[Int, String])
+        val curPaths =
+          (if (rebucket) bucketMap.values.toSeq
+           else touched.toSeq.sorted.flatMap(bucketMap.get))
+            .distinct.map(d => s"$martRoot/$d")
+        val ordering = Seq(col(versionCol).desc, col(tieBreakCol).desc)
+        // the published mart carries only survivors (the deleted column
+        // is dropped at merge time) — every mart row is alive, so it
+        // re-enters the merge with deleted = false
+        val current =
+          if (curPaths.isEmpty) delta.limit(0)
+          else sp.read.parquet(curPaths: _*).withColumn("deleted", lit(false))
+        val merged = graft.operators.Operators.migrateWithDeletes(
+          current, delta, keys.map(col), ordering)
+        merged.withColumn("_b", bucketExpr(keys, nBuckets))
+          .write.partitionBy("_b").mode("overwrite").parquet(s"$martRoot/$snap")
+        publishManifest(sp, martRoot, snap, touched,
+          if (rebucket) Map.empty else bucketMap, nBuckets)
+        true
+      } finally { delta.unpersist(); () }
     }
   }
 
@@ -212,9 +250,9 @@ object StreamingJobs {
     readManifest(spark, martRoot).map(_.applied)
 
   /** Parse `_LATEST`. Two formats: the bucket manifest
-    * (`applied=<snap>` then `<bucket>=<dir>` lines), and the legacy
-    * single-directory pointer (one bare name) which reads as a
-    * one-bucket manifest. */
+    * (`applied=<snap>`, `nbuckets=<n>`, then `<bucket>=<dir>` lines),
+    * and the legacy single-directory pointer (one bare name) which
+    * reads as a one-bucket manifest with no scheme. */
   def readManifest(spark: SparkSession, martRoot: String): Option[MartManifest] = {
     val fs = fileSystem(spark, martRoot)
     val ptr = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
@@ -225,12 +263,14 @@ object StreamingJobs {
       val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
       if (lines.isEmpty) None
       else if (lines.head.startsWith("applied=")) {
-        val buckets = lines.tail.map { l =>
+        val scheme = lines.find(_.startsWith("nbuckets="))
+          .map(_.stripPrefix("nbuckets=").toInt)
+        val buckets = lines.tail.filterNot(_.startsWith("nbuckets=")).map { l =>
           val Array(b, d) = l.split("=", 2)
           b.toInt -> d
         }.toMap
-        Some(MartManifest(lines.head.stripPrefix("applied="), buckets))
-      } else Some(MartManifest(lines.head, Map(0 -> lines.head)))
+        Some(MartManifest(lines.head.stripPrefix("applied="), scheme, buckets))
+      } else Some(MartManifest(lines.head, None, Map(0 -> lines.head)))
     }
   }
 
@@ -239,7 +279,7 @@ object StreamingJobs {
     * survivors drop out), untouched buckets keep their entries. */
   private def publishManifest(spark: SparkSession, martRoot: String,
                               snap: String, touched: Set[Int],
-                              prev: Map[Int, String]): Unit = {
+                              prev: Map[Int, String], nBuckets: Int): Unit = {
     val fs = fileSystem(spark, martRoot)
     val snapPath = new org.apache.hadoop.fs.Path(martRoot, snap)
     val written: Map[Int, String] =
@@ -249,7 +289,7 @@ object StreamingJobs {
         .collect { case n if n.startsWith("_b=") => n.drop(3).toInt -> s"$snap/$n" }
         .toMap
     val next = (prev -- touched) ++ written
-    val content = (s"applied=$snap" +:
+    val content = (Seq(s"applied=$snap", s"nbuckets=$nBuckets") ++
       next.toSeq.sortBy(_._1).map { case (b, d) => s"$b=$d" }).mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(martRoot, "_LATEST.tmp")
     val ptrPath = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
@@ -543,7 +583,7 @@ object StreamingJobs {
                         keys: Seq[String], valueCol: String,
                         checkpoint: String, nBuckets: Int = 16,
                         expireEvery: Int = 0, expireKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = runTag(checkpoint)
+    val tag = ensureRunTag(updates.sparkSession, checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -570,22 +610,32 @@ object StreamingJobs {
     val manifest = readManifest(sp, martRoot)
     if (manifest.exists(_.applied == snap)) false
     else {
-      val delta = olapPartials(batch, keys, valueCol)
-      val touched = delta.select(bucketExpr(keys, nBuckets).as("_b"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      val bucketMap = manifest.map(_.buckets).getOrElse(Map.empty[Int, String])
-      val curPaths = touched.toSeq.sorted.flatMap(bucketMap.get).distinct
-        .map(d => s"$martRoot/$d")
-      val merged =
-        if (curPaths.isEmpty) delta
-        else sp.read.parquet(curPaths: _*).unionByName(delta)
-          .groupBy(keys.map(col): _*)
-          .agg(sum(col("sum_dec")).cast(DecimalType(30, 2)).as("sum_dec"),
-            sum(col("n_rows")).as("n_rows"))
-      merged.withColumn("_b", bucketExpr(keys, nBuckets))
-        .write.partitionBy("_b").mode("overwrite").parquet(s"$martRoot/$snap")
-      publishManifest(sp, martRoot, snap, touched, bucketMap)
-      true
+      val rebucket = manifest.exists(!_.scheme.contains(nBuckets))
+      // persisted: read twice (touched-bucket probe + merge) — without
+      // it every micro-batch pays the partial-agg shuffle twice
+      val delta = olapPartials(batch, keys, valueCol).persist()
+      try {
+        val touched =
+          if (rebucket) (0 until nBuckets).toSet
+          else delta.select(bucketExpr(keys, nBuckets).as("_b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        val bucketMap = manifest.map(_.buckets).getOrElse(Map.empty[Int, String])
+        val curPaths =
+          (if (rebucket) bucketMap.values.toSeq
+           else touched.toSeq.sorted.flatMap(bucketMap.get))
+            .distinct.map(d => s"$martRoot/$d")
+        val merged =
+          if (curPaths.isEmpty) delta
+          else sp.read.parquet(curPaths: _*).unionByName(delta)
+            .groupBy(keys.map(col): _*)
+            .agg(sum(col("sum_dec")).cast(DecimalType(30, 2)).as("sum_dec"),
+              sum(col("n_rows")).as("n_rows"))
+        merged.withColumn("_b", bucketExpr(keys, nBuckets))
+          .write.partitionBy("_b").mode("overwrite").parquet(s"$martRoot/$snap")
+        publishManifest(sp, martRoot, snap, touched,
+          if (rebucket) Map.empty else bucketMap, nBuckets)
+        true
+      } finally { delta.unpersist(); () }
     }
   }
 

@@ -259,4 +259,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Operators.validateNormsImport(clean, Seq("assessment_id"),
       "line_no", Seq("subject"), "percentile_rank", "score").count() == 0)
   }
+
+  test("validateNormsImport: a NULL rank is flagged and does not disable the NEXT row's checks") {
+    val file = Seq(
+      ("A", 1L, Some(10), Some(100.0), "M"),
+      ("A", 2L, None, Some(120.0), "M"),     // missing required rank
+      ("A", 3L, Some(50), Some(90.0), "X"))  // score drop + identity flip AFTER the bad row
+      .toDF("assessment_id", "line_no", "percentile_rank", "score", "subject")
+    val out = Operators.validateNormsImport(file, Seq("assessment_id"),
+        "line_no", Seq("subject"), "percentile_rank", "score")
+      .as[(String, Long, String)].collect().toSet
+    assert(out.contains(("A", 2L, "missing_required_field")),
+      s"NULL rank must be its own violation: $out")
+    // the row AFTER the malformed one still gets validated — a
+    // lag(rank)-based sentinel would skip both of these
+    assert(out.contains(("A", 3L, "score_decreasing")), s"got $out")
+    assert(out.contains(("A", 3L, "identity_mismatch")), s"got $out")
+  }
 }

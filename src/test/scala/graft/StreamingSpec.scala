@@ -190,7 +190,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(mart() == Set((1L, "a2"), (3L, "c1")))
       // prior snapshot still readable (time travel), manifest moved on
-      val tag = StreamingJobs.runTag(ckpt)
+      val tag = StreamingJobs.ensureRunTag(spark, ckpt)
       assert(spark.read.parquet(s"$root/${StreamingJobs.snapshotName(tag, 0)}").count() == 2)
       assert(StreamingJobs.readLatestName(spark, root)
         .contains(StreamingJobs.snapshotName(tag, 1)))
@@ -268,6 +268,37 @@ class StreamingSpec extends SparkSpec {
     assert(mart == Set((k1, "a2"), (k2, "b1")))
   }
 
+  test("bucket-scheme change or legacy mart re-buckets once instead of leaving stale rows reachable") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_rebucket").toString + "/mart"
+    def mart() = StreamingJobs.readMartLatest(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSeq.sorted
+    // legacy single-pointer mart: survivors parquet + bare-name _LATEST
+    Seq((1L, 1L, "a1"), (2L, 1L, "b1")).toDF("k", "ver", "v")
+      .write.parquet(s"$root/v_legacy")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_LATEST"), true)
+    try out.write("v_legacy".getBytes("UTF-8")) finally out.close()
+    assert(mart() == Seq((1L, "a1"), (2L, "b1")))
+    // first incremental batch against the legacy layout: key 1 updates.
+    // Without re-bucketing, v_legacy's k=1 row would stay reachable
+    // beside the new one — a latest-state mart with duplicate keys.
+    assert(StreamingJobs.applyMigrateBatch(
+      Seq((1L, 2L, "a2", false)).toDF("k", "ver", "v", "deleted"),
+      0L, "runA", root, Seq("k"), "ver", "v", nBuckets = 4))
+    assert(mart() == Seq((1L, "a2"), (2L, "b1")),
+      "legacy rows must be re-bucketed, not duplicated")
+    assert(StreamingJobs.readManifest(spark, root).get.scheme.contains(4))
+    // scheme change (4 → 2 buckets): same contract
+    assert(StreamingJobs.applyMigrateBatch(
+      Seq((2L, 2L, "b2", false)).toDF("k", "ver", "v", "deleted"),
+      1L, "runA", root, Seq("k"), "ver", "v", nBuckets = 2))
+    assert(mart() == Seq((1L, "a2"), (2L, "b2")),
+      "an nBuckets change must re-bucket, not strand old-scheme rows")
+    assert(StreamingJobs.readManifest(spark, root).get.scheme.contains(2))
+  }
+
   test("migrateStream expiry hook keeps snapshot count bounded with readers unbroken") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_mart_expire").toString + "/mart"
@@ -329,7 +360,7 @@ class StreamingSpec extends SparkSpec {
     assert(derived == full,
       s"mart after 2 delta merges must equal the full recompute:\n$derived\n$full")
     assert(StreamingJobs.readLatestName(spark, root)
-      .contains(StreamingJobs.snapshotName(StreamingJobs.runTag(ckpt), 1)))
+      .contains(StreamingJobs.snapshotName(StreamingJobs.ensureRunTag(spark, ckpt), 1)))
     // crash replay within the SAME run (same checkpoint → same runTag):
     // the applied marker matches, so re-merging the partials — which
     // would double-count — must be skipped
@@ -337,7 +368,7 @@ class StreamingSpec extends SparkSpec {
     val replay = rows.drop(3).toDF()
       .withColumn("mart_hour", date_trunc("hour", col("ts")))
     assert(!StreamingJobs.applyOlapBatch(replay, 1L,
-      StreamingJobs.runTag(ckpt), root,
+      StreamingJobs.ensureRunTag(spark, ckpt), root,
       Seq("mart_hour", "event_type"), "value"))
     assert(derived == before, "an already-applied (run, batch) must not re-merge")
     // a DIFFERENT run's batch 1 (fresh checkpoint, ids restart) is new
