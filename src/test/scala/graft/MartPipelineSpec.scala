@@ -69,5 +69,21 @@ class MartPipelineSpec extends SparkSpec {
     val released = Seq(("district_a", 2)).toDF("tenant", "embargo")
     assert(Operators.embargoFilter(scoped, released, Seq("tenant"), "embargo",
       visibleStatuses = Seq(2)).count() == 1)
+
+    // 5. the CONTINUOUS form of step 2: the same batches through the
+    // incremental bucket-manifest migrate — the mart the stream
+    // maintains batch-by-batch equals the one-shot migrateWithDeletes
+    // of everything (the Migrate Reporting Service contract)
+    val streamRoot = new java.io.File(dir, "stream_mart").getAbsolutePath
+    import graft.streaming.StreamingJobs
+    assert(StreamingJobs.applyMigrateBatch(valid, 0L, "e2e", streamRoot,
+      Seq("tenant", "student_id"), "submitted", "exam_id", nBuckets = 4))
+    assert(StreamingJobs.applyMigrateBatch(updates, 1L, "e2e", streamRoot,
+      Seq("tenant", "student_id"), "submitted", "exam_id", nBuckets = 4))
+    val streamed = StreamingJobs.readMartLatest(spark, streamRoot).get
+      .select("tenant", "student_id", "exam_id", "score")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed == martRows,
+      s"incrementally maintained mart must equal the one-shot migrate: $streamed vs $martRows")
   }
 }
