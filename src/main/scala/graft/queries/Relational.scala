@@ -1492,6 +1492,56 @@ object Relational {
       |  AND date_diff('day', CAST(o_orderdate AS DATE), CAST(as_of AS DATE)) > 30
       |ORDER BY age_days DESC, o_orderkey""".stripMargin
 
+  // -- q54: target report with configured exclusions -----------------------
+  // Target-level aggregate reporting (reference /root/reference/docs/
+  // Runbook.SystemConfiguration.md:150 "Target Exclusions"): targets
+  // are the finer grain under claims, and coverage-poor targets are
+  // EXCLUDED via a configured (assessment, target) table, on top of
+  // the structural restrictions — summative assessments only, claim-1
+  // targets only ("target reports are only available for summative
+  // assessments, only claim 1 math targets are included"). Modeled:
+  // assessment = p_brand, claim = l_linenumber, target = supplier mod
+  // 10, summative = urgent priority.
+  //
+  // Scale: the exclusion table is config-sized → broadcast LEFT ANTI,
+  // so the fact table never shuffles for the exclusion; one
+  // partial-agg shuffle on (assessment, target).
+  private val q54: Q = (s, d) => {
+    val sp = s; import sp.implicits._
+    val exclusions = Seq(("Brand#45", 3), ("Brand#51", 7), ("Brand#12", 0))
+      .toDF("ex_brand", "ex_target")
+    T.lineitem(s, d)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(T.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(col("o_orderpriority") === "1-URGENT") // summative only
+      .filter(col("l_linenumber") === 1)             // claim 1 only
+      .withColumn("target", (col("l_suppkey") % 10).cast("int"))
+      .join(broadcast(exclusions),
+        col("p_brand") === col("ex_brand") && col("target") === col("ex_target"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("target"))
+      .agg(count(lit(1)).as("n_scores"),
+        round(QUtil.moneyAvg(col("l_extendedprice")), 4).as("avg_score"))
+      .orderBy(col("p_brand"), col("target"))
+  }
+
+  private val q54Sql =
+    s"""WITH ex AS (SELECT * FROM (VALUES
+      |  ('Brand#45', 3), ('Brand#51', 7), ('Brand#12', 0)) AS t(ex_brand, ex_target)),
+      |facts AS (
+      |  SELECT p_brand, CAST(l_suppkey % 10 AS INTEGER) AS target, l_extendedprice
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE o_orderpriority = '1-URGENT' AND l_linenumber = 1)
+      |SELECT p_brand, target, COUNT(*) AS n_scores,
+      |  ROUND(${QUtil.sqlMoneyAvg("l_extendedprice")}, 4) AS avg_score
+      |FROM facts
+      |WHERE NOT EXISTS (SELECT 1 FROM ex
+      |  WHERE ex_brand = p_brand AND ex_target = target)
+      |GROUP BY p_brand, target
+      |ORDER BY p_brand, target""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
@@ -1500,7 +1550,8 @@ object Relational {
     "q46_pseudonymize" -> q46, "q47_incremental_agg" -> q47,
     "q48_import_dedup" -> q48, "q49_claim_scores" -> q49,
     "q50_norms_validate" -> q50, "q51_org_sync" -> q51,
-    "q52_accommodations" -> q52, "q53_resubmit_unprocessed" -> q53) ++ Map(
+    "q52_accommodations" -> q52, "q53_resubmit_unprocessed" -> q53,
+    "q54_target_report" -> q54) ++ Map(
     "q33_approx_distinct" -> q33, "q34_approx_percentile" -> q34,
     "q35_scd2_history" -> q35, "q36_asof_native" -> q36,
     "q37_reconcile" -> q37, "q38_set_ops" -> q38, "q39_ntile_bands" -> q39) ++ Map(
@@ -1524,6 +1575,7 @@ object Relational {
     "q48_import_dedup" -> q48Sql, "q49_claim_scores" -> q49Sql,
     "q50_norms_validate" -> q50Sql, "q51_org_sync" -> q51Sql,
     "q52_accommodations" -> q52Sql, "q53_resubmit_unprocessed" -> q53Sql,
+    "q54_target_report" -> q54Sql,
     "q35_scd2_history" -> q35Sql, "q36_asof_native" -> q22Sql,
     "q37_reconcile" -> q37Sql, "q38_set_ops" -> q38Sql,
     "q39_ntile_bands" -> q39Sql) ++ Map(
