@@ -225,6 +225,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), s"expected map-side partial aggregation in:\n$p")
   }
 
+  test("q54 target report: exclusion config is a broadcast anti-join, no fact shuffle for it") {
+    val p = plan("q54_target_report")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"exclusion table must broadcast as a LEFT ANTI:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the star join")
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
