@@ -30,10 +30,18 @@ SRC = "/root/testdata/sf0.1"
 def main(out: str) -> None:
     import os
     os.makedirs(out, exist_ok=True)
-    for t in ["region", "nation", "supplier", "part", "lineitem", "embeddings"]:
+    for t in ["region", "nation", "supplier", "part", "lineitem"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
     con = duckdb.connect()
+    # embeddings x10: per-copy perturbation of one component keeps the
+    # near-dup structure realistic (copies are near- but not exact dups)
+    con.sql(f"""COPY (
+      SELECT vec_id + i*100000 AS vec_id,
+             list_transform(embedding, x -> CAST(x + i * 0.0003 AS FLOAT)) AS embedding,
+             label
+      FROM '{SRC}/embeddings.parquet', generate_series(0, 9) t(i)
+    ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     con.sql(f"""COPY (
       SELECT doc_id + i*100000 AS doc_id,
              CASE WHEN i = 0 THEN text
