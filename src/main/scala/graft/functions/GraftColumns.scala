@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
+import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint, WordBigrams}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -26,6 +26,11 @@ object GraftColumns {
     * [[SimHashTokens]]). */
   def simHashTokens(text: Column): Column =
     SqlBridge.column(SimHashTokens(SqlBridge.expression(text)))
+
+  /** Word bigrams of single-space-tokenized text in one pass (see
+    * [[WordBigrams]]). */
+  def wordBigrams(text: Column): Column =
+    SqlBridge.column(WordBigrams(SqlBridge.expression(text)))
 
   /** Cosine similarity of two numeric arrays in one pass (see
     * [[CosineSimilarity]]). */

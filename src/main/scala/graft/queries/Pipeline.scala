@@ -905,9 +905,12 @@ object Pipeline {
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -- t04: corpus word-bigram frequency -----------------------------------
+  // Native WordBigrams: the HOF formulation (transform + concat_ws per
+  // position) evaluates interpreted outside codegen — the one-pass
+  // expression is bit-equal by construction (FunctionsSpec parity).
   private val t04: Q = (s, d) =>
     docsSpread(s, d)
-      .select(explode(TF.wordNgrams(split(col("text"), " "), 2)).as("ngram"))
+      .select(explode(graft.functions.GraftColumns.wordBigrams(col("text"))).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))

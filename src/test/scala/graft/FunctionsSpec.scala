@@ -268,6 +268,19 @@ class FunctionsSpec extends SparkSpec {
     assert(pair._1 == pair._2)
   }
 
+  test("wordBigrams native expression equals the HOF formulation (empties, trailing space, short)") {
+    val df = Seq("a b c", "a  b", "a ", "single", "", "x y z w").toDF("t")
+    val native = df.select(graft.functions.GraftColumns.wordBigrams(col("t")).as("g"))
+      .as[Seq[String]].collect().toSeq
+    val hof = df.select(TF.wordNgrams(split(col("t"), " "), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(native == hof, s"native $native != hof $hof")
+    assert(native(0) == Seq("a b", "b c"))
+    assert(native(1) == Seq("a ", " b")) // double space → empty middle token
+    assert(native(2) == Seq("a "))      // trailing empty token kept
+    assert(native(3) == Seq() && native(4) == Seq())
+  }
+
   test("charShingles native expression equals the HOF formulation") {
     val df = Seq("abcabcabc", "xy").toDF("t")
     val native = df.select(graft.functions.GraftColumns.charShingles(col("t"), 4).as("s"))
