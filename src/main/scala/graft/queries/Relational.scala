@@ -1520,8 +1520,11 @@ object Relational {
         col("p_brand") === col("ex_brand") && col("target") === col("ex_target"),
         "left_anti")
       .groupBy(col("p_brand"), col("target"))
+      // unrounded: the exact-decimal sum divided once is bit-identical
+      // across engines, while round(x,4) diverged on a half-boundary
+      // at sf0.1 (56875.42575 -> .4257 vs .4258)
       .agg(count(lit(1)).as("n_scores"),
-        round(QUtil.moneyAvg(col("l_extendedprice")), 4).as("avg_score"))
+        QUtil.moneyAvg(col("l_extendedprice")).as("avg_score"))
       .orderBy(col("p_brand"), col("target"))
   }
 
@@ -1535,7 +1538,7 @@ object Relational {
       |  JOIN part ON l_partkey = p_partkey
       |  WHERE o_orderpriority = '1-URGENT' AND l_linenumber = 1)
       |SELECT p_brand, target, COUNT(*) AS n_scores,
-      |  ROUND(${QUtil.sqlMoneyAvg("l_extendedprice")}, 4) AS avg_score
+      |  ${QUtil.sqlMoneyAvg("l_extendedprice")} AS avg_score
       |FROM facts
       |WHERE NOT EXISTS (SELECT 1 FROM ex
       |  WHERE ex_brand = p_brand AND ex_target = target)
