@@ -89,8 +89,8 @@ class FunctionsSpec extends SparkSpec {
     val vecs = Seq.tabulate(50)(i => Seq.tabulate(dim)(_ => rnd.nextGaussian().toFloat)) :+
       Seq.fill(dim)(0.0f) // zero-norm row
     val df = vecs.toDF("v")
-    val centroidArr = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("idx"), array(c.map(lit(_)): _*).as("cent"))
+    val centroidArr = array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("idx"), array(c.toIndexedSeq.map(lit(_)): _*).as("cent"))
     }: _*)
     val hof = slice(array_sort(transform(centroidArr,
       c => struct((-VF.cosine(col("v"), c.getField("cent"))).as("d"),
