@@ -17,8 +17,13 @@ object TextFunctions {
     transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k)))
 
-  /** Whitespace tokens (trimmed, split on runs of whitespace). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens (trimmed, split on runs of whitespace). The
+    * split class is spelled out rather than `\s` because Java's `\s`
+    * includes U+000B while DuckDB/RE2's does not — the explicit
+    * [ \t\n\f\r] is the set both engines mean, so oracle tokenization
+    * agrees on ALL inputs (see [[expressions.SimHashTokens.isSep]],
+    * the same contract in the native expressions). */
+  def tokens(text: Column): Column = split(trim(text), "[ \t\n\f\r]+")
 
   /** Canonical text: lowercase, non-alphanumeric runs collapsed to a
     * single space, trimmed — the normalization step of RDW's ingest

@@ -9,8 +9,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Same rationale as [[MinHashShingles]]: the HOF formulation costs 64
   * interpreted folds per row (one per bit); this walks the string
   * once, hashes each token, and updates 64 counters in a tight loop.
-  * Token boundaries are whitespace runs, matching
-  * `split(trim(text), "\\s+")`.
+  * Token boundaries are runs of [[SimHashTokens.isSep]] — the
+  * RE2-compatible whitespace class `TextFunctions.tokens` splits on.
   *
   * ORACLE-REPLAYABLE bit draws (the d04/t06/d08 family): token hash is
   * the polynomial `fold((acc*131 + char) mod 1e9+7)` and bit b of a
@@ -74,11 +74,13 @@ object SimHashTokens {
   private[expressions] val as: Array[Long] = Array.tabulate(64)(aConst)
   private[expressions] val bs: Array[Long] = Array.tabulate(64)(bConst)
 
-  /** Token boundary = the ASCII `\s` class BOTH regex engines agree
-    * on ([ \t\n\f\r]): Java's default `\s` (TF.tokens) and
-    * DuckDB/RE2's `\s` are exactly this set, while
-    * Character.isWhitespace also matches U+001C–1F, U+2028 etc. and
-    * would silently diverge from the oracle's tokenization. */
-  private[expressions] def isSep(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  /** Token boundary = DuckDB/RE2's `\s` class, exactly [ \t\n\f\r].
+    * Java's `\s` additionally matches U+000B (vertical tab) and
+    * Character.isWhitespace matches U+001C–1F, U+2028 etc. — either
+    * would silently diverge from the oracle's tokenization on text
+    * containing those characters, so the engine-side contract is the
+    * RE2 set and [[graft.functions.TextFunctions.tokens]] splits on
+    * this explicit class rather than Java's `\s`. */
+  private[graft] def isSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 }

@@ -14,9 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens-per-doc × docs exchange rows for what is a per-row
   * computation. This walks the string once with two open-addressing-ish
   * hash maps (unigram, bigram) whose size is bounded by tokens-per-doc,
-  * turning t08 into a map-only operator. Token boundaries are
-  * whitespace runs, matching `split(trim(text), "\\s+")`, including
-  * its empty-text behavior (one empty token).
+  * turning t08 into a map-only operator. Token boundaries are runs of
+  * [[SimHashTokens.isSep]] (the RE2-compatible class
+  * `TextFunctions.tokens` splits on), including the split's empty-text
+  * behavior (one empty token).
   */
 case class TokenRepetitionStats(child: Expression)
     extends UnaryExpression with UnaryRefCodegen {
@@ -41,10 +42,10 @@ case class TokenRepetitionStats(child: Expression)
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && SimHashTokens.isSep(text.charAt(i))) i += 1
       if (i < n) {
         val start = i
-        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+        while (i < n && !SimHashTokens.isSep(text.charAt(i))) i += 1
         val tok = text.substring(start, i)
         nTok += 1
         val c0 = uni.get(tok)

@@ -272,6 +272,12 @@ object Pipeline {
   // polynomial shingle hash + a_p·h+b_p mod 1e9+7 bijections), so the
   // whole signature → banding → candidate pipeline replays in DuckDB
   // as plain SQL: banding is just GROUP BY (band, band value).
+  // BMP contract (here and d05): the Scala expressions iterate UTF-16
+  // code units (charAt) while the SQL replays code points
+  // (unicode(substr)) — identical iff the corpus has no
+  // supplementary-plane characters (true of the testdata and the RDW
+  // text domain; SURVEY §5). A corpus with emoji/CJK-extB would need
+  // Character.codePointAt iteration in the native expressions.
   // est_jaccard is matches/32 — an exact power-of-two division, no
   // rounding (round() can diverge across engines on half-boundaries).
   private val d04: Q = (s, d) => {
@@ -834,7 +840,7 @@ object Pipeline {
     val toks = TF.tokens(col("text"))
     val nTok = size(toks)
     val stopRatio = TF.tokenCountIn(toks, stopwords).cast(DoubleType) / nTok
-    val punctRatio = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+    val punctRatio = length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", ""))
       .cast(DoubleType) / length(col("text"))
     val quality = lit(0.5) * least(lit(1.0), nTok / lit(100.0)) +
       lit(0.3) * (lit(1.0) - stopRatio) - lit(0.2) * punctRatio
@@ -877,7 +883,7 @@ object Pipeline {
     T.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         size(TF.tokens(col("text"))).as("ws_tokens"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"))
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
   private val t03Sql =
@@ -1134,7 +1140,7 @@ object Pipeline {
       .withColumn("rn", row_number().over(wDedup))
       .filter(col("rn") === 1)
       .withColumn("bpe_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
       .withColumn("cum_tokens", sum(col("bpe_tokens")).over(wBudget))
       .filter(col("cum_tokens") <= 400)
       .select(col("doc_id"), col("source"), col("quality"),
@@ -1183,7 +1189,7 @@ object Pipeline {
     val shardSize = 512 // docs per shard; ~1e6 at warehouse scale
     val base = T.documents(s, d)
       .withColumn("bpe_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
     val wLocal = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))

@@ -1435,9 +1435,12 @@ object Relational {
       .groupBy(col("acc_code"), col("acc_desc"))
       .agg(count(lit(1)).as("n_results"),
         countDistinct(col("user_id")).as("n_students"))
+      // unrounded: one IEEE division of exactly-representable operands
+      // is bit-identical across engines, while round(x,4) can diverge
+      // on a .00005 half-boundary (HALF_UP vs half-even — the q54 fix)
       .withColumn("pct_of_results",
-        round(lit(100.0) * col("n_results") /
-          sum(col("n_results")).over(Window.partitionBy()), 4))
+        lit(100.0) * col("n_results") /
+          sum(col("n_results")).over(Window.partitionBy()))
       .orderBy(col("acc_code"))
   }
 
@@ -1455,7 +1458,7 @@ object Relational {
       |    COUNT(DISTINCT user_id) AS n_students
       |  FROM tagged GROUP BY 1, 2)
       |SELECT acc_code, acc_desc, n_results, n_students,
-      |  ROUND(100.0 * n_results / SUM(n_results) OVER (), 4) AS pct_of_results
+      |  CAST(100.0 AS DOUBLE) * n_results / SUM(n_results) OVER () AS pct_of_results
       |FROM agg ORDER BY acc_code""".stripMargin
 
   // -- q53: resubmit unprocessed results (daily task) ----------------------
@@ -1545,8 +1548,150 @@ object Relational {
       |GROUP BY p_brand, target
       |ORDER BY p_brand, target""".stripMargin
 
+  // ========================================================================
+  // Item-level exam results (q55–q57) — the exam_item data family:
+  // RDW stores per-item attributes and responses in `exam_item`, with
+  // items pre-loaded from the assessment package and mapped to
+  // common-core standards (`item_common_core_standard`) and other
+  // targets (`item_other_target`) — reference /root/reference/docs/
+  // Runbook.BulkDeleteExams.md:28 (exam_item), :202-204 (the item →
+  // standard/target mapping tables in the delete cascade), and
+  // Runbook.DataSpecifications.md:51 (TRTs carry optional ExamItems).
+  // Model on the testdata: exam = orders (o_orderkey, student =
+  // o_custkey), exam_item = lineitem (exam_id = l_orderkey, item_id =
+  // l_partkey, position = l_linenumber, item score = l_quantity, full
+  // credit at >= 30 — q13's threshold), item dim = part
+  // (item_common_core_standard derived as CCSS.<first word of
+  // p_type>.<p_size mod 4 + 1>; item_other_target as p_size mod 10).
+
+  /** The item → common-core-standard mapping, derived deterministically
+    * from the item dim (split_part/substring_index agree across
+    * engines on single-space-delimited p_type). */
+  private def itemStandard = concat(lit("CCSS."),
+    substring_index(col("p_type"), " ", 1), lit("."),
+    (col("p_size") % 4 + 1).cast(IntegerType))
+
+  // -- q55: per-item difficulty / response distribution --------------------
+  // The item-statistics report teachers drill into: response count,
+  // average item score, % full credit, and a difficulty band per item.
+  //
+  // Scale: lineitem pre-aggregates to item grain BELOW the dim join
+  // (q03's trick — the join then moves one row per ITEM, not one per
+  // response), and the item dim broadcasts (plan-asserted): the fact
+  // table shuffles once, on the item key.
+  private val q55: Q = (s, d) => {
+    val perItem = T.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_responses"),
+        moneyAvg(col("l_quantity")).as("avg_score"),
+        sum(when(col("l_quantity") >= 30, 1L).otherwise(0L)).as("n_full"))
+    perItem
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .withColumn("pct_full_credit",
+        lit(100.0) * col("n_full") / col("n_responses"))
+      .select(col("l_partkey").as("item_id"), col("p_brand").as("asmt"),
+        col("n_responses"), col("avg_score"), col("pct_full_credit"),
+        when(col("pct_full_credit") < 25.0, "hard")
+          .when(col("pct_full_credit") < 60.0, "moderate")
+          .otherwise("easy").as("difficulty"))
+      .orderBy(col("item_id"))
+  }
+
+  private val q55Sql =
+    s"""WITH per_item AS (
+       |  SELECT l_partkey, COUNT(*) AS n_responses,
+       |    ${sqlMoneyAvg("l_quantity")} AS avg_score,
+       |    SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS n_full
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT l_partkey AS item_id, p_brand AS asmt, n_responses, avg_score,
+       |  CAST(100.0 AS DOUBLE) * n_full / n_responses AS pct_full_credit,
+       |  CASE WHEN CAST(100.0 AS DOUBLE) * n_full / n_responses < 25.0 THEN 'hard'
+       |       WHEN CAST(100.0 AS DOUBLE) * n_full / n_responses < 60.0 THEN 'moderate'
+       |       ELSE 'easy' END AS difficulty
+       |FROM per_item JOIN part ON l_partkey = p_partkey
+       |ORDER BY item_id""".stripMargin
+
+  // -- q56: item → standard rollup -----------------------------------------
+  // Aggregate item results up the standards hierarchy (q09's rollup
+  // shape on item_common_core_standard): per (standard, item) plus the
+  // per-standard and grand-total levels.
+  //
+  // Scale: responses pre-aggregate to item grain below the broadcast
+  // dim join (decimal partials re-aggregate exactly through ROLLUP's
+  // Expand — sums add); the rollup shuffle then moves item-grain rows.
+  private val q56: Q = (s, d) => {
+    // partials stay DECIMAL through the rollup (a double here would
+    // make the re-aggregation order-dependent); cast at the end only
+    val perItem = T.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(money(col("l_quantity"))).as("s"))
+    perItem
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .withColumn("standard", itemStandard)
+      .rollup(col("standard"), col("l_partkey").as("item_id"))
+      .agg(sum(col("n")).as("n_responses"),
+        sum(col("s")).cast(DoubleType).as("sum_score"))
+      .orderBy(col("standard").asc_nulls_first, col("item_id").asc_nulls_first)
+  }
+
+  private val q56Sql =
+    """WITH per_item AS (
+      |  SELECT l_partkey, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s
+      |  FROM lineitem GROUP BY l_partkey),
+      |mapped AS (
+      |  SELECT 'CCSS.' || split_part(p_type, ' ', 1) || '.'
+      |           || CAST(p_size % 4 + 1 AS INTEGER) AS standard,
+      |    l_partkey AS item_id, n, s
+      |  FROM per_item JOIN part ON l_partkey = p_partkey)
+      |SELECT standard, item_id, CAST(SUM(n) AS BIGINT) AS n_responses,
+      |  CAST(SUM(s) AS DOUBLE) AS sum_score
+      |FROM mapped GROUP BY ROLLUP (standard, item_id)
+      |ORDER BY standard ASC NULLS FIRST, item_id ASC NULLS FIRST""".stripMargin
+
+  // -- q57: student item-level drill-down ----------------------------------
+  // The "student-responses" UI query: every item response of one
+  // student's exams, with item metadata and the standard/target
+  // mappings joined in.
+  //
+  // Scale: the student's exams are a pushdown-filtered handful →
+  // broadcast; lineitem is probed map-only by the broadcast hash join
+  // (no fact shuffle at all), and the item dim broadcasts too. The
+  // response rows for ONE student are UI-sized at any corpus scale.
+  private val q57: Q = (s, d) => {
+    val exams = T.orders(s, d).filter(col("o_custkey") === 7)
+    T.lineitem(s, d)
+      .join(broadcast(exams), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("student_id"), col("o_orderkey").as("exam_id"),
+        col("o_orderdate").as("exam_date"), col("l_linenumber").as("position"),
+        col("l_partkey").as("item_id"), col("p_brand").as("asmt"),
+        money(col("l_quantity")).cast(DoubleType).as("score"),
+        (col("l_quantity") >= 30).as("full_credit"),
+        itemStandard.as("standard"),
+        (col("p_size") % 10).cast(IntegerType).as("target"))
+      .orderBy(col("exam_id"), col("position"))
+  }
+
+  private val q57Sql =
+    """SELECT o_custkey AS student_id, o_orderkey AS exam_id,
+      |  o_orderdate AS exam_date, l_linenumber AS position,
+      |  l_partkey AS item_id, p_brand AS asmt,
+      |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS score,
+      |  l_quantity >= 30 AS full_credit,
+      |  'CCSS.' || split_part(p_type, ' ', 1) || '.'
+      |    || CAST(p_size % 4 + 1 AS INTEGER) AS standard,
+      |  CAST(p_size % 10 AS INTEGER) AS target
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE o_custkey = 7
+      |ORDER BY exam_id, position""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q55_item_difficulty" -> q55, "q56_item_standard_rollup" -> q56,
+    "q57_student_responses" -> q57) ++ Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
     "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
@@ -1571,6 +1716,8 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q55_item_difficulty" -> q55Sql, "q56_item_standard_rollup" -> q56Sql,
+    "q57_student_responses" -> q57Sql,
     "q40_soft_delete_migrate" -> q40Sql, "q41_norms_overlap" -> q41Sql,
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
     "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,

@@ -249,38 +249,69 @@ object StreamingJobs {
   def readLatestName(spark: SparkSession, martRoot: String): Option[String] =
     readManifest(spark, martRoot).map(_.applied)
 
-  /** Parse `_LATEST`. Two formats: the bucket manifest
-    * (`applied=<snap>`, `nbuckets=<n>`, then `<bucket>=<dir>` lines),
-    * and the legacy single-directory pointer (one bare name) which
-    * reads as a one-bucket manifest with no scheme. */
+  /** Manifest files present at the mart root, newest version first.
+    * Versioned form is `_LATEST.<n>` (monotonic n); the bare legacy
+    * `_LATEST` reads as version 0 so marts written before versioning
+    * keep resolving. `_LATEST.tmp` never matches (non-digit suffix). */
+  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               rootP: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(rootP)) Nil
+    else fs.listStatus(rootP).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n == "_LATEST") Some(0L -> p)
+      else if (n.startsWith("_LATEST.") && n.length > 8 && n.drop(8).forall(_.isDigit))
+        Some(n.drop(8).toLong -> p)
+      else None
+    }.sortBy(-_._1)
+
+  /** Parse the newest resolvable manifest. Two content formats: the
+    * bucket manifest (`applied=<snap>`, `nbuckets=<n>`, then
+    * `<bucket>=<dir>` lines), and the legacy single-directory pointer
+    * (one bare name) which reads as a one-bucket manifest with no
+    * scheme. Manifests are published as whole-file atomic renames to a
+    * fresh `_LATEST.<n>` name, so the newest version is always a
+    * complete write; older versions are only consulted if the newest
+    * somehow fails to parse (defense in depth, not an expected state). */
   def readManifest(spark: SparkSession, martRoot: String): Option[MartManifest] = {
     val fs = fileSystem(spark, martRoot)
-    val ptr = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-      if (lines.isEmpty) None
-      else if (lines.head.startsWith("applied=")) {
-        val scheme = lines.find(_.startsWith("nbuckets="))
-          .map(_.stripPrefix("nbuckets=").toInt)
-        val buckets = lines.tail.filterNot(_.startsWith("nbuckets=")).map { l =>
-          val Array(b, d) = l.split("=", 2)
-          b.toInt -> d
-        }.toMap
-        Some(MartManifest(lines.head.stripPrefix("applied="), scheme, buckets))
-      } else Some(MartManifest(lines.head, None, Map(0 -> lines.head)))
-    }
+    manifestVersions(fs, new org.apache.hadoop.fs.Path(martRoot))
+      .iterator
+      .flatMap { case (_, p) =>
+        val in = fs.open(p)
+        val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        parseManifest(content)
+      }
+      .nextOption()
   }
 
-  /** Swap the manifest atomically (write-temp + rename): touched
-    * buckets move to the new snapshot (buckets whose merge left no
-    * survivors drop out), untouched buckets keep their entries. */
+  private def parseManifest(content: String): Option[MartManifest] = {
+    val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) None
+    else if (lines.head.startsWith("applied=")) {
+      val scheme = lines.find(_.startsWith("nbuckets="))
+        .map(_.stripPrefix("nbuckets=").toInt)
+      val buckets = lines.tail.filterNot(_.startsWith("nbuckets=")).map { l =>
+        val Array(b, d) = l.split("=", 2)
+        b.toInt -> d
+      }.toMap
+      Some(MartManifest(lines.head.stripPrefix("applied="), scheme, buckets))
+    } else Some(MartManifest(lines.head, None, Map(0 -> lines.head)))
+  }
+
+  /** Publish the next manifest version: touched buckets move to the
+    * new snapshot (buckets whose merge left no survivors drop out),
+    * untouched buckets keep their entries. Single-failure-safe: the
+    * new state lands as ONE atomic rename to a fresh `_LATEST.<n+1>`
+    * name — there is no delete-then-rename window in which no manifest
+    * exists (a crash at any point leaves the previous version as the
+    * newest resolvable manifest, and the orphaned snapshot dir is
+    * expired later). Superseded versions beyond the immediately
+    * previous one are pruned AFTER the new version is durable. */
   private def publishManifest(spark: SparkSession, martRoot: String,
                               snap: String, touched: Set[Int],
                               prev: Map[Int, String], nBuckets: Int): Unit = {
     val fs = fileSystem(spark, martRoot)
+    val rootP = new org.apache.hadoop.fs.Path(martRoot)
     val snapPath = new org.apache.hadoop.fs.Path(martRoot, snap)
     val written: Map[Int, String] =
       if (!fs.exists(snapPath)) Map.empty
@@ -291,31 +322,38 @@ object StreamingJobs {
     val next = (prev -- touched) ++ written
     val content = (Seq(s"applied=$snap", s"nbuckets=$nBuckets") ++
       next.toSeq.sortBy(_._1).map { case (b, d) => s"$b=$d" }).mkString("\n")
+    val existing = manifestVersions(fs, rootP)
+    val nextVer = existing.headOption.map(_._1 + 1).getOrElse(1L)
     val tmp = new org.apache.hadoop.fs.Path(martRoot, "_LATEST.tmp")
-    val ptrPath = new org.apache.hadoop.fs.Path(martRoot, "_LATEST")
+    val ptrPath = new org.apache.hadoop.fs.Path(martRoot, s"_LATEST.$nextVer")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    fs.delete(ptrPath, false)
     if (!fs.rename(tmp, ptrPath))
       throw new java.io.IOException(s"failed to publish mart snapshot $snap")
+    // keep the previous version as the crash fallback; prune older
+    existing.drop(1).foreach { case (_, p) => fs.delete(p, false) }
   }
 
-  /** Expire snapshot directories no longer referenced by the manifest,
-    * keeping the `keep` most recently modified unreferenced ones as a
-    * time-travel window. Directories the manifest references (any
-    * bucket entry, or the applied marker) are never deleted — a
-    * reader resolved through the manifest may hold them. Returns the
-    * deleted names. */
+  /** Expire snapshot directories no longer referenced by any retained
+    * manifest version, keeping the `keep` most recently modified
+    * unreferenced ones as a time-travel window. Directories ANY
+    * retained manifest references (bucket entries or the applied
+    * marker) are never deleted — the newest serves live readers and
+    * the retained previous version is the crash fallback, which must
+    * stay fully resolvable. Returns the deleted names. */
   def expireMartSnapshots(spark: SparkSession, martRoot: String,
                           keep: Int): Seq[String] = {
     require(keep >= 0, "keep must be non-negative")
     val fs = fileSystem(spark, martRoot)
     val rootP = new org.apache.hadoop.fs.Path(martRoot)
     if (!fs.exists(rootP)) return Nil
-    val referenced: Set[String] = readManifest(spark, martRoot) match {
-      case Some(m) => m.buckets.values.map(_.split("/")(0)).toSet + m.applied
-      case None => Set.empty
-    }
+    val referenced: Set[String] =
+      manifestVersions(fs, rootP).flatMap { case (_, p) =>
+        val in = fs.open(p)
+        val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        parseManifest(content).toSeq.flatMap(m =>
+          m.buckets.values.map(_.split("/")(0)).toSeq :+ m.applied)
+      }.toSet
     val doomed = fs.listStatus(rootP).toSeq
       .filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("v_"))

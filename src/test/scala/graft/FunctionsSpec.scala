@@ -268,6 +268,27 @@ class FunctionsSpec extends SparkSpec {
     assert(pair._1 == pair._2)
   }
 
+  test("tokenizer contract is RE2's \\s class: U+000B is NOT a separator in any tokenizer") {
+    // DuckDB/RE2's \s is [ \t\n\f\r] while Java's adds U+000B — the
+    // engine sides all use the RE2 set so the oracle tokenization
+    // agrees on every input (round-4 ADVICE)
+    val vt = "a\u000Bb c"
+    val toks = Seq(vt).toDF("t")
+      .select(TF.tokens(col("t")).as("k")).as[Seq[String]].head()
+    assert(toks == Seq("a\u000Bb", "c"), s"tokens() split on U+000B: $toks")
+    // native simhash agrees: "a\u000Bb c" tokenizes like "X c" (two
+    // tokens), not like "a b c" (three)
+    val sigs = Seq(vt, "a\u000Bb c", "a b c").toDF("t")
+      .select(graft.functions.GraftColumns.simHashTokens(col("t")).as("s"))
+      .as[Long].collect()
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+    // native repetition stats agree: 2 tokens, both distinct
+    val st = Seq(vt).toDF("t")
+      .select(graft.functions.GraftColumns.tokenRepetitionStats(col("t")).as("st"))
+      .select(col("st.n_tok"), col("st.n_distinct")).as[(Int, Int)].head()
+    assert(st == ((2, 2)), s"repetition stats split on U+000B: $st")
+  }
+
   test("wordBigrams native expression equals the HOF formulation (empties, trailing space, short)") {
     val df = Seq("a b c", "a  b", "a ", "single", "", "x y z w").toDF("t")
     val native = df.select(graft.functions.GraftColumns.wordBigrams(col("t")).as("g"))

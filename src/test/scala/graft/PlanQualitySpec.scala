@@ -233,6 +233,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian in the star join")
   }
 
+  test("q55 item difficulty: item dim broadcasts, responses pre-aggregate below the join") {
+    val p = plan("q55_item_difficulty")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the item dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "exam_item must not sort-merge against the item dim")
+    // the partial aggregate must sit BELOW the join: the join then
+    // moves one row per item, not one per response
+    val joinLine = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    val partialLine = p.linesIterator.indexWhere(_.contains("partial_"))
+    assert(partialLine > joinLine,
+      s"pre-agg must be below the dim join (partial at $partialLine, join at $joinLine):\n$p")
+  }
+
+  test("q57 student drill-down: both joins broadcast — zero fact shuffles") {
+    val p = plan("q57_student_responses")
+    val bcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bcasts >= 2, s"exams and item dim must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the fact table must never shuffle for a one-student drill-down")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0, s"expected zero hash exchanges, got $hashExchanges:\n$p")
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))

@@ -268,6 +268,43 @@ class StreamingSpec extends SparkSpec {
     assert(mart == Set((k1, "a2"), (k2, "b1")))
   }
 
+  test("manifest publish is single-failure-safe: versioned files, previous version is the crash fallback") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_vers").toString + "/mart"
+    def batchDF(rows: (Long, Long, String, Boolean)*) =
+      rows.toDF("k", "ver", "v", "deleted")
+    assert(StreamingJobs.applyMigrateBatch(
+      batchDF((1L, 1L, "a1", false)), 0L, "t", root, Seq("k"), "ver", "v", 2))
+    assert(StreamingJobs.applyMigrateBatch(
+      batchDF((1L, 2L, "a2", false)), 1L, "t", root, Seq("k"), "ver", "v", 2))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_LATEST")).sorted.toSeq
+    // each publish lands as ONE atomic rename to a fresh _LATEST.<n>;
+    // the immediately previous version is retained as the fallback
+    assert(manifests == Seq("_LATEST.1", "_LATEST.2"), manifests.toString)
+    assert(StreamingJobs.readLatestName(spark, root)
+      .contains(StreamingJobs.snapshotName("t", 1L)))
+    // crash simulation: at no point during a publish does the root lack
+    // a resolvable manifest — if the newest were lost mid-publish, the
+    // previous version still resolves to the pre-batch state (so a
+    // replay merges against the REAL prior mart, not an empty one)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_LATEST.2"), false)
+    assert(StreamingJobs.readLatestName(spark, root)
+      .contains(StreamingJobs.snapshotName("t", 0L)),
+      "previous manifest version must remain resolvable")
+    val mart = StreamingJobs.readMartLatest(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(mart == Set((1L, "a1")), "fallback reads the pre-batch mart state")
+    // and the replayed batch now re-merges (its marker was in the lost
+    // version), converging to the post-batch state — no data loss
+    assert(StreamingJobs.applyMigrateBatch(
+      batchDF((1L, 2L, "a2", false)), 1L, "t", root, Seq("k"), "ver", "v", 2))
+    assert(StreamingJobs.readMartLatest(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet == Set((1L, "a2")))
+  }
+
   test("bucket-scheme change or legacy mart re-buckets once instead of leaving stale rows reachable") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_rebucket").toString + "/mart"
