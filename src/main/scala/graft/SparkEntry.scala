@@ -20,8 +20,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (the KMeans-dependent
-    * s03/s04/s05/d07, hyperplane-LSH s02, streaming-state e05) get the
-    * driver's weaker rows-only check. */
+    * s03/s04/s05/d07, streaming-state e05) get the driver's weaker
+    * rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Pipeline.oracle
 }

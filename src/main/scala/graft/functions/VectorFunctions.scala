@@ -41,8 +41,15 @@ object VectorFunctions {
     * formulation re-hashed numBits × dim times per ROW, interpreted.
     */
   def hyperplaneSignature(vec: Column, dim: Int, numBits: Int, seed: Int = 0): Column =
-    GraftColumns.hyperplaneSignature(vec,
-      Array.tabulate(numBits, dim)((j, i) => hashToUnitScala(seed + j, i)))
+    GraftColumns.hyperplaneSignature(vec, planeMatrix(dim, numBits, seed))
+
+  /** The deterministic plane matrix [[hyperplaneSignature]] signs
+    * against — exposed so the s02 DuckDB oracle can interpolate the
+    * SAME plane values as SQL literals (java.lang.Double.toString
+    * round-trips exactly, so both engines dot against identical
+    * doubles). */
+  private[graft] def planeMatrix(dim: Int, numBits: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(numBits, dim)((j, i) => hashToUnitScala(seed + j, i))
 
   /** HOF reference formulation of [[hyperplaneSignature]] — kept as
     * the parity oracle for the native expression. */

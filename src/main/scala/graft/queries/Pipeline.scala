@@ -615,6 +615,45 @@ object Pipeline {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // GRADUATED to hash-exact in round 5: the planes are driver-side
+  // literals (VectorFunctions.planeMatrix — Double.toString round-trips
+  // exactly into DuckDB), the signature is sign bits of
+  // list_dot_product (bit-equal to the native sequential loop, the d06
+  // precedent), and OR-amplified banding is a plain equi-join + GROUP
+  // BY — so the whole multi-table LSH pipeline replays as SQL.
+  private val s02Sql: String = {
+    val dim = 64; val bits = 6; val tables = 4
+    val planeRows = (for {
+      t <- 0 until tables
+      m = graft.functions.VectorFunctions.planeMatrix(dim, bits, t * 1000)
+      j <- 0 until bits
+    } yield s"($t, $j, [${m(j).mkString(", ")}]::DOUBLE[])").mkString(",\n    ")
+    s"""WITH planes AS (
+       |  SELECT * FROM (VALUES
+       |    $planeRows) AS t(tbl, j, plane)),
+       |sigs AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), plane) >= 0
+       |      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM embeddings, planes GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
+       |  FROM sigs c JOIN sigs q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+       |scored AS (
+       |  SELECT q_id, cand_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ce.embedding AS DOUBLE[])) AS cos
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = q_id
+       |  JOIN embeddings ce ON ce.vec_id = cand_id),
+       |r AS (SELECT q_id, cand_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |      FROM scored)
+       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   // -- s03: IVF ANN — KMeans coarse quantizer + nProbe search (rows-only) --
   // The third ANN tier: s01 exact brute force, s02 LSH buckets, s03
   // IVF. Centroids are trained ONCE on a seeded sample (kmeansAssign —
@@ -1780,7 +1819,7 @@ object Pipeline {
     "d05_dedup_simhash" -> d05Sql, "d06_dedup_embedding" -> d06Sql,
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
-    "s01_ann_bruteforce" -> s01Sql,
+    "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
     "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,

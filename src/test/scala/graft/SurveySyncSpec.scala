@@ -24,7 +24,7 @@ class SurveySyncSpec extends SparkSpec {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
-      "d07_dedup_embedding_ivf", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_pq",
+      "d07_dedup_embedding_ivf", "s03_ann_ivf", "s04_ann_pq",
       "s05_ann_ivfpq", "e05_stream_neardup"),
       s"rows-only set drifted: $rowsOnly — update the SURVEY notes if intentional")
   }
