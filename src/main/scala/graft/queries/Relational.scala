@@ -1230,18 +1230,64 @@ object Relational {
     * (tabulator CSV) shape of API.md:693; inlined so the query stays a
     * pure (spark, dir) function while still exercising the strict
     * package-config parse end-to-end. */
-  private val q49ClaimConfigCsv: String =
+  private[graft] val q49ClaimConfigCsv: String =
     """claim,cut_low,cut_high
       |1,25000.0,45000.0
       |2,30000.0,50000.0
       |3,35000.0,55000.0
       |4,40000.0,60000.0""".stripMargin
 
+  /** The same cut-point config as a subject-definition XML payload
+    * (reference /root/reference/deploy/Math_subject.xml shape): claims
+    * ride the file's native (key, cut_low, cut_high) pair element —
+    * ItemDifficulty — whose three-band semantics (below moderateLowEnd
+    * / below difficultLowEnd / above) are exactly the claim-level
+    * CASE. IngestSpec proves this path yields the identical config
+    * frame as the tabulator CSV path. */
+  private[graft] val q49SubjectXml: String =
+    """<Subject code="Math" name="Math">
+      |  <AssessmentTypes>
+      |    <AssessmentType code="sum" name="Summative" longName="Summative Assessment">
+      |      <OverallScoring name="Overall" minScore="1000" maxScore="3500">
+      |        <PerformanceLevels standardCutoff="3">
+      |          <PerformanceLevel level="1" name="Level 1" shortName="Level 1" color="maroon"/>
+      |          <PerformanceLevel level="2" name="Level 2" shortName="Level 2" color="gray-darkest"/>
+      |          <PerformanceLevel level="3" name="Level 3" shortName="Level 3" color="green-dark"/>
+      |          <PerformanceLevel level="4" name="Level 4" shortName="Level 4" color="blue-dark"/>
+      |        </PerformanceLevels>
+      |      </OverallScoring>
+      |      <ClaimScoring name="Claim">
+      |        <PerformanceLevels>
+      |          <PerformanceLevel level="1" name="Below Standard" shortName="Below" color="sb-iab-red"/>
+      |          <PerformanceLevel level="2" name="Near Standard" shortName="Near" color="sb-iab-yellow"/>
+      |          <PerformanceLevel level="3" name="Above Standard" shortName="Above" color="sb-iab-green"/>
+      |        </PerformanceLevels>
+      |      </ClaimScoring>
+      |    </AssessmentType>
+      |  </AssessmentTypes>
+      |  <ItemDifficulties>
+      |    <ItemDifficulty gradeCode="01" moderateLowEnd="25000.0" difficultLowEnd="45000.0"/>
+      |    <ItemDifficulty gradeCode="02" moderateLowEnd="30000.0" difficultLowEnd="50000.0"/>
+      |    <ItemDifficulty gradeCode="03" moderateLowEnd="35000.0" difficultLowEnd="55000.0"/>
+      |    <ItemDifficulty gradeCode="04" moderateLowEnd="40000.0" difficultLowEnd="60000.0"/>
+      |  </ItemDifficulties>
+      |</Subject>""".stripMargin
+
+  /** q49's cut config sourced from the subject XML — identical frame
+    * to `parseClaimConfigCsv(q49ClaimConfigCsv)` (spec-asserted), so
+    * either config channel drives the same hash-exact report. */
+  private[graft] def q49CutsFromXml(s: SparkSession): DataFrame =
+    graft.sources.Ingest.subjectItemDifficulties(s, q49SubjectXml)
+      .select(col("grade_code").cast(IntegerType).as("claim"),
+        col("moderate_low_end").as("cut_low"),
+        col("difficult_low_end").as("cut_high"))
+
   private val q49: Q = (s, d) => {
-    // config arrives through the package-processor ingest path
-    // (strict schema + FAILFAST), not a hardcoded frame — see
-    // Ingest.parseClaimConfigCsv
-    val cuts = graft.sources.Ingest.parseClaimConfigCsv(s, q49ClaimConfigCsv)
+    // config arrives through the package-processor ingest path — the
+    // subject-definition XML (FAILFAST from_xml parse of the
+    // Math_subject.xml shape); the tabulator CSV path
+    // (Ingest.parseClaimConfigCsv) yields the same frame, spec-proven
+    val cuts = q49CutsFromXml(s)
     T.lineitem(s, d)
       .filter(col("l_linenumber") <= 4)
       .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -1509,10 +1555,21 @@ object Relational {
   // Scale: the exclusion table is config-sized → broadcast LEFT ANTI,
   // so the fact table never shuffles for the exclusion; one
   // partial-agg shuffle on (assessment, target).
+  /** The target-exclusion config payload (reference
+    * /root/reference/docs/Runbook.SystemConfiguration.md:150 "Target
+    * Exclusions" — admin-configured per-assessment target list),
+    * ingested through the same strict FAILFAST config contract as
+    * q49's package CSV so the "configured" claim is exercised
+    * end-to-end rather than via an inline literal frame. */
+  private[graft] val q54ExclusionCsv: String =
+    """ex_brand,ex_target
+      |Brand#45,3
+      |Brand#51,7
+      |Brand#12,0""".stripMargin
+
   private val q54: Q = (s, d) => {
-    val sp = s; import sp.implicits._
-    val exclusions = Seq(("Brand#45", 3), ("Brand#51", 7), ("Brand#12", 0))
-      .toDF("ex_brand", "ex_target")
+    val exclusions = graft.sources.Ingest.parseConfigCsv(s, q54ExclusionCsv,
+      StructType.fromDDL("ex_brand string not null, ex_target int not null"))
     T.lineitem(s, d)
       .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(T.part(s, d), col("l_partkey") === col("p_partkey"))
@@ -1688,10 +1745,59 @@ object Relational {
       |WHERE o_custkey = 7
       |ORDER BY exam_id, position""".stripMargin
 
+  // -- q58: instructional resource links -----------------------------------
+  // Admin-managed per-assessment/performance-level resource URLs joined
+  // into reports (reference /root/reference/docs/Runbook.md:275 Admin
+  // Service "instructional resource links", Architecture.md "Admin").
+  // The link table is admin CONFIG → it arrives through the strict
+  // config-CSV contract and broadcasts; levels from q18-style cut
+  // bucketing. A level with no configured resource keeps its report
+  // row (LEFT join) with a NULL url — the UI hides the link, the
+  // report never loses data.
+  //
+  // Scale: one partial-agg shuffle on (asmt, level); the config join
+  // runs broadcast AFTER aggregation (#asmt × #levels rows, not facts).
+  private[graft] val q58ResourceCsv: String =
+    """asmt,level,resource_url
+      |Brand#13,1,https://resources.example.org/b13/remediation
+      |Brand#13,3,https://resources.example.org/b13/enrichment
+      |Brand#42,2,https://resources.example.org/b42/practice""".stripMargin
+
+  private val q58: Q = (s, d) => {
+    val resources = graft.sources.Ingest.parseConfigCsv(s, q58ResourceCsv,
+      StructType.fromDDL("asmt string not null, level int not null, resource_url string not null"))
+    val leveled = T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .withColumn("level",
+        when(col("l_quantity") < 20, 1).when(col("l_quantity") < 40, 2).otherwise(3))
+      .groupBy(col("p_brand").as("asmt"), col("level"))
+      .agg(count(lit(1)).as("n_results"))
+    leveled
+      .join(broadcast(resources), Seq("asmt", "level"), "left")
+      .select(col("asmt"), col("level"), col("n_results"), col("resource_url"))
+      .orderBy(col("asmt"), col("level"))
+  }
+
+  private val q58Sql =
+    """WITH resources AS (SELECT * FROM (VALUES
+      |  ('Brand#13', 1, 'https://resources.example.org/b13/remediation'),
+      |  ('Brand#13', 3, 'https://resources.example.org/b13/enrichment'),
+      |  ('Brand#42', 2, 'https://resources.example.org/b42/practice'))
+      |  AS t(asmt, level, resource_url)),
+      |leveled AS (
+      |  SELECT p_brand AS asmt,
+      |    CASE WHEN l_quantity < 20 THEN 1 WHEN l_quantity < 40 THEN 2 ELSE 3 END AS level,
+      |    COUNT(*) AS n_results
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT l.asmt, l.level, l.n_results, r.resource_url
+      |FROM leveled l LEFT JOIN resources r ON l.asmt = r.asmt AND l.level = r.level
+      |ORDER BY l.asmt, l.level""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q55_item_difficulty" -> q55, "q56_item_standard_rollup" -> q56,
-    "q57_student_responses" -> q57) ++ Map(
+    "q57_student_responses" -> q57, "q58_resource_links" -> q58) ++ Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
     "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
@@ -1717,7 +1823,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q55_item_difficulty" -> q55Sql, "q56_item_standard_rollup" -> q56Sql,
-    "q57_student_responses" -> q57Sql,
+    "q57_student_responses" -> q57Sql, "q58_resource_links" -> q58Sql,
     "q40_soft_delete_migrate" -> q40Sql, "q41_norms_overlap" -> q41Sql,
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
     "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,

@@ -152,16 +152,89 @@ object Ingest {
     * "critical data elements" path (API.md "cannot be updated later"),
     * so a malformed row must reject the whole payload, unlike the
     * permissive result-stream parsers. */
-  def parseClaimConfigCsv(spark: SparkSession, csv: String): DataFrame = {
+  def parseClaimConfigCsv(spark: SparkSession, csv: String): DataFrame =
+    parseConfigCsv(spark, csv, StructType.fromDDL(
+      "claim int not null, cut_low double not null, cut_high double not null"))
+
+  /** Generic strict config-CSV contract: FAILFAST against an explicit
+    * schema — the shared path for every admin-configured table
+    * (claim cut points, target exclusions, resource links): config is
+    * critical data, so one malformed row rejects the payload. */
+  def parseConfigCsv(spark: SparkSession, csv: String,
+                     schema: StructType): DataFrame = {
     import spark.implicits._
-    val schema = StructType.fromDDL(
-      "claim int not null, cut_low double not null, cut_high double not null")
     spark.read
       .schema(schema)
       .option("header", "true")
       .option("mode", "FAILFAST")
       .csv(spark.createDataset(csv.linesIterator.toSeq))
   }
+
+  /** Subject-definition XML ingest (reference
+    * /root/reference/deploy/Math_subject.xml, ELA_subject.CA.xml;
+    * Architecture.md "Package Processor" — subject files configure
+    * performance levels and scoring per subject). Parses the real
+    * file shape: Subject code → AssessmentTypes (overall + claim
+    * scoring performance levels, min/max score, standardCutoff) and
+    * ItemDifficulties (the per-key cut-pair table). FAILFAST like
+    * [[parseClaimConfigCsv]]: subject config is critical-path — a
+    * malformed file must reject the payload, not limp on with nulls. */
+  def parseSubjectXml(spark: SparkSession, xml: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val levelDdl = "array<struct<_level:int,_name:string,_shortName:string,_color:string>>"
+    val schema = StructType.fromDDL(
+      "_code string, _name string, " +
+        "AssessmentTypes struct<AssessmentType: array<struct<_code:string," +
+        s"OverallScoring: struct<_minScore:int,_maxScore:int," +
+        s"PerformanceLevels: struct<_standardCutoff:int, PerformanceLevel: $levelDdl>>," +
+        s"ClaimScoring: struct<_name:string," +
+        s"PerformanceLevels: struct<PerformanceLevel: $levelDdl>>>>>, " +
+        "ItemDifficulties struct<ItemDifficulty: array<struct<" +
+        "_gradeCode:string,_moderateLowEnd:double,_difficultLowEnd:double>>>")
+    val opts = Map("mode" -> "FAILFAST").asJava
+    Seq(xml).toDF("value")
+      .select(from_xml(col("value"), schema, opts).as("x"))
+  }
+
+  /** The per-subject performance-level registry from a parsed subject
+    * file: one row per (assessment type, scoring kind, level) with
+    * the overall score range and standard cutoff carried alongside —
+    * the broadcast dim a report joins to label levels. */
+  def subjectPerformanceLevels(spark: SparkSession, xml: String): DataFrame = {
+    val x = parseSubjectXml(spark, xml)
+      .select(col("x._code").as("subject"),
+        explode(col("x.AssessmentTypes.AssessmentType")).as("at"))
+    val overall = x.select(col("subject"), col("at._code").as("asmt_type"),
+        lit("overall").as("scoring"),
+        col("at.OverallScoring._minScore").as("min_score"),
+        col("at.OverallScoring._maxScore").as("max_score"),
+        col("at.OverallScoring.PerformanceLevels._standardCutoff").as("standard_cutoff"),
+        explode(col("at.OverallScoring.PerformanceLevels.PerformanceLevel")).as("pl"))
+    val claim = x.filter(col("at.ClaimScoring").isNotNull)
+      .select(col("subject"), col("at._code").as("asmt_type"),
+        lit("claim").as("scoring"),
+        lit(null).cast("int").as("min_score"), lit(null).cast("int").as("max_score"),
+        lit(null).cast("int").as("standard_cutoff"),
+        explode(col("at.ClaimScoring.PerformanceLevels.PerformanceLevel")).as("pl"))
+    overall.unionByName(claim)
+      .select(col("subject"), col("asmt_type"), col("scoring"),
+        col("min_score"), col("max_score"), col("standard_cutoff"),
+        col("pl._level").as("level"), col("pl._name").as("level_name"),
+        col("pl._shortName").as("short_name"), col("pl._color").as("color"))
+  }
+
+  /** The subject file's ItemDifficulties table — the XML's native
+    * (key, cut_low, cut_high) pair shape (easy below moderateLowEnd,
+    * moderate below difficultLowEnd, difficult above — the same
+    * three-band CASE as claim-level scoring). */
+  def subjectItemDifficulties(spark: SparkSession, xml: String): DataFrame =
+    parseSubjectXml(spark, xml)
+      .select(col("x._code").as("subject"),
+        explode(col("x.ItemDifficulties.ItemDifficulty")).as("idf"))
+      .select(col("subject"), col("idf._gradeCode").as("grade_code"),
+        col("idf._moderateLowEnd").as("moderate_low_end"),
+        col("idf._difficultLowEnd").as("difficult_low_end"))
 
   /** Rule-based required-field fork for sources without a parser
     * corrupt-record channel (XML): rows missing any required field are

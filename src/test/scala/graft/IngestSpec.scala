@@ -265,4 +265,58 @@ class IngestSpec extends SparkSpec {
         "claim,cut_low,cut_high\n1,notanumber,20.0").collect()
     }
   }
+
+  test("subject-definition XML round-trips levels + cut pairs; the real reference file parses") {
+    val xml = graft.queries.Relational.q49SubjectXml
+    // performance-level registry: overall levels carry range+cutoff,
+    // claim levels the three standard bands
+    val lv = Ingest.subjectPerformanceLevels(spark, xml)
+      .select("subject", "asmt_type", "scoring", "level", "level_name",
+        "standard_cutoff")
+      .as[(String, String, String, Int, String, Option[Int])].collect().toSet
+    assert(lv.count(_._3 == "overall") == 4)
+    assert(lv.filter(_._3 == "overall").forall(_._6.contains(3)))
+    assert(lv.filter(_._3 == "claim").map(r => (r._4, r._5)) ==
+      Set((1, "Below Standard"), (2, "Near Standard"), (3, "Above Standard")))
+    // cut-pair table round-trips with exact doubles
+    val cuts = Ingest.subjectItemDifficulties(spark, xml)
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(cuts.contains(("Math", "01", 25000.0, 45000.0)))
+    assert(cuts.size == 4)
+    // the actual reference deploy file parses through the same schema
+    val ref = java.nio.file.Paths.get("/root/reference/deploy/Math_subject.xml")
+    assume(java.nio.file.Files.exists(ref))
+    val real = new String(java.nio.file.Files.readAllBytes(ref), "UTF-8")
+    val realLv = Ingest.subjectPerformanceLevels(spark, real)
+    assert(realLv.filter(col("scoring") === "overall").count() >= 4)
+    val realCuts = Ingest.subjectItemDifficulties(spark, real)
+    assert(realCuts.count() == 9) // grades 03..11
+    // FAILFAST: subject config is critical-path — malformed rejects
+    intercept[org.apache.spark.SparkException] {
+      Ingest.parseSubjectXml(spark, "<Subject code=").collect()
+    }
+  }
+
+  test("q54 exclusion config arrives through the strict config-CSV contract") {
+    import graft.queries.Relational
+    val ex = Ingest.parseConfigCsv(spark, Relational.q54ExclusionCsv,
+      StructType.fromDDL("ex_brand string not null, ex_target int not null"))
+      .as[(String, Int)].collect().toSet
+    assert(ex == Set(("Brand#45", 3), ("Brand#51", 7), ("Brand#12", 0)))
+    // same FAILFAST critical-config contract as the package CSV
+    intercept[org.apache.spark.SparkException] {
+      Ingest.parseConfigCsv(spark, "ex_brand,ex_target\nBrand#1,notanint",
+        StructType.fromDDL("ex_brand string not null, ex_target int not null")).collect()
+    }
+  }
+
+  test("q49 cut config: subject-XML path and tabulator-CSV path yield the identical frame") {
+    import graft.queries.Relational
+    val viaXml = Relational.q49CutsFromXml(spark)
+      .as[(Int, Double, Double)].collect().toSet
+    val viaCsv = Ingest.parseClaimConfigCsv(spark, Relational.q49ClaimConfigCsv)
+      .as[(Int, Double, Double)].collect().toSet
+    assert(viaXml == viaCsv, s"config channels diverged: $viaXml vs $viaCsv")
+    assert(viaXml.size == 4)
+  }
 }
