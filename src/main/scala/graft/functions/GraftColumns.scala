@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint, WordBigrams}
+import graft.functions.expressions.{CharGramCounts, CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint, WordBigrams}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -21,6 +21,11 @@ object GraftColumns {
     * stream (see [[CharGrams]]). */
   def charGrams(text: Column, k: Int): Column =
     SqlBridge.column(CharGrams(SqlBridge.expression(text), k))
+
+  /** Per-doc k-gram count map (sorted array<struct<g,c>>) — see
+    * [[graft.functions.expressions.CharGramCounts]]. */
+  def charGramCounts(text: Column, k: Int): Column =
+    SqlBridge.column(CharGramCounts(SqlBridge.expression(text), k))
 
   /** 64-bit SimHash over whitespace tokens in one pass (see
     * [[SimHashTokens]]). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CharGrams, CharShingles, CosineSimilarity, HllRegisters, MinHashShingles, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
+import graft.functions.expressions.{CharGramCounts, CharGrams, CharShingles, CosineSimilarity, HllRegisters, MinHashShingles, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -60,6 +60,12 @@ object GraftFunctions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "char_grams(text, k) takes exactly 2 arguments")
       CharGrams(children.head, intArg(children(1), "char_grams", "k"))
+    }), (
+    new FunctionIdentifier("char_gram_counts"),
+    new ExpressionInfo(classOf[CharGramCounts].getName, "char_gram_counts"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "char_gram_counts(text, k) takes exactly 2 arguments")
+      CharGramCounts(children.head, intArg(children(1), "char_gram_counts", "k"))
     }), (
     new FunctionIdentifier("simhash_tokens"),
     new ExpressionInfo(classOf[SimHashTokens].getName, "simhash_tokens"),

@@ -1096,30 +1096,35 @@ object Pipeline {
   // cannot hash-match, so the exactness policy (t02/t08) prefers the
   // rational form.
   //
-  // Shape, sized for 100 TB: per-(doc, gram) counts are ONE shuffle
-  // (`dtf` — each doc is one row, so the map-side partial IS the
-  // final count and the exchange moves distinct grams per doc, not
-  // occurrences); the model aggregates over a key space bounded by
-  // |alphabet|³ — partial-agg compresses it map-side and the result
-  // broadcasts no matter how big the corpus; scoring is then a
-  // map-side broadcast join plus one per-doc agg. The occurrence
-  // product c·cnt runs in DECIMAL (QUtil's money policy) so the
-  // arithmetic stays exact well past the long range a 100-TB corpus
-  // would overflow.
+  // Shape, sized for 100 TB: per-(doc, gram) counts are MAP-ONLY —
+  // the native CharGramCounts expression aggregates inside the row
+  // (one compiled pass, the t08 pattern), so the explode emits
+  // already-counted (gram, count) pairs and the per-(doc, gram)
+  // exchange the old explode→groupBy formulation paid (O(chars)
+  // map-side rows per doc) does not exist at all; the model
+  // aggregates over a key space bounded by |alphabet|³ — partial-agg
+  // compresses it map-side and the result broadcasts no matter how
+  // big the corpus; scoring is then a map-side broadcast join plus
+  // one per-doc agg. The occurrence product c·cnt runs in DECIMAL
+  // (QUtil's money policy) so the arithmetic stays exact well past
+  // the long range a 100-TB corpus would overflow.
   private val t09: Q = (s, d) => {
     val dtf = docsSpread(s, d)
       .select(col("doc_id"),
-        explode(graft.functions.GraftColumns.charGrams(col("text"), 3)).as("g"))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .transform(graft.CacheScope.cached) // the LM-estimation checkpoint: counted once, read twice
+        explode(graft.functions.GraftColumns.charGramCounts(col("text"), 3)).as("gc"))
+      .select(col("doc_id"), col("gc.g").as("g"), col("gc.c").cast(LongType).as("c"))
+      .transform(graft.CacheScope.cached) // the LM-estimation checkpoint: computed once, read twice
     // "rare" is CORPUS-RELATIVE — cnt ≤ mean/4 — phrased as the pure
     // integer predicate cnt·4·n_grams ≤ total so no division ever
     // truncates differently across engines, and the gate keeps meaning
     // at any corpus size (a fixed absolute threshold goes degenerate
     // the moment the corpus grows).
+    // cached: |alphabet|³-bounded, and BOTH the broadcast join and the
+    // normalizing-stats agg read it — without the cache the g-agg
+    // exchange runs twice (one per consumer)
     val model = dtf.groupBy(col("g"))
       .agg(sum(col("c")).as("cnt"))
+      .transform(graft.CacheScope.cached)
     val tot = model.agg(sum(col("cnt")).as("total_c"),
       count(lit(1)).as("n_grams")) // one row: the model's normalizing stats
     dtf.join(broadcast(model), "g")

@@ -312,6 +312,27 @@ class FunctionsSpec extends SparkSpec {
     assert(native(1) == Seq("xy")) // shorter than k → whole string
   }
 
+  test("charGramCounts equals the charGrams explode+count formulation (incl. short/empty)") {
+    val df = Seq("ababa", "xy", "", "the cat sat on the mat").toDF("t")
+      .withColumn("id", monotonically_increasing_id())
+    val native = df
+      .select(col("id"), explode(graft.functions.GraftColumns.charGramCounts(col("t"), 3)).as("gc"))
+      .select(col("id"), col("gc.g").as("g"), col("gc.c").cast("long").as("c"))
+      .as[(Long, String, Long)].collect().toSet
+    val viaGrams = df
+      .select(col("id"), explode(graft.functions.GraftColumns.charGrams(col("t"), 3)).as("g"))
+      .groupBy("id", "g").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(native == viaGrams, s"count-map drifted from the occurrence stream")
+    // duplicates counted: "ababa" has aba twice
+    val ababa = native.filter(r => r._2 == "aba").map(_._3)
+    assert(ababa == Set(2L))
+    // SQL registration path
+    val viaSql = spark.sql("SELECT char_gram_counts('ababa', 3) AS g")
+      .selectExpr("g[0].g", "g[0].c").as[(String, Int)].head()
+    assert(viaSql == (("aba", 2)))
+  }
+
   test("charGrams keeps duplicates in position order (the LM occurrence stream)") {
     val df = Seq("ababa", "xy", "").toDF("t")
     val got = df.select(graft.functions.GraftColumns.charGrams(col("t"), 3).as("g"))

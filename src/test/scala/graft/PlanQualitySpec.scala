@@ -163,6 +163,15 @@ class PlanQualitySpec extends SparkSpec {
       s"the |alphabet|³-bounded model must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       "scoring must not shuffle the occurrence stream against the model")
+    // the per-(doc, gram) count stage is map-side via CharGramCounts:
+    // only the model agg and the per-doc agg shuffle (the occurrence
+    // explode→groupBy exchange must not come back). Distinct plan ids:
+    // a cached relation's stored plan prints once per consumer, so the
+    // same physical exchange can appear on several lines.
+    val hashExchanges = "Exchange hashpartitioning.*?\\[(plan_id=\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(hashExchanges <= 2,
+      s"expected ≤2 hash exchanges (model + per-doc agg), got $hashExchanges:\n$p")
   }
 
   test("p03 temperature mixing broadcasts the per-source stats (fact never shuffled for the join)") {
