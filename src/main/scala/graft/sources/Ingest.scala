@@ -95,16 +95,36 @@ object Ingest {
                  stages: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame =
     raw.withColumn(payloadCol, stages.foldLeft(col(payloadCol))((c, f) => f(c)))
 
+  /** Pre-ingest XML ATTRIBUTE rewrite — the documented admin fix-up
+    * class (reference /root/reference/docs/Runbook.DataSpecifications
+    * .md:80: an XSLT that remaps `Item/@bankKey` 10200 → 200 before
+    * processing). Expressed as a [[preprocess]] stage: a codegen'd
+    * regexp_replace scoped to `<element … attr="from"` occurrences —
+    * map-only over the raw payload, composable with other stages, and
+    * (like the reference's XSLT hook) applied BEFORE the parse so the
+    * parser only ever sees fixed-up documents. */
+  def xmlAttributeRemap(element: String, attr: String,
+                        from: String, to: String): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val q = java.util.regex.Pattern.quote _
+    payload => regexp_replace(payload,
+      s"(<${q(element)}\\b[^>]*\\b${q(attr)}=\")${q(from)}(\")", s"$$1$to$$2")
+  }
+
   /** `from_xml` projection of TDSReport payloads in a `value` column —
     * split from [[readExamXml]] so a [[preprocess]] pipeline can run
-    * between read and parse. */
+    * between read and parse. The optional ExamItems section
+    * (reference /root/reference/docs/Runbook.DataSpecifications.md:51;
+    * item grain of Runbook.BulkDeleteExams.md:28 `exam_item`) parses
+    * into an `items` array column — [[examItems]] explodes it to the
+    * exam_item grain. */
   def parseExamXml(raw: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     val schema = StructType.fromDDL(
       "Test struct<_name:string,_subject:string,_grade:string>, " +
         "Examinee struct<_key:bigint>, " +
         "Opportunity struct<_key:string,_status:string,_dateCompleted:timestamp," +
-        "Score:struct<_measureOf:string,_value:double>>, " +
+        "Score:struct<_measureOf:string,_value:double>," +
+        "Item:array<struct<_position:int,_bankKey:bigint,_key:bigint,_score:double>>>, " +
         s"$CorruptCol string")
     val opts = Map(
       "mode" -> "PERMISSIVE",
@@ -121,8 +141,21 @@ object Ingest {
         col("x.Opportunity._status").as("status"),
         col("x.Opportunity.Score._value").as("scale_score"),
         col("x.Opportunity._dateCompleted").as("date_completed"),
+        col("x.Opportunity.Item").as("items"),
         col(s"x.$CorruptCol").as(CorruptCol))
   }
+
+  /** Explode parsed submissions to the exam_item grain: one row per
+    * item response with its exam context — the ingest-side source of
+    * the q55–q57 item family. Submissions without ExamItems (the
+    * section is optional) simply contribute no item rows. */
+  def examItems(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("opportunity_key"), col("student_key"),
+        explode(col("items")).as("it"))
+      .select(col("opportunity_key"), col("student_key"),
+        col("it._position").as("position"), col("it._bankKey").as("bank_key"),
+        col("it._key").as("item_key"), col("it._score").as("item_score"))
 
   /** Accommodations payload ingest (reference
     * /root/reference/docs/API.md:622 "Create Accommodation Import

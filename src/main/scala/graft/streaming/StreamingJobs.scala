@@ -237,6 +237,21 @@ object StreamingJobs {
     }
   }
 
+  /** Tenant-scoped mart root for a continuous migrate: the tenant is
+    * the OUTERMOST directory (reference /root/reference/docs/
+    * Runbook.MultiTenancy.md isolation model — the same layout
+    * [[graft.sources.Ingest.writeTenantPartitioned]] uses for batch
+    * marts), so each tenant's change stream commits to its own
+    * bucket-manifest tree: one tenant's batches can never touch
+    * another's buckets, and a tenant read resolves only its own
+    * manifest + directories. Run one [[migrateStream]] per tenant
+    * against these roots (with per-tenant checkpoints) — isolation is
+    * then structural, not a filter (StreamingSpec proves byte-level
+    * non-interference under concurrent streams). */
+  def tenantMartRoot(martRoot: String, tenant: String,
+                     tenantCol: String = "tenant"): String =
+    s"$martRoot/$tenantCol=$tenant"
+
   /** Read the current mart state via the `_LATEST` manifest (all live
     * bucket directories as one frame). */
   def readMartLatest(spark: SparkSession, martRoot: String): Option[DataFrame] =

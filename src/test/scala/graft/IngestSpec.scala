@@ -92,6 +92,41 @@ class IngestSpec extends SparkSpec {
     assert(diverted.select("test_name").as[String].head() == "SBAC-ICA-G7E")
   }
 
+  test("xmlAttributeRemap rewrites bankKey before the parse; remapped items flow to exam_item grain") {
+    // the documented admin fix-up (Runbook.DataSpecifications.md:80):
+    // a provider submits items under legacy bank 10200, which must be
+    // remapped to 200 BEFORE processing
+    val raw = Seq(
+      """<TDSReport>
+        |  <Test name="T1" subject="MATH" grade="07"/>
+        |  <Examinee key="55"/>
+        |  <Opportunity key="o1" status="completed" dateCompleted="2024-03-01 10:00:00">
+        |    <Score measureOf="Overall" value="2500.0"/>
+        |    <Item position="1" bankKey="10200" key="9001" score="1.0"/>
+        |    <Item position="2" bankKey="300" key="9002" score="0.0"/>
+        |    <Item position="3" bankKey="10200" key="9003" score="2.0"/>
+        |  </Opportunity>
+        |</TDSReport>""".stripMargin).toDF("value")
+    val fixed = Ingest.preprocess(raw, "value",
+      Seq(Ingest.xmlAttributeRemap("Item", "bankKey", "10200", "200")))
+    val items = Ingest.examItems(Ingest.parseExamXml(fixed))
+      .select("opportunity_key", "position", "bank_key", "item_key", "item_score")
+      .as[(String, Int, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(items.map(_._3) == Seq(200L, 300L, 200L),
+      s"bankKey 10200 must remap to 200, others untouched: $items")
+    assert(items.map(i => (i._2, i._4, i._5)) ==
+      Seq((1, 9001L, 1.0), (2, 9002L, 0.0), (3, 9003L, 2.0)))
+    // the remap touches ONLY the named element/attribute: an Examinee
+    // with the same value stays as submitted
+    val other = Seq("""<TDSReport><Examinee key="10200"/><Opportunity key="o2" status="completed"/></TDSReport>""").toDF("value")
+    val kept = Ingest.preprocess(other, "value",
+      Seq(Ingest.xmlAttributeRemap("Item", "bankKey", "10200", "200")))
+    assert(Ingest.parseExamXml(kept).select("student_key").as[Long].head() == 10200L)
+    // a submission without ExamItems contributes no item rows (the
+    // section is optional, DataSpecifications.md:51)
+    assert(Ingest.examItems(Ingest.parseExamXml(other)).count() == 0)
+  }
+
   test("pre-ingest transform pipeline fixes third-party quirks before the parse") {
     // a submission with two formatting idiosyncrasies: a UTF-8 BOM and
     // a legacy attribute name (studentKey instead of key)

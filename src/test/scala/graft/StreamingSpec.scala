@@ -366,6 +366,56 @@ class StreamingSpec extends SparkSpec {
     assert(mart == Set((0L, "v4"), (1L, "v5")))
   }
 
+  test("multi-tenant continuous migrate: concurrent tenant streams are byte-level isolated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_mt_mart").toString + "/mart"
+    val rootA = StreamingJobs.tenantMartRoot(base, "CA")
+    val rootB = StreamingJobs.tenantMartRoot(base, "TX")
+    val ckA = java.nio.file.Files.createTempDirectory("graft_mt_ckA").toString
+    val ckB = java.nio.file.Files.createTempDirectory("graft_mt_ckB").toString
+    val msA = MemoryStream[(Long, Long, String, Boolean)]
+    val msB = MemoryStream[(Long, Long, String, Boolean)]
+    def start(ms: MemoryStream[(Long, Long, String, Boolean)], root: String, ck: String) =
+      StreamingJobs.migrateStream(ms.toDF().toDF("k", "ver", "v", "deleted"),
+        root, keys = Seq("k"), versionCol = "ver", tieBreakCol = "v",
+        checkpoint = ck, nBuckets = 4)
+    val qA = start(msA, rootA, ckA)
+    val qB = start(msB, rootB, ckB)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tree(root: String): Seq[(String, Long, Long)] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+      walk(new org.apache.hadoop.fs.Path(root)).sortBy(_._1)
+    }
+    try {
+      // both tenants ingest concurrently
+      msA.addData((1L, 1L, "ca1", false)); msB.addData((1L, 1L, "tx1", false))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      val aAfterOwnWrites = tree(rootA)
+      // only tenant B advances — same natural keys, different payloads
+      msB.addData((1L, 2L, "tx2", false), (2L, 1L, "tx3", false))
+      qB.processAllAvailable()
+      assert(tree(rootA) == aAfterOwnWrites,
+        "tenant B's batches must not touch one byte of tenant A's tree")
+      // per-tenant reads resolve only their own manifests: same key,
+      // different state per tenant
+      def mart(root: String) = StreamingJobs.readMartLatest(spark, root).get
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(mart(rootA) == Set((1L, "ca1")))
+      assert(mart(rootB) == Set((1L, "tx2"), (2L, "tx3")))
+      // every file a tenant read touches lives under that tenant's
+      // root — isolation is structural (the directory), not a filter
+      val aFiles = StreamingJobs.readMartLatest(spark, rootA).get
+        .inputFiles.toSeq
+      assert(aFiles.nonEmpty && aFiles.forall(_.contains("tenant=CA")),
+        s"tenant A read escaped its root: $aFiles")
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("olapMigrateStream: mart maintained across batches == full recompute; replay can't double-count") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_olap_mart").toString + "/mart"
