@@ -242,6 +242,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian in the star join")
   }
 
+  test("q52/p02 global-ish windows run over AGGREGATED bounded frames, not the fact table") {
+    // Both queries use a window whose partition key does not bound it
+    // by itself (q52: partitionBy() for the share-of-total; p02: per-
+    // source shard prefix sum). They are fine BECAUSE the window input
+    // is already aggregated (per-code rows / per-(source, shard) rows
+    // — cardinality set by config, not data). This pin fails if a
+    // future edit feeds either window the raw fact scan, which would
+    // be a real single-partition sort at corpus scale.
+    def aggBetweenWindowAndScan(p: String, windowMarker: String): Unit = {
+      val lines = p.linesIterator.toSeq
+      val w = lines.indexWhere(_.contains(windowMarker))
+      assert(w >= 0, s"no window matching '$windowMarker' in:\n$p")
+      val below = lines.drop(w)
+      val agg = below.indexWhere(_.contains("HashAggregate"))
+      val scan = below.indexWhere(_.contains("FileScan"))
+      assert(agg >= 0 && scan > agg,
+        s"window '$windowMarker' must consume an aggregate, not the raw scan " +
+          s"(agg at $agg, scan at $scan):\n$p")
+    }
+    aggBetweenWindowAndScan(plan("q52_accommodations"), "Window")
+    // p02's offsets window is the one summing the per-shard totals
+    // (plan lines are field-truncated, so match the aggregate it sums)
+    aggBetweenWindowAndScan(plan("p02_pack_sequences"), "Window [sum(shard_tokens")
+  }
+
   test("q55 item difficulty: item dim broadcasts, responses pre-aggregate below the join") {
     val p = plan("q55_item_difficulty")
     assert(p.contains("BroadcastHashJoin"),
