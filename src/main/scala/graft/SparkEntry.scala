@@ -19,9 +19,9 @@ object SparkEntry {
     Relational.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (the KMeans-dependent
-    * s03/s04/s05/d07, streaming-state e05) get the driver's weaker
-    * rows-only check. */
+    * the same parquet tables. Omitted keys (only the KMeans-dependent
+    * s03/s04/s05/d07 — an iterative float fit has no SQL replay) get
+    * the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Pipeline.oracle
 }

@@ -378,11 +378,15 @@ object Pipeline {
       .orderBy("a_id", "b_id")
   }
 
-  private val d05Sql: String = {
+  /** The shared SimHash replay (toks → token hash → affine-parity
+    * bits → 16-bit chunks) — the d05 construction, reused verbatim by
+    * e05's oracle (same signatures, same chunk blocking; e05 adds the
+    * event-time horizon and per-chunk emission). */
+  private def simHashCtes: String = {
     import graft.functions.expressions.SimHashTokens.{aConst, bConst}
     val aList = (0 until 64).map(aConst).mkString(", ")
     val bList = (0 until 64).map(bConst).mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
        |  FROM documents),
@@ -406,7 +410,11 @@ object Pipeline {
        |chunks AS (
        |  SELECT doc_id, CAST(b // 16 AS INTEGER) AS chunk,
        |    SUM(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER))) AS cv
-       |  FROM bits GROUP BY 1, 2),
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val d05Sql: String =
+    s"""WITH $simHashCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |         FROM chunks a JOIN chunks b
        |           ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id),
@@ -418,7 +426,6 @@ object Pipeline {
        |       GROUP BY 1, 2)
        |SELECT a_id, b_id, hamming FROM mm WHERE hamming <= 12
        |ORDER BY a_id, b_id""".stripMargin
-  }
 
   // -- d06: embedding-cosine near-dup pairs (blocked self-join) ------------
   // Embed → block → verify, the standard near-dup shape at corpus scale:
@@ -1778,11 +1785,13 @@ object Pipeline {
   // checked against its bucket (hamming ≤ 3). Runs StreamingJobs
   // .nearDupStream on a BATCH frame (the same code path the stream
   // executes — flatMapGroupsWithState works in batch with empty
-  // state); rows-only because SimHash banding is not ANSI-SQL, but
-  // StreamingSpec asserts this output == a declarative self-join
-  // oracle == the incremental MemoryStream run. Arrival time is
-  // synthesized deterministically (doc_id minutes past a fixed
-  // epoch), e04's convention.
+  // state); StreamingSpec additionally asserts this output == the
+  // incremental MemoryStream run. GRADUATED to hash-exact in round 5:
+  // the signature family replays in DuckDB since d05's round-4
+  // graduation, and the stream's remaining semantics are plain
+  // predicates — per-chunk emission, the 1 h horizon (arrival ts =
+  // doc_id minutes past a fixed epoch ⇒ b_id − a_id ≤ 60), and
+  // (ts, doc_id) pair orientation (⇒ a_id < b_id here).
   private val e05: Q = (s, d) => {
     val docs = T.documents(s, d).withColumn("ts",
       to_timestamp(lit("2024-01-01 00:00:00")) +
@@ -1793,6 +1802,22 @@ object Pipeline {
       .toDF()
       .orderBy(col("chunk"), col("a_id"), col("b_id"))
   }
+
+  private val e05Sql: String =
+    s"""WITH $simHashCtes,
+       |pairs AS (
+       |  SELECT a.chunk AS chunk, a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id - a.doc_id <= 60),
+       |mm AS (SELECT p.chunk, p.a_id, p.b_id,
+       |         CAST(SUM(CASE WHEN ba.bit <> bb2.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |       FROM pairs p
+       |       JOIN bits ba ON ba.doc_id = p.a_id
+       |       JOIN bits bb2 ON bb2.doc_id = p.b_id AND bb2.b = ba.b
+       |       GROUP BY 1, 2, 3)
+       |SELECT chunk, a_id, b_id, hamming FROM mm WHERE hamming <= 3
+       |ORDER BY chunk, a_id, b_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
@@ -1817,7 +1842,8 @@ object Pipeline {
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07)
 
-  /** d04/d05/s02 are rows-only (banding/LSH not ANSI-SQL-expressible). */
+  /** Rows-only set = the KMeans-dependent d07/s03/s04/s05 only; every
+    * hash-based family (d04/d05/s02/e05) replays in DuckDB. */
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql, "d02_dedup_fingerprint" -> d02Sql,
     "d03_dedup_ngram_jaccard" -> d03Sql, "d04_dedup_minhash" -> d04Sql,
@@ -1837,6 +1863,6 @@ object Pipeline {
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
-    "e06_stream_olap_migrate" -> e06Sql,
+    "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
     "e07_stream_sessionize" -> e07Sql)
 }

@@ -25,7 +25,7 @@ class SurveySyncSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "d07_dedup_embedding_ivf", "s03_ann_ivf", "s04_ann_pq",
-      "s05_ann_ivfpq", "e05_stream_neardup"),
+      "s05_ann_ivfpq"),
       s"rows-only set drifted: $rowsOnly — update the SURVEY notes if intentional")
   }
 }
