@@ -18,12 +18,13 @@ object TextFunctions {
       i => text.substr(i, lit(k)))
 
   /** Whitespace tokens (trimmed, split on runs of whitespace). The
-    * split class is spelled out rather than `\s` because Java's `\s`
-    * includes U+000B while DuckDB/RE2's does not — the explicit
-    * [ \t\n\f\r] is the set both engines mean, so oracle tokenization
-    * agrees on ALL inputs (see [[expressions.SimHashTokens.isSep]],
-    * the same contract in the native expressions). */
-  def tokens(text: Column): Column = split(trim(text), "[ \t\n\f\r]+")
+    * split class derives from [[expressions.SimHashTokens.SepChars]]
+    * rather than `\s` because Java's `\s` includes U+000B while
+    * DuckDB/RE2's does not — the explicit class is the set both
+    * engines mean, so oracle tokenization agrees on ALL inputs, and
+    * the native expressions share the same single definition. */
+  def tokens(text: Column): Column =
+    split(trim(text), "[" + expressions.SimHashTokens.SepChars + "]+")
 
   /** Canonical text: lowercase, non-alphanumeric runs collapsed to a
     * single space, trimmed — the normalization step of RDW's ingest

@@ -74,13 +74,20 @@ object SimHashTokens {
   private[expressions] val as: Array[Long] = Array.tabulate(64)(aConst)
   private[expressions] val bs: Array[Long] = Array.tabulate(64)(bConst)
 
-  /** Token boundary = DuckDB/RE2's `\s` class, exactly [ \t\n\f\r].
-    * Java's `\s` additionally matches U+000B (vertical tab) and
-    * Character.isWhitespace matches U+001C–1F, U+2028 etc. — either
-    * would silently diverge from the oracle's tokenization on text
-    * containing those characters, so the engine-side contract is the
-    * RE2 set and [[graft.functions.TextFunctions.tokens]] splits on
-    * this explicit class rather than Java's `\s`. */
+  /** THE engine-wide token-separator set = DuckDB/RE2's `\s` class,
+    * exactly [ \t\n\f\r]. Java's `\s` additionally matches U+000B
+    * (vertical tab) and Character.isWhitespace matches U+001C–1F,
+    * U+2028 etc. — either would silently diverge from the oracle's
+    * tokenization on text containing those characters.
+    * [[graft.functions.TextFunctions.tokens]] derives its split regex
+    * from this constant and [[isSep]] must stay equivalent to
+    * membership in it (spec-pinned over the full char range) — one
+    * definition, no drift. */
+  private[graft] val SepChars: String = " \t\n\f\r"
+
+  /** Hand-unrolled membership test for the hot per-char loops (JIT
+    * compiles the comparisons; equivalence with [[SepChars]] is
+    * asserted in FunctionsSpec). */
   private[graft] def isSep(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 }

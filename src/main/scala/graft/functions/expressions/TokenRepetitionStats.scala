@@ -14,10 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens-per-doc × docs exchange rows for what is a per-row
   * computation. This walks the string once with two open-addressing-ish
   * hash maps (unigram, bigram) whose size is bounded by tokens-per-doc,
-  * turning t08 into a map-only operator. Token boundaries are runs of
-  * [[SimHashTokens.isSep]] (the RE2-compatible class
-  * `TextFunctions.tokens` splits on), including the split's empty-text
-  * behavior (one empty token).
+  * turning t08 into a map-only operator. Tokenization replicates
+  * `split(trim(text), "[ \t\n\f\r]+")` EXACTLY on every input —
+  * trim strips ASCII SPACES only (Spark's and DuckDB's one-arg trim;
+  * Java's String.trim strips all of U+0000–0020 and would diverge on
+  * tab/newline-bounded text), and split keeps the leading/trailing
+  * empty tokens Spark's limit=-1 split and DuckDB's
+  * string_split_regex both produce (a leading separator run yields a
+  * leading "" token; a trailing run a trailing "" token; empty text
+  * one "" token).
   */
 case class TokenRepetitionStats(child: Expression)
     extends UnaryExpression with UnaryRefCodegen {
@@ -30,9 +35,16 @@ case class TokenRepetitionStats(child: Expression)
     StructField("top_bigram_c", IntegerType, nullable = false)))
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
+    val raw = input.asInstanceOf[UTF8String].toString
+    // trim ASCII spaces ONLY (= Spark/DuckDB trim); Java's .trim would
+    // also strip tab/newline/VT and silently drop the oracle's
+    // boundary empty tokens
+    var b = 0; var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val text = raw.substring(b, e)
     if (text.isEmpty) {
-      // split(trim(''), "\s+") yields [""] — one empty token, no bigrams
+      // split('', cls) yields [""] — one empty token, no bigrams
       return new GenericInternalRow(Array[Any](1, 1, 1, 0, 0))
     }
     val uni = new java.util.HashMap[String, Integer]()
@@ -40,28 +52,35 @@ case class TokenRepetitionStats(child: Expression)
     var nTok = 0; var topU = 0; var topB = 0
     var prev: String = null
     var i = 0
+    var tokStart = 0
     val n = text.length
-    while (i < n) {
-      while (i < n && SimHashTokens.isSep(text.charAt(i))) i += 1
-      if (i < n) {
-        val start = i
-        while (i < n && !SimHashTokens.isSep(text.charAt(i))) i += 1
-        val tok = text.substring(start, i)
-        nTok += 1
-        val c0 = uni.get(tok)
-        val c = if (c0 == null) 1 else c0 + 1
-        uni.put(tok, c)
-        if (c > topU) topU = c
-        if (prev != null) {
-          val bg = prev + " " + tok
-          val b0 = bi.get(bg)
-          val b = if (b0 == null) 1 else b0 + 1
-          bi.put(bg, b)
-          if (b > topB) topB = b
-        }
-        prev = tok
+    def emit(tok: String): Unit = {
+      nTok += 1
+      val c0 = uni.get(tok)
+      val c = if (c0 == null) 1 else c0 + 1
+      uni.put(tok, c)
+      if (c > topU) topU = c
+      if (prev != null) {
+        val bg = prev + " " + tok
+        val b0 = bi.get(bg)
+        val bc = if (b0 == null) 1 else b0 + 1
+        bi.put(bg, bc)
+        if (bc > topB) topB = bc
       }
+      prev = tok
     }
+    // split-with-limit=-1 semantics: a token is the (possibly empty)
+    // span between separator RUNS, so leading/trailing runs produce
+    // boundary "" tokens exactly like Spark split / string_split_regex
+    while (i < n) {
+      if (SimHashTokens.isSep(text.charAt(i))) {
+        emit(text.substring(tokStart, i))
+        i += 1
+        while (i < n && SimHashTokens.isSep(text.charAt(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    emit(text.substring(tokStart, n))
     val nBi = if (nTok >= 2) nTok - 1 else 0
     new GenericInternalRow(Array[Any](nTok, uni.size, topU, nBi, topB))
   }

@@ -106,8 +106,14 @@ object Ingest {
   def xmlAttributeRemap(element: String, attr: String,
                         from: String, to: String): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     val q = java.util.regex.Pattern.quote _
-    payload => regexp_replace(payload,
-      s"(<${q(element)}\\b[^>]*\\b${q(attr)}=\")${q(from)}(\")", s"$$1$to$$2")
+    // attribute scan is quote-aware ((?:[^>"]|"[^"]*")*): a '>' inside
+    // a preceding quoted attribute value must not end the tag early,
+    // or the remap silently skips that element
+    val pattern = s"(<${q(element)}\\b(?:[^>\"]|\"[^\"]*\")*\\b${q(attr)}=\")${q(from)}(\")"
+    // the replacement side has its own syntax ($groups, backslashes) —
+    // a 'to' containing them must land literally, not as group refs
+    val toLit = java.util.regex.Matcher.quoteReplacement(to)
+    payload => regexp_replace(payload, pattern, s"$$1$toLit$$2")
   }
 
   /** `from_xml` projection of TDSReport payloads in a `value` column —

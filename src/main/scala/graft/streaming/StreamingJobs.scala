@@ -249,8 +249,14 @@ object StreamingJobs {
     * then structural, not a filter (StreamingSpec proves byte-level
     * non-interference under concurrent streams). */
   def tenantMartRoot(martRoot: String, tenant: String,
-                     tenantCol: String = "tenant"): String =
+                     tenantCol: String = "tenant"): String = {
+    // a tenant id containing a path separator (or '..') would resolve
+    // OUTSIDE this tenant's directory — the structural isolation the
+    // layout guarantees would silently become cross-tenant writes
+    require(tenant.nonEmpty && tenant.matches("[A-Za-z0-9._-]+") && tenant != ".." && tenant != ".",
+      s"tenant id must be a plain directory-safe token, got '$tenant'")
     s"$martRoot/$tenantCol=$tenant"
+  }
 
   /** Read the current mart state via the `_LATEST` manifest (all live
     * bucket directories as one frame). */
@@ -291,13 +297,22 @@ object StreamingJobs {
     val fs = fileSystem(spark, martRoot)
     manifestVersions(fs, new org.apache.hadoop.fs.Path(martRoot))
       .iterator
-      .flatMap { case (_, p) =>
-        val in = fs.open(p)
-        val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-        parseManifest(content)
-      }
+      .flatMap { case (_, p) => openManifest(fs, p) }
       .nextOption()
   }
+
+  /** Open + parse one manifest file, tolerating a concurrent prune: a
+    * publisher may delete a superseded version between our listStatus
+    * and open — that version is simply skipped and the caller falls
+    * through to the next (the newest version is never pruned, so the
+    * fall-through always terminates at a valid manifest). */
+  private def openManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Option[MartManifest] =
+    try {
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      parseManifest(content)
+    } catch { case _: java.io.FileNotFoundException => None }
 
   private def parseManifest(content: String): Option[MartManifest] = {
     val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
@@ -364,9 +379,7 @@ object StreamingJobs {
     if (!fs.exists(rootP)) return Nil
     val referenced: Set[String] =
       manifestVersions(fs, rootP).flatMap { case (_, p) =>
-        val in = fs.open(p)
-        val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-        parseManifest(content).toSeq.flatMap(m =>
+        openManifest(fs, p).toSeq.flatMap(m =>
           m.buckets.values.map(_.split("/")(0)).toSeq :+ m.applied)
       }.toSet
     val doomed = fs.listStatus(rootP).toSeq

@@ -276,12 +276,21 @@ class FunctionsSpec extends SparkSpec {
     val toks = Seq(vt).toDF("t")
       .select(TF.tokens(col("t")).as("k")).as[Seq[String]].head()
     assert(toks == Seq("a\u000Bb", "c"), s"tokens() split on U+000B: $toks")
-    // native simhash agrees: "a\u000Bb c" tokenizes like "X c" (two
-    // tokens), not like "a b c" (three)
-    val sigs = Seq(vt, "a\u000Bb c", "a b c").toDF("t")
+    // native simhash agrees: the VT-joined token is atomic — the
+    // signature is whitespace-RUN-insensitive (extra spaces change
+    // nothing) yet differs from the text where VT IS a separator
+    val sigs = Seq(vt, "a\u000Bb  c", "a b c").toDF("t")
       .select(graft.functions.GraftColumns.simHashTokens(col("t")).as("s"))
       .as[Long].collect()
-    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+    assert(sigs(0) == sigs(1), "token content must be independent of separator-run width")
+    assert(sigs(0) != sigs(2), "U+000B must not split the token the way a space does")
+    // one definition of the separator set: the hand-unrolled isSep
+    // must equal SepChars membership over the whole char range
+    import graft.functions.expressions.SimHashTokens
+    (Char.MinValue to Char.MaxValue).foreach { c =>
+      assert(SimHashTokens.isSep(c.toChar) == (SimHashTokens.SepChars.indexOf(c.toChar.toInt) >= 0),
+        f"isSep drifted from SepChars at U+${c.toInt}%04X")
+    }
     // native repetition stats agree: 2 tokens, both distinct
     val st = Seq(vt).toDF("t")
       .select(graft.functions.GraftColumns.tokenRepetitionStats(col("t")).as("st"))
@@ -378,6 +387,29 @@ class FunctionsSpec extends SparkSpec {
         .as[(Int, Int, Int)].head()
       assert(st == ((5, 4, 2)))
     } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("tokenRepetitionStats replicates split(trim, cls, -1) on boundary whitespace") {
+    // trim strips SPACES only and split keeps boundary empty tokens —
+    // the exact Spark/DuckDB semantics (Java's .trim/skip-runs would
+    // count "x\t" as 1 token where both engines count ["x", ""] = 2)
+    def splitRef(t: String): Seq[String] = {
+      val tr = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      tr.split("[ \t\n\f\r]+", -1).toIndexedSeq
+    }
+    val cases = Seq("x\t", "\tx", "\t", "a\u000Bb c", "  x  ", "a \t b", "")
+    val native = cases.toDF("t")
+      .select(graft.functions.GraftColumns.tokenRepetitionStats(col("t")).as("st"))
+      .select(col("st.n_tok"), col("st.n_distinct"), col("st.top_token_c"))
+      .as[(Int, Int, Int)].collect().toSeq
+    val expected = cases.map { t =>
+      val toks = splitRef(t)
+      (toks.size, toks.distinct.size, toks.groupBy(identity).values.map(_.size).max)
+    }
+    assert(native == expected, s"native $native != split-ref $expected for $cases")
+    // the two named edge shapes explicitly
+    assert(native(0) == ((2, 2, 1)), "trailing tab must keep its empty token")
+    assert(native(2) == ((2, 1, 2)), "a lone tab is two empty tokens (leading + trailing)")
   }
 
   test("tokenRepetitionStats native struct equals the explode/groupBy formulation") {
