@@ -1794,10 +1794,75 @@ object Relational {
       |FROM leveled l LEFT JOIN resources r ON l.asmt = r.asmt AND l.level = r.level
       |ORDER BY l.asmt, l.level""".stripMargin
 
+  // -- q59: item discrimination (item-total correlation) -------------------
+  // The classic item-statistics report alongside q55's difficulty:
+  // per item, the Pearson correlation between the item score and the
+  // exam TOTAL score (point-biserial shape) — items that don't track
+  // the total are flagged for review. Standard psychometrics over the
+  // exam_item grain the reference stores (Runbook.BulkDeleteExams
+  // .md:28).
+  //
+  // Exactness: scores are integral, so every sufficient statistic
+  // (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT on both engines;
+  // the correlation is then a fixed sequence of IEEE ops on exact
+  // inputs — bit-identical. Zero-variance items emit NULL (decided on
+  // the exact integer variance, not a float compare). At warehouse
+  // scale the sums move to DECIMAL (same plan; long range covers
+  // ~1e14 score-units² here).
+  //
+  // Scale: two passes over the fact at item/exam grain — exam totals
+  // (1 shuffle on the exam key), join back (the totals frame is
+  // already partitioned by the join key), then one shuffle of
+  // six-long partials per item. No window, no driver math.
+  private val q59: Q = (s, d) => {
+    val x = col("l_quantity").cast(LongType)
+    val items = T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), x.as("x"))
+    val totals = items.groupBy(col("l_orderkey"))
+      .agg(sum(col("x")).as("y"))
+    val stats = items.join(totals, "l_orderkey")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    stats
+      .select(col("l_partkey").as("item_id"), col("n").as("n_responses"),
+        when(varx === 0L || vary === 0L, lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType) /
+            (sqrt(varx.cast(DoubleType)) * sqrt(vary.cast(DoubleType))))
+          .as("discrimination"))
+      .orderBy(col("item_id"))
+  }
+
+  private val q59Sql =
+    """WITH items AS (
+      |  SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS x
+      |  FROM lineitem),
+      |totals AS (SELECT l_orderkey, CAST(SUM(x) AS BIGINT) AS y
+      |           FROM items GROUP BY l_orderkey),
+      |stats AS (
+      |  SELECT l_partkey, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM items JOIN totals USING (l_orderkey)
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS item_id, n AS n_responses,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS discrimination
+      |FROM stats ORDER BY item_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q55_item_difficulty" -> q55, "q56_item_standard_rollup" -> q56,
-    "q57_student_responses" -> q57, "q58_resource_links" -> q58) ++ Map(
+    "q57_student_responses" -> q57, "q58_resource_links" -> q58,
+    "q59_item_discrimination" -> q59) ++ Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
     "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
@@ -1824,6 +1889,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q55_item_difficulty" -> q55Sql, "q56_item_standard_rollup" -> q56Sql,
     "q57_student_responses" -> q57Sql, "q58_resource_links" -> q58Sql,
+    "q59_item_discrimination" -> q59Sql,
     "q40_soft_delete_migrate" -> q40Sql, "q41_norms_overlap" -> q41Sql,
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
     "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,
