@@ -46,4 +46,32 @@ object Multimodal {
       }
     }
   }
+
+  case class MediaEmbedding(doc_id: Long, source: String, hist: Seq[Double])
+
+  /** STUB embedding: a 64-bin byte-value histogram over the first 256
+    * payload bytes (bin = byte DIV 4), as exact integer counts in
+    * doubles. A deployment swaps this for a real perceptual/CLIP-style
+    * embedder; the downstream contract — a fixed-dimension double
+    * vector per record — is what the dedup/ANN families consume, and
+    * integer counts make the cosine replayable in the oracle. */
+  def embedStub(payload: Array[Byte]): Seq[Double] = {
+    val counts = new Array[Double](64)
+    val take = math.min(payload.length, 256)
+    var i = 0
+    while (i < take) { counts((payload(i) & 0xff) / 4) += 1.0; i += 1 }
+    counts.toIndexedSeq
+  }
+
+  /** Per-partition media embedding — the feature half of the
+    * multimodal near-dup pipeline (p05): same mapPartitions batch
+    * shape as [[extractFeatures]]. */
+  def embed(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // a real embedder (model weights, codec) would be initialized
+      // HERE, once per partition
+      it.map(r => MediaEmbedding(r.doc_id, r.source, embedStub(r.payload)))
+    }
+  }
 }

@@ -1532,6 +1532,60 @@ object Pipeline {
 
   // ======================= multimodal plumbing =============================
 
+  // -- p05: end-to-end multimodal near-dup (m-family → d-family) -----------
+  // The composition a real multimodal corpus pipeline runs: binary
+  // payloads → per-partition STUB embedding (64-bin byte histogram —
+  // a deployment swaps in a perceptual/CLIP embedder, the vector
+  // contract is identical) → d06's blocked cosine near-dup over the
+  // features. Hash-exact even through the typed mapPartitions: the
+  // stub's integer counts re-derive in DuckDB from hex pairs (m02's
+  // trick) and the cosine of exact-int vectors is bit-identical.
+  //
+  // Scale: embedding is map-only per partition; the self-join is
+  // blocked on source (d06's equi-join shape — at warehouse scale the
+  // blocking key is a coarse quantizer cell, d07); pairs verified by
+  // one compiled cosine per candidate.
+  private val p05: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = T.documents(s, d)
+      .filter(octet_length(col("text").cast(BinaryType)) > 0)
+      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
+      .as[Multimodal.MediaRecord]
+    val emb = Multimodal.embed(s, media).toDF()
+      .transform(graft.CacheScope.cached) // both self-join sides
+    val a = emb.select(col("source"), col("doc_id").as("a_id"), col("hist").as("a_hist"))
+    val b = emb.select(col("source"), col("doc_id").as("b_id"), col("hist").as("b_hist"))
+    a.join(b, Seq("source"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", VF.cosine(col("a_hist"), col("b_hist")))
+      .filter(col("cosine") >= 0.995)
+      .select(col("a_id"), col("b_id"), col("source"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val p05Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source, octet_length(encode(text)) AS n,
+      |    hex(encode(text)) AS hx
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |bytes AS (
+      |  SELECT doc_id, source,
+      |    list_transform(generate_series(0, least(n, 256) - 1),
+      |      i -> 16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1)
+      |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1)) AS bs
+      |  FROM h),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    list_transform(generate_series(0, 63),
+      |      j -> CAST(len(list_filter(bs, x -> x // 4 = j)) AS DOUBLE)) AS hist
+      |  FROM bytes)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.source,
+      |  ROUND(list_cosine_similarity(a.hist, b.hist), 4) AS cosine
+      |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
+      |ORDER BY a_id, b_id""".stripMargin
+
   // -- m01: opaque binary column + typed metadata --------------------------
   // The "decode" is a clearly-stubbed deterministic fake (byte-length
   // arithmetic standing in for image dims); the Spark-side plumbing —
@@ -1835,6 +1889,7 @@ object Pipeline {
     "t12_chunking" -> t12,
     "p01_curate_corpus" -> p01, "p02_pack_sequences" -> p02,
     "p03_temperature_mix" -> p03, "p04_train_order" -> p04,
+    "p05_multimodal_dedup" -> p05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
@@ -1859,6 +1914,7 @@ object Pipeline {
     "t11_pii_redact" -> t11Sql, "t12_chunking" -> t12Sql,
     "p01_curate_corpus" -> p01Sql, "p02_pack_sequences" -> p02Sql,
     "p03_temperature_mix" -> p03Sql, "p04_train_order" -> p04Sql,
+    "p05_multimodal_dedup" -> p05Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,

