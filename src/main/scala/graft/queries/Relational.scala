@@ -1858,11 +1858,83 @@ object Relational {
       |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS discrimination
       |FROM stats ORDER BY item_id""".stripMargin
 
+  // -- q60: school-year purge audit ----------------------------------------
+  // The documented "Delete School Year" runbook procedure (reference
+  // /root/reference/docs/Runbook.BulkDeleteExams.md "Delete School
+  // Year"): purging a year cascades across the item/assessment tables
+  // (item_other_target → item_common_core_standard → item → asmt) and
+  // the exam tables (exam_item → exam), and the procedure's
+  // post-validation step COUNTS each table before/after ("Count the
+  // number of records and compare"). This query IS that audit: one
+  // row per cascade table with rows_before / rows_deleted /
+  // rows_after for the purge year. Exam year = year(o_orderdate);
+  // assessment year modeled as 1992 + p_partkey mod 7; the item
+  // mapping tables are 1:1 with items (q56's derived standard, q57's
+  // target).
+  //
+  // Scale: six count-aggregates (each one partial-agg shuffle of a
+  // single row) unioned — the audit touches no payload columns, so
+  // every scan prunes to the key/date column it counts on.
+  private val q60: Q = (s, d) => {
+    val purgeYear = 1995
+    def row(table: String, df: DataFrame, deleted: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("rows_before"),
+          sum(when(deleted, 1L).otherwise(0L)).as("rows_deleted"))
+        .select(lit(table).as("table_name"), col("rows_before"),
+          col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    val exams = T.orders(s, d)
+    val examYear = year(col("o_orderdate")) === purgeYear
+    val examItems = T.lineitem(s, d)
+      .join(exams.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val items = T.part(s, d)
+    val asmtYear = (lit(1992) + col("p_partkey") % 7) === purgeYear
+    row("1_item_other_target", items, asmtYear)
+      .unionByName(row("2_item_common_core_standard", items, asmtYear))
+      .unionByName(row("3_item", items, asmtYear))
+      .unionByName(row("4_asmt", items.select(col("p_brand"), col("p_partkey")).distinct()
+        .groupBy(col("p_brand")).agg(min(col("p_partkey")).as("first_item")),
+        (lit(1992) + col("first_item") % 7) === purgeYear))
+      .unionByName(row("5_exam_item", examItems, examYear))
+      .unionByName(row("6_exam", exams, examYear))
+      .orderBy(col("table_name"))
+  }
+
+  private val q60Sql =
+    """WITH ey AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) = 1995 AS del
+      |           FROM orders),
+      |iy AS (SELECT p_partkey, p_brand, (1992 + p_partkey % 7) = 1995 AS del FROM part),
+      |ay AS (SELECT p_brand, min(p_partkey) AS first_item
+      |       FROM (SELECT DISTINCT p_brand, p_partkey FROM part) GROUP BY p_brand),
+      |rows_ AS (
+      |  SELECT '1_item_other_target' AS table_name, COUNT(*) AS rows_before,
+      |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted FROM iy
+      |  UNION ALL
+      |  SELECT '2_item_common_core_standard', COUNT(*),
+      |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) FROM iy
+      |  UNION ALL
+      |  SELECT '3_item', COUNT(*),
+      |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) FROM iy
+      |  UNION ALL
+      |  SELECT '4_asmt', COUNT(*),
+      |    CAST(SUM(CASE WHEN (1992 + first_item % 7) = 1995 THEN 1 ELSE 0 END) AS BIGINT) FROM ay
+      |  UNION ALL
+      |  SELECT '5_exam_item', COUNT(*),
+      |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem JOIN ey ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT '6_exam', COUNT(*),
+      |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) FROM ey)
+      |SELECT table_name, rows_before, rows_deleted,
+      |  rows_before - rows_deleted AS rows_after
+      |FROM rows_ ORDER BY table_name""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q55_item_difficulty" -> q55, "q56_item_standard_rollup" -> q56,
     "q57_student_responses" -> q57, "q58_resource_links" -> q58,
-    "q59_item_discrimination" -> q59) ++ Map(
+    "q59_item_discrimination" -> q59, "q60_year_purge_audit" -> q60) ++ Map(
     "q40_soft_delete_migrate" -> q40, "q41_norms_overlap" -> q41,
     "q42_audit_diff" -> q42, "q43_group_replace" -> q43,
     "q44_embargo_gate" -> q44, "q45_missing_data" -> q45,
@@ -1889,7 +1961,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q55_item_difficulty" -> q55Sql, "q56_item_standard_rollup" -> q56Sql,
     "q57_student_responses" -> q57Sql, "q58_resource_links" -> q58Sql,
-    "q59_item_discrimination" -> q59Sql,
+    "q59_item_discrimination" -> q59Sql, "q60_year_purge_audit" -> q60Sql,
     "q40_soft_delete_migrate" -> q40Sql, "q41_norms_overlap" -> q41Sql,
     "q42_audit_diff" -> q42Sql, "q43_group_replace" -> q43Sql,
     "q44_embargo_gate" -> q44Sql, "q45_missing_data" -> q45Sql,
