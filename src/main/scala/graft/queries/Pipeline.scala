@@ -435,15 +435,24 @@ object Pipeline {
   // (oracle-exact); d07 is the warehouse-scale variant blocking on a
   // coarse-quantizer cluster id, whose count grows with the corpus. The data's minimum |cos − 0.35| margin (5e-5 at sf0.1)
   // dwarfs cross-engine ulp drift, so threshold membership is stable.
-  private val d06: Q = (s, d) => {
-    val emb = T.embeddings(s, d)
-    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-    val b = emb.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
-    a.join(b, Seq("label"))
+  private val d06: Q = (s, d) =>
+    blockedCosinePairs(T.embeddings(s, d), "label", "vec_id", "embedding", 0.35)
+
+  /** The block → self-join → exact-cosine-verify candidate-pair shape
+    * shared by d06 (label blocks) and p05 (source blocks). One
+    * definition so a threshold/margin/null-guard fix lands in every
+    * near-dup family member at once. Emits the unrounded cosine — the
+    * hash-exact gate depends on bit-identical doubles, and rounding
+    * reintroduces the HALF_UP-vs-scaled-round boundary divergence. */
+  private def blockedCosinePairs(emb: DataFrame, blockCol: String, idCol: String,
+                                 vecCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(blockCol), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = emb.select(col(blockCol), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.join(b, Seq(blockCol))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
-      .filter(col("cosine") >= 0.35)
-      .select(col("a_id"), col("b_id"), col("label"), col("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col(blockCol), col("cosine"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1554,14 +1563,7 @@ object Pipeline {
       .as[Multimodal.MediaRecord]
     val emb = Multimodal.embed(s, media).toDF()
       .transform(graft.CacheScope.cached) // both self-join sides
-    val a = emb.select(col("source"), col("doc_id").as("a_id"), col("hist").as("a_hist"))
-    val b = emb.select(col("source"), col("doc_id").as("b_id"), col("hist").as("b_hist"))
-    a.join(b, Seq("source"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", VF.cosine(col("a_hist"), col("b_hist")))
-      .filter(col("cosine") >= 0.995)
-      .select(col("a_id"), col("b_id"), col("source"), round(col("cosine"), 4).as("cosine"))
-      .orderBy(col("a_id"), col("b_id"))
+    blockedCosinePairs(emb, "source", "doc_id", "hist", 0.995)
   }
 
   private val p05Sql =
@@ -1581,7 +1583,7 @@ object Pipeline {
       |      j -> CAST(len(list_filter(bs, x -> x // 4 = j)) AS DOUBLE)) AS hist
       |  FROM bytes)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.source,
-      |  ROUND(list_cosine_similarity(a.hist, b.hist), 4) AS cosine
+      |  list_cosine_similarity(a.hist, b.hist) AS cosine
       |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
       |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
       |ORDER BY a_id, b_id""".stripMargin

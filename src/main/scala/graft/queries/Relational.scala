@@ -1868,13 +1868,18 @@ object Relational {
   // number of records and compare"). This query IS that audit: one
   // row per cascade table with rows_before / rows_deleted /
   // rows_after for the purge year. Exam year = year(o_orderdate);
-  // assessment year modeled as 1992 + p_partkey mod 7; the item
-  // mapping tables are 1:1 with items (q56's derived standard, q57's
-  // target).
+  // the assessment (brand) carries the year (modeled as 1992 +
+  // min-partkey mod 7) and ITEMS CASCADE FROM THEIR ASSESSMENT — a
+  // purged asmt deletes all of its items, never a subset, so the
+  // emitted counts are ones a referential cascade can actually
+  // produce. The item mapping tables are 1:1 with items (q56's
+  // derived standard, q57's target) and share ONE scan+aggregate,
+  // exploded into their three audit rows.
   //
-  // Scale: six count-aggregates (each one partial-agg shuffle of a
+  // Scale: four count-aggregates (each one partial-agg shuffle of a
   // single row) unioned — the audit touches no payload columns, so
-  // every scan prunes to the key/date column it counts on.
+  // every scan prunes to the key/date column it counts on; the asmt
+  // year dim (|brands| rows) broadcasts onto the item scan.
   private val q60: Q = (s, d) => {
     val purgeYear = 1995
     def row(table: String, df: DataFrame, deleted: org.apache.spark.sql.Column) =
@@ -1889,13 +1894,20 @@ object Relational {
       .join(exams.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
     val items = T.part(s, d)
-    val asmtYear = (lit(1992) + col("p_partkey") % 7) === purgeYear
-    row("1_item_other_target", items, asmtYear)
-      .unionByName(row("2_item_common_core_standard", items, asmtYear))
-      .unionByName(row("3_item", items, asmtYear))
-      .unionByName(row("4_asmt", items.select(col("p_brand"), col("p_partkey")).distinct()
-        .groupBy(col("p_brand")).agg(min(col("p_partkey")).as("first_item")),
-        (lit(1992) + col("first_item") % 7) === purgeYear))
+    val asmts = items.groupBy(col("p_brand"))
+      .agg((lit(1992) + min(col("p_partkey")) % 7).as("asmt_year"))
+    val asmtDel = col("asmt_year") === purgeYear
+    val itemsWithYear = items.select(col("p_brand"))
+      .join(broadcast(asmts), Seq("p_brand"))
+    val itemRows = itemsWithYear
+      .agg(count(lit(1)).as("rows_before"),
+        sum(when(asmtDel, 1L).otherwise(0L)).as("rows_deleted"))
+      .select(explode(array(lit("1_item_other_target"),
+          lit("2_item_common_core_standard"), lit("3_item"))).as("table_name"),
+        col("rows_before"), col("rows_deleted"),
+        (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    itemRows
+      .unionByName(row("4_asmt", asmts, asmtDel))
       .unionByName(row("5_exam_item", examItems, examYear))
       .unionByName(row("6_exam", exams, examYear))
       .orderBy(col("table_name"))
@@ -1904,21 +1916,19 @@ object Relational {
   private val q60Sql =
     """WITH ey AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) = 1995 AS del
       |           FROM orders),
-      |iy AS (SELECT p_partkey, p_brand, (1992 + p_partkey % 7) = 1995 AS del FROM part),
-      |ay AS (SELECT p_brand, min(p_partkey) AS first_item
-      |       FROM (SELECT DISTINCT p_brand, p_partkey FROM part) GROUP BY p_brand),
+      |ay AS (SELECT p_brand, 1992 + min(p_partkey) % 7 AS asmt_year
+      |       FROM part GROUP BY p_brand),
+      |ic AS (SELECT COUNT(*) AS rows_before,
+      |         CAST(SUM(CASE WHEN ay.asmt_year = 1995 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS rows_deleted
+      |       FROM part JOIN ay USING (p_brand)),
       |rows_ AS (
-      |  SELECT '1_item_other_target' AS table_name, COUNT(*) AS rows_before,
-      |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted FROM iy
-      |  UNION ALL
-      |  SELECT '2_item_common_core_standard', COUNT(*),
-      |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) FROM iy
-      |  UNION ALL
-      |  SELECT '3_item', COUNT(*),
-      |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) FROM iy
+      |  SELECT t.table_name, ic.rows_before, ic.rows_deleted
+      |  FROM ic CROSS JOIN (VALUES ('1_item_other_target'),
+      |    ('2_item_common_core_standard'), ('3_item')) AS t(table_name)
       |  UNION ALL
       |  SELECT '4_asmt', COUNT(*),
-      |    CAST(SUM(CASE WHEN (1992 + first_item % 7) = 1995 THEN 1 ELSE 0 END) AS BIGINT) FROM ay
+      |    CAST(SUM(CASE WHEN asmt_year = 1995 THEN 1 ELSE 0 END) AS BIGINT) FROM ay
       |  UNION ALL
       |  SELECT '5_exam_item', COUNT(*),
       |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)

@@ -38,7 +38,7 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.columns.toSeq == Seq("a_id", "b_id", "source", "cosine"))
     val top = pairs.filter(col("cosine") >= 0.9999).count()
     assert(pairs.count() > 0, "sf0.001 corpus must yield some near-dup pairs")
-    assert(top >= 0) // smoke: threshold filter composes without error
+    assert(top > 0, "the corpus contains identical payloads; they must pair at cosine ~1")
   }
 
   test("approx sketches track exact values (q33/q34 self-check)") {
