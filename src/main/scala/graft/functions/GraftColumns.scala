@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharGramCounts, CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint, WordBigrams}
+import graft.functions.expressions.{CharGramCounts, CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestCentroidSq, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint, WordBigrams}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -54,6 +54,15 @@ object GraftColumns {
   def nearestClusters(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
     SqlBridge.column(NearestClusters(SqlBridge.expression(vec),
       centroids.map(_.toIndexedSeq).toIndexedSeq, k))
+
+  /** Exact-integer argmin centroid assignment for the replayable
+    * Lloyd fit — subspace-aware, strict-`<` lowest-index ties (see
+    * [[NearestCentroidSq]]). */
+  def nearestCentroidSq(subspace: Column, qvec: Column,
+                        centroids: Array[Array[Array[Long]]]): Column =
+    SqlBridge.column(NearestCentroidSq(SqlBridge.expression(subspace),
+      SqlBridge.expression(qvec),
+      centroids.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 
   /** 64-bit-max hyperplane LSH signature against a precomputed plane
     * matrix, one tight loop per row (see [[HyperplaneSignature]]). */

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.functions.GraftColumns
+
+/** Replayable k-means: Lloyd's algorithm over INTEGER-QUANTIZED
+  * vectors, every step exact and order-independent, so the entire fit
+  * re-derives as plain SQL in the DuckDB oracle — the mechanism that
+  * graduated MinHash/SimHash (affine-mod-prime family) and s02
+  * (plane-literal LSH) from rows-only to hash-exact, applied to the
+  * last rows-only family (the d07/s03/s04/s05 coarse quantizers and
+  * PQ codebooks).
+  *
+  * Why a float k-means can never be oracle-exact: centroid means are
+  * float reductions, and IEEE addition is order-sensitive — a shuffle
+  * repartition (or another engine) perturbs ulps, which flips argmin
+  * assignments, which moves centroids. This fit removes floats from
+  * every decision point:
+  *
+  *  - vectors quantize to a 1/1024 integer grid:
+  *    `floor(x·1024 + 0.5)` — float→double is exact, the scaled add
+  *    stays well under 53 mantissa bits, both engines floor the same
+  *    double to the same integer;
+  *  - assignment is argmin of SQUARED L2 IN LONGS
+  *    ([[graft.functions.expressions.NearestCentroidSq]]), ties to
+  *    the lowest centroid id — `ORDER BY dist, cluster LIMIT 1` in
+  *    SQL;
+  *  - the centroid update is `floor(sum / count)` where sum is an
+  *    exact integer sum (order-independent in any engine) and the one
+  *    double division of exactly-representable integers is correctly
+  *    rounded identically everywhere;
+  *  - init and the training sample are salted-md5 draws (t07's
+  *    admission idiom) — deterministic, layout-independent, and
+  *    replayable since md5 agrees across engines.
+  *
+  * Embeddings are unit-normalized, so L2 argmin on the quantized grid
+  * tracks the cosine objective the probes use; quantizer quality is
+  * recall-gated either way (PipelineScaleSpec).
+  *
+  * Scale shape is unchanged from the ML fit it replaces: training is
+  * an ABSOLUTE-capped sample, each Lloyd iteration is one map-side
+  * assignment job over the sample (compiled argmin against broadcast
+  * centroids — no join blow-up) plus a bounded groupBy, and the only
+  * driver-side state is the centroid matrix itself (k × dim longs —
+  * exactly what the ML fit held). PQ fits all M subspaces in ONE pass
+  * over the sample via a subspace column instead of M separate jobs.
+  */
+object IntLloyd {
+  /** Quantization grid: 1/1024. Products of two quantized
+    * unit-vector elements stay ≤ ~2^22; 64-dim squared distances
+    * ≤ ~2^28 — exact in Long and in double. */
+  val Scale = 1024
+
+  /** Exact integer quantization of a float/double vector column. */
+  def quantize(vec: Column): Column =
+    transform(vec, x =>
+      floor(x.cast(DoubleType) * lit(Scale.toDouble) + lit(0.5d)).cast(LongType))
+
+  /** The same grid in DuckDB. */
+  def quantizeSql(vecExpr: String): String =
+    s"list_transform(CAST($vecExpr AS DOUBLE[]), x -> " +
+      s"CAST(floor(x * CAST($Scale AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+
+  /** Fit `numSub` independent codebooks of `k` centroids each (coarse
+    * quantizer: numSub = 1, subLen = dim) on a capped salted-md5
+    * training sample. Returns centroids(subspace)(cluster)(dim) as
+    * exact integers; clusters that go empty in an iteration keep
+    * their previous centroid (COALESCE in the SQL replay).
+    *
+    * Driver-side state is bounded by configuration, not data: the
+    * init collect is ≤ numSub·k rows, each iteration's update collect
+    * is ≤ numSub·k·subLen (cluster, dim) partial rows.
+    */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, n: Long,
+          numSub: Int, subLen: Int, k: Int, cap: Long, iters: Int,
+          salt: String): Array[Array[Array[Long]]] = {
+    val q = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+    val train0 = graft.queries.Pipeline.trainingSample(q, col("id"), n, cap, salt)
+    val subCols = (0 until numSub).map(m =>
+      struct(lit(m).as("m"), slice(col("qv"), m * subLen + 1, subLen).as("sv")))
+    val tr = train0
+      .select(col("id"), explode(array(subCols: _*)).as("t"))
+      .select(col("t.m").as("m"), col("id"), col("t.sv").as("sv"))
+      .persist()
+    try {
+      val wInit = Window.partitionBy(col("m")).orderBy(
+        md5(concat(col("id").cast(StringType), lit(s"|init|$salt"))), col("id"))
+      val initRows = tr
+        .withColumn("cluster", row_number().over(wInit) - 1)
+        .filter(col("cluster") < k)
+        .select(col("m"), col("cluster"), col("sv"))
+        .collect()
+      var cents: Array[Array[Array[Long]]] = {
+        val byM = initRows.groupBy(_.getInt(0))
+        Array.tabulate(numSub) { m =>
+          byM(m).sortBy(_.getInt(1))
+            .map(_.getSeq[Long](2).toArray)
+        }
+      }
+      for (_ <- 1 to iters) {
+        val assigned = tr.withColumn("cluster",
+          GraftColumns.nearestCentroidSq(col("m"), col("sv"), cents))
+        val partials = assigned
+          .select(col("m"), col("cluster"), posexplode(col("sv")).as(Seq("j", "v")))
+          .groupBy(col("m"), col("cluster"), col("j"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+        val next = cents.map(_.map(_.clone())) // empty clusters keep their centroid
+        partials.foreach { r =>
+          val m = r.getInt(0); val cl = r.getInt(1); val j = r.getInt(2)
+          next(m)(cl)(j) =
+            math.floor(r.getLong(3).toDouble / r.getLong(4).toDouble).toLong
+        }
+        cents = next
+      }
+      cents
+    } finally { tr.unpersist(); () }
+  }
+
+  /** The fit as a DuckDB CTE chain (append inside a WITH clause). The
+    * oracle strings are scale-factor-independent, so n/k/cap/threshold
+    * are all computed IN SQL: `kExpr` may reference `n`, `capExpr`
+    * may reference `k` and `n`. Emits `{p}cent(m, cluster, cv
+    * DOUBLE[])` — integer-valued doubles, so downstream
+    * `list_cosine_similarity` probes see bit-identical inputs to the
+    * engine's [[graft.functions.expressions.NearestClusters]].
+    */
+  def fitSql(srcSql: String, idExpr: String, vecExpr: String,
+             numSub: Int, subLen: Int, kExpr: String, capExpr: String,
+             iters: Int, salt: String, p: String): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""${p}a$i AS (
+         |  SELECT m, cluster, sv FROM (
+         |    SELECT t.m, t.id, t.sv, c.cluster,
+         |      row_number() OVER (PARTITION BY t.m, t.id ORDER BY
+         |        list_sum(list_transform(generate_series(1, $subLen),
+         |          j -> (t.sv[j]-c.cv[j])*(t.sv[j]-c.cv[j]))), c.cluster) AS rn
+         |    FROM ${p}tr t JOIN ${p}c${i - 1} c ON t.m = c.m)
+         |  WHERE rn = 1),
+         |${p}u$i AS (
+         |  SELECT a.m, a.cluster, g.j,
+         |    CAST(floor(CAST(SUM(a.sv[g.j]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |  FROM ${p}a$i a CROSS JOIN generate_series(1, $subLen) AS g(j)
+         |  GROUP BY a.m, a.cluster, g.j),
+         |${p}c$i AS (
+         |  SELECT c.m, c.cluster, COALESCE(u.cv, c.cv) AS cv
+         |  FROM ${p}c${i - 1} c LEFT JOIN (
+         |    SELECT m, cluster, list(v ORDER BY j) AS cv
+         |    FROM ${p}u$i GROUP BY m, cluster) u
+         |  ON u.m = c.m AND u.cluster = c.cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}q AS (SELECT $idExpr AS id, ${quantizeSql(vecExpr)} AS qv FROM ($srcSql)),
+       |${p}pp AS (SELECT n, $kExpr AS k FROM (SELECT COUNT(*) AS n FROM ${p}q)),
+       |${p}cp AS (SELECT n, k, $capExpr AS cap FROM ${p}pp),
+       |${p}tr0 AS (
+       |  SELECT id, qv FROM ${p}q, ${p}cp
+       |  WHERE n <= cap
+       |     OR CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|$salt'), 1, 8)) AS BIGINT)
+       |        < CAST(ceil(CAST(4294967296 AS DOUBLE) * CAST(cap AS DOUBLE)
+       |                    / CAST(n AS DOUBLE)) AS BIGINT)),
+       |${p}tr AS (
+       |  SELECT g.m, id, qv[(g.m*$subLen+1):((g.m+1)*$subLen)] AS sv
+       |  FROM ${p}tr0 CROSS JOIN generate_series(0, ${numSub - 1}) AS g(m)),
+       |${p}c0 AS (
+       |  SELECT m, cluster, sv AS cv FROM (
+       |    SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY
+       |      md5(CAST(id AS VARCHAR) || '|init|$salt'), id) - 1 AS cluster
+       |    FROM ${p}tr), ${p}cp
+       |  WHERE cluster < k),
+       |$iterCtes,
+       |${p}cent AS (SELECT m, cluster, CAST(cv AS DOUBLE[]) AS cv FROM ${p}c$iters)""".stripMargin
+  }
+}

@@ -480,38 +480,52 @@ object Pipeline {
         16, 10).cast(LongType) < lit(threshold))
     }
 
-  /** KMeans coarse quantizer shared by s03/s05 (IVF probe lists) and
-    * d07 (near-dup blocking key). The fit runs on a capped SAMPLE, not
-    * the corpus: at 100 TB a full-data fit would dominate the whole
-    * query, and quantizer quality only needs ~tens of training rows
-    * per centroid (the classic IVF recipe — train on ~100k vectors,
-    * assign everything). The cap is 64·k rows (floor 2048) — ABSOLUTE,
-    * scaling with the centroid count the fit estimates rather than the
-    * corpus it samples from. Assignment (`model.transform`) is
-    * map-only over the corpus.
+  /** Coarse quantizer shared by s03/s05 (IVF probe lists) and d07
+    * (near-dup blocking key) — the replayable integer Lloyd fit
+    * (graft.operators.IntLloyd; was Spark ML KMeans until round 5,
+    * which kept these queries rows-only: a float fit's reduction
+    * order can't re-derive in another engine). The fit runs on a
+    * capped SAMPLE, not the corpus: at 100 TB a full-data fit would
+    * dominate the whole query, and quantizer quality only needs ~tens
+    * of training rows per centroid (the classic IVF recipe — train on
+    * ~100k vectors, assign everything). The cap is 64·k rows (floor
+    * 2048) — ABSOLUTE, scaling with the centroid count rather than
+    * the corpus. Assignment stays the compiled cosine probe
+    * (NearestClusters) over the corpus — map-only, against
+    * integer-valued centroids that replay as SQL literals.
     */
-  private def kmeansAssign(s: SparkSession, d: String, k: Int, n: Long) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("features"))
-    // random init, not kmeans||: the parallel init is itself iterative
-    // (k·initSteps distributed passes) and dominates the fit once k
-    // scales as √n; for coarse quantization (blocking / probe lists)
-    // random-init quality is equivalent after a few Lloyd iterations —
-    // recall is spec-gated either way (PipelineScaleSpec).
+  private val CoarseIters = 5
+  private def kmeansAssign(s: SparkSession, d: String, k: Int,
+                           n: Long): (DataFrame, Array[Array[Double]]) = {
     val cap = math.max(2048L, 64L * k)
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(trainingSample(emb, col("vec_id"), n, cap, "kmtrain"))
-    val assigned = model.transform(emb)
+    val cents = graft.operators.IntLloyd.fit(
+      T.embeddings(s, d), "vec_id", "embedding", n,
+      numSub = 1, subLen = 64, k = k, cap = cap,
+      iters = CoarseIters, salt = "kmtrain")(0)
+      .map(_.map(_.toDouble))
+    val assigned = T.embeddings(s, d)
+      .withColumn("cluster", element_at(
+        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
       .select(col("vec_id"), col("embedding"), col("cluster"))
-    (assigned, model)
+    (assigned, cents)
   }
 
-  // -- d07: embedding near-dup, coarse-quantizer blocking (rows-only) ------
+  /** The coarse fit's SQL replay (d07/s03/s05 oracles). `floorK` is
+    * the per-query k floor (8 for d07's blocking, 16 for IVF). */
+  private def coarseFitSql(floorK: Int): String =
+    graft.operators.IntLloyd.fitSql(
+      srcSql = "SELECT vec_id, embedding FROM embeddings",
+      idExpr = "vec_id", vecExpr = "embedding",
+      numSub = 1, subLen = 64,
+      kExpr = s"GREATEST($floorK, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
+      capExpr = "GREATEST(2048, 64*k)",
+      iters = CoarseIters, salt = "kmtrain", p = "km")
+
+  // -- d07: embedding near-dup, coarse-quantizer blocking ------------------
+  // ORACLE-EXACT since round 5: the quantizer is the replayable
+  // integer Lloyd fit, so blocking, multi-probe and the exact-cosine
+  // verify all re-derive in DuckDB (fit CTEs + the d06-proven
+  // list_cosine_similarity bit-equality).
   // The warehouse-scale variant of d06: the blocking key is a KMeans
   // cluster id instead of `label`. With few distinct labels each d06
   // block is O(n²/|labels|); cluster count scales with the corpus
@@ -536,13 +550,12 @@ object Pipeline {
     val probes = 3
     val n = T.embeddingsCount(s, d)
     val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (_, model) = kmeansAssign(s, d, k, n)
-    // centroids are driver-side (k × dim doubles), held inside the
-    // native NearestClusters expression — the top-`probes` assignment
-    // is one compiled loop per row, no join, no shuffle, no per-row
-    // literal re-evaluation (the HOF array_sort formulation was the
-    // assignment hot spot once k scales as √n)
-    val cents = model.clusterCenters.map(_.toArray)
+    // centroids are driver-side (k × dim integer-valued doubles), held
+    // inside the native NearestClusters expression — the top-`probes`
+    // assignment is one compiled loop per row, no join, no shuffle, no
+    // per-row literal re-evaluation (the HOF array_sort formulation
+    // was the assignment hot spot once k scales as √n)
+    val (_, cents) = kmeansAssign(s, d, k, n)
     val assigned = T.embeddings(s, d)
       .withColumn("cluster", explode(
         graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, probes)))
@@ -555,10 +568,29 @@ object Pipeline {
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cosine") >= 0.35)
-      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
-      .distinct() // a pair can co-block in both of its shared clusters
+      .select(col("a_id"), col("b_id"), col("cosine")) // unrounded: hash-exact gate
+      .distinct() // a pair can co-block in several of its shared clusters
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  private val d07Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 8)},
+       |asg AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+       |        c.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN kmcent c)
+       |  WHERE rn <= 3),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                           CAST(b.embedding AS DOUBLE[])) AS cosine
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])) >= 0.35)
+       |SELECT a_id, b_id, cosine FROM pairs ORDER BY a_id, b_id""".stripMargin
 
   // ======================= similarity: embeddings ==========================
 
@@ -670,7 +702,8 @@ object Pipeline {
        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
-  // -- s03: IVF ANN — KMeans coarse quantizer + nProbe search (rows-only) --
+  // -- s03: IVF ANN — coarse quantizer + nProbe search ---------------------
+  // ORACLE-EXACT since round 5 (replayable integer Lloyd quantizer).
   // The third ANN tier: s01 exact brute force, s02 LSH buckets, s03
   // IVF. Centroids are trained ONCE on a seeded sample (kmeansAssign —
   // a full-corpus fit would dominate the query at 100 TB), every
@@ -684,8 +717,7 @@ object Pipeline {
     val nProbe = 2
     val n = T.embeddingsCount(s, d)
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, model) = kmeansAssign(s, d, k, n)
-    val cents = model.clusterCenters.map(_.toArray)
+    val (assigned, cents) = kmeansAssign(s, d, k, n)
     val probes = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("cluster", explode(
@@ -702,7 +734,35 @@ object Pipeline {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  // -- s04: product-quantization ANN (rows-only) ---------------------------
+  // ROUND(,4) is safe here for the same reason as s01/s02: every
+  // emitted cosine is one of s01's candidate cosines (same vectors,
+  // same compiled op order), and s01 is hash-exact at both gate SFs.
+  private val s03Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |asg AS (
+       |  SELECT vec_id, embedding, cluster, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+       |        c.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN kmcent c)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
+       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
+       |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
+       |          FROM asg WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.q_id, c.cand_id,
+       |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+       |                           CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM cand c JOIN probe p ON c.cluster = p.cluster),
+       |r AS (SELECT q_id, cand_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |      FROM scored)
+       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  // -- s04: product-quantization ANN ---------------------------------------
   // The fourth ANN tier and the MEMORY story: s01 exact, s02 LSH
   // buckets, s03 IVF lists, s04 compressed scan + exact re-rank.
   // Each vector is encoded as M=8 one-byte codes (nearest centroid
@@ -719,47 +779,84 @@ object Pipeline {
   // s01 (PipelineScaleSpec).
   /** PQ subspace codebooks, fit per dim/numSub-subvector on a seeded
     * SAMPLE (s03's quantizer policy — a full-corpus fit would dominate
-    * at 100 TB). Returned as plain matrices: they become plan literals
-    * in the ADC reconstruction. Shared by s04 (flat PQ) and s05
-    * (IVF-PQ). */
+    * at 100 TB). Returned as plain matrices (integer-valued doubles):
+    * they become plan literals in the ADC reconstruction AND replay
+    * verbatim in the oracle. Shared by s04 (flat PQ) and s05 (IVF-PQ).
+    *
+    * The replayable integer Lloyd fit trains ALL numSub codebooks in
+    * ONE pass over the sample via a subspace column (was: 8
+    * concurrent ML fits — 8 job chains over the same sample; the
+    * subspace-column formulation is one chain, same work, and its
+    * exact arithmetic is what graduates s04/s05 to hash-exact).
+    * 6 Lloyd iterations: a 16-centroid codebook in a low-dim subspace
+    * converges in a handful of iterations (recall-vs-s01 spec-gated).
+    * The training-set size is an ABSOLUTE cap of 256·ksub rows (the
+    * ~hundreds-per-centroid PQ recipe), not a corpus fraction — a
+    * fraction of 100 TB is still terabytes of k-means input; the cap
+    * is what the 16-centroid fit needs regardless of corpus size. n
+    * comes from footer metadata. */
+  private val PqIters = 6
   private def pqCodebooks(s: SparkSession, d: String,
       numSub: Int, ksub: Int): (Int, Seq[Seq[Seq[Double]]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     val emb = T.embeddings(s, d)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val sub = dim / numSub
-    // One cached training sample feeds all 8 subspace fits (was: 8
-    // separate sample scans), and the fits run CONCURRENTLY — they
-    // are independent Spark jobs in one session, so the scheduler
-    // interleaves them across the executor pool. Sequential fits
-    // measured 10.8 s of the s04 bench; the work is 8 × (tiny k-means
-    // on a sample), i.e. job-overhead-bound, exactly what concurrent
-    // submission hides. 6 Lloyd iterations: a 16-centroid codebook in
-    // a low-dim subspace converges in a handful of iterations
-    // (recall-vs-s01 spec-gated). The training-set size is an ABSOLUTE
-    // cap of 256·ksub rows (the ~hundreds-per-centroid PQ recipe), not
-    // a corpus fraction — a fraction of 100 TB is still terabytes of
-    // k-means input; the cap is what the 16-centroid fit needs
-    // regardless of corpus size. n comes from footer metadata.
     val n = T.embeddingsCount(s, d)
-    val train = trainingSample(emb, col("vec_id"), n, 256L * ksub, "pqtrain")
-      .select(col("embedding")).persist()
-    train.count() // materialize before the concurrent readers fork
-    val futs = (0 until numSub).map { m => Future {
-      val feats = train
-        .select(array_to_vector(slice(col("embedding"), m * sub + 1, sub)).as("features"))
-      new KMeans().setK(ksub).setSeed(42 + m).setMaxIter(6).setInitMode("random")
-        .fit(feats).clusterCenters.map(_.toArray.toSeq).toSeq
-    }}
-    val codebooks: Seq[Seq[Seq[Double]]] =
-      futs.map(f => Await.result(f, Duration.Inf))
-    train.unpersist()
-    (sub, codebooks)
+    val cents = graft.operators.IntLloyd.fit(
+      emb, "vec_id", "embedding", n,
+      numSub = numSub, subLen = sub, k = ksub, cap = 256L * ksub,
+      iters = PqIters, salt = "pqtrain")
+    (sub, cents.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
   }
+
+  /** The PQ fit's SQL replay (s04/s05 oracles): numSub=8 × ksub=16
+    * codebooks over 8-dim subvectors, cap 256·16 = 4096. */
+  private val pqFitSql: String = graft.operators.IntLloyd.fitSql(
+    srcSql = "SELECT vec_id, embedding FROM embeddings",
+    idExpr = "vec_id", vecExpr = "embedding",
+    numSub = 8, subLen = 8,
+    kExpr = "CAST(16 AS BIGINT)", capExpr = "CAST(4096 AS BIGINT)",
+    iters = PqIters, salt = "pqtrain", p = "pq")
+
+  /** Shared oracle tail for s04/s05: PQ code assignment per corpus
+    * vector, codebook reconstruction, and the exact re-rank (the
+    * s01/s02 scoring idiom). `adcSql` differs: flat scan (s04) vs
+    * probed inverted lists (s05). */
+  private def pqScoreSql(adcSql: String): String =
+    s"""codes AS (
+       |  SELECT vec_id, m, cluster AS code FROM (
+       |    SELECT e.vec_id, c.m, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+       |        list_cosine_similarity(
+       |          (CAST(e.embedding AS DOUBLE[]))[(c.m*8+1):((c.m+1)*8)],
+       |          c.cv) DESC, c.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN pqcent c
+       |    WHERE e.vec_id >= 10)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS rv
+       |  FROM (SELECT co.vec_id, co.m, c.cv
+       |        FROM codes co JOIN pqcent c ON c.m = co.m AND c.cluster = co.code)
+       |  GROUP BY vec_id),
+       |$adcSql,
+       |short AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, cand_id) AS rn_a
+       |    FROM adc)
+       |  WHERE rn_a <= 50),
+       |scored AS (
+       |  SELECT s.q_id, s.cand_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ce.embedding AS DOUBLE[])) AS cos
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.cand_id),
+       |r AS (SELECT q_id, cand_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |      FROM scored)
+       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
   private val s04: Q = (s, d) => {
     // shortlist = 10× the final k, the usual PQ re-rank budget: at
@@ -801,7 +898,17 @@ object Pipeline {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  // -- s05: IVF-PQ ANN (rows-only) -----------------------------------------
+  private val s04Sql: String =
+    s"""WITH $pqFitSql,
+       |${pqScoreSql(
+      s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |      FROM embeddings WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.q_id, r.vec_id AS cand_id,
+         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), r.rv) AS approx_cos
+         |  FROM recon r CROSS JOIN q)""".stripMargin)}""".stripMargin
+
+  // -- s05: IVF-PQ ANN -----------------------------------------------------
   // The production ANN composition — s03's probe-list restriction ×
   // s04's compressed scoring, i.e. what FAISS deploys as IVFx,PQy:
   // a query reads ONLY its nProbe inverted lists (√n-sized, so
@@ -814,8 +921,9 @@ object Pipeline {
   // (not residuals) keeps the codebooks cluster-independent — one
   // codebook set serves every list, the classic simplification when
   // recall is re-rank-protected. Recall vs s01 is spec-gated
-  // (PipelineScaleSpec); banding/quantization isn't ANSI-expressible
-  // → rows-only.
+  // (PipelineScaleSpec). ORACLE-EXACT since round 5: both fits are
+  // the replayable integer Lloyd, so quantizer + codebooks + ADC +
+  // re-rank all re-derive in DuckDB.
   private val s05: Q = (s, d) => {
     // nProbe 4 (vs s03's 2): PQ loses additional candidates inside
     // the probed lists, so IVF-PQ spends more probes to hold recall —
@@ -824,8 +932,7 @@ object Pipeline {
     val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
     val n = T.embeddingsCount(s, d)
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, model) = kmeansAssign(s, d, k, n)
-    val cents = model.clusterCenters.map(_.toArray)
+    val (assigned, cents) = kmeansAssign(s, d, k, n)
     val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
     val codeCols = (0 until numSub).map { m =>
       element_at(graft.functions.GraftColumns.nearestClusters(
@@ -866,6 +973,28 @@ object Pipeline {
       .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  private val s05Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |$pqFitSql,
+       |${pqScoreSql(
+      s"""asg AS (
+         |  SELECT vec_id, embedding, cluster, rn FROM (
+         |    SELECT e.vec_id, e.embedding, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+         |        c.cluster) AS rn
+         |    FROM embeddings e CROSS JOIN kmcent c)
+         |  WHERE rn <= 4),
+         |cand AS (SELECT vec_id, cluster FROM asg WHERE rn = 1 AND vec_id >= 10),
+         |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
+         |          FROM asg WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id,
+         |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
+         |  FROM cand c
+         |  JOIN probe p ON c.cluster = p.cluster
+         |  JOIN recon r ON r.vec_id = c.vec_id)""".stripMargin)}""".stripMargin
 
   // ======================= text analysis: documents ========================
 
@@ -1899,15 +2028,18 @@ object Pipeline {
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07)
 
-  /** Rows-only set = the KMeans-dependent d07/s03/s04/s05 only; every
-    * hash-based family (d04/d05/s02/e05) replays in DuckDB. */
+  /** Every query replays in DuckDB — the last rows-only family
+    * (KMeans-dependent d07/s03/s04/s05) graduated in round 5 via the
+    * integer-quantized replayable Lloyd fit (IntLloyd). */
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql, "d02_dedup_fingerprint" -> d02Sql,
     "d03_dedup_ngram_jaccard" -> d03Sql, "d04_dedup_minhash" -> d04Sql,
     "d05_dedup_simhash" -> d05Sql, "d06_dedup_embedding" -> d06Sql,
+    "d07_dedup_embedding_ivf" -> d07Sql,
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
+    "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql, "t04_ngram_stats" -> t04Sql,
     "t05_group_stats" -> t05Sql, "t06_fingerprint" -> t06Sql,

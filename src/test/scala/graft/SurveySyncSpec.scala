@@ -20,12 +20,13 @@ class SurveySyncSpec extends SparkSpec {
     assert(undocumented.isEmpty, s"queries missing from the §2 checklist: $undocumented")
   }
 
-  test("every oracle key has a query, and rows-only queries are the documented set") {
+  test("every oracle key has a query, and the rows-only set is empty") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set(
-      "d07_dedup_embedding_ivf", "s03_ann_ivf", "s04_ann_pq",
-      "s05_ann_ivfpq"),
+    // Since round 5 every registered query has a DuckDB oracle: the
+    // last rows-only family (KMeans-dependent d07/s03/s04/s05)
+    // graduated via the integer-quantized replayable Lloyd fit.
+    assert(rowsOnly.isEmpty,
       s"rows-only set drifted: $rowsOnly — update the SURVEY notes if intentional")
   }
 }
