@@ -50,8 +50,10 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // Dev aid: SPARK_GRAFT_ONLY=name1,name2 restricts the set.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Dev aid: SPARK_GRAFT_ONLY=name1,name2 restricts the set
+    // (whitespace-tolerant — same parse as Verify's).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>

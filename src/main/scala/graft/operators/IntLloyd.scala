@@ -65,6 +65,35 @@ object IntLloyd {
     s"list_transform(CAST($vecExpr AS DOUBLE[]), x -> " +
       s"CAST(floor(x * CAST($Scale AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
 
+  /** Deterministic ≈`cap`-row training sample: t07's salted-md5
+    * admission test at rate cap/n. Unlike `sample(fraction)` the
+    * training-set SIZE is an absolute cap, not a corpus fraction — at
+    * 100 TB of embeddings a 25–50% fraction is a 25–50 TB k-means
+    * input, where the cap stays what the fit needs. The hash test is
+    * map-side, layout-independent (repartition-stable) and replayable,
+    * unlike `rand()` sampling. Its SQL twin is the `tr0` admission
+    * predicate in [[fitSql]] — keep the two IN THIS FILE, side by
+    * side: the d07/s03/s04/s05 hash-exact gate is the equality of
+    * exactly these two formulas. */
+  private[graft] def trainingSample(df: DataFrame, idCol: Column,
+                                    n: Long, cap: Long, salt: String): DataFrame =
+    if (n <= cap) df
+    else {
+      // first 8 md5 hex chars as a uniform draw in [0, 2^32)
+      val threshold = math.ceil(math.pow(2, 32) * cap.toDouble / n).toLong
+      df.filter(conv(substring(md5(concat(idCol.cast(StringType), lit(s"|$salt"))), 1, 8),
+        16, 10).cast(LongType) < lit(threshold))
+    }
+
+  /** [[trainingSample]]'s admission predicate in DuckDB (`n`/`cap`
+    * are in scope in the generated `tr0` CTE; the threshold formula
+    * replays `ceil(2^32 · cap / n)` with the same op order). */
+  private def admissionSql(salt: String): String =
+    s"""n <= cap
+       |     OR CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|$salt'), 1, 8)) AS BIGINT)
+       |        < CAST(ceil(CAST(4294967296 AS DOUBLE) * CAST(cap AS DOUBLE)
+       |                    / CAST(n AS DOUBLE)) AS BIGINT)""".stripMargin
+
   /** Fit `numSub` independent codebooks of `k` centroids each (coarse
     * quantizer: numSub = 1, subLen = dim) on a capped salted-md5
     * training sample. Returns centroids(subspace)(cluster)(dim) as
@@ -79,7 +108,7 @@ object IntLloyd {
           numSub: Int, subLen: Int, k: Int, cap: Long, iters: Int,
           salt: String): Array[Array[Array[Long]]] = {
     val q = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-    val train0 = graft.queries.Pipeline.trainingSample(q, col("id"), n, cap, salt)
+    val train0 = trainingSample(q, col("id"), n, cap, salt)
     val subCols = (0 until numSub).map(m =>
       struct(lit(m).as("m"), slice(col("qv"), m * subLen + 1, subLen).as("sv")))
     val tr = train0
@@ -94,6 +123,18 @@ object IntLloyd {
         .filter(col("cluster") < k)
         .select(col("m"), col("cluster"), col("sv"))
         .collect()
+      require(initRows.nonEmpty,
+        s"IntLloyd: empty training set (n=$n, cap=$cap, salt=$salt) — " +
+          "the source table has no rows to fit on")
+      // fail fast on geometry drift: a vector shorter than
+      // numSub·subLen would CLAMP in both slice paths and silently
+      // fit on truncated subvectors the oracle SQL doesn't mirror
+      initRows.foreach { r =>
+        val len = r.getSeq[Long](2).size
+        require(len == subLen,
+          s"IntLloyd: subspace slice is $len-dim, expected $subLen — " +
+            "vector dimension does not match the numSub×subLen geometry")
+      }
       var cents: Array[Array[Array[Long]]] = {
         val byM = initRows.groupBy(_.getInt(0))
         Array.tabulate(numSub) { m =>
@@ -158,10 +199,7 @@ object IntLloyd {
        |${p}cp AS (SELECT n, k, $capExpr AS cap FROM ${p}pp),
        |${p}tr0 AS (
        |  SELECT id, qv FROM ${p}q, ${p}cp
-       |  WHERE n <= cap
-       |     OR CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|$salt'), 1, 8)) AS BIGINT)
-       |        < CAST(ceil(CAST(4294967296 AS DOUBLE) * CAST(cap AS DOUBLE)
-       |                    / CAST(n AS DOUBLE)) AS BIGINT)),
+       |  WHERE ${admissionSql(salt)}),
        |${p}tr AS (
        |  SELECT g.m, id, qv[(g.m*$subLen+1):((g.m+1)*$subLen)] AS sv
        |  FROM ${p}tr0 CROSS JOIN generate_series(0, ${numSub - 1}) AS g(m)),

@@ -463,23 +463,6 @@ object Pipeline {
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** Deterministic ≈`cap`-row training sample: t07's salted-md5
-    * admission test at rate cap/n. Unlike `sample(fraction)` the
-    * training-set SIZE is an absolute cap, not a corpus fraction — at
-    * 100 TB of embeddings a 25–50% fraction is a 25–50 TB k-means
-    * input, where the cap stays what the fit needs. The hash test is
-    * map-side, layout-independent (repartition-stable) and replayable,
-    * unlike `rand()` sampling. */
-  private[graft] def trainingSample(df: DataFrame, idCol: org.apache.spark.sql.Column,
-                                    n: Long, cap: Long, salt: String): DataFrame =
-    if (n <= cap) df
-    else {
-      // first 8 md5 hex chars as a uniform draw in [0, 2^32)
-      val threshold = math.ceil(math.pow(2, 32) * cap.toDouble / n).toLong
-      df.filter(conv(substring(md5(concat(idCol.cast(StringType), lit(s"|$salt"))), 1, 8),
-        16, 10).cast(LongType) < lit(threshold))
-    }
-
   /** Coarse quantizer shared by s03/s05 (IVF probe lists) and d07
     * (near-dup blocking key) — the replayable integer Lloyd fit
     * (graft.operators.IntLloyd; was Spark ML KMeans until round 5,
@@ -495,12 +478,13 @@ object Pipeline {
     * integer-valued centroids that replay as SQL literals.
     */
   private val CoarseIters = 5
+  private val EmbDim = 64 // the oracle SQL slices/loops assume it; IntLloyd.fit fails fast on drift
   private def kmeansAssign(s: SparkSession, d: String, k: Int,
                            n: Long): (DataFrame, Array[Array[Double]]) = {
     val cap = math.max(2048L, 64L * k)
     val cents = graft.operators.IntLloyd.fit(
       T.embeddings(s, d), "vec_id", "embedding", n,
-      numSub = 1, subLen = 64, k = k, cap = cap,
+      numSub = 1, subLen = EmbDim, k = k, cap = cap,
       iters = CoarseIters, salt = "kmtrain")(0)
       .map(_.map(_.toDouble))
     val assigned = T.embeddings(s, d)
@@ -516,10 +500,24 @@ object Pipeline {
     graft.operators.IntLloyd.fitSql(
       srcSql = "SELECT vec_id, embedding FROM embeddings",
       idExpr = "vec_id", vecExpr = "embedding",
-      numSub = 1, subLen = 64,
+      numSub = 1, subLen = EmbDim,
       kExpr = s"GREATEST($floorK, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
       capExpr = "GREATEST(2048, 64*k)",
       iters = CoarseIters, salt = "kmtrain", p = "km")
+
+  /** The coarse-assignment replay shared by the d07/s03/s05 oracles:
+    * rank every vector's centroids by the SAME (cosine DESC, cluster)
+    * order NearestClusters uses, keep the top `maxRn` probes. One
+    * definition so the tie-break contract cannot drift per query. */
+  private def coarseAsgSql(maxRn: Int): String =
+    s"""asg AS (
+       |  SELECT vec_id, embedding, cluster, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+       |        c.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN kmcent c)
+       |  WHERE rn <= $maxRn)""".stripMargin
 
   // -- d07: embedding near-dup, coarse-quantizer blocking ------------------
   // ORACLE-EXACT since round 5: the quantizer is the replayable
@@ -575,14 +573,7 @@ object Pipeline {
 
   private val d07Sql: String =
     s"""WITH ${coarseFitSql(floorK = 8)},
-       |asg AS (
-       |  SELECT vec_id, embedding, cluster FROM (
-       |    SELECT e.vec_id, e.embedding, c.cluster,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-       |        c.cluster) AS rn
-       |    FROM embeddings e CROSS JOIN kmcent c)
-       |  WHERE rn <= 3),
+       |${coarseAsgSql(maxRn = 3)},
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -739,14 +730,7 @@ object Pipeline {
   // same compiled op order), and s01 is hash-exact at both gate SFs.
   private val s03Sql: String =
     s"""WITH ${coarseFitSql(floorK = 16)},
-       |asg AS (
-       |  SELECT vec_id, embedding, cluster, rn FROM (
-       |    SELECT e.vec_id, e.embedding, c.cluster,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-       |        c.cluster) AS rn
-       |    FROM embeddings e CROSS JOIN kmcent c)
-       |  WHERE rn <= 2),
+       |${coarseAsgSql(maxRn = 2)},
        |cand AS (SELECT vec_id AS cand_id, embedding, cluster
        |         FROM asg WHERE rn = 1 AND vec_id >= 10),
        |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
@@ -796,11 +780,17 @@ object Pipeline {
     * is what the 16-centroid fit needs regardless of corpus size. n
     * comes from footer metadata. */
   private val PqIters = 6
+  private val PqNumSub = 8
+  private val PqSubLen = EmbDim / PqNumSub
   private def pqCodebooks(s: SparkSession, d: String,
       numSub: Int, ksub: Int): (Int, Seq[Seq[Seq[Double]]]) = {
     val emb = T.embeddings(s, d)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val sub = dim / numSub
+    // the s04/s05 oracle SQL slices PqSubLen-wide subvectors; a corpus
+    // whose dim drifted would otherwise CLAMP silently on both sides
+    require(numSub == PqNumSub && sub == PqSubLen && dim == numSub * sub,
+      s"pq oracle geometry is ${PqNumSub}×$PqSubLen; got dim=$dim, numSub=$numSub")
     val n = T.embeddingsCount(s, d)
     val cents = graft.operators.IntLloyd.fit(
       emb, "vec_id", "embedding", n,
@@ -814,7 +804,7 @@ object Pipeline {
   private val pqFitSql: String = graft.operators.IntLloyd.fitSql(
     srcSql = "SELECT vec_id, embedding FROM embeddings",
     idExpr = "vec_id", vecExpr = "embedding",
-    numSub = 8, subLen = 8,
+    numSub = PqNumSub, subLen = PqSubLen,
     kExpr = "CAST(16 AS BIGINT)", capExpr = "CAST(4096 AS BIGINT)",
     iters = PqIters, salt = "pqtrain", p = "pq")
 
@@ -828,7 +818,7 @@ object Pipeline {
        |    SELECT e.vec_id, c.m, c.cluster,
        |      row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
        |        list_cosine_similarity(
-       |          (CAST(e.embedding AS DOUBLE[]))[(c.m*8+1):((c.m+1)*8)],
+       |          (CAST(e.embedding AS DOUBLE[]))[(c.m*$PqSubLen+1):((c.m+1)*$PqSubLen)],
        |          c.cv) DESC, c.cluster) AS rn
        |    FROM embeddings e CROSS JOIN pqcent c
        |    WHERE e.vec_id >= 10)
@@ -978,14 +968,7 @@ object Pipeline {
     s"""WITH ${coarseFitSql(floorK = 16)},
        |$pqFitSql,
        |${pqScoreSql(
-      s"""asg AS (
-         |  SELECT vec_id, embedding, cluster, rn FROM (
-         |    SELECT e.vec_id, e.embedding, c.cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-         |        c.cluster) AS rn
-         |    FROM embeddings e CROSS JOIN kmcent c)
-         |  WHERE rn <= 4),
+      s"""${coarseAsgSql(maxRn = 4)},
          |cand AS (SELECT vec_id, cluster FROM asg WHERE rn = 1 AND vec_id >= 10),
          |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
          |          FROM asg WHERE vec_id < 10),

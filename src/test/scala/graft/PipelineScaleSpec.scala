@@ -86,7 +86,7 @@ class PipelineScaleSpec extends SparkSpec {
     val df = spark.range(0, 10000).toDF("vec_id")
     val n = 10000L
     val cap = 1000L
-    val sampled = graft.queries.Pipeline.trainingSample(df, col("vec_id"), n, cap, "spec")
+    val sampled = graft.operators.IntLloyd.trainingSample(df, col("vec_id"), n, cap, "spec")
     val got = sampled.count()
     // binomial(10000, 0.1): ±40% of cap is a >6-sigma window
     assert(got > cap * 0.6 && got < cap * 1.4,
@@ -94,12 +94,12 @@ class PipelineScaleSpec extends SparkSpec {
     // layout-independent: the admitted SET survives any repartitioning
     // (the property fraction-sampling lacks and the reason for the
     // salted-hash idiom)
-    val re = graft.queries.Pipeline.trainingSample(
+    val re = graft.operators.IntLloyd.trainingSample(
       df.repartition(17), col("vec_id"), n, cap, "spec")
     assert(re.collect().map(_.getLong(0)).toSet ==
       sampled.collect().map(_.getLong(0)).toSet)
     // under the cap the corpus passes through whole
-    val small = graft.queries.Pipeline.trainingSample(df, col("vec_id"), 500L, cap, "spec")
+    val small = graft.operators.IntLloyd.trainingSample(df, col("vec_id"), 500L, cap, "spec")
     assert(small.count() == 10000L)
   }
 
