@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Pipeline, Relational}
+import graft.queries.{Monitoring, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7 + the builder
   * prompt. Every implemented operator is registered in [[queries]];
@@ -16,12 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Pipeline.queries
+    Relational.queries ++ Pipeline.queries ++ Monitoring.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (only the KMeans-dependent
     * s03/s04/s05/d07 — an iterative float fit has no SQL replay) get
     * the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Pipeline.oracle
+    Relational.oracle ++ Pipeline.oracle ++ Monitoring.oracle
 }

@@ -49,6 +49,16 @@ object TextFunctions {
     * expression, codegen'd. */
   def hash64(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
+  /** Count-min-sketch bucket for hash row `r`: the first 16 md5 bits
+    * of "tok|r" mod `width`. md5 agrees across engines, so a sketch
+    * built on this family replays bit-for-bit in a DuckDB oracle.
+    * ONE definition shared by the batch sketch (t10) and the
+    * continuously-maintained one (e08/cmsStream) — batch, stream and
+    * oracle cannot diverge. */
+  def cmsBucket(tok: Column, r: Int, width: Int): Column =
+    conv(substring(md5(concat(tok, lit(s"|$r"))), 1, 4), 16, 10)
+      .cast(org.apache.spark.sql.types.IntegerType) % width
+
   /** MinHash signature: hash each element ONCE with xxhash64, then
     * derive the `numPerms` permutations arithmetically (xor-multiply
     * mix with odd constants — bijective on Long, overflow wraps

@@ -1475,8 +1475,7 @@ object Pipeline {
       .filter(col("tok") =!= "")
       .transform(graft.CacheScope.cached) // one tokenization, read by sketch build + exact top-k
     def bucket(tok: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
-      conv(substring(md5(concat(tok, lit(s"|$r"))), 1, 4), 16, 10)
-        .cast(IntegerType) % width
+      graft.functions.TextFunctions.cmsBucket(tok, r, width)
     val rows = (0 until depth).map(r =>
       struct(lit(r).as("r"), bucket(col("tok"), r).as("bucket")))
     val counters = toks
@@ -1987,6 +1986,65 @@ object Pipeline {
        |SELECT chunk, a_id, b_id, hamming FROM mm WHERE hamming <= 3
        |ORDER BY chunk, a_id, b_id""".stripMargin
 
+  // -- e08: continuous heavy hitters (streaming count-min sketch) ----------
+  // The continuous form of t10: the boilerplate/stopword gate runs on
+  // the INTAKE stream, maintaining the depth×width counter table as
+  // streaming aggregation state (bounded by construction — the key
+  // space IS the counter table). Runs StreamingJobs.cmsStream on a
+  // BATCH frame — the identical code path the stream executes, since
+  // counters merge by addition in both — and probes it with the exact
+  // top-20 as the verification set, t10's report shape. Different
+  // geometry than t10 (depth 3 × width 512) so the two sketches are
+  // independently checked. StreamingSpec proves the MemoryStream
+  // incremental run lands on the same counter table.
+  private val e08: Q = (s, d) => {
+    val depth = 3; val width = 512
+    val toks = docsSpread(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .transform(graft.CacheScope.cached) // read by counters + exact top-k
+    val counters = graft.streaming.StreamingJobs.cmsStream(docsSpread(s, d), depth, width)
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .limit(20)
+    val probes = top.select(col("tok"), col("exact_cnt"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"),
+            graft.functions.TextFunctions.cmsBucket(col("tok"), r, width).as("bucket"))): _*)).as("rb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    probes.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cell")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("over_err"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  private val e08Sql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+      |rb AS (
+      |  SELECT tok, r,
+      |    CAST(('0x' || substr(md5(tok || '|' || CAST(r AS VARCHAR)), 1, 4)) AS INTEGER)
+      |      % 512 AS bucket
+      |  FROM tk, (SELECT unnest(generate_series(0, 2)) AS r)),
+      |counters AS (SELECT r, bucket, COUNT(*) AS cell FROM rb GROUP BY 1, 2),
+      |top AS (SELECT tok, COUNT(*) AS exact_cnt FROM tk GROUP BY tok
+      |        ORDER BY exact_cnt DESC, tok LIMIT 20),
+      |probes AS (
+      |  SELECT t.tok, t.exact_cnt, r.r,
+      |    CAST(('0x' || substr(md5(t.tok || '|' || CAST(r.r AS VARCHAR)), 1, 4)) AS INTEGER)
+      |      % 512 AS bucket
+      |  FROM top t, (SELECT unnest(generate_series(0, 2)) AS r) r)
+      |SELECT p.tok, p.exact_cnt, MIN(c.cell) AS cms_est,
+      |  MIN(c.cell) - p.exact_cnt AS over_err
+      |FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+      |GROUP BY p.tok, p.exact_cnt
+      |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
@@ -2009,7 +2067,7 @@ object Pipeline {
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
-    "e07_stream_sessionize" -> e07)
+    "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08)
 
   /** Every query replays in DuckDB — the last rows-only family
     * (KMeans-dependent d07/s03/s04/s05) graduated in round 5 via the
@@ -2037,5 +2095,5 @@ object Pipeline {
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
-    "e07_stream_sessionize" -> e07Sql)
+    "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql)
 }

@@ -87,6 +87,34 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("lang"),
         col("n_docs"), col("n_kept"))
 
+  /** e08: continuously-maintained count-min sketch over a document
+    * stream — the streaming form of t10's heavy-hitter pass (a
+    * boilerplate/stopword gate a training-data pipeline runs on its
+    * INTAKE stream, not nightly over the corpus). The aggregation key
+    * space is the depth×width counter table, so streaming state is
+    * bounded by construction — depth·width cells total, regardless of
+    * stream length — and counters merge by addition, which is exactly
+    * the partial-agg merge the batch sketch uses: running this same
+    * function on a batch frame is the oracle for the stream. The hash
+    * rows are the shared md5 family ([[graft.functions.TextFunctions
+    * .cmsBucket]]), so the continuously-maintained sketch replays
+    * bit-for-bit in DuckDB (a hash-exact STREAMING sketch).
+    *
+    * Scale: tokenize/bucket are map-side; the one shuffle carries
+    * partial counters (≤ depth·width rows per task). Complete-mode
+    * output is the whole sketch — 1024-ish rows, constant. */
+  def cmsStream(docs: DataFrame, depth: Int, width: Int): DataFrame = {
+    val rows = (0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        graft.functions.TextFunctions.cmsBucket(col("tok"), r, width).as("bucket")))
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   // ---- mart commit model: bucket-partitioned snapshots + manifest ----
 
   /** Run identity for the replay guard, stored INSIDE the checkpoint

@@ -90,6 +90,31 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "en", 2L, 1L)))
   }
 
+  test("cmsStream: incremental sketch equals the batch sketch, state bounded at depth*width") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq("the cat sat on the mat", "the dog ran")
+    val b2 = Seq("the cat ran far", "a dog and a cat")
+    val ms = MemoryStream[String]
+    val q = StreamingJobs.cmsStream(ms.toDF().toDF("text"), depth = 3, width = 512)
+      .writeStream.format("memory").queryName("t_cms").outputMode("complete").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_cms").orderBy("r", "bucket")
+      .as[(Int, Int, Long)].collect().toSeq
+    val batch = StreamingJobs.cmsStream((b1 ++ b2).toDF("text"), depth = 3, width = 512)
+      .orderBy("r", "bucket").as[(Int, Int, Long)].collect().toSeq
+    assert(streamed == batch, "counters merge by addition: stream == batch")
+    assert(streamed.nonEmpty && streamed.size <= 3 * 512,
+      "state is the counter table — bounded by geometry, not stream length")
+    // every counter cell ≥ the true count of any token hashing into it
+    val totalTokens = (b1 ++ b2).flatMap(_.split(" ")).count(_.nonEmpty).toLong * 3
+    assert(streamed.map(_._3).sum == totalTokens,
+      "each token increments exactly depth cells")
+  }
+
   test("sessionizeStream closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingJobs.EventRow
