@@ -1940,8 +1940,136 @@ object Relational {
       |  rows_before - rows_deleted AS rows_after
       |FROM rows_ ORDER BY table_name""".stripMargin
 
+  // -- q68: duplicate-organization detection + guarded cleanup -------------
+  // The documented "Duplicate Schools" incident workflow (reference
+  // /root/reference/docs/Troubleshooting.md:360): ART sync creates
+  // malformed org records whose natural id carries the SCHOOL id in
+  // the district slot and '0000000' in the school slot; the runbook's
+  // detection query matches each bad record to its real counterpart
+  // by substring (bad's first 7 chars = real's last 7), and the
+  // cleanup DELETE is guarded — only unreferenced records may go
+  // (`NOT EXISTS` probes; the reference checks exams and student
+  // groups — both collapse to reference-probes, modeled as the exam
+  // probe). Registry modeled from supplier: well-formed ids are
+  // district(7)||school(7); the s_suppkey % 5 subset has a malformed
+  // twin, and the % 10 subset of those is still referenced by exams
+  // (the "Pioneer High" rows that had accumulated results and must
+  // NOT be auto-deleted).
+  //
+  // Scale: the registry is dim-sized → broadcast both sides of the
+  // substring self-join; exam counts pre-aggregate the fact table per
+  // org key (1 partial-agg shuffle) before the probe join.
+  private val q68: Q = (s, d) => {
+    val real = T.supplier(s, d).select(
+      concat(lpad(col("s_nationkey").cast("string"), 7, "0"),
+        lpad(col("s_suppkey").cast("string"), 7, "0")).as("org_id"),
+      col("s_name").as("org_name"),
+      col("s_suppkey").as("exam_key"))
+    val badTwins = T.supplier(s, d).filter(col("s_suppkey") % 5 === 0).select(
+      concat(lpad(col("s_suppkey").cast("string"), 7, "0"), lit("0000000")).as("org_id"),
+      col("s_name").as("org_name"),
+      when(col("s_suppkey") % 10 === 0, col("s_suppkey")).as("exam_key"))
+    val registry = real.unionByName(badTwins)
+    val bad = registry.filter(substring(col("org_id"), 8, 7) === "0000000")
+      .select(col("org_id").as("bad_id"), col("org_name").as("bad_name"),
+        col("exam_key"))
+    val good = registry.filter(substring(col("org_id"), 8, 7) =!= "0000000")
+      .select(col("org_id").as("real_id"), col("org_name").as("real_name"))
+    val perOrg = T.lineitem(s, d)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    bad
+      .join(broadcast(good),
+        substring(col("bad_id"), 1, 7) === substring(col("real_id"), 8, 7))
+      .join(perOrg, col("exam_key") === col("l_suppkey"), "left")
+      .withColumn("exam_count", coalesce(col("n"), lit(0L)))
+      .withColumn("decision",
+        when(col("exam_count") > 0, lit("keep_referenced")).otherwise(lit("delete")))
+      .select(col("bad_id"), col("bad_name"), col("real_id"), col("real_name"),
+        col("exam_count"), col("decision"))
+      .orderBy(col("bad_id"))
+  }
+
+  private val q68Sql =
+    """WITH reg AS (
+      |  SELECT lpad(CAST(s_nationkey AS VARCHAR), 7, '0')
+      |      || lpad(CAST(s_suppkey AS VARCHAR), 7, '0') AS org_id,
+      |    s_name AS org_name, s_suppkey AS exam_key
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT lpad(CAST(s_suppkey AS VARCHAR), 7, '0') || '0000000',
+      |    s_name, CASE WHEN s_suppkey % 10 = 0 THEN s_suppkey END
+      |  FROM supplier WHERE s_suppkey % 5 = 0),
+      |bad AS (SELECT org_id AS bad_id, org_name AS bad_name, exam_key
+      |        FROM reg WHERE substr(org_id, 8, 7) = '0000000'),
+      |good AS (SELECT org_id AS real_id, org_name AS real_name
+      |         FROM reg WHERE substr(org_id, 8, 7) <> '0000000'),
+      |per_org AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+      |SELECT bad_id, bad_name, real_id, real_name,
+      |  COALESCE(n, 0) AS exam_count,
+      |  CASE WHEN COALESCE(n, 0) > 0 THEN 'keep_referenced' ELSE 'delete' END AS decision
+      |FROM bad
+      |JOIN good ON substr(bad_id, 1, 7) = substr(real_id, 8, 7)
+      |LEFT JOIN per_org ON exam_key = l_suppkey
+      |ORDER BY bad_id""".stripMargin
+
+  // -- q69: writing trait scores (per-item trait distribution) -------------
+  // The writing-trait-scores report (reference /root/reference/docs/
+  // Runbook.Localization.md:133,195 — the "item-writing-trait-score"
+  // and "writing-trait-scores" UI components): extended-writing items
+  // carry per-trait points (evidence / organization / conventions)
+  // alongside the item score, reported per item × trait. The
+  // per-response trait columns UNPIVOT into (trait, points) rows —
+  // the inverse of q08's pivot, a map-side Expand, no shuffle — then
+  // one partial-agg on (item, trait). Trait points derive from the
+  // response measures; the conventions derivation rounds l_discount
+  // ×100 FIRST on both engines (the raw double sits within 1e-12 of
+  // an integer, so HALF_UP-vs-half-even cannot diverge, while a bare
+  // int cast would: Spark truncates 5.999..9 to 5, DuckDB rounds to
+  // 6).
+  //
+  // Scale: output bounded by item catalog × 3 traits regardless of
+  // response volume; the unpivot triples rows map-side BEFORE the
+  // partial agg, so the one shuffle still ships ≤ cells per task.
+  private val q69: Q = (s, d) => {
+    val wer = T.lineitem(s, d).filter(col("l_partkey") % 7 === 0)
+      .select(col("l_partkey").as("item_id"),
+        (col("l_quantity").cast("long") % 5).cast("int").as("evidence"),
+        (col("l_linenumber") % 5).cast("int").as("organization"),
+        (round(col("l_discount") * 100).cast("long") % 3).cast("int").as("conventions"))
+    wer.unpivot(
+        Array(col("item_id")),
+        Array(col("evidence"), col("organization"), col("conventions")),
+        "trait", "points")
+      .groupBy(col("item_id"), col("trait"))
+      .agg(count(lit(1)).as("n_scored"),
+        // unrounded single IEEE division of exact ints (q52/q54 policy)
+        (sum(col("points")).cast(DoubleType) / count(lit(1))).as("avg_points"),
+        sum(when(col("points") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("item_id"), col("trait"))
+  }
+
+  private val q69Sql =
+    """WITH wer AS (
+      |  SELECT l_partkey AS item_id,
+      |    CAST(CAST(l_quantity AS BIGINT) % 5 AS INTEGER) AS evidence,
+      |    CAST(l_linenumber % 5 AS INTEGER) AS organization,
+      |    CAST(CAST(round(l_discount * 100) AS BIGINT) % 3 AS INTEGER) AS conventions
+      |  FROM lineitem WHERE l_partkey % 7 = 0),
+      |tr AS (
+      |  SELECT item_id, 'evidence' AS trait, evidence AS points FROM wer
+      |  UNION ALL
+      |  SELECT item_id, 'organization', organization FROM wer
+      |  UNION ALL
+      |  SELECT item_id, 'conventions', conventions FROM wer)
+      |SELECT item_id, trait, COUNT(*) AS n_scored,
+      |  CAST(CAST(SUM(points) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_points,
+      |  CAST(SUM(CASE WHEN points = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |FROM tr GROUP BY item_id, trait
+      |ORDER BY item_id, trait""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q68_duplicate_org_cleanup" -> q68, "q69_writing_traits" -> q69,
     "q55_item_difficulty" -> q55, "q56_item_standard_rollup" -> q56,
     "q57_student_responses" -> q57, "q58_resource_links" -> q58,
     "q59_item_discrimination" -> q59, "q60_year_purge_audit" -> q60) ++ Map(
@@ -1969,6 +2097,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q68_duplicate_org_cleanup" -> q68Sql, "q69_writing_traits" -> q69Sql,
     "q55_item_difficulty" -> q55Sql, "q56_item_standard_rollup" -> q56Sql,
     "q57_student_responses" -> q57Sql, "q58_resource_links" -> q58Sql,
     "q59_item_discrimination" -> q59Sql, "q60_year_purge_audit" -> q60Sql,

@@ -291,6 +291,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashExchanges == 0, s"expected zero hash exchanges, got $hashExchanges:\n$p")
   }
 
+  test("q68 duplicate-org cleanup: registry self-join broadcasts, exam probe pre-aggregates") {
+    import graft.plans.PlanAudit
+    val a = PlanAudit.of(SparkEntry.queries("q68_duplicate_org_cleanup")(spark, sfDir))
+    assert(a.broadcastHashJoins >= 1,
+      s"the dim-sized registry must broadcast for the substring match: ${a.render}")
+    assert(a.partialAggregates >= 1,
+      s"exam counts must pre-agg the fact per org key: ${a.render}")
+    assert(a.nestedLoopJoins == 0, s"substring match is an equi-join: ${a.render}")
+  }
+
+  test("q69 writing traits: unpivot is a map-side Expand feeding one partial agg, no join") {
+    val p = plan("q69_writing_traits")
+    assert(p.contains("Expand"), s"unpivot must plan as Expand:\n$p")
+    assert(!p.contains("Join"), s"trait rows come from Expand, not a self-join:\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"one (item, trait) agg shuffle expected:\n$p")
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
