@@ -2067,8 +2067,96 @@ object Relational {
       |FROM tr GROUP BY item_id, trait
       |ORDER BY item_id, trait""".stripMargin
 
+  // -- q70: ingest-pipeline regression tests -------------------------------
+  // The Pipeline script system (reference /root/reference/docs/
+  // Runbook.Pipeline.md): admin-authored pre-process scripts are
+  // VERSIONED, each pipeline points at its active_version (or none),
+  // and the `pipeline_test` table (:119 "Database") holds
+  // example_input → expected_output regression rows the UI runs
+  // before a version can be published. This query IS that harness:
+  // resolve each pipeline's active script (version 2 = the documented
+  // bankKey remap fix-up, version 1 = identity, none = tests are
+  // skipped), apply it to every test's example_input, and report
+  // pass / fail / skipped per test with the actual-output hash as the
+  // audit trail. The pipeline/pipeline_test fixtures model WAREHOUSE
+  // TABLES (admin UI writes rows; the reference defines no file-ingest
+  // contract for them — unlike config CSV/XML payloads, which ride
+  // Ingest.parseConfigCsv/parseAccommodationsXml here), so inline
+  // frames are the honest model.
+  //
+  // Scale: both fixture tables are admin-sized; the transform is the
+  // same codegen'd regexp_replace the ingest path runs map-side over
+  // payloads — this harness costs #tests rows.
+  private val q70: Q = (s, d) => {
+    import s.implicits._
+    val pipelines = Seq(
+      ("exam", "xml", Some(2)), ("assessment", "csv", Option.empty[Int]))
+      .toDF("code", "input_type", "active_version")
+    val tests = Seq(
+      ("exam", "remap_simple",
+        """<Item bankKey="200" key="5"/>""", """<Item bankKey="7829" key="5"/>"""),
+      ("exam", "remap_other_value",
+        """<Item bankKey="300" key="6"/>""", """<Item bankKey="300" key="6"/>"""),
+      ("exam", "quote_aware",
+        """<Item name="a>b" bankKey="200"/>""", """<Item name="a>b" bankKey="7829"/>"""),
+      ("exam", "other_element_untouched",
+        """<Other bankKey="200"/>""", """<Other bankKey="200"/>"""),
+      ("exam", "stale_expectation",
+        """<Item bankKey="200" x="1"/>""", """<Item bankKey="200" x="1"/>"""),
+      ("assessment", "header_fix",
+        "id,name\n1,x", "id,name\n1,x"))
+      .toDF("pipeline_code", "test_name", "example_input", "expected_output")
+    val remap = graft.sources.Ingest.xmlAttributeRemap("Item", "bankKey", "200", "7829")
+    tests
+      .join(broadcast(pipelines), col("pipeline_code") === col("code"), "left")
+      .withColumn("actual",
+        when(col("active_version") === 2, remap(col("example_input")))
+          .when(col("active_version") === 1, col("example_input")))
+      .withColumn("status",
+        when(col("active_version").isNull, lit("skipped"))
+          .when(col("actual") === col("expected_output"), lit("pass"))
+          .otherwise(lit("fail")))
+      .select(col("pipeline_code"), col("test_name"), col("status"),
+        md5(col("actual")).as("actual_hash"))
+      .orderBy(col("pipeline_code"), col("test_name"))
+  }
+
+  private val q70Sql =
+    """WITH pipelines AS (SELECT * FROM (VALUES
+      |  ('exam', 'xml', 2), ('assessment', 'csv', NULL))
+      |  AS t(code, input_type, active_version)),
+      |tests AS (SELECT * FROM (VALUES
+      |  ('exam', 'remap_simple',
+      |   '<Item bankKey="200" key="5"/>', '<Item bankKey="7829" key="5"/>'),
+      |  ('exam', 'remap_other_value',
+      |   '<Item bankKey="300" key="6"/>', '<Item bankKey="300" key="6"/>'),
+      |  ('exam', 'quote_aware',
+      |   '<Item name="a>b" bankKey="200"/>', '<Item name="a>b" bankKey="7829"/>'),
+      |  ('exam', 'other_element_untouched',
+      |   '<Other bankKey="200"/>', '<Other bankKey="200"/>'),
+      |  ('exam', 'stale_expectation',
+      |   '<Item bankKey="200" x="1"/>', '<Item bankKey="200" x="1"/>'),
+      |  ('assessment', 'header_fix',
+      |   'id,name' || chr(10) || '1,x', 'id,name' || chr(10) || '1,x'))
+      |  AS t(pipeline_code, test_name, example_input, expected_output)),
+      |run AS (
+      |  SELECT pipeline_code, test_name, expected_output, active_version,
+      |    CASE WHEN active_version = 2 THEN
+      |      regexp_replace(example_input,
+      |        '(<Item\b(?:[^>"]|"[^"]*")*\bbankKey=")200(")', '\17829\2', 'g')
+      |    WHEN active_version = 1 THEN example_input END AS actual
+      |  FROM tests LEFT JOIN pipelines ON pipeline_code = code)
+      |SELECT pipeline_code, test_name,
+      |  CASE WHEN active_version IS NULL THEN 'skipped'
+      |       WHEN actual = expected_output THEN 'pass'
+      |       ELSE 'fail' END AS status,
+      |  md5(actual) AS actual_hash
+      |FROM run
+      |ORDER BY pipeline_code, test_name""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q70_pipeline_tests" -> q70,
     "q68_duplicate_org_cleanup" -> q68, "q69_writing_traits" -> q69,
     "q55_item_difficulty" -> q55, "q56_item_standard_rollup" -> q56,
     "q57_student_responses" -> q57, "q58_resource_links" -> q58,
@@ -2097,6 +2185,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q70_pipeline_tests" -> q70Sql,
     "q68_duplicate_org_cleanup" -> q68Sql, "q69_writing_traits" -> q69Sql,
     "q55_item_difficulty" -> q55Sql, "q56_item_standard_rollup" -> q56Sql,
     "q57_student_responses" -> q57Sql, "q58_resource_links" -> q58Sql,

@@ -345,6 +345,19 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("q70 pipeline regression harness: pass/fail/skipped land exactly as the fixtures dictate") {
+    // the oracle gate proves Spark == DuckDB; this pins Spark == INTENT
+    // (both engines agreeing on wrong regex behavior would still hash-match)
+    val rows = SparkEntry.queries("q70_pipeline_tests")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getString(2))).toMap
+    assert(rows("remap_simple") == "pass" && rows("quote_aware") == "pass" &&
+      rows("remap_other_value") == "pass" && rows("other_element_untouched") == "pass")
+    assert(rows("stale_expectation") == "fail",
+      "a wrong expected_output must surface as fail, not silently pass")
+    assert(rows("header_fix") == "skipped",
+      "tests of a pipeline with no active script version must be skipped")
+  }
+
   test("q49 cut config: subject-XML path and tabulator-CSV path yield the identical frame") {
     import graft.queries.Relational
     val viaXml = Relational.q49CutsFromXml(spark)
