@@ -1986,6 +1986,107 @@ object Pipeline {
        |SELECT chunk, a_id, b_id, hamming FROM mm WHERE hamming <= 3
        |ORDER BY chunk, a_id, b_id""".stripMargin
 
+  // -- d11: line-level boilerplate dedup (C4-style) ------------------------
+  // The C4/RefinedWeb preprocessing step that is NOT document-grain:
+  // dedup at the LINE level — any line occurring in more than one
+  // document is boilerplate (headers, navigation, license blurbs) and
+  // gets dropped corpus-wide. The corpus has no newlines, so "lines"
+  // are non-overlapping 8-token segments (same spirit: sub-document
+  // content units). Report per doc: segment count, segments shared
+  // with ≥1 other doc, shared share — the removal set a C4-style pass
+  // would apply.
+  //
+  // Scale: 3 shuffles, all on uniform hash keys — segment partial-agg
+  // on the md5 (the df table), the segs⋈df equi-join co-partitioned
+  // on that same hash, one per-doc agg. This IS the documented cost
+  // of C4's line dedup; no all-pairs anything. Segmentation is a
+  // map-side explode bounded by doc length (t12's class).
+  private val d11: Q = (s, d) => {
+    val segs = docsSpread(s, d)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("i", explode(sequence(lit(0), expr("(size(tk) + 7) div 8 - 1"))))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ")).as("seg_hash"))
+      .transform(graft.CacheScope.cached) // read by the df build + the probe side
+    val df = segs.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    segs.join(df, "seg_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      // unrounded single IEEE division of exact ints (q52/q54 policy)
+      .withColumn("shared_share",
+        col("n_shared").cast(DoubleType) / col("n_segments"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d11Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |segs AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_slice(tk, i*8+1, i*8+8), ' ')) AS seg_hash
+      |  FROM toks, LATERAL unnest(generate_series(0, (len(tk)+7)//8 - 1)) AS g(i)),
+      |df AS (SELECT seg_hash, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY 1),
+      |per_doc AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_segments,
+      |    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |  FROM segs s JOIN df USING (seg_hash) GROUP BY 1)
+      |SELECT doc_id, n_segments, n_shared,
+      |  CAST(n_shared AS DOUBLE) / n_segments AS shared_share
+      |FROM per_doc ORDER BY doc_id""".stripMargin
+
+  // -- t13: vocabulary coverage report -------------------------------------
+  // Tokenizer/vocab design needs the Zipf head: how much of the
+  // corpus does a top-k vocabulary cover? Exact token frequencies,
+  // top 200 by (count, token) with a deterministic tie-break, rank +
+  // running coverage share (exact integer cumulative sum, one IEEE
+  // division per row against the exact corpus total).
+  //
+  // Scale: one vocab partial-agg shuffle (the only fact-sized move);
+  // the rank/running-sum window runs over the LIMITed 200-row frame —
+  // bounded by construction, the q52/p02 class. The corpus total is
+  // one scalar agg broadcast back.
+  private val t13: Q = (s, d) => {
+    val toks = docsSpread(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .transform(graft.CacheScope.cached) // read by vocab agg + total
+    val total = toks.agg(count(lit(1)).as("total"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(200)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      // cast to long: DuckDB's row_number is BIGINT (the driver's
+      // compare is dtype-sensitive)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast(DoubleType) / col("total")).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  private val t13Sql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+      |total AS (SELECT COUNT(*) AS total FROM tk),
+      |top AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok
+      |        ORDER BY cnt DESC, tok LIMIT 200),
+      |ranked AS (
+      |  SELECT tok, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+      |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+      |  FROM top)
+      |SELECT rank, tok, cnt, cum_cnt,
+      |  CAST(cum_cnt AS DOUBLE) / total AS cum_share
+      |FROM ranked, total
+      |ORDER BY rank""".stripMargin
+
   // -- e08: continuous heavy hitters (streaming count-min sketch) ----------
   // The continuous form of t10: the boilerplate/stopword gate runs on
   // the INTAKE stream, maintaining the depth×width counter table as
@@ -2051,6 +2152,7 @@ object Pipeline {
     "d05_dedup_simhash" -> d05, "d06_dedup_embedding" -> d06,
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
+    "d11_dedup_lines" -> d11, "t13_vocab_coverage" -> t13,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
@@ -2079,6 +2181,7 @@ object Pipeline {
     "d07_dedup_embedding_ivf" -> d07Sql,
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
+    "d11_dedup_lines" -> d11Sql, "t13_vocab_coverage" -> t13Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,

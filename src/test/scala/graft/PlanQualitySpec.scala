@@ -309,6 +309,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashExchanges <= 1, s"one (item, trait) agg shuffle expected:\n$p")
   }
 
+  test("d11 line dedup: the df probe is an equi-join on the segment hash, no cartesian") {
+    val p = plan("d11_dedup_lines")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"segs x df must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs explosion")
+    graft.CacheScope.drain()
+  }
+
+  test("t13 vocab coverage: the unpartitioned window consumes the LIMITed 200-row frame") {
+    val p = plan("t13_vocab_coverage")
+    // the global window must sit above a Limit, never directly on facts
+    val limitLine = p.linesIterator.indexWhere(l =>
+      l.contains("GlobalLimit") || l.contains("TakeOrdered"))
+    val windowLine = p.linesIterator.indexWhere(_.contains("Window"))
+    assert(limitLine >= 0 && windowLine >= 0 && windowLine < limitLine,
+      s"window (line $windowLine) must consume the limited frame (line $limitLine):\n$p")
+    graft.CacheScope.drain()
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
