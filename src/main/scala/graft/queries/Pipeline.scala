@@ -2100,10 +2100,12 @@ object Pipeline {
   // incremental run lands on the same counter table.
   private val e08: Q = (s, d) => {
     val depth = 3; val width = 512
+    // counters come from the STREAM code path (its own tokenization);
+    // toks below feeds only the exact top-k, so no cache — each frame
+    // is read once
     val toks = docsSpread(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .transform(graft.CacheScope.cached) // read by counters + exact top-k
     val counters = graft.streaming.StreamingJobs.cmsStream(docsSpread(s, d), depth, width)
     val top = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("exact_cnt"))

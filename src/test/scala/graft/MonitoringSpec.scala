@@ -45,10 +45,14 @@ class MonitoringSpec extends SparkSpec {
     assert(hours.nonEmpty && days.nonEmpty, "both granularities present")
     assert(hours.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 24))
     assert(days.forall(_.getLong(1) >= 1))
-    // hour+day partition the processed set: totals must equal q62's
-    // universe without its 1-hour cut
-    val processed = rows.map(_.getLong(2)).sum
-    assert(processed > 0)
+    // cross-query containment: q62's universe is the <1h subset of the
+    // same created→updated pairs, and q63's hour bucket (<24h) must
+    // contain all of it — real set inequalities, not a rows>0 smoke
+    val q62Total = run("q62_ingest_speed").collect().map(_.getLong(1)).sum
+    val q63Total = rows.map(_.getLong(2)).sum
+    val hourTotal = hours.map(_.getLong(2)).sum
+    assert(q62Total > 0 && q63Total >= q62Total && hourTotal >= q62Total,
+      s"containment violated: q62=$q62Total q63=$q63Total hour=$hourTotal")
   }
 
   test("q64 migrate-rate report: avg <= max per day, runtimes non-negative") {
