@@ -2148,6 +2148,38 @@ object Pipeline {
       |GROUP BY p.tok, p.exact_cnt
       |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
 
+  // -- e09: continuous latency monitor (stateful, oracle-certified) --------
+  // The q62/q63 created→updated derivation as a flatMapGroupsWithState
+  // operator (StreamingJobs.latencyExact): one long of state per user,
+  // each processed result emits its latency on arrival. The batch run
+  // of the SAME code path — one sorted pass per user — equals the
+  // declarative carried-forward window (including (ts, event_id) tie
+  // order), so the custom stateful operator itself hash-matches the
+  // DuckDB oracle, e07's certification class. StreamingSpec proves
+  // cross-batch state carry (click in batch 1, purchase in batch 2).
+  private val e09: Q = (s, d) => {
+    import s.implicits._
+    val rows = T.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.StreamingJobs.LatRow]
+    graft.streaming.StreamingJobs.latencyExact(rows).toDF()
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(ts_us)").as("processed_ts"), col("proc_sec"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val e09Sql =
+    """WITH w AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      |  FROM events)
+      |SELECT user_id, event_id, ts AS processed_ts,
+      |  (epoch_us(ts) - epoch_us(last_click)) // 1000000 AS proc_sec
+      |FROM w WHERE event_type = 'purchase' AND last_click IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
     "d03_dedup_ngram_jaccard" -> d03, "d04_dedup_minhash" -> d04,
@@ -2171,7 +2203,8 @@ object Pipeline {
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
-    "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08)
+    "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
+    "e09_stream_latency_monitor" -> e09)
 
   /** Every query replays in DuckDB — the last rows-only family
     * (KMeans-dependent d07/s03/s04/s05) graduated in round 5 via the
@@ -2200,5 +2233,6 @@ object Pipeline {
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
-    "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql)
+    "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql,
+    "e09_stream_latency_monitor" -> e09Sql)
 }

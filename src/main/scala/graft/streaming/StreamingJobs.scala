@@ -115,6 +115,54 @@ object StreamingJobs {
       .agg(count(lit(1)).as("cell"))
   }
 
+  case class LatRow(user_id: Long, event_id: Long, ts: Timestamp,
+                    event_type: String)
+  case class LatState(last_click_us: Long)
+  case class LatOut(user_id: Long, event_id: Long, ts_us: Long, proc_sec: Long)
+
+  /** e09: continuous time-to-warehouse monitor — the q62/q63
+    * created→updated latency derivation as a stateful streaming
+    * operator (reference /root/reference/docs/Monitoring.md:94,123
+    * documents these monitors as cron SQL against the warehouse; a
+    * streaming engine computes them AS the results arrive). State is
+    * ONE long per user (the latest submission/click event-time):
+    * every processed result (purchase) emits its latency against that
+    * state. Events inside a batch are processed in (event-time,
+    * event_id) order, and an out-of-order click within the watermark
+    * can only RAISE the stored latest-click (math.max — the mirror of
+    * e07's min-on-start), so the batch run of this exact code path —
+    * one sorted pass per user — reproduces the declarative
+    * carried-forward window derivation row for row, which is what the
+    * DuckDB oracle certifies.
+    *
+    * Scale: one shuffle on user_id; state O(users) × 8 bytes, no
+    * growth with event volume. */
+  def latencyExact(events: Dataset[LatRow]): Dataset[LatOut] = {
+    import events.sparkSession.implicits._
+
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+    def update(userId: Long, it: Iterator[LatRow],
+               state: GroupState[LatState]): Iterator[LatOut] = {
+      val sorted = it.toSeq.sortBy(r => (micros(r.ts), r.event_id))
+      var lastClick = state.getOption.map(_.last_click_us).getOrElse(Long.MinValue)
+      val out = Seq.newBuilder[LatOut]
+      sorted.foreach { e =>
+        val t = micros(e.ts)
+        if (e.event_type == "purchase" && lastClick != Long.MinValue)
+          out += LatOut(userId, e.event_id, t, (t - lastClick) / 1000000L)
+        if (e.event_type == "click") lastClick = math.max(lastClick, t)
+      }
+      if (lastClick != Long.MinValue) state.update(LatState(lastClick))
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   // ---- mart commit model: bucket-partitioned snapshots + manifest ----
 
   /** Run identity for the replay guard, stored INSIDE the checkpoint

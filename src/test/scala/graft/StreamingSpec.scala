@@ -115,6 +115,38 @@ class StreamingSpec extends SparkSpec {
       "each token increments exactly depth cells")
   }
 
+  test("latencyExact: cross-batch state carry, per-batch tie order, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingJobs.LatRow
+    def r(u: Long, id: Long, t: String, typ: String) =
+      LatRow(u, id, java.sql.Timestamp.valueOf(t), typ)
+    val b1 = Seq(
+      r(1, 10, "2024-01-01 00:00:00", "click"),
+      r(1, 11, "2024-01-01 00:00:30", "view"),
+      r(2, 20, "2024-01-01 00:01:00", "purchase")) // no prior click → silent
+    val b2 = Seq(
+      r(1, 12, "2024-01-01 00:02:00", "purchase"), // click is in BATCH 1 state
+      r(2, 21, "2024-01-01 00:03:00", "click"),
+      r(2, 22, "2024-01-01 00:03:00", "purchase")) // same-ts tie: click id < purchase id → counts
+    val ms = MemoryStream[LatRow]
+    val q = StreamingJobs.latencyExact(ms.toDS())
+      .writeStream.format("memory").queryName("t_lat").outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_lat")
+      .select("user_id", "event_id", "proc_sec")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 12L, 120L), (2L, 22L, 0L)),
+      s"got $streamed — batch-1 click must serve batch-2's purchase; same-ts lower-id click counts")
+    val batch = StreamingJobs.latencyExact((b1 ++ b2).toDS())
+      .select("user_id", "event_id", "proc_sec")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch, "in-order stream == one-batch run of the same code path")
+  }
+
   test("sessionizeStream closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingJobs.EventRow
