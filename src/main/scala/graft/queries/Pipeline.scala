@@ -2148,6 +2148,85 @@ object Pipeline {
       |GROUP BY p.tok, p.exact_cnt
       |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
 
+  // -- s06: vector range search (radius query) -----------------------------
+  // The retrieval mode the top-k ladder (s01–s05) doesn't cover:
+  // "everything similar ENOUGH" — cosine ≥ τ per query, the RAG /
+  // near-dup-audit radius query whose result size is data-dependent
+  // (possibly empty, possibly huge) rather than fixed-k. Exact
+  // baseline: query side broadcast, one map-only pass over the corpus
+  // — no per-query sort, no window, because a radius filter needs
+  // neither. At warehouse scale the same query runs against s03's
+  // inverted lists (probe cells whose centroid admits cos ≥ τ given
+  // the triangle bound) — the blocking composes exactly as d07
+  // documents for d06.
+  private val s06: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cands = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+    cands.crossJoin(broadcast(qs))
+      .withColumn("cosine", VF.cosine(col("q_vec"), col("embedding")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("q_id"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("cand_id"))
+  }
+
+  private val s06Sql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cand_id, embedding FROM embeddings WHERE vec_id >= 10)
+      |SELECT q_id, cand_id,
+      |  list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cosine
+      |FROM c, q
+      |WHERE list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) >= 0.3
+      |ORDER BY q_id, cand_id""".stripMargin
+
+  // -- p06: dataset card (per-source datasheet) ----------------------------
+  // The "datasheet for datasets" rollup a corpus release ships: per
+  // source — volume (docs, tokens), language spread, exact-duplicate
+  // rate. All measures are exact-integer-derived (t05's policy): the
+  // only doubles are single IEEE divisions of exact ints, so the card
+  // is hash-stable across engines and partitionings. Dup counting is
+  // d01's content-hash window scoped per source (a doc is a dup if an
+  // earlier doc_id in the SAME source has identical text — the
+  // release-grain question; cross-source dups are d09/d11 territory).
+  //
+  // Scale: one window shuffle on (source, content_hash), one
+  // partial-agg shuffle on source; output = #sources rows.
+  private val p06: Q = (s, d) => {
+    val wDup = Window.partitionBy(col("source"), col("content_hash"))
+      .orderBy(col("doc_id"))
+    T.documents(s, d)
+      .withColumn("bpe_tokens",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(wDup))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("bpe_tokens")).as("total_tokens"),
+        (sum(col("bpe_tokens")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_exact_dups"))
+      .withColumn("dup_share", col("n_exact_dups").cast(DoubleType) / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val p06Sql =
+    """WITH d AS (
+      |  SELECT source, lang, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      |    row_number() OVER (PARTITION BY source, md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(CAST(SUM(bpe_tokens) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_share
+      |FROM d GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // -- e09: continuous latency monitor (stateful, oracle-certified) --------
   // The q62/q63 created→updated derivation as a flatMapGroupsWithState
   // operator (StreamingJobs.latencyExact): one long of state per user,
@@ -2188,7 +2267,8 @@ object Pipeline {
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "d11_dedup_lines" -> d11, "t13_vocab_coverage" -> t13,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
-    "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05,
+    "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
+    "p06_dataset_card" -> p06,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "t06_fingerprint" -> t06, "t07_stratified_sample" -> t07,
@@ -2217,6 +2297,7 @@ object Pipeline {
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
     "d11_dedup_lines" -> d11Sql, "t13_vocab_coverage" -> t13Sql,
+    "s06_ann_range_search" -> s06Sql, "p06_dataset_card" -> p06Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,

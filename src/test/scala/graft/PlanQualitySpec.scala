@@ -328,6 +328,28 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("s06 range search: query side broadcasts (map-only corpus pass), radius honored") {
+    val df = SparkEntry.queries("s06_ann_range_search")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query vectors must broadcast — the corpus pass is map-only:\n$p")
+    assert(!p.contains("Window"), "a radius filter needs no per-query sort/window")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) >= 0.3))
+    assert(rows.forall(_.getLong(1) >= 10), "queries never match themselves")
+  }
+
+  test("p06 dataset card: volumes conserve, dup counting stays within source") {
+    val rows = SparkEntry.queries("p06_dataset_card")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count(),
+      "cards must cover every document exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(5) < r.getLong(1), "first copy of a text is never a dup")
+      val share = r.getDouble(6)
+      assert(share >= 0.0 && share < 1.0)
+    }
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
