@@ -2227,6 +2227,101 @@ object Pipeline {
       |FROM d GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // -- t14: dedup-impact waterfall -----------------------------------------
+  // The report every dedup pipeline publishes: how many documents and
+  // tokens each stage removes, SEQUENTIALLY — exact dedup (d01's
+  // keeper rule), then canonical-fingerprint dedup (d02's formula)
+  // over the survivors, then line-level boilerplate drop (d11's
+  // segment df, computed over the CURRENT survivor corpus — a df
+  // computed on the raw corpus would count already-removed copies)
+  // with docs majority-composed of shared segments dropped. The
+  // >50% criterion is the exact integer cross-product (2·shared >
+  // total), no division until the consumer.
+  //
+  // Scale: each stage is the same one/three-shuffle shape as its
+  // parent operator (d01/d02: one window shuffle; d11: three
+  // uniform-hash shuffles); the waterfall adds one lag window over
+  // the 4-row stage frame.
+  private val t14: Q = (s, d) => {
+    val base = docsSpread(s, d)
+      .withColumn("bpe_tokens",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
+      .select(col("doc_id"), col("text"), col("bpe_tokens"))
+      .transform(graft.CacheScope.cached) // stage-0 stat + s1 derivation
+    def keepFirst(in: org.apache.spark.sql.DataFrame,
+                  key: org.apache.spark.sql.Column) = in
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(key).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val s1 = keepFirst(base, md5(col("text")))
+      .transform(graft.CacheScope.cached) // stat + s2
+    val s2 = keepFirst(s1, md5(TF.canonicalize(col("text"))))
+      .transform(graft.CacheScope.cached) // stat + segments + anti-join
+    val segs = s2.withColumn("tk", split(col("text"), " "))
+      .withColumn("i", explode(sequence(lit(0), expr("(size(tk) + 7) div 8 - 1"))))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ")).as("seg_hash"))
+      .transform(graft.CacheScope.cached) // df build + probe
+    val df = segs.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val dropped = segs.join(df, "seg_hash").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_sh"))
+      .filter(col("n_sh") * 2 > col("n_seg"))
+      .select(col("doc_id"))
+    val s3 = s2.join(dropped, Seq("doc_id"), "left_anti")
+    def stat(stage: String, f: org.apache.spark.sql.DataFrame) = f
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("n_tokens"))
+      .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val wl = Window.orderBy(col("stage")) // 4-row stage frame, bounded
+    stat("0_raw", base)
+      .unionByName(stat("1_exact_dedup", s1))
+      .unionByName(stat("2_canonical_dedup", s2))
+      .unionByName(stat("3_line_dedup", s3))
+      .withColumn("removed_docs",
+        coalesce(lag(col("n_docs"), 1).over(wl) - col("n_docs"), lit(0L)))
+      .withColumn("removed_tokens",
+        coalesce(lag(col("n_tokens"), 1).over(wl) - col("n_tokens"), lit(0L)))
+      .orderBy(col("stage"))
+  }
+
+  private val t14Sql =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, text, bpe FROM (
+      |  SELECT doc_id, text, bpe,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM base) WHERE rn = 1),
+      |s2 AS (SELECT doc_id, text, bpe FROM (
+      |  SELECT doc_id, text, bpe, row_number() OVER (
+      |    PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+      |    ORDER BY doc_id) AS rn
+      |  FROM s1) WHERE rn = 1),
+      |tk2 AS (SELECT doc_id, bpe, string_split(text, ' ') AS tk FROM s2),
+      |segs AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_slice(tk, i*8+1, i*8+8), ' ')) AS seg_hash
+      |  FROM tk2, LATERAL unnest(generate_series(0, (len(tk)+7)//8 - 1)) AS g(i)),
+      |sdf AS (SELECT seg_hash, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY 1),
+      |sh AS (
+      |  SELECT s.doc_id, COUNT(*) AS ns,
+      |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS nsh
+      |  FROM segs s JOIN sdf USING (seg_hash) GROUP BY 1),
+      |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN
+      |  (SELECT doc_id FROM sh WHERE nsh * 2 > ns)),
+      |wf AS (
+      |  SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+      |    CAST(SUM(bpe) AS BIGINT) AS n_tokens FROM base
+      |  UNION ALL SELECT '1_exact_dedup', COUNT(*), CAST(SUM(bpe) AS BIGINT) FROM s1
+      |  UNION ALL SELECT '2_canonical_dedup', COUNT(*), CAST(SUM(bpe) AS BIGINT) FROM s2
+      |  UNION ALL SELECT '3_line_dedup', COUNT(*), CAST(SUM(bpe) AS BIGINT) FROM s3)
+      |SELECT stage, n_docs, n_tokens,
+      |  COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS removed_docs,
+      |  COALESCE(lag(n_tokens) OVER (ORDER BY stage) - n_tokens, 0) AS removed_tokens
+      |FROM wf ORDER BY stage""".stripMargin
+
   // -- e09: continuous latency monitor (stateful, oracle-certified) --------
   // The q62/q63 created→updated derivation as a flatMapGroupsWithState
   // operator (StreamingJobs.latencyExact): one long of state per user,
@@ -2266,6 +2361,7 @@ object Pipeline {
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "d11_dedup_lines" -> d11, "t13_vocab_coverage" -> t13,
+    "t14_dedup_impact" -> t14,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "p06_dataset_card" -> p06,
@@ -2298,6 +2394,7 @@ object Pipeline {
     "d10_dedup_clusters" -> d10Sql,
     "d11_dedup_lines" -> d11Sql, "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "p06_dataset_card" -> p06Sql,
+    "t14_dedup_impact" -> t14Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,

@@ -350,6 +350,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("t14 dedup waterfall: stages are monotone and the removed columns reconcile") {
+    val rows = SparkEntry.queries("t14_dedup_impact")(spark, sfDir)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("0_raw", "1_exact_dedup", "2_canonical_dedup", "3_line_dedup"))
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(1) <= prev.getLong(1) && cur.getLong(2) <= prev.getLong(2),
+        "each stage can only remove")
+      assert(cur.getLong(3) == prev.getLong(1) - cur.getLong(1) &&
+        cur.getLong(4) == prev.getLong(2) - cur.getLong(2),
+        "removed_docs/removed_tokens must equal the stage delta")
+    }
+    assert(rows.head.getLong(3) == 0 && rows.head.getLong(4) == 0)
+    graft.CacheScope.drain()
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
