@@ -1986,6 +1986,17 @@ object Pipeline {
        |SELECT chunk, a_id, b_id, hamming FROM mm WHERE hamming <= 3
        |ORDER BY chunk, a_id, b_id""".stripMargin
 
+  /** Non-overlapping 8-token segment hashes per doc — the "line"
+    * unit of the C4-style sub-document dedup. ONE definition shared
+    * by d11 (the report) and t14's line stage (the waterfall), so
+    * the two can never disagree about what a segment is. Map-side
+    * explode bounded by doc length. */
+  private def segmentHashes(docs: org.apache.spark.sql.DataFrame) = docs
+    .withColumn("tk", split(col("text"), " "))
+    .withColumn("i", explode(sequence(lit(0), expr("(size(tk) + 7) div 8 - 1"))))
+    .select(col("doc_id"),
+      md5(array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ")).as("seg_hash"))
+
   // -- d11: line-level boilerplate dedup (C4-style) ------------------------
   // The C4/RefinedWeb preprocessing step that is NOT document-grain:
   // dedup at the LINE level — any line occurring in more than one
@@ -2002,11 +2013,7 @@ object Pipeline {
   // of C4's line dedup; no all-pairs anything. Segmentation is a
   // map-side explode bounded by doc length (t12's class).
   private val d11: Q = (s, d) => {
-    val segs = docsSpread(s, d)
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("i", explode(sequence(lit(0), expr("(size(tk) + 7) div 8 - 1"))))
-      .select(col("doc_id"),
-        md5(array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ")).as("seg_hash"))
+    val segs = segmentHashes(docsSpread(s, d))
       .transform(graft.CacheScope.cached) // read by the df build + the probe side
     val df = segs.groupBy(col("seg_hash"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
@@ -2257,10 +2264,7 @@ object Pipeline {
       .transform(graft.CacheScope.cached) // stat + s2
     val s2 = keepFirst(s1, md5(TF.canonicalize(col("text"))))
       .transform(graft.CacheScope.cached) // stat + segments + anti-join
-    val segs = s2.withColumn("tk", split(col("text"), " "))
-      .withColumn("i", explode(sequence(lit(0), expr("(size(tk) + 7) div 8 - 1"))))
-      .select(col("doc_id"),
-        md5(array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ")).as("seg_hash"))
+    val segs = segmentHashes(s2)
       .transform(graft.CacheScope.cached) // df build + probe
     val df = segs.groupBy(col("seg_hash"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
