@@ -345,6 +345,22 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("monitoring registries (q61 status, q67 type/admin) ride the strict config-CSV contract") {
+    import graft.queries.Monitoring
+    val status = Ingest.parseConfigCsv(spark, Monitoring.q61StatusCsv,
+      StructType.fromDDL("status_code string not null, status_name string not null"))
+      .as[(String, String)].collect().toSet
+    assert(status == Set(("O", "ACCEPTED"), ("P", "PARTIAL")))
+    val types = Ingest.parseConfigCsv(spark, Monitoring.q67TypeCsv,
+      StructType.fromDDL("prio_code string not null, asmt_type string not null"))
+      .as[(String, String)].collect().toMap
+    assert(types.size == 5 && types("1-URGENT") == "summative")
+    val adm = Ingest.parseConfigCsv(spark, Monitoring.q67AdminCsv,
+      StructType.fromDDL("status_code string not null, admin_cond string not null"))
+      .as[(String, String)].collect().toMap
+    assert(adm == Map("O" -> "NS", "P" -> "SD", "F" -> "Valid"))
+  }
+
   test("q70 pipeline regression harness: pass/fail/skipped land exactly as the fixtures dictate") {
     // the oracle gate proves Spark == DuckDB; this pins Spark == INTENT
     // (both engines agreeing on wrong regex behavior would still hash-match)
