@@ -2154,8 +2154,85 @@ object Relational {
       |FROM run
       |ORDER BY pipeline_code, test_name""".stripMargin
 
+  // -- q71: sandbox data-set generation ------------------------------------
+  // Sandboxes are "simulation environment[s] with generated data"
+  // (reference /root/reference/docs/Architecture.md "Multi-Tenancy";
+  // Runbook.MultiTenancy.md "Creating Sandbox Data Sets" documents the
+  // generator pipeline: subject/assessment definitions + an
+  // institution hierarchy → generated test results). This query IS
+  // that generator, warehouse-style: every (student, assessment) pair
+  // from the real dims passes a salted-md5 admission test (t07's
+  // deterministic sampling idiom — reproducible across runs and
+  // partitionings, unlike rand()), admitted pairs get a hash-derived
+  // scale score in the subject's [2000, 2800) range and a performance
+  // level from the q18 cut-point class. Deterministic ⇒ the generated
+  // data set is itself oracle-exact — a sandbox can be regenerated
+  // bit-identically from its configuration.
+  //
+  // Scale: generation is a broadcast cross join over two dims with
+  // map-side hashing — zero shuffles before the output sort; at
+  // warehouse scale the student dim partitions and the assessment
+  // side broadcasts, so generating billions of results is
+  // embarrassingly parallel.
+  private val q71: Q = (s, d) => {
+    val students = T.customer(s, d).select(col("c_custkey").as("student_id"))
+    // the offered catalog is a few dozen assessments (a student sits a
+    // handful per year, not the whole part table) — the brand + size
+    // predicate models the package selection the generator is fed
+    val asmts = T.part(s, d)
+      .filter(col("p_brand") === "Brand#13" && col("p_size") <= 10)
+      .select(col("p_partkey").as("asmt_id"))
+    // The draw hash is the engine's replayable affine-mod-prime
+    // family (d04/d05's construction — pure integer arithmetic, a
+    // plain SQL expression in DuckDB): an md5-based draw measured
+    // 5–6 s at sf0.1 because ~2M hex-string hashes dominate the
+    // generation, while the affine draw is a handful of integer ops
+    // per pair (1.4 s in-suite, same admission rate). Constants are fixed
+    // splitmix64-derived literals < p = 1e9+7; products stay < 2^63.
+    // Pair enumeration is explode-over-a-collected-catalog rather
+    // than a cross JOIN: a filter below a BroadcastNestedLoopJoin is
+    // pushed into the join CONDITION, where Spark evaluates it with
+    // an interpreted per-pair predicate — Generate → Filter → Project
+    // stay inside one whole-stage-codegen stage instead.
+    val P = 1000000007L
+    val h = (lit(736338717L) * col("student_id")
+      + lit(564123457L) * col("asmt_id") + lit(285577155L)) % P
+    // integral h div 10 without Spark's double division: (h − h%10)/10
+    // divides an exact multiple of 10 (quotient < 2^27 ⇒ the double is
+    // exact), so the cast back to long is exact on both engines
+    val score = (lit(2000) + ((h - h % 10) / 10).cast("long") % 800).cast("int")
+    val asmtArr = asmts.agg(collect_list(col("asmt_id")).as("asmt_ids"))
+    students.crossJoin(broadcast(asmtArr))
+      .select(col("student_id"), explode(col("asmt_ids")).as("asmt_id"))
+      .filter(h % 10 === 0) // ~10% admission, deterministic
+      .select(col("student_id"), col("asmt_id"),
+        score.as("score"),
+        when(score < 2300, 1).when(score < 2500, 2)
+          .when(score < 2650, 3).otherwise(4).as("perf_level"))
+      .orderBy(col("student_id"), col("asmt_id"))
+  }
+
+  private val q71Sql =
+    """WITH students AS (SELECT c_custkey AS student_id FROM customer),
+      |a AS (SELECT p_partkey AS asmt_id FROM part
+      |      WHERE p_brand = 'Brand#13' AND p_size <= 10),
+      |p AS (
+      |  SELECT student_id, asmt_id,
+      |    (736338717 * student_id + 564123457 * asmt_id + 285577155)
+      |      % 1000000007 AS h
+      |  FROM students, a)
+      |SELECT student_id, asmt_id,
+      |  CAST(2000 + (h // 10) % 800 AS INTEGER) AS score,
+      |  CASE WHEN 2000 + (h // 10) % 800 < 2300 THEN 1
+      |       WHEN 2000 + (h // 10) % 800 < 2500 THEN 2
+      |       WHEN 2000 + (h // 10) % 800 < 2650 THEN 3
+      |       ELSE 4 END AS perf_level
+      |FROM p WHERE h % 10 = 0
+      |ORDER BY student_id, asmt_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q71_sandbox_datagen" -> q71,
     "q70_pipeline_tests" -> q70,
     "q68_duplicate_org_cleanup" -> q68, "q69_writing_traits" -> q69,
     "q55_item_difficulty" -> q55, "q56_item_standard_rollup" -> q56,
@@ -2185,6 +2262,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q71_sandbox_datagen" -> q71Sql,
     "q70_pipeline_tests" -> q70Sql,
     "q68_duplicate_org_cleanup" -> q68Sql, "q69_writing_traits" -> q69Sql,
     "q55_item_difficulty" -> q55Sql, "q56_item_standard_rollup" -> q56Sql,
