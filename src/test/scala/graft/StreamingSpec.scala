@@ -206,6 +206,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(r => (r._2, r._3)) == Seq((201L, 101L), (201L, 102L), (203L, 103L)))
   }
 
+  test("cmsStream runs from a parquet file source (multi-file trigger ordering cannot matter: counters add)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmsfile").toString
+    val docs = Seq("the cat sat", "a dog ran far", "the dog and the cat")
+    // three files → three micro-batches under maxFilesPerTrigger=1
+    docs.zipWithIndex.foreach { case (t, i) =>
+      Seq(t).toDF("text").write.parquet(s"$dir/docs/part_$i") }
+    val stream = spark.readStream.schema("text string")
+      .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
+    val q = StreamingJobs.cmsStream(stream, depth = 3, width = 512)
+      .writeStream.format("memory").queryName("t_cms_file").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_cms_file").orderBy("r", "bucket")
+      .as[(Int, Int, Long)].collect().toSeq
+    val batch = StreamingJobs.cmsStream(docs.toDF("text"), depth = 3, width = 512)
+      .orderBy("r", "bucket").as[(Int, Int, Long)].collect().toSeq
+    assert(streamed == batch, "file-fed incremental counters == one-batch counters")
+  }
+
   test("tumblingAgg runs from a parquet file source (deployment topology, not just MemoryStream)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
     val src = s"$dir/events"
