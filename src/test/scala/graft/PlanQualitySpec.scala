@@ -366,6 +366,21 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("q72 bloom filter: counts reconcile and the bloom never misses a true member") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q72_bloom_runtime_filter")(spark, sfDir).head()
+    val (nFact, nPass, nTrue, nFp, nPruned) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nFact == nPass + nPruned && nFp == nPass - nTrue)
+    // no false negatives — the defining bloom property: every true
+    // member must pass the filter
+    val exact = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#13"),
+        col("l_partkey") === col("p_partkey"), "left_semi").count()
+    assert(nTrue == exact, s"bloom pass must contain ALL $exact true matches, got $nTrue")
+    assert(nPruned > 0, "the filter must actually prune")
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
