@@ -337,10 +337,36 @@ object StreamingJobs {
   /** Read the current mart state via the `_LATEST` manifest (all live
     * bucket directories as one frame). */
   def readMartLatest(spark: SparkSession, martRoot: String): Option[DataFrame] =
-    readManifest(spark, martRoot).flatMap { m =>
-      val dirs = m.buckets.values.toSeq.distinct.sorted.map(d => s"$martRoot/$d")
-      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-    }
+    readManifest(spark, martRoot).flatMap(martFrame(spark, martRoot, _))
+
+  /** Time-travel read: the mart exactly as manifest version `version`
+    * published it. The publish path retains the immediately previous
+    * manifest as the crash fallback and [[expireMartSnapshots]]
+    * protects every dir any RESOLVABLE manifest references, so
+    * depth-1 history — "inspect the pre-batch state" — is always
+    * available; a deployment wanting deeper history simply retains
+    * more manifest versions. None if that version no longer resolves. */
+  def readMartAt(spark: SparkSession, martRoot: String,
+                 version: Long): Option[DataFrame] = {
+    val fs = fileSystem(spark, martRoot)
+    manifestVersions(fs, new org.apache.hadoop.fs.Path(martRoot))
+      .find(_._1 == version)
+      .flatMap { case (_, p) => openManifest(fs, p) }
+      .flatMap(martFrame(spark, martRoot, _))
+  }
+
+  /** Resolvable manifest versions at the root, newest first — the
+    * time-travel catalog ([[readMartAt]] accepts any of these). */
+  def martVersions(spark: SparkSession, martRoot: String): Seq[Long] = {
+    val fs = fileSystem(spark, martRoot)
+    manifestVersions(fs, new org.apache.hadoop.fs.Path(martRoot)).map(_._1)
+  }
+
+  private def martFrame(spark: SparkSession, martRoot: String,
+                        m: MartManifest): Option[DataFrame] = {
+    val dirs = m.buckets.values.toSeq.distinct.sorted.map(d => s"$martRoot/$d")
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
 
   /** The last applied snapshot name the manifest records, if any. */
   def readLatestName(spark: SparkSession, martRoot: String): Option[String] =

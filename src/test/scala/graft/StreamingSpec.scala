@@ -271,6 +271,17 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$root/${StreamingJobs.snapshotName(tag, 0)}").count() == 2)
       assert(StreamingJobs.readLatestName(spark, root)
         .contains(StreamingJobs.snapshotName(tag, 1)))
+      // first-class time travel: the previous manifest version reads
+      // back the EXACT pre-batch state (key 2 alive, key 3 absent)
+      val versions = StreamingJobs.martVersions(spark, root)
+      assert(versions.size >= 2 && versions == versions.sorted.reverse)
+      val before = StreamingJobs.readMartAt(spark, root, versions(1)).get
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(before == Set((1L, "a1"), (2L, "b1")),
+        s"version ${versions(1)} must be the pre-batch mart, got $before")
+      assert(StreamingJobs.readMartAt(spark, root, versions.head).get
+        .select("k", "v").as[(Long, String)].collect().toSet == mart())
+      assert(StreamingJobs.readMartAt(spark, root, 999999L).isEmpty)
     } finally q.stop()
   }
 
