@@ -19,9 +19,11 @@ object SparkEntry {
     Relational.queries ++ Pipeline.queries ++ Monitoring.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (only the KMeans-dependent
-    * s03/s04/s05/d07 — an iterative float fit has no SQL replay) get
-    * the driver's weaker rows-only check. */
+    * the same parquet tables. Since round 5 the rows-only set is EMPTY:
+    * every registered query has a replayable oracle (the last holdouts
+    * — KMeans-dependent s03/s04/s05/d07 — graduated via the
+    * integer-quantized IntLloyd fit, which unrolls as DuckDB CTEs).
+    * SurveySyncSpec asserts oracleSql.keySet == queries.keySet. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Pipeline.oracle ++ Monitoring.oracle
 }

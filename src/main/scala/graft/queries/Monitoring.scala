@@ -55,14 +55,17 @@ object Monitoring {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
       .join(broadcast(dim), col("o_orderstatus") === col("status_code"))
-    agg.createOrReplaceTempView("graft_q61_status_agg")
-    s.sql(
-      """SELECT COALESCE(status_code, '*') AS status_code,
-        |  COALESCE(status_name, 'TOTAL') AS status_name,
-        |  SUM(n) AS n_imports
-        |FROM graft_q61_status_agg
-        |GROUP BY GROUPING SETS ((status_code, status_name), ())
-        |ORDER BY status_code""".stripMargin)
+    // GROUPING SETS via the Dataset API (no session temp view: a
+    // fixed-name createOrReplaceTempView mutates shared catalog state,
+    // so two concurrent invocations in one session would race)
+    agg.groupingSets(
+        Seq(Seq(col("status_code"), col("status_name")), Seq.empty),
+        col("status_code"), col("status_name"))
+      .agg(sum(col("n")).as("n_imports"))
+      .select(coalesce(col("status_code"), lit("*")).as("status_code"),
+        coalesce(col("status_name"), lit("TOTAL")).as("status_name"),
+        col("n_imports"))
+      .orderBy(col("status_code"))
   }
 
   private val q61Sql =

@@ -220,18 +220,18 @@ object Relational {
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   // -- q11: GROUPING SETS (custom dim combos) ------------------------------
-  private val q11: Q = (s, d) => {
-    T.customer(s, d).createOrReplaceTempView("graft_customer")
-    T.nation(s, d).createOrReplaceTempView("graft_nation")
-    T.region(s, d).createOrReplaceTempView("graft_region")
-    s.sql(
-      """SELECT r_name, n_name, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
-        |FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
-        |JOIN graft_region ON n_regionkey = r_regionkey
-        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
-        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
-  }
+  // Dataset-API groupingSets (no session temp views: fixed-name views
+  // are shared catalog state — concurrent invocations would race).
+  private val q11: Q = (s, d) =>
+    T.customer(s, d)
+      .join(T.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(T.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq.empty),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
 
   private val q11Sql =
     s"""SELECT r_name, n_name, COUNT(*) AS cnt, ${sqlMoneySum("c_acctbal")} AS sum_bal
@@ -2103,6 +2103,10 @@ object Relational {
         """<Other bankKey="200"/>""", """<Other bankKey="200"/>"""),
       ("exam", "stale_expectation",
         """<Item bankKey="200" x="1"/>""", """<Item bankKey="200" x="1"/>"""),
+      ("exam", "hyphen_element_untouched",
+        """<Item-foo bankKey="200"/>""", """<Item-foo bankKey="200"/>"""),
+      ("exam", "hyphen_attr_untouched",
+        """<Item data-bankKey="200"/>""", """<Item data-bankKey="200"/>"""),
       ("assessment", "header_fix",
         "id,name\n1,x", "id,name\n1,x"))
       .toDF("pipeline_code", "test_name", "example_input", "expected_output")
@@ -2136,6 +2140,10 @@ object Relational {
       |   '<Other bankKey="200"/>', '<Other bankKey="200"/>'),
       |  ('exam', 'stale_expectation',
       |   '<Item bankKey="200" x="1"/>', '<Item bankKey="200" x="1"/>'),
+      |  ('exam', 'hyphen_element_untouched',
+      |   '<Item-foo bankKey="200"/>', '<Item-foo bankKey="200"/>'),
+      |  ('exam', 'hyphen_attr_untouched',
+      |   '<Item data-bankKey="200"/>', '<Item data-bankKey="200"/>'),
       |  ('assessment', 'header_fix',
       |   'id,name' || chr(10) || '1,x', 'id,name' || chr(10) || '1,x'))
       |  AS t(pipeline_code, test_name, example_input, expected_output)),
@@ -2143,7 +2151,7 @@ object Relational {
       |  SELECT pipeline_code, test_name, expected_output, active_version,
       |    CASE WHEN active_version = 2 THEN
       |      regexp_replace(example_input,
-      |        '(<Item\b(?:[^>"]|"[^"]*")*\bbankKey=")200(")', '\17829\2', 'g')
+      |        '(<Item\s(?:(?:[^>"]|"[^"]*")*\s)?bankKey=")200(")', '\17829\2', 'g')
       |    WHEN active_version = 1 THEN example_input END AS actual
       |  FROM tests LEFT JOIN pipelines ON pipeline_code = code)
       |SELECT pipeline_code, test_name,
@@ -2238,10 +2246,9 @@ object Relational {
   // index is the same asymmetry). Spark's built-in bloom_filter_agg
   // uses an engine-private hash, so this operator builds the filter
   // from first principles on the replayable affine-mod-prime family:
-  // k=3 affine bucket draws into m=4096 bits, the bit array
-  // materialized ONCE as a 4096-char string on a one-row frame
-  // (array_contains scan over the collected bucket set — dim-sized
-  // work), fact rows probe with three O(1) substr tests. The report
+  // k=3 affine bucket draws into m=4096 bits, the occupied-bit set
+  // materialized as a ≤m-row table that broadcasts, fact rows probe
+  // it with three O(1) broadcast-hash-join lookups. The report
   // quantifies the technique honestly: rows pruned, false positives
   // that survive to the exact join, and the false-positive rate among
   // true non-members (one IEEE division of exact ints).
@@ -2271,31 +2278,28 @@ object Relational {
     val bitsT = dimKeys
       .select(explode(array((0 until 3).map(i => bucket(col("k"), i)): _*)).as("bit"))
       .distinct()
-    bitsT.createOrReplaceTempView("graft_q72_bits")
-    dimKeys.createOrReplaceTempView("graft_q72_dim")
-    T.lineitem(s, d).select(col("l_partkey"))
-      .createOrReplaceTempView("graft_q72_fact")
-    def bucketSql(i: Int): String = s"(${A(i)} * l_partkey + ${B(i)}) % $P % $m"
-    s.sql(
-      s"""WITH probed AS (
-         |  SELECT (b0.bit IS NOT NULL AND b1.bit IS NOT NULL
-         |          AND b2.bit IS NOT NULL) AS pass,
-         |    (dim.k IS NOT NULL) AS member
-         |  FROM graft_q72_fact f
-         |  LEFT JOIN graft_q72_bits b0 ON ${bucketSql(0)} = b0.bit
-         |  LEFT JOIN graft_q72_bits b1 ON ${bucketSql(1)} = b1.bit
-         |  LEFT JOIN graft_q72_bits b2 ON ${bucketSql(2)} = b2.bit
-         |  LEFT JOIN graft_q72_dim dim ON f.l_partkey = dim.k),
-         |agg AS (
-         |  SELECT COUNT(*) AS n_fact,
-         |    SUM(CASE WHEN pass THEN 1L ELSE 0L END) AS n_pass,
-         |    SUM(CASE WHEN pass AND member THEN 1L ELSE 0L END) AS n_true
-         |  FROM probed)
-         |SELECT n_fact, n_pass, n_true,
-         |  n_pass - n_true AS n_false_pos,
-         |  n_fact - n_pass AS n_pruned,
-         |  CAST(n_pass - n_true AS DOUBLE) / (n_fact - n_true) AS fp_rate
-         |FROM agg""".stripMargin)
+    // three broadcast-hash probes + the exact membership join, as
+    // DataFrame joins (no session temp views: fixed-name views are
+    // shared catalog state — concurrent invocations would race)
+    val probed = (0 until 3)
+      .foldLeft(T.lineitem(s, d).select(col("l_partkey"))) { (f, i) =>
+        f.join(broadcast(bitsT.select(col("bit").as(s"bit$i"))),
+          bucket(col("l_partkey"), i) === col(s"bit$i"), "left")
+      }
+      .join(broadcast(dimKeys), col("l_partkey") === col("k"), "left")
+      .select(
+        (col("bit0").isNotNull && col("bit1").isNotNull &&
+          col("bit2").isNotNull).as("pass"),
+        col("k").isNotNull.as("member"))
+    probed
+      .agg(count(lit(1)).as("n_fact"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("pass") && col("member"), 1L).otherwise(0L)).as("n_true"))
+      .select(col("n_fact"), col("n_pass"), col("n_true"),
+        (col("n_pass") - col("n_true")).as("n_false_pos"),
+        (col("n_fact") - col("n_pass")).as("n_pruned"),
+        ((col("n_pass") - col("n_true")).cast("double") /
+          (col("n_fact") - col("n_true"))).as("fp_rate"))
   }
 
   private val q72Sql =

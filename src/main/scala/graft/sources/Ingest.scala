@@ -108,8 +108,14 @@ object Ingest {
     val q = java.util.regex.Pattern.quote _
     // attribute scan is quote-aware ((?:[^>"]|"[^"]*")*): a '>' inside
     // a preceding quoted attribute value must not end the tag early,
-    // or the remap silently skips that element
-    val pattern = s"(<${q(element)}\\b(?:[^>\"]|\"[^\"]*\")*\\b${q(attr)}=\")${q(from)}(\")"
+    // or the remap silently skips that element. Name anchoring: the
+    // element name must be followed by whitespace and the attribute
+    // name preceded by it — \b would let hyphenated names bleed
+    // through (<Item-foo matches element 'Item'; data-bankKey remaps
+    // as if it were bankKey — hyphens are legal XML name chars but \b
+    // boundaries). Spelled without lookahead so the SAME pattern runs
+    // under RE2 in the DuckDB oracle (q70), which rejects (?=...).
+    val pattern = s"(<${q(element)}\\s(?:(?:[^>\"]|\"[^\"]*\")*\\s)?${q(attr)}=\")${q(from)}(\")"
     // the replacement side has its own syntax ($groups, backslashes) —
     // a 'to' containing them must land literally, not as group refs
     val toLit = java.util.regex.Matcher.quoteReplacement(to)

@@ -375,7 +375,10 @@ object StreamingJobs {
   /** Manifest files present at the mart root, newest version first.
     * Versioned form is `_LATEST.<n>` (monotonic n); the bare legacy
     * `_LATEST` reads as version 0 so marts written before versioning
-    * keep resolving. `_LATEST.tmp` never matches (non-digit suffix). */
+    * keep resolving. `_LATEST.tmp` never matches (non-digit suffix),
+    * and a suffix that doesn't fit in a Long (a crafted/corrupt name
+    * like `_LATEST.99999999999999999999`) is ignored like any other
+    * non-manifest file rather than throwing on the parse. */
   private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
                                rootP: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
     if (!fs.exists(rootP)) Nil
@@ -383,7 +386,7 @@ object StreamingJobs {
       val n = p.getName
       if (n == "_LATEST") Some(0L -> p)
       else if (n.startsWith("_LATEST.") && n.length > 8 && n.drop(8).forall(_.isDigit))
-        Some(n.drop(8).toLong -> p)
+        scala.util.Try(n.drop(8).toLong).toOption.map(_ -> p)
       else None
     }.sortBy(-_._1)
 
@@ -397,10 +400,17 @@ object StreamingJobs {
     * somehow fails to parse (defense in depth, not an expected state). */
   def readManifest(spark: SparkSession, martRoot: String): Option[MartManifest] = {
     val fs = fileSystem(spark, martRoot)
-    manifestVersions(fs, new org.apache.hadoop.fs.Path(martRoot))
-      .iterator
-      .flatMap { case (_, p) => openManifest(fs, p) }
-      .nextOption()
+    val rootP = new org.apache.hadoop.fs.Path(martRoot)
+    def attempt(): Option[MartManifest] =
+      manifestVersions(fs, rootP)
+        .iterator
+        .flatMap { case (_, p) => openManifest(fs, p) }
+        .nextOption()
+    // If two publishes land between our listing and the opens, every
+    // version in the stale snapshot can have been pruned (publish N+1
+    // retains only N; publish N+2 deletes N) — re-list once so a
+    // reader never transiently sees a populated mart as empty.
+    attempt().orElse(attempt())
   }
 
   /** Open + parse one manifest file, tolerating a concurrent prune: a
