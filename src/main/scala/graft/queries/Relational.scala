@@ -2331,8 +2331,133 @@ object Relational {
       |  CAST(n_pass - n_true AS DOUBLE) / (n_fact - n_true) AS fp_rate
       |FROM totals, tp""".stripMargin
 
+  // -- q73: alt-score aggregate report -------------------------------------
+  // ELPAC-class subjects score ALT composites (Oral/Written Language)
+  // beside the overall score (reference /root/reference/deploy/
+  // ELPAC_subject.xml:17-25 AltScoring, :33-40 AltScores; the
+  // reporting UI renders per-alt achievement-level aggregates). The
+  // subject file is the config source three times over: the AltScores
+  // registry names the alt grain, AltScoring's min/max range
+  // normalizes raw scores, and its performance-level registry drives
+  // the banding (level = 1 + (score-min)·nLevels div range — the
+  // count of configured levels IS the band count) and labels the
+  // rows. Alt results ride lineitem lines 5-6 (the claim family owns
+  // 1-4 in q49), so one exam contributes one row per alt composite.
+  //
+  // Scale: one partial-agg fact shuffle to ≤ orgs × alts × levels
+  // cells; the n_scores/avg_score window and both registry joins run
+  // over that aggregated frame (q52's precedent) — facts are touched
+  // once, map-side.
+  private[graft] val q73SubjectXml: String =
+    """<Subject code="ELPAC" name="ELPAC">
+      |  <AssessmentTypes>
+      |    <AssessmentType code="sum" name="Summative" longName="Summative ELPAC">
+      |      <OverallScoring name="Overall" minScore="1150" maxScore="1950">
+      |        <PerformanceLevels>
+      |          <PerformanceLevel level="1" name="Level 1" shortName="Level 1" color="maroon"/>
+      |          <PerformanceLevel level="2" name="Level 2" shortName="Level 2" color="orange"/>
+      |          <PerformanceLevel level="3" name="Level 3" shortName="Level 3" color="blue"/>
+      |          <PerformanceLevel level="4" name="Level 4" shortName="Level 4" color="green"/>
+      |        </PerformanceLevels>
+      |      </OverallScoring>
+      |      <AltScoring name="Composite" minScore="1150" maxScore="1950">
+      |        <PerformanceLevels>
+      |          <PerformanceLevel level="1" name="Level 1" shortName="Level 1" color="maroon"/>
+      |          <PerformanceLevel level="2" name="Level 2" shortName="Level 2" color="orange"/>
+      |          <PerformanceLevel level="3" name="Level 3" shortName="Level 3" color="blue"/>
+      |          <PerformanceLevel level="4" name="Level 4" shortName="Level 4" color="green"/>
+      |        </PerformanceLevels>
+      |      </AltScoring>
+      |    </AssessmentType>
+      |  </AssessmentTypes>
+      |  <AltScores>
+      |    <AltScore code="1" name="Oral Language" displayOrder=" 1">
+      |      <Icon>fa-comment</Icon>
+      |    </AltScore>
+      |    <AltScore code="2" name="Written Language" displayOrder=" 2">
+      |      <Icon>fa-edit</Icon>
+      |    </AltScore>
+      |  </AltScores>
+      |</Subject>""".stripMargin
+
+  private val q73: Q = (s, d) => {
+    val alts = graft.sources.Ingest.subjectAltScores(s, q73SubjectXml)
+      .select(col("alt_code"), col("alt_name"), col("display_order"))
+    val lv = graft.sources.Ingest.subjectPerformanceLevels(s, q73SubjectXml)
+      .filter(col("scoring") === "alt")
+    // config scalars (one config-sized driver read, q71's collected-
+    // catalog precedent): the alt score range + configured band count
+    val cfg = lv.agg(min(col("min_score")), max(col("max_score")),
+      count(lit(1))).head()
+    val (minS, rangeS, nLv) =
+      (cfg.getInt(0), cfg.getInt(1) - cfg.getInt(0) + 1, cfg.getLong(2))
+    val lvNames = lv.select(col("level"), col("level_name"))
+    val perLevel = T.lineitem(s, d)
+      .filter(col("l_linenumber").isin(5, 6))
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("alt_code", (col("l_linenumber") - 4).cast("string"))
+      .withColumn("alt_score", (lit(minS) +
+        round(col("l_extendedprice") * 100).cast("long") % rangeS).cast("int"))
+      .withColumn("level",
+        expr(s"CAST(1 + ((alt_score - $minS) * $nLv) div $rangeS AS INT)"))
+      .groupBy(col("n_name"), col("alt_code"), col("level"))
+      .agg(count(lit(1)).as("n_at_level"),
+        sum(col("alt_score")).as("sum_at_level"))
+    val w = Window.partitionBy(col("n_name"), col("alt_code"))
+    perLevel
+      .withColumn("n_scores", sum(col("n_at_level")).over(w))
+      .withColumn("pct_at_level",
+        (col("n_at_level") * lit(100L)).cast("double") / col("n_scores"))
+      .withColumn("avg_score",
+        sum(col("sum_at_level")).over(w).cast("double") / col("n_scores"))
+      .join(broadcast(alts), Seq("alt_code"))
+      .join(broadcast(lvNames), Seq("level"))
+      .select(col("n_name"), col("alt_code"), col("alt_name"),
+        col("display_order"), col("level"), col("level_name"),
+        col("n_at_level"), col("pct_at_level"), col("n_scores"),
+        col("avg_score"))
+      .orderBy(col("n_name"), col("display_order"), col("level"))
+  }
+
+  private val q73Sql =
+    """WITH alts AS (SELECT * FROM (VALUES
+      |  ('1', 'Oral Language', 1), ('2', 'Written Language', 2))
+      |  AS t(alt_code, alt_name, display_order)),
+      |lvnames AS (SELECT * FROM (VALUES
+      |  (1, 'Level 1'), (2, 'Level 2'), (3, 'Level 3'), (4, 'Level 4'))
+      |  AS t(level, level_name)),
+      |facts AS (
+      |  SELECT n_name, CAST(l_linenumber - 4 AS VARCHAR) AS alt_code,
+      |    CAST(1150 + CAST(round(l_extendedprice * 100) AS BIGINT) % 801
+      |      AS INTEGER) AS alt_score
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_linenumber IN (5, 6)),
+      |agg AS (
+      |  SELECT n_name, alt_code,
+      |    CAST(1 + ((alt_score - 1150) * 4) // 801 AS INTEGER) AS level,
+      |    COUNT(*) AS n_at_level,
+      |    CAST(SUM(alt_score) AS BIGINT) AS sum_at_level
+      |  FROM facts GROUP BY 1, 2, 3),
+      |win AS (
+      |  SELECT n_name, alt_code, level, n_at_level,
+      |    CAST(SUM(n_at_level) OVER w AS BIGINT) AS n_scores,
+      |    CAST(SUM(sum_at_level) OVER w AS BIGINT) AS sum_scores
+      |  FROM agg WINDOW w AS (PARTITION BY n_name, alt_code))
+      |SELECT n_name, alt_code, alt_name, display_order, level, level_name,
+      |  n_at_level,
+      |  CAST(n_at_level * 100 AS DOUBLE) / n_scores AS pct_at_level,
+      |  n_scores,
+      |  CAST(sum_scores AS DOUBLE) / n_scores AS avg_score
+      |FROM win JOIN alts USING (alt_code) JOIN lvnames USING (level)
+      |ORDER BY n_name, display_order, level""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q73_alt_scores" -> q73,
     "q72_bloom_runtime_filter" -> q72,
     "q71_sandbox_datagen" -> q71,
     "q70_pipeline_tests" -> q70,
@@ -2364,6 +2489,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q73_alt_scores" -> q73Sql,
     "q72_bloom_runtime_filter" -> q72Sql,
     "q71_sandbox_datagen" -> q71Sql,
     "q70_pipeline_tests" -> q70Sql,

@@ -216,11 +216,14 @@ object Ingest {
   }
 
   /** Subject-definition XML ingest (reference
-    * /root/reference/deploy/Math_subject.xml, ELA_subject.CA.xml;
-    * Architecture.md "Package Processor" — subject files configure
-    * performance levels and scoring per subject). Parses the real
-    * file shape: Subject code → AssessmentTypes (overall + claim
-    * scoring performance levels, min/max score, standardCutoff) and
+    * /root/reference/deploy/Math_subject.xml, ELA_subject.CA.xml,
+    * ELPAC_subject.xml; Architecture.md "Package Processor" — subject
+    * files configure performance levels and scoring per subject).
+    * Parses the real file shape: Subject code → AssessmentTypes
+    * (overall + alt + claim scoring performance levels, min/max
+    * score, standardCutoff), the per-subject AltScores registry
+    * (ELPAC_subject.xml:33-40 — per-alt composite scores, e.g. Oral /
+    * Written Language; absent in Math/ELA files → no alt rows), and
     * ItemDifficulties (the per-key cut-pair table). FAILFAST like
     * [[parseClaimConfigCsv]]: subject config is critical-path — a
     * malformed file must reject the payload, not limp on with nulls. */
@@ -233,14 +236,35 @@ object Ingest {
         "AssessmentTypes struct<AssessmentType: array<struct<_code:string," +
         s"OverallScoring: struct<_minScore:int,_maxScore:int," +
         s"PerformanceLevels: struct<_standardCutoff:int, PerformanceLevel: $levelDdl>>," +
+        s"AltScoring: struct<_name:string,_minScore:int,_maxScore:int," +
+        s"PerformanceLevels: struct<_standardCutoff:int, PerformanceLevel: $levelDdl>>," +
         s"ClaimScoring: struct<_name:string," +
         s"PerformanceLevels: struct<PerformanceLevel: $levelDdl>>>>>, " +
+        // displayOrder parses as string: the real ELPAC file writes
+        // space-padded values (displayOrder=" 1"), which an int field
+        // would FAILFAST on — the exploder trims and casts instead
+        "AltScores struct<AltScore: array<struct<" +
+        "_code:string,_name:string,_displayOrder:string,Icon:string>>>, " +
         "ItemDifficulties struct<ItemDifficulty: array<struct<" +
         "_gradeCode:string,_moderateLowEnd:double,_difficultLowEnd:double>>>")
     val opts = Map("mode" -> "FAILFAST").asJava
     Seq(xml).toDF("value")
       .select(from_xml(col("value"), schema, opts).as("x"))
   }
+
+  /** The subject file's AltScores registry (reference
+    * /root/reference/deploy/ELPAC_subject.xml:33-40): one row per alt
+    * score with its display order — the broadcast dim of the
+    * alt-score aggregate report (q73). Subjects without an AltScores
+    * section (Math/ELA) yield zero rows, not an error. */
+  def subjectAltScores(spark: SparkSession, xml: String): DataFrame =
+    parseSubjectXml(spark, xml)
+      .filter(col("x.AltScores").isNotNull)
+      .select(col("x._code").as("subject"),
+        explode(col("x.AltScores.AltScore")).as("a"))
+      .select(col("subject"), col("a._code").as("alt_code"),
+        col("a._name").as("alt_name"),
+        trim(col("a._displayOrder")).cast("int").as("display_order"))
 
   /** The per-subject performance-level registry from a parsed subject
     * file: one row per (assessment type, scoring kind, level) with
@@ -256,13 +280,22 @@ object Ingest {
         col("at.OverallScoring._maxScore").as("max_score"),
         col("at.OverallScoring.PerformanceLevels._standardCutoff").as("standard_cutoff"),
         explode(col("at.OverallScoring.PerformanceLevels.PerformanceLevel")).as("pl"))
+    // alt scoring (ELPAC composite scores) mirrors overall: its own
+    // score range + level registry; subjects without it contribute none
+    val alt = x.filter(col("at.AltScoring").isNotNull)
+      .select(col("subject"), col("at._code").as("asmt_type"),
+        lit("alt").as("scoring"),
+        col("at.AltScoring._minScore").as("min_score"),
+        col("at.AltScoring._maxScore").as("max_score"),
+        col("at.AltScoring.PerformanceLevels._standardCutoff").as("standard_cutoff"),
+        explode(col("at.AltScoring.PerformanceLevels.PerformanceLevel")).as("pl"))
     val claim = x.filter(col("at.ClaimScoring").isNotNull)
       .select(col("subject"), col("at._code").as("asmt_type"),
         lit("claim").as("scoring"),
         lit(null).cast("int").as("min_score"), lit(null).cast("int").as("max_score"),
         lit(null).cast("int").as("standard_cutoff"),
         explode(col("at.ClaimScoring.PerformanceLevels.PerformanceLevel")).as("pl"))
-    overall.unionByName(claim)
+    overall.unionByName(alt).unionByName(claim)
       .select(col("subject"), col("asmt_type"), col("scoring"),
         col("min_score"), col("max_score"), col("standard_cutoff"),
         col("pl._level").as("level"), col("pl._name").as("level_name"),

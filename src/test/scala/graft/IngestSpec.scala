@@ -332,6 +332,37 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("ELPAC subject XML round-trips alt scoring + AltScores registry; Math file yields no alt rows") {
+    // the real reference deploy file (the round-5 gap: AltScores was
+    // silently dropped by schema projection)
+    val ref = java.nio.file.Paths.get("/root/reference/deploy/ELPAC_subject.xml")
+    assume(java.nio.file.Files.exists(ref))
+    val real = new String(java.nio.file.Files.readAllBytes(ref), "UTF-8")
+    val alts = Ingest.subjectAltScores(spark, real)
+      .as[(String, String, String, Int)].collect().toSet
+    assert(alts == Set(("ELPAC", "1", "Oral Language", 1),
+      ("ELPAC", "2", "Written Language", 2)),
+      s"AltScores registry must parse (space-padded displayOrder trims): $alts")
+    val altLv = Ingest.subjectPerformanceLevels(spark, real)
+      .filter(col("scoring") === "alt")
+      .select("asmt_type", "min_score", "max_score", "level", "level_name")
+      .as[(String, Option[Int], Option[Int], Int, String)].collect().toSet
+    assert(altLv.map(_._4) == Set(1, 2, 3, 4), s"four alt levels: $altLv")
+    assert(altLv.forall(r => r._2.contains(1150) && r._3.contains(1950)),
+      s"AltScoring range rides every level row: $altLv")
+    // subjects WITHOUT the alt sections (Math) parse unchanged: zero
+    // alt rows, not an error — and the q73 fixture matches the file
+    val math = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/deploy/Math_subject.xml")), "UTF-8")
+    assert(Ingest.subjectAltScores(spark, math).count() == 0)
+    assert(Ingest.subjectPerformanceLevels(spark, math)
+      .filter(col("scoring") === "alt").count() == 0)
+    val fixture = Ingest.subjectAltScores(spark,
+      graft.queries.Relational.q73SubjectXml)
+      .as[(String, String, String, Int)].collect().toSet
+    assert(fixture == alts, "q73's embedded config == the real file's registry")
+  }
+
   test("q54 exclusion config arrives through the strict config-CSV contract") {
     import graft.queries.Relational
     val ex = Ingest.parseConfigCsv(spark, Relational.q54ExclusionCsv,
