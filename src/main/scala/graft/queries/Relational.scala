@@ -2455,8 +2455,133 @@ object Relational {
       |FROM win JOIN alts USING (alt_code) JOIN lvnames USING (level)
       |ORDER BY n_name, display_order, level""".stripMargin
 
+  // -- q74: ISR batch data assembly ----------------------------------------
+  // The Report Processor's workload (reference /root/reference/docs/
+  // Architecture.md "Report Processor", deploy/wkhtmltopdf-service.yml):
+  // batch-assemble per-student Individual Student Report payloads for
+  // one student GROUP — each student's exams with the overall score +
+  // performance level, the per-claim levels (q49's claim config),
+  // every item response (q57's join tree), and the matched
+  // instructional resource link (q58's config). PDF rendering is out
+  // of engine scope; this is the data-assembly query that feeds it.
+  // Group membership is an import file (StudentGroups.md), so it
+  // rides the strict config-CSV contract and broadcasts.
+  //
+  // Scale: ZERO fact shuffles — orders and lineitem are each probed
+  // map-only against broadcast group-sized frames (q57's pattern,
+  // widened from one student to the group); the only hash exchange
+  // aggregates the group's OWN claim rows (≤ group exams × claims) —
+  // plan-pinned in PlanQualitySpec: every join is a broadcast join.
+  private[graft] val q74GroupCsv: String =
+    """group_id,student_id
+      |G-204,7
+      |G-204,19
+      |G-204,23
+      |G-204,42
+      |G-204,101
+      |G-204,256
+      |G-204,311
+      |G-204,499""".stripMargin
+
+  private val q74: Q = (s, d) => {
+    val members = graft.sources.Ingest.parseConfigCsv(s, q74GroupCsv,
+      StructType.fromDDL("group_id string not null, student_id bigint not null"))
+    val cuts = q49CutsFromXml(s)
+    val resources = graft.sources.Ingest.parseConfigCsv(s, q58ResourceCsv,
+      StructType.fromDDL("asmt string not null, level int not null, resource_url string not null"))
+    // the group's exams: fact scan probed map-only by the broadcast
+    // membership; overall level from the q18 cut-point class
+    val exams = T.orders(s, d)
+      .join(broadcast(members), col("o_custkey") === col("student_id"))
+      .select(col("group_id"), col("student_id"),
+        col("o_orderkey").as("exam_id"), col("o_orderdate").as("exam_date"),
+        money(col("o_totalprice")).cast(DoubleType).as("overall_score"),
+        when(col("o_totalprice") < 100000, 1)
+          .when(col("o_totalprice") < 250000, 2).otherwise(3).as("overall_level"))
+    // item responses: q57's tree, one student widened to the group
+    val items = T.lineitem(s, d)
+      .join(broadcast(exams), col("l_orderkey") === col("exam_id"))
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+    // per-exam claim levels (claims ride lines 1-4, q49's contract):
+    // group-sized rollup — the one hash exchange in the plan
+    val claims = items
+      .filter(col("l_linenumber") <= 4)
+      .join(broadcast(cuts), col("l_linenumber") === col("claim"))
+      .withColumn("claim_level", when(col("l_extendedprice") < col("cut_low"), 1)
+        .when(col("l_extendedprice") < col("cut_high"), 2).otherwise(3))
+      .groupBy(col("exam_id").as("cl_exam_id"))
+      .agg(
+        max(when(col("claim") === 1, col("claim_level"))).as("claim1_level"),
+        max(when(col("claim") === 2, col("claim_level"))).as("claim2_level"),
+        max(when(col("claim") === 3, col("claim_level"))).as("claim3_level"),
+        max(when(col("claim") === 4, col("claim_level"))).as("claim4_level"))
+    items
+      .join(broadcast(claims), col("exam_id") === col("cl_exam_id"), "left")
+      .join(broadcast(resources),
+        col("p_brand") === col("asmt") && col("overall_level") === col("level"), "left")
+      .select(col("group_id"), col("student_id"), col("exam_id"),
+        col("exam_date"), col("overall_score"), col("overall_level"),
+        col("claim1_level"), col("claim2_level"), col("claim3_level"),
+        col("claim4_level"), col("l_linenumber").as("position"),
+        col("l_partkey").as("item_id"), col("p_brand").as("item_asmt"),
+        money(col("l_quantity")).cast(DoubleType).as("item_score"),
+        itemStandard.as("standard"), col("resource_url"))
+      .orderBy(col("student_id"), col("exam_id"), col("position"))
+  }
+
+  private val q74Sql =
+    """WITH members AS (SELECT * FROM (VALUES
+      |  ('G-204', 7), ('G-204', 19), ('G-204', 23), ('G-204', 42),
+      |  ('G-204', 101), ('G-204', 256), ('G-204', 311), ('G-204', 499))
+      |  AS t(group_id, student_id)),
+      |cuts AS (SELECT * FROM (VALUES
+      |  (1, 25000.0, 45000.0), (2, 30000.0, 50000.0),
+      |  (3, 35000.0, 55000.0), (4, 40000.0, 60000.0)) AS t(claim, cut_low, cut_high)),
+      |resources AS (SELECT * FROM (VALUES
+      |  ('Brand#13', 1, 'https://resources.example.org/b13/remediation'),
+      |  ('Brand#13', 3, 'https://resources.example.org/b13/enrichment'),
+      |  ('Brand#42', 2, 'https://resources.example.org/b42/practice'))
+      |  AS t(asmt, level, resource_url)),
+      |exams AS (
+      |  SELECT group_id, CAST(student_id AS BIGINT) AS student_id,
+      |    o_orderkey AS exam_id, o_orderdate AS exam_date,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS overall_score,
+      |    CASE WHEN o_totalprice < 100000 THEN 1
+      |         WHEN o_totalprice < 250000 THEN 2 ELSE 3 END AS overall_level
+      |  FROM orders JOIN members ON o_custkey = student_id),
+      |claims AS (
+      |  SELECT l_orderkey AS cl_exam_id,
+      |    MAX(CASE WHEN claim = 1 THEN claim_level END) AS claim1_level,
+      |    MAX(CASE WHEN claim = 2 THEN claim_level END) AS claim2_level,
+      |    MAX(CASE WHEN claim = 3 THEN claim_level END) AS claim3_level,
+      |    MAX(CASE WHEN claim = 4 THEN claim_level END) AS claim4_level
+      |  FROM (
+      |    SELECT l_orderkey, claim,
+      |      CASE WHEN l_extendedprice < cut_low THEN 1
+      |           WHEN l_extendedprice < cut_high THEN 2 ELSE 3 END AS claim_level
+      |    FROM lineitem
+      |    JOIN exams ON l_orderkey = exam_id
+      |    JOIN cuts ON l_linenumber = claim
+      |    WHERE l_linenumber <= 4)
+      |  GROUP BY 1)
+      |SELECT group_id, student_id, exam_id, exam_date, overall_score,
+      |  overall_level, claim1_level, claim2_level, claim3_level,
+      |  claim4_level, l_linenumber AS position, l_partkey AS item_id,
+      |  p_brand AS item_asmt,
+      |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS item_score,
+      |  'CCSS.' || split_part(p_type, ' ', 1) || '.'
+      |    || CAST(p_size % 4 + 1 AS INTEGER) AS standard,
+      |  resource_url
+      |FROM lineitem
+      |JOIN exams ON l_orderkey = exam_id
+      |JOIN part ON l_partkey = p_partkey
+      |LEFT JOIN claims ON exam_id = cl_exam_id
+      |LEFT JOIN resources ON p_brand = asmt AND overall_level = level
+      |ORDER BY student_id, exam_id, position""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q74_isr_assembly" -> q74,
     "q73_alt_scores" -> q73,
     "q72_bloom_runtime_filter" -> q72,
     "q71_sandbox_datagen" -> q71,
@@ -2489,6 +2614,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q74_isr_assembly" -> q74Sql,
     "q73_alt_scores" -> q73Sql,
     "q72_bloom_runtime_filter" -> q72Sql,
     "q71_sandbox_datagen" -> q71Sql,

@@ -291,6 +291,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashExchanges == 0, s"expected zero hash exchanges, got $hashExchanges:\n$p")
   }
 
+  test("q74 ISR assembly: every join broadcasts; the only hash exchange is the group-sized claim rollup") {
+    val p = plan("q74_isr_assembly")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"facts must be probed map-only against broadcast group frames:\n$p")
+    val bcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bcasts >= 5,
+      s"membership/exams/item-dim/cuts/claims/resources all broadcast (got $bcasts):\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"only the group's own claim rollup may hash-exchange, got $hashExchanges:\n$p")
+  }
+
   test("q68 duplicate-org cleanup: registry self-join broadcasts, exam probe pre-aggregates") {
     import graft.plans.PlanAudit
     val a = PlanAudit.of(SparkEntry.queries("q68_duplicate_org_cleanup")(spark, sfDir))
