@@ -47,9 +47,24 @@ object Monitoring {
       |O,ACCEPTED
       |P,PARTIAL""".stripMargin
 
+  /** Tenant overlay for the status registry (q75's resolution class):
+    * tenant OT renames P and declares a tenant-only status. q61 runs
+    * as tenant CA, which has no overlay → the resolver's base-fallback
+    * path yields exactly the instance registry (IngestSpec proves the
+    * OT view differs in just those rows). */
+  private[graft] val q61TenantStatusCsv: String =
+    """tenant,status_code,status_name
+      |OT,P,PENDING
+      |OT,X,EXPIRED""".stripMargin
+
   private val q61: Q = (s, d) => {
-    val dim = graft.sources.Ingest.parseConfigCsv(s, q61StatusCsv,
-      StructType.fromDDL("status_code string not null, status_name string not null"))
+    val dim = graft.sources.Ingest.resolveTenantConfig(
+      graft.sources.Ingest.parseConfigCsv(s, q61StatusCsv,
+        StructType.fromDDL("status_code string not null, status_name string not null")),
+      graft.sources.Ingest.parseConfigCsv(s, q61TenantStatusCsv,
+        StructType.fromDDL("tenant string not null, status_code string not null, status_name string not null")),
+      tenant = "CA", keyCol = "status_code", valueCol = "status_name")
+      .select(col("status_code"), col("status_name"))
     val agg = T.orders(s, d)
       .filter(col("o_orderstatus") =!= "F") // non-final only
       .groupBy(col("o_orderstatus"))

@@ -2579,8 +2579,88 @@ object Relational {
       |LEFT JOIN resources ON p_brand = asmt AND overall_level = level
       |ORDER BY student_id, exam_id, position""".stripMargin
 
+  // -- q75: tenant configuration overlay resolution ------------------------
+  // Multi-tenancy in the reference is CONFIG-driven: a tenant's
+  // application.yml overlays the instance-level config (reference
+  // /root/reference/docs/Runbook.MultiTenancy.md "Configuration" — "A
+  // tenant's configuration is layered on top of the instance-level
+  // configuration"; config/tenant-OT/application.yml is the shape the
+  // fixtures model: school-year/state/student-field/archive/datasource
+  // overrides + the tenant-new tenantProperties block). This query IS
+  // "resolve effective config for tenant OT": override wins per key,
+  // base falls through, tenant-only keys survive, other tenants' (TS)
+  // rows never leak in — with per-key provenance for the admin UI.
+  // The same operator (Ingest.resolveTenantConfig) feeds q61's status
+  // registry under a tenant parameter.
+  //
+  // Scale: config frames are admin-sized; the full-outer merge
+  // broadcasts however many tenants overlay one base.
+  private[graft] val q75BaseCsv: String =
+    """key,value
+      |archive.path-prefix,main
+      |datasources.reporting.database,reporting
+      |reporting.client,SBAC
+      |reporting.school-year,2018
+      |reporting.state.code,CA
+      |reporting.state.name,California
+      |reporting.student-fields.Ethnicity,Enabled
+      |reporting.student-fields.Section504,Enabled""".stripMargin
+
+  private[graft] val q75TenantCsv: String =
+    """tenant,key,value
+      |OT,tenantProperties.tenants.OT.name,Other (sample tenant)
+      |OT,reporting.school-year,2019
+      |OT,reporting.state.code,OT
+      |OT,reporting.state.name,Other
+      |OT,reporting.student-fields.Section504,Disabled
+      |OT,archive.path-prefix,OT
+      |OT,datasources.reporting.database,reporting_ot
+      |TS,reporting.state.code,TS
+      |TS,reporting.school-year,2020""".stripMargin
+
+  private val q75: Q = (s, _) => {
+    val base = graft.sources.Ingest.parseConfigCsv(s, q75BaseCsv,
+      StructType.fromDDL("key string not null, value string not null"))
+    val overrides = graft.sources.Ingest.parseConfigCsv(s, q75TenantCsv,
+      StructType.fromDDL(
+        "tenant string not null, key string not null, value string not null"))
+    graft.sources.Ingest.resolveTenantConfig(base, overrides, "OT")
+      .orderBy(col("key"))
+  }
+
+  private val q75Sql =
+    """WITH base AS (SELECT * FROM (VALUES
+      |  ('archive.path-prefix', 'main'),
+      |  ('datasources.reporting.database', 'reporting'),
+      |  ('reporting.client', 'SBAC'),
+      |  ('reporting.school-year', '2018'),
+      |  ('reporting.state.code', 'CA'),
+      |  ('reporting.state.name', 'California'),
+      |  ('reporting.student-fields.Ethnicity', 'Enabled'),
+      |  ('reporting.student-fields.Section504', 'Enabled')) AS t(key, value)),
+      |ov AS (SELECT * FROM (VALUES
+      |  ('OT', 'tenantProperties.tenants.OT.name', 'Other (sample tenant)'),
+      |  ('OT', 'reporting.school-year', '2019'),
+      |  ('OT', 'reporting.state.code', 'OT'),
+      |  ('OT', 'reporting.state.name', 'Other'),
+      |  ('OT', 'reporting.student-fields.Section504', 'Disabled'),
+      |  ('OT', 'archive.path-prefix', 'OT'),
+      |  ('OT', 'datasources.reporting.database', 'reporting_ot'),
+      |  ('TS', 'reporting.state.code', 'TS'),
+      |  ('TS', 'reporting.school-year', '2020')) AS t(tenant, key, value)),
+      |o AS (SELECT key, value AS override_value FROM ov WHERE tenant = 'OT')
+      |SELECT COALESCE(b.key, o.key) AS key,
+      |  COALESCE(o.override_value, b.value) AS value,
+      |  CASE WHEN o.override_value IS NOT NULL AND b.value IS NOT NULL
+      |         THEN 'override'
+      |       WHEN o.override_value IS NOT NULL THEN 'tenant-new'
+      |       ELSE 'base' END AS config_source
+      |FROM base b FULL OUTER JOIN o ON b.key = o.key
+      |ORDER BY key""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q75_tenant_config" -> q75,
     "q74_isr_assembly" -> q74,
     "q73_alt_scores" -> q73,
     "q72_bloom_runtime_filter" -> q72,
@@ -2614,6 +2694,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q75_tenant_config" -> q75Sql,
     "q74_isr_assembly" -> q74Sql,
     "q73_alt_scores" -> q73Sql,
     "q72_bloom_runtime_filter" -> q72Sql,

@@ -314,6 +314,38 @@ object Ingest {
         col("idf._moderateLowEnd").as("moderate_low_end"),
         col("idf._difficultLowEnd").as("difficult_low_end"))
 
+  /** Resolve the effective configuration for one tenant: the tenant's
+    * overlay wins per key, instance-level (base) config is the
+    * fallback, and keys only the tenant declares (e.g. its
+    * tenantProperties block) survive too — reference
+    * /root/reference/docs/Runbook.MultiTenancy.md "Configuration" ("A
+    * tenant's configuration is layered on top of the instance-level
+    * configuration"), config/tenant-OT/application.yml. Inputs are
+    * flattened (key, value) config frames — the shape the strict
+    * [[parseConfigCsv]] contract yields for the repository's YAML
+    * content; `config_source` records where each effective value came
+    * from (`override` / `tenant-new` / `base`) for the admin UI's
+    * provenance view. Override values are non-null by the strict
+    * config contract, so coalesce IS override-wins.
+    *
+    * Scale: config frames are admin-sized; the full-outer merge is a
+    * broadcastable dim operation however many tenants overlay the
+    * same base. */
+  def resolveTenantConfig(base: DataFrame, overrides: DataFrame, tenant: String,
+                          keyCol: String = "key", valueCol: String = "value",
+                          tenantCol: String = "tenant"): DataFrame =
+    base.select(col(keyCol), col(valueCol).as("_base_value"))
+      .join(
+        overrides.filter(col(tenantCol) === tenant)
+          .select(col(keyCol), col(valueCol).as("_override_value")),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("_override_value"), col("_base_value")).as(valueCol),
+        when(col("_override_value").isNotNull && col("_base_value").isNotNull,
+          "override")
+          .when(col("_override_value").isNotNull, "tenant-new")
+          .otherwise("base").as("config_source"))
+
   /** Rule-based required-field fork for sources without a parser
     * corrupt-record channel (XML): rows missing any required field are
     * diverted, mirroring [[validationSplit]]. */

@@ -363,6 +363,44 @@ class IngestSpec extends SparkSpec {
     assert(fixture == alts, "q73's embedded config == the real file's registry")
   }
 
+  test("tenant config overlay: override wins, base falls through, tenant-new survives, tenants are scoped") {
+    import graft.queries.{Monitoring, Relational}
+    val base = Ingest.parseConfigCsv(spark, Relational.q75BaseCsv,
+      StructType.fromDDL("key string not null, value string not null"))
+    val ov = Ingest.parseConfigCsv(spark, Relational.q75TenantCsv,
+      StructType.fromDDL("tenant string not null, key string not null, value string not null"))
+    val ot = Ingest.resolveTenantConfig(base, ov, "OT")
+      .as[(String, String, String)].collect()
+      .map { case (k, v, src) => k -> (v, src) }.toMap
+    // override-wins (the real tenant-OT overrides: year/state/field)
+    assert(ot("reporting.school-year") == ("2019", "override"))
+    assert(ot("reporting.state.code") == ("OT", "override"))
+    assert(ot("reporting.student-fields.Section504") == ("Disabled", "override"))
+    // base-fallback for keys the tenant doesn't touch
+    assert(ot("reporting.client") == ("SBAC", "base"))
+    assert(ot("reporting.student-fields.Ethnicity") == ("Enabled", "base"))
+    // tenant-only keys survive (the tenantProperties declaration block)
+    assert(ot("tenantProperties.tenants.OT.name") == ("Other (sample tenant)", "tenant-new"))
+    // another tenant's overlay never leaks in
+    assert(!ot.values.exists(_._1 == "TS") && ot("reporting.state.name") == ("Other", "override"))
+    // an unknown tenant resolves to exactly the base config
+    val none = Ingest.resolveTenantConfig(base, ov, "ZZ")
+      .as[(String, String, String)].collect()
+    assert(none.forall(_._3 == "base") && none.length == 8)
+    // the q61 consumer: tenant CA (no overlay) sees the instance
+    // registry — the certified report is unchanged — while OT's view
+    // differs in exactly its overridden + declared rows
+    val statusBase = Ingest.parseConfigCsv(spark, Monitoring.q61StatusCsv,
+      StructType.fromDDL("status_code string not null, status_name string not null"))
+    val statusOv = Ingest.parseConfigCsv(spark, Monitoring.q61TenantStatusCsv,
+      StructType.fromDDL("tenant string not null, status_code string not null, status_name string not null"))
+    def reg(t: String) = Ingest.resolveTenantConfig(statusBase, statusOv, t,
+        keyCol = "status_code", valueCol = "status_name")
+      .select("status_code", "status_name").as[(String, String)].collect().toSet
+    assert(reg("CA") == Set(("O", "ACCEPTED"), ("P", "PARTIAL")))
+    assert(reg("OT") == Set(("O", "ACCEPTED"), ("P", "PENDING"), ("X", "EXPIRED")))
+  }
+
   test("q54 exclusion config arrives through the strict config-CSV contract") {
     import graft.queries.Relational
     val ex = Ingest.parseConfigCsv(spark, Relational.q54ExclusionCsv,
