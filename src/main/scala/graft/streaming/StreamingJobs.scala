@@ -237,13 +237,14 @@ object StreamingJobs {
   def migrateStream(updates: DataFrame, martRoot: String,
                     keys: Seq[String], versionCol: String, tieBreakCol: String,
                     checkpoint: String, nBuckets: Int = 16,
-                    expireEvery: Int = 0, expireKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+                    expireEvery: Int = 0, expireKeep: Int = 2,
+                    retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     val tag = ensureRunTag(updates.sparkSession, checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val applied = applyMigrateBatch(batch.toDF(), batchId, tag, martRoot,
-          keys, versionCol, tieBreakCol, nBuckets)
+          keys, versionCol, tieBreakCol, nBuckets, retainVersions)
         if (applied && expireEvery > 0 && batchId % expireEvery == 0)
           expireMartSnapshots(batch.sparkSession, martRoot, expireKeep)
         ()
@@ -271,7 +272,7 @@ object StreamingJobs {
   def applyMigrateBatch(batch: DataFrame, batchId: Long, tag: String,
                         martRoot: String, keys: Seq[String],
                         versionCol: String, tieBreakCol: String,
-                        nBuckets: Int = 16): Boolean = {
+                        nBuckets: Int = 16, retainVersions: Int = 2): Boolean = {
     val sp = batch.sparkSession
     val snap = snapshotName(tag, batchId)
     val manifest = readManifest(sp, martRoot)
@@ -307,7 +308,7 @@ object StreamingJobs {
         merged.withColumn("_b", bucketExpr(keys, nBuckets))
           .write.partitionBy("_b").mode("overwrite").parquet(s"$martRoot/$snap")
         publishManifest(sp, martRoot, snap, touched,
-          if (rebucket) Map.empty else bucketMap, nBuckets)
+          if (rebucket) Map.empty else bucketMap, nBuckets, retainVersions)
         true
       } finally { delta.unpersist(); () }
     }
@@ -340,12 +341,14 @@ object StreamingJobs {
     readManifest(spark, martRoot).flatMap(martFrame(spark, martRoot, _))
 
   /** Time-travel read: the mart exactly as manifest version `version`
-    * published it. The publish path retains the immediately previous
-    * manifest as the crash fallback and [[expireMartSnapshots]]
-    * protects every dir any RESOLVABLE manifest references, so
-    * depth-1 history — "inspect the pre-batch state" — is always
-    * available; a deployment wanting deeper history simply retains
-    * more manifest versions. None if that version no longer resolves. */
+    * published it. The publish path retains the `retainVersions`
+    * newest manifests (default 2: live + the crash fallback — pass a
+    * larger value to [[migrateStream]]/[[olapMigrateStream]] for a
+    * deeper window) and [[expireMartSnapshots]] protects every dir
+    * any RESOLVABLE manifest references, so every retained version
+    * reads back exactly — "inspect the state k batches ago" is a
+    * configuration knob, not an archaeology exercise. None if that
+    * version no longer resolves. */
   def readMartAt(spark: SparkSession, martRoot: String,
                  version: Long): Option[DataFrame] = {
     val fs = fileSystem(spark, martRoot)
@@ -447,11 +450,17 @@ object StreamingJobs {
     * name — there is no delete-then-rename window in which no manifest
     * exists (a crash at any point leaves the previous version as the
     * newest resolvable manifest, and the orphaned snapshot dir is
-    * expired later). Superseded versions beyond the immediately
-    * previous one are pruned AFTER the new version is durable. */
+    * expired later). Superseded versions beyond the `retainVersions`
+    * newest (including the one being published) are pruned AFTER the
+    * new version is durable — the retained tail IS the time-travel
+    * window [[readMartAt]] serves, since [[expireMartSnapshots]]
+    * never deletes a directory any retained manifest references. */
   private def publishManifest(spark: SparkSession, martRoot: String,
                               snap: String, touched: Set[Int],
-                              prev: Map[Int, String], nBuckets: Int): Unit = {
+                              prev: Map[Int, String], nBuckets: Int,
+                              retainVersions: Int): Unit = {
+    require(retainVersions >= 2,
+      s"retainVersions must keep at least the new manifest + the crash fallback, got $retainVersions")
     val fs = fileSystem(spark, martRoot)
     val rootP = new org.apache.hadoop.fs.Path(martRoot)
     val snapPath = new org.apache.hadoop.fs.Path(martRoot, snap)
@@ -472,8 +481,10 @@ object StreamingJobs {
     try out.write(content.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, ptrPath))
       throw new java.io.IOException(s"failed to publish mart snapshot $snap")
-    // keep the previous version as the crash fallback; prune older
-    existing.drop(1).foreach { case (_, p) => fs.delete(p, false) }
+    // keep the retainVersions-1 newest prior versions (the newest of
+    // them is the crash fallback; the rest are the time-travel
+    // window); prune everything older
+    existing.drop(retainVersions - 1).foreach { case (_, p) => fs.delete(p, false) }
   }
 
   /** Expire snapshot directories no longer referenced by any retained
@@ -760,13 +771,14 @@ object StreamingJobs {
   def olapMigrateStream(updates: DataFrame, martRoot: String,
                         keys: Seq[String], valueCol: String,
                         checkpoint: String, nBuckets: Int = 16,
-                        expireEvery: Int = 0, expireKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+                        expireEvery: Int = 0, expireKeep: Int = 2,
+                        retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     val tag = ensureRunTag(updates.sparkSession, checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val applied = applyOlapBatch(batch.toDF(), batchId, tag, martRoot,
-          keys, valueCol, nBuckets)
+          keys, valueCol, nBuckets, retainVersions)
         if (applied && expireEvery > 0 && batchId % expireEvery == 0)
           expireMartSnapshots(batch.sparkSession, martRoot, expireKeep)
         ()
@@ -782,7 +794,7 @@ object StreamingJobs {
     * the applied marker). Returns whether the batch was applied. */
   def applyOlapBatch(batch: DataFrame, batchId: Long, tag: String,
                      martRoot: String, keys: Seq[String], valueCol: String,
-                     nBuckets: Int = 16): Boolean = {
+                     nBuckets: Int = 16, retainVersions: Int = 2): Boolean = {
     val sp = batch.sparkSession
     val snap = snapshotName(tag, batchId)
     val manifest = readManifest(sp, martRoot)
@@ -811,7 +823,7 @@ object StreamingJobs {
         merged.withColumn("_b", bucketExpr(keys, nBuckets))
           .write.partitionBy("_b").mode("overwrite").parquet(s"$martRoot/$snap")
         publishManifest(sp, martRoot, snap, touched,
-          if (rebucket) Map.empty else bucketMap, nBuckets)
+          if (rebucket) Map.empty else bucketMap, nBuckets, retainVersions)
         true
       } finally { delta.unpersist(); () }
     }

@@ -454,6 +454,45 @@ class StreamingSpec extends SparkSpec {
     assert(mart == Set((0L, "v4"), (1L, "v5")))
   }
 
+  test("retainVersions=k time travel: every retained version reads back exactly, older ones expire") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_depthk").toString + "/mart"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mart_dkck").toString
+    val ms = MemoryStream[(Long, Long, String, Boolean)]
+    // aggressive dir expiry (keep 0 unreferenced) every batch: the
+    // depth-4 window must survive on manifest references alone
+    val q = StreamingJobs.migrateStream(
+      ms.toDF().toDF("k", "ver", "v", "deleted"),
+      root, keys = Seq("k"), versionCol = "ver", tieBreakCol = "v",
+      checkpoint = ckpt, nBuckets = 2, expireEvery = 1, expireKeep = 0,
+      retainVersions = 4)
+    def mart() = StreamingJobs.readMartLatest(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    val observed = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, String)])]
+    try {
+      (1L to 6L).foreach { i =>
+        ms.addData((i % 3, i, s"v$i", false))
+        q.processAllAvailable()
+        observed += ((StreamingJobs.martVersions(spark, root).head, mart()))
+      }
+    } finally q.stop()
+    // exactly the 4 newest manifest versions resolve, newest first
+    val versions = StreamingJobs.martVersions(spark, root)
+    assert(versions == observed.toSeq.reverse.take(4).map(_._1),
+      s"retained window must be the 4 newest published versions, got $versions")
+    // and each reads back EXACTLY the state observed when it was live
+    observed.toSeq.reverse.take(4).foreach { case (ver, state) =>
+      val got = StreamingJobs.readMartAt(spark, root, ver).get
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(got == state, s"version $ver must read back $state, got $got")
+    }
+    // versions that fell out of the window are gone, not half-readable
+    observed.toSeq.dropRight(4).foreach { case (ver, _) =>
+      assert(StreamingJobs.readMartAt(spark, root, ver).isEmpty,
+        s"expired version $ver must no longer resolve")
+    }
+  }
+
   test("multi-tenant continuous migrate: concurrent tenant streams are byte-level isolated") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_mt_mart").toString + "/mart"
