@@ -479,20 +479,23 @@ object Pipeline {
     */
   private val CoarseIters = 5
   private val EmbDim = 64 // the oracle SQL slices/loops assume it; IntLloyd.fit fails fast on drift
-  private def kmeansAssign(s: SparkSession, d: String, k: Int,
-                           n: Long): (DataFrame, Array[Array[Double]]) = {
+  private[graft] def kmeansAssignDf(emb: DataFrame, k: Int,
+                                    n: Long): (DataFrame, Array[Array[Double]]) = {
     val cap = math.max(2048L, 64L * k)
     val cents = graft.operators.IntLloyd.fit(
-      T.embeddings(s, d), "vec_id", "embedding", n,
+      emb, "vec_id", "embedding", n,
       numSub = 1, subLen = EmbDim, k = k, cap = cap,
       iters = CoarseIters, salt = "kmtrain")(0)
       .map(_.map(_.toDouble))
-    val assigned = T.embeddings(s, d)
+    val assigned = emb
       .withColumn("cluster", element_at(
         graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
       .select(col("vec_id"), col("embedding"), col("cluster"))
     (assigned, cents)
   }
+  private def kmeansAssign(s: SparkSession, d: String, k: Int,
+                           n: Long): (DataFrame, Array[Array[Double]]) =
+    kmeansAssignDf(T.embeddings(s, d), k, n)
 
   /** The coarse fit's SQL replay (d07/s03/s05 oracles). `floorK` is
     * the per-query k floor (8 for d07's blocking, 16 for IVF). */
@@ -2188,6 +2191,117 @@ object Pipeline {
       |WHERE list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) >= 0.3
       |ORDER BY q_id, cand_id""".stripMargin
 
+  // -- s07: IVF-probed range search (exact, cell-pruned) -------------------
+  // s06 against s03's inverted lists — and still EXACT, because the
+  // pruning is a proof, not a heuristic. Each cell keeps one byte of
+  // index metadata: bmin = min cosine between a member and its
+  // centroid (the cell's angular radius, cos θmax). For a query at
+  // angle θqc from the centroid, the spherical triangle inequality
+  // θ(q,x) ≥ θqc − θmax bounds every member's cosine by
+  // cos(θqc − θmax) = a·bmin + sqrt((1−a²)(1−bmin²)), a = cos θqc —
+  // sqrt/mul/add only, no transcendentals, so the bound (and the
+  // admission decision) replays bit-exactly in DuckDB. A cell whose
+  // bound < τ provably contains NO qualifying pair, so s07 emits
+  // EXACTLY s06's rows while the corpus pass probes only admitted
+  // lists. How much it prunes is the corpus's clusteredness: the
+  // synthetic warehouse vectors are near-orthogonal (measured at both
+  // gate SFs: min member-centroid cosine ≈ 0.23 per cell, so every
+  // bound ≥ 0.83 and all cells admit — correctly), while on a
+  // clustered corpus — what real embeddings are — most cells fail the
+  // bound and are never scanned. PipelineScaleSpec asserts BOTH:
+  // identity with s06 on the warehouse table, and prune-ratio +
+  // identity-vs-bruteforce on a 10-cluster corpus. The classic
+  // metric-pruning exact search — the shape a warehouse runs when
+  // scanning everything (s06) is the waste.
+  //
+  // Scale: the radius stats are one broadcast-join + k-row agg over
+  // the assigned corpus (index-build metadata, amortized across
+  // queries in deployment); the probe pass is a broadcast hash join
+  // on cluster touching admitted lists only. Both sides of the tiny
+  // admission cross join are bounded: queries by the filter (10),
+  // cells by the quantizer config (k ≈ √n). No fact shuffle anywhere.
+  /** The IVF-probed range-search internals over any (vec_id,
+    * embedding) frame (queries = vec_id < 10, candidates = the rest):
+    * returns (assigned candidates, admitted (query, cell) probe
+    * pairs). Factored out so PipelineScaleSpec can (a) measure the
+    * admitted fraction and (b) run the operator on a CLUSTERED corpus
+    * where the bound provably prunes — on the warehouse table the
+    * vectors are near-orthogonal (measured: bmin ≈ 0.23, so every
+    * bound ≥ 0.83) and admission keeps all cells, which is the bound
+    * being honest, not broken. */
+  private[graft] def rangeIvfParts(s: SparkSession, emb: DataFrame, n: Long,
+                                   tau: Double): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (assigned, cents) = kmeansAssignDf(emb, k, n)
+    val cells = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cluster", "cv")
+    val cands = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
+    val cellStats = cands.join(broadcast(cells), "cluster")
+      .groupBy(col("cluster"))
+      .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val a = col("a")
+    val bmin = col("bmin")
+    val bound = a * bmin +
+      sqrt(greatest(lit(0d), lit(1d) - a * a) *
+           greatest(lit(0d), lit(1d) - bmin * bmin))
+    val admitted = cellStats.join(broadcast(cells), "cluster")
+      .crossJoin(broadcast(qs))
+      .withColumn("a", VF.cosine(col("q_vec"), col("cv")))
+      .filter(a >= bmin || bound >= tau)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    (cands, admitted)
+  }
+
+  /** The probe pass over [[rangeIvfParts]] — the full operator,
+    * reusable on any corpus (the spec drives it on a clustered one). */
+  private[graft] def rangeIvf(s: SparkSession, emb: DataFrame, n: Long,
+                              tau: Double): DataFrame = {
+    val (cands, admitted) = rangeIvfParts(s, emb, n, tau)
+    cands.join(broadcast(admitted), "cluster")
+      .withColumn("cosine", VF.cosine(col("q_vec"), col("embedding")))
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("cand_id"))
+  }
+
+  private val s07: Q = (s, d) =>
+    rangeIvf(s, T.embeddings(s, d), T.embeddingsCount(s, d), tau = 0.3)
+
+  // The bound arithmetic mirrors the Spark expression op-for-op
+  // ((a*bmin) + sqrt(max(0,1−a²)·max(0,1−bmin²)) — IEEE mul/add/sqrt
+  // are exactly rounded in both engines), and every cosine input is
+  // the d06-proven list_cosine_similarity bit-equality, so admission
+  // decisions — not just emitted values — replay exactly.
+  private val s07Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 1)},
+       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
+       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
+       |cellstat AS (
+       |  SELECT c.cluster,
+       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
+       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+       |qc AS (
+       |  SELECT q.q_id, q.q_vec, s.cluster, s.bmin,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
+       |  FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster),
+       |adm AS (
+       |  SELECT q_id, q_vec, cluster FROM qc
+       |  WHERE a >= bmin
+       |     OR a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin)) >= 0.3)
+       |SELECT a2.q_id, c.cand_id,
+       |  list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
+       |                         CAST(c.embedding AS DOUBLE[])) AS cosine
+       |FROM cand c JOIN adm a2 ON c.cluster = a2.cluster
+       |WHERE list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) >= 0.3
+       |ORDER BY q_id, cand_id""".stripMargin
+
   // -- p06: dataset card (per-source datasheet) ----------------------------
   // The "datasheet for datasets" rollup a corpus release ships: per
   // source — volume (docs, tokens), language spread, exact-duplicate
@@ -2368,6 +2482,7 @@ object Pipeline {
     "t14_dedup_impact" -> t14,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
+    "s07_ann_range_ivf" -> s07,
     "p06_dataset_card" -> p06,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -2397,7 +2512,8 @@ object Pipeline {
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
     "d11_dedup_lines" -> d11Sql, "t13_vocab_coverage" -> t13Sql,
-    "s06_ann_range_search" -> s06Sql, "p06_dataset_card" -> p06Sql,
+    "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
+    "p06_dataset_card" -> p06Sql,
     "t14_dedup_impact" -> t14Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,

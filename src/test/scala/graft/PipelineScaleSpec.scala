@@ -26,6 +26,60 @@ class PipelineScaleSpec extends SparkSpec {
     assert(verified == 0)
   }
 
+  test("s07 IVF-probed range search equals exact s06 row-for-row (the bound is a proof)") {
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { d =>
+      def rows(name: String) = SparkEntry.queries(name)(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = rows("s06_ann_range_search")
+      val probed = rows("s07_ann_range_ivf")
+      assert(exact.nonEmpty, s"s06 empty at $d — identity check vacuous")
+      // identical rows INCLUDING the cosine values — recall 1.0 by
+      // construction, never a sampled estimate
+      assert(probed == exact,
+        s"s07 must equal s06 at $d: missing=${exact.diff(probed).take(3)} " +
+          s"extra=${probed.diff(exact).take(3)}")
+    }
+  }
+
+  test("s07 admission prunes most cells on a clustered corpus, still exactly") {
+    import org.apache.spark.sql.functions.col
+    // 10 tight clusters of 64-dim vectors (unit direction + small
+    // deterministic jitter): the geometry real embedding corpora
+    // have, where the per-cell radius is small and the triangle
+    // bound rejects far cells. vec_id 0-9 are one query per cluster.
+    val rnd = new scala.util.Random(41)
+    val base = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    def member(c: Int): Array[Float] =
+      base(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat)
+    val vecs = (0 until 10).map(c => (c.toLong, member(c))) ++
+      (0 until 190).map(i => ((10 + i).toLong, member(i % 10)))
+    val emb = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val tau = 0.6
+    val probed = graft.queries.Pipeline.rangeIvf(spark, emb, vecs.size.toLong, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force range search on the same frame = ground truth
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(qs)
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("q_vec"), col("embedding")))
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("cand_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size >= 100, s"clustered corpus must have in-radius pairs, got ${exact.size}")
+    assert(probed == exact, "cell pruning dropped a qualifying pair — bound unsound")
+    val (cands, admitted) = graft.queries.Pipeline.rangeIvfParts(
+      spark, emb, vecs.size.toLong, tau)
+    val populated = cands.select("cluster").distinct().count()
+    val probePairs = admitted.count()
+    info(s"s07 clustered: $probePairs probe pairs of ${10 * populated} (query × cell) grid")
+    assert(probePairs * 2 <= 10 * populated,
+      s"admission should prune at least half the grid on tight clusters: " +
+        s"$probePairs of ${10 * populated}")
+  }
+
   test("s04 PQ top-5 recalls a usable share of s01's exact top-5") {
     def top(name: String) = SparkEntry.queries(name)(spark, sfDir)
       .select("q_id", "cand_id").collect()
