@@ -1816,8 +1816,31 @@ object Relational {
   // six-long partials per item. No window, no driver math.
   private val q59: Q = (s, d) => {
     val x = col("l_quantity").cast(LongType)
-    val items = T.lineitem(s, d)
+    // Stats-based per-query partition pin — the measured fix for the
+    // 100× spill, localized (the global initialPartitionNum lever
+    // fixed q59's 60M-row run but tripled the sf0.1 shingle
+    // self-joins, so it stays a deployment knob while q59 sizes its
+    // own exchanges). Cores-sized partitions spill on this query's
+    // two fact shuffles at ~3.75M fact rows/core (measured: 25.9 s at
+    // 60M rows/16 threads; pinned 8×cores partitions → 15.3 s); below
+    // ~400k rows/core pinning COSTS instead — the explicit
+    // repartition adds a full-fact exchange where AQE's
+    // broadcast-totals plan needs none (measured at 10×: 3.6 s
+    // unpinned vs 4.7 s pinned). The threshold sits between the two
+    // measured regimes at 1M rows/core, ~4× under the spill point.
+    // The row count is parquet footer metadata (driver-side,
+    // no scan job) — the table-statistics read every cost-based
+    // planner does. When pinned, the repartition satisfies both the
+    // totals aggregate's and the join-back's required distribution
+    // (each branch column-prunes its own copy), and an explicit
+    // partition count is exempt from AQE coalescing by design —
+    // that is the pin.
+    val cores = s.sparkContext.defaultParallelism
+    val pin = T.parquetRowCount(s, s"$d/lineitem.parquet") > 1000000L * cores
+    val base = T.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), x.as("x"))
+    val items =
+      if (pin) base.repartition(8 * cores, col("l_orderkey")) else base
     val totals = items.groupBy(col("l_orderkey"))
       .agg(sum(col("x")).as("y"))
     val stats = items.join(totals, "l_orderkey")
