@@ -2681,8 +2681,234 @@ object Relational {
       |FROM base b FULL OUTER JOIN o ON b.key = o.key
       |ORDER BY key""".stripMargin
 
+  // -- q76: archive restore reconciliation ---------------------------------
+  // The Archive runbook's full cycle as one warehouse query (reference
+  // /root/reference/docs/Runbook.Archive.md: snapshot → bulk delete →
+  // restore → "Querying the restored snapshot of a database for
+  // information"): reconcile the RESTORED pre-purge snapshot against
+  // the LIVE post-purge warehouse, per cascade table of q60's year
+  // purge. One full-outer join of the per-side GROUPED frames per
+  // table yields all four measures in a single pass: rows_archive /
+  // rows_live / rows_archived_only (the purged content a restore can
+  // recover — spec-tied to q60's rows_deleted) / rows_drifted (row
+  // content present live but NOT in the snapshot — the runbook
+  // requires the purge run "while the system is quiescent", and this
+  // column is the audit that it actually was: drift must be 0).
+  // Snapshot and live are independent scans — physically distinct
+  // sources in deployment (restored instance vs live instance), which
+  // is why the reconcile is a join, not filter arithmetic.
+  //
+  // The reconcile is a MULTISET comparison (EXCEPT ALL semantics) over
+  // full rows, not a keyed diff: the exam_item grain has no unique
+  // natural key in this model ((l_orderkey, l_linenumber) repeats), so
+  // each side groups by the entire row and the join compares
+  // multiplicities — exact under duplicate rows, no uniqueness
+  // assumption anywhere.
+  //
+  // Scale: per table, one partial-agg shuffle per side (map-side
+  // combine on the row group) + one co-partitioned full-outer join of
+  // the grouped frames (≤ distinct rows, not rows) + a single-row agg;
+  // the scans prune to the compared columns.
+  private val q76: Q = (s, d) => {
+    val purgeYear = 1995
+    def audit(table: String, archive: DataFrame, live: DataFrame,
+              cols: Seq[String]): DataFrame = {
+      def grouped(df: DataFrame, cnt: String) =
+        df.select(cols.map(col): _*).groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as(cnt))
+      val ac = coalesce(col("_a_cnt"), lit(0L))
+      val lc = coalesce(col("_l_cnt"), lit(0L))
+      grouped(archive, "_a_cnt").join(grouped(live, "_l_cnt"), cols, "full_outer")
+        .agg(sum(ac).as("rows_archive"), sum(lc).as("rows_live"),
+          sum(greatest(ac - lc, lit(0L))).as("rows_archived_only"),
+          sum(greatest(lc - ac, lit(0L))).as("rows_drifted"))
+        .select(lit(table).as("table_name"), col("rows_archive"),
+          col("rows_live"), col("rows_archived_only"), col("rows_drifted"))
+    }
+    val exams = T.orders(s, d)
+    val liveExams = exams.filter(year(col("o_orderdate")) =!= purgeYear)
+    val examItems = T.lineitem(s, d)
+      .join(exams.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val liveExamItems = examItems.filter(year(col("o_orderdate")) =!= purgeYear)
+    // the item cascade follows its assessment's year (q60's derivation)
+    val asmts = T.part(s, d).groupBy(col("p_brand"))
+      .agg((lit(1992) + min(col("p_partkey")) % 7).as("asmt_year"))
+    val items = T.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .join(broadcast(asmts), Seq("p_brand"))
+    val liveItems = items.filter(col("asmt_year") =!= purgeYear)
+    audit("1_item", items, liveItems,
+        Seq("p_partkey", "p_brand", "p_retailprice"))
+      .unionByName(audit("2_exam_item", examItems, liveExamItems,
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")))
+      .unionByName(audit("3_exam", exams, liveExams,
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice")))
+      .orderBy(col("table_name"))
+  }
+
+  private val q76Sql =
+    """WITH ey AS (SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice,
+      |             CAST(year(o_orderdate) AS INTEGER) <> 1995 AS live
+      |           FROM orders),
+      |ei AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, ey.live
+      |       FROM lineitem JOIN ey ON l_orderkey = o_orderkey),
+      |ay AS (SELECT p_brand, 1992 + min(p_partkey) % 7 AS asmt_year
+      |       FROM part GROUP BY p_brand),
+      |it AS (SELECT p_partkey, part.p_brand, p_retailprice,
+      |         ay.asmt_year <> 1995 AS live
+      |       FROM part JOIN ay ON part.p_brand = ay.p_brand),
+      |rows_ AS (
+      |  SELECT '1_item' AS table_name, COUNT(*) AS rows_archive,
+      |    CAST(COUNT(*) FILTER (live) AS BIGINT) AS rows_live,
+      |    CAST(COUNT(*) FILTER (NOT live) AS BIGINT) AS rows_archived_only,
+      |    CAST(0 AS BIGINT) AS rows_drifted
+      |  FROM it
+      |  UNION ALL
+      |  SELECT '2_exam_item', COUNT(*),
+      |    CAST(COUNT(*) FILTER (live) AS BIGINT),
+      |    CAST(COUNT(*) FILTER (NOT live) AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM ei
+      |  UNION ALL
+      |  SELECT '3_exam', COUNT(*),
+      |    CAST(COUNT(*) FILTER (live) AS BIGINT),
+      |    CAST(COUNT(*) FILTER (NOT live) AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM ey)
+      |SELECT * FROM rows_ ORDER BY table_name""".stripMargin
+
+  // -- q77: translation overlay coverage -----------------------------------
+  // The Language Support runbook's i18n layering as a report (reference
+  // /root/reference/docs/Runbook.LanguageSupport.md: "the application
+  // ships with English as a default embedded language", "tenants may
+  // install an en.json file to override any display text", "A
+  // translation JSON file is not required to be complete"): the
+  // effective message for (language, key) is
+  // coalesce(xx.json, tenant en.json, embedded en) — which is
+  // [[graft.sources.Ingest.resolveTenantConfig]] applied TWICE, the
+  // q75 overlay operator composing: first the tenant's en.json onto
+  // the embedded registry (→ effective English), then each installed
+  // language file onto that. The report is the admin's per-language
+  // coverage view: translated / en-fallback / orphan counts + share
+  // (orphans are keys only the language file declares — the doc's
+  // cross-reference drift warning). Fixture keys mirror the runbook's
+  // own examples (common-ngx.footer override, languages.es=Español,
+  // report-download display names).
+  //
+  // Scale: translation registries are config-sized; the one exact
+  // IEEE division per row rides #languages × 3 output rows.
+  private[graft] val q77EmbeddedCsv: String =
+    """key,value
+      |common-ngx.footer,Smarter Balanced Assessment Consortium
+      |common-ngx.languages.es,es
+      |common-ngx.languages.vi,vi
+      |report-download.form.language-option.es,es
+      |report-download.form.language-option.vi,vi
+      |report.grade.label,Grade
+      |report.target.title,Target Report
+      |welcome.title,Welcome""".stripMargin
+
+  private[graft] val q77FilesCsv: String =
+    """lang,key,value
+      |en,common-ngx.footer,(c) My Organization - Smarter Balanced Assessment Consortium
+      |en,common-ngx.languages.es,Español
+      |en,common-ngx.languages.vi,Tiếng Việt
+      |en,report-download.form.language-option.es,Spanish
+      |en,report-download.form.language-option.vi,Vietnamese
+      |es,common-ngx.languages.es,Español
+      |es,report-download.form.language-option.es,Español
+      |es,report-download.form.language-option.vi,Vietnamita
+      |es,report.grade.label,Grado
+      |es,report.target.title,Informe de objetivos
+      |vi,common-ngx.languages.vi,Tiếng Việt
+      |vi,report-download.form.language-option.vi,Tiếng Việt
+      |vi,report.legacy.note,Ghi chú cũ""".stripMargin
+
+  private[graft] def q77Resolved(s: SparkSession, lang: String): DataFrame = {
+    val embedded = graft.sources.Ingest.parseConfigCsv(s, q77EmbeddedCsv,
+      StructType.fromDDL("key string not null, value string not null"))
+    val files = graft.sources.Ingest.parseConfigCsv(s, q77FilesCsv,
+      StructType.fromDDL(
+        "lang string not null, key string not null, value string not null"))
+    val enEff = graft.sources.Ingest
+      .resolveTenantConfig(embedded, files, "en", tenantCol = "lang")
+      .select(col("key"), col("value"))
+    graft.sources.Ingest
+      .resolveTenantConfig(enEff, files, lang, tenantCol = "lang")
+  }
+
+  private val q77: Q = (s, _) => {
+    val perLang = Seq("es", "vi").map { lang =>
+      q77Resolved(s, lang).withColumn("language", lit(lang))
+    }.reduce(_ unionByName _)
+      .withColumn("status",
+        when(col("config_source") === "override", "translated")
+          .when(col("config_source") === "tenant-new", "orphan")
+          .otherwise("en_fallback"))
+    val universe = q77Resolved(s, "es").filter(col("config_source") =!= "tenant-new")
+      .agg(count(lit(1)).as("n_keys"))
+    perLang.groupBy(col("language"), col("status"))
+      .agg(count(lit(1)).as("keys"))
+      .crossJoin(broadcast(universe)) // 1-row scalar: the en key universe
+      .select(col("language"), col("status"), col("keys"),
+        (col("keys").cast(DoubleType) / col("n_keys").cast(DoubleType)).as("share"))
+      .orderBy(col("language"), col("status"))
+  }
+
+  private val q77Sql =
+    """WITH emb AS (SELECT * FROM (VALUES
+      |  ('common-ngx.footer', 'Smarter Balanced Assessment Consortium'),
+      |  ('common-ngx.languages.es', 'es'),
+      |  ('common-ngx.languages.vi', 'vi'),
+      |  ('report-download.form.language-option.es', 'es'),
+      |  ('report-download.form.language-option.vi', 'vi'),
+      |  ('report.grade.label', 'Grade'),
+      |  ('report.target.title', 'Target Report'),
+      |  ('welcome.title', 'Welcome')) AS t(key, value)),
+      |files AS (SELECT * FROM (VALUES
+      |  ('en', 'common-ngx.footer', '(c) My Organization - Smarter Balanced Assessment Consortium'),
+      |  ('en', 'common-ngx.languages.es', 'Español'),
+      |  ('en', 'common-ngx.languages.vi', 'Tiếng Việt'),
+      |  ('en', 'report-download.form.language-option.es', 'Spanish'),
+      |  ('en', 'report-download.form.language-option.vi', 'Vietnamese'),
+      |  ('es', 'common-ngx.languages.es', 'Español'),
+      |  ('es', 'report-download.form.language-option.es', 'Español'),
+      |  ('es', 'report-download.form.language-option.vi', 'Vietnamita'),
+      |  ('es', 'report.grade.label', 'Grado'),
+      |  ('es', 'report.target.title', 'Informe de objetivos'),
+      |  ('vi', 'common-ngx.languages.vi', 'Tiếng Việt'),
+      |  ('vi', 'report-download.form.language-option.vi', 'Tiếng Việt'),
+      |  ('vi', 'report.legacy.note', 'Ghi chú cũ')) AS t(lang, key, value)),
+      |en_eff AS (
+      |  SELECT COALESCE(e.key, o.key) AS key, COALESCE(o.value, e.value) AS value
+      |  FROM emb e FULL OUTER JOIN (SELECT key, value FROM files WHERE lang = 'en') o
+      |  ON e.key = o.key),
+      |lang_es AS (
+      |  SELECT 'es' AS language, COALESCE(b.key, o.key) AS key,
+      |    CASE WHEN o.value IS NOT NULL AND b.value IS NOT NULL THEN 'translated'
+      |         WHEN o.value IS NOT NULL THEN 'orphan'
+      |         ELSE 'en_fallback' END AS status
+      |  FROM en_eff b FULL OUTER JOIN
+      |    (SELECT key, value FROM files WHERE lang = 'es') o ON b.key = o.key),
+      |lang_vi AS (
+      |  SELECT 'vi' AS language, COALESCE(b.key, o.key) AS key,
+      |    CASE WHEN o.value IS NOT NULL AND b.value IS NOT NULL THEN 'translated'
+      |         WHEN o.value IS NOT NULL THEN 'orphan'
+      |         ELSE 'en_fallback' END AS status
+      |  FROM en_eff b FULL OUTER JOIN
+      |    (SELECT key, value FROM files WHERE lang = 'vi') o ON b.key = o.key),
+      |fixed AS (
+      |  SELECT * FROM lang_es UNION ALL SELECT * FROM lang_vi),
+      |u AS (SELECT COUNT(*) AS n_keys FROM en_eff)
+      |SELECT language, status, COUNT(*) AS keys,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(n_keys AS DOUBLE) AS share
+      |FROM fixed, u
+      |GROUP BY language, status, n_keys
+      |ORDER BY language, status""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q77_translation_coverage" -> q77,
+    "q76_archive_restore_audit" -> q76,
     "q75_tenant_config" -> q75,
     "q74_isr_assembly" -> q74,
     "q73_alt_scores" -> q73,
@@ -2717,6 +2943,8 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q77_translation_coverage" -> q77Sql,
+    "q76_archive_restore_audit" -> q76Sql,
     "q75_tenant_config" -> q75Sql,
     "q74_isr_assembly" -> q74Sql,
     "q73_alt_scores" -> q73Sql,

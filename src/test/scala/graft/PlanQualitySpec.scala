@@ -393,6 +393,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(nPruned > 0, "the filter must actually prune")
   }
 
+  test("q76 archive reconcile: archived-only equals q60's purge counts, drift is zero") {
+    val audit = SparkEntry.queries("q76_archive_restore_audit")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // conservation: archive = live + archived_only, per table
+    audit.values.foreach { case (arch, live, only, drift) =>
+      assert(arch == live + only, "restore must account for every archived row")
+      assert(drift == 0, "quiescent-window audit: surviving rows must not drift")
+    }
+    // cross-query consistency: what the restore would recover IS what
+    // q60's purge audit says was deleted, table by table
+    val purge = SparkEntry.queries("q60_year_purge_audit")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(audit("1_item")._3 == purge("3_item"))
+    assert(audit("2_exam_item")._3 == purge("5_exam_item"))
+    assert(audit("3_exam")._3 == purge("6_exam"))
+  }
+
+  test("q77 translation layering: override chain resolves per the runbook, coverage adds up") {
+    import graft.queries.Relational
+    val es = Relational.q77Resolved(spark, "es")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // translated: the language file wins over everything
+    assert(es("report.grade.label") == ("Grado", "override"))
+    // en-fallback THROUGH the tenant override: es.json lacks the
+    // footer, so es sees the tenant's overridden English, not embedded
+    assert(es("common-ngx.footer") ==
+      ("(c) My Organization - Smarter Balanced Assessment Consortium", "base"))
+    // en-fallback to embedded where neither file has the key
+    assert(es("welcome.title") == ("Welcome", "base"))
+    // the orphan key surfaces instead of vanishing
+    val vi = Relational.q77Resolved(spark, "vi")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(vi("report.legacy.note") == ("Ghi chú cũ", "tenant-new"))
+    // and the report's shares: per language, translated+fallback = the
+    // en universe (orphans ride on top)
+    val rep = SparkEntry.queries("q77_translation_coverage")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Seq("es", "vi").foreach { l =>
+      assert(rep.getOrElse((l, "translated"), 0L) +
+        rep.getOrElse((l, "en_fallback"), 0L) == 8L,
+        s"$l must resolve every en key exactly once")
+    }
+    assert(rep(("vi", "orphan")) == 1L)
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
