@@ -1239,7 +1239,10 @@ object Pipeline {
   // one per-doc agg. The occurrence product c·cnt runs in DECIMAL
   // (QUtil's money policy) so the arithmetic stays exact well past
   // the long range a 100-TB corpus would overflow.
-  private val t09: Q = (s, d) => {
+  /** t09's per-document LM scores — factored so t15's quality
+    * partition consumes the identical frame (one definition, the two
+    * consumers cannot drift). */
+  private def t09Scores(s: SparkSession, d: String): DataFrame = {
     val dtf = docsSpread(s, d)
       .select(col("doc_id"),
         explode(graft.functions.GraftColumns.charGramCounts(col("text"), 3)).as("gc"))
@@ -1266,11 +1269,15 @@ object Pipeline {
           .as("tf_sum"),
         sum(when(col("cnt") * 4L * col("n_grams") <= col("total_c"), col("c"))
           .otherwise(0L)).as("n_rare"))
-      .select(col("doc_id"), col("n_tri"),
+      .select(col("doc_id"), col("n_tri"), col("n_rare"),
         (col("tf_sum").cast(DoubleType) / col("n_tri")).as("avg_tf"),
         (col("n_rare").cast(DoubleType) / col("n_tri")).as("rare_rate"))
-      .orderBy(col("doc_id"))
   }
+
+  private val t09: Q = (s, d) =>
+    t09Scores(s, d)
+      .select(col("doc_id"), col("n_tri"), col("avg_tf"), col("rare_rate"))
+      .orderBy(col("doc_id"))
 
   private val t09Sql =
     """WITH tri AS (
@@ -2537,6 +2544,73 @@ object Pipeline {
       |  COALESCE(lag(n_tokens) OVER (ORDER BY stage) - n_tokens, 0) AS removed_tokens
       |FROM wf ORDER BY stage""".stripMargin
 
+  // -- t15: LM quality partition (the perplexity-filter shape) -------------
+  // CCNet's head/middle/tail split, on this engine's replayable LM:
+  // the deployed recipe scores every document with a language model
+  // trained on a reference corpus and buckets by FIXED cutoffs
+  // computed offline (per language) — the cutoffs are configuration,
+  // not a per-run global sort. Here the score is t09's rare_rate (the
+  // share of trigram occurrences that are corpus-rare — high = noisy,
+  // the perplexity analogue that stays hash-exact: a true log-space
+  // perplexity would hinge on ln(), which neither engine guarantees
+  // correctly rounded), and the cutoffs 0.0475 / 0.0584 are the
+  // measured corpus terciles, applied as constants the way CCNet
+  // applies its offline percentiles. Per bucket: docs, trigram
+  // volume, rare volume — exact ints; the two shares are single IEEE
+  // divisions (t05's policy).
+  //
+  // Scale: t09's scoring shape (cached dtf, broadcast model) + a
+  // 3-cell partial agg; no sort, no window — the cutoff-as-config
+  // design is exactly what makes the CCNet filter scan-bound at
+  // 100 TB.
+  private val t15: Q = (s, d) => {
+    val bucket = when(col("rare_rate") < 0.0475, "1_head")
+      .when(col("rare_rate") <= 0.0584, "2_middle")
+      .otherwise("3_tail")
+    val tot = t09Scores(s, d).agg(count(lit(1)).as("n_docs_tot"),
+      sum(col("n_tri")).as("n_tri_tot")) // one row: corpus volumes
+    t09Scores(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tri")).as("n_tri"),
+        sum(col("n_rare")).as("n_rare"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_tri"), col("n_rare"),
+        (col("n_docs").cast(DoubleType) / col("n_docs_tot")).as("doc_share"),
+        (col("n_rare").cast(DoubleType) / col("n_tri")).as("bucket_rare_rate"))
+      .orderBy(col("bucket"))
+  }
+
+  private val t15Sql =
+    """WITH tri AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+      |      i -> substr(text, i, 3))) AS g
+      |  FROM documents),
+      |dtf AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+      |model AS (SELECT g, CAST(SUM(c) AS BIGINT) AS cnt FROM dtf GROUP BY g),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_c, COUNT(*) AS n_grams
+      |        FROM model),
+      |scores AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+      |    CAST(SUM(CASE WHEN cnt * 4 * n_grams <= total_c THEN c ELSE 0 END)
+      |      AS BIGINT) AS n_rare,
+      |    CAST(SUM(CASE WHEN cnt * 4 * n_grams <= total_c THEN c ELSE 0 END)
+      |      AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rare_rate
+      |  FROM dtf JOIN model USING (g) CROSS JOIN tot
+      |  GROUP BY doc_id),
+      |u AS (SELECT COUNT(*) AS n_docs_tot FROM scores),
+      |b AS (SELECT CASE WHEN rare_rate < 0.0475 THEN '1_head'
+      |               WHEN rare_rate <= 0.0584 THEN '2_middle'
+      |               ELSE '3_tail' END AS bucket,
+      |        n_tri, n_rare FROM scores)
+      |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tri) AS BIGINT) AS n_tri,
+      |  CAST(SUM(n_rare) AS BIGINT) AS n_rare,
+      |  CAST(COUNT(*) AS DOUBLE) / n_docs_tot AS doc_share,
+      |  CAST(SUM(n_rare) AS BIGINT) / CAST(SUM(n_tri) AS DOUBLE) AS bucket_rare_rate
+      |FROM b CROSS JOIN u
+      |GROUP BY bucket, n_docs_tot
+      |ORDER BY bucket""".stripMargin
+
   // -- e09: continuous latency monitor (stateful, oracle-certified) --------
   // The q62/q63 created→updated derivation as a flatMapGroupsWithState
   // operator (StreamingJobs.latencyExact): one long of state per user,
@@ -2576,7 +2650,7 @@ object Pipeline {
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "d11_dedup_lines" -> d11, "t13_vocab_coverage" -> t13,
-    "t14_dedup_impact" -> t14,
+    "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07,
@@ -2611,7 +2685,7 @@ object Pipeline {
     "d11_dedup_lines" -> d11Sql, "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
-    "t14_dedup_impact" -> t14Sql,
+    "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,

@@ -479,6 +479,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(planStr.contains("Window"), "expected the boundary-bucket window")
   }
 
+  test("t15 quality partition: buckets conserve the corpus and order by noisiness") {
+    val rows = SparkEntry.queries("t15_lm_quality_partition")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count(),
+      "every document lands in exactly one bucket")
+    val t09 = SparkEntry.queries("t09_ngram_lm")(spark, sfDir)
+    assert(rows.map(_.getLong(2)).sum ==
+      t09.agg(org.apache.spark.sql.functions.sum("n_tri")).head().getLong(0),
+      "bucket trigram volumes must conserve t09's")
+    // the buckets mean what they claim: rare share strictly increases
+    // head → middle → tail
+    val rates = rows.map(_.getDouble(5))
+    assert(rates.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"bucket rare rates must increase: ${rates.toSeq}")
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
