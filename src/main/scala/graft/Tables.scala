@@ -61,15 +61,8 @@ object Tables {
     org.apache.spark.sql.graftbridge.SqlBridge.registerGraftFunctions(spark)
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default ([PARQUET_TYPE_ILLEGAL]). Read it as a nanosecond long via
-    * the legacy flag and convert to a microsecond TimestampType — the
-    * generator emits whole-microsecond values, so the ns→µs division is
-    * lossless and matches DuckDB's reading of the same file. */
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -78,11 +71,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS). How Spark surfaces that
+    * column shifted across engine versions, so the loader dispatches on
+    * the schema it actually got instead of assuming one read mode:
+    *
+    *   - `LongType` (legacy `nanosAsLong` read mode): epoch-nanos —
+    *     convert via integral `ts DIV 1000` (not `/`: ~1.7e18 nanos
+    *     overflows double precision) into a µs TimestampType.
+    *   - `TimestampNTZType` (Spark 4.1+ native NANOS read): the engine
+    *     already truncated nanos→µs; cast to TimestampType. Every graft
+    *     session pins `spark.sql.session.timeZone=UTC`, so the cast
+    *     reinterprets the wall clock as a UTC instant — the identical µs
+    *     values DuckDB reads from the same file.
+    *   - `TimestampType`: already the contract — pass through.
+    *
+    * The generator emits whole-microsecond values, so every path is
+    * lossless; TablesSpec pins both the type AND a known first-row µs
+    * value against future read-mode drift. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // integral DIV, not `/`: epoch-nanos (~1.7e18) overflows double precision
-    checked("events",
-      eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    import org.apache.spark.sql.types._
+    val raw = eventsRaw(s, d)
+    val converted = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampNTZType =>
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events loader requires spark.sql.session.timeZone=UTC for a lossless NTZ→instant cast")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts loaded as unexpected type $other")
+    }
+    checked("events", converted)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

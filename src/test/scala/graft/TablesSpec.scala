@@ -14,6 +14,21 @@ class TablesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("events ts µs values match the oracle regardless of read mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Pins the VALUE contract, not just the type: DuckDB reads event_id=0
+    // of sf0.001 as epoch µs 1704067798778549 (2024-01-01 00:09:58.778549
+    // UTC). A future engine read-mode shift (nanosAsLong long vs native
+    // TIMESTAMP_NTZ — both handled by the loader's schema dispatch) must
+    // keep producing this exact instant or fail here on values.
+    val first = Tables.events(spark, sfDir)
+      .filter($"event_id" === 0L)
+      .select(unix_micros($"ts"))
+      .as[Long].head()
+    assert(first == 1704067798778549L)
+  }
+
   test("registerAll exposes every table and native function to spark.sql") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
