@@ -31,10 +31,17 @@ SRC = "/root/testdata/sf0.1"
 def main(out: str, factor: int = 10) -> None:
     import os
     os.makedirs(out, exist_ok=True)
-    for t in ["region", "nation", "supplier", "part", "lineitem"]:
+    for t in ["region", "nation", "supplier", "part"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
     con = duckdb.connect()
+    # lineitem x10: l_orderkey offsets match the orders offsets below so
+    # the order->line relationship survives scaling (the q72/q76/q73/q74
+    # rows in SURVEY §4 measure against this lineitem-scaled corpus)
+    con.sql(f"""COPY (
+      SELECT * REPLACE (l_orderkey + i*2000000 AS l_orderkey)
+      FROM '{SRC}/lineitem.parquet', generate_series(0, {factor - 1}) t(i)
+    ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
     # embeddings x10: per-copy perturbation of one component keeps the
     # near-dup structure realistic (copies are near- but not exact dups)
     con.sql(f"""COPY (
