@@ -2236,8 +2236,15 @@ object Pipeline {
     * vectors are near-orthogonal (measured: bmin ≈ 0.23, so every
     * bound ≥ 0.83) and admission keeps all cells, which is the bound
     * being honest, not broken. */
-  private[graft] def rangeIvfParts(s: SparkSession, emb: DataFrame, n: Long,
-                                   tau: Double): (DataFrame, DataFrame) = {
+  /** The persistable half of s07: assign the corpus to quantizer
+    * cells and derive each cell's metadata — centroid `cv` plus the
+    * angular radius `bmin`. In deployment this pair of frames IS the
+    * index: build once, write with [[graft.operators.RangeIvfIndex]],
+    * and every later query skips the fit, the assignment pass, and
+    * the radius agg (round-6 verdict polish — bmin used to be
+    * recomputed per query). */
+  private[graft] def rangeIvfIndex(s: SparkSession, emb: DataFrame,
+                                   n: Long): (DataFrame, DataFrame) = {
     import s.implicits._
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val (assigned, cents) = kmeansAssignDf(emb, k, n)
@@ -2245,34 +2252,55 @@ object Pipeline {
       .toDF("cluster", "cv")
     val cands = assigned.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
-    val cellStats = cands.join(broadcast(cells), "cluster")
+    val cellMeta = cands.join(broadcast(cells), "cluster")
       .groupBy(col("cluster"))
       .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin"))
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .join(broadcast(cells), "cluster")
+      .select(col("cluster"), col("cv"), col("bmin"))
+    (cands, cellMeta)
+  }
+
+  /** The per-query half of s07: the spherical-triangle admission test
+    * over the cell metadata. Cost is |queries| × |cells| — both tiny
+    * and broadcast; no corpus access at all. */
+  private[graft] def rangeIvfAdmit(cellMeta: DataFrame, qs: DataFrame,
+                                   tau: Double): DataFrame = {
     val a = col("a")
     val bmin = col("bmin")
     val bound = a * bmin +
       sqrt(greatest(lit(0d), lit(1d) - a * a) *
            greatest(lit(0d), lit(1d) - bmin * bmin))
-    val admitted = cellStats.join(broadcast(cells), "cluster")
+    cellMeta
       .crossJoin(broadcast(qs))
       .withColumn("a", VF.cosine(col("q_vec"), col("cv")))
       .filter(a >= bmin || bound >= tau)
       .select(col("q_id"), col("q_vec"), col("cluster"))
-    (cands, admitted)
   }
+
+  private[graft] def rangeIvfParts(s: SparkSession, emb: DataFrame, n: Long,
+                                   tau: Double): (DataFrame, DataFrame) = {
+    val (cands, cellMeta) = rangeIvfIndex(s, emb, n)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    (cands, rangeIvfAdmit(cellMeta, qs, tau))
+  }
+
+  /** Probe a (possibly loaded-from-disk) index: broadcast hash join
+    * on cluster touching admitted lists only, then the exact filter. */
+  private[graft] def rangeIvfProbe(cands: DataFrame, admitted: DataFrame,
+                                   tau: Double): DataFrame =
+    cands.join(broadcast(admitted), "cluster")
+      .withColumn("cosine", VF.cosine(col("q_vec"), col("embedding")))
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("cand_id"))
 
   /** The probe pass over [[rangeIvfParts]] — the full operator,
     * reusable on any corpus (the spec drives it on a clustered one). */
   private[graft] def rangeIvf(s: SparkSession, emb: DataFrame, n: Long,
                               tau: Double): DataFrame = {
     val (cands, admitted) = rangeIvfParts(s, emb, n, tau)
-    cands.join(broadcast(admitted), "cluster")
-      .withColumn("cosine", VF.cosine(col("q_vec"), col("embedding")))
-      .filter(col("cosine") >= tau)
-      .select(col("q_id"), col("cand_id"), col("cosine"))
-      .orderBy(col("q_id"), col("cand_id"))
+    rangeIvfProbe(cands, admitted, tau)
   }
 
   private val s07: Q = (s, d) =>

@@ -2506,9 +2506,20 @@ object Relational {
       |G-204,311
       |G-204,499""".stripMargin
 
-  private val q74: Q = (s, d) => {
-    val members = graft.sources.Ingest.parseConfigCsv(s, q74GroupCsv,
+  private val q74: Q = (s, d) => isrAssembly(s, d, q74GroupCsv, "G-204")
+
+  /** q74's body, parameterized by the group-membership import file and
+    * the group to assemble (round-6 verdict polish: the group id rides
+    * the config-CSV contract instead of a hardcoded fixture — the
+    * Report Processor runs this once per requested group). The
+    * membership file may hold many groups; the filter narrows it
+    * BEFORE the broadcast, so the probe frames stay group-sized no
+    * matter how large the import file is. */
+  private[graft] def isrAssembly(s: SparkSession, d: String,
+                                 membersCsv: String, groupId: String): DataFrame = {
+    val members = graft.sources.Ingest.parseConfigCsv(s, membersCsv,
       StructType.fromDDL("group_id string not null, student_id bigint not null"))
+      .filter(col("group_id") === groupId)
     val cuts = q49CutsFromXml(s)
     val resources = graft.sources.Ingest.parseConfigCsv(s, q58ResourceCsv,
       StructType.fromDDL("asmt string not null, level int not null, resource_url string not null"))

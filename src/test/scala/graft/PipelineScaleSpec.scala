@@ -80,6 +80,28 @@ class PipelineScaleSpec extends SparkSpec {
         s"$probePairs of ${10 * populated}")
   }
 
+  test("s07 persisted index round-trips: probe on the loaded index equals exact s06") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("rangeivf").toString
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    graft.operators.RangeIvfIndex.write(
+      spark, emb, graft.Tables.embeddingsCount(spark, sfDir), dir)
+    // the cells frame IS the metadata contract: one bmin per cell
+    val (assigned, cells) = graft.operators.RangeIvfIndex.read(spark, dir)
+    assert(cells.columns.toSet == Set("cluster", "cv", "bmin"))
+    assert(cells.count() == assigned.select("cluster").distinct().count())
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probed = graft.operators.RangeIvfIndex.probe(spark, dir, qs, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = SparkEntry.queries("s06_ann_range_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(probed == exact,
+      s"loaded-index probe must equal brute force: missing=${exact.diff(probed).take(3)} " +
+        s"extra=${probed.diff(exact).take(3)}")
+  }
+
   test("s04 PQ top-5 recalls a usable share of s01's exact top-5") {
     def top(name: String) = SparkEntry.queries(name)(spark, sfDir)
       .select("q_id", "cand_id").collect()

@@ -303,6 +303,20 @@ class PlanQualitySpec extends SparkSpec {
       s"only the group's own claim rollup may hash-exchange, got $hashExchanges:\n$p")
   }
 
+  test("q74 parameterized by group id: a multi-group import file assembles only the requested group") {
+    import org.apache.spark.sql.functions.col
+    val multi = graft.queries.Relational.q74GroupCsv +
+      "\nG-117,3\nG-117,57\nG-117,201"
+    val g204 = graft.queries.Relational.isrAssembly(spark, sfDir, multi, "G-204")
+    val fixture = SparkEntry.queries("q74_isr_assembly")(spark, sfDir)
+    // other groups in the file must not perturb the requested group's report
+    assert(g204.collect().toSeq == fixture.collect().toSeq)
+    val g117 = graft.queries.Relational.isrAssembly(spark, sfDir, multi, "G-117")
+    assert(g117.select("group_id").distinct().collect().map(_.getString(0)).toSeq == Seq("G-117"))
+    assert(g117.count() > 0)
+    assert(g117.filter(col("student_id").isin(3L, 57L, 201L)).count() == g117.count())
+  }
+
   test("q68 duplicate-org cleanup: registry self-join broadcasts, exam probe pre-aggregates") {
     import graft.plans.PlanAudit
     val a = PlanAudit.of(SparkEntry.queries("q68_duplicate_org_cleanup")(spark, sfDir))
