@@ -2053,6 +2053,103 @@ object Pipeline {
       |  CAST(n_shared AS DOUBLE) / n_segments AS shared_share
       |FROM per_doc ORDER BY doc_id""".stripMargin
 
+  // -- d12: exact substring dedup (repeated-span cover) --------------------
+  // The ExactSubstr pass of "Deduplicating Training Data Makes
+  // Language Models Better" (Lee et al. 2022), re-expressed for a
+  // shuffle engine: any text span repeated VERBATIM anywhere in the
+  // corpus — including elsewhere in the same document — is training
+  // waste a trim pass removes. The paper's suffix-array formulation
+  // is single-node; the distributed equivalent is a k-token SLIDING
+  // gram cover: every repeated substring of ≥ k tokens contains a
+  // repeated k-gram, and every flagged token sits inside a k-gram
+  // occurring ≥ 2 times, so the cover detects exactly the ≥k-token
+  // repeated spans at k-gram granularity. Per doc: contiguous
+  // repeated runs (interval union via the gaps-and-islands window),
+  // covered token count, repeated fraction.
+  //
+  // Scale: gram extraction is a map-side explode (n_tokens rows/doc,
+  // k× d11's segment rows — same class); 3 shuffles, all on uniform
+  // hash keys — gram partial-agg (the occurrence table), the
+  // grams⋈occ equi-join co-partitioned on the gram hash, one doc
+  // window+agg. A boilerplate gram with huge df joins against ONE
+  // count row — nothing pairwise anywhere. This is what the suffix
+  // array becomes when the corpus doesn't fit one machine.
+  private val SubstrK = 8
+
+  private val d12: Q = (s, d) => {
+    val docs = docsSpread(s, d)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("total_tokens", size(col("tk")).cast(LongType))
+    val grams = docs
+      .withColumn("p", explode(when(col("total_tokens") >= SubstrK,
+        sequence(lit(0L), col("total_tokens") - SubstrK))
+        .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(
+          slice(col("tk"), (col("p") + 1).cast("int"), lit(SubstrK)), " "))
+          .as("gram_hash"))
+      .transform(graft.CacheScope.cached) // read by the occ build + the probe side
+    val occ = grams.groupBy(col("gram_hash")).agg(count(lit(1)).as("occ"))
+    val rep = grams.join(occ, "gram_hash").filter(col("occ") >= 2)
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val runs = rep
+      .withColumn("prev_end", max(col("p") + (SubstrK - 1)).over(wPrev))
+      .withColumn("new_run", when(
+        col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("new_run")).over(wRun))
+      .groupBy(col("doc_id"), col("run_id"))
+      // runs are contiguous by construction (a gram joins its run only
+      // when it overlaps or abuts the running max end), so the union
+      // of a run's intervals is the single range [min p, max p + k-1]
+      .agg((max(col("p")) + (SubstrK - 1) - min(col("p")) + 1).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("repeated_tokens"))
+    docs.select(col("doc_id"), col("total_tokens"))
+      .join(runs, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "repeated_tokens"))
+      // unrounded single IEEE division of exact ints (q52/q54 policy)
+      .withColumn("repeated_frac",
+        col("repeated_tokens").cast(DoubleType) / col("total_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d12Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |docs AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens, tk FROM toks),
+      |grams AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+      |    md5(array_to_string(list_slice(tk, i + 1, i + 8), ' ')) AS gram_hash
+      |  FROM docs, LATERAL unnest(generate_series(0, total_tokens - 8)) AS g(i)),
+      |occ AS (SELECT gram_hash, COUNT(*) AS occ FROM grams GROUP BY 1),
+      |rep AS (SELECT doc_id, p FROM grams JOIN occ USING (gram_hash) WHERE occ >= 2),
+      |marked AS (
+      |  SELECT doc_id, p,
+      |    max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM rep),
+      |islands AS (
+      |  SELECT doc_id, p,
+      |    SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p) AS run_id
+      |  FROM marked),
+      |runs AS (
+      |  SELECT doc_id, run_id, MAX(p) + 7 - MIN(p) + 1 AS covered
+      |  FROM islands GROUP BY 1, 2),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_spans,
+      |    CAST(SUM(covered) AS BIGINT) AS repeated_tokens
+      |  FROM runs GROUP BY 1)
+      |SELECT d.doc_id, d.total_tokens,
+      |  COALESCE(n_spans, 0) AS n_spans,
+      |  COALESCE(repeated_tokens, 0) AS repeated_tokens,
+      |  CAST(COALESCE(repeated_tokens, 0) AS DOUBLE) / d.total_tokens AS repeated_frac
+      |FROM docs d LEFT JOIN per_doc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // -- t13: vocabulary coverage report -------------------------------------
   // Tokenizer/vocab design needs the Zipf head: how much of the
   // corpus does a top-k vocabulary cover? Exact token frequencies,
@@ -2677,7 +2774,8 @@ object Pipeline {
     "d05_dedup_simhash" -> d05, "d06_dedup_embedding" -> d06,
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
-    "d11_dedup_lines" -> d11, "t13_vocab_coverage" -> t13,
+    "d11_dedup_lines" -> d11, "d12_dedup_substring" -> d12,
+    "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
@@ -2710,7 +2808,8 @@ object Pipeline {
     "d07_dedup_embedding_ivf" -> d07Sql,
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
-    "d11_dedup_lines" -> d11Sql, "t13_vocab_coverage" -> t13Sql,
+    "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
+    "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,

@@ -80,6 +80,49 @@ class PipelineScaleSpec extends SparkSpec {
         s"$probePairs of ${10 * populated}")
   }
 
+  test("d12 substring dedup flags exactly the repeated-span cover on a handcrafted corpus") {
+    import org.apache.spark.sql.functions.col
+    // doc 1 and doc 2 share the 8-token run w1..w8 (cross-doc repeat);
+    // doc 3 contains q1..q8 twice (SAME-doc repeat, split by a gap);
+    // doc 4 is all-unique. Token counts: 11 / 10 / 18 / 9.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 a1 a2 a3"),
+      (2L, "b1 b2 w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 gap1 gap2 q1 q2 q3 q4 q5 q6 q7 q8"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d12").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d12_dedup_substring")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // (doc, total, n_spans, repeated_tokens): docs 1/2 each cover the
+    // shared 8-gram once; doc 3's two copies are two separate runs
+    // (the gap breaks contiguity); doc 4 clean.
+    assert(out == List((1L, 11L, 1L, 8L), (2L, 10L, 1L, 8L),
+      (3L, 18L, 2L, 16L), (4L, 9L, 0L, 0L)))
+  }
+
+  test("d12 merges overlapping repeated grams into one maximal span") {
+    import org.apache.spark.sql.functions.col
+    // docs share a 10-token run: 3 overlapping repeated 8-grams per
+    // doc must merge into ONE span covering all 10 tokens.
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 x1 x2"),
+      (2L, "y1 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d12b").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d12_dedup_substring")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toList
+    assert(out == List((1L, 1L, 10L), (2L, 1L, 10L)))
+  }
+
   test("s07 persisted index round-trips: probe on the loaded index equals exact s06") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("rangeivf").toString

@@ -343,6 +343,14 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("d12 substring dedup: gram probe is an equi-join on the gram hash, no cartesian") {
+    val p = plan("d12_dedup_substring")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"grams x occ must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs explosion")
+    graft.CacheScope.drain()
+  }
+
   test("t13 vocab coverage: the unpartitioned window consumes the LIMITed 200-row frame") {
     val p = plan("t13_vocab_coverage")
     // the global window must sit above a Limit, never directly on facts
