@@ -2434,6 +2434,136 @@ object Pipeline {
        |                             CAST(c.embedding AS DOUBLE[])) >= 0.3
        |ORDER BY q_id, cand_id""".stripMargin
 
+  // -- s08: IVF-probed exact top-k (seed-then-prove) -----------------------
+  // s01's exact top-k through s07's index — the classic two-phase
+  // metric-pruned k-NN (branch-and-bound over an IVF, the flat-index
+  // form of what tree/graph indexes do):
+  //   phase 1 (seed): rank cells per query by the spherical-triangle
+  //     UPPER bound ub = cos(max(0, θqc − θmax)) (1.0 when the query
+  //     sits inside the cell cone, else the s07 sqrt/mul/add form),
+  //     scan only the top `seedCells` lists, take the kth-best cosine
+  //     found → τq, a LOWER bound on the true kth neighbor.
+  //   phase 2 (prove): any cell that could still hold a better
+  //     neighbor has ub ≥ τq — scan exactly those, rank, keep k.
+  // Every true top-k member has cosine ≥ τq, and its cell's ub bounds
+  // that cosine from above, so the admitted set provably contains the
+  // true top-k AND every candidate ranked above any of them — ranks
+  // 1..k in the admitted set equal the global ranks. Emits EXACTLY
+  // s01's rows (spec-asserted row-for-row); fewer-than-k seed rows
+  // degrade τq to −1 = scan everything, never a wrong answer.
+  //
+  // Scale: both corpus passes are broadcast-probed scans of ADMITTED
+  // lists only (zero fact shuffles); the per-query windows run over
+  // scanned-list members, not the corpus. On clustered data phase 2
+  // admits few cells (the spec corpus measures the prune); on the
+  // near-orthogonal warehouse vectors bounds stay high and admission
+  // is honest-but-wide, same story as s07. Index frames come from
+  // rangeIvfIndex — a deployment probes the RangeIvfIndex-persisted
+  // form and skips the build entirely.
+  private[graft] def topkIvf(s: SparkSession, emb: DataFrame, n: Long,
+                             k: Int, seedCells: Int): DataFrame = {
+    val (cands, cellMeta) = rangeIvfIndex(s, emb, n)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val a = col("a")
+    val bmin = col("bmin")
+    val qcell = cellMeta.crossJoin(broadcast(qs))
+      .withColumn("a", VF.cosine(col("q_vec"), col("cv")))
+      .withColumn("ub", when(a >= bmin, lit(1d)).otherwise(
+        a * bmin + sqrt(greatest(lit(0d), lit(1d) - a * a) *
+                        greatest(lit(0d), lit(1d) - bmin * bmin))))
+      .select(col("q_id"), col("q_vec"), col("cluster"), col("ub"))
+      // |cells|×|queries| rows, but its PARENT is the per-cell radius
+      // agg over the corpus — cache so the seed pass and the admission
+      // pass don't each recompute that scan
+      .transform(graft.CacheScope.cached)
+    val wSeed = Window.partitionBy(col("q_id"))
+      .orderBy(col("ub").desc, col("cluster"))
+    val seeds = qcell.withColumn("srn", row_number().over(wSeed))
+      .filter(col("srn") <= seedCells)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val tau = cands.join(broadcast(seeds), "cluster")
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .groupBy(col("q_id"))
+      .agg(min(col("cos")).as("tau0"), count(lit(1)).as("nseed"))
+      .select(col("q_id"),
+        when(col("nseed") < k, lit(-1d)).otherwise(col("tau0")).as("tau"))
+    val admitted = qcell.join(broadcast(tau), "q_id")
+      .filter(col("ub") >= col("tau"))
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    cands.join(broadcast(admitted), "cluster")
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val s08: Q = (s, d) =>
+    topkIvf(s, T.embeddings(s, d), T.embeddingsCount(s, d), k = 5, seedCells = 3)
+
+  // Both phases replay: ub mirrors the Spark expression op-for-op
+  // (IEEE mul/add/sqrt exactly rounded in both engines), τq is a min
+  // over bit-equal cosines, and admission compares those two — so the
+  // scanned set, not just the output, is engine-identical.
+  private val s08Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 1)},
+       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
+       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
+       |cellstat AS (
+       |  SELECT c.cluster,
+       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
+       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+       |qcell AS (
+       |  SELECT q_id, q_vec, cluster,
+       |    CASE WHEN a >= bmin THEN 1.0
+       |         ELSE a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin))
+       |    END AS ub
+       |  FROM (
+       |    SELECT q.q_id, q.q_vec, s.cluster, s.bmin,
+       |      list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
+       |    FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster)),
+       |seeds AS (
+       |  SELECT q_id, q_vec, cluster FROM (
+       |    SELECT q_id, q_vec, cluster,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ub DESC, cluster) AS srn
+       |    FROM qcell)
+       |  WHERE srn <= 3),
+       |seedscan AS (
+       |  SELECT s.q_id, c.cand_id,
+       |    list_cosine_similarity(CAST(s.q_vec AS DOUBLE[]),
+       |                           CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM cand c JOIN seeds s ON c.cluster = s.cluster),
+       |tau AS (
+       |  SELECT q_id,
+       |    CASE WHEN COUNT(*) < 5 THEN -1.0 ELSE MIN(cos) END AS tau
+       |  FROM (
+       |    SELECT q_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |    FROM seedscan)
+       |  WHERE rn <= 5 GROUP BY q_id),
+       |adm AS (
+       |  SELECT qc.q_id, qc.q_vec, qc.cluster
+       |  FROM qcell qc JOIN tau USING (q_id) WHERE qc.ub >= tau.tau),
+       |final AS (
+       |  SELECT a2.q_id, c.cand_id,
+       |    list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
+       |                           CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM cand c JOIN adm a2 ON c.cluster = a2.cluster)
+       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (
+       |  SELECT q_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |  FROM final)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   // -- p06: dataset card (per-source datasheet) ----------------------------
   // The "datasheet for datasets" rollup a corpus release ships: per
   // source — volume (docs, tokens), language spread, exact-duplicate
@@ -2779,7 +2909,7 @@ object Pipeline {
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
-    "s07_ann_range_ivf" -> s07,
+    "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -2811,6 +2941,7 @@ object Pipeline {
     "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
+    "s08_ann_topk_ivf" -> s08Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,

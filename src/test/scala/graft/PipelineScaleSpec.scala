@@ -145,6 +145,49 @@ class PipelineScaleSpec extends SparkSpec {
         s"extra=${probed.diff(exact).take(3)}")
   }
 
+  test("s08 IVF-probed top-k equals exact s01 row-for-row (seed-then-prove)") {
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { d =>
+      def rows(name: String) = SparkEntry.queries(name)(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val exact = rows("s01_ann_bruteforce")
+      val probed = rows("s08_ann_topk_ivf")
+      assert(exact.nonEmpty, s"s01 empty at $d — identity check vacuous")
+      assert(probed == exact,
+        s"s08 must equal s01 at $d: missing=${exact.diff(probed).take(3)} " +
+          s"extra=${probed.diff(exact).take(3)}")
+    }
+  }
+
+  test("s08 admission prunes most cells on a clustered corpus, still exactly top-k") {
+    import org.apache.spark.sql.functions.col
+    // same 10-tight-cluster geometry as the s07 prune spec
+    val rnd = new scala.util.Random(43)
+    val base = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    def member(c: Int): Array[Float] =
+      base(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat)
+    val vecs = (0 until 10).map(c => (c.toLong, member(c))) ++
+      (0 until 190).map(i => ((10 + i).toLong, member(i % 10)))
+    val emb = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val k = 5
+    val probed = graft.queries.Pipeline.topkIvf(spark, emb, vecs.size.toLong, k, seedCells = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exact = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"),
+        org.apache.spark.sql.functions.round(col("cos"), 4).as("cosine"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probed == exact, "pruned top-k diverged from brute force — bound unsound")
+  }
+
   test("s04 PQ top-5 recalls a usable share of s01's exact top-5") {
     def top(name: String) = SparkEntry.queries(name)(spark, sfDir)
       .select("q_id", "cand_id").collect()
