@@ -2916,8 +2916,183 @@ object Relational {
       |GROUP BY language, status, n_keys
       |ORDER BY language, status""".stripMargin
 
+  // -- q78: IRT ability estimation (2PL MLE, integer-quantized) ------------
+  // The scoring step the reference's assessment packages parameterize
+  // but its warehouse never re-runs: the item CSV carries per-item IRT
+  // measurement-model parameters (reference /root/reference/docs/
+  // API.md:719 — "MeasurementModel, Weight, ScorePoints, a, b0_b,
+  // b1_c…"), and an analytics engine over the same data should be
+  // able to re-estimate a student's ability θ from their item
+  // responses. This is per-exam maximum-likelihood under a 2PL-style
+  // model: three Newton steps of θ' = θ + Σa(u−P) / Σa²·P', started
+  // at θ=0, clamped to [−4, 4] (the standard HOT/LOT bounds).
+  //
+  // Replayability is the design constraint, solved the IntLloyd way:
+  // a logistic P needs exp() (not exactly rounded IEEE — engines
+  // disagree in the last ulp) and double SUMs are addition-order-
+  // dependent, so the whole iteration runs in INTEGER micro-units —
+  // the link is the algebraic sigmoid P = ½ + z/(2(1+|z|)) (same
+  // sigmoid shape, rational arithmetic), quantized as
+  //   Pµ  = 500000 + sgn·(|zµ|·500000 div (1000000+|zµ|)),
+  //   dpµ = 5e17 div (1000000+|zµ|)²,
+  // and the score/information sums are exact LONG sums — associative,
+  // partition-order-free, bit-identical in DuckDB. Item params derive
+  // deterministically from the item dim: a (discrimination, ×100) =
+  // 50 + (p_size % 10)·15, b (difficulty, µ) from p_retailprice's
+  // cent value mod 2e5 recentred to [−1, 1]; u = 1 iff l_quantity >
+  // 25. All scales chosen so every product stays within LONG range
+  // (documented per term below).
+  //
+  // Scale: the item frame joins the θ frame on exam_id three times —
+  // co-partitioned equi-joins on one uniform key, each followed by a
+  // partial-agg on the same key, so the exchange partitioning is
+  // reused across iterations; the item-param derivation is map-side
+  // under the broadcast part join. This is the honest shape of
+  // iterative ML on a warehouse: O(iterations) passes, zero driver
+  // loops over data.
+  private val q78: Q = (s, d) => {
+    // items: (exam_id, a2 ∈ [50,185] (a×100), bmu ∈ [−1e6,1e6] (b×1e6), u)
+    val items = T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("exam_id"),
+        (lit(50L) + (col("p_size") % 10).cast(LongType) * 15L).as("a2"),
+        ((expr("CAST(round(p_retailprice * 100) AS BIGINT)") % 200000L) * 10L
+          - 1000000L).as("bmu"),
+        when(col("l_quantity") > 25, 1000000L).otherwise(0L).as("umu"))
+      .transform(graft.CacheScope.cached) // read by all three iterations
+    def step(thetas: DataFrame): DataFrame = {
+      // zint = a2·(θµ−bµ) ≤ 185·8e6 ≈ 1.5e9 (scale 1e8); zµ = zint/100
+      val zint = col("a2") * (col("theta_mu") - col("bmu"))
+      val zmu = signum(zint).cast(LongType) * expr("abs(zint) div 100")
+      val denom = lit(1000000L) + abs(zmu)
+      // Pµ: nonneg div only (sign split) — trunc == floor, engine-safe
+      val pmu = lit(500000L) + signum(zmu).cast(LongType) *
+        expr("(abs(zmu) * 500000) div (1000000 + abs(zmu))")
+      // dpµ = 5e17 div denom² (denom ≤ ~1.6e9 ⇒ denom² ≤ 2.4e18 fits)
+      val dpmu = expr("500000000000000000 div (denom * denom)")
+      items.join(thetas, "exam_id")
+        .withColumn("zint", zint).withColumn("zmu", zmu)
+        .withColumn("denom", denom).withColumn("pmu", pmu)
+        .withColumn("dpmu", dpmu)
+        // score term a2·(uµ−Pµ) ≤ 185·1e6 ≈ 2e8/item; info term
+        // a2²·dpµ ≤ 3.4e4·5e5 ≈ 1.7e10/item — LONG sums stay exact
+        .groupBy(col("exam_id"))
+        .agg(first(col("theta_mu")).as("theta_prev"),
+          sum(col("a2") * (col("umu") - col("pmu"))).as("sint"),
+          sum(col("a2") * col("a2") * col("dpmu")).as("iint"),
+          count(lit(1)).as("n_items"))
+        // Δθµ = (Sint/1e8)/(Iint/1e10)·1e6 = Sint·1e8 div Iint
+        // (Sint ≤ ~1.3e9 ⇒ Sint·1e8 ≤ 1.3e17 fits); Iint > 0 since
+        // a2 ≥ 50 and dpµ ≥ 5e17 div 2.4e18·… ≥ 0 — guard anyway
+        .withColumn("delta", signum(col("sint")).cast(LongType) *
+          expr("(abs(sint) * 100000000) div greatest(iint, 1)"))
+        .select(col("exam_id"),
+          greatest(lit(-4000000L), least(lit(4000000L),
+            col("theta_prev") + col("delta"))).as("theta_mu"),
+          col("n_items"))
+    }
+    val theta0 = items.groupBy(col("exam_id"))
+      .agg(lit(0L).as("theta_mu"), count(lit(1)).as("n_items"))
+    val fitted = step(step(step(theta0)))
+    fitted
+      .select(col("exam_id"), col("n_items"), col("theta_mu"),
+        (col("theta_mu").cast(DoubleType) / 1000000d).as("theta"))
+      .orderBy(col("exam_id"))
+  }
+
+  private val q78Sql =
+    """WITH items AS (
+      |  SELECT l_orderkey AS exam_id,
+      |    50 + (p_size % 10) * 15 AS a2,
+      |    (CAST(round(p_retailprice * 100) AS BIGINT) % 200000) * 10
+      |      - 1000000 AS bmu,
+      |    CASE WHEN l_quantity > 25 THEN 1000000 ELSE 0 END AS umu
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |t0 AS (
+      |  SELECT exam_id, CAST(0 AS BIGINT) AS theta_mu, COUNT(*) AS n_items
+      |  FROM items GROUP BY 1),
+      |s1 AS (
+      |  SELECT i.exam_id, t.theta_mu,
+      |    CASE WHEN z < 0 THEN -1 ELSE CASE WHEN z > 0 THEN 1 ELSE 0 END END
+      |      * (abs(z) // 100) AS zmu,
+      |    i.a2, i.umu
+      |  FROM items i JOIN t0 t ON i.exam_id = t.exam_id,
+      |    LATERAL (SELECT i.a2 * (t.theta_mu - i.bmu) AS z) lz),
+      |g1 AS (
+      |  SELECT exam_id, MIN(theta_mu) AS theta_prev,
+      |    CAST(SUM(a2 * (umu - pmu)) AS BIGINT) AS sint,
+      |    CAST(SUM(a2 * a2 * dpmu) AS BIGINT) AS iint,
+      |    COUNT(*) AS n_items
+      |  FROM (
+      |    SELECT exam_id, theta_mu, a2, umu,
+      |      500000 + CASE WHEN zmu < 0 THEN -1 WHEN zmu > 0 THEN 1 ELSE 0 END
+      |        * ((abs(zmu) * 500000) // (1000000 + abs(zmu))) AS pmu,
+      |      500000000000000000 // ((1000000 + abs(zmu)) * (1000000 + abs(zmu))) AS dpmu
+      |    FROM s1) GROUP BY 1),
+      |t1 AS (
+      |  SELECT exam_id,
+      |    GREATEST(-4000000, LEAST(4000000, theta_prev +
+      |      CASE WHEN sint < 0 THEN -1 WHEN sint > 0 THEN 1 ELSE 0 END
+      |        * ((abs(sint) * 100000000) // GREATEST(iint, 1)))) AS theta_mu,
+      |    n_items
+      |  FROM g1),
+      |s2 AS (
+      |  SELECT i.exam_id, t.theta_mu,
+      |    CASE WHEN z < 0 THEN -1 ELSE CASE WHEN z > 0 THEN 1 ELSE 0 END END
+      |      * (abs(z) // 100) AS zmu,
+      |    i.a2, i.umu
+      |  FROM items i JOIN t1 t ON i.exam_id = t.exam_id,
+      |    LATERAL (SELECT i.a2 * (t.theta_mu - i.bmu) AS z) lz),
+      |g2 AS (
+      |  SELECT exam_id, MIN(theta_mu) AS theta_prev,
+      |    CAST(SUM(a2 * (umu - pmu)) AS BIGINT) AS sint,
+      |    CAST(SUM(a2 * a2 * dpmu) AS BIGINT) AS iint,
+      |    COUNT(*) AS n_items
+      |  FROM (
+      |    SELECT exam_id, theta_mu, a2, umu,
+      |      500000 + CASE WHEN zmu < 0 THEN -1 WHEN zmu > 0 THEN 1 ELSE 0 END
+      |        * ((abs(zmu) * 500000) // (1000000 + abs(zmu))) AS pmu,
+      |      500000000000000000 // ((1000000 + abs(zmu)) * (1000000 + abs(zmu))) AS dpmu
+      |    FROM s2) GROUP BY 1),
+      |t2 AS (
+      |  SELECT exam_id,
+      |    GREATEST(-4000000, LEAST(4000000, theta_prev +
+      |      CASE WHEN sint < 0 THEN -1 WHEN sint > 0 THEN 1 ELSE 0 END
+      |        * ((abs(sint) * 100000000) // GREATEST(iint, 1)))) AS theta_mu,
+      |    n_items
+      |  FROM g2),
+      |s3 AS (
+      |  SELECT i.exam_id, t.theta_mu,
+      |    CASE WHEN z < 0 THEN -1 ELSE CASE WHEN z > 0 THEN 1 ELSE 0 END END
+      |      * (abs(z) // 100) AS zmu,
+      |    i.a2, i.umu
+      |  FROM items i JOIN t2 t ON i.exam_id = t.exam_id,
+      |    LATERAL (SELECT i.a2 * (t.theta_mu - i.bmu) AS z) lz),
+      |g3 AS (
+      |  SELECT exam_id, MIN(theta_mu) AS theta_prev,
+      |    CAST(SUM(a2 * (umu - pmu)) AS BIGINT) AS sint,
+      |    CAST(SUM(a2 * a2 * dpmu) AS BIGINT) AS iint,
+      |    COUNT(*) AS n_items
+      |  FROM (
+      |    SELECT exam_id, theta_mu, a2, umu,
+      |      500000 + CASE WHEN zmu < 0 THEN -1 WHEN zmu > 0 THEN 1 ELSE 0 END
+      |        * ((abs(zmu) * 500000) // (1000000 + abs(zmu))) AS pmu,
+      |      500000000000000000 // ((1000000 + abs(zmu)) * (1000000 + abs(zmu))) AS dpmu
+      |    FROM s3) GROUP BY 1),
+      |t3 AS (
+      |  SELECT exam_id,
+      |    GREATEST(-4000000, LEAST(4000000, theta_prev +
+      |      CASE WHEN sint < 0 THEN -1 WHEN sint > 0 THEN 1 ELSE 0 END
+      |        * ((abs(sint) * 100000000) // GREATEST(iint, 1)))) AS theta_mu,
+      |    n_items
+      |  FROM g3)
+      |SELECT exam_id, n_items, theta_mu,
+      |  CAST(theta_mu AS DOUBLE) / 1000000 AS theta
+      |FROM t3 ORDER BY exam_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q78_irt_theta" -> q78,
     "q77_translation_coverage" -> q77,
     "q76_archive_restore_audit" -> q76,
     "q75_tenant_config" -> q75,
@@ -2954,6 +3129,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q78_irt_theta" -> q78Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,
     "q75_tenant_config" -> q75Sql,

@@ -317,6 +317,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(g117.filter(col("student_id").isin(3L, 57L, 201L)).count() == g117.count())
   }
 
+  test("q78 IRT theta: estimates are bounded, sign-correct, and the joins are all equi") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q78_irt_theta")(spark, sfDir)
+      .transform(graft.CacheScope.cached)
+    // bounded by the clamp
+    assert(out.filter(col("theta_mu") < -4000000L || col("theta_mu") > 4000000L).count() == 0)
+    // sign correctness: an exam with every item correct must not score
+    // below one with every item wrong (and strictly: all-correct > 0 ≥
+    // … the MLE pulls toward +/- under the monotone link)
+    val resp = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("exam_id"))
+      .agg(sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("ncorrect"),
+        count(lit(1)).as("n"))
+    val j = out.join(resp, "exam_id").transform(graft.CacheScope.cached)
+    val allRight = j.filter(col("ncorrect") === col("n"))
+      .agg(min(col("theta_mu"))).head().getLong(0)
+    val allWrong = j.filter(col("ncorrect") === 0)
+      .agg(max(col("theta_mu"))).head().getLong(0)
+    assert(allRight > 0, s"all-correct exams must score positive, min=$allRight")
+    assert(allWrong < 0, s"all-wrong exams must score negative, max=$allWrong")
+    // monotone in the aggregate: average theta rises with ncorrect share
+    val byShare = j.groupBy(expr("(ncorrect * 4) div n").as("q"))
+      .agg(avg(col("theta")).as("t")).orderBy(col("q"))
+      .collect().map(_.getDouble(1))
+    assert(byShare.zip(byShare.tail).forall { case (a, b) => a < b },
+      s"mean theta must rise with correct share: ${byShare.toSeq}")
+    val p = plan("q78_irt_theta")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"iteration joins must be equi-joins on exam_id:\n$p")
+    graft.CacheScope.drain()
+  }
+
   test("q68 duplicate-org cleanup: registry self-join broadcasts, exam probe pre-aggregates") {
     import graft.plans.PlanAudit
     val a = PlanAudit.of(SparkEntry.queries("q68_duplicate_org_cleanup")(spark, sfDir))
