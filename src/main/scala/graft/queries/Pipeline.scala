@@ -1366,19 +1366,25 @@ object Pipeline {
   // is prefix-summed per source and broadcast back as base offsets.
   // Same output as the flat window — the DuckDB oracle IS the flat
   // window — deterministic integer arithmetic throughout.
-  private val p02: Q = (s, d) => {
-    val budget = 512
-    val shardSize = 512 // docs per shard; ~1e6 at warehouse scale
-    val base = T.documents(s, d)
-      .withColumn("bpe_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
-      .withColumn("shard", expr(s"doc_id div $shardSize"))
+  /** The hierarchical prefix sum p02 pioneered, over an arbitrary
+    * per-doc `cost` column (ONE definition shared by p02's text-only
+    * packing and m04's multimodal packing, so the two can never
+    * disagree about the packing arithmetic): local cumsums per
+    * (source, shard) in parallel, shard-total table prefix-summed per
+    * source and broadcast back as base offsets. Identical output to
+    * the flat per-source window — which would serialize each source
+    * onto one task — with shard-level parallelism. Expects
+    * (doc_id, source, cost [+ carried columns]); adds start_tok /
+    * bin_id / bin_offset. */
+  private def hierarchicalPack(base: DataFrame, budget: Int,
+                               shardSize: Int): DataFrame = {
+    val sharded = base.withColumn("shard", expr(s"doc_id div $shardSize"))
     val wLocal = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base.withColumn("local_cum", sum(col("bpe_tokens")).over(wLocal))
-    val offsets = base.groupBy(col("source"), col("shard"))
-      .agg(sum(col("bpe_tokens")).as("shard_tokens"))
+    val local = sharded.withColumn("local_cum", sum(col("cost")).over(wLocal))
+    val offsets = sharded.groupBy(col("source"), col("shard"))
+      .agg(sum(col("cost")).as("shard_tokens"))
       .withColumn("base_off",
         coalesce(sum(col("shard_tokens")).over(
           Window.partitionBy(col("source")).orderBy(col("shard"))
@@ -1386,10 +1392,19 @@ object Pipeline {
       .select(col("source"), col("shard"), col("base_off"))
     local.join(broadcast(offsets), Seq("source", "shard"))
       .withColumn("start_tok",
-        col("base_off") + col("local_cum") - col("bpe_tokens"))
+        col("base_off") + col("local_cum") - col("cost"))
+      .withColumn("bin_id", expr(s"start_tok div $budget"))
+      .withColumn("bin_offset", pmod(col("start_tok"), lit(budget)))
+  }
+
+  private val p02: Q = (s, d) => {
+    val base = T.documents(s, d)
+      .withColumn("bpe_tokens",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
+      .withColumn("cost", col("bpe_tokens"))
+    hierarchicalPack(base, budget = 512, shardSize = 512)
       .select(col("doc_id"), col("source"), col("bpe_tokens"),
-        expr(s"start_tok div $budget").as("bin_id"),
-        pmod(col("start_tok"), lit(budget)).as("bin_offset"))
+        col("bin_id"), col("bin_offset"))
       .orderBy(col("doc_id"))
   }
 
@@ -1797,6 +1812,54 @@ object Pipeline {
       |  CAST(frame_idx * 1000 AS INTEGER) AS frame_ts_ms,
       |  substr(hex(payload), CAST(frame_idx * 2000 + 1 AS INTEGER), 16) AS frame_hex
       |FROM b ORDER BY doc_id, frame_idx""".stripMargin
+
+  // -- m04: interleaved multimodal sequence packing ------------------------
+  // What a vision-language pretraining run actually packs: each doc is
+  // an interleaved sequence of text tokens plus its attached images,
+  // every image costing a fixed patch budget (576 = 24×24 ViT patches
+  // — the standard vision-encoder cost). Image count rides m03's
+  // duration model (1 frame per 1000 payload bytes, cap 8 — the
+  // declared stub; a deployment reads the container header), text cost
+  // is p02's BPE-ish count, and the stream packs into 8192-token
+  // context windows via the SAME hierarchicalPack definition p02 uses
+  // — text-only and multimodal packing provably share one arithmetic.
+  // Per doc: both modality costs, the packed bin and offset.
+  //
+  // Scale: identical to p02 — two bounded window shuffles (local
+  // shard cumsums + the #shards-row offset table), modality costs
+  // map-side; the broadcast offsets table is corpus/512 rows.
+  private val m04: Q = (s, d) => {
+    val base = T.documents(s, d)
+      .withColumn("text_tokens",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
+      .withColumn("n_images",
+        (least(expr("octet_length(cast(text as binary)) div 1000"), lit(7)) + 1)
+          .cast(IntegerType))
+      .withColumn("cost",
+        (col("text_tokens") + col("n_images") * 576).cast(LongType))
+    hierarchicalPack(base, budget = 8192, shardSize = 512)
+      .select(col("doc_id"), col("source"), col("text_tokens"),
+        col("n_images"), col("cost"), col("bin_id"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m04Sql =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER)
+      |      AS text_tokens,
+      |    CAST(least(octet_length(encode(text)) // 1000, 7) + 1 AS INTEGER) AS n_images
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, text_tokens, n_images,
+      |    CAST(text_tokens + n_images * 576 AS BIGINT) AS cost,
+      |    CAST(SUM(text_tokens + n_images * 576) OVER (
+      |      PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM c)
+      |SELECT doc_id, source, text_tokens, n_images, cost,
+      |  (cum - cost) // 8192 AS bin_id,
+      |  (cum - cost) % 8192 AS bin_offset
+      |FROM w ORDER BY doc_id""".stripMargin
 
   // ======================= streaming batch-equivalents =====================
 
@@ -2921,7 +2984,7 @@ object Pipeline {
     "p03_temperature_mix" -> p03, "p04_train_order" -> p04,
     "p05_multimodal_dedup" -> p05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
-    "m03_frame_sample" -> m03,
+    "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
@@ -2956,7 +3019,7 @@ object Pipeline {
     "p03_temperature_mix" -> p03Sql, "p04_train_order" -> p04Sql,
     "p05_multimodal_dedup" -> p05Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
-    "m03_frame_sample" -> m03Sql,
+    "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
