@@ -2139,18 +2139,27 @@ object Pipeline {
   // array becomes when the corpus doesn't fit one machine.
   private val SubstrK = 8
 
-  private val d12: Q = (s, d) => {
-    val docs = docsSpread(s, d)
+  /** Sliding SubstrK-token gram positions per doc — ONE definition
+    * shared by d12 (repeated-span cover) and t16 (novelty), so the
+    * two can never disagree about what a gram is. Input must carry
+    * (doc_id, tk, total_tokens); map-side explode, n_tokens rows/doc. */
+  private def slidingGramHashes(docs: DataFrame): DataFrame = docs
+    .withColumn("p", explode(when(col("total_tokens") >= SubstrK,
+      sequence(lit(0L), col("total_tokens") - SubstrK))
+      .otherwise(array().cast("array<long>"))))
+    .select(col("doc_id"), col("p"),
+      md5(array_join(
+        slice(col("tk"), (col("p") + 1).cast("int"), lit(SubstrK)), " "))
+        .as("gram_hash"))
+
+  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
+    docsSpread(s, d)
       .withColumn("tk", split(col("text"), " "))
       .withColumn("total_tokens", size(col("tk")).cast(LongType))
-    val grams = docs
-      .withColumn("p", explode(when(col("total_tokens") >= SubstrK,
-        sequence(lit(0L), col("total_tokens") - SubstrK))
-        .otherwise(array().cast("array<long>"))))
-      .select(col("doc_id"), col("p"),
-        md5(array_join(
-          slice(col("tk"), (col("p") + 1).cast("int"), lit(SubstrK)), " "))
-          .as("gram_hash"))
+
+  private val d12: Q = (s, d) => {
+    val docs = tokenizedDocs(s, d)
+    val grams = slidingGramHashes(docs)
       .transform(graft.CacheScope.cached) // read by the occ build + the probe side
     val occ = grams.groupBy(col("gram_hash")).agg(count(lit(1)).as("occ"))
     val rep = grams.join(occ, "gram_hash").filter(col("occ") >= 2)
@@ -2929,6 +2938,62 @@ object Pipeline {
       |GROUP BY bucket, n_docs_tot
       |ORDER BY bucket""".stripMargin
 
+  // -- t16: per-doc novelty (new-content contribution) ---------------------
+  // The data-mixing question d12's repeated-span cover doesn't answer:
+  // how much does each document ADD? A doc's novelty is the share of
+  // its distinct 8-grams whose corpus-wide FIRST occurrence (min
+  // doc_id — the stream/arrival order) is this doc. Curation uses the
+  // curve both ways: low-novelty late arrivals are near-pure rehash
+  // (drop candidates), and a source whose marginal novelty decays to
+  // zero has been exhausted (stop crawling it). Gram definition is
+  // slidingGramHashes — shared with d12 by construction.
+  //
+  // Scale: same 3-uniform-hash-shuffle class as d11/d12 — distinct
+  // (doc, gram) partial-agg, gram→min-doc agg, co-partitioned join
+  // back, per-doc agg. First-occurrence via min over the gram key —
+  // never a window over the corpus.
+  private val t16: Q = (s, d) => {
+    val docs = tokenizedDocs(s, d)
+    val docGrams = slidingGramHashes(docs)
+      .select(col("doc_id"), col("gram_hash")).distinct()
+      .transform(graft.CacheScope.cached) // first-occurrence build + probe
+    val firstDoc = docGrams.groupBy(col("gram_hash"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = docGrams.join(firstDoc, "gram_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_distinct_grams", "n_novel"))
+      .withColumn("novelty_frac", when(col("n_distinct_grams") === 0, lit(0d))
+        .otherwise(col("n_novel").cast(DoubleType) / col("n_distinct_grams")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t16Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |docs AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens, tk FROM toks),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(list_slice(tk, i + 1, i + 8), ' ')) AS gram_hash
+      |  FROM docs, LATERAL unnest(generate_series(0, total_tokens - 8)) AS g(i)),
+      |fd AS (SELECT gram_hash, MIN(doc_id) AS first_doc FROM grams GROUP BY 1),
+      |per_doc AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_distinct_grams,
+      |    CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_novel
+      |  FROM grams g JOIN fd USING (gram_hash) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_distinct_grams, 0) AS n_distinct_grams,
+      |  COALESCE(n_novel, 0) AS n_novel,
+      |  CASE WHEN COALESCE(n_distinct_grams, 0) = 0 THEN 0.0
+      |       ELSE CAST(n_novel AS DOUBLE) / n_distinct_grams END AS novelty_frac
+      |FROM docs d LEFT JOIN per_doc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // -- e09: continuous latency monitor (stateful, oracle-certified) --------
   // The q62/q63 created→updated derivation as a flatMapGroupsWithState
   // operator (StreamingJobs.latencyExact): one long of state per user,
@@ -2970,6 +3035,7 @@ object Pipeline {
     "d11_dedup_lines" -> d11, "d12_dedup_substring" -> d12,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
+    "t16_ngram_novelty" -> t16,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -3007,6 +3073,7 @@ object Pipeline {
     "s08_ann_topk_ivf" -> s08Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
+    "t16_ngram_novelty" -> t16Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,

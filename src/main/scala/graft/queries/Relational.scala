@@ -2960,17 +2960,21 @@ object Relational {
           - 1000000L).as("bmu"),
         when(col("l_quantity") > 25, 1000000L).otherwise(0L).as("umu"))
       .transform(graft.CacheScope.cached) // read by all three iterations
-    def step(thetas: DataFrame): DataFrame = {
-      // zint = a2·(θµ−bµ) ≤ 185·8e6 ≈ 1.5e9 (scale 1e8); zµ = zint/100
+    // One Newton step over an item frame that already carries θµ.
+    // Iteration 1 enters with a LITERAL θµ=0 — no join, the whole
+    // first score/information pass is map-side into the agg —
+    // iterations 2 and 3 join the previous θ frame on exam_id.
+    def step(withTheta: DataFrame): DataFrame = {
+      // zint = a2·(θµ−bµ) ≤ 185·5e6 ≈ 9.3e8 (scale 1e8); zµ = zint/100
       val zint = col("a2") * (col("theta_mu") - col("bmu"))
       val zmu = signum(zint).cast(LongType) * expr("abs(zint) div 100")
       val denom = lit(1000000L) + abs(zmu)
       // Pµ: nonneg div only (sign split) — trunc == floor, engine-safe
       val pmu = lit(500000L) + signum(zmu).cast(LongType) *
         expr("(abs(zmu) * 500000) div (1000000 + abs(zmu))")
-      // dpµ = 5e17 div denom² (denom ≤ ~1.6e9 ⇒ denom² ≤ 2.4e18 fits)
+      // dpµ = 5e17 div denom² (denom ≤ ~1.1e7 ⇒ denom² ≤ 1.2e14 fits)
       val dpmu = expr("500000000000000000 div (denom * denom)")
-      items.join(thetas, "exam_id")
+      withTheta
         .withColumn("zint", zint).withColumn("zmu", zmu)
         .withColumn("denom", denom).withColumn("pmu", pmu)
         .withColumn("dpmu", dpmu)
@@ -2991,9 +2995,10 @@ object Relational {
             col("theta_prev") + col("delta"))).as("theta_mu"),
           col("n_items"))
     }
-    val theta0 = items.groupBy(col("exam_id"))
-      .agg(lit(0L).as("theta_mu"), count(lit(1)).as("n_items"))
-    val fitted = step(step(step(theta0)))
+    def joined(prev: DataFrame): DataFrame =
+      items.join(prev.select(col("exam_id"), col("theta_mu")), "exam_id")
+    val t1 = step(items.withColumn("theta_mu", lit(0L)))
+    val fitted = step(joined(step(joined(t1))))
     fitted
       .select(col("exam_id"), col("n_items"), col("theta_mu"),
         (col("theta_mu").cast(DoubleType) / 1000000d).as("theta"))

@@ -123,6 +123,26 @@ class PipelineScaleSpec extends SparkSpec {
     assert(out == List((1L, 1L, 10L), (2L, 1L, 10L)))
   }
 
+  test("t16 novelty: first doc scores 1.0, an exact duplicate scores 0, a mix in between") {
+    import org.apache.spark.sql.functions.col
+    val eight = "n1 n2 n3 n4 n5 n6 n7 n8"
+    val docs = Seq(
+      (1L, s"$eight a1 a2 a3"),            // first arrival: all novel
+      (2L, s"$eight a1 a2 a3"),            // exact dup of 1: zero novel
+      (3L, s"$eight b1 b2 b3 b4 b5 b6 b7")) // shares a prefix, adds new tail
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("t16").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t16_ngram_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) == 1.0, s"first arrival must be fully novel: ${out(1L)}")
+    assert(out(2L) == 0.0, s"exact duplicate must add nothing: ${out(2L)}")
+    assert(out(3L) > 0.0 && out(3L) < 1.0, s"partial overlap in between: ${out(3L)}")
+  }
+
   test("s07 persisted index round-trips: probe on the loaded index equals exact s06") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("rangeivf").toString
