@@ -479,12 +479,12 @@ object Pipeline {
     */
   private val CoarseIters = 5
   private val EmbDim = 64 // the oracle SQL slices/loops assume it; IntLloyd.fit fails fast on drift
-  private[graft] def kmeansAssignDf(emb: DataFrame, k: Int,
-                                    n: Long): (DataFrame, Array[Array[Double]]) = {
+  private[graft] def kmeansAssignDf(emb: DataFrame, k: Int, n: Long,
+                                    dim: Int = EmbDim): (DataFrame, Array[Array[Double]]) = {
     val cap = math.max(2048L, 64L * k)
     val cents = graft.operators.IntLloyd.fit(
       emb, "vec_id", "embedding", n,
-      numSub = 1, subLen = EmbDim, k = k, cap = cap,
+      numSub = 1, subLen = dim, k = k, cap = cap,
       iters = CoarseIters, salt = "kmtrain")(0)
       .map(_.map(_.toDouble))
     val assigned = emb
@@ -2412,11 +2412,11 @@ object Pipeline {
     * and every later query skips the fit, the assignment pass, and
     * the radius agg (round-6 verdict polish — bmin used to be
     * recomputed per query). */
-  private[graft] def rangeIvfIndex(s: SparkSession, emb: DataFrame,
-                                   n: Long): (DataFrame, DataFrame) = {
+  private[graft] def rangeIvfIndex(s: SparkSession, emb: DataFrame, n: Long,
+                                   dim: Int = EmbDim): (DataFrame, DataFrame) = {
     import s.implicits._
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, cents) = kmeansAssignDf(emb, k, n)
+    val (assigned, cents) = kmeansAssignDf(emb, k, n, dim)
     val cells = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cluster", "cv")
     val cands = assigned.filter(col("vec_id") >= 10)
@@ -2635,6 +2635,176 @@ object Pipeline {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
        |  FROM final)
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  // -- s09: exact MIPS (maximum inner product search) ----------------------
+  // Dense-retrieval scoring is an INNER PRODUCT, not a cosine — and
+  // the classic reduction (Bachrach et al. 2014 / Shrivastava & Li's
+  // asymmetric transform) makes the cosine index machinery solve it:
+  // append sqrt(M² − ‖x‖²) to every corpus vector (M² = max corpus
+  // ‖x‖²) and a LITERAL 0 to every query, and the augmented dot IS
+  // the raw dot (the query's zero kills the extra term — exactly,
+  // in fp too) while every augmented corpus norm is ≈ M, so cosine
+  // order ≈ dot order. s09 runs s08's seed-then-prove through the
+  // augmented index but RANKS BY THE RAW DOT throughout; the
+  // admission threshold converts the kth seed dot into cosine space
+  // with the safety margin max‖x'‖ (the float-rounded augmentation
+  // leaves corpus norms within ulps of M — dividing by the corpus
+  // MAX keeps the containment argument sound in computed arithmetic:
+  // dot ≥ τ and ‖x'‖ ≤ max‖x'‖ ⇒ fl(dot/(‖q‖·‖x'‖)) ≥
+  // fl(τ/(‖q‖·max‖x'‖)) by monotonicity of correctly-rounded
+  // division). The two corpus maxima are driver scalars (one agg
+  // each, q73's config-scalar precedent — max of doubles is
+  // order-free), and both replay as SQL aggregates.
+  //
+  // Scale: s08's shape exactly — broadcast-probed admitted lists,
+  // zero fact shuffles, windows over scanned members only.
+  private val s09: Q = (s, d) => {
+    val k = 5; val seedCells = 3
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    val withN2 = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("n2", VF.normSq(col("embedding")))
+    val m2 = withN2.filter(col("vec_id") >= 10)
+      .agg(max(col("n2"))).head().getDouble(0)
+    val aug = withN2.withColumn("embedding", concat(col("embedding"),
+        array(when(col("vec_id") < 10, lit(0d))
+          .otherwise(sqrt(lit(m2) - col("n2"))).cast("float"))))
+      .select(col("vec_id"), col("embedding"))
+    val maxAugN2 = aug.filter(col("vec_id") >= 10)
+      .agg(max(VF.normSq(col("embedding")))).head().getDouble(0)
+    val (cands, cellMeta) = rangeIvfIndex(s, aug, n, dim = EmbDim + 1)
+    val qs = aug.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        sqrt(VF.normSq(col("embedding"))).as("qn"))
+    val a = col("a")
+    val bmin = col("bmin")
+    val qcell = cellMeta.crossJoin(broadcast(qs))
+      .withColumn("a", VF.cosine(col("q_vec"), col("cv")))
+      .withColumn("ub", when(a >= bmin, lit(1d)).otherwise(
+        a * bmin + sqrt(greatest(lit(0d), lit(1d) - a * a) *
+                        greatest(lit(0d), lit(1d) - bmin * bmin))))
+      .select(col("q_id"), col("q_vec"), col("qn"), col("cluster"), col("ub"))
+      .transform(graft.CacheScope.cached) // radius agg shared by both passes
+    val wSeed = Window.partitionBy(col("q_id"))
+      .orderBy(col("ub").desc, col("cluster"))
+    val seeds = qcell.withColumn("srn", row_number().over(wSeed))
+      .filter(col("srn") <= seedCells)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("cand_id"))
+    val tau = cands.join(broadcast(seeds), "cluster")
+      .withColumn("dot", VF.dot(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .groupBy(col("q_id"))
+      .agg(min(col("dot")).as("tau_dot"), count(lit(1)).as("nseed"))
+    val admitted = qcell.join(broadcast(tau), "q_id")
+      .withColumn("tau_cos", when(col("nseed") < k, lit(-2d))
+        .otherwise(col("tau_dot") / (col("qn") * lit(math.sqrt(maxAugN2)))))
+      .filter(col("ub") >= col("tau_cos"))
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    cands.join(broadcast(admitted), "cluster")
+      .withColumn("dot", VF.dot(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"),
+        round(col("dot"), 4).as("dot"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // The augmented fit/assignment replays through IntLloyd.fitSql on
+  // the aug CTE (subLen 65); list_inner_product matches the Spark
+  // HOF's left-to-right double accumulation (probed on adversarial
+  // cancellation inputs), so norms, the augmentation, both corpus
+  // maxima, τ conversion and admission all re-derive bit-exactly.
+  private val s09Sql: String = {
+    val augFit = graft.operators.IntLloyd.fitSql(
+      srcSql = "SELECT vec_id, embedding FROM aug",
+      idExpr = "vec_id", vecExpr = "embedding",
+      numSub = 1, subLen = EmbDim + 1,
+      kExpr = "GREATEST(16, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
+      capExpr = "GREATEST(2048, 64*k)",
+      iters = CoarseIters, salt = "kmtrain", p = "km")
+    s"""WITH n2s AS (
+       |  SELECT vec_id, embedding,
+       |    list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                       CAST(embedding AS DOUBLE[])) AS n2
+       |  FROM embeddings),
+       |m2 AS (SELECT MAX(n2) AS m2 FROM n2s WHERE vec_id >= 10),
+       |aug AS (
+       |  SELECT vec_id, list_append(embedding,
+       |    CAST(CASE WHEN vec_id < 10 THEN 0.0
+       |              ELSE sqrt(m2 - n2) END AS FLOAT)) AS embedding
+       |  FROM n2s, m2),
+       |augn AS (
+       |  SELECT vec_id, embedding,
+       |    list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                       CAST(embedding AS DOUBLE[])) AS an2
+       |  FROM aug),
+       |ma AS (SELECT sqrt(MAX(an2)) AS mnorm FROM augn WHERE vec_id >= 10),
+       |$augFit,
+       |asg AS (
+       |  SELECT vec_id, embedding, cluster, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+       |        c.cluster) AS rn
+       |    FROM aug e CROSS JOIN kmcent c)
+       |  WHERE rn <= 1),
+       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
+       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
+       |cellstat AS (
+       |  SELECT c.cluster,
+       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
+       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
+       |q AS (
+       |  SELECT a.vec_id AS q_id, a.embedding AS q_vec, sqrt(n.an2) AS qn
+       |  FROM aug a JOIN augn n ON a.vec_id = n.vec_id
+       |  WHERE a.vec_id < 10),
+       |qcell AS (
+       |  SELECT q_id, q_vec, qn, cluster,
+       |    CASE WHEN a >= bmin THEN 1.0
+       |         ELSE a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin))
+       |    END AS ub
+       |  FROM (
+       |    SELECT q.q_id, q.q_vec, q.qn, s.cluster, s.bmin,
+       |      list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
+       |    FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster)),
+       |seeds AS (
+       |  SELECT q_id, q_vec, cluster FROM (
+       |    SELECT q_id, q_vec, cluster,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ub DESC, cluster) AS srn
+       |    FROM qcell)
+       |  WHERE srn <= 3),
+       |seedscan AS (
+       |  SELECT s.q_id, c.cand_id,
+       |    list_inner_product(CAST(s.q_vec AS DOUBLE[]),
+       |                       CAST(c.embedding AS DOUBLE[])) AS dot
+       |  FROM cand c JOIN seeds s ON c.cluster = s.cluster),
+       |tau AS (
+       |  SELECT q_id, MIN(dot) AS tau_dot, COUNT(*) AS nseed
+       |  FROM (
+       |    SELECT q_id, dot,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, cand_id) AS rn
+       |    FROM seedscan)
+       |  WHERE rn <= 5 GROUP BY q_id),
+       |adm AS (
+       |  SELECT qc.q_id, qc.q_vec, qc.cluster
+       |  FROM qcell qc JOIN tau USING (q_id), ma
+       |  WHERE qc.ub >= CASE WHEN tau.nseed < 5 THEN -2.0
+       |                      ELSE tau.tau_dot / (qc.qn * ma.mnorm) END),
+       |final AS (
+       |  SELECT a2.q_id, c.cand_id,
+       |    list_inner_product(CAST(a2.q_vec AS DOUBLE[]),
+       |                       CAST(c.embedding AS DOUBLE[])) AS dot
+       |  FROM cand c JOIN adm a2 ON c.cluster = a2.cluster)
+       |SELECT q_id, cand_id, ROUND(dot, 4) AS dot, CAST(rn AS INTEGER) AS rn
+       |FROM (
+       |  SELECT q_id, cand_id, dot,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, cand_id) AS rn
+       |  FROM final)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
 
   // -- p06: dataset card (per-source datasheet) ----------------------------
   // The "datasheet for datasets" rollup a corpus release ships: per
@@ -3039,6 +3209,7 @@ object Pipeline {
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
+    "s09_ann_mips" -> s09,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -3070,7 +3241,7 @@ object Pipeline {
     "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
-    "s08_ann_topk_ivf" -> s08Sql,
+    "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql,
