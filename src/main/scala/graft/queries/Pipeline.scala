@@ -3108,6 +3108,128 @@ object Pipeline {
       |GROUP BY bucket, n_docs_tot
       |ORDER BY bucket""".stripMargin
 
+  // -- d13: quality-aware cluster keeper selection -------------------------
+  // d10 answers "which docs are the same"; d13 answers the curation
+  // question that follows: WHICH COPY TO KEEP. Min-id keepers (d10's
+  // convention) are arbitrary — a real pass keeps the best-quality
+  // member of each duplicate cluster. Components over d03's document
+  // near-dup pairs (the same Operators.connectedComponents), then
+  // keeper = argmax t02 quality (tie → min doc_id; quality doubles
+  // are the t02-proven bit-identical expressions, so the argmax
+  // replays). Emits every clustered doc with its cluster, quality,
+  // and keep/drop verdict — the apply-side of the dedup ladder.
+  //
+  // Scale: components as d10 (vertex set = docs in pairs ≪ corpus);
+  // the quality join touches clustered docs only (semi-join-sized);
+  // the keeper window partitions by cluster — fan-in bounded by
+  // cluster size, never corpus-wide.
+  private val d13: Q = (s, d) => {
+    val comps = Operators.connectedComponents(
+      d03(s, d).select(col("a_id"), col("b_id")), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val (_, _, _, quality) = qualityParts
+    val scored = T.documents(s, d).select(col("doc_id"), quality.as("quality"))
+    val wKeep = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    comps.join(scored, "doc_id")
+      .withColumn("is_keeper", row_number().over(wKeep) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d13Sql =
+    s"""WITH RECURSIVE dpairs AS ($d03Sql),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM dpairs
+       |      UNION ALL SELECT b_id, a_id FROM dpairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+       |         FROM reach GROUP BY src),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
+       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')))
+       |      - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / length(text) AS quality
+       |  FROM documents)
+       |SELECT c.doc_id, c.cluster_id, q.quality,
+       |  row_number() OVER (PARTITION BY c.cluster_id
+       |    ORDER BY q.quality DESC, c.doc_id) = 1 AS is_keeper
+       |FROM comp c JOIN q ON c.doc_id = q.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  // -- p08: dataset release diff (governance card) -------------------------
+  // The release-notes artifact a corpus publisher ships alongside
+  // p06's datasheet: what changed between release A (yesterday's
+  // curation policy) and release B (today's)? Releases here are two
+  // deterministic curation policies over the same raw corpus — A
+  // keeps docs ≥ 150 chars as-is; B tightens the gate to ≥ 200 and
+  // truncates at 400 chars (a max-length policy change) — and the
+  // diff is a doc_id full-outer join comparing content hashes:
+  // added / removed / changed / unchanged per source, plus the exact
+  // released-char volumes both sides. The q42/q76 reconcile shape
+  // applied at the corpus-release grain.
+  //
+  // Scale: one co-partitioned full-outer join on the uniform doc_id
+  // key (hashes computed map-side, so the exchange moves one hash +
+  // one int per side, never text), one #sources partial agg.
+  private val p08: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val relA = docs.filter(col("n_chars") >= 150)
+      .select(col("doc_id"), col("source").as("src_a"),
+        md5(col("text")).as("ha"), col("n_chars").cast(LongType).as("ca"))
+    val relB = docs.filter(col("n_chars") >= 200)
+      .select(col("doc_id"), col("source").as("src_b"),
+        md5(substring(col("text"), 1, 400)).as("hb"),
+        least(col("n_chars"), lit(400)).cast(LongType).as("cb"))
+    relA.join(relB, Seq("doc_id"), "full_outer")
+      .withColumn("source", coalesce(col("src_a"), col("src_b")))
+      .withColumn("status",
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(coalesce(col("ca"), lit(0L))).as("chars_a"),
+        sum(coalesce(col("cb"), lit(0L))).as("chars_b"))
+      .orderBy(col("source"))
+  }
+
+  private val p08Sql =
+    """WITH a AS (
+      |  SELECT doc_id, source AS src_a, md5(text) AS ha,
+      |    CAST(n_chars AS BIGINT) AS ca
+      |  FROM documents WHERE n_chars >= 150),
+      |b AS (
+      |  SELECT doc_id, source AS src_b, md5(substr(text, 1, 400)) AS hb,
+      |    CAST(least(n_chars, 400) AS BIGINT) AS cb
+      |  FROM documents WHERE n_chars >= 200),
+      |j AS (
+      |  SELECT COALESCE(src_a, src_b) AS source,
+      |    CASE WHEN ha IS NULL THEN 'added'
+      |         WHEN hb IS NULL THEN 'removed'
+      |         WHEN ha <> hb THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |  FROM a FULL OUTER JOIN b USING (doc_id))
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |  CAST(SUM(ca) AS BIGINT) AS chars_a,
+      |  CAST(SUM(cb) AS BIGINT) AS chars_b
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   // -- t16: per-doc novelty (new-content contribution) ---------------------
   // The data-mixing question d12's repeated-span cover doesn't answer:
   // how much does each document ADD? A doc's novelty is the share of
@@ -3203,6 +3325,7 @@ object Pipeline {
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "d11_dedup_lines" -> d11, "d12_dedup_substring" -> d12,
+    "d13_dedup_keeper_quality" -> d13, "p08_release_diff" -> p08,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16,
@@ -3239,6 +3362,7 @@ object Pipeline {
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
     "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
+    "d13_dedup_keeper_quality" -> d13Sql, "p08_release_diff" -> p08Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
