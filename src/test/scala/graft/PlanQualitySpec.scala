@@ -383,6 +383,17 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("s08/s09 probe passes: corpus joins are broadcast-only, no sort-merge anywhere") {
+    Seq("s08_ann_topk_ivf", "s09_ann_mips").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q must probe the corpus via broadcast joins only:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: the query×cell admission must stay broadcast-nested at worst:\n$p")
+      graft.CacheScope.drain()
+    }
+  }
+
   test("t13 vocab coverage: the unpartitioned window consumes the LIMITed 200-row frame") {
     val p = plan("t13_vocab_coverage")
     // the global window must sit above a Limit, never directly on facts
