@@ -3095,8 +3095,82 @@ object Relational {
       |  CAST(theta_mu AS DOUBLE) / 1000000 AS theta
       |FROM t3 ORDER BY exam_id""".stripMargin
 
+  // -- q79: student growth percentile (SGP-lite) ---------------------------
+  // THE longitudinal metric of this domain (reference README
+  // "longitudinal trends"; the Aggregate service's year-over-year
+  // lens): a student's growth percentile is their current-year
+  // standing among the PEER GROUP of students who started from the
+  // same prior-year score band. Bands are fixed score ranges (the
+  // q18/q49 cut-point philosophy — configured, not data-derived,
+  // which is also what kills the global-ntile scale cliff).
+  //
+  // Scale: percent_rank within band would window over millions of
+  // students in a handful of band partitions — the q65-class fix is
+  // computing the rank from the band's SCORE DISTRIBUTION instead:
+  // one (band, score) agg (distinct scores ≪ students), a prefix-sum
+  // window over that bounded frame, and a co-partitioned join back.
+  // growth_pct = cnt_less / (n_band − 1) IS percent_rank's
+  // definition — the oracle states the textbook percent_rank() and
+  // hash-equality proves the distribution-frame plan equals it.
+  private val q79: Q = (s, d) => {
+    val byYear = T.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1997, 1998))
+      .groupBy(col("o_custkey").as("student_id"), col("yr"))
+      .agg(sum(money(col("o_totalprice"))).as("score"))
+    val prior = byYear.filter(col("yr") === 1997)
+      .select(col("student_id"), col("score").as("prior_score"))
+    val curr = byYear.filter(col("yr") === 1998)
+      .select(col("student_id"), col("score").as("curr_score"))
+    // band from exact CENTS (decimal×100 is integral, so the
+    // decimal→long cast is exact in both engines; a direct decimal
+    // div/cast would truncate in Spark and round in DuckDB)
+    val paired = prior.join(curr, "student_id")
+      .withColumn("band",
+        expr("CAST((CAST(prior_score * 100 AS BIGINT)) div 10000000 AS INT)"))
+      .transform(graft.CacheScope.cached) // distribution build + rank probe
+    // band score distribution: one row per distinct (band, curr_score)
+    val dist = paired.groupBy(col("band"), col("curr_score"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("band")).orderBy(col("curr_score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("band"))
+    val ranked = dist
+      .withColumn("cnt_less", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("n_band", sum(col("cnt")).over(wTot))
+    paired.join(ranked, Seq("band", "curr_score"))
+      .withColumn("growth_pct", when(col("n_band") === 1, lit(0d))
+        .otherwise(col("cnt_less").cast(DoubleType) / (col("n_band") - 1)))
+      .select(col("student_id"), col("prior_score").cast(DoubleType).as("prior_score"),
+        col("curr_score").cast(DoubleType).as("curr_score"),
+        col("band"), col("growth_pct"))
+      .orderBy(col("student_id"))
+  }
+
+  // The oracle is the TEXTBOOK percent_rank over each band — the
+  // equality proves the distribution-frame prefix sum implements it.
+  private val q79Sql =
+    """WITH by_year AS (
+      |  SELECT o_custkey AS student_id, year(o_orderdate) AS yr,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS score
+      |  FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+      |  GROUP BY 1, 2),
+      |paired AS (
+      |  SELECT p.student_id, p.score AS prior_score, c.score AS curr_score,
+      |    CAST(CAST(p.score * 100 AS BIGINT) // 10000000 AS INTEGER) AS band
+      |  FROM (SELECT student_id, score FROM by_year WHERE yr = 1997) p
+      |  JOIN (SELECT student_id, score FROM by_year WHERE yr = 1998) c
+      |  USING (student_id))
+      |SELECT student_id,
+      |  CAST(prior_score AS DOUBLE) AS prior_score,
+      |  CAST(curr_score AS DOUBLE) AS curr_score,
+      |  band,
+      |  percent_rank() OVER (PARTITION BY band ORDER BY curr_score) AS growth_pct
+      |FROM paired ORDER BY student_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q79_growth_percentile" -> q79,
     "q78_irt_theta" -> q78,
     "q77_translation_coverage" -> q77,
     "q76_archive_restore_audit" -> q76,
@@ -3134,6 +3208,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q79_growth_percentile" -> q79Sql,
     "q78_irt_theta" -> q78Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,

@@ -349,6 +349,28 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("q79 growth percentile: ranks are [0,1] with a top student per band; windows ride the distribution frame") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q79_growth_percentile")(spark, sfDir)
+      .transform(graft.CacheScope.cached)
+    assert(out.filter(col("growth_pct") < 0 || col("growth_pct") > 1).count() == 0)
+    // every band with >1 student has someone at percentile 1.0 and 0.0
+    val bands = out.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), max(col("growth_pct")).as("mx"),
+        min(col("growth_pct")).as("mn"))
+      .filter(col("n") > 1).collect()
+    assert(bands.nonEmpty)
+    bands.foreach { r =>
+      assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0,
+        s"band ${r.getInt(0)}: pct range [${r.getDouble(3)}, ${r.getDouble(2)}]")
+    }
+    // the scale claim: no window runs over an unpartitioned frame
+    val p = plan("q79_growth_percentile")
+    assert(!p.contains("SinglePartition"),
+      s"no global exchange — windows must ride the banded distribution frame:\n$p")
+    graft.CacheScope.drain()
+  }
+
   test("q68 duplicate-org cleanup: registry self-join broadcasts, exam probe pre-aggregates") {
     import graft.plans.PlanAudit
     val a = PlanAudit.of(SparkEntry.queries("q68_duplicate_org_cleanup")(spark, sfDir))
