@@ -2952,14 +2952,24 @@ object Relational {
   // loops over data.
   private val q78: Q = (s, d) => {
     // items: (exam_id, a2 ∈ [50,185] (a×100), bmu ∈ [−1e6,1e6] (b×1e6), u)
-    val items = T.lineitem(s, d)
+    // q59's stats-based pin: every iteration shuffles the item frame
+    // on exam_id, and cores-sized partitions spill past ~1M fact
+    // rows/core (measured: 66 s at 60M rows/16 threads unpinned);
+    // pinning 8×cores pre-partitions the CACHED frame on the join
+    // key once, so all three iteration joins + aggs reuse the
+    // distribution. Footer-metadata row count — no scan job.
+    val cores = s.sparkContext.defaultParallelism
+    val pin = T.parquetRowCount(s, s"$d/lineitem.parquet") > 1000000L * cores
+    val itemsBase = T.lineitem(s, d)
       .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("exam_id"),
         (lit(50L) + (col("p_size") % 10).cast(LongType) * 15L).as("a2"),
         ((expr("CAST(round(p_retailprice * 100) AS BIGINT)") % 200000L) * 10L
           - 1000000L).as("bmu"),
         when(col("l_quantity") > 25, 1000000L).otherwise(0L).as("umu"))
-      .transform(graft.CacheScope.cached) // read by all three iterations
+    val items =
+      (if (pin) itemsBase.repartition(8 * cores, col("exam_id")) else itemsBase)
+        .transform(graft.CacheScope.cached) // read by all three iterations
     // One Newton step over an item frame that already carries θµ.
     // Iteration 1 enters with a LITERAL θµ=0 — no join, the whole
     // first score/information pass is map-side into the agg —
