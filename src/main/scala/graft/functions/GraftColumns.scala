@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SqlBridge
 
-import graft.functions.expressions.{CharGramCounts, CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestCentroidSq, NearestClusters, SimHashTokens, TokenRepetitionStats, WinnowFingerprint, WordBigrams}
+import graft.functions.expressions.{CharGramCounts, CharGrams, CharShingles, CosineSimilarity, HllRegisters, HyperplaneSignature, MinHashShingles, NearestCentroidSq, NearestClusters, SimHashTokens, TokenGramHashes, TokenRepetitionStats, WinnowFingerprint, WordBigrams}
 
 /** Column-API entry points for graft's native Catalyst expressions. */
 object GraftColumns {
@@ -36,6 +36,11 @@ object GraftColumns {
     * [[WordBigrams]]). */
   def wordBigrams(text: Column): Column =
     SqlBridge.column(WordBigrams(SqlBridge.expression(text)))
+
+  /** Sliding k-token gram hashes (double-polynomial rolling hash) in
+    * one pass — the d12/t16 gram unit (see [[TokenGramHashes]]). */
+  def tokenGramHashes(text: Column, k: Int): Column =
+    SqlBridge.column(TokenGramHashes(SqlBridge.expression(text), k))
 
   /** Cosine similarity of two numeric arrays in one pass (see
     * [[CosineSimilarity]]). */

@@ -2141,16 +2141,17 @@ object Pipeline {
 
   /** Sliding SubstrK-token gram positions per doc — ONE definition
     * shared by d12 (repeated-span cover) and t16 (novelty), so the
-    * two can never disagree about what a gram is. Input must carry
-    * (doc_id, tk, total_tokens); map-side explode, n_tokens rows/doc. */
+    * two can never disagree about what a gram is. The hashes come
+    * from the native [[graft.functions.expressions.TokenGramHashes]]
+    * pass (prefix-hash rolling, O(1)/gram, double-polynomial — the
+    * md5-of-rebuilt-gram-string formulation it replaced re-hashed
+    * O(k·|token|) chars per position); posexplode supplies the token
+    * position. Map-side, n_tokens rows/doc. */
   private def slidingGramHashes(docs: DataFrame): DataFrame = docs
-    .withColumn("p", explode(when(col("total_tokens") >= SubstrK,
-      sequence(lit(0L), col("total_tokens") - SubstrK))
-      .otherwise(array().cast("array<long>"))))
-    .select(col("doc_id"), col("p"),
-      md5(array_join(
-        slice(col("tk"), (col("p") + 1).cast("int"), lit(SubstrK)), " "))
-        .as("gram_hash"))
+    .select(col("doc_id"),
+      posexplode(graft.functions.GraftColumns.tokenGramHashes(col("text"), SubstrK)))
+    .select(col("doc_id"), col("pos").cast(LongType).as("p"),
+      col("col").as("gram_hash"))
 
   private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
     docsSpread(s, d)
@@ -2192,10 +2193,18 @@ object Pipeline {
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |docs AS (
       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens, tk FROM toks),
+      |gs AS (
+      |  SELECT doc_id, i, array_to_string(list_slice(tk, i + 1, i + 8), ' ') AS g
+      |  FROM docs, LATERAL unnest(generate_series(0, total_tokens - 8)) AS u(i)),
       |grams AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS p,
-      |    md5(array_to_string(list_slice(tk, i + 1, i + 8), ' ')) AS gram_hash
-      |  FROM docs, LATERAL unnest(generate_series(0, total_tokens - 8)) AS g(i)),
+      |    list_reduce(list_transform(generate_series(1, length(g)),
+      |        j -> CAST(unicode(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) * 1000000007 +
+      |    list_reduce(list_transform(generate_series(1, length(g)),
+      |        j -> CAST(unicode(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 137 + c) % 1000000007) AS gram_hash
+      |  FROM gs),
       |occ AS (SELECT gram_hash, COUNT(*) AS occ FROM grams GROUP BY 1),
       |rep AS (SELECT doc_id, p FROM grams JOIN occ USING (gram_hash) WHERE occ >= 2),
       |marked AS (
@@ -3268,10 +3277,18 @@ object Pipeline {
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |docs AS (
       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens, tk FROM toks),
+      |gs AS (
+      |  SELECT doc_id, array_to_string(list_slice(tk, i + 1, i + 8), ' ') AS g
+      |  FROM docs, LATERAL unnest(generate_series(0, total_tokens - 8)) AS u(i)),
       |grams AS (
       |  SELECT DISTINCT doc_id,
-      |    md5(array_to_string(list_slice(tk, i + 1, i + 8), ' ')) AS gram_hash
-      |  FROM docs, LATERAL unnest(generate_series(0, total_tokens - 8)) AS g(i)),
+      |    list_reduce(list_transform(generate_series(1, length(g)),
+      |        j -> CAST(unicode(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) * 1000000007 +
+      |    list_reduce(list_transform(generate_series(1, length(g)),
+      |        j -> CAST(unicode(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 137 + c) % 1000000007) AS gram_hash
+      |  FROM gs),
       |fd AS (SELECT gram_hash, MIN(doc_id) AS first_doc FROM grams GROUP BY 1),
       |per_doc AS (
       |  SELECT g.doc_id, COUNT(*) AS n_distinct_grams,

@@ -437,6 +437,30 @@ class FunctionsSpec extends SparkSpec {
     assert(native.head == ((8, 4, 3, 7, 2)))
   }
 
+  test("tokenGramHashes matches the double-polynomial fold over rebuilt gram strings") {
+    val k = 3
+    val M = 1000000007L
+    def ref(t: String): Seq[Long] = {
+      val toks = t.split(" ", -1).toSeq // Spark split semantics, empties kept
+      if (toks.size < k) Seq.empty
+      else toks.sliding(k).map { g =>
+        val s = g.mkString(" ")
+        def fold(base: Long) = s.foldLeft(0L)((acc, c) => (acc * base + c) % M)
+        fold(131L) * M + fold(137L)
+      }.toSeq
+    }
+    val texts = Seq(
+      "a b c d e",
+      "one two",                 // fewer than k tokens -> empty
+      "x  y z w",                // consecutive spaces -> empty token kept
+      " lead and trail ",        // boundary empties
+      "same same same same")
+    val native = texts.toDF("t")
+      .select(graft.functions.GraftColumns.tokenGramHashes(col("t"), k).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    assert(native == texts.map(ref), s"native=$native expected=${texts.map(ref)}")
+  }
+
   test("tokenCountIn counts membership") {
     val out = Seq("the cat and the hat").toDF("t")
       .select(TF.tokenCountIn(TF.tokens(col("t")), Seq("the", "and")).as("n"))
