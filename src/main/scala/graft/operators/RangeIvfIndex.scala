@@ -51,4 +51,14 @@ object RangeIvfIndex {
       cellMeta, queries.select(col("q_id"), col("q_vec")), tau)
     graft.queries.Pipeline.rangeIvfProbe(cands, admitted, tau)
   }
+
+  /** Exact top-k over a persisted index (s08's seed-then-prove):
+    * brute-force rows, admitted-list cost. `queries` must expose
+    * (q_id, q_vec). */
+  def topk(s: SparkSession, path: String, queries: DataFrame,
+           k: Int, seedCells: Int = 3): DataFrame = {
+    val (cands, cellMeta) = read(s, path)
+    graft.queries.Pipeline.topkProbe(
+      cands, cellMeta, queries.select(col("q_id"), col("q_vec")), k, seedCells)
+  }
 }

@@ -2546,6 +2546,17 @@ object Pipeline {
     val (cands, cellMeta) = rangeIvfIndex(s, emb, n)
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    topkProbe(cands, cellMeta, qs, k, seedCells)
+  }
+
+  /** The post-index half of s08, reusable against a
+    * [[graft.operators.RangeIvfIndex]]-persisted index: seed-scan the
+    * top `seedCells` cells per query, prove sufficiency via the
+    * triangle bound, rank the admitted scan. `queries` must expose
+    * (q_id, q_vec). */
+  private[graft] def topkProbe(cands: DataFrame, cellMeta: DataFrame,
+                               qs: DataFrame, k: Int,
+                               seedCells: Int): DataFrame = {
     val a = col("a")
     val bmin = col("bmin")
     val qcell = cellMeta.crossJoin(broadcast(qs))

@@ -163,6 +163,15 @@ class PipelineScaleSpec extends SparkSpec {
     assert(probed == exact,
       s"loaded-index probe must equal brute force: missing=${exact.diff(probed).take(3)} " +
         s"extra=${probed.diff(exact).take(3)}")
+    // the same persisted index serves top-k: equals s01 row-for-row
+    val topk = graft.operators.RangeIvfIndex.topk(spark, dir, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val s01 = SparkEntry.queries("s01_ann_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(topk == s01,
+      s"loaded-index topk must equal s01: missing=${s01.diff(topk).take(3)} " +
+        s"extra=${topk.diff(s01).take(3)}")
+    graft.CacheScope.drain()
   }
 
   test("s08 IVF-probed top-k equals exact s01 row-for-row (seed-then-prove)") {
