@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CharGramCounts, CharGrams, CharShingles, CosineSimilarity, HllRegisters, MinHashShingles, SimHashTokens, TokenRepetitionStats, WinnowFingerprint}
+import graft.functions.expressions.{CharGramCounts, CharGrams, CharShingles, CosineSimilarity, HllRegisters, MinHashShingles, SimHashTokens, TokenGramHashes, TokenRepetitionStats, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -88,6 +88,13 @@ object GraftFunctions {
       require(children.size == 1,
         "token_repetition_stats(text) takes exactly 1 argument")
       TokenRepetitionStats(children.head)
+    }), (
+    new FunctionIdentifier("token_gram_hashes"),
+    new ExpressionInfo(classOf[TokenGramHashes].getName, "token_gram_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "token_gram_hashes(text, k) takes exactly 2 arguments")
+      TokenGramHashes(children.head, intArg(children(1), "token_gram_hashes", "k"))
     }), (
     new FunctionIdentifier("hll_registers"),
     new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),

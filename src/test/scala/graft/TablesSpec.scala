@@ -43,6 +43,9 @@ class TablesSpec extends SparkSpec {
       "SELECT cosine_sim(embedding, embedding) AS c FROM embeddings LIMIT 1")
       .as[Double].head()
     assert(math.abs(c - 1.0) < 1e-9)
+    val g = spark.sql(
+      "SELECT size(token_gram_hashes('a b c d', 3)) AS n").as[Int].head()
+    assert(g == 2)
   }
 
   test("schema drift fails fast with a named column list") {
