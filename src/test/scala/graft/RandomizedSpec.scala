@@ -102,4 +102,66 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("d12 repeated-span cover equals a brute-force reference on random corpora") {
+    // small vocab forces plenty of repeated 8-grams, including
+    // overlapping and same-doc repeats — the interval-union edge cases
+    val docs = (0 until 60).map(i => (i.toLong, doc(6 + rnd.nextInt(30))))
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d12rand").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d12_dedup_substring")(spark, dir)
+      .select("doc_id", "total_tokens", "n_spans", "repeated_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // brute force: count each gram string's corpus occurrences, mark
+    // covered token positions, measure runs — independent formulation
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val occ = toks.values.flatMap(ts => ts.sliding(8).filter(_ => true)
+      .map(_.mkString(" "))).toSeq
+      .filter(_ => true).groupBy(identity).map { case (g, v) => g -> v.size }
+    docs.foreach { case (id, _) =>
+      val ts = toks(id)
+      val covered = Array.fill(ts.size)(false)
+      if (ts.size >= 8) ts.sliding(8).zipWithIndex.foreach { case (g, p) =>
+        if (ts.size - p >= 8 && occ(g.mkString(" ")) >= 2)
+          (p until p + 8).foreach(covered(_) = true)
+      }
+      val runs = covered.foldLeft((0, false)) { case ((n, in), c) =>
+        if (c && !in) (n + 1, true) else (n, c)
+      }._1
+      val (_, total, spans, rep) = out(id)
+      assert(total == ts.size, s"doc $id token count")
+      assert(rep == covered.count(identity), s"doc $id covered tokens")
+      assert(spans == runs, s"doc $id span count")
+    }
+  }
+
+  test("q79-style distribution-frame rank equals percent_rank on random scores") {
+    // the scalable cnt_less/(n-1) formulation vs the textbook window,
+    // with deliberate score TIES (small value domain)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(6), rnd.nextInt(25).toDouble))
+    val df = rows.toDF("id", "band", "score")
+    val dist = df.groupBy(col("band"), col("score")).agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+    val ranked = dist
+      .withColumn("cnt_less", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("n_band", sum(col("cnt")).over(wTot))
+    val got = df.join(ranked, Seq("band", "score"))
+      .withColumn("pct", when(col("n_band") === 1, lit(0d))
+        .otherwise(col("cnt_less").cast("double") / (col("n_band") - 1)))
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    val wPr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("score"))
+    val expected = df.withColumn("pct", percent_rank().over(wPr))
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, _, _) =>
+      assert(got(id) == expected(id), s"row $id: ${got(id)} vs ${expected(id)}")
+    }
+  }
 }
