@@ -1861,6 +1861,67 @@ object Pipeline {
       |  (cum - cost) % 8192 AS bin_offset
       |FROM w ORDER BY doc_id""".stripMargin
 
+  // -- p09: packed-shard manifest ------------------------------------------
+  // The artifact a training data-loader actually consumes: one row
+  // per packed context window (m04's 8192-token multimodal bins) with
+  // its document count, modality volumes, and fill ratio. A window's
+  // tokens are whatever the packing placed in [bin·8192, (bin+1)·8192)
+  // of the per-source stream, so a doc spanning a bin boundary
+  // contributes to BOTH bins' fill — the overlap arithmetic is exact
+  // integer clamping of [start, end) against the bin range. The last
+  // (partial) bin of each source reports its true fill < 1.
+  //
+  // Scale: m04's packing shuffles + one (source, bin) partial agg;
+  // a doc spans ≤ cost/8192 + 1 bins, so the explode is bounded by
+  // total tokens / 8192 extra rows corpus-wide.
+  private val p09: Q = (s, d) => {
+    val budget = 8192
+    val packed = m04(s, d) // doc_id, source, text_tokens, n_images, cost, bin_id, bin_offset
+      .withColumn("start_tok", col("bin_id") * budget + col("bin_offset"))
+      .withColumn("end_tok", col("start_tok") + col("cost"))
+      .withColumn("bin", explode(sequence(col("bin_id"),
+        expr(s"(end_tok - 1) div $budget"))))
+      .withColumn("bin_start", col("bin") * budget)
+      .withColumn("in_bin",
+        least(col("end_tok"), col("bin_start") + budget) -
+          greatest(col("start_tok"), col("bin_start")))
+    packed.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("in_bin")).as("tokens_in_bin"),
+        sum(col("n_images")).as("n_images"))
+      .withColumn("fill_ratio",
+        col("tokens_in_bin").cast(DoubleType) / budget)
+      .orderBy(col("source"), col("bin"))
+  }
+
+  private val p09Sql =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER)
+      |      AS text_tokens,
+      |    CAST(least(octet_length(encode(text)) // 1000, 7) + 1 AS INTEGER) AS n_images
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, n_images,
+      |    CAST(text_tokens + n_images * 576 AS BIGINT) AS cost,
+      |    CAST(SUM(text_tokens + n_images * 576) OVER (
+      |      PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM c),
+      |spans AS (
+      |  SELECT doc_id, source, n_images, cost,
+      |    cum - cost AS start_tok, cum AS end_tok
+      |  FROM w),
+      |bins AS (
+      |  SELECT source, n_images, b AS bin,
+      |    least(end_tok, (b + 1) * 8192) - greatest(start_tok, b * 8192) AS in_bin
+      |  FROM spans, LATERAL unnest(generate_series(start_tok // 8192,
+      |    (end_tok - 1) // 8192)) AS u(b))
+      |SELECT source, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(in_bin) AS BIGINT) AS tokens_in_bin,
+      |  CAST(SUM(n_images) AS BIGINT) AS n_images,
+      |  CAST(SUM(in_bin) AS DOUBLE) / 8192 AS fill_ratio
+      |FROM bins GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
   // ======================= streaming batch-equivalents =====================
 
   // -- e01: tumbling-window agg (streaming job in graft.streaming) ---------
@@ -3373,6 +3434,7 @@ object Pipeline {
     "p05_multimodal_dedup" -> p05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
+    "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
@@ -3410,6 +3472,7 @@ object Pipeline {
     "p05_multimodal_dedup" -> p05Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
+    "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,

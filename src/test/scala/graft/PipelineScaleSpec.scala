@@ -143,6 +143,28 @@ class PipelineScaleSpec extends SparkSpec {
     assert(out(3L) > 0.0 && out(3L) < 1.0, s"partial overlap in between: ${out(3L)}")
   }
 
+  test("p09 shard manifest conserves tokens and fills every non-final bin exactly") {
+    import org.apache.spark.sql.functions._
+    val manifest = SparkEntry.queries("p09_shard_manifest")(spark, sfDir)
+      .transform(graft.CacheScope.cached)
+    val packed = SparkEntry.queries("m04_multimodal_packing")(spark, sfDir)
+    // conservation: every packed token lands in exactly one bin
+    val perSourceBins = manifest.groupBy(col("source"))
+      .agg(sum(col("tokens_in_bin")).as("t"), max(col("bin")).as("last_bin"))
+    val perSourceCost = packed.groupBy(col("source")).agg(sum(col("cost")).as("c"))
+    val joined = perSourceBins.join(perSourceCost, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getAs[Long]("t") == r.getAs[Long]("c"),
+      s"source ${r.getString(0)}: binned ${r.getAs[Long]("t")} != packed ${r.getAs[Long]("c")}"))
+    // every bin except each source's last is exactly full
+    val notFull = manifest.join(
+        perSourceBins.select(col("source"), col("last_bin")), "source")
+      .filter(col("bin") < col("last_bin") && col("fill_ratio") =!= 1.0)
+      .count()
+    assert(notFull == 0, s"$notFull interior bins not exactly full")
+    graft.CacheScope.drain()
+  }
+
   test("s07 persisted index round-trips: probe on the loaded index equals exact s06") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("rangeivf").toString
