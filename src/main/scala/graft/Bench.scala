@@ -86,9 +86,18 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(line)
+    // durable copy: the driver captures only a 2000-char stdout tail,
+    // which truncates the per-query record past ~45 queries
+    // (BENCH_r07.json parsed: null) — the file carries the whole line
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_results.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_results.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

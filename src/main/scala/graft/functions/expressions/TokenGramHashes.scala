@@ -25,9 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Element i of the result is the gram at token position i (0-based);
   * length = n_tokens − k + 1, empty when the doc has fewer than k
-  * tokens. Iterates UTF-16 code units (charAt) — identical to the
-  * DuckDB replay's code-point fold for BMP text, the corpus contract
-  * documented at d04 (SURVEY §5).
+  * tokens. Folds Unicode CODE POINTS (one surrogate pair = one fold
+  * step) — exactly the DuckDB replay's unicode(substr(...)) fold on
+  * ALL inputs, not just BMP text, so the function is safe on the
+  * public SQL surface without a corpus contract (the round-7 ADVICE
+  * item; d04/d05's older expressions keep the documented BMP
+  * contract at their own call sites).
   */
 case class TokenGramHashes(child: Expression, k: Int)
     extends UnaryExpression with UnaryRefCodegen {
@@ -37,13 +40,15 @@ case class TokenGramHashes(child: Expression, k: Int)
   private val M = MinHashShingles.M // 1e9+7, the shared replayable prime
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val len = text.length
+    // one pass to code points: positions below are code-point indexes,
+    // so surrogate pairs fold as ONE step — the oracle's unit
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val len = cps.length
     // token boundaries under single-space splitting: token i spans
     // [starts(i), ends(i)); n tokens = #spaces + 1 (empties included)
     var nTok = 1
     var i = 0
-    while (i < len) { if (text.charAt(i) == ' ') nTok += 1; i += 1 }
+    while (i < len) { if (cps(i) == ' ') nTok += 1; i += 1 }
     if (nTok < k) return new GenericArrayData(new Array[Any](0))
     val starts = new Array[Int](nTok)
     val ends = new Array[Int](nTok)
@@ -51,7 +56,7 @@ case class TokenGramHashes(child: Expression, k: Int)
     var t = 0
     i = 0
     while (i < len) {
-      if (text.charAt(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      if (cps(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
       i += 1
     }
     ends(t) = len
@@ -62,7 +67,7 @@ case class TokenGramHashes(child: Expression, k: Int)
     w1(0) = 1L; w2(0) = 1L
     i = 0
     while (i < len) {
-      val c = text.charAt(i).toLong
+      val c = cps(i).toLong
       p1(i + 1) = (p1(i) * 131L + c) % M
       p2(i + 1) = (p2(i) * 137L + c) % M
       w1(i + 1) = (w1(i) * 131L) % M

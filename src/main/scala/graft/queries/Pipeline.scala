@@ -1888,7 +1888,12 @@ object Pipeline {
     packed.groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("in_bin")).as("tokens_in_bin"),
-        sum(col("n_images")).as("n_images"))
+        // images count once, in the doc's STARTING bin — a
+        // boundary-spanning doc's TOKENS split across bins but its
+        // images are atomic, and double-counting them would inflate
+        // the summed modality volume (round-7 ADVICE)
+        sum(when(col("bin") === col("bin_id"), col("n_images"))
+          .otherwise(lit(0))).as("n_images"))
       .withColumn("fill_ratio",
         col("tokens_in_bin").cast(DoubleType) / budget)
       .orderBy(col("source"), col("bin"))
@@ -1912,13 +1917,14 @@ object Pipeline {
       |    cum - cost AS start_tok, cum AS end_tok
       |  FROM w),
       |bins AS (
-      |  SELECT source, n_images, b AS bin,
-      |    least(end_tok, (b + 1) * 8192) - greatest(start_tok, b * 8192) AS in_bin
+      |  SELECT source, b AS bin,
+      |    least(end_tok, (b + 1) * 8192) - greatest(start_tok, b * 8192) AS in_bin,
+      |    CASE WHEN b = start_tok // 8192 THEN n_images ELSE 0 END AS img_in_bin
       |  FROM spans, LATERAL unnest(generate_series(start_tok // 8192,
       |    (end_tok - 1) // 8192)) AS u(b))
       |SELECT source, bin, COUNT(*) AS n_docs,
       |  CAST(SUM(in_bin) AS BIGINT) AS tokens_in_bin,
-      |  CAST(SUM(n_images) AS BIGINT) AS n_images,
+      |  CAST(SUM(img_in_bin) AS BIGINT) AS n_images,
       |  CAST(SUM(in_bin) AS DOUBLE) / 8192 AS fill_ratio
       |FROM bins GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
@@ -2728,14 +2734,14 @@ object Pipeline {
   // order ≈ dot order. s09 runs s08's seed-then-prove through the
   // augmented index but RANKS BY THE RAW DOT throughout; the
   // admission threshold converts the kth seed dot into cosine space
-  // with the safety margin max‖x'‖ (the float-rounded augmentation
-  // leaves corpus norms within ulps of M — dividing by the corpus
-  // MAX keeps the containment argument sound in computed arithmetic:
-  // dot ≥ τ and ‖x'‖ ≤ max‖x'‖ ⇒ fl(dot/(‖q‖·‖x'‖)) ≥
-  // fl(τ/(‖q‖·max‖x'‖)) by monotonicity of correctly-rounded
-  // division). The two corpus maxima are driver scalars (one agg
-  // each, q73's config-scalar precedent — max of doubles is
-  // order-free), and both replay as SQL aggregates.
+  // with a SIGN-SPLIT norm margin: a non-negative τ divides by the
+  // corpus MAX augmented norm (dot ≥ τ ≥ 0 and ‖x'‖ ≤ max ⇒
+  // dot/(‖q‖‖x'‖) ≥ τ/(‖q‖·max)), a negative τ by the corpus MIN
+  // (for dot < 0, dividing by a SMALLER norm is the pessimistic
+  // direction — the round-7 ADVICE closed the max-norm hole for
+  // negative thresholds). Both extrema come from one corpus agg
+  // (driver scalars, q73's config-scalar precedent — min/max of
+  // doubles are order-free), and both replay as SQL aggregates.
   //
   // Scale: s08's shape exactly — broadcast-probed admitted lists,
   // zero fact shuffles, windows over scanned members only.
@@ -2751,8 +2757,18 @@ object Pipeline {
         array(when(col("vec_id") < 10, lit(0d))
           .otherwise(sqrt(lit(m2) - col("n2"))).cast("float"))))
       .select(col("vec_id"), col("embedding"))
-    val maxAugN2 = aug.filter(col("vec_id") >= 10)
-      .agg(max(VF.normSq(col("embedding")))).head().getDouble(0)
+    // both norm extrema in ONE corpus pass: the max converts a
+    // non-negative tau_dot to cosine space, the MIN converts a
+    // negative one — dividing a negative threshold by the LARGEST
+    // norm would raise it above some members' true cosines (the
+    // round-7 ADVICE hole), while ‖x'‖ ≥ minnorm keeps
+    // dot/(qn·‖x'‖) ≥ tau_dot/(qn·minnorm) for dot ≥ tau_dot on
+    // both sign branches
+    val augStats = aug.filter(col("vec_id") >= 10)
+      .agg(max(VF.normSq(col("embedding"))).as("mx"),
+        min(VF.normSq(col("embedding"))).as("mn")).head()
+    val maxAugN2 = augStats.getDouble(0)
+    val minAugN2 = augStats.getDouble(1)
     val (cands, cellMeta) = rangeIvfIndex(s, aug, n, dim = EmbDim + 1)
     val qs = aug.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
@@ -2781,7 +2797,9 @@ object Pipeline {
       .agg(min(col("dot")).as("tau_dot"), count(lit(1)).as("nseed"))
     val admitted = qcell.join(broadcast(tau), "q_id")
       .withColumn("tau_cos", when(col("nseed") < k, lit(-2d))
-        .otherwise(col("tau_dot") / (col("qn") * lit(math.sqrt(maxAugN2)))))
+        .otherwise(when(col("tau_dot") < 0,
+            col("tau_dot") / (col("qn") * lit(math.sqrt(minAugN2))))
+          .otherwise(col("tau_dot") / (col("qn") * lit(math.sqrt(maxAugN2))))))
       .filter(col("ub") >= col("tau_cos"))
       .select(col("q_id"), col("q_vec"), col("cluster"))
     cands.join(broadcast(admitted), "cluster")
@@ -2822,7 +2840,8 @@ object Pipeline {
        |    list_inner_product(CAST(embedding AS DOUBLE[]),
        |                       CAST(embedding AS DOUBLE[])) AS an2
        |  FROM aug),
-       |ma AS (SELECT sqrt(MAX(an2)) AS mnorm FROM augn WHERE vec_id >= 10),
+       |ma AS (SELECT sqrt(MAX(an2)) AS mnorm, sqrt(MIN(an2)) AS minnorm
+       |       FROM augn WHERE vec_id >= 10),
        |$augFit,
        |asg AS (
        |  SELECT vec_id, embedding, cluster, rn FROM (
@@ -2873,6 +2892,8 @@ object Pipeline {
        |  SELECT qc.q_id, qc.q_vec, qc.cluster
        |  FROM qcell qc JOIN tau USING (q_id), ma
        |  WHERE qc.ub >= CASE WHEN tau.nseed < 5 THEN -2.0
+       |                      WHEN tau.tau_dot < 0
+       |                        THEN tau.tau_dot / (qc.qn * ma.minnorm)
        |                      ELSE tau.tau_dot / (qc.qn * ma.mnorm) END),
        |final AS (
        |  SELECT a2.q_id, c.cand_id,
