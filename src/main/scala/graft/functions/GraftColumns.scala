@@ -42,6 +42,15 @@ object GraftColumns {
   def tokenGramHashes(text: Column, k: Int): Column =
     SqlBridge.column(TokenGramHashes(SqlBridge.expression(text), k))
 
+  /** Learned-vocab greedy longest-match token counting in one pass —
+    * struct(ws_tokens, learned_tokens) per doc (see
+    * [[graft.functions.expressions.LearnedTokenStats]]). `vocab` is
+    * driver-fit (Pipeline.learnedVocab), held once per JVM like
+    * [[nearestClusters]]' centroid matrix. */
+  def learnedTokenStats(text: Column, vocab: Seq[String]): Column =
+    SqlBridge.column(graft.functions.expressions.LearnedTokenStats(
+      SqlBridge.expression(text), vocab))
+
   /** Cosine similarity of two numeric arrays in one pass (see
     * [[CosineSimilarity]]). */
   def cosineSim(a: Column, b: Column): Column =

@@ -3396,6 +3396,110 @@ object Pipeline {
       |FROM docs d LEFT JOIN per_doc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // -- t17: learned-vocab tokenizer apply ----------------------------------
+  // Every costing operator so far (t03, p02, p07, m04, p09) prices
+  // "tokens" as whitespace/regex tokens, but a training pipeline
+  // prices in LEARNED-vocab (BPE/WordPiece-class) tokens, and the two
+  // diverge 1.3–1.8× on real text — budgets, bin fills and manifests
+  // are systematically off by that factor. t17 closes the gap with
+  // the two halves of a real tokenizer, both replayable:
+  //   FIT: the vocab is the top-`t17VocabSize` substrings
+  //   (code-point lengths 2..t17MaxUnit) of the corpus's whitespace
+  //   words by EXACT occurrence-weighted frequency (tie-break: unit
+  //   asc) — the same exact-frequency head t13 publishes, extended to
+  //   subword units. Computed on the DISTINCT-WORD frame weighted by
+  //   word count (types ≪ tokens under Zipf), one partial-agg'd
+  //   explode + a TakeOrdered top-V; the V-entry vocab is a bounded
+  //   driver collect (IntLloyd's capped-fit precedent).
+  //   APPLY: greedy longest-match (the WordPiece inference rule) per
+  //   word, unmatched positions consume one code point — a map-only
+  //   compiled scan (LearnedTokenStats) with the vocab held once per
+  //   JVM; no join, no shuffle, whole-stage codegen via the
+  //   UnaryRefCodegen call.
+  // The unit-length cap (4) plays the role the vocab budget plays on
+  // a real corpus: this synthetic corpus has only ~31 word types, so
+  // an uncapped top-256 would memorize every whole word and the two
+  // counts would collapse to ≈1× (measured: mean ratio 1.50 capped
+  // vs 1.03 uncapped at sf0.01 — the capped config exhibits the
+  // realistic divergence the operator exists to price).
+  // The DuckDB oracle replays the greedy scan as a recursive CTE over
+  // the distinct-word frame (state = (word, pos, pieces); step
+  // consumes MAX matching unit length via a correlated probe, else
+  // 1), then re-prices each doc through a word join — hash-equality
+  // proves the map-only scan computes exactly the textbook greedy
+  // segmentation.
+  private[graft] val t17VocabSize = 256
+  private[graft] val t17MaxUnit = 4
+
+  /** Driver-fit learned vocab: top-V corpus substrings (code-point
+    * lengths 2..maxUnit) of whitespace words by exact frequency,
+    * deterministic tie-break (cnt desc, unit asc). Bounded collect:
+    * ≤V strings of ≤maxUnit code points. */
+  private[graft] def learnedVocab(s: SparkSession, d: String,
+      vocabSize: Int = t17VocabSize, maxUnit: Int = t17MaxUnit): Array[String] = {
+    val wf = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(sequence(2, least($maxUnit, length(w))),
+           |  n -> transform(sequence(1, length(w) - n + 1),
+           |    i -> substr(w, i, n))))""".stripMargin)).as("unit"))
+      .groupBy(col("unit")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("unit"))
+      .limit(vocabSize)
+      .select(col("unit")).collect().map(_.getString(0))
+  }
+
+  private val t17: Q = (s, d) => {
+    val vocab = learnedVocab(s, d)
+    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
+    T.documents(s, d)
+      .withColumn("st", st)
+      .select(col("doc_id"), col("st.ws_tokens").as("ws_tokens"),
+        col("st.learned_tokens").as("learned_tokens"))
+      .withColumn("ratio", when(col("ws_tokens") === 0, lit(null).cast(DoubleType))
+        .otherwise(col("learned_tokens").cast(DoubleType) / col("ws_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t17Sql =
+    s"""WITH RECURSIVE tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w),
+       |subs AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS unit, SUM(c) AS cnt
+       |  FROM wf,
+       |       LATERAL unnest(generate_series(2, least($t17MaxUnit, length(w)))) AS ln(n),
+       |       LATERAL unnest(generate_series(1, length(w) - n + 1)) AS ps(i)
+       |  WHERE length(w) >= 2
+       |  GROUP BY 1),
+       |vocab AS (
+       |  SELECT unit, length(unit) AS ul
+       |  FROM subs ORDER BY cnt DESC, unit LIMIT $t17VocabSize),
+       |seg(w, pos, pieces) AS (
+       |  SELECT w, 1, 0 FROM wf
+       |  UNION ALL
+       |  SELECT s.w,
+       |    s.pos + COALESCE((SELECT MAX(v.ul) FROM vocab v
+       |                      WHERE v.unit = substr(s.w, s.pos, v.ul)), 1),
+       |    s.pieces + 1
+       |  FROM seg s WHERE s.pos <= length(s.w)),
+       |wp AS (SELECT w, pieces FROM seg WHERE pos > length(w)),
+       |agg AS (
+       |  SELECT t.doc_id, COUNT(*) AS ws_tokens,
+       |    CAST(SUM(p.pieces) AS BIGINT) AS learned_tokens
+       |  FROM tk t JOIN wp p ON t.w = p.w
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.ws_tokens, 0) AS BIGINT) AS ws_tokens,
+       |  CAST(COALESCE(a.learned_tokens, 0) AS BIGINT) AS learned_tokens,
+       |  CASE WHEN COALESCE(a.ws_tokens, 0) = 0 THEN NULL
+       |       ELSE CAST(a.learned_tokens AS DOUBLE) / a.ws_tokens END AS ratio
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // -- e09: continuous latency monitor (stateful, oracle-certified) --------
   // The q62/q63 created→updated derivation as a flatMapGroupsWithState
   // operator (StreamingJobs.latencyExact): one long of state per user,
@@ -3438,7 +3542,7 @@ object Pipeline {
     "d13_dedup_keeper_quality" -> d13, "p08_release_diff" -> p08,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
-    "t16_ngram_novelty" -> t16,
+    "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -3479,7 +3583,7 @@ object Pipeline {
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
-    "t16_ngram_novelty" -> t16Sql,
+    "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,

@@ -467,4 +467,84 @@ class FunctionsSpec extends SparkSpec {
       .as[Int].head()
     assert(out == 3)
   }
+
+  test("learnedTokenStats: greedy longest-match with one-code-point fallback") {
+    def stats(text: String, vocab: Seq[String]): (Long, Long) =
+      Seq(text).toDF("t")
+        .select(graft.functions.GraftColumns.learnedTokenStats(col("t"), vocab).as("s"))
+        .select(col("s.ws_tokens"), col("s.learned_tokens"))
+        .as[(Long, Long)].head()
+    val vocab = Seq("ab", "abc", "cd", "xyzu")
+    // greedy takes the LONGEST match first: abc + d(fallback) — not ab+cd
+    assert(stats("abcd", vocab) == ((1L, 2L)))
+    assert(stats("abab", vocab) == ((1L, 2L)))     // ab + ab
+    assert(stats("qq", vocab) == ((1L, 2L)))       // two fallbacks
+    assert(stats("ab cd xyzu", vocab) == ((3L, 3L))) // three full-word matches
+    assert(stats("", vocab) == ((0L, 0L)))         // empty text: no words
+    assert(stats("  ", vocab) == ((0L, 0L)))       // separator-only: no words
+    assert(stats(" ab  ab ", vocab) == ((2L, 2L))) // boundary/repeated spaces skip empties
+    // a word never matched anywhere: one piece per code point
+    assert(stats("zzzzz", Seq("ab")) == ((1L, 5L)))
+    // empty vocab degenerates to code-point counting
+    assert(stats("abc de", Seq.empty) == ((2L, 5L)))
+  }
+
+  test("learnedTokenStats counts code points, not UTF-16 units (non-BMP fallback)") {
+    // U+1D538 (double-struck A) is a surrogate pair in UTF-16: the
+    // fallback must consume it as ONE piece, matching the oracle's
+    // substr()/length() code-point arithmetic
+    val gothic = new String(Character.toChars(0x1D538))
+    val out = Seq(s"$gothic$gothic ab").toDF("t")
+      .select(graft.functions.GraftColumns.learnedTokenStats(col("t"), Seq("ab")).as("s"))
+      .select(col("s.ws_tokens"), col("s.learned_tokens"))
+      .as[(Long, Long)].head()
+    assert(out == ((2L, 3L)), s"surrogate pair must fold as one code point: $out")
+  }
+
+  test("learnedTokenStats equals the explode/join/groupBy declarative formulation") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(200)
+      .select(col("doc_id"), col("text"))
+    val vocab = graft.queries.Pipeline.learnedVocab(spark, sfDir)
+    val native = docs
+      .select(col("doc_id"),
+        graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq).as("s"))
+      .select(col("doc_id"), col("s.ws_tokens").as("ws"), col("s.learned_tokens").as("lt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: per-word greedy in plain Scala, joined back per doc
+    val byLen = vocab.groupBy(_.length)
+    def pieces(w: String): Long = {
+      val cps = w.codePoints().toArray
+      var pos = 0; var n = 0L
+      while (pos < cps.length) {
+        var len = math.min(4, cps.length - pos); var m = 0
+        while (m == 0 && len >= 2) {
+          if (byLen.getOrElse(len, Array.empty[String])
+                .contains(new String(cps, pos, len))) m = len
+          else len -= 1
+        }
+        pos += (if (m == 0) 1 else m); n += 1
+      }
+      n
+    }
+    val ref = docs.collect().map { r =>
+      val ws = r.getString(1).split(" ", -1).filter(_.nonEmpty)
+      (r.getLong(0), ws.length.toLong, ws.map(pieces).sum)
+    }.toSet
+    assert(native == ref)
+  }
+
+  test("learnedVocab fit is deterministic and bounded") {
+    val v1 = graft.queries.Pipeline.learnedVocab(spark, sfDir)
+    val v2 = graft.queries.Pipeline.learnedVocab(spark, sfDir)
+    assert(v1.toSeq == v2.toSeq, "vocab fit must be run-stable")
+    assert(v1.length <= 256 && v1.forall(u => u.length >= 2 && u.length <= 4))
+  }
+
+  test("t17 exhibits the whitespace-vs-learned divergence it exists to price") {
+    val df = SparkEntry.queries("t17_learned_tokenizer")(spark, sfDir)
+    val row = df.agg(avg(col("ratio")), min(col("ratio"))).head()
+    assert(row.getDouble(1) >= 1.0, "learned count can never undercut one piece per word")
+    assert(row.getDouble(0) > 1.2,
+      s"mean ratio ${row.getDouble(0)} — the capped-unit config should diverge from whitespace counting")
+  }
 }
