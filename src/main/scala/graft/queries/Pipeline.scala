@@ -1376,7 +1376,7 @@ object Pipeline {
     * onto one task — with shard-level parallelism. Expects
     * (doc_id, source, cost [+ carried columns]); adds start_tok /
     * bin_id / bin_offset. */
-  private def hierarchicalPack(base: DataFrame, budget: Int,
+  private[graft] def hierarchicalPack(base: DataFrame, budget: Int,
                                shardSize: Int): DataFrame = {
     val sharded = base.withColumn("shard", expr(s"doc_id div $shardSize"))
     val wLocal = Window.partitionBy(col("source"), col("shard"))
@@ -1874,9 +1874,16 @@ object Pipeline {
   // Scale: m04's packing shuffles + one (source, bin) partial agg;
   // a doc spans ≤ cost/8192 + 1 bins, so the explode is bounded by
   // total tokens / 8192 extra rows corpus-wide.
-  private val p09: Q = (s, d) => {
-    val budget = 8192
-    val packed = m04(s, d) // doc_id, source, text_tokens, n_images, cost, bin_id, bin_offset
+  private val p09: Q = (s, d) => shardManifest(m04(s, d), budget = 8192)
+
+  /** p09's manifest derivation over ANY packed frame exposing
+    * (source, n_images, cost, bin_id, bin_offset) — the token-cost
+    * definition (regex-BPE, t17 learned, …) is whatever the packing
+    * priced; the bin/overlap arithmetic is definition-independent
+    * (spec-pinned). Precondition: cost ≥ 1 per row (a zero-cost doc
+    * has no span to bin — callers price empty docs at ≥1 or filter). */
+  private[graft] def shardManifest(packedIn: DataFrame, budget: Int): DataFrame = {
+    val packed = packedIn
       .withColumn("start_tok", col("bin_id") * budget + col("bin_offset"))
       .withColumn("end_tok", col("start_tok") + col("cost"))
       .withColumn("bin", explode(sequence(col("bin_id"),
@@ -2980,12 +2987,19 @@ object Pipeline {
   // Scale: one partial-agg shuffle to (source, bucket), one broadcast
   // of the bucket spine, one window over boundary-bucket docs only.
   // No global sort, no per-source whole-corpus window.
-  private val p07: Q = (s, d) => {
-    val docs = T.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(TF.tokens(col("text"))).cast(LongType).as("n_tokens"),
-        substring(md5(concat(col("doc_id").cast(StringType), lit("|budget"))), 1, 8)
-          .as("u"))
+  private val p07: Q = (s, d) => tokenBudgetSample(
+    T.documents(s, d).select(col("doc_id"), col("source"),
+      size(TF.tokens(col("text"))).cast(LongType).as("n_tokens")))
+
+  /** p07's two-level budgeted draw over ANY (doc_id, source,
+    * n_tokens) frame — the token definition is the caller's choice
+    * (whitespace here, t17 learned in the spec); the √-temperature
+    * allocation and bucketed prefix-draw arithmetic are
+    * definition-independent (spec-pinned). */
+  private[graft] def tokenBudgetSample(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .withColumn("u",
+        substring(md5(concat(col("doc_id").cast(StringType), lit("|budget"))), 1, 8))
       .withColumn("bucket", conv(substring(col("u"), 1, 2), 16, 10).cast(LongType))
     val srcTok = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("tokens_s"))
@@ -3464,8 +3478,12 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  private val t17Sql =
-    s"""WITH RECURSIVE tk AS (
+  /** The t17 fit + greedy segmentation as a shared CTE chain
+    * (tk/wf/subs/vocab/seg/wp), reused verbatim by every learned-cost
+    * oracle (t17, p10) so the token definition cannot drift between
+    * the tokenizer and its consumers. */
+  private val learnedSegCtes =
+    s"""tk AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w),
        |subs AS (
@@ -3486,7 +3504,10 @@ object Pipeline {
        |                      WHERE v.unit = substr(s.w, s.pos, v.ul)), 1),
        |    s.pieces + 1
        |  FROM seg s WHERE s.pos <= length(s.w)),
-       |wp AS (SELECT w, pieces FROM seg WHERE pos > length(w)),
+       |wp AS (SELECT w, pieces FROM seg WHERE pos > length(w))""".stripMargin
+
+  private val t17Sql =
+    s"""WITH RECURSIVE $learnedSegCtes,
        |agg AS (
        |  SELECT t.doc_id, COUNT(*) AS ws_tokens,
        |    CAST(SUM(p.pieces) AS BIGINT) AS learned_tokens
@@ -3499,6 +3520,48 @@ object Pipeline {
        |       ELSE CAST(a.learned_tokens AS DOUBLE) / a.ws_tokens END AS ratio
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // -- p10: sequence packing priced in LEARNED tokens ----------------------
+  // The re-pricing the verdict asked t17 to enable: p02/m04's packing
+  // arithmetic (the SAME hierarchicalPack definition — nothing about
+  // bins changes) with the per-doc cost measured by the learned-vocab
+  // tokenizer instead of the regex proxy. At a mean ratio of 1.5×,
+  // regex-priced 8192-token windows would physically overflow a real
+  // tokenizer's context by ~50% — this operator is what a training
+  // data-loader would actually consume. Scale: t17's map-only scan +
+  // p02's two bounded window shuffles; the fit is one explode-agg +
+  // TakeOrdered over the distinct-word frame.
+  private val p10: Q = (s, d) => {
+    val vocab = learnedVocab(s, d)
+    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
+    val base = T.documents(s, d)
+      .withColumn("learned_tokens", st.getField("learned_tokens"))
+      .withColumn("cost", col("learned_tokens"))
+    hierarchicalPack(base, budget = 8192, shardSize = 512)
+      .select(col("doc_id"), col("source"), col("learned_tokens"),
+        col("bin_id"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p10Sql =
+    s"""WITH RECURSIVE $learnedSegCtes,
+       |agg AS (
+       |  SELECT t.doc_id, CAST(SUM(p.pieces) AS BIGINT) AS learned
+       |  FROM tk t JOIN wp p ON t.w = p.w
+       |  GROUP BY t.doc_id),
+       |c AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(COALESCE(a.learned, 0) AS BIGINT) AS learned_tokens
+       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+       |w AS (
+       |  SELECT doc_id, source, learned_tokens,
+       |    CAST(SUM(learned_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM c)
+       |SELECT doc_id, source, learned_tokens,
+       |  (cum - learned_tokens) // 8192 AS bin_id,
+       |  (cum - learned_tokens) % 8192 AS bin_offset
+       |FROM w ORDER BY doc_id""".stripMargin
 
   // -- e09: continuous latency monitor (stateful, oracle-certified) --------
   // The q62/q63 created→updated derivation as a flatMapGroupsWithState
@@ -3540,6 +3603,7 @@ object Pipeline {
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "d11_dedup_lines" -> d11, "d12_dedup_substring" -> d12,
     "d13_dedup_keeper_quality" -> d13, "p08_release_diff" -> p08,
+    "p10_pack_learned" -> p10,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
@@ -3584,6 +3648,7 @@ object Pipeline {
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
+    "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
     "t01_langid" -> t01Sql, "t02_quality_score" -> t02Sql,

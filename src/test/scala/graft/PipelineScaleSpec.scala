@@ -346,4 +346,93 @@ class PipelineScaleSpec extends SparkSpec {
     val scanned = Tables.embeddings(spark, sfDir).count()
     assert(meta == scanned, s"footer metadata count $meta != scan count $scanned")
   }
+
+  test("hierarchicalPack is cost-definition-independent: any cost column equals the flat window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // a THIRD cost definition (n_chars — neither p02's regex count nor
+    // p10's learned count): the packing arithmetic must not care what
+    // priced the doc
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("cost", col("n_chars").cast("long"))
+    val packed = graft.queries.Pipeline.hierarchicalPack(base, budget = 777, shardSize = 64)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wFlat = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flat = base
+      .withColumn("start_tok", coalesce(sum(col("cost")).over(wFlat), lit(0L)))
+      .select(col("doc_id"), expr("start_tok div 777").as("bin_id"),
+        pmod(col("start_tok"), lit(777)).as("bin_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(packed == flat,
+      "hierarchical prefix sum must equal the flat per-source window for ANY cost")
+  }
+
+  test("tokenBudgetSample accepts t17 learned counts and equals the naive prefix draw") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val vocab = graft.queries.Pipeline.learnedVocab(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", graft.functions.GraftColumns
+        .learnedTokenStats(col("text"), vocab.toSeq).getField("learned_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val bucketed = graft.queries.Pipeline.tokenBudgetSample(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // naive semantics re-derived with LEARNED counts: per-source
+    // (draw, doc_id) order, keep the prefix fitting the sqrt-tempered
+    // budget — the same reference p07's oracle states for regex counts
+    val withU = docs.withColumn("u",
+      substring(md5(concat(col("doc_id").cast("string"), lit("|budget"))), 1, 8))
+    val srcTok = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens_s"))
+      .withColumn("isq", floor(sqrt(col("tokens_s").cast("double"))).cast("long"))
+    val tot = srcTok.agg(sum(col("tokens_s")).as("tot_tokens"), sum(col("isq")).as("tot_isq"))
+    val budgets = srcTok.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(floor(col("tot_tokens") / lit(4L)).cast("double") *
+          col("isq").cast("double") / col("tot_isq").cast("double"))
+          .cast("long").as("budget_s"))
+    val wNaive = Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = withU.join(broadcast(budgets), "source")
+      .withColumn("cum", sum(col("n_tokens")).over(wNaive))
+      .filter(col("cum") <= col("budget_s"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty, "learned-cost budget draw selected nothing — vacuous")
+    assert(bucketed == naive,
+      "bucketed budget draw must equal the naive window under the learned definition")
+  }
+
+  test("shardManifest over learned-cost packing conserves tokens and fills interior bins") {
+    import org.apache.spark.sql.functions._
+    val vocab = graft.queries.Pipeline.learnedVocab(spark, sfDir)
+    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("n_images",
+        (least(expr("octet_length(cast(text as binary)) div 1000"), lit(7)) + 1).cast("int"))
+      .withColumn("cost", st.getField("learned_tokens") + col("n_images") * 576)
+    val packed = graft.queries.Pipeline.hierarchicalPack(base, budget = 8192, shardSize = 512)
+    val manifest = graft.queries.Pipeline.shardManifest(packed, budget = 8192)
+      .transform(graft.CacheScope.cached)
+    val perSrc = manifest.groupBy(col("source"))
+      .agg(sum(col("tokens_in_bin")).as("t"), sum(col("n_images")).as("img"),
+        max(col("bin")).as("last_bin"))
+    val ref = packed.groupBy(col("source"))
+      .agg(sum(col("cost")).as("c"), sum(col("n_images")).as("imgref"))
+    val rows = perSrc.join(ref, "source").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("t") == r.getAs[Long]("c"),
+        s"${r.getString(0)}: learned-cost manifest lost tokens")
+      // start-bin attribution: images sum to the corpus total, never more
+      assert(r.getAs[Long]("img") == r.getAs[Long]("imgref"),
+        s"${r.getString(0)}: image volume must be conserved (start-bin attribution)")
+    }
+    val notFull = manifest.join(
+        perSrc.select(col("source"), col("last_bin")), "source")
+      .filter(col("bin") < col("last_bin") && col("fill_ratio") =!= 1.0).count()
+    assert(notFull == 0, s"$notFull interior bins not exactly full under learned costs")
+    graft.CacheScope.drain()
+  }
 }
