@@ -3239,12 +3239,19 @@ object Pipeline {
   // the quality join touches clustered docs only (semi-join-sized);
   // the keeper window partitions by cluster — fan-in bounded by
   // cluster size, never corpus-wide.
-  private val d13: Q = (s, d) => {
-    val comps = Operators.connectedComponents(
-      d03(s, d).select(col("a_id"), col("b_id")), "a_id", "b_id")
+  private val d13: Q = (s, d) =>
+    qualityKeeper(d03(s, d).select(col("a_id"), col("b_id")), T.documents(s, d))
+
+  /** The keeper rule shared by d13/d14: connected components over a
+    * near-dup pair graph (ANY pair source — d03's full Jaccard graph,
+    * d04's LSH-banded candidates), keeper = argmax t02 quality per
+    * component (tie: lowest doc_id). The pair GRAPH is the cost knob;
+    * the keeper arithmetic never changes. */
+  private[graft] def qualityKeeper(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val comps = Operators.connectedComponents(pairs, "a_id", "b_id")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
     val (_, _, _, quality) = qualityParts
-    val scored = T.documents(s, d).select(col("doc_id"), quality.as("quality"))
+    val scored = docs.select(col("doc_id"), quality.as("quality"))
     val wKeep = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
     comps.join(scored, "doc_id")
@@ -3253,8 +3260,26 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  private val d13Sql =
-    s"""WITH RECURSIVE dpairs AS ($d03Sql),
+  // -- d14: quality keeper over the BANDED candidate graph -----------------
+  // The round-7 verdict's watch item: d13 is input-bound on d03's
+  // full n-gram Jaccard pair graph (501 s at 100×, pairs grow with
+  // every mutually-near-dup decade). d14 is the same keeper rule fed
+  // from d04's MinHash-banded candidates at est_jaccard ≥ 0.5 — the
+  // pair graph LSH banding bounds sublinearly (a pair must agree on
+  // all 4 rows of one band to surface at all), which is how a 100-TB
+  // dedup actually runs: banding prunes the graph, the keeper applies
+  // the policy. Same components operator, same quality argmax; only
+  // the edge source changes.
+  private val d14: Q = (s, d) =>
+    qualityKeeper(
+      d04(s, d).filter(col("est_jaccard") >= 0.5).select(col("a_id"), col("b_id")),
+      T.documents(s, d))
+
+  /** d13/d14's keeper oracle over any (a_id, b_id) pair SQL: the
+    * recursive-reach components + quality argmax replay, shared so
+    * both pair sources certify against ONE keeper semantics. */
+  private def keeperSqlOver(dpairsSql: String) =
+    s"""WITH RECURSIVE dpairs AS ($dpairsSql),
        |e AS (SELECT a_id AS src, b_id AS dst FROM dpairs
        |      UNION ALL SELECT b_id, a_id FROM dpairs),
        |reach(src, dst) AS (
@@ -3277,6 +3302,11 @@ object Pipeline {
        |    ORDER BY q.quality DESC, c.doc_id) = 1 AS is_keeper
        |FROM comp c JOIN q ON c.doc_id = q.doc_id
        |ORDER BY c.doc_id""".stripMargin
+
+  private val d13Sql = keeperSqlOver(d03Sql)
+
+  private val d14Sql = keeperSqlOver(
+    s"SELECT a_id, b_id FROM ($d04Sql) WHERE est_jaccard >= 0.5")
 
   // -- p08: dataset release diff (governance card) -------------------------
   // The release-notes artifact a corpus publisher ships alongside
@@ -3602,7 +3632,8 @@ object Pipeline {
     "d07_dedup_embedding_ivf" -> d07, "d08_dedup_winnow_jaccard" -> d08,
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "d11_dedup_lines" -> d11, "d12_dedup_substring" -> d12,
-    "d13_dedup_keeper_quality" -> d13, "p08_release_diff" -> p08,
+    "d13_dedup_keeper_quality" -> d13, "d14_dedup_keeper_banded" -> d14,
+    "p08_release_diff" -> p08,
     "p10_pack_learned" -> p10,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
@@ -3641,7 +3672,8 @@ object Pipeline {
     "d08_dedup_winnow_jaccard" -> d08Sql, "d09_decontaminate" -> d09Sql,
     "d10_dedup_clusters" -> d10Sql,
     "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
-    "d13_dedup_keeper_quality" -> d13Sql, "p08_release_diff" -> p08Sql,
+    "d13_dedup_keeper_quality" -> d13Sql, "d14_dedup_keeper_banded" -> d14Sql,
+    "p08_release_diff" -> p08Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,

@@ -347,6 +347,37 @@ class PipelineScaleSpec extends SparkSpec {
     assert(meta == scanned, s"footer metadata count $meta != scan count $scanned")
   }
 
+  test("d14 banded keeper equals d13's full-graph keeper on a clustered near-dup corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 6 clusters × 5 near-dup copies. Cluster vocabularies are
+    // disjoint (every 16-char shingle spans a word boundary and so
+    // contains the cluster tag), so inter-cluster Jaccard is 0 under
+    // BOTH pair definitions; intra-cluster copies differ only in a
+    // short suffix (shingle Jaccard ≫ the 0.3/0.5 thresholds). Copy j
+    // appends j commas so qualities are distinct and the keeper
+    // choice is non-trivial.
+    val docs = for (c <- 0 until 6; j <- 0 until 5) yield {
+      val words = (0 until 8).map(w => s"w${c}q${w}zz")
+      val base = (0 until 40).map(i => words(i % 8)).mkString(" ")
+      val text = base + s" t${c}v${j}end" + ("," * j)
+      ((c * 10 + j).toLong, text, "en", s"src$c", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("d14corpus").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val full = rows("d13_dedup_keeper_quality")
+    val banded = rows("d14_dedup_keeper_banded")
+    assert(full.size == 30, s"d13 must cluster all 30 docs, got ${full.size}")
+    assert(full.count(_._3) == 6, "one keeper per cluster")
+    assert(banded == full,
+      s"banded keeper must equal the full-graph keeper on separable clusters: " +
+        s"missing=${full.diff(banded).take(3)} extra=${banded.diff(full).take(3)}")
+  }
+
   test("hierarchicalPack is cost-definition-independent: any cost column equals the flat window") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
