@@ -1724,61 +1724,105 @@ object Pipeline {
       |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
       |ORDER BY a_id, b_id""".stripMargin
 
-  // -- m01: opaque binary column + typed metadata --------------------------
-  // The "decode" is a clearly-stubbed deterministic fake (byte-length
-  // arithmetic standing in for image dims); the Spark-side plumbing —
-  // binary column, schema, codegen'd metadata extraction — is real.
-  private val m01: Q = (s, d) =>
+  // -- m01/m02: REAL container headers over the binary column --------------
+  // Round-7 closed every other gap; this closes the multimodal
+  // family's one declared fake. The corpus has no real media bytes,
+  // so the generator FRAMES each doc's payload in a genuine container
+  // header — even doc_id: a PNG signature + IHDR chunk, odd doc_id: a
+  // JPEG SOI + APP0(JFIF) + a VARIABLE-length COM segment + SOF0/SOF2
+  // — with dims/color-type/component-count derived from table columns.
+  // The parsers (Multimodal.parseMediaHeader: real byte-walking PNG
+  // IHDR read + JPEG marker scan) then recover them from the BYTES.
+  // The oracle states the generator formulas, so hash equality proves
+  // the parser inverts the generator — including skipping the COM
+  // segment whose length varies per row (the scan cannot cheat with
+  // fixed offsets). MultimodalSpec additionally drives the parsers on
+  // handcrafted real-world headers (SOF2, fill bytes, truncation,
+  // missing SOF) the generator never emits.
+  /** Documents framed as media: (doc_id, source, payload) where
+    * payload = a real PNG/JPEG header (dims etc. from table columns)
+    * followed by the text bytes as the opaque body. */
+  private def framedMedia(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .withColumn("payload", col("text").cast(BinaryType))
+      .withColumn("hexhdr", expr(
+        """CASE WHEN doc_id % 2 = 0 THEN
+          |  concat('89504E470D0A1A0A', '0000000D49484452',
+          |    lpad(hex((n_chars % 640) + 1), 8, '0'),
+          |    lpad(hex((doc_id % 480) + 1), 8, '0'),
+          |    '08',
+          |    lpad(hex(element_at(array(0, 2, 4, 6),
+          |      cast((doc_id div 2) % 4 as int) + 1)), 2, '0'),
+          |    '000000', '00000000')
+          |ELSE
+          |  concat('FFD8',
+          |    'FFE000104A46494600010100000100010000',
+          |    'FFFE', lpad(hex((doc_id % 7) + 2), 4, '0'),
+          |    repeat('41', cast(doc_id % 7 as int)),
+          |    'FF', CASE WHEN doc_id % 4 = 1 THEN 'C0' ELSE 'C2' END,
+          |    lpad(hex(8 + 3 * (CASE WHEN (doc_id div 2) % 2 = 0
+          |                           THEN 1 ELSE 3 END)), 4, '0'),
+          |    '08',
+          |    lpad(hex((doc_id % 480) + 1), 4, '0'),
+          |    lpad(hex((n_chars % 640) + 1), 4, '0'),
+          |    CASE WHEN (doc_id div 2) % 2 = 0 THEN '01011100'
+          |         ELSE '03011100021100031100' END)
+          |END""".stripMargin))
+      .select(col("doc_id"), col("source"), col("text"),
+        concat(unhex(col("hexhdr")), col("text").cast(BinaryType)).as("payload"))
+
+  // m01: container metadata, all codegen'd column ops — size, magic
+  // bytes, REAL magic-number format sniff (the dispatch a media
+  // ingest runs before choosing a decoder), body hash (over the media
+  // BODY, not the container, so identical content under different
+  // containers dedupes together — the p05-family key).
+  private val m01: Q = (s, d) =>
+    framedMedia(s, d)
       .select(col("doc_id"), col("source"),
         octet_length(col("payload")).as("n_bytes"),
-        substring(hex(col("payload")), 1, 8).as("magic_hex"),
-        md5(col("payload")).as("content_md5"),
-        (octet_length(col("payload")) % 640).as("fake_width"),
-        (octet_length(col("payload")) * 7 % 480).as("fake_height"))
+        substring(hex(col("payload")), 1, 16).as("magic_hex"),
+        when(substring(hex(col("payload")), 1, 16) === "89504E470D0A1A0A", "png")
+          .when(substring(hex(col("payload")), 1, 4) === "FFD8", "jpeg")
+          .otherwise("unknown").as("format"),
+        md5(col("text").cast(BinaryType)).as("body_md5"))
       .orderBy(col("doc_id"))
 
   private val m01Sql =
     """SELECT doc_id, source,
-      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-      |  substr(hex(encode(text)), 1, 8) AS magic_hex,
-      |  md5(text) AS content_md5,
-      |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
-      |  CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS fake_height
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 + octet_length(encode(text))
+      |    ELSE 34 + (doc_id % 7)
+      |         + 3 * (CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 3 END)
+      |         + octet_length(encode(text))
+      |  END AS INTEGER) AS n_bytes,
+      |  CASE WHEN doc_id % 2 = 0 THEN '89504E470D0A1A0A'
+      |       ELSE 'FFD8FFE000104A46' END AS magic_hex,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  md5(text) AS body_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // -- m02: typed mapPartitions decode (decode is stubbed) -----------------
-  // The stub decode is deterministic byte arithmetic, so even the
-  // mapPartitions path gets a FULL DuckDB oracle: the oracle re-derives
-  // each payload byte from hex() pairs (DuckDB can't subscript BLOBs)
-  // and replays the same IEEE division order for the brightness mean.
+  // m02: the typed mapPartitions decode path with the REAL parser —
+  // Multimodal.parseMediaHeader walks the bytes (PNG IHDR fields /
+  // JPEG marker scan to the SOF) exactly as a production header
+  // reader does; unparseable payloads surface as 'unknown' rows.
   private val m02: Q = (s, d) => {
     import s.implicits._
     import graft.operators.Multimodal
-    val media = T.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
+    val media = framedMedia(s, d)
+      .select(col("doc_id"), col("source"), col("payload"))
       .as[Multimodal.MediaRecord]
-    Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
+    Multimodal.parseHeaders(s, media).toDF().orderBy("doc_id")
   }
 
   private val m02Sql =
-    """WITH h AS (
-      |  SELECT doc_id, source, octet_length(encode(text)) AS n,
-      |    hex(encode(text)) AS hx
-      |  FROM documents),
-      |b AS (
-      |  SELECT doc_id, source, n,
-      |    list_transform(generate_series(0, least(n, 256) - 1),
-      |      i -> 16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1)
-      |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1)) AS bytes
-      |  FROM h)
-      |SELECT doc_id, source, CAST(n AS INTEGER) AS n_bytes,
-      |  CAST(n % 640 AS INTEGER) AS width,
-      |  CAST(n * 7 % 480 AS INTEGER) AS height,
-      |  CASE WHEN n = 0 THEN 0.0
-      |       ELSE CAST(list_sum(bytes) AS DOUBLE) / least(n, 256) / 255.0 END AS brightness
-      |FROM b ORDER BY doc_id""".stripMargin
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST((n_chars % 640) + 1 AS INTEGER) AS width,
+      |  CAST((doc_id % 480) + 1 AS INTEGER) AS height,
+      |  CAST(8 AS INTEGER) AS depth,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN [1, 3, 2, 4][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
+      |    ELSE CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 3 END
+      |  END AS INTEGER) AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // -- m03: frame sampling over a video-shaped binary column ---------------
   // The frame-sample shape of a real video pipeline: each payload

@@ -8,18 +8,45 @@ import graft.operators.Multimodal
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("extractFeatures decodes per-partition with deterministic stub features") {
-    val media = Seq((1L, "s0", "abc"), (2L, "s1", ""))
-      .toDF("doc_id", "source", "text")
-      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
+  test("parseMediaHeader reads real PNG IHDR and JPEG SOF headers, byte-exact") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a genuine 2×1 RGBA PNG header (signature + IHDR as libpng writes it)
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000002 00000001 08 06 00 00 00")
+    assert(Multimodal.parseMediaHeader(png) == Some(("png", 2, 1, 8, 4)))
+    // greyscale 16-bit, huge dims (BE u32 read, not i16)
+    val png2 = hx("89504E470D0A1A0A 0000000D 49484452 00010000 00020000 10 00 00 00 00")
+    assert(Multimodal.parseMediaHeader(png2) == Some(("png", 65536, 131072, 16, 1)))
+    // baseline JFIF: SOI, APP0, then SOF0 640×480×3 — the common camera shape
+    val jpeg = hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      " FFC0 0011 08 01E0 0280 03 011100 021100 031100")
+    assert(Multimodal.parseMediaHeader(jpeg) == Some(("jpeg", 640, 480, 8, 3)))
+    // progressive (SOF2) behind APP1+COM segments and a fill byte:
+    // the scan must skip by segment length, not fixed offsets
+    val jpeg2 = hx("FFD8 FFE1 0006 45786966 FFFE 0005 414243 FF FFC2 000B 08 0002 0003 01 011100")
+    assert(Multimodal.parseMediaHeader(jpeg2) == Some(("jpeg", 3, 2, 8, 1)))
+    // negative space: wrong magic, truncated PNG, JPEG with SOS before
+    // SOF, JPEG that runs out of bytes mid-scan
+    assert(Multimodal.parseMediaHeader("not media".getBytes).isEmpty)
+    assert(Multimodal.parseMediaHeader(png.take(20)).isEmpty)
+    assert(Multimodal.parseMediaHeader(hx("FFD8 FFDA 0002")).isEmpty)
+    assert(Multimodal.parseMediaHeader(hx("FFD8 FFE0 7FFF 00")).isEmpty)
+    // a PNG whose first chunk is not IHDR is malformed for a header read
+    assert(Multimodal.parseMediaHeader(
+      hx("89504E470D0A1A0A 0000000D 69484452 00000002 00000001 08 06 00 00 00")).isEmpty)
+  }
+
+  test("parseHeaders maps partitions with the real parser; junk surfaces as unknown") {
+    val pngHex = "89504E470D0A1A0A0000000D4948445200000002000000010806000000"
+    val media = Seq(
+        (1L, "s0", pngHex),
+        (2L, "s1", "6E6F74206D65646961")) // "not media"
+      .toDF("doc_id", "source", "hx")
+      .select(col("doc_id"), col("source"), unhex(col("hx")).as("payload"))
       .as[Multimodal.MediaRecord]
-    val out = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
-    assert(out(0).n_bytes == 3)
-    assert(out(0).width == 3 && out(0).height == 21)
-    // brightness of "abc" = mean(97,98,99)/255 = 98/255 (raw double,
-    // same IEEE op order as the DuckDB oracle)
-    assert(out(0).brightness == 294.0 / 3 / 255.0)
-    assert(out(1).n_bytes == 0 && out(1).brightness == 0.0)
+    val out = Multimodal.parseHeaders(spark, media).collect().sortBy(_.doc_id)
+    assert(out(0) == Multimodal.MediaHeader(1L, "png", 2, 1, 8, 4))
+    assert(out(1) == Multimodal.MediaHeader(2L, "unknown", 0, 0, 0, 0))
   }
 
   test("embed produces the 64-bin byte histogram; identical payloads cosine to 1") {
