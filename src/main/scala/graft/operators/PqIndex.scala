@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, explode}
+
+import graft.queries.Pipeline
+
+/** Persisted product-quantization index — the s04/s05 deployment
+  * story (build once, probe many), extending the RangeIvfIndex
+  * pattern to the compressed rungs of the ANN ladder.
+  *
+  * Layout under one root:
+  *   - `codes/`: (cand_id, cluster, code0..code{M−1}) — the corpus as
+  *     M one-byte codes plus its coarse cell; partitioned BY cluster
+  *     so an IVF-PQ probe prunes to the probed lists' files. This is
+  *     the 32×-compressed frame a 100-TB corpus can actually hold.
+  *   - `cells/`: (cluster, cv, bmin) — coarse centroids (the s07
+  *     cells contract; bmin rides along for range probes).
+  *   - `codebooks/`: (m, code, cv) — M × ksub subspace centroids.
+  *
+  * Probes skip BOTH fits (coarse quantizer + PQ codebooks), the
+  * corpus assignment pass, and the encode pass: per-query work is the
+  * ADC scan + the constant-size exact re-rank. Codebooks and
+  * centroids reload as driver matrices (k ≈ √n and M·ksub rows —
+  * bounded, the same scale as the fit collects they replace).
+  */
+object PqIndex {
+
+  private def toMatrix(rows: Array[(Int, Int, Seq[Double])]): Seq[Seq[Seq[Double]]] = {
+    val byM = rows.groupBy(_._1)
+    (0 until byM.size).map { m =>
+      byM(m).sortBy(_._2).map(_._3.toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** Fit coarse quantizer + PQ codebooks over (vec_id, embedding),
+    * encode the corpus, persist all three frames. `n` from parquet
+    * footer metadata in deployment — no scan. */
+  def write(s: SparkSession, emb: DataFrame, n: Long, path: String): Unit = {
+    import s.implicits._
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (assigned, cents) = Pipeline.kmeansAssignDf(emb, k, n)
+    val (sub, codebooks) = Pipeline.pqCodebooksDf(emb, n, numSub = 8, ksub = 16)
+    val coded = assigned.filter(col("vec_id") >= 10)
+      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
+        Pipeline.pqEncodeCols(codebooks, sub): _*)
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cluster", "cv")
+      .write.mode("overwrite").parquet(s"$path/cells")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, m) => cb.zipWithIndex.map { case (v, c) => (m, c, v) } }
+      .toDF("m", "code", "cv")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load (codes frame, coarse centroid matrix, codebooks matrix).
+    * Both matrices are bounded driver collects by construction. */
+  def read(s: SparkSession, path: String):
+      (DataFrame, Array[Array[Double]], Seq[Seq[Seq[Double]]]) = {
+    val codes = s.read.parquet(s"$path/codes")
+    val cents = s.read.parquet(s"$path/cells")
+      .select(col("cluster"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2.toArray)
+    val cbs = toMatrix(s.read.parquet(s"$path/codebooks")
+      .select(col("m"), col("code"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))))
+    (codes, cents, cbs)
+  }
+
+  /** Flat-PQ top-k over the persisted codes (s04's plan on loaded
+    * frames): ADC shortlist + exact re-rank against `emb`. `queries`
+    * must expose (q_id, q_vec). */
+  def probeFlat(s: SparkSession, path: String, emb: DataFrame,
+                queries: DataFrame, k: Int, shortlist: Int = 50): DataFrame = {
+    val (codes, _, cbs) = read(s, path)
+    val qs = queries.select(col("q_id"), col("q_vec"))
+    val short = Pipeline.pqAdcShortlist(
+      codes.drop("cluster").crossJoin(broadcast(qs)), cbs, shortlist)
+    Pipeline.pqRerank(short, emb, qs, k)
+  }
+
+  /** IVF-PQ top-k over the persisted codes (s05's plan on loaded
+    * frames): probe nProbe coarse lists, ADC within them, exact
+    * re-rank. PartitionFilters prune the codes scan to the probed
+    * lists' files. */
+  def probeIvf(s: SparkSession, path: String, emb: DataFrame,
+               queries: DataFrame, k: Int, nProbe: Int = 4,
+               shortlist: Int = 50): DataFrame = {
+    val (codes, cents, cbs) = read(s, path)
+    val probes = queries
+      .withColumn("cluster", explode(
+        graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    val short = Pipeline.pqAdcShortlist(
+      codes.join(broadcast(probes), "cluster"), cbs, shortlist)
+    Pipeline.pqRerank(short, emb, queries.select(col("q_id"), col("q_vec")), k)
+  }
+}

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Persisted form of the s07 IVF range-search index (reference role:
   * the reusable vector index a warehouse deployment keeps next to the
@@ -60,5 +61,32 @@ object RangeIvfIndex {
     val (cands, cellMeta) = read(s, path)
     graft.queries.Pipeline.topkProbe(
       cands, cellMeta, queries.select(col("q_id"), col("q_vec")), k, seedCells)
+  }
+
+  /** s03-style nProbe top-k over a persisted index: probe each
+    * query's `nProbe` nearest cells (centroids reload as the bounded
+    * k ≈ √n driver matrix the native NearestClusters expression
+    * takes) and scan only their inverted lists. Approximate by the
+    * s03 contract — and identical to the per-query-fit s03 plan on
+    * the same corpus, because the quantizer fit is deterministic
+    * (spec-pinned both ways). */
+  def probeNearest(s: SparkSession, path: String, queries: DataFrame,
+                   k: Int, nProbe: Int): DataFrame = {
+    val (cands, cells) = read(s, path)
+    val cents = cells.select(col("cluster"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2.toArray)
+    val probes = queries.select(col("q_id"), col("q_vec"))
+      .withColumn("cluster", explode(
+        graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(probes), "cluster")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
   }
 }

@@ -786,15 +786,21 @@ object Pipeline {
   private val PqNumSub = 8
   private val PqSubLen = EmbDim / PqNumSub
   private def pqCodebooks(s: SparkSession, d: String,
+      numSub: Int, ksub: Int): (Int, Seq[Seq[Seq[Double]]]) =
+    pqCodebooksDf(T.embeddings(s, d), T.embeddingsCount(s, d), numSub, ksub)
+
+  /** The PQ fit over an arbitrary (vec_id, embedding) frame — shared
+    * by the per-query path above and the persisted PqIndex build
+    * (operators/PqIndex.scala), so "build once" trains exactly the
+    * fit the per-query path would. */
+  private[graft] def pqCodebooksDf(emb: DataFrame, n: Long,
       numSub: Int, ksub: Int): (Int, Seq[Seq[Seq[Double]]]) = {
-    val emb = T.embeddings(s, d)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val sub = dim / numSub
     // the s04/s05 oracle SQL slices PqSubLen-wide subvectors; a corpus
     // whose dim drifted would otherwise CLAMP silently on both sides
     require(numSub == PqNumSub && sub == PqSubLen && dim == numSub * sub,
       s"pq oracle geometry is ${PqNumSub}×$PqSubLen; got dim=$dim, numSub=$numSub")
-    val n = T.embeddingsCount(s, d)
     val cents = graft.operators.IntLloyd.fit(
       emb, "vec_id", "embedding", n,
       numSub = numSub, subLen = sub, k = ksub, cap = 256L * ksub,
@@ -851,6 +857,52 @@ object Pipeline {
        |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** PQ code columns (code0..code{numSub−1}): nearest codebook
+    * centroid per subvector — the encode step, shared by s04/s05 and
+    * the persisted PqIndex build. */
+  private[graft] def pqEncodeCols(codebooks: Seq[Seq[Seq[Double]]],
+                                  sub: Int): Seq[org.apache.spark.sql.Column] =
+    codebooks.indices.map { m =>
+      element_at(graft.functions.GraftColumns.nearestClusters(
+        slice(col("embedding"), m * sub + 1, sub),
+        codebooks(m).map(_.toArray).toArray, 1), 1).as(s"code$m")
+    }
+
+  /** ADC shortlist over a coded frame that already carries
+    * (q_id, q_vec, cand_id, code0..): reconstruction from codebook
+    * plan literals, native cosine, per-query top-`shortlist`. The
+    * caller chooses the candidate generation (crossJoin for s04's
+    * flat scan, probed-list join for s05) — the scoring is one
+    * definition. */
+  private[graft] def pqAdcShortlist(codedQs: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], shortlist: Int): DataFrame = {
+    val recon = flatten(array(codebooks.indices.map { m =>
+      element_at(typedlit(codebooks(m)), col(s"code$m") + 1)
+    }: _*))
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("cand_id"))
+    codedQs
+      .withColumn("approx_cos", VF.cosine(col("q_vec"), recon))
+      .withColumn("rn_a", row_number().over(wApprox))
+      .filter(col("rn_a") <= shortlist)
+      .select(col("q_id"), col("cand_id"))
+  }
+
+  /** Exact re-rank of a (q_id, cand_id) shortlist against full
+    * vectors — shortlist × queries rows only, never the corpus. */
+  private[graft] def pqRerank(short: DataFrame, emb: DataFrame,
+                              qs: DataFrame, k: Int): DataFrame = {
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    short
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   private val s04: Q = (s, d) => {
     // shortlist = 10× the final k, the usual PQ re-rank budget: at
     // corpus scale it is a CONSTANT per query while the compressed
@@ -858,37 +910,14 @@ object Pipeline {
     val numSub = 8; val ksub = 16; val shortlist = 50
     val emb = T.embeddings(s, d)
     val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
-    val codeCols = (0 until numSub).map { m =>
-      element_at(graft.functions.GraftColumns.nearestClusters(
-        slice(col("embedding"), m * sub + 1, sub),
-        codebooks(m).map(_.toArray).toArray, 1), 1).as(s"code$m")
-    }
     val coded = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id") +: codeCols: _*)
-    val recon = flatten(array((0 until numSub).map { m =>
-      element_at(typedlit(codebooks(m)), col(s"code$m") + 1)
-    }: _*))
+      .select(col("vec_id").as("cand_id") +: pqEncodeCols(codebooks, sub): _*)
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    // Stage 1 — ADC shortlist over codes only (the compressed scan).
-    val wApprox = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx_cos").desc, col("cand_id"))
-    val short = coded.crossJoin(broadcast(qs))
-      .withColumn("approx_cos", VF.cosine(col("q_vec"), recon))
-      .withColumn(s"rn_a", row_number().over(wApprox))
-      .filter(col("rn_a") <= shortlist)
-      .select(col("q_id"), col("cand_id"))
-    // Stage 2 — exact re-rank: full vectors are fetched for the
-    // shortlist ONLY (shortlist × queries rows, not the corpus).
-    val wExact = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    short
-      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
-      .join(broadcast(qs), "q_id")
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wExact))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
+    // Stage 1 — ADC shortlist over codes only (the compressed scan);
+    // Stage 2 — exact re-rank fetches full vectors for the shortlist.
+    val short = pqAdcShortlist(coded.crossJoin(broadcast(qs)), codebooks, shortlist)
+    pqRerank(short, emb, qs, k = 5)
   }
 
   private val s04Sql: String =
@@ -927,44 +956,24 @@ object Pipeline {
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val (assigned, cents) = kmeansAssign(s, d, k, n)
     val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
-    val codeCols = (0 until numSub).map { m =>
-      element_at(graft.functions.GraftColumns.nearestClusters(
-        slice(col("embedding"), m * sub + 1, sub),
-        codebooks(m).map(_.toArray).toArray, 1), 1).as(s"code$m")
-    }
     // inverted lists store (cluster, codes): 8 bytes + a list id per
     // vector — the compressed index a 100-TB corpus can actually hold
     val coded = assigned.filter(col("vec_id") >= 10)
-      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++ codeCols: _*)
-    val recon = flatten(array((0 until numSub).map { m =>
-      element_at(typedlit(codebooks(m)), col(s"code$m") + 1)
-    }: _*))
+      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
+        pqEncodeCols(codebooks, sub): _*)
     val probes = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("cluster", explode(
         graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
       .select(col("q_id"), col("q_vec"), col("cluster"))
-    // Stage 1 — ADC over the probed lists only.
-    val wApprox = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx_cos").desc, col("cand_id"))
-    val short = coded.join(broadcast(probes), "cluster")
-      .withColumn("approx_cos", VF.cosine(col("q_vec"), recon))
-      .withColumn("rn_a", row_number().over(wApprox))
-      .filter(col("rn_a") <= shortlist)
-      .select(col("q_id"), col("cand_id")) // (q, cand) unique: single-assignment lists
-    // Stage 2 — exact re-rank on the shortlist.
+    // Stage 1 — ADC over the probed lists only ((q, cand) stays
+    // unique: single-assignment lists); Stage 2 — exact re-rank.
     val emb = T.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val wExact = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    short
-      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
-      .join(broadcast(qs), "q_id")
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wExact))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
+    val short = pqAdcShortlist(coded.join(broadcast(probes), "cluster"),
+      codebooks, shortlist)
+    pqRerank(short, emb, qs, k = 5)
   }
 
   private val s05Sql: String =
@@ -2824,6 +2833,18 @@ object Pipeline {
     val qs = aug.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         sqrt(VF.normSq(col("embedding"))).as("qn"))
+    mipsProbe(cands, cellMeta, qs, k, seedCells,
+      math.sqrt(maxAugN2), math.sqrt(minAugN2))
+  }
+
+  /** s09's seed-then-prove MIPS probe over an AUGMENTED index —
+    * extracted so the persisted MipsIndex (operators/MipsIndex.scala)
+    * runs exactly the per-query plan on loaded frames. `qs` must
+    * expose (q_id, q_vec [augmented], qn); the norm extrema are the
+    * stored build constants. */
+  private[graft] def mipsProbe(cands: DataFrame, cellMeta: DataFrame,
+      qs: DataFrame, k: Int, seedCells: Int,
+      maxAugNorm: Double, minAugNorm: Double): DataFrame = {
     val a = col("a")
     val bmin = col("bmin")
     val qcell = cellMeta.crossJoin(broadcast(qs))
@@ -2849,8 +2870,8 @@ object Pipeline {
     val admitted = qcell.join(broadcast(tau), "q_id")
       .withColumn("tau_cos", when(col("nseed") < k, lit(-2d))
         .otherwise(when(col("tau_dot") < 0,
-            col("tau_dot") / (col("qn") * lit(math.sqrt(minAugN2))))
-          .otherwise(col("tau_dot") / (col("qn") * lit(math.sqrt(maxAugN2))))))
+            col("tau_dot") / (col("qn") * lit(minAugNorm)))
+          .otherwise(col("tau_dot") / (col("qn") * lit(maxAugNorm)))))
       .filter(col("ub") >= col("tau_cos"))
       .select(col("q_id"), col("q_vec"), col("cluster"))
     cands.join(broadcast(admitted), "cluster")

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Persisted-index parity for the ANN ladder: every rung's
+  * build-once index must answer probes exactly as the per-query-fit
+  * plan does — s07/s08 got this in round 7 (PipelineScaleSpec);
+  * round 8 extends it to s03 (coarse lists), s04/s05 (PQ codes +
+  * codebooks) and s09 (MIPS augmentation constants).
+  */
+class IndexSpec extends SparkSpec {
+
+  private def embQueries = {
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+  }
+
+  private def rows4(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  test("persisted coarse index: nProbe probe equals the per-query-fit s03 row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("s03idx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.RangeIvfIndex.write(
+      spark, emb, Tables.embeddingsCount(spark, sfDir), dir)
+    val probed = rows4(graft.operators.RangeIvfIndex.probeNearest(
+      spark, dir, embQueries, k = 5, nProbe = 2))
+    val s03 = rows4(SparkEntry.queries("s03_ann_ivf")(spark, sfDir))
+    assert(s03.nonEmpty)
+    assert(probed == s03,
+      s"loaded-index nProbe probe must equal s03: missing=${s03.diff(probed).take(3)} " +
+        s"extra=${probed.diff(s03).take(3)}")
+  }
+
+  test("persisted PQ index: flat probe equals s04, IVF probe equals s05, row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.PqIndex.write(
+      spark, emb, Tables.embeddingsCount(spark, sfDir), dir)
+    // the codebooks frame is the metadata contract: 8 subspaces × 16 codes
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    assert(cb.count() == 8 * 16)
+    val flat = rows4(graft.operators.PqIndex.probeFlat(
+      spark, dir, emb, embQueries, k = 5))
+    val s04 = rows4(SparkEntry.queries("s04_ann_pq")(spark, sfDir))
+    assert(s04.nonEmpty)
+    assert(flat == s04,
+      s"loaded flat-PQ probe must equal s04: missing=${s04.diff(flat).take(3)} " +
+        s"extra=${flat.diff(s04).take(3)}")
+    val ivf = rows4(graft.operators.PqIndex.probeIvf(
+      spark, dir, emb, embQueries, k = 5, nProbe = 4))
+    val s05 = rows4(SparkEntry.queries("s05_ann_ivfpq")(spark, sfDir))
+    assert(s05.nonEmpty)
+    assert(ivf == s05,
+      s"loaded IVF-PQ probe must equal s05: missing=${s05.diff(ivf).take(3)} " +
+        s"extra=${ivf.diff(s05).take(3)}")
+  }
+
+  test("persisted MIPS index probe equals s09 row-for-row (exactness survives the split fit)") {
+    val dir = java.nio.file.Files.createTempDirectory("mipsidx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") >= 10).select(col("vec_id"), col("embedding"))
+    // n is the INDEXED corpus cardinality (deployment: footer metadata
+    // of the corpus table)
+    graft.operators.MipsIndex.write(spark, corpus, corpus.count(), dir)
+    val c = spark.read.parquet(s"$dir/consts").head()
+    assert(c.getAs[Double]("max_aug_n2") >= c.getAs[Double]("min_aug_n2"))
+    val probed = rows4(graft.operators.MipsIndex.probe(
+      spark, dir, embQueries, k = 5))
+    val s09 = rows4(SparkEntry.queries("s09_ann_mips")(spark, sfDir))
+    assert(s09.nonEmpty)
+    // the index fit never saw the queries (s09's per-query fit did) —
+    // the probe is exact top-k by dot either way, so the ROWS match
+    // even though the quantizer cells differ: the bound is a proof
+    assert(probed == s09,
+      s"loaded MIPS probe must equal s09: missing=${s09.diff(probed).take(3)} " +
+        s"extra=${probed.diff(s09).take(3)}")
+    graft.CacheScope.drain()
+  }
+}
