@@ -2681,17 +2681,28 @@ object Pipeline {
     * top `seedCells` cells per query, prove sufficiency via the
     * triangle bound, rank the admitted scan. `queries` must expose
     * (q_id, q_vec). */
+  /** s08's seed-then-prove exact top-k. `filterKeys` (s10) restrict
+    * each query to candidates sharing those key values — the cells
+    * frame must then be per (filterKeys…, cluster), and the proof is
+    * unchanged: ub bounds every member of a cell, so it bounds the
+    * filtered subset; τ comes from filtered seed members; admission
+    * ub ≥ τ therefore contains the filtered top-k. */
   private[graft] def topkProbe(cands: DataFrame, cellMeta: DataFrame,
                                qs: DataFrame, k: Int,
-                               seedCells: Int): DataFrame = {
+                               seedCells: Int,
+                               filterKeys: Seq[String] = Nil): DataFrame = {
     val a = col("a")
     val bmin = col("bmin")
-    val qcell = cellMeta.crossJoin(broadcast(qs))
+    val listKeys = (filterKeys :+ "cluster").map(col)
+    val qcell0 =
+      if (filterKeys.isEmpty) cellMeta.crossJoin(broadcast(qs))
+      else cellMeta.join(broadcast(qs), filterKeys)
+    val qcell = qcell0
       .withColumn("a", VF.cosine(col("q_vec"), col("cv")))
       .withColumn("ub", when(a >= bmin, lit(1d)).otherwise(
         a * bmin + sqrt(greatest(lit(0d), lit(1d) - a * a) *
                         greatest(lit(0d), lit(1d) - bmin * bmin))))
-      .select(col("q_id"), col("q_vec"), col("cluster"), col("ub"))
+      .select(Seq(col("q_id"), col("q_vec")) ++ listKeys :+ col("ub"): _*)
       // |cells|×|queries| rows, but its PARENT is the per-cell radius
       // agg over the corpus — cache so the seed pass and the admission
       // pass don't each recompute that scan
@@ -2700,10 +2711,11 @@ object Pipeline {
       .orderBy(col("ub").desc, col("cluster"))
     val seeds = qcell.withColumn("srn", row_number().over(wSeed))
       .filter(col("srn") <= seedCells)
-      .select(col("q_id"), col("q_vec"), col("cluster"))
+      .select(Seq(col("q_id"), col("q_vec")) ++ listKeys: _*)
+    val joinKeys = filterKeys :+ "cluster"
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    val tau = cands.join(broadcast(seeds), "cluster")
+    val tau = cands.join(broadcast(seeds), joinKeys)
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= k)
@@ -2713,8 +2725,8 @@ object Pipeline {
         when(col("nseed") < k, lit(-1d)).otherwise(col("tau0")).as("tau"))
     val admitted = qcell.join(broadcast(tau), "q_id")
       .filter(col("ub") >= col("tau"))
-      .select(col("q_id"), col("q_vec"), col("cluster"))
-    cands.join(broadcast(admitted), "cluster")
+      .select(Seq(col("q_id"), col("q_vec")) ++ listKeys: _*)
+    cands.join(broadcast(admitted), joinKeys)
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= k)
@@ -2776,6 +2788,105 @@ object Pipeline {
        |    list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
        |                           CAST(c.embedding AS DOUBLE[])) AS cos
        |  FROM cand c JOIN adm a2 ON c.cluster = a2.cluster)
+       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (
+       |  SELECT q_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |  FROM final)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  // -- s10: filtered ANN (hybrid predicate + vector search) ----------------
+  // The retrieval mode every vector warehouse ships next to plain
+  // top-k: "nearest neighbors among rows satisfying a predicate" —
+  // tenant-scoped RAG, per-collection search, metadata-filtered
+  // retrieval. Here the predicate is label equality (each query
+  // searches its own label's partition — the tenant shape). The
+  // index is ONE shared coarse quantizer with per-(label, cluster)
+  // cells: the conditioning key multiplies CELLS, not fits or corpus
+  // passes, and s08's seed-then-prove proof survives filtering
+  // unchanged (ub bounds every member of a cell ⊇ the filtered
+  // subset; τ comes from filtered seeds; admission therefore
+  // contains the filtered top-k) — output is exactly the
+  // brute-force-within-filter rows, spec-pinned.
+  //
+  // Scale: the fit is the same sample-capped IntLloyd; the per-cell
+  // radius agg is one corpus pass; probes touch admitted
+  // (label, cluster) lists only — the filter PRUNES list volume, it
+  // never adds a scan.
+  private val s10: Q = (s, d) => {
+    import s.implicits._
+    val k = 5; val seedCells = 3
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (assigned, cents) =
+      kmeansAssignDf(emb.select(col("vec_id"), col("embedding")), kk, n)
+    val labeled = assigned.join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val cells = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cluster", "cv")
+    val cands = labeled.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"),
+        col("cluster"), col("label"))
+    val cellMeta = cands.join(broadcast(cells), "cluster")
+      .groupBy(col("label"), col("cluster"))
+      .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin"))
+      .join(broadcast(cells), "cluster")
+      .select(col("label"), col("cluster"), col("cv"), col("bmin"))
+    val qs = labeled.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("label"))
+    topkProbe(cands, cellMeta, qs, k, seedCells, filterKeys = Seq("label"))
+  }
+
+  private val s10Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 1)},
+       |cand AS (SELECT a.vec_id AS cand_id, a.embedding, a.cluster, e.label
+       |         FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id
+       |         WHERE a.rn = 1 AND a.vec_id >= 10),
+       |cellstat AS (
+       |  SELECT c.label, c.cluster,
+       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
+       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster
+       |  GROUP BY c.label, c.cluster),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec, label
+       |      FROM embeddings WHERE vec_id < 10),
+       |qcell AS (
+       |  SELECT q_id, q_vec, label, cluster,
+       |    CASE WHEN a >= bmin THEN 1.0
+       |         ELSE a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin))
+       |    END AS ub
+       |  FROM (
+       |    SELECT q.q_id, q.q_vec, q.label, s.cluster, s.bmin,
+       |      list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
+       |    FROM q JOIN cellstat s ON s.label = q.label
+       |    JOIN kmcent k ON s.cluster = k.cluster)),
+       |seeds AS (
+       |  SELECT q_id, q_vec, label, cluster FROM (
+       |    SELECT q_id, q_vec, label, cluster,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ub DESC, cluster) AS srn
+       |    FROM qcell)
+       |  WHERE srn <= 3),
+       |seedscan AS (
+       |  SELECT s.q_id, c.cand_id,
+       |    list_cosine_similarity(CAST(s.q_vec AS DOUBLE[]),
+       |                           CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM cand c JOIN seeds s ON c.cluster = s.cluster AND c.label = s.label),
+       |tau AS (
+       |  SELECT q_id,
+       |    CASE WHEN COUNT(*) < 5 THEN -1.0 ELSE MIN(cos) END AS tau
+       |  FROM (
+       |    SELECT q_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |    FROM seedscan)
+       |  WHERE rn <= 5 GROUP BY q_id),
+       |adm AS (
+       |  SELECT qc.q_id, qc.q_vec, qc.label, qc.cluster
+       |  FROM qcell qc JOIN tau USING (q_id) WHERE qc.ub >= tau.tau),
+       |final AS (
+       |  SELECT a2.q_id, c.cand_id,
+       |    list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
+       |                           CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM cand c JOIN adm a2 ON c.cluster = a2.cluster AND c.label = a2.label)
        |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
        |FROM (
        |  SELECT q_id, cand_id, cos,
@@ -3706,7 +3817,7 @@ object Pipeline {
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
-    "s09_ann_mips" -> s09,
+    "s09_ann_mips" -> s09, "s10_ann_filtered" -> s10,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -3742,6 +3853,7 @@ object Pipeline {
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
+    "s10_ann_filtered" -> s10Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,

@@ -3139,23 +3139,98 @@ object Relational {
       .withColumn("band",
         expr("CAST((CAST(prior_score * 100 AS BIGINT)) div 10000000 AS INT)"))
       .transform(graft.CacheScope.cached) // distribution build + rank probe
-    // band score distribution: one row per distinct (band, curr_score)
-    val dist = paired.groupBy(col("band"), col("curr_score"))
-      .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy(col("band")).orderBy(col("curr_score"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(col("band"))
-    val ranked = dist
-      .withColumn("cnt_less", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
-      .withColumn("n_band", sum(col("cnt")).over(wTot))
-    paired.join(ranked, Seq("band", "curr_score"))
-      .withColumn("growth_pct", when(col("n_band") === 1, lit(0d))
-        .otherwise(col("cnt_less").cast(DoubleType) / (col("n_band") - 1)))
+    sgpFromDistribution(paired, Seq("band"))
       .select(col("student_id"), col("prior_score").cast(DoubleType).as("prior_score"),
         col("curr_score").cast(DoubleType).as("curr_score"),
         col("band"), col("growth_pct"))
       .orderBy(col("student_id"))
   }
+
+  /** The scale-safe percent_rank q79 pioneered, over an ARBITRARY
+    * conditioning key (one band for q79, the two-prior-year band
+    * matrix for q80): one (bands…, curr_score) distribution agg
+    * (distinct scores ≪ students), a bounded prefix-sum window over
+    * that frame, and a co-partitioned join back. growth_pct =
+    * cnt_less / (n_band − 1) IS percent_rank's definition — each
+    * caller's oracle states the textbook window and hash-equality
+    * proves this plan equals it. */
+  private def sgpFromDistribution(paired: DataFrame,
+                                  bandCols: Seq[String]): DataFrame = {
+    val bands = bandCols.map(col)
+    val dist = paired.groupBy(bands :+ col("curr_score"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(bands: _*).orderBy(col("curr_score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(bands: _*)
+    val ranked = dist
+      .withColumn("cnt_less", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("n_band", sum(col("cnt")).over(wTot))
+    paired.join(ranked, bandCols :+ "curr_score")
+      .withColumn("growth_pct", when(col("n_band") === 1, lit(0d))
+        .otherwise(col("cnt_less").cast(DoubleType) / (col("n_band") - 1)))
+  }
+
+  // -- q80: multi-year student growth percentile ---------------------------
+  // The real SGP conditions on the student's FULL score history, not
+  // one prior year (Betebenner's quantile-regression SGP uses every
+  // available prior; the band-matrix form here is its contingency-
+  // table analogue): the peer group is students who took the same
+  // path through BOTH prior-year bands, and the percentile is the
+  // student's current-year standing within that path cohort. Same
+  // distribution-frame machinery as q79 (one shared
+  // sgpFromDistribution definition) with a composite (band96,
+  // band97) key — the conditioning matrix multiplies cells, not
+  // shuffle passes: still one bounded agg + two windows over the
+  // distribution frame + one co-partitioned join back.
+  private val q80: Q = (s, d) => {
+    val byYear = T.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1996, 1997, 1998))
+      .groupBy(col("o_custkey").as("student_id"), col("yr"))
+      .agg(sum(money(col("o_totalprice"))).as("score"))
+    def yearScores(yr: Int, as: String) = byYear.filter(col("yr") === yr)
+      .select(col("student_id"), col("score").as(as))
+    val paired = yearScores(1996, "prior96_score")
+      .join(yearScores(1997, "prior97_score"), "student_id")
+      .join(yearScores(1998, "curr_score"), "student_id")
+      .withColumn("band96",
+        expr("CAST((CAST(prior96_score * 100 AS BIGINT)) div 10000000 AS INT)"))
+      .withColumn("band97",
+        expr("CAST((CAST(prior97_score * 100 AS BIGINT)) div 10000000 AS INT)"))
+      .transform(graft.CacheScope.cached) // distribution build + rank probe
+    sgpFromDistribution(paired, Seq("band96", "band97"))
+      .select(col("student_id"),
+        col("prior96_score").cast(DoubleType).as("prior96_score"),
+        col("prior97_score").cast(DoubleType).as("prior97_score"),
+        col("curr_score").cast(DoubleType).as("curr_score"),
+        col("band96"), col("band97"), col("growth_pct"))
+      .orderBy(col("student_id"))
+  }
+
+  private val q80Sql =
+    """WITH by_year AS (
+      |  SELECT o_custkey AS student_id, year(o_orderdate) AS yr,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS score
+      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997, 1998)
+      |  GROUP BY 1, 2),
+      |paired AS (
+      |  SELECT p6.student_id, p6.score AS prior96_score,
+      |    p7.score AS prior97_score, c.score AS curr_score,
+      |    CAST(CAST(p6.score * 100 AS BIGINT) // 10000000 AS INTEGER) AS band96,
+      |    CAST(CAST(p7.score * 100 AS BIGINT) // 10000000 AS INTEGER) AS band97
+      |  FROM (SELECT student_id, score FROM by_year WHERE yr = 1996) p6
+      |  JOIN (SELECT student_id, score FROM by_year WHERE yr = 1997) p7
+      |    USING (student_id)
+      |  JOIN (SELECT student_id, score FROM by_year WHERE yr = 1998) c
+      |    USING (student_id))
+      |SELECT student_id,
+      |  CAST(prior96_score AS DOUBLE) AS prior96_score,
+      |  CAST(prior97_score AS DOUBLE) AS prior97_score,
+      |  CAST(curr_score AS DOUBLE) AS curr_score,
+      |  band96, band97,
+      |  percent_rank() OVER (PARTITION BY band96, band97
+      |    ORDER BY curr_score) AS growth_pct
+      |FROM paired ORDER BY student_id""".stripMargin
 
   // The oracle is the TEXTBOOK percent_rank over each band — the
   // equality proves the distribution-frame prefix sum implements it.
@@ -3180,7 +3255,7 @@ object Relational {
 
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
-    "q79_growth_percentile" -> q79,
+    "q79_growth_percentile" -> q79, "q80_growth_multi_year" -> q80,
     "q78_irt_theta" -> q78,
     "q77_translation_coverage" -> q77,
     "q76_archive_restore_audit" -> q76,
@@ -3218,7 +3293,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
-    "q79_growth_percentile" -> q79Sql,
+    "q79_growth_percentile" -> q79Sql, "q80_growth_multi_year" -> q80Sql,
     "q78_irt_theta" -> q78Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,

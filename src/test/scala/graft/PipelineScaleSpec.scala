@@ -264,6 +264,32 @@ class PipelineScaleSpec extends SparkSpec {
     }
   }
 
+  test("s10 filtered ANN equals brute-force-within-filter row-for-row") {
+    import org.apache.spark.sql.functions._
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { d =>
+      val probed = SparkEntry.queries("s10_ann_filtered")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val emb = Tables.embeddings(spark, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+      val exact = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
+        .join(broadcast(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label"))), "label")
+        .withColumn("cos",
+          graft.functions.VectorFunctions.cosine(col("q_vec"), col("embedding")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(exact.nonEmpty)
+      assert(probed == exact,
+        s"s10 must equal filtered brute force at $d: missing=${exact.diff(probed).take(3)} " +
+          s"extra=${probed.diff(exact).take(3)}")
+      graft.CacheScope.drain()
+    }
+  }
+
   test("s04 PQ top-5 recalls a usable share of s01's exact top-5") {
     def top(name: String) = SparkEntry.queries(name)(spark, sfDir)
       .select("q_id", "cand_id").collect()
