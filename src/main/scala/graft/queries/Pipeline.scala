@@ -2078,6 +2078,40 @@ object Pipeline {
        |    AS BIGINT) AS n_kept
        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e10: continuous learned-token volume accounting ---------------------
+  // t17 joined to the streaming family: the vocab is fit OFFLINE
+  // (the batch fit — deployed tokenizers are frozen artifacts, not
+  // per-batch refits) and the intake stream prices every arriving
+  // doc in real tokens (StreamingJobs.tokenVolumeStream). Batch run
+  // of the same code path is the oracle (e04's certification class);
+  // the oracle SQL re-derives the counts through t17's shared CTE
+  // chain, so the stream, the batch path and the replay price with
+  // ONE token definition.
+  private val e10: Q = (s, d) => {
+    val vocab = learnedVocab(s, d)
+    val docs = T.documents(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.tokenVolumeStream(docs, vocab.toSeq)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private val e10Sql =
+    s"""WITH RECURSIVE $learnedSegCtes,
+       |agg AS (
+       |  SELECT t.doc_id, CAST(SUM(p.pieces) AS BIGINT) AS learned
+       |  FROM tk t JOIN wp p ON t.w = p.w
+       |  GROUP BY t.doc_id),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+       |  FROM documents)
+       |SELECT date_trunc('hour', d.ts) AS window_start, d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(COALESCE(a.learned, 0)) AS BIGINT) AS learned_tokens
+       |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------------
   // -- e06: continuous OLAP aggregate maintenance --------------------------
   // The read path of StreamingJobs.olapMigrateStream (RDW Migrate
@@ -2894,6 +2928,70 @@ object Pipeline {
        |  FROM final)
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  // -- s11: ANN recall report (the ladder's evaluation harness) ------------
+  // What a vector platform publishes next to its index options: per
+  // query and per approximate rung (LSH / IVF / PQ / IVF-PQ),
+  // recall@5 against the exact baseline. The harness is ITSELF a
+  // declarative query — the four rung results union with a method
+  // tag, left-join the exact top-5 (a hit = same (q_id, cand_id)),
+  // and aggregate over the methods × queries grid so a rung that
+  // returned nothing for a query still reports recall 0 rather than
+  // a missing row. Oracle: the same composition over the rungs' own
+  // replay SQLs — the report certifies against the SAME definitions
+  // the rungs certify against, so it cannot flatter them.
+  //
+  // Scale: the rungs dominate; the report adds one broadcast-sized
+  // join (methods × queries × k rows) and a grid agg.
+  private val s11: Q = (s, d) => {
+    import s.implicits._
+    val exact = s01(s, d).select(col("q_id"), col("cand_id"))
+      .withColumn("hit", lit(1L))
+    val methods = Seq(
+      "s02_lsh" -> s02, "s03_ivf" -> s03, "s04_pq" -> s04, "s05_ivfpq" -> s05)
+    val tagged = methods.map { case (name, q) =>
+      q(s, d).select(lit(name).as("method"), col("q_id"), col("cand_id"))
+    }.reduce(_.unionByName(_))
+    val hits = tagged.join(exact, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("method"), col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    val grid = exact.select(col("q_id")).distinct()
+      .crossJoin(methods.map(_._1).toDF("method"))
+    grid.join(hits, Seq("method", "q_id"), "left")
+      .select(col("method"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall", col("hits").cast(DoubleType) / 5)
+      .orderBy(col("method"), col("q_id"))
+  }
+
+  private val s11Sql: String = {
+    def rung(name: String, sql: String) =
+      s"SELECT '$name' AS method, q_id, cand_id FROM ($sql)"
+    s"""WITH exact AS (SELECT q_id, cand_id FROM (${s01Sql})),
+       |tagged AS (
+       |${rung("s02_lsh", s02Sql)}
+       |UNION ALL
+       |${rung("s03_ivf", s03Sql)}
+       |UNION ALL
+       |${rung("s04_pq", s04Sql)}
+       |UNION ALL
+       |${rung("s05_ivfpq", s05Sql)}),
+       |hits AS (
+       |  SELECT t.method, t.q_id,
+       |    CAST(SUM(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM tagged t LEFT JOIN exact e
+       |    ON t.q_id = e.q_id AND t.cand_id = e.cand_id
+       |  GROUP BY t.method, t.q_id),
+       |grid AS (
+       |  SELECT m.method, q.q_id
+       |  FROM (SELECT DISTINCT q_id FROM exact) q,
+       |       (SELECT unnest(['s02_lsh', 's03_ivf', 's04_pq', 's05_ivfpq']) AS method) m)
+       |SELECT g.method, g.q_id,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
+       |FROM grid g LEFT JOIN hits h ON g.method = h.method AND g.q_id = h.q_id
+       |ORDER BY g.method, g.q_id""".stripMargin
+  }
+
   // -- s09: exact MIPS (maximum inner product search) ----------------------
   // Dense-retrieval scoring is an INNER PRODUCT, not a cosine — and
   // the classic reduction (Bachrach et al. 2014 / Shrivastava & Li's
@@ -3648,8 +3746,12 @@ object Pipeline {
   // 1), then re-prices each doc through a word join — hash-equality
   // proves the map-only scan computes exactly the textbook greedy
   // segmentation.
-  private[graft] val t17VocabSize = 256
-  private[graft] val t17MaxUnit = 4
+  // `final val` int literals: compile-time constants, so SQL strings
+  // that initialize EARLIER in the object body (e10Sql) interpolate
+  // 256/4, not a not-yet-initialized 0 (which silently emptied the
+  // oracle vocab — caught by the e10 gate)
+  private[graft] final val t17VocabSize = 256
+  private[graft] final val t17MaxUnit = 4
 
   /** Driver-fit learned vocab: top-V corpus substrings (code-point
     * lengths 2..maxUnit) of whitespace words by exact frequency,
@@ -3688,7 +3790,9 @@ object Pipeline {
     * (tk/wf/subs/vocab/seg/wp), reused verbatim by every learned-cost
     * oracle (t17, p10) so the token definition cannot drift between
     * the tokenizer and its consumers. */
-  private val learnedSegCtes =
+  // a def, not a val: consumers (e10Sql) initialize before this
+  // point in the object body would read a null val
+  private def learnedSegCtes =
     s"""tk AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w),
@@ -3818,6 +3922,7 @@ object Pipeline {
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
     "s09_ann_mips" -> s09, "s10_ann_filtered" -> s10,
+    "s11_ann_recall_report" -> s11,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -3833,6 +3938,7 @@ object Pipeline {
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
+    "e10_stream_token_volume" -> e10,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
     "e09_stream_latency_monitor" -> e09)
@@ -3853,7 +3959,7 @@ object Pipeline {
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
-    "s10_ann_filtered" -> s10Sql,
+    "s10_ann_filtered" -> s10Sql, "s11_ann_recall_report" -> s11Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
@@ -3874,6 +3980,7 @@ object Pipeline {
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
+    "e10_stream_token_volume" -> e10Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
     "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql,
     "e09_stream_latency_monitor" -> e09Sql)

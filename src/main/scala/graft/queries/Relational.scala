@@ -3207,6 +3207,53 @@ object Relational {
       .orderBy(col("student_id"))
   }
 
+  // -- q81: cohort retention matrix ----------------------------------------
+  // The classic warehouse cohort analysis (every BI deployment of the
+  // reference's Reporting.md slice-by-first-seen shape): cohort = the
+  // year of a customer's FIRST order; for each (cohort, year) the
+  // count of cohort members still active and the retention share.
+  //
+  // Scale: one distinct (customer, year) partial agg (map-side
+  // combine collapses a customer's orders per year before the
+  // shuffle), one per-customer min agg for the cohort — both shuffle
+  // on the uniform customer key and the activity join back is
+  // co-partitioned on it (zero extra exchange under AQE); the cohort
+  // size frame is #years rows, broadcast. No window over the fact,
+  // no distinct-count over (cohort, year) pairs — the customer-grain
+  // dedupe happened before anything grouped.
+  private val q81: Q = (s, d) => {
+    val active = T.orders(s, d)
+      .select(col("o_custkey").as("cust"),
+        year(col("o_orderdate")).as("yr"))
+      .distinct()
+      .transform(graft.CacheScope.cached) // cohort derivation + activity probe
+    val first = active.groupBy(col("cust")).agg(min(col("yr")).as("cohort"))
+    val cohortSize = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+    active.join(first, "cust")
+      .groupBy(col("cohort"), col("yr"))
+      .agg(count(lit(1)).as("active_n"))
+      .join(broadcast(cohortSize), "cohort")
+      .withColumn("years_since", col("yr") - col("cohort"))
+      .withColumn("retention",
+        col("active_n").cast(DoubleType) / col("cohort_n"))
+      .select(col("cohort"), col("yr"), col("years_since"),
+        col("active_n"), col("cohort_n"), col("retention"))
+      .orderBy(col("cohort"), col("yr"))
+  }
+
+  private val q81Sql =
+    """WITH active AS (
+      |  SELECT DISTINCT o_custkey AS cust,
+      |    CAST(year(o_orderdate) AS INTEGER) AS yr
+      |  FROM orders),
+      |first AS (SELECT cust, MIN(yr) AS cohort FROM active GROUP BY cust),
+      |cs AS (SELECT cohort, COUNT(*) AS cohort_n FROM first GROUP BY cohort)
+      |SELECT f.cohort, a.yr, a.yr - f.cohort AS years_since,
+      |  COUNT(*) AS active_n, ANY_VALUE(cs.cohort_n) AS cohort_n,
+      |  CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(cs.cohort_n) AS retention
+      |FROM active a JOIN first f USING (cust) JOIN cs ON f.cohort = cs.cohort
+      |GROUP BY f.cohort, a.yr ORDER BY f.cohort, a.yr""".stripMargin
+
   private val q80Sql =
     """WITH by_year AS (
       |  SELECT o_custkey AS student_id, year(o_orderdate) AS yr,
@@ -3256,6 +3303,7 @@ object Relational {
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q79_growth_percentile" -> q79, "q80_growth_multi_year" -> q80,
+    "q81_cohort_retention" -> q81,
     "q78_irt_theta" -> q78,
     "q77_translation_coverage" -> q77,
     "q76_archive_restore_audit" -> q76,
@@ -3294,6 +3342,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q79_growth_percentile" -> q79Sql, "q80_growth_multi_year" -> q80Sql,
+    "q81_cohort_retention" -> q81Sql,
     "q78_irt_theta" -> q78Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,

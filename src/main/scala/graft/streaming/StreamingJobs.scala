@@ -87,6 +87,32 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("lang"),
         col("n_docs"), col("n_kept"))
 
+  /** e10: continuous token-volume accounting under a FROZEN learned
+    * vocab — the deployed tokenizer pattern: the vocab is fit offline
+    * (t17's batch fit), shipped to the intake stream as a constant,
+    * and every arriving document is priced in REAL tokens as it
+    * lands. Per-window per-source doc counts + learned-token volume:
+    * the running answer to "how many training tokens did each source
+    * deliver this hour", which is what mixture controllers and
+    * ingestion SLOs actually consume (whitespace proxies are 1.3–1.8×
+    * off — t17's measurement). The costing scan is the same map-only
+    * compiled LearnedTokenStats expression the batch path uses, so
+    * running this function on a batch frame IS the oracle (e03's
+    * trick); StreamingSpec proves the incremental run matches.
+    *
+    * Scale: costing is map-side (vocab held once per executor); one
+    * shuffle on (window, source); state bounded to (watermark horizon
+    * / window) × sources. */
+  def tokenVolumeStream(docs: DataFrame, vocab: Seq[String]): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .withColumn("lt", graft.functions.GraftColumns
+        .learnedTokenStats(col("text"), vocab).getField("learned_tokens"))
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("lt")).as("learned_tokens"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("learned_tokens"))
+
   /** e08: continuously-maintained count-min sketch over a document
     * stream — the streaming form of t10's heavy-hitter pass (a
     * boilerplate/stopword gate a training-data pipeline runs on its

@@ -90,6 +90,34 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "en", 2L, 1L)))
   }
 
+  test("tokenVolumeStream: incremental run equals batch; frozen vocab prices both") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Seq("ab", "abc", "cd")
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:05:00"), "abcd abab", "web"),  // 2 + 2 pieces
+      (2L, ts("2024-01-01 00:20:00"), "qq", "web"),         // 2 fallbacks
+      (3L, ts("2024-01-01 00:45:00"), "abc", "books"),      // 1 piece
+      (4L, ts("2024-01-01 01:10:00"), "cd cd cd", "web"))   // 3 pieces
+    val ms = MemoryStream[(Long, Timestamp, String, String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // second micro-batch: cross-batch window merge
+    val q = StreamingJobs.tokenVolumeStream(
+        ms.toDF().toDF("doc_id", "ts", "text", "source"), vocab)
+      .writeStream.format("memory").queryName("t_tokvol").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_tokvol").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.tokenVolumeStream(
+        docs.toDF("doc_id", "ts", "text", "source"), vocab)
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 1L, 1L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 6L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 3L)))
+  }
+
   test("cmsStream: incremental sketch equals the batch sketch, state bounded at depth*width") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
