@@ -438,4 +438,45 @@ object Operators {
     und.unpersist()
     comp
   }
+
+  /** All (node, anc) pairs of a parent-pointer forest, self included —
+    * the bridge-table flattening every hierarchy report needs (org
+    * trees: state → district → school; subtree aggregation joins facts
+    * through this closure). Relational pointer doubling: `reach` after
+    * round k holds every ancestor within distance 2^k, and composing
+    * reach with itself doubles the horizon, so the driver loop runs
+    * O(log depth) rounds — each one equi-join + distinct — where the
+    * naive per-level walk is O(depth) full passes (a 19-level tree
+    * converges in 5 rounds). A recursive CTE is the single-node form
+    * of the same fixpoint (the oracle replay).
+    *
+    * Contract: `parent` null ⇒ root; a parent id that never appears
+    * as a node ends its chain (closure can't follow an unknown
+    * pointer). Output size is nodes × avg-depth — output-bound by
+    * nature, like any bridge table. Convergence: the pair set only
+    * grows and is bounded by nodes × depth; an unchanged count IS
+    * fixpoint (cycles would loop forever — parent pointers are
+    * declared acyclic, the caller's referential contract).
+    */
+  def ancestorClosure(edges: DataFrame, node: String, parent: String): DataFrame = {
+    val base = edges.select(col(node).as("node"), col(parent).as("anc"))
+      .filter(col("anc").isNotNull)
+    // distance ≤ 1: self + parent. localCheckpoint for the same
+    // lineage-truncation reason as connectedComponents above.
+    var reach = edges.select(col(node).as("node")).distinct()
+      .select(col("node"), col("node").as("anc"))
+      .unionByName(base)
+      .localCheckpoint(true)
+    var prev = -1L
+    var n = reach.count()
+    while (n != prev) {
+      prev = n
+      val composed = reach.as("a")
+        .join(reach.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"))
+      reach = reach.unionByName(composed).distinct().localCheckpoint(true)
+      n = reach.count()
+    }
+    reach
+  }
 }

@@ -3582,6 +3582,93 @@ object Pipeline {
   private val d14Sql = keeperSqlOver(
     s"SELECT a_id, b_id FROM ($d04Sql) WHERE est_jaccard >= 0.5")
 
+  // -- d15: semantic dedup (SemDeDup) --------------------------------------
+  // Abbas et al. 2023 (SemDeDup — public arXiv 2303.09540): content
+  // dedup (d01–d12) can't see PARAPHRASES — same meaning, different
+  // bytes — so dedupe in EMBEDDING space instead: k-means the
+  // vectors, call within-cluster pairs above a cosine threshold
+  // semantic duplicates, keep ONE per semantic group. The paper's
+  // keeper is the example with the LOWEST cosine to its cluster
+  // centroid (keep the outlier, drop the prototypical copies —
+  // maximizes retained diversity, the opposite policy of d13/d14's
+  // quality argmax and the reason this is its own operator, not a
+  // keeperSqlOver reskin). d07's machinery re-scoped: the same
+  // replayable IntLloyd coarse fit (k ≈ √n, absolute-capped sample),
+  // SINGLE-assignment blocking (the paper dedupes strictly within
+  // cells), components over the within-cell pair graph (the shared
+  // connectedComponents operator), keeper = argmin centroid-cosine
+  // (tie → min vec_id).
+  //
+  // Scale: fit sample-capped; assignment is the compiled
+  // NearestClusters probe (map-only); the pair join is bounded per
+  // cell (k ≈ √n keeps cells O(√n) — the d07 sub-quadratic argument);
+  // centroid cosine rides a broadcast join against the k-row centroid
+  // frame; components cost O(diameter) rounds over CLUSTERED vectors
+  // only, and the keeper window fan-in is bounded by semantic-group
+  // size. Nothing corpus-pairwise anywhere.
+  private val d15: Q = (s, d) => {
+    val n = T.embeddingsCount(s, d)
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (assigned0, cents) = kmeansAssign(s, d, k, n)
+    val assigned = assigned0.transform(graft.CacheScope.cached) // pair join + centroid probe
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    // single assignment ⇒ a pair co-blocks in exactly one cell: no
+    // d07-style distinct needed
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VF.cosine(col("a_vec"), col("b_vec")) >= 0.35)
+      .select(col("a_id"), col("b_id"))
+    val comps = Operators.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as("vec_id"), col("comp").as("sem_cluster"))
+    import s.implicits._
+    val centFrame = cents.toSeq.zipWithIndex
+      .map { case (cv, i) => (i, cv) }.toDF("cluster", "cv")
+    val scored = assigned.join(broadcast(centFrame), "cluster")
+      .withColumn("cent_cos", VF.cosine(col("embedding"), col("cv")))
+      .select(col("vec_id"), col("cluster").cast(IntegerType).as("cluster"),
+        col("cent_cos"))
+    val wKeep = Window.partitionBy(col("sem_cluster"))
+      .orderBy(col("cent_cos").asc, col("vec_id"))
+    comps.join(scored, "vec_id")
+      .withColumn("is_keeper", row_number().over(wKeep) === 1)
+      .select(col("vec_id"), col("cluster"), col("sem_cluster"),
+        col("cent_cos"), col("is_keeper"))
+      .orderBy(col("vec_id"))
+  }
+
+  // The fit/assignment replay is d07's (IntLloyd CTEs + the shared
+  // single-probe asg ranking); centroid cosine re-derives against the
+  // SAME kmcent frame the assignment ranked, so keeper order replays
+  // bit-exactly (list_cosine_similarity ≡ the native expression).
+  private val d15Sql: String =
+    s"""WITH RECURSIVE ${coarseFitSql(floorK = 8)},
+       |${coarseAsgSql(maxRn = 1)},
+       |p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])) >= 0.35),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION ALL SELECT b_id, a_id FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |comp AS (SELECT src AS vec_id, least(src, MIN(dst)) AS sem_cluster
+       |         FROM reach GROUP BY src),
+       |cent AS (
+       |  SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+       |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), k.cv) AS cent_cos
+       |  FROM asg a JOIN kmcent k ON a.cluster = k.cluster)
+       |SELECT c.vec_id, ct.cluster, c.sem_cluster, ct.cent_cos,
+       |  row_number() OVER (PARTITION BY c.sem_cluster
+       |    ORDER BY ct.cent_cos ASC, c.vec_id) = 1 AS is_keeper
+       |FROM comp c JOIN cent ct ON c.vec_id = ct.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
   // -- p08: dataset release diff (governance card) -------------------------
   // The release-notes artifact a corpus publisher ships alongside
   // p06's datasheet: what changed between release A (yesterday's
@@ -3913,6 +4000,7 @@ object Pipeline {
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "d11_dedup_lines" -> d11, "d12_dedup_substring" -> d12,
     "d13_dedup_keeper_quality" -> d13, "d14_dedup_keeper_banded" -> d14,
+    "d15_dedup_semantic" -> d15,
     "p08_release_diff" -> p08,
     "p10_pack_learned" -> p10,
     "t13_vocab_coverage" -> t13,
@@ -3955,6 +4043,7 @@ object Pipeline {
     "d10_dedup_clusters" -> d10Sql,
     "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
     "d13_dedup_keeper_quality" -> d13Sql, "d14_dedup_keeper_banded" -> d14Sql,
+    "d15_dedup_semantic" -> d15Sql,
     "p08_release_diff" -> p08Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,

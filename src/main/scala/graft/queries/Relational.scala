@@ -3300,10 +3300,64 @@ object Relational {
       |  percent_rank() OVER (PARTITION BY band ORDER BY curr_score) AS growth_pct
       |FROM paired ORDER BY student_id""".stripMargin
 
+  // -- q82: arbitrary-depth org hierarchy rollup ---------------------------
+  // The reference's org model is a TREE (state → district group →
+  // district → school group → school — ApiSpec.md's organization
+  // hierarchy), and every aggregate report rolls measures up SUBTREES,
+  // not fixed levels: a district's number includes every school under
+  // it however the tree nests. SQL's GROUP BY can't express "my
+  // subtree" over a parent-pointer table; the warehouse form is the
+  // BRIDGE TABLE — the (node, ancestor) closure — built here by the
+  // reusable Operators.ancestorClosure pointer-doubling fixpoint
+  // (O(log depth) join rounds; a 19-level tree converges in 5). The
+  // org tree fixture derives the parent pointer from the customer key
+  // (parent = key div 10 — depth grows with the corpus, exercising
+  // multiple doubling rounds), the fact side pre-aggregates orders to
+  // customer grain in exact cents BELOW the closure join, and the
+  // subtree rollup groups the bridge by ancestor.
+  //
+  // Scale: closure size is nodes × avg-depth (output-bound, like any
+  // bridge table — depth is log-like in org count); the closure join
+  // fans a customer's pre-aggregated total out depth ways, never raw
+  // orders; all sums are exact LONGs. The closure is built over the
+  // org DIM, never facts.
+  private val q82: Q = (s, d) => {
+    val edges = T.customer(s, d)
+      .select(col("c_custkey").as("node"))
+      .withColumn("parent", when(col("node") >= 10, expr("node div 10")))
+    val closure = Operators.ancestorClosure(edges, "node", "parent")
+    val totals = T.orders(s, d)
+      .groupBy(col("o_custkey").as("node"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+    closure.join(totals, Seq("node"), "left")
+      .groupBy(col("anc").as("org_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("cents"), lit(0L))).as("subtree_rev_cents"))
+      .orderBy(col("org_id"))
+  }
+
+  // The oracle is the single-node form of the same fixpoint: a
+  // recursive CTE walking parent pointers digit by digit.
+  private val q82Sql =
+    """WITH RECURSIVE nodes AS (SELECT c_custkey AS node FROM customer),
+      |reach(node, anc) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT r.node, r.anc // 10 FROM reach r
+      |  JOIN nodes n ON r.anc = n.node WHERE r.anc >= 10),
+      |totals AS (
+      |  SELECT o_custkey AS node,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT r.anc AS org_id, COUNT(*) AS n_members,
+      |  CAST(SUM(COALESCE(t.cents, 0)) AS BIGINT) AS subtree_rev_cents
+      |FROM reach r LEFT JOIN totals t ON r.node = t.node
+      |GROUP BY r.anc ORDER BY org_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q79_growth_percentile" -> q79, "q80_growth_multi_year" -> q80,
-    "q81_cohort_retention" -> q81,
+    "q81_cohort_retention" -> q81, "q82_org_rollup" -> q82,
     "q78_irt_theta" -> q78,
     "q77_translation_coverage" -> q77,
     "q76_archive_restore_audit" -> q76,
@@ -3342,7 +3396,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q79_growth_percentile" -> q79Sql, "q80_growth_multi_year" -> q80Sql,
-    "q81_cohort_retention" -> q81Sql,
+    "q81_cohort_retention" -> q81Sql, "q82_org_rollup" -> q82Sql,
     "q78_irt_theta" -> q78Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,

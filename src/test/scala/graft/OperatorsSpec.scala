@@ -220,6 +220,31 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("ancestorClosure: deep chain closes in O(log depth) rounds; forests stay apart") {
+    // path 1→2→3→…→33 (parent = node+1, root 33): depth 32 forces
+    // several doubling rounds; plus a disjoint 2-node tree 100→101
+    // and an edge whose parent (999) is not a node — the chain must
+    // stop at the unknown pointer, not invent ancestors for it
+    val chain = (1L to 32L).map(i => (i, Some(i + 1))) :+ (33L, None) :+
+      (100L, Some(101L)) :+ (101L, None) :+ (200L, Some(999L))
+    val edges = chain.toDF("node", "parent")
+    val out = Operators.ancestorClosure(edges, "node", "parent")
+      .as[(Long, Long)].collect().toSet
+    val expected =
+      (for (n <- 1L to 33L; a <- n to 33L) yield (n, a)).toSet ++
+        Set((100L, 100L), (100L, 101L), (101L, 101L),
+          (200L, 200L), (200L, 999L))
+    assert(out == expected,
+      s"missing=${expected.diff(out).take(5)} extra=${out.diff(expected).take(5)}")
+  }
+
+  test("ancestorClosure: root-only forest is the identity closure") {
+    val edges = Seq((1L, None: Option[Long]), (2L, None)).toDF("node", "parent")
+    val out = Operators.ancestorClosure(edges, "node", "parent")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 2L)))
+  }
+
   test("connectedComponents: empty edge list returns empty, not NPE (clean corpus)") {
     // sum() over an empty frame is null — the convergence check must
     // treat that as converged, not feed it to BigDecimal

@@ -404,6 +404,26 @@ class PipelineScaleSpec extends SparkSpec {
         s"missing=${full.diff(banded).take(3)} extra=${banded.diff(full).take(3)}")
   }
 
+  test("d15 semantic keeper: one keeper per group, the paper's argmin-centroid-cosine policy") {
+    val rows = SparkEntry.queries("d15_dedup_semantic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty, "sf0.001 must produce semantic duplicate groups")
+    rows.groupBy(_._3).foreach { case (comp, ms) =>
+      assert(ms.count(_._5) == 1, s"component $comp needs exactly one keeper")
+      val keeper = ms.find(_._5).get
+      // SemDeDup keeps the member FARTHEST from the centroid (argmin
+      // cosine, tie → min vec_id) — the opposite of d13/d14's quality
+      // argmax; this pin is what makes the policy difference testable
+      val expected = ms.minBy(m => (m._4, m._1))
+      assert(keeper == expected,
+        s"component $comp keeper ${keeper._1} != argmin-centroid-cos ${expected._1}")
+      assert(ms.map(_._2).distinct.size == 1,
+        s"semantic group $comp spans k-means cells — single-assignment blocking broken")
+      assert(comp == ms.map(_._1).min, "component id must be the min member id")
+    }
+  }
+
   test("hierarchicalPack is cost-definition-independent: any cost column equals the flat window") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
