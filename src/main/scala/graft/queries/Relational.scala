@@ -3354,10 +3354,134 @@ object Relational {
       |FROM reach r LEFT JOIN totals t ON r.node = t.node
       |GROUP BY r.anc ORDER BY org_id""".stripMargin
 
+  // -- q83: per-org longitudinal trend line (exact-integer OLS) ------------
+  // The reference's longitudinal reports draw a TREND LINE through an
+  // org's yearly measure (README "longitudinal trends"; the Aggregate
+  // service's year-over-year lens) — the statistic is ordinary least
+  // squares over (year, measure) points. Floating-point OLS is a
+  // replayability trap (Σxy over doubles is order-dependent), so this
+  // is the IntLloyd/q78 discipline applied to regression: yearly
+  // revenue in exact LONG cents, year index as a small LONG, and the
+  // five sufficient statistics (n, Σx, Σy, Σxy, Σx²) as exact integer
+  // sums — order-free, bit-identical in any engine — with slope and
+  // intercept derived by two correctly-rounded double divisions at
+  // the very end. Two-stage agg: facts partial-agg to (org, year)
+  // cells first, so the second agg runs over ≤#years rows per org.
+  //
+  // Scale: one fact shuffle to (nation, year) cells (map-side
+  // combine), the stats agg is #nations × #years rows, the nation dim
+  // broadcasts. Customer joins via broadcast at this corpus (q03's
+  // star-join contract; at warehouse scale it degrades to a
+  // shuffle-hash join on the same key). x-variance > 0 needs ≥2
+  // distinct years per org — the orders span guarantees 7.
+  private val q83: Q = (s, d) => {
+    val cells = T.orders(s, d)
+      .join(broadcast(T.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("x", (year(col("o_orderdate")) - lit(1992)).cast(LongType))
+      .groupBy(col("c_nationkey"), col("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("y"))
+    val stats = cells.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    stats
+      .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("slope_cents_per_year", slope)
+      .withColumn("intercept_cents",
+        (col("sy").cast(DoubleType) -
+          col("slope_cents_per_year") * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType))
+      .select(col("n_name"), col("n").cast(IntegerType).as("n_years"),
+        col("slope_cents_per_year"), col("intercept_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q83Sql =
+    """WITH cells AS (
+      |  SELECT c_nationkey, CAST(year(o_orderdate) - 1992 AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM cells GROUP BY 1)
+      |SELECT n_name, CAST(n AS INTEGER) AS n_years,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |    AS slope_cents_per_year,
+      |  (CAST(sy AS DOUBLE) -
+      |     (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+      |FROM stats JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  // -- q84: performance-level transition matrix ----------------------------
+  // THE growth artifact of an assessment warehouse (Reporting.md's
+  // year-over-year lens; every state report card prints it): who
+  // moved from level i to level j between two years? Per student, the
+  // year's measure in exact cents → level by fixed cut-points (q18's
+  // configured-cuts contract — no data-derived quantile cliff), then
+  // the (from, to) contingency table with each cell's share of its
+  // FROM row. One fact shuffle to (student, year) cells (map-side
+  // combine), the self-join pairs the two years on the student key
+  // co-partitioned, the matrix is ≤16 cells and the row-share window
+  // runs over it — frame cost is nil at any corpus size.
+  private val q84: Q = (s, d) => {
+    val byYear = T.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1997, 1998))
+      .groupBy(col("o_custkey").as("student_id"), col("yr"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+      .transform(graft.CacheScope.cached) // both year slices read it
+    def lvl(c: org.apache.spark.sql.Column) =
+      when(c < 10000000L, 1).when(c < 25000000L, 2)
+        .when(c < 45000000L, 3).otherwise(4)
+    val from = byYear.filter(col("yr") === 1997)
+      .select(col("student_id"), lvl(col("cents")).as("level_from"))
+    val to = byYear.filter(col("yr") === 1998)
+      .select(col("student_id"), lvl(col("cents")).as("level_to"))
+    val w = Window.partitionBy(col("level_from"))
+    from.join(to, "student_id")
+      .groupBy(col("level_from"), col("level_to"))
+      .agg(count(lit(1)).as("n_students"))
+      .withColumn("share_of_from", col("n_students").cast(DoubleType) /
+        sum(col("n_students")).over(w).cast(DoubleType))
+      .orderBy(col("level_from"), col("level_to"))
+  }
+
+  private val q84Sql =
+    """WITH by_year AS (
+      |  SELECT o_custkey AS student_id, year(o_orderdate) AS yr,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE year(o_orderdate) IN (1997, 1998) GROUP BY 1, 2),
+      |lv AS (
+      |  SELECT student_id, yr,
+      |    CASE WHEN cents < 10000000 THEN 1 WHEN cents < 25000000 THEN 2
+      |         WHEN cents < 45000000 THEN 3 ELSE 4 END AS lvl
+      |  FROM by_year),
+      |cells AS (
+      |  SELECT f.lvl AS level_from, t.lvl AS level_to,
+      |    CAST(COUNT(*) AS BIGINT) AS n_students
+      |  FROM (SELECT student_id, lvl FROM lv WHERE yr = 1997) f
+      |  JOIN (SELECT student_id, lvl FROM lv WHERE yr = 1998) t
+      |  USING (student_id)
+      |  GROUP BY 1, 2)
+      |SELECT level_from, level_to, n_students,
+      |  CAST(n_students AS DOUBLE) /
+      |    CAST(CAST(SUM(n_students) OVER (PARTITION BY level_from) AS BIGINT)
+      |      AS DOUBLE) AS share_of_from
+      |FROM cells ORDER BY level_from, level_to""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q79_growth_percentile" -> q79, "q80_growth_multi_year" -> q80,
     "q81_cohort_retention" -> q81, "q82_org_rollup" -> q82,
+    "q83_trend_slope" -> q83, "q84_level_transition" -> q84,
     "q78_irt_theta" -> q78,
     "q77_translation_coverage" -> q77,
     "q76_archive_restore_audit" -> q76,
@@ -3397,6 +3521,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q79_growth_percentile" -> q79Sql, "q80_growth_multi_year" -> q80Sql,
     "q81_cohort_retention" -> q81Sql, "q82_org_rollup" -> q82Sql,
+    "q83_trend_slope" -> q83Sql, "q84_level_transition" -> q84Sql,
     "q78_irt_theta" -> q78Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,
