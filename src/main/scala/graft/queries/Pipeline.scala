@@ -3960,6 +3960,126 @@ object Pipeline {
        |  (cum - learned_tokens) % 8192 AS bin_offset
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // -- p11: epoch-capped mixture allocation (water-filling) ----------------
+  // p03 answers "what share should each source get"; p11 answers the
+  // question a real data-mixture controller faces NEXT: sources are
+  // FINITE, and repeating data past a few epochs stops helping
+  // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+  // Models" — public arXiv 2305.16264), so the target mixture must be
+  // re-allocated under per-source capacity caps (corpus tokens ×
+  // max-epochs). That is exactly the water-filling problem: allocate
+  // B tokens proportionally to weights w_s, cap each source at its
+  // capacity, and redistribute the overflow to uncapped sources —
+  // alloc_s = min(capacity_s, λ·w_s) with λ the common water level.
+  // The classic closed form: sort sources by capacity/w ascending;
+  // the capped set is a PREFIX of that order, identified positionally
+  // by the exact integer predicate capacity·suffix_w ≤ (B −
+  // prefix_capacity)·w. Weights are integer-quantized temperature-0.5
+  // shares (⌊√tokens⌋ — the IntLloyd replayability discipline), every
+  // sum is an exact LONG, and the only doubles are the final water
+  // level division and the per-source epoch ratio (correctly-rounded,
+  // engine-identical). Budget = 2× corpus tokens, priced in t17's
+  // LEARNED tokens — the real-token costing this family runs on.
+  //
+  // Scale: the corpus-sized work is the t17 costing scan + ONE
+  // partial-agg shuffle to #sources cells; everything after (ranking
+  // windows, capped-set totals, the allocation itself) runs on a
+  // #sources-row frame — constant as the corpus grows. The integer
+  // capped-predicate products need B·max(w) < 2^63 (holds through
+  // ~10^12-token corpora); past that the predicate evaluates in
+  // correctly-rounded doubles — still deterministic, quantized at the
+  // knife-edge only.
+  private val p11: Q = (s, d) => {
+    val maxEpochs = 3L
+    val vocab = learnedVocab(s, d)
+    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
+    val perSrc = T.documents(s, d)
+      .withColumn("tok", st.getField("learned_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("cap_tokens"))
+      .withColumn("capacity", col("cap_tokens") * maxEpochs)
+      .withColumn("w", greatest(lit(1L),
+        floor(sqrt(col("cap_tokens").cast(DoubleType))).cast(LongType)))
+    val totals = perSrc.agg(
+      (sum(col("cap_tokens")) * 2L).as("budget"),
+      sum(col("w")).as("total_w"))
+    val ord = Window
+      .orderBy(col("capacity").cast(DoubleType) / col("w").cast(DoubleType),
+        col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flags = perSrc.crossJoin(broadcast(totals))
+      .withColumn("prefix_cap", coalesce(sum(col("capacity")).over(ord), lit(0L)))
+      .withColumn("prefix_w", coalesce(sum(col("w")).over(ord), lit(0L)))
+      .withColumn("is_capped",
+        col("capacity") * (col("total_w") - col("prefix_w")) <=
+          (col("budget") - col("prefix_cap")) * col("w"))
+    val cappedTotals = flags.agg(
+      sum(when(col("is_capped"), col("capacity")).otherwise(0L)).as("used_cap"),
+      sum(when(col("is_capped"), col("w")).otherwise(0L)).as("used_w"))
+    flags.crossJoin(broadcast(cappedTotals))
+      .withColumn("alloc_tokens", when(col("is_capped"), col("capacity"))
+        .otherwise(floor(
+          (col("budget") - col("used_cap")).cast(DoubleType) /
+            (col("total_w") - col("used_w")).cast(DoubleType) *
+            col("w").cast(DoubleType)).cast(LongType)))
+      .withColumn("epochs", when(col("cap_tokens") === 0L, lit(0.0))
+        .otherwise(col("alloc_tokens").cast(DoubleType) /
+          col("cap_tokens").cast(DoubleType)))
+      .select(col("source"), col("cap_tokens"), col("capacity"),
+        col("w").as("weight"), col("is_capped"), col("alloc_tokens"),
+        col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  private val p11Sql =
+    s"""WITH RECURSIVE $learnedSegCtes,
+       |agg AS (
+       |  SELECT t.doc_id, CAST(SUM(p.pieces) AS BIGINT) AS learned
+       |  FROM tk t JOIN wp p ON t.w = p.w GROUP BY t.doc_id),
+       |base AS (
+       |  SELECT d.source,
+       |    CAST(SUM(COALESCE(a.learned, 0)) AS BIGINT) AS cap_tokens,
+       |    CAST(SUM(COALESCE(a.learned, 0)) AS BIGINT) * 3 AS capacity,
+       |    GREATEST(1, CAST(floor(sqrt(CAST(CAST(SUM(COALESCE(a.learned, 0))
+       |      AS BIGINT) AS DOUBLE))) AS BIGINT)) AS w
+       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cap_tokens) AS BIGINT) * 2 AS budget,
+       |               CAST(SUM(w) AS BIGINT) AS total_w FROM base),
+       |flags AS (
+       |  SELECT b.source, b.cap_tokens, b.capacity, b.w, t.budget, t.total_w,
+       |    CAST(COALESCE(SUM(b.capacity) OVER (
+       |      ORDER BY CAST(b.capacity AS DOUBLE)/CAST(b.w AS DOUBLE), b.source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS prefix_cap,
+       |    CAST(COALESCE(SUM(b.w) OVER (
+       |      ORDER BY CAST(b.capacity AS DOUBLE)/CAST(b.w AS DOUBLE), b.source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS prefix_w
+       |  FROM base b, tot t),
+       |fl AS (
+       |  SELECT *, capacity * (total_w - prefix_w) <=
+       |    (budget - prefix_cap) * w AS is_capped
+       |  FROM flags),
+       |ct AS (
+       |  SELECT CAST(SUM(CASE WHEN is_capped THEN capacity ELSE 0 END)
+       |           AS BIGINT) AS used_cap,
+       |         CAST(SUM(CASE WHEN is_capped THEN w ELSE 0 END)
+       |           AS BIGINT) AS used_w
+       |  FROM fl),
+       |alloc AS (
+       |  SELECT f.source, f.cap_tokens, f.capacity, f.w AS weight, f.is_capped,
+       |    CASE WHEN f.is_capped THEN f.capacity
+       |         ELSE CAST(floor(CAST(f.budget - c.used_cap AS DOUBLE) /
+       |           CAST(f.total_w - c.used_w AS DOUBLE) *
+       |           CAST(f.w AS DOUBLE)) AS BIGINT) END AS alloc_tokens
+       |  FROM fl f, ct c)
+       |SELECT source, cap_tokens, capacity, weight, is_capped, alloc_tokens,
+       |  CASE WHEN cap_tokens = 0 THEN 0.0
+       |       ELSE CAST(alloc_tokens AS DOUBLE) / CAST(cap_tokens AS DOUBLE)
+       |  END AS epochs
+       |FROM alloc ORDER BY source""".stripMargin
+
   // -- e09: continuous latency monitor (stateful, oracle-certified) --------
   // The q62/q63 created→updated derivation as a flatMapGroupsWithState
   // operator (StreamingJobs.latencyExact): one long of state per user,
@@ -4002,7 +4122,7 @@ object Pipeline {
     "d13_dedup_keeper_quality" -> d13, "d14_dedup_keeper_banded" -> d14,
     "d15_dedup_semantic" -> d15,
     "p08_release_diff" -> p08,
-    "p10_pack_learned" -> p10,
+    "p10_pack_learned" -> p10, "p11_budget_waterfill" -> p11,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
@@ -4044,7 +4164,7 @@ object Pipeline {
     "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
     "d13_dedup_keeper_quality" -> d13Sql, "d14_dedup_keeper_banded" -> d14Sql,
     "d15_dedup_semantic" -> d15Sql,
-    "p08_release_diff" -> p08Sql,
+    "p08_release_diff" -> p08Sql, "p11_budget_waterfill" -> p11Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
