@@ -3918,6 +3918,93 @@ object Pipeline {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // -- t18: hashed TF-IDF text embeddings + retrieval ----------------------
+  // The text→vector bridge between the t-family and the s-family ANN
+  // ladder: docs that arrive WITHOUT embeddings still need semantic
+  // retrieval, and the classic engine-only answer is feature hashing
+  // (Weinberger et al. 2009, "the hashing trick"): token → md5 bucket
+  // (the cmsBucket family t10/e08 already replay bit-for-bit), tf per
+  // (doc, bucket), idf per bucket, a dense 64-dim vector per doc, and
+  // cosine top-5 retrieval for the query docs — s01's exact shape over
+  // vectors the engine DERIVED from text. The idf is the LOG-FREE
+  // inverse document frequency tf·(N/df) — ln is not bit-replayable
+  // across engines, and the ranking (what retrieval consumes) is
+  // invariant to the monotone log. All inputs to the two divisions
+  // are exact integers, so weights, vectors and cosines re-derive
+  // bit-identically in DuckDB.
+  //
+  // Scale: tf and df are two partial-agg shuffles on uniform keys;
+  // the dense assembly is a 64-entry map per doc (map-side after the
+  // tf shuffle); N and the 64-row df frame broadcast. Retrieval here
+  // is the s01 brute-force baseline (queries broadcast, zero fact
+  // shuffles) — at corpus scale these vectors feed the s03/s07 IVF
+  // index path unchanged, since they are exactly the array<double>
+  // geometry the ladder consumes.
+  private val t18: Q = (s, d) => {
+    val dim = 64
+    val tf = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("bucket", TF.cmsBucket(col("w"), 0, dim))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+    val dfb = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+    val nFrame = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val vecs = tf.join(broadcast(dfb), "bucket").crossJoin(broadcast(nFrame))
+      .withColumn("wt", col("tf").cast(DoubleType) *
+        (col("n").cast(DoubleType) / col("df").cast(DoubleType)))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("wt")))).as("m"))
+      .withColumn("vec", transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0.0))))
+      .select(col("doc_id"), col("vec"))
+      .transform(graft.CacheScope.cached) // query + candidate slices
+    val qs = vecs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("vec").as("q_vec"))
+    val cands = vecs.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("cand_id"), col("vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    cands.crossJoin(broadcast(qs))
+      .withColumn("cos", VF.cosine(col("q_vec"), col("vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val t18Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w || '|0'), 1, 4)) AS INTEGER) % 64 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks WHERE w <> '' GROUP BY 1, 2),
+      |dfb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+      |wts AS (
+      |  SELECT t.doc_id, t.bucket,
+      |    CAST(t.tf AS DOUBLE) * (CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS wt
+      |  FROM tf t JOIN dfb d USING (bucket), nd),
+      |vecs AS (
+      |  SELECT i.doc_id, list(COALESCE(w.wt, 0.0) ORDER BY b.bucket) AS vec
+      |  FROM (SELECT DISTINCT doc_id FROM tf) i
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) b
+      |  LEFT JOIN wts w ON w.doc_id = i.doc_id AND w.bucket = b.bucket
+      |  GROUP BY i.doc_id),
+      |scored AS (
+      |  SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
+      |    list_cosine_similarity(CAST(q.vec AS DOUBLE[]),
+      |                           CAST(c.vec AS DOUBLE[])) AS cos
+      |  FROM (SELECT * FROM vecs WHERE doc_id < 10) q,
+      |       (SELECT * FROM vecs WHERE doc_id >= 10) c),
+      |r AS (SELECT q_id, cand_id, cos,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY cos DESC, cand_id) AS rn
+      |      FROM scored)
+      |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   // -- p10: sequence packing priced in LEARNED tokens ----------------------
   // The re-pricing the verdict asked t17 to enable: p02/m04's packing
   // arithmetic (the SAME hierarchicalPack definition — nothing about
@@ -4126,6 +4213,7 @@ object Pipeline {
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
+    "t18_tfidf_hashed" -> t18,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -4172,6 +4260,7 @@ object Pipeline {
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
+    "t18_tfidf_hashed" -> t18Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
