@@ -98,6 +98,71 @@ object Multimodal {
     }
   }
 
+  case class WavHeader(doc_id: Long, source: String, channels: Int,
+                       sample_rate: Int, bits: Int, byte_rate: Int,
+                       data_bytes: Long)
+
+  /** REAL RIFF/WAVE header parse — the audio counterpart of
+    * [[parseMediaHeader]] (public format: RIFF container + WAVE PCM
+    * fmt chunk, as documented in the multimedia programming interface
+    * spec): "RIFF" size "WAVE", then a CHUNK WALK — id(4) +
+    * little-endian u32 size + payload padded to WORD alignment (the
+    * odd-size pad byte is the real parser obligation; fixed offsets
+    * cannot cheat past a variable-length LIST/INFO chunk) — collecting
+    * the fmt fields (LE16/LE32: channels, sample rate, byte rate,
+    * bits/sample) and the data chunk's declared size. The declared
+    * data size is trusted (a streaming prober reads headers before
+    * bodies). None unless both fmt and data are present and sane —
+    * never throws. */
+  def parseWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, byteRate
+    var data: Option[Long] = None
+    while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      if (size > Int.MaxValue) return None
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > p.length) return None
+        val ch = le16(i + 10); val rate = le32(i + 12)
+        val brate = le32(i + 16); val bits = le16(i + 22)
+        if (ch == 0 || rate <= 0 || rate > Int.MaxValue ||
+            brate <= 0 || brate > Int.MaxValue || bits == 0) return None
+        fmt = Some((ch, rate.toInt, bits, brate.toInt))
+      } else if (id == "data") {
+        data = Some(size)
+      }
+      val adv = 8L + size + (size & 1L) // word-aligned chunk advance
+      if (i + adv > Int.MaxValue) return None
+      i += adv.toInt
+    }
+    for ((ch, rate, bits, brate) <- fmt; db <- data)
+      yield (ch, rate, bits, brate, db)
+  }
+
+  /** Per-partition WAV header parse — same mapPartitions batch shape
+    * as [[parseHeaders]]; unparseable payloads surface as zero-field
+    * rows rather than dropped (the audit-friendly convention). */
+  def parseWavs(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[WavHeader] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        parseWavHeader(r.payload) match {
+          case Some((ch, rate, bits, brate, db)) =>
+            WavHeader(r.doc_id, r.source, ch, rate, bits, brate, db)
+          case None => WavHeader(r.doc_id, r.source, 0, 0, 0, 0, 0L)
+        }
+      }
+    }
+  }
+
   case class MediaEmbedding(doc_id: Long, source: String, hist: Seq[Double])
 
   /** STUB embedding: a 64-bin byte-value histogram over the first 256

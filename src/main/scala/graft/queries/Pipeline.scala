@@ -1914,6 +1914,82 @@ object Pipeline {
       |  (cum - cost) % 8192 AS bin_offset
       |FROM w ORDER BY doc_id""".stripMargin
 
+  // -- m05: real WAV/RIFF audio header parse -------------------------------
+  // The audio counterpart of m01/m02's image headers, closing the
+  // remaining "duration model" gap for AUDIO: the generator frames
+  // each doc's payload in a genuine RIFF/WAVE container — "RIFF"
+  // size "WAVE", a PCM fmt chunk whose little-endian fields (channels,
+  // sample rate, bits, byte rate) derive from table columns, a
+  // VARIABLE-length LIST chunk with the RIFF odd-size pad byte (the
+  // chunk walk cannot cheat with fixed offsets), then "data" with the
+  // declared body size — and Multimodal.parseWavHeader recovers every
+  // field from the BYTES by walking chunks. duration_ms is exact
+  // integer arithmetic over the recovered fields (declared data bytes
+  // × 1000 div byte rate) — the real form of m03's stubbed "1 byte ≈
+  // 1 ms" model. The oracle states the generator formulas; hash
+  // equality proves the parser inverts the generator.
+  //
+  // Scale: map-only end to end (generator expressions + mapPartitions
+  // parse), no shuffle before the output sort — m01's shape.
+  private def framedWav(s: SparkSession, d: String): DataFrame = {
+    def le16(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val ch = (col("doc_id") % 2 + 1).cast(IntegerType)
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100)),
+      (expr("doc_id div 2") % 4).cast(IntegerType) + 1)
+    val bytesPerSample = when(col("doc_id") % 4 < 2, 1).otherwise(2)
+    val bits = bytesPerSample * 8
+    val blockAlign = ch * bytesPerSample
+    val byteRate = rate * blockAlign
+    val listLen = (col("doc_id") % 7).cast(IntegerType)
+    val pad = listLen % 2
+    val riffSize = lit(4 + 24 + 8) + listLen + pad + lit(8) + col("n_chars")
+    val hexhdr = concat(
+      lit("52494646"), le32(riffSize), lit("57415645"),
+      lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(ch), le32(rate),
+      le32(byteRate), le16(blockAlign), le16(bits),
+      lit("4C495354"), le32(listLen),
+      expr("repeat('41', cast(doc_id % 7 as int))"),
+      expr("repeat('00', cast(doc_id % 7 % 2 as int))"),
+      lit("64617461"), le32(col("n_chars")))
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(unhex(hexhdr), col("text").cast(BinaryType)).as("payload"))
+  }
+
+  private val m05: Q = (s, d) => {
+    import s.implicits._
+    val media = framedWav(s, d).as[graft.operators.Multimodal.MediaRecord]
+    graft.operators.Multimodal.parseWavs(s, media).toDF()
+      .withColumn("duration_ms",
+        expr("(data_bytes * 1000) div byte_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m05Sql =
+    """SELECT doc_id, source,
+      |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+      |  CAST([8000, 16000, 22050, 44100][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
+      |    AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+      |  CAST([8000, 16000, 22050, 44100][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
+      |    * (doc_id % 2 + 1)
+      |    * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END) AS INTEGER) AS byte_rate,
+      |  CAST(n_chars AS BIGINT) AS data_bytes,
+      |  (CAST(n_chars AS BIGINT) * 1000) //
+      |    ([8000, 16000, 22050, 44100][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
+      |     * (doc_id % 2 + 1)
+      |     * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END)) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -- p09: packed-shard manifest ------------------------------------------
   // The artifact a training data-loader actually consumes: one row
   // per packed context window (m04's 8192-token multimodal bins) with
@@ -3942,11 +4018,16 @@ object Pipeline {
   // geometry the ladder consumes.
   private val t18: Q = (s, d) => {
     val dim = 64
+    // cached: df frame, N and the vector assembly all read it — without
+    // the persist the tokenize + 1-md5-per-token chain runs three times
+    // (measured 8.8× second-decade growth at 100×; cached it is the
+    // one-scan shape)
     val tf = T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .withColumn("bucket", TF.cmsBucket(col("w"), 0, dim))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.cached)
     val dfb = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
     val nFrame = tf.agg(countDistinct(col("doc_id")).as("n"))
     val vecs = tf.join(broadcast(dfb), "bucket").crossJoin(broadcast(nFrame))
@@ -4231,6 +4312,7 @@ object Pipeline {
     "p05_multimodal_dedup" -> p05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
+    "m05_audio_meta" -> m05,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -4275,6 +4357,7 @@ object Pipeline {
     "p05_multimodal_dedup" -> p05Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
+    "m05_audio_meta" -> m05Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

@@ -36,6 +36,38 @@ class MultimodalSpec extends SparkSpec {
       hx("89504E470D0A1A0A 0000000D 69484452 00000002 00000001 08 06 00 00 00")).isEmpty)
   }
 
+  test("parseWavHeader walks RIFF chunks: fmt fields, odd-size pad, unknown chunks") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical mono 8 kHz 8-bit PCM, 4 data bytes
+    val mono = hx("52494646 28000000 57415645" +
+      " 666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800" +
+      " 64617461 04000000 41424344")
+    assert(Multimodal.parseWavHeader(mono) == Some((1, 8000, 8, 8000, 4L)))
+    // stereo 44.1 kHz 16-bit behind an ODD-size LIST chunk: the walk
+    // must advance 8 + size + pad; a fixed-offset read desyncs here
+    val stereo = hx("52494646 00000000 57415645" +
+      " 4C495354 03000000 414243 00" +
+      " 666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+      " 64617461 02000000 ABAB")
+    assert(Multimodal.parseWavHeader(stereo) == Some((2, 44100, 16, 176400, 2L)))
+    // unknown chunk BETWEEN fmt and data is skipped, not fatal
+    val gap = hx("52494646 00000000 57415645" +
+      " 666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800" +
+      " 69645820 02000000 FFFF" +
+      " 64617461 01000000 41")
+    assert(Multimodal.parseWavHeader(gap) == Some((1, 8000, 8, 8000, 1L)))
+    // negative space: wrong magic, truncation, no data chunk, short fmt
+    assert(Multimodal.parseWavHeader(
+      hx("52494658 28000000 57415645")).isEmpty) // RIFX
+    assert(Multimodal.parseWavHeader(mono.take(10)).isEmpty)
+    assert(Multimodal.parseWavHeader(hx("52494646 18000000 57415645" +
+      " 666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800")).isEmpty)
+    assert(Multimodal.parseWavHeader(hx("52494646 18000000 57415645" +
+      " 666D7420 0C000000 0100 0100 401F0000 401F0000" +
+      " 64617461 00000000")).isEmpty) // fmt size 12 < 16
+  }
+
   test("parseHeaders maps partitions with the real parser; junk surfaces as unknown") {
     val pngHex = "89504E470D0A1A0A0000000D4948445200000002000000010806000000"
     val media = Seq(
