@@ -4003,11 +4003,13 @@ object Pipeline {
   // (doc, bucket), idf per bucket, a dense 64-dim vector per doc, and
   // cosine top-5 retrieval for the query docs — s01's exact shape over
   // vectors the engine DERIVED from text. The idf is the LOG-FREE
-  // inverse document frequency tf·(N/df) — ln is not bit-replayable
-  // across engines, and the ranking (what retrieval consumes) is
-  // invariant to the monotone log. All inputs to the two divisions
-  // are exact integers, so weights, vectors and cosines re-derive
-  // bit-identically in DuckDB.
+  // inverse document frequency tf/df — ln is not bit-replayable
+  // across engines, the retrieval ranking is invariant to the
+  // monotone log, and the textbook N numerator (a uniform scalar
+  // cosine cannot see) is dropped because deriving it costs a
+  // corpus-wide distinct. The one division has exact-integer inputs,
+  // so weights, vectors and cosines re-derive bit-identically in
+  // DuckDB.
   //
   // Scale: tf and df are two partial-agg shuffles on uniform keys;
   // the dense assembly is a 64-entry map per doc (map-side after the
@@ -4029,15 +4031,25 @@ object Pipeline {
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
       .transform(graft.CacheScope.cached)
     val dfb = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
-    val nFrame = tf.agg(countDistinct(col("doc_id")).as("n"))
-    val vecs = tf.join(broadcast(dfb), "bucket").crossJoin(broadcast(nFrame))
-      .withColumn("wt", col("tf").cast(DoubleType) *
-        (col("n").cast(DoubleType) / col("df").cast(DoubleType)))
+    // dense assembly as 64 conditional-sum slots: a flat HashAggregate
+    // of primitive doubles that stays in whole-stage codegen. The
+    // map_from_entries(collect_list(...)) formulation is the natural
+    // first write-up but drops to ObjectHashAggregate — per-row struct
+    // allocation + sort-based spill fallback measured 4× slower on the
+    // 32M-cell second decade.
+    val slots = (0 until dim).map(i =>
+      sum(when(col("bucket") === i, col("wt"))).as(s"b$i"))
+    // idf = 1/df WITHOUT the textbook N numerator: N is a uniform
+    // scalar over every weight, cosine is invariant to uniform
+    // scaling, and deriving N is a corpus-wide distinct shuffle —
+    // dropped from BOTH engine and oracle (one definition)
+    val vecs = tf.join(broadcast(dfb), "bucket")
+      .withColumn("wt",
+        col("tf").cast(DoubleType) / col("df").cast(DoubleType))
       .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("wt")))).as("m"))
-      .withColumn("vec", transform(sequence(lit(0), lit(dim - 1)),
-        i => coalesce(element_at(col("m"), i), lit(0.0))))
+      .agg(slots.head, slots.tail: _*)
+      .withColumn("vec", array((0 until dim).map(i =>
+        coalesce(col(s"b$i"), lit(0.0))): _*))
       .select(col("doc_id"), col("vec"))
       .transform(graft.CacheScope.cached) // query + candidate slices
     val qs = vecs.filter(col("doc_id") < 10)
@@ -4062,11 +4074,10 @@ object Pipeline {
       |    CAST(COUNT(*) AS BIGINT) AS tf
       |  FROM toks WHERE w <> '' GROUP BY 1, 2),
       |dfb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
       |wts AS (
       |  SELECT t.doc_id, t.bucket,
-      |    CAST(t.tf AS DOUBLE) * (CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS wt
-      |  FROM tf t JOIN dfb d USING (bucket), nd),
+      |    CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS wt
+      |  FROM tf t JOIN dfb d USING (bucket)),
       |vecs AS (
       |  SELECT i.doc_id, list(COALESCE(w.wt, 0.0) ORDER BY b.bucket) AS vec
       |  FROM (SELECT DISTINCT doc_id FROM tf) i

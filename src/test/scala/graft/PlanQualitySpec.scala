@@ -582,6 +582,38 @@ class PlanQualitySpec extends SparkSpec {
       s"bucket rare rates must increase: ${rates.toSeq}")
   }
 
+  test("q83 trend slope broadcasts both dims and partial-aggregates the fact") {
+    val p = plan("q83_trend_slope")
+    assert(p.contains("BroadcastHashJoin"), s"customer/nation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no fact sort-merge against dims")
+    assert(p.contains("partial"), "fact agg must combine map-side")
+  }
+
+  test("q84 level transition: partial aggs, equi-join pairing, no cartesian") {
+    val p = plan("q84_level_transition")
+    assert(p.contains("partial"), s"fact agg must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), "year pairing must be an equi-join")
+  }
+
+  test("t18 hashed TF-IDF: df frame broadcast into the tf join, no cartesian fact join") {
+    val p = plan("t18_tfidf_hashed")
+    assert(p.contains("BroadcastHashJoin"), s"64-row df frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "retrieval must broadcast the query side (BroadcastNestedLoop), never cartesian")
+  }
+
+  test("d15 semantic dedup: within-cell pairing is an equi-join on the cluster id") {
+    val p = plan("d15_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "k-row centroid frame must broadcast")
+  }
+
+  test("m05 audio header parse is map-only before the output sort") {
+    val p = plan("m05_audio_meta")
+    assert(!p.contains("hashpartitioning"),
+      s"no hash exchange in a pure parse pass:\n$p")
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
