@@ -1990,6 +1990,37 @@ object Pipeline {
       |     * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END)) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- e11: continuous multimodal intake probe -----------------------------
+  // m05's header parse joined to the streaming family (see
+  // StreamingJobs.mediaIntakeStream): media files priced and
+  // validated AS THEY ARRIVE, aggregated per (hour window, source) —
+  // the running answer an ingestion SLO consumes. Batch run of the
+  // same code path is the oracle; the oracle SQL states the generator
+  // formulas aggregated to the same grid.
+  private val e11: Q = (s, d) => {
+    val media = framedWav(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.mediaIntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private val e11Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+      |    [8000, 16000, 22050, 44100][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
+      |      * (doc_id % 2 + 1)
+      |      * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END) AS byte_rate
+      |  FROM documents)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_files,
+      |  CAST(0 AS BIGINT) AS n_unparseable,
+      |  CAST(SUM(n_chars) AS BIGINT) AS audio_bytes,
+      |  CAST(SUM((CAST(n_chars AS BIGINT) * 1000) // byte_rate) AS BIGINT)
+      |    AS audio_ms
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- p09: packed-shard manifest ------------------------------------------
   // The artifact a training data-loader actually consumes: one row
   // per packed context window (m04's 8192-token multimodal bins) with
@@ -4168,25 +4199,21 @@ object Pipeline {
   // ~10^12-token corpora); past that the predicate evaluates in
   // correctly-rounded doubles — still deterministic, quantized at the
   // knife-edge only.
-  private val p11: Q = (s, d) => {
-    val maxEpochs = 3L
-    val vocab = learnedVocab(s, d)
-    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
-    val perSrc = T.documents(s, d)
-      .withColumn("tok", st.getField("learned_tokens"))
-      .groupBy(col("source"))
-      .agg(sum(col("tok")).as("cap_tokens"))
-      .withColumn("capacity", col("cap_tokens") * maxEpochs)
-      .withColumn("w", greatest(lit(1L),
-        floor(sqrt(col("cap_tokens").cast(DoubleType))).cast(LongType)))
-    val totals = perSrc.agg(
-      (sum(col("cap_tokens")) * 2L).as("budget"),
+  /** The water-filling closed form over a (source, cap_tokens,
+    * capacity, w) frame — p11's algorithm, factored so RandomizedSpec
+    * can drive it on adversarial frames: budget = Σcap_tokens ×
+    * budgetFactor; sort by capacity/w; the capped set is the prefix
+    * satisfying the exact integer predicate; the water level is one
+    * double division; uncapped alloc = ⌊λ·w⌋. */
+  private[graft] def waterfill(base: DataFrame, budgetFactor: Long): DataFrame = {
+    val totals = base.agg(
+      (sum(col("cap_tokens")) * budgetFactor).as("budget"),
       sum(col("w")).as("total_w"))
     val ord = Window
       .orderBy(col("capacity").cast(DoubleType) / col("w").cast(DoubleType),
         col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val flags = perSrc.crossJoin(broadcast(totals))
+    val flags = base.crossJoin(broadcast(totals))
       .withColumn("prefix_cap", coalesce(sum(col("capacity")).over(ord), lit(0L)))
       .withColumn("prefix_w", coalesce(sum(col("w")).over(ord), lit(0L)))
       .withColumn("is_capped",
@@ -4207,7 +4234,20 @@ object Pipeline {
       .select(col("source"), col("cap_tokens"), col("capacity"),
         col("w").as("weight"), col("is_capped"), col("alloc_tokens"),
         col("epochs"))
-      .orderBy(col("source"))
+  }
+
+  private val p11: Q = (s, d) => {
+    val maxEpochs = 3L
+    val vocab = learnedVocab(s, d)
+    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
+    val perSrc = T.documents(s, d)
+      .withColumn("tok", st.getField("learned_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("cap_tokens"))
+      .withColumn("capacity", col("cap_tokens") * maxEpochs)
+      .withColumn("w", greatest(lit(1L),
+        floor(sqrt(col("cap_tokens").cast(DoubleType))).cast(LongType)))
+    waterfill(perSrc, budgetFactor = 2L).orderBy(col("source"))
   }
 
   private val p11Sql =
@@ -4327,7 +4367,7 @@ object Pipeline {
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
-    "e10_stream_token_volume" -> e10,
+    "e10_stream_token_volume" -> e10, "e11_stream_media_intake" -> e11,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
     "e09_stream_latency_monitor" -> e09)
@@ -4372,7 +4412,7 @@ object Pipeline {
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
-    "e10_stream_token_volume" -> e10Sql,
+    "e10_stream_token_volume" -> e10Sql, "e11_stream_media_intake" -> e11Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
     "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql,
     "e09_stream_latency_monitor" -> e09Sql)

@@ -113,6 +113,48 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("source"),
         col("n_docs"), col("learned_tokens"))
 
+  /** e11: continuous multimodal intake probe — the media counterpart
+    * of e10's token accounting: every arriving media file is
+    * header-probed ON ARRIVAL (the real
+    * [[graft.operators.Multimodal.parseWavHeader]] RIFF chunk walk,
+    * map-only via typed mapPartitions — the codec-per-partition batch
+    * shape runs unchanged under streaming because it is stateless),
+    * and the per-(window, source) intake report counts files, parse
+    * failures, declared audio bytes and exact duration
+    * (data_bytes·1000 div byte_rate — m05's arithmetic). Running this
+    * same function on a batch frame IS the oracle (e03's trick);
+    * StreamingSpec proves the incremental run matches and that junk
+    * payloads surface in n_unparseable rather than poisoning the agg.
+    *
+    * Scale: the probe is map-side (no codec state crosses rows); one
+    * shuffle on (window, source); state bounded to (watermark horizon
+    * / window) × sources. */
+  def mediaIntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.operators.Multimodal.parseWavHeader(payload) match {
+            case Some((_, _, _, brate, db)) =>
+              (ts, src, true, db, db * 1000L / brate)
+            case None => (ts, src, false, 0L, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "parsed", "data_bytes", "duration_ms")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("parsed"), 0L).otherwise(1L)).as("n_unparseable"),
+        sum(col("data_bytes")).as("audio_bytes"),
+        sum(col("duration_ms")).as("audio_ms"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_files"), col("n_unparseable"),
+        col("audio_bytes"), col("audio_ms"))
+  }
+
   /** e08: continuously-maintained count-min sketch over a document
     * stream — the streaming form of t10's heavy-hitter pass (a
     * boilerplate/stopword gate a training-data pipeline runs on its

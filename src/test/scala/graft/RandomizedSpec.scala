@@ -164,4 +164,45 @@ class RandomizedSpec extends SparkSpec {
       assert(got(id) == expected(id), s"row $id: ${got(id)} vs ${expected(id)}")
     }
   }
+
+  test("p11 water-filling invariants hold on random frames at every budget regime") {
+    // random per-source corpora; capacity = 3 epochs, weight = ⌊√cap⌋
+    val base = (0 until 25).map { i =>
+      val cap = 1L + rnd.nextInt(1000000)
+      (f"src$i%02d", cap, cap * 3, math.max(1L, math.sqrt(cap.toDouble).toLong))
+    }.toDF("source", "cap_tokens", "capacity", "w")
+    for (factor <- Seq(1L, 2L, 4L)) {
+      val out = graft.queries.Pipeline.waterfill(base, factor)
+        .select("source", "cap_tokens", "capacity", "weight", "is_capped", "alloc_tokens")
+        .as[(String, Long, Long, Long, Boolean, Long)].collect().toSeq
+      assert(out.size == 25, "one allocation row per source")
+      val budget = out.map(_._2).sum * factor
+      val totalCapacity = out.map(_._3).sum
+      out.foreach { case (s, _, capacity, _, _, alloc) =>
+        assert(alloc >= 0 && alloc <= capacity, s"$s alloc $alloc beyond capacity $capacity")
+      }
+      if (budget >= totalCapacity) {
+        // data-rich regime: every source caps at max epochs
+        assert(out.forall(_._5), s"factor $factor: budget ≥ capacity must cap all")
+        assert(out.map(_._6).sum == totalCapacity)
+      } else {
+        // constrained regime: budget conserved up to one floor per source
+        val total = out.map(_._6).sum
+        assert(total <= budget && total > budget - out.size,
+          s"factor $factor: Σalloc $total vs budget $budget")
+        // capped set is the low capacity/weight prefix
+        val cappedR = out.filter(_._5).map(r => r._3.toDouble / r._4)
+        val openR = out.filterNot(_._5).map(r => r._3.toDouble / r._4)
+        if (cappedR.nonEmpty && openR.nonEmpty)
+          assert(cappedR.max <= openR.min + 1e-9,
+            s"factor $factor: capped ratios must not exceed uncapped ones")
+        // uncapped sources share one water level (⌊λ·w⌋ → ratios within 1/w)
+        val levels = out.filterNot(_._5)
+          .map(r => r._6.toDouble / r._4)
+        if (levels.nonEmpty)
+          assert(levels.max - levels.min <= 1.0,
+            s"factor $factor: uncapped allocation levels diverge: $levels")
+      }
+    }
+  }
 }

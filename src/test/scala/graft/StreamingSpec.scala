@@ -118,6 +118,43 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 3L)))
   }
 
+  test("mediaIntakeStream: incremental equals batch; junk surfaces in n_unparseable") {
+    implicit val sqlCtx = spark.sqlContext
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val monoFmt = "666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800"
+    val stereoFmt = "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000"
+    // headers declare the data size; bodies stream later (the probe
+    // trusts the header — the streaming-intake convention)
+    val mono16k = hx(s"52494646 00000000 57415645 $monoFmt 64617461 803E0000") // 16000 B → 2000 ms
+    val stereo = hx(s"52494646 00000000 57415645 $stereoFmt 64617461 88580100") // 88200 B → 500 ms
+    val mono8k = hx(s"52494646 00000000 57415645 $monoFmt 64617461 401F0000") // 8000 B → 1000 ms
+    val junk = "definitely not RIFF".getBytes
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:05:00"), mono16k, "web"),
+      (2L, ts("2024-01-01 00:20:00"), junk, "web"),
+      (3L, ts("2024-01-01 00:45:00"), stereo, "books"),
+      (4L, ts("2024-01-01 01:10:00"), mono8k, "web"))
+    val ms = MemoryStream[(Long, Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.mediaIntakeStream(
+        ms.toDF().toDF("doc_id", "ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_media").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_media").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.mediaIntakeStream(
+        docs.toDF("doc_id", "ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 1L, 0L, 88200L, 500L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 1L, 16000L, 2000L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8000L, 1000L)))
+  }
+
   test("cmsStream: incremental sketch equals the batch sketch, state bounded at depth*width") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
