@@ -3477,11 +3477,73 @@ object Relational {
       |      AS DOUBLE) AS share_of_from
       |FROM cells ORDER BY level_from, level_to""".stripMargin
 
+  // -- q85: norms table construction ---------------------------------------
+  // The reference SHIPS norms files (Norms.md's percentile tables —
+  // q31 looks them up, q50 validates them); q85 is the missing
+  // producer side: BUILD the percentile → cut-score table from the
+  // score population. cut(p) is the textbook discrete percentile —
+  // the smallest score whose cumulative population share reaches
+  // p/100 — and the scale-safe plan never sorts the population:
+  // scores partial-agg to exact-cent cells, the DISTINCT-score
+  // distribution frame gets one bounded prefix-sum window, and each
+  // distinct score row computes the RANGE of percentiles it serves by
+  // integer arithmetic (p ∈ [⌊100·prev_cum/n⌋+1, ⌊100·cum/n⌋]) and
+  // explodes to its ≤99 output rows. The oracle states the textbook
+  // definition (min score with 100·cum ≥ p·n per spine percentile) —
+  // hash equality proves the range-explode plan equals it. Everything
+  // is exact integers; no doubles anywhere.
+  //
+  // Scale: one fact shuffle to score cells, one shuffle to the
+  // distinct-score frame, a window over THAT frame (distinct scores,
+  // not population), output fixed at ≤99 rows. The 1-row total
+  // broadcasts.
+  private val q85: Q = (s, d) => {
+    val scores = T.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1998)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("score"))
+    val dist = scores.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+    val tot = dist.agg(sum(col("cnt")).as("n"))
+    val wOrd = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("prev_cum", col("cum") - col("cnt"))
+      .withColumn("p_low",
+        greatest(expr("(prev_cum * 100) div n + 1"), lit(1L)))
+      .withColumn("p_high", least(expr("(cum * 100) div n"), lit(99L)))
+      .filter(col("p_low") <= col("p_high"))
+      .select(explode(sequence(col("p_low"), col("p_high"))).as("p"),
+        col("score").as("cut_score_cents"))
+      .select(col("p").cast(IntegerType).as("percentile"),
+        col("cut_score_cents"))
+      .orderBy(col("percentile"))
+  }
+
+  private val q85Sql =
+    """WITH scores AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS score
+      |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1),
+      |dist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt FROM scores GROUP BY 1),
+      |cums AS (
+      |  SELECT score, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum,
+      |    (SELECT CAST(SUM(cnt) AS BIGINT) FROM dist) AS n
+      |  FROM dist),
+      |spine AS (SELECT unnest(generate_series(1, 99)) AS percentile)
+      |SELECT CAST(p.percentile AS INTEGER) AS percentile,
+      |  MIN(c.score) AS cut_score_cents
+      |FROM spine p JOIN cums c ON 100 * c.cum >= p.percentile * c.n
+      |GROUP BY 1 ORDER BY percentile""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q79_growth_percentile" -> q79, "q80_growth_multi_year" -> q80,
     "q81_cohort_retention" -> q81, "q82_org_rollup" -> q82,
     "q83_trend_slope" -> q83, "q84_level_transition" -> q84,
+    "q85_norms_build" -> q85,
     "q78_irt_theta" -> q78,
     "q77_translation_coverage" -> q77,
     "q76_archive_restore_audit" -> q76,
@@ -3522,6 +3584,7 @@ object Relational {
     "q79_growth_percentile" -> q79Sql, "q80_growth_multi_year" -> q80Sql,
     "q81_cohort_retention" -> q81Sql, "q82_org_rollup" -> q82Sql,
     "q83_trend_slope" -> q83Sql, "q84_level_transition" -> q84Sql,
+    "q85_norms_build" -> q85Sql,
     "q78_irt_theta" -> q78Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,
