@@ -7,11 +7,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * batch shape a real image/audio decoder needs — open codec once per
   * partition, stream records through it).
   *
-  * Header parsing ([[parseMediaHeader]]) is REAL byte walking over
-  * the public PNG and JPEG container formats. Only the deep-decode
-  * stages a pixel pipeline would add (full IDAT/entropy decode,
-  * perceptual embedding — [[embedStub]]) remain declared stubs:
-  * those genuinely need codec libraries this container lacks.
+  * Header parsing is REAL byte walking over public container
+  * formats: PNG/JPEG ([[parseMediaHeader]]), RIFF/WAVE
+  * ([[parseWavHeader]]), MP4/ISO-BMFF ([[parseMp4Header]]). Only the
+  * deep-decode stages a pixel pipeline would add (full IDAT/entropy
+  * decode, perceptual embedding — [[embedStub]]) remain declared
+  * stubs: those genuinely need codec libraries this container lacks.
   */
 object Multimodal {
 
@@ -158,6 +159,125 @@ object Multimodal {
           case Some((ch, rate, bits, brate, db)) =>
             WavHeader(r.doc_id, r.source, ch, rate, bits, brate, db)
           case None => WavHeader(r.doc_id, r.source, 0, 0, 0, 0, 0L)
+        }
+      }
+    }
+  }
+
+  case class Mp4Header(doc_id: Long, source: String, timescale: Int,
+                       duration_units: Long, width: Int, height: Int,
+                       mdat_bytes: Long)
+
+  /** REAL MP4/ISO-BMFF header parse — the video counterpart of
+    * [[parseWavHeader]] (public format: the ISO base media file
+    * format's box structure): a file is a sequence of BOXES — u32
+    * big-endian size (1 → a u64 largesize follows the type; 0 → box
+    * extends to end of input) + 4-char type + payload — some of which
+    * are pure containers holding child boxes. The walk is the real
+    * parser obligation: `moov`'s children sit behind variable-length
+    * siblings, so fixed offsets cannot cheat.
+    *
+    *  - first box must be `ftyp` (the brand declaration);
+    *  - `moov` (container) → `mvhd`: version byte selects the v0
+    *    (u32 times) or v1 (u64 times) layout for timescale +
+    *    duration-in-timescale-units;
+    *  - `moov` → `trak` (container) → `tkhd`: presentation width /
+    *    height as 16.16 fixed-point at the end of the box (again
+    *    version-dependent offsets);
+    *  - `mdat`: declared body size (trusted — a streaming prober
+    *    reads headers before bodies, exactly like m05's data chunk).
+    *
+    * duration_ms follows as exact integer units·1000 div timescale —
+    * the real form of m03's stubbed "1 byte ≈ 1 ms" video duration
+    * model. None unless ftyp + mvhd + mdat are present and sane —
+    * never throws. */
+  def parseMp4Header(p: Array[Byte]): Option[(Int, Long, Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+
+    var timescale = 0
+    var duration = -1L
+    var width = 0
+    var height = 0
+    var mdat = -1L
+
+    // walk the boxes in [from, until); descend into containers we
+    // care about. Returns false on a malformed box (bad size).
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val size0 = be32(i)
+        val typ = tag(i + 4)
+        var hdr = 8L
+        var size = size0
+        if (size0 == 1L) {
+          if (i + 16 > until) return false
+          size = be64(i + 8); hdr = 16L
+        } else if (size0 == 0L) size = (until - i).toLong
+        if (size < hdr) return false
+        // declared sizes must stay in bounds — except mdat's body,
+        // which a header probe trusts without reading (m05's data
+        // chunk convention)
+        if (!(typ == "mdat" && depth == 0) && i + size > until) return false
+        val body = i + hdr.toInt
+        typ match {
+          case "moov" if depth == 0 =>
+            if (!walk(body, i + size.toInt, 1)) return false
+          case "trak" if depth == 1 =>
+            if (!walk(body, i + size.toInt, 2)) return false
+          case "mvhd" if depth == 1 =>
+            if (body + 4 > until) return false
+            val v = u8(body)
+            if (v == 0) {
+              if (body + 20 > until) return false
+              timescale = be32(body + 12).toInt
+              duration = be32(body + 16)
+            } else if (v == 1) {
+              if (body + 32 > until) return false
+              timescale = be32(body + 20).toInt
+              duration = be64(body + 24)
+            } else return false
+          case "tkhd" if depth == 2 =>
+            if (body + 4 > until) return false
+            val v = u8(body)
+            val wOff = if (v == 0) body + 76 else body + 88
+            if (v > 1 || wOff + 8 > until) return false
+            // 16.16 fixed point → integer pixels
+            width = be16(wOff).toInt
+            height = be16(wOff + 4).toInt
+          case "mdat" if depth == 0 =>
+            mdat = size - hdr
+          case _ => () // ftyp, free, unknown: skip by declared size
+        }
+        // mdat is conventionally last and its body may be truncated
+        // in a header probe — stop advancing once seen at top level
+        if (typ == "mdat" && depth == 0) return true
+        i += size.toInt
+      }
+      true
+    }
+
+    if (p.length < 8 || be32(0) < 8 || tag(4) != "ftyp") return None
+    if (!walk(0, p.length, 0)) return None
+    if (timescale <= 0 || duration < 0 || mdat < 0) return None
+    Some((timescale, duration, width, height, mdat))
+  }
+
+  /** Per-partition MP4 header parse — same mapPartitions batch shape
+    * as [[parseWavs]]; unparseable payloads surface as zero-field
+    * rows rather than dropped (the audit-friendly convention). */
+  def parseMp4s(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[Mp4Header] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        parseMp4Header(r.payload) match {
+          case Some((ts, du, w, h, mb)) =>
+            Mp4Header(r.doc_id, r.source, ts, du, w, h, mb)
+          case None => Mp4Header(r.doc_id, r.source, 0, -1L, 0, 0, -1L)
         }
       }
     }

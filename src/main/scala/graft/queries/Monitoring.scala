@@ -395,8 +395,138 @@ object Monitoring {
       |JOIN adm_dim ON o_orderstatus = status_code
       |ORDER BY asmt_type, admin_cond""".stripMargin
 
+  // -- q87: score-distribution drift monitor -------------------------------
+  // The data-quality monitor next to Monitoring.md's volume reports
+  // (:278's distribution report run as a TEST, not a display): does an
+  // org's performance-level distribution this year differ from last
+  // year more than chance allows? Classic Pearson chi-square on the
+  // (level) contingency row — with the q78/IntLloyd replayability
+  // discipline applied to the statistic: each cell's term
+  // (O−E)²/E = (O·N1 − C·N2)² / (C·N1·N2) is computed as ONE exact
+  // integer floor division in micro-units (numerator and denominator
+  // as exact DECIMAL(38) products — DuckDB replays them in HUGEINT),
+  // so the per-org statistic is an order-free exact LONG sum — no
+  // float fold order anywhere — and the drift decision is an integer
+  // compare against the χ²₀.₀₅ critical value in the same micro-units
+  // (a config constant per df). Levels with zero prior-year mass are
+  // untestable (E = 0) and are reported instead as n_new_mass, the
+  // audit column that keeps the partial statistic honest.
+  //
+  // Scale: one fact partial-agg shuffle to (org, year, level) cells
+  // under the broadcast dims; the level spine completion, the
+  // consecutive-year pairing and the per-org fold all run over the
+  // AGGREGATED frame (#orgs × #years × 4 rows at any corpus size).
+  private val q87: Q = (s, d) => {
+    import s.implicits._
+    val cells = T.orders(s, d)
+      .join(T.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("level",
+        when(col("o_totalprice") < 100000, "L1_below")
+          .when(col("o_totalprice") < 200000, "L2_approaching")
+          .when(col("o_totalprice") < 350000, "L3_meets")
+          .otherwise("L4_exceeds"))
+      .withColumn("yr", year(col("o_orderdate")).cast(IntegerType))
+      .groupBy(col("n_name"), col("yr"), col("level"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.CacheScope.cached) // read twice: spine totals + cells
+    val totals = cells.groupBy(col("n_name"), col("yr"))
+      .agg(sum(col("cnt")).as("n_total"))
+    val levels = Seq("L1_below", "L2_approaching", "L3_meets", "L4_exceeds")
+    val spine = totals.crossJoin(broadcast(levels.toDF("level")))
+    val full = spine.join(cells, Seq("n_name", "yr", "level"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val cur = full.select(col("n_name"), col("yr"), col("level"),
+      col("cnt").as("o"), col("n_total").as("n2"))
+    val pri = full.select(col("n_name"), (col("yr") + 1).as("yr"),
+      col("level"), col("cnt").as("c"), col("n_total").as("n1"))
+    cur.join(pri, Seq("n_name", "yr", "level"))
+      // (O·N1 − C·N2)²·1e6 div (C·N1·N2): exact DECIMAL(38) products,
+      // one integer floor division — DuckDB replays them in HUGEINT
+      .withColumn("term_micro",
+        when(col("c") > 0,
+          expr("CAST((CAST(o AS DECIMAL(38,0)) * n1 - CAST(c AS DECIMAL(38,0)) * n2) " +
+            "* (CAST(o AS DECIMAL(38,0)) * n1 - CAST(c AS DECIMAL(38,0)) * n2) " +
+            "* 1000000 div (CAST(c AS DECIMAL(38,0)) * n1 * n2) AS BIGINT)"))
+          .otherwise(lit(null).cast(LongType)))
+      .groupBy(col("n_name"), col("yr"))
+      .agg(
+        min(col("n1")).as("n_prior"),
+        min(col("n2")).as("n_cur"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).as("cells_tested"),
+        sum(when(col("c") === 0, col("o")).otherwise(0L)).as("n_new_mass"),
+        sum(col("term_micro")).as("chi2_micro"))
+      .withColumn("df", col("cells_tested") - 1)
+      .withColumn("crit_micro",
+        when(col("df") === 1, 3841459L).when(col("df") === 2, 5991465L)
+          .when(col("df") === 3, 7814728L).otherwise(lit(null).cast(LongType)))
+      .select(col("n_name"), (col("yr") - 1).as("yr_prior"), col("yr"),
+        col("n_prior"), col("n_cur"), col("cells_tested"), col("n_new_mass"),
+        col("chi2_micro"),
+        (col("chi2_micro") / lit(1000000.0)).as("chi2"),
+        (col("df") >= 1 && col("chi2_micro") > col("crit_micro")).as("drift"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  private val q87Sql =
+    """WITH cells AS (
+      |  SELECT n.n_name,
+      |    CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+      |    CASE WHEN o.o_totalprice < 100000 THEN 'L1_below'
+      |      WHEN o.o_totalprice < 200000 THEN 'L2_approaching'
+      |      WHEN o.o_totalprice < 350000 THEN 'L3_meets'
+      |      ELSE 'L4_exceeds' END AS level,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2, 3),
+      |totals AS (
+      |  SELECT n_name, yr, CAST(SUM(cnt) AS BIGINT) AS n_total
+      |  FROM cells GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT t.n_name, t.yr, t.n_total, l.level
+      |  FROM totals t CROSS JOIN (SELECT unnest(
+      |    ['L1_below', 'L2_approaching', 'L3_meets', 'L4_exceeds']) AS level) l),
+      |full_cells AS (
+      |  SELECT s.n_name, s.yr, s.level, COALESCE(c.cnt, 0) AS cnt, s.n_total
+      |  FROM spine s LEFT JOIN cells c
+      |    ON s.n_name = c.n_name AND s.yr = c.yr AND s.level = c.level),
+      |paired AS (
+      |  SELECT cur.n_name, cur.yr, cur.level,
+      |    cur.cnt AS o, cur.n_total AS n2, pri.cnt AS c, pri.n_total AS n1
+      |  FROM full_cells cur JOIN full_cells pri
+      |    ON cur.n_name = pri.n_name AND cur.level = pri.level
+      |   AND cur.yr = pri.yr + 1),
+      |terms AS (
+      |  SELECT n_name, yr, n1, n2, c, o,
+      |    CASE WHEN c > 0 THEN CAST(
+      |      (CAST(o AS HUGEINT) * n1 - CAST(c AS HUGEINT) * n2)
+      |      * (CAST(o AS HUGEINT) * n1 - CAST(c AS HUGEINT) * n2)
+      |      * 1000000 // (CAST(c AS HUGEINT) * n1 * n2) AS BIGINT)
+      |    ELSE NULL END AS term_micro
+      |  FROM paired),
+      |folded AS (
+      |  SELECT n_name, yr,
+      |    MIN(n1) AS n_prior, MIN(n2) AS n_cur,
+      |    CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cells_tested,
+      |    CAST(SUM(CASE WHEN c = 0 THEN o ELSE 0 END) AS BIGINT) AS n_new_mass,
+      |    CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT n_name, yr - 1 AS yr_prior, yr, n_prior, n_cur, cells_tested,
+      |  n_new_mass, chi2_micro,
+      |  chi2_micro / 1000000.0 AS chi2,
+      |  cells_tested - 1 >= 1 AND chi2_micro > (CASE
+      |    WHEN cells_tested - 1 = 1 THEN 3841459
+      |    WHEN cells_tested - 1 = 2 THEN 5991465
+      |    WHEN cells_tested - 1 = 3 THEN 7814728 END) AS drift
+      |FROM folded ORDER BY n_name, yr""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q87_dist_drift" -> q87,
     "q61_import_status_monitor" -> q61,
     "q62_ingest_speed" -> q62,
     "q63_time_to_warehouse" -> q63,
@@ -406,6 +536,7 @@ object Monitoring {
     "q67_exam_distribution" -> q67)
 
   val oracle: Map[String, String] = Map(
+    "q87_dist_drift" -> q87Sql,
     "q61_import_status_monitor" -> q61Sql,
     "q62_ingest_speed" -> q62Sql,
     "q63_time_to_warehouse" -> q63Sql,

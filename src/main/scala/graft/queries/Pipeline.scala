@@ -1990,6 +1990,85 @@ object Pipeline {
       |     * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END)) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- m06: real MP4/ISO-BMFF video header parse ---------------------------
+  // The video counterpart of m05, closing the duration-model stub for
+  // VIDEO: the generator frames each doc's payload in a genuine
+  // ISO-BMFF box sequence — ftyp(isom), moov containing a
+  // VARIABLE-length free box (the box walk cannot cheat with fixed
+  // offsets), a v0 mvhd whose big-endian timescale/duration derive
+  // from table columns, and a trak/tkhd carrying 16.16 fixed-point
+  // presentation width/height — then mdat with the declared body
+  // size. Multimodal.parseMp4Header recovers every field by walking
+  // boxes; duration_ms = exact integer units·1000 div timescale (the
+  // real form of m03's stubbed video duration model). The oracle
+  // states the generator formulas; hash equality proves the parser
+  // inverts the generator.
+  //
+  // Scale: map-only end to end (generator expressions + mapPartitions
+  // parse), no shuffle before the output sort — m01/m05's shape.
+  private def framedMp4(s: SparkSession, d: String): DataFrame = {
+    def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be16x(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    val ts = element_at(
+      array(lit(600), lit(1000), lit(30000), lit(90000)),
+      (col("doc_id") % 4).cast(IntegerType) + 1)
+    val du = ((col("doc_id") % 3600 + 1) * 100).cast(IntegerType)
+    val w = element_at(
+      array(lit(640), lit(1280), lit(1920), lit(3840)),
+      (expr("doc_id div 4") % 4).cast(IntegerType) + 1)
+    val h = (w * 9 / 16).cast(IntegerType)
+    val flen = (col("doc_id") % 9).cast(IntegerType)
+    // unity transform matrix — 3×3 of 16.16/2.30 fixed point
+    val matrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    val mvhd = concat(
+      lit("0000006c" + "6d766864" + "00000000" + "00000000" + "00000000"),
+      be32(ts), be32(du),
+      lit("00010000" + "0100" + "00" * 10 + matrix + "00" * 24 + "00000002"))
+    val tkhd = concat(
+      lit("0000005c" + "746b6864" + "00000007" + "00000000" + "00000000" +
+        "00000001" + "00000000"),
+      be32(du),
+      lit("00" * 8 + "0000" + "0000" + "0000" + "0000" + matrix),
+      be16x(w), lit("0000"), be16x(h), lit("0000"))
+    val trak = concat(lit("00000064" + "7472616b"), tkhd)
+    val free = concat(be32(flen + 8), lit("66726565"),
+      expr("repeat('42', cast(doc_id % 9 as int))"))
+    val moovSize = lit(8 + 108 + 100 + 8) + flen
+    val moov = concat(be32(moovSize), lit("6d6f6f76"), free, mvhd, trak)
+    val mdatHdr = concat(be32(col("n_chars") + 8), lit("6d646174"))
+    val hexhdr = concat(
+      lit("00000010" + "66747970" + "69736f6d" + "00000200"),
+      moov, mdatHdr)
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(unhex(hexhdr), col("text").cast(BinaryType)).as("payload"))
+  }
+
+  private val m06: Q = (s, d) => {
+    import s.implicits._
+    val media = framedMp4(s, d).as[graft.operators.Multimodal.MediaRecord]
+    graft.operators.Multimodal.parseMp4s(s, media).toDF()
+      .withColumn("duration_ms",
+        expr("(duration_units * 1000) div timescale"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m06Sql =
+    """SELECT doc_id, source,
+      |  CAST([600, 1000, 30000, 90000][CAST(doc_id % 4 AS INTEGER) + 1]
+      |    AS INTEGER) AS timescale,
+      |  CAST((doc_id % 3600 + 1) * 100 AS BIGINT) AS duration_units,
+      |  CAST([640, 1280, 1920, 3840][CAST((doc_id // 4) % 4 AS INTEGER) + 1]
+      |    AS INTEGER) AS width,
+      |  CAST([640, 1280, 1920, 3840][CAST((doc_id // 4) % 4 AS INTEGER) + 1]
+      |    * 9 // 16 AS INTEGER) AS height,
+      |  CAST(n_chars AS BIGINT) AS mdat_bytes,
+      |  ((doc_id % 3600 + 1) * 100 * 1000) //
+      |    [600, 1000, 30000, 90000][CAST(doc_id % 4 AS INTEGER) + 1]
+      |      AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -- e11: continuous multimodal intake probe -----------------------------
   // m05's header parse joined to the streaming family (see
   // StreamingJobs.mediaIntakeStream): media files priced and
@@ -4363,6 +4442,7 @@ object Pipeline {
     "p05_multimodal_dedup" -> p05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
+    "m06_video_meta" -> m06,
     "m05_audio_meta" -> m05,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
@@ -4408,6 +4488,7 @@ object Pipeline {
     "p05_multimodal_dedup" -> p05Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
+    "m06_video_meta" -> m06Sql,
     "m05_audio_meta" -> m05Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,

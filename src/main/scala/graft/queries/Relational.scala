@@ -3538,8 +3538,91 @@ object Relational {
       |FROM spine p JOIN cums c ON 100 * c.cum >= p.percentile * c.n
       |GROUP BY 1 ORDER BY percentile""".stripMargin
 
+  // -- q86: minimum-n cell suppression -------------------------------------
+  // The privacy gate every published aggregate report applies before
+  // release (the reference's aggregate reports + embargo/admin release
+  // controls — Architecture.md "Aggregate Reporting", "Admin"; the
+  // min-n rule itself is the standard state-assessment reporting
+  // practice): a (org × performance-level) cell whose student count is
+  // below the configured minimum must not be published, and when
+  // exactly ONE cell in an org's row is suppressed, the row total
+  // would reveal it by subtraction — so the smallest remaining cell is
+  // suppressed too (classic complementary suppression, deterministic
+  // tie-break on level). Counts survive in the `suppressed`/`reason`
+  // audit columns; the published `n_published` goes NULL.
+  //
+  // Scale: one fact partial-agg shuffle to (org, level) cells under
+  // the broadcast dims; everything after — the primary flag, the
+  // per-org suppressed-count, the smallest-unsuppressed rank — is
+  // window arithmetic over the AGGREGATED frame (#orgs × #levels rows
+  // at any corpus size). The suppression logic never sees facts.
+  private val q86: Q = (s, d) => {
+    val minN = 10L
+    val cells = T.orders(s, d)
+      .join(T.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("level",
+        when(col("o_totalprice") < 100000, "L1_below")
+          .when(col("o_totalprice") < 200000, "L2_approaching")
+          .when(col("o_totalprice") < 350000, "L3_meets")
+          .otherwise("L4_exceeds"))
+      .groupBy(col("n_name"), col("level"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("n_name"))
+    val wRank = Window.partitionBy(col("n_name"))
+      .orderBy(col("is_primary"), col("n"), col("level"))
+    cells
+      .withColumn("is_primary", col("n") < minN)
+      .withColumn("n_suppressed", sum(when(col("is_primary"), 1L).otherwise(0L)).over(w))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("is_comp",
+        col("n_suppressed") === 1L && !col("is_primary") && col("rk") === 1)
+      .select(col("n_name"), col("level"), col("n"),
+        when(col("is_primary") || col("is_comp"), lit(null).cast(LongType))
+          .otherwise(col("n")).as("n_published"),
+        (col("is_primary") || col("is_comp")).as("suppressed"),
+        when(col("is_primary"), "primary")
+          .when(col("is_comp"), "complementary")
+          .otherwise(lit(null).cast(StringType)).as("reason"))
+      .orderBy(col("n_name"), col("level"))
+  }
+
+  private val q86Sql =
+    """WITH cells AS (
+      |  SELECT n.n_name,
+      |    CASE WHEN o.o_totalprice < 100000 THEN 'L1_below'
+      |      WHEN o.o_totalprice < 200000 THEN 'L2_approaching'
+      |      WHEN o.o_totalprice < 350000 THEN 'L3_meets'
+      |      ELSE 'L4_exceeds' END AS level,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |flagged AS (
+      |  SELECT n_name, level, n,
+      |    n < 10 AS is_primary,
+      |    CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY n_name) AS BIGINT) AS n_suppressed,
+      |    row_number() OVER (PARTITION BY n_name
+      |      ORDER BY n < 10, n, level) AS rk
+      |  FROM cells),
+      |marked AS (
+      |  SELECT n_name, level, n, is_primary,
+      |    n_suppressed = 1 AND NOT is_primary AND rk = 1 AS is_comp
+      |  FROM flagged)
+      |SELECT n_name, level, n,
+      |  CASE WHEN is_primary OR is_comp THEN NULL ELSE n END AS n_published,
+      |  is_primary OR is_comp AS suppressed,
+      |  CASE WHEN is_primary THEN 'primary'
+      |    WHEN is_comp THEN 'complementary' ELSE NULL END AS reason
+      |FROM marked ORDER BY n_name, level""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q86_cell_suppression" -> q86,
     "q79_growth_percentile" -> q79, "q80_growth_multi_year" -> q80,
     "q81_cohort_retention" -> q81, "q82_org_rollup" -> q82,
     "q83_trend_slope" -> q83, "q84_level_transition" -> q84,
@@ -3584,7 +3667,7 @@ object Relational {
     "q79_growth_percentile" -> q79Sql, "q80_growth_multi_year" -> q80Sql,
     "q81_cohort_retention" -> q81Sql, "q82_org_rollup" -> q82Sql,
     "q83_trend_slope" -> q83Sql, "q84_level_transition" -> q84Sql,
-    "q85_norms_build" -> q85Sql,
+    "q85_norms_build" -> q85Sql, "q86_cell_suppression" -> q86Sql,
     "q78_irt_theta" -> q78Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,

@@ -68,6 +68,71 @@ class MultimodalSpec extends SparkSpec {
       " 64617461 00000000")).isEmpty) // fmt size 12 < 16
   }
 
+  test("parseMp4Header walks ISO-BMFF boxes: containers, versions, largesize") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val matrix = "000100000000000000000000" +
+      "000000000001000000000000" + "000000000000000040000000"
+    val ftyp = "00000010 66747970 69736F6D 00000200"
+    def mvhd0(ts: String, du: String) =
+      s"0000006C 6D766864 00000000 00000000 00000000 $ts $du " +
+        "00010000 0100" + "00" * 10 + matrix + "00" * 24 + "00000002"
+    // minimal v0 file: ftyp + moov(mvhd) + mdat — no trak → dims 0
+    val minimal = hx(ftyp +
+      " 00000074 6D6F6F76 " + mvhd0("00000258", "000003E8") +
+      " 0000000C 6D646174 AABBCCDD")
+    assert(Multimodal.parseMp4Header(minimal) == Some((600, 1000L, 0, 0, 4L)))
+    // full shape: variable-length free box INSIDE moov before mvhd
+    // (fixed offsets desync), trak/tkhd with 16.16 dims, and an mdat
+    // whose declared size exceeds the probe's bytes (trusted)
+    val tkhd = "0000005C 746B6864 00000007 00000000 00000000 00000001 " +
+      "00000000 00057E40" + "00" * 8 + "0000000000000000" + matrix +
+      "02800000 01E00000"
+    val full = hx(ftyp +
+      " 000000E3 6D6F6F76" +
+      " 0000000B 66726565 414141 " + mvhd0("00015F90", "00057E40") +
+      " 00000064 7472616B " + tkhd +
+      " 00000010 6D646174 AB")
+    assert(Multimodal.parseMp4Header(full) ==
+      Some((90000, 360000L, 640, 480, 8L)))
+    // v1 mvhd (u64 times) and a largesize (size==1 → u64) mdat
+    val mvhd1 = "00000078 6D766864 01000000" + "00" * 16 +
+      "00000001" + "0000000000015F90" +
+      "00010000 0100" + "00" * 10 + matrix + "00" * 24 + "00000002"
+    val v1 = hx(ftyp +
+      " 00000080 6D6F6F76 " + mvhd1 +
+      " 00000001 6D646174 0000000000000018 4142")
+    assert(Multimodal.parseMp4Header(v1) == Some((1, 90000L, 0, 0, 8L)))
+    // negative space: first box not ftyp, truncated mvhd, unknown
+    // mvhd version, missing mdat, malformed (size < 8) box
+    assert(Multimodal.parseMp4Header(
+      hx("00000074 6D6F6F76 " + mvhd0("00000258", "000003E8"))).isEmpty)
+    assert(Multimodal.parseMp4Header(minimal.take(40)).isEmpty)
+    assert(Multimodal.parseMp4Header(hx(ftyp +
+      " 00000074 6D6F6F76 " +
+      mvhd0("00000258", "000003E8").replaceFirst("00000000", "02000000") +
+      " 0000000C 6D646174 AABBCCDD")).isEmpty)
+    assert(Multimodal.parseMp4Header(hx(ftyp +
+      " 00000074 6D6F6F76 " + mvhd0("00000258", "000003E8"))).isEmpty)
+    assert(Multimodal.parseMp4Header(hx(ftyp + " 00000005 6D646174")).isEmpty)
+  }
+
+  test("m06 parsed frame inverts the generator formulas on real table rows") {
+    val out = graft.queries.Pipeline.queries("m06_video_meta")(spark, sfDir)
+    val expected = graft.Tables.documents(spark, sfDir).selectExpr(
+      "doc_id",
+      "source",
+      "cast(element_at(array(600, 1000, 30000, 90000), cast(doc_id % 4 as int) + 1) as int) as timescale",
+      "cast((doc_id % 3600 + 1) * 100 as bigint) as duration_units",
+      "cast(element_at(array(640, 1280, 1920, 3840), cast((doc_id div 4) % 4 as int) + 1) as int) as width",
+      "cast(element_at(array(640, 1280, 1920, 3840), cast((doc_id div 4) % 4 as int) + 1) * 9 div 16 as int) as height",
+      "cast(n_chars as bigint) as mdat_bytes",
+      "((doc_id % 3600 + 1) * 100 * 1000) div element_at(array(600, 1000, 30000, 90000), cast(doc_id % 4 as int) + 1) as duration_ms")
+      .orderBy("doc_id")
+    assert(out.collect().toSeq == expected.collect().toSeq,
+      "every parsed field must equal the generator's formula — no unknown rows")
+  }
+
   test("parseHeaders maps partitions with the real parser; junk surfaces as unknown") {
     val pngHex = "89504E470D0A1A0A0000000D4948445200000002000000010806000000"
     val media = Seq(

@@ -595,6 +595,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "year pairing must be an equi-join")
   }
 
+  test("q86 suppression: broadcast dims, partial agg, logic over the cell frame") {
+    val p = plan("q86_cell_suppression")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim must broadcast:\n$p")
+    assert(p.contains("partial"), "fact agg must combine map-side")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+  }
+
+  test("q86 suppression invariants: primary rule, lone-hole complement, audit columns") {
+    val rows = SparkEntry.queries("q86_cell_suppression")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // primary rule: n < 10 ⇔ reason 'primary'
+    rows.foreach { r =>
+      val n = r.getLong(2); val reason = if (r.isNullAt(5)) null else r.getString(5)
+      assert((n < 10) == (reason == "primary"), s"primary rule violated: $r")
+      // published mirrors n exactly when unsuppressed, NULL when suppressed
+      if (r.getBoolean(4)) assert(r.isNullAt(3)) else assert(r.getLong(3) == n)
+    }
+    val byOrg = rows.groupBy(_.getString(0))
+    byOrg.foreach { case (org, cells) =>
+      val primaries = cells.count(r => !r.isNullAt(5) && r.getString(5) == "primary")
+      val comps = cells.filter(r => !r.isNullAt(5) && r.getString(5) == "complementary")
+      if (primaries == 1 && cells.length > 1)
+        assert(comps.length == 1, s"$org: lone hole needs one complement")
+      else assert(comps.isEmpty, s"$org: complement only for a lone hole")
+      // the complement is the SMALLEST unsuppressed cell (tie → level)
+      comps.foreach { c =>
+        val unsup = cells.filter(r =>
+          r.isNullAt(5) || r.getString(5) == "complementary")
+        val smallest = unsup.minBy(r => (r.getLong(2), r.getString(1)))
+        assert(c == smallest, s"$org: complement must be the smallest cell")
+      }
+    }
+    // the rule actually fires somewhere at this SF — the test has teeth
+    assert(rows.exists(r => !r.isNullAt(5) && r.getString(5) == "primary"))
+  }
+
   test("t18 hashed TF-IDF: df frame broadcast into the tf join, no cartesian fact join") {
     val p = plan("t18_tfidf_hashed")
     assert(p.contains("BroadcastHashJoin"), s"64-row df frame must broadcast:\n$p")
@@ -610,6 +646,12 @@ class PlanQualitySpec extends SparkSpec {
 
   test("m05 audio header parse is map-only before the output sort") {
     val p = plan("m05_audio_meta")
+    assert(!p.contains("hashpartitioning"),
+      s"no hash exchange in a pure parse pass:\n$p")
+  }
+
+  test("m06 video header parse is map-only before the output sort") {
+    val p = plan("m06_video_meta")
     assert(!p.contains("hashpartitioning"),
       s"no hash exchange in a pure parse pass:\n$p")
   }
