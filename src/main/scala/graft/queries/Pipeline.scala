@@ -4378,6 +4378,90 @@ object Pipeline {
        |  END AS epochs
        |FROM alloc ORDER BY source""".stripMargin
 
+  // -- p12: leakage-safe train/val/test split ------------------------------
+  // The split every training pipeline ends with, with the constraint
+  // naive per-doc draws violate: near-duplicate documents must land in
+  // the SAME split, or the eval set leaks the training set (the
+  // contamination d09 hunts, created at split time). Components over
+  // d04's LSH-banded candidate pairs (d14's scale-safe graph), then
+  // the split draw runs on the CLUSTER label — unclustered docs draw
+  // on their own id — via t07's salted-md5 bucket test (80/10/10 on
+  // the 256-bucket hex prefix, layout-independent and backfill-stable
+  // like every other draw in the engine). The output publishes the
+  // per-split volumes AND the audit that makes the guarantee
+  // checkable: cross_split_pairs, the number of candidate pairs whose
+  // ends landed in different splits — 0 by construction, MEASURED,
+  // not asserted.
+  //
+  // Scale: the pair graph is LSH-banded (sublinear — d04's story);
+  // components touch docs-in-pairs only; the draw is map-only over
+  // the corpus after ONE co-partitioned left join on the uniform
+  // doc_id key; the audit join is bounded by the pair count. No
+  // corpus window, no global sort before the 3-row output.
+  private val p12: Q = (s, d) => {
+    val pairs = d04(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+      .transform(graft.CacheScope.cached) // components + the audit both read it
+    val comps = Operators.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val assigned = T.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", substring(
+        md5(concat(col("split_key").cast(StringType), lit("|graft-split"))), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cd", "train")
+          .when(col("bucket") < "e7", "val")
+          .otherwise("test"))
+      .transform(graft.CacheScope.cached) // summary + both audit probes
+    val ends = assigned.select(col("doc_id"), col("split"))
+    val cross = pairs
+      .join(ends.toDF("a_id", "split_a"), "a_id")
+      .join(ends.toDF("b_id", "split_b"), "b_id")
+      .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+        .as("cross_split_pairs"))
+      .na.fill(0L, Seq("cross_split_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        count(col("cluster_id")).as("n_clustered_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(cross))
+      .orderBy(col("split"))
+  }
+
+  private val p12Sql =
+    s"""WITH RECURSIVE dpairs AS (
+       |  SELECT a_id, b_id FROM ($d04Sql) WHERE est_jaccard >= 0.5),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM dpairs
+       |      UNION ALL SELECT b_id, a_id FROM dpairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+       |         FROM reach GROUP BY src),
+       |assigned AS (
+       |  SELECT d.doc_id, d.n_chars, c.cluster_id,
+       |    CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
+       |        || '|graft-split'), 1, 2) < 'cd' THEN 'train'
+       |      WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
+       |        || '|graft-split'), 1, 2) < 'e7' THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |cross_cnt AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS cross_split_pairs
+       |  FROM dpairs p
+       |  JOIN assigned a ON p.a_id = a.doc_id
+       |  JOIN assigned b ON p.b_id = b.doc_id)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(COUNT(cluster_id) AS BIGINT) AS n_clustered_docs,
+       |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  (SELECT cross_split_pairs FROM cross_cnt) AS cross_split_pairs
+       |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+
   // -- e09: continuous latency monitor (stateful, oracle-certified) --------
   // The q62/q63 created→updated derivation as a flatMapGroupsWithState
   // operator (StreamingJobs.latencyExact): one long of state per user,
@@ -4421,6 +4505,7 @@ object Pipeline {
     "d15_dedup_semantic" -> d15,
     "p08_release_diff" -> p08,
     "p10_pack_learned" -> p10, "p11_budget_waterfill" -> p11,
+    "p12_leakage_safe_split" -> p12,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
@@ -4466,6 +4551,7 @@ object Pipeline {
     "d13_dedup_keeper_quality" -> d13Sql, "d14_dedup_keeper_banded" -> d14Sql,
     "d15_dedup_semantic" -> d15Sql,
     "p08_release_diff" -> p08Sql, "p11_budget_waterfill" -> p11Sql,
+    "p12_leakage_safe_split" -> p12Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,

@@ -631,6 +631,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(5) && r.getString(5) == "primary"))
   }
 
+  test("p12 split: corpus conserved, 80/10/10-ish, and zero cross-split leakage") {
+    val rows = SparkEntry.queries("p12_leakage_safe_split")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "every doc lands in exactly one split")
+    // the guarantee the operator exists for: no candidate pair straddles
+    // splits — measured by the query itself, asserted here
+    rows.foreach(r => assert(r.getLong(5) == 0L, s"leaked pairs: $r"))
+    val train = rows.find(_.getString(0) == "train").get.getLong(1).toDouble / nDocs
+    assert(train > 0.6 && train < 0.95, s"train fraction off: $train")
+    // clustered docs exist at this SF (the dedup corpus is adversarially
+    // duplicated) — without them the leakage guarantee is vacuous
+    assert(rows.map(_.getLong(3)).sum > 0, "expected clustered docs")
+  }
+
   test("t18 hashed TF-IDF: df frame broadcast into the tf join, no cartesian fact join") {
     val p = plan("t18_tfidf_hashed")
     assert(p.contains("BroadcastHashJoin"), s"64-row df frame must broadcast:\n$p")
