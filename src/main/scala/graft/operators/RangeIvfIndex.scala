@@ -42,6 +42,56 @@ object RangeIvfIndex {
     (s.read.parquet(s"$path/assigned"),
      s.read.parquet(s"$path/cells"))
 
+  /** Append a delta batch of (vec_id, embedding) vectors to a
+    * persisted index WITHOUT a refit — the maintenance operation an
+    * arriving-data deployment runs per batch (s12's claim, on disk):
+    *
+    *  - each delta vector is assigned to the nearest FROZEN centroid
+    *    (one compiled NearestClusters pass over the delta; the k-row
+    *    cells frame is the only other input — the base corpus is
+    *    never rescanned);
+    *  - its rows land as NEW files inside the existing
+    *    `assigned/cluster=` partition directories (append mode);
+    *  - each touched cell's angular radius shrinks by a delta-sized
+    *    min-merge (min is associative, so the rewritten k-row cells
+    *    frame equals a full radius recompute over these centroids).
+    *
+    * Exactness of every later [[probe]]/[[topk]] is preserved: the
+    * admission bound only requires each member to be counted in its
+    * assigned cell's radius, which the merge guarantees. */
+  def append(s: SparkSession, path: String, delta: DataFrame): Unit = {
+    val cells = s.read.parquet(s"$path/cells")
+      .orderBy(col("cluster")).collect()
+    val ids = cells.map(_.getInt(0))
+    val cents = cells.map(_.getSeq[Double](1).toArray)
+    val idLookup = org.apache.spark.sql.functions.array(ids.map(lit): _*)
+    val assignedDelta = delta
+      .withColumn("slot", element_at(
+        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
+      // NearestClusters ranks the POSITION in the centroid array;
+      // remap to the persisted cluster ids (cells stores non-empty
+      // cells only, so ids need not be contiguous)
+      .withColumn("cluster", element_at(idLookup, col("slot") + 1))
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
+    assignedDelta.write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/assigned")
+    val cellsDf = s.read.parquet(s"$path/cells")
+    val deltaMins = assignedDelta
+      .join(broadcast(cellsDf.select(col("cluster"), col("cv"))), "cluster")
+      .groupBy(col("cluster"))
+      .agg(min(graft.functions.VectorFunctions.cosine(col("embedding"), col("cv")))
+        .as("bmin_delta"))
+    val merged = cellsDf.join(deltaMins, Seq("cluster"), "left")
+      .select(col("cluster"), col("cv"),
+        least(col("bmin"), coalesce(col("bmin_delta"), lit(1d))).as("bmin"))
+    // k rows: stage through memory, then overwrite the cells frame
+    val staged = merged.collect().toSeq
+    import s.implicits._
+    staged.map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toDF("cluster", "cv", "bmin")
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
   /** Range search over a persisted index: for each query vector, all
     * corpus vectors with cosine ≥ tau — exactly the brute-force rows.
     * `queries` must expose (q_id, q_vec). */

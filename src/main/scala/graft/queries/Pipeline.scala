@@ -3178,6 +3178,104 @@ object Pipeline {
        |ORDER BY g.method, g.q_id""".stripMargin
   }
 
+  // -- s12: incremental index maintenance (delta-append, still exact) ------
+  // The operation a deployed vector index lives or dies by: vectors
+  // ARRIVE, and rebuilding the quantizer per batch is the cost the
+  // index exists to avoid. s12 is s07's range search where the index
+  // was built BEFORE a delta batch existed: fit + assignment + cell
+  // radii on the base corpus only, then the delta appends WITHOUT a
+  // refit — each new vector assigned to the FROZEN centroids (the
+  // same compiled NearestClusters probe, map-only over the delta),
+  // and each touched cell's angular radius updated by a delta-sized
+  // min-merge (bmin' = min(bmin, delta member cosines) — min is
+  // associative, so the merged radius equals the full-rebuild radius
+  // over THESE centroids). The admission proof only needs every
+  // member counted in its cell's radius, so the probe still emits
+  // EXACTLY the brute-force rows over base ∪ delta — incremental
+  // maintenance changes the cost, never the answer. The oracle
+  // replays the base-only fit + frozen assignment of everything +
+  // the merged-radius probe; q47 is the same claim for aggregates.
+  //
+  // Scale: the delta path touches delta rows + k cells — no base
+  // rescan anywhere (the base frames are the persisted index;
+  // IndexSpec proves the same append against RangeIvfIndex on disk).
+  // Build-time n comes from the build's own scan; probes stay
+  // admitted-list-sized.
+  private val s12: Q = (s, d) => {
+    import s.implicits._
+    val tau = 0.35
+    val all = T.embeddings(s, d)
+    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
+    val base = all.filter(!isDelta)
+    val delta = all.filter(isDelta)
+    val nBase = base.count() // build-time metadata (the build scans anyway)
+    val k = math.max(16, math.ceil(math.sqrt(nBase.toDouble)).toInt)
+    val (assignedBase, cents) = kmeansAssignDf(base, k, nBase)
+    val cells = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cluster", "cv")
+    val baseCands = assignedBase.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
+    val baseMeta = baseCands.join(broadcast(cells), "cluster")
+      .groupBy(col("cluster"))
+      .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin_base"))
+    // ---- the append: frozen centroids, no refit, no base rescan ----
+    val deltaCands = delta
+      .withColumn("cluster", element_at(
+        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
+    val deltaMeta = deltaCands.join(broadcast(cells), "cluster")
+      .groupBy(col("cluster"))
+      .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin_delta"))
+    val merged = baseMeta.join(deltaMeta, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        least(coalesce(col("bmin_base"), lit(1d)),
+          coalesce(col("bmin_delta"), lit(1d))).as("bmin"))
+      .join(broadcast(cells), "cluster")
+      .select(col("cluster"), col("cv"), col("bmin"))
+    val cands = baseCands.unionByName(deltaCands)
+    val qs = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    rangeIvfProbe(cands, rangeIvfAdmit(merged, qs, tau), tau)
+  }
+
+  // The fit CTEs run on the BASE subset (what existed at build time);
+  // the assignment CTE ranks EVERY vector against those frozen
+  // centroids — base and delta land exactly where the engine put
+  // them — and the cell radii take the min over all members, which is
+  // algebraically the engine's base+delta min-merge.
+  private val s12Sql: String =
+    s"""WITH ${graft.operators.IntLloyd.fitSql(
+        srcSql = "SELECT vec_id, embedding FROM embeddings " +
+          "WHERE NOT (vec_id >= 10 AND vec_id % 7 = 3)",
+        idExpr = "vec_id", vecExpr = "embedding",
+        numSub = 1, subLen = EmbDim,
+        kExpr = "GREATEST(16, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
+        capExpr = "GREATEST(2048, 64*k)",
+        iters = CoarseIters, salt = "kmtrain", p = "km")},
+       |${coarseAsgSql(maxRn = 1)},
+       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
+       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
+       |cellstat AS (
+       |  SELECT c.cluster,
+       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
+       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+       |qc AS (
+       |  SELECT q.q_id, q.q_vec, s.cluster, s.bmin,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
+       |  FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster),
+       |adm AS (
+       |  SELECT q_id, q_vec, cluster FROM qc
+       |  WHERE a >= bmin
+       |     OR a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin)) >= 0.35)
+       |SELECT a2.q_id, c.cand_id,
+       |  list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
+       |                         CAST(c.embedding AS DOUBLE[])) AS cosine
+       |FROM cand c JOIN adm a2 ON c.cluster = a2.cluster
+       |WHERE list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) >= 0.35
+       |ORDER BY q_id, cand_id""".stripMargin
+
   // -- s09: exact MIPS (maximum inner product search) ----------------------
   // Dense-retrieval scoring is an INNER PRODUCT, not a cosine — and
   // the classic reduction (Bachrach et al. 2014 / Shrivastava & Li's
@@ -4514,7 +4612,7 @@ object Pipeline {
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
     "s09_ann_mips" -> s09, "s10_ann_filtered" -> s10,
-    "s11_ann_recall_report" -> s11,
+    "s11_ann_recall_report" -> s11, "s12_ann_delta_append" -> s12,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -4556,6 +4654,7 @@ object Pipeline {
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
     "s10_ann_filtered" -> s10Sql, "s11_ann_recall_report" -> s11Sql,
+    "s12_ann_delta_append" -> s12Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,

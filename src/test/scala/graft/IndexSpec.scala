@@ -57,6 +57,37 @@ class IndexSpec extends SparkSpec {
         s"extra=${ivf.diff(s05).take(3)}")
   }
 
+  test("delta-append maintains the on-disk index exactly: probe equals brute force over base ∪ delta") {
+    val dir = java.nio.file.Files.createTempDirectory("s12idx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
+    val base = emb.filter(!isDelta)
+    val delta = emb.filter(isDelta).select(col("vec_id"), col("embedding"))
+    assert(delta.count() > 0, "delta batch must be non-empty")
+    // build on the base ONLY, then append the arriving batch
+    graft.operators.RangeIvfIndex.write(spark, base, base.count(), dir)
+    val cellsBefore = spark.read.parquet(s"$dir/cells")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    graft.operators.RangeIvfIndex.append(spark, dir, delta)
+    // radii only ever shrink (min-merge), and the cell count is stable
+    val cellsAfter = spark.read.parquet(s"$dir/cells")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(cellsAfter.keySet == cellsBefore.keySet)
+    assert(cellsAfter.forall { case (c, b) => b <= cellsBefore(c) })
+    // every appended vector is findable and the probe is EXACT: the
+    // maintained index answers identically to brute force over the
+    // whole corpus (base ∪ delta)
+    val tau = 0.3
+    val probed = graft.operators.RangeIvfIndex.probe(spark, dir, embQueries, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = SparkEntry.queries("s06_ann_range_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty)
+    assert(probed == brute,
+      s"maintained index must stay exact: missing=${brute.diff(probed).take(3)} " +
+        s"extra=${probed.diff(brute).take(3)}")
+  }
+
   test("persisted MIPS index probe equals s09 row-for-row (exactness survives the split fit)") {
     val dir = java.nio.file.Files.createTempDirectory("mipsidx").toString
     val emb = Tables.embeddings(spark, sfDir)
