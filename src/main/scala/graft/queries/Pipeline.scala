@@ -2298,6 +2298,85 @@ object Pipeline {
        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e12: continuous score-distribution drift monitor --------------------
+  // q87 joined to the streaming family (StreamingJobs.distDriftStream):
+  // the baseline level distribution is fit OFFLINE on the 1997
+  // results and FROZEN (e10's frozen-vocab pattern), and every
+  // arriving window's level mix is chi-square-tested against it in
+  // q87's exact integer micro-units — one streaming aggregation, the
+  // fold is per-row arithmetic after it, so stream == batch == the
+  // DuckDB replay bit-for-bit. Batch run of the same code path is
+  // the oracle (e04's certification class); StreamingSpec proves the
+  // incremental run matches and pins the term arithmetic by hand.
+  private val e12: Q = (s, d) => {
+    val li = when(col("o_totalprice") < 100000, 1)
+      .when(col("o_totalprice") < 200000, 2)
+      .when(col("o_totalprice") < 350000, 3).otherwise(4)
+    // the offline baseline fit: 4 longs, the monitor's frozen config
+    // (learnedVocab's bounded-collect class)
+    val b = T.orders(s, d).filter(year(col("o_orderdate")) === 1997)
+      .withColumn("li", li)
+      .agg(
+        sum(when(col("li") === 1, 1L).otherwise(0L)),
+        sum(when(col("li") === 2, 1L).otherwise(0L)),
+        sum(when(col("li") === 3, 1L).otherwise(0L)),
+        sum(when(col("li") === 4, 1L).otherwise(0L)))
+      .head()
+    val baseline = Seq(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    graft.streaming.StreamingJobs.distDriftStream(
+      T.orders(s, d).select(col("o_orderdate").as("ts"),
+        col("o_totalprice").as("price")), baseline)
+      .orderBy(col("window_start"))
+  }
+
+  // The 30-day tumbling window replays as epoch-aligned floor
+  // division (Spark's TimeWindow origin is 1970-01-01 UTC); the
+  // chi-square terms replay in HUGEINT exactly as q87's.
+  private val e12Sql =
+    """WITH bc AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(SUM(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 350000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |    CAST(SUM(CASE WHEN o_totalprice >= 350000 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+      |    CAST(COUNT(*) AS BIGINT) AS n1
+      |  FROM orders WHERE year(o_orderdate) = 1997),
+      |w AS (
+      |  SELECT TIMESTAMP '1970-01-01 00:00:00' +
+      |      ((CAST(epoch(o_orderdate) AS BIGINT) // 2592000) * 2592000)
+      |      * INTERVAL 1 SECOND AS window_start,
+      |    CAST(SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+      |    CAST(SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS o2,
+      |    CAST(SUM(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 350000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS o3,
+      |    CAST(SUM(CASE WHEN o_totalprice >= 350000 THEN 1 ELSE 0 END) AS BIGINT) AS o4,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cur
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT w.*, bc.c1, bc.c2, bc.c3, bc.c4, bc.n1 FROM w, bc),
+      |f AS (
+      |  SELECT window_start, o1, o2, o3, o4, n_cur,
+      |    CAST((CAST(o1 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n_cur)
+      |      * (CAST(o1 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n_cur)
+      |      * 1000000 // (CAST(c1 AS HUGEINT) * n1 * n_cur) AS BIGINT)
+      |    + CAST((CAST(o2 AS HUGEINT) * n1 - CAST(c2 AS HUGEINT) * n_cur)
+      |      * (CAST(o2 AS HUGEINT) * n1 - CAST(c2 AS HUGEINT) * n_cur)
+      |      * 1000000 // (CAST(c2 AS HUGEINT) * n1 * n_cur) AS BIGINT)
+      |    + CAST((CAST(o3 AS HUGEINT) * n1 - CAST(c3 AS HUGEINT) * n_cur)
+      |      * (CAST(o3 AS HUGEINT) * n1 - CAST(c3 AS HUGEINT) * n_cur)
+      |      * 1000000 // (CAST(c3 AS HUGEINT) * n1 * n_cur) AS BIGINT)
+      |    + CAST((CAST(o4 AS HUGEINT) * n1 - CAST(c4 AS HUGEINT) * n_cur)
+      |      * (CAST(o4 AS HUGEINT) * n1 - CAST(c4 AS HUGEINT) * n_cur)
+      |      * 1000000 // (CAST(c4 AS HUGEINT) * n1 * n_cur) AS BIGINT)
+      |      AS chi2_micro
+      |  FROM t)
+      |SELECT window_start, o1, o2, o3, o4, n_cur, chi2_micro,
+      |  chi2_micro / 1000000.0 AS chi2,
+      |  chi2_micro > 7814728 AS drift
+      |FROM f ORDER BY window_start""".stripMargin
+
   // ------------------------------------------------------------------------
   // -- e06: continuous OLAP aggregate maintenance --------------------------
   // The read path of StreamingJobs.olapMigrateStream (RDW Migrate
@@ -4631,6 +4710,7 @@ object Pipeline {
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
     "e10_stream_token_volume" -> e10, "e11_stream_media_intake" -> e11,
+    "e12_stream_drift" -> e12,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
     "e09_stream_latency_monitor" -> e09)
@@ -4679,6 +4759,7 @@ object Pipeline {
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
     "e10_stream_token_volume" -> e10Sql, "e11_stream_media_intake" -> e11Sql,
+    "e12_stream_drift" -> e12Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
     "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql,
     "e09_stream_latency_monitor" -> e09Sql)

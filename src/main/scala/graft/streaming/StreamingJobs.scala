@@ -155,6 +155,54 @@ object StreamingJobs {
         col("audio_bytes"), col("audio_ms"))
   }
 
+  /** e12: continuous score-distribution drift monitor — q87's
+    * exact-integer chi-square run against the INTAKE stream instead
+    * of nightly between years (the shape a data-quality SLO consumes:
+    * "did this window's level mix depart from the frozen baseline?").
+    * The baseline distribution is fit OFFLINE and FROZEN (e10's
+    * frozen-vocab pattern — a deployed monitor does not refit its
+    * reference per batch): `baseline` is the 4 level counts, and
+    * every arriving result is leveled map-side, single-agg'd to the
+    * window's 4 pivoted level counts (streaming-legal: ONE
+    * aggregation, the chi-square fold is per-row arithmetic after
+    * it), then each term (O·N1 − C·N2)²·1e6 div (C·N1·N2) is q87's
+    * exact DECIMAL(38) integer floor division — the 4-term sum is
+    * exact BIGINT addition, so stream == batch == DuckDB replay with
+    * no float fold order anywhere. drift compares against the
+    * χ²₀.₀₅(df=3) critical value in the same micro-units.
+    *
+    * Scale: leveling map-side; one (window) shuffle of 6 longs per
+    * partial; state bounded to watermark-horizon / window rows. */
+  def distDriftStream(results: DataFrame, baseline: Seq[Long]): DataFrame = {
+    require(baseline.length == 4 && baseline.forall(_ > 0),
+      "baseline must give every level positive mass (E > 0)")
+    val n1 = baseline.sum
+    def term(o: String, c: Long): String =
+      s"CAST((CAST($o AS DECIMAL(38,0)) * $n1 - CAST($c AS DECIMAL(38,0)) * n_cur) " +
+        s"* (CAST($o AS DECIMAL(38,0)) * $n1 - CAST($c AS DECIMAL(38,0)) * n_cur) " +
+        s"* 1000000 div (CAST($c AS DECIMAL(38,0)) * $n1 * n_cur) AS BIGINT)"
+    val li = when(col("price") < 100000, 1).when(col("price") < 200000, 2)
+      .when(col("price") < 350000, 3).otherwise(4)
+    results
+      .withWatermark("ts", "60 days")
+      .withColumn("li", li)
+      .groupBy(window(col("ts"), "30 days"))
+      .agg(
+        sum(when(col("li") === 1, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("li") === 2, 1L).otherwise(0L)).as("o2"),
+        sum(when(col("li") === 3, 1L).otherwise(0L)).as("o3"),
+        sum(when(col("li") === 4, 1L).otherwise(0L)).as("o4"),
+        count(lit(1)).as("n_cur"))
+      .withColumn("chi2_micro", expr(
+        s"${term("o1", baseline(0))} + ${term("o2", baseline(1))} + " +
+          s"${term("o3", baseline(2))} + ${term("o4", baseline(3))}"))
+      .select(col("window.start").as("window_start"),
+        col("o1"), col("o2"), col("o3"), col("o4"), col("n_cur"),
+        col("chi2_micro"),
+        (col("chi2_micro") / lit(1000000.0)).as("chi2"),
+        (col("chi2_micro") > 7814728L).as("drift")) // χ²₀.₀₅, df = 3
+  }
+
   /** e08: continuously-maintained count-min sketch over a document
     * stream — the streaming form of t10's heavy-hitter pass (a
     * boilerplate/stopword gate a training-data pipeline runs on its

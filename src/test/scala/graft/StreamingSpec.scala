@@ -118,6 +118,40 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 3L)))
   }
 
+  test("distDriftStream: incremental equals batch; chi-square terms pinned by hand") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen baseline: counts (2,1,1,1), N1 = 5 — every level E > 0
+    val baseline = Seq(2L, 1L, 1L, 1L)
+    val rows = Seq(
+      (ts("2024-01-05 00:00:00"), 50000.0),   // L1 — window A
+      (ts("2024-01-10 00:00:00"), 150000.0),  // L2 — window A
+      (ts("2024-02-20 00:00:00"), 400000.0))  // L4 — window B (batch 2)
+    val ms = MemoryStream[(Timestamp, Double)]
+    ms.addData(rows.take(2))
+    ms.addData(rows.drop(2))
+    val q = StreamingJobs.distDriftStream(
+        ms.toDF().toDF("ts", "price"), baseline)
+      .writeStream.format("memory").queryName("t_drift")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_drift").orderBy("window_start")
+      .select("window_start", "o1", "o2", "o3", "o4", "n_cur", "chi2_micro", "drift")
+      .collect().toSeq
+    val batch = StreamingJobs.distDriftStream(
+        rows.toDF("ts", "price"), baseline)
+      .orderBy("window_start")
+      .select("window_start", "o1", "o2", "o3", "o4", "n_cur", "chi2_micro", "drift")
+      .collect().toSeq
+    assert(streamed == batch, "stream and batch code path must agree")
+    // window A: O=(1,1,0,0), N2=2 →
+    //   (1·5−2·2)²·1e6/(2·5·2)=50000, (5−2)²·1e6/10=900000,
+    //   (0−2)²·1e6/10=400000, 400000 → 1 750 000
+    assert(streamed(0).getLong(6) == 1750000L && !streamed(0).getBoolean(7))
+    // window B: O=(0,0,0,1), N2=1 →
+    //   (0−2)²·1e6/10=400000, 200000, 200000, (5−1)²·1e6/5=3200000 → 4 000 000
+    assert(streamed(1).getLong(6) == 4000000L && !streamed(1).getBoolean(7))
+  }
+
   test("mediaIntakeStream: incremental equals batch; junk surfaces in n_unparseable") {
     implicit val sqlCtx = spark.sqlContext
     def hx(s: String): Array[Byte] =
