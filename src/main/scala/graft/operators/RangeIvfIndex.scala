@@ -92,15 +92,39 @@ object RangeIvfIndex {
       .write.mode("overwrite").parquet(s"$path/cells")
   }
 
+  /** Tombstone a batch of vector ids WITHOUT touching the lists or
+    * the radii (s13's claim, on disk): deletes append id files under
+    * `tombstones/`; probes anti-join them. Stale cell radii stay
+    * valid bounds — a removed member can only RAISE the true min
+    * cosine, so the too-wide cone admits conservatively and every
+    * probe remains exact over the survivors. Compaction (rewriting
+    * lists minus tombstones and re-aggregating radii) is a cost
+    * optimization on its own schedule, never a correctness need.
+    * `ids` must expose cand_id. */
+  def delete(s: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("cand_id")).write.mode("append")
+      .parquet(s"$path/tombstones")
+
+  /** The candidate frame minus any tombstoned ids (broadcast
+    * anti-join on the uniform key; absent tombstone dir = identity). */
+  private def live(s: SparkSession, path: String, cands: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      cands.join(broadcast(s.read.parquet(p.toString)), Seq("cand_id"), "left_anti")
+    else cands
+  }
+
   /** Range search over a persisted index: for each query vector, all
-    * corpus vectors with cosine ≥ tau — exactly the brute-force rows.
+    * corpus vectors with cosine ≥ tau — exactly the brute-force rows
+    * (over live members, if deletes were applied).
     * `queries` must expose (q_id, q_vec). */
   def probe(s: SparkSession, path: String, queries: DataFrame,
             tau: Double): DataFrame = {
     val (cands, cellMeta) = read(s, path)
     val admitted = graft.queries.Pipeline.rangeIvfAdmit(
       cellMeta, queries.select(col("q_id"), col("q_vec")), tau)
-    graft.queries.Pipeline.rangeIvfProbe(cands, admitted, tau)
+    graft.queries.Pipeline.rangeIvfProbe(live(s, path, cands), admitted, tau)
   }
 
   /** Exact top-k over a persisted index (s08's seed-then-prove):
@@ -110,7 +134,8 @@ object RangeIvfIndex {
            k: Int, seedCells: Int = 3): DataFrame = {
     val (cands, cellMeta) = read(s, path)
     graft.queries.Pipeline.topkProbe(
-      cands, cellMeta, queries.select(col("q_id"), col("q_vec")), k, seedCells)
+      live(s, path, cands), cellMeta,
+      queries.select(col("q_id"), col("q_vec")), k, seedCells)
   }
 
   /** s03-style nProbe top-k over a persisted index: probe each
@@ -131,7 +156,7 @@ object RangeIvfIndex {
         graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
       .select(col("q_id"), col("q_vec"), col("cluster"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    cands.join(broadcast(probes), "cluster")
+    live(s, path, cands).join(broadcast(probes), "cluster")
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine(col("q_vec"), col("embedding")))
       .withColumn("rn", row_number().over(w))

@@ -3355,6 +3355,73 @@ object Pipeline {
        |                             CAST(c.embedding AS DOUBLE[])) >= 0.35
        |ORDER BY q_id, cand_id""".stripMargin
 
+  // -- s13: tombstone deletes on the IVF index (still exact) ---------------
+  // The other half of index maintenance (s12 appends, s13 deletes):
+  // vectors LEAVE — takedowns, TTL expiry, re-embedded docs — and
+  // rewriting inverted lists per delete batch is the cost a deployed
+  // index avoids with TOMBSTONES. The subtle part is the cell
+  // metadata: bmin was fit over members INCLUDING the deleted ones,
+  // and after a delete the stale radius is too WIDE (the true min
+  // over survivors can only be larger). But a too-wide radius is the
+  // CONSERVATIVE direction for the admission proof — it can only
+  // admit extra cells, never skip a qualifying one — so tombstone
+  // deletes need ZERO radius maintenance to stay exact: the probe
+  // anti-joins the tombstone set and still emits exactly the
+  // brute-force rows over the survivors. (Append must merge radii —
+  // s12 — because a new member could fall OUTSIDE the stale cone;
+  // a removed member never invalidates it. The asymmetry is the
+  // whole design.) Compaction becomes a cost optimization run on its
+  // own schedule, not a correctness obligation.
+  //
+  // Scale: the tombstone set ships as a broadcast anti-join on the
+  // uniform cand_id key (delete batches are small by nature); no
+  // list rewrite, no radius recompute, no corpus pass beyond s07's
+  // own probe.
+  private val s13: Q = (s, d) => {
+    val tau = 0.35
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    // the index as built BEFORE the deletes (stale radii, by design)
+    val (cands, cellMeta) = rangeIvfIndex(s, emb, n)
+    val tombstones = emb.filter(col("vec_id") >= 10 && col("vec_id") % 11 === 5)
+      .select(col("vec_id").as("cand_id"))
+    val live = cands.join(broadcast(tombstones), Seq("cand_id"), "left_anti")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    rangeIvfProbe(live, rangeIvfAdmit(cellMeta, qs, tau), tau)
+  }
+
+  // The oracle replays the STALE radii deliberately: cellstat runs
+  // over ALL members (deleted included) — the conservative bound the
+  // engine probes with — and only the final candidate set excludes
+  // tombstones. Hash equality proves the no-maintenance claim.
+  private val s13Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 1)},
+       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
+       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
+       |cellstat AS (
+       |  SELECT c.cluster,
+       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
+       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
+       |live AS (SELECT * FROM cand WHERE NOT (cand_id % 11 = 5)),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+       |qc AS (
+       |  SELECT q.q_id, q.q_vec, s.cluster, s.bmin,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
+       |  FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster),
+       |adm AS (
+       |  SELECT q_id, q_vec, cluster FROM qc
+       |  WHERE a >= bmin
+       |     OR a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin)) >= 0.35)
+       |SELECT a2.q_id, c.cand_id,
+       |  list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
+       |                         CAST(c.embedding AS DOUBLE[])) AS cosine
+       |FROM live c JOIN adm a2 ON c.cluster = a2.cluster
+       |WHERE list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) >= 0.35
+       |ORDER BY q_id, cand_id""".stripMargin
+
   // -- s09: exact MIPS (maximum inner product search) ----------------------
   // Dense-retrieval scoring is an INNER PRODUCT, not a cosine — and
   // the classic reduction (Bachrach et al. 2014 / Shrivastava & Li's
@@ -4692,6 +4759,7 @@ object Pipeline {
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
     "s09_ann_mips" -> s09, "s10_ann_filtered" -> s10,
     "s11_ann_recall_report" -> s11, "s12_ann_delta_append" -> s12,
+    "s13_ann_tombstone_delete" -> s13,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -4734,7 +4802,7 @@ object Pipeline {
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
     "s10_ann_filtered" -> s10Sql, "s11_ann_recall_report" -> s11Sql,
-    "s12_ann_delta_append" -> s12Sql,
+    "s12_ann_delta_append" -> s12Sql, "s13_ann_tombstone_delete" -> s13Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,

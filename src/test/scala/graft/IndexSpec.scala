@@ -88,6 +88,70 @@ class IndexSpec extends SparkSpec {
         s"extra=${probed.diff(brute).take(3)}")
   }
 
+  test("tombstone delete: zero radius maintenance, probe exact over survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("s13idx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.RangeIvfIndex.write(
+      spark, emb, Tables.embeddingsCount(spark, sfDir), dir)
+    val cellsBefore = spark.read.parquet(s"$dir/cells").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val doomed = emb.filter(col("vec_id") >= 10 && col("vec_id") % 11 === 5)
+      .select(col("vec_id").as("cand_id"))
+    assert(doomed.count() > 0)
+    graft.operators.RangeIvfIndex.delete(spark, dir, doomed)
+    // the claim: the cells frame is UNTOUCHED — stale radii stay valid
+    val cellsAfter = spark.read.parquet(s"$dir/cells").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(cellsAfter == cellsBefore, "delete must not rewrite the radii")
+    val tau = 0.3
+    val probed = graft.operators.RangeIvfIndex.probe(spark, dir, embQueries, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = SparkEntry.queries("s06_ann_range_search")(spark, sfDir)
+      .filter(col("cand_id") % 11 =!= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty)
+    assert(probed == brute,
+      s"probe must be exact over survivors: missing=${brute.diff(probed).take(3)} " +
+        s"extra=${probed.diff(brute).take(3)}")
+    // no tombstoned id ever surfaces
+    assert(probed.forall(_._2 % 11 != 5))
+  }
+
+  test("streaming intake maintains the on-disk index: foreachBatch append stays exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sStreamIdx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
+    graft.operators.RangeIvfIndex.write(
+      spark, emb.filter(!isDelta), emb.filter(!isDelta).count(), dir)
+    // the delta arrives as a STREAM, two micro-batches; each batch is
+    // appended by the same maintenance call the batch path uses
+    val delta = emb.filter(isDelta).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(b1); ms.addData(b2)
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.RangeIvfIndex.append(spark, dir,
+          batch.select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val tau = 0.3
+    val probed = graft.operators.RangeIvfIndex.probe(spark, dir, embQueries, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = SparkEntry.queries("s06_ann_range_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed == brute,
+      s"stream-maintained index must stay exact: missing=${brute.diff(probed).take(3)} " +
+        s"extra=${probed.diff(brute).take(3)}")
+  }
+
   test("persisted MIPS index probe equals s09 row-for-row (exactness survives the split fit)") {
     val dir = java.nio.file.Files.createTempDirectory("mipsidx").toString
     val emb = Tables.embeddings(spark, sfDir)
