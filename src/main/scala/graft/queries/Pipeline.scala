@@ -4451,6 +4451,70 @@ object Pipeline {
       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  // -- t19: intra-document repeated-segment removal (a TRANSFORM) ----------
+  // The t-family's first REWRITE: d11 reports cross-document
+  // boilerplate, t08 scores repetition — t19 actually removes it,
+  // the within-document repeated-paragraph scrub every web-scale
+  // curation recipe applies before anything else sees the text.
+  // Segments are d11's unit (non-overlapping 8-token windows); within
+  // a doc, only the FIRST occurrence of each distinct segment
+  // survives, the sub-segment tail rides along untouched, and the
+  // cleaned text is re-joined in original order. First-occurrence
+  // selection is a higher-order filter over the doc's own segment
+  // array (array_position = first index), so the whole transform is
+  // ONE map-only pass — no shuffle of any kind before the output
+  // sort; per-row cost is bounded by the document-length contract,
+  // never the corpus. The same HOF pair replays in DuckDB
+  // (list_filter index is 1-based where Spark's is 0-based — the
+  // oracle encodes the off-by-one, which is itself a parity check).
+  // The gate corpus happens to contain no within-doc 8-token repeats
+  // (sum(n_dropped) = 0 — both engines agree, which is itself the
+  // replay), so PipelineScaleSpec drives this same helper on a
+  // crafted repetitive frame to prove the removal/reassembly
+  // semantics have teeth.
+  private[graft] def intraDocDedup(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CASE WHEN size(toks) >= 8 THEN transform(sequence(0, size(toks) div 8 - 1), " +
+          "i -> array_join(slice(toks, CAST(i*8+1 AS INT), 8), ' ')) " +
+          "ELSE array() END AS segs",
+        "slice(toks, CAST((size(toks) div 8)*8 + 1 AS INT), CAST(size(toks) % 8 AS INT)) AS tail")
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(size(segs) AS BIGINT) AS n_segments",
+        "filter(segs, (s, i) -> array_position(segs, s) = i + 1) AS kept",
+        "tail")
+      .selectExpr("doc_id", "n_tokens", "n_segments",
+        "CAST(size(kept) AS BIGINT) AS n_kept",
+        "CAST(n_segments - size(kept) AS BIGINT) AS n_dropped",
+        "array_join(concat(kept, tail), ' ') AS clean_text")
+      .orderBy(col("doc_id"))
+
+  private val t19: Q = (s, d) => intraDocDedup(docsSpread(s, d))
+
+  private val t19Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(toks) >= 8 THEN
+      |      list_transform(generate_series(0, len(toks)//8 - 1),
+      |        i -> array_to_string(toks[i*8+1 : i*8+8], ' '))
+      |    ELSE [] END AS segs,
+      |    toks[(len(toks)//8)*8 + 1 : len(toks)] AS tail
+      |  FROM t),
+      |k AS (
+      |  SELECT doc_id, n_tokens, CAST(len(segs) AS BIGINT) AS n_segments,
+      |    list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept,
+      |    tail
+      |  FROM s)
+      |SELECT doc_id, n_tokens, n_segments,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(n_segments - len(kept) AS BIGINT) AS n_dropped,
+      |  array_to_string(list_concat(kept, tail), ' ') AS clean_text
+      |FROM k ORDER BY doc_id""".stripMargin
+
   // -- p10: sequence packing priced in LEARNED tokens ----------------------
   // The re-pricing the verdict asked t17 to enable: p02/m04's packing
   // arithmetic (the SAME hierarchicalPack definition — nothing about
@@ -4753,7 +4817,7 @@ object Pipeline {
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
-    "t18_tfidf_hashed" -> t18,
+    "t18_tfidf_hashed" -> t18, "t19_intra_doc_dedup" -> t19,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -4806,7 +4870,7 @@ object Pipeline {
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
-    "t18_tfidf_hashed" -> t18Sql,
+    "t18_tfidf_hashed" -> t18Sql, "t19_intra_doc_dedup" -> t19Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,

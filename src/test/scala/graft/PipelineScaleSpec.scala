@@ -26,6 +26,32 @@ class PipelineScaleSpec extends SparkSpec {
     assert(verified == 0)
   }
 
+  test("t19 intra-doc dedup removes repeated segments and reassembles in order") {
+    import spark.implicits._
+    // 8-token segments A B A with a 3-token tail; A repeats → dropped
+    val segA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$segA $segB $segA tail one two"), // repeat of A dropped, tail kept
+      (2L, s"$segA $segA $segA"),              // two copies dropped
+      (3L, "short doc"),                       // no full segment: text unchanged
+      (4L, segB))                              // single segment: unchanged
+      .toDF("doc_id", "text")
+    val out = graft.queries.Pipeline.intraDocDedup(docs).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(3) == 2 && byId(1L).getLong(4) == 1)
+    assert(byId(1L).getString(5) == s"$segA $segB tail one two",
+      "first occurrences survive in original order, tail rides along")
+    assert(byId(2L).getLong(4) == 2 && byId(2L).getString(5) == segA)
+    assert(byId(3L).getLong(2) == 0 && byId(3L).getString(5) == "short doc")
+    assert(byId(4L).getLong(4) == 0 && byId(4L).getString(5) == segB)
+    // the transform is token-conserving minus exactly the dropped segments
+    out.foreach { r =>
+      val cleanToks = r.getString(5).split(" ").count(_.nonEmpty)
+      assert(cleanToks == r.getLong(1) - 8 * r.getLong(4), s"token accounting: $r")
+    }
+  }
+
   test("s07 IVF-probed range search equals exact s06 row-for-row (the bound is a proof)") {
     Seq(sfDir, "/root/testdata/sf0.01").foreach { d =>
       def rows(name: String) = SparkEntry.queries(name)(spark, d)
