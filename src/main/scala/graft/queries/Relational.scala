@@ -2950,7 +2950,11 @@ object Relational {
   // under the broadcast part join. This is the honest shape of
   // iterative ML on a warehouse: O(iterations) passes, zero driver
   // loops over data.
-  private val q78: Q = (s, d) => {
+  /** q78's fitting machinery, factored so q88's item-fit statistics
+    * consume the same items frame and final θ (one definition of the
+    * model across estimation and diagnostics): returns (items
+    * carrying item_id, fitted θ per exam). */
+  private[graft] def irtParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // items: (exam_id, a2 ∈ [50,185] (a×100), bmu ∈ [−1e6,1e6] (b×1e6), u)
     // q59's stats-based pin: every iteration shuffles the item frame
     // on exam_id, and cores-sized partitions spill past ~1M fact
@@ -2963,6 +2967,7 @@ object Relational {
     val itemsBase = T.lineitem(s, d)
       .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("exam_id"),
+        col("l_partkey").as("item_id"),
         (lit(50L) + (col("p_size") % 10).cast(LongType) * 15L).as("a2"),
         ((expr("CAST(round(p_retailprice * 100) AS BIGINT)") % 200000L) * 10L
           - 1000000L).as("bmu"),
@@ -3008,16 +3013,22 @@ object Relational {
     def joined(prev: DataFrame): DataFrame =
       items.join(prev.select(col("exam_id"), col("theta_mu")), "exam_id")
     val t1 = step(items.withColumn("theta_mu", lit(0L)))
-    val fitted = step(joined(step(joined(t1))))
+    (items, step(joined(step(joined(t1)))))
+  }
+
+  private val q78: Q = (s, d) => {
+    val (_, fitted) = irtParts(s, d)
     fitted
       .select(col("exam_id"), col("n_items"), col("theta_mu"),
         (col("theta_mu").cast(DoubleType) / 1000000d).as("theta"))
       .orderBy(col("exam_id"))
   }
 
-  private val q78Sql =
-    """WITH items AS (
-      |  SELECT l_orderkey AS exam_id,
+  /** q78's CTE chain through the final θ frame (`t3`), shared with
+    * q88's item-fit replay — one SQL definition of the model. */
+  private val irtThetaCtes =
+    """items AS (
+      |  SELECT l_orderkey AS exam_id, l_partkey AS item_id,
       |    50 + (p_size % 10) * 15 AS a2,
       |    (CAST(round(p_retailprice * 100) AS BIGINT) % 200000) * 10
       |      - 1000000 AS bmu,
@@ -3100,10 +3111,100 @@ object Relational {
       |      CASE WHEN sint < 0 THEN -1 WHEN sint > 0 THEN 1 ELSE 0 END
       |        * ((abs(sint) * 100000000) // GREATEST(iint, 1)))) AS theta_mu,
       |    n_items
-      |  FROM g3)
-      |SELECT exam_id, n_items, theta_mu,
-      |  CAST(theta_mu AS DOUBLE) / 1000000 AS theta
-      |FROM t3 ORDER BY exam_id""".stripMargin
+      |  FROM g3)""".stripMargin
+
+  private val q78Sql =
+    s"""WITH $irtThetaCtes
+       |SELECT exam_id, n_items, theta_mu,
+       |  CAST(theta_mu AS DOUBLE) / 1000000 AS theta
+       |FROM t3 ORDER BY exam_id""".stripMargin
+
+  // -- q88: IRT item-fit statistics (outfit/infit mean-squares) ------------
+  // The diagnostic a psychometrics shop runs the morning after q78's
+  // calibration (classic Rasch/IRT fit analysis — public-textbook
+  // Wright/Masters mean-squares): does each ITEM behave as the model
+  // predicts across all examinees? Per response, the standardized
+  // residual z² = (u−P)²/(P(1−P)) at the FINAL θ; per item,
+  //   outfit MSQ = mean z²   (outlier-sensitive),
+  //   infit MSQ = Σ(u−P)² / ΣP(1−P)  (information-weighted),
+  // with the conventional misfit flag outside [0.5, 1.5]. Same
+  // replayability discipline as q78: P is the algebraic sigmoid in
+  // integer micro-units, z² is ONE exact integer floor division per
+  // response ((u−P)² ≤ 1e12 so the 1e6-scaled numerator stays in
+  // LONG), the per-item sums are exact (infit's scaled numerator
+  // crosses into DECIMAL(38)/HUGEINT), and each emitted double is
+  // one IEEE division. One model definition end to end: q88 consumes
+  // irtParts' items frame and θ, and its oracle extends q78's own
+  // CTE chain.
+  //
+  // Scale: one more co-partitioned join on the exam_id key q78's
+  // cached frame is already distributed by, then ONE partial-agg
+  // shuffle of four longs per item — the q59 two-pass class, with
+  // the second pass catalog-sized.
+  private val q88: Q = (s, d) => {
+    val (items, fitted) = irtParts(s, d)
+    val zint = col("a2") * (col("theta_mu") - col("bmu"))
+    val zmu = signum(col("zint")).cast(LongType) * expr("abs(zint) div 100")
+    val pmu = lit(500000L) + signum(col("zmu")).cast(LongType) *
+      expr("(abs(zmu) * 500000) div (1000000 + abs(zmu))")
+    items.join(fitted.select(col("exam_id"), col("theta_mu")), "exam_id")
+      .withColumn("zint", zint)
+      .withColumn("zmu", zmu)
+      .withColumn("pmu", pmu)
+      .withColumn("sq", expr("(umu - pmu) * (umu - pmu)"))
+      .withColumn("w", expr("pmu * (1000000 - pmu)"))
+      .withColumn("z2", expr("(sq * 1000000) div w"))
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n_responses"),
+        sum(col("z2")).as("z2_sum"),
+        sum(col("sq")).as("sq_sum"),
+        sum(col("w")).as("w_sum"))
+      .withColumn("outfit_micro", expr("z2_sum div n_responses"))
+      .withColumn("infit_micro", expr(
+        "CAST(CAST(sq_sum AS DECIMAL(38,0)) * 1000000 div CAST(w_sum AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("item_id"), col("n_responses"),
+        col("outfit_micro"),
+        (col("outfit_micro") / lit(1000000.0)).as("outfit"),
+        col("infit_micro"),
+        (col("infit_micro") / lit(1000000.0)).as("infit"),
+        (col("outfit_micro") < 500000L || col("outfit_micro") > 1500000L)
+          .as("misfit"))
+      .orderBy(col("item_id"))
+  }
+
+  private val q88Sql =
+    s"""WITH $irtThetaCtes,
+       |resp AS (
+       |  SELECT r.item_id, r.umu,
+       |    500000 + CASE WHEN r.zmu < 0 THEN -1 WHEN r.zmu > 0 THEN 1 ELSE 0 END
+       |      * ((abs(r.zmu) * 500000) // (1000000 + abs(r.zmu))) AS pmu
+       |  FROM (
+       |    SELECT i.item_id, i.umu,
+       |      CASE WHEN z < 0 THEN -1 ELSE CASE WHEN z > 0 THEN 1 ELSE 0 END END
+       |        * (abs(z) // 100) AS zmu
+       |    FROM items i JOIN t3 t ON i.exam_id = t.exam_id,
+       |      LATERAL (SELECT i.a2 * (t.theta_mu - i.bmu) AS z) lz) r),
+       |terms AS (
+       |  SELECT item_id,
+       |    (umu - pmu) * (umu - pmu) AS sq,
+       |    pmu * (1000000 - pmu) AS w,
+       |    ((umu - pmu) * (umu - pmu) * 1000000) // (pmu * (1000000 - pmu)) AS z2
+       |  FROM resp),
+       |fit AS (
+       |  SELECT item_id, COUNT(*) AS n_responses,
+       |    CAST(SUM(z2) AS BIGINT) AS z2_sum,
+       |    CAST(SUM(sq) AS HUGEINT) AS sq_sum,
+       |    CAST(SUM(w) AS HUGEINT) AS w_sum
+       |  FROM terms GROUP BY 1)
+       |SELECT item_id, n_responses,
+       |  z2_sum // n_responses AS outfit_micro,
+       |  CAST(z2_sum // n_responses AS DOUBLE) / 1000000.0 AS outfit,
+       |  CAST(sq_sum * 1000000 // w_sum AS BIGINT) AS infit_micro,
+       |  CAST(CAST(sq_sum * 1000000 // w_sum AS BIGINT) AS DOUBLE) / 1000000.0
+       |    AS infit,
+       |  z2_sum // n_responses < 500000 OR z2_sum // n_responses > 1500000
+       |    AS misfit
+       |FROM fit ORDER BY item_id""".stripMargin
 
   // -- q79: student growth percentile (SGP-lite) ---------------------------
   // THE longitudinal metric of this domain (reference README
@@ -3627,7 +3728,7 @@ object Relational {
     "q81_cohort_retention" -> q81, "q82_org_rollup" -> q82,
     "q83_trend_slope" -> q83, "q84_level_transition" -> q84,
     "q85_norms_build" -> q85,
-    "q78_irt_theta" -> q78,
+    "q78_irt_theta" -> q78, "q88_item_fit" -> q88,
     "q77_translation_coverage" -> q77,
     "q76_archive_restore_audit" -> q76,
     "q75_tenant_config" -> q75,
@@ -3668,7 +3769,7 @@ object Relational {
     "q81_cohort_retention" -> q81Sql, "q82_org_rollup" -> q82Sql,
     "q83_trend_slope" -> q83Sql, "q84_level_transition" -> q84Sql,
     "q85_norms_build" -> q85Sql, "q86_cell_suppression" -> q86Sql,
-    "q78_irt_theta" -> q78Sql,
+    "q78_irt_theta" -> q78Sql, "q88_item_fit" -> q88Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,
     "q75_tenant_config" -> q75Sql,
