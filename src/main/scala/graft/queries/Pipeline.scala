@@ -2063,11 +2063,55 @@ object Pipeline {
       |    AS INTEGER) AS width,
       |  CAST([640, 1280, 1920, 3840][CAST((doc_id // 4) % 4 AS INTEGER) + 1]
       |    * 9 // 16 AS INTEGER) AS height,
+      |  CAST(248 + doc_id % 9 AS INTEGER) AS mdat_offset,
       |  CAST(n_chars AS BIGINT) AS mdat_bytes,
       |  ((doc_id % 3600 + 1) * 100 * 1000) //
       |    [600, 1000, 30000, 90000][CAST(doc_id % 4 AS INTEGER) + 1]
       |      AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- m07: video frame sampling at REAL timestamps ------------------------
+  // m03's frame-sample shape with the stub REMOVED: duration comes
+  // from the parsed mvhd (units·1000 div timescale), the frame times
+  // are real presentation milliseconds, and each frame's bytes are
+  // sliced at the PARSED mdat body offset plus the proportional
+  // constant-bitrate seek position (frame_ts·mdat_bytes div
+  // duration). The oracle recomputes duration/offsets from the
+  // generator formulas and reads the frame bytes from the text
+  // region directly — hash equality proves the parser located the
+  // mdat body through the variable-length box sequence AND seeked to
+  // the right byte (an off-by-one anywhere shifts every frame_hex).
+  //
+  // Scale: one mapPartitions parse with bounded ≤8-row fan-out per
+  // doc; zero shuffles before the output sort — m03's shape, real
+  // arithmetic.
+  private val m07: Q = (s, d) => {
+    import s.implicits._
+    val media = framedMp4(s, d).as[graft.operators.Multimodal.MediaRecord]
+    graft.operators.Multimodal.sampleMp4Frames(s, media).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val m07Sql =
+    """WITH p AS (
+      |  SELECT doc_id, source, text, CAST(n_chars AS BIGINT) AS mdat_bytes,
+      |    ((doc_id % 3600 + 1) * 100 * 1000) //
+      |      [600, 1000, 30000, 90000][CAST(doc_id % 4 AS INTEGER) + 1]
+      |      AS duration_ms
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source, duration_ms, text, mdat_bytes,
+      |    CAST(LEAST(8, duration_ms // 1000 + 1) AS INTEGER) AS n_frames,
+      |    unnest(generate_series(0,
+      |      CAST(LEAST(8, duration_ms // 1000 + 1) AS INTEGER) - 1)) AS frame_idx
+      |  FROM p)
+      |SELECT doc_id, source, duration_ms, n_frames,
+      |  CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
+      |  substr(hex(encode(text)),
+      |    CAST((frame_idx * 1000 * mdat_bytes) // duration_ms AS BIGINT) * 2 + 1,
+      |    16) AS frame_hex
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
   // -- e11: continuous multimodal intake probe -----------------------------
   // m05's header parse joined to the streaming family (see
@@ -4836,7 +4880,7 @@ object Pipeline {
     "p05_multimodal_dedup" -> p05,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
-    "m06_video_meta" -> m06,
+    "m06_video_meta" -> m06, "m07_video_frame_sample" -> m07,
     "m05_audio_meta" -> m05,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
@@ -4885,7 +4929,7 @@ object Pipeline {
     "p05_multimodal_dedup" -> p05Sql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
-    "m06_video_meta" -> m06Sql,
+    "m06_video_meta" -> m06Sql, "m07_video_frame_sample" -> m07Sql,
     "m05_audio_meta" -> m05Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,

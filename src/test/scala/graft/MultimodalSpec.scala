@@ -81,7 +81,7 @@ class MultimodalSpec extends SparkSpec {
     val minimal = hx(ftyp +
       " 00000074 6D6F6F76 " + mvhd0("00000258", "000003E8") +
       " 0000000C 6D646174 AABBCCDD")
-    assert(Multimodal.parseMp4Header(minimal) == Some((600, 1000L, 0, 0, 4L)))
+    assert(Multimodal.parseMp4Header(minimal) == Some((600, 1000L, 0, 0, 140, 4L)))
     // full shape: variable-length free box INSIDE moov before mvhd
     // (fixed offsets desync), trak/tkhd with 16.16 dims, and an mdat
     // whose declared size exceeds the probe's bytes (trusted)
@@ -94,7 +94,7 @@ class MultimodalSpec extends SparkSpec {
       " 00000064 7472616B " + tkhd +
       " 00000010 6D646174 AB")
     assert(Multimodal.parseMp4Header(full) ==
-      Some((90000, 360000L, 640, 480, 8L)))
+      Some((90000, 360000L, 640, 480, 251, 8L)))
     // v1 mvhd (u64 times) and a largesize (size==1 → u64) mdat
     val mvhd1 = "00000078 6D766864 01000000" + "00" * 16 +
       "00000001" + "0000000000015F90" +
@@ -102,7 +102,7 @@ class MultimodalSpec extends SparkSpec {
     val v1 = hx(ftyp +
       " 00000080 6D6F6F76 " + mvhd1 +
       " 00000001 6D646174 0000000000000018 4142")
-    assert(Multimodal.parseMp4Header(v1) == Some((1, 90000L, 0, 0, 8L)))
+    assert(Multimodal.parseMp4Header(v1) == Some((1, 90000L, 0, 0, 160, 8L)))
     // negative space: first box not ftyp, truncated mvhd, unknown
     // mvhd version, missing mdat, malformed (size < 8) box
     assert(Multimodal.parseMp4Header(
@@ -126,6 +126,7 @@ class MultimodalSpec extends SparkSpec {
       "cast((doc_id % 3600 + 1) * 100 as bigint) as duration_units",
       "cast(element_at(array(640, 1280, 1920, 3840), cast((doc_id div 4) % 4 as int) + 1) as int) as width",
       "cast(element_at(array(640, 1280, 1920, 3840), cast((doc_id div 4) % 4 as int) + 1) * 9 div 16 as int) as height",
+      "cast(248 + doc_id % 9 as int) as mdat_offset",
       "cast(n_chars as bigint) as mdat_bytes",
       "((doc_id % 3600 + 1) * 100 * 1000) div element_at(array(600, 1000, 30000, 90000), cast(doc_id % 4 as int) + 1) as duration_ms")
       .orderBy("doc_id")
