@@ -4147,6 +4147,64 @@ object Pipeline {
   // The release-notes artifact a corpus publisher ships alongside
   // p06's datasheet: what changed between release A (yesterday's
   // curation policy) and release B (today's)? Releases here are two
+  // -- d16: semantic decontamination (embedding space) ---------------------
+  // d09's decontamination in EMBEDDING space — the check n-gram
+  // overlap can't do: a paraphrased benchmark item shares no
+  // 16-gram shingles but sits right next to the original in
+  // embedding space (the SemDeDup observation applied to
+  // decontamination, which is how modern pipelines actually audit
+  // eval leakage). Corpus vectors whose cosine to ANY held-out
+  // benchmark vector reaches τ are flagged with their best-match
+  // benchmark id (deterministic tie-break) — the removal list plus
+  // the evidence a release review needs.
+  //
+  // Scale: d09's asymmetry exactly — the benchmark set is tiny
+  // (~1e5 items vs a 1e10 corpus), so it BROADCASTS and the corpus
+  // pass is map-only; the only shuffle ranks the flagged matches
+  // (bounded by contamination volume, not the corpus). At whale
+  // scale the corpus side would probe through s03's inverted lists
+  // (the d07-for-d06 story); the brute pass is the certified
+  // baseline.
+  private val d16: Q = (s, d) => {
+    val tau = 0.4
+    val emb = T.embeddings(s, d)
+    val isBench = col("vec_id") % 13 === 7
+    val bench = emb.filter(isBench)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_vec"))
+    val corpus = emb.filter(!isBench).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("bench_id"))
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("cosine", VF.cosine(col("embedding"), col("b_vec")))
+      .filter(col("cosine") >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val d16Sql =
+    """WITH b AS (
+      |  SELECT vec_id AS bench_id, embedding AS b_vec
+      |  FROM embeddings WHERE vec_id % 13 = 7),
+      |c AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE NOT (vec_id % 13 = 7)),
+      |m AS (
+      |  SELECT c.vec_id, b.bench_id,
+      |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                           CAST(b.b_vec AS DOUBLE[])) AS cosine
+      |  FROM c, b
+      |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                               CAST(b.b_vec AS DOUBLE[])) >= 0.4),
+      |r AS (
+      |  SELECT vec_id, bench_id, cosine,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cosine DESC, bench_id) AS rn
+      |  FROM m)
+      |SELECT vec_id, bench_id, cosine FROM r WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
+  // -- p08: release diff ----------------------------------------------------
   // deterministic curation policies over the same raw corpus — A
   // keeps docs ≥ 150 chars as-is; B tightens the gate to ≥ 200 and
   // truncates at 400 chars (a max-length policy change) — and the
@@ -4854,7 +4912,7 @@ object Pipeline {
     "d09_decontaminate" -> d09, "d10_dedup_clusters" -> d10,
     "d11_dedup_lines" -> d11, "d12_dedup_substring" -> d12,
     "d13_dedup_keeper_quality" -> d13, "d14_dedup_keeper_banded" -> d14,
-    "d15_dedup_semantic" -> d15,
+    "d15_dedup_semantic" -> d15, "d16_decontaminate_semantic" -> d16,
     "p08_release_diff" -> p08,
     "p10_pack_learned" -> p10, "p11_budget_waterfill" -> p11,
     "p12_leakage_safe_split" -> p12,
@@ -4903,7 +4961,7 @@ object Pipeline {
     "d10_dedup_clusters" -> d10Sql,
     "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
     "d13_dedup_keeper_quality" -> d13Sql, "d14_dedup_keeper_banded" -> d14Sql,
-    "d15_dedup_semantic" -> d15Sql,
+    "d15_dedup_semantic" -> d15Sql, "d16_decontaminate_semantic" -> d16Sql,
     "p08_release_diff" -> p08Sql, "p11_budget_waterfill" -> p11Sql,
     "p12_leakage_safe_split" -> p12Sql,
     "t13_vocab_coverage" -> t13Sql,
