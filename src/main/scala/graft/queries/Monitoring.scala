@@ -524,9 +524,64 @@ object Monitoring {
       |    WHEN cells_tested - 1 = 3 THEN 7814728 END) AS drift
       |FROM folded ORDER BY n_name, yr""".stripMargin
 
+  // -- q89: daily-volume anomaly monitor (exact-integer 3σ) ----------------
+  // The alert behind Monitoring.md's volume reports: which days'
+  // import volume departs from the fleet's own history by more than
+  // 3 population standard deviations? The REPLAYABLE twist: the
+  // anomaly DECISION never touches floating point. With n days,
+  // S = Σx, SS = Σx², the 3σ test (x−μ)² > 9σ² multiplies out to
+  //   (n·x − S)² > 9·(n·SS − S²)
+  // — all exact integers (DECIMAL(38) here, HUGEINT in the replay),
+  // so the flag is an integer compare with zero rounding surface.
+  // The human-readable z-score IS emitted as a double — z =
+  // (n·x − S)/√(n·SS − S²), one exactly-rounded sqrt + one division,
+  // bit-identical in both engines — but nothing decides on it.
+  //
+  // Scale: one fact partial-agg shuffle to #days cells; the stats
+  // frame is ONE row (broadcast back); everything after is per-day
+  // arithmetic over the calendar-sized frame.
+  private val q89: Q = (s, d) => {
+    val daily = T.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("ss"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("dev", expr(
+        "CAST(n AS DECIMAL(38,0)) * x - CAST(s AS DECIMAL(38,0))"))
+      .withColumn("var_num", expr(
+        "CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s"))
+      .select(col("day"), col("x").as("n_orders"),
+        (col("dev").cast(DoubleType) / sqrt(col("var_num").cast(DoubleType)))
+          .as("z"),
+        expr("dev * dev > 9 * var_num").as("anomaly"))
+      .orderBy(col("day"))
+  }
+
+  private val q89Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |    CAST(SUM(x * x) AS BIGINT) AS ss
+      |  FROM daily),
+      |t AS (
+      |  SELECT d.day, d.x,
+      |    CAST(st.n AS HUGEINT) * d.x - st.s AS dev,
+      |    CAST(st.n AS HUGEINT) * st.ss - CAST(st.s AS HUGEINT) * st.s AS var_num
+      |  FROM daily d, st)
+      |SELECT day, x AS n_orders,
+      |  CAST(dev AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE)) AS z,
+      |  dev * dev > 9 * var_num AS anomaly
+      |FROM t ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q87_dist_drift" -> q87,
+    "q89_volume_anomaly" -> q89,
     "q61_import_status_monitor" -> q61,
     "q62_ingest_speed" -> q62,
     "q63_time_to_warehouse" -> q63,
@@ -537,6 +592,7 @@ object Monitoring {
 
   val oracle: Map[String, String] = Map(
     "q87_dist_drift" -> q87Sql,
+    "q89_volume_anomaly" -> q89Sql,
     "q61_import_status_monitor" -> q61Sql,
     "q62_ingest_speed" -> q62Sql,
     "q63_time_to_warehouse" -> q63Sql,

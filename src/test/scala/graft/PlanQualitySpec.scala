@@ -646,6 +646,58 @@ class PlanQualitySpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum > 0, "expected clustered docs")
   }
 
+  test("q89 anomaly: partial agg to days, 1-row stats broadcast, integer decision") {
+    val p = plan("q89_volume_anomaly")
+    assert(p.contains("partial"), s"daily agg must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row stats frame must broadcast back")
+    val rows = SparkEntry.queries("q89_volume_anomaly")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the integer decision and the emitted z agree on every row (the
+    // flag is exact; z is display — they must still tell one story)
+    rows.foreach { r =>
+      val z = r.getDouble(2)
+      assert(r.getBoolean(3) == (math.abs(z) > 3.0) ||
+        math.abs(math.abs(z) - 3.0) < 1e-9, s"flag/z disagree: $r")
+    }
+  }
+
+  test("q87 drift: broadcast dims, partial agg, fold over the aggregated frame") {
+    val p = plan("q87_dist_drift")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim must broadcast:\n$p")
+    assert(p.contains("partial"), "fact agg must combine map-side")
+    assert(!p.contains("CartesianProduct"),
+      "level-spine completion must ride a broadcast, never a cartesian")
+  }
+
+  test("q88 item fit: broadcast item dim, no cartesian, item partials") {
+    val p = plan("q88_item_fit")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    assert(p.contains("partial"), "item agg must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s12/s13 index maintenance probes: no cartesian, broadcast admission") {
+    Seq("s12_ann_delta_append", "s13_ann_tombstone_delete").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: no all-pairs anywhere:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q: admitted lists must broadcast-probe")
+    }
+  }
+
+  test("d16 decontamination: benchmark side broadcast, corpus map-only to the flag") {
+    val p = plan("d16_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bench set must broadcast (the d09 asymmetry):\n$p")
+    assert(!p.contains("CartesianProduct"), "never a cartesian")
+  }
+
+  test("m07 frame sampling is map-only before the output sort") {
+    val p = plan("m07_video_frame_sample")
+    assert(!p.contains("hashpartitioning"),
+      s"no hash exchange in a parse + bounded-explode pass:\n$p")
+  }
+
   test("t18 hashed TF-IDF: df frame broadcast into the tf join, no cartesian fact join") {
     val p = plan("t18_tfidf_hashed")
     assert(p.contains("BroadcastHashJoin"), s"64-row df frame must broadcast:\n$p")
