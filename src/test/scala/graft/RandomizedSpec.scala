@@ -205,4 +205,79 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("q87/e12 integer chi-square terms track the exact rational statistic") {
+    // term_micro = floor(1e6 · (O·N1 − C·N2)² / (C·N1·N2)) must sit
+    // within 1 micro-unit of the true rational term — the floor is
+    // the ONLY approximation in the whole statistic
+    val cases = (0 until 200).map { _ =>
+      val n1 = 1L + rnd.nextInt(100000)
+      val n2 = 1L + rnd.nextInt(100000)
+      val c = 1L + rnd.nextInt(n1.toInt)
+      val o = rnd.nextInt(n2.toInt + 1).toLong
+      (o, c, n1, n2)
+    }
+    val out = cases.toDF("o", "c", "n1", "n2")
+      .selectExpr("o", "c", "n1", "n2",
+        "CAST((CAST(o AS DECIMAL(38,0)) * n1 - CAST(c AS DECIMAL(38,0)) * n2) " +
+          "* (CAST(o AS DECIMAL(38,0)) * n1 - CAST(c AS DECIMAL(38,0)) * n2) " +
+          "* 1000000 div (CAST(c AS DECIMAL(38,0)) * n1 * n2) AS BIGINT) AS tm")
+      .collect()
+    out.foreach { r =>
+      val (o, c, n1, n2) = (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2)), BigInt(r.getLong(3)))
+      val exactFloor = ((o * n1 - c * n2).pow(2) * 1000000) / (c * n1 * n2)
+      assert(BigInt(r.getLong(4)) == exactFloor, s"term drifted: $r")
+      // and the micro value is within one unit of the real statistic
+      val ref = ((o * n1 - c * n2).pow(2)).toDouble / (c * n1 * n2).toDouble
+      assert(math.abs(r.getLong(4) / 1e6 - ref) <= 1e-6 + 1e-9 * ref)
+    }
+  }
+
+  test("q89's multiplied-out 3σ inequality equals the z-rule exactly") {
+    (0 until 100).foreach { _ =>
+      val n = 5 + rnd.nextInt(400)
+      val xs = Seq.fill(n)(BigInt(rnd.nextInt(100000)))
+      val s = xs.sum
+      val ss = xs.map(x => x * x).sum
+      xs.foreach { x =>
+        val intFlag = (BigInt(n) * x - s).pow(2) > 9 * (BigInt(n) * ss - s * s)
+        val mu = BigDecimal(s) / n
+        val varPop = (BigDecimal(ss) / n) - mu * mu
+        if (varPop > 0) {
+          val z2 = (BigDecimal(x) - mu).pow(2) / varPop
+          // away from the exact z = 3 boundary the two must agree
+          if ((z2 - 9).abs > BigDecimal("1e-9"))
+            assert(intFlag == (z2 > 9), s"n=$n x=$x z2=$z2 flag=$intFlag")
+        } else assert(!intFlag, "zero variance can never flag")
+      }
+    }
+  }
+
+  test("t19 intra-doc dedup equals a reference implementation on random docs") {
+    val docs = (0 until 60).map { i =>
+      val nSegs = rnd.nextInt(6)
+      val segs = Seq.fill(nSegs)(doc(8))
+      // plant repeats: shuffle in copies of earlier segments
+      val withRepeats = segs ++ Seq.fill(rnd.nextInt(3))(
+        if (segs.nonEmpty) segs(rnd.nextInt(segs.size)) else doc(8))
+      val tail = doc(rnd.nextInt(8)) // possibly empty sub-segment tail
+      (i.toLong, (rnd.shuffle(withRepeats) ++ Seq(tail).filter(_.nonEmpty))
+        .mkString(" ").trim)
+    }.filter(_._2.nonEmpty)
+    def reference(text: String): (Long, Long, Long, Long, String) = {
+      val toks = text.split(" ")
+      val segs = toks.grouped(8).filter(_.length == 8).map(_.mkString(" ")).toSeq
+      val tail = toks.drop(segs.size * 8)
+      val kept = segs.zipWithIndex.filter { case (sg, i) => segs.indexOf(sg) == i }.map(_._1)
+      (toks.length.toLong, segs.size.toLong, kept.size.toLong,
+        (segs.size - kept.size).toLong, (kept ++ tail).mkString(" "))
+    }
+    val out = graft.queries.Pipeline.intraDocDedup(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == reference(text), s"doc $id: ${out(id)} vs ${reference(text)}")
+    }
+  }
 }
