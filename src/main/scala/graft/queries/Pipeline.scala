@@ -2342,6 +2342,47 @@ object Pipeline {
        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e13: streaming SCD2 enrichment --------------------------------------
+  // q35's validity intervals consumed on the INTAKE stream
+  // (StreamingJobs.scd2EnrichStream): each arriving event picks up
+  // the dimension version valid at its event time — the classic
+  // "dimension lookup at event time" of a streaming warehouse ETL.
+  // The dim is the SCD2 chain q35 derives (per customer: each order
+  // opens a version carrying its priority; lead() closes it), the
+  // stream is the raw event feed, the join is stream-static LEFT
+  // with the interval predicate riding the user-key equi-join —
+  // map-only, zero streaming state. Batch run of the same code path
+  // is the oracle; StreamingSpec proves incremental == batch and
+  // that pre-first-version events survive as UNVERSIONED.
+  private val e13: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val dim = T.orders(s, d)
+      .select(col("o_custkey").as("d_user_id"),
+        col("o_orderkey").as("version_key"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.streaming.StreamingJobs.scd2EnrichStream(ev, dim)
+      .orderBy(col("event_id"))
+  }
+
+  private val e13Sql =
+    """WITH dim AS (
+      |  SELECT o_custkey AS d_user_id, o_orderkey AS version_key,
+      |    o_orderpriority AS priority, o_orderdate AS valid_from,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |  FROM orders)
+      |SELECT e.event_id, e.user_id, e.ts, e.value,
+      |  d.version_key, COALESCE(d.priority, 'UNVERSIONED') AS priority
+      |FROM events e LEFT JOIN dim d
+      |  ON e.user_id = d.d_user_id AND e.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+      |ORDER BY e.event_id""".stripMargin
+
   // -- e12: continuous score-distribution drift monitor --------------------
   // q87 joined to the streaming family (StreamingJobs.distDriftStream):
   // the baseline level distribution is fit OFFLINE on the 1997
@@ -4944,7 +4985,7 @@ object Pipeline {
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
     "e10_stream_token_volume" -> e10, "e11_stream_media_intake" -> e11,
-    "e12_stream_drift" -> e12,
+    "e12_stream_drift" -> e12, "e13_stream_scd2_enrich" -> e13,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
     "e09_stream_latency_monitor" -> e09)
@@ -4993,7 +5034,7 @@ object Pipeline {
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
     "e10_stream_token_volume" -> e10Sql, "e11_stream_media_intake" -> e11Sql,
-    "e12_stream_drift" -> e12Sql,
+    "e12_stream_drift" -> e12Sql, "e13_stream_scd2_enrich" -> e13Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
     "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql,
     "e09_stream_latency_monitor" -> e09Sql)

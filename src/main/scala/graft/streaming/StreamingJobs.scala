@@ -155,6 +155,35 @@ object StreamingJobs {
         col("audio_bytes"), col("audio_ms"))
   }
 
+  /** e13: streaming SCD2 enrichment — the event-time dimension
+    * lookup every streaming ETL performs (q35's validity intervals
+    * consumed ON ARRIVAL): each arriving event joins the dimension
+    * VERSION that was valid at its event time, `valid_from ≤ ts <
+    * valid_to` with an open current version, via a stream-static
+    * LEFT join — the interval predicate rides the user-key equi-join
+    * against the broadcast dim, so the stream side is map-only with
+    * ZERO state (no watermark needed: nothing is stateful). Events
+    * predating the first version survive with the UNVERSIONED
+    * marker — an enrichment must never drop facts. SCD2 intervals
+    * partition time per key, so each event matches at most one
+    * version and the row count is exactly the event count. Running
+    * this same function on a batch frame is the oracle (e03's
+    * trick); StreamingSpec proves the incremental run matches.
+    *
+    * Scale: dim broadcast (per-key version chains are small); at
+    * warehouse scale a too-big dim becomes a shuffle-hash join on
+    * the same user key with the interval predicate still riding it
+    * — q21's note. State: none. */
+  def scd2EnrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+      events("user_id") === dim("d_user_id") &&
+        events("ts") >= dim("valid_from") &&
+        (dim("valid_to").isNull || events("ts") < dim("valid_to")),
+      "left_outer")
+      .select(events("event_id"), events("user_id"), events("ts"),
+        events("value"), dim("version_key"),
+        coalesce(dim("priority"), lit("UNVERSIONED")).as("priority"))
+
   /** e12: continuous score-distribution drift monitor — q87's
     * exact-integer chi-square run against the INTAKE stream instead
     * of nightly between years (the shape a data-quality SLO consumes:

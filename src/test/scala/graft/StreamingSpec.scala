@@ -118,6 +118,39 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 3L)))
   }
 
+  test("scd2EnrichStream: event-time version lookup, incremental equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 has two versions (v10 until Jan 3, v11 after); user 2 none
+    val dim = Seq(
+      (1L, 10L, "LOW", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00"))),
+      (1L, 11L, "HIGH", ts("2024-01-03 00:00:00"), None: Option[Timestamp]))
+      .toDF("d_user_id", "version_key", "priority", "valid_from", "valid_to")
+    val events = Seq(
+      (100L, 1L, ts("2023-12-30 12:00:00"), 1.0), // before any version
+      (101L, 1L, ts("2024-01-02 08:00:00"), 2.0), // inside v10
+      (102L, 1L, ts("2024-01-03 00:00:00"), 3.0), // boundary → v11 ([from, to))
+      (103L, 2L, ts("2024-01-05 00:00:00"), 4.0)) // user with no versions
+    val ms = MemoryStream[(Long, Long, Timestamp, Double)]
+    ms.addData(events.take(2))
+    ms.addData(events.drop(2)) // cross-batch: the join is stateless
+    val q = StreamingJobs.scd2EnrichStream(
+        ms.toDF().toDF("event_id", "user_id", "ts", "value"), dim)
+      .writeStream.format("memory").queryName("t_scd2").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_scd2").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.get(4), r.getString(5))).toSeq
+    val batch = StreamingJobs.scd2EnrichStream(
+        events.toDF("event_id", "user_id", "ts", "value"), dim)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.get(4), r.getString(5))).toSeq
+    assert(streamed == batch, "stream and batch code path must agree")
+    assert(streamed == Seq(
+      (100L, null, "UNVERSIONED"),
+      (101L, 10L, "LOW"),
+      (102L, 11L, "HIGH"), // [from, to): the boundary belongs to the NEW version
+      (103L, null, "UNVERSIONED")))
+  }
+
   test("distDriftStream: incremental equals batch; chi-square terms pinned by hand") {
     implicit val sqlCtx = spark.sqlContext
     // frozen baseline: counts (2,1,1,1), N1 = 5 — every level E > 0
