@@ -662,6 +662,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("e13 SCD2 enrichment: interval predicate rides the hash join, not a nested loop") {
+    val p = plan("e13_stream_scd2_enrich")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the user-key equi part must plan as a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the interval condition must not degrade the join to a nested loop")
+  }
+
   test("q87 drift: broadcast dims, partial agg, fold over the aggregated frame") {
     val p = plan("q87_dist_drift")
     assert(p.contains("BroadcastHashJoin"), s"nation dim must broadcast:\n$p")
