@@ -12,6 +12,23 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("GLOBAL SWEEP: no registered query ever plans a CartesianProduct") {
+    // every crossJoin in the engine pairs with a broadcast() of a
+    // provably bounded side (BroadcastNestedLoopJoin); an unhinted
+    // cartesian anywhere is a scale bug by definition. Sweeping all
+    // registered queries pins that invariant for every FUTURE
+    // operator too — a new query with an accidental cartesian fails
+    // here, not at 100 TB.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+      } finally graft.CacheScope.drain()
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("q03 star join broadcasts the nation/region dims") {
     val p = plan("q03_star_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
