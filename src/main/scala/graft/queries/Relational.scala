@@ -3721,8 +3721,86 @@ object Relational {
       |    WHEN is_comp THEN 'complementary' ELSE NULL END AS reason
       |FROM marked ORDER BY n_name, level""".stripMargin
 
+  // -- q90: empirical-Bayes shrunken org ranking ---------------------------
+  // The league-table correction every small-n reporting shop needs
+  // (public-textbook empirical Bayes / James-Stein shrinkage): a tiny
+  // school's raw mean bounces, so ranked report cards shrink each
+  // org's mean toward the population mean in proportion to its size —
+  // shrunk = (n·x̄ + k·μ)/(n + k), prior strength k as config. The
+  // replayable form keeps everything rational until ONE division:
+  // with per-org exact cent sums (sum_i, n_i) and population totals
+  // (S, N), shrunk_i = (N·sum_i + k·S) / (N·(n_i + k)) — numerator
+  // and denominator exact DECIMAL(38)/HUGEINT integers, the double is
+  // one exactly-rounded division, and the rank orders by that
+  // bit-identical double (tie → org). Emitting raw vs shrunk rank
+  // side by side shows exactly which small orgs the correction
+  // demotes — the point of the report.
+  //
+  // Scale: one fact partial-agg shuffle to #org cells under the
+  // broadcast dim; the 1-row population frame broadcasts back; both
+  // rank windows run over the #orgs frame.
+  private val q90: Q = (s, d) => {
+    val k = 25L // prior strength: the classic "~25 observations" prior
+    val cells = T.orders(s, d)
+      .join(T.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"))
+    val pop = cells.agg(sum(col("n")).as("big_n"), sum(col("sum_cents")).as("big_s"))
+    val wRaw = Window.orderBy(col("raw_mean").desc, col("n_name"))
+    val wShr = Window.orderBy(col("shrunk_mean").desc, col("n_name"))
+    cells.crossJoin(broadcast(pop))
+      .withColumn("raw_mean",
+        (col("sum_cents").cast(DoubleType) / col("n")) / lit(100.0))
+      .withColumn("shrunk_mean", expr(
+        s"CAST(CAST(big_n AS DECIMAL(38,0)) * sum_cents + $k * CAST(big_s AS DECIMAL(38,0)) AS DOUBLE) " +
+          s"/ CAST(CAST(big_n AS DECIMAL(38,0)) * (n + $k) AS DOUBLE) / 100.0"))
+      .withColumn("raw_rank", row_number().over(wRaw))
+      .withColumn("shrunk_rank", row_number().over(wShr))
+      .select(col("n_name"), col("n"), col("raw_mean"), col("shrunk_mean"),
+        col("raw_rank"), col("shrunk_rank"),
+        (col("raw_rank") - col("shrunk_rank")).as("rank_delta"))
+      .orderBy(col("shrunk_rank"))
+  }
+
+  private val q90Sql =
+    """WITH cells AS (
+      |  SELECT nn.n_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+      |  GROUP BY 1),
+      |pop AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+      |    CAST(SUM(sum_cents) AS BIGINT) AS big_s
+      |  FROM cells),
+      |t AS (
+      |  SELECT c.n_name, c.n,
+      |    CAST(c.sum_cents AS DOUBLE) / c.n / 100.0 AS raw_mean,
+      |    CAST(CAST(p.big_n AS HUGEINT) * c.sum_cents + 25 * CAST(p.big_s AS HUGEINT)
+      |      AS DOUBLE)
+      |      / CAST(CAST(p.big_n AS HUGEINT) * (c.n + 25) AS DOUBLE) / 100.0
+      |      AS shrunk_mean
+      |  FROM cells c, pop p),
+      |r AS (
+      |  SELECT n_name, n, raw_mean, shrunk_mean,
+      |    row_number() OVER (ORDER BY raw_mean DESC, n_name) AS raw_rank,
+      |    row_number() OVER (ORDER BY shrunk_mean DESC, n_name) AS shrunk_rank
+      |  FROM t)
+      |SELECT n_name, n, raw_mean, shrunk_mean,
+      |  CAST(raw_rank AS INTEGER) AS raw_rank,
+      |  CAST(shrunk_rank AS INTEGER) AS shrunk_rank,
+      |  CAST(raw_rank AS INTEGER) - CAST(shrunk_rank AS INTEGER) AS rank_delta
+      |FROM r ORDER BY shrunk_rank""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q90_shrunk_ranking" -> q90,
     "q86_cell_suppression" -> q86,
     "q79_growth_percentile" -> q79, "q80_growth_multi_year" -> q80,
     "q81_cohort_retention" -> q81, "q82_org_rollup" -> q82,
@@ -3769,6 +3847,7 @@ object Relational {
     "q81_cohort_retention" -> q81Sql, "q82_org_rollup" -> q82Sql,
     "q83_trend_slope" -> q83Sql, "q84_level_transition" -> q84Sql,
     "q85_norms_build" -> q85Sql, "q86_cell_suppression" -> q86Sql,
+    "q90_shrunk_ranking" -> q90Sql,
     "q78_irt_theta" -> q78Sql, "q88_item_fit" -> q88Sql,
     "q77_translation_coverage" -> q77Sql,
     "q76_archive_restore_audit" -> q76Sql,
