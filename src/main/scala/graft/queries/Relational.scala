@@ -3659,6 +3659,10 @@ object Relational {
   // at any corpus size). The suppression logic never sees facts.
   private val q86: Q = (s, d) => {
     val minN = 10L
+    // the published grain is org × YEAR × level (aggregate reports
+    // publish per administration year) — at the gate SFs the finer
+    // grain means BOTH suppression branches actually fire and are
+    // hash-certified, not just compiled
     val cells = T.orders(s, d)
       .join(T.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey")), col("o_custkey") === col("c_custkey"))
@@ -3669,10 +3673,11 @@ object Relational {
           .when(col("o_totalprice") < 200000, "L2_approaching")
           .when(col("o_totalprice") < 350000, "L3_meets")
           .otherwise("L4_exceeds"))
-      .groupBy(col("n_name"), col("level"))
+      .withColumn("yr", year(col("o_orderdate")).cast(IntegerType))
+      .groupBy(col("n_name"), col("yr"), col("level"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("n_name"))
-    val wRank = Window.partitionBy(col("n_name"))
+    val w = Window.partitionBy(col("n_name"), col("yr"))
+    val wRank = Window.partitionBy(col("n_name"), col("yr"))
       .orderBy(col("is_primary"), col("n"), col("level"))
     cells
       .withColumn("is_primary", col("n") < minN)
@@ -3680,19 +3685,20 @@ object Relational {
       .withColumn("rk", row_number().over(wRank))
       .withColumn("is_comp",
         col("n_suppressed") === 1L && !col("is_primary") && col("rk") === 1)
-      .select(col("n_name"), col("level"), col("n"),
+      .select(col("n_name"), col("yr"), col("level"), col("n"),
         when(col("is_primary") || col("is_comp"), lit(null).cast(LongType))
           .otherwise(col("n")).as("n_published"),
         (col("is_primary") || col("is_comp")).as("suppressed"),
         when(col("is_primary"), "primary")
           .when(col("is_comp"), "complementary")
           .otherwise(lit(null).cast(StringType)).as("reason"))
-      .orderBy(col("n_name"), col("level"))
+      .orderBy(col("n_name"), col("yr"), col("level"))
   }
 
   private val q86Sql =
     """WITH cells AS (
       |  SELECT n.n_name,
+      |    CAST(year(o.o_orderdate) AS INTEGER) AS yr,
       |    CASE WHEN o.o_totalprice < 100000 THEN 'L1_below'
       |      WHEN o.o_totalprice < 200000 THEN 'L2_approaching'
       |      WHEN o.o_totalprice < 350000 THEN 'L3_meets'
@@ -3701,25 +3707,25 @@ object Relational {
       |  FROM orders o
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2, 3),
       |flagged AS (
-      |  SELECT n_name, level, n,
+      |  SELECT n_name, yr, level, n,
       |    n < 10 AS is_primary,
       |    CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY n_name) AS BIGINT) AS n_suppressed,
-      |    row_number() OVER (PARTITION BY n_name
+      |      OVER (PARTITION BY n_name, yr) AS BIGINT) AS n_suppressed,
+      |    row_number() OVER (PARTITION BY n_name, yr
       |      ORDER BY n < 10, n, level) AS rk
       |  FROM cells),
       |marked AS (
-      |  SELECT n_name, level, n, is_primary,
+      |  SELECT n_name, yr, level, n, is_primary,
       |    n_suppressed = 1 AND NOT is_primary AND rk = 1 AS is_comp
       |  FROM flagged)
-      |SELECT n_name, level, n,
+      |SELECT n_name, yr, level, n,
       |  CASE WHEN is_primary OR is_comp THEN NULL ELSE n END AS n_published,
       |  is_primary OR is_comp AS suppressed,
       |  CASE WHEN is_primary THEN 'primary'
       |    WHEN is_comp THEN 'complementary' ELSE NULL END AS reason
-      |FROM marked ORDER BY n_name, level""".stripMargin
+      |FROM marked ORDER BY n_name, yr, level""".stripMargin
 
   // -- q90: empirical-Bayes shrunken org ranking ---------------------------
   // The league-table correction every small-n reporting shop needs

@@ -620,32 +620,37 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q86 suppression invariants: primary rule, lone-hole complement, audit columns") {
-    val rows = SparkEntry.queries("q86_cell_suppression")(spark, sfDir).collect()
+    // run at sf0.01 — the scale where BOTH branches fire (21 lone-hole
+    // rows measured); sf0.001's tiny cells exercise mass-primary only
+    val rows = SparkEntry.queries("q86_cell_suppression")(spark, "/root/testdata/sf0.01")
+      .collect()
     assert(rows.nonEmpty)
     // primary rule: n < 10 ⇔ reason 'primary'
     rows.foreach { r =>
-      val n = r.getLong(2); val reason = if (r.isNullAt(5)) null else r.getString(5)
+      val n = r.getLong(3); val reason = if (r.isNullAt(6)) null else r.getString(6)
       assert((n < 10) == (reason == "primary"), s"primary rule violated: $r")
       // published mirrors n exactly when unsuppressed, NULL when suppressed
-      if (r.getBoolean(4)) assert(r.isNullAt(3)) else assert(r.getLong(3) == n)
+      if (r.getBoolean(5)) assert(r.isNullAt(4)) else assert(r.getLong(4) == n)
     }
-    val byOrg = rows.groupBy(_.getString(0))
-    byOrg.foreach { case (org, cells) =>
-      val primaries = cells.count(r => !r.isNullAt(5) && r.getString(5) == "primary")
-      val comps = cells.filter(r => !r.isNullAt(5) && r.getString(5) == "complementary")
+    val byRow = rows.groupBy(r => (r.getString(0), r.getInt(1)))
+    byRow.foreach { case (org, cells) =>
+      val primaries = cells.count(r => !r.isNullAt(6) && r.getString(6) == "primary")
+      val comps = cells.filter(r => !r.isNullAt(6) && r.getString(6) == "complementary")
       if (primaries == 1 && cells.length > 1)
         assert(comps.length == 1, s"$org: lone hole needs one complement")
       else assert(comps.isEmpty, s"$org: complement only for a lone hole")
       // the complement is the SMALLEST unsuppressed cell (tie → level)
       comps.foreach { c =>
         val unsup = cells.filter(r =>
-          r.isNullAt(5) || r.getString(5) == "complementary")
-        val smallest = unsup.minBy(r => (r.getLong(2), r.getString(1)))
+          r.isNullAt(6) || r.getString(6) == "complementary")
+        val smallest = unsup.minBy(r => (r.getLong(3), r.getString(2)))
         assert(c == smallest, s"$org: complement must be the smallest cell")
       }
     }
-    // the rule actually fires somewhere at this SF — the test has teeth
-    assert(rows.exists(r => !r.isNullAt(5) && r.getString(5) == "primary"))
+    // BOTH branches actually fire at this SF — the test has teeth
+    assert(rows.exists(r => !r.isNullAt(6) && r.getString(6) == "primary"))
+    assert(rows.exists(r => !r.isNullAt(6) && r.getString(6) == "complementary"),
+      "the lone-hole complement must be exercised, not just compiled")
   }
 
   test("p12 split: corpus conserved, 80/10/10-ish, and zero cross-split leakage") {
