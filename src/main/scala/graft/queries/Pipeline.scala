@@ -4658,6 +4658,114 @@ object Pipeline {
       |  array_to_string(list_concat(kept, tail), ' ') AS clean_text
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // -- t20: BPE merge-table TRAINING ---------------------------------------
+  // t17 APPLIES a vocab (greedy longest-match over a frequency head);
+  // t20 TRAINS the real thing — byte-pair-encoding merge learning
+  // (Sennrich et al. 2016, the algorithm behind GPT/Llama-class
+  // tokenizers): start from single code points, repeatedly count
+  // adjacent unit pairs (occurrence-weighted, overlaps counted the
+  // way every public BPE trainer counts them) and merge the most
+  // frequent pair, K rounds, emitting the ranked merge table — the
+  // artifact a tokenizer ships.
+  //
+  // Scale shape: the ONE corpus-sized pass is the word-type count
+  // (explode + partial-agg, t13/t17's fit shape). Every merge round
+  // then runs over the DISTINCT-WORD frame only (types ≪ tokens
+  // under Zipf — ~10M rows at 100 TB vs ~10^13 tokens), one small
+  // uniform-key shuffle + a 1-row TakeOrdered per round; the K-row
+  // merge table is the bounded driver artifact (IntLloyd's capped-fit
+  // precedent). K sequential jobs is the honest distributed form of
+  // BPE training — each merge depends on the segmentation under all
+  // prior merges, exactly like q78's Newton rounds.
+  //
+  // Segmentation state is a string with EVERY unit wrapped in
+  // chr(16)…chr(17) brackets, so a merge of (l, r) rewrites the literal
+  // ⟨l⟩⟨r⟩ → ⟨lr⟩: the leading bracket anchors l to a WHOLE unit (a
+  // flat single-separator encoding would falsely match l as the
+  // suffix of a longer merged unit — caught in design, spec-pinned by
+  // the xa/ab/xab fixture), consecutive pair occurrences share no
+  // delimiter so one leftmost-nonoverlap replace() pass merges all of
+  // them, and overlapping runs (aaa with pair (a,a)) merge
+  // greedily-left exactly as the textbook single pass does. Both
+  // engines' replace() are leftmost-nonoverlap, so the DuckDB oracle
+  // replays the same K rounds bit-for-bit; RandomizedSpec proves the
+  // string-rewrite form equal to a unit-list reference trainer on
+  // random corpora. Corpus contract: chr(16)/chr(17) never occur in
+  // text (BMP control chars; same class of contract as
+  // TokenGramHashes' documented range).
+  private[graft] final val t20Merges = 8
+
+  private val t20: Q = (s, d) => bpeTrain(T.documents(s, d), t20Merges)
+
+  /** K-round BPE merge training over `docs(text)`; factored out of the
+    * registered query so specs can train on crafted/random corpora. */
+  private[graft] def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bl = "\u0010"; val br = "\u0011" // unit open/close brackets (chr 16/17)
+    val wf = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("st", regexp_replace(col("w"), "(.)", bl + "$1" + br))
+      .select(col("c"), col("st"))
+      .transform(graft.CacheScope.cached)
+    var st = wf
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = st
+        .select(col("c"),
+          split(expr("substr(st, 2, length(st) - 2)"), br + bl).as("u"))
+        .filter(size(col("u")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(u) - 1), i -> struct(element_at(u, i) AS l, element_at(u, CAST(i + 1 AS INT)) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // corpus fully merged: oracle's m-CTE goes empty the same round
+      else {
+        val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, l + rr, cnt))
+        st = st.withColumn("st",
+          replace(col("st"), lit(bl + l + br + bl + rr + br), lit(bl + l + rr + br)))
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left_unit", "right_unit", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The same K rounds unrolled as CTEs: pairs_r counts adjacent units
+    * of the round-(r−1) state, m_r is the deterministic argmax
+    * (cnt desc, l, r), s_r applies the bracket-anchored rewrite. */
+  private val t20Sql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+      "wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w)",
+      "s0 AS (SELECT c, regexp_replace(w, '(.)', chr(16) || '\\1' || chr(17), 'g') AS st FROM wf)")
+    for (r <- 1 to t20Merges) {
+      val p = r - 1
+      ctes += s"u$r AS (SELECT c, string_split(substr(st, 2, length(st) - 2), chr(17) || chr(16)) AS u FROM s$p)"
+      ctes += s"""pairs$r AS (
+                 |  SELECT u[CAST(i AS INTEGER)] AS l, u[CAST(i AS INTEGER) + 1] AS r, SUM(c) AS cnt
+                 |  FROM u$r, LATERAL unnest(generate_series(1, len(u) - 1)) AS g(i)
+                 |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"m$r AS (SELECT l, r, cnt FROM pairs$r ORDER BY cnt DESC, l, r LIMIT 1)"
+      ctes += s"""s$r AS (SELECT c,
+                 |  replace(st, chr(16) || m.l || chr(17) || chr(16) || m.r || chr(17),
+                 |          chr(16) || m.l || m.r || chr(17)) AS st
+                 |  FROM s$p, m$r m)""".stripMargin
+    }
+    val rows = (1 to t20Merges).map(r =>
+      s"SELECT $r AS merge_rank, l AS left_unit, r AS right_unit, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + rows + ") ORDER BY merge_rank"
+  }
+
   // -- p10: sequence packing priced in LEARNED tokens ----------------------
   // The re-pricing the verdict asked t17 to enable: p02/m04's packing
   // arithmetic (the SAME hierarchicalPack definition — nothing about
@@ -4961,6 +5069,7 @@ object Pipeline {
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
     "t18_tfidf_hashed" -> t18, "t19_intra_doc_dedup" -> t19,
+    "t20_bpe_train" -> t20,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -5014,6 +5123,7 @@ object Pipeline {
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
     "t18_tfidf_hashed" -> t18Sql, "t19_intra_doc_dedup" -> t19Sql,
+    "t20_bpe_train" -> t20Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,

@@ -547,4 +547,32 @@ class FunctionsSpec extends SparkSpec {
     assert(row.getDouble(0) > 1.2,
       s"mean ratio ${row.getDouble(0)} — the capped-unit config should diverge from whitespace counting")
   }
+
+  test("t20 BPE training anchors merges to WHOLE units (xa/ab/xab fixture)") {
+    import spark.implicits._
+    // After merge 1 (x,a)->xa, a flat single-separator state would let
+    // pair (a,b) falsely rewrite the SUFFIX of unit "xa" in "xab".
+    // Correct BPE: merge 2 is (a,b) cnt 6 (the standalone "ab" words
+    // only), merge 3 is (xa,b) cnt 5.
+    val docs = Seq((1L, (Seq.fill(10)("xa") ++ Seq.fill(6)("ab") ++
+      Seq.fill(5)("xab")).mkString(" "))).toDF("doc_id", "text")
+    val got = graft.queries.Pipeline.bpeTrain(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1, "x", "a", "xa", 15L), (2, "a", "b", "ab", 6L),
+      (3, "xa", "b", "xab", 5L)), got.toString)
+  }
+
+  test("t20 merge counts are non-increasing and the table is run-stable on the corpus") {
+    val df = SparkEntry.queries("t20_bpe_train")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(rows.length == 8 && rows.map(_._1).toSeq == (1 to 8))
+    // best-pair frequency can only fall: untouched pairs keep their
+    // count, pairs created by a merge are bounded by that merge's count
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, s"merge ${b._1} count rose: $a -> $b")
+    }
+    val again = SparkEntry.queries("t20_bpe_train")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(rows.toSeq == again.toSeq, "training must be run-stable")
+  }
 }

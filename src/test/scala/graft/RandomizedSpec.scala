@@ -280,4 +280,40 @@ class RandomizedSpec extends SparkSpec {
       assert(out(id) == reference(text), s"doc $id: ${out(id)} vs ${reference(text)}")
     }
   }
+
+  test("t20 BPE training equals a reference unit-list trainer on random corpora") {
+    import spark.implicits._
+    // short words over a tiny alphabet force multi-char merges, ties,
+    // and overlapping runs (aa a a...) within a few rounds
+    def word(): String = Seq.fill(2 + rnd.nextInt(4))("abc".charAt(rnd.nextInt(3))).mkString
+    val docs = (0 until 30).map(i => (i.toLong, Seq.fill(20)(word()).mkString(" ")))
+    def reference(words: Map[String, Long], k: Int): Seq[(Int, String, String, String, Long)] = {
+      var segs: Seq[(Vector[String], Long)] =
+        words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      for (r <- 1 to k) {
+        val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((u, c) <- segs; i <- 0 until u.length - 1)
+          cnt((u(i), u(i + 1))) = cnt.getOrElse((u(i), u(i + 1)), 0L) + c
+        if (cnt.nonEmpty) {
+          val ((l, rr), c) = cnt.toSeq.minBy { case ((l, rr), c) => (-c, l, rr) }
+          out += ((r, l, rr, l + rr, c))
+          segs = segs.map { case (u, wc) =>
+            val b = Vector.newBuilder[String]; var i = 0
+            while (i < u.length) {
+              if (i < u.length - 1 && u(i) == l && u(i + 1) == rr) { b += l + rr; i += 2 }
+              else { b += u(i); i += 1 }
+            }
+            (b.result(), wc)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val wordCounts = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+    val got = graft.queries.Pipeline.bpeTrain(docs.toDF("doc_id", "text"), 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == reference(wordCounts, 8), s"got $got\nref ${reference(wordCounts, 8)}")
+  }
 }
