@@ -4766,6 +4766,74 @@ object Pipeline {
     "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + rows + ") ORDER BY merge_rank"
   }
 
+  // -- t21: readability scoring (Flesch / Gunning-Fog class) ---------------
+  // The curation gate complementing t02's surface-quality score:
+  // classic readability formulas (Flesch 1948 reading ease, Gunning
+  // 1952 fog index — public-domain formulas every text pipeline
+  // ships) over a syllable HEURISTIC that is itself replayable:
+  // syllables(word) = count of [aeiouy]+ vowel groups, minimum 1
+  // (vowel-less tokens still carry one spoken beat), complex word =
+  // >= 3 groups. Sentences = greatest(1, count of [.!?]+ runs) — on
+  // this punctuation-free corpus every doc is honestly ONE sentence
+  // (the words/sentence term then prices doc length, which is what a
+  // quality gate wants); the spec proves real splitting on crafted
+  // punctuated docs. All counts are exact integers; the two formulas
+  // are fixed multiply-adds over two IEEE divisions in a pinned
+  // order, so both engines emit bit-identical doubles and the banding
+  // CASE decides on identical values.
+  // Scale: ONE map-only codegen'd pass (regexp + array HOFs per row,
+  // cost bounded by the document-length contract), zero shuffles
+  // before the output sort — t01/t02's class.
+  private val t21: Q = (s, d) =>
+    docsSpread(s, d)
+      .withColumn("words", expr("filter(split(lower(text), ' '), w -> w <> '')"))
+      .withColumn("n_words", size(col("words")).cast(LongType))
+      .withColumn("n_sentences",
+        greatest(lit(1L), expr("regexp_count(text, '[.!?]+')").cast(LongType)))
+      .withColumn("n_syllables",
+        (expr("regexp_count(lower(text), '[aeiouy]+')") +
+          expr("size(filter(words, w -> NOT w RLIKE '[aeiouy]'))")).cast(LongType))
+      .withColumn("n_complex",
+        expr("size(filter(words, w -> regexp_count(w, '[aeiouy]+') >= 3))").cast(LongType))
+      .withColumn("flesch", when(col("n_words") === 0, lit(null).cast(DoubleType))
+        .otherwise(lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables") / col("n_words"))))
+      .withColumn("fog", when(col("n_words") === 0, lit(null).cast(DoubleType))
+        .otherwise(lit(0.4) * ((col("n_words") / col("n_sentences")) +
+          lit(100.0) * (col("n_complex") / col("n_words")))))
+      .withColumn("band", when(col("flesch").isNull, lit(null).cast(StringType))
+        .when(col("flesch") >= 60.0, lit("easy"))
+        .when(col("flesch") >= 30.0, lit("standard"))
+        .otherwise(lit("difficult")))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("n_complex"), col("flesch"), col("fog"), col("band"))
+      .orderBy(col("doc_id"))
+
+  private val t21Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS words,
+      |    text
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+      |         len(list_filter(words, x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT) AS n_syllables,
+      |    CAST(len(list_filter(words, x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)) AS BIGINT) AS n_complex
+      |  FROM w)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, n_complex,
+      |  CASE WHEN n_words = 0 THEN NULL
+      |       ELSE 206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) END AS flesch,
+      |  CASE WHEN n_words = 0 THEN NULL
+      |       ELSE 0.4 * ((n_words / n_sentences) + 100.0 * (n_complex / n_words)) END AS fog,
+      |  CASE WHEN n_words = 0 THEN NULL
+      |       WHEN 206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) >= 60.0 THEN 'easy'
+      |       WHEN 206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) >= 30.0 THEN 'standard'
+      |       ELSE 'difficult' END AS band
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // -- p10: sequence packing priced in LEARNED tokens ----------------------
   // The re-pricing the verdict asked t17 to enable: p02/m04's packing
   // arithmetic (the SAME hierarchicalPack definition — nothing about
@@ -5069,7 +5137,7 @@ object Pipeline {
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
     "t18_tfidf_hashed" -> t18, "t19_intra_doc_dedup" -> t19,
-    "t20_bpe_train" -> t20,
+    "t20_bpe_train" -> t20, "t21_readability" -> t21,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -5123,7 +5191,7 @@ object Pipeline {
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
     "t18_tfidf_hashed" -> t18Sql, "t19_intra_doc_dedup" -> t19Sql,
-    "t20_bpe_train" -> t20Sql,
+    "t20_bpe_train" -> t20Sql, "t21_readability" -> t21Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,

@@ -575,4 +575,27 @@ class FunctionsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
     assert(rows.toSeq == again.toSeq, "training must be run-stable")
   }
+
+  test("t21 readability: sentence split, min-1 syllables, complex words on crafted docs") {
+    import spark.implicits._
+    import graft.Tables
+    val dir = java.nio.file.Files.createTempDirectory("t21docs").toString
+    Seq(
+      (1L, "The quick brown fox. It jumps! Over the lazy dog?", "en", "s", 0L),
+      (2L, "xyz zzz", "en", "s", 0L), // vowel-less words still carry one beat each
+      (3L, "beautiful extraordinary cat", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t21_readability")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 3L, s"3 sentences: ${out(1L)}")
+    assert(out(2L).getLong(2) == 1L && out(2L).getLong(3) == 2L,
+      s"no punctuation -> 1 sentence; two vowel-less words -> 2 syllables: ${out(2L)}")
+    assert(out(3L).getLong(4) == 2L, s"beautiful+extraordinary are complex: ${out(3L)}")
+    // flesch must equal the textbook formula evaluated in the same order
+    val r3 = out(3L)
+    val (w, sn, sy) = (r3.getLong(1), r3.getLong(2), r3.getLong(3))
+    val expected = 206.835 - 1.015 * (w.toDouble / sn) - 84.6 * (sy.toDouble / w)
+    assert(r3.getDouble(5) == expected, s"${r3.getDouble(5)} vs $expected")
+  }
 }
