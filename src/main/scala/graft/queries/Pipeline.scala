@@ -993,6 +993,145 @@ object Pipeline {
 
   // ======================= text analysis: documents ========================
 
+  // -- s14: scalar-quantized (SQ8) ANN with exact rerank -------------------
+  // The FAISS-class SQ8 rung the ladder was missing, between s01's raw
+  // brute force and s04's PQ: quantize every dimension to one byte
+  // against per-dimension corpus [min, max] (4x memory-bandwidth
+  // compression at dim 64 - the reason SQ8 exists), rank candidates by
+  // the INTEGER code dot product (exact BIGINT sums, order-free, so
+  // the approximate ranking itself replays bit-for-bit - no float
+  // fold anywhere in the selection), keep k x overfetch survivors,
+  // then rerank those few on the true float vectors (the native
+  // cosine, bit-identical to DuckDB's list_cosine_similarity).
+  //
+  // Scale shape: the fit is ONE corpus pass - posexplode is map-side
+  // and groupBy(dim) partial-aggregates to 64 rows per partition
+  // before the exchange, so the shuffle moves 64 x partitions tiny
+  // rows; the 64-row min/max frame is a bounded driver artifact
+  // (IntLloyd's precedent) folded into the quantize lambda as array
+  // literals. The probe is s01's broadcast shape over CODES (zero
+  // fact shuffles; the top-k exchange carries only ids + one long),
+  // and the exact rerank touches k x overfetch rows per query joined
+  // back by id. Quantization arithmetic is the same pinned IEEE
+  // sequence in both engines (sub, mul 255.0, div, floor, clamp), so
+  // codes - and therefore the admitted survivor set - are
+  // oracle-certified, not just the final rows.
+  private val s14: Q = (s, d) => {
+    val k = 5; val overfetch = 4
+    val emb = T.embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+    val mm = corpus
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast(DoubleType)).as("mn"), max(col("x").cast(DoubleType)).as("mx"))
+      .orderBy(col("i")).collect() // one row per dimension (64): bounded fit artifact
+    val mns = array(mm.map(r => lit(r.getDouble(1))): _*)
+    val mxs = array(mm.map(r => lit(r.getDouble(2))): _*)
+    val codeExpr = expr(
+      """transform(embedding, (x, i) ->
+        |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0
+        |       ELSE CAST(least(255.0, greatest(0.0,
+        |              floor(((CAST(x AS DOUBLE) - element_at(mns, i + 1)) * 255.0)
+        |                    / (element_at(mxs, i + 1) - element_at(mns, i + 1))))) AS INT)
+        |  END)""".stripMargin)
+    val selfDot = (c: String) => expr(
+      s"aggregate(zip_with($c, $c, (a, b) -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val ccodes = corpus.withColumn("mns", mns).withColumn("mxs", mxs)
+      .withColumn("codes", codeExpr)
+      .withColumn("c_norm2", selfDot("codes"))
+      .select(col("cand_id"), col("codes"), col("c_norm2"))
+    val qcodes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .withColumn("mns", mns).withColumn("mxs", mxs)
+      .withColumn("q_codes", codeExpr)
+      .withColumn("q_norm2", selfDot("q_codes"))
+      .select(col("q_id"), col("q_codes"), col("q_norm2"))
+    // rank by the QUANTIZED COSINE, not the raw dot — the selection
+    // must approximate the metric the rerank decides on, or large-norm
+    // candidates crowd out true neighbors. Exact-int inputs, one
+    // exactly-rounded sqrt + one division → bit-identical both engines.
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("cand_id"))
+    val survivors = ccodes.crossJoin(broadcast(qcodes))
+      .withColumn("approx_dot", expr(
+        "aggregate(zip_with(q_codes, codes, (a, b) -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("approx_cos", when(col("c_norm2") === 0L || col("q_norm2") === 0L, lit(-1.0))
+        .otherwise(col("approx_dot").cast(DoubleType) /
+          sqrt(col("c_norm2").cast(DoubleType) * col("q_norm2").cast(DoubleType))))
+      .select(col("q_id"), col("cand_id"), col("approx_dot"), col("approx_cos")) // skinny top-k exchange
+      .withColumn("rn_a", row_number().over(wA))
+      .filter(col("rn_a") <= k * overfetch)
+      .drop("rn_a", "approx_cos")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    broadcast(survivors)
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"), col("approx_dot"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val s14Sql =
+    """WITH mm AS (
+      |  SELECT i, MIN(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mn,
+      |         MAX(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mx
+      |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+      |  WHERE vec_id >= 10 GROUP BY i),
+      |mmarr AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+      |cc AS (
+      |  SELECT vec_id AS cand_id,
+      |    list_transform(generate_series(1, CAST(len(embedding) AS INTEGER)),
+      |      i -> CASE WHEN mxs[i] = mns[i] THEN 0
+      |                ELSE CAST(least(255.0, greatest(0.0,
+      |                       floor(((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0)
+      |                             / (mxs[i] - mns[i])))) AS INTEGER) END) AS codes
+      |  FROM embeddings, mmarr WHERE vec_id >= 10),
+      |qc AS (
+      |  SELECT vec_id AS q_id,
+      |    list_transform(generate_series(1, CAST(len(embedding) AS INTEGER)),
+      |      i -> CASE WHEN mxs[i] = mns[i] THEN 0
+      |                ELSE CAST(least(255.0, greatest(0.0,
+      |                       floor(((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0)
+      |                             / (mxs[i] - mns[i])))) AS INTEGER) END) AS q_codes
+      |  FROM embeddings, mmarr WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, cand_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(q_codes)),
+      |      i -> CAST(q_codes[i] AS BIGINT) * codes[i])) AS BIGINT) AS approx_dot,
+      |    CAST(list_sum(list_transform(generate_series(1, len(codes)),
+      |      i -> CAST(codes[i] AS BIGINT) * codes[i])) AS BIGINT) AS c_norm2,
+      |    CAST(list_sum(list_transform(generate_series(1, len(q_codes)),
+      |      i -> CAST(q_codes[i] AS BIGINT) * q_codes[i])) AS BIGINT) AS q_norm2
+      |  FROM cc, qc),
+      |cosed AS (
+      |  SELECT q_id, cand_id, approx_dot,
+      |    CASE WHEN c_norm2 = 0 OR q_norm2 = 0 THEN -1.0
+      |         ELSE CAST(approx_dot AS DOUBLE)
+      |              / sqrt(CAST(c_norm2 AS DOUBLE) * CAST(q_norm2 AS DOUBLE)) END AS approx_cos
+      |  FROM scored),
+      |surv AS (
+      |  SELECT q_id, cand_id, approx_dot,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, cand_id) AS rn_a
+      |  FROM cosed),
+      |rer AS (
+      |  SELECT s.q_id, s.cand_id, s.approx_dot,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+      |  FROM surv s
+      |  JOIN embeddings c ON c.vec_id = s.cand_id
+      |  JOIN embeddings q ON q.vec_id = s.q_id
+      |  WHERE s.rn_a <= 20),
+      |r AS (
+      |  SELECT q_id, cand_id, approx_dot, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+      |  FROM rer)
+      |SELECT q_id, cand_id, approx_dot, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   // -- t01: marker-based language ID heuristic -----------------------------
   private val t01: Q = (s, d) =>
     T.documents(s, d)
@@ -5143,7 +5282,7 @@ object Pipeline {
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
     "s09_ann_mips" -> s09, "s10_ann_filtered" -> s10,
     "s11_ann_recall_report" -> s11, "s12_ann_delta_append" -> s12,
-    "s13_ann_tombstone_delete" -> s13,
+    "s13_ann_tombstone_delete" -> s13, "s14_ann_sq8" -> s14,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -5187,6 +5326,7 @@ object Pipeline {
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
     "s10_ann_filtered" -> s10Sql, "s11_ann_recall_report" -> s11Sql,
     "s12_ann_delta_append" -> s12Sql, "s13_ann_tombstone_delete" -> s13Sql,
+    "s14_ann_sq8" -> s14Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,

@@ -538,4 +538,39 @@ class PipelineScaleSpec extends SparkSpec {
     assert(notFull == 0, s"$notFull interior bins not exactly full under learned costs")
     graft.CacheScope.drain()
   }
+
+  test("s14 SQ8 quantized ranking recovers brute-force top-5 on a clustered corpus") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // same geometry as the s07 fixture: tight clusters, one query each
+    val rnd = new scala.util.Random(43)
+    val base = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    def member(c: Int): Array[Float] =
+      base(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat)
+    val vecs = (0 until 10).map(c => (c.toLong, member(c))) ++
+      (0 until 190).map(i => ((10 + i).toLong, member(i % 10)))
+    val dir = java.nio.file.Files.createTempDirectory("s14corpus").toString
+    spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+      .withColumn("label", (col("vec_id") % 10).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("s14_ann_sq8")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val emb = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    val exact = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet && got.keySet.size == 10)
+    got.keySet.foreach { q =>
+      assert(got(q) == exact(q),
+        s"q=$q sq8=${got(q)} exact=${exact(q)} — int8 ranking lost a true neighbor on tight clusters")
+    }
+  }
 }
