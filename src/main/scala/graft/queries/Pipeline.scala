@@ -1132,6 +1132,79 @@ object Pipeline {
       |SELECT q_id, cand_id, approx_dot, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  // -- s15: k-NN majority-vote classification ------------------------------
+  // The application rung on top of the ANN ladder: predict a probe
+  // vector's label by majority vote of its k nearest LABELED corpus
+  // vectors (the classic k-NN classifier — cover for downstream tasks
+  // like topic tagging and near-dup label propagation). Probes =
+  // vec_id < 20 with their stored labels held out as ground truth;
+  // corpus = the labeled rest. Neighbor selection is s01's exact
+  // top-k (cosine desc, cand_id asc tie-break); the VOTE is fully
+  // deterministic too — argmax by (votes desc, best_rank asc,
+  // label asc), where best_rank breaks vote ties in favor of the
+  // label holding the single closest neighbor, mirroring
+  // distance-weighted practice without introducing doubles.
+  //
+  // Scale: probes broadcast (bounded query set), corpus scanned
+  // map-only, ONE window shuffle on q_id for top-k (s01's shape —
+  // at warehouse scale the per-partition TakeOrdered happens in the
+  // window's partial sort); the vote runs over k×|probes| rows.
+  // Swapping the selection stage for s08's index-pruned exact top-k
+  // keeps the vote unchanged — selection and decision are separate
+  // stages by construction.
+  private val s15: Q = (s, d) => {
+    val k = 10
+    val emb = T.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("actual_label"))
+    val cands = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val neighbors = cands.crossJoin(broadcast(qs))
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("best_rank"), col("label"))
+    neighbors
+      .groupBy(col("q_id"), col("actual_label"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rn")).as("best_rank"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("actual_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("actual_label")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
+  private val s15Sql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS actual_label
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS cand_id, embedding, label
+      |      FROM embeddings WHERE vec_id >= 20),
+      |scored AS (
+      |  SELECT q_id, actual_label, cand_id, label,
+      |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+      |  FROM c, q),
+      |nn AS (
+      |  SELECT q_id, actual_label, label,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+      |  FROM scored),
+      |votes AS (
+      |  SELECT q_id, actual_label, label,
+      |    CAST(COUNT(*) AS BIGINT) AS votes, MIN(rn) AS best_rank
+      |  FROM nn WHERE rn <= 10 GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT q_id, actual_label, label, votes,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY votes DESC, best_rank, label) AS vr
+      |  FROM votes)
+      |SELECT q_id, actual_label, label AS pred_label, votes,
+      |  label = actual_label AS correct
+      |FROM ranked WHERE vr = 1 ORDER BY q_id""".stripMargin
+
   // -- t01: marker-based language ID heuristic -----------------------------
   private val t01: Q = (s, d) =>
     T.documents(s, d)
@@ -4973,6 +5046,84 @@ object Pipeline {
       |       ELSE 'difficult' END AS band
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // -- t22: vocabulary growth curve (Heaps-law checkpoints) -----------------
+  // The corpus statistic that decides tokenizer vocab size and
+  // hash-width choices before a big crawl is committed (Heaps 1978 —
+  // vocabulary grows ~K·Tᵝ, and whether YOUR corpus bends at 1e7 or
+  // 1e9 types is an empirical question): distinct-word vocabulary
+  // size, new-type count, docs and tokens seen at power-of-two
+  // doc-id checkpoints N = 2^j. Everything is exact-integer: a
+  // word's first appearance is min(doc_id) over its occurrences, its
+  // checkpoint bucket j = greatest(4, length(bin(first_id))) — the
+  // binary-digit-count identity floor(log2(x))+1 = len(bin(x)), pure
+  // string length, no floating log2 (which neither engine guarantees
+  // correctly-rounded at boundaries) — and the curve is a prefix sum
+  // over the ≤64-row bucket frame. No global row_number: doc_id IS
+  // the order axis, so the corpus-sized passes stay embarrassingly
+  // parallel (the serialize-the-corpus window is exactly what this
+  // formulation avoids).
+  //
+  // Scale: one explode shuffle on the word (map-side partial MIN —
+  // uniform keys), one tiny agg per bucket, prefix sums over the
+  // bounded checkpoint frame. t13's class.
+  private val t22: Q = (s, d) => {
+    val docs = docsSpread(s, d)
+      .withColumn("words", expr("filter(split(lower(text), ' '), w -> w <> '')"))
+      .withColumn("j", greatest(lit(4), length(bin(col("doc_id")))).cast(IntegerType))
+    val docBuckets = docs.groupBy(col("j"))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(size(col("words")).cast(LongType)).as("tokens_in"))
+    val wordBuckets = docs
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_id"))
+      .withColumn("j", greatest(lit(4), length(bin(col("first_id")))).cast(IntegerType))
+      .groupBy(col("j")).agg(count(lit(1)).as("new_words"))
+    val wCum = Window.orderBy(col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docBuckets.join(wordBuckets, Seq("j"), "full_outer")
+      .na.fill(0L, Seq("docs_in", "tokens_in", "new_words"))
+      .withColumn("checkpoint_docs", expr("shiftleft(CAST(1 AS BIGINT), j)"))
+      .withColumn("docs_seen", sum(col("docs_in")).over(wCum))
+      .withColumn("tokens_seen", sum(col("tokens_in")).over(wCum))
+      .withColumn("vocab_size", sum(col("new_words")).over(wCum))
+      .select(col("j"), col("checkpoint_docs"), col("docs_seen"),
+        col("tokens_seen"), col("vocab_size"), col("new_words"))
+      .orderBy(col("j"))
+  }
+
+  private val t22Sql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS words,
+      |    CAST(greatest(4, length(bin(doc_id))) AS INTEGER) AS j
+      |  FROM documents),
+      |db AS (
+      |  SELECT j, CAST(COUNT(*) AS BIGINT) AS docs_in,
+      |    CAST(SUM(len(words)) AS BIGINT) AS tokens_in
+      |  FROM docs GROUP BY 1),
+      |firsts AS (
+      |  SELECT w, MIN(doc_id) AS first_id
+      |  FROM (SELECT doc_id, unnest(words) AS w FROM docs)
+      |  GROUP BY 1),
+      |wb AS (
+      |  SELECT CAST(greatest(4, length(bin(first_id))) AS INTEGER) AS j,
+      |    CAST(COUNT(*) AS BIGINT) AS new_words
+      |  FROM firsts GROUP BY 1),
+      |joined AS (
+      |  SELECT COALESCE(db.j, wb.j) AS j,
+      |    COALESCE(db.docs_in, 0) AS docs_in,
+      |    COALESCE(db.tokens_in, 0) AS tokens_in,
+      |    COALESCE(wb.new_words, 0) AS new_words
+      |  FROM db FULL OUTER JOIN wb ON db.j = wb.j)
+      |SELECT j, CAST(1::BIGINT << j AS BIGINT) AS checkpoint_docs,
+      |  CAST(SUM(docs_in) OVER w AS BIGINT) AS docs_seen,
+      |  CAST(SUM(tokens_in) OVER w AS BIGINT) AS tokens_seen,
+      |  CAST(SUM(new_words) OVER w AS BIGINT) AS vocab_size,
+      |  new_words
+      |FROM joined
+      |WINDOW w AS (ORDER BY j ROWS UNBOUNDED PRECEDING)
+      |ORDER BY j""".stripMargin
+
   // -- p10: sequence packing priced in LEARNED tokens ----------------------
   // The re-pricing the verdict asked t17 to enable: p02/m04's packing
   // arithmetic (the SAME hierarchicalPack definition — nothing about
@@ -5277,12 +5428,14 @@ object Pipeline {
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
     "t18_tfidf_hashed" -> t18, "t19_intra_doc_dedup" -> t19,
     "t20_bpe_train" -> t20, "t21_readability" -> t21,
+    "t22_vocab_growth" -> t22,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
     "s09_ann_mips" -> s09, "s10_ann_filtered" -> s10,
     "s11_ann_recall_report" -> s11, "s12_ann_delta_append" -> s12,
     "s13_ann_tombstone_delete" -> s13, "s14_ann_sq8" -> s14,
+    "s15_knn_classify" -> s15,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -5326,12 +5479,13 @@ object Pipeline {
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
     "s10_ann_filtered" -> s10Sql, "s11_ann_recall_report" -> s11Sql,
     "s12_ann_delta_append" -> s12Sql, "s13_ann_tombstone_delete" -> s13Sql,
-    "s14_ann_sq8" -> s14Sql,
+    "s14_ann_sq8" -> s14Sql, "s15_knn_classify" -> s15Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
     "t18_tfidf_hashed" -> t18Sql, "t19_intra_doc_dedup" -> t19Sql,
     "t20_bpe_train" -> t20Sql, "t21_readability" -> t21Sql,
+    "t22_vocab_growth" -> t22Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,

@@ -3804,8 +3804,143 @@ object Relational {
       |  CAST(raw_rank AS INTEGER) - CAST(shrunk_rank AS INTEGER) AS rank_delta
       |FROM r ORDER BY shrunk_rank""".stripMargin
 
+  // -- q91: achievement-gap report (subgroup vs org overall) ---------------
+  // The gap analysis an assessment warehouse publishes next to every
+  // proficiency table (reference: docs/Architecture.md aggregate
+  // reporting — subgroup dimensions over the same measures): for each
+  // org × student subgroup, percent at/above the proficiency cut
+  // (q18's L3 cut-point, one shared constant) side by side with the
+  // org's OVERALL rate and the gap in percentage points. Exactness:
+  // numerators/denominators are exact LONGs; each pct is ONE IEEE
+  // division; the gap is a subtraction of two bit-identical doubles
+  // times a literal — engine-identical end to end. The subgroup cells
+  // REAGGREGATE to the org line (Σ n_prof = org NP by construction),
+  // which the spec pins as the internal-consistency invariant real
+  // gap reports are audited against.
+  //
+  // Scale: ONE fact partial-agg shuffle to #org × #segment cells
+  // under the broadcast nation dim; the org-overall frame is a
+  // re-agg of those cells (bounded), joined back on the org key —
+  // the fact table is read once and never joined post-agg.
+  private val q91: Q = (s, d) => {
+    val cells = T.orders(s, d)
+      .join(T.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_students"),
+        sum(when(col("o_totalprice") >= 200000, 1L).otherwise(0L))
+          .as("n_proficient"))
+    val overall = cells.groupBy(col("n_name"))
+      .agg(sum(col("n_students")).as("org_n"),
+        sum(col("n_proficient")).as("org_prof"))
+    cells.join(broadcast(overall), Seq("n_name"))
+      .withColumn("pct_proficient",
+        col("n_proficient").cast(DoubleType) / col("n_students"))
+      .withColumn("overall_pct",
+        col("org_prof").cast(DoubleType) / col("org_n"))
+      .withColumn("gap_pp",
+        (col("pct_proficient") - col("overall_pct")) * lit(100.0))
+      .select(col("n_name"), col("segment"), col("n_students"),
+        col("n_proficient"), col("pct_proficient"), col("overall_pct"),
+        col("gap_pp"))
+      .orderBy(col("n_name"), col("segment"))
+  }
+
+  private val q91Sql =
+    """WITH cells AS (
+      |  SELECT nn.n_name, c.c_mktsegment AS segment,
+      |    CAST(COUNT(*) AS BIGINT) AS n_students,
+      |    CAST(SUM(CASE WHEN o.o_totalprice >= 200000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_proficient
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+      |  GROUP BY 1, 2),
+      |org AS (
+      |  SELECT n_name, CAST(SUM(n_students) AS BIGINT) AS org_n,
+      |    CAST(SUM(n_proficient) AS BIGINT) AS org_prof
+      |  FROM cells GROUP BY 1)
+      |SELECT c.n_name, c.segment, c.n_students, c.n_proficient,
+      |  CAST(c.n_proficient AS DOUBLE) / c.n_students AS pct_proficient,
+      |  CAST(o.org_prof AS DOUBLE) / o.org_n AS overall_pct,
+      |  (CAST(c.n_proficient AS DOUBLE) / c.n_students
+      |    - CAST(o.org_prof AS DOUBLE) / o.org_n) * 100.0 AS gap_pp
+      |FROM cells c JOIN org o ON c.n_name = o.n_name
+      |ORDER BY c.n_name, c.segment""".stripMargin
+
+  // -- q92: cut-score what-if (level migration matrix) ----------------------
+  // The standard-setting impact analysis run before any cut-score
+  // change ships (reference: docs/Norms.md — cut scores are versioned
+  // config): re-band every exam under a PROPOSED cut-point set and
+  // cross-tabulate current level × proposed level, so the committee
+  // sees exactly how many students each boundary shift moves and in
+  // which direction. Proposed cuts here raise the L3 entry
+  // (200000 → 220000, demotions) and lower the L4 entry
+  // (350000 → 330000, promotions) — both directions exercised.
+  // Exactness: the matrix is pure integer counts off ONE scan (both
+  // CASE brandings are map-side over the same row); pct_of_current is
+  // one IEEE division against the current-level total, re-aggregated
+  // from the matrix cells themselves. Monotone cut shifts can only
+  // move a row to an ADJACENT level — the spec pins that invariant
+  // and the row-sum identity (matrix marginals = q18's current
+  // distribution).
+  //
+  // Scale: one partial-agg shuffle of map-side (old, new) partials to
+  // ≤16 cells; the marginal frame is a re-agg of the matrix. The fact
+  // table is scanned once, never joined.
+  private val q92: Q = (s, d) => {
+    val cur = when(col("o_totalprice") < 100000, "L1_below")
+      .when(col("o_totalprice") < 200000, "L2_approaching")
+      .when(col("o_totalprice") < 350000, "L3_meets")
+      .otherwise("L4_exceeds")
+    val prop = when(col("o_totalprice") < 100000, "L1_below")
+      .when(col("o_totalprice") < 220000, "L2_approaching")
+      .when(col("o_totalprice") < 330000, "L3_meets")
+      .otherwise("L4_exceeds")
+    val cellsDf = T.orders(s, d)
+      .select(cur.as("current_level"), prop.as("proposed_level"))
+      .groupBy(col("current_level"), col("proposed_level"))
+      .agg(count(lit(1)).as("n"))
+    val marg = cellsDf.groupBy(col("current_level"))
+      .agg(sum(col("n")).as("current_total"))
+    cellsDf.join(broadcast(marg), Seq("current_level"))
+      .withColumn("pct_of_current",
+        col("n").cast(DoubleType) / col("current_total"))
+      .withColumn("moved", col("current_level") =!= col("proposed_level"))
+      .select(col("current_level"), col("proposed_level"), col("n"),
+        col("current_total"), col("pct_of_current"), col("moved"))
+      .orderBy(col("current_level"), col("proposed_level"))
+  }
+
+  private val q92Sql =
+    """WITH branded AS (
+      |  SELECT
+      |    CASE WHEN o_totalprice < 100000 THEN 'L1_below'
+      |      WHEN o_totalprice < 200000 THEN 'L2_approaching'
+      |      WHEN o_totalprice < 350000 THEN 'L3_meets'
+      |      ELSE 'L4_exceeds' END AS current_level,
+      |    CASE WHEN o_totalprice < 100000 THEN 'L1_below'
+      |      WHEN o_totalprice < 220000 THEN 'L2_approaching'
+      |      WHEN o_totalprice < 330000 THEN 'L3_meets'
+      |      ELSE 'L4_exceeds' END AS proposed_level
+      |  FROM orders),
+      |cells AS (
+      |  SELECT current_level, proposed_level, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM branded GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT current_level, CAST(SUM(n) AS BIGINT) AS current_total
+      |  FROM cells GROUP BY 1)
+      |SELECT c.current_level, c.proposed_level, c.n, m.current_total,
+      |  CAST(c.n AS DOUBLE) / m.current_total AS pct_of_current,
+      |  c.current_level <> c.proposed_level AS moved
+      |FROM cells c JOIN marg m ON c.current_level = m.current_level
+      |ORDER BY c.current_level, c.proposed_level""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q91_achievement_gap" -> q91, "q92_cut_score_whatif" -> q92,
     "q90_shrunk_ranking" -> q90,
     "q86_cell_suppression" -> q86,
     "q79_growth_percentile" -> q79, "q80_growth_multi_year" -> q80,
@@ -3849,6 +3984,7 @@ object Relational {
     "q31_norms_lookup" -> q31, "q32_skew_agg" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q91_achievement_gap" -> q91Sql, "q92_cut_score_whatif" -> q92Sql,
     "q79_growth_percentile" -> q79Sql, "q80_growth_multi_year" -> q80Sql,
     "q81_cohort_retention" -> q81Sql, "q82_org_rollup" -> q82Sql,
     "q83_trend_slope" -> q83Sql, "q84_level_transition" -> q84Sql,

@@ -573,4 +573,56 @@ class PipelineScaleSpec extends SparkSpec {
         s"q=$q sq8=${got(q)} exact=${exact(q)} — int8 ranking lost a true neighbor on tight clusters")
     }
   }
+
+  test("s15 k-NN vote recovers the cluster label on a clustered corpus, deterministically") {
+    import org.apache.spark.sql.functions.col
+    // s14's geometry: 10 tight clusters, probe 0..19 = two per cluster
+    val rnd = new scala.util.Random(47)
+    val base = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    def member(c: Int): Array[Float] =
+      base(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat)
+    val vecs = (0 until 200).map(i => (i.toLong, member(i % 10)))
+    val dir = java.nio.file.Files.createTempDirectory("s15corpus").toString
+    spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+      .withColumn("label", (col("vec_id") % 10).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("s15_knn_classify")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getInt(2) == r.getInt(1) && r.getBoolean(4),
+        s"probe ${r.getLong(0)}: predicted ${r.getInt(2)}, cluster ${r.getInt(1)}")
+      assert(r.getLong(3) == 10L, "on tight clusters all k votes agree")
+    }
+    // run-stable: the vote is deterministic end to end
+    val again = SparkEntry.queries("s15_knn_classify")(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("t22 vocabulary growth curve: monotone, conserved, and checkpoint-complete") {
+    val rows = SparkEntry.queries("t22_vocab_growth")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // prefix-sum columns are non-decreasing in j; new_words sums to the vocab
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getInt(0) < b.getInt(0))
+        assert(a.getLong(2) <= b.getLong(2) && a.getLong(3) <= b.getLong(3) &&
+          a.getLong(4) <= b.getLong(4))
+      case _ =>
+    }
+    assert(sorted.map(_.getLong(5)).sum == sorted.last.getLong(4))
+    // the final checkpoint covers the corpus exactly
+    val docs = Tables.documents(spark, sfDir)
+    assert(sorted.last.getLong(2) == docs.count())
+    val totalTokens = docs.selectExpr(
+      "CAST(sum(size(filter(split(lower(text), ' '), w -> w <> ''))) AS BIGINT) t")
+      .collect()(0).getLong(0)
+    assert(sorted.last.getLong(3) == totalTokens)
+    val totalVocab = docs.selectExpr("explode(filter(split(lower(text), ' '), w -> w <> '')) w")
+      .distinct().count()
+    assert(sorted.last.getLong(4) == totalVocab)
+    // every checkpoint bucket is reachable: 2^(j-1) ≤ max doc_id+1 holds per row
+    val maxId = docs.selectExpr("max(doc_id) m").collect()(0).getLong(0)
+    sorted.foreach(r => assert(r.getInt(0) == 4 || (1L << (r.getInt(0) - 1)) <= maxId))
+  }
 }
