@@ -16,9 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * accumulates dot/normA/normB in three registers.
   *
   * Accumulation is left-to-right in DOUBLE and the result is
-  * `dot / (sqrt(na) * sqrt(nb))` — the exact IEEE op order of the HOF
-  * version and of DuckDB's `list_cosine_similarity` on DOUBLE[], so
-  * oracle hashes are bit-identical.
+  * `dot / (sqrt(na) * sqrt(nb))` CLAMPED to [-1, 1] — the exact IEEE
+  * op order of the HOF version and of DuckDB's
+  * `list_cosine_similarity` on DOUBLE[], so oracle hashes are
+  * bit-identical. The clamp matters only for bit-identical-vector
+  * pairs, where the unclamped quotient can land one ulp ABOVE 1.0
+  * (sqrt(s)·sqrt(s) rounds below s): DuckDB clamps, so we clamp —
+  * in-range values are bit-unchanged (round-9 fix surfaced by p05's
+  * exact-duplicate images).
   *
   * Edge-case contract (mirrors DuckDB so the oracle stays exact,
   * verified against duckdb 1.0.0):
@@ -72,7 +77,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) -1.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    else math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
   }
 
   /** Full whole-stage-codegen support (not CodegenFallback): the
@@ -108,7 +113,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $nb += $y * $y;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? -1.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  ? -1.0 : java.lang.Math.max(-1.0, java.lang.Math.min(1.0,
+         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))));
        """.stripMargin
     })
 

@@ -1898,52 +1898,125 @@ object Pipeline {
 
   // ======================= multimodal plumbing =============================
 
-  // -- p05: end-to-end multimodal near-dup (m-family → d-family) -----------
-  // The composition a real multimodal corpus pipeline runs: binary
-  // payloads → per-partition STUB embedding (64-bin byte histogram —
-  // a deployment swaps in a perceptual/CLIP embedder, the vector
-  // contract is identical) → d06's blocked cosine near-dup over the
-  // features. Hash-exact even through the typed mapPartitions: the
-  // stub's integer counts re-derive in DuckDB from hex pairs (m02's
-  // trick) and the cosine of exact-int vectors is bit-identical.
-  //
-  // Scale: embedding is map-only per partition; the self-join is
-  // blocked on source (d06's equi-join shape — at warehouse scale the
-  // blocking key is a coarse quantizer cell, d07); pairs verified by
-  // one compiled cosine per candidate.
-  private val p05: Q = (s, d) => {
+  // -- framedBmp: the m08/p05 raster generator -----------------------------
+  // The corpus has no real media bytes, so the generator RENDERS each
+  // doc as a genuine 24bpp Windows BMP (same pattern as the PNG/JPEG/
+  // WAV/MP4 framers): dims from doc_id, a per-row header→raster gap
+  // (bfOffBits must be honored — fixed offsets cannot cheat), and
+  // pixel CONTENT from a wrap-around color ramp keyed on
+  // g = doc_id % 48. Dims repeat mod 48 too (lcm(16, 12) | 48), so
+  // equal g ⇒ pixel-identical images — the exact-dup classes the p05
+  // near-dup join must find from the DECODED content.
+  private def framedBmp(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.Multimodal
-    val media = T.documents(s, d)
-      .filter(octet_length(col("text").cast(BinaryType)) > 0)
-      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
-      .as[Multimodal.MediaRecord]
-    val emb = Multimodal.embed(s, media).toDF()
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val g = (id % 48).toInt
+          val w = (id % 16).toInt + 4; val h = (id % 12).toInt + 4
+          val gap = (id % 5).toInt
+          val bytes = Multimodal.encodeBmp(w, h, gap, (x, y) => (
+            (7 * g + 11 * x + 13 * y) % 256,
+            (3 * g + 5 * x + 2 * y) % 256,
+            (g + 2 * x + 3 * y) % 256))
+          Multimodal.MediaRecord(id, src, bytes)
+        }
+      }
+  }
+
+  // -- p05: end-to-end multimodal near-dup (m-family → d-family) -----------
+  // The composition a real multimodal corpus pipeline runs: binary
+  // payloads → per-partition PIXEL decode (Multimodal.parseBmp — a
+  // real raster decode, not a byte histogram: round 9 closed the
+  // family's last declared fake) → block-mean-luminance content
+  // embedding (m08's grid, exact integer sums) → d06's blocked
+  // cosine near-dup over the features. Hash-exact through the typed
+  // mapPartitions: the oracle re-derives the PIXELS from the
+  // generator formulas and aggregates the same integer grid, so a
+  // decoder that misreads even one byte (row order, stride pad,
+  // offBits) shifts a sum and breaks the hash.
+  //
+  // Scale: decode+embed is map-only per partition; the self-join is
+  // blocked on source (d06's equi-join shape — at warehouse scale the
+  // blocking key is a coarse quantizer cell: p05b); pairs verified by
+  // one compiled cosine per candidate.
+  private val p05: Q = (s, d) => {
+    import graft.operators.Multimodal
+    val emb = Multimodal.embed(s, framedBmp(s, d)).toDF()
       .transform(graft.CacheScope.cached) // both self-join sides
     blockedCosinePairs(emb, "source", "doc_id", "hist", 0.995)
   }
 
+  /** The pixel-enumeration prefix shared by the p05/p05b/m08 oracles:
+    * every (doc, x, y) pixel's integer BT.601 luminance from the
+    * generator formulas, plus its 4×4 grid cell. */
+  private val bmpPixSql =
+    """dims AS (
+      |  SELECT doc_id, source, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+      |    doc_id % 48 AS g
+      |  FROM documents),
+      |xs AS (SELECT doc_id, source, w, h, g, unnest(range(0, w)) AS x FROM dims),
+      |px AS (SELECT doc_id, source, w, h, g, x, unnest(range(0, h)) AS y FROM xs),
+      |lums AS (
+      |  SELECT doc_id, source, w, h,
+      |    CAST(y * 4 // h AS INTEGER) AS by, CAST(x * 4 // w AS INTEGER) AS bx,
+      |    (77 * ((7*g + 11*x + 13*y) % 256)
+      |     + 150 * ((3*g + 5*x + 2*y) % 256)
+      |     + 29 * ((g + 2*x + 3*y) % 256)) // 256 AS lum
+      |  FROM px)""".stripMargin
+
   private val p05Sql =
-    """WITH h AS (
-      |  SELECT doc_id, source, octet_length(encode(text)) AS n,
-      |    hex(encode(text)) AS hx
-      |  FROM documents WHERE octet_length(encode(text)) > 0),
-      |bytes AS (
-      |  SELECT doc_id, source,
-      |    list_transform(generate_series(0, least(n, 256) - 1),
-      |      i -> 16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1)
-      |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1)) AS bs
-      |  FROM h),
+    s"""WITH $bmpPixSql,
+      |cells AS (
+      |  SELECT doc_id, source, by * 4 + bx AS cell, SUM(lum) AS s
+      |  FROM lums GROUP BY doc_id, source, cell),
       |f AS (
-      |  SELECT doc_id, source,
-      |    list_transform(generate_series(0, 63),
-      |      j -> CAST(len(list_filter(bs, x -> x // 4 = j)) AS DOUBLE)) AS hist
-      |  FROM bytes)
+      |  SELECT doc_id, source, list(CAST(s AS DOUBLE) ORDER BY cell) AS hist
+      |  FROM cells GROUP BY doc_id, source)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.source,
       |  list_cosine_similarity(a.hist, b.hist) AS cosine
       |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
       |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
       |ORDER BY a_id, b_id""".stripMargin
+
+  // -- m08: REAL pixel decode + block-mean-luminance grid ------------------
+  // The last declared fake, closed: payloads are genuine 24bpp BMPs
+  // (public compression-free format — pure byte arithmetic, no codec
+  // library), and the operator DECODES THE RASTER: Multimodal.parseBmp
+  // validates both headers, honors bfOffBits across the per-row
+  // header gap, walks bottom-up rows over the 4-byte-aligned stride,
+  // and reads each pixel's B,G,R bytes; blockLum folds them into a
+  // 4×4 block grid of exact integer BT.601 luminance sums (the block
+  // mean value perceptual-hash family). The oracle enumerates the
+  // pixels FROM THE GENERATOR FORMULAS and aggregates the same grid —
+  // hash equality therefore certifies every byte-level decode detail
+  // (row order, stride, offBits, channel order): any off-by-one
+  // shifts a luminance into the wrong cell and breaks the hash.
+  //
+  // Scale: one mapPartitions pass, per-image work bounded by the
+  // raster size, 16-row fan-out per image, zero shuffles before the
+  // output sort — m02/m05's class.
+  private val m08: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    framedBmp(s, d).mapPartitions { it =>
+      it.flatMap { r =>
+        Multimodal.parseBmp(r.payload) match {
+          case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
+          case None => Iterator.empty
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private val m08Sql =
+    s"""WITH $bmpPixSql
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+      |FROM lums GROUP BY doc_id, w, h, by, bx
+      |ORDER BY doc_id, by, bx""".stripMargin
 
   // -- m01/m02: REAL container headers over the binary column --------------
   // Round-7 closed every other gap; this closes the multimodal
@@ -5449,7 +5522,7 @@ object Pipeline {
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
     "m06_video_meta" -> m06, "m07_video_frame_sample" -> m07,
-    "m05_audio_meta" -> m05,
+    "m05_audio_meta" -> m05, "m08_pixel_decode" -> m08,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -5501,7 +5574,7 @@ object Pipeline {
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
     "m06_video_meta" -> m06Sql, "m07_video_frame_sample" -> m07Sql,
-    "m05_audio_meta" -> m05Sql,
+    "m05_audio_meta" -> m05Sql, "m08_pixel_decode" -> m08Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

@@ -121,12 +121,21 @@ class FunctionsSpec extends SparkSpec {
     import org.apache.spark.sql.types.DoubleType
     val df = Seq((Seq(0.1f, -2.3f, 4.5f, 0.007f), Seq(3.3f, 0.0f, -1.25f, 9.9f)))
       .toDF("a", "b")
-    val hof = VF.dot(col("a"), col("b")) /
-      (sqrt(VF.normSq(col("a"))) * sqrt(VF.normSq(col("b"))))
+    // the native op is the HOF quotient CLAMPED to [-1, 1] (DuckDB's
+    // contract — only bit-identical-vector pairs can leave the range)
+    val hof = least(greatest(VF.dot(col("a"), col("b")) /
+      (sqrt(VF.normSq(col("a"))) * sqrt(VF.normSq(col("b")))), lit(-1.0)), lit(1.0))
     val (native, viaHof) = df.select(VF.cosine(col("a"), col("b")).as("n"), hof.as("h"))
       .as[(Double, Double)].head()
     assert(java.lang.Double.doubleToLongBits(native) ==
       java.lang.Double.doubleToLongBits(viaHof))
+    // a self-pair whose unclamped quotient rounds one ulp above 1.0
+    // must clamp to exactly 1.0 (the p05 exact-duplicate case)
+    val selfV = Seq.tabulate(16)(i => (69.0 + 52.0 * i) % 311.0)
+    val selfCos = Seq((selfV, selfV)).toDF("a", "b")
+      .select(VF.cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(selfCos) ==
+      java.lang.Double.doubleToLongBits(1.0), s"self-cosine must clamp to 1.0, got $selfCos")
     // mixed float/double operands (s03 probes: float query × double centroid)
     val mixed = df.select(VF.cosine(col("a"),
       transform(col("b"), x => x.cast(DoubleType))).as("m")).as[Double].head()

@@ -147,23 +147,83 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == Multimodal.MediaHeader(2L, "unknown", 0, 0, 0, 0))
   }
 
-  test("embed produces the 64-bin byte histogram; identical payloads cosine to 1") {
-    val media = Seq((1L, "s0", "abcabc"), (2L, "s0", "abcabc"), (3L, "s0", "zzzzzz"))
-      .toDF("doc_id", "source", "text")
-      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
-      .as[Multimodal.MediaRecord]
+  test("parseBmp decodes a HANDCRAFTED 24bpp BMP byte-for-byte (not via encodeBmp)") {
+    // 2×2 bottom-up image, stride 8 (6 pixel bytes + 2 pad). Pixels:
+    // top row: (0,0)=pure red, (1,0)=pure green; bottom: (0,1)=blue, (1,1)=white.
+    // File rows bottom-up → blue,white row FIRST. Hand-assembled hex:
+    val hex =
+      "424D" + "46000000" + "0000" + "0000" + "36000000" + // BM, size 70, offBits 54
+      "28000000" + "02000000" + "02000000" + "0100" + "1800" + // hdr 40, w 2, h 2, planes, 24bpp
+      "00000000" + "10000000" + "00000000" + "00000000" + "00000000" + "00000000" +
+      "FF0000" + "FFFFFF" + "0000" + // file row 0 = image BOTTOM: blue(B=FF), white; pad
+      "0000FF" + "00FF00" + "0000"   // file row 1 = image TOP: red(R=FF), green; pad
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val img = Multimodal.parseBmp(bytes).get
+    assert(img.width == 2 && img.height == 2 && !img.topDown)
+    assert(img.rgb(0, 0) == ((255, 0, 0)), "top-left must be red — bottom-up row order")
+    assert(img.rgb(1, 0) == ((0, 255, 0)))
+    assert(img.rgb(0, 1) == ((0, 0, 255)))
+    assert(img.rgb(1, 1) == ((255, 255, 255)))
+    // TOP-DOWN variant: height = -2 → file rows are already top-first
+    val td = bytes.clone()
+    td(22) = 0xfe.toByte; td(23) = 0xff.toByte; td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    val imgTd = Multimodal.parseBmp(td).get
+    assert(imgTd.topDown && imgTd.rgb(0, 0) == ((0, 0, 255)),
+      "negative height flips row order: file row 0 is now the image top (blue)")
+    // malformed inputs: wrong magic, truncation, 8bpp, compressed
+    assert(Multimodal.parseBmp("notabmp".getBytes).isEmpty)
+    assert(Multimodal.parseBmp(bytes.take(53)).isEmpty)
+    val bpp8 = bytes.clone(); bpp8(28) = 8; assert(Multimodal.parseBmp(bpp8).isEmpty)
+    val rle = bytes.clone(); rle(30) = 1; assert(Multimodal.parseBmp(rle).isEmpty)
+    val short = bytes.dropRight(1); assert(Multimodal.parseBmp(short).isEmpty,
+      "declared raster exceeding the payload must be rejected")
+  }
+
+  test("encodeBmp/parseBmp honor bfOffBits across the header gap; blockLum grid is exact") {
+    // 5×3 image with a 3-byte junk gap: decode must skip the junk.
+    val img = Multimodal.parseBmp(Multimodal.encodeBmp(5, 3, 3,
+      (x, y) => (10 * x + y, 20 * x, 30 + y))).get
+    assert(img.width == 5 && img.height == 3)
+    (0 until 3).foreach(y => (0 until 5).foreach { x =>
+      assert(img.rgb(x, y) == ((10 * x + y, 20 * x, 30 + y)), s"pixel ($x,$y)")
+    })
+    // 4×4 image on a 4×4 grid: each block is exactly one pixel, so
+    // the grid IS the luminance raster — sums and means check exactly
+    val one = Multimodal.parseBmp(Multimodal.encodeBmp(4, 4, 0,
+      (x, y) => (x * 60, y * 60, 128))).get
+    val blocks = Multimodal.blockLum(7L, one, grid = 4)
+    assert(blocks.length == 16)
+    blocks.foreach { b =>
+      val expected = Multimodal.lum601(b.bx * 60, b.by * 60, 128)
+      assert(b.npx == 1L && b.lum_sum == expected && b.lum_mean == expected.toDouble,
+        s"block (${b.by},${b.bx})")
+      assert(b.doc_id == 7L && b.width == 4 && b.height == 4)
+    }
+  }
+
+  test("embed derives the vector from DECODED PIXELS; identical rasters cosine to exactly 1") {
+    def bmp(seed: Int) = Multimodal.encodeBmp(8, 6, seed % 5,
+      (x, y) => ((seed + 11 * x + 13 * y) % 256, (2 * seed + 5 * x) % 256, (3 * seed + y) % 256))
+    val media = Seq(
+        (1L, "s0", bmp(3)), (2L, "s0", bmp(3)), // same raster, DIFFERENT gap bytes
+        (3L, "s0", bmp(9)),
+        (4L, "s0", "not a bmp".getBytes))
+      .toDF("doc_id", "source", "payload").as[Multimodal.MediaRecord]
     val out = Multimodal.embed(spark, media).collect().sortBy(_.doc_id)
-    assert(out.forall(_.hist.size == 64), "fixed 64-dim vector contract")
-    // 'a'=97,'b'=98,'c'=99 all land in bin 24; counts are exact ints
-    assert(out(0).hist(24) == 6.0 && out(0).hist.sum == 6.0)
-    assert(out(2).hist(30) == 6.0) // 'z'=122 -> bin 30
-    assert(out(0).hist == out(1).hist, "identical payloads embed identically")
-    // the p05 composition finds the identical pair at cosine 1
+    assert(out.forall(_.hist.size == 16), "fixed 16-dim block-grid contract")
+    assert(out(0).hist == out(1).hist,
+      "identical rasters under different container gaps must embed identically — " +
+        "the embedding is a function of pixels, not container bytes")
+    assert(out(0).hist != out(2).hist, "different rasters must differ")
+    assert(out(3).hist.forall(_ == 0.0), "undecodable payloads embed as the zero vector")
+    assert(out(0).hist.sum > 0.0, "decoded content must be non-trivial")
+    // the p05 composition finds exact-duplicate images at cosine exactly 1.0
     val pairs = SparkEntry.queries("p05_multimodal_dedup")(spark, sfDir)
     assert(pairs.columns.toSeq == Seq("a_id", "b_id", "source", "cosine"))
-    val top = pairs.filter(col("cosine") >= 0.9999).count()
+    val ones = pairs.filter(col("cosine") === 1.0).count()
     assert(pairs.count() > 0, "sf0.001 corpus must yield some near-dup pairs")
-    assert(top > 0, "the corpus contains identical payloads; they must pair at cosine ~1")
+    assert(ones > 0, "equal doc_id%48 classes render pixel-identical images; " +
+      "they must pair at cosine exactly 1.0 (the clamp contract)")
   }
 
   test("approx sketches track exact values (q33/q34 self-check)") {
