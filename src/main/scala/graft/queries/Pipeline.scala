@@ -4978,12 +4978,26 @@ object Pipeline {
   // random corpora. Corpus contract: chr(16)/chr(17) never occur in
   // text (BMP control chars; same class of contract as
   // TokenGramHashes' documented range).
-  private[graft] final val t20Merges = 8
+  // Round 9 took t20 to production shape: K = 64 merges (8 ×
+  // round 8), trained by BATCHED rounds — each round counts pairs
+  // once, then applies the longest safe PREFIX of the ranking in one
+  // go (up to t20Batch merges) instead of one merge per job — with a
+  // localCheckpoint per round so lineage stays flat (the round-8
+  // O(K²) replay-lineage critique; d10's precedent). The batch is
+  // provably EQUAL to sequential training (see bpeTrainBatched), so
+  // the oracle remains the sequential unrolled CTE chain and the
+  // sequential bpeTrain stays in the codebase as the spec reference
+  // (RandomizedSpec fuzzes batched == sequential == unit-list
+  // trainer on random corpora).
+  private[graft] final val t20Merges = 64
+  private[graft] final val t20Batch = 16
 
-  private val t20: Q = (s, d) => bpeTrain(T.documents(s, d), t20Merges)
+  private val t20: Q = (s, d) => bpeTrainBatched(T.documents(s, d), t20Merges, t20Batch)
 
-  /** K-round BPE merge training over `docs(text)`; factored out of the
-    * registered query so specs can train on crafted/random corpora. */
+  /** K-round SEQUENTIAL BPE merge training over `docs(text)` — the
+    * textbook one-merge-per-round form, kept as the certified
+    * reference the batched trainer is spec-pinned against (s01's
+    * role in the ANN ladder). */
   private[graft] def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -5024,32 +5038,277 @@ object Pipeline {
       .orderBy(col("merge_rank"))
   }
 
-  /** The same K rounds unrolled as CTEs: pairs_r counts adjacent units
-    * of the round-(r−1) state, m_r is the deterministic argmax
-    * (cnt desc, l, r), s_r applies the bracket-anchored rewrite. */
+  /** BATCHED BPE training, provably EQUAL to [[bpeTrain]]'s sequential
+    * argmax (so the sequential oracle certifies it). Each round counts
+    * pairs ONCE, ranks them (cnt DESC, l, r), and applies the longest
+    * safe prefix of the ranking — up to `bmax` merges per round — then
+    * `localCheckpoint`s the state so round r replays ZERO prior
+    * replaces (flat per-round cost; lineage was the round-8 O(K²)
+    * critique).
+    *
+    * Why the batch equals sequential — the two invariants:
+    *
+    *  1. DISJOINT PREFIX. The batch is a PREFIX p1..pb of the ranking
+    *     in which every two pairs are symbol-disjoint, counting each
+    *     pair's merged string as a symbol ({l,r,l||r} pairwise
+    *     disjoint). Any pair q sharing a symbol with some applied pi
+    *     therefore sits strictly AFTER the whole maximal prefix P in
+    *     the ranking (a conflicting pair inside the prefix would have
+    *     ended it earlier), so cnt(q) ≤ cnt(p_{|P|+1}). Merging pi
+    *     removes its own pair, only perturbs pairs sharing a symbol
+    *     with {l_i, r_i, l_i||r_i}, and any NEWLY-CREATED pair (x,
+    *     l_i||r_i) inherits cnt ≤ cnt(x, l_i) — a sharing pair, hence
+    *     also ≤ cnt(p_{|P|+1}).
+    *  2. STRICT BOUNDARY GAP. b is additionally capped so that
+    *     cnt(p_b) > cnt(p_{|P|+1}) (or no such boundary exists). Then
+    *     at sequential step i ≤ b the argmax candidates are: untouched
+    *     pairs, whose relative (cnt, l, r) order is unchanged and
+    *     whose max is exactly p_i (p_1..p_{i-1} were fully consumed by
+    *     their merges); and perturbed/created pairs, all strictly
+    *     below cnt(p_b) ≤ cnt(p_i) by (1)+(2) — so no tie-break can
+    *     promote them. Hence sequential merge i = p_i for all i ≤ b.
+    *
+    * b = 1 needs no gap (it IS the sequential argmax), so progress is
+    * always ≥ 1 merge per round. The ranking is read through a
+    * bounded `limit(bmax+1).collect()` window — if the disjoint
+    * prefix fills the whole window, the last collected row becomes
+    * the boundary (conflicting pairs rank below it, so the gap test
+    * stays sound); if the ranking ENDS inside the window with every
+    * pair disjoint, no pair shares a symbol with any other, so no
+    * merge can perturb or create anything — the whole remainder is
+    * safe. RandomizedSpec fuzzes batched == sequential on random
+    * corpora; FunctionsSpec pins it on the gate corpus. */
+  private[graft] def bpeTrainBatched(docs: DataFrame, k: Int, bmax: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bl = "\u0010"; val br = "\u0011" // unit brackets (chr 16/17)
+    var st = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("st", regexp_replace(col("w"), "(.)", bl + "$1" + br))
+      .select(col("c"), col("st"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var collected = 0
+    var exhausted = false
+    while (collected < k && !exhausted) {
+      val rows = st
+        .select(col("c"),
+          split(expr("substr(st, 2, length(st) - 2)"), br + bl).as("u"))
+        .filter(size(col("u")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(u) - 1), i -> struct(element_at(u, i) AS l, element_at(u, CAST(i + 1 AS INT)) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(bmax + 1).collect() // bounded driver window: bmax+1 rows
+      if (rows.isEmpty) exhausted = true
+      else {
+        val pairs = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        var used = Set.empty[String]
+        var pLen = 0
+        var stop = false
+        while (!stop && pLen < pairs.length) {
+          val (l, r, _) = pairs(pLen)
+          val syms = Set(l, r, l + r)
+          if (syms.exists(used)) stop = true
+          else { used ++= syms; pLen += 1 }
+        }
+        val (usableP, boundary) =
+          if (pLen == pairs.length && pairs.length == bmax + 1)
+            (pLen - 1, Some(pairs(pLen - 1)._3)) // prefix may extend past the window
+          else if (pLen < pairs.length) (pLen, Some(pairs(pLen)._3))
+          else (pLen, None) // ranking ends in-window, fully disjoint
+        var b = math.max(1, math.min(usableP, k - collected))
+        while (b > 1 && boundary.exists(pairs(b - 1)._3 <= _)) b -= 1
+        val toApply = pairs.take(b)
+        toApply.zipWithIndex.foreach { case ((l, r, cnt), i) =>
+          merges += ((collected + i + 1, l, r, l + r, cnt))
+        }
+        var ns = st
+        toApply.foreach { case (l, r, _) => // rank order; commute by disjointness
+          ns = ns.withColumn("st",
+            replace(col("st"), lit(bl + l + br + bl + r + br), lit(bl + l + r + br)))
+        }
+        st = ns.localCheckpoint() // flat lineage: next round replays zero replaces
+        collected += b
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left_unit", "right_unit", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The SEQUENTIAL K rounds unrolled as CTEs: pairs_r counts adjacent
+    * units of the round-(r−1) state, m_r is the deterministic argmax
+    * (cnt desc, l, r), s_r applies the bracket-anchored rewrite.
+    * Multiply-referenced state CTEs are MATERIALIZED — without it the
+    * optimizer's CTE inlining doubles the plan per round (2^K at
+    * K=64). This chain certifies the batched trainer BECAUSE batched
+    * == sequential (see bpeTrainBatched's proof). */
   private val t20Sql: String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       "tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
       "wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w)",
-      "s0 AS (SELECT c, regexp_replace(w, '(.)', chr(16) || '\\1' || chr(17), 'g') AS st FROM wf)")
-    for (r <- 1 to t20Merges) {
-      val p = r - 1
-      ctes += s"u$r AS (SELECT c, string_split(substr(st, 2, length(st) - 2), chr(17) || chr(16)) AS u FROM s$p)"
-      ctes += s"""pairs$r AS (
-                 |  SELECT u[CAST(i AS INTEGER)] AS l, u[CAST(i AS INTEGER) + 1] AS r, SUM(c) AS cnt
-                 |  FROM u$r, LATERAL unnest(generate_series(1, len(u) - 1)) AS g(i)
-                 |  GROUP BY 1, 2)""".stripMargin
-      ctes += s"m$r AS (SELECT l, r, cnt FROM pairs$r ORDER BY cnt DESC, l, r LIMIT 1)"
-      ctes += s"""s$r AS (SELECT c,
-                 |  replace(st, chr(16) || m.l || chr(17) || chr(16) || m.r || chr(17),
-                 |          chr(16) || m.l || m.r || chr(17)) AS st
-                 |  FROM s$p, m$r m)""".stripMargin
-    }
+      "s0 AS MATERIALIZED (SELECT c, regexp_replace(w, '(.)', chr(16) || '\\1' || chr(17), 'g') AS st FROM wf)")
+    ctes ++= bpeRoundCtes(t20Merges, carryWord = false)
     val rows = (1 to t20Merges).map(r =>
       s"SELECT $r AS merge_rank, l AS left_unit, r AS right_unit, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
       .mkString(" UNION ALL ")
     "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + rows + ") ORDER BY merge_rank"
   }
+
+  /** The per-round CTE quadruple (u_r / pairs_r / m_r / s_r) shared by
+    * the t20 and t23 oracles — ONE definition of the training replay,
+    * so trainer-oracle and tokenizer-oracle cannot drift. With
+    * `carryWord` the word itself rides through every state CTE (the
+    * t23 apply needs word → final segmentation; the extra column
+    * changes nothing about the merges, which read only (c, st)). */
+  private def bpeRoundCtes(k: Int, carryWord: Boolean): Seq[String] = {
+    val wcol = if (carryWord) "w, " else ""
+    (1 to k).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"u$r AS (SELECT c, string_split(substr(st, 2, length(st) - 2), chr(17) || chr(16)) AS u FROM s$p)",
+        s"""pairs$r AS (
+           |  SELECT u[CAST(i AS INTEGER)] AS l, u[CAST(i AS INTEGER) + 1] AS r, SUM(c) AS cnt
+           |  FROM u$r, LATERAL unnest(generate_series(1, len(u) - 1)) AS g(i)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"m$r AS MATERIALIZED (SELECT l, r, cnt FROM pairs$r ORDER BY cnt DESC, l, r LIMIT 1)",
+        s"""s$r AS MATERIALIZED (SELECT $wcol c,
+           |  replace(st, chr(16) || m.l || chr(17) || chr(16) || m.r || chr(17),
+           |          chr(16) || m.l || m.r || chr(17)) AS st
+           |  FROM s$p, m$r m)""".stripMargin)
+    }
+  }
+
+  // -- t23: BPE APPLY — the trained tokenizer pricing the corpus -----------
+  // Round 8 flagged that the two tokenizer operators didn't compose:
+  // t17 priced with a substring-frequency vocab, t20 trained real BPE
+  // merges nobody consumed. t23 closes the loop: train t20's merge
+  // table (the batched trainer — same table as sequential, proven),
+  // then TOKENIZE with it — each distinct word is bracket-encoded and
+  // the K merges replayed over it in merge order (the textbook BPE
+  // apply: training IS the apply schedule), token count = unit count
+  // of the final segmentation — and every document priced by joining
+  // its words to the tokenized vocab.
+  //
+  // Scale: training as t20; the apply runs over the DISTINCT-WORD
+  // frame only (types ≪ tokens), as ONE fused select of K chained
+  // replaces — no per-merge job, no shuffle; the corpus then joins
+  // words → token counts with the vocab BROADCAST (t17's shape) and
+  // one per-doc partial agg. The merge table itself is the K-row
+  // bounded driver artifact (IntLloyd's capped-fit precedent).
+  //
+  // The oracle replays t20's OWN training CTEs with the word carried
+  // through (bpeRoundCtes — one definition, trainer and tokenizer
+  // cannot drift), reads each word's token count off the final state,
+  // and re-prices the docs in SQL. Hash equality therefore certifies
+  // train + apply + pricing end-to-end.
+  /** (w, tok): every distinct corpus word priced by the trained merge
+    * table — train (batched), then fold the K merges over the
+    * bracket-encoded word in merge order as ONE fused select; token
+    * count = unit count of the final segmentation. Shared by t23
+    * (corpus pricing report) and p13 (packing cost), so the trained
+    * tokenizer has exactly ONE apply definition. */
+  private def bpeWordTok(docs: DataFrame): DataFrame = {
+    val bl = "\u0010"; val br = "\u0011" // unit brackets (chr 16/17)
+    val mergeRows = bpeTrainBatched(docs, t20Merges, t20Batch)
+      .select(col("left_unit"), col("right_unit"), col("merged"))
+      .collect() // bounded: exactly the K-row merge table
+    val applied = mergeRows.foldLeft(regexp_replace(col("w"), "(.)", bl + "$1" + br)) {
+      (c, m) =>
+        replace(c, lit(bl + m.getString(0) + br + bl + m.getString(1) + br),
+          lit(bl + m.getString(2) + br))
+    }
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .select(col("w"),
+        (length(applied) - length(replace(applied, lit(bl), lit("")))).cast(LongType).as("tok"))
+  }
+
+  private val t23: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(bpeWordTok(docs)), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("tok")).as("n_tokens_bpe"))
+      .withColumn("tokens_per_word",
+        col("n_tokens_bpe").cast(DoubleType) / col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The trained tokenizer's full SQL replay — t20's training chain
+    * with the word carried through, ending in `wtok(w, tok)`. Shared
+    * WITH-prefix of the t23 and p13 oracles. */
+  private val bpeWtokCtes: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+      "wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w)",
+      "s0 AS MATERIALIZED (SELECT w, c, regexp_replace(w, '(.)', chr(16) || '\\1' || chr(17), 'g') AS st FROM wf)")
+    ctes ++= bpeRoundCtes(t20Merges, carryWord = true)
+    ctes += s"""wtok AS (
+               |  SELECT w, CAST(length(st) - length(replace(st, chr(16), '')) AS BIGINT) AS tok
+               |  FROM s$t20Merges)""".stripMargin
+    ctes.mkString(",\n")
+  }
+
+  private val t23Sql: String =
+    s"""WITH $bpeWtokCtes
+      |SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(wt.tok) AS BIGINT) AS n_tokens_bpe,
+      |  CAST(SUM(wt.tok) AS DOUBLE) / COUNT(*) AS tokens_per_word
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+      |JOIN wtok wt ON d.w = wt.w
+      |WHERE d.w <> ''
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  // -- p13: sequence packing priced in TRAINED-BPE tokens ------------------
+  // The costing family is now parameterized over all three token
+  // definitions through ONE packing arithmetic: p02 (regex proxy),
+  // p10 (learned-vocab greedy), p13 (t20's trained merge table via
+  // t23's apply). Same hierarchicalPack, same windows — only the
+  // per-doc cost column changes, which is exactly the contract a
+  // data-loader swap needs. Scale: t23's broadcast vocab join + one
+  // per-doc agg, then p02's two bounded window shuffles.
+  private val p13: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val cost = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(bpeWordTok(docs)), "w")
+      .groupBy(col("doc_id")).agg(sum(col("tok")).as("bpe"))
+    val base = docs.select(col("doc_id"), col("source"))
+      .join(cost, Seq("doc_id"), "left")
+      .withColumn("bpe_tokens", coalesce(col("bpe"), lit(0L)))
+      .withColumn("cost", col("bpe_tokens"))
+    hierarchicalPack(base, budget = 8192, shardSize = 512)
+      .select(col("doc_id"), col("source"), col("bpe_tokens"),
+        col("bin_id"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p13Sql: String =
+    s"""WITH $bpeWtokCtes,
+      |agg AS (
+      |  SELECT d.doc_id, CAST(SUM(wt.tok) AS BIGINT) AS bpe
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+      |  JOIN wtok wt ON d.w = wt.w WHERE d.w <> ''
+      |  GROUP BY d.doc_id),
+      |c AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(COALESCE(a.bpe, 0) AS BIGINT) AS bpe_tokens
+      |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+      |w AS (
+      |  SELECT doc_id, source, bpe_tokens,
+      |    CAST(SUM(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM c)
+      |SELECT doc_id, source, bpe_tokens,
+      |  (cum - bpe_tokens) // 8192 AS bin_id,
+      |  (cum - bpe_tokens) % 8192 AS bin_offset
+      |FROM w ORDER BY doc_id""".stripMargin
 
   // -- t21: readability scoring (Flesch / Gunning-Fog class) ---------------
   // The curation gate complementing t02's surface-quality score:
@@ -5495,13 +5754,13 @@ object Pipeline {
     "d15_dedup_semantic" -> d15, "d16_decontaminate_semantic" -> d16,
     "p08_release_diff" -> p08,
     "p10_pack_learned" -> p10, "p11_budget_waterfill" -> p11,
-    "p12_leakage_safe_split" -> p12,
+    "p12_leakage_safe_split" -> p12, "p13_pack_bpe" -> p13,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
     "t18_tfidf_hashed" -> t18, "t19_intra_doc_dedup" -> t19,
     "t20_bpe_train" -> t20, "t21_readability" -> t21,
-    "t22_vocab_growth" -> t22,
+    "t22_vocab_growth" -> t22, "t23_bpe_apply" -> t23,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -5546,7 +5805,7 @@ object Pipeline {
     "d13_dedup_keeper_quality" -> d13Sql, "d14_dedup_keeper_banded" -> d14Sql,
     "d15_dedup_semantic" -> d15Sql, "d16_decontaminate_semantic" -> d16Sql,
     "p08_release_diff" -> p08Sql, "p11_budget_waterfill" -> p11Sql,
-    "p12_leakage_safe_split" -> p12Sql,
+    "p12_leakage_safe_split" -> p12Sql, "p13_pack_bpe" -> p13Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
@@ -5558,7 +5817,7 @@ object Pipeline {
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
     "t18_tfidf_hashed" -> t18Sql, "t19_intra_doc_dedup" -> t19Sql,
     "t20_bpe_train" -> t20Sql, "t21_readability" -> t21Sql,
-    "t22_vocab_growth" -> t22Sql,
+    "t22_vocab_growth" -> t22Sql, "t23_bpe_apply" -> t23Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,

@@ -574,7 +574,8 @@ class FunctionsSpec extends SparkSpec {
   test("t20 merge counts are non-increasing and the table is run-stable on the corpus") {
     val df = SparkEntry.queries("t20_bpe_train")(spark, sfDir)
     val rows = df.collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
-    assert(rows.length == 8 && rows.map(_._1).toSeq == (1 to 8))
+    assert(rows.length == graft.queries.Pipeline.t20Merges &&
+      rows.map(_._1).toSeq == (1 to graft.queries.Pipeline.t20Merges))
     // best-pair frequency can only fall: untouched pairs keep their
     // count, pairs created by a merge are bounded by that merge's count
     rows.sliding(2).foreach { case Array(a, b) =>
@@ -583,6 +584,12 @@ class FunctionsSpec extends SparkSpec {
     val again = SparkEntry.queries("t20_bpe_train")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
     assert(rows.toSeq == again.toSeq, "training must be run-stable")
+    // batched == sequential on the real corpus (RandomizedSpec fuzzes
+    // the same pin on random corpora; k=12 keeps the sequential run cheap)
+    val seq12 = graft.queries.Pipeline.bpeTrain(graft.Tables.documents(spark, sfDir), 12)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    assert(rows.take(12).toSeq == seq12,
+      "the batched trainer's first 12 merges must equal sequential training")
   }
 
   test("t21 readability: sentence split, min-1 syllables, complex words on crafted docs") {

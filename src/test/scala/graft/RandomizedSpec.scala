@@ -315,5 +315,15 @@ class RandomizedSpec extends SparkSpec {
     val got = graft.queries.Pipeline.bpeTrain(docs.toDF("doc_id", "text"), 8).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
     assert(got == reference(wordCounts, 8), s"got $got\nref ${reference(wordCounts, 8)}")
+    // the batched trainer must emit the IDENTICAL merge table — the
+    // disjoint-prefix + strict-gap argument, fuzzed (this is the pin
+    // that lets the sequential oracle certify the batched t20); small
+    // bmax values exercise the window-boundary branches
+    for (bmax <- Seq(2, 4, 16)) {
+      val batched = graft.queries.Pipeline
+        .bpeTrainBatched(docs.toDF("doc_id", "text"), 8, bmax).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      assert(batched == got, s"bmax=$bmax: batched $batched\nsequential $got")
+    }
   }
 }
