@@ -1205,6 +1205,135 @@ object Pipeline {
       |  label = actual_label AS correct
       |FROM ranked WHERE vr = 1 ORDER BY q_id""".stripMargin
 
+  // -- s16: graph-index ANN (k-NN graph + pivot entry + frontier) ----------
+  // The ladder's graph rung — the index family (NSW/HNSW class) that
+  // dominates deployed ANN. Deterministic, fully replayable form:
+  //
+  //  BUILD: a k-NN GRAPH over the candidates — each node keeps its
+  //  top-M neighbors by exact cosine among a BOUNDED candidate pool
+  //  (co-members of its 2 nearest coarse cells — multi-probe overlap
+  //  makes edges cross cell boundaries, so walks can leave the entry
+  //  cell; the per-cell bound is what makes an N²-free graph build
+  //  possible at all, the same role NN-descent plays in production
+  //  builds).
+  //  SEARCH: enter at the best PIVOT (per-cell representative =
+  //  min-id member, ranked by query cosine) and expand a fixed
+  //  2-hop frontier over the out-edges — entry ∪ N(entry) ∪
+  //  N²(entry), ≤ 1+M+M² nodes — then exact-score the frontier and
+  //  keep the top-k. A deployed HNSW replaces the fixed horizon with
+  //  a data-dependent greedy beam; the fixed horizon is the
+  //  replayable form (every step is a join, so the oracle replays
+  //  build AND search exactly), and s11's recall grid prices what the
+  //  horizon gives up.
+  //
+  // Scale: build is per-cell-bounded pairs (≈ N·cell, not N²) + one
+  // window top-M; search touches k-row pivot broadcast + two edge
+  // joins + ≤ 1+M+M² exact scores per query — the index lives as the
+  // edges frame (persistable like RangeIvfIndex).
+  private val s16: Q = (s, d) => {
+    val k = 5; val M = 6
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (asg1, cents) =
+      kmeansAssignDf(emb.select(col("vec_id"), col("embedding")), kk, n)
+    val candCells = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("cluster", explode(
+        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 2)))
+      .filter(col("vec_id") >= 10)
+    val pairs = candCells
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("cluster"))
+      .join(candCells
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", VF.cosine(col("a_vec"), col("b_vec")))
+      .groupBy(col("a_id"), col("b_id")).agg(max(col("cos")).as("cos")) // dedup 2-probe overlap
+    val we = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    val edges = pairs
+      .withColumn("rn", row_number().over(we)).filter(col("rn") <= M)
+      .select(col("a_id"), col("b_id"))
+      .transform(graft.CacheScope.cached) // walked twice (1-hop, 2-hop)
+    val piv = asg1.filter(col("vec_id") >= 10)
+      .groupBy(col("cluster")).agg(min(col("vec_id")).as("pid"))
+      .join(emb.select(col("vec_id").as("pid"), col("embedding").as("p_vec")), "pid")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
+    val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
+      .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
+      .withColumn("prn", row_number().over(wq)).filter(col("prn") === 1)
+      .select(col("q_id"), col("pid"))
+    val f0 = entry.select(col("q_id"), col("pid").as("node"))
+    val f1 = f0.join(edges.as("e1"), f0("node") === col("e1.a_id"))
+      .select(f0("q_id"), col("e1.b_id").as("node"))
+    val f2 = f1.join(edges.as("e2"), f1("node") === col("e2.a_id"))
+      .select(f1("q_id"), col("e2.b_id").as("node"))
+    val frontier = f0.union(f1).union(f2).distinct()
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    frontier
+      .join(emb.select(col("vec_id").as("node"), col("embedding").as("c_vec")), "node")
+      .join(broadcast(q), "q_id")
+      .withColumn("cos", VF.cosine(col("q_vec"), col("c_vec")))
+      .withColumnRenamed("node", "cand_id")
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // ROUND(,4) safe as in s01/s03: every emitted cosine is one of the
+  // exact candidate cosines. The oracle replays fit, 2-probe cells,
+  // graph build (top-M window), pivot entry and the 2-hop frontier.
+  private val s16Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 2)},
+       |ccell AS (SELECT vec_id, embedding, cluster FROM asg WHERE vec_id >= 10),
+       |pairsg AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    MAX(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[]))) AS cos
+       |  FROM ccell a JOIN ccell b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+       |    FROM pairsg)
+       |  WHERE rn <= 6),
+       |piv AS (
+       |  SELECT p.cluster, p.pid, e.embedding AS p_vec
+       |  FROM (SELECT cluster, MIN(vec_id) AS pid
+       |        FROM asg WHERE rn = 1 AND vec_id >= 10 GROUP BY cluster) p
+       |  JOIN embeddings e ON e.vec_id = p.pid),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+       |entry AS (
+       |  SELECT q_id, pid FROM (
+       |    SELECT q.q_id, p.pid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                               CAST(p.p_vec AS DOUBLE[])) DESC, p.pid) AS prn
+       |    FROM q CROSS JOIN piv p)
+       |  WHERE prn = 1),
+       |f1 AS (SELECT en.q_id, ed.b_id AS node FROM entry en JOIN edges ed ON ed.a_id = en.pid),
+       |f2 AS (SELECT f1.q_id, ed.b_id AS node FROM f1 JOIN edges ed ON ed.a_id = f1.node),
+       |frontier AS (
+       |  SELECT q_id, pid AS node FROM entry
+       |  UNION SELECT q_id, node FROM f1
+       |  UNION SELECT q_id, node FROM f2),
+       |scored AS (
+       |  SELECT fr.q_id, fr.node AS cand_id,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                           CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM frontier fr JOIN q USING (q_id) JOIN embeddings e ON e.vec_id = fr.node)
+       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (
+       |  SELECT q_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   // -- t01: marker-based language ID heuristic -----------------------------
   private val t01: Q = (s, d) =>
     T.documents(s, d)
@@ -3582,7 +3711,8 @@ object Pipeline {
     val exact = s01(s, d).select(col("q_id"), col("cand_id"))
       .withColumn("hit", lit(1L))
     val methods = Seq(
-      "s02_lsh" -> s02, "s03_ivf" -> s03, "s04_pq" -> s04, "s05_ivfpq" -> s05)
+      "s02_lsh" -> s02, "s03_ivf" -> s03, "s04_pq" -> s04, "s05_ivfpq" -> s05,
+      "s14_sq8" -> s14, "s16_graph" -> s16)
     val tagged = methods.map { case (name, q) =>
       q(s, d).select(lit(name).as("method"), col("q_id"), col("cand_id"))
     }.reduce(_.unionByName(_))
@@ -3609,7 +3739,11 @@ object Pipeline {
        |UNION ALL
        |${rung("s04_pq", s04Sql)}
        |UNION ALL
-       |${rung("s05_ivfpq", s05Sql)}),
+       |${rung("s05_ivfpq", s05Sql)}
+       |UNION ALL
+       |${rung("s14_sq8", s14Sql)}
+       |UNION ALL
+       |${rung("s16_graph", s16Sql)}),
        |hits AS (
        |  SELECT t.method, t.q_id,
        |    CAST(SUM(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
@@ -3619,7 +3753,8 @@ object Pipeline {
        |grid AS (
        |  SELECT m.method, q.q_id
        |  FROM (SELECT DISTINCT q_id FROM exact) q,
-       |       (SELECT unnest(['s02_lsh', 's03_ivf', 's04_pq', 's05_ivfpq']) AS method) m)
+       |       (SELECT unnest(['s02_lsh', 's03_ivf', 's04_pq', 's05_ivfpq',
+                       's14_sq8', 's16_graph']) AS method) m)
        |SELECT g.method, g.q_id,
        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
@@ -5767,7 +5902,7 @@ object Pipeline {
     "s09_ann_mips" -> s09, "s10_ann_filtered" -> s10,
     "s11_ann_recall_report" -> s11, "s12_ann_delta_append" -> s12,
     "s13_ann_tombstone_delete" -> s13, "s14_ann_sq8" -> s14,
-    "s15_knn_classify" -> s15,
+    "s15_knn_classify" -> s15, "s16_ann_graph" -> s16,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -5812,6 +5947,7 @@ object Pipeline {
     "s10_ann_filtered" -> s10Sql, "s11_ann_recall_report" -> s11Sql,
     "s12_ann_delta_append" -> s12Sql, "s13_ann_tombstone_delete" -> s13Sql,
     "s14_ann_sq8" -> s14Sql, "s15_knn_classify" -> s15Sql,
+    "s16_ann_graph" -> s16Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
