@@ -141,4 +141,8 @@ object Tables {
   /** Embeddings cardinality via footer metadata (no scan). */
   def embeddingsCount(s: SparkSession, d: String): Long =
     parquetRowCount(s, s"$d/embeddings.parquet")
+
+  /** Documents cardinality via footer metadata (no scan). */
+  def documentsCount(s: SparkSession, d: String): Long =
+    parquetRowCount(s, s"$d/documents.parquet")
 }

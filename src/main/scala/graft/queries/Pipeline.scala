@@ -2095,17 +2095,71 @@ object Pipeline {
       |     + 29 * ((g + 2*x + 3*y) % 256)) // 256 AS lum
       |  FROM px)""".stripMargin
 
-  private val p05Sql =
-    s"""WITH $bmpPixSql,
-      |cells AS (
+  /** Pixel enumeration + per-doc 16-dim block-luminance vector —
+    * the derived-embedding prefix shared by the p05/p05b oracles. */
+  private val bmpHistSql =
+    s"""$bmpPixSql,
+      |gcells AS (
       |  SELECT doc_id, source, by * 4 + bx AS cell, SUM(lum) AS s
       |  FROM lums GROUP BY doc_id, source, cell),
       |f AS (
       |  SELECT doc_id, source, list(CAST(s AS DOUBLE) ORDER BY cell) AS hist
-      |  FROM cells GROUP BY doc_id, source)
+      |  FROM gcells GROUP BY doc_id, source)""".stripMargin
+
+  private val p05Sql =
+    s"""WITH $bmpHistSql
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.source,
       |  list_cosine_similarity(a.hist, b.hist) AS cosine
       |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // -- p05b: the same near-dup at WAREHOUSE blocking -----------------------
+  // p05's 100-TB form, registered instead of narrated: the blocking
+  // key is a coarse quantizer CELL over the content embeddings (d07's
+  // shape on the image vectors) rather than the source column — the
+  // key a 100 TB multimodal corpus actually has, since source blocks
+  // grow with the corpus while cells stay ≈√n-sized. Fit is the
+  // sample-capped replayable IntLloyd on the 16-dim vectors;
+  // assignment is the compiled cosine probe; pairs verify within
+  // cells only. Identical rasters embed identically and therefore
+  // assign identically — cell blocking can NEVER lose an exact
+  // duplicate (spec-pinned in MultimodalSpec against the brute-force
+  // identical-vector pair set, cross-source pairs included: p05b
+  // finds pairs the source-blocked p05 structurally cannot).
+  private val p05b: Q = (s, d) => {
+    import graft.operators.Multimodal
+    val n = T.documentsCount(s, d)
+    val kk = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val emb = Multimodal.embed(s, framedBmp(s, d)).toDF()
+      .transform(graft.CacheScope.cached) // fit sample + assignment + both join sides
+    val cents = graft.operators.IntLloyd.fit(
+      emb, "doc_id", "hist", n, numSub = 1, subLen = 16, k = kk,
+      cap = math.max(2048L, 64L * kk), iters = 5, salt = "bmpcell")(0)
+      .map(_.map(_.toDouble))
+    val cells = emb.withColumn("cell", element_at(
+      graft.functions.GraftColumns.nearestClusters(col("hist"), cents, 1), 1))
+    blockedCosinePairs(cells, "cell", "doc_id", "hist", 0.995)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  private val p05bSql: String =
+    s"""WITH $bmpHistSql,
+      |${graft.operators.IntLloyd.fitSql(
+          srcSql = "SELECT doc_id, hist FROM f",
+          idExpr = "doc_id", vecExpr = "hist", numSub = 1, subLen = 16,
+          kExpr = "GREATEST(8, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
+          capExpr = "GREATEST(2048, 64*k)", iters = 5, salt = "bmpcell", p = "bc")},
+      |asgb AS (
+      |  SELECT doc_id, hist, cluster FROM (
+      |    SELECT f.doc_id, f.hist, c.cluster,
+      |      row_number() OVER (PARTITION BY f.doc_id ORDER BY
+      |        list_cosine_similarity(f.hist, c.cv) DESC, c.cluster) AS rn
+      |    FROM f CROSS JOIN bccent c)
+      |  WHERE rn = 1)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  list_cosine_similarity(a.hist, b.hist) AS cosine
+      |FROM asgb a JOIN asgb b ON a.cluster = b.cluster AND a.doc_id < b.doc_id
       |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
       |ORDER BY a_id, b_id""".stripMargin
 
@@ -5912,7 +5966,7 @@ object Pipeline {
     "t12_chunking" -> t12,
     "p01_curate_corpus" -> p01, "p02_pack_sequences" -> p02,
     "p03_temperature_mix" -> p03, "p04_train_order" -> p04,
-    "p05_multimodal_dedup" -> p05,
+    "p05_multimodal_dedup" -> p05, "p05b_multimodal_dedup_cells" -> p05b,
     "m01_binary_meta" -> m01, "m02_multimodal_features" -> m02,
     "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
     "m06_video_meta" -> m06, "m07_video_frame_sample" -> m07,
@@ -5965,7 +6019,7 @@ object Pipeline {
     "t11_pii_redact" -> t11Sql, "t12_chunking" -> t12Sql,
     "p01_curate_corpus" -> p01Sql, "p02_pack_sequences" -> p02Sql,
     "p03_temperature_mix" -> p03Sql, "p04_train_order" -> p04Sql,
-    "p05_multimodal_dedup" -> p05Sql,
+    "p05_multimodal_dedup" -> p05Sql, "p05b_multimodal_dedup_cells" -> p05bSql,
     "m01_binary_meta" -> m01Sql, "m02_multimodal_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
     "m06_video_meta" -> m06Sql, "m07_video_frame_sample" -> m07Sql,

@@ -226,6 +226,29 @@ class MultimodalSpec extends SparkSpec {
       "they must pair at cosine exactly 1.0 (the clamp contract)")
   }
 
+  test("p05b cell blocking never loses an exact duplicate (incl. cross-source pairs)") {
+    // NOTE: identical vectors cosine to 1.0-or-one-ulp-under (the
+    // quotient can round BELOW 1 too; the clamp only caps the other
+    // side) — both engines agree bitwise, but a === 1.0 filter would
+    // be flaky, so the assertions run on pair MEMBERSHIP (any emitted
+    // pair passed the 0.995 gate).
+    val got = SparkEntry.queries("p05b_multimodal_dedup_cells")(spark, sfDir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    // equal doc_id % 48 ⇒ identical raster ⇒ identical embedding ⇒
+    // identical (deterministic) cell assignment: the pair CANNOT be lost
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].collect()
+    val expected = (for { a <- ids; b <- ids if a < b && a % 48 == b % 48 }
+      yield (a, b)).toSet
+    assert(expected.subsetOf(got),
+      s"cell blocking lost exact-dup pairs: ${(expected -- got).take(5)}")
+    // the source-blocked p05 structurally misses cross-source duplicates;
+    // the cell-blocked form is what the 100-TB corpus needs
+    val p05pairs = SparkEntry.queries("p05_multimodal_dedup")(spark, sfDir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert((expected -- p05pairs).nonEmpty,
+      "fixture must contain cross-source duplicates for the claim to have teeth")
+  }
+
   test("approx sketches track exact values (q33/q34 self-check)") {
     val d33 = SparkEntry.queries("q33_approx_distinct")(spark, sfDir)
       .select("approx_students", "exact_students").as[(Double, Long)].collect()
