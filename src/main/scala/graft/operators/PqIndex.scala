@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions.{broadcast, col, explode}
 
 import graft.queries.Pipeline
 
+/* (lifecycle ops use a couple more functions) */
+import org.apache.spark.sql.functions.element_at
+
 /** Persisted product-quantization index — the s04/s05 deployment
   * story (build once, probe many), extending the RangeIvfIndex
   * pattern to the compressed rungs of the ANN ladder.
@@ -54,11 +57,12 @@ object PqIndex {
       .write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
-  /** Load (codes frame, coarse centroid matrix, codebooks matrix).
-    * Both matrices are bounded driver collects by construction. */
-  def read(s: SparkSession, path: String):
-      (DataFrame, Array[Array[Double]], Seq[Seq[Seq[Double]]]) = {
-    val codes = s.read.parquet(s"$path/codes")
+  /** Load only the FIT artifacts (coarse centroid matrix, codebooks
+    * matrix) — bounded driver collects by construction. The append
+    * path uses this so maintenance provably never touches the codes
+    * frame. */
+  def readFit(s: SparkSession, path: String):
+      (Array[Array[Double]], Seq[Seq[Seq[Double]]]) = {
     val cents = s.read.parquet(s"$path/cells")
       .select(col("cluster"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
@@ -66,8 +70,66 @@ object PqIndex {
     val cbs = toMatrix(s.read.parquet(s"$path/codebooks")
       .select(col("m"), col("code"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))))
-    (codes, cents, cbs)
+    (cents, cbs)
   }
+
+  /** Load (codes frame, coarse centroid matrix, codebooks matrix). */
+  def read(s: SparkSession, path: String):
+      (DataFrame, Array[Array[Double]], Seq[Seq[Seq[Double]]]) = {
+    val (cents, cbs) = readFit(s, path)
+    (s.read.parquet(s"$path/codes"), cents, cbs)
+  }
+
+  /** Delta-append under FROZEN fits (s12's maintenance contract,
+    * for the compressed rung): assign each arriving vector to its
+    * nearest persisted coarse centroid and encode it with the
+    * persisted codebooks — the index's own `read` artifacts, no
+    * refit, no base rescan — then append the codes partition-wise.
+    *
+    * The exactness claim is frozen-fit parity, the right claim for a
+    * LOSSY rung: a probe over the maintained index equals the same
+    * probe over an index whose codes frame was produced by encoding
+    * base ∪ delta with the base fit in one shot (the codes are a
+    * deterministic per-vector function of the frozen centroids and
+    * codebooks, so append-then-probe and encode-all-then-probe are
+    * the same frame — IndexSpec pins both the code-level equality
+    * against an independent driver-side argmin encoder and the
+    * probe-level parity). A full REFIT would change the codes and
+    * the recall point; that is a rebuild schedule decision, exactly
+    * like RangeIvfIndex compaction. */
+  def append(s: SparkSession, path: String, delta: DataFrame): Unit = {
+    val (cents, cbs) = readFit(s, path)
+    val sub = cbs.head.head.length
+    // PqIndex.write persists ALL k coarse centroids 0..k−1 (not just
+    // non-empty cells), so the NearestClusters slot IS the cluster id
+    val coded = delta
+      .withColumn("cluster", element_at(
+        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
+      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
+        Pipeline.pqEncodeCols(cbs, sub): _*)
+    coded.write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** Tombstone deletes (s13's claim, for the PQ rung): append the
+    * doomed ids under `tombstones/`; probes anti-join them before
+    * the ADC scan. Nothing else needs maintenance — PQ carries no
+    * per-cell radii, and removing candidates from a top-`shortlist`
+    * ranking can only promote survivors, never admit a wrong row
+    * (the exact re-rank decides the final order either way), so the
+    * probe equals the same probe over an index that never contained
+    * the doomed vectors (IndexSpec). `ids` must expose cand_id. */
+  def delete(s: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("cand_id")).write.mode("append")
+      .parquet(s"$path/tombstones")
+
+  /** The codes frame minus any tombstoned ids (broadcast anti-join
+    * on the uniform key; absent tombstone dir = identity). */
+  private def live(s: SparkSession, path: String, codes: DataFrame): DataFrame =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "tombstones")))
+      codes
+    else
+      codes.join(broadcast(s.read.parquet(s"$path/tombstones")),
+        Seq("cand_id"), "left_anti")
 
   /** Flat-PQ top-k over the persisted codes (s04's plan on loaded
     * frames): ADC shortlist + exact re-rank against `emb`. `queries`
@@ -77,7 +139,7 @@ object PqIndex {
     val (codes, _, cbs) = read(s, path)
     val qs = queries.select(col("q_id"), col("q_vec"))
     val short = Pipeline.pqAdcShortlist(
-      codes.drop("cluster").crossJoin(broadcast(qs)), cbs, shortlist)
+      live(s, path, codes).drop("cluster").crossJoin(broadcast(qs)), cbs, shortlist)
     Pipeline.pqRerank(short, emb, qs, k)
   }
 
@@ -94,7 +156,7 @@ object PqIndex {
         graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
       .select(col("q_id"), col("q_vec"), col("cluster"))
     val short = Pipeline.pqAdcShortlist(
-      codes.join(broadcast(probes), "cluster"), cbs, shortlist)
+      live(s, path, codes).join(broadcast(probes), "cluster"), cbs, shortlist)
     Pipeline.pqRerank(short, emb, queries.select(col("q_id"), col("q_vec")), k)
   }
 }

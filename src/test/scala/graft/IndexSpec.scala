@@ -152,6 +152,104 @@ class IndexSpec extends SparkSpec {
         s"extra=${probed.diff(brute).take(3)}")
   }
 
+  test("PQ delta-append: frozen-fit encode equals an independent driver encoder; probes stay deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("pqAppend").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
+    val base = emb.filter(!isDelta)
+    val delta = emb.filter(isDelta).select(col("vec_id"), col("embedding"))
+    assert(delta.count() > 0, "delta batch must be non-empty")
+    graft.operators.PqIndex.write(spark, base, base.count(), dir)
+    val codesBefore = spark.read.parquet(s"$dir/codes").count()
+    graft.operators.PqIndex.append(spark, dir, delta)
+    // the fits are FROZEN: cells and codebooks are untouched by append
+    val (codes, cents, cbs) = graft.operators.PqIndex.read(spark, dir)
+    assert(codes.count() == codesBefore + delta.count())
+    // independent oracle: re-derive every appended vector's coarse
+    // cell and all 8 subspace codes with a from-scratch driver-side
+    // argmax-cosine encoder (ascending index, strict >, ties → lower
+    // index — NearestClusters' documented tie-break)
+    def nearest(v: Array[Double], cs: Seq[Array[Double]]): Int = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) -1.0 else d / den
+      }
+      var best = 0; var bestS = Double.NegativeInfinity
+      cs.zipWithIndex.foreach { case (c, i) =>
+        val s = cos(v, c); if (s > bestS) { bestS = s; best = i }
+      }
+      best
+    }
+    val sub = cbs.head.head.length
+    val expected = delta.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val cell = nearest(v, cents.toSeq)
+      val cs = cbs.indices.map { m =>
+        nearest(v.slice(m * sub, (m + 1) * sub), cbs(m).map(_.toArray))
+      }
+      (r.getLong(0), cell, cs)
+    }.toSet
+    val actual = codes.filter(col("cand_id") % 7 === 3 && col("cand_id") >= 10)
+      .collect().map { r =>
+        (r.getAs[Long]("cand_id"), r.getAs[Int]("cluster"),
+          cbs.indices.map(m => r.getAs[Int](s"code$m")))
+      }.toSet
+    assert(actual == expected,
+      s"appended codes must equal the independent encode: missing=${expected.diff(actual).take(2)} " +
+        s"extra=${actual.diff(expected).take(2)}")
+    // end-to-end: both probe paths over the maintained index equal the
+    // same probes over a second index whose codes frame is the
+    // one-shot frozen encode of base ∪ delta (append-then-probe ≡
+    // encode-all-then-probe — the maintenance changed cost, not the
+    // frozen-fit answer)
+    val dir2 = java.nio.file.Files.createTempDirectory("pqAppendRef").toString
+    graft.operators.PqIndex.write(spark, base, base.count(), dir2)
+    // wipe dir2's codes, then one-shot append EVERYTHING (base rows
+    // that write() indexed, plus the delta) under the same frozen fit
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir2/codes"))
+    graft.operators.PqIndex.append(spark, dir2,
+      base.filter(col("vec_id") >= 10).select(col("vec_id"), col("embedding"))
+        .unionByName(delta))
+    val pf = rows4(graft.operators.PqIndex.probeFlat(spark, dir, emb, embQueries, k = 5))
+    val pf2 = rows4(graft.operators.PqIndex.probeFlat(spark, dir2, emb, embQueries, k = 5))
+    assert(pf.nonEmpty && pf == pf2)
+    val pi = rows4(graft.operators.PqIndex.probeIvf(spark, dir, emb, embQueries, k = 5))
+    val pi2 = rows4(graft.operators.PqIndex.probeIvf(spark, dir2, emb, embQueries, k = 5))
+    assert(pi.nonEmpty && pi == pi2)
+  }
+
+  test("PQ tombstone delete: zero maintenance, probes equal an index that never held the doomed codes") {
+    val dir = java.nio.file.Files.createTempDirectory("pqDel").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("pqDelRef").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.PqIndex.write(spark, emb, Tables.embeddingsCount(spark, sfDir), dir)
+    val doomed = emb.filter(col("vec_id") >= 10 && col("vec_id") % 11 === 5)
+      .select(col("vec_id").as("cand_id"))
+    assert(doomed.count() > 0)
+    graft.operators.PqIndex.delete(spark, dir, doomed)
+    // reference: same fits, codes physically filtered
+    graft.operators.PqIndex.write(spark, emb, Tables.embeddingsCount(spark, sfDir), dir2)
+    val filtered = spark.read.parquet(s"$dir2/codes")
+      .filter(!(col("cand_id") >= 10 && col("cand_id") % 11 === 5))
+      .collect().toSeq
+    val schema = spark.read.parquet(s"$dir2/codes").schema
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir2/codes"))
+    spark.createDataFrame(spark.sparkContext.parallelize(filtered), schema)
+      .write.partitionBy("cluster").parquet(s"$dir2/codes")
+    val pf = rows4(graft.operators.PqIndex.probeFlat(spark, dir, emb, embQueries, k = 5))
+    val pf2 = rows4(graft.operators.PqIndex.probeFlat(spark, dir2, emb, embQueries, k = 5))
+    assert(pf.nonEmpty && pf == pf2,
+      s"flat probe over survivors drifted: missing=${pf2.diff(pf).take(3)} extra=${pf.diff(pf2).take(3)}")
+    val pi = rows4(graft.operators.PqIndex.probeIvf(spark, dir, emb, embQueries, k = 5))
+    val pi2 = rows4(graft.operators.PqIndex.probeIvf(spark, dir2, emb, embQueries, k = 5))
+    assert(pi.nonEmpty && pi == pi2)
+    // no tombstoned id ever surfaces
+    def alive(id: Long) = id < 10 || id % 11 != 5
+    assert(pf.forall(r => alive(r._2)) && pi.forall(r => alive(r._2)))
+  }
+
   test("persisted MIPS index probe equals s09 row-for-row (exactness survives the split fit)") {
     val dir = java.nio.file.Files.createTempDirectory("mipsidx").toString
     val emb = Tables.embeddings(spark, sfDir)
