@@ -3832,6 +3832,10 @@ object Relational {
       .agg(count(lit(1)).as("n_students"),
         sum(when(col("o_totalprice") >= 200000, 1L).otherwise(0L))
           .as("n_proficient"))
+      // read twice (output rows + the org-overall re-agg): cache the
+      // #org × #segment cell frame so the single-fact-scan claim holds
+      // regardless of whether AQE lets ReuseExchange fire
+      .transform(graft.CacheScope.cached)
     val overall = cells.groupBy(col("n_name"))
       .agg(sum(col("n_students")).as("org_n"),
         sum(col("n_proficient")).as("org_prof"))
@@ -3882,23 +3886,40 @@ object Relational {
   // Exactness: the matrix is pure integer counts off ONE scan (both
   // CASE brandings are map-side over the same row); pct_of_current is
   // one IEEE division against the current-level total, re-aggregated
-  // from the matrix cells themselves. Monotone cut shifts can only
-  // move a row to an ADJACENT level — the spec pins that invariant
-  // and the row-sum identity (matrix marginals = q18's current
-  // distribution).
+  // from the matrix cells themselves. Cut shifts move a row only to
+  // an ADJACENT level PROVIDED each shifted boundary stays strictly
+  // between its neighboring current cuts (true for this proposal:
+  // 200000→220000 < 350000 and 100000 < 330000←350000); a proposal
+  // crossing another current cut would move rows two levels — so the
+  // precondition is require()d below, not assumed, and the spec pins
+  // the adjacency invariant plus the row-sum identity (matrix
+  // marginals = q18's current distribution).
   //
   // Scale: one partial-agg shuffle of map-side (old, new) partials to
   // ≤16 cells; the marginal frame is a re-agg of the matrix. The fact
   // table is scanned once, never joined.
+  private val q92Levels = Seq("L1_below", "L2_approaching", "L3_meets", "L4_exceeds")
+  private val q92CurrentCuts = Seq(100000L, 200000L, 350000L) // entry to L2/L3/L4
+  private val q92ProposedCuts = Seq(100000L, 220000L, 330000L)
+
   private val q92: Q = (s, d) => {
-    val cur = when(col("o_totalprice") < 100000, "L1_below")
-      .when(col("o_totalprice") < 200000, "L2_approaching")
-      .when(col("o_totalprice") < 350000, "L3_meets")
-      .otherwise("L4_exceeds")
-    val prop = when(col("o_totalprice") < 100000, "L1_below")
-      .when(col("o_totalprice") < 220000, "L2_approaching")
-      .when(col("o_totalprice") < 330000, "L3_meets")
-      .otherwise("L4_exceeds")
+    // Adjacency precondition, pinned: each proposed cut must stay
+    // strictly inside the open interval of its neighboring CURRENT
+    // cuts, else the "migrations land on an adjacent level" invariant
+    // (and the spec that encodes it) silently breaks.
+    q92ProposedCuts.zipWithIndex.foreach { case (p, i) =>
+      val lo = if (i == 0) Long.MinValue else q92CurrentCuts(i - 1)
+      val hi = if (i == q92CurrentCuts.size - 1) Long.MaxValue else q92CurrentCuts(i + 1)
+      require(lo < p && p < hi,
+        s"proposed cut $p crosses a neighboring current cut ($lo, $hi) — " +
+          "adjacency invariant no longer holds; widen the what-if to a multi-level matrix")
+    }
+    def band(cuts: Seq[Long]) =
+      cuts.zip(q92Levels).foldRight(lit(q92Levels.last)) { case ((c, lvl), e) =>
+        when(col("o_totalprice") < c, lvl).otherwise(e)
+      }
+    val cur = band(q92CurrentCuts)
+    val prop = band(q92ProposedCuts)
     val cellsDf = T.orders(s, d)
       .select(cur.as("current_level"), prop.as("proposed_level"))
       .groupBy(col("current_level"), col("proposed_level"))

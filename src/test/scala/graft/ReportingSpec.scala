@@ -14,7 +14,13 @@ class ReportingSpec extends SparkSpec {
       val prof = cells.map(_.getLong(3)).sum
       val overall = cells.head.getDouble(5)
       // the org-overall rate the report prints IS the reaggregation of
-      // its own subgroup cells — bit-exact, not approximately
+      // its own subgroup cells — bit-exact, not approximately. This
+      // bit-equality is an INTENTIONAL spec pin, sound because both
+      // sides are ONE correctly-rounded IEEE division of the same
+      // exactly-representable longs (counts < 2^53): if q91 is ever
+      // refactored to a different division order, this line is the
+      // alarm that the published rate changed, and only then should it
+      // be relaxed to the ulp-scale tolerance used for wgap below.
       assert(overall == prof.toDouble / n)
       // every cell in an org carries the same overall_pct
       assert(cells.forall(_.getDouble(5) == overall))
