@@ -92,11 +92,20 @@ object Bench {
     println(line)
     // durable copy: the driver captures only a 2000-char stdout tail,
     // which truncates the per-query record past ~45 queries
-    // (BENCH_r07.json parsed: null) — the file carries the whole line
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_results.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_results.json: ${e.getMessage}")
+    // (BENCH_r07.json parsed: null) — the file carries the whole line.
+    // bench_history.jsonl additionally APPENDS every run (timestamped),
+    // so round-over-round per-query diffs don't depend on anyone
+    // remembering to copy bench_results.json to a per-round name.
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_results.json"), line + "\n")
+      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + line.drop(1) + "\n"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_history.jsonl"), stamped,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench artifacts: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -491,4 +491,127 @@ object Multimodal {
       }
     }
   }
+
+  /** Frame PCM samples in a genuine RIFF/WAVE container (the m09
+    * generator, [[encodeBmp]]'s audio counterpart): fmt declares PCM
+    * with the given geometry; a VARIABLE-length LIST chunk (plus the
+    * RIFF odd-size pad byte) sits between fmt and data so a decoder
+    * cannot cheat with fixed offsets; `samples` are interleaved
+    * frames as UNSIGNED code units — one byte each at bits=8, two
+    * little-endian bytes each at bits=16 (the two's-complement wire
+    * form of signed 16-bit PCM). */
+  def encodeWavPcm(ch: Int, rate: Int, bits: Int, listLen: Int,
+                   samples: Array[Int]): Array[Byte] = {
+    val bytesPerSample = bits / 8
+    val blockAlign = ch * bytesPerSample
+    val byteRate = rate * blockAlign
+    val dataBytes = samples.length * bytesPerSample
+    val pad = listLen % 2
+    val riffSize = 4 + 24 + 8 + listLen + pad + 8 + dataBytes
+    val out = new Array[Byte](8 + riffSize)
+    var i = 0
+    def tag(t: String): Unit = { t.foreach { c => out(i) = c.toByte; i += 1 } }
+    def le16(v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte; i += 2 }
+    def le32(v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte; i += 4
+    }
+    tag("RIFF"); le32(riffSize); tag("WAVE")
+    tag("fmt "); le32(16); le16(1); le16(ch); le32(rate)
+    le32(byteRate); le16(blockAlign); le16(bits)
+    tag("LIST"); le32(listLen)
+    var l = 0
+    while (l < listLen) { out(i) = 'A'.toByte; i += 1; l += 1 }
+    if (pad == 1) { out(i) = 0; i += 1 }
+    tag("data"); le32(dataBytes)
+    var s = 0
+    while (s < samples.length) {
+      if (bytesPerSample == 1) { out(i) = samples(s).toByte; i += 1 }
+      else { out(i) = samples(s).toByte; out(i + 1) = (samples(s) >> 8).toByte; i += 2 }
+      s += 1
+    }
+    out
+  }
+
+  case class PcmWindowStat(doc_id: Long, channel: Int, win: Int,
+                           n_frames: Long, energy: Long, peak: Long)
+
+  /** REAL PCM sample decode (m09 — [[parseBmp]]'s obligation for
+    * audio, one level below [[parseWavHeader]]'s header probe): walk
+    * the RIFF chunks to the data chunk's byte OFFSET (the LIST chunk
+    * and its pad byte make fixed offsets wrong), then decode the
+    * interleaved frames — 8-bit PCM is UNSIGNED (amplitude = code −
+    * 128), 16-bit PCM is SIGNED little-endian two's complement —
+    * and fold amplitudes into per-(channel, window) EXACT integer
+    * stats: energy = Σ amp² and peak = max |amp| over
+    * `framesPerWin`-frame windows (the loudness/clipping scan an
+    * audio-curation pass runs). Emits nothing for payloads that
+    * don't decode (non-PCM bits, truncated data) — the fan-out
+    * convention of [[parseBmp]]'s m08. */
+  def decodePcmWindows(p: Array[Byte], docId: Long,
+                       framesPerWin: Int): Array[PcmWindowStat] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return Array.empty
+    var i = 12
+    var ch = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (i + 8 <= p.length && (ch == 0 || dataOff < 0)) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      if (size > Int.MaxValue) return Array.empty
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > p.length) return Array.empty
+        if (le16(i + 8) != 1) return Array.empty // PCM only
+        ch = le16(i + 10); bits = le16(i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8; dataLen = size
+      }
+      val adv = 8L + size + (size & 1L)
+      if (i + adv > Int.MaxValue) return Array.empty
+      i += adv.toInt
+    }
+    if (ch <= 0 || (bits != 8 && bits != 16) || dataOff < 0 ||
+        dataOff + dataLen > p.length) return Array.empty
+    val bps = bits / 8
+    val frames = (dataLen / (ch * bps)).toInt
+    val nWin = (frames + framesPerWin - 1) / framesPerWin
+    val energy = new Array[Long](ch * nWin)
+    val peak = new Array[Long](ch * nWin)
+    val nf = new Array[Long](ch * nWin)
+    var f = 0
+    while (f < frames) {
+      val w = f / framesPerWin
+      var c = 0
+      while (c < ch) {
+        val off = dataOff + (f * ch + c) * bps
+        val amp: Long =
+          if (bps == 1) (u8(off) - 128).toLong
+          else le16(off).toShort.toLong // two's complement
+        val cell = c * nWin + w
+        energy(cell) += amp * amp
+        if (math.abs(amp) > peak(cell)) peak(cell) = math.abs(amp)
+        nf(cell) += 1L
+        c += 1
+      }
+      f += 1
+    }
+    val out = new Array[PcmWindowStat](ch * nWin)
+    var c = 0
+    while (c < ch) {
+      var w = 0
+      while (w < nWin) {
+        val cell = c * nWin + w
+        out(cell) = PcmWindowStat(docId, c, w, nf(cell), energy(cell), peak(cell))
+        w += 1
+      }
+      c += 1
+    }
+    out
+  }
 }

@@ -821,7 +821,8 @@ object Pipeline {
     * vector, codebook reconstruction, and the exact re-rank (the
     * s01/s02 scoring idiom). `adcSql` differs: flat scan (s04) vs
     * probed inverted lists (s05). */
-  private def pqScoreSql(adcSql: String): String =
+  private def pqScoreSql(adcSql: String,
+                         candWhere: String = "e.vec_id >= 10"): String =
     s"""codes AS (
        |  SELECT vec_id, m, cluster AS code FROM (
        |    SELECT e.vec_id, c.m, c.cluster,
@@ -830,7 +831,7 @@ object Pipeline {
        |          (CAST(e.embedding AS DOUBLE[]))[(c.m*$PqSubLen+1):((c.m+1)*$PqSubLen)],
        |          c.cv) DESC, c.cluster) AS rn
        |    FROM embeddings e CROSS JOIN pqcent c
-       |    WHERE e.vec_id >= 10)
+       |    WHERE $candWhere)
        |  WHERE rn = 1),
        |recon AS (
        |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS rv
@@ -2200,6 +2201,81 @@ object Pipeline {
       |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
       |FROM lums GROUP BY doc_id, w, h, by, bx
       |ORDER BY doc_id, by, bx""".stripMargin
+
+  // -- m09: real PCM sample decode (audio, below the header) ---------------
+  // m08's obligation carried to AUDIO: m05 parses the container, m09
+  // decodes the SAMPLES — the loudness/clipping window scan an
+  // audio-curation pass runs before keeping a clip. The generator
+  // (framedPcmWav) renders 64 interleaved PCM frames per doc from
+  // integer formulas — mono/stereo, 8-bit UNSIGNED or 16-bit SIGNED
+  // little-endian (both real wire forms, exercised half the corpus
+  // each) — behind m05's container shape including the
+  // variable-length LIST chunk, so the decoder must WALK to the data
+  // offset, not assume it. decodePcmWindows then recovers amplitudes
+  // byte-for-byte (code−128 vs two's complement — mixing them up
+  // breaks every 16-bit row) and folds them into per-(channel,
+  // 16-frame window) exact integer energy Σamp² and peak |amp|. The
+  // oracle enumerates the SAMPLES from the generator formulas and
+  // aggregates the same integers: hash equality certifies offset
+  // walk, channel de-interleave, sample width, signedness, and
+  // window arithmetic at once.
+  //
+  // Scale: one mapPartitions pass, per-clip work linear in data
+  // bytes, ≤8-row fan-out per doc, zero shuffles before the output
+  // sort — m07/m08's class.
+  private def framedPcmWav(s: SparkSession, d: String):
+      org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val ch = (id % 2 + 1).toInt
+          val bits = if (id % 4 < 2) 8 else 16
+          val rate = Array(8000, 16000, 22050, 44100)(((id / 2) % 4).toInt)
+          val listLen = (id % 7).toInt
+          val m = if (bits == 8) 256L else 65536L
+          val samples = Array.tabulate(64 * ch)(i => ((id * 7 + i * 13L) % m).toInt)
+          Multimodal.MediaRecord(id, src,
+            Multimodal.encodeWavPcm(ch, rate, bits, listLen, samples))
+        }
+      }
+  }
+
+  private val m09: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    framedPcmWav(s, d).mapPartitions { it =>
+      it.flatMap(r => Multimodal.decodePcmWindows(r.payload, r.doc_id,
+        framesPerWin = 16).iterator)
+    }.toDF().orderBy(col("doc_id"), col("channel"), col("win"))
+  }
+
+  // The sample formula restated: code unit u = (doc_id·7 + i·13) mod
+  // 2^bits for interleaved index i; amplitude = u − 128 (8-bit
+  // unsigned) / u − 65536·[u ≥ 32768] (16-bit two's complement).
+  private val m09Sql =
+    """WITH params AS (
+      |  SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+      |    CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS bits
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, ch, bits, unnest(range(0, 64 * ch)) AS i FROM params),
+      |samp AS (
+      |  SELECT doc_id,
+      |    CAST(i % ch AS INTEGER) AS channel,
+      |    CAST((i // ch) // 16 AS INTEGER) AS win,
+      |    CASE WHEN bits = 8 THEN (doc_id*7 + i*13) % 256 - 128
+      |         WHEN (doc_id*7 + i*13) % 65536 >= 32768
+      |           THEN (doc_id*7 + i*13) % 65536 - 65536
+      |         ELSE (doc_id*7 + i*13) % 65536 END AS a
+      |  FROM idx)
+      |SELECT doc_id, channel, win,
+      |  COUNT(*) AS n_frames,
+      |  CAST(SUM(a * a) AS BIGINT) AS energy,
+      |  CAST(MAX(ABS(a)) AS BIGINT) AS peak
+      |FROM samp GROUP BY doc_id, channel, win
+      |ORDER BY doc_id, channel, win""".stripMargin
 
   // -- m01/m02: REAL container headers over the binary column --------------
   // Round-7 closed every other gap; this closes the multimodal
@@ -3981,6 +4057,134 @@ object Pipeline {
        |                             CAST(c.embedding AS DOUBLE[])) >= 0.35
        |ORDER BY q_id, cand_id""".stripMargin
 
+  // -- s17: delta-append on the COMPRESSED index (IVF-PQ) ------------------
+  // s12's maintenance contract carried to the PQ rung — the index a
+  // 100-TB corpus actually holds is the compressed one, so the
+  // append path that matters in production is "assign + encode the
+  // arrivals under the FROZEN fits" (FAISS's add_with_ids on a
+  // trained index). Both fits (coarse quantizer + subspace
+  // codebooks) train on the BASE corpus only; the delta batch is
+  // assigned to the frozen coarse centroids and encoded with the
+  // frozen codebooks — map-only over the delta, no refit, no base
+  // rescan — and the probe runs s05's ADC + exact re-rank over the
+  // union. The exactness claim fits a LOSSY rung: the codes are a
+  // deterministic per-vector function of the frozen fits, so
+  // append-then-probe ≡ encode-all-then-probe (the oracle encodes
+  // base ∪ delta against the base-trained fits in one shot); a
+  // REFIT would move the recall point and is a rebuild-schedule
+  // decision, exactly like RangeIvfIndex compaction. The same
+  // append against the ON-DISK PqIndex (operators/PqIndex.scala
+  // append) is spec-proven code-identical in IndexSpec.
+  //
+  // Scale: delta path touches delta rows only (one broadcast of the
+  // k coarse centroids + the 8×16 codebooks, both k-row artifacts);
+  // probes stay probed-list-sized; nothing rescans the base.
+  private val s17: Q = (s, d) => {
+    val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
+    val all = T.embeddings(s, d)
+    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
+    val base = all.filter(!isDelta)
+    val delta = all.filter(isDelta)
+    val nBase = base.count() // build-time metadata (the build scans anyway)
+    val k = math.max(16, math.ceil(math.sqrt(nBase.toDouble)).toInt)
+    val (assignedBase, cents) = kmeansAssignDf(base, k, nBase)
+    val (sub, codebooks) = pqCodebooksDf(base, nBase, numSub, ksub)
+    // built at index time: base members' inverted PQ lists
+    val codedBase = assignedBase.filter(col("vec_id") >= 10)
+      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
+        pqEncodeCols(codebooks, sub): _*)
+    // the append: frozen assignment + frozen encode, delta rows only
+    val codedDelta = delta
+      .withColumn("cluster", element_at(
+        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
+      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
+        pqEncodeCols(codebooks, sub): _*)
+    val coded = codedBase.unionByName(codedDelta)
+    val qs = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probes = qs.withColumn("cluster", explode(
+      graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    val short = pqAdcShortlist(coded.join(broadcast(probes), "cluster"),
+      codebooks, shortlist)
+    pqRerank(short, all, qs, k = 5)
+  }
+
+  // Both fits replay on the BASE subset (what existed at build time);
+  // the assignment + encode CTEs rank EVERY vector against the frozen
+  // centroids/codebooks — algebraically the engine's build + append.
+  private val s17Sql: String =
+    s"""WITH ${graft.operators.IntLloyd.fitSql(
+        srcSql = "SELECT vec_id, embedding FROM embeddings " +
+          "WHERE NOT (vec_id >= 10 AND vec_id % 7 = 3)",
+        idExpr = "vec_id", vecExpr = "embedding",
+        numSub = 1, subLen = EmbDim,
+        kExpr = "GREATEST(16, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
+        capExpr = "GREATEST(2048, 64*k)",
+        iters = CoarseIters, salt = "kmtrain", p = "km")},
+       |${graft.operators.IntLloyd.fitSql(
+        srcSql = "SELECT vec_id, embedding FROM embeddings " +
+          "WHERE NOT (vec_id >= 10 AND vec_id % 7 = 3)",
+        idExpr = "vec_id", vecExpr = "embedding",
+        numSub = PqNumSub, subLen = PqSubLen,
+        kExpr = "CAST(16 AS BIGINT)", capExpr = "CAST(4096 AS BIGINT)",
+        iters = PqIters, salt = "pqtrain", p = "pq")},
+       |${pqScoreSql(
+      s"""${coarseAsgSql(maxRn = 4)},
+         |cand AS (SELECT vec_id, cluster FROM asg WHERE rn = 1 AND vec_id >= 10),
+         |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
+         |          FROM asg WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id,
+         |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
+         |  FROM cand c
+         |  JOIN probe p ON c.cluster = p.cluster
+         |  JOIN recon r ON r.vec_id = c.vec_id)""".stripMargin)}""".stripMargin
+
+  // -- s18: tombstone deletes on the COMPRESSED index (flat PQ) ------------
+  // s13's other half, for the PQ rung: vectors LEAVE, and rewriting
+  // code lists per delete batch is the cost tombstones avoid. PQ
+  // needs even LESS maintenance than the IVF index — there are no
+  // per-cell radii to go stale: removing candidates from a
+  // top-`shortlist` ADC ranking can only PROMOTE survivors (the
+  // shortlist refills from below; the exact re-rank decides final
+  // order either way), so anti-joining the tombstone set before the
+  // ADC scan makes the probe equal the same probe over an index
+  // that never contained the doomed vectors — zero other work. The
+  // oracle's code assignment simply EXCLUDES the doomed ids, i.e.
+  // the never-contained index, so hash equality IS the claim. The
+  // same delete against the ON-DISK PqIndex is spec-proven in
+  // IndexSpec (probeFlat + probeIvf over survivors).
+  //
+  // Scale: delete batches are small by nature — one broadcast
+  // anti-join on the uniform cand_id key before the compressed
+  // scan; no list rewrite, no fit maintenance, no extra corpus pass.
+  private val s18: Q = (s, d) => {
+    val numSub = 8; val ksub = 16; val shortlist = 50
+    val emb = T.embeddings(s, d)
+    val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
+    val coded = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id") +: pqEncodeCols(codebooks, sub): _*)
+    val tombstones = emb.filter(col("vec_id") >= 10 && col("vec_id") % 11 === 5)
+      .select(col("vec_id").as("cand_id"))
+    val live = coded.join(broadcast(tombstones), Seq("cand_id"), "left_anti")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val short = pqAdcShortlist(live.crossJoin(broadcast(qs)), codebooks, shortlist)
+    pqRerank(short, emb, qs, k = 5)
+  }
+
+  private val s18Sql: String =
+    s"""WITH $pqFitSql,
+       |${pqScoreSql(
+      s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |      FROM embeddings WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.q_id, r.vec_id AS cand_id,
+         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), r.rv) AS approx_cos
+         |  FROM recon r CROSS JOIN q)""".stripMargin,
+      candWhere = "e.vec_id >= 10 AND NOT (e.vec_id % 11 = 5)")}""".stripMargin
+
   // -- s09: exact MIPS (maximum inner product search) ----------------------
   // Dense-retrieval scoring is an INNER PRODUCT, not a cosine — and
   // the classic reduction (Bachrach et al. 2014 / Shrivastava & Li's
@@ -4683,7 +4887,18 @@ object Pipeline {
   private val d16: Q = (s, d) => {
     val tau = 0.4
     val emb = T.embeddings(s, d)
-    val isBench = col("vec_id") % 13 === 7
+    // Measurement-only knob (SPARK_GRAFT_ONLY's class of dev aid,
+    // never set by the driver): the synthetic fixture grows the
+    // benchmark side with the corpus (every 13th vector), which at
+    // 100× measures a fixture artifact — a REAL eval suite is
+    // fixed-size. Capping bench_id < N holds the benchmark side at
+    // the base-corpus size so the §4 scaling row prices the
+    // broadcast asymmetry the operator is designed around; the
+    // excluded copies' pseudo-benchmark vectors stay in the corpus.
+    val isBench = sys.env.get("SPARK_GRAFT_D16_BENCH_CAP") match {
+      case Some(cap) => col("vec_id") % 13 === 7 && col("vec_id") < cap.toLong
+      case None      => col("vec_id") % 13 === 7
+    }
     val bench = emb.filter(isBench)
       .select(col("vec_id").as("bench_id"), col("embedding").as("b_vec"))
     val corpus = emb.filter(!isBench).select(col("vec_id"), col("embedding"))
@@ -5957,6 +6172,7 @@ object Pipeline {
     "s11_ann_recall_report" -> s11, "s12_ann_delta_append" -> s12,
     "s13_ann_tombstone_delete" -> s13, "s14_ann_sq8" -> s14,
     "s15_knn_classify" -> s15, "s16_ann_graph" -> s16,
+    "s17_ann_pq_delta" -> s17, "s18_ann_pq_tombstone" -> s18,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -5971,6 +6187,7 @@ object Pipeline {
     "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
     "m06_video_meta" -> m06, "m07_video_frame_sample" -> m07,
     "m05_audio_meta" -> m05, "m08_pixel_decode" -> m08,
+    "m09_audio_samples" -> m09,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -6002,6 +6219,7 @@ object Pipeline {
     "s12_ann_delta_append" -> s12Sql, "s13_ann_tombstone_delete" -> s13Sql,
     "s14_ann_sq8" -> s14Sql, "s15_knn_classify" -> s15Sql,
     "s16_ann_graph" -> s16Sql,
+    "s17_ann_pq_delta" -> s17Sql, "s18_ann_pq_tombstone" -> s18Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
@@ -6024,6 +6242,7 @@ object Pipeline {
     "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
     "m06_video_meta" -> m06Sql, "m07_video_frame_sample" -> m07Sql,
     "m05_audio_meta" -> m05Sql, "m08_pixel_decode" -> m08Sql,
+    "m09_audio_samples" -> m09Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

@@ -68,6 +68,49 @@ class MultimodalSpec extends SparkSpec {
       " 64617461 00000000")).isEmpty) // fmt size 12 < 16
   }
 
+  test("decodePcmWindows decodes HANDCRAFTED PCM byte-for-byte (not via encodeWavPcm)") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // stereo 16-bit behind an ODD-size LIST chunk (pad byte included):
+    // frames (ch0, ch1) = (1,5) (−2,−6) (300,700) (−400,−32768),
+    // little-endian two's complement, interleaved
+    val stereo = hx("52494646 00000000 57415645" +
+      " 4C495354 03000000 414243 00" +
+      " 666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+      " 64617461 10000000" +
+      " 0100 0500 FEFF FAFF 2C01 BC02 70FE 0080")
+    val rows = Multimodal.decodePcmWindows(stereo, docId = 7L, framesPerWin = 2)
+      .map(r => (r.channel, r.win) -> ((r.n_frames, r.energy, r.peak))).toMap
+    assert(rows.size == 4)
+    assert(rows((0, 0)) == ((2L, 5L, 2L)))          // 1² + (−2)²
+    assert(rows((0, 1)) == ((2L, 250000L, 400L)))   // 300² + 400²
+    assert(rows((1, 0)) == ((2L, 61L, 6L)))         // 5² + 6²
+    assert(rows((1, 1)) == ((2L, 490000L + 1073741824L, 32768L))) // 700² + 32768²
+    // mono 8-bit UNSIGNED: codes 00/80/FF → amplitudes −128/0/+127
+    val mono = hx("52494646 00000000 57415645" +
+      " 666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800" +
+      " 64617461 03000000 0080FF")
+    val m = Multimodal.decodePcmWindows(mono, docId = 1L, framesPerWin = 4)
+    assert(m.length == 1 && m(0).n_frames == 3L)
+    assert(m(0).energy == 128L * 128 + 0 + 127L * 127 && m(0).peak == 128L)
+    // negative space: non-PCM format code, truncated data region
+    val alaw = hx("52494646 00000000 57415645" +
+      " 666D7420 10000000 0600 0100 401F0000 401F0000 0100 0800" +
+      " 64617461 01000000 41")
+    assert(Multimodal.decodePcmWindows(alaw, 1L, 4).isEmpty)
+    val short = hx("52494646 00000000 57415645" +
+      " 666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800" +
+      " 64617461 10000000 4142")
+    assert(Multimodal.decodePcmWindows(short, 1L, 4).isEmpty)
+    // generator → decoder roundtrip at both widths matches the formula
+    val s16 = Array.tabulate(8)(i => (i * 13007) % 65536)
+    val g = Multimodal.decodePcmWindows(
+      Multimodal.encodeWavPcm(2, 8000, 16, 5, s16), 2L, framesPerWin = 2)
+    val amp = s16.map(u => if (u >= 32768) u - 65536 else u)
+    assert(g.find(r => r.channel == 1 && r.win == 1).get.energy ==
+      amp(5).toLong * amp(5) + amp(7).toLong * amp(7))
+  }
+
   test("parseMp4Header walks ISO-BMFF boxes: containers, versions, largesize") {
     def hx(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
