@@ -992,6 +992,139 @@ object Pipeline {
          |  JOIN probe p ON c.cluster = p.cluster
          |  JOIN recon r ON r.vec_id = c.vec_id)""".stripMargin)}""".stripMargin
 
+  // -- s19: RESIDUAL IVF-PQ (the true FAISS composition) -------------------
+  // s05 quantizes RAW vectors (spherical PQ, cluster-independent
+  // codebooks — the re-rank-protected simplification). The index
+  // FAISS actually ships as IVFx,PQy encodes RESIDUALS: r = x −
+  // c(x), because residuals concentrate near the origin once the
+  // coarse term is removed, so the same 8 bytes spend their
+  // resolution on the part of x the cell id doesn't already encode —
+  // a strictly better reconstruction at identical index bytes. The
+  // ADC score reconstructs x̂ = c(x) + r̂ and ranks by cosine; the
+  // exact re-rank is unchanged.
+  //
+  // Replayability: the residual is ONE IEEE subtraction per
+  // component of x from the DEQUANTIZED centroid (cv/1024 — an exact
+  // power-of-two division of an integer-valued double), identical in
+  // both engines; the residual codebooks are the same IntLloyd fit
+  // on the residual frame; and the reconstruction stays in the
+  // SCALED integer domain (cv + cb — exact integer-valued-double
+  // sums, cosine is scale-invariant) so the ADC ranking replays
+  // bit-for-bit.
+  //
+  // Scale: s05's shape exactly — one extra map-side zip_with for the
+  // residual, the codebook fit on the same capped sample, probes
+  // broadcast, candidates probed-list-sized.
+  private val s19: Q = (s, d) => {
+    val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
+    val n = T.embeddingsCount(s, d)
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (assigned, cents) = kmeansAssign(s, d, k, n)
+    // residual = x − c(x)/1024 (dequantized centroid; exact /2^10)
+    val centDeq = typedlit(cents.map(_.map(_ / graft.operators.IntLloyd.Scale).toSeq).toSeq)
+    val resid = assigned
+      .withColumn("residual", zip_with(
+        transform(col("embedding"), x => x.cast(DoubleType)),
+        element_at(centDeq, col("cluster") + 1),
+        (a, b) => a - b))
+      .select(col("vec_id"), col("cluster"), col("residual").as("embedding"))
+      .transform(graft.CacheScope.cached) // fit sample + encode read it
+    val cbs = graft.operators.IntLloyd.fit(
+      resid, "vec_id", "embedding", n,
+      numSub = numSub, subLen = PqSubLen, k = ksub, cap = 256L * ksub,
+      iters = PqIters, salt = "pqres")
+      .map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq
+    val coded = resid.filter(col("vec_id") >= 10)
+      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
+        pqEncodeCols(cbs, PqSubLen): _*)
+    val emb = T.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probes = qs.withColumn("cluster", explode(
+      graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    // ADC: x̂ in the SCALED domain — coarse centroid + residual
+    // codebook entries, exact integer-valued-double sums
+    val centScaled = typedlit(cents.map(_.toSeq).toSeq)
+    val reconRes = flatten(array(cbs.indices.map { m =>
+      element_at(typedlit(cbs(m)), col(s"code$m") + 1)
+    }: _*))
+    val reconFull = zip_with(
+      element_at(centScaled, col("cluster") + 1), reconRes, (a, b) => a + b)
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("cand_id"))
+    val short = coded.join(broadcast(probes), "cluster")
+      .withColumn("approx_cos", VF.cosine(col("q_vec"), reconFull))
+      .withColumn("rn_a", row_number().over(wApprox))
+      .filter(col("rn_a") <= shortlist)
+      .select(col("q_id"), col("cand_id"))
+    pqRerank(short, emb, qs, k = 5)
+  }
+
+  // DuckDB inlines a CTE at every reference site, so frames shared by
+  // the fit chain AND the encode/probe chain (asg, res, codes, recon)
+  // would multiply the unrolled Lloyd expansion — past the open-file
+  // limit once s11 composes all seven rungs. MATERIALIZED pins each
+  // shared frame to one evaluation; a pure execution hint, zero
+  // semantic content.
+  private val s19Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 4).replace("asg AS (", "asg AS MATERIALIZED (")},
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cluster,
+       |    list_transform(range(1, $EmbDim + 1), i ->
+       |      CAST(a.embedding[i] AS DOUBLE) - k.cv[i] / 1024.0) AS embedding
+       |  FROM asg a JOIN kmcent k ON a.cluster = k.cluster
+       |  WHERE a.rn = 1),
+       |${graft.operators.IntLloyd.fitSql(
+        srcSql = "SELECT vec_id, embedding FROM res",
+        idExpr = "vec_id", vecExpr = "embedding",
+        numSub = PqNumSub, subLen = PqSubLen,
+        kExpr = "CAST(16 AS BIGINT)", capExpr = "CAST(4096 AS BIGINT)",
+        iters = PqIters, salt = "pqres", p = "pq")},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, cluster, m, code FROM (
+       |    SELECT r.vec_id, r.cluster, c.m, c.cluster AS code,
+       |      row_number() OVER (PARTITION BY r.vec_id, c.m ORDER BY
+       |        list_cosine_similarity(
+       |          (CAST(r.embedding AS DOUBLE[]))[(c.m*$PqSubLen+1):((c.m+1)*$PqSubLen)],
+       |          c.cv) DESC, c.cluster) AS rn
+       |    FROM res r CROSS JOIN pqcent c
+       |    WHERE r.vec_id >= 10)
+       |  WHERE rn = 1),
+       |recon AS MATERIALIZED (
+       |  SELECT co.vec_id, co.cluster,
+       |    list_transform(range(1, $EmbDim + 1), i -> k.cv[i] + rv[i]) AS rv
+       |  FROM (SELECT vec_id, cluster, flatten(list(cv ORDER BY m)) AS rv
+       |        FROM (SELECT co.vec_id, co.cluster, co.m, c.cv
+       |              FROM codes co JOIN pqcent c ON c.m = co.m AND c.cluster = co.code)
+       |        GROUP BY vec_id, cluster) co
+       |  JOIN kmcent k ON co.cluster = k.cluster),
+       |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
+       |          FROM asg WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT p.q_id, r.vec_id AS cand_id,
+       |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
+       |  FROM recon r JOIN probe p ON r.cluster = p.cluster),
+       |short AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, cand_id) AS rn_a
+       |    FROM adc)
+       |  WHERE rn_a <= 50),
+       |scored AS (
+       |  SELECT s.q_id, s.cand_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ce.embedding AS DOUBLE[])) AS cos
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.cand_id),
+       |r AS (SELECT q_id, cand_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |      FROM scored)
+       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   // ======================= text analysis: documents ========================
 
   // -- s14: scalar-quantized (SQ8) ANN with exact rerank -------------------
@@ -3842,7 +3975,7 @@ object Pipeline {
       .withColumn("hit", lit(1L))
     val methods = Seq(
       "s02_lsh" -> s02, "s03_ivf" -> s03, "s04_pq" -> s04, "s05_ivfpq" -> s05,
-      "s14_sq8" -> s14, "s16_graph" -> s16)
+      "s14_sq8" -> s14, "s16_graph" -> s16, "s19_ivfpq_res" -> s19)
     val tagged = methods.map { case (name, q) =>
       q(s, d).select(lit(name).as("method"), col("q_id"), col("cand_id"))
     }.reduce(_.unionByName(_))
@@ -3873,7 +4006,9 @@ object Pipeline {
        |UNION ALL
        |${rung("s14_sq8", s14Sql)}
        |UNION ALL
-       |${rung("s16_graph", s16Sql)}),
+       |${rung("s16_graph", s16Sql)}
+       |UNION ALL
+       |${rung("s19_ivfpq_res", s19Sql)}),
        |hits AS (
        |  SELECT t.method, t.q_id,
        |    CAST(SUM(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
@@ -3884,7 +4019,7 @@ object Pipeline {
        |  SELECT m.method, q.q_id
        |  FROM (SELECT DISTINCT q_id FROM exact) q,
        |       (SELECT unnest(['s02_lsh', 's03_ivf', 's04_pq', 's05_ivfpq',
-                       's14_sq8', 's16_graph']) AS method) m)
+                       's14_sq8', 's16_graph', 's19_ivfpq_res']) AS method) m)
        |SELECT g.method, g.q_id,
        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
@@ -6173,6 +6308,7 @@ object Pipeline {
     "s13_ann_tombstone_delete" -> s13, "s14_ann_sq8" -> s14,
     "s15_knn_classify" -> s15, "s16_ann_graph" -> s16,
     "s17_ann_pq_delta" -> s17, "s18_ann_pq_tombstone" -> s18,
+    "s19_ann_ivfpq_residual" -> s19,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -6220,6 +6356,7 @@ object Pipeline {
     "s14_ann_sq8" -> s14Sql, "s15_knn_classify" -> s15Sql,
     "s16_ann_graph" -> s16Sql,
     "s17_ann_pq_delta" -> s17Sql, "s18_ann_pq_tombstone" -> s18Sql,
+    "s19_ann_ivfpq_residual" -> s19Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,

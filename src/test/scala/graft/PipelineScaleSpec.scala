@@ -350,6 +350,23 @@ class PipelineScaleSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF-PQ recall degenerate: $recall")
   }
 
+  test("s19 residual IVF-PQ recalls a usable share of s01's exact top-5") {
+    def top(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top("s01_ann_bruteforce")
+    val res = top("s19_ann_ivfpq_residual")
+    assert(exact.nonEmpty)
+    val recall = res.intersect(exact).size.toDouble / exact.size
+    val s05r = top("s05_ann_ivfpq").intersect(exact).size.toDouble / exact.size
+    info(s"s19 recall vs s01: $recall (s05 spherical: $s05r)")
+    // same composition gate as s05 (probe restriction × shortlist);
+    // residual coding is the better-reconstruction variant, but the
+    // gate only catches degenerate fits — the s11 grid publishes the
+    // actual comparison
+    assert(recall >= 0.4, s"residual IVF-PQ recall degenerate: $recall")
+  }
+
   test("s02 candidate dedup exchanges bare ids, never embedding arrays") {
     val df = SparkEntry.queries("s02_ann_lsh")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
