@@ -448,7 +448,12 @@ object Pipeline {
                                  vecCol: String, threshold: Double): DataFrame = {
     val a = emb.select(col(blockCol), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
     val b = emb.select(col(blockCol), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
-    a.join(b, Seq(blockCol))
+    // SORT-MERGE, pinned: a duplicate-heavy block (p05b's quantizer
+    // cells at 100× hold entire identical-raster classes) makes a
+    // shuffled-hash build side exceed task heap — SMJ's per-key
+    // buffers spill instead (measured: p05b OOM'd under SHJ at 100×,
+    // finishes under SMJ; sub-ms difference at sf0.1)
+    a.hint("merge").join(b, Seq(blockCol))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cosine") >= threshold)

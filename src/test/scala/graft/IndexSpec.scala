@@ -250,6 +250,48 @@ class IndexSpec extends SparkSpec {
     assert(pf.forall(r => alive(r._2)) && pi.forall(r => alive(r._2)))
   }
 
+  test("streaming intake maintains the on-disk PQ index: foreachBatch append keeps frozen-fit parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pqStreamIdx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("pqStreamRef").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
+    val base = emb.filter(!isDelta)
+    graft.operators.PqIndex.write(spark, base, base.count(), dir)
+    // arrivals stream in over two micro-batches; each batch appended
+    // by the same frozen-fit maintenance call the batch path uses
+    val delta = emb.filter(isDelta).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(b1); ms.addData(b2)
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.PqIndex.append(spark, dir,
+          batch.select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // reference: the same frozen fit with base ∪ delta encoded in one
+    // shot — stream-maintained probes must match it row-for-row
+    graft.operators.PqIndex.write(spark, base, base.count(), dir2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir2/codes"))
+    graft.operators.PqIndex.append(spark, dir2,
+      base.filter(col("vec_id") >= 10).select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(isDelta).select(col("vec_id"), col("embedding"))))
+    val pf = rows4(graft.operators.PqIndex.probeFlat(spark, dir, emb, embQueries, k = 5))
+    val pf2 = rows4(graft.operators.PqIndex.probeFlat(spark, dir2, emb, embQueries, k = 5))
+    assert(pf.nonEmpty && pf == pf2,
+      s"stream-maintained PQ index drifted: missing=${pf2.diff(pf).take(3)} extra=${pf.diff(pf2).take(3)}")
+    val pi = rows4(graft.operators.PqIndex.probeIvf(spark, dir, emb, embQueries, k = 5))
+    val pi2 = rows4(graft.operators.PqIndex.probeIvf(spark, dir2, emb, embQueries, k = 5))
+    assert(pi.nonEmpty && pi == pi2)
+  }
+
   test("persisted MIPS index probe equals s09 row-for-row (exactness survives the split fit)") {
     val dir = java.nio.file.Files.createTempDirectory("mipsidx").toString
     val emb = Tables.embeddings(spark, sfDir)
