@@ -1369,10 +1369,14 @@ object Pipeline {
   // window top-M; search touches k-row pivot broadcast + two edge
   // joins + ≤ 1+M+M² exact scores per query — the index lives as the
   // edges frame (persistable like RangeIvfIndex).
-  private val s16: Q = (s, d) => {
-    val k = 5; val M = 6
-    val emb = T.embeddings(s, d)
-    val n = T.embeddingsCount(s, d)
+  /** The s16 graph-index BUILD over (vec_id, embedding): top-M
+    * out-edges per node among its 2-nearest-cell co-members, plus
+    * the per-cell entry pivots. Shared by the per-query s16 path and
+    * the persisted GraphIndex (operators/GraphIndex.scala) so "build
+    * once" materializes exactly the frames the per-query path
+    * derives. */
+  private[graft] def graphIndexFrames(emb: DataFrame, n: Long): (DataFrame, DataFrame) = {
+    val M = 6
     val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val (asg1, cents) =
       kmeansAssignDf(emb.select(col("vec_id"), col("embedding")), kk, n)
@@ -1392,12 +1396,18 @@ object Pipeline {
     val edges = pairs
       .withColumn("rn", row_number().over(we)).filter(col("rn") <= M)
       .select(col("a_id"), col("b_id"))
-      .transform(graft.CacheScope.cached) // walked twice (1-hop, 2-hop)
     val piv = asg1.filter(col("vec_id") >= 10)
       .groupBy(col("cluster")).agg(min(col("vec_id")).as("pid"))
       .join(emb.select(col("vec_id").as("pid"), col("embedding").as("p_vec")), "pid")
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .select(col("cluster"), col("pid"), col("p_vec"))
+    (edges, piv)
+  }
+
+  /** The s16 SEARCH over built graph frames: best-pivot entry, fixed
+    * 2-hop frontier expansion, exact scoring, top-k. One definition
+    * for the per-query path and the persisted-index probe. */
+  private[graft] def graphProbe(edges: DataFrame, piv: DataFrame,
+                                q: DataFrame, emb: DataFrame, k: Int): DataFrame = {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
     val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
       .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
@@ -1419,6 +1429,16 @@ object Pipeline {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val s16: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    val (edges0, piv) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
+    val edges = edges0.transform(graft.CacheScope.cached) // walked twice (1-hop, 2-hop)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graphProbe(edges, piv, q, emb, k = 5)
   }
 
   // ROUND(,4) safe as in s01/s03: every emitted cosine is one of the
@@ -5854,6 +5874,82 @@ object Pipeline {
       |  (cum - bpe_tokens) % 8192 AS bin_offset
       |FROM w ORDER BY doc_id""".stripMargin
 
+  // -- p14: multi-epoch schedule (without-replacement across epochs) -------
+  // The schedule a data-constrained run (p11's regime) actually
+  // executes: E epochs where each epoch draws a per-source QUOTA of
+  // docs WITHOUT replacement ACROSS epochs — epoch e takes the next
+  // wrap-around slice of the source's one fixed permutation, so a
+  // source smaller than its cumulative budget restarts (the
+  // Muennighoff repeat regime) while a large source contributes
+  // fresh data every epoch — and each epoch is then re-shuffled by
+  // its OWN salted hash (p04's reproducible global shuffle, salted
+  // per epoch, so no two epochs present the data in the same order —
+  // the property epoch reshuffling exists for).
+  //
+  // Deterministic end to end: the source permutation and every
+  // epoch's presentation order are salted-md5 ranks (t07/p04's
+  // idiom); slice membership is pure integer arithmetic on the rank.
+  // Invariants spec-pinned: a doc appears ≤ once per epoch; every
+  // epoch emits exactly its quota per source; consecutive epochs'
+  // slices are disjoint until the source wraps.
+  //
+  // Scale: two window shuffles on uniform salted keys — the per-
+  // source rank (p04's class) and the per-(epoch, shard) position
+  // (sharded exactly like p04 so no global sort appears at any
+  // scale); output ≈ E × Σ quota rows, the training manifest itself.
+  private val p14: Q = (s, d) => {
+    import s.implicits._
+    val epochs = 4; val shards = 8
+    val ranked = docsSpread(s, d)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          md5(concat(lit("p14|"), col("doc_id").cast("string"))), col("doc_id"))) - 1)
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("quota", expr("(n_src + 1) div 2")) // ceil(n/2), exact integer div
+
+    val sched = ranked
+      .crossJoin(broadcast((0 until epochs).toList.toDF("epoch")))
+      // epoch e admits ranks in the wrap-around window [e·q, e·q + q)
+      .filter((col("r") - col("epoch") * col("quota") % col("n_src") + col("n_src"))
+        % col("n_src") < col("quota"))
+      .withColumn("order_hash",
+        md5(concat(lit("p14e"), col("epoch").cast("string"), lit("|"),
+          col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("order_hash"), 1, 4), 16, 10).cast("int") % shards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("order_hash"), col("doc_id"))))
+    sched.select(col("epoch"), col("shard"), col("doc_id"), col("source"), col("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  private val p14Sql =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |      md5('p14|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1 AS r,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      |  FROM documents),
+      |q14 AS (SELECT *, (n_src + 1) // 2 AS quota FROM ranked),
+      |sched AS (
+      |  SELECT doc_id, source, e.epoch
+      |  FROM q14, (SELECT unnest([0, 1, 2, 3]) AS epoch) e
+      |  WHERE ((r - e.epoch * quota % n_src + n_src) % n_src) < quota),
+      |h AS (
+      |  SELECT epoch, doc_id, source,
+      |    md5('p14e' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
+      |      AS order_hash
+      |  FROM sched),
+      |sh AS (
+      |  SELECT epoch, doc_id, source, order_hash,
+      |    CAST(('0x' || substr(order_hash, 1, 4)) AS INTEGER) % 8 AS shard
+      |  FROM h)
+      |SELECT epoch, shard, doc_id, source,
+      |  CAST(row_number() OVER (PARTITION BY epoch, shard
+      |    ORDER BY order_hash, doc_id) AS INTEGER) AS pos
+      |FROM sh ORDER BY epoch, shard, pos""".stripMargin
+
   // -- t21: readability scoring (Flesch / Gunning-Fog class) ---------------
   // The curation gate complementing t02's surface-quality score:
   // classic readability formulas (Flesch 1948 reading ease, Gunning
@@ -6299,6 +6395,7 @@ object Pipeline {
     "p08_release_diff" -> p08,
     "p10_pack_learned" -> p10, "p11_budget_waterfill" -> p11,
     "p12_leakage_safe_split" -> p12, "p13_pack_bpe" -> p13,
+    "p14_epoch_schedule" -> p14,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
@@ -6353,6 +6450,7 @@ object Pipeline {
     "d15_dedup_semantic" -> d15Sql, "d16_decontaminate_semantic" -> d16Sql,
     "p08_release_diff" -> p08Sql, "p11_budget_waterfill" -> p11Sql,
     "p12_leakage_safe_split" -> p12Sql, "p13_pack_bpe" -> p13Sql,
+    "p14_epoch_schedule" -> p14Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,

@@ -292,6 +292,19 @@ class IndexSpec extends SparkSpec {
     assert(pi.nonEmpty && pi == pi2)
   }
 
+  test("persisted graph index probe equals s16 row-for-row (one build definition, loaded or derived)") {
+    val dir = java.nio.file.Files.createTempDirectory("graphidx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.GraphIndex.write(
+      spark, emb, Tables.embeddingsCount(spark, sfDir), dir)
+    val probed = rows4(graft.operators.GraphIndex.probe(spark, dir, emb, embQueries, k = 5))
+    val s16 = rows4(SparkEntry.queries("s16_ann_graph")(spark, sfDir))
+    assert(s16.nonEmpty)
+    assert(probed == s16,
+      s"loaded graph-index probe must equal s16: missing=${s16.diff(probed).take(3)} " +
+        s"extra=${probed.diff(s16).take(3)}")
+  }
+
   test("persisted MIPS index probe equals s09 row-for-row (exactness survives the split fit)") {
     val dir = java.nio.file.Files.createTempDirectory("mipsidx").toString
     val emb = Tables.embeddings(spark, sfDir)

@@ -653,6 +653,36 @@ class PlanQualitySpec extends SparkSpec {
       "the lone-hole complement must be exercised, not just compiled")
   }
 
+  test("p14 epoch schedule: per-epoch quotas exact, no within-epoch repeats, wrap overlap exact, orders differ") {
+    val rows = SparkEntry.queries("p14_epoch_schedule")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3), r.getInt(4)))
+    val bySrc = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a doc appears at most once per epoch
+    val perEpochDoc = rows.groupBy(r => (r._1, r._3))
+    assert(perEpochDoc.values.forall(_.size == 1), "doc repeated within an epoch")
+    // every epoch draws exactly ceil(n/2) docs from every source
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((e, src), g) =>
+      val quota = (bySrc(src) + 1) / 2
+      assert(g.size == quota, s"epoch $e source $src drew ${g.size}, quota $quota")
+    }
+    // consecutive epochs overlap by exactly 2*quota − n per source
+    // (disjoint until the permutation wraps; n even → fully disjoint)
+    val e0 = rows.filter(_._1 == 0).groupBy(_._4).map { case (s, g) => s -> g.map(_._3).toSet }
+    val e1 = rows.filter(_._1 == 1).groupBy(_._4).map { case (s, g) => s -> g.map(_._3).toSet }
+    bySrc.foreach { case (src, n) =>
+      val quota = (n + 1) / 2
+      assert((e0(src) intersect e1(src)).size == 2 * quota - n,
+        s"epoch 0/1 overlap wrong for $src")
+    }
+    // reshuffle property: epochs with equal membership present docs
+    // in different orders (epoch 2's wrap slice revisits epoch 0's)
+    val seq0 = rows.filter(_._1 == 0).sortBy(r => (r._2, r._5)).map(_._3).toSeq
+    val seq2 = rows.filter(_._1 == 2).sortBy(r => (r._2, r._5)).map(_._3).toSeq
+    if (seq0.toSet == seq2.toSet)
+      assert(seq0 != seq2, "epoch reshuffle produced the identical order")
+  }
+
   test("p12 split: corpus conserved, 80/10/10-ish, and zero cross-split leakage") {
     val rows = SparkEntry.queries("p12_leakage_safe_split")(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
