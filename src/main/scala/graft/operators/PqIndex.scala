@@ -122,6 +122,26 @@ object PqIndex {
     ids.select(col("cand_id")).write.mode("append")
       .parquet(s"$path/tombstones")
 
+  /** Compaction for the PQ rung — pure file hygiene (there is no
+    * metadata to re-tighten: PQ carries no radii): rewrite the codes
+    * frame minus the tombstoned ids, drop the tombstone files.
+    * Staged through a sibling directory + rename so a crash
+    * mid-compact leaves the old index readable. Probes before and
+    * after are spec-proven identical (IndexSpec). */
+  def compact(s: SparkSession, path: String): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) return
+    live(s, path, s.read.parquet(s"$path/codes"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes_compact")
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    fs.delete(codesPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_compact"), codesPath)
+    fs.delete(tomb, true)
+    ()
+  }
+
   /** The codes frame minus any tombstoned ids (broadcast anti-join
     * on the uniform key; absent tombstone dir = identity). */
   private def live(s: SparkSession, path: String, codes: DataFrame): DataFrame =

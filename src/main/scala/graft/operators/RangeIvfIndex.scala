@@ -105,6 +105,46 @@ object RangeIvfIndex {
     ids.select(col("cand_id")).write.mode("append")
       .parquet(s"$path/tombstones")
 
+  /** Compaction — the cost optimization the tombstone design defers
+    * (never a correctness need): rewrite the inverted lists minus the
+    * tombstoned members, RE-TIGHTEN each cell's angular radius over
+    * the survivors (deletes leave radii too WIDE — valid but
+    * admitting extra cells; compaction restores the pre-delete probe
+    * cost), and drop the tombstone files. Emptied cells keep their
+    * centroid row with bmin = 1.0 (the frozen-fit contract: centroid
+    * geometry must survive so later appends/probes assign
+    * identically; an empty list admitted at radius 1.0 scans
+    * nothing). Staged through a sibling directory + rename so a
+    * crash mid-compact leaves the old index readable. Probes before
+    * and after are spec-proven identical (IndexSpec). */
+  def compact(s: SparkSession, path: String): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) return
+    val survivors = live(s, path, s.read.parquet(s"$path/assigned"))
+    survivors.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/assigned_compact")
+    val cellsDf = s.read.parquet(s"$path/cells")
+    val newMins = s.read.parquet(s"$path/assigned_compact")
+      .join(broadcast(cellsDf.select(col("cluster"), col("cv"))), "cluster")
+      .groupBy(col("cluster"))
+      .agg(min(graft.functions.VectorFunctions.cosine(col("embedding"), col("cv")))
+        .as("bmin_new"))
+    val staged = cellsDf.join(newMins, Seq("cluster"), "left")
+      .select(col("cluster"), col("cv"),
+        coalesce(col("bmin_new"), lit(1d)).as("bmin"))
+      .collect().toSeq // k rows
+    import s.implicits._
+    staged.map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toDF("cluster", "cv", "bmin")
+      .write.mode("overwrite").parquet(s"$path/cells")
+    val assigned = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    fs.delete(assigned, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/assigned_compact"), assigned)
+    fs.delete(tomb, true)
+    ()
+  }
+
   /** The candidate frame minus any tombstoned ids (broadcast
     * anti-join on the uniform key; absent tombstone dir = identity). */
   private def live(s: SparkSession, path: String, cands: DataFrame): DataFrame = {

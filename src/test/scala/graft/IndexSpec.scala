@@ -115,6 +115,20 @@ class IndexSpec extends SparkSpec {
         s"extra=${probed.diff(brute).take(3)}")
     // no tombstoned id ever surfaces
     assert(probed.forall(_._2 % 11 != 5))
+    // COMPACTION: probes unchanged, tombstones gone, radii only tighten
+    graft.operators.RangeIvfIndex.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+    assert(spark.read.parquet(s"$dir/assigned")
+      .filter(col("cand_id") % 11 === 5 && col("cand_id") >= 10).count() == 0,
+      "compaction must physically drop the tombstoned rows")
+    val cellsCompact = spark.read.parquet(s"$dir/cells").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(cellsCompact.keySet == cellsBefore.keySet, "centroid geometry must survive")
+    assert(cellsCompact.forall { case (c, b) => b >= cellsBefore(c) },
+      "survivor radii can only tighten (min over a subset is >= the full min)")
+    val probedC = graft.operators.RangeIvfIndex.probe(spark, dir, embQueries, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probedC == brute, "compaction changed the probe answer")
   }
 
   test("streaming intake maintains the on-disk index: foreachBatch append stays exact") {
@@ -248,6 +262,13 @@ class IndexSpec extends SparkSpec {
     // no tombstoned id ever surfaces
     def alive(id: Long) = id < 10 || id % 11 != 5
     assert(pf.forall(r => alive(r._2)) && pi.forall(r => alive(r._2)))
+    // COMPACTION: probes unchanged, tombstoned codes physically gone
+    graft.operators.PqIndex.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("cand_id") % 11 === 5 && col("cand_id") >= 10).count() == 0)
+    assert(rows4(graft.operators.PqIndex.probeFlat(spark, dir, emb, embQueries, k = 5)) == pf)
+    assert(rows4(graft.operators.PqIndex.probeIvf(spark, dir, emb, embQueries, k = 5)) == pi)
   }
 
   test("streaming intake maintains the on-disk PQ index: foreachBatch append keeps frozen-fit parity") {
