@@ -5073,6 +5073,77 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  // -- d17: d16 through the inverted-list bound (the whale path) -----------
+  // d16's documentation NARRATES its 100-TB form ("the corpus side
+  // probes s03's inverted lists"); d17 REGISTERS it, with the
+  // strongest possible certificate: it shares d16's oracle verbatim,
+  // so hash equality proves the pruned plan computes IDENTICAL
+  // semantics — the s07 spherical-triangle admission is a proof, not
+  // a heuristic, with the query/member roles swapped. The index is
+  // built over the BENCHMARK side (the small side — k stays tiny and
+  // every index frame broadcasts); each corpus vector then does
+  // map-side admission against the k-row cell frame (cosine to k
+  // centroids instead of |bench| members — the pruning win), and
+  // only admitted (corpus, cell) pairs score the cell's members.
+  //
+  // Scale: corpus passes are map-only against broadcast k-row /
+  // bench-sized frames (d16's asymmetry preserved); the only shuffle
+  // ranks flagged matches, bounded by contamination volume. On a
+  // clustered real corpus admission prunes most cells; on the
+  // near-orthogonal fixture it admits honestly (s07's caveat).
+  /** d17's core over arbitrary frames, exposed so the spec can drive
+    * it on a clustered corpus (where the pruning actually bites) and
+    * count admitted pairs. Returns (admitted corpus×cell pairs, the
+    * final flagged frame). */
+  private[graft] def decontamIvf(s: SparkSession, bench: DataFrame,
+                                 corpus: DataFrame, tau: Double): (DataFrame, DataFrame) = {
+    val nBench = bench.count() // build-time metadata (the build scans anyway)
+    val k = math.max(16, math.ceil(math.sqrt(nBench.toDouble)).toInt)
+    val (assignedB, cents) = kmeansAssignDf(bench, k, nBench)
+    import s.implicits._
+    val cells = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cluster", "cv")
+    val members = assignedB
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_vec"),
+        col("cluster"))
+    val cellMeta = members.join(broadcast(cells), "cluster")
+      .groupBy(col("cluster"))
+      .agg(min(VF.cosine(col("b_vec"), col("cv"))).as("bmin"))
+      .join(broadcast(cells), "cluster")
+      .select(col("cluster"), col("cv"), col("bmin"))
+    // map-side admission: corpus × k cells, cells broadcast (the
+    // reverse orientation of rangeIvfAdmit — here the CORPUS is the
+    // query side and must never be broadcast or shuffled)
+    val a = col("a"); val bmin = col("bmin")
+    val bound = a * bmin +
+      sqrt(greatest(lit(0d), lit(1d) - a * a) *
+           greatest(lit(0d), lit(1d) - bmin * bmin))
+    val admitted = corpus
+      .crossJoin(broadcast(cellMeta))
+      .withColumn("a", VF.cosine(col("embedding"), col("cv")))
+      .filter(a >= bmin || bound >= tau)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("bench_id"))
+    val flagged = admitted.join(broadcast(members), "cluster")
+      .withColumn("cosine", VF.cosine(col("embedding"), col("b_vec")))
+      .filter(col("cosine") >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+    (admitted, flagged)
+  }
+
+  private val d17: Q = (s, d) => {
+    val tau = 0.4
+    val emb = T.embeddings(s, d)
+    val isBench = col("vec_id") % 13 === 7
+    decontamIvf(s,
+      emb.filter(isBench).select(col("vec_id"), col("embedding")),
+      emb.filter(!isBench).select(col("vec_id"), col("embedding")), tau)._2
+  }
+
   private val d16Sql =
     """WITH b AS (
       |  SELECT vec_id AS bench_id, embedding AS b_vec
@@ -6392,6 +6463,7 @@ object Pipeline {
     "d11_dedup_lines" -> d11, "d12_dedup_substring" -> d12,
     "d13_dedup_keeper_quality" -> d13, "d14_dedup_keeper_banded" -> d14,
     "d15_dedup_semantic" -> d15, "d16_decontaminate_semantic" -> d16,
+    "d17_decontaminate_ivf" -> d17,
     "p08_release_diff" -> p08,
     "p10_pack_learned" -> p10, "p11_budget_waterfill" -> p11,
     "p12_leakage_safe_split" -> p12, "p13_pack_bpe" -> p13,
@@ -6448,6 +6520,9 @@ object Pipeline {
     "d11_dedup_lines" -> d11Sql, "d12_dedup_substring" -> d12Sql,
     "d13_dedup_keeper_quality" -> d13Sql, "d14_dedup_keeper_banded" -> d14Sql,
     "d15_dedup_semantic" -> d15Sql, "d16_decontaminate_semantic" -> d16Sql,
+    // d17 shares d16's oracle VERBATIM: hash equality certifies the
+    // admission-pruned plan computes identical semantics
+    "d17_decontaminate_ivf" -> d16Sql,
     "p08_release_diff" -> p08Sql, "p11_budget_waterfill" -> p11Sql,
     "p12_leakage_safe_split" -> p12Sql, "p13_pack_bpe" -> p13Sql,
     "p14_epoch_schedule" -> p14Sql,

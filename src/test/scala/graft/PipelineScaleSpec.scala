@@ -106,6 +106,49 @@ class PipelineScaleSpec extends SparkSpec {
         s"$probePairs of ${10 * populated}")
   }
 
+  test("d17 admission prunes most cells on a clustered benchmark, flags exactly d16's rows") {
+    import org.apache.spark.sql.functions.col
+    // s07's geometry with the roles of d17: the BENCHMARK occupies 5
+    // tight clusters; the corpus spreads over those 5 plus 5 more the
+    // benchmark never visits — a corpus vector far from every
+    // benchmark cluster should be rejected at the CELL level, never
+    // scored against members.
+    val rnd = new scala.util.Random(47)
+    val base = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    def member(c: Int): Array[Float] =
+      base(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat)
+    val bench = (0 until 100).map(i => (1000L + i, member(i % 5)))
+    val corpus = (0 until 200).map(i => (i.toLong, member(i % 10)))
+    val benchDf = spark.createDataFrame(bench).toDF("vec_id", "embedding")
+    val corpusDf = spark.createDataFrame(corpus).toDF("vec_id", "embedding")
+    val tau = 0.6
+    val (admitted, flagged) = graft.queries.Pipeline.decontamIvf(
+      spark, benchDf, corpusDf, tau)
+    val got = flagged.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: d16's brute-force best-match-over-threshold
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("bench_id"))
+    val exact = corpusDf.crossJoin(
+        benchDf.select(col("vec_id").as("bench_id"), col("embedding").as("b_vec")))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("b_vec")))
+      .filter(col("cosine") >= tau)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size >= 90, s"clustered fixture must flag most co-located corpus vecs, got ${exact.size}")
+    assert(got == exact, "cell pruning changed the decontamination answer — bound unsound")
+    // the pruning claim: corpus rows co-located with a benchmark
+    // cluster admit few cells; rows in benchmark-free clusters admit
+    // (ideally) none — at least half the corpus × cell grid must go
+    val k = admitted.select("cluster").distinct().count()
+    val pairs = admitted.count()
+    info(s"d17 clustered: $pairs admitted of ${200 * k} (corpus × populated-cell) grid")
+    assert(pairs * 2 <= 200 * k,
+      s"admission should prune at least half the grid on tight clusters: $pairs of ${200 * k}")
+  }
+
   test("d12 substring dedup flags exactly the repeated-span cover on a handcrafted corpus") {
     import org.apache.spark.sql.functions.col
     // doc 1 and doc 2 share the 8-token run w1..w8 (cross-doc repeat);
