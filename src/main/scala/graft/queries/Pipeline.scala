@@ -2846,6 +2846,58 @@ object Pipeline {
       |    AS audio_ms
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e14: streaming audio sample QC --------------------------------------
+  // m09's sample decode joined to the streaming family (see
+  // StreamingJobs.audioQcStream): clips DECODED as they arrive,
+  // loudness/clipping folded per (hour window, source). Batch run of
+  // the same code path is the oracle; the oracle SQL re-derives the
+  // samples from the generator formulas (m09's CTEs) and aggregates
+  // the same exact integers up through the hour grid.
+  private val e14: Q = (s, d) => {
+    val media = framedPcmWav(s, d).toDF().withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.audioQcStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private val e14Sql =
+    """WITH params AS (
+      |  SELECT doc_id, source,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+      |    CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+      |    CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS bits,
+      |    CASE WHEN doc_id % 4 < 2 THEN 128 ELSE 32768 END AS fullscale
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, ch, bits, fullscale, unnest(range(0, 64 * ch)) AS i FROM params),
+      |samp AS (
+      |  SELECT doc_id, fullscale,
+      |    CAST(i % ch AS INTEGER) AS channel,
+      |    CAST((i // ch) // 16 AS INTEGER) AS win,
+      |    CASE WHEN bits = 8 THEN (doc_id*7 + i*13) % 256 - 128
+      |         WHEN (doc_id*7 + i*13) % 65536 >= 32768
+      |           THEN (doc_id*7 + i*13) % 65536 - 65536
+      |         ELSE (doc_id*7 + i*13) % 65536 END AS a
+      |  FROM idx),
+      |wstat AS (
+      |  SELECT doc_id, fullscale, channel, win,
+      |    COUNT(*) AS nf, SUM(a * a) AS energy, MAX(ABS(a)) AS peak
+      |  FROM samp GROUP BY doc_id, fullscale, channel, win),
+      |clip AS (
+      |  SELECT doc_id, SUM(nf) AS samples, SUM(energy) AS energy,
+      |    SUM(CASE WHEN peak >= fullscale THEN 1 ELSE 0 END) AS clipped,
+      |    MAX(peak * 1000 // fullscale) AS peak_milli
+      |  FROM wstat GROUP BY doc_id)
+      |SELECT date_trunc('hour', p.ts) AS window_start, p.source,
+      |  COUNT(*) AS n_clips, CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(SUM(c.samples) AS BIGINT) AS n_samples,
+      |  CAST(SUM(c.energy) AS BIGINT) AS energy,
+      |  CAST(SUM(c.clipped) AS BIGINT) AS clipped_windows,
+      |  CAST(MAX(c.peak_milli) AS BIGINT) AS peak_milli_max
+      |FROM clip c JOIN params p ON c.doc_id = p.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- p09: packed-shard manifest ------------------------------------------
   // The artifact a training data-loader actually consumes: one row
   // per packed context window (m04's 8192-token multimodal bins) with
@@ -6109,6 +6161,75 @@ object Pipeline {
   // Scale: one explode shuffle on the word (map-side partial MIN —
   // uniform keys), one tiny agg per bucket, prefix sums over the
   // bounded checkpoint frame. t13's class.
+  // -- t24: Zipf exponent fit (frequency-spectrum power law) ---------------
+  // t22 sizes the vocab (Heaps' law over doc checkpoints); t24 fits
+  // the other classic corpus power law — Zipf's exponent over the
+  // word-frequency spectrum — the statistic that predicts head/tail
+  // token mass and therefore tokenizer and heavy-hitter budgets
+  // (t10/t17's planning input). Replayable the t22/q83 way, with NO
+  // logarithms (ln is not correctly-rounded identically across
+  // engines): frequencies bucket by BINARY DIGIT COUNT (len(bin(cnt))
+  // — the exact integer log2 both engines agree on), the spectrum
+  // W_j = #word-types in bucket j decays as log2 W_j ≈ c − j/s under
+  // Zipf, and the fit is q83's exact-integer OLS over the ≤64-row
+  // (j, len(bin(W_j))) frame per source — five LONG sufficient
+  // statistics, slope published as the exact integer num/den pair
+  // PLUS the one correctly-rounded double division (NULL when a
+  // source has a single bucket: no slope is defined, and both
+  // engines say so the same way).
+  //
+  // Scale: one uniform (source, word) count shuffle with map-side
+  // partials (t03's class), then a ≤ #sources×64-cell agg; the OLS
+  // arithmetic never sees the corpus.
+  private val t24: Q = (s, d) => {
+    val words = docsSpread(s, d)
+      .select(col("source"),
+        explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val pts = words
+      .withColumn("j", length(bin(col("cnt"))).cast(LongType))
+      .groupBy(col("source"), col("j")).agg(count(lit(1)).as("w_cnt"))
+      .withColumn("y", length(bin(col("w_cnt"))).cast(LongType))
+    pts.groupBy(col("source")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("w_cnt")).as("n_types"),
+        sum(col("j")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("j") * col("y")).as("sxy"), sum(col("j") * col("j")).as("sxx"))
+      .withColumn("slope_num", col("n_buckets") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n_buckets") * col("sxx") - col("sx") * col("sx"))
+      .select(col("source"), col("n_types"), col("n_buckets"),
+        col("slope_num"), col("slope_den"),
+        (col("slope_num").cast(DoubleType) /
+          nullif(col("slope_den"), lit(0L)).cast(DoubleType)).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  private val t24Sql =
+    """WITH words AS (
+      |  SELECT source, w, COUNT(*) AS cnt
+      |  FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+      |                w -> w <> '')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |pts AS (
+      |  SELECT source, j, COUNT(*) AS w_cnt,
+      |    CAST(length(bin(COUNT(*))) AS BIGINT) AS y
+      |  FROM (SELECT source, CAST(length(bin(cnt)) AS BIGINT) AS j FROM words)
+      |  GROUP BY source, j),
+      |stats AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(w_cnt) AS BIGINT) AS n_types,
+      |    CAST(SUM(j) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(j * y) AS BIGINT) AS sxy, CAST(SUM(j * j) AS BIGINT) AS sxx
+      |  FROM pts GROUP BY source)
+      |SELECT source, n_types, n_buckets,
+      |  n_buckets * sxy - sx * sy AS slope_num,
+      |  n_buckets * sxx - sx * sx AS slope_den,
+      |  CAST(n_buckets * sxy - sx * sy AS DOUBLE) /
+      |    CAST(NULLIF(n_buckets * sxx - sx * sx, 0) AS DOUBLE) AS zipf_slope
+      |FROM stats ORDER BY source""".stripMargin
+
   private val t22: Q = (s, d) => {
     val docs = docsSpread(s, d)
       .withColumn("words", expr("filter(split(lower(text), ' '), w -> w <> '')"))
@@ -6474,6 +6595,7 @@ object Pipeline {
     "t18_tfidf_hashed" -> t18, "t19_intra_doc_dedup" -> t19,
     "t20_bpe_train" -> t20, "t21_readability" -> t21,
     "t22_vocab_growth" -> t22, "t23_bpe_apply" -> t23,
+    "t24_zipf_fit" -> t24,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -6502,6 +6624,7 @@ object Pipeline {
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
     "e10_stream_token_volume" -> e10, "e11_stream_media_intake" -> e11,
+    "e14_stream_audio_qc" -> e14,
     "e12_stream_drift" -> e12, "e13_stream_scd2_enrich" -> e13,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
@@ -6541,6 +6664,7 @@ object Pipeline {
     "t18_tfidf_hashed" -> t18Sql, "t19_intra_doc_dedup" -> t19Sql,
     "t20_bpe_train" -> t20Sql, "t21_readability" -> t21Sql,
     "t22_vocab_growth" -> t22Sql, "t23_bpe_apply" -> t23Sql,
+    "t24_zipf_fit" -> t24Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
@@ -6562,6 +6686,7 @@ object Pipeline {
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
     "e10_stream_token_volume" -> e10Sql, "e11_stream_media_intake" -> e11Sql,
+    "e14_stream_audio_qc" -> e14Sql,
     "e12_stream_drift" -> e12Sql, "e13_stream_scd2_enrich" -> e13Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
     "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql,

@@ -155,6 +155,57 @@ object StreamingJobs {
         col("audio_bytes"), col("audio_ms"))
   }
 
+  /** e14: streaming audio sample-level QC — one level below e11's
+    * header probe (m09's PCM decode joined to the streaming family):
+    * every arriving clip's samples are DECODED on arrival (the
+    * stateless mapPartitions decode runs unchanged under streaming),
+    * folded into exact per-clip integers — sample count, energy,
+    * clipped 16-frame windows (peak at digital full scale), peak in
+    * exact per-mille of full scale — and aggregated per (hour
+    * window, source): the loudness/clipping SLO an audio intake
+    * publishes. Undecodable clips (non-PCM code, truncated data)
+    * count in n_undecodable and never poison the aggregate. Running
+    * the same function on a batch frame IS the oracle (e03's trick);
+    * StreamingSpec proves the incremental run matches and pins the
+    * full-scale/clipping arithmetic on handcrafted clips.
+    *
+    * Scale: decode is map-side, per-clip work linear in data bytes;
+    * one shuffle on (window, source); state = windows × sources. */
+  def audioQcStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          val bits = graft.operators.Multimodal.parseWavHeader(payload)
+            .map(_._3).getOrElse(0)
+          val ws = graft.operators.Multimodal.decodePcmWindows(
+            payload, docId = 0L, framesPerWin = 16)
+          if (bits == 0 || ws.isEmpty) (ts, src, false, 0L, 0L, 0L, 0L)
+          else {
+            val full = 1L << (bits - 1)
+            (ts, src, true,
+              ws.map(_.n_frames).sum, ws.map(_.energy).sum,
+              ws.count(_.peak >= full).toLong,
+              ws.map(w => w.peak * 1000L / full).max)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "samples", "energy", "clipped", "peak_milli")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("samples")).as("n_samples"),
+        sum(col("energy")).as("energy"),
+        sum(col("clipped")).as("clipped_windows"),
+        max(col("peak_milli")).as("peak_milli_max"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_clips"), col("n_undecodable"), col("n_samples"),
+        col("energy"), col("clipped_windows"), col("peak_milli_max"))
+  }
+
   /** e13: streaming SCD2 enrichment — the event-time dimension
     * lookup every streaming ETL performs (q35's validity intervals
     * consumed ON ARRIVAL): each arriving event joins the dimension

@@ -185,6 +185,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1).getLong(6) == 4000000L && !streamed(1).getBoolean(7))
   }
 
+  test("audioQcStream: incremental equals batch; clipping at full scale; junk in n_undecodable") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // mono 8-bit: codes 00 (amp −128, FULL SCALE → clipped window),
+    // 80 (0), C0 (+64) → samples 3, energy 128²+0+64², peak 1000‰
+    val hot = Multimodal.encodeWavPcm(1, 8000, 8, 0, Array(0x00, 0x80, 0xC0))
+    // stereo 16-bit, quiet: ±256 at most → peak 256*1000/32768 = 7‰,
+    // no clipped windows
+    val quiet = Multimodal.encodeWavPcm(2, 44100, 16, 3,
+      Array(256, 65280, 128, 65408)) // +256, −256, +128, −128
+    val junk = "not RIFF at all".getBytes
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:05:00"), hot, "web"),
+      (2L, ts("2024-01-01 00:20:00"), junk, "web"),
+      (3L, ts("2024-01-01 01:10:00"), quiet, "books"))
+    val ms = MemoryStream[(Long, Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(1))
+    ms.addData(docs.drop(1)) // cross-batch window merge
+    val q = StreamingJobs.audioQcStream(
+        ms.toDF().toDF("doc_id", "ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_audioqc").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_audioqc").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.audioQcStream(
+        docs.toDF("doc_id", "ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "web", 2L, 1L, 3L,
+        128L * 128 + 64L * 64, 1L, 1000L),
+      (ts("2024-01-01 01:00:00"), "books", 1L, 0L, 4L,
+        2L * 256 * 256 + 2L * 128 * 128, 0L, 7L)))
+  }
+
   test("mediaIntakeStream: incremental equals batch; junk surfaces in n_unparseable") {
     implicit val sqlCtx = spark.sqlContext
     def hx(s: String): Array[Byte] =
