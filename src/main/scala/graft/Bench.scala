@@ -40,6 +40,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measurement-only knobs live behind the bench entry point (see
+    // BenchKnobs) — a correctness run never reads this env var
+    BenchKnobs.d16BenchCap =
+      sys.env.get("SPARK_GRAFT_D16_BENCH_CAP").map(_.toLong)
 
     def execute(name: String, dir: String): Unit = {
       SparkEntry.queries(name)(spark, dir)

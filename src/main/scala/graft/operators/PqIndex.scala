@@ -125,31 +125,24 @@ object PqIndex {
   /** Compaction for the PQ rung — pure file hygiene (there is no
     * metadata to re-tighten: PQ carries no radii): rewrite the codes
     * frame minus the tombstoned ids, drop the tombstone files.
-    * Staged through a sibling directory + rename so a crash
-    * mid-compact leaves the old index readable. Probes before and
-    * after are spec-proven identical (IndexSpec). */
+    * Staged through a sibling directory, then swapped in via
+    * IndexIo.swapIn (rename-aside, never delete-before-replace), so
+    * no crash point destroys the only copy of the codes. Probes
+    * before and after are spec-proven identical (IndexSpec). */
   def compact(s: SparkSession, path: String): Unit = {
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tomb)) return
+    if (!IndexIo.exists(s, s"$path/tombstones")) return
     live(s, path, s.read.parquet(s"$path/codes"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/codes_compact")
-    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
-    fs.delete(codesPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_compact"), codesPath)
-    fs.delete(tomb, true)
-    ()
+    IndexIo.swapIn(s, s"$path/codes", s"$path/codes_compact")
+    IndexIo.delete(s, s"$path/tombstones")
   }
 
-  /** The codes frame minus any tombstoned ids (broadcast anti-join
-    * on the uniform key; absent tombstone dir = identity). */
+  /** The codes frame minus any tombstoned ids — through the Hadoop
+    * FileSystem check shared with RangeIvfIndex, so tombstones are
+    * honored on any store, not just local disk. */
   private def live(s: SparkSession, path: String, codes: DataFrame): DataFrame =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "tombstones")))
-      codes
-    else
-      codes.join(broadcast(s.read.parquet(s"$path/tombstones")),
-        Seq("cand_id"), "left_anti")
+    IndexIo.minusTombstones(s, path, codes)
 
   /** Flat-PQ top-k over the persisted codes (s04's plan on loaded
     * frames): ADC shortlist + exact re-rank against `emb`. `queries`

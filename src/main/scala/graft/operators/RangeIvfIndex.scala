@@ -114,13 +114,12 @@ object RangeIvfIndex {
     * centroid row with bmin = 1.0 (the frozen-fit contract: centroid
     * geometry must survive so later appends/probes assign
     * identically; an empty list admitted at radius 1.0 scans
-    * nothing). Staged through a sibling directory + rename so a
-    * crash mid-compact leaves the old index readable. Probes before
-    * and after are spec-proven identical (IndexSpec). */
+    * nothing). Staged through a sibling directory, then swapped in
+    * via IndexIo.swapIn (rename-aside, never delete-before-replace),
+    * so no crash point destroys the only copy of the lists. Probes
+    * before and after are spec-proven identical (IndexSpec). */
   def compact(s: SparkSession, path: String): Unit = {
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tomb)) return
+    if (!IndexIo.exists(s, s"$path/tombstones")) return
     val survivors = live(s, path, s.read.parquet(s"$path/assigned"))
     survivors.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assigned_compact")
@@ -138,22 +137,14 @@ object RangeIvfIndex {
     staged.map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .toDF("cluster", "cv", "bmin")
       .write.mode("overwrite").parquet(s"$path/cells")
-    val assigned = new org.apache.hadoop.fs.Path(s"$path/assigned")
-    fs.delete(assigned, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/assigned_compact"), assigned)
-    fs.delete(tomb, true)
-    ()
+    IndexIo.swapIn(s, s"$path/assigned", s"$path/assigned_compact")
+    IndexIo.delete(s, s"$path/tombstones")
   }
 
   /** The candidate frame minus any tombstoned ids (broadcast
     * anti-join on the uniform key; absent tombstone dir = identity). */
-  private def live(s: SparkSession, path: String, cands: DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      cands.join(broadcast(s.read.parquet(p.toString)), Seq("cand_id"), "left_anti")
-    else cands
-  }
+  private def live(s: SparkSession, path: String, cands: DataFrame): DataFrame =
+    IndexIo.minusTombstones(s, path, cands)
 
   /** Range search over a persisted index: for each query vector, all
     * corpus vectors with cosine ≥ tau — exactly the brute-force rows

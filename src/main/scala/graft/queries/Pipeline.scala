@@ -1493,6 +1493,145 @@ object Pipeline {
        |  FROM scored)
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  // -- s20: greedy beam search on the graph index ---------------------------
+  // The data-dependent search deployed HNSW/NSW systems actually run,
+  // replacing s16's fixed 2-hop horizon: enter at the best pivot,
+  // then B bounded rounds of expand-the-beam — each round takes the
+  // current top-`beam` visited nodes (BY QUERY COSINE — this is what
+  // makes the walk data-dependent: where the frontier grows next
+  // depends on what the query has seen, not on a fixed radius),
+  // follows their out-edges, scores the arrivals, and folds them into
+  // the visited set. Final answer: top-k of everything visited. Every
+  // round is a join + window, so the oracle replays the ENTIRE walk —
+  // a greedy search whose approximation is still bit-replayable. The
+  // round count bounds the hop DEPTH at `rounds` (vs s16's hard 2),
+  // so the beam reaches across the graph where the fixed horizon
+  // stops; s11's grid prices the recall difference at equal M.
+  //
+  // Scale: per query per round ≤ beam·M new scores (beam=4, M=6 →
+  // ≤24), visited ≤ 1 + rounds·beam·M rows/query; edges are walked
+  // `rounds` times (persist-scoped like s16's; at warehouse scale
+  // bucket edges BY a_id so every hop join co-locates). Beam state
+  // is per-query-bounded — the window never sees more than the
+  // visited set. Nothing touches the corpus beyond the walked nodes.
+  private[graft] def beamProbe(edges: DataFrame, piv: DataFrame,
+                               q: DataFrame, emb: DataFrame,
+                               k: Int, beam: Int, rounds: Int): DataFrame = {
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
+    val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
+      .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
+      .withColumn("prn", row_number().over(wq)).filter(col("prn") === 1)
+      .select(col("q_id"), col("pid").as("node"))
+    val embn = emb.select(col("vec_id").as("node"), col("embedding").as("c_vec"))
+    // score is a pure function of (q_id, node) — identical bits every
+    // time it's recomputed, so set-union dedup is safe on the triple
+    def scored(nodes: DataFrame): DataFrame = nodes
+      .join(embn, "node").join(broadcast(q), "q_id")
+      .withColumn("cos", VF.cosine(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("node"), col("cos"))
+    val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+    var visited = scored(entry)
+    (1 to rounds).foreach { _ =>
+      // persist each round's visited set: the next round reads it
+      // twice (beam selection + union), and without a cut the plan
+      // re-derives the whole walk per reference (2^rounds blowup)
+      visited = graft.CacheScope.cached(visited)
+      val beamNodes = visited
+        .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
+        .select(col("q_id"), col("node"))
+      val arrivals = beamNodes.join(edges, beamNodes("node") === edges("a_id"))
+        .select(beamNodes("q_id"), edges("b_id").as("node")).distinct()
+      visited = visited.unionByName(scored(arrivals)).distinct()
+    }
+    visited
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .select(col("q_id"), col("node").as("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val s20: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    val (edges0, piv) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
+    val edges = edges0.transform(graft.CacheScope.cached) // walked every round
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    beamProbe(edges, piv, q, emb, k = 5, beam = 4, rounds = 3)
+  }
+
+  // The oracle replays the walk round by round: vR = vR−1 ∪ scores of
+  // the nodes reached from vR−1's top-`beam`. MATERIALIZED pins the
+  // multiply-referenced CTEs (edges is walked every round; each vR is
+  // read twice) so DuckDB doesn't inline the graph build per round.
+  private val s20Sql: String = {
+    val B = 4; val R = 3; val K = 5
+    val roundCtes = (1 to R).map { r =>
+      s"""b$r AS (
+         |  SELECT q_id, node FROM (
+         |    SELECT q_id, node,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
+         |    FROM v${r - 1})
+         |  WHERE rn <= $B),
+         |x$r AS (
+         |  SELECT DISTINCT b.q_id, e.b_id AS node
+         |  FROM b$r b JOIN edges e ON e.a_id = b.node),
+         |v$r AS MATERIALIZED (
+         |  SELECT * FROM v${r - 1}
+         |  UNION
+         |  SELECT x.q_id, x.node,
+         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+         |                           CAST(em.embedding AS DOUBLE[])) AS cos
+         |  FROM x$r x JOIN q USING (q_id)
+         |  JOIN embeddings em ON em.vec_id = x.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 2)},
+       |ccell AS (SELECT vec_id, embedding, cluster FROM asg WHERE vec_id >= 10),
+       |pairsg AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    MAX(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[]))) AS cos
+       |  FROM ccell a JOIN ccell b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+       |    FROM pairsg)
+       |  WHERE rn <= 6),
+       |piv AS (
+       |  SELECT p.cluster, p.pid, e.embedding AS p_vec
+       |  FROM (SELECT cluster, MIN(vec_id) AS pid
+       |        FROM asg WHERE rn = 1 AND vec_id >= 10 GROUP BY cluster) p
+       |  JOIN embeddings e ON e.vec_id = p.pid),
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < 10),
+       |entry AS (
+       |  SELECT q_id, pid AS node FROM (
+       |    SELECT q.q_id, p.pid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                               CAST(p.p_vec AS DOUBLE[])) DESC, p.pid) AS prn
+       |    FROM q CROSS JOIN piv p)
+       |  WHERE prn = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT en.q_id, en.node,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                           CAST(em.embedding AS DOUBLE[])) AS cos
+       |  FROM entry en JOIN q USING (q_id)
+       |  JOIN embeddings em ON em.vec_id = en.node),
+       |$roundCtes
+       |SELECT q_id, node AS cand_id, ROUND(cos, 4) AS cosine,
+       |  CAST(rn AS INTEGER) AS rn
+       |FROM (
+       |  SELECT q_id, node, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
+       |  FROM v$R)
+       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+  }
+
   // -- t01: marker-based language ID heuristic -----------------------------
   private val t01: Q = (s, d) =>
     T.documents(s, d)
@@ -4052,7 +4191,8 @@ object Pipeline {
       .withColumn("hit", lit(1L))
     val methods = Seq(
       "s02_lsh" -> s02, "s03_ivf" -> s03, "s04_pq" -> s04, "s05_ivfpq" -> s05,
-      "s14_sq8" -> s14, "s16_graph" -> s16, "s19_ivfpq_res" -> s19)
+      "s14_sq8" -> s14, "s16_graph" -> s16, "s19_ivfpq_res" -> s19,
+      "s20_beam" -> s20)
     val tagged = methods.map { case (name, q) =>
       q(s, d).select(lit(name).as("method"), col("q_id"), col("cand_id"))
     }.reduce(_.unionByName(_))
@@ -4085,7 +4225,9 @@ object Pipeline {
        |UNION ALL
        |${rung("s16_graph", s16Sql)}
        |UNION ALL
-       |${rung("s19_ivfpq_res", s19Sql)}),
+       |${rung("s19_ivfpq_res", s19Sql)}
+       |UNION ALL
+       |${rung("s20_beam", s20Sql)}),
        |hits AS (
        |  SELECT t.method, t.q_id,
        |    CAST(SUM(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
@@ -4096,7 +4238,8 @@ object Pipeline {
        |  SELECT m.method, q.q_id
        |  FROM (SELECT DISTINCT q_id FROM exact) q,
        |       (SELECT unnest(['s02_lsh', 's03_ivf', 's04_pq', 's05_ivfpq',
-                       's14_sq8', 's16_graph', 's19_ivfpq_res']) AS method) m)
+                       's14_sq8', 's16_graph', 's19_ivfpq_res',
+                       's20_beam']) AS method) m)
        |SELECT g.method, g.q_id,
        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
@@ -5099,16 +5242,18 @@ object Pipeline {
   private val d16: Q = (s, d) => {
     val tau = 0.4
     val emb = T.embeddings(s, d)
-    // Measurement-only knob (SPARK_GRAFT_ONLY's class of dev aid,
-    // never set by the driver): the synthetic fixture grows the
-    // benchmark side with the corpus (every 13th vector), which at
-    // 100× measures a fixture artifact — a REAL eval suite is
-    // fixed-size. Capping bench_id < N holds the benchmark side at
-    // the base-corpus size so the §4 scaling row prices the
-    // broadcast asymmetry the operator is designed around; the
-    // excluded copies' pseudo-benchmark vectors stay in the corpus.
-    val isBench = sys.env.get("SPARK_GRAFT_D16_BENCH_CAP") match {
-      case Some(cap) => col("vec_id") % 13 === 7 && col("vec_id") < cap.toLong
+    // Measurement-only knob, gated on the BENCH code path (only
+    // Bench.main ever sets BenchKnobs.d16BenchCap, from its own env):
+    // the synthetic fixture grows the benchmark side with the corpus
+    // (every 13th vector), which at 100× measures a fixture artifact
+    // — a REAL eval suite is fixed-size. Capping bench_id < N holds
+    // the benchmark side at the base-corpus size so the §4 scaling
+    // row prices the broadcast asymmetry the operator is designed
+    // around; the excluded copies' pseudo-benchmark vectors stay in
+    // the corpus. Correctness runs cannot be affected: Verify and the
+    // specs never write the knob, whatever the environment contains.
+    val isBench = graft.BenchKnobs.d16BenchCap match {
+      case Some(cap) => col("vec_id") % 13 === 7 && col("vec_id") < cap
       case None      => col("vec_id") % 13 === 7
     }
     val bench = emb.filter(isBench)
@@ -6604,7 +6749,7 @@ object Pipeline {
     "s13_ann_tombstone_delete" -> s13, "s14_ann_sq8" -> s14,
     "s15_knn_classify" -> s15, "s16_ann_graph" -> s16,
     "s17_ann_pq_delta" -> s17, "s18_ann_pq_tombstone" -> s18,
-    "s19_ann_ivfpq_residual" -> s19,
+    "s19_ann_ivfpq_residual" -> s19, "s20_ann_beam" -> s20,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -6657,7 +6802,7 @@ object Pipeline {
     "s14_ann_sq8" -> s14Sql, "s15_knn_classify" -> s15Sql,
     "s16_ann_graph" -> s16Sql,
     "s17_ann_pq_delta" -> s17Sql, "s18_ann_pq_tombstone" -> s18Sql,
-    "s19_ann_ivfpq_residual" -> s19Sql,
+    "s19_ann_ivfpq_residual" -> s19Sql, "s20_ann_beam" -> s20Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,
