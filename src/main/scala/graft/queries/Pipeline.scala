@@ -1539,8 +1539,13 @@ object Pipeline {
       val beamNodes = visited
         .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
         .select(col("q_id"), col("node"))
-      val arrivals = beamNodes.join(edges, beamNodes("node") === edges("a_id"))
-        .select(beamNodes("q_id"), edges("b_id").as("node")).distinct()
+      // later rounds' lineage already contains `edges` (the walk so
+      // far), so alias both sides — a bare column ref would be an
+      // ambiguous self-join to the analyzer
+      val arrivals = beamNodes.as("bm")
+        .join(edges.as("ed"), col("bm.node") === col("ed.a_id"))
+        .select(col("bm.q_id").as("q_id"), col("ed.b_id").as("node"))
+        .distinct()
       visited = visited.unionByName(scored(arrivals)).distinct()
     }
     visited

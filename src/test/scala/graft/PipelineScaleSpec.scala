@@ -685,4 +685,70 @@ class PipelineScaleSpec extends SparkSpec {
     val maxId = docs.selectExpr("max(doc_id) m").collect()(0).getLong(0)
     sorted.foreach(r => assert(r.getInt(0) == 4 || (1L << (r.getInt(0) - 1)) <= maxId))
   }
+
+  test("s20 beam search out-reaches the fixed 2-hop horizon on a chain-structured corpus") {
+    import org.apache.spark.sql.functions.col
+    // A 1-D angular chain: node i sits at angle i·Δ in a 2-D subspace
+    // of the 64-dim space (+ tiny deterministic jitter so cosines
+    // never tie). The k-NN graph the builder derives connects chain
+    // neighbors; entry pivots are each cell's MIN-ID member = the
+    // cell's leftmost node. A query near a cell's right edge is
+    // several edge-hops from its entry, so the fixed 2-hop frontier
+    // structurally cannot reach its true neighbors, while the greedy
+    // beam walks toward rising cosine until it gets there — the
+    // data-dependent depth is exactly what the beam buys over s16.
+    val rnd = new scala.util.Random(47)
+    val n = 200
+    val delta = (math.Pi / 2) / n
+    def at(pos: Double): Array[Float] = {
+      val v = Array.fill(64)(0.003f * rnd.nextGaussian().toFloat)
+      v(0) += math.cos(pos * delta).toFloat
+      v(1) += math.sin(pos * delta).toFloat
+      v
+    }
+    // chain nodes: ids 10..209 in chain order (builder keeps >= 10);
+    // queries: ids 0..9 at positions just left of a right cell edge
+    val chain = (0 until n).map(i => ((10 + i).toLong, at(i)))
+    val queries = (0 until 10).map(j => (j.toLong, at(n * (j + 0.93) / 10)))
+    val emb = spark.createDataFrame(chain ++ queries).toDF("vec_id", "embedding")
+    val (edges0, piv) = graft.queries.Pipeline.graphIndexFrames(
+      emb.select(col("vec_id"), col("embedding")), n.toLong)
+    val edges = edges0.persist()
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = resultSet(graft.queries.Pipeline.graphProbe(edges, piv, q, emb, k = 5))
+    val beam = resultSet(graft.queries.Pipeline.beamProbe(
+      edges, piv, q, emb, k = 5, beam = 4, rounds = 6))
+    CacheScope.drain()
+    // ground truth: brute-force top-5 per query
+    val exact = resultSet(SparkEntryHelpers.bruteTop5(spark, emb))
+    def recall(got: Set[(Long, Long)]) = got.intersect(exact).size.toDouble / exact.size
+    val (rFixed, rBeam) = (recall(fixed), recall(beam))
+    info(s"s20 chain: fixed 2-hop recall $rFixed, beam recall $rBeam")
+    assert(rBeam > rFixed,
+      s"beam must out-reach the fixed horizon on the chain: $rBeam vs $rFixed")
+    assert(rBeam >= 0.6, s"beam recall too low on the chain fixture: $rBeam")
+    edges.unpersist()
+  }
+}
+
+/** Brute-force helper shared by graph-search specs. */
+object SparkEntryHelpers {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+  def bruteTop5(s: SparkSession, emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"))
+  }
 }
