@@ -54,4 +54,27 @@ private[operators] object IndexIo {
     fs(s, p).delete(p, true)
     ()
   }
+
+  /** Dynamic partition overwrite, staged through a sibling directory:
+    * `df` (whose plan typically READS `liveDir`) is fully written to
+    * `stageDir` first, then the overwrite job re-reads the staged
+    * bytes — so no job ever reads a directory it is rewriting (a
+    * persist() would not guarantee that: an evicted block recomputes
+    * from the half-rewritten source). Only the partitions present in
+    * `df` are replaced; everything else is untouched. */
+  def stagedDynamicOverwrite(s: SparkSession, df: DataFrame,
+                             partCol: String, liveDir: String,
+                             stageDir: String): Unit = {
+    df.write.mode("overwrite").partitionBy(partCol).parquet(stageDir)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try s.read.parquet(stageDir)
+      .write.mode("overwrite").partitionBy(partCol).parquet(liveDir)
+    finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    delete(s, stageDir)
+  }
 }

@@ -326,6 +326,108 @@ class IndexSpec extends SparkSpec {
         s"extra=${probed.diff(s16).take(3)}")
   }
 
+  private def graphFrameSets(dir: String) = {
+    val edges = spark.read.parquet(s"$dir/edges")
+      .select(col("a_id"), col("b_id"), col("cos"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val asg = spark.read.parquet(s"$dir/assigned")
+      .select(col("vec_id"), col("prim"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val piv = spark.read.parquet(s"$dir/pivots")
+      .select(col("cluster"), col("pid")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    (edges, asg, piv)
+  }
+
+  private def graphFrameSetsOf(emb: org.apache.spark.sql.DataFrame,
+                               cents: Array[Array[Double]]) = {
+    val (asgDf, edgesDf, pivDf) = graft.queries.Pipeline.graphBuildFrom(emb, cents)
+    val edges = edgesDf.select(col("a_id"), col("b_id"), col("cos"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val asg = asgDf.select(col("vec_id"), col("prim"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val piv = pivDf.select(col("cluster"), col("pid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    (edges, asg, piv)
+  }
+
+  private def diskCents(dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/cells")
+      .select(col("cluster"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).map(_._2.toArray)
+
+  test("graph delta-append on disk: maintained index EQUALS the frozen-fit one-shot build, frame-for-frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graphdelta").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
+    val base = emb.filter(!isDelta)
+    val delta = emb.filter(isDelta).select(col("vec_id"), col("embedding"))
+    assert(delta.count() > 0, "delta batch must be non-empty")
+    graft.operators.GraphIndex.write(spark, base, base.count(), dir)
+    graft.operators.GraphIndex.append(spark, dir, delta)
+    // frame-level parity: every edge (with its exact cosine), every
+    // membership, every pivot equals the one-shot build over
+    // base ∪ delta under the SAME frozen centroids
+    val (de, da, dp) = graphFrameSets(dir)
+    val (oe, oa, op) = graphFrameSetsOf(
+      emb.select(col("vec_id"), col("embedding")), diskCents(dir))
+    assert(da == oa, s"assigned drift: ${da.diff(oa).take(3)} / ${oa.diff(da).take(3)}")
+    assert(dp == op, s"pivot drift: ${dp.diff(op).take(3)} / ${op.diff(dp).take(3)}")
+    assert(de == oe, s"edge drift: ${de.diff(oe).take(3)} / ${oe.diff(de).take(3)}")
+    // probe-level parity with the registered s21 query
+    val probed = rows4(graft.operators.GraphIndex.probe(spark, dir, emb, embQueries, k = 5))
+    val s21 = rows4(SparkEntry.queries("s21_ann_graph_delta")(spark, sfDir))
+    assert(s21.nonEmpty)
+    assert(probed == s21,
+      s"maintained graph probe must equal s21: missing=${s21.diff(probed).take(3)} " +
+        s"extra=${probed.diff(s21).take(3)}")
+  }
+
+  test("graph tombstone delete: routing intact, scoring excludes the doomed — probe equals s22; compact restores the survivor build") {
+    val dir = java.nio.file.Files.createTempDirectory("graphtomb").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.GraphIndex.write(
+      spark, emb, Tables.embeddingsCount(spark, sfDir), dir)
+    val isDoomed = col("vec_id") >= 10 && col("vec_id") % 11 === 5
+    val doomed = emb.filter(isDoomed).select(col("vec_id").as("cand_id"))
+    assert(doomed.count() > 0)
+    graft.operators.GraphIndex.delete(spark, dir, doomed)
+    val probed = rows4(graft.operators.GraphIndex.probe(spark, dir, emb, embQueries, k = 5))
+    val s22 = rows4(SparkEntry.queries("s22_ann_graph_tombstone")(spark, sfDir))
+    assert(s22.nonEmpty)
+    assert(probed == s22,
+      s"tombstoned graph probe must equal s22: missing=${s22.diff(probed).take(3)} " +
+        s"extra=${probed.diff(s22).take(3)}")
+    // no returned row is ever a doomed id (the contract)
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    assert(probed.forall(r => !doomedIds.contains(r._2)))
+    // compaction: the index becomes EXACTLY the frozen-fit build over
+    // the survivors — affected neighborhoods re-topped, the rest
+    // carried bit-identically
+    graft.operators.GraphIndex.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+    val (de, da, dp) = graphFrameSets(dir)
+    val (oe, oa, op) = graphFrameSetsOf(
+      emb.filter(!isDoomed).select(col("vec_id"), col("embedding")), diskCents(dir))
+    assert(da == oa, s"assigned drift: ${da.diff(oa).take(3)} / ${oa.diff(da).take(3)}")
+    assert(dp == op, s"pivot drift: ${dp.diff(op).take(3)} / ${op.diff(dp).take(3)}")
+    assert(de == oe, s"edge drift: ${de.diff(oe).take(3)} / ${oe.diff(de).take(3)}")
+  }
+
+  test("persisted graph index: beam probe equals the per-query s20 row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("graphbeam").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.GraphIndex.write(
+      spark, emb, Tables.embeddingsCount(spark, sfDir), dir)
+    val probed = rows4(graft.operators.GraphIndex.probeBeam(
+      spark, dir, emb, embQueries, k = 5))
+    val s20 = rows4(SparkEntry.queries("s20_ann_beam")(spark, sfDir))
+    assert(s20.nonEmpty)
+    assert(probed == s20,
+      s"loaded beam probe must equal s20: missing=${s20.diff(probed).take(3)} " +
+        s"extra=${probed.diff(s20).take(3)}")
+  }
+
   test("persisted MIPS index probe equals s09 row-for-row (exactness survives the split fit)") {
     val dir = java.nio.file.Files.createTempDirectory("mipsidx").toString
     val emb = Tables.embeddings(spark, sfDir)
