@@ -90,8 +90,12 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // mode tag distinguishes the driver's full-suite rows from
+    // hand-launched isolated (fresh-JVM-per-query) triage rows in
+    // bench_history.jsonl — see SURVEY §8h's regression protocol
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "suite")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,""" +
+      s""""queries_min":$qsMin,"mode":"$mode","reps":$reps,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)
     // durable copy: the driver captures only a 2000-char stdout tail,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measurement main for SURVEY §4's d17 clustered row: runs d17's
+  * inverted-list decontamination AND d16's brute baseline over
+  * `<dir>/embeddings.parquet` (the registered vec_id % 13 == 7
+  * benchmark split) and prints one JSON line with wall times, the
+  * admitted corpus×cell pair count, the full grid size, and the
+  * flagged-row counts of both paths — the prune ratio and the
+  * equality check the §4 row quotes. Diagnostic tooling in the
+  * Bench/Verify family; no query semantics live here.
+  */
+object D17Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale100c")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+
+    val tau = 0.4
+    val emb = Tables.embeddings(spark, dir)
+    val isBench = col("vec_id") % 13 === 7
+    val bench = emb.filter(isBench).select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(!isBench).select(col("vec_id"), col("embedding"))
+
+    val t0 = System.nanoTime()
+    val (admitted, flagged) = graft.queries.Pipeline.decontamIvf(
+      spark, bench, corpus, tau)
+    val admittedN = admitted.count()
+    val cells = admitted.select("cluster").distinct().count()
+    val d17N = flagged.count()
+    val tD17 = (System.nanoTime() - t0) / 1e9
+
+    val corpusN = corpus.count()
+    val grid = corpusN * cells
+
+    // d16's brute pass on the same frames (the certified baseline)
+    val t1 = System.nanoTime()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("bench_id"))
+    val d16N = corpus
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        bench.select(col("vec_id").as("bench_id"), col("embedding").as("b_vec"))))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("b_vec")))
+      .filter(col("cosine") >= tau)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .count()
+    val tD16 = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"dir":"$dir","corpus":$corpusN,"cells":$cells,""" +
+      s""""admitted":$admittedN,"grid":$grid,""" +
+      s""""prune_ratio":${1.0 - admittedN.toDouble / grid},""" +
+      s""""d17_flagged":$d17N,"d16_flagged":$d16N,""" +
+      s""""d17_sec":$tD17,"d16_sec":$tD16}""")
+    spark.stop()
+  }
+}

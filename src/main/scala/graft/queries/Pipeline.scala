@@ -6140,8 +6140,31 @@ object Pipeline {
   // sequential bpeTrain stays in the codebase as the spec reference
   // (RandomizedSpec fuzzes batched == sequential == unit-list
   // trainer on random corpora).
-  private[graft] final val t20Merges = 64
-  private[graft] final val t20Batch = 16
+  // Round 10 takes K to REAL VOCAB SCALE: 512 merges (the verdict's
+  // "production-SIZED, not just production-SHAPED" ask), window = K
+  // (the ranking window is a ≤K+1-row driver collect either way, so
+  // there is no reason to cap the safe prefix below the target). On
+  // the 31-type documents corpus training EXHAUSTS at 89 merges —
+  // every word type fully merged to a single unit — which is itself
+  // part of the contract: exhaustion is ABSORBING (an empty round
+  // leaves the state bit-identical, so every later round is empty
+  // too), and the oracle exploits exactly that absorption to stay
+  // bounded (see t20OracleRounds).
+  private[graft] final val t20Merges = 512
+  private[graft] final val t20Batch = 512
+
+  /** Rounds the SEQUENTIAL oracle unrolls. Unrolling all 512 is both
+    * impossible (DuckDB's max_expression_depth of 1000 binds near 400
+    * chained state CTEs) and pointless: exhaustion is absorbing, so
+    * an oracle unrolled to any R ≥ exhaustion+1 computes EXACTLY the
+    * K=512 result — round R's empty argmax proves every round past R
+    * empty as well. R = 96 (> the corpus's 89, measured 4.6 s in
+    * DuckDB vs 149 s at R=300). The truncation cannot pass silently
+    * on a corpus it doesn't fit: every oracle in the family emits a
+    * poison value off m_R (t20 a sentinel row, t23/p13 a poisoned
+    * token count), so if round R still finds a pair the hashes
+    * mismatch LOUDLY instead of certifying a truncated replay. */
+  private[graft] final val t20OracleRounds = 96
 
   private val t20: Q = (s, d) => bpeTrainBatched(T.documents(s, d), t20Merges, t20Batch)
 
@@ -6229,6 +6252,11 @@ object Pipeline {
     * merge can perturb or create anything — the whole remainder is
     * safe. RandomizedSpec fuzzes batched == sequential on random
     * corpora; FunctionsSpec pins it on the gate corpus. */
+  /** Driver-round count of the last [[bpeTrainBatched]] run — the
+    * measured quantity behind SURVEY §4's "rounds are the cost" row
+    * (diagnostic only; no query semantics read it). */
+  @volatile private[graft] var t20LastRounds: Int = 0
+
   private[graft] def bpeTrainBatched(docs: DataFrame, k: Int, bmax: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -6242,8 +6270,10 @@ object Pipeline {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var collected = 0
+    var rounds = 0
     var exhausted = false
     while (collected < k && !exhausted) {
+      rounds += 1
       val rows = st
         .select(col("c"),
           split(expr("substr(st, 2, length(st) - 2)"), br + bl).as("u"))
@@ -6286,6 +6316,10 @@ object Pipeline {
         collected += b
       }
     }
+    // the §4 scale claim is "rounds, not corpus, are the cost" — make
+    // the round count an observable fact of every run, not a guess
+    t20LastRounds = rounds
+    System.err.println(s"[t20] merges=$collected rounds=$rounds exhausted=$exhausted")
     merges.toSeq
       .toDF("merge_rank", "left_unit", "right_unit", "merged", "pair_count")
       .orderBy(col("merge_rank"))
@@ -6303,11 +6337,18 @@ object Pipeline {
       "tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
       "wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w)",
       "s0 AS MATERIALIZED (SELECT c, regexp_replace(w, '(.)', chr(16) || '\\1' || chr(17), 'g') AS st FROM wf)")
-    ctes ++= bpeRoundCtes(t20Merges, carryWord = false)
-    val rows = (1 to t20Merges).map(r =>
+    ctes ++= bpeRoundCtes(t20OracleRounds, carryWord = false)
+    val rows = (1 to t20OracleRounds).map(r =>
       s"SELECT $r AS merge_rank, l AS left_unit, r AS right_unit, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
       .mkString(" UNION ALL ")
-    "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + rows + ") ORDER BY merge_rank"
+    // exhaustion witness: if round R still found a pair, the corpus
+    // did NOT exhaust inside the unrolled window and the truncated
+    // replay would be incomplete — emit a sentinel row so the compare
+    // fails loudly rather than certifying a prefix
+    val witness = s" UNION ALL SELECT 100000 AS merge_rank, 'ORACLE' AS left_unit," +
+      s" 'OVERFLOW' AS right_unit, 'ORACLE_ROUNDS_EXCEEDED' AS merged," +
+      s" CAST(-1 AS BIGINT) AS pair_count FROM m$t20OracleRounds"
+    "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + rows + witness + ") ORDER BY merge_rank"
   }
 
   /** The per-round CTE quadruple (u_r / pairs_r / m_r / s_r) shared by
@@ -6327,10 +6368,16 @@ object Pipeline {
            |  FROM u$r, LATERAL unnest(generate_series(1, len(u) - 1)) AS g(i)
            |  GROUP BY 1, 2)""".stripMargin,
         s"m$r AS MATERIALIZED (SELECT l, r, cnt FROM pairs$r ORDER BY cnt DESC, l, r LIMIT 1)",
+        // LEFT JOIN ON TRUE (not a cross join): once the corpus
+        // exhausts m_r is EMPTY, and a cross join would annihilate
+        // the state — the carried state must instead pass through
+        // unchanged so exhaustion is absorbing and the final-state
+        // readers (t23/p13's wtok) still see the fully-merged words
         s"""s$r AS MATERIALIZED (SELECT $wcol c,
-           |  replace(st, chr(16) || m.l || chr(17) || chr(16) || m.r || chr(17),
-           |          chr(16) || m.l || m.r || chr(17)) AS st
-           |  FROM s$p, m$r m)""".stripMargin)
+           |  CASE WHEN m.l IS NULL THEN st ELSE
+           |    replace(st, chr(16) || m.l || chr(17) || chr(16) || m.r || chr(17),
+           |            chr(16) || m.l || m.r || chr(17)) END AS st
+           |  FROM s$p LEFT JOIN m$r m ON TRUE)""".stripMargin)
     }
   }
 
@@ -6363,7 +6410,7 @@ object Pipeline {
     * count = unit count of the final segmentation. Shared by t23
     * (corpus pricing report) and p13 (packing cost), so the trained
     * tokenizer has exactly ONE apply definition. */
-  private def bpeWordTok(docs: DataFrame): DataFrame = {
+  private[graft] def bpeWordTok(docs: DataFrame): DataFrame = {
     val bl = "\u0010"; val br = "\u0011" // unit brackets (chr 16/17)
     val mergeRows = bpeTrainBatched(docs, t20Merges, t20Batch)
       .select(col("left_unit"), col("right_unit"), col("merged"))
@@ -6400,10 +6447,14 @@ object Pipeline {
       "tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
       "wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w)",
       "s0 AS MATERIALIZED (SELECT w, c, regexp_replace(w, '(.)', chr(16) || '\\1' || chr(17), 'g') AS st FROM wf)")
-    ctes ++= bpeRoundCtes(t20Merges, carryWord = true)
+    ctes ++= bpeRoundCtes(t20OracleRounds, carryWord = true)
+    // exhaustion witness (t20Sql's, in final-state form): a nonempty
+    // round-R argmax means the truncated replay is incomplete —
+    // poison every token count so the docs report cannot hash-match
     ctes += s"""wtok AS (
-               |  SELECT w, CAST(length(st) - length(replace(st, chr(16), '')) AS BIGINT) AS tok
-               |  FROM s$t20Merges)""".stripMargin
+               |  SELECT w, CASE WHEN EXISTS (SELECT 1 FROM m$t20OracleRounds) THEN CAST(-100000 AS BIGINT)
+               |    ELSE CAST(length(st) - length(replace(st, chr(16), '')) AS BIGINT) END AS tok
+               |  FROM s$t20OracleRounds)""".stripMargin
     ctes.mkString(",\n")
   }
 

@@ -574,8 +574,26 @@ class FunctionsSpec extends SparkSpec {
   test("t20 merge counts are non-increasing and the table is run-stable on the corpus") {
     val df = SparkEntry.queries("t20_bpe_train")(spark, sfDir)
     val rows = df.collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
-    assert(rows.length == graft.queries.Pipeline.t20Merges &&
-      rows.map(_._1).toSeq == (1 to graft.queries.Pipeline.t20Merges))
+    assert(rows.length <= graft.queries.Pipeline.t20Merges &&
+      rows.map(_._1).toSeq == (1 to rows.length),
+      s"ranks must be consecutive from 1; got ${rows.length} merges")
+    // K=512 exceeds what the 31-type corpus can supply, so training
+    // must stop via GENUINE exhaustion: applying the emitted merges
+    // must fully merge every distinct word to a single unit (tok=1
+    // for the whole vocab under the trained tokenizer). A trainer
+    // that stopped early for any other reason fails this witness.
+    if (rows.length < graft.queries.Pipeline.t20Merges) {
+      val toks = graft.queries.Pipeline
+        .bpeWordTok(graft.Tables.documents(spark, sfDir))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(toks.nonEmpty && toks.forall(_._2 == 1L),
+        s"non-exhausted stop: ${toks.filter(_._2 != 1L).take(5).toSeq}")
+      // the oracle's truncation-soundness bound: exhaustion must land
+      // strictly inside the unrolled window (witness round included)
+      assert(rows.length < graft.queries.Pipeline.t20OracleRounds,
+        s"corpus exhausts at ${rows.length} merges but the oracle only unrolls " +
+          s"${graft.queries.Pipeline.t20OracleRounds} rounds")
+    }
     // best-pair frequency can only fall: untouched pairs keep their
     // count, pairs created by a merge are bounded by that merge's count
     rows.sliding(2).foreach { case Array(a, b) =>
