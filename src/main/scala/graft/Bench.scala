@@ -92,8 +92,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // mode tag distinguishes the driver's full-suite rows from
     // hand-launched isolated (fresh-JVM-per-query) triage rows in
-    // bench_history.jsonl — see SURVEY §8h's regression protocol
-    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "suite")
+    // bench_history.jsonl — see SURVEY §8h's regression protocol.
+    // Whitelisted: a quote/backslash in the env var would corrupt
+    // bench_results.json and every later bench_history append.
+    val mode = sys.env.get("SPARK_GRAFT_BENCH_MODE")
+      .filter(_.matches("[a-z0-9_]+")).getOrElse("suite")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"mode":"$mode","reps":$reps,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
@@ -115,6 +118,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench artifacts: ${e.getMessage}")
     }
+    // the driver keeps only a 2000-char stdout TAIL, so the full
+    // per-query line above can never parse at 194 queries
+    // (BENCH_r10.json "parsed": null). The LAST line is therefore a
+    // compact summary — same contract fields, the slowest queries
+    // only — that always fits the tail; the full record lives in
+    // bench_results.json / bench_history.jsonl.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$slowest,"n_queries":${results.size},""" +
+      s""""n_failed":${failed.size},"mode":"$mode","reps":$reps,"sf":"$sfDir",""" +
+      s""""full":"bench_history.jsonl"}""")
     spark.stop()
   }
 }

@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
   * flagged-row counts of both paths — the prune ratio and the
   * equality check the §4 row quotes. Diagnostic tooling in the
   * Bench/Verify family; no query semantics live here.
+  *
+  * Timing discipline (the round-10 advice findings): d17_sec times
+  * exactly ONE action — the flagged count, the real d17 shape — so
+  * the k-means build and admission join run once inside the window,
+  * same as d16's single-action count; the admitted/cell metadata is
+  * collected UNTIMED afterwards off a persisted admitted frame; and
+  * the "full grid" denominator is the BUILD's cell count
+  * (decontamIvfCellCount — k cells fitted over the benchmark), not
+  * the smaller set of cells the admission happens to populate, so
+  * prune_ratio can only understate via rounding, never via an
+  * empty-cell artifact.
   */
 object D17Probe {
   def main(args: Array[String]): Unit = {
@@ -31,18 +42,25 @@ object D17Probe {
     val bench = emb.filter(isBench).select(col("vec_id"), col("embedding"))
     val corpus = emb.filter(!isBench).select(col("vec_id"), col("embedding"))
 
-    val t0 = System.nanoTime()
     val (admitted, flagged) = graft.queries.Pipeline.decontamIvf(
       spark, bench, corpus, tau)
-    val admittedN = admitted.count()
-    val cells = admitted.select("cluster").distinct().count()
+    // timed: ONE action, the registered d17 shape end-to-end
+    val t0 = System.nanoTime()
     val d17N = flagged.count()
     val tD17 = (System.nanoTime() - t0) / 1e9
 
+    // untimed metadata for the §4 row: persist so the two reads run
+    // the build + admission once more total, not once per count
+    val adm = admitted.persist()
+    val admittedN = adm.count()
+    val cellsPopulated = adm.select("cluster").distinct().count()
+    adm.unpersist()
     val corpusN = corpus.count()
+    val cells = graft.queries.Pipeline.decontamIvfCellCount(bench.count())
     val grid = corpusN * cells
 
-    // d16's brute pass on the same frames (the certified baseline)
+    // d16's brute pass on the same frames (the certified baseline) —
+    // also a single timed action
     val t1 = System.nanoTime()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("bench_id"))
@@ -58,7 +76,8 @@ object D17Probe {
     val tD16 = (System.nanoTime() - t1) / 1e9
 
     println(s"""{"dir":"$dir","corpus":$corpusN,"cells":$cells,""" +
-      s""""admitted":$admittedN,"grid":$grid,""" +
+      s""""cells_populated":$cellsPopulated,"admitted":$admittedN,""" +
+      s""""grid":$grid,""" +
       s""""prune_ratio":${1.0 - admittedN.toDouble / grid},""" +
       s""""d17_flagged":$d17N,"d16_flagged":$d16N,""" +
       s""""d17_sec":$tD17,"d16_sec":$tD16}""")

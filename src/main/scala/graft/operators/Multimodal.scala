@@ -662,22 +662,39 @@ object Multimodal {
 
   case class MediaEmbedding(doc_id: Long, source: String, hist: Seq[Double])
 
+  /** Container dispatch on the MAGIC BYTES (m01's sniff applied to
+    * the decode path): "BM" → [[parseBmp]], the 8-byte PNG signature
+    * → [[parsePng]], anything else → None. Both decoders land on the
+    * same [[Raster]] contract, so every consumer downstream of this
+    * sniff (the [[embed]] grid, p05's near-dup join) is
+    * container-blind: pixel-identical images dedup together whether
+    * they arrived as BMP or PNG. */
+  def decodeRaster(p: Array[Byte]): Option[Raster] = {
+    if (p.length >= 2 && (p(0) & 0xff) == 'B' && (p(1) & 0xff) == 'M')
+      parseBmp(p)
+    else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && (p(1) & 0xff) == 0x50)
+      parsePng(p) // parsePng re-verifies the full 8-byte signature
+    else None
+  }
+
   /** CONTENT-derived media embedding: decode the raster
-    * ([[parseBmp]]), then the 4×4 block-mean-luminance grid's exact
+    * ([[decodeRaster]] — BMP or PNG, dispatched on the magic bytes),
+    * then the 4×4 block-mean-luminance grid's exact
     * integer sums as the 16-dim vector (sums, not means, so the p05
     * cosine runs over exact integers — the replayable-oracle
     * contract). Undecodable payloads embed as the zero vector, which
     * the cosine guard nulls out of the pair join — the
     * audit-friendly convention. Replaces the round-8 byte-histogram
     * stub: this vector is a function of the decoded PIXELS, not the
-    * container bytes. */
+    * container bytes — identical rasters in DIFFERENT containers
+    * embed identically. */
   def embed(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaEmbedding] = {
     import spark.implicits._
     media.mapPartitions { it =>
       // a heavier embedder (model weights) would be initialized HERE,
       // once per partition; block-mean-lum needs no state
       it.map { r =>
-        val v = parseBmp(r.payload) match {
+        val v = decodeRaster(r.payload) match {
           case Some(img) =>
             blockLum(r.doc_id, img, grid = 4).map(_.lum_sum.toDouble).toIndexedSeq
           case None => IndexedSeq.fill(16)(0.0)

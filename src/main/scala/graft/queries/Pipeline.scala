@@ -2600,17 +2600,54 @@ object Pipeline {
       }
   }
 
+  // -- framedRaster: the p05/p05b MIXED-container generator ----------------
+  // framedBmp's pixels (identical formulas, identical dims — the
+  // ORACLE is pixel-derived and container-blind, so it is unchanged)
+  // but the CONTAINER alternates by (doc_id / 48) % 2: BMP for even
+  // 48-blocks, PNG (m10's stored-block profile) for odd ones. Since
+  // the pixel content repeats mod 48, doc_id and doc_id + 48 are
+  // pixel-IDENTICAL rasters in DIFFERENT containers — the cross-
+  // container duplicate classes the format-dispatching embedder
+  // (Multimodal.decodeRaster → one Raster contract) must find. A
+  // decoder that handles only one container embeds half the corpus
+  // as zero vectors and loses every such pair (the round-10 verdict
+  // gap, closed).
+  private def framedRaster(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val g = (id % 48).toInt
+          val w = (id % 16).toInt + 4; val h = (id % 12).toInt + 4
+          val gap = (id % 5).toInt
+          val px = (x: Int, y: Int) => (
+            (7 * g + 11 * x + 13 * y) % 256,
+            (3 * g + 5 * x + 2 * y) % 256,
+            (g + 2 * x + 3 * y) % 256)
+          val bytes =
+            if ((id / 48) % 2 == 0) Multimodal.encodeBmp(w, h, gap, px)
+            else Multimodal.encodePng(w, h, gap, px)
+          Multimodal.MediaRecord(id, src, bytes)
+        }
+      }
+  }
+
   // -- p05: end-to-end multimodal near-dup (m-family → d-family) -----------
-  // The composition a real multimodal corpus pipeline runs: binary
-  // payloads → per-partition PIXEL decode (Multimodal.parseBmp — a
-  // real raster decode, not a byte histogram: round 9 closed the
-  // family's last declared fake) → block-mean-luminance content
-  // embedding (m08's grid, exact integer sums) → d06's blocked
-  // cosine near-dup over the features. Hash-exact through the typed
-  // mapPartitions: the oracle re-derives the PIXELS from the
-  // generator formulas and aggregates the same integer grid, so a
-  // decoder that misreads even one byte (row order, stride pad,
-  // offBits) shifts a sum and breaks the hash.
+  // The composition a real multimodal corpus pipeline runs: MIXED
+  // BMP/PNG binary payloads (framedRaster) → per-partition PIXEL
+  // decode dispatched on the magic bytes (Multimodal.decodeRaster →
+  // parseBmp | parsePng, one Raster contract — a real raster decode,
+  // not a byte histogram) → block-mean-luminance content embedding
+  // (m08's grid, exact integer sums) → d06's blocked cosine near-dup
+  // over the features. Hash-exact through the typed mapPartitions:
+  // the oracle re-derives the PIXELS from the generator formulas
+  // (container-blind, so it is byte-identical to the all-BMP era), so
+  // a decoder that misreads even one byte (row order, stride pad,
+  // offBits, PNG chunk walk) shifts a sum and breaks the hash — and a
+  // decoder that handles only ONE container zero-embeds half the
+  // corpus and loses every cross-container duplicate pair
+  // (spec-pinned in MultimodalSpec).
   //
   // Scale: decode+embed is map-only per partition; the self-join is
   // blocked on source (d06's equi-join shape — at warehouse scale the
@@ -2618,7 +2655,7 @@ object Pipeline {
   // one compiled cosine per candidate.
   private val p05: Q = (s, d) => {
     import graft.operators.Multimodal
-    val emb = Multimodal.embed(s, framedBmp(s, d)).toDF()
+    val emb = Multimodal.embed(s, framedRaster(s, d)).toDF()
       .transform(graft.CacheScope.cached) // both self-join sides
     blockedCosinePairs(emb, "source", "doc_id", "hist", 0.995)
   }
@@ -2677,7 +2714,7 @@ object Pipeline {
     import graft.operators.Multimodal
     val n = T.documentsCount(s, d)
     val kk = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val emb = Multimodal.embed(s, framedBmp(s, d)).toDF()
+    val emb = Multimodal.embed(s, framedRaster(s, d)).toDF()
       .transform(graft.CacheScope.cached) // fit sample + assignment + both join sides
     val cents = graft.operators.IntLloyd.fit(
       emb, "doc_id", "hist", n, numSub = 1, subLen = 16, k = kk,
@@ -5611,10 +5648,17 @@ object Pipeline {
     * it on a clustered corpus (where the pruning actually bites) and
     * count admitted pairs. Returns (admitted corpus×cell pairs, the
     * final flagged frame). */
+  /** The d17 build's cell count for a benchmark of `nBench` rows —
+    * shared with D17Probe so the §4 row's "full grid" denominator is
+    * the BUILD's k, not the (smaller) set of cells the admission
+    * happens to populate. */
+  private[graft] def decontamIvfCellCount(nBench: Long): Int =
+    math.max(16, math.ceil(math.sqrt(nBench.toDouble)).toInt)
+
   private[graft] def decontamIvf(s: SparkSession, bench: DataFrame,
                                  corpus: DataFrame, tau: Double): (DataFrame, DataFrame) = {
     val nBench = bench.count() // build-time metadata (the build scans anyway)
-    val k = math.max(16, math.ceil(math.sqrt(nBench.toDouble)).toInt)
+    val k = decontamIvfCellCount(nBench)
     val (assignedB, cents) = kmeansAssignDf(bench, k, nBench)
     import s.implicits._
     val cells = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
@@ -6252,11 +6296,6 @@ object Pipeline {
     * merge can perturb or create anything — the whole remainder is
     * safe. RandomizedSpec fuzzes batched == sequential on random
     * corpora; FunctionsSpec pins it on the gate corpus. */
-  /** Driver-round count of the last [[bpeTrainBatched]] run — the
-    * measured quantity behind SURVEY §4's "rounds are the cost" row
-    * (diagnostic only; no query semantics read it). */
-  @volatile private[graft] var t20LastRounds: Int = 0
-
   private[graft] def bpeTrainBatched(docs: DataFrame, k: Int, bmax: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -6316,9 +6355,10 @@ object Pipeline {
         collected += b
       }
     }
-    // the §4 scale claim is "rounds, not corpus, are the cost" — make
-    // the round count an observable fact of every run, not a guess
-    t20LastRounds = rounds
+    // the §4 scale claim is "rounds, not corpus, are the cost" — the
+    // stderr line below is the source of truth for the round count
+    // (a log, not shared mutable state: t20/t23/p13 all train, so a
+    // var written here would be indeterminate under concurrency)
     System.err.println(s"[t20] merges=$collected rounds=$rounds exhausted=$exhausted")
     merges.toSeq
       .toDF("merge_rank", "left_unit", "right_unit", "merged", "pair_count")

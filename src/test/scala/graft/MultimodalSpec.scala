@@ -292,6 +292,39 @@ class MultimodalSpec extends SparkSpec {
       "fixture must contain cross-source duplicates for the claim to have teeth")
   }
 
+  test("mixed BMP/PNG corpus: identical rasters dedup ACROSS containers (decodeRaster dispatch)") {
+    // the round-10 gap: embed decoded parseBmp only, so a PNG payload
+    // embedded as the zero vector and every cross-container duplicate
+    // pair was structurally lost. decodeRaster sniffs the magic and
+    // lands both containers on one Raster contract.
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 9 + 2 * y) % 256, (3 * x + y) % 256, (x + 7 * y) % 256)
+    val bmp = Multimodal.encodeBmp(10, 7, gap = 2, px)
+    val png = Multimodal.encodePng(10, 7, gap = 4, px)
+    assert(Multimodal.decodeRaster(bmp).exists(_.isInstanceOf[Multimodal.BmpImage]))
+    assert(Multimodal.decodeRaster(png).exists(_.isInstanceOf[Multimodal.PngImage]))
+    assert(Multimodal.decodeRaster("neither".getBytes).isEmpty)
+    val media = Seq((1L, "s0", bmp), (2L, "s1", png))
+      .toDF("doc_id", "source", "payload").as[Multimodal.MediaRecord]
+    val out = Multimodal.embed(spark, media).collect().sortBy(_.doc_id)
+    assert(out(0).hist.sum > 0.0, "both must decode to real content")
+    assert(out(0).hist == out(1).hist,
+      "one raster, two containers — the embedding must be container-blind")
+    // end-to-end on the registered query: framedRaster frames doc_id
+    // and doc_id + 48 with IDENTICAL pixels in DIFFERENT containers
+    // ((id/48) % 2 flips); the cell-blocked near-dup must pair them
+    val got = SparkEntry.queries("p05b_multimodal_dedup_cells")(spark, sfDir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].collect()
+    val cross = (for {
+      a <- ids; b <- ids
+      if a < b && a % 48 == b % 48 && (a / 48) % 2 != (b / 48) % 2
+    } yield (a, b)).toSet
+    assert(cross.nonEmpty, "fixture must contain cross-container identical pairs")
+    assert(cross.subsetOf(got),
+      s"cross-container duplicates lost: ${(cross -- got).take(5)}")
+  }
+
   test("approx sketches track exact values (q33/q34 self-check)") {
     val d33 = SparkEntry.queries("q33_approx_distinct")(spark, sfDir)
       .select("approx_students", "exact_students").as[(Double, Long)].collect()
