@@ -20,7115 +20,7 @@ import graft.operators.Operators
   * banding, hyperplane LSH) have no oracle entry → driver records a
   * rows-only check, as allowed by the contract.
   */
-object Pipeline {
-  type Q = (SparkSession, String) => DataFrame
-
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
-
-  /** documents is a single small parquet file → Spark schedules ONE
-    * task for it, serializing the CPU-heavy per-row work (shingling,
-    * hashing). Spread it across the cluster first — at warehouse
-    * scale the input arrives already partitioned and this is a no-op
-    * choice, but an engine must not be single-threaded just because
-    * the scan is. */
-  private def docsSpread(s: SparkSession, d: String) =
-    T.documents(s, d).repartition(s.sparkContext.defaultParallelism)
-
-  // ======================= dedup: documents ================================
-
-  // -- d01: exact dedup via content hash -----------------------------------
-  private val d01: Q = (s, d) =>
-    T.documents(s, d)
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("keeper_doc_id"))
-      .orderBy(col("content_hash"))
-
-  private val d01Sql =
-    """SELECT md5(text) AS content_hash, COUNT(*) AS dup_cnt, MIN(doc_id) AS keeper_doc_id
-      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // -- d02: normalized-text fingerprint dedup ------------------------------
-  private val d02: Q = (s, d) =>
-    T.documents(s, d)
-      .groupBy(md5(TF.canonicalize(col("text"))).as("fingerprint"))
-      .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("keeper_doc_id"))
-      .orderBy(col("fingerprint"))
-
-  private val d02Sql =
-    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
-      |  COUNT(*) AS dup_cnt, MIN(doc_id) AS keeper_doc_id
-      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // -- d03: char-16-gram Jaccard near-dup pairs ----------------------------
-  // Shingle self-join bucketed by the shingle value itself, with
-  // stop-shingle pruning: a shingle present in > maxDf docs contributes
-  // O(df²) join pairs but almost no discrimination — dropping them
-  // bounds the worst-case join output per key, which is what keeps this
-  // operator viable on a billion-document corpus. Jaccard is computed
-  // over the pruned vocabulary, identically on both engines.
-  private val d03: Q = (s, d) => {
-    val maxDf = 100
-    val shAll = docsSpread(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.GraftColumns.charShingles(col("text"), 16)).as("s"))
-    // df-prune via a window count: ONE shuffle on s (vs groupBy +
-    // join-back = three), and the persisted result keeps its
-    // s-partitioning, which the self-join below reuses. The persist
-    // is the inverted-index checkpoint every near-dup pipeline has.
-    val sh = shAll
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf).drop("df")
-      .transform(graft.CacheScope.cached)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"))
-    // unrounded: a single IEEE division of exact ints is bit-identical
-    // across engines, while round(x,4) can diverge on half-boundaries
-    val jac = col("shared").cast(DoubleType) /
-      (col("na") + col("nb") - col("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "sa_id").withColumnRenamed("n", "na"),
-        col("a_id") === col("sa_id"))
-      .join(sizes.withColumnRenamed("doc_id", "sb_id").withColumnRenamed("n", "nb"),
-        col("b_id") === col("sb_id"))
-      .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= 0.3)
-      .select("a_id", "b_id", "shared", "jaccard")
-      .orderBy("a_id", "b_id")
-  }
-
-  private val d03Sql =
-    """WITH sh_all AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(generate_series(1, greatest(length(text) - 15, 1)),
-      |      i -> substr(text, i, 16))) AS s
-      |  FROM documents),
-      |sh AS (SELECT doc_id, s FROM (
-      |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh_all)
-      |  WHERE df <= 100),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT a_id, b_id, shared,
-      |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
-      |FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
-      |ORDER BY a_id, b_id""".stripMargin
-
-  // -- d08: winnowed-fingerprint Jaccard near-dup pairs --------------------
-  // d03 over a WINNOWED index (t06's MOSS-style fingerprints: k=8 gram
-  // rolling hash, w=4 window minima) instead of every shingle — the
-  // standard industrial mitigation when the full inverted index is too
-  // large: ~2/(w+1) of the positions survive winnowing, guaranteed to
-  // include each window's minimum, so containment still surfaces.
-  // Same df-pruned equi-join shape as d03; jaccard is over fingerprint
-  // sets (an estimate of shingle jaccard). Fully oracle-exact: the
-  // DuckDB SQL replays the identical hash family and winnow.
-  private val d08: Q = (s, d) => {
-    val maxDf = 100
-    val fp = docsSpread(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.GraftColumns.winnowFingerprint(col("text"), 8, 4)).as("h"))
-    val pruned = fp
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxDf).drop("df")
-      .transform(graft.CacheScope.cached)
-    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = pruned.as("a")
-      .join(pruned.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"))
-    val jac = col("shared").cast(DoubleType) /
-      (col("na") + col("nb") - col("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "sa_id").withColumnRenamed("n", "na"),
-        col("a_id") === col("sa_id"))
-      .join(sizes.withColumnRenamed("doc_id", "sb_id").withColumnRenamed("n", "nb"),
-        col("b_id") === col("sb_id"))
-      .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= 0.3)
-      .select("a_id", "b_id", "shared", "jaccard")
-      .orderBy("a_id", "b_id")
-  }
-
-  private val d08Sql =
-    """WITH pos AS (
-      |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
-      |  FROM documents WHERE length(text) >= 8),
-      |h AS (
-      |  SELECT doc_id, i,
-      |    list_reduce(list_transform(generate_series(0, 7),
-      |      j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 131 + c) % 1000000007) AS hv
-      |  FROM pos),
-      |wnd AS (
-      |  SELECT doc_id, i,
-      |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
-      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-      |    count(*) OVER (PARTITION BY doc_id) AS ng
-      |  FROM h),
-      |fp AS (SELECT DISTINCT doc_id, sel FROM wnd WHERE i <= ng - 3),
-      |pr AS (SELECT doc_id, sel FROM (
-      |  SELECT doc_id, sel, COUNT(*) OVER (PARTITION BY sel) AS df FROM fp)
-      |  WHERE df <= 100),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM pr GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-      |  FROM pr a JOIN pr b ON a.sel = b.sel AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT a_id, b_id, shared,
-      |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
-      |FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
-      |ORDER BY a_id, b_id""".stripMargin
-
-  // -- d09: benchmark decontamination --------------------------------------
-  // Training-set decontamination: find corpus documents that share ≥5
-  // distinct 16-gram shingles with any document in a held-out
-  // benchmark set (stand-in here: doc_id % 20 == 0 — in production
-  // the eval-suite table). The benchmark index is TINY relative to
-  // the corpus by construction (eval suites are ~1e5 docs vs 1e10),
-  // so it is broadcast: the corpus side streams map-only through the
-  // hash join, zero corpus shuffle before the pair aggregation.
-  // Bench-side df pruning bounds fan-out if a boilerplate shingle
-  // ever saturates the benchmark. Removal is then q15's anti-join on
-  // the contaminated ids.
-  private val d09: Q = (s, d) => {
-    val maxBenchDf = 100
-    val sh = docsSpread(s, d).select(col("doc_id"),
-      explode(graft.functions.GraftColumns.charShingles(col("text"), 16)).as("s"))
-    val benchPruned = sh.filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id").as("bench_id"), col("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxBenchDf).drop("df")
-    val corpus = sh.filter(col("doc_id") % 20 =!= 0)
-      .select(col("doc_id").as("corpus_id"), col("s"))
-    corpus.join(broadcast(benchPruned), "s")
-      .groupBy(col("corpus_id"), col("bench_id"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 5)
-      .orderBy(col("corpus_id"), col("bench_id"))
-  }
-
-  private val d09Sql =
-    """WITH sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(generate_series(1, greatest(length(text) - 15, 1)),
-      |      i -> substr(text, i, 16))) AS s
-      |  FROM documents),
-      |bp AS (SELECT bench_id, s FROM (
-      |  SELECT doc_id AS bench_id, s, COUNT(*) OVER (PARTITION BY s) AS df
-      |  FROM sh WHERE doc_id % 20 = 0) WHERE df <= 100),
-      |c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 20 <> 0)
-      |SELECT corpus_id, bench_id, COUNT(*) AS shared
-      |FROM c JOIN bp USING (s)
-      |GROUP BY 1, 2 HAVING COUNT(*) >= 5
-      |ORDER BY corpus_id, bench_id""".stripMargin
-
-  // -- d10: dedup clusters via connected components ------------------------
-  // Pair lists (d03–d09) aren't what a dedup pass applies: the unit of
-  // removal is the duplicate CLUSTER — keep one doc per connected
-  // component of the near-dup graph (A~B, B~C ⇒ drop two of {A,B,C},
-  // which no pairwise pass gets right). Distributed min-label
-  // propagation: each vertex repeatedly takes the min component id
-  // among itself and its neighbors until fixpoint — the standard
-  // Pregel-style loop, O(cluster diameter) rounds of one equi-join +
-  // one groupBy each. The driver loop is over ROUNDS (small, bounded
-  // by the longest dup chain), never over rows. Pairs come from d06's
-  // oracle-exact near-dup query; the oracle replays the closure with
-  // a recursive CTE.
-  private val d10: Q = (s, d) =>
-    Operators.connectedComponents(
-        d06(s, d).select(col("a_id"), col("b_id")), "a_id", "b_id")
-      .select(col("id").as("vec_id"), col("comp").as("cluster_id"),
-        (col("id") === col("comp")).as("is_keeper"))
-      .orderBy(col("vec_id"))
-
-  private val d10Sql =
-    """WITH RECURSIVE
-      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-      |      FROM embeddings a JOIN embeddings b
-      |        ON a.label = b.label AND a.vec_id < b.vec_id
-      |      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |        CAST(b.embedding AS DOUBLE[])) >= 0.35),
-      |e AS (SELECT a_id AS src, b_id AS dst FROM p
-      |      UNION ALL SELECT b_id, a_id FROM p),
-      |reach(src, dst) AS (
-      |  SELECT src, dst FROM e
-      |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-      |comp AS (SELECT src AS vec_id, least(src, MIN(dst)) AS cluster_id
-      |         FROM reach GROUP BY src)
-      |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
-      |FROM comp ORDER BY vec_id""".stripMargin
-
-  // -- d04: MinHash + LSH band bucketing (ORACLE-EXACT) --------------------
-  // Graduated from rows-only in round 4: the hash family is the
-  // replayable affine-mod-prime construction (see MinHashShingles —
-  // polynomial shingle hash + a_p·h+b_p mod 1e9+7 bijections), so the
-  // whole signature → banding → candidate pipeline replays in DuckDB
-  // as plain SQL: banding is just GROUP BY (band, band value).
-  // BMP contract (here and d05): the Scala expressions iterate UTF-16
-  // code units (charAt) while the SQL replays code points
-  // (unicode(substr)) — identical iff the corpus has no
-  // supplementary-plane characters (true of the testdata and the RDW
-  // text domain; SURVEY §5). A corpus with emoji/CJK-extB would need
-  // Character.codePointAt iteration in the native expressions.
-  // est_jaccard is matches/32 — an exact power-of-two division, no
-  // rounding (round() can diverge across engines on half-boundaries).
-  private val d04: Q = (s, d) => {
-    val numPerms = 32; val bands = 8; val rowsPerBand = 4
-    // Native one-pass expression: interpreted HOF minhash costs
-    // numPerms × shingles lambda evals per row — see MinHashShingles.
-    val sigs = docsSpread(s, d)
-      .select(col("doc_id"),
-        graft.functions.GraftColumns.minHashShingles(col("text"), 8, numPerms).as("sig"))
-    // band key = the 4 slot minima verbatim (comma-joined decimal —
-    // the cross-engine-stable encoding); same ≤bands×docs key space
-    // as a hashed band key
-    val bandCols = (0 until bands).map { b =>
-      val elems = (1 to rowsPerBand).map(j =>
-        element_at(col("sig"), b * rowsPerBand + j).cast(StringType))
-      struct(lit(b).as("band"), concat_ws(",", elems: _*).as("bv"))
-    }
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    // est_jaccard is computed BEFORE the pair dedupe so the distinct
-    // exchange moves three scalars per candidate, not two 32-long
-    // signature arrays (same fix as s02's id-only dedupe: at corpus
-    // scale the network dominates the recomputed fold).
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, x) => acc + x).cast(DoubleType) / numPerms).as("est_jaccard"))
-      .distinct()
-      .orderBy("a_id", "b_id")
-  }
-
-  private val d04Sql: String = {
-    import graft.functions.expressions.MinHashShingles.{aConst, bConst}
-    val aList = (0 until 32).map(aConst).mkString(", ")
-    val bList = (0 until 32).map(bConst).mkString(", ")
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id,
-       |    CASE WHEN length(text) = 0 THEN 0 ELSE
-       |      list_reduce(list_transform(generate_series(0, CAST(least(7, length(text) - i) AS INTEGER)),
-       |        j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
-       |        (acc, c) -> (acc * 131 + c) % 1000000007) END AS h
-       |  FROM (SELECT doc_id, text,
-       |          unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
-       |        FROM documents)),
-       |perms AS (SELECT unnest(generate_series(0, 31)) AS p,
-       |                 unnest([$aList]) AS a,
-       |                 unnest([$bList]) AS b),
-       |sig AS (SELECT doc_id, p, min((a * h + b) % 1000000007) AS mv
-       |        FROM sh, perms GROUP BY doc_id, p),
-       |bandv AS (SELECT doc_id, CAST(p // 4 AS INTEGER) AS band,
-       |            string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS bv
-       |          FROM sig GROUP BY 1, 2),
-       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |         FROM bandv a JOIN bandv b
-       |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       |mm AS (SELECT c.a_id, c.b_id, SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) AS m
-       |       FROM cand c
-       |       JOIN sig sa ON sa.doc_id = c.a_id
-       |       JOIN sig sb ON sb.doc_id = c.b_id AND sb.p = sa.p
-       |       GROUP BY 1, 2)
-       |SELECT a_id, b_id, CAST(m AS DOUBLE) / 32 AS est_jaccard
-       |FROM mm ORDER BY a_id, b_id""".stripMargin
-  }
-
-  // -- d05: SimHash hamming-near pairs (ORACLE-EXACT) ----------------------
-  // Graduated from rows-only in round 4: bit draws are parities of the
-  // affine-mod-prime family (see SimHashTokens), so signature
-  // construction, 16-bit chunk blocking AND hamming distances replay
-  // in DuckDB — the chunk table is just (doc, b//16, Σ bit·2^(b%16)).
-  private val d05: Q = (s, d) => {
-    // Native one-pass simhash (64 interpreted folds/row otherwise).
-    val sigs = docsSpread(s, d)
-      .select(col("doc_id"),
-        graft.functions.GraftColumns.simHashTokens(col("text")).as("sig"))
-    // 4 chunks of 16 bits: equal-chunk bucketing finds every pair with
-    // hamming <= 3 guaranteed (pigeonhole); wider pairs filtered below.
-    val chunkCols = (0 until 4).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("sig"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
-    }
-    val chunked = sigs.select(col("doc_id"), col("sig"),
-        explode(array(chunkCols: _*)).as("cc"))
-      .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
-      .transform(graft.CacheScope.cached) // both self-join sides read this; simhash is 64 interpreted folds
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        TF.hamming64(col("a.sig"), col("b.sig")).cast(LongType).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 12)
-      .orderBy("a_id", "b_id")
-  }
-
-  /** The shared SimHash replay (toks → token hash → affine-parity
-    * bits → 16-bit chunks) — the d05 construction, reused verbatim by
-    * e05's oracle (same signatures, same chunk blocking; e05 adds the
-    * event-time horizon and per-chunk emission). */
-  private def simHashCtes: String = {
-    import graft.functions.expressions.SimHashTokens.{aConst, bConst}
-    val aList = (0 until 64).map(aConst).mkString(", ")
-    val bList = (0 until 64).map(bConst).mkString(", ")
-    s"""toks AS (
-       |  SELECT doc_id,
-       |    unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
-       |  FROM documents),
-       |th AS (
-       |  SELECT doc_id,
-       |    list_reduce(list_transform(generate_series(1, length(tok)),
-       |        i -> CAST(unicode(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)),
-       |      (acc, c) -> (acc * 131 + c) % 1000000007) AS h
-       |  FROM toks),
-       |bitdef AS (SELECT unnest(generate_series(0, 63)) AS b,
-       |                  unnest([$aList]) AS a,
-       |                  unnest([$bList]) AS bb),
-       |cnt AS (
-       |  SELECT d.doc_id, p.b,
-       |    SUM(CASE WHEN t.h IS NULL THEN 0
-       |             WHEN ((p.a * t.h + p.bb) % 1000000007) % 2 = 1 THEN 1
-       |             ELSE -1 END) AS c
-       |  FROM documents d CROSS JOIN bitdef p LEFT JOIN th t ON t.doc_id = d.doc_id
-       |  GROUP BY 1, 2),
-       |bits AS (SELECT doc_id, b, CASE WHEN c > 0 THEN 1 ELSE 0 END AS bit FROM cnt),
-       |chunks AS (
-       |  SELECT doc_id, CAST(b // 16 AS INTEGER) AS chunk,
-       |    SUM(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER))) AS cv
-       |  FROM bits GROUP BY 1, 2)""".stripMargin
-  }
-
-  private val d05Sql: String =
-    s"""WITH $simHashCtes,
-       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |         FROM chunks a JOIN chunks b
-       |           ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id),
-       |mm AS (SELECT c.a_id, c.b_id,
-       |         CAST(SUM(CASE WHEN ba.bit <> bb2.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-       |       FROM cand c
-       |       JOIN bits ba ON ba.doc_id = c.a_id
-       |       JOIN bits bb2 ON bb2.doc_id = c.b_id AND bb2.b = ba.b
-       |       GROUP BY 1, 2)
-       |SELECT a_id, b_id, hamming FROM mm WHERE hamming <= 12
-       |ORDER BY a_id, b_id""".stripMargin
-
-  // -- d06: embedding-cosine near-dup pairs (blocked self-join) ------------
-  // Embed → block → verify, the standard near-dup shape at corpus scale:
-  // the blocking key turns the O(n²) all-pairs cosine into an equi-join
-  // whose fan-out is bounded per block; exact cosine then verifies each
-  // candidate. The `label` key here keeps the query ANSI-expressible
-  // (oracle-exact); d07 is the warehouse-scale variant blocking on a
-  // coarse-quantizer cluster id, whose count grows with the corpus. The data's minimum |cos − 0.35| margin (5e-5 at sf0.1)
-  // dwarfs cross-engine ulp drift, so threshold membership is stable.
-  private val d06: Q = (s, d) =>
-    blockedCosinePairs(T.embeddings(s, d), "label", "vec_id", "embedding", 0.35)
-
-  /** The block → self-join → exact-cosine-verify candidate-pair shape
-    * shared by d06 (label blocks) and p05 (source blocks). One
-    * definition so a threshold/margin/null-guard fix lands in every
-    * near-dup family member at once. Emits the unrounded cosine — the
-    * hash-exact gate depends on bit-identical doubles, and rounding
-    * reintroduces the HALF_UP-vs-scaled-round boundary divergence. */
-  private def blockedCosinePairs(emb: DataFrame, blockCol: String, idCol: String,
-                                 vecCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(blockCol), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = emb.select(col(blockCol), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
-    // SORT-MERGE, pinned: a duplicate-heavy block (p05b's quantizer
-    // cells at 100× hold entire identical-raster classes) makes a
-    // shuffled-hash build side exceed task heap — SMJ's per-key
-    // buffers spill instead (measured: p05b OOM'd under SHJ at 100×,
-    // finishes under SMJ; sub-ms difference at sf0.1)
-    a.hint("merge").join(b, Seq(blockCol))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
-      .filter(col("cosine") >= threshold)
-      .select(col("a_id"), col("b_id"), col(blockCol), col("cosine"))
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  private val d06Sql =
-    """SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
-      |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
-      |ORDER BY a_id, b_id""".stripMargin
-
-  /** Coarse quantizer shared by s03/s05 (IVF probe lists) and d07
-    * (near-dup blocking key) — the replayable integer Lloyd fit
-    * (graft.operators.IntLloyd; was Spark ML KMeans until round 5,
-    * which kept these queries rows-only: a float fit's reduction
-    * order can't re-derive in another engine). The fit runs on a
-    * capped SAMPLE, not the corpus: at 100 TB a full-data fit would
-    * dominate the whole query, and quantizer quality only needs ~tens
-    * of training rows per centroid (the classic IVF recipe — train on
-    * ~100k vectors, assign everything). The cap is 64·k rows (floor
-    * 2048) — ABSOLUTE, scaling with the centroid count rather than
-    * the corpus. Assignment stays the compiled cosine probe
-    * (NearestClusters) over the corpus — map-only, against
-    * integer-valued centroids that replay as SQL literals.
-    */
-  private val CoarseIters = 5
-  private val EmbDim = 64 // the oracle SQL slices/loops assume it; IntLloyd.fit fails fast on drift
-  private[graft] def kmeansAssignDf(emb: DataFrame, k: Int, n: Long,
-                                    dim: Int = EmbDim): (DataFrame, Array[Array[Double]]) = {
-    val cap = math.max(2048L, 64L * k)
-    val cents = graft.operators.IntLloyd.fit(
-      emb, "vec_id", "embedding", n,
-      numSub = 1, subLen = dim, k = k, cap = cap,
-      iters = CoarseIters, salt = "kmtrain")(0)
-      .map(_.map(_.toDouble))
-    val assigned = emb
-      .withColumn("cluster", element_at(
-        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
-      .select(col("vec_id"), col("embedding"), col("cluster"))
-    (assigned, cents)
-  }
-  private def kmeansAssign(s: SparkSession, d: String, k: Int,
-                           n: Long): (DataFrame, Array[Array[Double]]) =
-    kmeansAssignDf(T.embeddings(s, d), k, n)
-
-  /** The coarse fit's SQL replay (d07/s03/s05 oracles). `floorK` is
-    * the per-query k floor (8 for d07's blocking, 16 for IVF). */
-  private def coarseFitSql(floorK: Int): String =
-    graft.operators.IntLloyd.fitSql(
-      srcSql = "SELECT vec_id, embedding FROM embeddings",
-      idExpr = "vec_id", vecExpr = "embedding",
-      numSub = 1, subLen = EmbDim,
-      kExpr = s"GREATEST($floorK, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
-      capExpr = "GREATEST(2048, 64*k)",
-      iters = CoarseIters, salt = "kmtrain", p = "km")
-
-  /** The coarse-assignment replay shared by the d07/s03/s05 oracles:
-    * rank every vector's centroids by the SAME (cosine DESC, cluster)
-    * order NearestClusters uses, keep the top `maxRn` probes. One
-    * definition so the tie-break contract cannot drift per query. */
-  private def coarseAsgSql(maxRn: Int): String =
-    s"""asg AS (
-       |  SELECT vec_id, embedding, cluster, rn FROM (
-       |    SELECT e.vec_id, e.embedding, c.cluster,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-       |        c.cluster) AS rn
-       |    FROM embeddings e CROSS JOIN kmcent c)
-       |  WHERE rn <= $maxRn)""".stripMargin
-
-  // -- d07: embedding near-dup, coarse-quantizer blocking ------------------
-  // ORACLE-EXACT since round 5: the quantizer is the replayable
-  // integer Lloyd fit, so blocking, multi-probe and the exact-cosine
-  // verify all re-derive in DuckDB (fit CTEs + the d06-proven
-  // list_cosine_similarity bit-equality).
-  // The warehouse-scale variant of d06: the blocking key is a KMeans
-  // cluster id instead of `label`. With few distinct labels each d06
-  // block is O(n²/|labels|); cluster count scales with the corpus
-  // (k ≈ √n in practice), keeping per-block fan-out bounded no matter
-  // how big the corpus grows. Pairs straddling one cluster boundary
-  // are the classic recall loss of single-assignment blocking, so each
-  // vector blocks under its TOP-2 nearest centroids (multi-probe):
-  // the top-2 pick is a per-row array_sort over the broadcast centroid
-  // literals — map-only, ×2 fan-out, no window shuffle. Same verify
-  // step (exact cosine); duplicate pair hits from shared clusters
-  // dedupe on bare ids. Recall vs the exact d06 output is
-  // spec-checked in PipelineScaleSpec.
-  //
-  // k SCALES WITH THE CORPUS: k ≈ √n (floor 8) makes total candidate
-  // pairs k·(n·probes/k)²/2 = n^1.5·probes²/2 — sub-quadratic — where
-  // any FIXED k degrades to O(n²/k). Measured on a 10× corpus
-  // (20k vectors): fixed k=8 took 100 s; adaptive k brings the same
-  // run to seconds. n comes from parquet FOOTER metadata — a
-  // driver-side lookup, no scan job — the planning-time read every
-  // IVF index build does.
-  private val d07: Q = (s, d) => {
-    val probes = 3
-    val n = T.embeddingsCount(s, d)
-    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    // centroids are driver-side (k × dim integer-valued doubles), held
-    // inside the native NearestClusters expression — the top-`probes`
-    // assignment is one compiled loop per row, no join, no shuffle, no
-    // per-row literal re-evaluation (the HOF array_sort formulation
-    // was the assignment hot spot once k scales as √n)
-    val (_, cents) = kmeansAssign(s, d, k, n)
-    val assigned = T.embeddings(s, d)
-      .withColumn("cluster", explode(
-        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, probes)))
-      .select(col("vec_id"), col("embedding"), col("cluster"))
-    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
-      col("embedding").as("a_vec"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
-      col("embedding").as("b_vec"))
-    a.join(b, Seq("cluster"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
-      .filter(col("cosine") >= 0.35)
-      .select(col("a_id"), col("b_id"), col("cosine")) // unrounded: hash-exact gate
-      .distinct() // a pair can co-block in several of its shared clusters
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  private val d07Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 8)},
-       |${coarseAsgSql(maxRn = 3)},
-       |pairs AS (
-       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
-       |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                           CAST(b.embedding AS DOUBLE[])) AS cosine
-       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                               CAST(b.embedding AS DOUBLE[])) >= 0.35)
-       |SELECT a_id, b_id, cosine FROM pairs ORDER BY a_id, b_id""".stripMargin
-
-  // ======================= similarity: embeddings ==========================
-
-  // -- s01: brute-force cosine top-k per query vector ----------------------
-  private val s01: Q = (s, d) => {
-    val emb = T.embeddings(s, d)
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val cands = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    cands.crossJoin(broadcast(qs))
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  private val s01Sql =
-    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-      |c AS (SELECT vec_id AS cand_id, embedding FROM embeddings WHERE vec_id >= 10),
-      |scored AS (
-      |  SELECT q_id, cand_id,
-      |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
-      |  FROM c, q),
-      |r AS (SELECT q_id, cand_id, cos,
-      |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-      |      FROM scored)
-      |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-      |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  // -- s02: random-hyperplane LSH bucketed ANN (rows-only) -----------------
-  private val s02: Q = (s, d) => {
-    val dim = 64; val bits = 6; val tables = 4
-    // OR-amplified multi-table LSH: 4 independent 6-bit hyperplane
-    // signatures; a candidate is probed if it co-buckets with the query
-    // in ANY table. Explode (table, bucket) keys → equi-join — the join
-    // key bounds the candidate set, which is what makes this the scale
-    // path vs s01's brute force.
-    val sigCols = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        VF.hyperplaneSignature(col("embedding"), dim, bits, seed = t * 1000).as("bucket"))
-    }
-    // Signatures travel WITHOUT the embedding payload: the OR-dedupe
-    // of candidates (a vector can co-bucket with a query in several
-    // tables) is a distinct over bare (q_id, cand_id) ids, so no
-    // 64-float arrays move through that exchange. Vectors are joined
-    // back only for the surviving candidate set.
-    val sigs = T.embeddings(s, d)
-      .select(col("vec_id"), explode(array(sigCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val qsig = sigs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-    val csig = sigs.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
-    val candIds = csig.join(broadcast(qsig), Seq("tbl", "bucket"))
-      .select(col("q_id"), col("cand_id")).distinct()
-    val base = T.embeddings(s, d)
-    val qVecs = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    candIds
-      .join(base.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
-      .join(broadcast(qVecs), "q_id")
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  // GRADUATED to hash-exact in round 5: the planes are driver-side
-  // literals (VectorFunctions.planeMatrix — Double.toString round-trips
-  // exactly into DuckDB), the signature is sign bits of
-  // list_dot_product (bit-equal to the native sequential loop, the d06
-  // precedent), and OR-amplified banding is a plain equi-join + GROUP
-  // BY — so the whole multi-table LSH pipeline replays as SQL.
-  private val s02Sql: String = {
-    val dim = 64; val bits = 6; val tables = 4
-    val planeRows = (for {
-      t <- 0 until tables
-      m = graft.functions.VectorFunctions.planeMatrix(dim, bits, t * 1000)
-      j <- 0 until bits
-    } yield s"($t, $j, [${m(j).mkString(", ")}]::DOUBLE[])").mkString(",\n    ")
-    s"""WITH planes AS (
-       |  SELECT * FROM (VALUES
-       |    $planeRows) AS t(tbl, j, plane)),
-       |sigs AS (
-       |  SELECT vec_id, tbl,
-       |    CAST(SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), plane) >= 0
-       |      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-       |  FROM embeddings, planes GROUP BY vec_id, tbl),
-       |cand AS (
-       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
-       |  FROM sigs c JOIN sigs q ON c.tbl = q.tbl AND c.bucket = q.bucket
-       |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
-       |scored AS (
-       |  SELECT q_id, cand_id,
-       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-       |      CAST(ce.embedding AS DOUBLE[])) AS cos
-       |  FROM cand
-       |  JOIN embeddings qe ON qe.vec_id = q_id
-       |  JOIN embeddings ce ON ce.vec_id = cand_id),
-       |r AS (SELECT q_id, cand_id, cos,
-       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |      FROM scored)
-       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-  }
-
-  // -- s03: IVF ANN — coarse quantizer + nProbe search ---------------------
-  // ORACLE-EXACT since round 5 (replayable integer Lloyd quantizer).
-  // The third ANN tier: s01 exact brute force, s02 LSH buckets, s03
-  // IVF. Centroids are trained ONCE on a seeded sample (kmeansAssign —
-  // a full-corpus fit would dominate the query at 100 TB), every
-  // vector is assigned to its nearest centroid, and a query only
-  // scans the nProbe closest inverted lists. k scales as √n (floor
-  // 16), the standard IVF sizing: candidates per query = n·nProbe/k ≈
-  // √n·nProbe instead of growing linearly with a fixed list count.
-  // Probe selection runs through the native NearestClusters expression
-  // (one compiled loop/row) — no crossJoin, no window shuffle.
-  private val s03: Q = (s, d) => {
-    val nProbe = 2
-    val n = T.embeddingsCount(s, d)
-    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, cents) = kmeansAssign(s, d, k, n)
-    val probes = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      .withColumn("cluster", explode(
-        graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
-      .select(col("q_id"), col("q_vec"), col("cluster"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    assigned.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
-      .join(broadcast(probes), "cluster") // only the probed inverted lists
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  // ROUND(,4) is safe here for the same reason as s01/s02: every
-  // emitted cosine is one of s01's candidate cosines (same vectors,
-  // same compiled op order), and s01 is hash-exact at both gate SFs.
-  private val s03Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 2)},
-       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
-       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
-       |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
-       |          FROM asg WHERE vec_id < 10),
-       |scored AS (
-       |  SELECT p.q_id, c.cand_id,
-       |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
-       |                           CAST(c.embedding AS DOUBLE[])) AS cos
-       |  FROM cand c JOIN probe p ON c.cluster = p.cluster),
-       |r AS (SELECT q_id, cand_id, cos,
-       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |      FROM scored)
-       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  // -- s04: product-quantization ANN ---------------------------------------
-  // The fourth ANN tier and the MEMORY story: s01 exact, s02 LSH
-  // buckets, s03 IVF lists, s04 compressed scan + exact re-rank.
-  // Each vector is encoded as M=8 one-byte codes (nearest centroid
-  // of each dim/M-subvector, spherical PQ — codebooks fit per
-  // subspace on a seeded SAMPLE, like s03's quantizer), a 32×
-  // compression: at 100 TB of embeddings the shortlist scan reads
-  // codes, not floats. Scoring is two-stage, the deployed PQ shape:
-  // (1) ADC shortlist via reconstruction — approx_cos(q, x) =
-  // cosine(q, concat_m codebook_m[code_m]), codebooks as plan
-  // literals, native CosineSimilarity inside codegen; (2) exact
-  // re-rank fetches full vectors for shortlist × queries rows only.
-  // Composes with s03 as IVF-PQ (probe lists, then ADC within them);
-  // here the full compressed scan keeps recall measurable against
-  // s01 (PipelineScaleSpec).
-  /** PQ subspace codebooks, fit per dim/numSub-subvector on a seeded
-    * SAMPLE (s03's quantizer policy — a full-corpus fit would dominate
-    * at 100 TB). Returned as plain matrices (integer-valued doubles):
-    * they become plan literals in the ADC reconstruction AND replay
-    * verbatim in the oracle. Shared by s04 (flat PQ) and s05 (IVF-PQ).
-    *
-    * The replayable integer Lloyd fit trains ALL numSub codebooks in
-    * ONE pass over the sample via a subspace column (was: 8
-    * concurrent ML fits — 8 job chains over the same sample; the
-    * subspace-column formulation is one chain, same work, and its
-    * exact arithmetic is what graduates s04/s05 to hash-exact).
-    * 6 Lloyd iterations: a 16-centroid codebook in a low-dim subspace
-    * converges in a handful of iterations (recall-vs-s01 spec-gated).
-    * The training-set size is an ABSOLUTE cap of 256·ksub rows (the
-    * ~hundreds-per-centroid PQ recipe), not a corpus fraction — a
-    * fraction of 100 TB is still terabytes of k-means input; the cap
-    * is what the 16-centroid fit needs regardless of corpus size. n
-    * comes from footer metadata. */
-  private val PqIters = 6
-  private val PqNumSub = 8
-  private val PqSubLen = EmbDim / PqNumSub
-  private def pqCodebooks(s: SparkSession, d: String,
-      numSub: Int, ksub: Int): (Int, Seq[Seq[Seq[Double]]]) =
-    pqCodebooksDf(T.embeddings(s, d), T.embeddingsCount(s, d), numSub, ksub)
-
-  /** The PQ fit over an arbitrary (vec_id, embedding) frame — shared
-    * by the per-query path above and the persisted PqIndex build
-    * (operators/PqIndex.scala), so "build once" trains exactly the
-    * fit the per-query path would. */
-  private[graft] def pqCodebooksDf(emb: DataFrame, n: Long,
-      numSub: Int, ksub: Int): (Int, Seq[Seq[Seq[Double]]]) = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val sub = dim / numSub
-    // the s04/s05 oracle SQL slices PqSubLen-wide subvectors; a corpus
-    // whose dim drifted would otherwise CLAMP silently on both sides
-    require(numSub == PqNumSub && sub == PqSubLen && dim == numSub * sub,
-      s"pq oracle geometry is ${PqNumSub}×$PqSubLen; got dim=$dim, numSub=$numSub")
-    val cents = graft.operators.IntLloyd.fit(
-      emb, "vec_id", "embedding", n,
-      numSub = numSub, subLen = sub, k = ksub, cap = 256L * ksub,
-      iters = PqIters, salt = "pqtrain")
-    (sub, cents.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
-  }
-
-  /** The PQ fit's SQL replay (s04/s05 oracles): numSub=8 × ksub=16
-    * codebooks over 8-dim subvectors, cap 256·16 = 4096. */
-  private val pqFitSql: String = graft.operators.IntLloyd.fitSql(
-    srcSql = "SELECT vec_id, embedding FROM embeddings",
-    idExpr = "vec_id", vecExpr = "embedding",
-    numSub = PqNumSub, subLen = PqSubLen,
-    kExpr = "CAST(16 AS BIGINT)", capExpr = "CAST(4096 AS BIGINT)",
-    iters = PqIters, salt = "pqtrain", p = "pq")
-
-  /** Shared oracle tail for s04/s05: PQ code assignment per corpus
-    * vector, codebook reconstruction, and the exact re-rank (the
-    * s01/s02 scoring idiom). `adcSql` differs: flat scan (s04) vs
-    * probed inverted lists (s05). */
-  private def pqScoreSql(adcSql: String,
-                         candWhere: String = "e.vec_id >= 10"): String =
-    s"""codes AS (
-       |  SELECT vec_id, m, cluster AS code FROM (
-       |    SELECT e.vec_id, c.m, c.cluster,
-       |      row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
-       |        list_cosine_similarity(
-       |          (CAST(e.embedding AS DOUBLE[]))[(c.m*$PqSubLen+1):((c.m+1)*$PqSubLen)],
-       |          c.cv) DESC, c.cluster) AS rn
-       |    FROM embeddings e CROSS JOIN pqcent c
-       |    WHERE $candWhere)
-       |  WHERE rn = 1),
-       |recon AS (
-       |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS rv
-       |  FROM (SELECT co.vec_id, co.m, c.cv
-       |        FROM codes co JOIN pqcent c ON c.m = co.m AND c.cluster = co.code)
-       |  GROUP BY vec_id),
-       |$adcSql,
-       |short AS (
-       |  SELECT q_id, cand_id FROM (
-       |    SELECT q_id, cand_id,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, cand_id) AS rn_a
-       |    FROM adc)
-       |  WHERE rn_a <= 50),
-       |scored AS (
-       |  SELECT s.q_id, s.cand_id,
-       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-       |                           CAST(ce.embedding AS DOUBLE[])) AS cos
-       |  FROM short s
-       |  JOIN embeddings qe ON qe.vec_id = s.q_id
-       |  JOIN embeddings ce ON ce.vec_id = s.cand_id),
-       |r AS (SELECT q_id, cand_id, cos,
-       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |      FROM scored)
-       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  /** PQ code columns (code0..code{numSub−1}): nearest codebook
-    * centroid per subvector — the encode step, shared by s04/s05 and
-    * the persisted PqIndex build. */
-  private[graft] def pqEncodeCols(codebooks: Seq[Seq[Seq[Double]]],
-                                  sub: Int): Seq[org.apache.spark.sql.Column] =
-    codebooks.indices.map { m =>
-      element_at(graft.functions.GraftColumns.nearestClusters(
-        slice(col("embedding"), m * sub + 1, sub),
-        codebooks(m).map(_.toArray).toArray, 1), 1).as(s"code$m")
-    }
-
-  /** ADC shortlist over a coded frame that already carries
-    * (q_id, q_vec, cand_id, code0..): reconstruction from codebook
-    * plan literals, native cosine, per-query top-`shortlist`. The
-    * caller chooses the candidate generation (crossJoin for s04's
-    * flat scan, probed-list join for s05) — the scoring is one
-    * definition. */
-  private[graft] def pqAdcShortlist(codedQs: DataFrame,
-      codebooks: Seq[Seq[Seq[Double]]], shortlist: Int): DataFrame = {
-    val recon = flatten(array(codebooks.indices.map { m =>
-      element_at(typedlit(codebooks(m)), col(s"code$m") + 1)
-    }: _*))
-    val wApprox = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx_cos").desc, col("cand_id"))
-    codedQs
-      .withColumn("approx_cos", VF.cosine(col("q_vec"), recon))
-      .withColumn("rn_a", row_number().over(wApprox))
-      .filter(col("rn_a") <= shortlist)
-      .select(col("q_id"), col("cand_id"))
-  }
-
-  /** Exact re-rank of a (q_id, cand_id) shortlist against full
-    * vectors — shortlist × queries rows only, never the corpus. */
-  private[graft] def pqRerank(short: DataFrame, emb: DataFrame,
-                              qs: DataFrame, k: Int): DataFrame = {
-    val wExact = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    short
-      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
-      .join(broadcast(qs), "q_id")
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wExact))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  private val s04: Q = (s, d) => {
-    // shortlist = 10× the final k, the usual PQ re-rank budget: at
-    // corpus scale it is a CONSTANT per query while the compressed
-    // scan it follows is what grows.
-    val numSub = 8; val ksub = 16; val shortlist = 50
-    val emb = T.embeddings(s, d)
-    val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
-    val coded = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id") +: pqEncodeCols(codebooks, sub): _*)
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    // Stage 1 — ADC shortlist over codes only (the compressed scan);
-    // Stage 2 — exact re-rank fetches full vectors for the shortlist.
-    val short = pqAdcShortlist(coded.crossJoin(broadcast(qs)), codebooks, shortlist)
-    pqRerank(short, emb, qs, k = 5)
-  }
-
-  private val s04Sql: String =
-    s"""WITH $pqFitSql,
-       |${pqScoreSql(
-      s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec
-         |      FROM embeddings WHERE vec_id < 10),
-         |adc AS (
-         |  SELECT q.q_id, r.vec_id AS cand_id,
-         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), r.rv) AS approx_cos
-         |  FROM recon r CROSS JOIN q)""".stripMargin)}""".stripMargin
-
-  // -- s05: IVF-PQ ANN -----------------------------------------------------
-  // The production ANN composition — s03's probe-list restriction ×
-  // s04's compressed scoring, i.e. what FAISS deploys as IVFx,PQy:
-  // a query reads ONLY its nProbe inverted lists (√n-sized, so
-  // candidates ≈ √n·nProbe), and within those lists the ADC pass
-  // reads 8 one-byte codes per vector instead of dim floats (32×).
-  // The two levers multiply: at 100 TB the probe restriction bounds
-  // WHICH vectors are touched and PQ bounds the BYTES per touched
-  // vector; the exact re-rank then fetches full vectors for the
-  // per-query-constant shortlist only. Spherical PQ on raw vectors
-  // (not residuals) keeps the codebooks cluster-independent — one
-  // codebook set serves every list, the classic simplification when
-  // recall is re-rank-protected. Recall vs s01 is spec-gated
-  // (PipelineScaleSpec). ORACLE-EXACT since round 5: both fits are
-  // the replayable integer Lloyd, so quantizer + codebooks + ADC +
-  // re-rank all re-derive in DuckDB.
-  private val s05: Q = (s, d) => {
-    // nProbe 4 (vs s03's 2): PQ loses additional candidates inside
-    // the probed lists, so IVF-PQ spends more probes to hold recall —
-    // the standard FAISS tuning trade. 4 lists of √n vectors is still
-    // a vanishing fraction of a warehouse corpus.
-    val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
-    val n = T.embeddingsCount(s, d)
-    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, cents) = kmeansAssign(s, d, k, n)
-    val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
-    // inverted lists store (cluster, codes): 8 bytes + a list id per
-    // vector — the compressed index a 100-TB corpus can actually hold
-    val coded = assigned.filter(col("vec_id") >= 10)
-      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
-        pqEncodeCols(codebooks, sub): _*)
-    val probes = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      .withColumn("cluster", explode(
-        graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
-      .select(col("q_id"), col("q_vec"), col("cluster"))
-    // Stage 1 — ADC over the probed lists only ((q, cand) stays
-    // unique: single-assignment lists); Stage 2 — exact re-rank.
-    val emb = T.embeddings(s, d)
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val short = pqAdcShortlist(coded.join(broadcast(probes), "cluster"),
-      codebooks, shortlist)
-    pqRerank(short, emb, qs, k = 5)
-  }
-
-  private val s05Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |$pqFitSql,
-       |${pqScoreSql(
-      s"""${coarseAsgSql(maxRn = 4)},
-         |cand AS (SELECT vec_id, cluster FROM asg WHERE rn = 1 AND vec_id >= 10),
-         |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
-         |          FROM asg WHERE vec_id < 10),
-         |adc AS (
-         |  SELECT p.q_id, c.vec_id AS cand_id,
-         |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
-         |  FROM cand c
-         |  JOIN probe p ON c.cluster = p.cluster
-         |  JOIN recon r ON r.vec_id = c.vec_id)""".stripMargin)}""".stripMargin
-
-  // -- s19: RESIDUAL IVF-PQ (the true FAISS composition) -------------------
-  // s05 quantizes RAW vectors (spherical PQ, cluster-independent
-  // codebooks — the re-rank-protected simplification). The index
-  // FAISS actually ships as IVFx,PQy encodes RESIDUALS: r = x −
-  // c(x), because residuals concentrate near the origin once the
-  // coarse term is removed, so the same 8 bytes spend their
-  // resolution on the part of x the cell id doesn't already encode —
-  // a strictly better reconstruction at identical index bytes. The
-  // ADC score reconstructs x̂ = c(x) + r̂ and ranks by cosine; the
-  // exact re-rank is unchanged.
-  //
-  // Replayability: the residual is ONE IEEE subtraction per
-  // component of x from the DEQUANTIZED centroid (cv/1024 — an exact
-  // power-of-two division of an integer-valued double), identical in
-  // both engines; the residual codebooks are the same IntLloyd fit
-  // on the residual frame; and the reconstruction stays in the
-  // SCALED integer domain (cv + cb — exact integer-valued-double
-  // sums, cosine is scale-invariant) so the ADC ranking replays
-  // bit-for-bit.
-  //
-  // Scale: s05's shape exactly — one extra map-side zip_with for the
-  // residual, the codebook fit on the same capped sample, probes
-  // broadcast, candidates probed-list-sized.
-  private val s19: Q = (s, d) => {
-    val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
-    val n = T.embeddingsCount(s, d)
-    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, cents) = kmeansAssign(s, d, k, n)
-    // residual = x − c(x)/1024 (dequantized centroid; exact /2^10)
-    val centDeq = typedlit(cents.map(_.map(_ / graft.operators.IntLloyd.Scale).toSeq).toSeq)
-    val resid = assigned
-      .withColumn("residual", zip_with(
-        transform(col("embedding"), x => x.cast(DoubleType)),
-        element_at(centDeq, col("cluster") + 1),
-        (a, b) => a - b))
-      .select(col("vec_id"), col("cluster"), col("residual").as("embedding"))
-      .transform(graft.CacheScope.cached) // fit sample + encode read it
-    val cbs = graft.operators.IntLloyd.fit(
-      resid, "vec_id", "embedding", n,
-      numSub = numSub, subLen = PqSubLen, k = ksub, cap = 256L * ksub,
-      iters = PqIters, salt = "pqres")
-      .map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq
-    val coded = resid.filter(col("vec_id") >= 10)
-      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
-        pqEncodeCols(cbs, PqSubLen): _*)
-    val emb = T.embeddings(s, d)
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val probes = qs.withColumn("cluster", explode(
-      graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
-      .select(col("q_id"), col("q_vec"), col("cluster"))
-    // ADC: x̂ in the SCALED domain — coarse centroid + residual
-    // codebook entries, exact integer-valued-double sums
-    val centScaled = typedlit(cents.map(_.toSeq).toSeq)
-    val reconRes = flatten(array(cbs.indices.map { m =>
-      element_at(typedlit(cbs(m)), col(s"code$m") + 1)
-    }: _*))
-    val reconFull = zip_with(
-      element_at(centScaled, col("cluster") + 1), reconRes, (a, b) => a + b)
-    val wApprox = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx_cos").desc, col("cand_id"))
-    val short = coded.join(broadcast(probes), "cluster")
-      .withColumn("approx_cos", VF.cosine(col("q_vec"), reconFull))
-      .withColumn("rn_a", row_number().over(wApprox))
-      .filter(col("rn_a") <= shortlist)
-      .select(col("q_id"), col("cand_id"))
-    pqRerank(short, emb, qs, k = 5)
-  }
-
-  // DuckDB inlines a CTE at every reference site, so frames shared by
-  // the fit chain AND the encode/probe chain (asg, res, codes, recon)
-  // would multiply the unrolled Lloyd expansion — past the open-file
-  // limit once s11 composes all seven rungs. MATERIALIZED pins each
-  // shared frame to one evaluation; a pure execution hint, zero
-  // semantic content.
-  private val s19Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 4).replace("asg AS (", "asg AS MATERIALIZED (")},
-       |res AS MATERIALIZED (
-       |  SELECT a.vec_id, a.cluster,
-       |    list_transform(range(1, $EmbDim + 1), i ->
-       |      CAST(a.embedding[i] AS DOUBLE) - k.cv[i] / 1024.0) AS embedding
-       |  FROM asg a JOIN kmcent k ON a.cluster = k.cluster
-       |  WHERE a.rn = 1),
-       |${graft.operators.IntLloyd.fitSql(
-        srcSql = "SELECT vec_id, embedding FROM res",
-        idExpr = "vec_id", vecExpr = "embedding",
-        numSub = PqNumSub, subLen = PqSubLen,
-        kExpr = "CAST(16 AS BIGINT)", capExpr = "CAST(4096 AS BIGINT)",
-        iters = PqIters, salt = "pqres", p = "pq")},
-       |codes AS MATERIALIZED (
-       |  SELECT vec_id, cluster, m, code FROM (
-       |    SELECT r.vec_id, r.cluster, c.m, c.cluster AS code,
-       |      row_number() OVER (PARTITION BY r.vec_id, c.m ORDER BY
-       |        list_cosine_similarity(
-       |          (CAST(r.embedding AS DOUBLE[]))[(c.m*$PqSubLen+1):((c.m+1)*$PqSubLen)],
-       |          c.cv) DESC, c.cluster) AS rn
-       |    FROM res r CROSS JOIN pqcent c
-       |    WHERE r.vec_id >= 10)
-       |  WHERE rn = 1),
-       |recon AS MATERIALIZED (
-       |  SELECT co.vec_id, co.cluster,
-       |    list_transform(range(1, $EmbDim + 1), i -> k.cv[i] + rv[i]) AS rv
-       |  FROM (SELECT vec_id, cluster, flatten(list(cv ORDER BY m)) AS rv
-       |        FROM (SELECT co.vec_id, co.cluster, co.m, c.cv
-       |              FROM codes co JOIN pqcent c ON c.m = co.m AND c.cluster = co.code)
-       |        GROUP BY vec_id, cluster) co
-       |  JOIN kmcent k ON co.cluster = k.cluster),
-       |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
-       |          FROM asg WHERE vec_id < 10),
-       |adc AS (
-       |  SELECT p.q_id, r.vec_id AS cand_id,
-       |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
-       |  FROM recon r JOIN probe p ON r.cluster = p.cluster),
-       |short AS (
-       |  SELECT q_id, cand_id FROM (
-       |    SELECT q_id, cand_id,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, cand_id) AS rn_a
-       |    FROM adc)
-       |  WHERE rn_a <= 50),
-       |scored AS (
-       |  SELECT s.q_id, s.cand_id,
-       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-       |                           CAST(ce.embedding AS DOUBLE[])) AS cos
-       |  FROM short s
-       |  JOIN embeddings qe ON qe.vec_id = s.q_id
-       |  JOIN embeddings ce ON ce.vec_id = s.cand_id),
-       |r AS (SELECT q_id, cand_id, cos,
-       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |      FROM scored)
-       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  // ======================= text analysis: documents ========================
-
-  // -- s14: scalar-quantized (SQ8) ANN with exact rerank -------------------
-  // The FAISS-class SQ8 rung the ladder was missing, between s01's raw
-  // brute force and s04's PQ: quantize every dimension to one byte
-  // against per-dimension corpus [min, max] (4x memory-bandwidth
-  // compression at dim 64 - the reason SQ8 exists), rank candidates by
-  // the INTEGER code dot product (exact BIGINT sums, order-free, so
-  // the approximate ranking itself replays bit-for-bit - no float
-  // fold anywhere in the selection), keep k x overfetch survivors,
-  // then rerank those few on the true float vectors (the native
-  // cosine, bit-identical to DuckDB's list_cosine_similarity).
-  //
-  // Scale shape: the fit is ONE corpus pass - posexplode is map-side
-  // and groupBy(dim) partial-aggregates to 64 rows per partition
-  // before the exchange, so the shuffle moves 64 x partitions tiny
-  // rows; the 64-row min/max frame is a bounded driver artifact
-  // (IntLloyd's precedent) folded into the quantize lambda as array
-  // literals. The probe is s01's broadcast shape over CODES (zero
-  // fact shuffles; the top-k exchange carries only ids + one long),
-  // and the exact rerank touches k x overfetch rows per query joined
-  // back by id. Quantization arithmetic is the same pinned IEEE
-  // sequence in both engines (sub, mul 255.0, div, floor, clamp), so
-  // codes - and therefore the admitted survivor set - are
-  // oracle-certified, not just the final rows.
-  private val s14: Q = (s, d) => {
-    val k = 5; val overfetch = 4
-    val emb = T.embeddings(s, d)
-    val corpus = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding"))
-    val mm = corpus
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(min(col("x").cast(DoubleType)).as("mn"), max(col("x").cast(DoubleType)).as("mx"))
-      .orderBy(col("i")).collect() // one row per dimension (64): bounded fit artifact
-    val mns = array(mm.map(r => lit(r.getDouble(1))): _*)
-    val mxs = array(mm.map(r => lit(r.getDouble(2))): _*)
-    val codeExpr = expr(
-      """transform(embedding, (x, i) ->
-        |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0
-        |       ELSE CAST(least(255.0, greatest(0.0,
-        |              floor(((CAST(x AS DOUBLE) - element_at(mns, i + 1)) * 255.0)
-        |                    / (element_at(mxs, i + 1) - element_at(mns, i + 1))))) AS INT)
-        |  END)""".stripMargin)
-    val selfDot = (c: String) => expr(
-      s"aggregate(zip_with($c, $c, (a, b) -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-    val ccodes = corpus.withColumn("mns", mns).withColumn("mxs", mxs)
-      .withColumn("codes", codeExpr)
-      .withColumn("c_norm2", selfDot("codes"))
-      .select(col("cand_id"), col("codes"), col("c_norm2"))
-    val qcodes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding"))
-      .withColumn("mns", mns).withColumn("mxs", mxs)
-      .withColumn("q_codes", codeExpr)
-      .withColumn("q_norm2", selfDot("q_codes"))
-      .select(col("q_id"), col("q_codes"), col("q_norm2"))
-    // rank by the QUANTIZED COSINE, not the raw dot — the selection
-    // must approximate the metric the rerank decides on, or large-norm
-    // candidates crowd out true neighbors. Exact-int inputs, one
-    // exactly-rounded sqrt + one division → bit-identical both engines.
-    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("cand_id"))
-    val survivors = ccodes.crossJoin(broadcast(qcodes))
-      .withColumn("approx_dot", expr(
-        "aggregate(zip_with(q_codes, codes, (a, b) -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .withColumn("approx_cos", when(col("c_norm2") === 0L || col("q_norm2") === 0L, lit(-1.0))
-        .otherwise(col("approx_dot").cast(DoubleType) /
-          sqrt(col("c_norm2").cast(DoubleType) * col("q_norm2").cast(DoubleType))))
-      .select(col("q_id"), col("cand_id"), col("approx_dot"), col("approx_cos")) // skinny top-k exchange
-      .withColumn("rn_a", row_number().over(wA))
-      .filter(col("rn_a") <= k * overfetch)
-      .drop("rn_a", "approx_cos")
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val wR = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    broadcast(survivors)
-      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
-      .join(broadcast(qs), "q_id")
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wR))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("cand_id"), col("approx_dot"),
-        round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  private val s14Sql =
-    """WITH mm AS (
-      |  SELECT i, MIN(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mn,
-      |         MAX(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mx
-      |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
-      |  WHERE vec_id >= 10 GROUP BY i),
-      |mmarr AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
-      |cc AS (
-      |  SELECT vec_id AS cand_id,
-      |    list_transform(generate_series(1, CAST(len(embedding) AS INTEGER)),
-      |      i -> CASE WHEN mxs[i] = mns[i] THEN 0
-      |                ELSE CAST(least(255.0, greatest(0.0,
-      |                       floor(((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0)
-      |                             / (mxs[i] - mns[i])))) AS INTEGER) END) AS codes
-      |  FROM embeddings, mmarr WHERE vec_id >= 10),
-      |qc AS (
-      |  SELECT vec_id AS q_id,
-      |    list_transform(generate_series(1, CAST(len(embedding) AS INTEGER)),
-      |      i -> CASE WHEN mxs[i] = mns[i] THEN 0
-      |                ELSE CAST(least(255.0, greatest(0.0,
-      |                       floor(((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0)
-      |                             / (mxs[i] - mns[i])))) AS INTEGER) END) AS q_codes
-      |  FROM embeddings, mmarr WHERE vec_id < 10),
-      |scored AS (
-      |  SELECT q_id, cand_id,
-      |    CAST(list_sum(list_transform(generate_series(1, len(q_codes)),
-      |      i -> CAST(q_codes[i] AS BIGINT) * codes[i])) AS BIGINT) AS approx_dot,
-      |    CAST(list_sum(list_transform(generate_series(1, len(codes)),
-      |      i -> CAST(codes[i] AS BIGINT) * codes[i])) AS BIGINT) AS c_norm2,
-      |    CAST(list_sum(list_transform(generate_series(1, len(q_codes)),
-      |      i -> CAST(q_codes[i] AS BIGINT) * q_codes[i])) AS BIGINT) AS q_norm2
-      |  FROM cc, qc),
-      |cosed AS (
-      |  SELECT q_id, cand_id, approx_dot,
-      |    CASE WHEN c_norm2 = 0 OR q_norm2 = 0 THEN -1.0
-      |         ELSE CAST(approx_dot AS DOUBLE)
-      |              / sqrt(CAST(c_norm2 AS DOUBLE) * CAST(q_norm2 AS DOUBLE)) END AS approx_cos
-      |  FROM scored),
-      |surv AS (
-      |  SELECT q_id, cand_id, approx_dot,
-      |    row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, cand_id) AS rn_a
-      |  FROM cosed),
-      |rer AS (
-      |  SELECT s.q_id, s.cand_id, s.approx_dot,
-      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
-      |  FROM surv s
-      |  JOIN embeddings c ON c.vec_id = s.cand_id
-      |  JOIN embeddings q ON q.vec_id = s.q_id
-      |  WHERE s.rn_a <= 20),
-      |r AS (
-      |  SELECT q_id, cand_id, approx_dot, cos,
-      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-      |  FROM rer)
-      |SELECT q_id, cand_id, approx_dot, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-      |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  // -- s15: k-NN majority-vote classification ------------------------------
-  // The application rung on top of the ANN ladder: predict a probe
-  // vector's label by majority vote of its k nearest LABELED corpus
-  // vectors (the classic k-NN classifier — cover for downstream tasks
-  // like topic tagging and near-dup label propagation). Probes =
-  // vec_id < 20 with their stored labels held out as ground truth;
-  // corpus = the labeled rest. Neighbor selection is s01's exact
-  // top-k (cosine desc, cand_id asc tie-break); the VOTE is fully
-  // deterministic too — argmax by (votes desc, best_rank asc,
-  // label asc), where best_rank breaks vote ties in favor of the
-  // label holding the single closest neighbor, mirroring
-  // distance-weighted practice without introducing doubles.
-  //
-  // Scale: probes broadcast (bounded query set), corpus scanned
-  // map-only, ONE window shuffle on q_id for top-k (s01's shape —
-  // at warehouse scale the per-partition TakeOrdered happens in the
-  // window's partial sort); the vote runs over k×|probes| rows.
-  // Swapping the selection stage for s08's index-pruned exact top-k
-  // keeps the vote unchanged — selection and decision are separate
-  // stages by construction.
-  private val s15: Q = (s, d) => {
-    val k = 10
-    val emb = T.embeddings(s, d)
-    val qs = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("label").as("actual_label"))
-    val cands = emb.filter(col("vec_id") >= 20)
-      .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    val neighbors = cands.crossJoin(broadcast(qs))
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= k)
-    val wVote = Window.partitionBy(col("q_id"))
-      .orderBy(col("votes").desc, col("best_rank"), col("label"))
-    neighbors
-      .groupBy(col("q_id"), col("actual_label"), col("label"))
-      .agg(count(lit(1)).as("votes"), min(col("rn")).as("best_rank"))
-      .withColumn("vr", row_number().over(wVote))
-      .filter(col("vr") === 1)
-      .select(col("q_id"), col("actual_label"),
-        col("label").as("pred_label"), col("votes"),
-        (col("label") === col("actual_label")).as("correct"))
-      .orderBy(col("q_id"))
-  }
-
-  private val s15Sql =
-    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS actual_label
-      |           FROM embeddings WHERE vec_id < 20),
-      |c AS (SELECT vec_id AS cand_id, embedding, label
-      |      FROM embeddings WHERE vec_id >= 20),
-      |scored AS (
-      |  SELECT q_id, actual_label, cand_id, label,
-      |    list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
-      |  FROM c, q),
-      |nn AS (
-      |  SELECT q_id, actual_label, label,
-      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-      |  FROM scored),
-      |votes AS (
-      |  SELECT q_id, actual_label, label,
-      |    CAST(COUNT(*) AS BIGINT) AS votes, MIN(rn) AS best_rank
-      |  FROM nn WHERE rn <= 10 GROUP BY 1, 2, 3),
-      |ranked AS (
-      |  SELECT q_id, actual_label, label, votes,
-      |    row_number() OVER (PARTITION BY q_id
-      |      ORDER BY votes DESC, best_rank, label) AS vr
-      |  FROM votes)
-      |SELECT q_id, actual_label, label AS pred_label, votes,
-      |  label = actual_label AS correct
-      |FROM ranked WHERE vr = 1 ORDER BY q_id""".stripMargin
-
-  // -- s16: graph-index ANN (k-NN graph + pivot entry + frontier) ----------
-  // The ladder's graph rung — the index family (NSW/HNSW class) that
-  // dominates deployed ANN. Deterministic, fully replayable form:
-  //
-  //  BUILD: a k-NN GRAPH over the candidates — each node keeps its
-  //  top-M neighbors by exact cosine among a BOUNDED candidate pool
-  //  (co-members of its 2 nearest coarse cells — multi-probe overlap
-  //  makes edges cross cell boundaries, so walks can leave the entry
-  //  cell; the per-cell bound is what makes an N²-free graph build
-  //  possible at all, the same role NN-descent plays in production
-  //  builds).
-  //  SEARCH: enter at the best PIVOT (per-cell representative =
-  //  min-id member, ranked by query cosine) and expand a fixed
-  //  2-hop frontier over the out-edges — entry ∪ N(entry) ∪
-  //  N²(entry), ≤ 1+M+M² nodes — then exact-score the frontier and
-  //  keep the top-k. A deployed HNSW replaces the fixed horizon with
-  //  a data-dependent greedy beam; the fixed horizon is the
-  //  replayable form (every step is a join, so the oracle replays
-  //  build AND search exactly), and s11's recall grid prices what the
-  //  horizon gives up.
-  //
-  // Scale: build is per-cell-bounded pairs (≈ N·cell, not N²) + one
-  // window top-M; search touches k-row pivot broadcast + two edge
-  // joins + ≤ 1+M+M² exact scores per query — the index lives as the
-  // edges frame (persistable like RangeIvfIndex).
-  private[graft] val GraphM = 6
-
-  /** 2-probe graph assignment under a (possibly frozen) centroid
-    * matrix: one row per (node, cell) membership, carrying the node's
-    * PRIMARY cell (`prim` = its 1-probe cell) — the partition key the
-    * persisted edges frame uses, so maintenance rewrites touch only
-    * the affected cells' files. */
-  private[graft] def graphAssign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
-    emb.select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") >= 10)
-      .withColumn("ncs",
-        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 2))
-      .withColumn("prim", element_at(col("ncs"), 1))
-      .withColumn("cluster", explode(col("ncs")))
-      .select(col("vec_id"), col("embedding"), col("prim"), col("cluster"))
-
-  /** Top-M out-edges for the `aSide` nodes against the `pool`
-    * memberships (both 2-probe frames; pool needs vec_id/embedding/
-    * cluster): per-cell pairs, max-cos dedup over 2-probe overlap,
-    * one top-M window. Edges carry their a-node's prim as `cell`
-    * (the persisted partition column) and the exact cosine (so
-    * maintenance can re-rank old edges without an embedding join). */
-  private[graft] def graphEdgesFor(aSide: DataFrame, pool: DataFrame): DataFrame = {
-    val pairs = aSide
-      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
-        col("prim").as("cell"), col("cluster"))
-      .join(pool.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
-        col("cluster")), Seq("cluster"))
-      .filter(col("a_id") =!= col("b_id"))
-      .withColumn("cos", VF.cosine(col("a_vec"), col("b_vec")))
-      .groupBy(col("a_id"), col("cell"), col("b_id")).agg(max(col("cos")).as("cos"))
-    val we = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
-    pairs.withColumn("rn", row_number().over(we)).filter(col("rn") <= GraphM)
-      .select(col("a_id"), col("b_id"), col("cos"), col("cell"))
-  }
-
-  /** Per-cell entry pivots over a 2-probe assignment: each cell's
-    * MIN-ID 1-probe member with its vector (min on a (vec_id, vec)
-    * struct — comparison decides on the unique id, the vector rides
-    * along, so no second join against the corpus). */
-  private[graft] def graphPivots(assigned: DataFrame): DataFrame =
-    assigned.filter(col("cluster") === col("prim"))
-      .groupBy(col("cluster"))
-      .agg(min(struct(col("vec_id"), col("embedding"))).as("m"))
-      .select(col("cluster"), col("m.vec_id").as("pid"), col("m.embedding").as("p_vec"))
-
-  /** Full graph-index build under a given centroid matrix:
-    * (assigned, edges, pivots). One definition for the per-query s16
-    * path, the persisted GraphIndex, and the frozen-fit parity
-    * targets the maintenance specs compare against. */
-  private[graft] def graphBuildFrom(emb: DataFrame, cents: Array[Array[Double]])
-      : (DataFrame, DataFrame, DataFrame) = {
-    val assigned = graphAssign(emb, cents)
-    (assigned, graphEdgesFor(assigned, assigned), graphPivots(assigned))
-  }
-
-  /** The s16 graph-index BUILD over (vec_id, embedding): fit the
-    * coarse quantizer, then [[graphBuildFrom]]. Returns the frames
-    * the fixed-horizon/beam searches walk. */
-  private[graft] def graphIndexFrames(emb: DataFrame, n: Long): (DataFrame, DataFrame) = {
-    val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cents =
-      kmeansAssignDf(emb.select(col("vec_id"), col("embedding")), kk, n)._2
-    val (_, edges, piv) = graphBuildFrom(emb, cents)
-    (edges.select(col("a_id"), col("b_id")), piv)
-  }
-
-  /** Frozen-fit graph maintenance (s12's contract carried to the
-    * graph rung — the one the round-9 verdict said does NOT carry
-    * over naively, which is exactly why the affected neighborhoods
-    * are re-derived EXACTLY rather than approximated): given the base
-    * index frames and a delta batch, produce frames EQUAL to the
-    * frozen-fit one-shot build over base ∪ delta.
-    *
-    *  - delta rows assign to the frozen centroids (map-only);
-    *  - delta nodes' edges compute over their true pools — the
-    *    touched cells' members, base ∪ delta (a partition-pruned
-    *    read: only the touched `cluster=` directories);
-    *  - an existing node's candidate pool only GROWS under an append,
-    *    and top-M of a grown pool = top-M of (old top-M ∪ growth) —
-    *    the stored edge cosines make the merge a delta-sized join
-    *    with NO base-pool rescan (the old top-M was the pool's top-M,
-    *    so anything it excluded stays excluded);
-    *  - pivots min-merge per touched primary cell (min associative).
-    *
-    * Returns (deltaAssigned, rewritten edge rows for the touched
-    * partitions, touchedEdgeCells, mergedPivots): the disk path
-    * dynamic-overwrites exactly those partitions; the in-memory path
-    * unions the rewritten rows with the untouched rest. */
-  private[graft] def graphAppendFrames(
-      assignedBase: DataFrame, edgesBase: DataFrame, pivBase: DataFrame,
-      delta: DataFrame, cents: Array[Array[Double]])
-      : (DataFrame, DataFrame, Seq[Int], DataFrame) = {
-    val deltaAsg = graphAssign(delta, cents)
-    val touched = deltaAsg.select(col("cluster")).distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ 2·|delta| and ≤ k cell ids
-    val basePool = assignedBase.filter(col("cluster").isin(touched: _*))
-    val poolAll = basePool.select(col("vec_id"), col("embedding"), col("cluster"))
-      .unionByName(deltaAsg.select(col("vec_id"), col("embedding"), col("cluster")))
-    val deltaEdges = graphEdgesFor(deltaAsg, poolAll)
-    // base nodes whose pools grew: anyone with a membership row in a
-    // touched cell (their new candidates are the delta co-members)
-    val affIds = basePool.select(col("vec_id")).distinct()
-    val candNew = basePool
-      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
-        col("prim").as("cell"), col("cluster"))
-      .join(deltaAsg.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
-        col("cluster")), Seq("cluster"))
-      .withColumn("cos", VF.cosine(col("a_vec"), col("b_vec")))
-      .groupBy(col("a_id"), col("cell"), col("b_id")).agg(max(col("cos")).as("cos"))
-    val we = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
-    val mergedAff = edgesBase
-      .join(affIds.withColumnRenamed("vec_id", "a_id"), Seq("a_id"))
-      .select(col("a_id"), col("cell"), col("b_id"), col("cos"))
-      .unionByName(candNew.select(col("a_id"), col("cell"), col("b_id"), col("cos")))
-      .withColumn("rn", row_number().over(we)).filter(col("rn") <= GraphM)
-      .select(col("a_id"), col("b_id"), col("cos"), col("cell"))
-    val touchedEdgeCells = basePool.select(col("prim"))
-      .unionByName(deltaAsg.select(col("prim")))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val carry = edgesBase.filter(col("cell").isin(touchedEdgeCells: _*))
-      .join(affIds.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
-    val rewritten = carry.select(col("a_id"), col("b_id"), col("cos"), col("cell"))
-      .unionByName(mergedAff)
-      .unionByName(deltaEdges.select(col("a_id"), col("b_id"), col("cos"), col("cell")))
-    val deltaPiv = graphPivots(deltaAsg)
-      .withColumnRenamed("pid", "pid2").withColumnRenamed("p_vec", "p_vec2")
-    val takeDelta = col("pid").isNull || (col("pid2").isNotNull && col("pid2") < col("pid"))
-    val mergedPiv = pivBase.join(deltaPiv, Seq("cluster"), "full_outer")
-      .select(col("cluster"),
-        when(takeDelta, col("pid2")).otherwise(col("pid")).as("pid"),
-        when(takeDelta, col("p_vec2")).otherwise(col("p_vec")).as("p_vec"))
-    (deltaAsg, rewritten, touchedEdgeCells, mergedPiv)
-  }
-
-  /** Graph compaction: remove tombstoned nodes and restore the index
-    * to EXACTLY the frozen-fit one-shot build over the survivors.
-    * Unlike the IVF/PQ rungs, deletes here aren't free at probe time
-    * forever: survivors who shared a cell with a deleted node have a
-    * hole in their top-M (the probe routes around it, but recall
-    * decays as tombstones accumulate), so compaction re-derives those
-    * neighborhoods EXACTLY — each affected node's top-M recomputes
-    * over its full surviving pool (partition-pruned to the affected
-    * nodes' cells); unaffected nodes' pools are untouched so their
-    * edges carry over bit-identically. Pivots recompute for cells
-    * that lost members (empty cells drop their pivot row, exactly as
-    * a fresh build would). Returns (survivor assignment, rewritten
-    * edge rows, edge cells to rewrite, assignment cells to rewrite,
-    * new pivots). */
-  private[graft] def graphCompactFrames(
-      assigned: DataFrame, edges: DataFrame, piv: DataFrame, tombIds: DataFrame)
-      : (DataFrame, DataFrame, Seq[Int], Seq[Int], DataFrame) = {
-    val tombV = tombIds.select(col("cand_id").as("vec_id"))
-    val tombAsg = assigned.join(tombV, Seq("vec_id"))
-    val affCells = tombAsg.select(col("cluster")).distinct()
-      .collect().map(_.getInt(0)).toSeq // cells that lost a member
-    val surv = assigned.join(tombV, Seq("vec_id"), "left_anti")
-    val affIds = surv.filter(col("cluster").isin(affCells: _*))
-      .select(col("vec_id")).distinct()
-    val poolCells = surv.join(affIds, Seq("vec_id"))
-      .select(col("cluster")).distinct().collect().map(_.getInt(0)).toSeq
-    val pool = surv.filter(col("cluster").isin(poolCells: _*))
-    val aSide = pool.join(affIds, Seq("vec_id"))
-    val recomputed = graphEdgesFor(
-      aSide, pool.select(col("vec_id"), col("embedding"), col("cluster")))
-    val rewriteCells = aSide.select(col("prim"))
-      .unionByName(tombAsg.select(col("prim")))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val tombA = tombV.withColumnRenamed("vec_id", "a_id")
-    val carry = edges.filter(col("cell").isin(rewriteCells: _*))
-      .join(affIds.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
-      .join(tombA, Seq("a_id"), "left_anti")
-    val rewritten = carry.select(col("a_id"), col("b_id"), col("cos"), col("cell"))
-      .unionByName(recomputed.select(col("a_id"), col("b_id"), col("cos"), col("cell")))
-    val newPiv = piv.filter(!col("cluster").isin(affCells: _*))
-      .unionByName(graphPivots(surv.filter(col("prim").isin(affCells: _*))))
-    (surv, rewritten, rewriteCells, affCells, newPiv)
-  }
-
-  /** The s16 SEARCH over built graph frames: best-pivot entry, fixed
-    * 2-hop frontier expansion, exact scoring, top-k. One definition
-    * for the per-query path and the persisted-index probe. */
-  private[graft] def graphProbe(edges: DataFrame, piv: DataFrame,
-                                q: DataFrame, emb: DataFrame, k: Int): DataFrame = {
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
-    val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
-      .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
-      .withColumn("prn", row_number().over(wq)).filter(col("prn") === 1)
-      .select(col("q_id"), col("pid"))
-    val f0 = entry.select(col("q_id"), col("pid").as("node"))
-    val f1 = f0.join(edges.as("e1"), f0("node") === col("e1.a_id"))
-      .select(f0("q_id"), col("e1.b_id").as("node"))
-    val f2 = f1.join(edges.as("e2"), f1("node") === col("e2.a_id"))
-      .select(f1("q_id"), col("e2.b_id").as("node"))
-    val frontier = f0.union(f1).union(f2).distinct()
-    val ws = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    frontier
-      .join(emb.select(col("vec_id").as("node"), col("embedding").as("c_vec")), "node")
-      .join(broadcast(q), "q_id")
-      .withColumn("cos", VF.cosine(col("q_vec"), col("c_vec")))
-      .withColumnRenamed("node", "cand_id")
-      .withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  private val s16: Q = (s, d) => {
-    val emb = T.embeddings(s, d)
-    val n = T.embeddingsCount(s, d)
-    val (edges0, piv) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
-    val edges = edges0.transform(graft.CacheScope.cached) // walked twice (1-hop, 2-hop)
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    graphProbe(edges, piv, q, emb, k = 5)
-  }
-
-  // ROUND(,4) safe as in s01/s03: every emitted cosine is one of the
-  // exact candidate cosines. The oracle replays fit, 2-probe cells,
-  // graph build (top-M window), pivot entry and the 2-hop frontier.
-  // ONE body shared by the s16/s21/s22 oracles so the build/search
-  // replay cannot drift per query: s21 swaps only the upstream fit
-  // (base-corpus source), s22 only the scored-frontier filter.
-  private def graphSqlBody(scoredFilter: String): String =
-    s"""ccell AS (SELECT vec_id, embedding, cluster FROM asg WHERE vec_id >= 10),
-       |pairsg AS (
-       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |    MAX(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                               CAST(b.embedding AS DOUBLE[]))) AS cos
-       |  FROM ccell a JOIN ccell b
-       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-       |  GROUP BY 1, 2),
-       |edges AS (
-       |  SELECT a_id, b_id FROM (
-       |    SELECT a_id, b_id,
-       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
-       |    FROM pairsg)
-       |  WHERE rn <= 6),
-       |piv AS (
-       |  SELECT p.cluster, p.pid, e.embedding AS p_vec
-       |  FROM (SELECT cluster, MIN(vec_id) AS pid
-       |        FROM asg WHERE rn = 1 AND vec_id >= 10 GROUP BY cluster) p
-       |  JOIN embeddings e ON e.vec_id = p.pid),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-       |entry AS (
-       |  SELECT q_id, pid FROM (
-       |    SELECT q.q_id, p.pid,
-       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-       |        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
-       |                               CAST(p.p_vec AS DOUBLE[])) DESC, p.pid) AS prn
-       |    FROM q CROSS JOIN piv p)
-       |  WHERE prn = 1),
-       |f1 AS (SELECT en.q_id, ed.b_id AS node FROM entry en JOIN edges ed ON ed.a_id = en.pid),
-       |f2 AS (SELECT f1.q_id, ed.b_id AS node FROM f1 JOIN edges ed ON ed.a_id = f1.node),
-       |frontier AS (
-       |  SELECT q_id, pid AS node FROM entry
-       |  UNION SELECT q_id, node FROM f1
-       |  UNION SELECT q_id, node FROM f2),
-       |scored AS (
-       |  SELECT fr.q_id, fr.node AS cand_id,
-       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
-       |                           CAST(e.embedding AS DOUBLE[])) AS cos
-       |  FROM frontier fr JOIN q USING (q_id) JOIN embeddings e ON e.vec_id = fr.node
-       |  $scoredFilter)
-       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-       |FROM (
-       |  SELECT q_id, cand_id, cos,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |  FROM scored)
-       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  private val s16Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 2)},
-       |${graphSqlBody(scoredFilter = "")}""".stripMargin
-
-  // -- s20: greedy beam search on the graph index ---------------------------
-  // The data-dependent search deployed HNSW/NSW systems actually run,
-  // replacing s16's fixed 2-hop horizon: enter at the best pivot,
-  // then B bounded rounds of expand-the-beam — each round takes the
-  // current top-`beam` visited nodes (BY QUERY COSINE — this is what
-  // makes the walk data-dependent: where the frontier grows next
-  // depends on what the query has seen, not on a fixed radius),
-  // follows their out-edges, scores the arrivals, and folds them into
-  // the visited set. Final answer: top-k of everything visited. Every
-  // round is a join + window, so the oracle replays the ENTIRE walk —
-  // a greedy search whose approximation is still bit-replayable. The
-  // round count bounds the hop DEPTH at `rounds` (vs s16's hard 2),
-  // so the beam reaches across the graph where the fixed horizon
-  // stops; s11's grid prices the recall difference at equal M.
-  //
-  // Scale: per query per round ≤ beam·M new scores (beam=4, M=6 →
-  // ≤24), visited ≤ 1 + rounds·beam·M rows/query; edges are walked
-  // `rounds` times (persist-scoped like s16's; at warehouse scale
-  // bucket edges BY a_id so every hop join co-locates). Beam state
-  // is per-query-bounded — the window never sees more than the
-  // visited set. Nothing touches the corpus beyond the walked nodes.
-  private[graft] def beamProbe(edges: DataFrame, piv: DataFrame,
-                               q: DataFrame, emb: DataFrame,
-                               k: Int, beam: Int, rounds: Int): DataFrame = {
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
-    val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
-      .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
-      .withColumn("prn", row_number().over(wq)).filter(col("prn") === 1)
-      .select(col("q_id"), col("pid").as("node"))
-    val embn = emb.select(col("vec_id").as("node"), col("embedding").as("c_vec"))
-    // score is a pure function of (q_id, node) — identical bits every
-    // time it's recomputed, so set-union dedup is safe on the triple
-    def scored(nodes: DataFrame): DataFrame = nodes
-      .join(embn, "node").join(broadcast(q), "q_id")
-      .withColumn("cos", VF.cosine(col("q_vec"), col("c_vec")))
-      .select(col("q_id"), col("node"), col("cos"))
-    val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
-    var visited = scored(entry)
-    (1 to rounds).foreach { _ =>
-      // persist each round's visited set: the next round reads it
-      // twice (beam selection + union), and without a cut the plan
-      // re-derives the whole walk per reference (2^rounds blowup)
-      visited = graft.CacheScope.cached(visited)
-      val beamNodes = visited
-        .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
-        .select(col("q_id"), col("node"))
-      // later rounds' lineage already contains `edges` (the walk so
-      // far), so alias both sides — a bare column ref would be an
-      // ambiguous self-join to the analyzer
-      val arrivals = beamNodes.as("bm")
-        .join(edges.as("ed"), col("bm.node") === col("ed.a_id"))
-        .select(col("bm.q_id").as("q_id"), col("ed.b_id").as("node"))
-        .distinct()
-      visited = visited.unionByName(scored(arrivals)).distinct()
-    }
-    visited
-      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
-      .select(col("q_id"), col("node").as("cand_id"),
-        round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  private val s20: Q = (s, d) => {
-    val emb = T.embeddings(s, d)
-    val n = T.embeddingsCount(s, d)
-    val (edges0, piv) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
-    val edges = edges0.transform(graft.CacheScope.cached) // walked every round
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    beamProbe(edges, piv, q, emb, k = 5, beam = 4, rounds = 3)
-  }
-
-  // The oracle replays the walk round by round: vR = vR−1 ∪ scores of
-  // the nodes reached from vR−1's top-`beam`. MATERIALIZED pins the
-  // multiply-referenced CTEs (edges is walked every round; each vR is
-  // read twice) so DuckDB doesn't inline the graph build per round.
-  private val s20Sql: String = {
-    val B = 4; val R = 3; val K = 5
-    val roundCtes = (1 to R).map { r =>
-      s"""b$r AS (
-         |  SELECT q_id, node FROM (
-         |    SELECT q_id, node,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
-         |    FROM v${r - 1})
-         |  WHERE rn <= $B),
-         |x$r AS (
-         |  SELECT DISTINCT b.q_id, e.b_id AS node
-         |  FROM b$r b JOIN edges e ON e.a_id = b.node),
-         |v$r AS MATERIALIZED (
-         |  SELECT * FROM v${r - 1}
-         |  UNION
-         |  SELECT x.q_id, x.node,
-         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
-         |                           CAST(em.embedding AS DOUBLE[])) AS cos
-         |  FROM x$r x JOIN q USING (q_id)
-         |  JOIN embeddings em ON em.vec_id = x.node)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 2)},
-       |ccell AS (SELECT vec_id, embedding, cluster FROM asg WHERE vec_id >= 10),
-       |pairsg AS (
-       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |    MAX(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                               CAST(b.embedding AS DOUBLE[]))) AS cos
-       |  FROM ccell a JOIN ccell b
-       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-       |  GROUP BY 1, 2),
-       |edges AS MATERIALIZED (
-       |  SELECT a_id, b_id FROM (
-       |    SELECT a_id, b_id,
-       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
-       |    FROM pairsg)
-       |  WHERE rn <= 6),
-       |piv AS (
-       |  SELECT p.cluster, p.pid, e.embedding AS p_vec
-       |  FROM (SELECT cluster, MIN(vec_id) AS pid
-       |        FROM asg WHERE rn = 1 AND vec_id >= 10 GROUP BY cluster) p
-       |  JOIN embeddings e ON e.vec_id = p.pid),
-       |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec
-       |  FROM embeddings WHERE vec_id < 10),
-       |entry AS (
-       |  SELECT q_id, pid AS node FROM (
-       |    SELECT q.q_id, p.pid,
-       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-       |        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
-       |                               CAST(p.p_vec AS DOUBLE[])) DESC, p.pid) AS prn
-       |    FROM q CROSS JOIN piv p)
-       |  WHERE prn = 1),
-       |v0 AS MATERIALIZED (
-       |  SELECT en.q_id, en.node,
-       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
-       |                           CAST(em.embedding AS DOUBLE[])) AS cos
-       |  FROM entry en JOIN q USING (q_id)
-       |  JOIN embeddings em ON em.vec_id = en.node),
-       |$roundCtes
-       |SELECT q_id, node AS cand_id, ROUND(cos, 4) AS cosine,
-       |  CAST(rn AS INTEGER) AS rn
-       |FROM (
-       |  SELECT q_id, node, cos,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
-       |  FROM v$R)
-       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
-  }
-
-  // -- s21: delta-append on the GRAPH index (exact vs frozen-fit build) ----
-  // The maintenance rung the round-9 verdict called structurally
-  // absent: inserting into a small-world graph rewires existing
-  // neighborhoods, so the s12/s13 "append under frozen fits is free"
-  // argument does NOT carry over naively. s21 makes it carry over
-  // EXACTLY, by re-deriving precisely the neighborhoods an insert
-  // can touch: a base node's candidate pool only GROWS under an
-  // append, so its new top-M is the top-M of (old top-M ∪ the delta
-  // co-members) — a delta-sized merge using the stored edge cosines,
-  // no base-pool rescan; delta nodes compute their edges over their
-  // true pools (touched cells only, partition-pruned on disk); pivots
-  // min-merge. The maintained frames EQUAL the frozen-fit one-shot
-  // build over base ∪ delta, so the oracle replays the one-shot: fit
-  // on base (s12's CTEs), assign everything, build, probe — hash
-  // equality IS the maintenance proof. The same append against the
-  // on-disk GraphIndex is spec-proven probe-identical in IndexSpec.
-  //
-  // Scale: delta path touches delta rows + the touched cells' members
-  // + the affected nodes' stored edges — never the full corpus; edge
-  // rewrites land in the touched `cell=` partitions only.
-  private val s21: Q = (s, d) => {
-    val all = T.embeddings(s, d)
-    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
-    val base = all.filter(!isDelta).select(col("vec_id"), col("embedding"))
-    val delta = all.filter(isDelta).select(col("vec_id"), col("embedding"))
-    val nBase = base.count() // build-time metadata (the build scans anyway)
-    val kk = math.max(16, math.ceil(math.sqrt(nBase.toDouble)).toInt)
-    val cents = kmeansAssignDf(base, kk, nBase)._2
-    val (asgB, edgesB0, pivB) = graphBuildFrom(base, cents)
-    val edgesB = edgesB0.transform(graft.CacheScope.cached) // read 3× by the merge
-    // ---- the append: frozen centroids, no refit, no full-base rescan ----
-    val (_, rewritten, touchedCells, piv) =
-      graphAppendFrames(asgB, edgesB, pivB, delta, cents)
-    val edges = edgesB.filter(!col("cell").isin(touchedCells: _*))
-      .unionByName(rewritten)
-      .select(col("a_id"), col("b_id"))
-      .transform(graft.CacheScope.cached) // walked twice by the probe
-    val q = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    graphProbe(edges, piv, q, all, k = 5)
-  }
-
-  // Fit on BASE only (the frozen quantizer), assign EVERYTHING, then
-  // the one-shot graph build + probe — algebraically the engine's
-  // incremental path (see graphAppendFrames proof).
-  private val s21Sql: String =
-    s"""WITH ${graft.operators.IntLloyd.fitSql(
-        srcSql = "SELECT vec_id, embedding FROM embeddings " +
-          "WHERE NOT (vec_id >= 10 AND vec_id % 7 = 3)",
-        idExpr = "vec_id", vecExpr = "embedding",
-        numSub = 1, subLen = EmbDim,
-        kExpr = "GREATEST(16, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
-        capExpr = "GREATEST(2048, 64*k)",
-        iters = CoarseIters, salt = "kmtrain", p = "km")},
-       |${coarseAsgSql(maxRn = 2)},
-       |${graphSqlBody(scoredFilter = "")}""".stripMargin
-
-  // -- s22: tombstone deletes on the GRAPH index ----------------------------
-  // The delete half of graph maintenance, with the honest contract
-  // deployed graph indexes (FreshDiskANN-class) use: tombstoned nodes
-  // still ROUTE (their out-edges keep the graph connected — removing
-  // them from the walk would orphan whole neighborhoods until
-  // compaction) but never SCORE: the probe drops them from the scored
-  // frontier, so they cannot be returned. Zero index maintenance per
-  // delete batch — the anti-join is the whole cost — and recall decay
-  // as tombstones accumulate is priced by compaction (IndexSpec pins
-  // GraphIndex.compact == the frozen-fit rebuild over survivors,
-  // which re-tops affected neighborhoods exactly).
-  private val s22: Q = (s, d) => {
-    val emb = T.embeddings(s, d)
-    val n = T.embeddingsCount(s, d)
-    val (edges0, piv) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
-    val edges = edges0.transform(graft.CacheScope.cached) // walked twice
-    val tomb = emb.filter(col("vec_id") >= 10 && col("vec_id") % 11 === 5)
-      .select(col("vec_id"))
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    // routing unchanged; scoring side excludes the tombstoned rows
-    graphProbe(edges, piv, q, emb.join(tomb, Seq("vec_id"), "left_anti"), k = 5)
-  }
-
-  // The oracle replays the FULL graph (tombstoned nodes still route)
-  // and drops tombstones only from the scored frontier — hash
-  // equality proves the no-maintenance claim, s13's argument on the
-  // graph rung.
-  private val s22Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 2)},
-       |${graphSqlBody(
-        scoredFilter = "WHERE NOT (fr.node >= 10 AND fr.node % 11 = 5)")}""".stripMargin
-
-  // -- t01: marker-based language ID heuristic -----------------------------
-  private val t01: Q = (s, d) =>
-    T.documents(s, d)
-      .select(col("doc_id"), col("lang").as("claimed_lang"),
-        when(col("text").contains(" der "), "de")
-          .when(col("text").contains(" le "), "fr")
-          .when(col("text").contains(" el "), "es")
-          .when(col("text").contains(" 的"), "zh")
-          .otherwise("en").as("predicted_lang"))
-      .orderBy(col("doc_id"))
-
-  private val t01Sql =
-    """SELECT doc_id, lang AS claimed_lang,
-      |  CASE WHEN text LIKE '% der %' THEN 'de'
-      |       WHEN text LIKE '% le %' THEN 'fr'
-      |       WHEN text LIKE '% el %' THEN 'es'
-      |       WHEN text LIKE '% 的%' THEN 'zh'
-      |       ELSE 'en' END AS predicted_lang
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  // Quality formula shared by t02 (scoring) and p01 (curation gate):
-  // one definition so the two queries can never drift apart.
-  private def qualityParts = {
-    val toks = TF.tokens(col("text"))
-    val nTok = size(toks)
-    val stopRatio = TF.tokenCountIn(toks, stopwords).cast(DoubleType) / nTok
-    val punctRatio = length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", ""))
-      .cast(DoubleType) / length(col("text"))
-    val quality = lit(0.5) * least(lit(1.0), nTok / lit(100.0)) +
-      lit(0.3) * (lit(1.0) - stopRatio) - lit(0.2) * punctRatio
-    (nTok, stopRatio, punctRatio, quality)
-  }
-
-  // -- t02: length/punct/stopword quality scoring --------------------------
-  private val t02: Q = (s, d) => {
-    val (nTok, stopRatio, punctRatio, quality) = qualityParts
-    // NOT rounded: the unrounded doubles are bit-identical across
-    // engines (same IEEE ops in the same order), while round(x, 4)
-    // diverges on half-boundary values (Spark rounds the exact binary
-    // expansion, DuckDB rounds x*1e4) — observed at sf0.1.
-    T.documents(s, d)
-      .select(col("doc_id"), nTok.as("n_tokens"),
-        stopRatio.as("stop_ratio"),
-        punctRatio.as("punct_ratio"),
-        quality.as("quality"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t02Sql =
-    s"""SELECT doc_id,
-       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
-       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |      x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
-       |    / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
-       |  CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |    / length(text) AS punct_ratio,
-       |  0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
-       |    + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |        x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
-       |      / len(string_split_regex(trim(text), '\\s+')))
-       |    - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |      / length(text) AS quality
-       |FROM documents ORDER BY doc_id""".stripMargin
-
-  // -- t03: token counting (whitespace + BPE-ish regex) --------------------
-  private val t03: Q = (s, d) =>
-    T.documents(s, d)
-      .select(col("doc_id"), col("n_chars"),
-        size(TF.tokens(col("text"))).as("ws_tokens"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")).as("bpe_tokens"))
-      .orderBy(col("doc_id"))
-
-  private val t03Sql =
-    """SELECT doc_id, n_chars,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  // -- t05: group-scoped corpus stats (per language × source) --------------
-  private val t05: Q = (s, d) =>
-    T.documents(s, d)
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"),
-        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
-        min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"))
-      .orderBy(col("lang"), col("source"))
-
-  private val t05Sql =
-    """SELECT lang, source, COUNT(*) AS n_docs,
-      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  // -- t04: corpus word-bigram frequency -----------------------------------
-  // Native WordBigrams: the HOF formulation (transform + concat_ws per
-  // position) evaluates interpreted outside codegen — the one-pass
-  // expression is bit-equal by construction (FunctionsSpec parity).
-  private val t04: Q = (s, d) =>
-    docsSpread(s, d)
-      .select(explode(graft.functions.GraftColumns.wordBigrams(col("text"))).as("ngram"))
-      .groupBy(col("ngram"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("ngram"))
-      .limit(100)
-
-  private val t04Sql =
-    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
-      |b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
-      |        i -> toks[i] || ' ' || toks[i + 1])) AS ngram
-      |      FROM t WHERE len(toks) >= 2)
-      |SELECT ngram, COUNT(*) AS cnt FROM b
-      |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
-
-  // -- t06: winnowed rolling-hash fingerprint ------------------------------
-  // MOSS-style copy-detection sketch (see WinnowFingerprint): k=8 gram
-  // rolling hash, w=4 window minima, distinct set per doc. Map-only —
-  // the per-doc summary columns keep the oracle comparable without
-  // array-typed output. The DuckDB oracle replicates the hash family
-  // with list_reduce and the winnow with a ROWS window min.
-  private val t06: Q = (s, d) => {
-    val fp = graft.functions.GraftColumns.winnowFingerprint(col("text"), 8, 4)
-    docsSpread(s, d)
-      .select(col("doc_id"), fp.as("fp"))
-      .filter(size(col("fp")) > 0)
-      .select(col("doc_id"), size(col("fp")).as("n_fp"),
-        aggregate(col("fp"), lit(0L), (a, x) => a + x).as("fp_sum"),
-        array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t06Sql =
-    """WITH pos AS (
-      |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
-      |  FROM documents WHERE length(text) >= 8),
-      |h AS (
-      |  SELECT doc_id, i,
-      |    list_reduce(list_transform(generate_series(0, 7),
-      |      j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 131 + c) % 1000000007) AS hv
-      |  FROM pos),
-      |wnd AS (
-      |  SELECT doc_id, i,
-      |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
-      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-      |    count(*) OVER (PARTITION BY doc_id) AS ng
-      |  FROM h),
-      |fp AS (SELECT DISTINCT doc_id, sel FROM wnd WHERE i <= ng - 3)
-      |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_fp,
-      |  CAST(SUM(sel) AS BIGINT) AS fp_sum,
-      |  MIN(sel) AS fp_min, MAX(sel) AS fp_max
-      |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  // -- t07: deterministic stratified sampling ------------------------------
-  // Training-mixture sampling: each language stratum is kept at its own
-  // rate, decided by a salted md5 bucket of the document id — fully
-  // deterministic (re-runs and backfills pick the SAME sample, unlike
-  // rand()-based sampling whose draw depends on partition layout),
-  // map-only (the rate table rides along as a CASE; a real mixture
-  // config would be a broadcast dim), and exactly replayable in the
-  // oracle because md5 agrees across engines. Rates: hex bucket < '80'
-  // = 50%, '40' = 25%, '20' = 12.5% of 256 two-hex-char buckets.
-  private val t07: Q = (s, d) => {
-    val bucket = substring(
-      md5(concat(col("doc_id").cast(StringType), lit("|graft"))), 1, 2)
-    val thresh = when(col("lang") === "en", "80")
-      .when(col("lang") === "de", "40")
-      .when(col("lang") === "fr", "40")
-      .when(col("lang") === "es", "20")
-      .otherwise("zz") // other strata kept whole ('zz' > any hex bucket)
-    T.documents(s, d)
-      .withColumn("bucket", bucket)
-      .filter(col("bucket") < thresh)
-      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t07Sql =
-    """SELECT doc_id, lang, source,
-      |  substr(md5(CAST(doc_id AS VARCHAR) || '|graft'), 1, 2) AS bucket
-      |FROM documents
-      |WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|graft'), 1, 2) <
-      |  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
-      |            WHEN 'fr' THEN '40' WHEN 'es' THEN '20' ELSE 'zz' END
-      |ORDER BY doc_id""".stripMargin
-
-  // -- t08: repetition / boilerplate signals -------------------------------
-  // Gopher-style within-document repetition stats: distinct-token
-  // ratio, share of the most frequent token, share of the most
-  // frequent word bigram — high top-gram shares mark boilerplate or
-  // looping text that quality gates drop. The declarative shape
-  // (explode → groupBy(doc, gram) → groupBy(doc), twice, + join)
-  // costs four shuffles and one exchange row per gram occurrence;
-  // the native TokenRepetitionStats expression computes the whole
-  // struct in one pass per row, making this MAP-ONLY (parity with
-  // the declarative formulation is spec-asserted). Shares are single
-  // IEEE divisions of exact integer counts — bit-identical across
-  // engines without rounding (t02's policy).
-  private val t08: Q = (s, d) =>
-    docsSpread(s, d)
-      .withColumn("st", graft.functions.GraftColumns.tokenRepetitionStats(col("text")))
-      .select(col("doc_id"),
-        (col("st.n_distinct") / col("st.n_tok")).as("distinct_ratio"),
-        (col("st.top_token_c") / col("st.n_tok")).as("top_token_share"),
-        when(col("st.n_bi") > 0, col("st.top_bigram_c") / col("st.n_bi"))
-          .as("top_bigram_share"))
-      .orderBy(col("doc_id"))
-
-  private val t08Sql =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-      |uni AS (SELECT doc_id, len(toks) AS n_tok, unnest(toks) AS g FROM tok),
-      |uc AS (SELECT doc_id, n_tok, g, COUNT(*) AS c FROM uni GROUP BY 1, 2, 3),
-      |us AS (SELECT doc_id, n_tok, COUNT(*) AS n_distinct, MAX(c) AS top_c
-      |       FROM uc GROUP BY 1, 2),
-      |bi AS (
-      |  SELECT doc_id, len(toks) - 1 AS n_bi,
-      |    unnest(list_transform(generate_series(1, len(toks) - 1),
-      |      i -> toks[i] || ' ' || toks[i + 1])) AS g
-      |  FROM tok WHERE len(toks) >= 2),
-      |bc AS (SELECT doc_id, n_bi, g, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
-      |bs AS (SELECT doc_id, MAX(c) / n_bi AS top_bigram_share
-      |       FROM bc GROUP BY doc_id, n_bi)
-      |SELECT us.doc_id, us.n_distinct / us.n_tok AS distinct_ratio,
-      |  us.top_c / us.n_tok AS top_token_share, bs.top_bigram_share
-      |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
-      |ORDER BY us.doc_id""".stripMargin
-
-  // -- t09: corpus char-trigram LM scoring ---------------------------------
-  // The language-model quality gate every pretraining pipeline runs:
-  // estimate a character-trigram unigram LM from the corpus itself,
-  // then score each document against it. Scores are kept in frequency
-  // space — avg corpus frequency of the doc's trigram occurrences and
-  // the share of occurrences whose trigram is corpus-rare (the
-  // OOV-ish signal) — because rational stats of exact integers are
-  // bit-identical across engines; log-perplexity is this same plan
-  // with ln() in the final projection (and the same monotone ordering
-  // on the rare-mass signal), but a cross-engine double log-sum
-  // cannot hash-match, so the exactness policy (t02/t08) prefers the
-  // rational form.
-  //
-  // Shape, sized for 100 TB: per-(doc, gram) counts are MAP-ONLY —
-  // the native CharGramCounts expression aggregates inside the row
-  // (one compiled pass, the t08 pattern), so the explode emits
-  // already-counted (gram, count) pairs and the per-(doc, gram)
-  // exchange the old explode→groupBy formulation paid (O(chars)
-  // map-side rows per doc) does not exist at all; the model
-  // aggregates over a key space bounded by |alphabet|³ — partial-agg
-  // compresses it map-side and the result broadcasts no matter how
-  // big the corpus; scoring is then a map-side broadcast join plus
-  // one per-doc agg. The occurrence product c·cnt runs in DECIMAL
-  // (QUtil's money policy) so the arithmetic stays exact well past
-  // the long range a 100-TB corpus would overflow.
-  /** t09's per-document LM scores — factored so t15's quality
-    * partition consumes the identical frame (one definition, the two
-    * consumers cannot drift). */
-  private def t09Scores(s: SparkSession, d: String): DataFrame = {
-    val dtf = docsSpread(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.GraftColumns.charGramCounts(col("text"), 3)).as("gc"))
-      .select(col("doc_id"), col("gc.g").as("g"), col("gc.c").cast(LongType).as("c"))
-      .transform(graft.CacheScope.cached) // the LM-estimation checkpoint: computed once, read twice
-    // "rare" is CORPUS-RELATIVE — cnt ≤ mean/4 — phrased as the pure
-    // integer predicate cnt·4·n_grams ≤ total so no division ever
-    // truncates differently across engines, and the gate keeps meaning
-    // at any corpus size (a fixed absolute threshold goes degenerate
-    // the moment the corpus grows).
-    // cached: |alphabet|³-bounded, and BOTH the broadcast join and the
-    // normalizing-stats agg read it — without the cache the g-agg
-    // exchange runs twice (one per consumer)
-    val model = dtf.groupBy(col("g"))
-      .agg(sum(col("c")).as("cnt"))
-      .transform(graft.CacheScope.cached)
-    val tot = model.agg(sum(col("cnt")).as("total_c"),
-      count(lit(1)).as("n_grams")) // one row: the model's normalizing stats
-    dtf.join(broadcast(model), "g")
-      .crossJoin(broadcast(tot))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tri"),
-        sum(col("c").cast(DecimalType(19, 0)) * col("cnt").cast(DecimalType(19, 0)))
-          .as("tf_sum"),
-        sum(when(col("cnt") * 4L * col("n_grams") <= col("total_c"), col("c"))
-          .otherwise(0L)).as("n_rare"))
-      .select(col("doc_id"), col("n_tri"), col("n_rare"),
-        (col("tf_sum").cast(DoubleType) / col("n_tri")).as("avg_tf"),
-        (col("n_rare").cast(DoubleType) / col("n_tri")).as("rare_rate"))
-  }
-
-  private val t09: Q = (s, d) =>
-    t09Scores(s, d)
-      .select(col("doc_id"), col("n_tri"), col("avg_tf"), col("rare_rate"))
-      .orderBy(col("doc_id"))
-
-  private val t09Sql =
-    """WITH tri AS (
-      |  SELECT doc_id,
-      |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-      |      i -> substr(text, i, 3))) AS g
-      |  FROM documents),
-      |dtf AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
-      |model AS (SELECT g, CAST(SUM(c) AS BIGINT) AS cnt FROM dtf GROUP BY g),
-      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_c, COUNT(*) AS n_grams
-      |        FROM model)
-      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
-      |  CAST(SUM(c * cnt) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS avg_tf,
-      |  CAST(SUM(CASE WHEN cnt * 4 * n_grams <= total_c THEN c ELSE 0 END) AS DOUBLE)
-      |    / CAST(SUM(c) AS BIGINT) AS rare_rate
-      |FROM dtf JOIN model USING (g) CROSS JOIN tot
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  // ======================= corpus curation (end-to-end) ====================
-
-  // -- p01: flagship curation chain ----------------------------------------
-  // The full training-data curation pass as ONE declarative plan:
-  //   1. metadata language gate (keep claimed lang = 'en'),
-  //   2. quality gate (t02's score ≥ 0.55),
-  //   3. exact dedup (d01's content hash, keeper = lowest doc_id),
-  //   4. per-source token budget (cumulative BPE-ish tokens ≤ 400 —
-  //      the per-stratum cap of a mixture recipe).
-  // Stages 1–2 are map-only and fuse into the scan; stage 3–4 are one
-  // shuffle each (hash partition, then source partition). Catalyst
-  // sees the whole chain, so filters push below the windows where
-  // legal — the composition costs nothing vs hand-fused stages.
-  private val p01: Q = (s, d) => {
-    val (_, _, _, quality) = qualityParts
-    val wDedup = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    val wBudget = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    T.documents(s, d)
-      .filter(col("lang") === "en")
-      .withColumn("quality", quality)
-      .filter(col("quality") >= 0.55)
-      .withColumn("content_hash", md5(col("text")))
-      .withColumn("rn", row_number().over(wDedup))
-      .filter(col("rn") === 1)
-      .withColumn("bpe_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
-      .withColumn("cum_tokens", sum(col("bpe_tokens")).over(wBudget))
-      .filter(col("cum_tokens") <= 400)
-      .select(col("doc_id"), col("source"), col("quality"),
-        col("bpe_tokens"), col("cum_tokens"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val p01Sql =
-    s"""WITH gated AS (
-       |  SELECT doc_id, source, text,
-       |    0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
-       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
-       |        / len(string_split_regex(trim(text), '\\s+')))
-       |      - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |        / length(text) AS quality
-       |  FROM documents WHERE lang = 'en'),
-       |q AS (SELECT * FROM gated WHERE quality >= 0.55),
-       |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q),
-       |k AS (SELECT doc_id, source, quality,
-       |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS bpe_tokens
-       |  FROM d WHERE rn = 1),
-       |c AS (SELECT doc_id, source, quality, bpe_tokens,
-       |    CAST(SUM(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-       |  FROM k)
-       |SELECT doc_id, source, quality, bpe_tokens, cum_tokens
-       |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin
-
-  // -- p02: sequence packing into context windows --------------------------
-  // Pretraining packs documents by concatenating each source stream
-  // and slicing at the context length: a doc's bin is its starting
-  // token offset DIV the context budget, its offset within the bin
-  // the remainder. A single per-source running-sum window would be
-  // CORRECT but serializes each source onto one task — with a fixed
-  // source count the per-partition work grows linearly with the
-  // corpus (measured: 12× at a 10× corpus). So the prefix sum is
-  // hierarchical: local cumsums per (source, shard) run in parallel
-  // across shards (shard = contiguous doc_id range, so shard order =
-  // stream order), the shard-total table (#shards rows, corpus/512)
-  // is prefix-summed per source and broadcast back as base offsets.
-  // Same output as the flat window — the DuckDB oracle IS the flat
-  // window — deterministic integer arithmetic throughout.
-  /** The hierarchical prefix sum p02 pioneered, over an arbitrary
-    * per-doc `cost` column (ONE definition shared by p02's text-only
-    * packing and m04's multimodal packing, so the two can never
-    * disagree about the packing arithmetic): local cumsums per
-    * (source, shard) in parallel, shard-total table prefix-summed per
-    * source and broadcast back as base offsets. Identical output to
-    * the flat per-source window — which would serialize each source
-    * onto one task — with shard-level parallelism. Expects
-    * (doc_id, source, cost [+ carried columns]); adds start_tok /
-    * bin_id / bin_offset. */
-  private[graft] def hierarchicalPack(base: DataFrame, budget: Int,
-                               shardSize: Int): DataFrame = {
-    val sharded = base.withColumn("shard", expr(s"doc_id div $shardSize"))
-    val wLocal = Window.partitionBy(col("source"), col("shard"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = sharded.withColumn("local_cum", sum(col("cost")).over(wLocal))
-    val offsets = sharded.groupBy(col("source"), col("shard"))
-      .agg(sum(col("cost")).as("shard_tokens"))
-      .withColumn("base_off",
-        coalesce(sum(col("shard_tokens")).over(
-          Window.partitionBy(col("source")).orderBy(col("shard"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("shard"), col("base_off"))
-    local.join(broadcast(offsets), Seq("source", "shard"))
-      .withColumn("start_tok",
-        col("base_off") + col("local_cum") - col("cost"))
-      .withColumn("bin_id", expr(s"start_tok div $budget"))
-      .withColumn("bin_offset", pmod(col("start_tok"), lit(budget)))
-  }
-
-  private val p02: Q = (s, d) => {
-    val base = T.documents(s, d)
-      .withColumn("bpe_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
-      .withColumn("cost", col("bpe_tokens"))
-    hierarchicalPack(base, budget = 512, shardSize = 512)
-      .select(col("doc_id"), col("source"), col("bpe_tokens"),
-        col("bin_id"), col("bin_offset"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val p02Sql =
-    """WITH c AS (
-      |  SELECT doc_id, source,
-      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
-      |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')))
-      |      OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-      |      AS cum
-      |  FROM documents)
-      |SELECT doc_id, source, bpe_tokens,
-      |  (cum - bpe_tokens) // 512 AS bin_id,
-      |  (cum - bpe_tokens) % 512 AS bin_offset
-      |FROM c ORDER BY doc_id""".stripMargin
-
-  // -- p03: temperature-based source mixing --------------------------------
-  // α-sampling (the multilingual-LM mixture recipe): each source's
-  // sampled mass scales as n^α with α = 1/2, i.e. per-doc admission
-  // rate r_s = min(1, C/√n_s) — big sources are downsampled hard,
-  // small sources kept whole, which is exactly how pretraining
-  // mixtures rebalance a web-scale crawl against small curated
-  // sources. Two deliberate exactness choices:
-  //   * no cross-source normalizer — r_s uses only √ and ÷, both
-  //     IEEE-correctly-rounded, so Spark and DuckDB compute the SAME
-  //     double (a normalizer would sum doubles across sources in
-  //     engine-dependent order);
-  //   * admission is t07's deterministic salted-hash test at a
-  //     per-source VARIABLE rate: u(doc) = first 8 md5 hex chars vs a
-  //     threshold string lpad(hex(⌊r·2³²⌋)) — layout-independent,
-  //     backfill-stable, replayable in the oracle.
-  // Scale shape: the per-source stats are one bounded agg (|sources|
-  // rows → broadcast); the admission test is map-side; one final
-  // per-source agg. The fact table is never shuffled.
-  private val p03: Q = (s, d) => {
-    val c = 3.0
-    val docs = T.documents(s, d)
-      .withColumn("u", substring(
-        md5(concat(col("doc_id").cast(StringType), lit("|mix"))), 1, 8))
-    val stats = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("samp_rate",
-        least(lit(1.0), lit(c) / sqrt(col("n_docs").cast(DoubleType))))
-      .withColumn("thresh", when(col("samp_rate") >= 1.0, lit("zzzzzzzz"))
-        .otherwise(lower(lpad(
-          hex(floor(col("samp_rate") * lit(4294967296.0))), 8, "0"))))
-    docs.join(broadcast(stats), "source")
-      .groupBy(col("source"), col("n_docs"), col("samp_rate"))
-      .agg(sum(when(col("u") < col("thresh"), 1L).otherwise(0L)).as("n_sampled"))
-      .select(col("source"), col("n_docs"), col("samp_rate"), col("n_sampled"),
-        (col("n_sampled").cast(DoubleType) / col("n_docs")).as("eff_rate"))
-      .orderBy(col("source"))
-  }
-
-  private val p03Sql =
-    """WITH st AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-      |r AS (SELECT source, n_docs,
-      |        least(CAST(1.0 AS DOUBLE),
-      |              CAST(3.0 AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE))) AS samp_rate
-      |      FROM st),
-      |t AS (SELECT source, n_docs, samp_rate,
-      |        CASE WHEN samp_rate >= 1.0 THEN 'zzzzzzzz'
-      |             ELSE printf('%08x', CAST(floor(samp_rate * 4294967296.0) AS BIGINT))
-      |        END AS thresh
-      |      FROM r),
-      |a AS (SELECT d.source, t.n_docs, t.samp_rate,
-      |        CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 8) < t.thresh
-      |             THEN 1 ELSE 0 END AS adm
-      |      FROM documents d JOIN t USING (source))
-      |SELECT source, n_docs, samp_rate, CAST(SUM(adm) AS BIGINT) AS n_sampled,
-      |  CAST(SUM(adm) AS DOUBLE) / n_docs AS eff_rate
-      |FROM a GROUP BY source, n_docs, samp_rate ORDER BY source""".stripMargin
-
-  // -- t10: count-min-sketch heavy hitters ---------------------------------
-  // Frequent-token estimation with BOUNDED state: a depth-4 ×
-  // width-256 count-min sketch whose hash rows are md5-derived, so
-  // the whole sketch — not just the exact side — replays bit-for-bit
-  // in the DuckDB oracle (a sketch query with a full hash-exact
-  // oracle). The scale story is the counter table: 1024 cells no
-  // matter the corpus size, built by one partial-agged groupBy over a
-  // bounded key space (the shuffle moves ≤ depth·width rows per
-  // partition), and mergeable across any sharding by plain addition —
-  // the standard one-pass heavy-hitter pass a boilerplate/stopword
-  // gate runs at 100 TB where an exact per-token groupBy would
-  // shuffle the whole vocabulary. The exact top-20 here is the
-  // verification set: CMS guarantees est ≥ exact (one-sided error ≤
-  // εN with ε = e/width at δ = e⁻⁴) — over_err quantifies it and
-  // PipelineScaleSpec gates it.
-  private val t10: Q = (s, d) => {
-    val depth = 4; val width = 256
-    val toks = docsSpread(s, d)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .transform(graft.CacheScope.cached) // one tokenization, read by sketch build + exact top-k
-    def bucket(tok: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
-      graft.functions.TextFunctions.cmsBucket(tok, r, width)
-    val rows = (0 until depth).map(r =>
-      struct(lit(r).as("r"), bucket(col("tok"), r).as("bucket")))
-    val counters = toks
-      .select(explode(array(rows: _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cell"))
-    val top = toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("tok"))
-      .limit(20)
-    val probes = top.select(col("tok"), col("exact_cnt"),
-        explode(array((0 until depth).map(r =>
-          struct(lit(r).as("r"), bucket(col("tok"), r).as("bucket"))): _*)).as("rb"))
-      .select(col("tok"), col("exact_cnt"),
-        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-    probes.join(broadcast(counters), Seq("r", "bucket"))
-      .groupBy(col("tok"), col("exact_cnt"))
-      .agg(min(col("cell")).as("cms_est"))
-      .select(col("tok"), col("exact_cnt"), col("cms_est"),
-        (col("cms_est") - col("exact_cnt")).as("over_err"))
-      .orderBy(col("exact_cnt").desc, col("tok"))
-  }
-
-  private val t10Sql =
-    """WITH toks AS (
-      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-      |tk AS (SELECT tok FROM toks WHERE tok <> ''),
-      |rb AS (
-      |  SELECT tok, r,
-      |    CAST(('0x' || substr(md5(tok || '|' || CAST(r AS VARCHAR)), 1, 4)) AS INTEGER)
-      |      % 256 AS bucket
-      |  FROM tk, (SELECT unnest(generate_series(0, 3)) AS r)),
-      |counters AS (SELECT r, bucket, COUNT(*) AS cell FROM rb GROUP BY 1, 2),
-      |top AS (SELECT tok, COUNT(*) AS exact_cnt FROM tk GROUP BY tok
-      |        ORDER BY exact_cnt DESC, tok LIMIT 20),
-      |probes AS (
-      |  SELECT t.tok, t.exact_cnt, r.r,
-      |    CAST(('0x' || substr(md5(t.tok || '|' || CAST(r.r AS VARCHAR)), 1, 4)) AS INTEGER)
-      |      % 256 AS bucket
-      |  FROM top t, (SELECT unnest(generate_series(0, 3)) AS r) r)
-      |SELECT p.tok, p.exact_cnt, MIN(c.cell) AS cms_est,
-      |  MIN(c.cell) - p.exact_cnt AS over_err
-      |FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
-      |GROUP BY p.tok, p.exact_cnt
-      |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
-
-  // -- t11: PII redaction ----------------------------------------------------
-  // The de-identification scrub every training corpus (and RDW export —
-  // "StudentIdentifier may be de-identified", reference /root/reference/
-  // docs/Runbook.DataSpecifications.md) runs before text leaves the
-  // warehouse: regex-redact student identifiers and money amounts,
-  // emitting per-doc match counts and the md5 of the redacted text (the
-  // audit trail proves redaction was byte-identical without shipping
-  // the text). The corpus word-soup carries no PII, so each document is
-  // prefixed with a header joined from the customer table (name =
-  // student id, balance = amount) — the join is the realistic shape:
-  // PII enters free text from structured records.
-  //
-  // Scale: redaction is MAP-ONLY codegen'd regex over the scan; the
-  // header join is key-equi on doc_id. Both engine sides print doubles
-  // only inside redacted spans, so formatting differences cannot reach
-  // the hash.
-  private val t11: Q = (s, d) => {
-    val cust = T.customer(s, d)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-    val idPat = "Customer#[0-9]+"
-    val amtPat = "[0-9]+\\.[0-9]+"
-    docsSpread(s, d)
-      .join(cust, col("doc_id") === col("c_custkey"), "left")
-      .withColumn("raw", concat(lit("From: "),
-        coalesce(col("c_name"), lit("unknown")), lit(" balance "),
-        coalesce(col("c_acctbal").cast(StringType), lit("n/a")),
-        lit(" :: "), col("text")))
-      .withColumn("redacted", regexp_replace(
-        regexp_replace(col("raw"), idPat, "[STUDENT]"), amtPat, "[AMOUNT]"))
-      .select(col("doc_id"),
-        regexp_count(col("raw"), lit(idPat)).as("n_ids"),
-        regexp_count(col("raw"), lit(amtPat)).as("n_amounts"),
-        md5(col("redacted")).as("redacted_md5"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t11Sql =
-    """WITH raw AS (
-      |  SELECT d.doc_id,
-      |    'From: ' || COALESCE(c.c_name, 'unknown') || ' balance ' ||
-      |    COALESCE(CAST(c.c_acctbal AS VARCHAR), 'n/a') || ' :: ' || d.text AS raw
-      |  FROM documents d LEFT JOIN customer c ON d.doc_id = c.c_custkey)
-      |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(raw, 'Customer#[0-9]+')) AS INTEGER) AS n_ids,
-      |  CAST(len(regexp_extract_all(raw, '[0-9]+\.[0-9]+')) AS INTEGER) AS n_amounts,
-      |  md5(regexp_replace(regexp_replace(raw, 'Customer#[0-9]+', '[STUDENT]', 'g'),
-      |    '[0-9]+\.[0-9]+', '[AMOUNT]', 'g')) AS redacted_md5
-      |FROM raw ORDER BY doc_id""".stripMargin
-
-  // -- t12: context-window chunking ----------------------------------------
-  // Splitting documents into overlapping context-window chunks with
-  // stable ids — the step between curation and tokenization in every
-  // pretraining pipeline (overlap preserves cross-boundary context).
-  // Chunk count and offsets are pure integer arithmetic; chunk
-  // identity is the md5 of the chunk text, so chunks are addressable
-  // and dedupable downstream. Spark's sequence(a, b) counts DOWN when
-  // b < a, so the count is clamped before the explode (the classic
-  // trap).
-  //
-  // Scale: map-only explode — each doc expands to ceil(len/stride)
-  // rows with no shuffle; the explode fan-out is bounded by document
-  // length, not corpus size.
-  private val t12: Q = (s, d) => {
-    val winC = 400; val overlap = 80; val stride = winC - overlap // 320
-    docsSpread(s, d)
-      .withColumn("len", length(col("text")))
-      // chunks fully cover the doc: last chunk may be short
-      .withColumn("n_chunks",
-        greatest(lit(1), expr(s"CAST(ceil((len - $overlap) / $stride.0) AS INT)")))
-      .withColumn("idx", explode(sequence(lit(0), col("n_chunks") - 1)))
-      .withColumn("chunk_start", col("idx") * stride + 1)
-      .withColumn("chunk_text", expr(s"substr(text, chunk_start, $winC)"))
-      .select(col("doc_id"), col("idx").as("chunk_idx"),
-        col("chunk_start"),
-        length(col("chunk_text")).as("chunk_len"),
-        md5(col("chunk_text")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-  }
-
-  private val t12Sql =
-    """WITH d AS (
-      |  SELECT doc_id, text, length(text) AS len,
-      |    greatest(1, CAST(ceil((length(text) - 80) / 320.0) AS INTEGER)) AS n_chunks
-      |  FROM documents),
-      |c AS (
-      |  SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
-      |  FROM d)
-      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-      |  CAST(chunk_idx * 320 + 1 AS INTEGER) AS chunk_start,
-      |  CAST(length(substr(text, CAST(chunk_idx * 320 + 1 AS INTEGER), 400)) AS INTEGER)
-      |    AS chunk_len,
-      |  md5(substr(text, CAST(chunk_idx * 320 + 1 AS INTEGER), 400)) AS chunk_md5
-      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
-
-  // -- p04: deterministic training order + shard assignment ----------------
-  // The last step before writing training shards: a reproducible
-  // global permutation (order by a salted content-independent hash —
-  // the "global shuffle" every pretraining run needs so batches are
-  // i.i.d.-ish) and a shard id so a 1000-worker loader can each read
-  // one file. Hash-ordering IS a total sort — the one genuinely
-  // global operation in the pipeline — and Spark's range-partitioned
-  // sort is exactly the distributed machinery for it; the hash key
-  // distributes uniformly by construction, so no skew.
-  private val p04: Q = (s, d) => {
-    val shards = 8
-    docsSpread(s, d)
-      .withColumn("order_hash", md5(concat(lit("ord1|"), col("doc_id").cast("string"))))
-      .withColumn("shard",
-        conv(substring(col("order_hash"), 1, 4), 16, 10).cast("int") % shards)
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("order_hash"), col("doc_id"))))
-      .select(col("doc_id"), col("order_hash"), col("shard"), col("pos"))
-      .orderBy(col("shard"), col("pos"))
-  }
-
-  private val p04Sql =
-    """WITH h AS (
-      |  SELECT doc_id, md5('ord1|' || CAST(doc_id AS VARCHAR)) AS order_hash
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, order_hash,
-      |    CAST(('0x' || substr(order_hash, 1, 4)) AS INTEGER) % 8 AS shard
-      |  FROM h)
-      |SELECT doc_id, order_hash, shard,
-      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY order_hash, doc_id)
-      |    AS INTEGER) AS pos
-      |FROM sh ORDER BY shard, pos""".stripMargin
-
-  // ======================= multimodal plumbing =============================
-
-  // -- framedBmp: the m08/p05 raster generator -----------------------------
-  // The corpus has no real media bytes, so the generator RENDERS each
-  // doc as a genuine 24bpp Windows BMP (same pattern as the PNG/JPEG/
-  // WAV/MP4 framers): dims from doc_id, a per-row header→raster gap
-  // (bfOffBits must be honored — fixed offsets cannot cheat), and
-  // pixel CONTENT from a wrap-around color ramp keyed on
-  // g = doc_id % 48. Dims repeat mod 48 too (lcm(16, 12) | 48), so
-  // equal g ⇒ pixel-identical images — the exact-dup classes the p05
-  // near-dup join must find from the DECODED content.
-  private def framedBmp(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
-    import s.implicits._
-    import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, src) =>
-          val g = (id % 48).toInt
-          val w = (id % 16).toInt + 4; val h = (id % 12).toInt + 4
-          val gap = (id % 5).toInt
-          val bytes = Multimodal.encodeBmp(w, h, gap, (x, y) => (
-            (7 * g + 11 * x + 13 * y) % 256,
-            (3 * g + 5 * x + 2 * y) % 256,
-            (g + 2 * x + 3 * y) % 256))
-          Multimodal.MediaRecord(id, src, bytes)
-        }
-      }
-  }
-
-  // -- framedRaster: the p05/p05b MIXED-container generator ----------------
-  // framedBmp's pixels (identical formulas, identical dims — the
-  // ORACLE is pixel-derived and container-blind, so it is unchanged)
-  // but the CONTAINER alternates by (doc_id / 48) % 2: BMP for even
-  // 48-blocks, PNG (m10's stored-block profile) for odd ones. Since
-  // the pixel content repeats mod 48, doc_id and doc_id + 48 are
-  // pixel-IDENTICAL rasters in DIFFERENT containers — the cross-
-  // container duplicate classes the format-dispatching embedder
-  // (Multimodal.decodeRaster → one Raster contract) must find. A
-  // decoder that handles only one container embeds half the corpus
-  // as zero vectors and loses every such pair (the round-10 verdict
-  // gap, closed).
-  private def framedRaster(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
-    import s.implicits._
-    import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, src) =>
-          val g = (id % 48).toInt
-          val w = (id % 16).toInt + 4; val h = (id % 12).toInt + 4
-          val gap = (id % 5).toInt
-          val px = (x: Int, y: Int) => (
-            (7 * g + 11 * x + 13 * y) % 256,
-            (3 * g + 5 * x + 2 * y) % 256,
-            (g + 2 * x + 3 * y) % 256)
-          val bytes =
-            if ((id / 48) % 2 == 0) Multimodal.encodeBmp(w, h, gap, px)
-            else Multimodal.encodePng(w, h, gap, px)
-          Multimodal.MediaRecord(id, src, bytes)
-        }
-      }
-  }
-
-  // -- p05: end-to-end multimodal near-dup (m-family → d-family) -----------
-  // The composition a real multimodal corpus pipeline runs: MIXED
-  // BMP/PNG binary payloads (framedRaster) → per-partition PIXEL
-  // decode dispatched on the magic bytes (Multimodal.decodeRaster →
-  // parseBmp | parsePng, one Raster contract — a real raster decode,
-  // not a byte histogram) → block-mean-luminance content embedding
-  // (m08's grid, exact integer sums) → d06's blocked cosine near-dup
-  // over the features. Hash-exact through the typed mapPartitions:
-  // the oracle re-derives the PIXELS from the generator formulas
-  // (container-blind, so it is byte-identical to the all-BMP era), so
-  // a decoder that misreads even one byte (row order, stride pad,
-  // offBits, PNG chunk walk) shifts a sum and breaks the hash — and a
-  // decoder that handles only ONE container zero-embeds half the
-  // corpus and loses every cross-container duplicate pair
-  // (spec-pinned in MultimodalSpec).
-  //
-  // Scale: decode+embed is map-only per partition; the self-join is
-  // blocked on source (d06's equi-join shape — at warehouse scale the
-  // blocking key is a coarse quantizer cell: p05b); pairs verified by
-  // one compiled cosine per candidate.
-  private val p05: Q = (s, d) => {
-    import graft.operators.Multimodal
-    val emb = Multimodal.embed(s, framedRaster(s, d)).toDF()
-      .transform(graft.CacheScope.cached) // both self-join sides
-    blockedCosinePairs(emb, "source", "doc_id", "hist", 0.995)
-  }
-
-  /** The pixel-enumeration prefix shared by the p05/p05b/m08 oracles:
-    * every (doc, x, y) pixel's integer BT.601 luminance from the
-    * generator formulas, plus its 4×4 grid cell. */
-  private val bmpPixSql =
-    """dims AS (
-      |  SELECT doc_id, source, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
-      |    doc_id % 48 AS g
-      |  FROM documents),
-      |xs AS (SELECT doc_id, source, w, h, g, unnest(range(0, w)) AS x FROM dims),
-      |px AS (SELECT doc_id, source, w, h, g, x, unnest(range(0, h)) AS y FROM xs),
-      |lums AS (
-      |  SELECT doc_id, source, w, h,
-      |    CAST(y * 4 // h AS INTEGER) AS by, CAST(x * 4 // w AS INTEGER) AS bx,
-      |    (77 * ((7*g + 11*x + 13*y) % 256)
-      |     + 150 * ((3*g + 5*x + 2*y) % 256)
-      |     + 29 * ((g + 2*x + 3*y) % 256)) // 256 AS lum
-      |  FROM px)""".stripMargin
-
-  /** Pixel enumeration + per-doc 16-dim block-luminance vector —
-    * the derived-embedding prefix shared by the p05/p05b oracles. */
-  private val bmpHistSql =
-    s"""$bmpPixSql,
-      |gcells AS (
-      |  SELECT doc_id, source, by * 4 + bx AS cell, SUM(lum) AS s
-      |  FROM lums GROUP BY doc_id, source, cell),
-      |f AS (
-      |  SELECT doc_id, source, list(CAST(s AS DOUBLE) ORDER BY cell) AS hist
-      |  FROM gcells GROUP BY doc_id, source)""".stripMargin
-
-  private val p05Sql =
-    s"""WITH $bmpHistSql
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.source,
-      |  list_cosine_similarity(a.hist, b.hist) AS cosine
-      |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
-      |ORDER BY a_id, b_id""".stripMargin
-
-  // -- p05b: the same near-dup at WAREHOUSE blocking -----------------------
-  // p05's 100-TB form, registered instead of narrated: the blocking
-  // key is a coarse quantizer CELL over the content embeddings (d07's
-  // shape on the image vectors) rather than the source column — the
-  // key a 100 TB multimodal corpus actually has, since source blocks
-  // grow with the corpus while cells stay ≈√n-sized. Fit is the
-  // sample-capped replayable IntLloyd on the 16-dim vectors;
-  // assignment is the compiled cosine probe; pairs verify within
-  // cells only. Identical rasters embed identically and therefore
-  // assign identically — cell blocking can NEVER lose an exact
-  // duplicate (spec-pinned in MultimodalSpec against the brute-force
-  // identical-vector pair set, cross-source pairs included: p05b
-  // finds pairs the source-blocked p05 structurally cannot).
-  private val p05b: Q = (s, d) => {
-    import graft.operators.Multimodal
-    val n = T.documentsCount(s, d)
-    val kk = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val emb = Multimodal.embed(s, framedRaster(s, d)).toDF()
-      .transform(graft.CacheScope.cached) // fit sample + assignment + both join sides
-    val cents = graft.operators.IntLloyd.fit(
-      emb, "doc_id", "hist", n, numSub = 1, subLen = 16, k = kk,
-      cap = math.max(2048L, 64L * kk), iters = 5, salt = "bmpcell")(0)
-      .map(_.map(_.toDouble))
-    val cells = emb.withColumn("cell", element_at(
-      graft.functions.GraftColumns.nearestClusters(col("hist"), cents, 1), 1))
-    blockedCosinePairs(cells, "cell", "doc_id", "hist", 0.995)
-      .select(col("a_id"), col("b_id"), col("cosine"))
-  }
-
-  private val p05bSql: String =
-    s"""WITH $bmpHistSql,
-      |${graft.operators.IntLloyd.fitSql(
-          srcSql = "SELECT doc_id, hist FROM f",
-          idExpr = "doc_id", vecExpr = "hist", numSub = 1, subLen = 16,
-          kExpr = "GREATEST(8, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
-          capExpr = "GREATEST(2048, 64*k)", iters = 5, salt = "bmpcell", p = "bc")},
-      |asgb AS (
-      |  SELECT doc_id, hist, cluster FROM (
-      |    SELECT f.doc_id, f.hist, c.cluster,
-      |      row_number() OVER (PARTITION BY f.doc_id ORDER BY
-      |        list_cosine_similarity(f.hist, c.cv) DESC, c.cluster) AS rn
-      |    FROM f CROSS JOIN bccent c)
-      |  WHERE rn = 1)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  list_cosine_similarity(a.hist, b.hist) AS cosine
-      |FROM asgb a JOIN asgb b ON a.cluster = b.cluster AND a.doc_id < b.doc_id
-      |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
-      |ORDER BY a_id, b_id""".stripMargin
-
-  // -- m08: REAL pixel decode + block-mean-luminance grid ------------------
-  // The last declared fake, closed: payloads are genuine 24bpp BMPs
-  // (public compression-free format — pure byte arithmetic, no codec
-  // library), and the operator DECODES THE RASTER: Multimodal.parseBmp
-  // validates both headers, honors bfOffBits across the per-row
-  // header gap, walks bottom-up rows over the 4-byte-aligned stride,
-  // and reads each pixel's B,G,R bytes; blockLum folds them into a
-  // 4×4 block grid of exact integer BT.601 luminance sums (the block
-  // mean value perceptual-hash family). The oracle enumerates the
-  // pixels FROM THE GENERATOR FORMULAS and aggregates the same grid —
-  // hash equality therefore certifies every byte-level decode detail
-  // (row order, stride, offBits, channel order): any off-by-one
-  // shifts a luminance into the wrong cell and breaks the hash.
-  //
-  // Scale: one mapPartitions pass, per-image work bounded by the
-  // raster size, 16-row fan-out per image, zero shuffles before the
-  // output sort — m02/m05's class.
-  private val m08: Q = (s, d) => {
-    import s.implicits._
-    import graft.operators.Multimodal
-    framedBmp(s, d).mapPartitions { it =>
-      it.flatMap { r =>
-        Multimodal.parseBmp(r.payload) match {
-          case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
-          case None => Iterator.empty
-        }
-      }
-    }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
-  }
-
-  private val m08Sql =
-    s"""WITH $bmpPixSql
-      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-      |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
-      |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
-      |FROM lums GROUP BY doc_id, w, h, by, bx
-      |ORDER BY doc_id, by, bx""".stripMargin
-
-  // -- m10: PNG stored-block raster decode (the second real format) --------
-  // m08 decoded ONE container; m10 proves the decode path generalizes
-  // (the round-9 verdict's ask). The generator renders each doc as a
-  // genuine PNG — 8-bit RGB, deflate STORED blocks (level-0: framing
-  // without compression, so the raster is still pure byte
-  // arithmetic), real CRC-32 chunk trailers and Adler-32 zlib
-  // trailer, a variable-length tEXt chunk before IDAT (chunk layout
-  // must be WALKED, not assumed), the zlib stream cut into ≤40-byte
-  // stored blocks and split across two IDAT chunks (concatenation
-  // must be real). Multimodal.parsePng validates every layer —
-  // signature, per-chunk CRC, IHDR profile, zlib header, LEN/NLEN,
-  // Adler-32, per-scanline filter byte — and the SAME blockLum
-  // definition as m08 folds the pixels into the 4×4 integer BT.601
-  // grid (one Raster contract, two containers). The oracle enumerates
-  // pixels from the generator formulas: hash equality certifies the
-  // whole chunk/deflate walk — a single misread byte shifts a
-  // luminance sum.
-  //
-  // Scale: one mapPartitions pass, per-image work bounded by raster
-  // size, 16-row fan-out per image — exactly m08's class.
-  private def framedPng(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
-    import s.implicits._
-    import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, src) =>
-          val g = (id % 70).toInt
-          val w = (id % 14).toInt + 4; val h = (id % 10).toInt + 4
-          val gap = (id % 7).toInt
-          val bytes = Multimodal.encodePng(w, h, gap, (x, y) => (
-            (5 * g + 7 * x + 11 * y) % 256,
-            (9 * g + 4 * x + 3 * y) % 256,
-            (2 * g + 6 * x + 5 * y) % 256))
-          Multimodal.MediaRecord(id, src, bytes)
-        }
-      }
-  }
-
-  private val m10: Q = (s, d) => {
-    import s.implicits._
-    import graft.operators.Multimodal
-    framedPng(s, d).mapPartitions { it =>
-      it.flatMap { r =>
-        Multimodal.parsePng(r.payload) match {
-          case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
-          case None => Iterator.empty
-        }
-      }
-    }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
-  }
-
-  private val m10Sql =
-    """WITH dims AS (
-      |  SELECT doc_id, (doc_id % 14) + 4 AS w, (doc_id % 10) + 4 AS h,
-      |    doc_id % 70 AS g
-      |  FROM documents),
-      |xs AS (SELECT doc_id, w, h, g, unnest(range(0, w)) AS x FROM dims),
-      |px AS (SELECT doc_id, w, h, g, x, unnest(range(0, h)) AS y FROM xs),
-      |lums AS (
-      |  SELECT doc_id, w, h,
-      |    CAST(y * 4 // h AS INTEGER) AS by, CAST(x * 4 // w AS INTEGER) AS bx,
-      |    (77 * ((5*g + 7*x + 11*y) % 256)
-      |     + 150 * ((9*g + 4*x + 3*y) % 256)
-      |     + 29 * ((2*g + 6*x + 5*y) % 256)) // 256 AS lum
-      |  FROM px)
-      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-      |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
-      |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
-      |FROM lums GROUP BY doc_id, w, h, by, bx
-      |ORDER BY doc_id, by, bx""".stripMargin
-
-  // -- m09: real PCM sample decode (audio, below the header) ---------------
-  // m08's obligation carried to AUDIO: m05 parses the container, m09
-  // decodes the SAMPLES — the loudness/clipping window scan an
-  // audio-curation pass runs before keeping a clip. The generator
-  // (framedPcmWav) renders 64 interleaved PCM frames per doc from
-  // integer formulas — mono/stereo, 8-bit UNSIGNED or 16-bit SIGNED
-  // little-endian (both real wire forms, exercised half the corpus
-  // each) — behind m05's container shape including the
-  // variable-length LIST chunk, so the decoder must WALK to the data
-  // offset, not assume it. decodePcmWindows then recovers amplitudes
-  // byte-for-byte (code−128 vs two's complement — mixing them up
-  // breaks every 16-bit row) and folds them into per-(channel,
-  // 16-frame window) exact integer energy Σamp² and peak |amp|. The
-  // oracle enumerates the SAMPLES from the generator formulas and
-  // aggregates the same integers: hash equality certifies offset
-  // walk, channel de-interleave, sample width, signedness, and
-  // window arithmetic at once.
-  //
-  // Scale: one mapPartitions pass, per-clip work linear in data
-  // bytes, ≤8-row fan-out per doc, zero shuffles before the output
-  // sort — m07/m08's class.
-  private def framedPcmWav(s: SparkSession, d: String):
-      org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
-    import s.implicits._
-    import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, src) =>
-          val ch = (id % 2 + 1).toInt
-          val bits = if (id % 4 < 2) 8 else 16
-          val rate = Array(8000, 16000, 22050, 44100)(((id / 2) % 4).toInt)
-          val listLen = (id % 7).toInt
-          val m = if (bits == 8) 256L else 65536L
-          val samples = Array.tabulate(64 * ch)(i => ((id * 7 + i * 13L) % m).toInt)
-          Multimodal.MediaRecord(id, src,
-            Multimodal.encodeWavPcm(ch, rate, bits, listLen, samples))
-        }
-      }
-  }
-
-  private val m09: Q = (s, d) => {
-    import s.implicits._
-    import graft.operators.Multimodal
-    framedPcmWav(s, d).mapPartitions { it =>
-      it.flatMap(r => Multimodal.decodePcmWindows(r.payload, r.doc_id,
-        framesPerWin = 16).iterator)
-    }.toDF().orderBy(col("doc_id"), col("channel"), col("win"))
-  }
-
-  // The sample formula restated: code unit u = (doc_id·7 + i·13) mod
-  // 2^bits for interleaved index i; amplitude = u − 128 (8-bit
-  // unsigned) / u − 65536·[u ≥ 32768] (16-bit two's complement).
-  private val m09Sql =
-    """WITH params AS (
-      |  SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
-      |    CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS bits
-      |  FROM documents),
-      |idx AS (
-      |  SELECT doc_id, ch, bits, unnest(range(0, 64 * ch)) AS i FROM params),
-      |samp AS (
-      |  SELECT doc_id,
-      |    CAST(i % ch AS INTEGER) AS channel,
-      |    CAST((i // ch) // 16 AS INTEGER) AS win,
-      |    CASE WHEN bits = 8 THEN (doc_id*7 + i*13) % 256 - 128
-      |         WHEN (doc_id*7 + i*13) % 65536 >= 32768
-      |           THEN (doc_id*7 + i*13) % 65536 - 65536
-      |         ELSE (doc_id*7 + i*13) % 65536 END AS a
-      |  FROM idx)
-      |SELECT doc_id, channel, win,
-      |  COUNT(*) AS n_frames,
-      |  CAST(SUM(a * a) AS BIGINT) AS energy,
-      |  CAST(MAX(ABS(a)) AS BIGINT) AS peak
-      |FROM samp GROUP BY doc_id, channel, win
-      |ORDER BY doc_id, channel, win""".stripMargin
-
-  // -- m01/m02: REAL container headers over the binary column --------------
-  // Round-7 closed every other gap; this closes the multimodal
-  // family's one declared fake. The corpus has no real media bytes,
-  // so the generator FRAMES each doc's payload in a genuine container
-  // header — even doc_id: a PNG signature + IHDR chunk, odd doc_id: a
-  // JPEG SOI + APP0(JFIF) + a VARIABLE-length COM segment + SOF0/SOF2
-  // — with dims/color-type/component-count derived from table columns.
-  // The parsers (Multimodal.parseMediaHeader: real byte-walking PNG
-  // IHDR read + JPEG marker scan) then recover them from the BYTES.
-  // The oracle states the generator formulas, so hash equality proves
-  // the parser inverts the generator — including skipping the COM
-  // segment whose length varies per row (the scan cannot cheat with
-  // fixed offsets). MultimodalSpec additionally drives the parsers on
-  // handcrafted real-world headers (SOF2, fill bytes, truncation,
-  // missing SOF) the generator never emits.
-  /** Documents framed as media: (doc_id, source, payload) where
-    * payload = a real PNG/JPEG header (dims etc. from table columns)
-    * followed by the text bytes as the opaque body. */
-  private def framedMedia(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .withColumn("hexhdr", expr(
-        """CASE WHEN doc_id % 2 = 0 THEN
-          |  concat('89504E470D0A1A0A', '0000000D49484452',
-          |    lpad(hex((n_chars % 640) + 1), 8, '0'),
-          |    lpad(hex((doc_id % 480) + 1), 8, '0'),
-          |    '08',
-          |    lpad(hex(element_at(array(0, 2, 4, 6),
-          |      cast((doc_id div 2) % 4 as int) + 1)), 2, '0'),
-          |    '000000', '00000000')
-          |ELSE
-          |  concat('FFD8',
-          |    'FFE000104A46494600010100000100010000',
-          |    'FFFE', lpad(hex((doc_id % 7) + 2), 4, '0'),
-          |    repeat('41', cast(doc_id % 7 as int)),
-          |    'FF', CASE WHEN doc_id % 4 = 1 THEN 'C0' ELSE 'C2' END,
-          |    lpad(hex(8 + 3 * (CASE WHEN (doc_id div 2) % 2 = 0
-          |                           THEN 1 ELSE 3 END)), 4, '0'),
-          |    '08',
-          |    lpad(hex((doc_id % 480) + 1), 4, '0'),
-          |    lpad(hex((n_chars % 640) + 1), 4, '0'),
-          |    CASE WHEN (doc_id div 2) % 2 = 0 THEN '01011100'
-          |         ELSE '03011100021100031100' END)
-          |END""".stripMargin))
-      .select(col("doc_id"), col("source"), col("text"),
-        concat(unhex(col("hexhdr")), col("text").cast(BinaryType)).as("payload"))
-
-  // m01: container metadata, all codegen'd column ops — size, magic
-  // bytes, REAL magic-number format sniff (the dispatch a media
-  // ingest runs before choosing a decoder), body hash (over the media
-  // BODY, not the container, so identical content under different
-  // containers dedupes together — the p05-family key).
-  private val m01: Q = (s, d) =>
-    framedMedia(s, d)
-      .select(col("doc_id"), col("source"),
-        octet_length(col("payload")).as("n_bytes"),
-        substring(hex(col("payload")), 1, 16).as("magic_hex"),
-        when(substring(hex(col("payload")), 1, 16) === "89504E470D0A1A0A", "png")
-          .when(substring(hex(col("payload")), 1, 4) === "FFD8", "jpeg")
-          .otherwise("unknown").as("format"),
-        md5(col("text").cast(BinaryType)).as("body_md5"))
-      .orderBy(col("doc_id"))
-
-  private val m01Sql =
-    """SELECT doc_id, source,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 + octet_length(encode(text))
-      |    ELSE 34 + (doc_id % 7)
-      |         + 3 * (CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 3 END)
-      |         + octet_length(encode(text))
-      |  END AS INTEGER) AS n_bytes,
-      |  CASE WHEN doc_id % 2 = 0 THEN '89504E470D0A1A0A'
-      |       ELSE 'FFD8FFE000104A46' END AS magic_hex,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-      |  md5(text) AS body_md5
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  // m02: the typed mapPartitions decode path with the REAL parser —
-  // Multimodal.parseMediaHeader walks the bytes (PNG IHDR fields /
-  // JPEG marker scan to the SOF) exactly as a production header
-  // reader does; unparseable payloads surface as 'unknown' rows.
-  private val m02: Q = (s, d) => {
-    import s.implicits._
-    import graft.operators.Multimodal
-    val media = framedMedia(s, d)
-      .select(col("doc_id"), col("source"), col("payload"))
-      .as[Multimodal.MediaRecord]
-    Multimodal.parseHeaders(s, media).toDF().orderBy("doc_id")
-  }
-
-  private val m02Sql =
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-      |  CAST((n_chars % 640) + 1 AS INTEGER) AS width,
-      |  CAST((doc_id % 480) + 1 AS INTEGER) AS height,
-      |  CAST(8 AS INTEGER) AS depth,
-      |  CAST(CASE WHEN doc_id % 2 = 0
-      |    THEN [1, 3, 2, 4][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
-      |    ELSE CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 3 END
-      |  END AS INTEGER) AS channels
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  // -- m03: frame sampling over a video-shaped binary column ---------------
-  // The frame-sample shape of a real video pipeline: each payload
-  // expands to its sampled frames (explode of a bounded sequence —
-  // map-only, zero shuffle, stays in whole-stage codegen), each frame
-  // carrying its timestamp and a slice of the payload. The "1 byte ≈
-  // 1 ms, frame every 1000 ms, cap 8" duration model is the STUB —
-  // a deployment derives it from the container header — while the
-  // Spark plumbing (bounded explode, per-frame slice, schema) is real.
-  private val m03: Q = (s, d) => {
-    val frameMs = 1000; val maxFrames = 8
-    T.documents(s, d)
-      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-      .withColumn("n_bytes", octet_length(col("payload")))
-      .withColumn("frame_idx", explode(sequence(lit(0),
-        least(floor(col("n_bytes") / lit(frameMs)).cast(IntegerType), lit(maxFrames - 1)))))
-      .select(col("doc_id"), col("n_bytes"), col("frame_idx"),
-        (col("frame_idx") * lit(frameMs)).as("frame_ts_ms"),
-        expr(s"substring(hex(payload), frame_idx * ${frameMs * 2} + 1, 16)").as("frame_hex"))
-      .orderBy(col("doc_id"), col("frame_idx"))
-  }
-
-  private val m03Sql =
-    """WITH b AS (
-      |  SELECT doc_id, encode(text) AS payload,
-      |    unnest(generate_series(0,
-      |      least(CAST(floor(octet_length(encode(text)) / 1000) AS INTEGER), 7))) AS frame_idx
-      |  FROM documents)
-      |SELECT doc_id, CAST(octet_length(payload) AS INTEGER) AS n_bytes,
-      |  CAST(frame_idx AS INTEGER) AS frame_idx,
-      |  CAST(frame_idx * 1000 AS INTEGER) AS frame_ts_ms,
-      |  substr(hex(payload), CAST(frame_idx * 2000 + 1 AS INTEGER), 16) AS frame_hex
-      |FROM b ORDER BY doc_id, frame_idx""".stripMargin
-
-  // -- m04: interleaved multimodal sequence packing ------------------------
-  // What a vision-language pretraining run actually packs: each doc is
-  // an interleaved sequence of text tokens plus its attached images,
-  // every image costing a fixed patch budget (576 = 24×24 ViT patches
-  // — the standard vision-encoder cost). Image count rides m03's
-  // duration model (1 frame per 1000 payload bytes, cap 8 — the
-  // declared stub; a deployment reads the container header), text cost
-  // is p02's BPE-ish count, and the stream packs into 8192-token
-  // context windows via the SAME hierarchicalPack definition p02 uses
-  // — text-only and multimodal packing provably share one arithmetic.
-  // Per doc: both modality costs, the packed bin and offset.
-  //
-  // Scale: identical to p02 — two bounded window shuffles (local
-  // shard cumsums + the #shards-row offset table), modality costs
-  // map-side; the broadcast offsets table is corpus/512 rows.
-  private val m04: Q = (s, d) => {
-    val base = T.documents(s, d)
-      .withColumn("text_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
-      .withColumn("n_images",
-        (least(expr("octet_length(cast(text as binary)) div 1000"), lit(7)) + 1)
-          .cast(IntegerType))
-      .withColumn("cost",
-        (col("text_tokens") + col("n_images") * 576).cast(LongType))
-    hierarchicalPack(base, budget = 8192, shardSize = 512)
-      .select(col("doc_id"), col("source"), col("text_tokens"),
-        col("n_images"), col("cost"), col("bin_id"), col("bin_offset"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val m04Sql =
-    """WITH c AS (
-      |  SELECT doc_id, source,
-      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER)
-      |      AS text_tokens,
-      |    CAST(least(octet_length(encode(text)) // 1000, 7) + 1 AS INTEGER) AS n_images
-      |  FROM documents),
-      |w AS (
-      |  SELECT doc_id, source, text_tokens, n_images,
-      |    CAST(text_tokens + n_images * 576 AS BIGINT) AS cost,
-      |    CAST(SUM(text_tokens + n_images * 576) OVER (
-      |      PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      |  FROM c)
-      |SELECT doc_id, source, text_tokens, n_images, cost,
-      |  (cum - cost) // 8192 AS bin_id,
-      |  (cum - cost) % 8192 AS bin_offset
-      |FROM w ORDER BY doc_id""".stripMargin
-
-  // -- m05: real WAV/RIFF audio header parse -------------------------------
-  // The audio counterpart of m01/m02's image headers, closing the
-  // remaining "duration model" gap for AUDIO: the generator frames
-  // each doc's payload in a genuine RIFF/WAVE container — "RIFF"
-  // size "WAVE", a PCM fmt chunk whose little-endian fields (channels,
-  // sample rate, bits, byte rate) derive from table columns, a
-  // VARIABLE-length LIST chunk with the RIFF odd-size pad byte (the
-  // chunk walk cannot cheat with fixed offsets), then "data" with the
-  // declared body size — and Multimodal.parseWavHeader recovers every
-  // field from the BYTES by walking chunks. duration_ms is exact
-  // integer arithmetic over the recovered fields (declared data bytes
-  // × 1000 div byte rate) — the real form of m03's stubbed "1 byte ≈
-  // 1 ms" model. The oracle states the generator formulas; hash
-  // equality proves the parser inverts the generator.
-  //
-  // Scale: map-only end to end (generator expressions + mapPartitions
-  // parse), no shuffle before the output sort — m01's shape.
-  private def framedWav(s: SparkSession, d: String): DataFrame = {
-    def le16(c: org.apache.spark.sql.Column) = {
-      val h = lpad(hex(c), 4, "0")
-      concat(substring(h, 3, 2), substring(h, 1, 2))
-    }
-    def le32(c: org.apache.spark.sql.Column) = {
-      val h = lpad(hex(c), 8, "0")
-      concat(substring(h, 7, 2), substring(h, 5, 2),
-        substring(h, 3, 2), substring(h, 1, 2))
-    }
-    val ch = (col("doc_id") % 2 + 1).cast(IntegerType)
-    val rate = element_at(
-      array(lit(8000), lit(16000), lit(22050), lit(44100)),
-      (expr("doc_id div 2") % 4).cast(IntegerType) + 1)
-    val bytesPerSample = when(col("doc_id") % 4 < 2, 1).otherwise(2)
-    val bits = bytesPerSample * 8
-    val blockAlign = ch * bytesPerSample
-    val byteRate = rate * blockAlign
-    val listLen = (col("doc_id") % 7).cast(IntegerType)
-    val pad = listLen % 2
-    val riffSize = lit(4 + 24 + 8) + listLen + pad + lit(8) + col("n_chars")
-    val hexhdr = concat(
-      lit("52494646"), le32(riffSize), lit("57415645"),
-      lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(ch), le32(rate),
-      le32(byteRate), le16(blockAlign), le16(bits),
-      lit("4C495354"), le32(listLen),
-      expr("repeat('41', cast(doc_id % 7 as int))"),
-      expr("repeat('00', cast(doc_id % 7 % 2 as int))"),
-      lit("64617461"), le32(col("n_chars")))
-    T.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        concat(unhex(hexhdr), col("text").cast(BinaryType)).as("payload"))
-  }
-
-  private val m05: Q = (s, d) => {
-    import s.implicits._
-    val media = framedWav(s, d).as[graft.operators.Multimodal.MediaRecord]
-    graft.operators.Multimodal.parseWavs(s, media).toDF()
-      .withColumn("duration_ms",
-        expr("(data_bytes * 1000) div byte_rate"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val m05Sql =
-    """SELECT doc_id, source,
-      |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
-      |  CAST([8000, 16000, 22050, 44100][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
-      |    AS INTEGER) AS sample_rate,
-      |  CAST(CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS INTEGER) AS bits,
-      |  CAST([8000, 16000, 22050, 44100][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
-      |    * (doc_id % 2 + 1)
-      |    * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END) AS INTEGER) AS byte_rate,
-      |  CAST(n_chars AS BIGINT) AS data_bytes,
-      |  (CAST(n_chars AS BIGINT) * 1000) //
-      |    ([8000, 16000, 22050, 44100][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
-      |     * (doc_id % 2 + 1)
-      |     * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END)) AS duration_ms
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  // -- m06: real MP4/ISO-BMFF video header parse ---------------------------
-  // The video counterpart of m05, closing the duration-model stub for
-  // VIDEO: the generator frames each doc's payload in a genuine
-  // ISO-BMFF box sequence — ftyp(isom), moov containing a
-  // VARIABLE-length free box (the box walk cannot cheat with fixed
-  // offsets), a v0 mvhd whose big-endian timescale/duration derive
-  // from table columns, and a trak/tkhd carrying 16.16 fixed-point
-  // presentation width/height — then mdat with the declared body
-  // size. Multimodal.parseMp4Header recovers every field by walking
-  // boxes; duration_ms = exact integer units·1000 div timescale (the
-  // real form of m03's stubbed video duration model). The oracle
-  // states the generator formulas; hash equality proves the parser
-  // inverts the generator.
-  //
-  // Scale: map-only end to end (generator expressions + mapPartitions
-  // parse), no shuffle before the output sort — m01/m05's shape.
-  private def framedMp4(s: SparkSession, d: String): DataFrame = {
-    def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
-    def be16x(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
-    val ts = element_at(
-      array(lit(600), lit(1000), lit(30000), lit(90000)),
-      (col("doc_id") % 4).cast(IntegerType) + 1)
-    val du = ((col("doc_id") % 3600 + 1) * 100).cast(IntegerType)
-    val w = element_at(
-      array(lit(640), lit(1280), lit(1920), lit(3840)),
-      (expr("doc_id div 4") % 4).cast(IntegerType) + 1)
-    val h = (w * 9 / 16).cast(IntegerType)
-    val flen = (col("doc_id") % 9).cast(IntegerType)
-    // unity transform matrix — 3×3 of 16.16/2.30 fixed point
-    val matrix = "00010000" + "00000000" * 3 + "00010000" +
-      "00000000" * 3 + "40000000"
-    val mvhd = concat(
-      lit("0000006c" + "6d766864" + "00000000" + "00000000" + "00000000"),
-      be32(ts), be32(du),
-      lit("00010000" + "0100" + "00" * 10 + matrix + "00" * 24 + "00000002"))
-    val tkhd = concat(
-      lit("0000005c" + "746b6864" + "00000007" + "00000000" + "00000000" +
-        "00000001" + "00000000"),
-      be32(du),
-      lit("00" * 8 + "0000" + "0000" + "0000" + "0000" + matrix),
-      be16x(w), lit("0000"), be16x(h), lit("0000"))
-    val trak = concat(lit("00000064" + "7472616b"), tkhd)
-    val free = concat(be32(flen + 8), lit("66726565"),
-      expr("repeat('42', cast(doc_id % 9 as int))"))
-    val moovSize = lit(8 + 108 + 100 + 8) + flen
-    val moov = concat(be32(moovSize), lit("6d6f6f76"), free, mvhd, trak)
-    val mdatHdr = concat(be32(col("n_chars") + 8), lit("6d646174"))
-    val hexhdr = concat(
-      lit("00000010" + "66747970" + "69736f6d" + "00000200"),
-      moov, mdatHdr)
-    T.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        concat(unhex(hexhdr), col("text").cast(BinaryType)).as("payload"))
-  }
-
-  private val m06: Q = (s, d) => {
-    import s.implicits._
-    val media = framedMp4(s, d).as[graft.operators.Multimodal.MediaRecord]
-    graft.operators.Multimodal.parseMp4s(s, media).toDF()
-      .withColumn("duration_ms",
-        expr("(duration_units * 1000) div timescale"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val m06Sql =
-    """SELECT doc_id, source,
-      |  CAST([600, 1000, 30000, 90000][CAST(doc_id % 4 AS INTEGER) + 1]
-      |    AS INTEGER) AS timescale,
-      |  CAST((doc_id % 3600 + 1) * 100 AS BIGINT) AS duration_units,
-      |  CAST([640, 1280, 1920, 3840][CAST((doc_id // 4) % 4 AS INTEGER) + 1]
-      |    AS INTEGER) AS width,
-      |  CAST([640, 1280, 1920, 3840][CAST((doc_id // 4) % 4 AS INTEGER) + 1]
-      |    * 9 // 16 AS INTEGER) AS height,
-      |  CAST(248 + doc_id % 9 AS INTEGER) AS mdat_offset,
-      |  CAST(n_chars AS BIGINT) AS mdat_bytes,
-      |  ((doc_id % 3600 + 1) * 100 * 1000) //
-      |    [600, 1000, 30000, 90000][CAST(doc_id % 4 AS INTEGER) + 1]
-      |      AS duration_ms
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  // -- m07: video frame sampling at REAL timestamps ------------------------
-  // m03's frame-sample shape with the stub REMOVED: duration comes
-  // from the parsed mvhd (units·1000 div timescale), the frame times
-  // are real presentation milliseconds, and each frame's bytes are
-  // sliced at the PARSED mdat body offset plus the proportional
-  // constant-bitrate seek position (frame_ts·mdat_bytes div
-  // duration). The oracle recomputes duration/offsets from the
-  // generator formulas and reads the frame bytes from the text
-  // region directly — hash equality proves the parser located the
-  // mdat body through the variable-length box sequence AND seeked to
-  // the right byte (an off-by-one anywhere shifts every frame_hex).
-  //
-  // Scale: one mapPartitions parse with bounded ≤8-row fan-out per
-  // doc; zero shuffles before the output sort — m03's shape, real
-  // arithmetic.
-  private val m07: Q = (s, d) => {
-    import s.implicits._
-    val media = framedMp4(s, d).as[graft.operators.Multimodal.MediaRecord]
-    graft.operators.Multimodal.sampleMp4Frames(s, media).toDF()
-      .orderBy(col("doc_id"), col("frame_idx"))
-  }
-
-  private val m07Sql =
-    """WITH p AS (
-      |  SELECT doc_id, source, text, CAST(n_chars AS BIGINT) AS mdat_bytes,
-      |    ((doc_id % 3600 + 1) * 100 * 1000) //
-      |      [600, 1000, 30000, 90000][CAST(doc_id % 4 AS INTEGER) + 1]
-      |      AS duration_ms
-      |  FROM documents),
-      |f AS (
-      |  SELECT doc_id, source, duration_ms, text, mdat_bytes,
-      |    CAST(LEAST(8, duration_ms // 1000 + 1) AS INTEGER) AS n_frames,
-      |    unnest(generate_series(0,
-      |      CAST(LEAST(8, duration_ms // 1000 + 1) AS INTEGER) - 1)) AS frame_idx
-      |  FROM p)
-      |SELECT doc_id, source, duration_ms, n_frames,
-      |  CAST(frame_idx AS INTEGER) AS frame_idx,
-      |  CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
-      |  substr(hex(encode(text)),
-      |    CAST((frame_idx * 1000 * mdat_bytes) // duration_ms AS BIGINT) * 2 + 1,
-      |    16) AS frame_hex
-      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
-
-  // -- e11: continuous multimodal intake probe -----------------------------
-  // m05's header parse joined to the streaming family (see
-  // StreamingJobs.mediaIntakeStream): media files priced and
-  // validated AS THEY ARRIVE, aggregated per (hour window, source) —
-  // the running answer an ingestion SLO consumes. Batch run of the
-  // same code path is the oracle; the oracle SQL states the generator
-  // formulas aggregated to the same grid.
-  private val e11: Q = (s, d) => {
-    val media = framedWav(s, d).withColumn("ts",
-      to_timestamp(lit("2024-01-01 00:00:00")) +
-        expr("make_dt_interval(0, 0, doc_id, 0)"))
-    graft.streaming.StreamingJobs.mediaIntakeStream(media)
-      .orderBy(col("window_start"), col("source"))
-  }
-
-  private val e11Sql =
-    """WITH d AS (
-      |  SELECT doc_id, source, n_chars,
-      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
-      |    [8000, 16000, 22050, 44100][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
-      |      * (doc_id % 2 + 1)
-      |      * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END) AS byte_rate
-      |  FROM documents)
-      |SELECT date_trunc('hour', ts) AS window_start, source,
-      |  COUNT(*) AS n_files,
-      |  CAST(0 AS BIGINT) AS n_unparseable,
-      |  CAST(SUM(n_chars) AS BIGINT) AS audio_bytes,
-      |  CAST(SUM((CAST(n_chars AS BIGINT) * 1000) // byte_rate) AS BIGINT)
-      |    AS audio_ms
-      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  // -- e14: streaming audio sample QC --------------------------------------
-  // m09's sample decode joined to the streaming family (see
-  // StreamingJobs.audioQcStream): clips DECODED as they arrive,
-  // loudness/clipping folded per (hour window, source). Batch run of
-  // the same code path is the oracle; the oracle SQL re-derives the
-  // samples from the generator formulas (m09's CTEs) and aggregates
-  // the same exact integers up through the hour grid.
-  private val e14: Q = (s, d) => {
-    val media = framedPcmWav(s, d).toDF().withColumn("ts",
-      to_timestamp(lit("2024-01-01 00:00:00")) +
-        expr("make_dt_interval(0, 0, doc_id, 0)"))
-    graft.streaming.StreamingJobs.audioQcStream(media)
-      .orderBy(col("window_start"), col("source"))
-  }
-
-  private val e14Sql =
-    """WITH params AS (
-      |  SELECT doc_id, source,
-      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
-      |    CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
-      |    CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS bits,
-      |    CASE WHEN doc_id % 4 < 2 THEN 128 ELSE 32768 END AS fullscale
-      |  FROM documents),
-      |idx AS (
-      |  SELECT doc_id, ch, bits, fullscale, unnest(range(0, 64 * ch)) AS i FROM params),
-      |samp AS (
-      |  SELECT doc_id, fullscale,
-      |    CAST(i % ch AS INTEGER) AS channel,
-      |    CAST((i // ch) // 16 AS INTEGER) AS win,
-      |    CASE WHEN bits = 8 THEN (doc_id*7 + i*13) % 256 - 128
-      |         WHEN (doc_id*7 + i*13) % 65536 >= 32768
-      |           THEN (doc_id*7 + i*13) % 65536 - 65536
-      |         ELSE (doc_id*7 + i*13) % 65536 END AS a
-      |  FROM idx),
-      |wstat AS (
-      |  SELECT doc_id, fullscale, channel, win,
-      |    COUNT(*) AS nf, SUM(a * a) AS energy, MAX(ABS(a)) AS peak
-      |  FROM samp GROUP BY doc_id, fullscale, channel, win),
-      |clip AS (
-      |  SELECT doc_id, SUM(nf) AS samples, SUM(energy) AS energy,
-      |    SUM(CASE WHEN peak >= fullscale THEN 1 ELSE 0 END) AS clipped,
-      |    MAX(peak * 1000 // fullscale) AS peak_milli
-      |  FROM wstat GROUP BY doc_id)
-      |SELECT date_trunc('hour', p.ts) AS window_start, p.source,
-      |  COUNT(*) AS n_clips, CAST(0 AS BIGINT) AS n_undecodable,
-      |  CAST(SUM(c.samples) AS BIGINT) AS n_samples,
-      |  CAST(SUM(c.energy) AS BIGINT) AS energy,
-      |  CAST(SUM(c.clipped) AS BIGINT) AS clipped_windows,
-      |  CAST(MAX(c.peak_milli) AS BIGINT) AS peak_milli_max
-      |FROM clip c JOIN params p ON c.doc_id = p.doc_id
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  // -- p09: packed-shard manifest ------------------------------------------
-  // The artifact a training data-loader actually consumes: one row
-  // per packed context window (m04's 8192-token multimodal bins) with
-  // its document count, modality volumes, and fill ratio. A window's
-  // tokens are whatever the packing placed in [bin·8192, (bin+1)·8192)
-  // of the per-source stream, so a doc spanning a bin boundary
-  // contributes to BOTH bins' fill — the overlap arithmetic is exact
-  // integer clamping of [start, end) against the bin range. The last
-  // (partial) bin of each source reports its true fill < 1.
-  //
-  // Scale: m04's packing shuffles + one (source, bin) partial agg;
-  // a doc spans ≤ cost/8192 + 1 bins, so the explode is bounded by
-  // total tokens / 8192 extra rows corpus-wide.
-  private val p09: Q = (s, d) => shardManifest(m04(s, d), budget = 8192)
-
-  /** p09's manifest derivation over ANY packed frame exposing
-    * (source, n_images, cost, bin_id, bin_offset) — the token-cost
-    * definition (regex-BPE, t17 learned, …) is whatever the packing
-    * priced; the bin/overlap arithmetic is definition-independent
-    * (spec-pinned). Precondition: cost ≥ 1 per row (a zero-cost doc
-    * has no span to bin — callers price empty docs at ≥1 or filter). */
-  private[graft] def shardManifest(packedIn: DataFrame, budget: Int): DataFrame = {
-    val packed = packedIn
-      .withColumn("start_tok", col("bin_id") * budget + col("bin_offset"))
-      .withColumn("end_tok", col("start_tok") + col("cost"))
-      .withColumn("bin", explode(sequence(col("bin_id"),
-        expr(s"(end_tok - 1) div $budget"))))
-      .withColumn("bin_start", col("bin") * budget)
-      .withColumn("in_bin",
-        least(col("end_tok"), col("bin_start") + budget) -
-          greatest(col("start_tok"), col("bin_start")))
-    packed.groupBy(col("source"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("in_bin")).as("tokens_in_bin"),
-        // images count once, in the doc's STARTING bin — a
-        // boundary-spanning doc's TOKENS split across bins but its
-        // images are atomic, and double-counting them would inflate
-        // the summed modality volume (round-7 ADVICE)
-        sum(when(col("bin") === col("bin_id"), col("n_images"))
-          .otherwise(lit(0))).as("n_images"))
-      .withColumn("fill_ratio",
-        col("tokens_in_bin").cast(DoubleType) / budget)
-      .orderBy(col("source"), col("bin"))
-  }
-
-  private val p09Sql =
-    """WITH c AS (
-      |  SELECT doc_id, source,
-      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER)
-      |      AS text_tokens,
-      |    CAST(least(octet_length(encode(text)) // 1000, 7) + 1 AS INTEGER) AS n_images
-      |  FROM documents),
-      |w AS (
-      |  SELECT doc_id, source, n_images,
-      |    CAST(text_tokens + n_images * 576 AS BIGINT) AS cost,
-      |    CAST(SUM(text_tokens + n_images * 576) OVER (
-      |      PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      |  FROM c),
-      |spans AS (
-      |  SELECT doc_id, source, n_images, cost,
-      |    cum - cost AS start_tok, cum AS end_tok
-      |  FROM w),
-      |bins AS (
-      |  SELECT source, b AS bin,
-      |    least(end_tok, (b + 1) * 8192) - greatest(start_tok, b * 8192) AS in_bin,
-      |    CASE WHEN b = start_tok // 8192 THEN n_images ELSE 0 END AS img_in_bin
-      |  FROM spans, LATERAL unnest(generate_series(start_tok // 8192,
-      |    (end_tok - 1) // 8192)) AS u(b))
-      |SELECT source, bin, COUNT(*) AS n_docs,
-      |  CAST(SUM(in_bin) AS BIGINT) AS tokens_in_bin,
-      |  CAST(SUM(img_in_bin) AS BIGINT) AS n_images,
-      |  CAST(SUM(in_bin) AS DOUBLE) / 8192 AS fill_ratio
-      |FROM bins GROUP BY source, bin ORDER BY source, bin""".stripMargin
-
-  // ======================= streaming batch-equivalents =====================
-
-  // -- e01: tumbling-window agg (streaming job in graft.streaming) ---------
-  private val e01: Q = (s, d) =>
-    T.events(s, d)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("cnt"), col("sum_value"))
-      .orderBy(col("window_start"), col("event_type"))
-
-  private val e01Sql =
-    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
-       |  COUNT(*) AS cnt, ${sqlMoneySum("value")} AS sum_value
-       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  // -- e02: watermark dedupe (first event per key) -------------------------
-  private val e02: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    T.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_type", "event_id", "ts")
-      .orderBy("user_id", "event_type")
-  }
-
-  private val e02Sql =
-    """SELECT user_id, event_type, event_id, ts FROM (
-      |  SELECT user_id, event_type, event_id, ts,
-      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-      |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
-
-  // -- e03: stream-stream interval join (click→purchase attribution) -------
-  // Runs graft.streaming.StreamingJobs.attributionJoin on batch frames
-  // (withWatermark is a no-op in batch) — the exact code path the
-  // streaming job executes, so this oracle certifies the stream too.
-  private val e03: Q = (s, d) => {
-    val ev = T.events(s, d)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"), col("value"))
-    graft.streaming.StreamingJobs.attributionJoin(clicks, purchases)
-      .orderBy(col("purchase_id"), col("click_id"))
-  }
-
-  private val e03Sql =
-    """SELECT c.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
-      |  p.ts AS purchase_ts, c.ts AS click_ts, p.value
-      |FROM events c JOIN events p
-      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
-      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
-      |ORDER BY purchase_id, click_id""".stripMargin
-
-  // -- e04: streaming curation gates + admission stats ---------------------
-  // The continuous form of p01's gates: per-window per-language doc
-  // counts and how many pass the language+quality admission. Runs
-  // StreamingJobs.curateStream on a BATCH frame (withWatermark is a
-  // no-op in batch) so the exact streaming code path is what the
-  // oracle certifies — e03's trick; the MemoryStream spec proves the
-  // incremental execution matches. Arrival time is synthesized
-  // deterministically (doc_id minutes past a fixed epoch) in both
-  // engines.
-  private val e04: Q = (s, d) => {
-    val (_, _, _, quality) = qualityParts
-    val docs = T.documents(s, d).withColumn("ts",
-      to_timestamp(lit("2024-01-01 00:00:00")) +
-        expr("make_dt_interval(0, 0, doc_id, 0)"))
-    graft.streaming.StreamingJobs.curateStream(docs, quality)
-      .orderBy(col("window_start"), col("lang"))
-  }
-
-  private val e04Sql =
-    s"""WITH d AS (
-       |  SELECT lang, text,
-       |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
-       |    0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
-       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
-       |        / len(string_split_regex(trim(text), '\\s+')))
-       |      - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |        / length(text) AS quality
-       |  FROM documents)
-       |SELECT date_trunc('hour', ts) AS window_start, lang, COUNT(*) AS n_docs,
-       |  CAST(SUM(CASE WHEN lang = 'en' AND quality >= 0.55 THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_kept
-       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  // -- e10: continuous learned-token volume accounting ---------------------
-  // t17 joined to the streaming family: the vocab is fit OFFLINE
-  // (the batch fit — deployed tokenizers are frozen artifacts, not
-  // per-batch refits) and the intake stream prices every arriving
-  // doc in real tokens (StreamingJobs.tokenVolumeStream). Batch run
-  // of the same code path is the oracle (e04's certification class);
-  // the oracle SQL re-derives the counts through t17's shared CTE
-  // chain, so the stream, the batch path and the replay price with
-  // ONE token definition.
-  private val e10: Q = (s, d) => {
-    val vocab = learnedVocab(s, d)
-    val docs = T.documents(s, d).withColumn("ts",
-      to_timestamp(lit("2024-01-01 00:00:00")) +
-        expr("make_dt_interval(0, 0, doc_id, 0)"))
-    graft.streaming.StreamingJobs.tokenVolumeStream(docs, vocab.toSeq)
-      .orderBy(col("window_start"), col("source"))
-  }
-
-  private val e10Sql =
-    s"""WITH RECURSIVE $learnedSegCtes,
-       |agg AS (
-       |  SELECT t.doc_id, CAST(SUM(p.pieces) AS BIGINT) AS learned
-       |  FROM tk t JOIN wp p ON t.w = p.w
-       |  GROUP BY t.doc_id),
-       |d AS (
-       |  SELECT doc_id, source,
-       |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
-       |  FROM documents)
-       |SELECT date_trunc('hour', d.ts) AS window_start, d.source,
-       |  COUNT(*) AS n_docs,
-       |  CAST(SUM(COALESCE(a.learned, 0)) AS BIGINT) AS learned_tokens
-       |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  // -- e13: streaming SCD2 enrichment --------------------------------------
-  // q35's validity intervals consumed on the INTAKE stream
-  // (StreamingJobs.scd2EnrichStream): each arriving event picks up
-  // the dimension version valid at its event time — the classic
-  // "dimension lookup at event time" of a streaming warehouse ETL.
-  // The dim is the SCD2 chain q35 derives (per customer: each order
-  // opens a version carrying its priority; lead() closes it), the
-  // stream is the raw event feed, the join is stream-static LEFT
-  // with the interval predicate riding the user-key equi-join —
-  // map-only, zero streaming state. Batch run of the same code path
-  // is the oracle; StreamingSpec proves incremental == batch and
-  // that pre-first-version events survive as UNVERSIONED.
-  private val e13: Q = (s, d) => {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val dim = T.orders(s, d)
-      .select(col("o_custkey").as("d_user_id"),
-        col("o_orderkey").as("version_key"),
-        col("o_orderpriority").as("priority"),
-        col("o_orderdate").as("valid_from"),
-        lead(col("o_orderdate"), 1).over(w).as("valid_to"))
-    val ev = T.events(s, d)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    graft.streaming.StreamingJobs.scd2EnrichStream(ev, dim)
-      .orderBy(col("event_id"))
-  }
-
-  private val e13Sql =
-    """WITH dim AS (
-      |  SELECT o_custkey AS d_user_id, o_orderkey AS version_key,
-      |    o_orderpriority AS priority, o_orderdate AS valid_from,
-      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
-      |      ORDER BY o_orderdate, o_orderkey) AS valid_to
-      |  FROM orders)
-      |SELECT e.event_id, e.user_id, e.ts, e.value,
-      |  d.version_key, COALESCE(d.priority, 'UNVERSIONED') AS priority
-      |FROM events e LEFT JOIN dim d
-      |  ON e.user_id = d.d_user_id AND e.ts >= d.valid_from
-      |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
-      |ORDER BY e.event_id""".stripMargin
-
-  // -- e12: continuous score-distribution drift monitor --------------------
-  // q87 joined to the streaming family (StreamingJobs.distDriftStream):
-  // the baseline level distribution is fit OFFLINE on the 1997
-  // results and FROZEN (e10's frozen-vocab pattern), and every
-  // arriving window's level mix is chi-square-tested against it in
-  // q87's exact integer micro-units — one streaming aggregation, the
-  // fold is per-row arithmetic after it, so stream == batch == the
-  // DuckDB replay bit-for-bit. Batch run of the same code path is
-  // the oracle (e04's certification class); StreamingSpec proves the
-  // incremental run matches and pins the term arithmetic by hand.
-  private val e12: Q = (s, d) => {
-    val li = when(col("o_totalprice") < 100000, 1)
-      .when(col("o_totalprice") < 200000, 2)
-      .when(col("o_totalprice") < 350000, 3).otherwise(4)
-    // the offline baseline fit: 4 longs, the monitor's frozen config
-    // (learnedVocab's bounded-collect class)
-    val b = T.orders(s, d).filter(year(col("o_orderdate")) === 1997)
-      .withColumn("li", li)
-      .agg(
-        sum(when(col("li") === 1, 1L).otherwise(0L)),
-        sum(when(col("li") === 2, 1L).otherwise(0L)),
-        sum(when(col("li") === 3, 1L).otherwise(0L)),
-        sum(when(col("li") === 4, 1L).otherwise(0L)))
-      .head()
-    val baseline = Seq(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    graft.streaming.StreamingJobs.distDriftStream(
-      T.orders(s, d).select(col("o_orderdate").as("ts"),
-        col("o_totalprice").as("price")), baseline)
-      .orderBy(col("window_start"))
-  }
-
-  // The 30-day tumbling window replays as epoch-aligned floor
-  // division (Spark's TimeWindow origin is 1970-01-01 UTC); the
-  // chi-square terms replay in HUGEINT exactly as q87's.
-  private val e12Sql =
-    """WITH bc AS (
-      |  SELECT
-      |    CAST(SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-      |    CAST(SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
-      |    CAST(SUM(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 350000
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS c3,
-      |    CAST(SUM(CASE WHEN o_totalprice >= 350000 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
-      |    CAST(COUNT(*) AS BIGINT) AS n1
-      |  FROM orders WHERE year(o_orderdate) = 1997),
-      |w AS (
-      |  SELECT TIMESTAMP '1970-01-01 00:00:00' +
-      |      ((CAST(epoch(o_orderdate) AS BIGINT) // 2592000) * 2592000)
-      |      * INTERVAL 1 SECOND AS window_start,
-      |    CAST(SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
-      |    CAST(SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS o2,
-      |    CAST(SUM(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 350000
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS o3,
-      |    CAST(SUM(CASE WHEN o_totalprice >= 350000 THEN 1 ELSE 0 END) AS BIGINT) AS o4,
-      |    CAST(COUNT(*) AS BIGINT) AS n_cur
-      |  FROM orders GROUP BY 1),
-      |t AS (SELECT w.*, bc.c1, bc.c2, bc.c3, bc.c4, bc.n1 FROM w, bc),
-      |f AS (
-      |  SELECT window_start, o1, o2, o3, o4, n_cur,
-      |    CAST((CAST(o1 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n_cur)
-      |      * (CAST(o1 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n_cur)
-      |      * 1000000 // (CAST(c1 AS HUGEINT) * n1 * n_cur) AS BIGINT)
-      |    + CAST((CAST(o2 AS HUGEINT) * n1 - CAST(c2 AS HUGEINT) * n_cur)
-      |      * (CAST(o2 AS HUGEINT) * n1 - CAST(c2 AS HUGEINT) * n_cur)
-      |      * 1000000 // (CAST(c2 AS HUGEINT) * n1 * n_cur) AS BIGINT)
-      |    + CAST((CAST(o3 AS HUGEINT) * n1 - CAST(c3 AS HUGEINT) * n_cur)
-      |      * (CAST(o3 AS HUGEINT) * n1 - CAST(c3 AS HUGEINT) * n_cur)
-      |      * 1000000 // (CAST(c3 AS HUGEINT) * n1 * n_cur) AS BIGINT)
-      |    + CAST((CAST(o4 AS HUGEINT) * n1 - CAST(c4 AS HUGEINT) * n_cur)
-      |      * (CAST(o4 AS HUGEINT) * n1 - CAST(c4 AS HUGEINT) * n_cur)
-      |      * 1000000 // (CAST(c4 AS HUGEINT) * n1 * n_cur) AS BIGINT)
-      |      AS chi2_micro
-      |  FROM t)
-      |SELECT window_start, o1, o2, o3, o4, n_cur, chi2_micro,
-      |  chi2_micro / 1000000.0 AS chi2,
-      |  chi2_micro > 7814728 AS drift
-      |FROM f ORDER BY window_start""".stripMargin
-
-  // ------------------------------------------------------------------------
-  // -- e06: continuous OLAP aggregate maintenance --------------------------
-  // The read path of StreamingJobs.olapMigrateStream (RDW Migrate
-  // OLAP as a stream): the mart stores algebraic partials (exact
-  // decimal sum + count), reads derive sum/avg via olapDerive. This
-  // entry certifies EXACTLY those shared helpers on a batch frame —
-  // the oracle is the full recompute, and StreamingSpec proves a mart
-  // maintained across micro-batch merges (with a crash replay in the
-  // middle) byte-equals this same derivation.
-  private val e06: Q = (s, d) => {
-    val ev = T.events(s, d).withColumn("mart_hour", date_trunc("hour", col("ts")))
-    graft.streaming.StreamingJobs.olapDerive(
-      graft.streaming.StreamingJobs.olapPartials(
-        ev, Seq("mart_hour", "event_type"), "value"),
-      Seq("mart_hour", "event_type"))
-      .orderBy(col("mart_hour"), col("event_type"))
-  }
-
-  private val e06Sql =
-    """SELECT date_trunc('hour', ts) AS mart_hour, event_type,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-      |  COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  // -- e07: stateful sessionization, oracle-certified ----------------------
-  // The flatMapGroupsWithState sessionizer run in BATCH mode (end of
-  // input closes the trailing session, playing the watermark's role)
-  // against a declarative SQL oracle — a custom arbitrary-state
-  // operator certified by DuckDB, not just by a parity spec. All
-  // engine-sensitive arithmetic happens OUTSIDE the state function:
-  // Catalyst casts value → DECIMAL(12,2) cents and epoch-µs on the way
-  // in, timestamp_micros / one division on the way out; the state
-  // holds only exact longs.
-  private val e07: Q = (s, d) => {
-    import s.implicits._
-    val rows = T.events(s, d).select(col("user_id"), col("ts"),
-      (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
-      .as[graft.streaming.StreamingJobs.SessRow]
-    graft.streaming.StreamingJobs.sessionizeExact(rows, gapSeconds = 1800)
-      .toDF()
-      .select(col("user_id"),
-        expr("timestamp_micros(start_us)").as("session_start"),
-        expr("timestamp_micros(end_us)").as("session_end"),
-        col("n_events"),
-        (col("cents").cast(DoubleType) / 100.0).as("sum_value"))
-      .orderBy(col("user_id"), col("session_start"))
-  }
-
-  private val e07Sql =
-    """WITH e AS (
-      |  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS v FROM events),
-      |l AS (
-      |  SELECT user_id, ts, v,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-      |         THEN 1 ELSE 0 END AS new_s
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-      |sess AS (
-      |  SELECT user_id, ts, v,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS UNBOUNDED PRECEDING) AS sid
-      |  FROM l)
-      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-      |  COUNT(*) AS n_events, CAST(CAST(SUM(v) AS DECIMAL(30,2)) AS DOUBLE) AS sum_value
-      |FROM sess GROUP BY user_id, sid
-      |ORDER BY user_id, session_start""".stripMargin
-
-  // -- e05: streaming near-dup detection (SimHash chunk buckets) -----------
-  // The continuous form of d05: per-(chunk, value) buckets hold the
-  // docs within a 1 h event-time horizon and every new arrival is
-  // checked against its bucket (hamming ≤ 3). Runs StreamingJobs
-  // .nearDupStream on a BATCH frame (the same code path the stream
-  // executes — flatMapGroupsWithState works in batch with empty
-  // state); StreamingSpec additionally asserts this output == the
-  // incremental MemoryStream run. GRADUATED to hash-exact in round 5:
-  // the signature family replays in DuckDB since d05's round-4
-  // graduation, and the stream's remaining semantics are plain
-  // predicates — per-chunk emission, the 1 h horizon (arrival ts =
-  // doc_id minutes past a fixed epoch ⇒ b_id − a_id ≤ 60), and
-  // (ts, doc_id) pair orientation (⇒ a_id < b_id here).
-  private val e05: Q = (s, d) => {
-    val docs = T.documents(s, d).withColumn("ts",
-      to_timestamp(lit("2024-01-01 00:00:00")) +
-        expr("make_dt_interval(0, 0, doc_id, 0)"))
-      .select(col("doc_id"), col("ts"), col("text"))
-    graft.streaming.StreamingJobs.nearDupStream(
-      graft.streaming.StreamingJobs.simhashChunks(docs), horizonSeconds = 3600)
-      .toDF()
-      .orderBy(col("chunk"), col("a_id"), col("b_id"))
-  }
-
-  private val e05Sql: String =
-    s"""WITH $simHashCtes,
-       |pairs AS (
-       |  SELECT a.chunk AS chunk, a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM chunks a JOIN chunks b
-       |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
-       |  WHERE b.doc_id - a.doc_id <= 60),
-       |mm AS (SELECT p.chunk, p.a_id, p.b_id,
-       |         CAST(SUM(CASE WHEN ba.bit <> bb2.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
-       |       FROM pairs p
-       |       JOIN bits ba ON ba.doc_id = p.a_id
-       |       JOIN bits bb2 ON bb2.doc_id = p.b_id AND bb2.b = ba.b
-       |       GROUP BY 1, 2, 3)
-       |SELECT chunk, a_id, b_id, hamming FROM mm WHERE hamming <= 3
-       |ORDER BY chunk, a_id, b_id""".stripMargin
-
-  /** Non-overlapping 8-token segment hashes per doc — the "line"
-    * unit of the C4-style sub-document dedup. ONE definition shared
-    * by d11 (the report) and t14's line stage (the waterfall), so
-    * the two can never disagree about what a segment is. Map-side
-    * explode bounded by doc length. */
-  private def segmentHashes(docs: org.apache.spark.sql.DataFrame) = docs
-    .withColumn("tk", split(col("text"), " "))
-    .withColumn("i", explode(sequence(lit(0), expr("(size(tk) + 7) div 8 - 1"))))
-    .select(col("doc_id"),
-      md5(array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ")).as("seg_hash"))
-
-  // -- d11: line-level boilerplate dedup (C4-style) ------------------------
-  // The C4/RefinedWeb preprocessing step that is NOT document-grain:
-  // dedup at the LINE level — any line occurring in more than one
-  // document is boilerplate (headers, navigation, license blurbs) and
-  // gets dropped corpus-wide. The corpus has no newlines, so "lines"
-  // are non-overlapping 8-token segments (same spirit: sub-document
-  // content units). Report per doc: segment count, segments shared
-  // with ≥1 other doc, shared share — the removal set a C4-style pass
-  // would apply.
-  //
-  // Scale: 3 shuffles, all on uniform hash keys — segment partial-agg
-  // on the md5 (the df table), the segs⋈df equi-join co-partitioned
-  // on that same hash, one per-doc agg. This IS the documented cost
-  // of C4's line dedup; no all-pairs anything. Segmentation is a
-  // map-side explode bounded by doc length (t12's class).
-  private val d11: Q = (s, d) => {
-    val segs = segmentHashes(docsSpread(s, d))
-      .transform(graft.CacheScope.cached) // read by the df build + the probe side
-    val df = segs.groupBy(col("seg_hash"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-    segs.join(df, "seg_hash")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
-      // unrounded single IEEE division of exact ints (q52/q54 policy)
-      .withColumn("shared_share",
-        col("n_shared").cast(DoubleType) / col("n_segments"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val d11Sql =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      |segs AS (
-      |  SELECT doc_id,
-      |    md5(array_to_string(list_slice(tk, i*8+1, i*8+8), ' ')) AS seg_hash
-      |  FROM toks, LATERAL unnest(generate_series(0, (len(tk)+7)//8 - 1)) AS g(i)),
-      |df AS (SELECT seg_hash, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY 1),
-      |per_doc AS (
-      |  SELECT s.doc_id, COUNT(*) AS n_segments,
-      |    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
-      |  FROM segs s JOIN df USING (seg_hash) GROUP BY 1)
-      |SELECT doc_id, n_segments, n_shared,
-      |  CAST(n_shared AS DOUBLE) / n_segments AS shared_share
-      |FROM per_doc ORDER BY doc_id""".stripMargin
-
-  // -- d12: exact substring dedup (repeated-span cover) --------------------
-  // The ExactSubstr pass of "Deduplicating Training Data Makes
-  // Language Models Better" (Lee et al. 2022), re-expressed for a
-  // shuffle engine: any text span repeated VERBATIM anywhere in the
-  // corpus — including elsewhere in the same document — is training
-  // waste a trim pass removes. The paper's suffix-array formulation
-  // is single-node; the distributed equivalent is a k-token SLIDING
-  // gram cover: every repeated substring of ≥ k tokens contains a
-  // repeated k-gram, and every flagged token sits inside a k-gram
-  // occurring ≥ 2 times, so the cover detects exactly the ≥k-token
-  // repeated spans at k-gram granularity. Per doc: contiguous
-  // repeated runs (interval union via the gaps-and-islands window),
-  // covered token count, repeated fraction.
-  //
-  // Scale: gram extraction is a map-side explode (n_tokens rows/doc,
-  // k× d11's segment rows — same class); 3 shuffles, all on uniform
-  // hash keys — gram partial-agg (the occurrence table), the
-  // grams⋈occ equi-join co-partitioned on the gram hash, one doc
-  // window+agg. A boilerplate gram with huge df joins against ONE
-  // count row — nothing pairwise anywhere. This is what the suffix
-  // array becomes when the corpus doesn't fit one machine.
-  private val SubstrK = 8
-
-  /** Sliding SubstrK-token gram positions per doc — ONE definition
-    * shared by d12 (repeated-span cover) and t16 (novelty), so the
-    * two can never disagree about what a gram is. The hashes come
-    * from the native [[graft.functions.expressions.TokenGramHashes]]
-    * pass (prefix-hash rolling, O(1)/gram, double-polynomial — the
-    * md5-of-rebuilt-gram-string formulation it replaced re-hashed
-    * O(k·|token|) chars per position); posexplode supplies the token
-    * position. Map-side, n_tokens rows/doc. */
-  private def slidingGramHashes(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"),
-      posexplode(graft.functions.GraftColumns.tokenGramHashes(col("text"), SubstrK)))
-    .select(col("doc_id"), col("pos").cast(LongType).as("p"),
-      col("col").as("gram_hash"))
-
-  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
-    docsSpread(s, d)
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("total_tokens", size(col("tk")).cast(LongType))
-
-  private val d12: Q = (s, d) => {
-    val docs = tokenizedDocs(s, d)
-    val grams = slidingGramHashes(docs)
-      .transform(graft.CacheScope.cached) // read by the occ build + the probe side
-    val occ = grams.groupBy(col("gram_hash")).agg(count(lit(1)).as("occ"))
-    val rep = grams.join(occ, "gram_hash").filter(col("occ") >= 2)
-    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val runs = rep
-      .withColumn("prev_end", max(col("p") + (SubstrK - 1)).over(wPrev))
-      .withColumn("new_run", when(
-        col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L).otherwise(0L))
-      .withColumn("run_id", sum(col("new_run")).over(wRun))
-      .groupBy(col("doc_id"), col("run_id"))
-      // runs are contiguous by construction (a gram joins its run only
-      // when it overlaps or abuts the running max end), so the union
-      // of a run's intervals is the single range [min p, max p + k-1]
-      .agg((max(col("p")) + (SubstrK - 1) - min(col("p")) + 1).as("covered"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("repeated_tokens"))
-    docs.select(col("doc_id"), col("total_tokens"))
-      .join(runs, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_spans", "repeated_tokens"))
-      // unrounded single IEEE division of exact ints (q52/q54 policy)
-      .withColumn("repeated_frac",
-        col("repeated_tokens").cast(DoubleType) / col("total_tokens"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val d12Sql =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      |docs AS (
-      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens, tk FROM toks),
-      |gs AS (
-      |  SELECT doc_id, i, array_to_string(list_slice(tk, i + 1, i + 8), ' ') AS g
-      |  FROM docs, LATERAL unnest(generate_series(0, total_tokens - 8)) AS u(i)),
-      |grams AS (
-      |  SELECT doc_id, CAST(i AS BIGINT) AS p,
-      |    list_reduce(list_transform(generate_series(1, length(g)),
-      |        j -> CAST(unicode(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 131 + c) % 1000000007) * 1000000007 +
-      |    list_reduce(list_transform(generate_series(1, length(g)),
-      |        j -> CAST(unicode(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 137 + c) % 1000000007) AS gram_hash
-      |  FROM gs),
-      |occ AS (SELECT gram_hash, COUNT(*) AS occ FROM grams GROUP BY 1),
-      |rep AS (SELECT doc_id, p FROM grams JOIN occ USING (gram_hash) WHERE occ >= 2),
-      |marked AS (
-      |  SELECT doc_id, p,
-      |    max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      |  FROM rep),
-      |islands AS (
-      |  SELECT doc_id, p,
-      |    SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1 THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY doc_id ORDER BY p) AS run_id
-      |  FROM marked),
-      |runs AS (
-      |  SELECT doc_id, run_id, MAX(p) + 7 - MIN(p) + 1 AS covered
-      |  FROM islands GROUP BY 1, 2),
-      |per_doc AS (
-      |  SELECT doc_id, COUNT(*) AS n_spans,
-      |    CAST(SUM(covered) AS BIGINT) AS repeated_tokens
-      |  FROM runs GROUP BY 1)
-      |SELECT d.doc_id, d.total_tokens,
-      |  COALESCE(n_spans, 0) AS n_spans,
-      |  COALESCE(repeated_tokens, 0) AS repeated_tokens,
-      |  CAST(COALESCE(repeated_tokens, 0) AS DOUBLE) / d.total_tokens AS repeated_frac
-      |FROM docs d LEFT JOIN per_doc USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
-
-  // -- t13: vocabulary coverage report -------------------------------------
-  // Tokenizer/vocab design needs the Zipf head: how much of the
-  // corpus does a top-k vocabulary cover? Exact token frequencies,
-  // top 200 by (count, token) with a deterministic tie-break, rank +
-  // running coverage share (exact integer cumulative sum, one IEEE
-  // division per row against the exact corpus total).
-  //
-  // Scale: one vocab partial-agg shuffle (the only fact-sized move);
-  // the rank/running-sum window runs over the LIMITed 200-row frame —
-  // bounded by construction, the q52/p02 class. The corpus total is
-  // one scalar agg broadcast back.
-  private val t13: Q = (s, d) => {
-    val toks = docsSpread(s, d)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .transform(graft.CacheScope.cached) // read by vocab agg + total
-    val total = toks.agg(count(lit(1)).as("total"))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok"))
-      .limit(200)
-    val w = Window.orderBy(col("cnt").desc, col("tok"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    top
-      // cast to long: DuckDB's row_number is BIGINT (the driver's
-      // compare is dtype-sensitive)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
-      .crossJoin(broadcast(total))
-      .select(col("rank"), col("tok"), col("cnt"), col("cum_cnt"),
-        (col("cum_cnt").cast(DoubleType) / col("total")).as("cum_share"))
-      .orderBy(col("rank"))
-  }
-
-  private val t13Sql =
-    """WITH toks AS (
-      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-      |tk AS (SELECT tok FROM toks WHERE tok <> ''),
-      |total AS (SELECT COUNT(*) AS total FROM tk),
-      |top AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok
-      |        ORDER BY cnt DESC, tok LIMIT 200),
-      |ranked AS (
-      |  SELECT tok, cnt,
-      |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
-      |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
-      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
-      |  FROM top)
-      |SELECT rank, tok, cnt, cum_cnt,
-      |  CAST(cum_cnt AS DOUBLE) / total AS cum_share
-      |FROM ranked, total
-      |ORDER BY rank""".stripMargin
-
-  // -- e08: continuous heavy hitters (streaming count-min sketch) ----------
-  // The continuous form of t10: the boilerplate/stopword gate runs on
-  // the INTAKE stream, maintaining the depth×width counter table as
-  // streaming aggregation state (bounded by construction — the key
-  // space IS the counter table). Runs StreamingJobs.cmsStream on a
-  // BATCH frame — the identical code path the stream executes, since
-  // counters merge by addition in both — and probes it with the exact
-  // top-20 as the verification set, t10's report shape. Different
-  // geometry than t10 (depth 3 × width 512) so the two sketches are
-  // independently checked. StreamingSpec proves the MemoryStream
-  // incremental run lands on the same counter table.
-  private val e08: Q = (s, d) => {
-    val depth = 3; val width = 512
-    // counters come from the STREAM code path (its own tokenization);
-    // toks below feeds only the exact top-k, so no cache — each frame
-    // is read once
-    val toks = docsSpread(s, d)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-    val counters = graft.streaming.StreamingJobs.cmsStream(docsSpread(s, d), depth, width)
-    val top = toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("tok"))
-      .limit(20)
-    val probes = top.select(col("tok"), col("exact_cnt"),
-        explode(array((0 until depth).map(r =>
-          struct(lit(r).as("r"),
-            graft.functions.TextFunctions.cmsBucket(col("tok"), r, width).as("bucket"))): _*)).as("rb"))
-      .select(col("tok"), col("exact_cnt"),
-        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-    probes.join(broadcast(counters), Seq("r", "bucket"))
-      .groupBy(col("tok"), col("exact_cnt"))
-      .agg(min(col("cell")).as("cms_est"))
-      .select(col("tok"), col("exact_cnt"), col("cms_est"),
-        (col("cms_est") - col("exact_cnt")).as("over_err"))
-      .orderBy(col("exact_cnt").desc, col("tok"))
-  }
-
-  private val e08Sql =
-    """WITH toks AS (
-      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-      |tk AS (SELECT tok FROM toks WHERE tok <> ''),
-      |rb AS (
-      |  SELECT tok, r,
-      |    CAST(('0x' || substr(md5(tok || '|' || CAST(r AS VARCHAR)), 1, 4)) AS INTEGER)
-      |      % 512 AS bucket
-      |  FROM tk, (SELECT unnest(generate_series(0, 2)) AS r)),
-      |counters AS (SELECT r, bucket, COUNT(*) AS cell FROM rb GROUP BY 1, 2),
-      |top AS (SELECT tok, COUNT(*) AS exact_cnt FROM tk GROUP BY tok
-      |        ORDER BY exact_cnt DESC, tok LIMIT 20),
-      |probes AS (
-      |  SELECT t.tok, t.exact_cnt, r.r,
-      |    CAST(('0x' || substr(md5(t.tok || '|' || CAST(r.r AS VARCHAR)), 1, 4)) AS INTEGER)
-      |      % 512 AS bucket
-      |  FROM top t, (SELECT unnest(generate_series(0, 2)) AS r) r)
-      |SELECT p.tok, p.exact_cnt, MIN(c.cell) AS cms_est,
-      |  MIN(c.cell) - p.exact_cnt AS over_err
-      |FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
-      |GROUP BY p.tok, p.exact_cnt
-      |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
-
-  // -- s06: vector range search (radius query) -----------------------------
-  // The retrieval mode the top-k ladder (s01–s05) doesn't cover:
-  // "everything similar ENOUGH" — cosine ≥ τ per query, the RAG /
-  // near-dup-audit radius query whose result size is data-dependent
-  // (possibly empty, possibly huge) rather than fixed-k. Exact
-  // baseline: query side broadcast, one map-only pass over the corpus
-  // — no per-query sort, no window, because a radius filter needs
-  // neither. At warehouse scale the same query runs against s03's
-  // inverted lists (probe cells whose centroid admits cos ≥ τ given
-  // the triangle bound) — the blocking composes exactly as d07
-  // documents for d06.
-  private val s06: Q = (s, d) => {
-    val emb = T.embeddings(s, d)
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val cands = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding"))
-    cands.crossJoin(broadcast(qs))
-      .withColumn("cosine", VF.cosine(col("q_vec"), col("embedding")))
-      .filter(col("cosine") >= 0.3)
-      .select(col("q_id"), col("cand_id"), col("cosine"))
-      .orderBy(col("q_id"), col("cand_id"))
-  }
-
-  private val s06Sql =
-    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-      |c AS (SELECT vec_id AS cand_id, embedding FROM embeddings WHERE vec_id >= 10)
-      |SELECT q_id, cand_id,
-      |  list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cosine
-      |FROM c, q
-      |WHERE list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) >= 0.3
-      |ORDER BY q_id, cand_id""".stripMargin
-
-  // -- s07: IVF-probed range search (exact, cell-pruned) -------------------
-  // s06 against s03's inverted lists — and still EXACT, because the
-  // pruning is a proof, not a heuristic. Each cell keeps one byte of
-  // index metadata: bmin = min cosine between a member and its
-  // centroid (the cell's angular radius, cos θmax). For a query at
-  // angle θqc from the centroid, the spherical triangle inequality
-  // θ(q,x) ≥ θqc − θmax bounds every member's cosine by
-  // cos(θqc − θmax) = a·bmin + sqrt((1−a²)(1−bmin²)), a = cos θqc —
-  // sqrt/mul/add only, no transcendentals, so the bound (and the
-  // admission decision) replays bit-exactly in DuckDB. A cell whose
-  // bound < τ provably contains NO qualifying pair, so s07 emits
-  // EXACTLY s06's rows while the corpus pass probes only admitted
-  // lists. How much it prunes is the corpus's clusteredness: the
-  // synthetic warehouse vectors are near-orthogonal (measured at both
-  // gate SFs: min member-centroid cosine ≈ 0.23 per cell, so every
-  // bound ≥ 0.83 and all cells admit — correctly), while on a
-  // clustered corpus — what real embeddings are — most cells fail the
-  // bound and are never scanned. PipelineScaleSpec asserts BOTH:
-  // identity with s06 on the warehouse table, and prune-ratio +
-  // identity-vs-bruteforce on a 10-cluster corpus. The classic
-  // metric-pruning exact search — the shape a warehouse runs when
-  // scanning everything (s06) is the waste.
-  //
-  // Scale: the radius stats are one broadcast-join + k-row agg over
-  // the assigned corpus (index-build metadata, amortized across
-  // queries in deployment); the probe pass is a broadcast hash join
-  // on cluster touching admitted lists only. Both sides of the tiny
-  // admission cross join are bounded: queries by the filter (10),
-  // cells by the quantizer config (k ≈ √n). No fact shuffle anywhere.
-  /** The IVF-probed range-search internals over any (vec_id,
-    * embedding) frame (queries = vec_id < 10, candidates = the rest):
-    * returns (assigned candidates, admitted (query, cell) probe
-    * pairs). Factored out so PipelineScaleSpec can (a) measure the
-    * admitted fraction and (b) run the operator on a CLUSTERED corpus
-    * where the bound provably prunes — on the warehouse table the
-    * vectors are near-orthogonal (measured: bmin ≈ 0.23, so every
-    * bound ≥ 0.83) and admission keeps all cells, which is the bound
-    * being honest, not broken. */
-  /** The persistable half of s07: assign the corpus to quantizer
-    * cells and derive each cell's metadata — centroid `cv` plus the
-    * angular radius `bmin`. In deployment this pair of frames IS the
-    * index: build once, write with [[graft.operators.RangeIvfIndex]],
-    * and every later query skips the fit, the assignment pass, and
-    * the radius agg (round-6 verdict polish — bmin used to be
-    * recomputed per query). */
-  private[graft] def rangeIvfIndex(s: SparkSession, emb: DataFrame, n: Long,
-                                   dim: Int = EmbDim): (DataFrame, DataFrame) = {
-    import s.implicits._
-    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, cents) = kmeansAssignDf(emb, k, n, dim)
-    val cells = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-      .toDF("cluster", "cv")
-    val cands = assigned.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
-    val cellMeta = cands.join(broadcast(cells), "cluster")
-      .groupBy(col("cluster"))
-      .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin"))
-      .join(broadcast(cells), "cluster")
-      .select(col("cluster"), col("cv"), col("bmin"))
-    (cands, cellMeta)
-  }
-
-  /** The per-query half of s07: the spherical-triangle admission test
-    * over the cell metadata. Cost is |queries| × |cells| — both tiny
-    * and broadcast; no corpus access at all. */
-  private[graft] def rangeIvfAdmit(cellMeta: DataFrame, qs: DataFrame,
-                                   tau: Double): DataFrame = {
-    val a = col("a")
-    val bmin = col("bmin")
-    val bound = a * bmin +
-      sqrt(greatest(lit(0d), lit(1d) - a * a) *
-           greatest(lit(0d), lit(1d) - bmin * bmin))
-    cellMeta
-      .crossJoin(broadcast(qs))
-      .withColumn("a", VF.cosine(col("q_vec"), col("cv")))
-      .filter(a >= bmin || bound >= tau)
-      .select(col("q_id"), col("q_vec"), col("cluster"))
-  }
-
-  private[graft] def rangeIvfParts(s: SparkSession, emb: DataFrame, n: Long,
-                                   tau: Double): (DataFrame, DataFrame) = {
-    val (cands, cellMeta) = rangeIvfIndex(s, emb, n)
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    (cands, rangeIvfAdmit(cellMeta, qs, tau))
-  }
-
-  /** Probe a (possibly loaded-from-disk) index: broadcast hash join
-    * on cluster touching admitted lists only, then the exact filter. */
-  private[graft] def rangeIvfProbe(cands: DataFrame, admitted: DataFrame,
-                                   tau: Double): DataFrame =
-    cands.join(broadcast(admitted), "cluster")
-      .withColumn("cosine", VF.cosine(col("q_vec"), col("embedding")))
-      .filter(col("cosine") >= tau)
-      .select(col("q_id"), col("cand_id"), col("cosine"))
-      .orderBy(col("q_id"), col("cand_id"))
-
-  /** The probe pass over [[rangeIvfParts]] — the full operator,
-    * reusable on any corpus (the spec drives it on a clustered one). */
-  private[graft] def rangeIvf(s: SparkSession, emb: DataFrame, n: Long,
-                              tau: Double): DataFrame = {
-    val (cands, admitted) = rangeIvfParts(s, emb, n, tau)
-    rangeIvfProbe(cands, admitted, tau)
-  }
-
-  private val s07: Q = (s, d) =>
-    rangeIvf(s, T.embeddings(s, d), T.embeddingsCount(s, d), tau = 0.3)
-
-  // The bound arithmetic mirrors the Spark expression op-for-op
-  // ((a*bmin) + sqrt(max(0,1−a²)·max(0,1−bmin²)) — IEEE mul/add/sqrt
-  // are exactly rounded in both engines), and every cosine input is
-  // the d06-proven list_cosine_similarity bit-equality, so admission
-  // decisions — not just emitted values — replay exactly.
-  private val s07Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 1)},
-       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
-       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
-       |cellstat AS (
-       |  SELECT c.cluster,
-       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
-       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-       |qc AS (
-       |  SELECT q.q_id, q.q_vec, s.cluster, s.bmin,
-       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
-       |  FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster),
-       |adm AS (
-       |  SELECT q_id, q_vec, cluster FROM qc
-       |  WHERE a >= bmin
-       |     OR a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin)) >= 0.3)
-       |SELECT a2.q_id, c.cand_id,
-       |  list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
-       |                         CAST(c.embedding AS DOUBLE[])) AS cosine
-       |FROM cand c JOIN adm a2 ON c.cluster = a2.cluster
-       |WHERE list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
-       |                             CAST(c.embedding AS DOUBLE[])) >= 0.3
-       |ORDER BY q_id, cand_id""".stripMargin
-
-  // -- s08: IVF-probed exact top-k (seed-then-prove) -----------------------
-  // s01's exact top-k through s07's index — the classic two-phase
-  // metric-pruned k-NN (branch-and-bound over an IVF, the flat-index
-  // form of what tree/graph indexes do):
-  //   phase 1 (seed): rank cells per query by the spherical-triangle
-  //     UPPER bound ub = cos(max(0, θqc − θmax)) (1.0 when the query
-  //     sits inside the cell cone, else the s07 sqrt/mul/add form),
-  //     scan only the top `seedCells` lists, take the kth-best cosine
-  //     found → τq, a LOWER bound on the true kth neighbor.
-  //   phase 2 (prove): any cell that could still hold a better
-  //     neighbor has ub ≥ τq — scan exactly those, rank, keep k.
-  // Every true top-k member has cosine ≥ τq, and its cell's ub bounds
-  // that cosine from above, so the admitted set provably contains the
-  // true top-k AND every candidate ranked above any of them — ranks
-  // 1..k in the admitted set equal the global ranks. Emits EXACTLY
-  // s01's rows (spec-asserted row-for-row); fewer-than-k seed rows
-  // degrade τq to −1 = scan everything, never a wrong answer.
-  //
-  // Scale: both corpus passes are broadcast-probed scans of ADMITTED
-  // lists only (zero fact shuffles); the per-query windows run over
-  // scanned-list members, not the corpus. On clustered data phase 2
-  // admits few cells (the spec corpus measures the prune); on the
-  // near-orthogonal warehouse vectors bounds stay high and admission
-  // is honest-but-wide, same story as s07. Index frames come from
-  // rangeIvfIndex — a deployment probes the RangeIvfIndex-persisted
-  // form and skips the build entirely.
-  private[graft] def topkIvf(s: SparkSession, emb: DataFrame, n: Long,
-                             k: Int, seedCells: Int): DataFrame = {
-    val (cands, cellMeta) = rangeIvfIndex(s, emb, n)
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    topkProbe(cands, cellMeta, qs, k, seedCells)
-  }
-
-  /** The post-index half of s08, reusable against a
-    * [[graft.operators.RangeIvfIndex]]-persisted index: seed-scan the
-    * top `seedCells` cells per query, prove sufficiency via the
-    * triangle bound, rank the admitted scan. `queries` must expose
-    * (q_id, q_vec). */
-  /** s08's seed-then-prove exact top-k. `filterKeys` (s10) restrict
-    * each query to candidates sharing those key values — the cells
-    * frame must then be per (filterKeys…, cluster), and the proof is
-    * unchanged: ub bounds every member of a cell, so it bounds the
-    * filtered subset; τ comes from filtered seed members; admission
-    * ub ≥ τ therefore contains the filtered top-k. */
-  private[graft] def topkProbe(cands: DataFrame, cellMeta: DataFrame,
-                               qs: DataFrame, k: Int,
-                               seedCells: Int,
-                               filterKeys: Seq[String] = Nil): DataFrame = {
-    val a = col("a")
-    val bmin = col("bmin")
-    val listKeys = (filterKeys :+ "cluster").map(col)
-    val qcell0 =
-      if (filterKeys.isEmpty) cellMeta.crossJoin(broadcast(qs))
-      else cellMeta.join(broadcast(qs), filterKeys)
-    val qcell = qcell0
-      .withColumn("a", VF.cosine(col("q_vec"), col("cv")))
-      .withColumn("ub", when(a >= bmin, lit(1d)).otherwise(
-        a * bmin + sqrt(greatest(lit(0d), lit(1d) - a * a) *
-                        greatest(lit(0d), lit(1d) - bmin * bmin))))
-      .select(Seq(col("q_id"), col("q_vec")) ++ listKeys :+ col("ub"): _*)
-      // |cells|×|queries| rows, but its PARENT is the per-cell radius
-      // agg over the corpus — cache so the seed pass and the admission
-      // pass don't each recompute that scan
-      .transform(graft.CacheScope.cached)
-    val wSeed = Window.partitionBy(col("q_id"))
-      .orderBy(col("ub").desc, col("cluster"))
-    val seeds = qcell.withColumn("srn", row_number().over(wSeed))
-      .filter(col("srn") <= seedCells)
-      .select(Seq(col("q_id"), col("q_vec")) ++ listKeys: _*)
-    val joinKeys = filterKeys :+ "cluster"
-    val wk = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    val tau = cands.join(broadcast(seeds), joinKeys)
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
-      .groupBy(col("q_id"))
-      .agg(min(col("cos")).as("tau0"), count(lit(1)).as("nseed"))
-      .select(col("q_id"),
-        when(col("nseed") < k, lit(-1d)).otherwise(col("tau0")).as("tau"))
-    val admitted = qcell.join(broadcast(tau), "q_id")
-      .filter(col("ub") >= col("tau"))
-      .select(Seq(col("q_id"), col("q_vec")) ++ listKeys: _*)
-    cands.join(broadcast(admitted), joinKeys)
-      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("cand_id"),
-        round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  private val s08: Q = (s, d) =>
-    topkIvf(s, T.embeddings(s, d), T.embeddingsCount(s, d), k = 5, seedCells = 3)
-
-  // Both phases replay: ub mirrors the Spark expression op-for-op
-  // (IEEE mul/add/sqrt exactly rounded in both engines), τq is a min
-  // over bit-equal cosines, and admission compares those two — so the
-  // scanned set, not just the output, is engine-identical.
-  private val s08Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 1)},
-       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
-       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
-       |cellstat AS (
-       |  SELECT c.cluster,
-       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
-       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-       |qcell AS (
-       |  SELECT q_id, q_vec, cluster,
-       |    CASE WHEN a >= bmin THEN 1.0
-       |         ELSE a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin))
-       |    END AS ub
-       |  FROM (
-       |    SELECT q.q_id, q.q_vec, s.cluster, s.bmin,
-       |      list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
-       |    FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster)),
-       |seeds AS (
-       |  SELECT q_id, q_vec, cluster FROM (
-       |    SELECT q_id, q_vec, cluster,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY ub DESC, cluster) AS srn
-       |    FROM qcell)
-       |  WHERE srn <= 3),
-       |seedscan AS (
-       |  SELECT s.q_id, c.cand_id,
-       |    list_cosine_similarity(CAST(s.q_vec AS DOUBLE[]),
-       |                           CAST(c.embedding AS DOUBLE[])) AS cos
-       |  FROM cand c JOIN seeds s ON c.cluster = s.cluster),
-       |tau AS (
-       |  SELECT q_id,
-       |    CASE WHEN COUNT(*) < 5 THEN -1.0 ELSE MIN(cos) END AS tau
-       |  FROM (
-       |    SELECT q_id, cos,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |    FROM seedscan)
-       |  WHERE rn <= 5 GROUP BY q_id),
-       |adm AS (
-       |  SELECT qc.q_id, qc.q_vec, qc.cluster
-       |  FROM qcell qc JOIN tau USING (q_id) WHERE qc.ub >= tau.tau),
-       |final AS (
-       |  SELECT a2.q_id, c.cand_id,
-       |    list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
-       |                           CAST(c.embedding AS DOUBLE[])) AS cos
-       |  FROM cand c JOIN adm a2 ON c.cluster = a2.cluster)
-       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-       |FROM (
-       |  SELECT q_id, cand_id, cos,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |  FROM final)
-       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  // -- s10: filtered ANN (hybrid predicate + vector search) ----------------
-  // The retrieval mode every vector warehouse ships next to plain
-  // top-k: "nearest neighbors among rows satisfying a predicate" —
-  // tenant-scoped RAG, per-collection search, metadata-filtered
-  // retrieval. Here the predicate is label equality (each query
-  // searches its own label's partition — the tenant shape). The
-  // index is ONE shared coarse quantizer with per-(label, cluster)
-  // cells: the conditioning key multiplies CELLS, not fits or corpus
-  // passes, and s08's seed-then-prove proof survives filtering
-  // unchanged (ub bounds every member of a cell ⊇ the filtered
-  // subset; τ comes from filtered seeds; admission therefore
-  // contains the filtered top-k) — output is exactly the
-  // brute-force-within-filter rows, spec-pinned.
-  //
-  // Scale: the fit is the same sample-capped IntLloyd; the per-cell
-  // radius agg is one corpus pass; probes touch admitted
-  // (label, cluster) lists only — the filter PRUNES list volume, it
-  // never adds a scan.
-  private val s10: Q = (s, d) => {
-    import s.implicits._
-    val k = 5; val seedCells = 3
-    val emb = T.embeddings(s, d)
-    val n = T.embeddingsCount(s, d)
-    val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, cents) =
-      kmeansAssignDf(emb.select(col("vec_id"), col("embedding")), kk, n)
-    val labeled = assigned.join(emb.select(col("vec_id"), col("label")), "vec_id")
-    val cells = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cluster", "cv")
-    val cands = labeled.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding"),
-        col("cluster"), col("label"))
-    val cellMeta = cands.join(broadcast(cells), "cluster")
-      .groupBy(col("label"), col("cluster"))
-      .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin"))
-      .join(broadcast(cells), "cluster")
-      .select(col("label"), col("cluster"), col("cv"), col("bmin"))
-    val qs = labeled.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("label"))
-    topkProbe(cands, cellMeta, qs, k, seedCells, filterKeys = Seq("label"))
-  }
-
-  private val s10Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 1)},
-       |cand AS (SELECT a.vec_id AS cand_id, a.embedding, a.cluster, e.label
-       |         FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id
-       |         WHERE a.rn = 1 AND a.vec_id >= 10),
-       |cellstat AS (
-       |  SELECT c.label, c.cluster,
-       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
-       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster
-       |  GROUP BY c.label, c.cluster),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_vec, label
-       |      FROM embeddings WHERE vec_id < 10),
-       |qcell AS (
-       |  SELECT q_id, q_vec, label, cluster,
-       |    CASE WHEN a >= bmin THEN 1.0
-       |         ELSE a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin))
-       |    END AS ub
-       |  FROM (
-       |    SELECT q.q_id, q.q_vec, q.label, s.cluster, s.bmin,
-       |      list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
-       |    FROM q JOIN cellstat s ON s.label = q.label
-       |    JOIN kmcent k ON s.cluster = k.cluster)),
-       |seeds AS (
-       |  SELECT q_id, q_vec, label, cluster FROM (
-       |    SELECT q_id, q_vec, label, cluster,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY ub DESC, cluster) AS srn
-       |    FROM qcell)
-       |  WHERE srn <= 3),
-       |seedscan AS (
-       |  SELECT s.q_id, c.cand_id,
-       |    list_cosine_similarity(CAST(s.q_vec AS DOUBLE[]),
-       |                           CAST(c.embedding AS DOUBLE[])) AS cos
-       |  FROM cand c JOIN seeds s ON c.cluster = s.cluster AND c.label = s.label),
-       |tau AS (
-       |  SELECT q_id,
-       |    CASE WHEN COUNT(*) < 5 THEN -1.0 ELSE MIN(cos) END AS tau
-       |  FROM (
-       |    SELECT q_id, cos,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |    FROM seedscan)
-       |  WHERE rn <= 5 GROUP BY q_id),
-       |adm AS (
-       |  SELECT qc.q_id, qc.q_vec, qc.label, qc.cluster
-       |  FROM qcell qc JOIN tau USING (q_id) WHERE qc.ub >= tau.tau),
-       |final AS (
-       |  SELECT a2.q_id, c.cand_id,
-       |    list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
-       |                           CAST(c.embedding AS DOUBLE[])) AS cos
-       |  FROM cand c JOIN adm a2 ON c.cluster = a2.cluster AND c.label = a2.label)
-       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-       |FROM (
-       |  SELECT q_id, cand_id, cos,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-       |  FROM final)
-       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  // -- s11: ANN recall report (the ladder's evaluation harness) ------------
-  // What a vector platform publishes next to its index options: per
-  // query and per approximate rung (LSH / IVF / PQ / IVF-PQ),
-  // recall@5 against the exact baseline. The harness is ITSELF a
-  // declarative query — the four rung results union with a method
-  // tag, left-join the exact top-5 (a hit = same (q_id, cand_id)),
-  // and aggregate over the methods × queries grid so a rung that
-  // returned nothing for a query still reports recall 0 rather than
-  // a missing row. Oracle: the same composition over the rungs' own
-  // replay SQLs — the report certifies against the SAME definitions
-  // the rungs certify against, so it cannot flatter them.
-  //
-  // Scale: the rungs dominate; the report adds one broadcast-sized
-  // join (methods × queries × k rows) and a grid agg.
-  private val s11: Q = (s, d) => {
-    import s.implicits._
-    val exact = s01(s, d).select(col("q_id"), col("cand_id"))
-      .withColumn("hit", lit(1L))
-    val methods = Seq(
-      "s02_lsh" -> s02, "s03_ivf" -> s03, "s04_pq" -> s04, "s05_ivfpq" -> s05,
-      "s14_sq8" -> s14, "s16_graph" -> s16, "s19_ivfpq_res" -> s19,
-      "s20_beam" -> s20)
-    val tagged = methods.map { case (name, q) =>
-      q(s, d).select(lit(name).as("method"), col("q_id"), col("cand_id"))
-    }.reduce(_.unionByName(_))
-    val hits = tagged.join(exact, Seq("q_id", "cand_id"), "left")
-      .groupBy(col("method"), col("q_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-    val grid = exact.select(col("q_id")).distinct()
-      .crossJoin(methods.map(_._1).toDF("method"))
-    grid.join(hits, Seq("method", "q_id"), "left")
-      .select(col("method"), col("q_id"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
-      .withColumn("recall", col("hits").cast(DoubleType) / 5)
-      .orderBy(col("method"), col("q_id"))
-  }
-
-  private val s11Sql: String = {
-    def rung(name: String, sql: String) =
-      s"SELECT '$name' AS method, q_id, cand_id FROM ($sql)"
-    s"""WITH exact AS (SELECT q_id, cand_id FROM (${s01Sql})),
-       |tagged AS (
-       |${rung("s02_lsh", s02Sql)}
-       |UNION ALL
-       |${rung("s03_ivf", s03Sql)}
-       |UNION ALL
-       |${rung("s04_pq", s04Sql)}
-       |UNION ALL
-       |${rung("s05_ivfpq", s05Sql)}
-       |UNION ALL
-       |${rung("s14_sq8", s14Sql)}
-       |UNION ALL
-       |${rung("s16_graph", s16Sql)}
-       |UNION ALL
-       |${rung("s19_ivfpq_res", s19Sql)}
-       |UNION ALL
-       |${rung("s20_beam", s20Sql)}),
-       |hits AS (
-       |  SELECT t.method, t.q_id,
-       |    CAST(SUM(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
-       |  FROM tagged t LEFT JOIN exact e
-       |    ON t.q_id = e.q_id AND t.cand_id = e.cand_id
-       |  GROUP BY t.method, t.q_id),
-       |grid AS (
-       |  SELECT m.method, q.q_id
-       |  FROM (SELECT DISTINCT q_id FROM exact) q,
-       |       (SELECT unnest(['s02_lsh', 's03_ivf', 's04_pq', 's05_ivfpq',
-                       's14_sq8', 's16_graph', 's19_ivfpq_res',
-                       's20_beam']) AS method) m)
-       |SELECT g.method, g.q_id,
-       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
-       |FROM grid g LEFT JOIN hits h ON g.method = h.method AND g.q_id = h.q_id
-       |ORDER BY g.method, g.q_id""".stripMargin
-  }
-
-  // -- s12: incremental index maintenance (delta-append, still exact) ------
-  // The operation a deployed vector index lives or dies by: vectors
-  // ARRIVE, and rebuilding the quantizer per batch is the cost the
-  // index exists to avoid. s12 is s07's range search where the index
-  // was built BEFORE a delta batch existed: fit + assignment + cell
-  // radii on the base corpus only, then the delta appends WITHOUT a
-  // refit — each new vector assigned to the FROZEN centroids (the
-  // same compiled NearestClusters probe, map-only over the delta),
-  // and each touched cell's angular radius updated by a delta-sized
-  // min-merge (bmin' = min(bmin, delta member cosines) — min is
-  // associative, so the merged radius equals the full-rebuild radius
-  // over THESE centroids). The admission proof only needs every
-  // member counted in its cell's radius, so the probe still emits
-  // EXACTLY the brute-force rows over base ∪ delta — incremental
-  // maintenance changes the cost, never the answer. The oracle
-  // replays the base-only fit + frozen assignment of everything +
-  // the merged-radius probe; q47 is the same claim for aggregates.
-  //
-  // Scale: the delta path touches delta rows + k cells — no base
-  // rescan anywhere (the base frames are the persisted index;
-  // IndexSpec proves the same append against RangeIvfIndex on disk).
-  // Build-time n comes from the build's own scan; probes stay
-  // admitted-list-sized.
-  private val s12: Q = (s, d) => {
-    import s.implicits._
-    val tau = 0.35
-    val all = T.embeddings(s, d)
-    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
-    val base = all.filter(!isDelta)
-    val delta = all.filter(isDelta)
-    val nBase = base.count() // build-time metadata (the build scans anyway)
-    val k = math.max(16, math.ceil(math.sqrt(nBase.toDouble)).toInt)
-    val (assignedBase, cents) = kmeansAssignDf(base, k, nBase)
-    val cells = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-      .toDF("cluster", "cv")
-    val baseCands = assignedBase.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
-    val baseMeta = baseCands.join(broadcast(cells), "cluster")
-      .groupBy(col("cluster"))
-      .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin_base"))
-    // ---- the append: frozen centroids, no refit, no base rescan ----
-    val deltaCands = delta
-      .withColumn("cluster", element_at(
-        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
-      .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
-    val deltaMeta = deltaCands.join(broadcast(cells), "cluster")
-      .groupBy(col("cluster"))
-      .agg(min(VF.cosine(col("embedding"), col("cv"))).as("bmin_delta"))
-    val merged = baseMeta.join(deltaMeta, Seq("cluster"), "full_outer")
-      .select(col("cluster"),
-        least(coalesce(col("bmin_base"), lit(1d)),
-          coalesce(col("bmin_delta"), lit(1d))).as("bmin"))
-      .join(broadcast(cells), "cluster")
-      .select(col("cluster"), col("cv"), col("bmin"))
-    val cands = baseCands.unionByName(deltaCands)
-    val qs = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    rangeIvfProbe(cands, rangeIvfAdmit(merged, qs, tau), tau)
-  }
-
-  // The fit CTEs run on the BASE subset (what existed at build time);
-  // the assignment CTE ranks EVERY vector against those frozen
-  // centroids — base and delta land exactly where the engine put
-  // them — and the cell radii take the min over all members, which is
-  // algebraically the engine's base+delta min-merge.
-  private val s12Sql: String =
-    s"""WITH ${graft.operators.IntLloyd.fitSql(
-        srcSql = "SELECT vec_id, embedding FROM embeddings " +
-          "WHERE NOT (vec_id >= 10 AND vec_id % 7 = 3)",
-        idExpr = "vec_id", vecExpr = "embedding",
-        numSub = 1, subLen = EmbDim,
-        kExpr = "GREATEST(16, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
-        capExpr = "GREATEST(2048, 64*k)",
-        iters = CoarseIters, salt = "kmtrain", p = "km")},
-       |${coarseAsgSql(maxRn = 1)},
-       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
-       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
-       |cellstat AS (
-       |  SELECT c.cluster,
-       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
-       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-       |qc AS (
-       |  SELECT q.q_id, q.q_vec, s.cluster, s.bmin,
-       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
-       |  FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster),
-       |adm AS (
-       |  SELECT q_id, q_vec, cluster FROM qc
-       |  WHERE a >= bmin
-       |     OR a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin)) >= 0.35)
-       |SELECT a2.q_id, c.cand_id,
-       |  list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
-       |                         CAST(c.embedding AS DOUBLE[])) AS cosine
-       |FROM cand c JOIN adm a2 ON c.cluster = a2.cluster
-       |WHERE list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
-       |                             CAST(c.embedding AS DOUBLE[])) >= 0.35
-       |ORDER BY q_id, cand_id""".stripMargin
-
-  // -- s13: tombstone deletes on the IVF index (still exact) ---------------
-  // The other half of index maintenance (s12 appends, s13 deletes):
-  // vectors LEAVE — takedowns, TTL expiry, re-embedded docs — and
-  // rewriting inverted lists per delete batch is the cost a deployed
-  // index avoids with TOMBSTONES. The subtle part is the cell
-  // metadata: bmin was fit over members INCLUDING the deleted ones,
-  // and after a delete the stale radius is too WIDE (the true min
-  // over survivors can only be larger). But a too-wide radius is the
-  // CONSERVATIVE direction for the admission proof — it can only
-  // admit extra cells, never skip a qualifying one — so tombstone
-  // deletes need ZERO radius maintenance to stay exact: the probe
-  // anti-joins the tombstone set and still emits exactly the
-  // brute-force rows over the survivors. (Append must merge radii —
-  // s12 — because a new member could fall OUTSIDE the stale cone;
-  // a removed member never invalidates it. The asymmetry is the
-  // whole design.) Compaction becomes a cost optimization run on its
-  // own schedule, not a correctness obligation.
-  //
-  // Scale: the tombstone set ships as a broadcast anti-join on the
-  // uniform cand_id key (delete batches are small by nature); no
-  // list rewrite, no radius recompute, no corpus pass beyond s07's
-  // own probe.
-  private val s13: Q = (s, d) => {
-    val tau = 0.35
-    val emb = T.embeddings(s, d)
-    val n = T.embeddingsCount(s, d)
-    // the index as built BEFORE the deletes (stale radii, by design)
-    val (cands, cellMeta) = rangeIvfIndex(s, emb, n)
-    val tombstones = emb.filter(col("vec_id") >= 10 && col("vec_id") % 11 === 5)
-      .select(col("vec_id").as("cand_id"))
-    val live = cands.join(broadcast(tombstones), Seq("cand_id"), "left_anti")
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    rangeIvfProbe(live, rangeIvfAdmit(cellMeta, qs, tau), tau)
-  }
-
-  // The oracle replays the STALE radii deliberately: cellstat runs
-  // over ALL members (deleted included) — the conservative bound the
-  // engine probes with — and only the final candidate set excludes
-  // tombstones. Hash equality proves the no-maintenance claim.
-  private val s13Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
-       |${coarseAsgSql(maxRn = 1)},
-       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
-       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
-       |cellstat AS (
-       |  SELECT c.cluster,
-       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
-       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
-       |live AS (SELECT * FROM cand WHERE NOT (cand_id % 11 = 5)),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-       |qc AS (
-       |  SELECT q.q_id, q.q_vec, s.cluster, s.bmin,
-       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
-       |  FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster),
-       |adm AS (
-       |  SELECT q_id, q_vec, cluster FROM qc
-       |  WHERE a >= bmin
-       |     OR a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin)) >= 0.35)
-       |SELECT a2.q_id, c.cand_id,
-       |  list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
-       |                         CAST(c.embedding AS DOUBLE[])) AS cosine
-       |FROM live c JOIN adm a2 ON c.cluster = a2.cluster
-       |WHERE list_cosine_similarity(CAST(a2.q_vec AS DOUBLE[]),
-       |                             CAST(c.embedding AS DOUBLE[])) >= 0.35
-       |ORDER BY q_id, cand_id""".stripMargin
-
-  // -- s17: delta-append on the COMPRESSED index (IVF-PQ) ------------------
-  // s12's maintenance contract carried to the PQ rung — the index a
-  // 100-TB corpus actually holds is the compressed one, so the
-  // append path that matters in production is "assign + encode the
-  // arrivals under the FROZEN fits" (FAISS's add_with_ids on a
-  // trained index). Both fits (coarse quantizer + subspace
-  // codebooks) train on the BASE corpus only; the delta batch is
-  // assigned to the frozen coarse centroids and encoded with the
-  // frozen codebooks — map-only over the delta, no refit, no base
-  // rescan — and the probe runs s05's ADC + exact re-rank over the
-  // union. The exactness claim fits a LOSSY rung: the codes are a
-  // deterministic per-vector function of the frozen fits, so
-  // append-then-probe ≡ encode-all-then-probe (the oracle encodes
-  // base ∪ delta against the base-trained fits in one shot); a
-  // REFIT would move the recall point and is a rebuild-schedule
-  // decision, exactly like RangeIvfIndex compaction. The same
-  // append against the ON-DISK PqIndex (operators/PqIndex.scala
-  // append) is spec-proven code-identical in IndexSpec.
-  //
-  // Scale: delta path touches delta rows only (one broadcast of the
-  // k coarse centroids + the 8×16 codebooks, both k-row artifacts);
-  // probes stay probed-list-sized; nothing rescans the base.
-  private val s17: Q = (s, d) => {
-    val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
-    val all = T.embeddings(s, d)
-    val isDelta = col("vec_id") >= 10 && col("vec_id") % 7 === 3
-    val base = all.filter(!isDelta)
-    val delta = all.filter(isDelta)
-    val nBase = base.count() // build-time metadata (the build scans anyway)
-    val k = math.max(16, math.ceil(math.sqrt(nBase.toDouble)).toInt)
-    val (assignedBase, cents) = kmeansAssignDf(base, k, nBase)
-    val (sub, codebooks) = pqCodebooksDf(base, nBase, numSub, ksub)
-    // built at index time: base members' inverted PQ lists
-    val codedBase = assignedBase.filter(col("vec_id") >= 10)
-      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
-        pqEncodeCols(codebooks, sub): _*)
-    // the append: frozen assignment + frozen encode, delta rows only
-    val codedDelta = delta
-      .withColumn("cluster", element_at(
-        graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, 1), 1))
-      .select(Seq(col("vec_id").as("cand_id"), col("cluster")) ++
-        pqEncodeCols(codebooks, sub): _*)
-    val coded = codedBase.unionByName(codedDelta)
-    val qs = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val probes = qs.withColumn("cluster", explode(
-      graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
-      .select(col("q_id"), col("q_vec"), col("cluster"))
-    val short = pqAdcShortlist(coded.join(broadcast(probes), "cluster"),
-      codebooks, shortlist)
-    pqRerank(short, all, qs, k = 5)
-  }
-
-  // Both fits replay on the BASE subset (what existed at build time);
-  // the assignment + encode CTEs rank EVERY vector against the frozen
-  // centroids/codebooks — algebraically the engine's build + append.
-  private val s17Sql: String =
-    s"""WITH ${graft.operators.IntLloyd.fitSql(
-        srcSql = "SELECT vec_id, embedding FROM embeddings " +
-          "WHERE NOT (vec_id >= 10 AND vec_id % 7 = 3)",
-        idExpr = "vec_id", vecExpr = "embedding",
-        numSub = 1, subLen = EmbDim,
-        kExpr = "GREATEST(16, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
-        capExpr = "GREATEST(2048, 64*k)",
-        iters = CoarseIters, salt = "kmtrain", p = "km")},
-       |${graft.operators.IntLloyd.fitSql(
-        srcSql = "SELECT vec_id, embedding FROM embeddings " +
-          "WHERE NOT (vec_id >= 10 AND vec_id % 7 = 3)",
-        idExpr = "vec_id", vecExpr = "embedding",
-        numSub = PqNumSub, subLen = PqSubLen,
-        kExpr = "CAST(16 AS BIGINT)", capExpr = "CAST(4096 AS BIGINT)",
-        iters = PqIters, salt = "pqtrain", p = "pq")},
-       |${pqScoreSql(
-      s"""${coarseAsgSql(maxRn = 4)},
-         |cand AS (SELECT vec_id, cluster FROM asg WHERE rn = 1 AND vec_id >= 10),
-         |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
-         |          FROM asg WHERE vec_id < 10),
-         |adc AS (
-         |  SELECT p.q_id, c.vec_id AS cand_id,
-         |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
-         |  FROM cand c
-         |  JOIN probe p ON c.cluster = p.cluster
-         |  JOIN recon r ON r.vec_id = c.vec_id)""".stripMargin)}""".stripMargin
-
-  // -- s18: tombstone deletes on the COMPRESSED index (flat PQ) ------------
-  // s13's other half, for the PQ rung: vectors LEAVE, and rewriting
-  // code lists per delete batch is the cost tombstones avoid. PQ
-  // needs even LESS maintenance than the IVF index — there are no
-  // per-cell radii to go stale: removing candidates from a
-  // top-`shortlist` ADC ranking can only PROMOTE survivors (the
-  // shortlist refills from below; the exact re-rank decides final
-  // order either way), so anti-joining the tombstone set before the
-  // ADC scan makes the probe equal the same probe over an index
-  // that never contained the doomed vectors — zero other work. The
-  // oracle's code assignment simply EXCLUDES the doomed ids, i.e.
-  // the never-contained index, so hash equality IS the claim. The
-  // same delete against the ON-DISK PqIndex is spec-proven in
-  // IndexSpec (probeFlat + probeIvf over survivors).
-  //
-  // Scale: delete batches are small by nature — one broadcast
-  // anti-join on the uniform cand_id key before the compressed
-  // scan; no list rewrite, no fit maintenance, no extra corpus pass.
-  private val s18: Q = (s, d) => {
-    val numSub = 8; val ksub = 16; val shortlist = 50
-    val emb = T.embeddings(s, d)
-    val (sub, codebooks) = pqCodebooks(s, d, numSub, ksub)
-    val coded = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id") +: pqEncodeCols(codebooks, sub): _*)
-    val tombstones = emb.filter(col("vec_id") >= 10 && col("vec_id") % 11 === 5)
-      .select(col("vec_id").as("cand_id"))
-    val live = coded.join(broadcast(tombstones), Seq("cand_id"), "left_anti")
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val short = pqAdcShortlist(live.crossJoin(broadcast(qs)), codebooks, shortlist)
-    pqRerank(short, emb, qs, k = 5)
-  }
-
-  private val s18Sql: String =
-    s"""WITH $pqFitSql,
-       |${pqScoreSql(
-      s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec
-         |      FROM embeddings WHERE vec_id < 10),
-         |adc AS (
-         |  SELECT q.q_id, r.vec_id AS cand_id,
-         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), r.rv) AS approx_cos
-         |  FROM recon r CROSS JOIN q)""".stripMargin,
-      candWhere = "e.vec_id >= 10 AND NOT (e.vec_id % 11 = 5)")}""".stripMargin
-
-  // -- s09: exact MIPS (maximum inner product search) ----------------------
-  // Dense-retrieval scoring is an INNER PRODUCT, not a cosine — and
-  // the classic reduction (Bachrach et al. 2014 / Shrivastava & Li's
-  // asymmetric transform) makes the cosine index machinery solve it:
-  // append sqrt(M² − ‖x‖²) to every corpus vector (M² = max corpus
-  // ‖x‖²) and a LITERAL 0 to every query, and the augmented dot IS
-  // the raw dot (the query's zero kills the extra term — exactly,
-  // in fp too) while every augmented corpus norm is ≈ M, so cosine
-  // order ≈ dot order. s09 runs s08's seed-then-prove through the
-  // augmented index but RANKS BY THE RAW DOT throughout; the
-  // admission threshold converts the kth seed dot into cosine space
-  // with a SIGN-SPLIT norm margin: a non-negative τ divides by the
-  // corpus MAX augmented norm (dot ≥ τ ≥ 0 and ‖x'‖ ≤ max ⇒
-  // dot/(‖q‖‖x'‖) ≥ τ/(‖q‖·max)), a negative τ by the corpus MIN
-  // (for dot < 0, dividing by a SMALLER norm is the pessimistic
-  // direction — the round-7 ADVICE closed the max-norm hole for
-  // negative thresholds). Both extrema come from one corpus agg
-  // (driver scalars, q73's config-scalar precedent — min/max of
-  // doubles are order-free), and both replay as SQL aggregates.
-  //
-  // Scale: s08's shape exactly — broadcast-probed admitted lists,
-  // zero fact shuffles, windows over scanned members only.
-  private val s09: Q = (s, d) => {
-    val k = 5; val seedCells = 3
-    val emb = T.embeddings(s, d)
-    val n = T.embeddingsCount(s, d)
-    val withN2 = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("n2", VF.normSq(col("embedding")))
-    val m2 = withN2.filter(col("vec_id") >= 10)
-      .agg(max(col("n2"))).head().getDouble(0)
-    val aug = withN2.withColumn("embedding", concat(col("embedding"),
-        array(when(col("vec_id") < 10, lit(0d))
-          .otherwise(sqrt(lit(m2) - col("n2"))).cast("float"))))
-      .select(col("vec_id"), col("embedding"))
-    // both norm extrema in ONE corpus pass: the max converts a
-    // non-negative tau_dot to cosine space, the MIN converts a
-    // negative one — dividing a negative threshold by the LARGEST
-    // norm would raise it above some members' true cosines (the
-    // round-7 ADVICE hole), while ‖x'‖ ≥ minnorm keeps
-    // dot/(qn·‖x'‖) ≥ tau_dot/(qn·minnorm) for dot ≥ tau_dot on
-    // both sign branches
-    val augStats = aug.filter(col("vec_id") >= 10)
-      .agg(max(VF.normSq(col("embedding"))).as("mx"),
-        min(VF.normSq(col("embedding"))).as("mn")).head()
-    val maxAugN2 = augStats.getDouble(0)
-    val minAugN2 = augStats.getDouble(1)
-    val (cands, cellMeta) = rangeIvfIndex(s, aug, n, dim = EmbDim + 1)
-    val qs = aug.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        sqrt(VF.normSq(col("embedding"))).as("qn"))
-    mipsProbe(cands, cellMeta, qs, k, seedCells,
-      math.sqrt(maxAugN2), math.sqrt(minAugN2))
-  }
-
-  /** s09's seed-then-prove MIPS probe over an AUGMENTED index —
-    * extracted so the persisted MipsIndex (operators/MipsIndex.scala)
-    * runs exactly the per-query plan on loaded frames. `qs` must
-    * expose (q_id, q_vec [augmented], qn); the norm extrema are the
-    * stored build constants. */
-  private[graft] def mipsProbe(cands: DataFrame, cellMeta: DataFrame,
-      qs: DataFrame, k: Int, seedCells: Int,
-      maxAugNorm: Double, minAugNorm: Double): DataFrame = {
-    val a = col("a")
-    val bmin = col("bmin")
-    val qcell = cellMeta.crossJoin(broadcast(qs))
-      .withColumn("a", VF.cosine(col("q_vec"), col("cv")))
-      .withColumn("ub", when(a >= bmin, lit(1d)).otherwise(
-        a * bmin + sqrt(greatest(lit(0d), lit(1d) - a * a) *
-                        greatest(lit(0d), lit(1d) - bmin * bmin))))
-      .select(col("q_id"), col("q_vec"), col("qn"), col("cluster"), col("ub"))
-      .transform(graft.CacheScope.cached) // radius agg shared by both passes
-    val wSeed = Window.partitionBy(col("q_id"))
-      .orderBy(col("ub").desc, col("cluster"))
-    val seeds = qcell.withColumn("srn", row_number().over(wSeed))
-      .filter(col("srn") <= seedCells)
-      .select(col("q_id"), col("q_vec"), col("cluster"))
-    val wk = Window.partitionBy(col("q_id"))
-      .orderBy(col("dot").desc, col("cand_id"))
-    val tau = cands.join(broadcast(seeds), "cluster")
-      .withColumn("dot", VF.dot(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
-      .groupBy(col("q_id"))
-      .agg(min(col("dot")).as("tau_dot"), count(lit(1)).as("nseed"))
-    val admitted = qcell.join(broadcast(tau), "q_id")
-      .withColumn("tau_cos", when(col("nseed") < k, lit(-2d))
-        .otherwise(when(col("tau_dot") < 0,
-            col("tau_dot") / (col("qn") * lit(minAugNorm)))
-          .otherwise(col("tau_dot") / (col("qn") * lit(maxAugNorm)))))
-      .filter(col("ub") >= col("tau_cos"))
-      .select(col("q_id"), col("q_vec"), col("cluster"))
-    cands.join(broadcast(admitted), "cluster")
-      .withColumn("dot", VF.dot(col("q_vec"), col("embedding")))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("cand_id"),
-        round(col("dot"), 4).as("dot"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  // The augmented fit/assignment replays through IntLloyd.fitSql on
-  // the aug CTE (subLen 65); list_inner_product matches the Spark
-  // HOF's left-to-right double accumulation (probed on adversarial
-  // cancellation inputs), so norms, the augmentation, both corpus
-  // maxima, τ conversion and admission all re-derive bit-exactly.
-  private val s09Sql: String = {
-    val augFit = graft.operators.IntLloyd.fitSql(
-      srcSql = "SELECT vec_id, embedding FROM aug",
-      idExpr = "vec_id", vecExpr = "embedding",
-      numSub = 1, subLen = EmbDim + 1,
-      kExpr = "GREATEST(16, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
-      capExpr = "GREATEST(2048, 64*k)",
-      iters = CoarseIters, salt = "kmtrain", p = "km")
-    s"""WITH n2s AS (
-       |  SELECT vec_id, embedding,
-       |    list_inner_product(CAST(embedding AS DOUBLE[]),
-       |                       CAST(embedding AS DOUBLE[])) AS n2
-       |  FROM embeddings),
-       |m2 AS (SELECT MAX(n2) AS m2 FROM n2s WHERE vec_id >= 10),
-       |aug AS (
-       |  SELECT vec_id, list_append(embedding,
-       |    CAST(CASE WHEN vec_id < 10 THEN 0.0
-       |              ELSE sqrt(m2 - n2) END AS FLOAT)) AS embedding
-       |  FROM n2s, m2),
-       |augn AS (
-       |  SELECT vec_id, embedding,
-       |    list_inner_product(CAST(embedding AS DOUBLE[]),
-       |                       CAST(embedding AS DOUBLE[])) AS an2
-       |  FROM aug),
-       |ma AS (SELECT sqrt(MAX(an2)) AS mnorm, sqrt(MIN(an2)) AS minnorm
-       |       FROM augn WHERE vec_id >= 10),
-       |$augFit,
-       |asg AS (
-       |  SELECT vec_id, embedding, cluster, rn FROM (
-       |    SELECT e.vec_id, e.embedding, c.cluster,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-       |        c.cluster) AS rn
-       |    FROM aug e CROSS JOIN kmcent c)
-       |  WHERE rn <= 1),
-       |cand AS (SELECT vec_id AS cand_id, embedding, cluster
-       |         FROM asg WHERE rn = 1 AND vec_id >= 10),
-       |cellstat AS (
-       |  SELECT c.cluster,
-       |    MIN(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.cv)) AS bmin
-       |  FROM cand c JOIN kmcent k ON c.cluster = k.cluster GROUP BY c.cluster),
-       |q AS (
-       |  SELECT a.vec_id AS q_id, a.embedding AS q_vec, sqrt(n.an2) AS qn
-       |  FROM aug a JOIN augn n ON a.vec_id = n.vec_id
-       |  WHERE a.vec_id < 10),
-       |qcell AS (
-       |  SELECT q_id, q_vec, qn, cluster,
-       |    CASE WHEN a >= bmin THEN 1.0
-       |         ELSE a * bmin + sqrt(GREATEST(0, 1 - a*a) * GREATEST(0, 1 - bmin*bmin))
-       |    END AS ub
-       |  FROM (
-       |    SELECT q.q_id, q.q_vec, q.qn, s.cluster, s.bmin,
-       |      list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), k.cv) AS a
-       |    FROM q CROSS JOIN cellstat s JOIN kmcent k ON s.cluster = k.cluster)),
-       |seeds AS (
-       |  SELECT q_id, q_vec, cluster FROM (
-       |    SELECT q_id, q_vec, cluster,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY ub DESC, cluster) AS srn
-       |    FROM qcell)
-       |  WHERE srn <= 3),
-       |seedscan AS (
-       |  SELECT s.q_id, c.cand_id,
-       |    list_inner_product(CAST(s.q_vec AS DOUBLE[]),
-       |                       CAST(c.embedding AS DOUBLE[])) AS dot
-       |  FROM cand c JOIN seeds s ON c.cluster = s.cluster),
-       |tau AS (
-       |  SELECT q_id, MIN(dot) AS tau_dot, COUNT(*) AS nseed
-       |  FROM (
-       |    SELECT q_id, dot,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, cand_id) AS rn
-       |    FROM seedscan)
-       |  WHERE rn <= 5 GROUP BY q_id),
-       |adm AS (
-       |  SELECT qc.q_id, qc.q_vec, qc.cluster
-       |  FROM qcell qc JOIN tau USING (q_id), ma
-       |  WHERE qc.ub >= CASE WHEN tau.nseed < 5 THEN -2.0
-       |                      WHEN tau.tau_dot < 0
-       |                        THEN tau.tau_dot / (qc.qn * ma.minnorm)
-       |                      ELSE tau.tau_dot / (qc.qn * ma.mnorm) END),
-       |final AS (
-       |  SELECT a2.q_id, c.cand_id,
-       |    list_inner_product(CAST(a2.q_vec AS DOUBLE[]),
-       |                       CAST(c.embedding AS DOUBLE[])) AS dot
-       |  FROM cand c JOIN adm a2 ON c.cluster = a2.cluster)
-       |SELECT q_id, cand_id, ROUND(dot, 4) AS dot, CAST(rn AS INTEGER) AS rn
-       |FROM (
-       |  SELECT q_id, cand_id, dot,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, cand_id) AS rn
-       |  FROM final)
-       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-  }
-
-  // -- p06: dataset card (per-source datasheet) ----------------------------
-  // The "datasheet for datasets" rollup a corpus release ships: per
-  // source — volume (docs, tokens), language spread, exact-duplicate
-  // rate. All measures are exact-integer-derived (t05's policy): the
-  // only doubles are single IEEE divisions of exact ints, so the card
-  // is hash-stable across engines and partitionings. Dup counting is
-  // d01's content-hash window scoped per source (a doc is a dup if an
-  // earlier doc_id in the SAME source has identical text — the
-  // release-grain question; cross-source dups are d09/d11 territory).
-  //
-  // Scale: one window shuffle on (source, content_hash), one
-  // partial-agg shuffle on source; output = #sources rows.
-  private val p06: Q = (s, d) => {
-    val wDup = Window.partitionBy(col("source"), col("content_hash"))
-      .orderBy(col("doc_id"))
-    T.documents(s, d)
-      .withColumn("bpe_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
-      .withColumn("content_hash", md5(col("text")))
-      .withColumn("rn", row_number().over(wDup))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
-        sum(col("bpe_tokens")).as("total_tokens"),
-        (sum(col("bpe_tokens")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_exact_dups"))
-      .withColumn("dup_share", col("n_exact_dups").cast(DoubleType) / col("n_docs"))
-      .orderBy(col("source"))
-  }
-
-  private val p06Sql =
-    """WITH d AS (
-      |  SELECT source, lang, doc_id,
-      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
-      |    row_number() OVER (PARTITION BY source, md5(text) ORDER BY doc_id) AS rn
-      |  FROM documents)
-      |SELECT source, COUNT(*) AS n_docs,
-      |  COUNT(DISTINCT lang) AS n_langs,
-      |  CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
-      |  CAST(CAST(SUM(bpe_tokens) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens,
-      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
-      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
-      |    / CAST(COUNT(*) AS DOUBLE) AS dup_share
-      |FROM d GROUP BY source
-      |ORDER BY source""".stripMargin
-
-  // -- p07: token-budget sampling ------------------------------------------
-  // The budgeted-corpus draw every pretraining mix ends with: a TOTAL
-  // token budget (¼ of the corpus here — scale-free, exact integer
-  // div) is allocated across sources by √-temperature weights
-  // (p03's flattening, on tokens instead of docs: share_s =
-  // ⌊√tokens_s⌋ / Σ⌊√tokens⌋ — the isqrt keeps the weight sum exact
-  // integer, so no cross-source double summation whose order could
-  // differ between engines), and each source admits documents in a
-  // deterministic salted-hash order until its budget is full — the
-  // PREFIX rule: a document is selected iff the running token total
-  // through it stays ≤ the source budget.
-  //
-  // The implementation is the scalable two-level order statistic, not
-  // the naive global window: docs land in 256 buckets by the first
-  // byte of their draw (bucket order == draw order, it's a prefix),
-  // per-(source, bucket) token sums roll up to a bucket-level running
-  // total (≤ 256·|sources| rows — broadcastable), which classifies
-  // every bucket as fully-admitted / fully-rejected / boundary; ONLY
-  // the single boundary bucket per source needs a doc-level cumsum
-  // window (~1/256 of the source). The ORACLE is the naive
-  // per-source window over every doc — hash-equality proves the
-  // bucketed plan computes exactly the naive semantics.
-  //
-  // Scale: one partial-agg shuffle to (source, bucket), one broadcast
-  // of the bucket spine, one window over boundary-bucket docs only.
-  // No global sort, no per-source whole-corpus window.
-  private val p07: Q = (s, d) => tokenBudgetSample(
-    T.documents(s, d).select(col("doc_id"), col("source"),
-      size(TF.tokens(col("text"))).cast(LongType).as("n_tokens")))
-
-  /** p07's two-level budgeted draw over ANY (doc_id, source,
-    * n_tokens) frame — the token definition is the caller's choice
-    * (whitespace here, t17 learned in the spec); the √-temperature
-    * allocation and bucketed prefix-draw arithmetic are
-    * definition-independent (spec-pinned). */
-  private[graft] def tokenBudgetSample(docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
-      .withColumn("u",
-        substring(md5(concat(col("doc_id").cast(StringType), lit("|budget"))), 1, 8))
-      .withColumn("bucket", conv(substring(col("u"), 1, 2), 16, 10).cast(LongType))
-    val srcTok = docs.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("tokens_s"))
-      .withColumn("isq", floor(sqrt(col("tokens_s").cast(DoubleType))).cast(LongType))
-    val tot = srcTok.agg(sum(col("tokens_s")).as("tot_tokens"),
-      sum(col("isq")).as("tot_isq")) // one row: corpus totals
-    // budget_s = ⌊(tot/4) · isq_s / Σisq⌋ — one double mul + div +
-    // floor, identical op order in the oracle
-    val budgets = srcTok.crossJoin(broadcast(tot))
-      .select(col("source"),
-        // tot/4.0 is a power-of-two division (exact) so floor == the
-        // oracle's integer tot_tokens // 4; then one double mul + div
-        floor(floor(col("tot_tokens") / lit(4L)).cast(DoubleType) *
-          col("isq").cast(DoubleType) / col("tot_isq").cast(DoubleType))
-          .cast(LongType).as("budget_s"))
-    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
-    val spine = docs.groupBy(col("source"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("btok"))
-      .withColumn("run_before",
-        coalesce(sum(col("btok")).over(wB.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .join(budgets, "source")
-    val withSpine = docs.join(broadcast(spine), Seq("source", "bucket"))
-    val full = withSpine
-      .filter(col("run_before") + col("btok") <= col("budget_s"))
-      .select(col("source"), col("doc_id"), col("n_tokens"))
-    val wD = Window.partitionBy(col("source"))
-      .orderBy(col("u"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val boundary = withSpine
-      .filter(col("run_before") <= col("budget_s") &&
-        col("run_before") + col("btok") > col("budget_s"))
-      .withColumn("cum", col("run_before") + sum(col("n_tokens")).over(wD))
-      .filter(col("cum") <= col("budget_s"))
-      .select(col("source"), col("doc_id"), col("n_tokens"))
-    full.unionByName(boundary).orderBy(col("source"), col("doc_id"))
-  }
-
-  // The naive semantics the bucketed plan must equal: per source,
-  // order by (draw, doc_id), running token sum, keep the prefix that
-  // fits the budget.
-  private val p07Sql =
-    """WITH docs AS (
-      |  SELECT doc_id, source,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-      |    substr(md5(CAST(doc_id AS VARCHAR) || '|budget'), 1, 8) AS u
-      |  FROM documents),
-      |st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens_s FROM docs GROUP BY source),
-      |si AS (SELECT source, tokens_s,
-      |         CAST(floor(sqrt(CAST(tokens_s AS DOUBLE))) AS BIGINT) AS isq FROM st),
-      |tot AS (SELECT CAST(SUM(tokens_s) AS BIGINT) AS tot_tokens,
-      |          CAST(SUM(isq) AS BIGINT) AS tot_isq FROM si),
-      |b AS (SELECT source,
-      |        CAST(floor(CAST(tot_tokens // 4 AS DOUBLE) * CAST(isq AS DOUBLE)
-      |          / CAST(tot_isq AS DOUBLE)) AS BIGINT) AS budget_s
-      |      FROM si CROSS JOIN tot),
-      |c AS (SELECT d.source, d.doc_id, d.n_tokens, b.budget_s,
-      |        CAST(SUM(d.n_tokens) OVER (PARTITION BY d.source
-      |          ORDER BY d.u, d.doc_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-      |      FROM docs d JOIN b USING (source))
-      |SELECT source, doc_id, n_tokens FROM c
-      |WHERE cum <= budget_s
-      |ORDER BY source, doc_id""".stripMargin
-
-  // -- t14: dedup-impact waterfall -----------------------------------------
-  // The report every dedup pipeline publishes: how many documents and
-  // tokens each stage removes, SEQUENTIALLY — exact dedup (d01's
-  // keeper rule), then canonical-fingerprint dedup (d02's formula)
-  // over the survivors, then line-level boilerplate drop (d11's
-  // segment df, computed over the CURRENT survivor corpus — a df
-  // computed on the raw corpus would count already-removed copies)
-  // with docs majority-composed of shared segments dropped. The
-  // >50% criterion is the exact integer cross-product (2·shared >
-  // total), no division until the consumer.
-  //
-  // Scale: each stage is the same one/three-shuffle shape as its
-  // parent operator (d01/d02: one window shuffle; d11: three
-  // uniform-hash shuffles); the waterfall adds one lag window over
-  // the 4-row stage frame.
-  private val t14: Q = (s, d) => {
-    val base = docsSpread(s, d)
-      .withColumn("bpe_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
-      .select(col("doc_id"), col("text"), col("bpe_tokens"))
-      .transform(graft.CacheScope.cached) // stage-0 stat + s1 derivation
-    def keepFirst(in: org.apache.spark.sql.DataFrame,
-                  key: org.apache.spark.sql.Column) = in
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(key).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1).drop("rn")
-    val s1 = keepFirst(base, md5(col("text")))
-      .transform(graft.CacheScope.cached) // stat + s2
-    val s2 = keepFirst(s1, md5(TF.canonicalize(col("text"))))
-      .transform(graft.CacheScope.cached) // stat + segments + anti-join
-    val segs = segmentHashes(s2)
-      .transform(graft.CacheScope.cached) // df build + probe
-    val df = segs.groupBy(col("seg_hash"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-    val dropped = segs.join(df, "seg_hash").groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_seg"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_sh"))
-      .filter(col("n_sh") * 2 > col("n_seg"))
-      .select(col("doc_id"))
-    val s3 = s2.join(dropped, Seq("doc_id"), "left_anti")
-    def stat(stage: String, f: org.apache.spark.sql.DataFrame) = f
-      .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("n_tokens"))
-      .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
-    val wl = Window.orderBy(col("stage")) // 4-row stage frame, bounded
-    stat("0_raw", base)
-      .unionByName(stat("1_exact_dedup", s1))
-      .unionByName(stat("2_canonical_dedup", s2))
-      .unionByName(stat("3_line_dedup", s3))
-      .withColumn("removed_docs",
-        coalesce(lag(col("n_docs"), 1).over(wl) - col("n_docs"), lit(0L)))
-      .withColumn("removed_tokens",
-        coalesce(lag(col("n_tokens"), 1).over(wl) - col("n_tokens"), lit(0L)))
-      .orderBy(col("stage"))
-  }
-
-  private val t14Sql =
-    """WITH base AS (
-      |  SELECT doc_id, text,
-      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe
-      |  FROM documents),
-      |s1 AS (SELECT doc_id, text, bpe FROM (
-      |  SELECT doc_id, text, bpe,
-      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-      |  FROM base) WHERE rn = 1),
-      |s2 AS (SELECT doc_id, text, bpe FROM (
-      |  SELECT doc_id, text, bpe, row_number() OVER (
-      |    PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-      |    ORDER BY doc_id) AS rn
-      |  FROM s1) WHERE rn = 1),
-      |tk2 AS (SELECT doc_id, bpe, string_split(text, ' ') AS tk FROM s2),
-      |segs AS (
-      |  SELECT doc_id,
-      |    md5(array_to_string(list_slice(tk, i*8+1, i*8+8), ' ')) AS seg_hash
-      |  FROM tk2, LATERAL unnest(generate_series(0, (len(tk)+7)//8 - 1)) AS g(i)),
-      |sdf AS (SELECT seg_hash, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY 1),
-      |sh AS (
-      |  SELECT s.doc_id, COUNT(*) AS ns,
-      |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS nsh
-      |  FROM segs s JOIN sdf USING (seg_hash) GROUP BY 1),
-      |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN
-      |  (SELECT doc_id FROM sh WHERE nsh * 2 > ns)),
-      |wf AS (
-      |  SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
-      |    CAST(SUM(bpe) AS BIGINT) AS n_tokens FROM base
-      |  UNION ALL SELECT '1_exact_dedup', COUNT(*), CAST(SUM(bpe) AS BIGINT) FROM s1
-      |  UNION ALL SELECT '2_canonical_dedup', COUNT(*), CAST(SUM(bpe) AS BIGINT) FROM s2
-      |  UNION ALL SELECT '3_line_dedup', COUNT(*), CAST(SUM(bpe) AS BIGINT) FROM s3)
-      |SELECT stage, n_docs, n_tokens,
-      |  COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS removed_docs,
-      |  COALESCE(lag(n_tokens) OVER (ORDER BY stage) - n_tokens, 0) AS removed_tokens
-      |FROM wf ORDER BY stage""".stripMargin
-
-  // -- t15: LM quality partition (the perplexity-filter shape) -------------
-  // CCNet's head/middle/tail split, on this engine's replayable LM:
-  // the deployed recipe scores every document with a language model
-  // trained on a reference corpus and buckets by FIXED cutoffs
-  // computed offline (per language) — the cutoffs are configuration,
-  // not a per-run global sort. Here the score is t09's rare_rate (the
-  // share of trigram occurrences that are corpus-rare — high = noisy,
-  // the perplexity analogue that stays hash-exact: a true log-space
-  // perplexity would hinge on ln(), which neither engine guarantees
-  // correctly rounded), and the cutoffs 0.0475 / 0.0584 are the
-  // measured corpus terciles, applied as constants the way CCNet
-  // applies its offline percentiles. Per bucket: docs, trigram
-  // volume, rare volume — exact ints; the two shares are single IEEE
-  // divisions (t05's policy).
-  //
-  // Scale: t09's scoring shape (cached dtf, broadcast model) + a
-  // 3-cell partial agg; no sort, no window — the cutoff-as-config
-  // design is exactly what makes the CCNet filter scan-bound at
-  // 100 TB.
-  private val t15: Q = (s, d) => {
-    val bucket = when(col("rare_rate") < 0.0475, "1_head")
-      .when(col("rare_rate") <= 0.0584, "2_middle")
-      .otherwise("3_tail")
-    val tot = t09Scores(s, d).agg(count(lit(1)).as("n_docs_tot"),
-      sum(col("n_tri")).as("n_tri_tot")) // one row: corpus volumes
-    t09Scores(s, d)
-      .groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tri")).as("n_tri"),
-        sum(col("n_rare")).as("n_rare"))
-      .crossJoin(broadcast(tot))
-      .select(col("bucket"), col("n_docs"), col("n_tri"), col("n_rare"),
-        (col("n_docs").cast(DoubleType) / col("n_docs_tot")).as("doc_share"),
-        (col("n_rare").cast(DoubleType) / col("n_tri")).as("bucket_rare_rate"))
-      .orderBy(col("bucket"))
-  }
-
-  private val t15Sql =
-    """WITH tri AS (
-      |  SELECT doc_id,
-      |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-      |      i -> substr(text, i, 3))) AS g
-      |  FROM documents),
-      |dtf AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
-      |model AS (SELECT g, CAST(SUM(c) AS BIGINT) AS cnt FROM dtf GROUP BY g),
-      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_c, COUNT(*) AS n_grams
-      |        FROM model),
-      |scores AS (
-      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
-      |    CAST(SUM(CASE WHEN cnt * 4 * n_grams <= total_c THEN c ELSE 0 END)
-      |      AS BIGINT) AS n_rare,
-      |    CAST(SUM(CASE WHEN cnt * 4 * n_grams <= total_c THEN c ELSE 0 END)
-      |      AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rare_rate
-      |  FROM dtf JOIN model USING (g) CROSS JOIN tot
-      |  GROUP BY doc_id),
-      |u AS (SELECT COUNT(*) AS n_docs_tot FROM scores),
-      |b AS (SELECT CASE WHEN rare_rate < 0.0475 THEN '1_head'
-      |               WHEN rare_rate <= 0.0584 THEN '2_middle'
-      |               ELSE '3_tail' END AS bucket,
-      |        n_tri, n_rare FROM scores)
-      |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tri) AS BIGINT) AS n_tri,
-      |  CAST(SUM(n_rare) AS BIGINT) AS n_rare,
-      |  CAST(COUNT(*) AS DOUBLE) / n_docs_tot AS doc_share,
-      |  CAST(SUM(n_rare) AS BIGINT) / CAST(SUM(n_tri) AS DOUBLE) AS bucket_rare_rate
-      |FROM b CROSS JOIN u
-      |GROUP BY bucket, n_docs_tot
-      |ORDER BY bucket""".stripMargin
-
-  // -- d13: quality-aware cluster keeper selection -------------------------
-  // d10 answers "which docs are the same"; d13 answers the curation
-  // question that follows: WHICH COPY TO KEEP. Min-id keepers (d10's
-  // convention) are arbitrary — a real pass keeps the best-quality
-  // member of each duplicate cluster. Components over d03's document
-  // near-dup pairs (the same Operators.connectedComponents), then
-  // keeper = argmax t02 quality (tie → min doc_id; quality doubles
-  // are the t02-proven bit-identical expressions, so the argmax
-  // replays). Emits every clustered doc with its cluster, quality,
-  // and keep/drop verdict — the apply-side of the dedup ladder.
-  //
-  // Scale: components as d10 (vertex set = docs in pairs ≪ corpus);
-  // the quality join touches clustered docs only (semi-join-sized);
-  // the keeper window partitions by cluster — fan-in bounded by
-  // cluster size, never corpus-wide.
-  private val d13: Q = (s, d) =>
-    qualityKeeper(d03(s, d).select(col("a_id"), col("b_id")), T.documents(s, d))
-
-  /** The keeper rule shared by d13/d14: connected components over a
-    * near-dup pair graph (ANY pair source — d03's full Jaccard graph,
-    * d04's LSH-banded candidates), keeper = argmax t02 quality per
-    * component (tie: lowest doc_id). The pair GRAPH is the cost knob;
-    * the keeper arithmetic never changes. */
-  private[graft] def qualityKeeper(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val comps = Operators.connectedComponents(pairs, "a_id", "b_id")
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-    val (_, _, _, quality) = qualityParts
-    val scored = docs.select(col("doc_id"), quality.as("quality"))
-    val wKeep = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    comps.join(scored, "doc_id")
-      .withColumn("is_keeper", row_number().over(wKeep) === 1)
-      .select(col("doc_id"), col("cluster_id"), col("quality"), col("is_keeper"))
-      .orderBy(col("doc_id"))
-  }
-
-  // -- d14: quality keeper over the BANDED candidate graph -----------------
-  // The round-7 verdict's watch item: d13 is input-bound on d03's
-  // full n-gram Jaccard pair graph (501 s at 100×, pairs grow with
-  // every mutually-near-dup decade). d14 is the same keeper rule fed
-  // from d04's MinHash-banded candidates at est_jaccard ≥ 0.5 — the
-  // pair graph LSH banding bounds sublinearly (a pair must agree on
-  // all 4 rows of one band to surface at all), which is how a 100-TB
-  // dedup actually runs: banding prunes the graph, the keeper applies
-  // the policy. Same components operator, same quality argmax; only
-  // the edge source changes.
-  private val d14: Q = (s, d) =>
-    qualityKeeper(
-      d04(s, d).filter(col("est_jaccard") >= 0.5).select(col("a_id"), col("b_id")),
-      T.documents(s, d))
-
-  /** d13/d14's keeper oracle over any (a_id, b_id) pair SQL: the
-    * recursive-reach components + quality argmax replay, shared so
-    * both pair sources certify against ONE keeper semantics. */
-  private def keeperSqlOver(dpairsSql: String) =
-    s"""WITH RECURSIVE dpairs AS ($dpairsSql),
-       |e AS (SELECT a_id AS src, b_id AS dst FROM dpairs
-       |      UNION ALL SELECT b_id, a_id FROM dpairs),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM e
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-       |comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
-       |         FROM reach GROUP BY src),
-       |q AS (
-       |  SELECT doc_id,
-       |    0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
-       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
-       |        / len(string_split_regex(trim(text), '\\s+')))
-       |      - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |        / length(text) AS quality
-       |  FROM documents)
-       |SELECT c.doc_id, c.cluster_id, q.quality,
-       |  row_number() OVER (PARTITION BY c.cluster_id
-       |    ORDER BY q.quality DESC, c.doc_id) = 1 AS is_keeper
-       |FROM comp c JOIN q ON c.doc_id = q.doc_id
-       |ORDER BY c.doc_id""".stripMargin
-
-  private val d13Sql = keeperSqlOver(d03Sql)
-
-  private val d14Sql = keeperSqlOver(
-    s"SELECT a_id, b_id FROM ($d04Sql) WHERE est_jaccard >= 0.5")
-
-  // -- d15: semantic dedup (SemDeDup) --------------------------------------
-  // Abbas et al. 2023 (SemDeDup — public arXiv 2303.09540): content
-  // dedup (d01–d12) can't see PARAPHRASES — same meaning, different
-  // bytes — so dedupe in EMBEDDING space instead: k-means the
-  // vectors, call within-cluster pairs above a cosine threshold
-  // semantic duplicates, keep ONE per semantic group. The paper's
-  // keeper is the example with the LOWEST cosine to its cluster
-  // centroid (keep the outlier, drop the prototypical copies —
-  // maximizes retained diversity, the opposite policy of d13/d14's
-  // quality argmax and the reason this is its own operator, not a
-  // keeperSqlOver reskin). d07's machinery re-scoped: the same
-  // replayable IntLloyd coarse fit (k ≈ √n, absolute-capped sample),
-  // SINGLE-assignment blocking (the paper dedupes strictly within
-  // cells), components over the within-cell pair graph (the shared
-  // connectedComponents operator), keeper = argmin centroid-cosine
-  // (tie → min vec_id).
-  //
-  // Scale: fit sample-capped; assignment is the compiled
-  // NearestClusters probe (map-only); the pair join is bounded per
-  // cell (k ≈ √n keeps cells O(√n) — the d07 sub-quadratic argument);
-  // centroid cosine rides a broadcast join against the k-row centroid
-  // frame; components cost O(diameter) rounds over CLUSTERED vectors
-  // only, and the keeper window fan-in is bounded by semantic-group
-  // size. Nothing corpus-pairwise anywhere.
-  private val d15: Q = (s, d) => {
-    val n = T.embeddingsCount(s, d)
-    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned0, cents) = kmeansAssign(s, d, k, n)
-    val assigned = assigned0.transform(graft.CacheScope.cached) // pair join + centroid probe
-    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
-      col("embedding").as("a_vec"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
-      col("embedding").as("b_vec"))
-    // single assignment ⇒ a pair co-blocks in exactly one cell: no
-    // d07-style distinct needed
-    val pairs = a.join(b, Seq("cluster"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(VF.cosine(col("a_vec"), col("b_vec")) >= 0.35)
-      .select(col("a_id"), col("b_id"))
-    val comps = Operators.connectedComponents(pairs, "a_id", "b_id")
-      .select(col("id").as("vec_id"), col("comp").as("sem_cluster"))
-    import s.implicits._
-    val centFrame = cents.toSeq.zipWithIndex
-      .map { case (cv, i) => (i, cv) }.toDF("cluster", "cv")
-    val scored = assigned.join(broadcast(centFrame), "cluster")
-      .withColumn("cent_cos", VF.cosine(col("embedding"), col("cv")))
-      .select(col("vec_id"), col("cluster").cast(IntegerType).as("cluster"),
-        col("cent_cos"))
-    val wKeep = Window.partitionBy(col("sem_cluster"))
-      .orderBy(col("cent_cos").asc, col("vec_id"))
-    comps.join(scored, "vec_id")
-      .withColumn("is_keeper", row_number().over(wKeep) === 1)
-      .select(col("vec_id"), col("cluster"), col("sem_cluster"),
-        col("cent_cos"), col("is_keeper"))
-      .orderBy(col("vec_id"))
-  }
-
-  // The fit/assignment replay is d07's (IntLloyd CTEs + the shared
-  // single-probe asg ranking); centroid cosine re-derives against the
-  // SAME kmcent frame the assignment ranked, so keeper order replays
-  // bit-exactly (list_cosine_similarity ≡ the native expression).
-  private val d15Sql: String =
-    s"""WITH RECURSIVE ${coarseFitSql(floorK = 8)},
-       |${coarseAsgSql(maxRn = 1)},
-       |p AS (
-       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                               CAST(b.embedding AS DOUBLE[])) >= 0.35),
-       |e AS (SELECT a_id AS src, b_id AS dst FROM p
-       |      UNION ALL SELECT b_id, a_id FROM p),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM e
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-       |comp AS (SELECT src AS vec_id, least(src, MIN(dst)) AS sem_cluster
-       |         FROM reach GROUP BY src),
-       |cent AS (
-       |  SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
-       |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), k.cv) AS cent_cos
-       |  FROM asg a JOIN kmcent k ON a.cluster = k.cluster)
-       |SELECT c.vec_id, ct.cluster, c.sem_cluster, ct.cent_cos,
-       |  row_number() OVER (PARTITION BY c.sem_cluster
-       |    ORDER BY ct.cent_cos ASC, c.vec_id) = 1 AS is_keeper
-       |FROM comp c JOIN cent ct ON c.vec_id = ct.vec_id
-       |ORDER BY c.vec_id""".stripMargin
-
-  // -- p08: dataset release diff (governance card) -------------------------
-  // The release-notes artifact a corpus publisher ships alongside
-  // p06's datasheet: what changed between release A (yesterday's
-  // curation policy) and release B (today's)? Releases here are two
-  // -- d16: semantic decontamination (embedding space) ---------------------
-  // d09's decontamination in EMBEDDING space — the check n-gram
-  // overlap can't do: a paraphrased benchmark item shares no
-  // 16-gram shingles but sits right next to the original in
-  // embedding space (the SemDeDup observation applied to
-  // decontamination, which is how modern pipelines actually audit
-  // eval leakage). Corpus vectors whose cosine to ANY held-out
-  // benchmark vector reaches τ are flagged with their best-match
-  // benchmark id (deterministic tie-break) — the removal list plus
-  // the evidence a release review needs.
-  //
-  // Scale: d09's asymmetry exactly — the benchmark set is tiny
-  // (~1e5 items vs a 1e10 corpus), so it BROADCASTS and the corpus
-  // pass is map-only; the only shuffle ranks the flagged matches
-  // (bounded by contamination volume, not the corpus). At whale
-  // scale the corpus side would probe through s03's inverted lists
-  // (the d07-for-d06 story); the brute pass is the certified
-  // baseline.
-  private val d16: Q = (s, d) => {
-    val tau = 0.4
-    val emb = T.embeddings(s, d)
-    // Measurement-only knob, gated on the BENCH code path (only
-    // Bench.main ever sets BenchKnobs.d16BenchCap, from its own env):
-    // the synthetic fixture grows the benchmark side with the corpus
-    // (every 13th vector), which at 100× measures a fixture artifact
-    // — a REAL eval suite is fixed-size. Capping bench_id < N holds
-    // the benchmark side at the base-corpus size so the §4 scaling
-    // row prices the broadcast asymmetry the operator is designed
-    // around; the excluded copies' pseudo-benchmark vectors stay in
-    // the corpus. Correctness runs cannot be affected: Verify and the
-    // specs never write the knob, whatever the environment contains.
-    val isBench = graft.BenchKnobs.d16BenchCap match {
-      case Some(cap) => col("vec_id") % 13 === 7 && col("vec_id") < cap
-      case None      => col("vec_id") % 13 === 7
-    }
-    val bench = emb.filter(isBench)
-      .select(col("vec_id").as("bench_id"), col("embedding").as("b_vec"))
-    val corpus = emb.filter(!isBench).select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("bench_id"))
-    corpus.crossJoin(broadcast(bench))
-      .withColumn("cosine", VF.cosine(col("embedding"), col("b_vec")))
-      .filter(col("cosine") >= tau)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("bench_id"), col("cosine"))
-      .orderBy(col("vec_id"))
-  }
-
-  // -- d17: d16 through the inverted-list bound (the whale path) -----------
-  // d16's documentation NARRATES its 100-TB form ("the corpus side
-  // probes s03's inverted lists"); d17 REGISTERS it, with the
-  // strongest possible certificate: it shares d16's oracle verbatim,
-  // so hash equality proves the pruned plan computes IDENTICAL
-  // semantics — the s07 spherical-triangle admission is a proof, not
-  // a heuristic, with the query/member roles swapped. The index is
-  // built over the BENCHMARK side (the small side — k stays tiny and
-  // every index frame broadcasts); each corpus vector then does
-  // map-side admission against the k-row cell frame (cosine to k
-  // centroids instead of |bench| members — the pruning win), and
-  // only admitted (corpus, cell) pairs score the cell's members.
-  //
-  // Scale: corpus passes are map-only against broadcast k-row /
-  // bench-sized frames (d16's asymmetry preserved); the only shuffle
-  // ranks flagged matches, bounded by contamination volume. On a
-  // clustered real corpus admission prunes most cells; on the
-  // near-orthogonal fixture it admits honestly (s07's caveat).
-  /** d17's core over arbitrary frames, exposed so the spec can drive
-    * it on a clustered corpus (where the pruning actually bites) and
-    * count admitted pairs. Returns (admitted corpus×cell pairs, the
-    * final flagged frame). */
-  /** The d17 build's cell count for a benchmark of `nBench` rows —
-    * shared with D17Probe so the §4 row's "full grid" denominator is
-    * the BUILD's k, not the (smaller) set of cells the admission
-    * happens to populate. */
-  private[graft] def decontamIvfCellCount(nBench: Long): Int =
-    math.max(16, math.ceil(math.sqrt(nBench.toDouble)).toInt)
-
-  private[graft] def decontamIvf(s: SparkSession, bench: DataFrame,
-                                 corpus: DataFrame, tau: Double): (DataFrame, DataFrame) = {
-    val nBench = bench.count() // build-time metadata (the build scans anyway)
-    val k = decontamIvfCellCount(nBench)
-    val (assignedB, cents) = kmeansAssignDf(bench, k, nBench)
-    import s.implicits._
-    val cells = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-      .toDF("cluster", "cv")
-    val members = assignedB
-      .select(col("vec_id").as("bench_id"), col("embedding").as("b_vec"),
-        col("cluster"))
-    val cellMeta = members.join(broadcast(cells), "cluster")
-      .groupBy(col("cluster"))
-      .agg(min(VF.cosine(col("b_vec"), col("cv"))).as("bmin"))
-      .join(broadcast(cells), "cluster")
-      .select(col("cluster"), col("cv"), col("bmin"))
-    // map-side admission: corpus × k cells, cells broadcast (the
-    // reverse orientation of rangeIvfAdmit — here the CORPUS is the
-    // query side and must never be broadcast or shuffled)
-    val a = col("a"); val bmin = col("bmin")
-    val bound = a * bmin +
-      sqrt(greatest(lit(0d), lit(1d) - a * a) *
-           greatest(lit(0d), lit(1d) - bmin * bmin))
-    val admitted = corpus
-      .crossJoin(broadcast(cellMeta))
-      .withColumn("a", VF.cosine(col("embedding"), col("cv")))
-      .filter(a >= bmin || bound >= tau)
-      .select(col("vec_id"), col("embedding"), col("cluster"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("bench_id"))
-    val flagged = admitted.join(broadcast(members), "cluster")
-      .withColumn("cosine", VF.cosine(col("embedding"), col("b_vec")))
-      .filter(col("cosine") >= tau)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("bench_id"), col("cosine"))
-      .orderBy(col("vec_id"))
-    (admitted, flagged)
-  }
-
-  private val d17: Q = (s, d) => {
-    val tau = 0.4
-    val emb = T.embeddings(s, d)
-    val isBench = col("vec_id") % 13 === 7
-    decontamIvf(s,
-      emb.filter(isBench).select(col("vec_id"), col("embedding")),
-      emb.filter(!isBench).select(col("vec_id"), col("embedding")), tau)._2
-  }
-
-  private val d16Sql =
-    """WITH b AS (
-      |  SELECT vec_id AS bench_id, embedding AS b_vec
-      |  FROM embeddings WHERE vec_id % 13 = 7),
-      |c AS (
-      |  SELECT vec_id, embedding FROM embeddings WHERE NOT (vec_id % 13 = 7)),
-      |m AS (
-      |  SELECT c.vec_id, b.bench_id,
-      |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-      |                           CAST(b.b_vec AS DOUBLE[])) AS cosine
-      |  FROM c, b
-      |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-      |                               CAST(b.b_vec AS DOUBLE[])) >= 0.4),
-      |r AS (
-      |  SELECT vec_id, bench_id, cosine,
-      |    row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY cosine DESC, bench_id) AS rn
-      |  FROM m)
-      |SELECT vec_id, bench_id, cosine FROM r WHERE rn = 1
-      |ORDER BY vec_id""".stripMargin
-
-  // -- p08: release diff ----------------------------------------------------
-  // deterministic curation policies over the same raw corpus — A
-  // keeps docs ≥ 150 chars as-is; B tightens the gate to ≥ 200 and
-  // truncates at 400 chars (a max-length policy change) — and the
-  // diff is a doc_id full-outer join comparing content hashes:
-  // added / removed / changed / unchanged per source, plus the exact
-  // released-char volumes both sides. The q42/q76 reconcile shape
-  // applied at the corpus-release grain.
-  //
-  // Scale: one co-partitioned full-outer join on the uniform doc_id
-  // key (hashes computed map-side, so the exchange moves one hash +
-  // one int per side, never text), one #sources partial agg.
-  private val p08: Q = (s, d) => {
-    val docs = T.documents(s, d)
-    val relA = docs.filter(col("n_chars") >= 150)
-      .select(col("doc_id"), col("source").as("src_a"),
-        md5(col("text")).as("ha"), col("n_chars").cast(LongType).as("ca"))
-    val relB = docs.filter(col("n_chars") >= 200)
-      .select(col("doc_id"), col("source").as("src_b"),
-        md5(substring(col("text"), 1, 400)).as("hb"),
-        least(col("n_chars"), lit(400)).cast(LongType).as("cb"))
-    relA.join(relB, Seq("doc_id"), "full_outer")
-      .withColumn("source", coalesce(col("src_a"), col("src_b")))
-      .withColumn("status",
-        when(col("ha").isNull, "added")
-          .when(col("hb").isNull, "removed")
-          .when(col("ha") =!= col("hb"), "changed")
-          .otherwise("unchanged"))
-      .groupBy(col("source"))
-      .agg(
-        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
-        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
-        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
-        sum(coalesce(col("ca"), lit(0L))).as("chars_a"),
-        sum(coalesce(col("cb"), lit(0L))).as("chars_b"))
-      .orderBy(col("source"))
-  }
-
-  private val p08Sql =
-    """WITH a AS (
-      |  SELECT doc_id, source AS src_a, md5(text) AS ha,
-      |    CAST(n_chars AS BIGINT) AS ca
-      |  FROM documents WHERE n_chars >= 150),
-      |b AS (
-      |  SELECT doc_id, source AS src_b, md5(substr(text, 1, 400)) AS hb,
-      |    CAST(least(n_chars, 400) AS BIGINT) AS cb
-      |  FROM documents WHERE n_chars >= 200),
-      |j AS (
-      |  SELECT COALESCE(src_a, src_b) AS source,
-      |    CASE WHEN ha IS NULL THEN 'added'
-      |         WHEN hb IS NULL THEN 'removed'
-      |         WHEN ha <> hb THEN 'changed'
-      |         ELSE 'unchanged' END AS status,
-      |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-      |  FROM a FULL OUTER JOIN b USING (doc_id))
-      |SELECT source,
-      |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
-      |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-      |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-      |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
-      |  CAST(SUM(ca) AS BIGINT) AS chars_a,
-      |  CAST(SUM(cb) AS BIGINT) AS chars_b
-      |FROM j GROUP BY source ORDER BY source""".stripMargin
-
-  // -- t16: per-doc novelty (new-content contribution) ---------------------
-  // The data-mixing question d12's repeated-span cover doesn't answer:
-  // how much does each document ADD? A doc's novelty is the share of
-  // its distinct 8-grams whose corpus-wide FIRST occurrence (min
-  // doc_id — the stream/arrival order) is this doc. Curation uses the
-  // curve both ways: low-novelty late arrivals are near-pure rehash
-  // (drop candidates), and a source whose marginal novelty decays to
-  // zero has been exhausted (stop crawling it). Gram definition is
-  // slidingGramHashes — shared with d12 by construction.
-  //
-  // Scale: same 3-uniform-hash-shuffle class as d11/d12 — distinct
-  // (doc, gram) partial-agg, gram→min-doc agg, co-partitioned join
-  // back, per-doc agg. First-occurrence via min over the gram key —
-  // never a window over the corpus.
-  private val t16: Q = (s, d) => {
-    val docs = tokenizedDocs(s, d)
-    val docGrams = slidingGramHashes(docs)
-      .select(col("doc_id"), col("gram_hash")).distinct()
-      .transform(graft.CacheScope.cached) // first-occurrence build + probe
-    val firstDoc = docGrams.groupBy(col("gram_hash"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = docGrams.join(firstDoc, "gram_hash")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_distinct_grams", "n_novel"))
-      .withColumn("novelty_frac", when(col("n_distinct_grams") === 0, lit(0d))
-        .otherwise(col("n_novel").cast(DoubleType) / col("n_distinct_grams")))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t16Sql =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      |docs AS (
-      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens, tk FROM toks),
-      |gs AS (
-      |  SELECT doc_id, array_to_string(list_slice(tk, i + 1, i + 8), ' ') AS g
-      |  FROM docs, LATERAL unnest(generate_series(0, total_tokens - 8)) AS u(i)),
-      |grams AS (
-      |  SELECT DISTINCT doc_id,
-      |    list_reduce(list_transform(generate_series(1, length(g)),
-      |        j -> CAST(unicode(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 131 + c) % 1000000007) * 1000000007 +
-      |    list_reduce(list_transform(generate_series(1, length(g)),
-      |        j -> CAST(unicode(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 137 + c) % 1000000007) AS gram_hash
-      |  FROM gs),
-      |fd AS (SELECT gram_hash, MIN(doc_id) AS first_doc FROM grams GROUP BY 1),
-      |per_doc AS (
-      |  SELECT g.doc_id, COUNT(*) AS n_distinct_grams,
-      |    CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS n_novel
-      |  FROM grams g JOIN fd USING (gram_hash) GROUP BY 1)
-      |SELECT d.doc_id,
-      |  COALESCE(n_distinct_grams, 0) AS n_distinct_grams,
-      |  COALESCE(n_novel, 0) AS n_novel,
-      |  CASE WHEN COALESCE(n_distinct_grams, 0) = 0 THEN 0.0
-      |       ELSE CAST(n_novel AS DOUBLE) / n_distinct_grams END AS novelty_frac
-      |FROM docs d LEFT JOIN per_doc USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
-
-  // -- t17: learned-vocab tokenizer apply ----------------------------------
-  // Every costing operator so far (t03, p02, p07, m04, p09) prices
-  // "tokens" as whitespace/regex tokens, but a training pipeline
-  // prices in LEARNED-vocab (BPE/WordPiece-class) tokens, and the two
-  // diverge 1.3–1.8× on real text — budgets, bin fills and manifests
-  // are systematically off by that factor. t17 closes the gap with
-  // the two halves of a real tokenizer, both replayable:
-  //   FIT: the vocab is the top-`t17VocabSize` substrings
-  //   (code-point lengths 2..t17MaxUnit) of the corpus's whitespace
-  //   words by EXACT occurrence-weighted frequency (tie-break: unit
-  //   asc) — the same exact-frequency head t13 publishes, extended to
-  //   subword units. Computed on the DISTINCT-WORD frame weighted by
-  //   word count (types ≪ tokens under Zipf), one partial-agg'd
-  //   explode + a TakeOrdered top-V; the V-entry vocab is a bounded
-  //   driver collect (IntLloyd's capped-fit precedent).
-  //   APPLY: greedy longest-match (the WordPiece inference rule) per
-  //   word, unmatched positions consume one code point — a map-only
-  //   compiled scan (LearnedTokenStats) with the vocab held once per
-  //   JVM; no join, no shuffle, whole-stage codegen via the
-  //   UnaryRefCodegen call.
-  // The unit-length cap (4) plays the role the vocab budget plays on
-  // a real corpus: this synthetic corpus has only ~31 word types, so
-  // an uncapped top-256 would memorize every whole word and the two
-  // counts would collapse to ≈1× (measured: mean ratio 1.50 capped
-  // vs 1.03 uncapped at sf0.01 — the capped config exhibits the
-  // realistic divergence the operator exists to price).
-  // The DuckDB oracle replays the greedy scan as a recursive CTE over
-  // the distinct-word frame (state = (word, pos, pieces); step
-  // consumes MAX matching unit length via a correlated probe, else
-  // 1), then re-prices each doc through a word join — hash-equality
-  // proves the map-only scan computes exactly the textbook greedy
-  // segmentation.
-  // `final val` int literals: compile-time constants, so SQL strings
-  // that initialize EARLIER in the object body (e10Sql) interpolate
-  // 256/4, not a not-yet-initialized 0 (which silently emptied the
-  // oracle vocab — caught by the e10 gate)
-  private[graft] final val t17VocabSize = 256
-  private[graft] final val t17MaxUnit = 4
-
-  /** Driver-fit learned vocab: top-V corpus substrings (code-point
-    * lengths 2..maxUnit) of whitespace words by exact frequency,
-    * deterministic tie-break (cnt desc, unit asc). Bounded collect:
-    * ≤V strings of ≤maxUnit code points. */
-  private[graft] def learnedVocab(s: SparkSession, d: String,
-      vocabSize: Int = t17VocabSize, maxUnit: Int = t17MaxUnit): Array[String] = {
-    val wf = T.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    wf.filter(length(col("w")) >= 2)
-      .select(col("c"), explode(expr(
-        s"""flatten(transform(sequence(2, least($maxUnit, length(w))),
-           |  n -> transform(sequence(1, length(w) - n + 1),
-           |    i -> substr(w, i, n))))""".stripMargin)).as("unit"))
-      .groupBy(col("unit")).agg(sum(col("c")).as("cnt"))
-      .orderBy(col("cnt").desc, col("unit"))
-      .limit(vocabSize)
-      .select(col("unit")).collect().map(_.getString(0))
-  }
-
-  private val t17: Q = (s, d) => {
-    val vocab = learnedVocab(s, d)
-    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
-    T.documents(s, d)
-      .withColumn("st", st)
-      .select(col("doc_id"), col("st.ws_tokens").as("ws_tokens"),
-        col("st.learned_tokens").as("learned_tokens"))
-      .withColumn("ratio", when(col("ws_tokens") === 0, lit(null).cast(DoubleType))
-        .otherwise(col("learned_tokens").cast(DoubleType) / col("ws_tokens")))
-      .orderBy(col("doc_id"))
-  }
-
-  /** The t17 fit + greedy segmentation as a shared CTE chain
-    * (tk/wf/subs/vocab/seg/wp), reused verbatim by every learned-cost
-    * oracle (t17, p10) so the token definition cannot drift between
-    * the tokenizer and its consumers. */
-  // a def, not a val: consumers (e10Sql) initialize before this
-  // point in the object body would read a null val
-  private def learnedSegCtes =
-    s"""tk AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w),
-       |subs AS (
-       |  SELECT substr(w, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS unit, SUM(c) AS cnt
-       |  FROM wf,
-       |       LATERAL unnest(generate_series(2, least($t17MaxUnit, length(w)))) AS ln(n),
-       |       LATERAL unnest(generate_series(1, length(w) - n + 1)) AS ps(i)
-       |  WHERE length(w) >= 2
-       |  GROUP BY 1),
-       |vocab AS (
-       |  SELECT unit, length(unit) AS ul
-       |  FROM subs ORDER BY cnt DESC, unit LIMIT $t17VocabSize),
-       |seg(w, pos, pieces) AS (
-       |  SELECT w, 1, 0 FROM wf
-       |  UNION ALL
-       |  SELECT s.w,
-       |    s.pos + COALESCE((SELECT MAX(v.ul) FROM vocab v
-       |                      WHERE v.unit = substr(s.w, s.pos, v.ul)), 1),
-       |    s.pieces + 1
-       |  FROM seg s WHERE s.pos <= length(s.w)),
-       |wp AS (SELECT w, pieces FROM seg WHERE pos > length(w))""".stripMargin
-
-  private val t17Sql =
-    s"""WITH RECURSIVE $learnedSegCtes,
-       |agg AS (
-       |  SELECT t.doc_id, COUNT(*) AS ws_tokens,
-       |    CAST(SUM(p.pieces) AS BIGINT) AS learned_tokens
-       |  FROM tk t JOIN wp p ON t.w = p.w
-       |  GROUP BY t.doc_id)
-       |SELECT d.doc_id,
-       |  CAST(COALESCE(a.ws_tokens, 0) AS BIGINT) AS ws_tokens,
-       |  CAST(COALESCE(a.learned_tokens, 0) AS BIGINT) AS learned_tokens,
-       |  CASE WHEN COALESCE(a.ws_tokens, 0) = 0 THEN NULL
-       |       ELSE CAST(a.learned_tokens AS DOUBLE) / a.ws_tokens END AS ratio
-       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-       |ORDER BY d.doc_id""".stripMargin
-
-  // -- t18: hashed TF-IDF text embeddings + retrieval ----------------------
-  // The text→vector bridge between the t-family and the s-family ANN
-  // ladder: docs that arrive WITHOUT embeddings still need semantic
-  // retrieval, and the classic engine-only answer is feature hashing
-  // (Weinberger et al. 2009, "the hashing trick"): token → md5 bucket
-  // (the cmsBucket family t10/e08 already replay bit-for-bit), tf per
-  // (doc, bucket), idf per bucket, a dense 64-dim vector per doc, and
-  // cosine top-5 retrieval for the query docs — s01's exact shape over
-  // vectors the engine DERIVED from text. The idf is the LOG-FREE
-  // inverse document frequency tf/df — ln is not bit-replayable
-  // across engines, the retrieval ranking is invariant to the
-  // monotone log, and the textbook N numerator (a uniform scalar
-  // cosine cannot see) is dropped because deriving it costs a
-  // corpus-wide distinct. The one division has exact-integer inputs,
-  // so weights, vectors and cosines re-derive bit-identically in
-  // DuckDB.
-  //
-  // Scale: tf and df are two partial-agg shuffles on uniform keys;
-  // the dense assembly is a 64-entry map per doc (map-side after the
-  // tf shuffle); N and the 64-row df frame broadcast. Retrieval here
-  // is the s01 brute-force baseline (queries broadcast, zero fact
-  // shuffles) — at corpus scale these vectors feed the s03/s07 IVF
-  // index path unchanged, since they are exactly the array<double>
-  // geometry the ladder consumes.
-  private val t18: Q = (s, d) => {
-    val dim = 64
-    // cached: df frame, N and the vector assembly all read it — without
-    // the persist the tokenize + 1-md5-per-token chain runs three times
-    // (measured 8.8× second-decade growth at 100×; cached it is the
-    // one-scan shape)
-    val tf = T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .withColumn("bucket", TF.cmsBucket(col("w"), 0, dim))
-      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
-      .transform(graft.CacheScope.cached)
-    val dfb = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
-    // dense assembly as 64 conditional-sum slots: a flat HashAggregate
-    // of primitive doubles that stays in whole-stage codegen. The
-    // map_from_entries(collect_list(...)) formulation is the natural
-    // first write-up but drops to ObjectHashAggregate — per-row struct
-    // allocation + sort-based spill fallback measured 4× slower on the
-    // 32M-cell second decade.
-    val slots = (0 until dim).map(i =>
-      sum(when(col("bucket") === i, col("wt"))).as(s"b$i"))
-    // idf = 1/df WITHOUT the textbook N numerator: N is a uniform
-    // scalar over every weight, cosine is invariant to uniform
-    // scaling, and deriving N is a corpus-wide distinct shuffle —
-    // dropped from BOTH engine and oracle (one definition)
-    val vecs = tf.join(broadcast(dfb), "bucket")
-      .withColumn("wt",
-        col("tf").cast(DoubleType) / col("df").cast(DoubleType))
-      .groupBy(col("doc_id"))
-      .agg(slots.head, slots.tail: _*)
-      .withColumn("vec", array((0 until dim).map(i =>
-        coalesce(col(s"b$i"), lit(0.0))): _*))
-      .select(col("doc_id"), col("vec"))
-      .transform(graft.CacheScope.cached) // query + candidate slices
-    val qs = vecs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("q_id"), col("vec").as("q_vec"))
-    val cands = vecs.filter(col("doc_id") >= 10)
-      .select(col("doc_id").as("cand_id"), col("vec"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    cands.crossJoin(broadcast(qs))
-      .withColumn("cos", VF.cosine(col("q_vec"), col("vec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
-  }
-
-  private val t18Sql =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      |tf AS (
-      |  SELECT doc_id,
-      |    CAST(('0x' || substr(md5(w || '|0'), 1, 4)) AS INTEGER) % 64 AS bucket,
-      |    CAST(COUNT(*) AS BIGINT) AS tf
-      |  FROM toks WHERE w <> '' GROUP BY 1, 2),
-      |dfb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      |wts AS (
-      |  SELECT t.doc_id, t.bucket,
-      |    CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS wt
-      |  FROM tf t JOIN dfb d USING (bucket)),
-      |vecs AS (
-      |  SELECT i.doc_id, list(COALESCE(w.wt, 0.0) ORDER BY b.bucket) AS vec
-      |  FROM (SELECT DISTINCT doc_id FROM tf) i
-      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) b
-      |  LEFT JOIN wts w ON w.doc_id = i.doc_id AND w.bucket = b.bucket
-      |  GROUP BY i.doc_id),
-      |scored AS (
-      |  SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
-      |    list_cosine_similarity(CAST(q.vec AS DOUBLE[]),
-      |                           CAST(c.vec AS DOUBLE[])) AS cos
-      |  FROM (SELECT * FROM vecs WHERE doc_id < 10) q,
-      |       (SELECT * FROM vecs WHERE doc_id >= 10) c),
-      |r AS (SELECT q_id, cand_id, cos,
-      |        row_number() OVER (PARTITION BY q_id
-      |          ORDER BY cos DESC, cand_id) AS rn
-      |      FROM scored)
-      |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
-      |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-
-  // -- t19: intra-document repeated-segment removal (a TRANSFORM) ----------
-  // The t-family's first REWRITE: d11 reports cross-document
-  // boilerplate, t08 scores repetition — t19 actually removes it,
-  // the within-document repeated-paragraph scrub every web-scale
-  // curation recipe applies before anything else sees the text.
-  // Segments are d11's unit (non-overlapping 8-token windows); within
-  // a doc, only the FIRST occurrence of each distinct segment
-  // survives, the sub-segment tail rides along untouched, and the
-  // cleaned text is re-joined in original order. First-occurrence
-  // selection is a higher-order filter over the doc's own segment
-  // array (array_position = first index), so the whole transform is
-  // ONE map-only pass — no shuffle of any kind before the output
-  // sort; per-row cost is bounded by the document-length contract,
-  // never the corpus. The same HOF pair replays in DuckDB
-  // (list_filter index is 1-based where Spark's is 0-based — the
-  // oracle encodes the off-by-one, which is itself a parity check).
-  // The gate corpus happens to contain no within-doc 8-token repeats
-  // (sum(n_dropped) = 0 — both engines agree, which is itself the
-  // replay), so PipelineScaleSpec drives this same helper on a
-  // crafted repetitive frame to prove the removal/reassembly
-  // semantics have teeth.
-  private[graft] def intraDocDedup(docs: DataFrame): DataFrame =
-    docs
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id",
-        "CAST(size(toks) AS BIGINT) AS n_tokens",
-        "CASE WHEN size(toks) >= 8 THEN transform(sequence(0, size(toks) div 8 - 1), " +
-          "i -> array_join(slice(toks, CAST(i*8+1 AS INT), 8), ' ')) " +
-          "ELSE array() END AS segs",
-        "slice(toks, CAST((size(toks) div 8)*8 + 1 AS INT), CAST(size(toks) % 8 AS INT)) AS tail")
-      .selectExpr("doc_id", "n_tokens",
-        "CAST(size(segs) AS BIGINT) AS n_segments",
-        "filter(segs, (s, i) -> array_position(segs, s) = i + 1) AS kept",
-        "tail")
-      .selectExpr("doc_id", "n_tokens", "n_segments",
-        "CAST(size(kept) AS BIGINT) AS n_kept",
-        "CAST(n_segments - size(kept) AS BIGINT) AS n_dropped",
-        "array_join(concat(kept, tail), ' ') AS clean_text")
-      .orderBy(col("doc_id"))
-
-  private val t19: Q = (s, d) => intraDocDedup(docsSpread(s, d))
-
-  private val t19Sql =
-    """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |s AS (
-      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-      |    CASE WHEN len(toks) >= 8 THEN
-      |      list_transform(generate_series(0, len(toks)//8 - 1),
-      |        i -> array_to_string(toks[i*8+1 : i*8+8], ' '))
-      |    ELSE [] END AS segs,
-      |    toks[(len(toks)//8)*8 + 1 : len(toks)] AS tail
-      |  FROM t),
-      |k AS (
-      |  SELECT doc_id, n_tokens, CAST(len(segs) AS BIGINT) AS n_segments,
-      |    list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept,
-      |    tail
-      |  FROM s)
-      |SELECT doc_id, n_tokens, n_segments,
-      |  CAST(len(kept) AS BIGINT) AS n_kept,
-      |  CAST(n_segments - len(kept) AS BIGINT) AS n_dropped,
-      |  array_to_string(list_concat(kept, tail), ' ') AS clean_text
-      |FROM k ORDER BY doc_id""".stripMargin
-
-  // -- t20: BPE merge-table TRAINING ---------------------------------------
-  // t17 APPLIES a vocab (greedy longest-match over a frequency head);
-  // t20 TRAINS the real thing — byte-pair-encoding merge learning
-  // (Sennrich et al. 2016, the algorithm behind GPT/Llama-class
-  // tokenizers): start from single code points, repeatedly count
-  // adjacent unit pairs (occurrence-weighted, overlaps counted the
-  // way every public BPE trainer counts them) and merge the most
-  // frequent pair, K rounds, emitting the ranked merge table — the
-  // artifact a tokenizer ships.
-  //
-  // Scale shape: the ONE corpus-sized pass is the word-type count
-  // (explode + partial-agg, t13/t17's fit shape). Every merge round
-  // then runs over the DISTINCT-WORD frame only (types ≪ tokens
-  // under Zipf — ~10M rows at 100 TB vs ~10^13 tokens), one small
-  // uniform-key shuffle + a 1-row TakeOrdered per round; the K-row
-  // merge table is the bounded driver artifact (IntLloyd's capped-fit
-  // precedent). K sequential jobs is the honest distributed form of
-  // BPE training — each merge depends on the segmentation under all
-  // prior merges, exactly like q78's Newton rounds.
-  //
-  // Segmentation state is a string with EVERY unit wrapped in
-  // chr(16)…chr(17) brackets, so a merge of (l, r) rewrites the literal
-  // ⟨l⟩⟨r⟩ → ⟨lr⟩: the leading bracket anchors l to a WHOLE unit (a
-  // flat single-separator encoding would falsely match l as the
-  // suffix of a longer merged unit — caught in design, spec-pinned by
-  // the xa/ab/xab fixture), consecutive pair occurrences share no
-  // delimiter so one leftmost-nonoverlap replace() pass merges all of
-  // them, and overlapping runs (aaa with pair (a,a)) merge
-  // greedily-left exactly as the textbook single pass does. Both
-  // engines' replace() are leftmost-nonoverlap, so the DuckDB oracle
-  // replays the same K rounds bit-for-bit; RandomizedSpec proves the
-  // string-rewrite form equal to a unit-list reference trainer on
-  // random corpora. Corpus contract: chr(16)/chr(17) never occur in
-  // text (BMP control chars; same class of contract as
-  // TokenGramHashes' documented range).
-  // Round 9 took t20 to production shape: K = 64 merges (8 ×
-  // round 8), trained by BATCHED rounds — each round counts pairs
-  // once, then applies the longest safe PREFIX of the ranking in one
-  // go (up to t20Batch merges) instead of one merge per job — with a
-  // localCheckpoint per round so lineage stays flat (the round-8
-  // O(K²) replay-lineage critique; d10's precedent). The batch is
-  // provably EQUAL to sequential training (see bpeTrainBatched), so
-  // the oracle remains the sequential unrolled CTE chain and the
-  // sequential bpeTrain stays in the codebase as the spec reference
-  // (RandomizedSpec fuzzes batched == sequential == unit-list
-  // trainer on random corpora).
-  // Round 10 takes K to REAL VOCAB SCALE: 512 merges (the verdict's
-  // "production-SIZED, not just production-SHAPED" ask), window = K
-  // (the ranking window is a ≤K+1-row driver collect either way, so
-  // there is no reason to cap the safe prefix below the target). On
-  // the 31-type documents corpus training EXHAUSTS at 89 merges —
-  // every word type fully merged to a single unit — which is itself
-  // part of the contract: exhaustion is ABSORBING (an empty round
-  // leaves the state bit-identical, so every later round is empty
-  // too), and the oracle exploits exactly that absorption to stay
-  // bounded (see t20OracleRounds).
-  private[graft] final val t20Merges = 512
-  private[graft] final val t20Batch = 512
-
-  /** Rounds the SEQUENTIAL oracle unrolls. Unrolling all 512 is both
-    * impossible (DuckDB's max_expression_depth of 1000 binds near 400
-    * chained state CTEs) and pointless: exhaustion is absorbing, so
-    * an oracle unrolled to any R ≥ exhaustion+1 computes EXACTLY the
-    * K=512 result — round R's empty argmax proves every round past R
-    * empty as well. R = 96 (> the corpus's 89, measured 4.6 s in
-    * DuckDB vs 149 s at R=300). The truncation cannot pass silently
-    * on a corpus it doesn't fit: every oracle in the family emits a
-    * poison value off m_R (t20 a sentinel row, t23/p13 a poisoned
-    * token count), so if round R still finds a pair the hashes
-    * mismatch LOUDLY instead of certifying a truncated replay. */
-  private[graft] final val t20OracleRounds = 96
-
-  private val t20: Q = (s, d) => bpeTrainBatched(T.documents(s, d), t20Merges, t20Batch)
-
-  /** K-round SEQUENTIAL BPE merge training over `docs(text)` — the
-    * textbook one-merge-per-round form, kept as the certified
-    * reference the batched trainer is spec-pinned against (s01's
-    * role in the ANN ladder). */
-  private[graft] def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val bl = "\u0010"; val br = "\u0011" // unit open/close brackets (chr 16/17)
-    val wf = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("st", regexp_replace(col("w"), "(.)", bl + "$1" + br))
-      .select(col("c"), col("st"))
-      .transform(graft.CacheScope.cached)
-    var st = wf
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= k && !exhausted) {
-      val top = st
-        .select(col("c"),
-          split(expr("substr(st, 2, length(st) - 2)"), br + bl).as("u"))
-        .filter(size(col("u")) >= 2)
-        .select(col("c"), explode(expr(
-          "transform(sequence(1, size(u) - 1), i -> struct(element_at(u, i) AS l, element_at(u, CAST(i + 1 AS INT)) AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("c")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true // corpus fully merged: oracle's m-CTE goes empty the same round
-      else {
-        val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, l, rr, l + rr, cnt))
-        st = st.withColumn("st",
-          replace(col("st"), lit(bl + l + br + bl + rr + br), lit(bl + l + rr + br)))
-        r += 1
-      }
-    }
-    merges.toSeq
-      .toDF("merge_rank", "left_unit", "right_unit", "merged", "pair_count")
-      .orderBy(col("merge_rank"))
-  }
-
-  /** BATCHED BPE training, provably EQUAL to [[bpeTrain]]'s sequential
-    * argmax (so the sequential oracle certifies it). Each round counts
-    * pairs ONCE, ranks them (cnt DESC, l, r), and applies the longest
-    * safe prefix of the ranking — up to `bmax` merges per round — then
-    * `localCheckpoint`s the state so round r replays ZERO prior
-    * replaces (flat per-round cost; lineage was the round-8 O(K²)
-    * critique).
-    *
-    * Why the batch equals sequential — the two invariants:
-    *
-    *  1. DISJOINT PREFIX. The batch is a PREFIX p1..pb of the ranking
-    *     in which every two pairs are symbol-disjoint, counting each
-    *     pair's merged string as a symbol ({l,r,l||r} pairwise
-    *     disjoint). Any pair q sharing a symbol with some applied pi
-    *     therefore sits strictly AFTER the whole maximal prefix P in
-    *     the ranking (a conflicting pair inside the prefix would have
-    *     ended it earlier), so cnt(q) ≤ cnt(p_{|P|+1}). Merging pi
-    *     removes its own pair, only perturbs pairs sharing a symbol
-    *     with {l_i, r_i, l_i||r_i}, and any NEWLY-CREATED pair (x,
-    *     l_i||r_i) inherits cnt ≤ cnt(x, l_i) — a sharing pair, hence
-    *     also ≤ cnt(p_{|P|+1}).
-    *  2. STRICT BOUNDARY GAP. b is additionally capped so that
-    *     cnt(p_b) > cnt(p_{|P|+1}) (or no such boundary exists). Then
-    *     at sequential step i ≤ b the argmax candidates are: untouched
-    *     pairs, whose relative (cnt, l, r) order is unchanged and
-    *     whose max is exactly p_i (p_1..p_{i-1} were fully consumed by
-    *     their merges); and perturbed/created pairs, all strictly
-    *     below cnt(p_b) ≤ cnt(p_i) by (1)+(2) — so no tie-break can
-    *     promote them. Hence sequential merge i = p_i for all i ≤ b.
-    *
-    * b = 1 needs no gap (it IS the sequential argmax), so progress is
-    * always ≥ 1 merge per round. The ranking is read through a
-    * bounded `limit(bmax+1).collect()` window — if the disjoint
-    * prefix fills the whole window, the last collected row becomes
-    * the boundary (conflicting pairs rank below it, so the gap test
-    * stays sound); if the ranking ENDS inside the window with every
-    * pair disjoint, no pair shares a symbol with any other, so no
-    * merge can perturb or create anything — the whole remainder is
-    * safe. RandomizedSpec fuzzes batched == sequential on random
-    * corpora; FunctionsSpec pins it on the gate corpus. */
-  private[graft] def bpeTrainBatched(docs: DataFrame, k: Int, bmax: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val bl = "\u0010"; val br = "\u0011" // unit brackets (chr 16/17)
-    var st = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("st", regexp_replace(col("w"), "(.)", bl + "$1" + br))
-      .select(col("c"), col("st"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var collected = 0
-    var rounds = 0
-    var exhausted = false
-    while (collected < k && !exhausted) {
-      rounds += 1
-      val rows = st
-        .select(col("c"),
-          split(expr("substr(st, 2, length(st) - 2)"), br + bl).as("u"))
-        .filter(size(col("u")) >= 2)
-        .select(col("c"), explode(expr(
-          "transform(sequence(1, size(u) - 1), i -> struct(element_at(u, i) AS l, element_at(u, CAST(i + 1 AS INT)) AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("c")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(bmax + 1).collect() // bounded driver window: bmax+1 rows
-      if (rows.isEmpty) exhausted = true
-      else {
-        val pairs = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        var used = Set.empty[String]
-        var pLen = 0
-        var stop = false
-        while (!stop && pLen < pairs.length) {
-          val (l, r, _) = pairs(pLen)
-          val syms = Set(l, r, l + r)
-          if (syms.exists(used)) stop = true
-          else { used ++= syms; pLen += 1 }
-        }
-        val (usableP, boundary) =
-          if (pLen == pairs.length && pairs.length == bmax + 1)
-            (pLen - 1, Some(pairs(pLen - 1)._3)) // prefix may extend past the window
-          else if (pLen < pairs.length) (pLen, Some(pairs(pLen)._3))
-          else (pLen, None) // ranking ends in-window, fully disjoint
-        var b = math.max(1, math.min(usableP, k - collected))
-        while (b > 1 && boundary.exists(pairs(b - 1)._3 <= _)) b -= 1
-        val toApply = pairs.take(b)
-        toApply.zipWithIndex.foreach { case ((l, r, cnt), i) =>
-          merges += ((collected + i + 1, l, r, l + r, cnt))
-        }
-        var ns = st
-        toApply.foreach { case (l, r, _) => // rank order; commute by disjointness
-          ns = ns.withColumn("st",
-            replace(col("st"), lit(bl + l + br + bl + r + br), lit(bl + l + r + br)))
-        }
-        st = ns.localCheckpoint() // flat lineage: next round replays zero replaces
-        collected += b
-      }
-    }
-    // the §4 scale claim is "rounds, not corpus, are the cost" — the
-    // stderr line below is the source of truth for the round count
-    // (a log, not shared mutable state: t20/t23/p13 all train, so a
-    // var written here would be indeterminate under concurrency)
-    System.err.println(s"[t20] merges=$collected rounds=$rounds exhausted=$exhausted")
-    merges.toSeq
-      .toDF("merge_rank", "left_unit", "right_unit", "merged", "pair_count")
-      .orderBy(col("merge_rank"))
-  }
-
-  /** The SEQUENTIAL K rounds unrolled as CTEs: pairs_r counts adjacent
-    * units of the round-(r−1) state, m_r is the deterministic argmax
-    * (cnt desc, l, r), s_r applies the bracket-anchored rewrite.
-    * Multiply-referenced state CTEs are MATERIALIZED — without it the
-    * optimizer's CTE inlining doubles the plan per round (2^K at
-    * K=64). This chain certifies the batched trainer BECAUSE batched
-    * == sequential (see bpeTrainBatched's proof). */
-  private val t20Sql: String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      "tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
-      "wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w)",
-      "s0 AS MATERIALIZED (SELECT c, regexp_replace(w, '(.)', chr(16) || '\\1' || chr(17), 'g') AS st FROM wf)")
-    ctes ++= bpeRoundCtes(t20OracleRounds, carryWord = false)
-    val rows = (1 to t20OracleRounds).map(r =>
-      s"SELECT $r AS merge_rank, l AS left_unit, r AS right_unit, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
-      .mkString(" UNION ALL ")
-    // exhaustion witness: if round R still found a pair, the corpus
-    // did NOT exhaust inside the unrolled window and the truncated
-    // replay would be incomplete — emit a sentinel row so the compare
-    // fails loudly rather than certifying a prefix
-    val witness = s" UNION ALL SELECT 100000 AS merge_rank, 'ORACLE' AS left_unit," +
-      s" 'OVERFLOW' AS right_unit, 'ORACLE_ROUNDS_EXCEEDED' AS merged," +
-      s" CAST(-1 AS BIGINT) AS pair_count FROM m$t20OracleRounds"
-    "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + rows + witness + ") ORDER BY merge_rank"
-  }
-
-  /** The per-round CTE quadruple (u_r / pairs_r / m_r / s_r) shared by
-    * the t20 and t23 oracles — ONE definition of the training replay,
-    * so trainer-oracle and tokenizer-oracle cannot drift. With
-    * `carryWord` the word itself rides through every state CTE (the
-    * t23 apply needs word → final segmentation; the extra column
-    * changes nothing about the merges, which read only (c, st)). */
-  private def bpeRoundCtes(k: Int, carryWord: Boolean): Seq[String] = {
-    val wcol = if (carryWord) "w, " else ""
-    (1 to k).flatMap { r =>
-      val p = r - 1
-      Seq(
-        s"u$r AS (SELECT c, string_split(substr(st, 2, length(st) - 2), chr(17) || chr(16)) AS u FROM s$p)",
-        s"""pairs$r AS (
-           |  SELECT u[CAST(i AS INTEGER)] AS l, u[CAST(i AS INTEGER) + 1] AS r, SUM(c) AS cnt
-           |  FROM u$r, LATERAL unnest(generate_series(1, len(u) - 1)) AS g(i)
-           |  GROUP BY 1, 2)""".stripMargin,
-        s"m$r AS MATERIALIZED (SELECT l, r, cnt FROM pairs$r ORDER BY cnt DESC, l, r LIMIT 1)",
-        // LEFT JOIN ON TRUE (not a cross join): once the corpus
-        // exhausts m_r is EMPTY, and a cross join would annihilate
-        // the state — the carried state must instead pass through
-        // unchanged so exhaustion is absorbing and the final-state
-        // readers (t23/p13's wtok) still see the fully-merged words
-        s"""s$r AS MATERIALIZED (SELECT $wcol c,
-           |  CASE WHEN m.l IS NULL THEN st ELSE
-           |    replace(st, chr(16) || m.l || chr(17) || chr(16) || m.r || chr(17),
-           |            chr(16) || m.l || m.r || chr(17)) END AS st
-           |  FROM s$p LEFT JOIN m$r m ON TRUE)""".stripMargin)
-    }
-  }
-
-  // -- t23: BPE APPLY — the trained tokenizer pricing the corpus -----------
-  // Round 8 flagged that the two tokenizer operators didn't compose:
-  // t17 priced with a substring-frequency vocab, t20 trained real BPE
-  // merges nobody consumed. t23 closes the loop: train t20's merge
-  // table (the batched trainer — same table as sequential, proven),
-  // then TOKENIZE with it — each distinct word is bracket-encoded and
-  // the K merges replayed over it in merge order (the textbook BPE
-  // apply: training IS the apply schedule), token count = unit count
-  // of the final segmentation — and every document priced by joining
-  // its words to the tokenized vocab.
-  //
-  // Scale: training as t20; the apply runs over the DISTINCT-WORD
-  // frame only (types ≪ tokens), as ONE fused select of K chained
-  // replaces — no per-merge job, no shuffle; the corpus then joins
-  // words → token counts with the vocab BROADCAST (t17's shape) and
-  // one per-doc partial agg. The merge table itself is the K-row
-  // bounded driver artifact (IntLloyd's capped-fit precedent).
-  //
-  // The oracle replays t20's OWN training CTEs with the word carried
-  // through (bpeRoundCtes — one definition, trainer and tokenizer
-  // cannot drift), reads each word's token count off the final state,
-  // and re-prices the docs in SQL. Hash equality therefore certifies
-  // train + apply + pricing end-to-end.
-  /** (w, tok): every distinct corpus word priced by the trained merge
-    * table — train (batched), then fold the K merges over the
-    * bracket-encoded word in merge order as ONE fused select; token
-    * count = unit count of the final segmentation. Shared by t23
-    * (corpus pricing report) and p13 (packing cost), so the trained
-    * tokenizer has exactly ONE apply definition. */
-  private[graft] def bpeWordTok(docs: DataFrame): DataFrame = {
-    val bl = "\u0010"; val br = "\u0011" // unit brackets (chr 16/17)
-    val mergeRows = bpeTrainBatched(docs, t20Merges, t20Batch)
-      .select(col("left_unit"), col("right_unit"), col("merged"))
-      .collect() // bounded: exactly the K-row merge table
-    val applied = mergeRows.foldLeft(regexp_replace(col("w"), "(.)", bl + "$1" + br)) {
-      (c, m) =>
-        replace(c, lit(bl + m.getString(0) + br + bl + m.getString(1) + br),
-          lit(bl + m.getString(2) + br))
-    }
-    docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
-      .select(col("w"),
-        (length(applied) - length(replace(applied, lit(bl), lit("")))).cast(LongType).as("tok"))
-  }
-
-  private val t23: Q = (s, d) => {
-    val docs = T.documents(s, d)
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .join(broadcast(bpeWordTok(docs)), "w")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("tok")).as("n_tokens_bpe"))
-      .withColumn("tokens_per_word",
-        col("n_tokens_bpe").cast(DoubleType) / col("n_words"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** The trained tokenizer's full SQL replay — t20's training chain
-    * with the word carried through, ending in `wtok(w, tok)`. Shared
-    * WITH-prefix of the t23 and p13 oracles. */
-  private val bpeWtokCtes: String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      "tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
-      "wf AS (SELECT w, COUNT(*) AS c FROM tk WHERE w <> '' GROUP BY w)",
-      "s0 AS MATERIALIZED (SELECT w, c, regexp_replace(w, '(.)', chr(16) || '\\1' || chr(17), 'g') AS st FROM wf)")
-    ctes ++= bpeRoundCtes(t20OracleRounds, carryWord = true)
-    // exhaustion witness (t20Sql's, in final-state form): a nonempty
-    // round-R argmax means the truncated replay is incomplete —
-    // poison every token count so the docs report cannot hash-match
-    ctes += s"""wtok AS (
-               |  SELECT w, CASE WHEN EXISTS (SELECT 1 FROM m$t20OracleRounds) THEN CAST(-100000 AS BIGINT)
-               |    ELSE CAST(length(st) - length(replace(st, chr(16), '')) AS BIGINT) END AS tok
-               |  FROM s$t20OracleRounds)""".stripMargin
-    ctes.mkString(",\n")
-  }
-
-  private val t23Sql: String =
-    s"""WITH $bpeWtokCtes
-      |SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(wt.tok) AS BIGINT) AS n_tokens_bpe,
-      |  CAST(SUM(wt.tok) AS DOUBLE) / COUNT(*) AS tokens_per_word
-      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
-      |JOIN wtok wt ON d.w = wt.w
-      |WHERE d.w <> ''
-      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-
-  // -- p13: sequence packing priced in TRAINED-BPE tokens ------------------
-  // The costing family is now parameterized over all three token
-  // definitions through ONE packing arithmetic: p02 (regex proxy),
-  // p10 (learned-vocab greedy), p13 (t20's trained merge table via
-  // t23's apply). Same hierarchicalPack, same windows — only the
-  // per-doc cost column changes, which is exactly the contract a
-  // data-loader swap needs. Scale: t23's broadcast vocab join + one
-  // per-doc agg, then p02's two bounded window shuffles.
-  private val p13: Q = (s, d) => {
-    val docs = T.documents(s, d)
-    val cost = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .join(broadcast(bpeWordTok(docs)), "w")
-      .groupBy(col("doc_id")).agg(sum(col("tok")).as("bpe"))
-    val base = docs.select(col("doc_id"), col("source"))
-      .join(cost, Seq("doc_id"), "left")
-      .withColumn("bpe_tokens", coalesce(col("bpe"), lit(0L)))
-      .withColumn("cost", col("bpe_tokens"))
-    hierarchicalPack(base, budget = 8192, shardSize = 512)
-      .select(col("doc_id"), col("source"), col("bpe_tokens"),
-        col("bin_id"), col("bin_offset"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val p13Sql: String =
-    s"""WITH $bpeWtokCtes,
-      |agg AS (
-      |  SELECT d.doc_id, CAST(SUM(wt.tok) AS BIGINT) AS bpe
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
-      |  JOIN wtok wt ON d.w = wt.w WHERE d.w <> ''
-      |  GROUP BY d.doc_id),
-      |c AS (
-      |  SELECT d.doc_id, d.source,
-      |    CAST(COALESCE(a.bpe, 0) AS BIGINT) AS bpe_tokens
-      |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
-      |w AS (
-      |  SELECT doc_id, source, bpe_tokens,
-      |    CAST(SUM(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
-      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      |  FROM c)
-      |SELECT doc_id, source, bpe_tokens,
-      |  (cum - bpe_tokens) // 8192 AS bin_id,
-      |  (cum - bpe_tokens) % 8192 AS bin_offset
-      |FROM w ORDER BY doc_id""".stripMargin
-
-  // -- p14: multi-epoch schedule (without-replacement across epochs) -------
-  // The schedule a data-constrained run (p11's regime) actually
-  // executes: E epochs where each epoch draws a per-source QUOTA of
-  // docs WITHOUT replacement ACROSS epochs — epoch e takes the next
-  // wrap-around slice of the source's one fixed permutation, so a
-  // source smaller than its cumulative budget restarts (the
-  // Muennighoff repeat regime) while a large source contributes
-  // fresh data every epoch — and each epoch is then re-shuffled by
-  // its OWN salted hash (p04's reproducible global shuffle, salted
-  // per epoch, so no two epochs present the data in the same order —
-  // the property epoch reshuffling exists for).
-  //
-  // Deterministic end to end: the source permutation and every
-  // epoch's presentation order are salted-md5 ranks (t07/p04's
-  // idiom); slice membership is pure integer arithmetic on the rank.
-  // Invariants spec-pinned: a doc appears ≤ once per epoch; every
-  // epoch emits exactly its quota per source; consecutive epochs'
-  // slices are disjoint until the source wraps.
-  //
-  // Scale: two window shuffles on uniform salted keys — the per-
-  // source rank (p04's class) and the per-(epoch, shard) position
-  // (sharded exactly like p04 so no global sort appears at any
-  // scale); output ≈ E × Σ quota rows, the training manifest itself.
-  private val p14: Q = (s, d) => {
-    import s.implicits._
-    val epochs = 4; val shards = 8
-    val ranked = docsSpread(s, d)
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("source")).orderBy(
-          md5(concat(lit("p14|"), col("doc_id").cast("string"))), col("doc_id"))) - 1)
-      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
-      .withColumn("quota", expr("(n_src + 1) div 2")) // ceil(n/2), exact integer div
-
-    val sched = ranked
-      .crossJoin(broadcast((0 until epochs).toList.toDF("epoch")))
-      // epoch e admits ranks in the wrap-around window [e·q, e·q + q)
-      .filter((col("r") - col("epoch") * col("quota") % col("n_src") + col("n_src"))
-        % col("n_src") < col("quota"))
-      .withColumn("order_hash",
-        md5(concat(lit("p14e"), col("epoch").cast("string"), lit("|"),
-          col("doc_id").cast("string"))))
-      .withColumn("shard",
-        conv(substring(col("order_hash"), 1, 4), 16, 10).cast("int") % shards)
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("epoch"), col("shard"))
-          .orderBy(col("order_hash"), col("doc_id"))))
-    sched.select(col("epoch"), col("shard"), col("doc_id"), col("source"), col("pos"))
-      .orderBy(col("epoch"), col("shard"), col("pos"))
-  }
-
-  private val p14Sql =
-    """WITH ranked AS (
-      |  SELECT doc_id, source,
-      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
-      |      md5('p14|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1 AS r,
-      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
-      |  FROM documents),
-      |q14 AS (SELECT *, (n_src + 1) // 2 AS quota FROM ranked),
-      |sched AS (
-      |  SELECT doc_id, source, e.epoch
-      |  FROM q14, (SELECT unnest([0, 1, 2, 3]) AS epoch) e
-      |  WHERE ((r - e.epoch * quota % n_src + n_src) % n_src) < quota),
-      |h AS (
-      |  SELECT epoch, doc_id, source,
-      |    md5('p14e' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
-      |      AS order_hash
-      |  FROM sched),
-      |sh AS (
-      |  SELECT epoch, doc_id, source, order_hash,
-      |    CAST(('0x' || substr(order_hash, 1, 4)) AS INTEGER) % 8 AS shard
-      |  FROM h)
-      |SELECT epoch, shard, doc_id, source,
-      |  CAST(row_number() OVER (PARTITION BY epoch, shard
-      |    ORDER BY order_hash, doc_id) AS INTEGER) AS pos
-      |FROM sh ORDER BY epoch, shard, pos""".stripMargin
-
-  // -- t21: readability scoring (Flesch / Gunning-Fog class) ---------------
-  // The curation gate complementing t02's surface-quality score:
-  // classic readability formulas (Flesch 1948 reading ease, Gunning
-  // 1952 fog index — public-domain formulas every text pipeline
-  // ships) over a syllable HEURISTIC that is itself replayable:
-  // syllables(word) = count of [aeiouy]+ vowel groups, minimum 1
-  // (vowel-less tokens still carry one spoken beat), complex word =
-  // >= 3 groups. Sentences = greatest(1, count of [.!?]+ runs) — on
-  // this punctuation-free corpus every doc is honestly ONE sentence
-  // (the words/sentence term then prices doc length, which is what a
-  // quality gate wants); the spec proves real splitting on crafted
-  // punctuated docs. All counts are exact integers; the two formulas
-  // are fixed multiply-adds over two IEEE divisions in a pinned
-  // order, so both engines emit bit-identical doubles and the banding
-  // CASE decides on identical values.
-  // Scale: ONE map-only codegen'd pass (regexp + array HOFs per row,
-  // cost bounded by the document-length contract), zero shuffles
-  // before the output sort — t01/t02's class.
-  private val t21: Q = (s, d) =>
-    docsSpread(s, d)
-      .withColumn("words", expr("filter(split(lower(text), ' '), w -> w <> '')"))
-      .withColumn("n_words", size(col("words")).cast(LongType))
-      .withColumn("n_sentences",
-        greatest(lit(1L), expr("regexp_count(text, '[.!?]+')").cast(LongType)))
-      .withColumn("n_syllables",
-        (expr("regexp_count(lower(text), '[aeiouy]+')") +
-          expr("size(filter(words, w -> NOT w RLIKE '[aeiouy]'))")).cast(LongType))
-      .withColumn("n_complex",
-        expr("size(filter(words, w -> regexp_count(w, '[aeiouy]+') >= 3))").cast(LongType))
-      .withColumn("flesch", when(col("n_words") === 0, lit(null).cast(DoubleType))
-        .otherwise(lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences")) -
-          lit(84.6) * (col("n_syllables") / col("n_words"))))
-      .withColumn("fog", when(col("n_words") === 0, lit(null).cast(DoubleType))
-        .otherwise(lit(0.4) * ((col("n_words") / col("n_sentences")) +
-          lit(100.0) * (col("n_complex") / col("n_words")))))
-      .withColumn("band", when(col("flesch").isNull, lit(null).cast(StringType))
-        .when(col("flesch") >= 60.0, lit("easy"))
-        .when(col("flesch") >= 30.0, lit("standard"))
-        .otherwise(lit("difficult")))
-      .select(col("doc_id"), col("n_words"), col("n_sentences"),
-        col("n_syllables"), col("n_complex"), col("flesch"), col("fog"), col("band"))
-      .orderBy(col("doc_id"))
-
-  private val t21Sql =
-    """WITH w AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS words,
-      |    text
-      |  FROM documents),
-      |c AS (
-      |  SELECT doc_id,
-      |    CAST(len(words) AS BIGINT) AS n_words,
-      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
-      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) +
-      |         len(list_filter(words, x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT) AS n_syllables,
-      |    CAST(len(list_filter(words, x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)) AS BIGINT) AS n_complex
-      |  FROM w)
-      |SELECT doc_id, n_words, n_sentences, n_syllables, n_complex,
-      |  CASE WHEN n_words = 0 THEN NULL
-      |       ELSE 206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) END AS flesch,
-      |  CASE WHEN n_words = 0 THEN NULL
-      |       ELSE 0.4 * ((n_words / n_sentences) + 100.0 * (n_complex / n_words)) END AS fog,
-      |  CASE WHEN n_words = 0 THEN NULL
-      |       WHEN 206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) >= 60.0 THEN 'easy'
-      |       WHEN 206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) >= 30.0 THEN 'standard'
-      |       ELSE 'difficult' END AS band
-      |FROM c ORDER BY doc_id""".stripMargin
-
-  // -- t22: vocabulary growth curve (Heaps-law checkpoints) -----------------
-  // The corpus statistic that decides tokenizer vocab size and
-  // hash-width choices before a big crawl is committed (Heaps 1978 —
-  // vocabulary grows ~K·Tᵝ, and whether YOUR corpus bends at 1e7 or
-  // 1e9 types is an empirical question): distinct-word vocabulary
-  // size, new-type count, docs and tokens seen at power-of-two
-  // doc-id checkpoints N = 2^j. Everything is exact-integer: a
-  // word's first appearance is min(doc_id) over its occurrences, its
-  // checkpoint bucket j = greatest(4, length(bin(first_id))) — the
-  // binary-digit-count identity floor(log2(x))+1 = len(bin(x)), pure
-  // string length, no floating log2 (which neither engine guarantees
-  // correctly-rounded at boundaries) — and the curve is a prefix sum
-  // over the ≤64-row bucket frame. No global row_number: doc_id IS
-  // the order axis, so the corpus-sized passes stay embarrassingly
-  // parallel (the serialize-the-corpus window is exactly what this
-  // formulation avoids).
-  //
-  // Scale: one explode shuffle on the word (map-side partial MIN —
-  // uniform keys), one tiny agg per bucket, prefix sums over the
-  // bounded checkpoint frame. t13's class.
-  // -- t24: Zipf exponent fit (frequency-spectrum power law) ---------------
-  // t22 sizes the vocab (Heaps' law over doc checkpoints); t24 fits
-  // the other classic corpus power law — Zipf's exponent over the
-  // word-frequency spectrum — the statistic that predicts head/tail
-  // token mass and therefore tokenizer and heavy-hitter budgets
-  // (t10/t17's planning input). Replayable the t22/q83 way, with NO
-  // logarithms (ln is not correctly-rounded identically across
-  // engines): frequencies bucket by BINARY DIGIT COUNT (len(bin(cnt))
-  // — the exact integer log2 both engines agree on), the spectrum
-  // W_j = #word-types in bucket j decays as log2 W_j ≈ c − j/s under
-  // Zipf, and the fit is q83's exact-integer OLS over the ≤64-row
-  // (j, len(bin(W_j))) frame per source — five LONG sufficient
-  // statistics, slope published as the exact integer num/den pair
-  // PLUS the one correctly-rounded double division (NULL when a
-  // source has a single bucket: no slope is defined, and both
-  // engines say so the same way).
-  //
-  // Scale: one uniform (source, word) count shuffle with map-side
-  // partials (t03's class), then a ≤ #sources×64-cell agg; the OLS
-  // arithmetic never sees the corpus.
-  private val t24: Q = (s, d) => {
-    val words = docsSpread(s, d)
-      .select(col("source"),
-        explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
-    val pts = words
-      .withColumn("j", length(bin(col("cnt"))).cast(LongType))
-      .groupBy(col("source"), col("j")).agg(count(lit(1)).as("w_cnt"))
-      .withColumn("y", length(bin(col("w_cnt"))).cast(LongType))
-    pts.groupBy(col("source")).agg(
-        count(lit(1)).as("n_buckets"),
-        sum(col("w_cnt")).as("n_types"),
-        sum(col("j")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("j") * col("y")).as("sxy"), sum(col("j") * col("j")).as("sxx"))
-      .withColumn("slope_num", col("n_buckets") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("slope_den", col("n_buckets") * col("sxx") - col("sx") * col("sx"))
-      .select(col("source"), col("n_types"), col("n_buckets"),
-        col("slope_num"), col("slope_den"),
-        (col("slope_num").cast(DoubleType) /
-          nullif(col("slope_den"), lit(0L)).cast(DoubleType)).as("zipf_slope"))
-      .orderBy(col("source"))
-  }
-
-  private val t24Sql =
-    """WITH words AS (
-      |  SELECT source, w, COUNT(*) AS cnt
-      |  FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '),
-      |                w -> w <> '')) AS w
-      |        FROM documents)
-      |  GROUP BY source, w),
-      |pts AS (
-      |  SELECT source, j, COUNT(*) AS w_cnt,
-      |    CAST(length(bin(COUNT(*))) AS BIGINT) AS y
-      |  FROM (SELECT source, CAST(length(bin(cnt)) AS BIGINT) AS j FROM words)
-      |  GROUP BY source, j),
-      |stats AS (
-      |  SELECT source,
-      |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
-      |    CAST(SUM(w_cnt) AS BIGINT) AS n_types,
-      |    CAST(SUM(j) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |    CAST(SUM(j * y) AS BIGINT) AS sxy, CAST(SUM(j * j) AS BIGINT) AS sxx
-      |  FROM pts GROUP BY source)
-      |SELECT source, n_types, n_buckets,
-      |  n_buckets * sxy - sx * sy AS slope_num,
-      |  n_buckets * sxx - sx * sx AS slope_den,
-      |  CAST(n_buckets * sxy - sx * sy AS DOUBLE) /
-      |    CAST(NULLIF(n_buckets * sxx - sx * sx, 0) AS DOUBLE) AS zipf_slope
-      |FROM stats ORDER BY source""".stripMargin
-
-  private val t22: Q = (s, d) => {
-    val docs = docsSpread(s, d)
-      .withColumn("words", expr("filter(split(lower(text), ' '), w -> w <> '')"))
-      .withColumn("j", greatest(lit(4), length(bin(col("doc_id")))).cast(IntegerType))
-    val docBuckets = docs.groupBy(col("j"))
-      .agg(count(lit(1)).as("docs_in"),
-        sum(size(col("words")).cast(LongType)).as("tokens_in"))
-    val wordBuckets = docs
-      .select(col("doc_id"), explode(col("words")).as("w"))
-      .groupBy(col("w")).agg(min(col("doc_id")).as("first_id"))
-      .withColumn("j", greatest(lit(4), length(bin(col("first_id")))).cast(IntegerType))
-      .groupBy(col("j")).agg(count(lit(1)).as("new_words"))
-    val wCum = Window.orderBy(col("j"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docBuckets.join(wordBuckets, Seq("j"), "full_outer")
-      .na.fill(0L, Seq("docs_in", "tokens_in", "new_words"))
-      .withColumn("checkpoint_docs", expr("shiftleft(CAST(1 AS BIGINT), j)"))
-      .withColumn("docs_seen", sum(col("docs_in")).over(wCum))
-      .withColumn("tokens_seen", sum(col("tokens_in")).over(wCum))
-      .withColumn("vocab_size", sum(col("new_words")).over(wCum))
-      .select(col("j"), col("checkpoint_docs"), col("docs_seen"),
-        col("tokens_seen"), col("vocab_size"), col("new_words"))
-      .orderBy(col("j"))
-  }
-
-  private val t22Sql =
-    """WITH docs AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS words,
-      |    CAST(greatest(4, length(bin(doc_id))) AS INTEGER) AS j
-      |  FROM documents),
-      |db AS (
-      |  SELECT j, CAST(COUNT(*) AS BIGINT) AS docs_in,
-      |    CAST(SUM(len(words)) AS BIGINT) AS tokens_in
-      |  FROM docs GROUP BY 1),
-      |firsts AS (
-      |  SELECT w, MIN(doc_id) AS first_id
-      |  FROM (SELECT doc_id, unnest(words) AS w FROM docs)
-      |  GROUP BY 1),
-      |wb AS (
-      |  SELECT CAST(greatest(4, length(bin(first_id))) AS INTEGER) AS j,
-      |    CAST(COUNT(*) AS BIGINT) AS new_words
-      |  FROM firsts GROUP BY 1),
-      |joined AS (
-      |  SELECT COALESCE(db.j, wb.j) AS j,
-      |    COALESCE(db.docs_in, 0) AS docs_in,
-      |    COALESCE(db.tokens_in, 0) AS tokens_in,
-      |    COALESCE(wb.new_words, 0) AS new_words
-      |  FROM db FULL OUTER JOIN wb ON db.j = wb.j)
-      |SELECT j, CAST(1::BIGINT << j AS BIGINT) AS checkpoint_docs,
-      |  CAST(SUM(docs_in) OVER w AS BIGINT) AS docs_seen,
-      |  CAST(SUM(tokens_in) OVER w AS BIGINT) AS tokens_seen,
-      |  CAST(SUM(new_words) OVER w AS BIGINT) AS vocab_size,
-      |  new_words
-      |FROM joined
-      |WINDOW w AS (ORDER BY j ROWS UNBOUNDED PRECEDING)
-      |ORDER BY j""".stripMargin
-
-  // -- p10: sequence packing priced in LEARNED tokens ----------------------
-  // The re-pricing the verdict asked t17 to enable: p02/m04's packing
-  // arithmetic (the SAME hierarchicalPack definition — nothing about
-  // bins changes) with the per-doc cost measured by the learned-vocab
-  // tokenizer instead of the regex proxy. At a mean ratio of 1.5×,
-  // regex-priced 8192-token windows would physically overflow a real
-  // tokenizer's context by ~50% — this operator is what a training
-  // data-loader would actually consume. Scale: t17's map-only scan +
-  // p02's two bounded window shuffles; the fit is one explode-agg +
-  // TakeOrdered over the distinct-word frame.
-  private val p10: Q = (s, d) => {
-    val vocab = learnedVocab(s, d)
-    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
-    val base = T.documents(s, d)
-      .withColumn("learned_tokens", st.getField("learned_tokens"))
-      .withColumn("cost", col("learned_tokens"))
-    hierarchicalPack(base, budget = 8192, shardSize = 512)
-      .select(col("doc_id"), col("source"), col("learned_tokens"),
-        col("bin_id"), col("bin_offset"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val p10Sql =
-    s"""WITH RECURSIVE $learnedSegCtes,
-       |agg AS (
-       |  SELECT t.doc_id, CAST(SUM(p.pieces) AS BIGINT) AS learned
-       |  FROM tk t JOIN wp p ON t.w = p.w
-       |  GROUP BY t.doc_id),
-       |c AS (
-       |  SELECT d.doc_id, d.source,
-       |    CAST(COALESCE(a.learned, 0) AS BIGINT) AS learned_tokens
-       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
-       |w AS (
-       |  SELECT doc_id, source, learned_tokens,
-       |    CAST(SUM(learned_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-       |  FROM c)
-       |SELECT doc_id, source, learned_tokens,
-       |  (cum - learned_tokens) // 8192 AS bin_id,
-       |  (cum - learned_tokens) % 8192 AS bin_offset
-       |FROM w ORDER BY doc_id""".stripMargin
-
-  // -- p11: epoch-capped mixture allocation (water-filling) ----------------
-  // p03 answers "what share should each source get"; p11 answers the
-  // question a real data-mixture controller faces NEXT: sources are
-  // FINITE, and repeating data past a few epochs stops helping
-  // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
-  // Models" — public arXiv 2305.16264), so the target mixture must be
-  // re-allocated under per-source capacity caps (corpus tokens ×
-  // max-epochs). That is exactly the water-filling problem: allocate
-  // B tokens proportionally to weights w_s, cap each source at its
-  // capacity, and redistribute the overflow to uncapped sources —
-  // alloc_s = min(capacity_s, λ·w_s) with λ the common water level.
-  // The classic closed form: sort sources by capacity/w ascending;
-  // the capped set is a PREFIX of that order, identified positionally
-  // by the exact integer predicate capacity·suffix_w ≤ (B −
-  // prefix_capacity)·w. Weights are integer-quantized temperature-0.5
-  // shares (⌊√tokens⌋ — the IntLloyd replayability discipline), every
-  // sum is an exact LONG, and the only doubles are the final water
-  // level division and the per-source epoch ratio (correctly-rounded,
-  // engine-identical). Budget = 2× corpus tokens, priced in t17's
-  // LEARNED tokens — the real-token costing this family runs on.
-  //
-  // Scale: the corpus-sized work is the t17 costing scan + ONE
-  // partial-agg shuffle to #sources cells; everything after (ranking
-  // windows, capped-set totals, the allocation itself) runs on a
-  // #sources-row frame — constant as the corpus grows. The integer
-  // capped-predicate products need B·max(w) < 2^63 (holds through
-  // ~10^12-token corpora); past that the predicate evaluates in
-  // correctly-rounded doubles — still deterministic, quantized at the
-  // knife-edge only.
-  /** The water-filling closed form over a (source, cap_tokens,
-    * capacity, w) frame — p11's algorithm, factored so RandomizedSpec
-    * can drive it on adversarial frames: budget = Σcap_tokens ×
-    * budgetFactor; sort by capacity/w; the capped set is the prefix
-    * satisfying the exact integer predicate; the water level is one
-    * double division; uncapped alloc = ⌊λ·w⌋. */
-  private[graft] def waterfill(base: DataFrame, budgetFactor: Long): DataFrame = {
-    val totals = base.agg(
-      (sum(col("cap_tokens")) * budgetFactor).as("budget"),
-      sum(col("w")).as("total_w"))
-    val ord = Window
-      .orderBy(col("capacity").cast(DoubleType) / col("w").cast(DoubleType),
-        col("source"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val flags = base.crossJoin(broadcast(totals))
-      .withColumn("prefix_cap", coalesce(sum(col("capacity")).over(ord), lit(0L)))
-      .withColumn("prefix_w", coalesce(sum(col("w")).over(ord), lit(0L)))
-      .withColumn("is_capped",
-        col("capacity") * (col("total_w") - col("prefix_w")) <=
-          (col("budget") - col("prefix_cap")) * col("w"))
-    val cappedTotals = flags.agg(
-      sum(when(col("is_capped"), col("capacity")).otherwise(0L)).as("used_cap"),
-      sum(when(col("is_capped"), col("w")).otherwise(0L)).as("used_w"))
-    flags.crossJoin(broadcast(cappedTotals))
-      .withColumn("alloc_tokens", when(col("is_capped"), col("capacity"))
-        .otherwise(floor(
-          (col("budget") - col("used_cap")).cast(DoubleType) /
-            (col("total_w") - col("used_w")).cast(DoubleType) *
-            col("w").cast(DoubleType)).cast(LongType)))
-      .withColumn("epochs", when(col("cap_tokens") === 0L, lit(0.0))
-        .otherwise(col("alloc_tokens").cast(DoubleType) /
-          col("cap_tokens").cast(DoubleType)))
-      .select(col("source"), col("cap_tokens"), col("capacity"),
-        col("w").as("weight"), col("is_capped"), col("alloc_tokens"),
-        col("epochs"))
-  }
-
-  private val p11: Q = (s, d) => {
-    val maxEpochs = 3L
-    val vocab = learnedVocab(s, d)
-    val st = graft.functions.GraftColumns.learnedTokenStats(col("text"), vocab.toSeq)
-    val perSrc = T.documents(s, d)
-      .withColumn("tok", st.getField("learned_tokens"))
-      .groupBy(col("source"))
-      .agg(sum(col("tok")).as("cap_tokens"))
-      .withColumn("capacity", col("cap_tokens") * maxEpochs)
-      .withColumn("w", greatest(lit(1L),
-        floor(sqrt(col("cap_tokens").cast(DoubleType))).cast(LongType)))
-    waterfill(perSrc, budgetFactor = 2L).orderBy(col("source"))
-  }
-
-  private val p11Sql =
-    s"""WITH RECURSIVE $learnedSegCtes,
-       |agg AS (
-       |  SELECT t.doc_id, CAST(SUM(p.pieces) AS BIGINT) AS learned
-       |  FROM tk t JOIN wp p ON t.w = p.w GROUP BY t.doc_id),
-       |base AS (
-       |  SELECT d.source,
-       |    CAST(SUM(COALESCE(a.learned, 0)) AS BIGINT) AS cap_tokens,
-       |    CAST(SUM(COALESCE(a.learned, 0)) AS BIGINT) * 3 AS capacity,
-       |    GREATEST(1, CAST(floor(sqrt(CAST(CAST(SUM(COALESCE(a.learned, 0))
-       |      AS BIGINT) AS DOUBLE))) AS BIGINT)) AS w
-       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-       |  GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(cap_tokens) AS BIGINT) * 2 AS budget,
-       |               CAST(SUM(w) AS BIGINT) AS total_w FROM base),
-       |flags AS (
-       |  SELECT b.source, b.cap_tokens, b.capacity, b.w, t.budget, t.total_w,
-       |    CAST(COALESCE(SUM(b.capacity) OVER (
-       |      ORDER BY CAST(b.capacity AS DOUBLE)/CAST(b.w AS DOUBLE), b.source
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS prefix_cap,
-       |    CAST(COALESCE(SUM(b.w) OVER (
-       |      ORDER BY CAST(b.capacity AS DOUBLE)/CAST(b.w AS DOUBLE), b.source
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS prefix_w
-       |  FROM base b, tot t),
-       |fl AS (
-       |  SELECT *, capacity * (total_w - prefix_w) <=
-       |    (budget - prefix_cap) * w AS is_capped
-       |  FROM flags),
-       |ct AS (
-       |  SELECT CAST(SUM(CASE WHEN is_capped THEN capacity ELSE 0 END)
-       |           AS BIGINT) AS used_cap,
-       |         CAST(SUM(CASE WHEN is_capped THEN w ELSE 0 END)
-       |           AS BIGINT) AS used_w
-       |  FROM fl),
-       |alloc AS (
-       |  SELECT f.source, f.cap_tokens, f.capacity, f.w AS weight, f.is_capped,
-       |    CASE WHEN f.is_capped THEN f.capacity
-       |         ELSE CAST(floor(CAST(f.budget - c.used_cap AS DOUBLE) /
-       |           CAST(f.total_w - c.used_w AS DOUBLE) *
-       |           CAST(f.w AS DOUBLE)) AS BIGINT) END AS alloc_tokens
-       |  FROM fl f, ct c)
-       |SELECT source, cap_tokens, capacity, weight, is_capped, alloc_tokens,
-       |  CASE WHEN cap_tokens = 0 THEN 0.0
-       |       ELSE CAST(alloc_tokens AS DOUBLE) / CAST(cap_tokens AS DOUBLE)
-       |  END AS epochs
-       |FROM alloc ORDER BY source""".stripMargin
-
-  // -- p12: leakage-safe train/val/test split ------------------------------
-  // The split every training pipeline ends with, with the constraint
-  // naive per-doc draws violate: near-duplicate documents must land in
-  // the SAME split, or the eval set leaks the training set (the
-  // contamination d09 hunts, created at split time). Components over
-  // d04's LSH-banded candidate pairs (d14's scale-safe graph), then
-  // the split draw runs on the CLUSTER label — unclustered docs draw
-  // on their own id — via t07's salted-md5 bucket test (80/10/10 on
-  // the 256-bucket hex prefix, layout-independent and backfill-stable
-  // like every other draw in the engine). The output publishes the
-  // per-split volumes AND the audit that makes the guarantee
-  // checkable: cross_split_pairs, the number of candidate pairs whose
-  // ends landed in different splits — 0 by construction, MEASURED,
-  // not asserted.
-  //
-  // Scale: the pair graph is LSH-banded (sublinear — d04's story);
-  // components touch docs-in-pairs only; the draw is map-only over
-  // the corpus after ONE co-partitioned left join on the uniform
-  // doc_id key; the audit join is bounded by the pair count. No
-  // corpus window, no global sort before the 3-row output.
-  private val p12: Q = (s, d) => {
-    val pairs = d04(s, d).filter(col("est_jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"))
-      .transform(graft.CacheScope.cached) // components + the audit both read it
-    val comps = Operators.connectedComponents(pairs, "a_id", "b_id")
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-    val assigned = T.documents(s, d).select(col("doc_id"), col("n_chars"))
-      .join(comps, Seq("doc_id"), "left")
-      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("bucket", substring(
-        md5(concat(col("split_key").cast(StringType), lit("|graft-split"))), 1, 2))
-      .withColumn("split",
-        when(col("bucket") < "cd", "train")
-          .when(col("bucket") < "e7", "val")
-          .otherwise("test"))
-      .transform(graft.CacheScope.cached) // summary + both audit probes
-    val ends = assigned.select(col("doc_id"), col("split"))
-    val cross = pairs
-      .join(ends.toDF("a_id", "split_a"), "a_id")
-      .join(ends.toDF("b_id", "split_b"), "b_id")
-      .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
-        .as("cross_split_pairs"))
-      .na.fill(0L, Seq("cross_split_pairs"))
-    assigned.groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_chars_total"),
-        count(col("cluster_id")).as("n_clustered_docs"),
-        countDistinct(col("cluster_id")).as("n_clusters"))
-      .crossJoin(broadcast(cross))
-      .orderBy(col("split"))
-  }
-
-  private val p12Sql =
-    s"""WITH RECURSIVE dpairs AS (
-       |  SELECT a_id, b_id FROM ($d04Sql) WHERE est_jaccard >= 0.5),
-       |e AS (SELECT a_id AS src, b_id AS dst FROM dpairs
-       |      UNION ALL SELECT b_id, a_id FROM dpairs),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM e
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-       |comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
-       |         FROM reach GROUP BY src),
-       |assigned AS (
-       |  SELECT d.doc_id, d.n_chars, c.cluster_id,
-       |    CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
-       |        || '|graft-split'), 1, 2) < 'cd' THEN 'train'
-       |      WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
-       |        || '|graft-split'), 1, 2) < 'e7' THEN 'val'
-       |      ELSE 'test' END AS split
-       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-       |cross_cnt AS (
-       |  SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
-       |    AS BIGINT) AS cross_split_pairs
-       |  FROM dpairs p
-       |  JOIN assigned a ON p.a_id = a.doc_id
-       |  JOIN assigned b ON p.b_id = b.doc_id)
-       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
-       |  CAST(COUNT(cluster_id) AS BIGINT) AS n_clustered_docs,
-       |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-       |  (SELECT cross_split_pairs FROM cross_cnt) AS cross_split_pairs
-       |FROM assigned GROUP BY split ORDER BY split""".stripMargin
-
-  // -- e09: continuous latency monitor (stateful, oracle-certified) --------
-  // The q62/q63 created→updated derivation as a flatMapGroupsWithState
-  // operator (StreamingJobs.latencyExact): one long of state per user,
-  // each processed result emits its latency on arrival. The batch run
-  // of the SAME code path — one sorted pass per user — equals the
-  // declarative carried-forward window (including (ts, event_id) tie
-  // order), so the custom stateful operator itself hash-matches the
-  // DuckDB oracle, e07's certification class. StreamingSpec proves
-  // cross-batch state carry (click in batch 1, purchase in batch 2).
-  private val e09: Q = (s, d) => {
-    import s.implicits._
-    val rows = T.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .as[graft.streaming.StreamingJobs.LatRow]
-    graft.streaming.StreamingJobs.latencyExact(rows).toDF()
-      .select(col("user_id"), col("event_id"),
-        expr("timestamp_micros(ts_us)").as("processed_ts"), col("proc_sec"))
-      .orderBy(col("user_id"), col("event_id"))
-  }
-
-  private val e09Sql =
-    """WITH w AS (
-      |  SELECT user_id, event_id, ts, event_type,
-      |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
-      |      PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
-      |  FROM events)
-      |SELECT user_id, event_id, ts AS processed_ts,
-      |  (epoch_us(ts) - epoch_us(last_click)) // 1000000 AS proc_sec
-      |FROM w WHERE event_type = 'purchase' AND last_click IS NOT NULL
-      |ORDER BY user_id, event_id""".stripMargin
+object Pipeline extends PipelineStreamBatch {
 
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_dedup_fingerprint" -> d02,
@@ -7185,6 +77,7 @@ object Pipeline {
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
     "e09_stream_latency_monitor" -> e09)
+
 
   /** Every query replays in DuckDB — the last rows-only family
     * (KMeans-dependent d07/s03/s04/s05) graduated in round 5 via the

@@ -731,6 +731,25 @@ class PipelineScaleSpec extends SparkSpec {
     assert(rBeam > rFixed,
       s"beam must out-reach the fixed horizon on the chain: $rBeam vs $rFixed")
     assert(rBeam >= 0.6, s"beam recall too low on the chain fixture: $rBeam")
+    // price the DEPTH: recall@5 per round count at the registered
+    // B=4, so s20's R=3 default is a measured knee, not a guess —
+    // the curve (and the knee) is quoted in SURVEY §4's s20 row
+    val curve = Seq(1, 2, 3, 4, 6).map { r =>
+      val rec = recall(resultSet(graft.queries.Pipeline.beamProbe(
+        edges, piv, q, emb, k = 5, beam = 4, rounds = r)))
+      CacheScope.drain()
+      r -> rec
+    }
+    info(s"s20 depth curve (beam=4): " +
+      curve.map { case (r, rec) => s"R=$r:$rec" }.mkString(", "))
+    assert(curve.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
+      s"recall must be non-decreasing in rounds: $curve")
+    val byR = curve.toMap
+    assert(byR(3) > byR(1),
+      s"depth must buy recall on the chain: R=3 ${byR(3)} vs R=1 ${byR(1)}")
+    assert(byR(3) >= 0.9 * byR(6),
+      s"R=3 should sit at the knee (>=90% of the R=6 plateau): " +
+        s"R=3 ${byR(3)} vs R=6 ${byR(6)}")
     edges.unpersist()
   }
 }
