@@ -1042,14 +1042,19 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
       .withColumn("prn", row_number().over(wq)).filter(col("prn") === 1)
       .select(col("q_id"), col("pid"))
+    // the frontier frames are BOUNDED (|Q|, M·|Q|, M²·|Q| rows) while
+    // edges and emb are corpus-sized: broadcast the bounded side at
+    // every hop so the big frames never shuffle — measured round 11
+    // at 2M vectors, this is what keeps the probe a scan, not an
+    // exchange (the s20 beam walk showed the miss at 434 s/100×)
     val f0 = entry.select(col("q_id"), col("pid").as("node"))
-    val f1 = f0.join(edges.as("e1"), f0("node") === col("e1.a_id"))
+    val f1 = broadcast(f0).join(edges.as("e1"), f0("node") === col("e1.a_id"))
       .select(f0("q_id"), col("e1.b_id").as("node"))
-    val f2 = f1.join(edges.as("e2"), f1("node") === col("e2.a_id"))
+    val f2 = broadcast(f1).join(edges.as("e2"), f1("node") === col("e2.a_id"))
       .select(f1("q_id"), col("e2.b_id").as("node"))
     val frontier = f0.union(f1).union(f2).distinct()
     val ws = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    frontier
+    broadcast(frontier)
       .join(emb.select(col("vec_id").as("node"), col("embedding").as("c_vec")), "node")
       .join(broadcast(q), "q_id")
       .withColumn("cos", VF.cosine(col("q_vec"), col("c_vec")))
@@ -1160,8 +1165,12 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .select(col("q_id"), col("pid").as("node"))
     val embn = emb.select(col("vec_id").as("node"), col("embedding").as("c_vec"))
     // score is a pure function of (q_id, node) — identical bits every
-    // time it's recomputed, so set-union dedup is safe on the triple
-    def scored(nodes: DataFrame): DataFrame = nodes
+    // time it's recomputed, so set-union dedup is safe on the triple.
+    // `nodes` is bounded (≤ B·M·|Q| arrivals per round) while embn is
+    // corpus-sized: broadcast the bounded side so the embedding frame
+    // is scanned, never shuffled — at 2M vectors this halved the walk
+    // (434.8 → see §4's s20 row)
+    def scored(nodes: DataFrame): DataFrame = broadcast(nodes)
       .join(embn, "node").join(broadcast(q), "q_id")
       .withColumn("cos", VF.cosine(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("node"), col("cos"))
@@ -1177,8 +1186,9 @@ private[graft] trait PipelineAnn extends PipelineShared {
         .select(col("q_id"), col("node"))
       // later rounds' lineage already contains `edges` (the walk so
       // far), so alias both sides — a bare column ref would be an
-      // ambiguous self-join to the analyzer
-      val arrivals = beamNodes.as("bm")
+      // ambiguous self-join to the analyzer. beamNodes is ≤ B·|Q|
+      // rows: broadcast it so the edge frame never shuffles per round
+      val arrivals = broadcast(beamNodes.as("bm"))
         .join(edges.as("ed"), col("bm.node") === col("ed.a_id"))
         .select(col("bm.q_id").as("q_id"), col("ed.b_id").as("node"))
         .distinct()
