@@ -136,7 +136,10 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val qVecs = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    candIds
+    // candIds is bounded by |Q| × colliding-bucket membership while
+    // the embedding table is corpus-sized — broadcast the bounded
+    // side (beamProbe's round-11 finding applied to the LSH rerank)
+    broadcast(candIds)
       .join(base.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
       .join(broadcast(qVecs), "q_id")
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
@@ -383,7 +386,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
   private[graft] def pqRerank(short: DataFrame, emb: DataFrame,
                               qs: DataFrame, k: Int): DataFrame = {
     val wExact = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    short
+    // the shortlist is bounded (≤ k·overfetch·|Q| rows) while emb is
+    // corpus-sized: broadcast the bounded side so the full-vector
+    // frame is scanned, never shuffled (beamProbe's round-11 finding
+    // applied to the PQ rerank)
+    broadcast(short)
       .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
       .join(broadcast(qs), "q_id")
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
