@@ -783,6 +783,37 @@ class PlanQualitySpec extends SparkSpec {
       s"no hash exchange in a pure parse pass:\n$p")
   }
 
+  test("graph probes broadcast every bounded frame (no sort-merge join in a probe)") {
+    // the round-11 100× finding, pinned: the probe-side frames
+    // (entry, 2-hop frontier, beam nodes, arrivals) are provably
+    // bounded while edges/embeddings are corpus-sized — a sort-merge
+    // join anywhere in a PROBE plan means a corpus-sized shuffle per
+    // query (s20 measured 434.8 → 208.7 s at 2M vectors when the
+    // hints landed). The index frames are localCheckpointed so the
+    // plan under test is the probe alone, not the build.
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val (edges0, piv0) = graft.queries.Pipeline.graphIndexFrames(emb, 110L)
+    val edges = edges0.localCheckpoint(); val piv = piv0.localCheckpoint()
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probes = Seq(
+      "graphProbe" -> graft.queries.Pipeline.graphProbe(edges, piv, q, emb, k = 5),
+      "beamProbe" -> graft.queries.Pipeline.beamProbe(
+        edges, piv, q, emb, k = 5, beam = 4, rounds = 3))
+    probes.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must broadcast its bounded frames; SMJ = corpus shuffle:\n" +
+          p.take(4000))
+    }
+    graft.CacheScope.drain()
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
