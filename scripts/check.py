@@ -29,11 +29,25 @@ for name in sorted(os.listdir(out_dir)):
     if name not in oracle:
         results[name] = f"ROWS_ONLY rows={len(got)}"
         continue
-    try:
-        exp = con.sql(oracle[name]).df()
-    except Exception as e:
-        results[name] = f"ORACLE_SQL_ERROR {e}"
+    # Retry engine-side exceptions twice: DuckDB's parallel perfect-hash
+    # group-by sizes its table from statistics-range products and can
+    # raise a spurious INT64-overflow on some runs (observed round 11 on
+    # p12/s11 at sf0.1: "Overflow in multiplication of INT64
+    # (299574710 * 1099511627792)" — neither operand exists in our SQL,
+    # and the identical query passes on re-run). A deterministic SQL
+    # error still fails after the retries; retries are recorded.
+    exp = None
+    for attempt in range(3):
+        try:
+            exp = con.sql(oracle[name]).df()
+            if attempt:
+                print(f"NOTE {name}: oracle succeeded on retry {attempt}")
+            break
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR (attempt {attempt + 1}) {e}"
+    if exp is None:
         continue
+    results.pop(name, None)
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):
@@ -81,6 +95,11 @@ row = {
     "total": len(results),
     "failed": sorted(k for k, v in results.items()
                      if not (v == "OK" or v.startswith("ROWS_ONLY"))),
+    # keep the detail string for failures so a flaky row can be
+    # diagnosed after the fact (round 11: a FAIL's message was lost
+    # because only the PASS/FAIL bit was recorded)
+    "failed_detail": {k: v[:500] for k, v in sorted(results.items())
+                      if not (v == "OK" or v.startswith("ROWS_ONLY"))},
     "queries": {k: ("PASS" if (v == "OK" or v.startswith("ROWS_ONLY"))
                     else "FAIL") for k, v in sorted(results.items())},
 }
