@@ -39,12 +39,19 @@ for name in sorted(os.listdir(out_dir)):
     exp = None
     for attempt in range(3):
         try:
+            if attempt == 2:
+                # last resort: the flake lives in the PARALLEL
+                # perfect-hash aggregate — retry single-threaded
+                con.sql("SET threads=1")
             exp = con.sql(oracle[name]).df()
             if attempt:
                 print(f"NOTE {name}: oracle succeeded on retry {attempt}")
             break
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR (attempt {attempt + 1}) {e}"
+        finally:
+            if attempt == 2:
+                con.sql("RESET threads")
     if exp is None:
         continue
     results.pop(name, None)
