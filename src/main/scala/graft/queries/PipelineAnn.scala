@@ -1088,7 +1088,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // ONE body shared by the s16/s21/s22 oracles so the build/search
   // replay cannot drift per query: s21 swaps only the upstream fit
   // (base-corpus source), s22 only the scored-frontier filter.
-  private[queries] def graphSqlBody(scoredFilter: String): String =
+  /** The graph BUILD replay (2-probe cells → per-cell pairs with
+    * max-cos dedup → top-M edges) — shared by s16/s20's walk oracles
+    * and s23's edge-quality audit so the built graph has exactly one
+    * SQL definition. */
+  private[queries] def graphEdgeCtes: String =
     s"""ccell AS (SELECT vec_id, embedding, cluster FROM asg WHERE vec_id >= 10),
        |pairsg AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1102,7 +1106,10 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |    SELECT a_id, b_id,
        |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
        |    FROM pairsg)
-       |  WHERE rn <= 6),
+       |  WHERE rn <= 6)""".stripMargin
+
+  private[queries] def graphSqlBody(scoredFilter: String): String =
+    s"""$graphEdgeCtes,
        |piv AS (
        |  SELECT p.cluster, p.pid, e.embedding AS p_vec
        |  FROM (SELECT cluster, MIN(vec_id) AS pid
@@ -1380,6 +1387,77 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |${coarseAsgSql(maxRn = 2)},
        |${graphSqlBody(
         scoredFilter = "WHERE NOT (fr.node >= 10 AND fr.node % 11 = 5)")}""".stripMargin
+
+  // -- s23: graph-index edge-quality audit ----------------------------------
+  // The diagnostics report a deployed vector store ships next to its
+  // index options (s11 prices SEARCH recall; s23 prices the INDEX
+  // itself): for a deterministic audit sample of nodes, compare the
+  // graph's stored top-M out-edges against the node's EXACT top-M
+  // neighbors over the whole corpus — edge recall@M per node. The
+  // cell-bounded build can only see co-members of a node's 2 probe
+  // cells, so edge recall measures exactly what the √n pool bound
+  // gives up; a build regression (wrong pool, broken dedup, tie-break
+  // drift) shows up here as a number, per node.
+  //
+  // Scale: the audit panel is BOUNDED — every 37th id up to a hard
+  // 128-node cap (s23SampleCap), so the exact side is ≤ 128·N
+  // map-side cosines behind a broadcast of the panel — linear in the
+  // corpus with a fixed constant, zero shuffles of the corpus frame;
+  // the stored-edge side prunes to sampled a_ids by a broadcast
+  // semi-join before the tiny (S·M vs S·M) hit join.
+  private[queries] val s23SampleCap: Long = 10L + 37L * 128
+  private[queries] val s23: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    val (edges0, _) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
+    val sample = emb.filter(col("vec_id") >= 10 && col("vec_id") % 37 === 1 &&
+        col("vec_id") <= s23SampleCap)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val members = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val wx = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    val exact = members.crossJoin(broadcast(sample))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", VF.cosine(col("a_vec"), col("b_vec")))
+      .withColumn("rn", row_number().over(wx)).filter(col("rn") <= GraphM)
+      .select(col("a_id"), col("b_id"))
+    val sampledEdges = edges0
+      .join(broadcast(sample.select(col("a_id"))), Seq("a_id"), "left_semi")
+      .withColumn("hit", lit(1L))
+    exact.join(sampledEdges, Seq("a_id", "b_id"), "left")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("exact_m"),
+        sum(coalesce(col("hit"), lit(0L))).as("edge_hits"))
+      .withColumn("edge_recall",
+        round(col("edge_hits").cast(DoubleType) / col("exact_m"), 4))
+      .orderBy(col("a_id"))
+  }
+
+  private[queries] val s23Sql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 2)},
+       |$graphEdgeCtes,
+       |smpl AS (
+       |  SELECT vec_id AS a_id, embedding AS a_vec FROM embeddings
+       |  WHERE vec_id >= 10 AND vec_id % 37 = 1 AND vec_id <= $s23SampleCap),
+       |mem AS (
+       |  SELECT vec_id AS b_id, embedding AS b_vec FROM embeddings
+       |  WHERE vec_id >= 10),
+       |exact AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT s.a_id, m.b_id,
+       |      row_number() OVER (PARTITION BY s.a_id ORDER BY
+       |        list_cosine_similarity(CAST(s.a_vec AS DOUBLE[]),
+       |                               CAST(m.b_vec AS DOUBLE[])) DESC, m.b_id) AS rn
+       |    FROM smpl s JOIN mem m ON s.a_id <> m.b_id)
+       |  WHERE rn <= $GraphM)
+       |SELECT e.a_id, CAST(COUNT(*) AS BIGINT) AS exact_m,
+       |  CAST(SUM(CASE WHEN g.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS edge_hits,
+       |  ROUND(CAST(SUM(CASE WHEN g.b_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 4) AS edge_recall
+       |FROM exact e LEFT JOIN edges g ON g.a_id = e.a_id AND g.b_id = e.b_id
+       |GROUP BY e.a_id ORDER BY e.a_id""".stripMargin
 
   // -- s06: vector range search (radius query) -----------------------------
   // The retrieval mode the top-k ladder (s01–s05) doesn't cover:

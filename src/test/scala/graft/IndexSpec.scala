@@ -449,4 +449,25 @@ class IndexSpec extends SparkSpec {
         s"extra=${probed.diff(s09).take(3)}")
     graft.CacheScope.drain()
   }
+
+  test("s23 edge-recall audit: sampled nodes only, hits bounded by exact_m, recall in [0,1]") {
+    val rows = SparkEntry.queries("s23_ann_edge_recall")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the %37 sample must be non-empty at sf0.001")
+    rows.foreach { r =>
+      val (a, m, h, rec) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a >= 10 && a % 37 == 1, s"non-sampled node audited: $a")
+      assert(m == graft.queries.Pipeline.GraphM,
+        s"exact_m must be the index's M for a corpus larger than M: $m")
+      assert(h >= 0 && h <= m, s"hits out of bounds: $h of $m")
+      assert(rec >= 0.0 && rec <= 1.0 && math.abs(rec - h.toDouble / m) < 5e-5,
+        s"recall must be hits/exact_m rounded: $rec vs $h/$m")
+    }
+    // the metric must be informative: the cell-bounded build gives up
+    // SOMETHING on a real corpus (otherwise the audit is a tautology);
+    // and it must find most true edges (the 2-probe pools work)
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    info(s"s23 mean edge recall@${graft.queries.Pipeline.GraphM}: $mean over ${rows.length} nodes")
+    assert(mean > 0.3, s"edge recall implausibly low — build broken? $mean")
+    graft.CacheScope.drain()
+  }
 }
