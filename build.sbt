@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default output strategy prefixes every forked-process
+// line with "[info] " and appends a "[success] Total time" banner, so
+// no tail line ever started with '{' (BENCH_r01..r11 parsed: null).
+// StdoutOutput passes the forked JVM's stdout through undecorated, and
+// suppressing the success banner makes Bench's summary the true last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// exclude it from the unused-key lint so compile output stays clean
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

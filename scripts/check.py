@@ -17,6 +17,7 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
+retried = {}  # query -> attempt index that finally succeeded (1 or 2)
 for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):
@@ -46,6 +47,7 @@ for name in sorted(os.listdir(out_dir)):
             exp = con.sql(oracle[name]).df()
             if attempt:
                 print(f"NOTE {name}: oracle succeeded on retry {attempt}")
+                retried[name] = attempt  # durably recorded below
             break
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR (attempt {attempt + 1}) {e}"
@@ -109,6 +111,11 @@ row = {
                       if not (v == "OK" or v.startswith("ROWS_ONLY"))},
     "queries": {k: ("PASS" if (v == "OK" or v.startswith("ROWS_ONLY"))
                     else "FAIL") for k, v in sorted(results.items())},
+    # oracle engine-side flakes that passed on retry (query -> attempt
+    # count): a flaky-pass is distinguishable from a clean pass, so
+    # DuckDB flake frequency is trackable across rounds (round-11
+    # advice — previously only a transient stdout NOTE)
+    "retried": retried,
 }
 with open(os.path.join(repo_root, "correctness_history.jsonl"), "a") as f:
     f.write(json.dumps(row) + "\n")

@@ -97,9 +97,19 @@ object Bench {
     // bench_results.json and every later bench_history append.
     val mode = sys.env.get("SPARK_GRAFT_BENCH_MODE")
       .filter(_.matches("[a-z0-9_]+")).getOrElse("suite")
+    // sfDir is interpolated into JSON string literals below — escape
+    // backslash/quote/control chars so an unusual path can't corrupt
+    // the parseable line (round-11 advice: mode was whitelisted but
+    // sfDir wasn't)
+    val sfJson = sfDir.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"mode":"$mode","reps":$reps,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfJson"}"""
     println(line)
     // durable copy: the driver captures only a 2000-char stdout tail,
     // which truncates the per-query record past ~45 queries
@@ -128,7 +138,7 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$slowest,"n_queries":${results.size},""" +
-      s""""n_failed":${failed.size},"mode":"$mode","reps":$reps,"sf":"$sfDir",""" +
+      s""""n_failed":${failed.size},"mode":"$mode","reps":$reps,"sf":"$sfJson",""" +
       s""""full":"bench_history.jsonl"}""")
     spark.stop()
   }

@@ -1,0 +1,438 @@
+package graft.operators
+
+/** RFC 1951 DEFLATE, hand-written — the entropy-coded substrate under
+  * PNG (and gzip/zlib text corpora). Two halves:
+  *
+  *  - [[inflate]]: a full decoder — stored blocks (§3.2.4), fixed
+  *    Huffman (§3.2.6), dynamic Huffman (§3.2.7) — as pure byte/int
+  *    arithmetic: LSB-first bit reader, canonical-Huffman decode via
+  *    the per-length count/offset walk, the code-length alphabet with
+  *    RLE symbols 16/17/18, and the 32 KiB LZ77 back-reference window.
+  *    Strict: over-subscribed trees, unassigned code patterns,
+  *    out-of-window distances, output overrun/underrun, and truncated
+  *    streams all return None — never throws. (This replaces the
+  *    round-9 stored-block-only profile in Multimodal.parsePng: real
+  *    PNGs are fixed/dynamic-Huffman deflate, and the decode contract
+  *    has to cover them to mean anything at 100 TB of image data.)
+  *
+  *  - [[deflateFixed]] / [[deflateDynamic]]: fixture ENCODERS for the
+  *    m10 generator — a greedy hash-head LZ77 matcher feeding either
+  *    the fixed code (BTYPE=01, multi-block, bit-continuous across
+  *    block boundaries so the reader must carry bits) or a dynamic
+  *    block (BTYPE=10) with a predefined COMPLETE code pair whose
+  *    code-length preamble exercises the CL alphabet including the
+  *    16-repeat. The generator stays deterministic (no library codec
+  *    in the emitted corpus); MultimodalSpec additionally round-trips
+  *    [[inflate]] against java.util.zip.Deflater streams for
+  *    independence from this encoder's bugs.
+  *
+  * Reference semantics: RFC 1951 (public); behavior cross-checked
+  * against java.util.zip in the spec. No reference-repo code involved
+  * (SmarterApp/RDW ships no codecs).
+  */
+object Inflate {
+
+  // length symbols 257..285 → (base, extra bits); RFC 1951 §3.2.5
+  private[operators] val lenBase = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
+    51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private[operators] val lenExtra = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4,
+    4, 4, 5, 5, 5, 5, 0)
+  // distance symbols 0..29 → (base, extra bits)
+  private[operators] val distBase = Array(
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257,
+    385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289,
+    16385, 24577)
+  private[operators] val distExtra = Array(
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9,
+    10, 10, 11, 11, 12, 12, 13, 13)
+  // order in which code-length code lengths are transmitted (§3.2.7)
+  private val clOrder = Array(
+    16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+  /** Canonical-Huffman decode table: per-length counts + symbols
+    * sorted by (length, symbol). Over-subscription (Kraft sum > 1) is
+    * flagged at build; incomplete codes are tolerated at build and
+    * fail at decode time when an unassigned pattern arrives — the
+    * zlib-compatible treatment (a one-code distance tree is legal). */
+  private final class Huff(lengths: Array[Int], nsym: Int) {
+    val count = new Array[Int](16)
+    val symbol = new Array[Int](nsym)
+    var oversubscribed = false
+    locally {
+      var i = 0
+      while (i < nsym) { count(lengths(i)) += 1; i += 1 }
+      var left = 1
+      var len = 1
+      while (len <= 15) {
+        left <<= 1
+        left -= count(len)
+        if (left < 0) oversubscribed = true
+        len += 1
+      }
+      val offs = new Array[Int](16)
+      var l = 1
+      while (l < 15) { offs(l + 1) = offs(l) + count(l); l += 1 }
+      i = 0
+      while (i < nsym) {
+        if (lengths(i) != 0) {
+          symbol(offs(lengths(i))) = i
+          offs(lengths(i)) += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** LSB-first bit reader over z[pos until end); err latches. */
+  private final class BitReader(z: Array[Byte], var pos: Int, end: Int) {
+    var bitBuf = 0
+    var bitCnt = 0
+    var err = false
+    def bits(n: Int): Int = {
+      while (bitCnt < n) {
+        if (pos >= end) { err = true; return -1 }
+        bitBuf |= (z(pos) & 0xff) << bitCnt
+        pos += 1; bitCnt += 8
+      }
+      val v = bitBuf & ((1 << n) - 1)
+      bitBuf >>>= n; bitCnt -= n
+      v
+    }
+    /** canonical decode: accumulate the code MSB-first one bit at a
+      * time, checking it against each length's first-code/count. */
+    def decode(h: Huff): Int = {
+      var code = 0; var first = 0; var index = 0; var len = 1
+      while (len <= 15) {
+        code |= bits(1)
+        if (err) return -1
+        val cnt = h.count(len)
+        if (code - first < cnt) return h.symbol(index + (code - first))
+        index += cnt
+        first = (first + cnt) << 1
+        code <<= 1
+        len += 1
+      }
+      err = true; -1 // unassigned pattern: incomplete code used
+    }
+    def alignByte(): Unit = {
+      val drop = bitCnt % 8
+      bitBuf >>>= drop; bitCnt -= drop
+    }
+    /** first un-consumed BYTE index (valid only when byte-aligned). */
+    def bytePos: Int = pos - bitCnt / 8
+  }
+
+  // fixed litlen code lengths (§3.2.6): 0-143→8, 144-255→9,
+  // 256-279→7, 280-287→8; fixed distance: 30 codes of 5 bits
+  private lazy val fixedLit: Huff = {
+    val l = new Array[Int](288)
+    var i = 0
+    while (i < 288) {
+      l(i) = if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8
+      i += 1
+    }
+    new Huff(l, 288)
+  }
+  private lazy val fixedDist: Huff = new Huff(Array.fill(30)(5), 30)
+
+  /** §3.2.7 preamble: HLIT/HDIST/HCLEN, the 3-bit CL code lengths in
+    * clOrder, then the HLIT+HDIST lengths through the CL code with
+    * repeat symbols 16 (copy prev 3-6) / 17 (zero 3-10) / 18
+    * (zero 11-138). One lens sequence — a repeat may legally cross
+    * the litlen/distance boundary. */
+  private def dynamicTables(br: BitReader): Option[(Huff, Huff)] = {
+    val hlit = br.bits(5) + 257
+    val hdist = br.bits(5) + 1
+    val hclen = br.bits(4) + 4
+    if (br.err || hlit > 286 || hdist > 30) return None
+    val clLens = new Array[Int](19)
+    var i = 0
+    while (i < hclen) { clLens(clOrder(i)) = br.bits(3); i += 1 }
+    if (br.err) return None
+    val cl = new Huff(clLens, 19)
+    if (cl.oversubscribed) return None
+    val lens = new Array[Int](hlit + hdist)
+    var n = 0
+    while (n < hlit + hdist) {
+      val sym = br.decode(cl)
+      if (br.err || sym < 0) return None
+      if (sym < 16) { lens(n) = sym; n += 1 }
+      else {
+        var value = 0; var repeat = 0
+        if (sym == 16) {
+          if (n == 0) return None // no previous length to copy
+          value = lens(n - 1); repeat = 3 + br.bits(2)
+        } else if (sym == 17) repeat = 3 + br.bits(3)
+        else repeat = 11 + br.bits(7)
+        if (br.err || n + repeat > hlit + hdist) return None
+        var j = 0
+        while (j < repeat) { lens(n) = value; n += 1; j += 1 }
+      }
+    }
+    if (lens(256) == 0) return None // end-of-block code must exist
+    val lit = new Huff(java.util.Arrays.copyOfRange(lens, 0, hlit), hlit)
+    val dist = new Huff(java.util.Arrays.copyOfRange(lens, hlit, hlit + hdist),
+      hdist)
+    if (lit.oversubscribed || dist.oversubscribed) None
+    else Some((lit, dist))
+  }
+
+  /** Inflate z[off until end) expecting EXACTLY exactOut output bytes
+    * (PNG computes the inflated size from IHDR — any other size is
+    * malformed). Returns (raw, nextBytePos) with nextBytePos the
+    * first byte after the final block's byte-aligned end (where
+    * zlib's Adler-32 trailer sits); None for anything malformed. */
+  def inflate(z: Array[Byte], off: Int, end: Int,
+              exactOut: Int): Option[(Array[Byte], Int)] = {
+    if (off < 0 || end > z.length || off > end || exactOut < 0) return None
+    val out = new Array[Byte](exactOut)
+    var op = 0
+    val br = new BitReader(z, off, end)
+    var fin = false
+    while (!fin) {
+      val bfinal = br.bits(1)
+      val btype = br.bits(2)
+      if (br.err) return None
+      fin = bfinal == 1
+      if (btype == 0) { // stored (§3.2.4): byte-aligned LEN/NLEN + raw copy
+        br.alignByte()
+        val len = br.bits(16)
+        val nlen = br.bits(16)
+        if (br.err || (len ^ 0xffff) != nlen) return None
+        val start = br.bytePos
+        if (start + len > end || op + len > exactOut) return None
+        System.arraycopy(z, start, out, op, len)
+        op += len
+        br.pos = start + len; br.bitBuf = 0; br.bitCnt = 0
+      } else if (btype == 1 || btype == 2) {
+        val tables =
+          if (btype == 1) Some((fixedLit, fixedDist)) else dynamicTables(br)
+        val (lit, dist) = tables match {
+          case Some(t) => t
+          case None    => return None
+        }
+        var eob = false
+        while (!eob) {
+          val sym = br.decode(lit)
+          if (br.err || sym < 0) return None
+          if (sym < 256) {
+            if (op >= exactOut) return None
+            out(op) = sym.toByte; op += 1
+          } else if (sym == 256) eob = true
+          else {
+            if (sym > 285) return None // 286/287 are reserved
+            val li = sym - 257
+            val length = lenBase(li) + br.bits(lenExtra(li))
+            val dsym = br.decode(dist)
+            if (br.err || dsym < 0 || dsym > 29) return None
+            val distance = distBase(dsym) + br.bits(distExtra(dsym))
+            if (br.err) return None
+            if (distance > op || op + length > exactOut) return None
+            var i = 0 // byte-by-byte: distance < length overlap is legal
+            while (i < length) { out(op) = out(op - distance); op += 1; i += 1 }
+          }
+        }
+      } else return None // BTYPE=11 reserved
+    }
+    if (op != exactOut) return None
+    br.alignByte()
+    Some((out, br.bytePos))
+  }
+
+  // ======================= fixture encoders ================================
+
+  /** LSB-first bit writer (the encoder mirror of BitReader). */
+  private final class BitWriter {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    private var bitBuf = 0
+    private var bitCnt = 0
+    def put(v: Int, n: Int): Unit = { // value bits LSB-first (extra bits)
+      bitBuf |= (v & ((1 << n) - 1)) << bitCnt
+      bitCnt += n
+      while (bitCnt >= 8) {
+        out += (bitBuf & 0xff).toByte
+        bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    def putHuff(code: Int, n: Int): Unit = { // Huffman code bits MSB-first (§3.1.1)
+      var i = n - 1
+      while (i >= 0) { put((code >> i) & 1, 1); i -= 1 }
+    }
+    def finish(): Array[Byte] = {
+      if (bitCnt > 0) { out += (bitBuf & 0xff).toByte; bitBuf = 0; bitCnt = 0 }
+      out.toArray
+    }
+  }
+
+  /** canonical code values for a length array — the assignment the
+    * decoder's count/offset walk implies (codes in (length, symbol)
+    * order). Returns symbol → code; lengths(sym)=0 ⇒ unused. */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val maxLen = lengths.max
+    val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    val next = new Array[Int](maxLen + 1)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) { code = (code + count(l - 1)) << 1; next(l) = code; l += 1 }
+    val codes = new Array[Int](lengths.length)
+    var s = 0
+    while (s < lengths.length) {
+      if (lengths(s) > 0) { codes(s) = next(lengths(s)); next(lengths(s)) += 1 }
+      s += 1
+    }
+    codes
+  }
+
+  /** length value → (symbol index 0-based into 257.., extra value). */
+  private def lenSym(length: Int): (Int, Int) = {
+    var li = lenBase.length - 1
+    while (lenBase(li) > length) li -= 1
+    // length 258 is symbol 285 exactly; lengths in [227,257] use 284
+    if (li == 28 && length != 258) li = 27
+    (li, length - lenBase(li))
+  }
+
+  private def distSym(distance: Int): (Int, Int) = {
+    var di = distBase.length - 1
+    while (distBase(di) > distance) di -= 1
+    (di, distance - distBase(di))
+  }
+
+  /** Greedy hash-head LZ77 matcher: emits (literal | match) tokens to
+    * `emit` for raw[from until until), matching against anything
+    * earlier in raw within maxDist. Fixture-grade: one head per
+    * 3-byte hash, no chains, no lazy matching. */
+  private def lzTokens(raw: Array[Byte], from: Int, until: Int,
+                       head: java.util.HashMap[Int, Int], maxDist: Int,
+                       emitLit: Int => Unit,
+                       emitMatch: (Int, Int) => Unit): Unit = {
+    @inline def h3(i: Int): Int =
+      ((raw(i) & 0xff) << 16) | ((raw(i + 1) & 0xff) << 8) | (raw(i + 2) & 0xff)
+    var p = from
+    while (p < until) {
+      var matched = false
+      if (p + 3 <= until) {
+        val key = h3(p)
+        val cand = head.getOrDefault(key, -1)
+        if (cand >= 0 && p - cand <= maxDist) {
+          var len = 0
+          val cap = math.min(258, until - p)
+          while (len < cap && raw(cand + len) == raw(p + len)) len += 1
+          if (len >= 3) {
+            emitMatch(len, p - cand)
+            head.put(key, p)
+            p += len
+            matched = true
+          }
+        }
+        if (!matched) head.put(key, p)
+      }
+      if (!matched) { emitLit(raw(p) & 0xff); p += 1 }
+    }
+  }
+
+  /** Fixed-Huffman deflate (BTYPE=01) in blocks of ≤ blockInput input
+    * bytes — multi-block and bit-continuous across block boundaries
+    * (blocks do NOT byte-align, so the reader must carry its bit
+    * buffer over a header). */
+  def deflateFixed(raw: Array[Byte], blockInput: Int = 512): Array[Byte] = {
+    val bw = new BitWriter
+    val head = new java.util.HashMap[Int, Int]()
+    def fixedLitCode(sym: Int): (Int, Int) =
+      if (sym < 144) (0x30 + sym, 8)
+      else if (sym < 256) (0x190 + (sym - 144), 9)
+      else if (sym < 280) (sym - 256, 7)
+      else (0xc0 + (sym - 280), 8)
+    var start = 0
+    do {
+      val until = math.min(raw.length, start + blockInput)
+      val fin = until >= raw.length
+      bw.put(if (fin) 1 else 0, 1)
+      bw.put(1, 2) // BTYPE=01
+      lzTokens(raw, start, until, head, maxDist = 32768,
+        emitLit = { sym =>
+          val (c, n) = fixedLitCode(sym); bw.putHuff(c, n)
+        },
+        emitMatch = { (len, distVal) =>
+          val (li, lx) = lenSym(len)
+          val (c, n) = fixedLitCode(257 + li)
+          bw.putHuff(c, n); bw.put(lx, lenExtra(li))
+          val (di, dx) = distSym(distVal)
+          bw.putHuff(di, 5); bw.put(dx, distExtra(di))
+        })
+      val (ec, en) = fixedLitCode(256)
+      bw.putHuff(ec, en) // end of block
+      start = until
+    } while (start < raw.length)
+    bw.finish()
+  }
+
+  // The predefined COMPLETE code pair for deflateDynamic. Litlen
+  // (286 symbols): 0-255 → 9 bits (Kraft 256/512 = 1/2),
+  // 256-283 → 6 bits (28/64 = 7/16), 284-285 → 5 bits (2/32 = 1/16);
+  // sum = 1 exactly. Distance (30 symbols): 0-1 → 4 bits (2/16),
+  // 2-29 → 5 bits (28/32); sum = 1 exactly. Every length/distance
+  // symbol usable, so the matcher needs no caps.
+  private lazy val dynLitLens: Array[Int] =
+    Array.tabulate(286)(i => if (i < 256) 9 else if (i < 284) 6 else 5)
+  private lazy val dynDistLens: Array[Int] =
+    Array.tabulate(30)(i => if (i < 2) 4 else 5)
+  private lazy val dynLitCodes = canonicalCodes(dynLitLens)
+  private lazy val dynDistCodes = canonicalCodes(dynDistLens)
+
+  /** One dynamic-Huffman block (BTYPE=10) over the whole input, with
+    * the predefined complete code pair above. The code-length
+    * preamble is emitted through the CL alphabet with repeat-16 runs
+    * — a real §3.2.7 header, not a degenerate one. */
+  def deflateDynamic(raw: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter
+    bw.put(1, 1) // BFINAL
+    bw.put(2, 2) // BTYPE=10
+    bw.put(286 - 257, 5) // HLIT
+    bw.put(30 - 1, 5)    // HDIST
+    // CL code over the symbols this preamble uses: {4,5,6,9,16};
+    // lengths 9→2, 16→2, 6→2, 5→3, 4→3 (Kraft 3/4 + 1/4 = 1).
+    val clLens = new Array[Int](19)
+    clLens(9) = 2; clLens(16) = 2; clLens(6) = 2; clLens(5) = 3; clLens(4) = 3
+    // transmit through index 11 of clOrder (covers 16@0, 9@6, 6@7,
+    // 5@9, 4@11)
+    val hclen = 12
+    bw.put(hclen - 4, 4)
+    var i = 0
+    while (i < hclen) { bw.put(clLens(clOrder(i)), 3); i += 1 }
+    val clCodes = canonicalCodes(clLens)
+    def clSym(s: Int): Unit = bw.putHuff(clCodes(s), clLens(s))
+    def runOf(value: Int, n: Int): Unit = { // value, then repeat-16s
+      clSym(value)
+      var left = n - 1
+      while (left >= 3) {
+        val take = math.min(6, left)
+        clSym(16); bw.put(take - 3, 2)
+        left -= take
+      }
+      while (left > 0) { clSym(value); left -= 1 }
+    }
+    runOf(9, 256) // litlen 0..255
+    runOf(6, 28)  // 256..283
+    runOf(5, 2)   // 284..285
+    runOf(4, 2)   // dist 0..1
+    runOf(5, 28)  // dist 2..29
+    // token stream
+    val headMap = new java.util.HashMap[Int, Int]()
+    lzTokens(raw, 0, raw.length, headMap, maxDist = 32768,
+      emitLit = sym => bw.putHuff(dynLitCodes(sym), dynLitLens(sym)),
+      emitMatch = { (len, distVal) =>
+        val (li, lx) = lenSym(len)
+        bw.putHuff(dynLitCodes(257 + li), dynLitLens(257 + li))
+        bw.put(lx, lenExtra(li))
+        val (di, dx) = distSym(distVal)
+        bw.putHuff(dynDistCodes(di), dynDistLens(di))
+        bw.put(dx, distExtra(di))
+      })
+    bw.putHuff(dynLitCodes(256), dynLitLens(256))
+    bw.finish()
+  }
+}

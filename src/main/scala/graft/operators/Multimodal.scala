@@ -476,20 +476,22 @@ object Multimodal {
     out
   }
 
-  // -- PNG (stored-block profile): the second decodable raster ------------
+  // -- PNG: the second decodable raster, now over REAL deflate ------------
   // m08 proved the decode path on ONE container; m10 proves it
-  // generalizes. PNG with deflate STORED (level-0) blocks is still
-  // pure byte arithmetic — the zlib stream is framing, not
-  // compression — while exercising an entirely different container
-  // discipline than BMP: big-endian lengths, CRC-32 chunk trailers,
-  // ancillary chunks that must be SKIPPED by length (not assumed
-  // away), an IDAT payload that may be SPLIT across chunks and must
-  // be concatenated before inflation (PNG spec §5.3), byte-aligned
-  // stored-block framing with LEN/NLEN integrity (RFC 1951 §3.2.4),
-  // an Adler-32 integrity trailer (RFC 1950), and per-scanline
-  // filter bytes (profile: filter 0 = None). The generator emits
-  // exactly this profile; the parser validates every layer and
-  // rejects anything outside it — never throws.
+  // generalizes — including the entropy-coded layer. The container
+  // discipline differs from BMP at every level: big-endian lengths,
+  // CRC-32 chunk trailers, ancillary chunks that must be SKIPPED by
+  // length (not assumed away), an IDAT payload that may be SPLIT
+  // across chunks and must be concatenated before inflation (PNG
+  // spec §5.3), a full RFC 1951 DEFLATE stream — stored (§3.2.4),
+  // fixed-Huffman (§3.2.6) AND dynamic-Huffman (§3.2.7) blocks with
+  // the 32 KiB LZ77 window, decoded by the hand-written
+  // [[graft.operators.Inflate]] (round 12; the round-9..11 profile
+  // was stored-only, which excluded ~all real-world PNG data) — an
+  // Adler-32 integrity trailer (RFC 1950), and per-scanline filter
+  // bytes (profile: filter 0 = None). The generator emits all three
+  // block types (mode param); the parser validates every layer and
+  // rejects anything malformed — never throws.
 
   /** A decoded PNG raster over the INFLATED scanline stream (filter
     * bytes in place, rows top-down — PNG's native order). */
@@ -507,14 +509,20 @@ object Multimodal {
     c.getValue
   }
 
-  /** 8-bit RGB (color type 2) PNG encode, stored-block profile:
-    * IHDR, a junk `tEXt` chunk of `gap` bytes when gap > 0 (variable
-    * chunk layout — a parser that assumes IDAT's position cheats),
-    * the zlib stream cut into ≤40-byte stored blocks and split
+  /** 8-bit RGB (color type 2) PNG encode: IHDR, a junk `tEXt` chunk
+    * of `gap` bytes when gap > 0 (variable chunk layout — a parser
+    * that assumes IDAT's position cheats), the zlib stream split
     * across TWO IDAT chunks when it is long enough (concatenation
-    * must be real), IEND. All CRCs and the Adler-32 are genuine. */
+    * must be real), IEND. All CRCs and the Adler-32 are genuine.
+    * `deflateMode` selects the RFC 1951 block type of the zlib body:
+    * 0 = stored blocks of ≤40 bytes (§3.2.4, the round-9 profile),
+    * 1 = multi-block fixed Huffman (§3.2.6, bit-continuous across
+    * block headers), 2 = one dynamic-Huffman block (§3.2.7, complete
+    * predefined code pair, CL-alphabet preamble with repeat-16s) —
+    * all three produced without a library codec (Inflate.deflate*). */
   def encodePng(w: Int, h: Int, gap: Int,
-                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+                pixel: (Int, Int) => (Int, Int, Int),
+                deflateMode: Int = 0): Array[Byte] = {
     // raw scanline stream: per row, filter byte 0 + w RGB triples
     val raw = new Array[Byte](h * (1 + 3 * w))
     var y = 0
@@ -531,19 +539,23 @@ object Multimodal {
       }
       y += 1
     }
-    // zlib stream: 2-byte header, stored blocks of ≤ 40 bytes, adler32
+    // zlib stream: 2-byte header, deflate body per deflateMode, adler32
     val zlib = new scala.collection.mutable.ArrayBuffer[Byte](raw.length + 64)
     zlib += 0x78.toByte += 0x01.toByte // CMF: deflate/32k, FLG: check bits
-    var pos = 0
-    var fin = false
-    while (!fin) {
-      val len = math.min(40, raw.length - pos)
-      fin = pos + len >= raw.length
-      zlib += (if (fin) 1 else 0).toByte // BFINAL | BTYPE=00 (stored)
-      zlib += (len & 0xff).toByte += ((len >> 8) & 0xff).toByte
-      zlib += (~len & 0xff).toByte += ((~len >> 8) & 0xff).toByte
-      zlib ++= raw.slice(pos, pos + len)
-      pos += len
+    if (deflateMode == 1) zlib ++= Inflate.deflateFixed(raw)
+    else if (deflateMode == 2) zlib ++= Inflate.deflateDynamic(raw)
+    else {
+      var pos = 0
+      var fin = false
+      while (!fin) {
+        val len = math.min(40, raw.length - pos)
+        fin = pos + len >= raw.length
+        zlib += (if (fin) 1 else 0).toByte // BFINAL | BTYPE=00 (stored)
+        zlib += (len & 0xff).toByte += ((len >> 8) & 0xff).toByte
+        zlib += (~len & 0xff).toByte += ((~len >> 8) & 0xff).toByte
+        zlib ++= raw.slice(pos, pos + len)
+        pos += len
+      }
     }
     val ad = new java.util.zip.Adler32
     ad.update(raw, 0, raw.length)
@@ -583,15 +595,17 @@ object Multimodal {
     out.toArray
   }
 
-  /** PNG parse + stored-block inflate: validates the signature, walks
-    * chunks by LENGTH with CRC-32 verified per chunk, requires IHDR
-    * first (8-bit RGB, no interlace), concatenates every IDAT,
+  /** PNG parse + full RFC 1951 inflate: validates the signature,
+    * walks chunks by LENGTH with CRC-32 verified per chunk, requires
+    * IHDR first (8-bit RGB, no interlace), concatenates every IDAT,
     * checks the zlib header (deflate method, FCHECK, no preset
-    * dictionary), walks the byte-aligned stored-block framing with
-    * LEN/NLEN verification, verifies the Adler-32 trailer over the
-    * inflated bytes, and requires every scanline filter to be None.
-    * None for anything malformed or outside the profile — never
-    * throws. */
+    * dictionary), inflates stored / fixed-Huffman / dynamic-Huffman
+    * blocks through the hand-written [[Inflate.inflate]] (bit reader,
+    * canonical Huffman decode, CL alphabet, LZ77 window — every
+    * malformation in that layer returns None), verifies the Adler-32
+    * trailer over the inflated bytes, and requires every scanline
+    * filter to be None. None for anything malformed or outside the
+    * profile — never throws. */
   def parsePng(p: Array[Byte]): Option[PngImage] = {
     @inline def u8(i: Int): Int = p(i) & 0xff
     def be32(i: Int): Long =
@@ -631,22 +645,11 @@ object Multimodal {
     if ((cmf & 0x0f) != 8 || ((cmf << 8) | flg) % 31 != 0 || (flg & 0x20) != 0)
       return None
     val want = h * (1 + 3 * w)
-    val raw = new Array[Byte](want)
-    var zp = 2; var rp = 0; var fin = false
-    while (!fin) {
-      if (zp >= z.length - 4) return None
-      val hd = z(zp) & 0xff
-      if ((hd >> 1) != 0) return None // profile: stored blocks only
-      fin = (hd & 1) == 1
-      if (zp + 5 > z.length - 4) return None
-      val len = (z(zp + 1) & 0xff) | ((z(zp + 2) & 0xff) << 8)
-      val nlen = (z(zp + 3) & 0xff) | ((z(zp + 4) & 0xff) << 8)
-      if ((len ^ 0xffff) != nlen) return None // RFC 1951 §3.2.4
-      if (zp + 5 + len > z.length - 4 || rp + len > want) return None
-      System.arraycopy(z, zp + 5, raw, rp, len)
-      zp += 5 + len; rp += len
+    val (raw, zp) = Inflate.inflate(z, 2, z.length, want) match {
+      case Some(r) => r
+      case None    => return None // any RFC 1951 malformation
     }
-    if (rp != want) return None
+    if (zp + 4 > z.length) return None // Adler-32 trailer must be present
     val ad = new java.util.zip.Adler32
     ad.update(raw, 0, raw.length)
     val trailer = ((z(zp).toLong & 0xff) << 24) | ((z(zp + 1).toLong & 0xff) << 16) |

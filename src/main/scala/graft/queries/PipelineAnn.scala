@@ -136,10 +136,14 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val qVecs = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    // candIds is bounded by |Q| × colliding-bucket membership while
-    // the embedding table is corpus-sized — broadcast the bounded
-    // side (beamProbe's round-11 finding applied to the LSH rerank)
-    broadcast(candIds)
+    // Unlike the beam/pqRerank shortlists (hard-capped at k·overfetch·|Q|),
+    // candIds is bounded only by data-dependent bucket membership — a
+    // skewed corpus collapsing into few buckets makes it near corpus-
+    // sized, and a forced broadcast() hint would then OOM the driver.
+    // Leave the join to AQE: it broadcasts from RUNTIME size when the
+    // candidate set is genuinely small and falls back to a shuffled
+    // join when it isn't (round-11 advice finding).
+    candIds
       .join(base.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
       .join(broadcast(qVecs), "q_id")
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
@@ -1424,7 +1428,10 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val sampledEdges = edges0
       .join(broadcast(sample.select(col("a_id"))), Seq("a_id"), "left_semi")
       .withColumn("hit", lit(1L))
-    exact.join(sampledEdges, Seq("a_id", "b_id"), "left")
+    // both sides of the hit join are panel-bounded (≤ 128·M rows);
+    // broadcasting the pruned edge side keeps the whole audit free of
+    // sort-merge exchanges (plan-pinned in PlanQualitySpec)
+    exact.join(broadcast(sampledEdges), Seq("a_id", "b_id"), "left")
       .groupBy(col("a_id"))
       .agg(count(lit(1)).as("exact_m"),
         sum(coalesce(col("hit"), lit(0L))).as("edge_hits"))

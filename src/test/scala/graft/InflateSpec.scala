@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Inflate, Multimodal}
+
+/** RFC 1951 inflate: round-trips against our own encoders AND against
+  * java.util.zip (both directions — a decoder tested only against its
+  * sibling encoder can share the same misreading of the spec), plus
+  * hand-built malformed streams targeting each validation layer of
+  * the Huffman path specifically. No Spark involved. */
+class InflateSpec extends AnyFunSuite {
+
+  private def payloads: Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(421) // deterministic
+    Seq(
+      Array.emptyByteArray,
+      Array[Byte](0),
+      "abcabcabcabcabcabc".getBytes("US-ASCII"), // overlapping matches
+      Array.tabulate(300)(i => (i % 7).toByte), // long runs, dist < len
+      Array.fill(2000)(0x42.toByte), // maximal matches, 258-length codes
+      Array.tabulate(5000)(i => ((i * 31 + i / 13) % 256).toByte), // ramp
+      { val a = new Array[Byte](3000); rnd.nextBytes(a); a }, // incompressible
+      { // repetitive prefix then random tail: matcher must switch modes
+        val a = new Array[Byte](1500); rnd.nextBytes(a)
+        System.arraycopy(a, 0, a, 750, 750); a
+      })
+  }
+
+  private def inflateAll(z: Array[Byte], n: Int): Option[Array[Byte]] =
+    Inflate.inflate(z, 0, z.length, n).map(_._1)
+
+  test("deflateFixed/deflateDynamic round-trip through our inflate, byte-exact") {
+    for (p <- payloads; mode <- Seq(1, 2)) {
+      val z = if (mode == 1) Inflate.deflateFixed(p) else Inflate.deflateDynamic(p)
+      val back = inflateAll(z, p.length)
+        .getOrElse(fail(s"inflate None, mode=$mode len=${p.length}"))
+      assert(back.sameElements(p), s"drift, mode=$mode len=${p.length}")
+      // exactOut is exact: one byte short or long must fail
+      if (p.nonEmpty) assert(inflateAll(z, p.length - 1).isEmpty)
+      assert(inflateAll(z, p.length + 1).isEmpty)
+    }
+  }
+
+  test("java.util.zip.Inflater accepts our encoders' streams (independent decoder)") {
+    for (p <- payloads; mode <- Seq(1, 2)) {
+      val z = if (mode == 1) Inflate.deflateFixed(p) else Inflate.deflateDynamic(p)
+      val inf = new java.util.zip.Inflater(true) // raw deflate
+      inf.setInput(z)
+      val out = new Array[Byte](p.length + 16)
+      val n = inf.inflate(out)
+      assert(inf.finished(), s"zlib did not reach final block, mode=$mode")
+      inf.end()
+      assert(n == p.length && out.take(n).sameElements(p),
+        s"zlib disagrees, mode=$mode len=${p.length}")
+    }
+  }
+
+  test("our inflate decodes java.util.zip.Deflater streams (independent encoder)") {
+    for (p <- payloads; level <- Seq(1, 6, 9)) {
+      val d = new java.util.zip.Deflater(level, true) // raw deflate
+      d.setInput(p); d.finish()
+      val buf = new Array[Byte](p.length + 1024)
+      val n = d.deflate(buf)
+      assert(d.finished(), "deflater buffer too small for fixture")
+      d.end()
+      val z = buf.take(n)
+      val back = inflateAll(z, p.length)
+        .getOrElse(fail(s"inflate None on Deflater level=$level len=${p.length}"))
+      assert(back.sameElements(p), s"drift on Deflater level=$level")
+    }
+  }
+
+  // LSB-first bit writer for hand-building malformed streams
+  private class BW {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    private var buf = 0; private var cnt = 0
+    def put(v: Int, n: Int): Unit = {
+      buf |= (v & ((1 << n) - 1)) << cnt; cnt += n
+      while (cnt >= 8) { out += (buf & 0xff).toByte; buf >>>= 8; cnt -= 8 }
+    }
+    def bytes: Array[Byte] = {
+      (out ++ (if (cnt > 0) Seq((buf & 0xff).toByte) else Nil)).toArray
+    }
+  }
+
+  test("malformed streams are rejected at the layer that breaks (never throw)") {
+    // BTYPE=11 reserved
+    val b1 = new BW; b1.put(1, 1); b1.put(3, 2)
+    assert(inflateAll(b1.bytes, 0).isEmpty, "reserved BTYPE")
+
+    // dynamic header: repeat-16 as the FIRST code length (no previous).
+    // CL code over {0, 16}, both length 1 — canonical assignment sorts
+    // by (len, symbol): code 0 → symbol 0, code 1 → symbol 16.
+    val b2b = new BW
+    b2b.put(1, 1); b2b.put(2, 2)
+    b2b.put(0, 5); b2b.put(0, 5); b2b.put(0, 4)
+    b2b.put(1, 3); b2b.put(0, 3); b2b.put(0, 3); b2b.put(1, 3)
+    b2b.put(1, 1); b2b.put(0, 2) // symbol 16, repeat 3 — with n == 0
+    assert(inflateAll(b2b.bytes ++ Array.fill(8)(0.toByte), 0).isEmpty,
+      "repeat-16 with no previous length")
+
+    // dynamic header: over-subscribed CL code (three lengths of 1)
+    val b3 = new BW
+    b3.put(1, 1); b3.put(2, 2)
+    b3.put(0, 5); b3.put(0, 5); b3.put(1, 4) // HCLEN=5: order 16,17,18,0,8
+    for (_ <- 0 until 5) b3.put(1, 3)        // five 1-bit codes: Kraft > 1
+    assert(inflateAll(b3.bytes ++ Array.fill(8)(0.toByte), 0).isEmpty,
+      "over-subscribed code-length code")
+
+    // dynamic header: end-of-block code absent (lens(256) = 0)
+    val b4 = new BW
+    b4.put(1, 1); b4.put(2, 2)
+    b4.put(0, 5); b4.put(0, 5); b4.put(14, 4) // HCLEN=18 (through '1')
+    // order [16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1]: give 18 and 1
+    // length 1, everything else 0 → symbols {1,18}, complete
+    val clLens = Array(0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+    clLens.foreach(l => b4.put(l, 3))
+    // canonical: code 0 → symbol 1, code 1 → symbol 18
+    // lens: symbol 1 (len 1) for index 0, then 18-runs of zeros for the
+    // remaining 256 litlen + 1 dist = 257 entries: 138 + 119
+    b4.put(0, 1)                 // lens(0) = 1
+    b4.put(1, 1); b4.put(127, 7) // 18: 11+127 = 138 zeros
+    b4.put(1, 1); b4.put(108, 7) // 18: 11+108 = 119 zeros
+    assert(inflateAll(b4.bytes ++ Array.fill(8)(0.toByte), 0).isEmpty,
+      "missing end-of-block code")
+
+    // fixed block: back-reference with nothing in the window
+    val b5 = new BW
+    b5.put(1, 1); b5.put(1, 2)   // BFINAL, BTYPE=01
+    // fixed code for symbol 257 (length 3): 7-bit code 0000001, MSB-first
+    for (bit <- Seq(0, 0, 0, 0, 0, 0, 1)) b5.put(bit, 1)
+    // distance symbol 0 (distance 1): 5-bit code 00000
+    for (_ <- 0 until 5) b5.put(0, 1)
+    assert(inflateAll(b5.bytes ++ Array.fill(4)(0.toByte), 3).isEmpty,
+      "distance beyond output start")
+
+    // stored block: LEN/NLEN mismatch
+    val b6 = Array[Byte](0, 5, 0, 0, 0) // BFINAL=0+BTYPE=00, LEN=5, NLEN=0
+    assert(inflateAll(b6 ++ Array.fill(8)(0.toByte), 5).isEmpty, "LEN/NLEN")
+
+    // truncation inside a dynamic block body
+    val good = Inflate.deflateDynamic("hello hello hello".getBytes)
+    assert(inflateAll(good.dropRight(3), 17).isEmpty, "truncated stream")
+  }
+
+  test("parsePng decodes all three deflate modes; Huffman-layer corruption rejected") {
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 7 + y) % 256, (y * 5) % 256, (x + 3 * y) % 256)
+    for (mode <- Seq(0, 1, 2); (w, h) <- Seq((4, 3), (17, 11))) {
+      val bytes = Multimodal.encodePng(w, h, gap = 4, px, deflateMode = mode)
+      val img = Multimodal.parsePng(bytes)
+        .getOrElse(fail(s"parsePng None, mode=$mode $w x $h"))
+      assert(img.width == w && img.height == h)
+      for (x <- 0 until w; y <- 0 until h)
+        assert(img.rgb(x, y) == px(x, y), s"pixel drift ($x,$y) mode=$mode")
+    }
+    // corrupt INSIDE the zlib body of a dynamic-mode PNG and re-CRC the
+    // chunk, so the chunk layer can no longer catch it — rejection must
+    // come from the inflate/Adler layer (the new validation surface)
+    val png = Multimodal.encodePng(17, 11, gap = 0, px, deflateMode = 2)
+    val idat = {
+      val t = "IDAT".getBytes("US-ASCII")
+      (0 until png.length - 4).find(i => png.slice(i, i + 4).sameElements(t)).get
+    }
+    val lenOff = idat - 4
+    val len = java.nio.ByteBuffer.wrap(png, lenOff, 4).getInt
+    for (delta <- Seq(5, 9, len / 2, len - 1)) {
+      val bad = png.clone()
+      bad(idat + 4 + delta) = (bad(idat + 4 + delta) ^ 0x55).toByte
+      val crc = new java.util.zip.CRC32
+      crc.update(bad, idat, 4 + len)
+      val c = crc.getValue
+      bad(idat + 4 + len) = ((c >> 24) & 0xff).toByte
+      bad(idat + 4 + len + 1) = ((c >> 16) & 0xff).toByte
+      bad(idat + 4 + len + 2) = ((c >> 8) & 0xff).toByte
+      bad(idat + 4 + len + 3) = (c & 0xff).toByte
+      assert(Multimodal.parsePng(bad).isEmpty,
+        s"zlib-body corruption at +$delta must be rejected by inflate/Adler")
+    }
+  }
+}

@@ -94,6 +94,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("s23 exact side pushes the rank filter below the exchange (WindowGroupLimit)") {
+    // The exact-NN audit crosses a 128-node panel with the corpus and
+    // takes top-M per panel node via row_number over
+    // partitionBy(a_id). With only 128 distinct keys that window is a
+    // skewed exchange of 128·N rows UNLESS Spark's WindowGroupLimit
+    // partial pushdown keeps per-partition top-M below the exchange —
+    // the property the §2 "bounded audit, corpus never exchanged
+    // un-pruned" claim rests on. Pin it (round-11 verdict finding #1).
+    val p = plan("s23_ann_edge_recall")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus frames must be broadcast-joined, never sort-merge exchanged:\n$p")
+  }
+
   test("q40 soft-delete migrate is one window pass over the union (no join, no extra shuffle)") {
     val p = plan("q40_soft_delete_migrate")
     assert(p.contains("Window"), s"expected latest-wins window in:\n$p")
