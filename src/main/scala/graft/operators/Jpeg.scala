@@ -1,0 +1,396 @@
+package graft.operators
+
+/** Baseline JPEG (ITU-T T.81), restricted profile — the THIRD real
+  * raster container and the first TRANSFORM-coded one: after BMP
+  * (byte arithmetic) and PNG (entropy-coded deflate), this adds the
+  * block-DCT layer every camera/web image actually uses. Profile:
+  * 8-bit GRAYSCALE, one component, no subsampling, dims multiples of
+  * 8, baseline sequential scan, the spec's EXAMPLE Huffman tables
+  * (T.81 Annex K.3 — the tables virtually every encoder ships), no
+  * restart markers.
+  *
+  * Replayability design: JPEG is lossy pixel-to-pixel, but the
+  * entropy layer is LOSSLESS at the quantized-coefficient level — so
+  * the fixture generator emits quantized COEFFICIENTS from integer
+  * formulas (not pixels), the encoder Huffman-codes them into a real
+  * scan (DC differentials, AC run-length with ZRL/EOB, byte
+  * stuffing), and the decoder recovers the exact integers, then
+  * dequantizes and runs a FIXED-POINT integer IDCT (the scaled-cosine
+  * basis below, 64 integer multiply-adds per pixel, one floor-shift)
+  * — every step exact integer arithmetic both engines reproduce
+  * bit-for-bit, so the decoded raster is oracle-replayable end to
+  * end. Public sources only: ITU-T T.81 (the JPEG spec itself);
+  * cross-checked in the spec against handcrafted streams.
+  */
+object Jpeg {
+
+  // ---- zigzag scan order: index k -> (row, col), T.81 Figure 5 ----------
+  private[graft] val zigzag: Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](64)
+    var r = 0; var c = 0
+    var k = 0
+    while (k < 64) {
+      out(k) = (r, c)
+      if ((r + c) % 2 == 0) {
+        if (c == 7) r += 1 else if (r == 0) c += 1 else { r -= 1; c += 1 }
+      } else {
+        if (r == 7) c += 1 else if (c == 0) r += 1 else { r += 1; c -= 1 }
+      }
+      k += 1
+    }
+    out
+  }
+
+  // ---- spec example Huffman tables (T.81 Annex K.3.1/K.3.2) -------------
+  // BITS[i] = number of codes of length i+1; HUFFVAL in code order.
+  private val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val dcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val acBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val acVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** canonical code assignment per T.81 Annex C: (value -> (code, len))
+    * for encoding; (bits -> counts/symbols) structure for decoding. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val codeOf = new Array[Int](256)
+    val lenOf = new Array[Int](256)
+    // decode structure: per length, first code + index into vals
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        var i = 0
+        while (i < bits(l - 1)) {
+          codeOf(vals(k)) = code
+          lenOf(vals(k)) = l
+          code += 1; k += 1; i += 1
+        }
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: => Int): Int = { // br reads one bit, -1 on error
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val b = br
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+          return vals(valPtr(l) + (code - minCode(l)))
+        l += 1
+      }
+      -1
+    }
+  }
+  private lazy val dcTable = new HuffTable(dcBits, dcVals)
+  private lazy val acTable = new HuffTable(acBits, acVals)
+
+  // ---- fixed-point IDCT basis: M(u)(x) = round(2048·C(u)·cos((2x+1)uπ/16))
+  // with C(0)=1/√2, C(u>0)=1. pixel = ((Σ_{u,v} coef·q·M(u)(x)·M(v)(y)
+  // + 2^23) >> 24) + 128, clamped — 2048² · 4 = 2^24 (the 1/4 of the
+  // orthonormal IDCT). Constants are literals on BOTH engines (the
+  // oracle embeds them as a VALUES table), so the decode replays
+  // bit-for-bit.
+  private[graft] val idctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      math.round(2048.0 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    }
+
+  /** The fixed-point inverse DCT + level shift + clamp over one 8×8
+    * DEQUANTIZED coefficient block (row = vertical frequency v,
+    * col = horizontal u) — shared by the decoder and the spec's
+    * direct checks. */
+  private[graft] def idctBlock(deq: Array[Array[Long]]): Array[Array[Int]] =
+    Array.tabulate(8, 8) { (y, x) =>
+      var sum = 0L
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          sum += deq(v)(u) * idctBasis(u)(x) * idctBasis(v)(y)
+          u += 1
+        }
+        v += 1
+      }
+      val p = ((sum + (1L << 23)) >> 24) + 128L
+      math.max(0L, math.min(255L, p)).toInt
+    }
+
+  /** size/category of a coefficient amplitude (T.81 F.1.2.1). */
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  // ======================= encoder (fixture generator half) ===============
+
+  /** Encode quantized coefficient blocks into a REAL baseline JFIF
+    * stream. `coef(blockIndex)(v)(u)` are the QUANTIZED integers
+    * (block index row-major over (by, bx)); `qtable(v)(u)` the
+    * quantization table. Emits SOI, APP0(JFIF), COM of `gap` junk
+    * bytes when gap > 0 (segment layout must be walked), DQT (zigzag
+    * order, per spec), SOF0 (8-bit, 1 component, 1×1 sampling), two
+    * DHTs (the Annex K example tables), SOS, the entropy-coded scan
+    * with 0xFF byte stuffing, EOI. */
+  def encodeJpeg(w: Int, h: Int, gap: Int,
+                 qtable: Array[Array[Int]],
+                 coef: Array[Array[Array[Int]]]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "profile: dims multiples of 8")
+    require(coef.length == (w / 8) * (h / 8), "one block per 8x8 tile")
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = out += (v & 0xff).toByte
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xff); b(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 JFIF
+    "JFIF".foreach(ch => b(ch)); b(0)
+    b(1); b(1); b(0); be16(1); be16(1); b(0); b(0)
+    if (gap > 0) { // COM segment: variable layout, must be walked
+      marker(0xfe); be16(2 + gap)
+      (0 until gap).foreach(i => b(0x41 + (i % 16)))
+    }
+    marker(0xdb); be16(2 + 1 + 64) // DQT, Pq=0 Tq=0, zigzag order
+    b(0)
+    zigzag.foreach { case (r, c) => b(qtable(r)(c)) }
+    marker(0xc0); be16(2 + 6 + 3) // SOF0: 8-bit, 1 component, 1x1
+    b(8); be16(h); be16(w); b(1)
+    b(1); b(0x11); b(0)
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      b((tc << 4) | 0)
+      bits.foreach(b(_)); vals.foreach(b(_))
+    }
+    dht(0, dcBits, dcVals)
+    dht(1, acBits, acVals)
+    marker(0xda); be16(2 + 1 + 2 + 3) // SOS
+    b(1); b(1); b(0x00) // component 1: DC table 0, AC table 0
+    b(0); b(63); b(0)
+    // entropy-coded scan: MSB-first bit writer with byte stuffing
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          b(bitBuf)
+          if (bitBuf == 0xff) b(0x00) // byte stuffing (B.1.1.5)
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putHuff(t: HuffTable, sym: Int): Unit = putBits(t.codeOf(sym), t.lenOf(sym))
+    def putAmp(v: Int, size: Int): Unit =
+      if (size > 0) putBits(if (v >= 0) v else v + (1 << size) - 1, size)
+    var prevDc = 0
+    coef.foreach { blk =>
+      val dc = blk(0)(0)
+      val diff = dc - prevDc
+      prevDc = dc
+      val dsz = category(diff)
+      putHuff(dcTable, dsz); putAmp(diff, dsz)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val (r, c) = zigzag(k)
+        val v = blk(r)(c)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { putHuff(acTable, 0xf0); run -= 16 } // ZRL
+          val sz = category(v)
+          putHuff(acTable, (run << 4) | sz); putAmp(v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putHuff(acTable, 0x00) // EOB
+    }
+    if (bitCnt > 0) { // pad final byte with 1s (B.1.1.5.1)
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      b(bitBuf)
+      if ((bitBuf & 0xff) == 0xff) b(0x00)
+    }
+    marker(0xd9) // EOI
+    out.toArray
+  }
+
+  // ======================= decoder ========================================
+
+  /** Grayscale raster decoded from a baseline JPEG; satisfies the
+    * shared Raster contract (rgb = the gray value ×3) so blockLum /
+    * embed / p05 consume it container-blind. */
+  final case class JpegImage(width: Int, height: Int, gray: Array[Byte])
+      extends Multimodal.Raster {
+    def rgb(x: Int, y: Int): (Int, Int, Int) = {
+      val g = gray(y * width + x) & 0xff
+      (g, g, g)
+    }
+  }
+
+  /** Decode a baseline JPEG within this object's profile: walks
+    * segments by length, parses DQT (un-zigzags), SOF0 (8-bit,
+    * 1 component, 1×1, dims multiples of 8), both DHTs, SOS; entropy-
+    * decodes every block (DC differential + AC run-length, byte
+    * unstuffing), dequantizes, integer-IDCTs, level-shifts and
+    * clamps. None for anything malformed or outside the profile —
+    * never throws. */
+  def parseJpeg(p: Array[Byte]): Option[JpegImage] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var pos = 2
+    var w = -1; var h = -1
+    var qt: Array[Array[Int]] = null
+    var dcT: HuffTable = null
+    var acT: HuffTable = null
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (pos + 4 > p.length) return None
+      if (u8(pos) != 0xff) return None
+      val m = u8(pos + 1)
+      if (m == 0xd9) return None // EOI before SOS
+      val len = be16(pos + 2)
+      if (len < 2 || pos + 2 + len > p.length) return None
+      val seg = pos + 4
+      m match {
+        case 0xdb => // DQT: Pq=0 (8-bit), one table, zigzag order
+          if (len != 2 + 1 + 64 || u8(seg) != 0) return None
+          qt = Array.ofDim[Int](8, 8)
+          var k = 0
+          while (k < 64) {
+            val (r, c) = zigzag(k); qt(r)(c) = u8(seg + 1 + k); k += 1
+          }
+        case 0xc0 => // SOF0: 8-bit grayscale, 1x1 sampling
+          if (len != 2 + 6 + 3 || u8(seg) != 8) return None
+          h = be16(seg + 1); w = be16(seg + 3)
+          if (u8(seg + 5) != 1 || u8(seg + 7) != 0x11) return None
+          if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+        case 0xc4 => // DHT (possibly several; profile sends two)
+          var q = seg
+          while (q < pos + 2 + len) {
+            val tcth = u8(q)
+            val bits = Array.tabulate(16)(i => u8(q + 1 + i))
+            val n = bits.sum
+            if (q + 17 + n > pos + 2 + len || n > 256) return None
+            val vals = Array.tabulate(n)(i => u8(q + 17 + i))
+            val t = new HuffTable(bits, vals)
+            if ((tcth >> 4) == 0) dcT = t else acT = t
+            q += 17 + n
+          }
+        case 0xda => // SOS: 1 component, tables 0/0, full spectral range
+          if (len != 2 + 1 + 2 + 3 || u8(seg) != 1 || u8(seg + 2) != 0x00 ||
+            u8(seg + 3) != 0 || u8(seg + 4) != 63 || u8(seg + 5) != 0)
+            return None
+          scanStart = pos + 2 + len
+        case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
+          return None // any other SOF: outside the baseline profile
+        case _ => () // APPn / COM / other: skipped BY LENGTH
+      }
+      if (scanStart < 0) pos += 2 + len
+    }
+    if (w < 0 || qt == null || dcT == null || acT == null) return None
+    // entropy-coded scan: MSB-first reader with byte unstuffing
+    var sp = scanStart
+    var bitBuf = 0; var bitCnt = 0
+    var err = false
+    def bit(): Int = {
+      if (bitCnt == 0) {
+        if (sp >= p.length) { err = true; return -1 }
+        var byte = u8(sp); sp += 1
+        if (byte == 0xff) {
+          if (sp >= p.length) { err = true; return -1 }
+          val nxt = u8(sp)
+          if (nxt == 0x00) sp += 1 // stuffed
+          else { err = true; return -1 } // a marker inside the scan
+          byte = 0xff
+        }
+        bitBuf = byte; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def extend(v: Int, sz: Int): Int = // T.81 F.2.2.1 EXTEND
+      if (sz == 0) 0 else if (v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
+    def recv(sz: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < sz) { val b0 = bit(); if (err) return 0; v = (v << 1) | b0; i += 1 }
+      v
+    }
+    val bw = w / 8; val bh = h / 8
+    val gray = new Array[Byte](w * h)
+    var prevDc = 0
+    var bi = 0
+    while (bi < bw * bh) {
+      val coef = Array.ofDim[Long](8, 8)
+      val dsz = dcTable_decode(dcT, bit _)
+      if (err || dsz < 0 || dsz > 11) return None
+      val diff = extend(recv(dsz), dsz)
+      if (err) return None
+      prevDc += diff
+      coef(0)(0) = prevDc.toLong * qt(0)(0)
+      var k = 1
+      while (k < 64) {
+        val sym = dcTable_decode(acT, bit _)
+        if (err || sym < 0) return None
+        if (sym == 0x00) k = 64 // EOB
+        else if (sym == 0xf0) { k += 16; if (k > 63) return None } // ZRL
+        else {
+          val run = sym >> 4; val sz = sym & 0x0f
+          k += run
+          if (k > 63 || sz == 0) return None
+          val v = extend(recv(sz), sz)
+          if (err) return None
+          val (r, c) = zigzag(k)
+          coef(r)(c) = v.toLong * qt(r)(c)
+          k += 1
+        }
+      }
+      val px = idctBlock(coef)
+      val by = bi / bw; val bx = bi % bw
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          gray((by * 8 + y) * w + bx * 8 + x) = px(y)(x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      bi += 1
+    }
+    // after the last block: byte-align, then expect EOI (possibly after
+    // pad bits already consumed within the final byte)
+    if (sp + 2 > p.length) return None
+    if (u8(sp) != 0xff || u8(sp + 1) != 0xd9) return None
+    Some(JpegImage(w, h, gray))
+  }
+
+  // decode helper shared by DC and AC reads (method, not closure, so
+  // the hot loop stays allocation-free)
+  private def dcTable_decode(t: HuffTable, br: () => Int): Int = t.decode(br())
+}

@@ -343,7 +343,7 @@ object Multimodal {
   /** A decoded RGB raster, whatever the container: the contract the
     * feature extractors (blockLum) consume, so BMP and PNG payloads
     * feed one embedding definition. */
-  sealed trait Raster {
+  trait Raster { // extended by BmpImage/PngImage here and Jpeg.JpegImage
     def width: Int
     def height: Int
     /** (r, g, b) at (x, y), y = 0 the TOP row. */

@@ -35,7 +35,7 @@ object Pipeline extends PipelineStreamBatch {
     "p08_release_diff" -> p08,
     "p10_pack_learned" -> p10, "p11_budget_waterfill" -> p11,
     "p12_leakage_safe_split" -> p12, "p13_pack_bpe" -> p13,
-    "p14_epoch_schedule" -> p14,
+    "p14_epoch_schedule" -> p14, "p15_pretrain_build" -> p15,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
@@ -69,6 +69,7 @@ object Pipeline extends PipelineStreamBatch {
     "m06_video_meta" -> m06, "m07_video_frame_sample" -> m07,
     "m05_audio_meta" -> m05, "m08_pixel_decode" -> m08,
     "m09_audio_samples" -> m09, "m10_png_decode" -> m10,
+    "m12_jpeg_decode" -> m12,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -98,7 +99,7 @@ object Pipeline extends PipelineStreamBatch {
     "d17_decontaminate_ivf" -> d16Sql,
     "p08_release_diff" -> p08Sql, "p11_budget_waterfill" -> p11Sql,
     "p12_leakage_safe_split" -> p12Sql, "p13_pack_bpe" -> p13Sql,
-    "p14_epoch_schedule" -> p14Sql,
+    "p14_epoch_schedule" -> p14Sql, "p15_pretrain_build" -> p15Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,
@@ -134,6 +135,7 @@ object Pipeline extends PipelineStreamBatch {
     "m06_video_meta" -> m06Sql, "m07_video_frame_sample" -> m07Sql,
     "m05_audio_meta" -> m05Sql, "m08_pixel_decode" -> m08Sql,
     "m09_audio_samples" -> m09Sql, "m10_png_decode" -> m10Sql,
+    "m12_jpeg_decode" -> m12Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

@@ -107,7 +107,12 @@ private[graft] trait PipelineAnn extends PipelineShared {
       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
   // -- s02: random-hyperplane LSH bucketed ANN (rows-only) -----------------
-  private[queries] val s02: Q = (s, d) => {
+  // Frames form (round 12): every rung exposes (candidates, top5) so
+  // s11's recall/COST grid counts the pairs each rung actually scored
+  // from the SAME frame the rung scores — the cost column can never
+  // drift from the rung's real candidate generation. The registered
+  // rung is Frames._2 unchanged.
+  private[queries] def s02Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val dim = 64; val bits = 6; val tables = 4
     // OR-amplified multi-table LSH: 4 independent 6-bit hyperplane
     // signatures; a candidate is probed if it co-buckets with the query
@@ -143,7 +148,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // Leave the join to AQE: it broadcasts from RUNTIME size when the
     // candidate set is genuinely small and falls back to a shuffled
     // join when it isn't (round-11 advice finding).
-    candIds
+    val top5 = candIds
       .join(base.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
       .join(broadcast(qVecs), "q_id")
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
@@ -151,7 +156,9 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
+    (candIds, top5)
   }
+  private[queries] val s02: Q = (s, d) => s02Frames(s, d)._2
 
   // GRADUATED to hash-exact in round 5: the planes are driver-side
   // literals (VectorFunctions.planeMatrix — Double.toString round-trips
@@ -159,14 +166,18 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // list_dot_product (bit-equal to the native sequential loop, the d06
   // precedent), and OR-amplified banding is a plain equi-join + GROUP
   // BY — so the whole multi-table LSH pipeline replays as SQL.
-  private[queries] val s02Sql: String = {
+  /** The LSH candidate-generation CTEs (planes → signatures → OR-
+    * deduped candidate pairs) — shared by s02Sql and the s11 cost
+    * column's count so the "scored candidates" the grid prices are
+    * definitionally the rung's own. */
+  private[queries] val s02CandCtes: String = {
     val dim = 64; val bits = 6; val tables = 4
     val planeRows = (for {
       t <- 0 until tables
       m = graft.functions.VectorFunctions.planeMatrix(dim, bits, t * 1000)
       j <- 0 until bits
     } yield s"($t, $j, [${m(j).mkString(", ")}]::DOUBLE[])").mkString(",\n    ")
-    s"""WITH planes AS (
+    s"""planes AS (
        |  SELECT * FROM (VALUES
        |    $planeRows) AS t(tbl, j, plane)),
        |sigs AS (
@@ -177,7 +188,13 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
        |  FROM sigs c JOIN sigs q ON c.tbl = q.tbl AND c.bucket = q.bucket
-       |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10)""".stripMargin
+  }
+  private[queries] val s02CandSql: String =
+    s"WITH $s02CandCtes\nSELECT q_id, cand_id FROM cand"
+
+  private[queries] val s02Sql: String = {
+    s"""WITH $s02CandCtes,
        |scored AS (
        |  SELECT q_id, cand_id,
        |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
@@ -203,7 +220,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // √n·nProbe instead of growing linearly with a fixed list count.
   // Probe selection runs through the native NearestClusters expression
   // (one compiled loop/row) — no crossJoin, no window shuffle.
-  private[queries] val s03: Q = (s, d) => {
+  private[queries] def s03Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val nProbe = 2
     val n = T.embeddingsCount(s, d)
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -214,21 +231,26 @@ private[graft] trait PipelineAnn extends PipelineShared {
         graft.functions.GraftColumns.nearestClusters(col("q_vec"), cents, nProbe)))
       .select(col("q_id"), col("q_vec"), col("cluster"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    assigned.filter(col("vec_id") >= 10)
+    val probed = assigned.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("embedding"), col("cluster"))
       .join(broadcast(probes), "cluster") // only the probed inverted lists
+    val top5 = probed
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("cand_id"), round(col("cos"), 4).as("cosine"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
+    (probed.select(col("q_id"), col("cand_id")), top5)
   }
+  private[queries] val s03: Q = (s, d) => s03Frames(s, d)._2
 
   // ROUND(,4) is safe here for the same reason as s01/s02: every
   // emitted cosine is one of s01's candidate cosines (same vectors,
   // same compiled op order), and s01 is hash-exact at both gate SFs.
-  private[queries] val s03Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
+  /** IVF candidate CTEs (fit → 2-probe assignment → probed-list
+    * pairs) — shared by s03Sql and the s11 cost count. */
+  private[queries] val s03CandCtes: String =
+    s"""${coarseFitSql(floorK = 16)},
        |${coarseAsgSql(maxRn = 2)},
        |cand AS (SELECT vec_id AS cand_id, embedding, cluster
        |         FROM asg WHERE rn = 1 AND vec_id >= 10),
@@ -238,7 +260,12 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |  SELECT p.q_id, c.cand_id,
        |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
        |                           CAST(c.embedding AS DOUBLE[])) AS cos
-       |  FROM cand c JOIN probe p ON c.cluster = p.cluster),
+       |  FROM cand c JOIN probe p ON c.cluster = p.cluster)""".stripMargin
+  private[queries] val s03CandSql: String =
+    s"WITH $s03CandCtes\nSELECT q_id, cand_id FROM scored"
+
+  private[queries] val s03Sql: String =
+    s"""WITH $s03CandCtes,
        |r AS (SELECT q_id, cand_id, cos,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
        |      FROM scored)
@@ -317,7 +344,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
     * vector, codebook reconstruction, and the exact re-rank (the
     * s01/s02 scoring idiom). `adcSql` differs: flat scan (s04) vs
     * probed inverted lists (s05). */
-  private[queries] def pqScoreSql(adcSql: String,
+  /** The PQ encode + ADC candidate CTEs (codes → reconstruction →
+    * the caller's adc frame) — the prefix of [[pqScoreSql]], shared
+    * with the s11 cost counts (the ADC pairs ARE the scored
+    * candidates of a PQ rung). */
+  private[queries] def pqCandCtes(adcSql: String,
                          candWhere: String = "e.vec_id >= 10"): String =
     s"""codes AS (
        |  SELECT vec_id, m, cluster AS code FROM (
@@ -334,7 +365,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |  FROM (SELECT co.vec_id, co.m, c.cv
        |        FROM codes co JOIN pqcent c ON c.m = co.m AND c.cluster = co.code)
        |  GROUP BY vec_id),
-       |$adcSql,
+       |$adcSql""".stripMargin
+
+  private[queries] def pqScoreSql(adcSql: String,
+                         candWhere: String = "e.vec_id >= 10"): String =
+    s"""${pqCandCtes(adcSql, candWhere)},
        |short AS (
        |  SELECT q_id, cand_id FROM (
        |    SELECT q_id, cand_id,
@@ -404,7 +439,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  private[queries] val s04: Q = (s, d) => {
+  private[queries] def s04Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // shortlist = 10× the final k, the usual PQ re-rank budget: at
     // corpus scale it is a CONSTANT per query while the compressed
     // scan it follows is what grows.
@@ -417,19 +452,25 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     // Stage 1 — ADC shortlist over codes only (the compressed scan);
     // Stage 2 — exact re-rank fetches full vectors for the shortlist.
-    val short = pqAdcShortlist(coded.crossJoin(broadcast(qs)), codebooks, shortlist)
-    pqRerank(short, emb, qs, k = 5)
+    val codedQs = coded.crossJoin(broadcast(qs))
+    val short = pqAdcShortlist(codedQs, codebooks, shortlist)
+    (codedQs.select(col("q_id"), col("cand_id")), pqRerank(short, emb, qs, k = 5))
   }
+  private[queries] val s04: Q = (s, d) => s04Frames(s, d)._2
+
+  private[queries] val s04AdcSql: String =
+    s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |      FROM embeddings WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT q.q_id, r.vec_id AS cand_id,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), r.rv) AS approx_cos
+       |  FROM recon r CROSS JOIN q)""".stripMargin
+  private[queries] val s04CandSql: String =
+    s"WITH $pqFitSql,\n${pqCandCtes(s04AdcSql)}\nSELECT q_id, cand_id FROM adc"
 
   private[queries] val s04Sql: String =
     s"""WITH $pqFitSql,
-       |${pqScoreSql(
-      s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec
-         |      FROM embeddings WHERE vec_id < 10),
-         |adc AS (
-         |  SELECT q.q_id, r.vec_id AS cand_id,
-         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), r.rv) AS approx_cos
-         |  FROM recon r CROSS JOIN q)""".stripMargin)}""".stripMargin
+       |${pqScoreSql(s04AdcSql)}""".stripMargin
 
   // -- s05: IVF-PQ ANN -----------------------------------------------------
   // The production ANN composition — s03's probe-list restriction ×
@@ -447,7 +488,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // (PipelineScaleSpec). ORACLE-EXACT since round 5: both fits are
   // the replayable integer Lloyd, so quantizer + codebooks + ADC +
   // re-rank all re-derive in DuckDB.
-  private[queries] val s05: Q = (s, d) => {
+  private[queries] def s05Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // nProbe 4 (vs s03's 2): PQ loses additional candidates inside
     // the probed lists, so IVF-PQ spends more probes to hold recall —
     // the standard FAISS tuning trade. 4 lists of √n vectors is still
@@ -472,25 +513,32 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val emb = T.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val short = pqAdcShortlist(coded.join(broadcast(probes), "cluster"),
-      codebooks, shortlist)
-    pqRerank(short, emb, qs, k = 5)
+    val codedProbed = coded.join(broadcast(probes), "cluster")
+    val short = pqAdcShortlist(codedProbed, codebooks, shortlist)
+    (codedProbed.select(col("q_id"), col("cand_id")),
+      pqRerank(short, emb, qs, k = 5))
   }
+  private[queries] val s05: Q = (s, d) => s05Frames(s, d)._2
+
+  private[queries] val s05AdcSql: String =
+    s"""${coarseAsgSql(maxRn = 4)},
+       |cand AS (SELECT vec_id, cluster FROM asg WHERE rn = 1 AND vec_id >= 10),
+       |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
+       |          FROM asg WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT p.q_id, c.vec_id AS cand_id,
+       |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
+       |  FROM cand c
+       |  JOIN probe p ON c.cluster = p.cluster
+       |  JOIN recon r ON r.vec_id = c.vec_id)""".stripMargin
+  private[queries] val s05CandSql: String =
+    s"WITH ${coarseFitSql(floorK = 16)},\n$pqFitSql,\n" +
+      s"${pqCandCtes(s05AdcSql)}\nSELECT q_id, cand_id FROM adc"
 
   private[queries] val s05Sql: String =
     s"""WITH ${coarseFitSql(floorK = 16)},
        |$pqFitSql,
-       |${pqScoreSql(
-      s"""${coarseAsgSql(maxRn = 4)},
-         |cand AS (SELECT vec_id, cluster FROM asg WHERE rn = 1 AND vec_id >= 10),
-         |probe AS (SELECT vec_id AS q_id, embedding AS q_vec, cluster
-         |          FROM asg WHERE vec_id < 10),
-         |adc AS (
-         |  SELECT p.q_id, c.vec_id AS cand_id,
-         |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
-         |  FROM cand c
-         |  JOIN probe p ON c.cluster = p.cluster
-         |  JOIN recon r ON r.vec_id = c.vec_id)""".stripMargin)}""".stripMargin
+       |${pqScoreSql(s05AdcSql)}""".stripMargin
 
   // -- s19: RESIDUAL IVF-PQ (the true FAISS composition) -------------------
   // s05 quantizes RAW vectors (spherical PQ, cluster-independent
@@ -515,7 +563,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // Scale: s05's shape exactly — one extra map-side zip_with for the
   // residual, the codebook fit on the same capped sample, probes
   // broadcast, candidates probed-list-sized.
-  private[queries] val s19: Q = (s, d) => {
+  private[queries] def s19Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val nProbe = 4; val numSub = 8; val ksub = 16; val shortlist = 50
     val n = T.embeddingsCount(s, d)
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -553,13 +601,16 @@ private[graft] trait PipelineAnn extends PipelineShared {
       element_at(centScaled, col("cluster") + 1), reconRes, (a, b) => a + b)
     val wApprox = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_cos").desc, col("cand_id"))
-    val short = coded.join(broadcast(probes), "cluster")
+    val codedProbed = coded.join(broadcast(probes), "cluster")
+    val short = codedProbed
       .withColumn("approx_cos", VF.cosine(col("q_vec"), reconFull))
       .withColumn("rn_a", row_number().over(wApprox))
       .filter(col("rn_a") <= shortlist)
       .select(col("q_id"), col("cand_id"))
-    pqRerank(short, emb, qs, k = 5)
+    (codedProbed.select(col("q_id"), col("cand_id")),
+      pqRerank(short, emb, qs, k = 5))
   }
+  private[queries] val s19: Q = (s, d) => s19Frames(s, d)._2
 
   // DuckDB inlines a CTE at every reference site, so frames shared by
   // the fit chain AND the encode/probe chain (asg, res, codes, recon)
@@ -567,8 +618,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // limit once s11 composes all seven rungs. MATERIALIZED pins each
   // shared frame to one evaluation; a pure execution hint, zero
   // semantic content.
-  private[queries] val s19Sql: String =
-    s"""WITH ${coarseFitSql(floorK = 16)},
+  /** Residual-IVF-PQ candidate CTEs (coarse fit → residuals →
+    * residual codebooks → codes → recon → probed ADC pairs) — shared
+    * by s19Sql and the s11 cost count. */
+  private[queries] val s19CandCtes: String =
+    s"""${coarseFitSql(floorK = 16)},
        |${coarseAsgSql(maxRn = 4).replace("asg AS (", "asg AS MATERIALIZED (")},
        |res AS MATERIALIZED (
        |  SELECT a.vec_id, a.cluster,
@@ -605,7 +659,12 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |adc AS (
        |  SELECT p.q_id, r.vec_id AS cand_id,
        |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), r.rv) AS approx_cos
-       |  FROM recon r JOIN probe p ON r.cluster = p.cluster),
+       |  FROM recon r JOIN probe p ON r.cluster = p.cluster)""".stripMargin
+  private[queries] val s19CandSql: String =
+    s"WITH $s19CandCtes\nSELECT q_id, cand_id FROM adc"
+
+  private[queries] val s19Sql: String =
+    s"""WITH $s19CandCtes,
        |short AS (
        |  SELECT q_id, cand_id FROM (
        |    SELECT q_id, cand_id,
@@ -650,7 +709,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // sequence in both engines (sub, mul 255.0, div, floor, clamp), so
   // codes - and therefore the admitted survivor set - are
   // oracle-certified, not just the final rows.
-  private[queries] val s14: Q = (s, d) => {
+  private[queries] def s14Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val k = 5; val overfetch = 4
     val emb = T.embeddings(s, d)
     val corpus = emb.filter(col("vec_id") >= 10)
@@ -686,7 +745,8 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // candidates crowd out true neighbors. Exact-int inputs, one
     // exactly-rounded sqrt + one division → bit-identical both engines.
     val wA = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("cand_id"))
-    val survivors = ccodes.crossJoin(broadcast(qcodes))
+    val quantScan = ccodes.crossJoin(broadcast(qcodes))
+    val survivors = quantScan
       .withColumn("approx_dot", expr(
         "aggregate(zip_with(q_codes, codes, (a, b) -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
       .withColumn("approx_cos", when(col("c_norm2") === 0L || col("q_norm2") === 0L, lit(-1.0))
@@ -699,7 +759,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val wR = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    broadcast(survivors)
+    val top5 = broadcast(survivors)
       .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
       .join(broadcast(qs), "q_id")
       .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
@@ -708,10 +768,14 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .select(col("q_id"), col("cand_id"), col("approx_dot"),
         round(col("cos"), 4).as("cosine"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
+    (quantScan.select(col("q_id"), col("cand_id")), top5)
   }
+  private[queries] val s14: Q = (s, d) => s14Frames(s, d)._2
 
-  private[queries] val s14Sql =
-    """WITH mm AS (
+  /** SQ8 candidate CTEs (per-dim fit → codes → the full quantized
+    * scan pairs) — shared by s14Sql and the s11 cost count. */
+  private[queries] val s14CandCtes =
+    """mm AS (
       |  SELECT i, MIN(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mn,
       |         MAX(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mx
       |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
@@ -741,7 +805,12 @@ private[graft] trait PipelineAnn extends PipelineShared {
       |      i -> CAST(codes[i] AS BIGINT) * codes[i])) AS BIGINT) AS c_norm2,
       |    CAST(list_sum(list_transform(generate_series(1, len(q_codes)),
       |      i -> CAST(q_codes[i] AS BIGINT) * q_codes[i])) AS BIGINT) AS q_norm2
-      |  FROM cc, qc),
+      |  FROM cc, qc)""".stripMargin
+  private[queries] val s14CandSql: String =
+    s"WITH $s14CandCtes\nSELECT q_id, cand_id FROM scored"
+
+  private[queries] val s14Sql =
+    s"""WITH $s14CandCtes,
       |cosed AS (
       |  SELECT q_id, cand_id, approx_dot,
       |    CASE WHEN c_norm2 = 0 OR q_norm2 = 0 THEN -1.0
@@ -1043,11 +1112,12 @@ private[graft] trait PipelineAnn extends PipelineShared {
     (surv, rewritten, rewriteCells, affCells, newPiv)
   }
 
-  /** The s16 SEARCH over built graph frames: best-pivot entry, fixed
-    * 2-hop frontier expansion, exact scoring, top-k. One definition
-    * for the per-query path and the persisted-index probe. */
-  private[graft] def graphProbe(edges: DataFrame, piv: DataFrame,
-                                q: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+  /** The s16 search FRONTIER over built graph frames: best-pivot
+    * entry + fixed 2-hop expansion, distinct (q_id, node) — the
+    * candidate set the probe exact-scores (and the s11 cost column
+    * counts). */
+  private[graft] def graphFrontier(edges: DataFrame, piv: DataFrame,
+                                   q: DataFrame): DataFrame = {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
     val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
       .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
@@ -1063,7 +1133,15 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .select(f0("q_id"), col("e1.b_id").as("node"))
     val f2 = broadcast(f1).join(edges.as("e2"), f1("node") === col("e2.a_id"))
       .select(f1("q_id"), col("e2.b_id").as("node"))
-    val frontier = f0.union(f1).union(f2).distinct()
+    f0.union(f1).union(f2).distinct()
+  }
+
+  /** The s16 SEARCH over built graph frames: best-pivot entry, fixed
+    * 2-hop frontier expansion, exact scoring, top-k. One definition
+    * for the per-query path and the persisted-index probe. */
+  private[graft] def graphProbe(edges: DataFrame, piv: DataFrame,
+                                q: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val frontier = graphFrontier(edges, piv, q)
     val ws = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     broadcast(frontier)
       .join(emb.select(col("vec_id").as("node"), col("embedding").as("c_vec")), "node")
@@ -1076,15 +1154,18 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  private[queries] val s16: Q = (s, d) => {
+  private[queries] def s16Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = T.embeddings(s, d)
     val n = T.embeddingsCount(s, d)
     val (edges0, piv) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
     val edges = edges0.transform(graft.CacheScope.cached) // walked twice (1-hop, 2-hop)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    graphProbe(edges, piv, q, emb, k = 5)
+    (graphFrontier(edges, piv, q)
+       .select(col("q_id"), col("node").as("cand_id")),
+      graphProbe(edges, piv, q, emb, k = 5))
   }
+  private[queries] val s16: Q = (s, d) => s16Frames(s, d)._2
 
   // ROUND(,4) safe as in s01/s03: every emitted cosine is one of the
   // exact candidate cosines. The oracle replays fit, 2-probe cells,
@@ -1112,7 +1193,10 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |    FROM pairsg)
        |  WHERE rn <= 6)""".stripMargin
 
-  private[queries] def graphSqlBody(scoredFilter: String): String =
+  /** Build + pivot-entry + 2-hop frontier CTEs — graphSqlBody's
+    * prefix, shared with the s11 cost count (the frontier IS the set
+    * the probe exact-scores). */
+  private[queries] def graphFrontierCtes: String =
     s"""$graphEdgeCtes,
        |piv AS (
        |  SELECT p.cluster, p.pid, e.embedding AS p_vec
@@ -1133,7 +1217,16 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |frontier AS (
        |  SELECT q_id, pid AS node FROM entry
        |  UNION SELECT q_id, node FROM f1
-       |  UNION SELECT q_id, node FROM f2),
+       |  UNION SELECT q_id, node FROM f2)""".stripMargin
+
+  private[queries] val s16CandSql: String =
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 2)},
+       |$graphFrontierCtes
+       |SELECT q_id, node AS cand_id FROM frontier""".stripMargin
+
+  private[queries] def graphSqlBody(scoredFilter: String): String =
+    s"""$graphFrontierCtes,
        |scored AS (
        |  SELECT fr.q_id, fr.node AS cand_id,
        |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
@@ -1173,9 +1266,12 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // bucket edges BY a_id so every hop join co-locates). Beam state
   // is per-query-bounded — the window never sees more than the
   // visited set. Nothing touches the corpus beyond the walked nodes.
-  private[graft] def beamProbe(edges: DataFrame, piv: DataFrame,
-                               q: DataFrame, emb: DataFrame,
-                               k: Int, beam: Int, rounds: Int): DataFrame = {
+  /** The beam WALK: visited set (q_id, node, cos) after `rounds`
+    * expand-the-beam rounds — everything the walk exact-scored (the
+    * s11 cost column counts this frame; beamProbe takes its top-k). */
+  private[graft] def beamVisited(edges: DataFrame, piv: DataFrame,
+                                 q: DataFrame, emb: DataFrame,
+                                 beam: Int, rounds: Int): DataFrame = {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
     val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
       .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
@@ -1213,21 +1309,38 @@ private[graft] trait PipelineAnn extends PipelineShared {
       visited = visited.unionByName(scored(arrivals)).distinct()
     }
     visited
+  }
+
+  private[graft] def beamProbe(edges: DataFrame, piv: DataFrame,
+                               q: DataFrame, emb: DataFrame,
+                               k: Int, beam: Int, rounds: Int): DataFrame = {
+    val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+    beamVisited(edges, piv, q, emb, beam, rounds)
       .withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
       .select(col("q_id"), col("node").as("cand_id"),
         round(col("cos"), 4).as("cosine"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
-  private[queries] val s20: Q = (s, d) => {
+  private[queries] def s20Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = T.embeddings(s, d)
     val n = T.embeddingsCount(s, d)
     val (edges0, piv) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
     val edges = edges0.transform(graft.CacheScope.cached) // walked every round
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    beamProbe(edges, piv, q, emb, k = 5, beam = 4, rounds = 3)
+    // the walk's localCheckpoint/persist rounds make the visited frame
+    // cheap to reuse: top-k and the s11 cost count share the cut
+    val visited = beamVisited(edges, piv, q, emb, beam = 4, rounds = 3)
+    val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+    val top5 = visited
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("node").as("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+    (visited.select(col("q_id"), col("node").as("cand_id")), top5)
   }
+  private[queries] val s20: Q = (s, d) => s20Frames(s, d)._2
 
   // The oracle replays the walk round by round: vR = vR−1 ∪ scores of
   // the nodes reached from vR−1's top-`beam`. MATERIALIZED pins the
@@ -1299,6 +1412,16 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
        |  FROM v$R)
        |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** s20's walk replayed to the final visited set v_R — the s11 cost
+    * count (everything the beam exact-scored). Same CTE chain as
+    * s20Sql with only the tail swapped. */
+  private[queries] val s20CandSql: String = {
+    val tail = "SELECT q_id, node AS cand_id, ROUND"
+    val i = s20Sql.lastIndexOf(tail)
+    require(i > 0, "s20Sql tail drifted; fix s20CandSql's split")
+    s20Sql.substring(0, i) + "SELECT q_id, node AS cand_id FROM v3"
   }
 
   // -- s21: delta-append on the GRAPH index (exact vs frozen-fit build) ----
@@ -1908,21 +2031,39 @@ private[graft] trait PipelineAnn extends PipelineShared {
     import s.implicits._
     val exact = s01(s, d).select(col("q_id"), col("cand_id"))
       .withColumn("hit", lit(1L))
+    // each rung contributes (candidates, top5) from ONE Frames call —
+    // the fits run once per rung, and the cost column counts the SAME
+    // candidate frame the rung's top-5 derives from, so recall and
+    // cost can never come from different candidate generations
     val methods = Seq(
-      "s02_lsh" -> s02, "s03_ivf" -> s03, "s04_pq" -> s04, "s05_ivfpq" -> s05,
-      "s14_sq8" -> s14, "s16_graph" -> s16, "s19_ivfpq_res" -> s19,
-      "s20_beam" -> s20)
-    val tagged = methods.map { case (name, q) =>
-      q(s, d).select(lit(name).as("method"), col("q_id"), col("cand_id"))
+      "s02_lsh" -> s02Frames(s, d), "s03_ivf" -> s03Frames(s, d),
+      "s04_pq" -> s04Frames(s, d), "s05_ivfpq" -> s05Frames(s, d),
+      "s14_sq8" -> s14Frames(s, d), "s16_graph" -> s16Frames(s, d),
+      "s19_ivfpq_res" -> s19Frames(s, d), "s20_beam" -> s20Frames(s, d))
+    val tagged = methods.map { case (name, (_, top)) =>
+      top.select(lit(name).as("method"), col("q_id"), col("cand_id"))
     }.reduce(_.unionByName(_))
     val hits = tagged.join(exact, Seq("q_id", "cand_id"), "left")
       .groupBy(col("method"), col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    // the COST side of the grid (round-11 verdict #2): how many
+    // (q, cand) pairs each rung actually scored to earn that recall —
+    // the deterministic, replayable price a deployer reads the ladder
+    // by. Pair frames are skinny (ids only), and each is unique per
+    // (q, cand) by construction (single-assignment lists / distinct
+    // unions), so COUNT(*) is the candidate-set size.
+    val candCnt = methods.map { case (name, (cands, _)) =>
+      cands.select(lit(name).as("method"), col("q_id"), col("cand_id"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("method"), col("q_id"))
+      .agg(count(lit(1)).as("cands"))
     val grid = exact.select(col("q_id")).distinct()
       .crossJoin(methods.map(_._1).toDF("method"))
     grid.join(hits, Seq("method", "q_id"), "left")
+      .join(candCnt, Seq("method", "q_id"), "left")
       .select(col("method"), col("q_id"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("cands"), lit(0L)).as("cands"))
       .withColumn("recall", col("hits").cast(DoubleType) / 5)
       .orderBy(col("method"), col("q_id"))
   }
@@ -1947,6 +2088,25 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |${rung("s19_ivfpq_res", s19Sql)}
        |UNION ALL
        |${rung("s20_beam", s20Sql)}),
+       |candidates AS (
+       |${rung("s02_lsh", s02CandSql)}
+       |UNION ALL
+       |${rung("s03_ivf", s03CandSql)}
+       |UNION ALL
+       |${rung("s04_pq", s04CandSql)}
+       |UNION ALL
+       |${rung("s05_ivfpq", s05CandSql)}
+       |UNION ALL
+       |${rung("s14_sq8", s14CandSql)}
+       |UNION ALL
+       |${rung("s16_graph", s16CandSql)}
+       |UNION ALL
+       |${rung("s19_ivfpq_res", s19CandSql)}
+       |UNION ALL
+       |${rung("s20_beam", s20CandSql)}),
+       |ccnt AS (
+       |  SELECT method, q_id, CAST(COUNT(*) AS BIGINT) AS cands
+       |  FROM candidates GROUP BY method, q_id),
        |hits AS (
        |  SELECT t.method, t.q_id,
        |    CAST(SUM(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
@@ -1961,8 +2121,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
                        's20_beam']) AS method) m)
        |SELECT g.method, g.q_id,
        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(c.cands, 0) AS BIGINT) AS cands,
        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
-       |FROM grid g LEFT JOIN hits h ON g.method = h.method AND g.q_id = h.q_id
+       |FROM grid g
+       |LEFT JOIN hits h ON g.method = h.method AND g.q_id = h.q_id
+       |LEFT JOIN ccnt c ON g.method = c.method AND g.q_id = c.q_id
        |ORDER BY g.method, g.q_id""".stripMargin
   }
 

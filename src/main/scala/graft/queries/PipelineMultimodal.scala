@@ -312,6 +312,110 @@ private[graft] trait PipelineMultimodal extends PipelineText {
       |FROM lums GROUP BY doc_id, w, h, by, bx
       |ORDER BY doc_id, by, bx""".stripMargin
 
+  // -- m12: baseline JPEG raster decode (the third real format) ------------
+  // BMP proved byte-arithmetic decode, PNG proved entropy-coded
+  // decode; m12 adds the TRANSFORM-coded layer (round-11 verdict's
+  // stretch #7): a real baseline JFIF stream — SOI, APP0, a variable-
+  // length COM segment (layout must be walked), DQT in zigzag order,
+  // SOF0 (8-bit grayscale, 1×1), the spec's Annex-K example Huffman
+  // tables in two DHTs, SOS, the entropy-coded scan with DC
+  // differentials / AC run-length (ZRL, EOB) / 0xFF byte stuffing,
+  // EOI. JPEG is lossy pixel-to-pixel but LOSSLESS at the quantized-
+  // coefficient level, so the generator emits COEFFICIENTS from
+  // integer formulas, and decode = Huffman → dequant → fixed-point
+  // integer IDCT (Jpeg.idctBasis literals) → level shift → clamp —
+  // exact integer arithmetic both engines replay bit-for-bit: the
+  // oracle re-derives the coefficients, dequantizes, and computes the
+  // SAME IDCT from the SAME basis constants as a VALUES table, then
+  // folds the decoded pixels into m08's 4×4 grid (lum601(g,g,g) = g
+  // exactly, so the grid sums the gray raster itself).
+  //
+  // Scale: one mapPartitions pass, per-image work = blocks × 64
+  // multiply-adds per pixel, 16-row fan-out — m08/m10's class.
+  private[queries] def framedJpeg(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    import s.implicits._
+    import graft.operators.{Jpeg, Multimodal}
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        val qtable = Array.ofDim[Int](8, 8)
+        Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
+          qtable(r)(c) = 1 + (k % 4)
+        }
+        it.map { case (id, src) =>
+          val w = 8 * (1 + (id % 3)).toInt; val h = 8 * (1 + (id % 2)).toInt
+          val gap = (id % 9).toInt
+          val bw = w / 8; val bh = h / 8
+          val coef = Array.tabulate(bw * bh) { bi =>
+            val by = bi / bw; val bx = bi % bw
+            Array.tabulate(8, 8) { (v, u) =>
+              if (u + v <= 2)
+                ((id * 7 + bx * 5 + by * 3 + u * 11 + v * 13) % 15).toInt - 7
+              else 0
+            }
+          }
+          Multimodal.MediaRecord(id, src, Jpeg.encodeJpeg(w, h, gap, qtable, coef))
+        }
+      }
+  }
+
+  private[queries] val m12: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{Jpeg, Multimodal}
+    framedJpeg(s, d).mapPartitions { it =>
+      it.flatMap { r =>
+        Jpeg.parseJpeg(r.payload) match {
+          case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
+          case None => Iterator.empty
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private[queries] val m12Sql: String = {
+    import graft.operators.Jpeg
+    // the SAME basis constants the decoder multiplies by, as literals
+    val basisRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Jpeg.idctBasis(u)(x)})").mkString(", ")
+    // quant as a function of (v, u): 1 + (zigzag index % 4)
+    val quantRows = Jpeg.zigzag.zipWithIndex
+      .map { case ((r, c), k) => s"($r, $c, ${1 + (k % 4)})" }.mkString(", ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 8 * (1 + (doc_id % 3)) AS w, 8 * (1 + (doc_id % 2)) AS h
+       |  FROM documents),
+       |bxs AS (SELECT doc_id, w, h, unnest(range(0, w // 8)) AS bx FROM dims),
+       |blocks AS (SELECT doc_id, w, h, bx, unnest(range(0, h // 8)) AS by FROM bxs),
+       |basis AS (SELECT * FROM (VALUES $basisRows) AS t(u, x, m)),
+       |quant AS (SELECT * FROM (VALUES $quantRows) AS t(v, u, q)),
+       |coef AS (
+       |  SELECT b.doc_id, b.w, b.h, b.bx, b.by, z.u, z.v,
+       |    (((b.doc_id*7 + b.bx*5 + b.by*3 + z.u*11 + z.v*13) % 15) - 7) * z.q AS cq
+       |  FROM blocks b, quant z
+       |  WHERE z.u + z.v <= 2),
+       |pix AS (
+       |  SELECT c.doc_id, c.w, c.h, c.bx, c.by, mu.x AS x, mv.x AS y,
+       |    CAST(SUM(c.cq * mu.m * mv.m) AS BIGINT) AS s
+       |  FROM coef c
+       |  JOIN basis mu ON mu.u = c.u
+       |  JOIN basis mv ON mv.u = c.v
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |gpx AS (
+       |  SELECT doc_id, w, h, bx * 8 + x AS gx, by * 8 + y AS gy,
+       |    least(255, greatest(0,
+       |      CAST(floor(CAST(s + 8388608 AS DOUBLE) / 16777216.0) AS BIGINT)
+       |        + 128)) AS g
+       |  FROM pix),
+       |lums AS (
+       |  SELECT doc_id, w, h,
+       |    CAST(gy * 4 // h AS INTEGER) AS by, CAST(gx * 4 // w AS INTEGER) AS bx,
+       |    g AS lum
+       |  FROM gpx)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+       |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+       |FROM lums GROUP BY doc_id, w, h, by, bx
+       |ORDER BY doc_id, by, bx""".stripMargin
+  }
+
   // -- m09: real PCM sample decode (audio, below the header) ---------------
   // m08's obligation carried to AUDIO: m05 parses the container, m09
   // decodes the SAMPLES — the loudness/clipping window scan an

@@ -29,7 +29,10 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
   // shuffle each (hash partition, then source partition). Catalyst
   // sees the whole chain, so filters push below the windows where
   // legal — the composition costs nothing vs hand-fused stages.
-  private[queries] val p01: Q = (s, d) => {
+  /** p01's curated set as a frame — ONE definition of the gates,
+    * shared by the registered p01 and the p15 end-to-end build (so
+    * the composition can never drift from the certified stage). */
+  private[queries] def p01Curated(s: SparkSession, d: String): DataFrame = {
     val (_, _, _, quality) = qualityParts
     val wDedup = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     val wBudget = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -47,8 +50,10 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
       .filter(col("cum_tokens") <= 400)
       .select(col("doc_id"), col("source"), col("quality"),
         col("bpe_tokens"), col("cum_tokens"))
-      .orderBy(col("doc_id"))
   }
+
+  private[queries] val p01: Q = (s, d) =>
+    p01Curated(s, d).orderBy(col("doc_id"))
 
   private[queries] val p01Sql =
     s"""WITH gated AS (
@@ -851,5 +856,215 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
        |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
        |  (SELECT cross_split_pairs FROM cross_cnt) AS cross_split_pairs
        |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+
+  // -- p15: the END-TO-END certified pretrain build -------------------------
+  // Every stage of the §2 ladder is individually oracle-exact; p15 is
+  // the integration proof (round-11 verdict #3): ONE registered query
+  // running the full pretrain data build as ONE declarative plan —
+  //   1. CURATE: p01's gates verbatim (p01Curated — one definition);
+  //   2. NEAR-DUP KEEPER: d14's quality-keeper rule over d04's banded
+  //      candidates at the DELETE threshold (est_jaccard ≥ 0.8 —
+  //      aggressive removal only for near-exact copies);
+  //   3. DECONTAMINATE: d09's n-gram benchmark overlap — flagged docs
+  //      AND the benchmark members themselves (doc_id % 20 = 0) leave
+  //      the training corpus;
+  //   4. LEAKAGE-SAFE SPLIT: p12's component draw over the SAME
+  //      banded pair graph at the looser GROUPING threshold (≥ 0.5 —
+  //      surviving near-dups must co-locate in one split);
+  //   5. PRICE: t23's trained-BPE apply (bpeWordTok — the one apply
+  //      definition t20/t23/p13 share);
+  //   6. PACK: p13's packing arithmetic over the train split
+  //      (hierarchicalPack, budget 8192);
+  //   7. SCHEDULE: p14's wrap-around slice policy at E=4 — each train
+  //      doc's FIRST epoch from its salted per-source rank.
+  // Output: one row per surviving doc — the training manifest — with
+  // split, BPE price, bin placement and first epoch (−1 outside the
+  // train split). The oracle composes the stages' own CTE chains, so
+  // hash equality certifies the COMPOSITION: a drift in any stage
+  // definition, join, or threshold moves rows.
+  //
+  // Scale: every stage keeps its own documented shape — map-only
+  // gates, banded pair graph (computed ONCE, reused at both
+  // thresholds via CacheScope), O(diameter) components over pairs
+  // only, broadcast vocab pricing, hierarchical prefix-sum packing,
+  // two bounded windows for the schedule. Nothing new materializes
+  // beyond the stages' own frames.
+  private[queries] val p15: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    // 1. curate
+    val kept1 = p01Curated(s, d).select(col("doc_id"), col("source"))
+      .transform(graft.CacheScope.cached) // keeper restrict + survivor base
+    val k1 = kept1.select(col("doc_id"))
+    // the banded candidate graph, computed once for stages 2 and 4
+    val pairsAll = d04(s, d).transform(graft.CacheScope.cached)
+    // 2. near-dup keeper at the delete threshold
+    val keepPairs = pairsAll.filter(col("est_jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+      .join(k1.toDF("a_id"), Seq("a_id"), "left_semi")
+      .join(k1.toDF("b_id"), Seq("b_id"), "left_semi")
+    val dropped = qualityKeeper(keepPairs, docs)
+      .filter(!col("is_keeper")).select(col("doc_id"))
+    val c2 = kept1.join(dropped, Seq("doc_id"), "left_anti")
+    // 3. decontaminate: flagged overlaps out, benchmark members out
+    val flagged = d09(s, d).select(col("corpus_id").as("doc_id")).distinct()
+    val c3 = c2.filter(col("doc_id") % 20 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .transform(graft.CacheScope.cached) // split restrict + manifest base
+    val c3ids = c3.select(col("doc_id"))
+    // 4. leakage-safe split at the grouping threshold
+    val splitPairs = pairsAll.filter(col("est_jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+      .join(c3ids.toDF("a_id"), Seq("a_id"), "left_semi")
+      .join(c3ids.toDF("b_id"), Seq("b_id"), "left_semi")
+    val comps = Operators.connectedComponents(splitPairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val assigned = c3.join(comps, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", substring(
+        md5(concat(col("split_key").cast(StringType), lit("|graft-split"))), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cd", "train")
+          .when(col("bucket") < "e7", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+    // 5. price in trained-BPE tokens
+    val cost = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(bpeWordTok(docs)), "w")
+      .groupBy(col("doc_id")).agg(sum(col("tok")).as("bpe"))
+    val priced = assigned.join(cost, Seq("doc_id"), "left")
+      .withColumn("bpe_tokens", coalesce(col("bpe"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("split"), col("bpe_tokens"))
+      .transform(graft.CacheScope.cached) // packing + schedule + manifest
+    val train = priced.filter(col("split") === "train")
+    // 6. pack the train split
+    val packed = hierarchicalPack(
+      train.withColumn("cost", col("bpe_tokens")), budget = 8192, shardSize = 512)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+    // 7. first epoch under p14's wrap-around slice policy (E=4,
+    // quota = ceil(n/2) per source)
+    val ranked = train
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("p15|"), col("doc_id").cast(StringType))),
+          col("doc_id"))) - 1)
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("quota", expr("(n_src + 1) div 2"))
+    def adm(e: Int) =
+      pmod(col("r") - lit(e.toLong) * col("quota"), col("n_src")) < col("quota")
+    val sched = ranked.select(col("doc_id"),
+      when(adm(0), 0L).when(adm(1), 1L).when(adm(2), 2L).when(adm(3), 3L)
+        .otherwise(-1L).as("first_epoch"))
+    priced
+      .join(packed, Seq("doc_id"), "left")
+      .join(sched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("split"), col("bpe_tokens"),
+        coalesce(col("bin_id"), lit(-1L)).as("bin_id"),
+        coalesce(col("bin_offset"), lit(-1L)).as("bin_offset"),
+        coalesce(col("first_epoch"), lit(-1L)).as("first_epoch"))
+      .orderBy(col("doc_id"))
+  }
+
+  // The composition oracle: the stages' own CTE chains, composed.
+  // p01Sql / d04Sql / d09Sql embed as subqueries (their own WITHs are
+  // scoped); the keeper, components, split, pricing, packing and
+  // schedule arithmetic restate the certified stages' SQL verbatim.
+  private[queries] val p15Sql: String =
+    s"""WITH RECURSIVE
+       |kept1 AS (SELECT doc_id, source FROM ($p01Sql)),
+       |dp AS MATERIALIZED (SELECT a_id, b_id, est_jaccard FROM ($d04Sql)),
+       |kpairs AS (
+       |  SELECT a_id, b_id FROM dp WHERE est_jaccard >= 0.8
+       |    AND a_id IN (SELECT doc_id FROM kept1)
+       |    AND b_id IN (SELECT doc_id FROM kept1)),
+       |ke AS (SELECT a_id AS src, b_id AS dst FROM kpairs
+       |       UNION ALL SELECT b_id, a_id FROM kpairs),
+       |kreach(src, dst) AS (
+       |  SELECT src, dst FROM ke
+       |  UNION
+       |  SELECT r.src, e.dst FROM kreach r JOIN ke e ON r.dst = e.src),
+       |kcomp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+       |          FROM kreach GROUP BY src),
+       |qual AS (
+       |  SELECT doc_id,
+       |    0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0)
+       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')))
+       |      - 0.2 * CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / length(text) AS quality
+       |  FROM documents),
+       |dropped AS (
+       |  SELECT doc_id FROM (
+       |    SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, c.doc_id) AS krn
+       |    FROM kcomp c JOIN qual q USING (doc_id))
+       |  WHERE krn > 1),
+       |c2 AS (SELECT doc_id, source FROM kept1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |flagged AS (SELECT DISTINCT corpus_id AS doc_id FROM ($d09Sql)),
+       |c3 AS (SELECT doc_id, source FROM c2
+       |       WHERE doc_id % 20 <> 0
+       |         AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |spairs AS (
+       |  SELECT a_id, b_id FROM dp WHERE est_jaccard >= 0.5
+       |    AND a_id IN (SELECT doc_id FROM c3)
+       |    AND b_id IN (SELECT doc_id FROM c3)),
+       |se AS (SELECT a_id AS src, b_id AS dst FROM spairs
+       |       UNION ALL SELECT b_id, a_id FROM spairs),
+       |sreach(src, dst) AS (
+       |  SELECT src, dst FROM se
+       |  UNION
+       |  SELECT r.src, e.dst FROM sreach r JOIN se e ON r.dst = e.src),
+       |scomp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+       |          FROM sreach GROUP BY src),
+       |assigned AS (
+       |  SELECT c.doc_id, c.source,
+       |    CASE WHEN substr(md5(CAST(COALESCE(sc.cluster_id, c.doc_id) AS VARCHAR)
+       |        || '|graft-split'), 1, 2) < 'cd' THEN 'train'
+       |      WHEN substr(md5(CAST(COALESCE(sc.cluster_id, c.doc_id) AS VARCHAR)
+       |        || '|graft-split'), 1, 2) < 'e7' THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM c3 c LEFT JOIN scomp sc ON c.doc_id = sc.doc_id),
+       |$bpeWtokCtes,
+       |agg AS (
+       |  SELECT d.doc_id, CAST(SUM(wt.tok) AS BIGINT) AS bpe
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+       |  JOIN wtok wt ON d.w = wt.w WHERE d.w <> ''
+       |  GROUP BY d.doc_id),
+       |priced AS (
+       |  SELECT a.doc_id, a.source, a.split,
+       |    CAST(COALESCE(g.bpe, 0) AS BIGINT) AS bpe_tokens
+       |  FROM assigned a LEFT JOIN agg g ON a.doc_id = g.doc_id),
+       |packw AS (
+       |  SELECT doc_id, bpe_tokens,
+       |    CAST(SUM(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM priced WHERE split = 'train'),
+       |packed AS (
+       |  SELECT doc_id, (cum - bpe_tokens) // 8192 AS bin_id,
+       |    (cum - bpe_tokens) % 8192 AS bin_offset
+       |  FROM packw),
+       |tr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5('p15|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_src
+       |  FROM priced WHERE split = 'train'),
+       |sched AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ((r - 0 * q) % n_src + n_src) % n_src < q THEN 0
+       |         WHEN ((r - 1 * q) % n_src + n_src) % n_src < q THEN 1
+       |         WHEN ((r - 2 * q) % n_src + n_src) % n_src < q THEN 2
+       |         WHEN ((r - 3 * q) % n_src + n_src) % n_src < q THEN 3
+       |         ELSE -1 END AS first_epoch
+       |  FROM (SELECT doc_id, r, n_src, (n_src + 1) // 2 AS q FROM tr))
+       |SELECT p.doc_id, p.source, p.split, p.bpe_tokens,
+       |  CAST(COALESCE(pk.bin_id, -1) AS BIGINT) AS bin_id,
+       |  CAST(COALESCE(pk.bin_offset, -1) AS BIGINT) AS bin_offset,
+       |  CAST(COALESCE(sd.first_epoch, -1) AS BIGINT) AS first_epoch
+       |FROM priced p
+       |LEFT JOIN packed pk ON p.doc_id = pk.doc_id
+       |LEFT JOIN sched sd ON p.doc_id = sd.doc_id
+       |ORDER BY p.doc_id""".stripMargin
 
 }

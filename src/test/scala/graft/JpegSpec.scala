@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Jpeg
+
+/** Baseline JPEG codec: coefficient-level round-trips (JPEG carries
+  * no integrity layer, so the lossless layer IS the contract),
+  * structural rejection of out-of-profile streams, and proof that the
+  * generated corpus exercises byte stuffing. No Spark involved. */
+class JpegSpec extends AnyFunSuite {
+
+  private val qOnes = Array.fill(8, 8)(1)
+  private def qZig: Array[Array[Int]] = {
+    val q = Array.ofDim[Int](8, 8)
+    Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) => q(r)(c) = 1 + (k % 4) }
+    q
+  }
+
+  private def idctOf(blk: Array[Array[Int]], q: Array[Array[Int]]): Array[Array[Int]] =
+    Jpeg.idctBlock(Array.tabulate(8, 8)((v, u) => blk(v)(u).toLong * q(v)(u)))
+
+  test("encode/decode round-trips arbitrary coefficient blocks (ZRL, long runs, big categories)") {
+    val rnd = new scala.util.Random(1207)
+    for (trial <- 0 until 20) {
+      val bw = 1 + rnd.nextInt(3); val bh = 1 + rnd.nextInt(2)
+      val q = if (trial % 2 == 0) qOnes else qZig
+      val blocks = Array.tabulate(bw * bh) { _ =>
+        Array.tabulate(8, 8) { (v, u) =>
+          val roll = rnd.nextInt(10)
+          if (roll < 6) 0 // sparse: exercises runs, ZRL, EOB
+          else if (roll < 9) rnd.nextInt(15) - 7
+          else rnd.nextInt(511) - 255 // category up to 8
+        }
+      }
+      val bytes = Jpeg.encodeJpeg(bw * 8, bh * 8, gap = trial % 5, q, blocks)
+      val img = Jpeg.parseJpeg(bytes).getOrElse(fail(s"parse None, trial $trial"))
+      assert(img.width == bw * 8 && img.height == bh * 8)
+      for (bi <- 0 until bw * bh) {
+        val expected = idctOf(blocks(bi), q)
+        val by = bi / bw; val bx = bi % bw
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val got = img.rgb(bx * 8 + x, by * 8 + y)._1
+          assert(got == expected(y)(x),
+            s"pixel drift trial=$trial block=$bi ($x,$y): $got != ${expected(y)(x)}")
+        }
+      }
+    }
+  }
+
+  test("DC-only block decodes flat; extremes clamp to [0, 255]") {
+    def dcBlock(dc: Int) = {
+      val b = Array.fill(8, 8)(0); b(0)(0) = dc; b
+    }
+    // baseline 8-bit DC differential range is ±2047 (category ≤ 11)
+    for (dc <- Seq(-2047, -16, 0, 16, 2047)) {
+      val img = Jpeg.parseJpeg(
+        Jpeg.encodeJpeg(8, 8, 0, qOnes, Array(dcBlock(dc)))).get
+      val vals = for (y <- 0 until 8; x <- 0 until 8) yield img.rgb(x, y)._1
+      assert(vals.distinct.size == 1, s"DC-only must be flat, dc=$dc")
+      assert(vals.head >= 0 && vals.head <= 255)
+      if (dc == -2047) assert(vals.head == 0, "deep negative must clamp to 0")
+      if (dc == 2047) assert(vals.head == 255, "deep positive must clamp to 255")
+    }
+  }
+
+  test("0xFF byte stuffing is produced, unstuffed, and decodes exactly") {
+    // brute-force a DC-only stream whose entropy scan contains a
+    // stuffed FF 00 pair (long 1-runs from high-category amplitudes
+    // align into a full 0xFF byte for some values), then verify the
+    // decoder unstuffs it to the exact pixels
+    def scanOf(bytes: Array[Byte]): Array[Byte] = {
+      val sos = (0 until bytes.length - 1).find(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda).get
+      bytes.slice(sos + 10, bytes.length - 2) // SOS segment: 2+2+6 bytes
+    }
+    def hasStuffing(bytes: Array[Byte]): Boolean =
+      scanOf(bytes).sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+    val hit = (-2047 to 2047).find { dc =>
+      val b = Array.fill(8, 8)(0); b(0)(0) = dc
+      hasStuffing(Jpeg.encodeJpeg(8, 8, 0, qOnes, Array(b)))
+    }
+    assert(hit.isDefined, "no DC value produces a stuffed byte — encoder wrong?")
+    val blk = { val b = Array.fill(8, 8)(0); b(0)(0) = hit.get; b }
+    val img = Jpeg.parseJpeg(Jpeg.encodeJpeg(8, 8, 0, qOnes, Array(blk)))
+      .getOrElse(fail("stuffed stream must decode"))
+    val expected = idctOf(blk, qOnes)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(img.rgb(x, y)._1 == expected(y)(x), s"unstuffed pixel drift ($x,$y)")
+  }
+
+  test("out-of-profile and malformed streams are rejected, never thrown") {
+    val good = Jpeg.encodeJpeg(16, 8, 3, qZig,
+      Array.tabulate(2)(bi => Array.tabulate(8, 8)((v, u) =>
+        if (u + v <= 1) bi * 3 + u + v + 1 else 0)))
+    assert(Jpeg.parseJpeg(good).isDefined)
+    // truncations at every structural layer
+    for (cut <- Seq(1, 4, 30, good.length / 2, good.length - 1))
+      assert(Jpeg.parseJpeg(good.take(cut)).isEmpty, s"truncation at $cut")
+    // missing EOI
+    assert(Jpeg.parseJpeg(good.dropRight(2)).isEmpty)
+    // SOF2 (progressive) instead of SOF0: outside the baseline profile
+    val sof = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val prog = good.clone(); prog(sof + 1) = 0xc2.toByte
+    assert(Jpeg.parseJpeg(prog).isEmpty, "SOF2 must be rejected")
+    // dims not multiples of 8
+    val badDim = good.clone()
+    badDim(sof + 6) = 0x00; badDim(sof + 7) = 0x09 // h = 9
+    assert(Jpeg.parseJpeg(badDim).isEmpty, "h % 8 != 0 must be rejected")
+    // not a JPEG at all / cross-format bytes
+    assert(Jpeg.parseJpeg(Array.fill(64)(0x55.toByte)).isEmpty)
+    assert(Jpeg.parseJpeg(
+      graft.operators.Multimodal.encodeBmp(8, 8, 0, (_, _) => (1, 2, 3))).isEmpty)
+  }
+}

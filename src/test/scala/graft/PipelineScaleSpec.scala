@@ -752,6 +752,47 @@ class PipelineScaleSpec extends SparkSpec {
         s"R=3 ${byR(3)} vs R=6 ${byR(6)}")
     edges.unpersist()
   }
+
+  test("p15 end-to-end build: every stage's contract holds on the composed output") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("p15_pretrain_build")(spark, sfDir).collect()
+    graft.CacheScope.drain()
+    assert(out.nonEmpty, "p15 produced no manifest rows")
+    val ids = out.map(_.getLong(0)).toSet
+    // decontamination: no benchmark member (doc_id % 20 = 0) survives
+    assert(ids.forall(_ % 20 != 0), "benchmark members leaked into training corpus")
+    // curation: every survivor passed p01's gates
+    val kept = SparkEntry.queries("p01_curate_corpus")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    assert(ids.subsetOf(kept), "p15 emitted docs p01's gates rejected")
+    // split/packing/schedule coherence: train rows are packed and
+    // scheduled, non-train rows carry the -1 sentinels
+    out.foreach { r =>
+      val (split, bin, off, fe) =
+        (r.getString(2), r.getLong(4), r.getLong(5), r.getLong(6))
+      if (split == "train") {
+        assert(bin >= 0 && off >= 0 && off < 8192, s"bad packing for train row $r")
+        assert(fe >= 0 && fe <= 3, s"bad first_epoch for train row $r")
+      } else {
+        assert(bin == -1 && off == -1 && fe == -1, s"non-train row carries packing: $r")
+      }
+    }
+    // keeper: no two survivors form a near-exact pair (>= 0.8); split
+    // safety: no surviving >= 0.5 pair crosses splits (the p12
+    // guarantee, re-checked on the COMPOSED output)
+    val bySplit = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = SparkEntry.queries("d04_dedup_minhash")(spark, sfDir).collect()
+    graft.CacheScope.drain()
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      if (ids(a) && ids(b)) {
+        assert(j < 0.8, s"near-exact pair ($a,$b,$j) survived the keeper")
+        if (j >= 0.5)
+          assert(bySplit(a) == bySplit(b), s"pair ($a,$b,$j) crosses splits")
+      }
+    }
+  }
 }
 
 /** Brute-force helper shared by graph-search specs. */
