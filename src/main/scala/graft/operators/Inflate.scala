@@ -435,4 +435,122 @@ object Inflate {
     bw.putHuff(dynLitCodes(256), dynLitLens(256))
     bw.finish()
   }
+
+  // ======================= gzip (RFC 1952) =================================
+  // The deflate substrate applied to the format 100-TB text corpora
+  // actually arrive in: single-member gzip files. Header variants
+  // (FEXTRA / FNAME / FCOMMENT / FHCRC) must be WALKED, the optional
+  // header CRC16 verified, and the CRC-32 + ISIZE trailer checked
+  // against the inflated bytes.
+
+  /** Encode one gzip member around `raw`. deflateMode 0|1|2 as in the
+    * PNG generator; header option flags rotate real-world layouts:
+    * fname/fcomment are zero-terminated fields, extra is an XLEN-
+    * prefixed opaque block, hcrc appends the CRC-16 of the header. */
+  def gzipMember(raw: Array[Byte], deflateMode: Int,
+                 fname: Option[String] = None,
+                 fcomment: Option[String] = None,
+                 extra: Option[Array[Byte]] = None,
+                 hcrc: Boolean = false): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = out += (v & 0xff).toByte
+    def le16(v: Int): Unit = { b(v); b(v >> 8) }
+    def le32(v: Long): Unit = {
+      b(v.toInt); b((v >> 8).toInt); b((v >> 16).toInt); b((v >> 24).toInt)
+    }
+    b(0x1f); b(0x8b); b(8) // magic + CM=deflate
+    var flg = 0
+    if (extra.isDefined) flg |= 4
+    if (fname.isDefined) flg |= 8
+    if (fcomment.isDefined) flg |= 16
+    if (hcrc) flg |= 2
+    b(flg)
+    le32(0L) // MTIME=0: deterministic fixtures
+    b(0); b(255) // XFL, OS=unknown
+    extra.foreach { e => le16(e.length); e.foreach(x => b(x & 0xff)) }
+    fname.foreach { n => n.getBytes("ISO-8859-1").foreach(x => b(x & 0xff)); b(0) }
+    fcomment.foreach { n => n.getBytes("ISO-8859-1").foreach(x => b(x & 0xff)); b(0) }
+    if (hcrc) {
+      val c = new java.util.zip.CRC32
+      c.update(out.toArray, 0, out.length)
+      le16((c.getValue & 0xffff).toInt)
+    }
+    if (deflateMode == 1) out ++= deflateFixed(raw)
+    else if (deflateMode == 2) out ++= deflateDynamic(raw)
+    else { // stored blocks, ≤ 40 bytes each (the PNG generator's framing)
+      var pos = 0
+      var fin = false
+      while (!fin) {
+        val len = math.min(40, raw.length - pos)
+        fin = pos + len >= raw.length
+        b(if (fin) 1 else 0)
+        le16(len); le16(~len & 0xffff)
+        var i = 0
+        while (i < len) { out += raw(pos + i); i += 1 }
+        pos += len
+      }
+    }
+    val c = new java.util.zip.CRC32
+    c.update(raw, 0, raw.length)
+    le32(c.getValue)
+    le32(raw.length.toLong & 0xffffffffL)
+    out.toArray
+  }
+
+  /** Decode a SINGLE-member gzip payload: header walk (reserved FLG
+    * bits rejected; FEXTRA skipped by XLEN; FNAME/FCOMMENT scanned to
+    * their terminators; FHCRC verified when present), full inflate
+    * (ISIZE read from the trailer gives the exact output size —
+    * single-member only, by design), CRC-32 + ISIZE verification, and
+    * the member must consume the whole payload. None for anything
+    * malformed — never throws. */
+  def gunzip(p: Array[Byte]): Option[Array[Byte]] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    if (p.length < 18 + 2) { // header(10) + empty stored block + trailer(8)
+      if (p.length < 20) return None
+    }
+    if (u8(0) != 0x1f || u8(1) != 0x8b || u8(2) != 8) return None
+    val flg = u8(3)
+    if ((flg & 0xe0) != 0) return None // reserved bits must be zero
+    var pos = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (pos + 2 > p.length) return None
+      val xlen = u8(pos) | (u8(pos + 1) << 8)
+      pos += 2 + xlen
+      if (pos > p.length) return None
+    }
+    if ((flg & 8) != 0) { // FNAME
+      while (pos < p.length && p(pos) != 0) pos += 1
+      if (pos >= p.length) return None
+      pos += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (pos < p.length && p(pos) != 0) pos += 1
+      if (pos >= p.length) return None
+      pos += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC: low 16 bits of the header's CRC-32
+      if (pos + 2 > p.length) return None
+      val c = new java.util.zip.CRC32
+      c.update(p, 0, pos)
+      if ((c.getValue & 0xffff).toInt != (u8(pos) | (u8(pos + 1) << 8)))
+        return None
+      pos += 2
+    }
+    if (p.length - pos < 8 + 1) return None
+    val t = p.length - 8 // trailer offset for a single member
+    val isize = (u8(t + 4).toLong | (u8(t + 5).toLong << 8) |
+      (u8(t + 6).toLong << 16) | (u8(t + 7).toLong << 24))
+    if (isize > Int.MaxValue) return None
+    val raw = inflate(p, pos, t, isize.toInt) match {
+      case Some((r, next)) if next == t => r // member must fill the payload
+      case _ => return None
+    }
+    val c = new java.util.zip.CRC32
+    c.update(raw, 0, raw.length)
+    val crc = (u8(t).toLong | (u8(t + 1).toLong << 8) |
+      (u8(t + 2).toLong << 16) | (u8(t + 3).toLong << 24))
+    if (c.getValue != crc) return None
+    Some(raw)
+  }
 }

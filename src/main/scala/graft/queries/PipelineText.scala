@@ -1620,4 +1620,55 @@ private[graft] trait PipelineText extends PipelineDedup {
       |WINDOW w AS (ORDER BY j ROWS UNBOUNDED PRECEDING)
       |ORDER BY j""".stripMargin
 
+  // -- t25: gzip corpus ingest (RFC 1952 over the deflate substrate) -------
+  // 100-TB text corpora arrive as gzip members, not naked text; t25
+  // is that ingest path made real and certified: each doc's text is
+  // framed as a GENUINE single-member gzip stream — the deflate body
+  // rotates doc_id % 3 through stored/fixed/dynamic (the PNG
+  // generator's discipline) and the HEADER rotates doc_id % 4 through
+  // real-world layouts (bare, FNAME, FCOMMENT+FHCRC, FEXTRA+FHCRC) —
+  // and Inflate.gunzip walks the header by its option flags, verifies
+  // the CRC-16 when present, inflates, and verifies CRC-32 + ISIZE.
+  // The report's columns (length + md5 of the DECODED text) re-derive
+  // in the oracle from documents.text directly, so a decoder that
+  // misreads even one byte anywhere — header walk, any Huffman layer,
+  // window copy, trailer — drops a row or breaks the hash.
+  //
+  // Scale: one map-only mapPartitions pass per side (frame, decode),
+  // per-doc work linear in text bytes, zero shuffles before the
+  // output sort — t01's class. At a real warehouse this operator is
+  // the read path: spark.read.binaryFile → gunzip → text columns.
+  private[queries] val t25: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Inflate
+    T.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val z = Inflate.gzipMember(text.getBytes("UTF-8"), (id % 3).toInt,
+            fname = if (id % 4 == 1) Some(s"doc-$id.txt") else None,
+            fcomment = if (id % 4 == 2) Some("graft-corpus") else None,
+            extra = if (id % 4 == 3) Some(Array[Byte](7, (id % 127).toByte)) else None,
+            hcrc = id % 4 >= 2)
+          // the ingest half: decode-or-drop (a malformed member must
+          // never take the job down — the curation report counts it)
+          Inflate.gunzip(z).map(raw => (id, new String(raw, "UTF-8")))
+        }
+      }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        (col("doc_id") % 3).cast(IntegerType).as("deflate_mode"),
+        (col("doc_id") % 4).cast(IntegerType).as("header_variant"),
+        length(col("text")).as("n_chars"),
+        md5(col("text").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t25Sql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 3 AS INTEGER) AS deflate_mode,
+      |  CAST(doc_id % 4 AS INTEGER) AS header_variant,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
 }

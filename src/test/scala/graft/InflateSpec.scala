@@ -144,6 +144,48 @@ class InflateSpec extends AnyFunSuite {
     assert(inflateAll(good.dropRight(3), 17).isEmpty, "truncated stream")
   }
 
+  test("gzip member round-trips all modes and header variants; java.util.zip agrees") {
+    val variants = Seq[(Option[String], Option[String], Option[Array[Byte]], Boolean)](
+      (None, None, None, false),
+      (Some("doc.txt"), None, None, false),
+      (None, Some("a comment"), None, true),
+      (Some("n"), Some("c"), Some(Array[Byte](1, 2, 3, 0, -1)), true))
+    for (p <- payloads; mode <- Seq(0, 1, 2)) {
+      val (fn, fc, ex, hc) = variants((p.length + mode) % variants.length)
+      val z = Inflate.gzipMember(p, mode, fn, fc, ex, hc)
+      val back = Inflate.gunzip(z).getOrElse(fail(s"gunzip None, mode=$mode"))
+      assert(back.sameElements(p), s"gzip drift, mode=$mode len=${p.length}")
+      // independent decoder: GZIPInputStream accepts our member
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(z))
+      val all = in.readAllBytes(); in.close()
+      assert(all.sameElements(p), s"java.util.zip disagrees, mode=$mode")
+    }
+    // independent encoder: our gunzip decodes GZIPOutputStream members
+    for (p <- payloads) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(p); gz.close()
+      val back = Inflate.gunzip(bos.toByteArray)
+        .getOrElse(fail(s"gunzip None on GZIPOutputStream, len=${p.length}"))
+      assert(back.sameElements(p), "drift on GZIPOutputStream member")
+    }
+    // corruption: flipped CRC byte, flipped ISIZE, bad header CRC16,
+    // reserved FLG bit, truncation — all rejected
+    val good = Inflate.gzipMember("gzip integrity layers".getBytes, 2,
+      fname = Some("f"), hcrc = true)
+    def flip(i: Int): Array[Byte] = {
+      val b = good.clone(); b(i) = (b(i) ^ 0x1).toByte; b
+    }
+    assert(Inflate.gunzip(flip(good.length - 1)).isEmpty, "ISIZE corruption")
+    assert(Inflate.gunzip(flip(good.length - 5)).isEmpty, "CRC-32 corruption")
+    assert(Inflate.gunzip(flip(3)).isEmpty, "FLG corruption (reserved/feature bit)")
+    assert(Inflate.gunzip(flip(11)).isEmpty, "FNAME/HCRC region corruption")
+    assert(Inflate.gunzip(good.dropRight(4)).isEmpty, "truncation")
+    val rsv = good.clone(); rsv(3) = (rsv(3) | 0x40).toByte
+    assert(Inflate.gunzip(rsv).isEmpty, "reserved FLG bit must reject")
+  }
+
   test("parsePng decodes all three deflate modes; Huffman-layer corruption rejected") {
     def px(x: Int, y: Int): (Int, Int, Int) =
       ((x * 7 + y) % 256, (y * 5) % 256, (x + 3 * y) % 256)
