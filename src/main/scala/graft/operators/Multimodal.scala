@@ -493,8 +493,9 @@ object Multimodal {
   // block types (mode param); the parser validates every layer and
   // rejects anything malformed — never throws.
 
-  /** A decoded PNG raster over the INFLATED scanline stream (filter
-    * bytes in place, rows top-down — PNG's native order). */
+  /** A decoded PNG raster over the inflated + DEFILTERED scanline
+    * stream (filter-byte slots zeroed in place, rows top-down —
+    * PNG's native order). */
   final case class PngImage(width: Int, height: Int, raw: Array[Byte])
       extends Raster {
     def rgb(x: Int, y: Int): (Int, Int, Int) = {
@@ -509,6 +510,14 @@ object Multimodal {
     c.getValue
   }
 
+  /** PNG Paeth predictor (spec §9.4): the neighbor (left a, above b,
+    * upper-left c) closest to a + b − c, ties resolved a, b, c. */
+  @inline private[operators] def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
   /** 8-bit RGB (color type 2) PNG encode: IHDR, a junk `tEXt` chunk
     * of `gap` bytes when gap > 0 (variable chunk layout — a parser
     * that assumes IDAT's position cheats), the zlib stream split
@@ -519,23 +528,54 @@ object Multimodal {
     * 1 = multi-block fixed Huffman (§3.2.6, bit-continuous across
     * block headers), 2 = one dynamic-Huffman block (§3.2.7, complete
     * predefined code pair, CL-alphabet preamble with repeat-16s) —
-    * all three produced without a library codec (Inflate.deflate*). */
+    * all three produced without a library codec (Inflate.deflate*).
+    * `filtered` = true applies PNG's predictive scanline filters
+    * (round 12): row y gets filter type (y + w + h) % 5 — every image
+    * with h ≥ 5 exercises None/Sub/Up/Average/Paeth — computed from
+    * the reconstructed bytes per the PNG spec §9, exactly what a real
+    * encoder emits. */
   def encodePng(w: Int, h: Int, gap: Int,
                 pixel: (Int, Int) => (Int, Int, Int),
-                deflateMode: Int = 0): Array[Byte] = {
-    // raw scanline stream: per row, filter byte 0 + w RGB triples
-    val raw = new Array[Byte](h * (1 + 3 * w))
+                deflateMode: Int = 0,
+                filtered: Boolean = false): Array[Byte] = {
+    val stride = 3 * w
+    // reconstructed scanlines (the pixels themselves), used both as
+    // the encode source and as the Average/Paeth/Sub/Up predictors
+    val recon = Array.ofDim[Int](h, stride)
     var y = 0
     while (y < h) {
-      val base = y * (1 + 3 * w)
-      raw(base) = 0 // filter: None
       var x = 0
       while (x < w) {
         val (r, g, b) = pixel(x, y)
-        raw(base + 1 + 3 * x) = r.toByte
-        raw(base + 1 + 3 * x + 1) = g.toByte
-        raw(base + 1 + 3 * x + 2) = b.toByte
+        recon(y)(3 * x) = r & 0xff
+        recon(y)(3 * x + 1) = g & 0xff
+        recon(y)(3 * x + 2) = b & 0xff
         x += 1
+      }
+      y += 1
+    }
+    // raw zlib payload: per row, filter byte + filtered bytes
+    val raw = new Array[Byte](h * (1 + stride))
+    y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val ft = if (filtered) (y + w + h) % 5 else 0
+      raw(base) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = recon(y)(i)
+        val a = if (i >= 3) recon(y)(i - 3) else 0 // left
+        val b = if (y > 0) recon(y - 1)(i) else 0 // up
+        val c = if (y > 0 && i >= 3) recon(y - 1)(i - 3) else 0 // up-left
+        val filt = ft match {
+          case 0 => cur
+          case 1 => cur - a // Sub
+          case 2 => cur - b // Up
+          case 3 => cur - (a + b) / 2 // Average
+          case 4 => cur - paeth(a, b, c) // Paeth
+        }
+        raw(base + 1 + i) = (filt & 0xff).toByte
+        i += 1
       }
       y += 1
     }
@@ -655,9 +695,33 @@ object Multimodal {
     val trailer = ((z(zp).toLong & 0xff) << 24) | ((z(zp + 1).toLong & 0xff) << 16) |
       ((z(zp + 2).toLong & 0xff) << 8) | (z(zp + 3).toLong & 0xff)
     if (ad.getValue != trailer) return None
+    // defilter (spec §9): reconstruct each scanline from its filter
+    // type and the previous RECONSTRUCTED row, in place (filter bytes
+    // zeroed afterwards so PngImage reads reconstructed pixels)
+    val stride = 3 * w
     var y = 0
     while (y < h) {
-      if (raw(y * (1 + 3 * w)) != 0) return None // profile: filter None
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None // undefined filter type
+      val prev = (y - 1) * (1 + stride)
+      var i = 0
+      while (i < stride) {
+        val cur = raw(base + 1 + i) & 0xff
+        val a = if (i >= 3) raw(base + 1 + i - 3) & 0xff else 0
+        val b = if (y > 0) raw(prev + 1 + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) raw(prev + 1 + i - 3) & 0xff else 0
+        val rec = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + (a + b) / 2
+          case _ => cur + paeth(a, b, c)
+        }
+        raw(base + 1 + i) = (rec & 0xff).toByte
+        i += 1
+      }
+      raw(base) = 0
       y += 1
     }
     Some(PngImage(w, h, raw))

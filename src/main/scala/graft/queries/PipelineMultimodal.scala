@@ -72,12 +72,13 @@ private[graft] trait PipelineMultimodal extends PipelineText {
           val bytes =
             if ((id / 48) % 2 == 0) Multimodal.encodeBmp(w, h, gap, px)
             // PNG rows rotate through stored/fixed/dynamic deflate
-            // (round 12): duplicate classes now straddle container
-            // AND compression mode — the oracle is pixel-derived, so
-            // it never sees the difference, but a decoder that
-            // handles only one block type loses pairs and breaks the
-            // hash
-            else Multimodal.encodePng(w, h, gap, px, deflateMode = (id % 3).toInt)
+            // AND filtered/unfiltered scanlines (round 12): duplicate
+            // classes straddle container, compression mode and filter
+            // regime — the oracle is pixel-derived, so it never sees
+            // the difference, but a decoder that handles only one
+            // encoding loses pairs and breaks the hash
+            else Multimodal.encodePng(w, h, gap, px,
+              deflateMode = (id % 3).toInt, filtered = (id / 48) % 4 == 3)
           Multimodal.MediaRecord(id, src, bytes)
         }
       }
@@ -273,7 +274,9 @@ private[graft] trait PipelineMultimodal extends PipelineText {
             (5 * g + 7 * x + 11 * y) % 256,
             (9 * g + 4 * x + 3 * y) % 256,
             (2 * g + 6 * x + 5 * y) % 256),
-            deflateMode = (id % 3).toInt) // stored | fixed | dynamic
+            deflateMode = (id % 3).toInt, // stored | fixed | dynamic
+            filtered = id % 2 == 1) // half the corpus: rotating scanline
+          // filters (None/Sub/Up/Average/Paeth by row), half unfiltered
           Multimodal.MediaRecord(id, src, bytes)
         }
       }

@@ -189,13 +189,36 @@ class InflateSpec extends AnyFunSuite {
   test("parsePng decodes all three deflate modes; Huffman-layer corruption rejected") {
     def px(x: Int, y: Int): (Int, Int, Int) =
       ((x * 7 + y) % 256, (y * 5) % 256, (x + 3 * y) % 256)
-    for (mode <- Seq(0, 1, 2); (w, h) <- Seq((4, 3), (17, 11))) {
-      val bytes = Multimodal.encodePng(w, h, gap = 4, px, deflateMode = mode)
+    for (mode <- Seq(0, 1, 2); (w, h) <- Seq((4, 3), (17, 11));
+         filt <- Seq(false, true)) {
+      val bytes = Multimodal.encodePng(w, h, gap = 4, px,
+        deflateMode = mode, filtered = filt)
       val img = Multimodal.parsePng(bytes)
-        .getOrElse(fail(s"parsePng None, mode=$mode $w x $h"))
+        .getOrElse(fail(s"parsePng None, mode=$mode filt=$filt $w x $h"))
       assert(img.width == w && img.height == h)
       for (x <- 0 until w; y <- 0 until h)
-        assert(img.rgb(x, y) == px(x, y), s"pixel drift ($x,$y) mode=$mode")
+        assert(img.rgb(x, y) == px(x, y),
+          s"pixel drift ($x,$y) mode=$mode filt=$filt")
+    }
+    // the filtered encoding actually uses ALL FIVE filter types: with
+    // h = 11 ≥ 5 rows, row y gets type (y + w + h) % 5 — inflate the
+    // zlib payload of a stored-mode image and read the filter bytes
+    {
+      val w = 17; val h = 11
+      val bytes = Multimodal.encodePng(w, h, gap = 0, px,
+        deflateMode = 0, filtered = true)
+      val idat = {
+        val t = "IDAT".getBytes("US-ASCII")
+        (0 until bytes.length - 4).filter(i => bytes.slice(i, i + 4).sameElements(t))
+      }
+      val z = idat.flatMap { i =>
+        val len = java.nio.ByteBuffer.wrap(bytes, i - 4, 4).getInt
+        bytes.slice(i + 4, i + 4 + len)
+      }.toArray
+      val raw = Inflate.inflate(z, 2, z.length, h * (1 + 3 * w)).get._1
+      val fts = (0 until h).map(y => raw(y * (1 + 3 * w)).toInt).toSet
+      assert(fts == Set(0, 1, 2, 3, 4),
+        s"filtered corpus must exercise all five filter types, got $fts")
     }
     // corrupt INSIDE the zlib body of a dynamic-mode PNG and re-CRC the
     // chunk, so the chunk layer can no longer catch it — rejection must
