@@ -62,6 +62,33 @@ object Jpeg {
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
+  // chroma example tables (T.81 Annex K.3.1/K.3.2)
+  private val dcBitsC = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val dcValsC = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val acBitsC = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val acValsC = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // fixed-point (×2^16) YCbCr→RGB constants — the libjpeg/JFIF values
+  // (round(1.402·65536) etc.), shared verbatim with the m13 oracle
+  private[graft] val CrR = 91881
+  private[graft] val CbG = 22554
+  private[graft] val CrG = 46802
+  private[graft] val CbB = 116130
+
   /** canonical code assignment per T.81 Annex C: (value -> (code, len))
     * for encoding; (bits -> counts/symbols) structure for decoding. */
   private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
@@ -104,6 +131,8 @@ object Jpeg {
   }
   private lazy val dcTable = new HuffTable(dcBits, dcVals)
   private lazy val acTable = new HuffTable(acBits, acVals)
+  private lazy val dcTableC = new HuffTable(dcBitsC, dcValsC)
+  private lazy val acTableC = new HuffTable(acBitsC, acValsC)
 
   // ---- fixed-point IDCT basis: M(u)(x) = round(2048·C(u)·cos((2x+1)uπ/16))
   // with C(0)=1/√2, C(u>0)=1. pixel = ((Σ_{u,v} coef·q·M(u)(x)·M(v)(y)
@@ -238,6 +267,107 @@ object Jpeg {
     out.toArray
   }
 
+  /** COLOR encode (round 12): 3-component YCbCr baseline, 4:4:4 (no
+    * subsampling — every MCU is one block per component, interleaved
+    * Y Cb Cr with separate DC predictors), TWO quantization tables
+    * (luma Tq=0, chroma Tq=1) and FOUR Huffman tables (the Annex K
+    * luma AND chroma example pairs). coefX(blockIndex)(v)(u),
+    * row-major over (by, bx). */
+  def encodeJpegColor(w: Int, h: Int, gap: Int,
+                      qLuma: Array[Array[Int]], qChroma: Array[Array[Int]],
+                      coefY: Array[Array[Array[Int]]],
+                      coefCb: Array[Array[Array[Int]]],
+                      coefCr: Array[Array[Array[Int]]]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "profile: dims multiples of 8")
+    val nb = (w / 8) * (h / 8)
+    require(coefY.length == nb && coefCb.length == nb && coefCr.length == nb)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = out += (v & 0xff).toByte
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xff); b(m) }
+    marker(0xd8)
+    marker(0xe0); be16(16)
+    "JFIF".foreach(ch => b(ch)); b(0)
+    b(1); b(1); b(0); be16(1); be16(1); b(0); b(0)
+    if (gap > 0) { marker(0xfe); be16(2 + gap)
+      (0 until gap).foreach(i => b(0x41 + (i % 16))) }
+    def dqt(tq: Int, q: Array[Array[Int]]): Unit = {
+      marker(0xdb); be16(2 + 1 + 64); b(tq)
+      zigzag.foreach { case (r, c) => b(q(r)(c)) }
+    }
+    dqt(0, qLuma); dqt(1, qChroma)
+    marker(0xc0); be16(2 + 6 + 3 * 3) // SOF0: 8-bit, 3 components, 1x1
+    b(8); be16(h); be16(w); b(3)
+    b(1); b(0x11); b(0) // Y  -> quant 0
+    b(2); b(0x11); b(1) // Cb -> quant 1
+    b(3); b(0x11); b(1) // Cr -> quant 1
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      b((tc << 4) | th); bits.foreach(b(_)); vals.foreach(b(_))
+    }
+    dht(0, 0, dcBits, dcVals); dht(1, 0, acBits, acVals)
+    dht(0, 1, dcBitsC, dcValsC); dht(1, 1, acBitsC, acValsC)
+    marker(0xda); be16(2 + 1 + 2 * 3 + 3) // SOS: 3 components
+    b(3)
+    b(1); b(0x00) // Y:  DC 0, AC 0
+    b(2); b(0x11) // Cb: DC 1, AC 1
+    b(3); b(0x11) // Cr: DC 1, AC 1
+    b(0); b(63); b(0)
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          b(bitBuf)
+          if (bitBuf == 0xff) b(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putHuff(t: HuffTable, sym: Int): Unit = putBits(t.codeOf(sym), t.lenOf(sym))
+    def putAmp(v: Int, size: Int): Unit =
+      if (size > 0) putBits(if (v >= 0) v else v + (1 << size) - 1, size)
+    def putBlock(blk: Array[Array[Int]], prevDc: Int,
+                 dct: HuffTable, act: HuffTable): Int = {
+      val dc = blk(0)(0)
+      val dsz = category(dc - prevDc)
+      putHuff(dct, dsz); putAmp(dc - prevDc, dsz)
+      var k = 1; var run = 0
+      while (k < 64) {
+        val (r, c) = zigzag(k)
+        val v = blk(r)(c)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { putHuff(act, 0xf0); run -= 16 }
+          val sz = category(v)
+          putHuff(act, (run << 4) | sz); putAmp(v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putHuff(act, 0x00)
+      dc
+    }
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var bi = 0
+    while (bi < nb) { // interleaved MCUs: Y, Cb, Cr per 8x8 tile
+      dcY = putBlock(coefY(bi), dcY, dcTable, acTable)
+      dcCb = putBlock(coefCb(bi), dcCb, dcTableC, acTableC)
+      dcCr = putBlock(coefCr(bi), dcCr, dcTableC, acTableC)
+      bi += 1
+    }
+    if (bitCnt > 0) {
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      b(bitBuf)
+      if ((bitBuf & 0xff) == 0xff) b(0x00)
+    }
+    marker(0xd9)
+    out.toArray
+  }
+
   // ======================= decoder ========================================
 
   /** Grayscale raster decoded from a baseline JPEG; satisfies the
@@ -251,22 +381,39 @@ object Jpeg {
     }
   }
 
+  /** Color raster decoded from a 3-component baseline JPEG: one
+    * packed 0xRRGGBB int per pixel (already YCbCr→RGB converted). */
+  final case class ColorJpegImage(width: Int, height: Int, pix: Array[Int])
+      extends Multimodal.Raster {
+    def rgb(x: Int, y: Int): (Int, Int, Int) = {
+      val p = pix(y * width + x)
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+  }
+
   /** Decode a baseline JPEG within this object's profile: walks
-    * segments by length, parses DQT (un-zigzags), SOF0 (8-bit,
-    * 1 component, 1×1, dims multiples of 8), both DHTs, SOS; entropy-
-    * decodes every block (DC differential + AC run-length, byte
-    * unstuffing), dequantizes, integer-IDCTs, level-shifts and
-    * clamps. None for anything malformed or outside the profile —
-    * never throws. */
-  def parseJpeg(p: Array[Byte]): Option[JpegImage] = {
+    * segments by length, parses DQTs (un-zigzagged, Tq ≤ 3), SOF0
+    * (8-bit, 1 OR 3 components, 1×1 sampling — grayscale or 4:4:4
+    * YCbCr, dims multiples of 8), every DHT, SOS (tables per
+    * component); entropy-decodes interleaved MCUs (per-component DC
+    * predictors, AC run-length, byte unstuffing), dequantizes,
+    * integer-IDCTs, level-shifts, clamps, and for 3 components
+    * converts YCbCr→RGB in the fixed-point integer arithmetic above.
+    * None for anything malformed or outside the profile — never
+    * throws. */
+  def parseJpeg(p: Array[Byte]): Option[Multimodal.Raster] = {
     @inline def u8(i: Int): Int = p(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
     var pos = 2
     var w = -1; var h = -1
-    var qt: Array[Array[Int]] = null
-    var dcT: HuffTable = null
-    var acT: HuffTable = null
+    var nf = 0
+    val qts = new Array[Array[Array[Int]]](4)
+    val dcTs = new Array[HuffTable](4)
+    val acTs = new Array[HuffTable](4)
+    var compQ: Array[Int] = null // component -> quant table id
+    var compDc: Array[Int] = null // component -> DC table id (from SOS)
+    var compAc: Array[Int] = null
     var scanStart = -1
     while (scanStart < 0) {
       if (pos + 4 > p.length) return None
@@ -277,34 +424,56 @@ object Jpeg {
       if (len < 2 || pos + 2 + len > p.length) return None
       val seg = pos + 4
       m match {
-        case 0xdb => // DQT: Pq=0 (8-bit), one table, zigzag order
-          if (len != 2 + 1 + 64 || u8(seg) != 0) return None
-          qt = Array.ofDim[Int](8, 8)
+        case 0xdb => // DQT: Pq=0 (8-bit), one table per segment, zigzag
+          if (len != 2 + 1 + 64 || (u8(seg) >> 4) != 0 || (u8(seg) & 0x0f) > 3)
+            return None
+          val qt = Array.ofDim[Int](8, 8)
           var k = 0
           while (k < 64) {
             val (r, c) = zigzag(k); qt(r)(c) = u8(seg + 1 + k); k += 1
           }
-        case 0xc0 => // SOF0: 8-bit grayscale, 1x1 sampling
-          if (len != 2 + 6 + 3 || u8(seg) != 8) return None
+          qts(u8(seg) & 0x0f) = qt
+        case 0xc0 => // SOF0: 8-bit, 1 or 3 components, all 1x1
+          if (len < 2 + 6 || u8(seg) != 8) return None
           h = be16(seg + 1); w = be16(seg + 3)
-          if (u8(seg + 5) != 1 || u8(seg + 7) != 0x11) return None
+          nf = u8(seg + 5)
+          if ((nf != 1 && nf != 3) || len != 2 + 6 + 3 * nf) return None
           if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
-        case 0xc4 => // DHT (possibly several; profile sends two)
+          compQ = new Array[Int](nf)
+          var ci = 0
+          while (ci < nf) {
+            if (u8(seg + 7 + 3 * ci) != 0x11) return None // 1x1 sampling only
+            val tq = u8(seg + 8 + 3 * ci)
+            if (tq > 3) return None
+            compQ(ci) = tq
+            ci += 1
+          }
+        case 0xc4 => // DHT (one or more tables per segment)
           var q = seg
           while (q < pos + 2 + len) {
             val tcth = u8(q)
+            if ((tcth >> 4) > 1 || (tcth & 0x0f) > 3) return None
             val bits = Array.tabulate(16)(i => u8(q + 1 + i))
             val n = bits.sum
             if (q + 17 + n > pos + 2 + len || n > 256) return None
             val vals = Array.tabulate(n)(i => u8(q + 17 + i))
             val t = new HuffTable(bits, vals)
-            if ((tcth >> 4) == 0) dcT = t else acT = t
+            if ((tcth >> 4) == 0) dcTs(tcth & 0x0f) = t
+            else acTs(tcth & 0x0f) = t
             q += 17 + n
           }
-        case 0xda => // SOS: 1 component, tables 0/0, full spectral range
-          if (len != 2 + 1 + 2 + 3 || u8(seg) != 1 || u8(seg + 2) != 0x00 ||
-            u8(seg + 3) != 0 || u8(seg + 4) != 63 || u8(seg + 5) != 0)
-            return None
+        case 0xda => // SOS: Ns == Nf, full spectral range
+          if (nf == 0 || len != 2 + 1 + 2 * nf + 3 || u8(seg) != nf) return None
+          compDc = new Array[Int](nf); compAc = new Array[Int](nf)
+          var ci = 0
+          while (ci < nf) {
+            val tdta = u8(seg + 2 + 2 * ci)
+            compDc(ci) = tdta >> 4; compAc(ci) = tdta & 0x0f
+            if (compDc(ci) > 3 || compAc(ci) > 3) return None
+            ci += 1
+          }
+          if (u8(seg + 1 + 2 * nf) != 0 || u8(seg + 2 + 2 * nf) != 63 ||
+            u8(seg + 3 + 2 * nf) != 0) return None
           scanStart = pos + 2 + len
         case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
           return None // any other SOF: outside the baseline profile
@@ -312,7 +481,13 @@ object Jpeg {
       }
       if (scanStart < 0) pos += 2 + len
     }
-    if (w < 0 || qt == null || dcT == null || acT == null) return None
+    if (w < 0 || compQ == null) return None
+    var ci = 0
+    while (ci < nf) {
+      if (qts(compQ(ci)) == null || dcTs(compDc(ci)) == null ||
+        acTs(compAc(ci)) == null) return None
+      ci += 1
+    }
     // entropy-coded scan: MSB-first reader with byte unstuffing
     var sp = scanStart
     var bitBuf = 0; var bitCnt = 0
@@ -342,44 +517,49 @@ object Jpeg {
       v
     }
     val bw = w / 8; val bh = h / 8
-    val gray = new Array[Byte](w * h)
-    var prevDc = 0
+    val planes = Array.ofDim[Int](nf, w * h)
+    val prevDc = new Array[Int](nf)
     var bi = 0
-    while (bi < bw * bh) {
-      val coef = Array.ofDim[Long](8, 8)
-      val dsz = dcTable_decode(dcT, bit _)
-      if (err || dsz < 0 || dsz > 11) return None
-      val diff = extend(recv(dsz), dsz)
-      if (err) return None
-      prevDc += diff
-      coef(0)(0) = prevDc.toLong * qt(0)(0)
-      var k = 1
-      while (k < 64) {
-        val sym = dcTable_decode(acT, bit _)
-        if (err || sym < 0) return None
-        if (sym == 0x00) k = 64 // EOB
-        else if (sym == 0xf0) { k += 16; if (k > 63) return None } // ZRL
-        else {
-          val run = sym >> 4; val sz = sym & 0x0f
-          k += run
-          if (k > 63 || sz == 0) return None
-          val v = extend(recv(sz), sz)
-          if (err) return None
-          val (r, c) = zigzag(k)
-          coef(r)(c) = v.toLong * qt(r)(c)
-          k += 1
+    while (bi < bw * bh) { // interleaved MCUs: one block per component
+      var comp = 0
+      while (comp < nf) {
+        val qt = qts(compQ(comp))
+        val coef = Array.ofDim[Long](8, 8)
+        val dsz = huffDecode(dcTs(compDc(comp)), bit _)
+        if (err || dsz < 0 || dsz > 11) return None
+        val diff = extend(recv(dsz), dsz)
+        if (err) return None
+        prevDc(comp) += diff
+        coef(0)(0) = prevDc(comp).toLong * qt(0)(0)
+        var k = 1
+        while (k < 64) {
+          val sym = huffDecode(acTs(compAc(comp)), bit _)
+          if (err || sym < 0) return None
+          if (sym == 0x00) k = 64 // EOB
+          else if (sym == 0xf0) { k += 16; if (k > 63) return None } // ZRL
+          else {
+            val run = sym >> 4; val sz = sym & 0x0f
+            k += run
+            if (k > 63 || sz == 0) return None
+            val v = extend(recv(sz), sz)
+            if (err) return None
+            val (r, c) = zigzag(k)
+            coef(r)(c) = v.toLong * qt(r)(c)
+            k += 1
+          }
         }
-      }
-      val px = idctBlock(coef)
-      val by = bi / bw; val bx = bi % bw
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          gray((by * 8 + y) * w + bx * 8 + x) = px(y)(x).toByte
-          x += 1
+        val px = idctBlock(coef)
+        val by = bi / bw; val bx = bi % bw
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            planes(comp)((by * 8 + y) * w + bx * 8 + x) = px(y)(x)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        comp += 1
       }
       bi += 1
     }
@@ -387,10 +567,32 @@ object Jpeg {
     // pad bits already consumed within the final byte)
     if (sp + 2 > p.length) return None
     if (u8(sp) != 0xff || u8(sp + 1) != 0xd9) return None
-    Some(JpegImage(w, h, gray))
+    if (nf == 1) {
+      val gray = new Array[Byte](w * h)
+      var i = 0
+      while (i < gray.length) { gray(i) = planes(0)(i).toByte; i += 1 }
+      Some(JpegImage(w, h, gray))
+    } else {
+      // YCbCr → RGB, fixed-point ×2^16 with the shared constants; >>
+      // floors, exactly what the oracle's floor(x/65536.0) replays
+      @inline def cl(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+      val pix = new Array[Int](w * h)
+      var i = 0
+      while (i < pix.length) {
+        val yy = planes(0)(i).toLong
+        val cb = planes(1)(i) - 128L
+        val cr = planes(2)(i) - 128L
+        val r = cl(yy + ((CrR * cr + 32768L) >> 16))
+        val g = cl(yy - ((CbG * cb + CrG * cr + 32768L) >> 16))
+        val b = cl(yy + ((CbB * cb + 32768L) >> 16))
+        pix(i) = (r << 16) | (g << 8) | b
+        i += 1
+      }
+      Some(ColorJpegImage(w, h, pix))
+    }
   }
 
   // decode helper shared by DC and AC reads (method, not closure, so
   // the hot loop stays allocation-free)
-  private def dcTable_decode(t: HuffTable, br: () => Int): Int = t.decode(br())
+  private def huffDecode(t: HuffTable, br: () => Int): Int = t.decode(br())
 }

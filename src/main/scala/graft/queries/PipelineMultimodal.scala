@@ -419,6 +419,130 @@ private[graft] trait PipelineMultimodal extends PipelineText {
        |ORDER BY doc_id, by, bx""".stripMargin
   }
 
+  // -- m13: COLOR baseline JPEG decode (3-component YCbCr 4:4:4) -----------
+  // m12 proved the transform-coded layer on grayscale; m13 adds what
+  // ~every real photo is: a 3-component YCbCr baseline JPEG with TWO
+  // quantization tables (luma/chroma), FOUR Huffman tables (the
+  // Annex-K luma AND chroma example pairs), interleaved MCUs with
+  // per-component DC predictors, and the fixed-point integer
+  // YCbCr→RGB conversion (the libjpeg ×2^16 constants, shared as
+  // literals with the oracle). Same replayability design as m12
+  // (coefficients from formulas; every decode step exact integer
+  // arithmetic), so the oracle replays coefficient → dequant →
+  // per-component IDCT → color convert → BT.601 grid entirely in SQL.
+  //
+  // Scale: m12's class ×3 components — still map-only, 16-row
+  // fan-out, zero shuffles before the output sort.
+  private[queries] def framedJpegColor(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    import s.implicits._
+    import graft.operators.{Jpeg, Multimodal}
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        val qL = Array.ofDim[Int](8, 8); val qC = Array.ofDim[Int](8, 8)
+        Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
+          qL(r)(c) = 1 + (k % 4); qC(r)(c) = 1 + ((k + 1) % 3)
+        }
+        it.map { case (id, src) =>
+          val w = 8 * (1 + (id % 2)).toInt; val h = 8 * (1 + (id % 3)).toInt
+          val gap = (id % 6).toInt
+          val bw = w / 8; val bh = h / 8
+          def blocks(m: Int, mask: Int, a: Int, b: Int, c: Int, dd: Int, e: Int) =
+            Array.tabulate(bw * bh) { bi =>
+              val by = bi / bw; val bx = bi % bw
+              Array.tabulate(8, 8) { (v, u) =>
+                if (u + v <= mask)
+                  ((id * a + bx * b + by * c + u * dd + v * e) % m).toInt - m / 2
+                else 0
+              }
+            }
+          val coefY = blocks(15, 2, 7, 5, 3, 11, 13)
+          val coefCb = blocks(11, 1, 5, 7, 11, 3, 9)
+          val coefCr = blocks(9, 1, 13, 3, 7, 5, 2)
+          Multimodal.MediaRecord(id, src,
+            Jpeg.encodeJpegColor(w, h, gap, qL, qC, coefY, coefCb, coefCr))
+        }
+      }
+  }
+
+  private[queries] val m13: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{Jpeg, Multimodal}
+    framedJpegColor(s, d).mapPartitions { it =>
+      it.flatMap { r =>
+        Jpeg.parseJpeg(r.payload) match {
+          case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
+          case None => Iterator.empty
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private[queries] val m13Sql: String = {
+    import graft.operators.Jpeg
+    val basisRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Jpeg.idctBasis(u)(x)})").mkString(", ")
+    // per-component quant: comp 0 = luma (1 + k%4), comps 1/2 = chroma
+    val quantRows = (for {
+      comp <- 0 until 3
+      ((r, c), k) <- Jpeg.zigzag.zipWithIndex
+    } yield s"($comp, $r, $c, ${if (comp == 0) 1 + (k % 4) else 1 + ((k + 1) % 3)})")
+      .mkString(", ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 8 * (1 + (doc_id % 2)) AS w, 8 * (1 + (doc_id % 3)) AS h
+       |  FROM documents),
+       |bxs AS (SELECT doc_id, w, h, unnest(range(0, w // 8)) AS bx FROM dims),
+       |blocks AS (SELECT doc_id, w, h, bx, unnest(range(0, h // 8)) AS by FROM bxs),
+       |basis AS (SELECT * FROM (VALUES $basisRows) AS t(u, x, m)),
+       |quant AS (SELECT * FROM (VALUES $quantRows) AS t(comp, v, u, q)),
+       |coef AS (
+       |  SELECT b.doc_id, b.w, b.h, b.bx, b.by, z.comp, z.u, z.v,
+       |    CASE z.comp
+       |      WHEN 0 THEN ((b.doc_id*7 + b.bx*5 + b.by*3 + z.u*11 + z.v*13) % 15) - 7
+       |      WHEN 1 THEN ((b.doc_id*5 + b.bx*7 + b.by*11 + z.u*3 + z.v*9) % 11) - 5
+       |      ELSE ((b.doc_id*13 + b.bx*3 + b.by*7 + z.u*5 + z.v*2) % 9) - 4
+       |    END * z.q AS cq
+       |  FROM blocks b, quant z
+       |  WHERE (z.comp = 0 AND z.u + z.v <= 2) OR (z.comp > 0 AND z.u + z.v <= 1)),
+       |pix AS (
+       |  SELECT c.doc_id, c.w, c.h, c.bx, c.by, c.comp, mu.x AS x, mv.x AS y,
+       |    CAST(SUM(c.cq * mu.m * mv.m) AS BIGINT) AS s
+       |  FROM coef c
+       |  JOIN basis mu ON mu.u = c.u
+       |  JOIN basis mv ON mv.u = c.v
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |gval AS (
+       |  SELECT doc_id, w, h, comp, bx * 8 + x AS gx, by * 8 + y AS gy,
+       |    least(255, greatest(0,
+       |      CAST(floor(CAST(s + 8388608 AS DOUBLE) / 16777216.0) AS BIGINT)
+       |        + 128)) AS val
+       |  FROM pix),
+       |ycc AS (
+       |  SELECT doc_id, w, h, gx, gy,
+       |    MAX(CASE WHEN comp = 0 THEN val END) AS yy,
+       |    MAX(CASE WHEN comp = 1 THEN val END) - 128 AS cb,
+       |    MAX(CASE WHEN comp = 2 THEN val END) - 128 AS cr
+       |  FROM gval GROUP BY 1, 2, 3, 4, 5),
+       |rgb AS (
+       |  SELECT doc_id, w, h, gx, gy,
+       |    least(255, greatest(0, yy + CAST(floor((${Jpeg.CrR}*cr + 32768)
+       |      / 65536.0) AS BIGINT))) AS r,
+       |    least(255, greatest(0, yy - CAST(floor((${Jpeg.CbG}*cb + ${Jpeg.CrG}*cr
+       |      + 32768) / 65536.0) AS BIGINT))) AS g,
+       |    least(255, greatest(0, yy + CAST(floor((${Jpeg.CbB}*cb + 32768)
+       |      / 65536.0) AS BIGINT))) AS b
+       |  FROM ycc),
+       |lums AS (
+       |  SELECT doc_id, w, h,
+       |    CAST(gy * 4 // h AS INTEGER) AS by, CAST(gx * 4 // w AS INTEGER) AS bx,
+       |    (77 * r + 150 * g + 29 * b) // 256 AS lum
+       |  FROM rgb)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+       |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+       |FROM lums GROUP BY doc_id, w, h, by, bx
+       |ORDER BY doc_id, by, bx""".stripMargin
+  }
+
   // -- m09: real PCM sample decode (audio, below the header) ---------------
   // m08's obligation carried to AUDIO: m05 parses the container, m09
   // decodes the SAMPLES — the loudness/clipping window scan an

@@ -90,6 +90,51 @@ class JpegSpec extends AnyFunSuite {
       assert(img.rgb(x, y)._1 == expected(y)(x), s"unstuffed pixel drift ($x,$y)")
   }
 
+  test("color 4:4:4 round-trips: interleaved MCUs, per-component DC predictors, YCbCr->RGB") {
+    val rnd = new scala.util.Random(444)
+    def qcZig(shift: Int): Array[Array[Int]] = {
+      val q = Array.ofDim[Int](8, 8)
+      Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
+        q(r)(c) = 1 + ((k + shift) % 3)
+      }
+      q
+    }
+    for (trial <- 0 until 10) {
+      val bw = 1 + rnd.nextInt(2); val bh = 1 + rnd.nextInt(3)
+      val qL = qcZig(0); val qC = qcZig(1)
+      def comps() = Array.tabulate(bw * bh) { _ =>
+        Array.tabulate(8, 8)((v, u) =>
+          if (rnd.nextInt(10) < 6) 0 else rnd.nextInt(15) - 7)
+      }
+      val (cy, cb, cr) = (comps(), comps(), comps())
+      val bytes = Jpeg.encodeJpegColor(bw * 8, bh * 8, trial % 4, qL, qC, cy, cb, cr)
+      val img = Jpeg.parseJpeg(bytes).getOrElse(fail(s"color parse None, trial $trial"))
+      assert(img.isInstanceOf[Jpeg.ColorJpegImage], "3 components must decode to color")
+      def cl(v: Long) = math.max(0L, math.min(255L, v)).toInt
+      for (bi <- 0 until bw * bh) {
+        val py = idctOf(cy(bi), qL); val pb = idctOf(cb(bi), qC); val pc = idctOf(cr(bi), qC)
+        val by = bi / bw; val bx = bi % bw
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val yy = py(y)(x).toLong
+          val cbv = pb(y)(x) - 128L; val crv = pc(y)(x) - 128L
+          val exp = (
+            cl(yy + ((Jpeg.CrR * crv + 32768L) >> 16)),
+            cl(yy - ((Jpeg.CbG * cbv + Jpeg.CrG * crv + 32768L) >> 16)),
+            cl(yy + ((Jpeg.CbB * cbv + 32768L) >> 16)))
+          assert(img.rgb(bx * 8 + x, by * 8 + y) == exp,
+            s"color drift trial=$trial block=$bi ($x,$y)")
+        }
+      }
+    }
+    // a 2-component SOF is outside the profile
+    val ok = Jpeg.encodeJpegColor(8, 8, 0, qcZig(0), qcZig(1),
+      Array(Array.fill(8, 8)(0)), Array(Array.fill(8, 8)(0)), Array(Array.fill(8, 8)(0)))
+    val sof = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
+    val bad = ok.clone(); bad(sof + 9) = 2 // Nf: 3 -> 2
+    assert(Jpeg.parseJpeg(bad).isEmpty, "Nf=2 must be rejected")
+  }
+
   test("out-of-profile and malformed streams are rejected, never thrown") {
     val good = Jpeg.encodeJpeg(16, 8, 3, qZig,
       Array.tabulate(2)(bi => Array.tabulate(8, 8)((v, u) =>
