@@ -74,7 +74,7 @@ object Pipeline extends PipelineStreamBatch {
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
     "e10_stream_token_volume" -> e10, "e11_stream_media_intake" -> e11,
-    "e14_stream_audio_qc" -> e14,
+    "e14_stream_audio_qc" -> e14, "e15_stream_gzip_intake" -> e15,
     "e12_stream_drift" -> e12, "e13_stream_scd2_enrich" -> e13,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
@@ -140,7 +140,7 @@ object Pipeline extends PipelineStreamBatch {
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,
     "e10_stream_token_volume" -> e10Sql, "e11_stream_media_intake" -> e11Sql,
-    "e14_stream_audio_qc" -> e14Sql,
+    "e14_stream_audio_qc" -> e14Sql, "e15_stream_gzip_intake" -> e15Sql,
     "e12_stream_drift" -> e12Sql, "e13_stream_scd2_enrich" -> e13Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
     "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql,

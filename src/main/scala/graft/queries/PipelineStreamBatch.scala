@@ -45,6 +45,34 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
       |    AS audio_ms
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e15: streaming gzip corpus intake -----------------------------------
+  // t25's read path joined to the streaming family (see
+  // StreamingJobs.gzipIntakeStream): gzip members decompressed AS
+  // THEY ARRIVE — header walk, full RFC 1951 inflate, CRC-32/ISIZE
+  // verification per member — folded per (hour window, source) into
+  // the intake SLO. Batch run of the same code path is the oracle;
+  // the oracle SQL states the decoded-text volumes directly from
+  // documents (a decoder misreading any byte changes text_chars or
+  // drops a file into n_undecodable and breaks the hash).
+  private[queries] val e15: Q = (s, d) => {
+    val media = framedGzip(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.gzipIntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private[queries] val e15Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, length(text) AS n_chars,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+      |  FROM documents)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_files,
+      |  CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(SUM(n_chars) AS BIGINT) AS text_chars
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e14: streaming audio sample QC --------------------------------------
   // m09's sample decode joined to the streaming family (see
   // StreamingJobs.audioQcStream): clips DECODED as they arrive,

@@ -1638,17 +1638,35 @@ private[graft] trait PipelineText extends PipelineDedup {
   // per-doc work linear in text bytes, zero shuffles before the
   // output sort — t01's class. At a real warehouse this operator is
   // the read path: spark.read.binaryFile → gunzip → text columns.
-  private[queries] val t25: Q = (s, d) => {
+  /** The gzip-framed corpus: each doc's text as a genuine single-
+    * member gzip payload, deflate mode rotating doc_id % 3 and header
+    * layout doc_id % 4 — shared by t25 (batch ingest report) and e15
+    * (streaming intake). */
+  private[queries] def framedGzip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.Inflate
-    T.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
+        it.map { case (id, src, text) =>
           val z = Inflate.gzipMember(text.getBytes("UTF-8"), (id % 3).toInt,
             fname = if (id % 4 == 1) Some(s"doc-$id.txt") else None,
             fcomment = if (id % 4 == 2) Some("graft-corpus") else None,
             extra = if (id % 4 == 3) Some(Array[Byte](7, (id % 127).toByte)) else None,
             hcrc = id % 4 >= 2)
+          (id, src, z)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t25: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Inflate
+    framedGzip(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, z) =>
           // the ingest half: decode-or-drop (a malformed member must
           // never take the job down — the curation report counts it)
           Inflate.gunzip(z).map(raw => (id, new String(raw, "UTF-8")))

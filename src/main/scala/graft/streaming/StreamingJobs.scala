@@ -206,6 +206,45 @@ object StreamingJobs {
         col("energy"), col("clipped_windows"), col("peak_milli_max"))
   }
 
+  /** e15: streaming gzip corpus intake — t25's read path joined to
+    * the streaming family: text documents arrive as gzip MEMBERS and
+    * are decompressed ON ARRIVAL (Inflate.gunzip — header walk,
+    * full RFC 1951 inflate, CRC-32/ISIZE verification — runs
+    * unchanged as a stateless mapPartitions under streaming), folded
+    * per (hour window, source) into the intake SLO: file count,
+    * undecodable count (a corrupt member counts, never kills the
+    * job), and decoded character volume. Running the same function on
+    * a batch frame IS the oracle (e03's trick); StreamingSpec proves
+    * the incremental run matches and that corrupt members surface in
+    * n_undecodable.
+    *
+    * Scale: decompression is map-side, linear in member bytes; one
+    * (window, source) shuffle of three longs per partial; state =
+    * open windows × sources. */
+  def gzipIntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.operators.Inflate.gunzip(payload) match {
+            case Some(raw) =>
+              (ts, src, true, new String(raw, "UTF-8").length.toLong)
+            case None => (ts, src, false, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "n_chars")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_chars")).as("text_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_files"), col("n_undecodable"), col("text_chars"))
+  }
+
   /** e13: streaming SCD2 enrichment — the event-time dimension
     * lookup every streaming ETL performs (q35's validity intervals
     * consumed ON ARRIVAL): each arriving event joins the dimension

@@ -258,6 +258,41 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8000L, 1000L)))
   }
 
+  test("gzipIntakeStream: incremental equals batch; corrupt members in n_undecodable") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Inflate
+    def gz(text: String, mode: Int, hcrc: Boolean) =
+      Inflate.gzipMember(text.getBytes("UTF-8"), mode,
+        fname = if (mode == 1) Some("f.txt") else None, hcrc = hcrc)
+    val corrupt = { // valid member with its CRC-32 trailer flipped
+      val g = gz("will not survive", 2, hcrc = false)
+      g(g.length - 5) = (g(g.length - 5) ^ 0x1).toByte; g
+    }
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:05:00"), gz("hello stream", 0, hcrc = true), "web"),
+      (2L, ts("2024-01-01 00:20:00"), corrupt, "web"),
+      (3L, ts("2024-01-01 00:45:00"), gz("fixed huffman body", 1, hcrc = false), "books"),
+      (4L, ts("2024-01-01 01:10:00"), gz("dynamic huffman body here", 2, hcrc = true), "web"))
+    val ms = MemoryStream[(Long, Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.gzipIntakeStream(
+        ms.toDF().toDF("doc_id", "ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_gzip").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_gzip").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.gzipIntakeStream(
+        docs.toDF("doc_id", "ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 1L, 0L, 18L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 1L, 12L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 25L)))
+  }
+
   test("cmsStream: incremental sketch equals the batch sketch, state bounded at depth*width") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
