@@ -1266,17 +1266,14 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // bucket edges BY a_id so every hop join co-locates). Beam state
   // is per-query-bounded — the window never sees more than the
   // visited set. Nothing touches the corpus beyond the walked nodes.
-  /** The beam WALK: visited set (q_id, node, cos) after `rounds`
-    * expand-the-beam rounds — everything the walk exact-scored (the
-    * s11 cost column counts this frame; beamProbe takes its top-k). */
-  private[graft] def beamVisited(edges: DataFrame, piv: DataFrame,
-                                 q: DataFrame, emb: DataFrame,
-                                 beam: Int, rounds: Int): DataFrame = {
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
-    val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
-      .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
-      .withColumn("prn", row_number().over(wq)).filter(col("prn") === 1)
-      .select(col("q_id"), col("pid").as("node"))
+  /** The beam WALK from an ARBITRARY entry frontier (q_id, node):
+    * score the entry, then `rounds` expand-the-beam rounds; returns
+    * the visited set (q_id, node, cos) — everything the walk
+    * exact-scored. Shared by s20 (pivot entry) and s24 (IVF-seeded
+    * entry), so the walk itself has one definition. */
+  private[graft] def beamWalk(edges: DataFrame, q: DataFrame, emb: DataFrame,
+                              entry: DataFrame,
+                              beam: Int, rounds: Int): DataFrame = {
     val embn = emb.select(col("vec_id").as("node"), col("embedding").as("c_vec"))
     // score is a pure function of (q_id, node) — identical bits every
     // time it's recomputed, so set-union dedup is safe on the triple.
@@ -1309,6 +1306,18 @@ private[graft] trait PipelineAnn extends PipelineShared {
       visited = visited.unionByName(scored(arrivals)).distinct()
     }
     visited
+  }
+
+  /** s20's visited set: best-pivot entry, then [[beamWalk]]. */
+  private[graft] def beamVisited(edges: DataFrame, piv: DataFrame,
+                                 q: DataFrame, emb: DataFrame,
+                                 beam: Int, rounds: Int): DataFrame = {
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("pid"))
+    val entry = q.crossJoin(broadcast(piv)) // k-row pivot table
+      .withColumn("pcos", VF.cosine(col("q_vec"), col("p_vec")))
+      .withColumn("prn", row_number().over(wq)).filter(col("prn") === 1)
+      .select(col("q_id"), col("pid").as("node"))
+    beamWalk(edges, q, emb, entry, beam, rounds)
   }
 
   private[graft] def beamProbe(edges: DataFrame, piv: DataFrame,
@@ -1346,9 +1355,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // the nodes reached from vR−1's top-`beam`. MATERIALIZED pins the
   // multiply-referenced CTEs (edges is walked every round; each vR is
   // read twice) so DuckDB doesn't inline the graph build per round.
-  private[queries] val s20Sql: String = {
-    val B = 4; val R = 3; val K = 5
-    val roundCtes = (1 to R).map { r =>
+  /** The beam rounds as CTEs (b_r → x_r → v_r), over `edges`, `q`
+    * and a scored `v0` — the ONE SQL definition of the walk, shared
+    * by s20Sql (pivot entry) and s24Sql (IVF-seeded entry). */
+  private[queries] def beamRoundsSql(B: Int, R: Int): String =
+    (1 to R).map { r =>
       s"""b$r AS (
          |  SELECT q_id, node FROM (
          |    SELECT q_id, node,
@@ -1367,6 +1378,30 @@ private[graft] trait PipelineAnn extends PipelineShared {
          |  FROM x$r x JOIN q USING (q_id)
          |  JOIN embeddings em ON em.vec_id = x.node)""".stripMargin
     }.mkString(",\n")
+
+  /** The MATERIALIZED edges + q CTEs the beam oracles walk — s20Sql's
+    * graph build restated once for both beam rungs. */
+  private[queries] val beamEdgesCtes: String =
+    s"""ccell AS (SELECT vec_id, embedding, cluster FROM asg WHERE vec_id >= 10),
+       |pairsg AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    MAX(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[]))) AS cos
+       |  FROM ccell a JOIN ccell b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+       |    FROM pairsg)
+       |  WHERE rn <= 6),
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < 10)""".stripMargin
+
+  private[queries] val s20Sql: String = {
+    val B = 4; val R = 3; val K = 5
+    val roundCtes = beamRoundsSql(B, R)
     s"""WITH ${coarseFitSql(floorK = 16)},
        |${coarseAsgSql(maxRn = 2)},
        |ccell AS (SELECT vec_id, embedding, cluster FROM asg WHERE vec_id >= 10),
@@ -1480,6 +1515,108 @@ private[graft] trait PipelineAnn extends PipelineShared {
         iters = CoarseIters, salt = "kmtrain", p = "km")},
        |${coarseAsgSql(maxRn = 2)},
        |${graphSqlBody(scoredFilter = "")}""".stripMargin
+
+  // -- s24: IVF-SEEDED beam search (entry diversification) ------------------
+  // Round 12's clustered-corpus menu run exposed the fixed-pivot
+  // entry's failure mode, measured: a √n coarse cell merges several
+  // TIGHT clusters, the single per-cell pivot lands in one of them,
+  // and the greedy walk cannot cross basins (edges correctly point to
+  // basin co-members — s23's audit passes — so ENTRY is the failure,
+  // 0.10 recall @ 14 candidates while every quantization rung
+  // saturates). s24 is the fix as its own rung: enter the walk from
+  // the query's own ASSIGNED cell — score that cell's members (s03's
+  // 1-probe candidate set, ≈ n/k ≈ √n rows) and seed the beam with
+  // the top-B — then run the SAME walk (beamWalk — one definition
+  // with s20). The entry basin is now chosen by the query's true
+  // neighbors, not by which basin owns the cell's min-id member; the
+  // walk refines ACROSS cell boundaries through the 2-probe edges
+  // (what the IVF probe alone cannot do). This is the deployed
+  // pattern: a coarse candidate pass seeding a graph refinement.
+  //
+  // Scale: entry = one broadcast probe join over the assigned lists
+  // (√n·|Q| scores — s03's class); walk rounds as s20 (≤ B·M new
+  // scores per query per round, bounded frames broadcast). s11's
+  // grid prices entry cost vs the recall it buys.
+  private[queries] def s24Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val beam = 4; val rounds = 3
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (assigned, cents) = kmeansAssign(s, d, kk, n)
+    val (_, edges0, _) = graphBuildFrom(emb.select(col("vec_id"), col("embedding")), cents)
+    val edges = edges0.select(col("a_id"), col("b_id"))
+      .transform(graft.CacheScope.cached) // walked every round
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // entry: the query's 1-probe cell members, scored; top-B seed
+    val qcell = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cluster"))
+    val members = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("node"), col("embedding").as("m_vec"), col("cluster"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("ecos").desc, col("node"))
+    val entryScored = members.join(broadcast(qcell), "cluster")
+      .withColumn("ecos", VF.cosine(col("q_vec"), col("m_vec")))
+      .select(col("q_id"), col("node"), col("ecos"))
+    val entry = entryScored
+      .withColumn("ern", row_number().over(wE)).filter(col("ern") <= beam)
+      .select(col("q_id"), col("node"))
+    val visited = beamWalk(edges, q, emb, entry, beam, rounds)
+    val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+    val top5 = visited
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("node").as("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+    // cost = entry candidates scored (the IVF pass) ∪ walk-visited —
+    // the union the rung actually paid for
+    val cands = entryScored.select(col("q_id"), col("node").as("cand_id"))
+      .unionByName(visited.select(col("q_id"), col("node").as("cand_id")))
+      .distinct()
+    (cands, top5)
+  }
+  private[queries] val s24: Q = (s, d) => s24Frames(s, d)._2
+
+  // The walk oracle with the IVF-seeded v0: e0 ranks the query's
+  // 1-probe cell members, v0 scores the top-B, then beamRoundsSql —
+  // the same round CTEs s20Sql unrolls.
+  private[queries] val s24WalkCtes: String = {
+    val B = 4; val R = 3
+    s"""${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 2)},
+       |$beamEdgesCtes,
+       |e0 AS (
+       |  SELECT qq.q_id, m.vec_id AS node,
+       |    list_cosine_similarity(CAST(qq.q_vec AS DOUBLE[]),
+       |                           CAST(m.embedding AS DOUBLE[])) AS cos,
+       |    row_number() OVER (PARTITION BY qq.q_id ORDER BY
+       |      list_cosine_similarity(CAST(qq.q_vec AS DOUBLE[]),
+       |                             CAST(m.embedding AS DOUBLE[])) DESC,
+       |      m.vec_id) AS ern
+       |  FROM (SELECT vec_id AS q_id, embedding AS q_vec, cluster
+       |        FROM asg WHERE rn = 1 AND vec_id < 10) qq
+       |  JOIN (SELECT vec_id, embedding, cluster
+       |        FROM asg WHERE rn = 1 AND vec_id >= 10) m
+       |    ON m.cluster = qq.cluster),
+       |v0 AS MATERIALIZED (SELECT q_id, node, cos FROM e0 WHERE ern <= $B),
+       |${beamRoundsSql(B, R)}""".stripMargin
+  }
+
+  private[queries] val s24Sql: String =
+    s"""WITH $s24WalkCtes
+       |SELECT q_id, node AS cand_id, ROUND(cos, 4) AS cosine,
+       |  CAST(rn AS INTEGER) AS rn
+       |FROM (
+       |  SELECT q_id, node, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
+       |  FROM v3)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  /** s24's cost frame: entry-scored cell members ∪ walk-visited. */
+  private[queries] val s24CandSql: String =
+    s"""WITH $s24WalkCtes
+       |SELECT q_id, node AS cand_id FROM e0
+       |UNION
+       |SELECT q_id, node AS cand_id FROM v3""".stripMargin
 
   // -- s22: tombstone deletes on the GRAPH index ----------------------------
   // The delete half of graph maintenance, with the honest contract
@@ -2040,6 +2177,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
       "s04_pq" -> s04Frames(s, d), "s05_ivfpq" -> s05Frames(s, d),
       "s14_sq8" -> s14Frames(s, d), "s16_graph" -> s16Frames(s, d),
       "s19_ivfpq_res" -> s19Frames(s, d), "s20_beam" -> s20Frames(s, d))
+    // s24 is NOT in the grid: adding a ninth rung (its recall AND cost
+    // replays) pushed the composed DuckDB oracle past the engine's
+    // memory (measured in-round: 18 inlined rung subqueries OOM at
+    // sf0.01) — s24 certifies standalone against its own oracle, and
+    // SURVEY §4's menu cites its standalone frames
     val tagged = methods.map { case (name, (_, top)) =>
       top.select(lit(name).as("method"), col("q_id"), col("cand_id"))
     }.reduce(_.unionByName(_))

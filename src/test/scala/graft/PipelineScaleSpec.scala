@@ -793,6 +793,45 @@ class PipelineScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("s24 IVF-seeded entry escapes the basin lock that pins s20 on clustered data") {
+    // The round-12 finding, pinned: on a TIGHTLY CLUSTERED corpus
+    // where a sqrt(n) coarse cell merges several true clusters, s20's
+    // single per-cell pivot enters the wrong basin and greedy cannot
+    // cross (edges only point to basin co-members), while s24's entry
+    // from the query's own assigned cell members lands on true
+    // neighbors. Deterministic fixture: G tight clusters, members =
+    // center + small per-dim perturbation (integer-derived floats).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 64; val g = 40; val n = 400
+    def vec(i: Long): Array[Float] = {
+      val c = (i % g).toInt // query i lands in cluster i % g
+      Array.tabulate(dim) { j =>
+        val center = if (((c * 31 + j * 17) % 97) < 48) 1.0f else -1.0f
+        center + 0.02f * (((i * 13 + j * 7) % 11).toInt - 5)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("s24clu").toString
+    (0L until n).map(i => (i, vec(i), (i % g).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def recall(name: String): Double = {
+      val exact = SparkEntry.queries("s01_ann_bruteforce")(spark, dir)
+        .select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = SparkEntry.queries(name)(spark, dir)
+        .select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheScope.drain()
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r20 = recall("s20_ann_beam")
+    val r24 = recall("s24_ann_beam_ivf_entry")
+    info(s"clustered recall: s20 $r20 vs s24 $r24")
+    assert(r24 >= r20, "IVF-seeded entry must never do worse than pivot entry here")
+    assert(r24 >= 0.8, s"s24 must escape the basin lock on clustered data: $r24")
+  }
 }
 
 /** Brute-force helper shared by graph-search specs. */
