@@ -119,3 +119,37 @@ row = {
 }
 with open(os.path.join(repo_root, "correctness_history.jsonl"), "a") as f:
     f.write(json.dumps(row) + "\n")
+
+# Defensive driver-format artifact (round-12 verdict task #5): the
+# driver wrote an EMPTY CORRECTNESS_r12.json, so every local gate run
+# also writes CORRECTNESS_local_r{N}.json in the driver's exact
+# per-query schema. GRAFT_ROUND names the round (defaults to the
+# highest existing CORRECTNESS_r*.json number + 1 so the local file
+# pairs with the round being built). Pass/fail semantics mirror the
+# compare above: a PASS row is rows+schema+values exact, so all three
+# driver bits are true; a FAIL row keeps its detail string in err.
+def _round_no():
+    env = os.environ.get("GRAFT_ROUND")
+    if env:
+        return int(env)
+    import re
+    ns = [int(m.group(1)) for f in os.listdir(repo_root)
+          if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))]
+    return (max(ns) + 1) if ns else 0
+
+if len(results) >= 50:  # full-gate runs only; skip per-query dev runs
+    driver_fmt = {}
+    for k, v in sorted(results.items()):
+        passed = v == "OK" or v.startswith("ROWS_ONLY")
+        driver_fmt[k] = {
+            "rows_match": passed or not v.startswith("ROWS "),
+            "schema_match": passed or not (v.startswith("COLS")
+                                           or v.startswith("DTYPES")),
+            "hash_match": passed,
+            "err": None if passed else v[:500],
+        }
+    local_path = os.path.join(repo_root,
+                              f"CORRECTNESS_local_r{_round_no()}.json")
+    with open(local_path, "w") as f:
+        json.dump(driver_fmt, f, indent=1)
+    print(f"wrote {local_path}")

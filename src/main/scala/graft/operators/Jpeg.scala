@@ -536,7 +536,10 @@ object Jpeg {
           val sym = huffDecode(acTs(compAc(comp)), bit _)
           if (err || sym < 0) return None
           if (sym == 0x00) k = 64 // EOB
-          else if (sym == 0xf0) { k += 16; if (k > 63) return None } // ZRL
+          // ZRL = 16 zero coefficients; landing exactly at k == 64
+          // completes the block (a conforming stream libjpeg-class
+          // decoders accept), so only k > 64 is malformed
+          else if (sym == 0xf0) { k += 16; if (k > 64) return None }
           else {
             val run = sym >> 4; val sz = sym & 0x0f
             k += run

@@ -643,9 +643,10 @@ object Multimodal {
     * blocks through the hand-written [[Inflate.inflate]] (bit reader,
     * canonical Huffman decode, CL alphabet, LZ77 window — every
     * malformation in that layer returns None), verifies the Adler-32
-    * trailer over the inflated bytes, and requires every scanline
-    * filter to be None. None for anything malformed or outside the
-    * profile — never throws. */
+    * trailer over the inflated bytes, and reconstructs scanlines
+    * through all five standard filter types (None/Sub/Up/Average/
+    * Paeth — the per-row defilter pass). None for anything malformed
+    * or outside the profile — never throws. */
   def parsePng(p: Array[Byte]): Option[PngImage] = {
     @inline def u8(i: Int): Int = p(i) & 0xff
     def be32(i: Int): Long =

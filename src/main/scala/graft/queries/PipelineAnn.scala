@@ -1399,10 +1399,14 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec
        |  FROM embeddings WHERE vec_id < 10)""".stripMargin
 
-  private[queries] val s20Sql: String = {
-    val B = 4; val R = 3; val K = 5
+  /** s20's full CTE chain (fit → graph → pivot entry → walk to v3) —
+    * the ONE definition both s20Sql (top-k tail) and s20CandSql
+    * (visited-set tail) select from, so the cost oracle cannot drift
+    * from the ranking oracle (the round-12 ADVICE fragility). */
+  private[queries] val s20WalkCtes: String = {
+    val B = 4; val R = 3
     val roundCtes = beamRoundsSql(B, R)
-    s"""WITH ${coarseFitSql(floorK = 16)},
+    s"""${coarseFitSql(floorK = 16)},
        |${coarseAsgSql(maxRn = 2)},
        |ccell AS (SELECT vec_id, embedding, cluster FROM asg WHERE vec_id >= 10),
        |pairsg AS (
@@ -1439,25 +1443,24 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |                           CAST(em.embedding AS DOUBLE[])) AS cos
        |  FROM entry en JOIN q USING (q_id)
        |  JOIN embeddings em ON em.vec_id = en.node),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private[queries] val s20Sql: String =
+    s"""WITH $s20WalkCtes
        |SELECT q_id, node AS cand_id, ROUND(cos, 4) AS cosine,
        |  CAST(rn AS INTEGER) AS rn
        |FROM (
        |  SELECT q_id, node, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
-       |  FROM v$R)
-       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
-  }
+       |  FROM v3)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
   /** s20's walk replayed to the final visited set v_R — the s11 cost
-    * count (everything the beam exact-scored). Same CTE chain as
-    * s20Sql with only the tail swapped. */
-  private[queries] val s20CandSql: String = {
-    val tail = "SELECT q_id, node AS cand_id, ROUND"
-    val i = s20Sql.lastIndexOf(tail)
-    require(i > 0, "s20Sql tail drifted; fix s20CandSql's split")
-    s20Sql.substring(0, i) + "SELECT q_id, node AS cand_id FROM v3"
-  }
+    * count (everything the beam exact-scored). Built from the SAME
+    * [[s20WalkCtes]] as s20Sql, only the tail differs. */
+  private[queries] val s20CandSql: String =
+    s"WITH $s20WalkCtes\nSELECT q_id, node AS cand_id FROM v3"
 
   // -- s21: delta-append on the GRAPH index (exact vs frozen-fit build) ----
   // The maintenance rung the round-9 verdict called structurally

@@ -230,7 +230,11 @@ object StreamingJobs {
         it.map { case (ts, src, payload) =>
           graft.operators.Inflate.gunzip(payload) match {
             case Some(raw) =>
-              (ts, src, true, new String(raw, "UTF-8").length.toLong)
+              // code points, not UTF-16 units: matches t25's Spark
+              // length() and the DuckDB oracle's length() on text,
+              // so supplementary-plane chars hash identically
+              val s = new String(raw, "UTF-8")
+              (ts, src, true, s.codePointCount(0, s.length).toLong)
             case None => (ts, src, false, 0L)
           }
         }
