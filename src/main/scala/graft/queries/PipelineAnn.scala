@@ -1356,26 +1356,28 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // multiply-referenced CTEs (edges is walked every round; each vR is
   // read twice) so DuckDB doesn't inline the graph build per round.
   /** The beam rounds as CTEs (b_r → x_r → v_r), over `edges`, `q`
-    * and a scored `v0` — the ONE SQL definition of the walk, shared
-    * by s20Sql (pivot entry) and s24Sql (IVF-seeded entry). */
-  private[queries] def beamRoundsSql(B: Int, R: Int): String =
+    * and a scored `${v}0` — the ONE SQL definition of the walk, shared
+    * by s20Sql (pivot entry), s24Sql (IVF-seeded entry) and s25's
+    * composed grid (which runs BOTH walks in one chain, so the round
+    * CTE names take a prefix: v → v1..vR, w → w1..wR). */
+  private[queries] def beamRoundsSql(B: Int, R: Int, v: String = "v"): String =
     (1 to R).map { r =>
-      s"""b$r AS (
+      s"""${v}b$r AS (
          |  SELECT q_id, node FROM (
          |    SELECT q_id, node,
          |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
-         |    FROM v${r - 1})
+         |    FROM $v${r - 1})
          |  WHERE rn <= $B),
-         |x$r AS (
+         |${v}x$r AS (
          |  SELECT DISTINCT b.q_id, e.b_id AS node
-         |  FROM b$r b JOIN edges e ON e.a_id = b.node),
-         |v$r AS MATERIALIZED (
-         |  SELECT * FROM v${r - 1}
+         |  FROM ${v}b$r b JOIN edges e ON e.a_id = b.node),
+         |$v$r AS MATERIALIZED (
+         |  SELECT * FROM $v${r - 1}
          |  UNION
          |  SELECT x.q_id, x.node,
          |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
          |                           CAST(em.embedding AS DOUBLE[])) AS cos
-         |  FROM x$r x JOIN q USING (q_id)
+         |  FROM ${v}x$r x JOIN q USING (q_id)
          |  JOIN embeddings em ON em.vec_id = x.node)""".stripMargin
     }.mkString(",\n")
 
@@ -1620,6 +1622,278 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |SELECT q_id, node AS cand_id FROM e0
        |UNION
        |SELECT q_id, node AS cand_id FROM v3""".stripMargin
+
+  // -- s25: graph-family recall/cost grid on BOTH corpus geometries ---------
+  // Round 12 priced s24 standalone because adding a ninth rung to
+  // s11's grid OOM'd the composed DuckDB oracle (18 inlined rung
+  // subqueries). s25 is the graph FAMILY's own grid, built the way
+  // the family should be priced: ONE shared fit + ONE shared graph
+  // build per geometry feeding all three searches (s16 fixed 2-hop /
+  // s20 pivot-entry beam / s24 IVF-seeded beam) — so the composed
+  // oracle carries two fit replays total, not six — and the whole
+  // grid runs on TWO corpus geometries: the table's own near-
+  // orthogonal vectors ("random": a walk has nothing to climb — the
+  // documented graph-family caveat) and a deterministic clustered
+  // RE-GEOMETRY of the same table ("clustered": 64 tight basins, the
+  // geometry real corpora have, where round 12 measured s20 at 0.10
+  // recall and s24 at 0.94). The clustered frame derives from the
+  // embeddings table itself — basin = vec_id % 64, center = the
+  // basin's min-corpus-vec embedding integerized (floor(x·1000) per
+  // coordinate), member = center with ONE coordinate (vec_id·7 mod
+  // dim) offset by (vec_id·13 mod 9) − 4 — all integer-valued
+  // doubles, so every cosine replays bit-exactly in the oracle.
+  //
+  // Scale: the rungs' own documented shapes (edges cached and walked,
+  // bounded frames broadcast); the grid adds one broadcast-sized join
+  // and a methods × queries agg per geometry. The clustered re-
+  // geometry is one broadcast join against a 64-row center table.
+  private[queries] val S25Basins = 64
+
+  /** Deterministic clustered re-geometry of (vec_id, embedding):
+    * tight basins with bit-exact cross-engine replay (see s25
+    * header). Queries (vec_id < 10) land in basins too, so each
+    * query's true neighbors are its basin co-members. */
+  private[queries] def clusteredGeom(emb: DataFrame): DataFrame = {
+    val centers = emb.filter(col("vec_id") >= 10)
+      .groupBy((col("vec_id") % S25Basins).as("basin"))
+      .agg(min(col("vec_id")).as("rep_id"))
+      .join(emb.select(col("vec_id").as("rep_id"), col("embedding").as("rep_emb")),
+        "rep_id")
+      .select(col("basin"),
+        transform(col("rep_emb"),
+          x => floor(x.cast(DoubleType) * lit(1000d)).cast(DoubleType)).as("center"))
+    emb.select(col("vec_id"))
+      .join(broadcast(centers), col("vec_id") % S25Basins === col("basin"))
+      .select(col("vec_id"),
+        transform(col("center"), (x, i) =>
+          when(i.cast(LongType) === (col("vec_id") * 7) % EmbDim,
+            x + ((col("vec_id") * 13) % 9 - 4).cast(DoubleType))
+            .otherwise(x)).as("embedding"))
+  }
+
+  /** The clustered re-geometry in DuckDB — shadows `embeddings`
+    * inside s25's clustered subquery (CTE over the view; the body
+    * reads `main.embeddings` since an unqualified self-name would
+    * bind the CTE recursively). DuckDB lambda indexes are 1-based
+    * where Spark's are 0-based: `i - 1` aligns them. */
+  private[queries] val clusteredGeomSql: String =
+    s"""SELECT e.vec_id,
+       |  list_transform(c.center, (x, i) ->
+       |    CASE WHEN i - 1 = (e.vec_id * 7) % $EmbDim
+       |         THEN x + (e.vec_id * 13) % 9 - 4 ELSE x END) AS embedding
+       |FROM main.embeddings e
+       |JOIN (
+       |  SELECT r.basin,
+       |    list_transform(CAST(em.embedding AS DOUBLE[]),
+       |                   x -> floor(x * 1000)) AS center
+       |  FROM (SELECT vec_id % $S25Basins AS basin, MIN(vec_id) AS rep_id
+       |        FROM main.embeddings WHERE vec_id >= 10 GROUP BY 1) r
+       |  JOIN main.embeddings em ON em.vec_id = r.rep_id) c
+       |  ON c.basin = e.vec_id % $S25Basins""".stripMargin
+
+  /** One geometry's grid rows: exact baseline + the three graph
+    * rungs over ONE shared fit and ONE shared graph build, emitting
+    * (method, q_id, hits, cands, recall). */
+  private[queries] def s25GridOf(emb0: DataFrame, n: Long): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (assigned, cents) = kmeansAssignDf(emb, kk, n)
+    val (_, edgesRaw, piv) = graphBuildFrom(emb, cents)
+    val edges = edgesRaw.select(col("a_id"), col("b_id"))
+      .transform(graft.CacheScope.cached) // frontier hops + two walks read it
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wX = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    val exact = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VF.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(wX)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"))
+      .withColumn("hit", lit(1L))
+      .transform(graft.CacheScope.cached) // hit join + grid spine read it
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+    def top5(visited: DataFrame): DataFrame = visited
+      .withColumn("rn", row_number().over(wT)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("node").as("cand_id"))
+    val frontier = graphFrontier(edges, piv, q)
+      .transform(graft.CacheScope.cached) // cost count + probe scoring read it
+    val s16Top = graphProbe(edges, piv, q, emb, k = 5)
+      .select(col("q_id"), col("cand_id"))
+    val vis20 = beamVisited(edges, piv, q, emb, beam = 4, rounds = 3)
+    // s24's entry: the query's own assigned cell, scored (s03's
+    // 1-probe candidate set), top-B seeding the same walk
+    val qcell = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cluster"))
+    val members = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("node"), col("embedding").as("m_vec"), col("cluster"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("ecos").desc, col("node"))
+    val entryScored = members.join(broadcast(qcell), "cluster")
+      .withColumn("ecos", VF.cosine(col("q_vec"), col("m_vec")))
+      .select(col("q_id"), col("node"), col("ecos"))
+      .transform(graft.CacheScope.cached) // seeds the walk AND the cost frame
+    val entry24 = entryScored
+      .withColumn("ern", row_number().over(wE)).filter(col("ern") <= 4)
+      .select(col("q_id"), col("node"))
+    val vis24 = beamWalk(edges, q, emb, entry24, beam = 4, rounds = 3)
+    val cands24 = entryScored.select(col("q_id"), col("node").as("cand_id"))
+      .unionByName(vis24.select(col("q_id"), col("node").as("cand_id")))
+      .distinct()
+    val methods = Seq(
+      ("s16_graph", frontier.select(col("q_id"), col("node").as("cand_id")), s16Top),
+      ("s20_beam", vis20.select(col("q_id"), col("node").as("cand_id")), top5(vis20)),
+      ("s24_ivf_beam", cands24, top5(vis24)))
+    val tagged = methods.map { case (m, _, top) =>
+      top.select(lit(m).as("method"), col("q_id"), col("cand_id"))
+    }.reduce(_.unionByName(_))
+    val hits = tagged.join(exact, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("method"), col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    val candCnt = methods.map { case (m, cands, _) =>
+      cands.select(lit(m).as("method"), col("q_id"), col("cand_id"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("method"), col("q_id"))
+      .agg(count(lit(1)).as("cands"))
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val grid = exact.select(col("q_id")).distinct()
+      .crossJoin(methods.map(_._1).toDF("method"))
+    grid.join(hits, Seq("method", "q_id"), "left")
+      .join(candCnt, Seq("method", "q_id"), "left")
+      .select(col("method"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("cands"), lit(0L)).as("cands"))
+      .withColumn("recall", col("hits").cast(DoubleType) / 5)
+  }
+
+  private[queries] val s25: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    s25GridOf(emb, n).withColumn("geometry", lit("random"))
+      .unionByName(
+        s25GridOf(clusteredGeom(emb), n).withColumn("geometry", lit("clustered")))
+      .select(col("geometry"), col("method"), col("q_id"),
+        col("hits"), col("cands"), col("recall"))
+      .orderBy(col("geometry"), col("method"), col("q_id"))
+  }
+
+  /** One geometry's grid replay: the shared fit/assignment/graph
+    * CTEs, the s16 frontier, BOTH walks (v = pivot entry, w = IVF-
+    * seeded — beamRoundsSql's prefix keeps them apart), the exact
+    * baseline, and the methods × queries grid. `embSrc` shadows the
+    * embeddings view for the clustered geometry. */
+  private[queries] def s25GeomSql(geometry: String, embSrc: Option[String]): String = {
+    val shadow = embSrc.map(src => s"embeddings AS MATERIALIZED (\n$src),\n").getOrElse("")
+    s"""SELECT '$geometry' AS geometry, method, q_id, hits, cands, recall FROM (
+       |WITH $shadow${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 2)},
+       |$beamEdgesCtes,
+       |piv AS (
+       |  SELECT p.cluster, p.pid, e.embedding AS p_vec
+       |  FROM (SELECT cluster, MIN(vec_id) AS pid
+       |        FROM asg WHERE rn = 1 AND vec_id >= 10 GROUP BY cluster) p
+       |  JOIN embeddings e ON e.vec_id = p.pid),
+       |entry AS (
+       |  SELECT q_id, pid AS node FROM (
+       |    SELECT q.q_id, p.pid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                               CAST(p.p_vec AS DOUBLE[])) DESC, p.pid) AS prn
+       |    FROM q CROSS JOIN piv p)
+       |  WHERE prn = 1),
+       |f1 AS (SELECT en.q_id, ed.b_id AS node FROM entry en JOIN edges ed ON ed.a_id = en.node),
+       |f2 AS (SELECT f1.q_id, ed.b_id AS node FROM f1 JOIN edges ed ON ed.a_id = f1.node),
+       |frontier AS MATERIALIZED (
+       |  SELECT q_id, node FROM entry
+       |  UNION SELECT q_id, node FROM f1
+       |  UNION SELECT q_id, node FROM f2),
+       |s16top AS (
+       |  SELECT q_id, node AS cand_id FROM (
+       |    SELECT fr.q_id, fr.node,
+       |      row_number() OVER (PARTITION BY fr.q_id ORDER BY
+       |        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                               CAST(e.embedding AS DOUBLE[])) DESC, fr.node) AS rn
+       |    FROM frontier fr JOIN q USING (q_id)
+       |    JOIN embeddings e ON e.vec_id = fr.node)
+       |  WHERE rn <= 5),
+       |v0 AS MATERIALIZED (
+       |  SELECT en.q_id, en.node,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                           CAST(em.embedding AS DOUBLE[])) AS cos
+       |  FROM entry en JOIN q USING (q_id)
+       |  JOIN embeddings em ON em.vec_id = en.node),
+       |${beamRoundsSql(4, 3)},
+       |e0 AS (
+       |  SELECT qq.q_id, m.vec_id AS node,
+       |    list_cosine_similarity(CAST(qq.q_vec AS DOUBLE[]),
+       |                           CAST(m.embedding AS DOUBLE[])) AS cos,
+       |    row_number() OVER (PARTITION BY qq.q_id ORDER BY
+       |      list_cosine_similarity(CAST(qq.q_vec AS DOUBLE[]),
+       |                             CAST(m.embedding AS DOUBLE[])) DESC,
+       |      m.vec_id) AS ern
+       |  FROM (SELECT vec_id AS q_id, embedding AS q_vec, cluster
+       |        FROM asg WHERE rn = 1 AND vec_id < 10) qq
+       |  JOIN (SELECT vec_id, embedding, cluster
+       |        FROM asg WHERE rn = 1 AND vec_id >= 10) m
+       |    ON m.cluster = qq.cluster),
+       |w0 AS MATERIALIZED (SELECT q_id, node, cos FROM e0 WHERE ern <= 4),
+       |${beamRoundsSql(4, 3, "w")},
+       |exact AS MATERIALIZED (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q.q_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                               CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+       |    FROM q CROSS JOIN embeddings c WHERE c.vec_id >= 10)
+       |  WHERE rn <= 5),
+       |tagged AS (
+       |  SELECT 's16_graph' AS method, q_id, cand_id FROM s16top
+       |  UNION ALL
+       |  SELECT 's20_beam', q_id, node FROM (
+       |    SELECT q_id, node,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
+       |    FROM v3) WHERE rn <= 5
+       |  UNION ALL
+       |  SELECT 's24_ivf_beam', q_id, node FROM (
+       |    SELECT q_id, node,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
+       |    FROM w3) WHERE rn <= 5),
+       |candidates AS (
+       |  SELECT 's16_graph' AS method, q_id, node AS cand_id FROM frontier
+       |  UNION ALL
+       |  SELECT 's20_beam', q_id, node FROM v3
+       |  UNION ALL
+       |  SELECT 's24_ivf_beam', q_id, cand_id FROM (
+       |    SELECT q_id, node AS cand_id FROM e0
+       |    UNION SELECT q_id, node FROM w3)),
+       |ccnt AS (
+       |  SELECT method, q_id, CAST(COUNT(*) AS BIGINT) AS cands
+       |  FROM candidates GROUP BY method, q_id),
+       |hits AS (
+       |  SELECT t.method, t.q_id,
+       |    CAST(SUM(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM tagged t LEFT JOIN exact e
+       |    ON t.q_id = e.q_id AND t.cand_id = e.cand_id
+       |  GROUP BY t.method, t.q_id),
+       |grid AS (
+       |  SELECT m.method, q.q_id
+       |  FROM (SELECT DISTINCT q_id FROM exact) q,
+       |       (SELECT unnest(['s16_graph', 's20_beam', 's24_ivf_beam']) AS method) m)
+       |SELECT g.method, g.q_id,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(c.cands, 0) AS BIGINT) AS cands,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
+       |FROM grid g
+       |LEFT JOIN hits h ON g.method = h.method AND g.q_id = h.q_id
+       |LEFT JOIN ccnt c ON g.method = c.method AND g.q_id = c.q_id)""".stripMargin
+  }
+
+  private[queries] val s25Sql: String =
+    s"""SELECT * FROM (
+       |${s25GeomSql("random", None)}
+       |UNION ALL
+       |${s25GeomSql("clustered", Some(clusteredGeomSql))})
+       |ORDER BY geometry, method, q_id""".stripMargin
 
   // -- s22: tombstone deletes on the GRAPH index ----------------------------
   // The delete half of graph maintenance, with the honest contract

@@ -832,6 +832,35 @@ class PipelineScaleSpec extends SparkSpec {
     assert(r24 >= r20, "IVF-seeded entry must never do worse than pivot entry here")
     assert(r24 >= 0.8, s"s24 must escape the basin lock on clustered data: $r24")
   }
+
+  test("s25 geometry grid prices the graph family on both geometries in one frame") {
+    // The round-12 verdict's #1, pinned structurally: the grid must
+    // carry BOTH geometries for all three graph rungs, the clustered
+    // re-geometry must reproduce the basin-lock finding (s24 ≥ s20,
+    // s24 high) inside the SAME registered query, and recall must
+    // equal hits/5 row by row (the exact join is the one baseline).
+    val rows = SparkEntry.queries("s25_ann_graph_geometry_grid")(spark, sfDir)
+      .collect()
+    graft.CacheScope.drain()
+    val geoms = rows.map(_.getString(0)).toSet
+    val methods = rows.map(_.getString(1)).toSet
+    assert(geoms == Set("random", "clustered"))
+    assert(methods == Set("s16_graph", "s20_beam", "s24_ivf_beam"))
+    assert(rows.length == 2 * 3 * 10, s"2 geoms x 3 methods x 10 queries, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getDouble(5) == r.getLong(3).toDouble / 5,
+        s"recall must be hits/5: $r")
+      assert(r.getLong(4) >= r.getLong(3), s"cands must bound hits: $r")
+    }
+    def mean(g: String, m: String): Double = {
+      val sel = rows.filter(r => r.getString(0) == g && r.getString(1) == m)
+      sel.map(_.getDouble(5)).sum / sel.length
+    }
+    val c20 = mean("clustered", "s20_beam"); val c24 = mean("clustered", "s24_ivf_beam")
+    info(s"clustered grid: s20 $c20 vs s24 $c24; random s24 ${mean("random", "s24_ivf_beam")}")
+    assert(c24 >= c20, "the grid must show the IVF-seeded entry's clustered win")
+    assert(c24 >= 0.8, s"s24 must escape the basin lock in the grid's re-geometry: $c24")
+  }
 }
 
 /** Brute-force helper shared by graph-search specs. */
