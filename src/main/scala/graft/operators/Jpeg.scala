@@ -368,6 +368,124 @@ object Jpeg {
     out.toArray
   }
 
+  /** 4:2:0 color encode (round 13): the subsampled layout a crawl's
+    * JPEGs actually use. Y samples at 2×2, Cb/Cr at 1×1 — each MCU
+    * covers a 16×16 pixel tile and interleaves FOUR Y blocks (the
+    * component's 2×2 sampling grid, left-to-right then top-to-bottom
+    * per T.81 A.2.3) followed by one Cb and one Cr block, all under
+    * per-component DC predictors. `coefY` is row-major over the FULL
+    * (w/8)×(h/8) luma block grid; `coefCb`/`coefCr` are row-major
+    * over the HALF-resolution (w/16)×(h/16) chroma block grid. Dims
+    * must be multiples of 16 (whole MCUs — this profile does not pad
+    * partial blocks). */
+  def encodeJpeg420(w: Int, h: Int, gap: Int,
+                    qLuma: Array[Array[Int]], qChroma: Array[Array[Int]],
+                    coefY: Array[Array[Array[Int]]],
+                    coefCb: Array[Array[Array[Int]]],
+                    coefCr: Array[Array[Array[Int]]]): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "profile: dims multiples of 16")
+    val bw = w / 8; val bh = h / 8
+    require(coefY.length == bw * bh, "one Y block per 8x8 luma tile")
+    require(coefCb.length == (bw / 2) * (bh / 2) &&
+      coefCr.length == (bw / 2) * (bh / 2), "one chroma block per 16x16 tile")
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = out += (v & 0xff).toByte
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xff); b(m) }
+    marker(0xd8)
+    marker(0xe0); be16(16)
+    "JFIF".foreach(ch => b(ch)); b(0)
+    b(1); b(1); b(0); be16(1); be16(1); b(0); b(0)
+    if (gap > 0) { marker(0xfe); be16(2 + gap)
+      (0 until gap).foreach(i => b(0x41 + (i % 16))) }
+    def dqt(tq: Int, q: Array[Array[Int]]): Unit = {
+      marker(0xdb); be16(2 + 1 + 64); b(tq)
+      zigzag.foreach { case (r, c) => b(q(r)(c)) }
+    }
+    dqt(0, qLuma); dqt(1, qChroma)
+    marker(0xc0); be16(2 + 6 + 3 * 3) // SOF0: 8-bit, 3 components, 4:2:0
+    b(8); be16(h); be16(w); b(3)
+    b(1); b(0x22); b(0) // Y  2x2 -> quant 0
+    b(2); b(0x11); b(1) // Cb 1x1 -> quant 1
+    b(3); b(0x11); b(1) // Cr 1x1 -> quant 1
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      b((tc << 4) | th); bits.foreach(b(_)); vals.foreach(b(_))
+    }
+    dht(0, 0, dcBits, dcVals); dht(1, 0, acBits, acVals)
+    dht(0, 1, dcBitsC, dcValsC); dht(1, 1, acBitsC, acValsC)
+    marker(0xda); be16(2 + 1 + 2 * 3 + 3)
+    b(3)
+    b(1); b(0x00)
+    b(2); b(0x11)
+    b(3); b(0x11)
+    b(0); b(63); b(0)
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          b(bitBuf)
+          if (bitBuf == 0xff) b(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putHuff(t: HuffTable, sym: Int): Unit = putBits(t.codeOf(sym), t.lenOf(sym))
+    def putAmp(v: Int, size: Int): Unit =
+      if (size > 0) putBits(if (v >= 0) v else v + (1 << size) - 1, size)
+    def putBlock(blk: Array[Array[Int]], prevDc: Int,
+                 dct: HuffTable, act: HuffTable): Int = {
+      val dc = blk(0)(0)
+      val dsz = category(dc - prevDc)
+      putHuff(dct, dsz); putAmp(dc - prevDc, dsz)
+      var k = 1; var run = 0
+      while (k < 64) {
+        val (r, c) = zigzag(k)
+        val v = blk(r)(c)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { putHuff(act, 0xf0); run -= 16 }
+          val sz = category(v)
+          putHuff(act, (run << 4) | sz); putAmp(v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putHuff(act, 0x00)
+      dc
+    }
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    val mcx = w / 16; val mcy = h / 16
+    var mi = 0
+    while (mi < mcx * mcy) {
+      val my = mi / mcx; val mx = mi % mcx
+      var bv = 0
+      while (bv < 2) { // the four Y blocks of the 2x2 sampling grid
+        var bhh = 0
+        while (bhh < 2) {
+          dcY = putBlock(coefY((my * 2 + bv) * bw + mx * 2 + bhh),
+            dcY, dcTable, acTable)
+          bhh += 1
+        }
+        bv += 1
+      }
+      dcCb = putBlock(coefCb(my * (bw / 2) + mx), dcCb, dcTableC, acTableC)
+      dcCr = putBlock(coefCr(my * (bw / 2) + mx), dcCr, dcTableC, acTableC)
+      mi += 1
+    }
+    if (bitCnt > 0) {
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      b(bitBuf)
+      if ((bitBuf & 0xff) == 0xff) b(0x00)
+    }
+    marker(0xd9)
+    out.toArray
+  }
+
   // ======================= decoder ========================================
 
   /** Grayscale raster decoded from a baseline JPEG; satisfies the
@@ -393,14 +511,16 @@ object Jpeg {
 
   /** Decode a baseline JPEG within this object's profile: walks
     * segments by length, parses DQTs (un-zigzagged, Tq ≤ 3), SOF0
-    * (8-bit, 1 OR 3 components, 1×1 sampling — grayscale or 4:4:4
-    * YCbCr, dims multiples of 8), every DHT, SOS (tables per
-    * component); entropy-decodes interleaved MCUs (per-component DC
+    * (8-bit; 1 component grayscale, 3-component 4:4:4 at 1×1, or
+    * 3-component 4:2:0 at Y 2×2 / chroma 1×1 with dims multiples of
+    * 16 — any other sampling layout is explicitly rejected), every
+    * DHT, SOS (tables per component); entropy-decodes interleaved
+    * MCUs (Hi×Vi blocks per component per MCU, per-component DC
     * predictors, AC run-length, byte unstuffing), dequantizes,
     * integer-IDCTs, level-shifts, clamps, and for 3 components
-    * converts YCbCr→RGB in the fixed-point integer arithmetic above.
-    * None for anything malformed or outside the profile — never
-    * throws. */
+    * upsamples subsampled chroma by integer replication and converts
+    * YCbCr→RGB in the fixed-point integer arithmetic above. None for
+    * anything malformed or outside the profile — never throws. */
   def parseJpeg(p: Array[Byte]): Option[Multimodal.Raster] = {
     @inline def u8(i: Int): Int = p(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
@@ -412,6 +532,8 @@ object Jpeg {
     val dcTs = new Array[HuffTable](4)
     val acTs = new Array[HuffTable](4)
     var compQ: Array[Int] = null // component -> quant table id
+    var compH: Array[Int] = null // component -> horizontal sampling factor
+    var compV: Array[Int] = null // component -> vertical sampling factor
     var compDc: Array[Int] = null // component -> DC table id (from SOS)
     var compAc: Array[Int] = null
     var scanStart = -1
@@ -433,21 +555,31 @@ object Jpeg {
             val (r, c) = zigzag(k); qt(r)(c) = u8(seg + 1 + k); k += 1
           }
           qts(u8(seg) & 0x0f) = qt
-        case 0xc0 => // SOF0: 8-bit, 1 or 3 components, all 1x1
+        case 0xc0 => // SOF0: 8-bit, 1 or 3 components, 1x1 or 4:2:0
           if (len < 2 + 6 || u8(seg) != 8) return None
           h = be16(seg + 1); w = be16(seg + 3)
           nf = u8(seg + 5)
           if ((nf != 1 && nf != 3) || len != 2 + 6 + 3 * nf) return None
           if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
           compQ = new Array[Int](nf)
+          compH = new Array[Int](nf); compV = new Array[Int](nf)
           var ci = 0
           while (ci < nf) {
-            if (u8(seg + 7 + 3 * ci) != 0x11) return None // 1x1 sampling only
+            val hv = u8(seg + 7 + 3 * ci)
+            compH(ci) = hv >> 4; compV(ci) = hv & 0x0f
             val tq = u8(seg + 8 + 3 * ci)
             if (tq > 3) return None
             compQ(ci) = tq
             ci += 1
           }
+          // profile: every component 1x1 (grayscale / 4:4:4), or the
+          // 4:2:0 layout (Y 2x2, Cb/Cr 1x1) with whole 16x16 MCUs.
+          // Anything else (4:2:2, 4:1:1, ...) is explicitly rejected.
+          val all11 = (0 until nf).forall(c => compH(c) == 1 && compV(c) == 1)
+          val is420 = nf == 3 && compH(0) == 2 && compV(0) == 2 &&
+            compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
+          if (!all11 && !is420) return None
+          if (is420 && (w % 16 != 0 || h % 16 != 0)) return None
         case 0xc4 => // DHT (one or more tables per segment)
           var q = seg
           while (q < pos + 2 + len) {
@@ -516,55 +648,74 @@ object Jpeg {
       while (i < sz) { val b0 = bit(); if (err) return 0; v = (v << 1) | b0; i += 1 }
       v
     }
-    val bw = w / 8; val bh = h / 8
-    val planes = Array.ofDim[Int](nf, w * h)
+    // MCU geometry from the sampling factors: each MCU covers an
+    // (8·Hmax)×(8·Vmax) pixel tile and carries Hi×Vi blocks per
+    // component (T.81 A.2.3), left-to-right then top-to-bottom within
+    // the component's sampling grid. For all-1x1 this degenerates to
+    // exactly the one-block-per-component walk; for 4:2:0 each MCU is
+    // four Y blocks + one Cb + one Cr, and the chroma planes are
+    // half-resolution.
+    val hMax = compH.max; val vMax = compV.max
+    val mcx = w / (8 * hMax); val mcy = h / (8 * vMax)
+    val cw = Array.tabulate(nf)(c => w * compH(c) / hMax)
+    val chh = Array.tabulate(nf)(c => h * compV(c) / vMax)
+    val planes = Array.tabulate(nf)(c => new Array[Int](cw(c) * chh(c)))
     val prevDc = new Array[Int](nf)
-    var bi = 0
-    while (bi < bw * bh) { // interleaved MCUs: one block per component
+    var mi = 0
+    while (mi < mcx * mcy) {
+      val my = mi / mcx; val mx = mi % mcx
       var comp = 0
       while (comp < nf) {
         val qt = qts(compQ(comp))
-        val coef = Array.ofDim[Long](8, 8)
-        val dsz = huffDecode(dcTs(compDc(comp)), bit _)
-        if (err || dsz < 0 || dsz > 11) return None
-        val diff = extend(recv(dsz), dsz)
-        if (err) return None
-        prevDc(comp) += diff
-        coef(0)(0) = prevDc(comp).toLong * qt(0)(0)
-        var k = 1
-        while (k < 64) {
-          val sym = huffDecode(acTs(compAc(comp)), bit _)
-          if (err || sym < 0) return None
-          if (sym == 0x00) k = 64 // EOB
-          // ZRL = 16 zero coefficients; landing exactly at k == 64
-          // completes the block (a conforming stream libjpeg-class
-          // decoders accept), so only k > 64 is malformed
-          else if (sym == 0xf0) { k += 16; if (k > 64) return None }
-          else {
-            val run = sym >> 4; val sz = sym & 0x0f
-            k += run
-            if (k > 63 || sz == 0) return None
-            val v = extend(recv(sz), sz)
+        var sv = 0
+        while (sv < compV(comp)) {
+          var sh = 0
+          while (sh < compH(comp)) {
+            val coef = Array.ofDim[Long](8, 8)
+            val dsz = huffDecode(dcTs(compDc(comp)), bit _)
+            if (err || dsz < 0 || dsz > 11) return None
+            val diff = extend(recv(dsz), dsz)
             if (err) return None
-            val (r, c) = zigzag(k)
-            coef(r)(c) = v.toLong * qt(r)(c)
-            k += 1
+            prevDc(comp) += diff
+            coef(0)(0) = prevDc(comp).toLong * qt(0)(0)
+            var k = 1
+            while (k < 64) {
+              val sym = huffDecode(acTs(compAc(comp)), bit _)
+              if (err || sym < 0) return None
+              if (sym == 0x00) k = 64 // EOB
+              // ZRL = 16 zero coefficients; landing exactly at k == 64
+              // completes the block (a conforming stream libjpeg-class
+              // decoders accept), so only k > 64 is malformed
+              else if (sym == 0xf0) { k += 16; if (k > 64) return None }
+              else {
+                val run = sym >> 4; val sz = sym & 0x0f
+                k += run
+                if (k > 63 || sz == 0) return None
+                val v = extend(recv(sz), sz)
+                if (err) return None
+                val (r, c) = zigzag(k)
+                coef(r)(c) = v.toLong * qt(r)(c)
+                k += 1
+              }
+            }
+            val px = idctBlock(coef)
+            val by = my * compV(comp) + sv; val bx = mx * compH(comp) + sh
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                planes(comp)((by * 8 + y) * cw(comp) + bx * 8 + x) = px(y)(x)
+                x += 1
+              }
+              y += 1
+            }
+            sh += 1
           }
-        }
-        val px = idctBlock(coef)
-        val by = bi / bw; val bx = bi % bw
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            planes(comp)((by * 8 + y) * w + bx * 8 + x) = px(y)(x)
-            x += 1
-          }
-          y += 1
+          sv += 1
         }
         comp += 1
       }
-      bi += 1
+      mi += 1
     }
     // after the last block: byte-align, then expect EOI (possibly after
     // pad bits already consumed within the final byte)
@@ -577,19 +728,30 @@ object Jpeg {
       Some(JpegImage(w, h, gray))
     } else {
       // YCbCr → RGB, fixed-point ×2^16 with the shared constants; >>
-      // floors, exactly what the oracle's floor(x/65536.0) replays
+      // floors, exactly what the oracle's floor(x/65536.0) replays.
+      // Subsampled chroma upsamples by integer REPLICATION: the
+      // chroma sample for full-res (x, y) is plane(y·Vi/Vmax,
+      // x·Hi/Hmax) — for 4:2:0 that is (y/2, x/2), the box upsample,
+      // which the oracle replays as gy//2 / gx//2 index joins.
       @inline def cl(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
       val pix = new Array[Int](w * h)
-      var i = 0
-      while (i < pix.length) {
-        val yy = planes(0)(i).toLong
-        val cb = planes(1)(i) - 128L
-        val cr = planes(2)(i) - 128L
-        val r = cl(yy + ((CrR * cr + 32768L) >> 16))
-        val g = cl(yy - ((CbG * cb + CrG * cr + 32768L) >> 16))
-        val b = cl(yy + ((CbB * cb + 32768L) >> 16))
-        pix(i) = (r << 16) | (g << 8) | b
-        i += 1
+      var py = 0
+      while (py < h) {
+        var px2 = 0
+        while (px2 < w) {
+          val yy = planes(0)(
+            (py * compV(0) / vMax) * cw(0) + px2 * compH(0) / hMax).toLong
+          val cb = planes(1)(
+            (py * compV(1) / vMax) * cw(1) + px2 * compH(1) / hMax) - 128L
+          val cr = planes(2)(
+            (py * compV(2) / vMax) * cw(2) + px2 * compH(2) / hMax) - 128L
+          val r = cl(yy + ((CrR * cr + 32768L) >> 16))
+          val g = cl(yy - ((CbG * cb + CrG * cr + 32768L) >> 16))
+          val b = cl(yy + ((CbB * cb + 32768L) >> 16))
+          pix(py * w + px2) = (r << 16) | (g << 8) | b
+          px2 += 1
+        }
+        py += 1
       }
       Some(ColorJpegImage(w, h, pix))
     }

@@ -543,6 +543,164 @@ private[graft] trait PipelineMultimodal extends PipelineText {
        |ORDER BY doc_id, by, bx""".stripMargin
   }
 
+  // -- m14: 4:2:0 chroma-subsampled JPEG over a MIXED corpus ----------------
+  // m13 proved 3-component color at 4:4:4; m14 closes the gap to the
+  // JPEGs a crawl actually contains: 4:2:0 chroma subsampling (Y
+  // sampled 2×2, Cb/Cr 1×1 — each MCU interleaves FOUR Y blocks then
+  // one Cb and one Cr, chroma planes at half resolution, integer
+  // REPLICATION upsample at color-convert time) — and the corpus is
+  // MIXED, rotating doc parity between 4:4:4 and 4:2:0 streams, so
+  // ONE decoder proves it dispatches on the SOF sampling factors
+  // rather than assuming a layout (JpegSpec additionally pins that
+  // out-of-profile layouts like 4:2:2 are rejected, not misread).
+  // Same replayability design as m12/m13: quantized coefficients from
+  // integer formulas, every decode step exact integer arithmetic; the
+  // oracle replays both arms per component with a per-(mode, comp)
+  // block-grid SCALE and upsamples by gx//2 / gy//2 index joins.
+  //
+  // Scale: m13's class — map-only, 16-row fan-out, linear in pixels;
+  // subsampling reads 2x fewer chroma blocks per pixel, exactly the
+  // byte savings the format exists for.
+  private[queries] def framedJpegMixed(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    import s.implicits._
+    import graft.operators.{Jpeg, Multimodal}
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        val qL = Array.ofDim[Int](8, 8); val qC = Array.ofDim[Int](8, 8)
+        Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
+          qL(r)(c) = 1 + (k % 4); qC(r)(c) = 1 + ((k + 1) % 3)
+        }
+        it.map { case (id, src) =>
+          val gap = (id % 6).toInt
+          def blocks(bw: Int, bh: Int)(m: Int, mask: Int, a: Int, b: Int,
+                                       c: Int, dd: Int, e: Int) =
+            Array.tabulate(bw * bh) { bi =>
+              val by = bi / bw; val bx = bi % bw
+              Array.tabulate(8, 8) { (v, u) =>
+                if (u + v <= mask)
+                  ((id * a + bx * b + by * c + u * dd + v * e) % m).toInt - m / 2
+                else 0
+              }
+            }
+          val payload = if (id % 2 == 0) {
+            val w = 8 * (1 + ((id / 2) % 3)).toInt
+            val h = 8 * (1 + ((id / 2) % 2)).toInt
+            val bw = w / 8; val bh = h / 8
+            Jpeg.encodeJpegColor(w, h, gap, qL, qC,
+              blocks(bw, bh)(15, 2, 7, 5, 3, 11, 13),
+              blocks(bw, bh)(11, 1, 5, 7, 11, 3, 9),
+              blocks(bw, bh)(9, 1, 13, 3, 7, 5, 2))
+          } else {
+            val w = 16 * (1 + ((id / 2) % 2)).toInt
+            val h = 16 * (1 + ((id / 2) % 3)).toInt
+            val bw = w / 8; val bh = h / 8
+            Jpeg.encodeJpeg420(w, h, gap, qL, qC,
+              blocks(bw, bh)(15, 2, 7, 5, 3, 11, 13),
+              blocks(bw / 2, bh / 2)(11, 1, 5, 7, 11, 3, 9),
+              blocks(bw / 2, bh / 2)(9, 1, 13, 3, 7, 5, 2))
+          }
+          Multimodal.MediaRecord(id, src, payload)
+        }
+      }
+  }
+
+  private[queries] val m14: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{Jpeg, Multimodal}
+    framedJpegMixed(s, d).mapPartitions { it =>
+      it.flatMap { r =>
+        Jpeg.parseJpeg(r.payload) match {
+          case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
+          case None => Iterator.empty
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private[queries] val m14Sql: String = {
+    import graft.operators.Jpeg
+    val basisRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Jpeg.idctBasis(u)(x)})").mkString(", ")
+    val quantRows = (for {
+      comp <- 0 until 3
+      ((r, c), k) <- Jpeg.zigzag.zipWithIndex
+    } yield s"($comp, $r, $c, ${if (comp == 0) 1 + (k % 4) else 1 + ((k + 1) % 3)})")
+      .mkString(", ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, doc_id % 2 AS mode,
+       |    CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + (doc_id // 2) % 3)
+       |         ELSE 16 * (1 + (doc_id // 2) % 2) END AS w,
+       |    CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + (doc_id // 2) % 2)
+       |         ELSE 16 * (1 + (doc_id // 2) % 3) END AS h
+       |  FROM documents),
+       |cgrid AS (
+       |  SELECT doc_id, mode, w, h, comp,
+       |    CASE WHEN mode = 1 AND comp > 0 THEN 2 ELSE 1 END AS scale
+       |  FROM (SELECT doc_id, mode, w, h, unnest([0, 1, 2]) AS comp FROM dims)),
+       |bxs AS (
+       |  SELECT doc_id, mode, w, h, comp, scale,
+       |    unnest(range(0, w // (8 * scale))) AS bx
+       |  FROM cgrid),
+       |blocks AS (
+       |  SELECT doc_id, mode, w, h, comp, scale, bx,
+       |    unnest(range(0, h // (8 * scale))) AS by
+       |  FROM bxs),
+       |basis AS (SELECT * FROM (VALUES $basisRows) AS t(u, x, m)),
+       |quant AS (SELECT * FROM (VALUES $quantRows) AS t(comp, v, u, q)),
+       |coef AS (
+       |  SELECT b.doc_id, b.w, b.h, b.comp, b.scale, b.bx, b.by, z.u, z.v,
+       |    CASE b.comp
+       |      WHEN 0 THEN ((b.doc_id*7 + b.bx*5 + b.by*3 + z.u*11 + z.v*13) % 15) - 7
+       |      WHEN 1 THEN ((b.doc_id*5 + b.bx*7 + b.by*11 + z.u*3 + z.v*9) % 11) - 5
+       |      ELSE ((b.doc_id*13 + b.bx*3 + b.by*7 + z.u*5 + z.v*2) % 9) - 4
+       |    END * z.q AS cq
+       |  FROM blocks b JOIN quant z ON z.comp = b.comp
+       |  WHERE (z.comp = 0 AND z.u + z.v <= 2) OR (z.comp > 0 AND z.u + z.v <= 1)),
+       |pix AS (
+       |  SELECT c.doc_id, c.w, c.h, c.comp, c.scale, c.bx, c.by,
+       |    mu.x AS x, mv.x AS y,
+       |    CAST(SUM(c.cq * mu.m * mv.m) AS BIGINT) AS s
+       |  FROM coef c
+       |  JOIN basis mu ON mu.u = c.u
+       |  JOIN basis mv ON mv.u = c.v
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+       |gval AS (
+       |  SELECT doc_id, w, h, comp, scale, bx * 8 + x AS cgx, by * 8 + y AS cgy,
+       |    least(255, greatest(0,
+       |      CAST(floor(CAST(s + 8388608 AS DOUBLE) / 16777216.0) AS BIGINT)
+       |        + 128)) AS val
+       |  FROM pix),
+       |ycc AS (
+       |  SELECT y.doc_id, y.w, y.h, y.cgx AS gx, y.cgy AS gy, y.val AS yy,
+       |    cb.val - 128 AS cb, cr.val - 128 AS cr
+       |  FROM (SELECT * FROM gval WHERE comp = 0) y
+       |  JOIN (SELECT * FROM gval WHERE comp = 1) cb
+       |    ON cb.doc_id = y.doc_id
+       |    AND cb.cgx = y.cgx // cb.scale AND cb.cgy = y.cgy // cb.scale
+       |  JOIN (SELECT * FROM gval WHERE comp = 2) cr
+       |    ON cr.doc_id = y.doc_id
+       |    AND cr.cgx = y.cgx // cr.scale AND cr.cgy = y.cgy // cr.scale),
+       |rgb AS (
+       |  SELECT doc_id, w, h, gx, gy,
+       |    least(255, greatest(0, yy + CAST(floor((${Jpeg.CrR}*cr + 32768)
+       |      / 65536.0) AS BIGINT))) AS r,
+       |    least(255, greatest(0, yy - CAST(floor((${Jpeg.CbG}*cb + ${Jpeg.CrG}*cr
+       |      + 32768) / 65536.0) AS BIGINT))) AS g,
+       |    least(255, greatest(0, yy + CAST(floor((${Jpeg.CbB}*cb + 32768)
+       |      / 65536.0) AS BIGINT))) AS b
+       |  FROM ycc),
+       |lums AS (
+       |  SELECT doc_id, w, h,
+       |    CAST(gy * 4 // h AS INTEGER) AS by, CAST(gx * 4 // w AS INTEGER) AS bx,
+       |    (77 * r + 150 * g + 29 * b) // 256 AS lum
+       |  FROM rgb)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+       |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+       |FROM lums GROUP BY doc_id, w, h, by, bx
+       |ORDER BY doc_id, by, bx""".stripMargin
+  }
+
   // -- m09: real PCM sample decode (audio, below the header) ---------------
   // m08's obligation carried to AUDIO: m05 parses the container, m09
   // decodes the SAMPLES — the loudness/clipping window scan an

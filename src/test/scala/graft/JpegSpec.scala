@@ -135,6 +135,76 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.parseJpeg(bad).isEmpty, "Nf=2 must be rejected")
   }
 
+  test("4:2:0 round-trips: four-Y MCU interleave, half-res chroma, replication upsample") {
+    val rnd = new scala.util.Random(420)
+    def qcZig(shift: Int): Array[Array[Int]] = {
+      val q = Array.ofDim[Int](8, 8)
+      Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
+        q(r)(c) = 1 + ((k + shift) % 3)
+      }
+      q
+    }
+    for (trial <- 0 until 8) {
+      val mcx = 1 + rnd.nextInt(2); val mcy = 1 + rnd.nextInt(3)
+      val w = mcx * 16; val h = mcy * 16
+      val bw = w / 8; val bh = h / 8
+      val qL = qcZig(0); val qC = qcZig(1)
+      def comps(n: Int) = Array.tabulate(n) { _ =>
+        Array.tabulate(8, 8)((v, u) =>
+          if (rnd.nextInt(10) < 6) 0 else rnd.nextInt(15) - 7)
+      }
+      val cy = comps(bw * bh)
+      val cb = comps((bw / 2) * (bh / 2)); val cr = comps((bw / 2) * (bh / 2))
+      val bytes = Jpeg.encodeJpeg420(w, h, trial % 4, qL, qC, cy, cb, cr)
+      val img = Jpeg.parseJpeg(bytes).getOrElse(fail(s"420 parse None, trial $trial"))
+      assert(img.isInstanceOf[Jpeg.ColorJpegImage])
+      assert(img.width == w && img.height == h)
+      def cl(v: Long) = math.max(0L, math.min(255L, v)).toInt
+      // reference rasters straight from the coefficient planes
+      val yPix = Array.tabulate(bw * bh)(bi => idctOf(cy(bi), qL))
+      val bPix = Array.tabulate((bw / 2) * (bh / 2))(bi => idctOf(cb(bi), qC))
+      val rPix = Array.tabulate((bw / 2) * (bh / 2))(bi => idctOf(cr(bi), qC))
+      for (y <- 0 until h; x <- 0 until w) {
+        val yy = yPix((y / 8) * bw + x / 8)(y % 8)(x % 8).toLong
+        val cxh = x / 2; val cyh = y / 2 // replication upsample
+        val cbv = bPix((cyh / 8) * (bw / 2) + cxh / 8)(cyh % 8)(cxh % 8) - 128L
+        val crv = rPix((cyh / 8) * (bw / 2) + cxh / 8)(cyh % 8)(cxh % 8) - 128L
+        val exp = (
+          cl(yy + ((Jpeg.CrR * crv + 32768L) >> 16)),
+          cl(yy - ((Jpeg.CbG * cbv + Jpeg.CrG * crv + 32768L) >> 16)),
+          cl(yy + ((Jpeg.CbB * cbv + 32768L) >> 16)))
+        assert(img.rgb(x, y) == exp, s"420 drift trial=$trial ($x,$y)")
+      }
+    }
+  }
+
+  test("out-of-profile sampling layouts are rejected explicitly") {
+    def flat = Array(Array.fill(8, 8)(0))
+    def flat4 = Array.fill(4)(Array.fill(8, 8)(0))
+    val good420 = Jpeg.encodeJpeg420(16, 16, 0, qOnes, qOnes, flat4, flat, flat)
+    assert(Jpeg.parseJpeg(good420).isDefined)
+    val sof = (0 until good420.length - 1).find(i =>
+      (good420(i) & 0xff) == 0xff && (good420(i + 1) & 0xff) == 0xc0).get
+    // Y sampling byte lives at SOF+11 (len 2 + P 1 + H 2 + W 2 + Nf 1,
+    // then C1 id); rewrite it to each out-of-profile layout
+    for ((hv, name) <- Seq(0x21 -> "4:2:2", 0x12 -> "4:4:0",
+                           0x41 -> "4:1:1", 0x33 -> "3x3")) {
+      val bad = good420.clone(); bad(sof + 12) = hv.toByte
+      assert(Jpeg.parseJpeg(bad).isEmpty, s"$name must be rejected, not misread")
+    }
+    // chroma at 2x1 under Y 2x2 is equally outside the profile
+    val badC = good420.clone(); badC(sof + 15) = 0x21.toByte
+    assert(Jpeg.parseJpeg(badC).isEmpty, "chroma 2x1 must be rejected")
+    // 4:2:0 with dims that are not whole MCUs: encoder refuses...
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeJpeg420(8, 16, 0, qOnes, qOnes, flat4, flat, flat)
+    }
+    // ...and the decoder refuses the header form of the same claim
+    val badW = good420.clone()
+    badW(sof + 9) = 0x00; badW(sof + 10) = 0x08 // w = 8 under Y 2x2
+    assert(Jpeg.parseJpeg(badW).isEmpty, "4:2:0 with w % 16 != 0 must be rejected")
+  }
+
   test("out-of-profile and malformed streams are rejected, never thrown") {
     val good = Jpeg.encodeJpeg(16, 8, 3, qZig,
       Array.tabulate(2)(bi => Array.tabulate(8, 8)((v, u) =>
