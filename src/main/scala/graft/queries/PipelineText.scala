@@ -1689,4 +1689,122 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t26: record-framed compressed intake (JSONL inside the gzip) --------
+  // t25 proved the MEMBER layer (gzip framing + inflate + trailers);
+  // t26 adds the layer real corpora put inside it: newline-delimited
+  // JSON records, parsed PER RECORD with malformed-record accounting
+  // (graft.sources.Jsonl — strict flat-object parse, None on any
+  // malformation, never throws; a broken record is COUNTED, never
+  // kills the job and never silently vanishes). The fixture splits
+  // each doc's text into 1 + doc_id%4 code-point pieces, frames each
+  // as {"doc","seq","body"} with real JSON escaping (so framing
+  // survives newlines/quotes/control chars in the text), CORRUPTS one
+  // record in every doc_id%11==7 doc (closing quote+brace dropped —
+  // always unterminated), and gzips with t25's deflate-mode and
+  // header rotations. The report re-derives entirely from
+  // documents.text: piece bounds are integer arithmetic, body_chars
+  // and the seq-ordered body md5 come from substr slices, so a parser
+  // misreading one escape or one boundary breaks the hash.
+  //
+  // Scale: t25's class — two map-only passes (frame, decode+parse),
+  // linear in text bytes, zero shuffles before the output sort.
+  private[queries] val T26Recs = 4
+
+  /** The JSONL-in-gzip corpus: each doc's text split into
+    * 1 + doc_id % 4 code-point pieces, framed as JSONL, one record
+    * corrupted per doc_id % 11 == 7 doc, gzipped with t25's
+    * rotations — shared by t26 (batch) and e16 (streaming). */
+  private[queries] def framedJsonlGzip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Inflate
+    import graft.sources.Jsonl
+    val nrecMod = T26Recs
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val nrec = 1 + (id % nrecMod).toInt
+          val lenCp = text.codePointCount(0, text.length)
+          val badJ = if (id % 11 == 7) ((id / 11) % nrec).toInt else -1
+          val lines = (0 until nrec).map { j =>
+            val a = (j.toLong * lenCp / nrec).toInt
+            val b = ((j + 1).toLong * lenCp / nrec).toInt
+            val piece = text.substring(
+              text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
+            val line = Jsonl.record(id, j, piece)
+            // every record line ends `"}`; dropping both leaves an
+            // unterminated string — malformed for ANY body content
+            if (j == badJ) line.dropRight(2) else line
+          }
+          val z = Inflate.gzipMember(lines.mkString("\n").getBytes("UTF-8"),
+            (id % 3).toInt,
+            fname = if (id % 4 == 1) Some(s"doc-$id.jsonl") else None,
+            fcomment = if (id % 4 == 2) Some("graft-jsonl") else None,
+            extra = if (id % 4 == 3) Some(Array[Byte](7, (id % 127).toByte)) else None,
+            hcrc = id % 4 >= 2)
+          (id, src, z)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t26: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Inflate
+    import graft.sources.Jsonl
+    framedJsonlGzip(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, z) =>
+          Inflate.gunzip(z).map { raw =>
+            val lines = new String(raw, "UTF-8").split("\n", -1)
+            var nOk = 0L; var nBad = 0L
+            val bodies = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+            lines.foreach { line =>
+              Jsonl.parseRecord(line) match {
+                // a record claiming another doc is an intake error too
+                case Some(r) if r.doc == id => nOk += 1; bodies += ((r.seq, r.body))
+                case _ => nBad += 1
+              }
+            }
+            val joined = bodies.sortBy(_._1).map(_._2).mkString
+            (id, lines.length.toLong, nOk, nBad,
+              joined.codePointCount(0, joined.length).toLong, joined)
+          }
+        }
+      }
+      .toDF("doc_id", "n_lines", "n_records", "n_malformed", "body_chars", "joined")
+      .select(col("doc_id"), col("n_lines"), col("n_records"),
+        col("n_malformed"), col("body_chars"),
+        md5(col("joined").cast(BinaryType)).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t26Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |    1 + doc_id % $T26Recs AS nrec,
+       |    CASE WHEN doc_id % 11 = 7
+       |         THEN (doc_id // 11) % (1 + doc_id % $T26Recs)
+       |         ELSE -1 END AS badj
+       |  FROM documents),
+       |recs AS (
+       |  SELECT doc_id, text, len, nrec, badj,
+       |    unnest(range(0, nrec)) AS j
+       |  FROM d),
+       |pieces AS (
+       |  SELECT doc_id, nrec, badj, j,
+       |    substr(text, CAST(j * len // nrec AS INTEGER) + 1,
+       |      CAST((j + 1) * len // nrec - j * len // nrec AS INTEGER)) AS piece
+       |  FROM recs)
+       |SELECT doc_id,
+       |  CAST(MAX(nrec) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS BIGINT) AS n_records,
+       |  CAST(SUM(CASE WHEN j = badj THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       |  CAST(SUM(CASE WHEN j = badj THEN 0 ELSE length(piece) END) AS BIGINT)
+       |    AS body_chars,
+       |  md5(string_agg(CASE WHEN j = badj THEN '' ELSE piece END, '' ORDER BY j))
+       |    AS body_md5
+       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
 }

@@ -249,6 +249,59 @@ object StreamingJobs {
         col("n_files"), col("n_undecodable"), col("text_chars"))
   }
 
+  /** e16: streaming record-framed gzip intake — t26's read path
+    * joined to the streaming family: gzip members decompressed ON
+    * ARRIVAL and their JSONL payload parsed PER RECORD
+    * (graft.sources.Jsonl — strict, None on malformation, never
+    * throws), folded per (hour window, source) into the intake SLO
+    * with BOTH failure levels accounted: an undecodable MEMBER
+    * (broken gzip) counts in n_undecodable, a malformed RECORD inside
+    * a healthy member counts in n_malformed — neither kills the job,
+    * neither silently vanishes. Running the same function on a batch
+    * frame IS the oracle (e03's trick); StreamingSpec proves the
+    * incremental run matches and that a corrupt record surfaces.
+    *
+    * Scale: decompress + parse are map-side, linear in member bytes;
+    * one (window, source) shuffle of four longs per partial; state =
+    * open windows × sources. */
+  def jsonlIntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.operators.Inflate.gunzip(payload) match {
+            case Some(raw) =>
+              val lines = new String(raw, "UTF-8").split("\n", -1)
+              var ok = 0L; var bad = 0L; var chars = 0L
+              lines.foreach { l =>
+                graft.sources.Jsonl.parseRecord(l) match {
+                  case Some(r) =>
+                    ok += 1
+                    // code points, matching Spark/DuckDB length()
+                    chars += r.body.codePointCount(0, r.body.length)
+                  case None => bad += 1
+                }
+              }
+              (ts, src, true, ok, bad, chars)
+            case None => (ts, src, false, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "n_rec", "n_bad", "n_chars")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_rec")).as("n_records"),
+        sum(col("n_bad")).as("n_malformed"),
+        sum(col("n_chars")).as("body_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_members"), col("n_undecodable"), col("n_records"),
+        col("n_malformed"), col("body_chars"))
+  }
+
   /** e13: streaming SCD2 enrichment — the event-time dimension
     * lookup every streaming ETL performs (q35's validity intervals
     * consumed ON ARRIVAL): each arriving event joins the dimension

@@ -293,6 +293,51 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 25L)))
   }
 
+  test("jsonlIntakeStream: incremental equals batch; corrupt records AND members accounted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Inflate
+    import graft.sources.Jsonl
+    def gz(lines: Seq[String], mode: Int) =
+      Inflate.gzipMember(lines.mkString("\n").getBytes("UTF-8"), mode)
+    val healthy = gz(Seq(
+      Jsonl.record(1, 0, "first half"), Jsonl.record(1, 1, "second half")), 0)
+    val recCorrupt = gz(Seq( // one record loses its closing quote+brace
+      Jsonl.record(2, 0, "survives"),
+      Jsonl.record(2, 1, "does not").dropRight(2),
+      Jsonl.record(2, 2, "also survives")), 1)
+    val memCorrupt = { // whole member dies: CRC-32 trailer flipped
+      val g = gz(Seq(Jsonl.record(3, 0, "never seen")), 2)
+      g(g.length - 5) = (g(g.length - 5) ^ 0x1).toByte; g
+    }
+    val laterHour = gz(Seq(Jsonl.record(4, 0, "hour two")), 2)
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:05:00"), healthy, "web"),
+      (2L, ts("2024-01-01 00:20:00"), recCorrupt, "web"),
+      (3L, ts("2024-01-01 00:45:00"), memCorrupt, "books"),
+      (4L, ts("2024-01-01 01:10:00"), laterHour, "web"))
+    val ms = MemoryStream[(Long, Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.jsonlIntakeStream(
+        ms.toDF().toDF("doc_id", "ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_jsonl").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_jsonl").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.jsonlIntakeStream(
+        docs.toDF("doc_id", "ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      // books hour 0: the member itself is undecodable
+      (ts("2024-01-01 00:00:00"), "books", 1L, 1L, 0L, 0L, 0L),
+      // web hour 0: 2 members, 4 parsed records, 1 malformed record,
+      // chars = "first half"+"second half"+"survives"+"also survives"
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 4L, 1L, 42L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
+  }
+
   test("cmsStream: incremental sketch equals the batch sketch, state bounded at depth*width") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
