@@ -889,7 +889,20 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
   // only, broadcast vocab pricing, hierarchical prefix-sum packing,
   // two bounded windows for the schedule. Nothing new materializes
   // beyond the stages' own frames.
-  private[queries] val p15: Q = (s, d) => {
+  private[queries] val p15: Q = (s, d) => pretrainBuild(s, d, semantic = false)
+
+  /** The build with the SEMANTIC gate composed in (round-12 verdict
+    * #4): p16 = p15 with stage 3b — d16's embedding-space
+    * decontamination (benchmark side broadcast, the deployed
+    * asymmetry) removing flagged docs AND the semantic benchmark
+    * members (doc_id % 13 = 7) after the n-gram gate. One builder,
+    * one flag: the two manifests share every stage definition, so
+    * PipelineScaleSpec can pin ids(p16) == ids(p15) minus d16's own
+    * flagged set minus the held-out items. */
+  private[queries] val p16: Q = (s, d) => pretrainBuild(s, d, semantic = true)
+
+  private def pretrainBuild(s: SparkSession, d: String,
+                            semantic: Boolean): DataFrame = {
     val docs = T.documents(s, d)
     // 1. curate
     val kept1 = p01Curated(s, d).select(col("doc_id"), col("source"))
@@ -907,8 +920,21 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
     val c2 = kept1.join(dropped, Seq("doc_id"), "left_anti")
     // 3. decontaminate: flagged overlaps out, benchmark members out
     val flagged = d09(s, d).select(col("corpus_id").as("doc_id")).distinct()
-    val c3 = c2.filter(col("doc_id") % 20 =!= 0)
+    val c3ngram = c2.filter(col("doc_id") % 20 =!= 0)
       .join(flagged, Seq("doc_id"), "left_anti")
+    // 3b (p16 only). SEMANTIC decontaminate: d16's embedding-space
+    // gate — paraphrased benchmark items share no 16-gram shingles
+    // but sit next to the original in embedding space; d16 flags
+    // them against the BROADCAST benchmark side, and the held-out
+    // items themselves (doc_id % 13 = 7) leave the corpus, exactly
+    // as the n-gram benchmark members did in stage 3
+    val c3 = (if (!semantic) c3ngram
+              else {
+                val semFlagged = d16(s, d)
+                  .select(col("vec_id").as("doc_id")).distinct()
+                c3ngram.filter(col("doc_id") % 13 =!= 7)
+                  .join(semFlagged, Seq("doc_id"), "left_anti")
+              })
       .transform(graft.CacheScope.cached) // split restrict + manifest base
     val c3ids = c3.select(col("doc_id"))
     // 4. leakage-safe split at the grouping threshold
@@ -965,10 +991,28 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
   }
 
   // The composition oracle: the stages' own CTE chains, composed.
-  // p01Sql / d04Sql / d09Sql embed as subqueries (their own WITHs are
-  // scoped); the keeper, components, split, pricing, packing and
-  // schedule arithmetic restate the certified stages' SQL verbatim.
-  private[queries] val p15Sql: String =
+  // p01Sql / d04Sql / d09Sql (and, under the semantic flag, d16Sql)
+  // embed as subqueries (their own WITHs are scoped); the keeper,
+  // components, split, pricing, packing and schedule arithmetic
+  // restate the certified stages' SQL verbatim. ONE builder emits
+  // both p15Sql and p16Sql so the chains cannot drift.
+  private[queries] val p15Sql: String = pretrainBuildSql(semantic = false)
+  private[queries] val p16Sql: String = pretrainBuildSql(semantic = true)
+
+  private def pretrainBuildSql(semantic: Boolean): String = {
+    val c3Ctes =
+      if (!semantic)
+        """c3 AS (SELECT doc_id, source FROM c2
+          |       WHERE doc_id % 20 <> 0
+          |         AND doc_id NOT IN (SELECT doc_id FROM flagged)),""".stripMargin
+      else
+        s"""c3n AS (SELECT doc_id, source FROM c2
+           |        WHERE doc_id % 20 <> 0
+           |          AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+           |semflag AS (SELECT DISTINCT vec_id AS doc_id FROM ($d16Sql)),
+           |c3 AS (SELECT doc_id, source FROM c3n
+           |       WHERE doc_id % 13 <> 7
+           |         AND doc_id NOT IN (SELECT doc_id FROM semflag)),""".stripMargin
     s"""WITH RECURSIVE
        |kept1 AS (SELECT doc_id, source FROM ($p01Sql)),
        |dp AS MATERIALIZED (SELECT a_id, b_id, est_jaccard FROM ($d04Sql)),
@@ -1002,9 +1046,7 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
        |c2 AS (SELECT doc_id, source FROM kept1
        |       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
        |flagged AS (SELECT DISTINCT corpus_id AS doc_id FROM ($d09Sql)),
-       |c3 AS (SELECT doc_id, source FROM c2
-       |       WHERE doc_id % 20 <> 0
-       |         AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |$c3Ctes
        |spairs AS (
        |  SELECT a_id, b_id FROM dp WHERE est_jaccard >= 0.5
        |    AND a_id IN (SELECT doc_id FROM c3)
@@ -1066,5 +1108,6 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
        |LEFT JOIN packed pk ON p.doc_id = pk.doc_id
        |LEFT JOIN sched sd ON p.doc_id = sd.doc_id
        |ORDER BY p.doc_id""".stripMargin
+  }
 
 }

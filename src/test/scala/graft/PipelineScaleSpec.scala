@@ -833,6 +833,30 @@ class PipelineScaleSpec extends SparkSpec {
     assert(r24 >= 0.8, s"s24 must escape the basin lock on clustered data: $r24")
   }
 
+  test("p16 = p15 minus exactly d16's flagged set and the semantic benchmark members") {
+    // The composed semantic gate must remove PRECISELY what d16 flags
+    // (plus the held-out items themselves) — nothing more, nothing
+    // less — and every other column must still come from the shared
+    // stage definitions (split/pack/schedule recompute over the
+    // smaller survivor set, so only the ID-set invariant is stable).
+    val p15Ids = SparkEntry.queries("p15_pretrain_build")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    val p16Ids = SparkEntry.queries("p16_pretrain_build_semantic")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    val semFlagged = SparkEntry.queries("d16_decontaminate_semantic")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    val removed = p15Ids.filter(id => id % 13 == 7) ++ (p15Ids intersect semFlagged)
+    assert(p16Ids == p15Ids -- removed,
+      s"semantic gate drift: extra=${p16Ids -- (p15Ids -- removed)} " +
+        s"missing=${(p15Ids -- removed) -- p16Ids}")
+    assert(p16Ids.size < p15Ids.size, "the gate must actually remove something here")
+    info(s"p15 survivors ${p15Ids.size} -> p16 ${p16Ids.size} " +
+      s"(flagged ${(p15Ids intersect semFlagged).size}, held-out ${p15Ids.count(_ % 13 == 7)})")
+  }
+
   test("s25 geometry grid prices the graph family on both geometries in one frame") {
     // The round-12 verdict's #1, pinned structurally: the grid must
     // carry BOTH geometries for all three graph rungs, the clustered
