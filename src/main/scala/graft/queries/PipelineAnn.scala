@@ -1695,9 +1695,15 @@ private[graft] trait PipelineAnn extends PipelineShared {
     * rungs over ONE shared fit and ONE shared graph build, emitting
     * (method, q_id, hits, cands, recall). */
   private[queries] def s25GridOf(emb0: DataFrame, n: Long): DataFrame = {
-    val emb = emb0.select(col("vec_id"), col("embedding"))
+    // every stage below re-reads the geometry frame (fit sample,
+    // graph build, four walk rounds per beam, exact scoring): cut it
+    // once — for the clustered geometry this also stops the derive
+    // join from re-running per job
+    val emb = graft.CacheScope.cached(emb0.select(col("vec_id"), col("embedding")))
     val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val (assigned, cents) = kmeansAssignDf(emb, kk, n)
+    val (assigned0, cents) = kmeansAssignDf(emb, kk, n)
+    val assigned = assigned0
+      .transform(graft.CacheScope.cached) // s24 entry reads it twice
     val (_, edgesRaw, piv) = graphBuildFrom(emb, cents)
     val edges = edgesRaw.select(col("a_id"), col("b_id"))
       .transform(graft.CacheScope.cached) // frontier hops + two walks read it

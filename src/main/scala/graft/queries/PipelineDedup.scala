@@ -426,7 +426,7 @@ private[graft] trait PipelineDedup extends PipelineAnn {
     * near-dup family member at once. Emits the unrounded cosine — the
     * hash-exact gate depends on bit-identical doubles, and rounding
     * reintroduces the HALF_UP-vs-scaled-round boundary divergence. */
-  private[queries] def blockedCosinePairs(emb: DataFrame, blockCol: String, idCol: String,
+  private[graft] def blockedCosinePairs(emb: DataFrame, blockCol: String, idCol: String,
                                  vecCol: String, threshold: Double): DataFrame = {
     val a = emb.select(col(blockCol), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
     val b = emb.select(col(blockCol), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
@@ -436,6 +436,56 @@ private[graft] trait PipelineDedup extends PipelineAnn {
     // buffers spill instead (measured: p05b OOM'd under SHJ at 100×,
     // finishes under SMJ; sub-ms difference at sf0.1)
     a.hint("merge").join(b, Seq(blockCol))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col(blockCol), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[blockedCosinePairs]] with HOT-CELL SALTING — the skew fallback
+    * for duplicate-heavy blocking keys (round-12 verdict #6): a
+    * quantizer cell holding an entire identical-content class grows
+    * with the corpus, so the per-key join group does too — SMJ keeps
+    * it on disk instead of heap, but the buffered side's PER-KEY
+    * group is still O(cell), and at 100× that group alone strains
+    * the task (the round-12 p05b finding). Cells whose member count
+    * exceeds `cap` are salt-split for the pair join:
+    *
+    *  - the BUFFERED side keeps one row per member, keyed by
+    *    (block, salt(id)) with nsalt = ceil(cnt / cap) salts — so a
+    *    join key's buffered group is ≤ ~cap rows (cnt/nsalt ≤ cap,
+    *    the documented bound, up to hash imbalance);
+    *  - the STREAMED side replicates each member across all nsalt
+    *    salts (map-side explode — rows, not memory);
+    *  - cold cells have nsalt = 1 and degenerate to the unsalted
+    *    join exactly.
+    *
+    * EXACTNESS: every unordered intra-cell pair {p, q} with
+    * a_id < b_id appears under exactly ONE join key — (block,
+    * salt(b_id)) — because the b side carries each member once at
+    * its own salt and the a side meets it at every salt; the a<b
+    * filter discards the mirrored (q, p) hit. The salted pair set
+    * therefore EQUALS the unsalted one (spec-pinned in
+    * MultimodalSpec at sf0.1 with a cap small enough to force real
+    * splitting). */
+  private[graft] def saltedBlockedCosinePairs(
+      emb: DataFrame, blockCol: String, idCol: String,
+      vecCol: String, threshold: Double, cap: Long): DataFrame = {
+    val cnts = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("nsalt",
+        greatest(lit(1L), ceil(col("cnt").cast(DoubleType) / cap).cast(LongType)))
+      .select(col(blockCol), col("nsalt")) // one row per block: broadcast
+    val salted = emb.join(broadcast(cnts), Seq(blockCol))
+    val a = salted
+      .withColumn("t", explode(sequence(lit(0L), col("nsalt") - 1)))
+      .select(col(blockCol), col("t"),
+        col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = salted
+      .withColumn("t", pmod(xxhash64(col(idCol)), col("nsalt")))
+      .select(col(blockCol), col("t"),
+        col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.hint("merge").join(b, Seq(blockCol, "t"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cosine") >= threshold)

@@ -56,7 +56,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   // decoder that handles only one container embeds half the corpus
   // as zero vectors and loses every such pair (the round-10 verdict
   // gap, closed).
-  private[queries] def framedRaster(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+  private[graft] def framedRaster(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.Multimodal
     T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
@@ -173,9 +173,20 @@ private[graft] trait PipelineMultimodal extends PipelineText {
       .map(_.map(_.toDouble))
     val cells = emb.withColumn("cell", element_at(
       graft.functions.GraftColumns.nearestClusters(col("hist"), cents, 1), 1))
-    blockedCosinePairs(cells, "cell", "doc_id", "hist", 0.995)
+    // hot-cell salting (cap = P05bHotCellCap): at 100× a cell holds an
+    // entire identical-raster class, and the join's per-key buffered
+    // group grows with the corpus — salting bounds it at ~cap rows
+    // while provably emitting the SAME pair set (the helper's
+    // exactness note; spec-pinned at sf0.1 with a forcing cap)
+    saltedBlockedCosinePairs(cells, "cell", "doc_id", "hist", 0.995,
+      cap = P05bHotCellCap)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** p05b's hot-cell salting cap: a join key's buffered group stays
+    * ≤ ~1024 members (16-dim vectors — a few hundred KB per group)
+    * no matter how large an identical-content class grows. */
+  private[queries] val P05bHotCellCap = 1024L
 
   private[queries] val p05bSql: String =
     s"""WITH $bmpHistSql,

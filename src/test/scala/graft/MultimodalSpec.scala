@@ -292,6 +292,38 @@ class MultimodalSpec extends SparkSpec {
       "fixture must contain cross-source duplicates for the claim to have teeth")
   }
 
+  test("hot-cell salting emits EXACTLY the unsalted pair set (sf0.1, forcing cap)") {
+    // The round-12 verdict's #6, pinned: the salted join must be a
+    // pure memory-shape change. At sf0.1 the quantizer cells hold
+    // ~40+ members, so cap = 8 forces real multi-salt splitting
+    // (nsalt up to ~6) on every cell — and the pair set must still
+    // equal the unsalted join's bit for bit (ids AND cosines).
+    val sf01 = "/root/testdata/sf0.1"
+    import graft.operators.Multimodal
+    val n = Tables.documentsCount(spark, sf01)
+    val kk = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val emb = Multimodal.embed(spark, graft.queries.Pipeline.framedRaster(spark, sf01)).toDF()
+      .transform(graft.CacheScope.cached)
+    val cents = graft.operators.IntLloyd.fit(
+      emb, "doc_id", "hist", n, numSub = 1, subLen = 16, k = kk,
+      cap = math.max(2048L, 64L * kk), iters = 5, salt = "bmpcell")(0)
+      .map(_.map(_.toDouble))
+    val cells = emb.withColumn("cell", element_at(
+      graft.functions.GraftColumns.nearestClusters(col("hist"), cents, 1), 1))
+      .transform(graft.CacheScope.cached)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_id"), col("b_id"), col("cosine"))
+        .as[(Long, Long, Double)].collect().toSet
+    val unsalted = pairSet(graft.queries.Pipeline.blockedCosinePairs(cells, "cell", "doc_id", "hist", 0.995))
+    val salted = pairSet(graft.queries.Pipeline.saltedBlockedCosinePairs(cells, "cell", "doc_id", "hist", 0.995, cap = 8))
+    graft.CacheScope.drain()
+    assert(salted == unsalted,
+      s"salting changed the pair set: extra=${(salted -- unsalted).take(3)} " +
+        s"missing=${(unsalted -- salted).take(3)}")
+    assert(unsalted.nonEmpty, "fixture must emit pairs for the pin to have teeth")
+    info(s"sf0.1 pair set ${unsalted.size} pairs, identical under cap=8 salting")
+  }
+
   test("mixed BMP/PNG corpus: identical rasters dedup ACROSS containers (decodeRaster dispatch)") {
     // the round-10 gap: embed decoded parseBmp only, so a PNG payload
     // embedded as the zero vector and every cross-container duplicate
