@@ -471,7 +471,8 @@ private[graft] trait PipelineDedup extends PipelineAnn {
     * splitting). */
   private[graft] def saltedBlockedCosinePairs(
       emb: DataFrame, blockCol: String, idCol: String,
-      vecCol: String, threshold: Double, cap: Long): DataFrame = {
+      vecCol: String, threshold: Double, cap: Long,
+      sort: Boolean = true): DataFrame = {
     val cnts = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("cnt"))
       .withColumn("nsalt",
         greatest(lit(1L), ceil(col("cnt").cast(DoubleType) / cap).cast(LongType)))
@@ -485,12 +486,13 @@ private[graft] trait PipelineDedup extends PipelineAnn {
       .withColumn("t", pmod(xxhash64(col(idCol)), col("nsalt")))
       .select(col(blockCol), col("t"),
         col(idCol).as("b_id"), col(vecCol).as("b_vec"))
-    a.hint("merge").join(b, Seq(blockCol, "t"))
+    val pairs = a.hint("merge").join(b, Seq(blockCol, "t"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col(blockCol), col("cosine"))
-      .orderBy(col("a_id"), col("b_id"))
+    // sort=false for callers that dedup multi-probe hits first (d07)
+    if (sort) pairs.orderBy(col("a_id"), col("b_id")) else pairs
   }
 
   private[queries] val d06Sql =
@@ -539,14 +541,13 @@ private[graft] trait PipelineDedup extends PipelineAnn {
       .withColumn("cluster", explode(
         graft.functions.GraftColumns.nearestClusters(col("embedding"), cents, probes)))
       .select(col("vec_id"), col("embedding"), col("cluster"))
-    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
-      col("embedding").as("a_vec"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
-      col("embedding").as("b_vec"))
-    a.join(b, Seq("cluster"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", VF.cosine(col("a_vec"), col("b_vec")))
-      .filter(col("cosine") >= 0.35)
+    // the pair join rides the HOT-CELL SALTING fallback (round-12
+    // verdict #6 named d07 alongside p05b): a duplicate-heavy cell's
+    // buffered join group stays ≤ ~cap rows, pair set provably
+    // unchanged (the helper's exactness note); sort AFTER the
+    // multi-probe distinct
+    saltedBlockedCosinePairs(assigned, "cluster", "vec_id", "embedding",
+      threshold = 0.35, cap = 1024L, sort = false)
       .select(col("a_id"), col("b_id"), col("cosine")) // unrounded: hash-exact gate
       .distinct() // a pair can co-block in several of its shared clusters
       .orderBy(col("a_id"), col("b_id"))
