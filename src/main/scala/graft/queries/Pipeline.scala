@@ -56,7 +56,7 @@ object Pipeline extends PipelineStreamBatch {
     "s19_ann_ivfpq_residual" -> s19, "s20_ann_beam" -> s20,
     "s21_ann_graph_delta" -> s21, "s22_ann_graph_tombstone" -> s22,
     "s23_ann_edge_recall" -> s23, "s24_ann_beam_ivf_entry" -> s24,
-    "s25_ann_graph_geometry_grid" -> s25,
+    "s25_ann_graph_geometry_grid" -> s25, "s26_ann_beam_pq_rerank" -> s26,
     "p06_dataset_card" -> p06, "p07_token_budget_sample" -> p07,
     "t01_langid" -> t01, "t02_quality_score" -> t02,
     "t03_token_count" -> t03, "t04_ngram_stats" -> t04, "t05_group_stats" -> t05,
@@ -117,7 +117,7 @@ object Pipeline extends PipelineStreamBatch {
     "s19_ann_ivfpq_residual" -> s19Sql, "s20_ann_beam" -> s20Sql,
     "s21_ann_graph_delta" -> s21Sql, "s22_ann_graph_tombstone" -> s22Sql,
     "s23_ann_edge_recall" -> s23Sql, "s24_ann_beam_ivf_entry" -> s24Sql,
-    "s25_ann_graph_geometry_grid" -> s25Sql,
+    "s25_ann_graph_geometry_grid" -> s25Sql, "s26_ann_beam_pq_rerank" -> s26Sql,
     "p06_dataset_card" -> p06Sql, "p07_token_budget_sample" -> p07Sql,
     "t14_dedup_impact" -> t14Sql, "t15_lm_quality_partition" -> t15Sql,
     "t16_ngram_novelty" -> t16Sql, "t17_learned_tokenizer" -> t17Sql,

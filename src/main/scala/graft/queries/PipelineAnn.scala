@@ -348,8 +348,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
     * the caller's adc frame) — the prefix of [[pqScoreSql]], shared
     * with the s11 cost counts (the ADC pairs ARE the scored
     * candidates of a PQ rung). */
-  private[queries] def pqCandCtes(adcSql: String,
-                         candWhere: String = "e.vec_id >= 10"): String =
+  /** The PQ encode + reconstruction CTEs alone (codes → recon) —
+    * shared by [[pqCandCtes]] (s04/s05 ADC scans) and s26's
+    * code-scored walk, so the encode/reconstruct replay has ONE SQL
+    * definition. */
+  private[queries] def pqCodesReconCtes(candWhere: String = "e.vec_id >= 10"): String =
     s"""codes AS (
        |  SELECT vec_id, m, cluster AS code FROM (
        |    SELECT e.vec_id, c.m, c.cluster,
@@ -364,7 +367,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS rv
        |  FROM (SELECT co.vec_id, co.m, c.cv
        |        FROM codes co JOIN pqcent c ON c.m = co.m AND c.cluster = co.code)
-       |  GROUP BY vec_id),
+       |  GROUP BY vec_id)""".stripMargin
+
+  private[queries] def pqCandCtes(adcSql: String,
+                         candWhere: String = "e.vec_id >= 10"): String =
+    s"""${pqCodesReconCtes(candWhere)},
        |$adcSql""".stripMargin
 
   private[queries] def pqScoreSql(adcSql: String,
@@ -1357,10 +1364,14 @@ private[graft] trait PipelineAnn extends PipelineShared {
   // read twice) so DuckDB doesn't inline the graph build per round.
   /** The beam rounds as CTEs (b_r → x_r → v_r), over `edges`, `q`
     * and a scored `${v}0` — the ONE SQL definition of the walk, shared
-    * by s20Sql (pivot entry), s24Sql (IVF-seeded entry) and s25's
+    * by s20Sql (pivot entry), s24Sql (IVF-seeded entry), s25's
     * composed grid (which runs BOTH walks in one chain, so the round
-    * CTE names take a prefix: v → v1..vR, w → w1..wR). */
-  private[queries] def beamRoundsSql(B: Int, R: Int, v: String = "v"): String =
+    * CTE names take a prefix: v → v1..vR, w → w1..wR) and s26's
+    * code-scored walk (which swaps the SCORED source — `src` — from
+    * full vectors to PQ reconstructions, the only difference between
+    * exact-routing and code-routing). */
+  private[queries] def beamRoundsSql(B: Int, R: Int, v: String = "v",
+                                     src: String = "embeddings"): String =
     (1 to R).map { r =>
       s"""${v}b$r AS (
          |  SELECT q_id, node FROM (
@@ -1378,7 +1389,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
          |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
          |                           CAST(em.embedding AS DOUBLE[])) AS cos
          |  FROM ${v}x$r x JOIN q USING (q_id)
-         |  JOIN embeddings em ON em.vec_id = x.node)""".stripMargin
+         |  JOIN $src em ON em.vec_id = x.node)""".stripMargin
     }.mkString(",\n")
 
   /** The MATERIALIZED edges + q CTEs the beam oracles walk — s20Sql's
@@ -1900,6 +1911,109 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |UNION ALL
        |${s25GeomSql("clustered", Some(clusteredGeomSql))})
        |ORDER BY geometry, method, q_id""".stripMargin
+
+  // -- s26: PQ-scored beam walk + exact re-rank (the DiskANN shape) ---------
+  // s20 routes the graph by EXACT cosines — at 100 TB that means the
+  // walk reads full vectors (256 B/node here; KBs for real models)
+  // from cold storage on every hop. Deployed disk-resident graph
+  // indexes (DiskANN-class) route by PQ CODES held in RAM (8 B/node —
+  // a 32× read reduction on the hot path) and spend full-precision
+  // reads ONLY on the final shortlist. s26 is that shape, composed
+  // from two certified substrates with ZERO new walk or scoring
+  // definitions: beamWalk runs verbatim with its scored frame swapped
+  // from full vectors to PQ reconstructions (s04's codebooks +
+  // encode, one definition), and the walk's top-(2k) by approximate
+  // score re-ranks through pqRerank (s04's exact verify, one
+  // definition). Routing error from quantization is absorbed the way
+  // the deployed systems absorb it: the beam keeps B candidates per
+  // round and the overfetched exact re-rank has the final word.
+  //
+  // Scale: the walk's per-round reads shrink from full vectors to
+  // codes (the point); the rerank fetches ≤ 2k·|Q| full vectors
+  // behind a broadcast. Everything else is s20's documented shape.
+  private[queries] def s26Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val beam = 4; val rounds = 3; val overfetch = 10
+    val emb = T.embeddings(s, d)
+    val n = T.embeddingsCount(s, d)
+    val (edges0, piv) = graphIndexFrames(emb.select(col("vec_id"), col("embedding")), n)
+    val edges = edges0.transform(graft.CacheScope.cached) // walked every round
+    val (sub, codebooks) = pqCodebooks(s, d, PqNumSub, 16)
+    // the RAM-resident side: every corpus node's PQ reconstruction
+    // (at a warehouse: codes, decoded on the fly; here the recon
+    // vector directly — same arithmetic, one definition with s04)
+    val recon = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id") +: pqEncodeCols(codebooks, sub): _*)
+      .withColumn("embedding", flatten(array(codebooks.indices.map { m =>
+        element_at(typedlit(codebooks(m)), col(s"code$m") + 1)
+      }: _*)))
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.CacheScope.cached) // scored every walk round
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // beamVisited verbatim — the scored frame IS the reconstruction
+    // table, so every hop's cos is the asymmetric ADC approximation
+    val visited = beamVisited(edges, piv, q, recon, beam, rounds)
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+    val short = visited
+      .withColumn("rn_a", row_number().over(wA)).filter(col("rn_a") <= overfetch)
+      .select(col("q_id"), col("node").as("cand_id"))
+    (visited.select(col("q_id"), col("node").as("cand_id")),
+      pqRerank(short, emb, q, k = 5))
+  }
+  private[queries] val s26: Q = (s, d) => s26Frames(s, d)._2
+
+  // The oracle: the s20 walk chain with the scored source swapped to
+  // `reconv` (PQ reconstructions — pqCodesReconCtes, shared with
+  // s04/s05) and s04's exact-rerank tail. beamRoundsSql's src param
+  // is the ONE place code-routing differs from exact-routing.
+  private[queries] val s26Sql: String = {
+    val B = 4; val R = 3; val overfetch = 10
+    s"""WITH ${coarseFitSql(floorK = 16)},
+       |${coarseAsgSql(maxRn = 2)},
+       |$beamEdgesCtes,
+       |$pqFitSql,
+       |${pqCodesReconCtes()},
+       |reconv AS (SELECT vec_id, rv AS embedding FROM recon),
+       |piv AS (
+       |  SELECT p.cluster, p.pid, e.embedding AS p_vec
+       |  FROM (SELECT cluster, MIN(vec_id) AS pid
+       |        FROM asg WHERE rn = 1 AND vec_id >= 10 GROUP BY cluster) p
+       |  JOIN embeddings e ON e.vec_id = p.pid),
+       |entry AS (
+       |  SELECT q_id, pid AS node FROM (
+       |    SELECT q.q_id, p.pid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                               CAST(p.p_vec AS DOUBLE[])) DESC, p.pid) AS prn
+       |    FROM q CROSS JOIN piv p)
+       |  WHERE prn = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT en.q_id, en.node,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                           CAST(em.embedding AS DOUBLE[])) AS cos
+       |  FROM entry en JOIN q USING (q_id)
+       |  JOIN reconv em ON em.vec_id = en.node),
+       |${beamRoundsSql(B, R, src = "reconv")},
+       |short AS (
+       |  SELECT q_id, node AS cand_id FROM (
+       |    SELECT q_id, node,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn_a
+       |    FROM v$R)
+       |  WHERE rn_a <= $overfetch),
+       |scored AS (
+       |  SELECT s.q_id, s.cand_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ce.embedding AS DOUBLE[])) AS cos
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.cand_id)
+       |SELECT q_id, cand_id, ROUND(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (
+       |  SELECT q_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
 
   // -- s22: tombstone deletes on the GRAPH index ----------------------------
   // The delete half of graph maintenance, with the honest contract

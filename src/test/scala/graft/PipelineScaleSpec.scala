@@ -857,6 +857,66 @@ class PipelineScaleSpec extends SparkSpec {
       s"(flagged ${(p15Ids intersect semFlagged).size}, held-out ${p15Ids.count(_ % 13 == 7)})")
   }
 
+  test("s26 code-routed walk re-ranks at full precision; clustered recall survives codes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // (a) every emitted cosine must be the EXACT cosine of that pair —
+    // the rerank's full-precision contract (routing may be approximate,
+    // the answer may not) — checked on the real table
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def exactCos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+    }
+    val got = SparkEntry.queries("s26_ann_beam_pq_rerank")(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect()
+    graft.CacheScope.drain()
+    assert(got.nonEmpty)
+    got.foreach { case (q, c, cos, _) =>
+      val exp = BigDecimal(exactCos(emb(q), emb(c)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cos == exp, s"rerank must be full-precision: ($q,$c) $cos != $exp")
+    }
+    // (b) on the tight-cluster fixture (the s24 test's geometry), the
+    // code-routed walk must keep the exact-routed walk's recall class:
+    // within-basin reconstructions stay closer to the query than
+    // cross-basin ones, so ADC ordering preserves the walk's decisions
+    val dim = 64; val g = 40; val n = 400
+    def vec(i: Long): Array[Float] = {
+      val c = (i % g).toInt
+      Array.tabulate(dim) { j =>
+        val center = if (((c * 31 + j * 17) % 97) < 48) 1.0f else -1.0f
+        center + 0.02f * (((i * 13 + j * 7) % 11).toInt - 5)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("s26clu").toString
+    (0L until n).map(i => (i, vec(i), (i % g).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def recall(name: String): Double = {
+      val exact = SparkEntry.queries("s01_ann_bruteforce")(spark, dir)
+        .select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val res = SparkEntry.queries(name)(spark, dir)
+        .select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheScope.drain()
+      res.intersect(exact).size.toDouble / exact.size
+    }
+    val r20 = recall("s20_ann_beam")
+    val r26 = recall("s26_ann_beam_pq_rerank")
+    info(s"clustered recall: s20 (exact routing) $r20 vs s26 (code routing) $r26")
+    assert(r26 >= r20 - 0.2,
+      s"code routing must stay in the exact-routed walk's recall class: $r26 vs $r20")
+  }
+
   test("s25 geometry grid prices the graph family on both geometries in one frame") {
     // The round-12 verdict's #1, pinned structurally: the grid must
     // carry BOTH geometries for all three graph rungs, the clustered
