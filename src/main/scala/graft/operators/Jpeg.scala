@@ -277,7 +277,8 @@ object Jpeg {
                       qLuma: Array[Array[Int]], qChroma: Array[Array[Int]],
                       coefY: Array[Array[Array[Int]]],
                       coefCb: Array[Array[Array[Int]]],
-                      coefCr: Array[Array[Array[Int]]]): Array[Byte] = {
+                      coefCr: Array[Array[Array[Int]]],
+                      restartInterval: Int = 0): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0, "profile: dims multiples of 8")
     val nb = (w / 8) * (h / 8)
     require(coefY.length == nb && coefCb.length == nb && coefCr.length == nb)
@@ -307,6 +308,9 @@ object Jpeg {
     }
     dht(0, 0, dcBits, dcVals); dht(1, 0, acBits, acVals)
     dht(0, 1, dcBitsC, dcValsC); dht(1, 1, acBitsC, acValsC)
+    if (restartInterval > 0) { // DRI (B.2.4.4): restart every Ri MCUs
+      marker(0xdd); be16(4); be16(restartInterval)
+    }
     marker(0xda); be16(2 + 1 + 2 * 3 + 3) // SOS: 3 components
     b(3)
     b(1); b(0x00) // Y:  DC 0, AC 0
@@ -352,12 +356,29 @@ object Jpeg {
       dc
     }
     var dcY = 0; var dcCb = 0; var dcCr = 0
+    // restart boundary (E.1.4): byte-align with 1-pad (stuffed if the
+    // pad byte lands on 0xFF), emit RSTm with m cycling 0..7, and
+    // reset every DC predictor — shared by the 4:4:4 and 4:2:0 scans
+    def restart(m: Int): Unit = {
+      if (bitCnt > 0) {
+        bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+        b(bitBuf)
+        if ((bitBuf & 0xff) == 0xff) b(0x00)
+        bitBuf = 0; bitCnt = 0
+      }
+      marker(0xd0 + m)
+      dcY = 0; dcCb = 0; dcCr = 0
+    }
     var bi = 0
+    var rstM = 0
     while (bi < nb) { // interleaved MCUs: Y, Cb, Cr per 8x8 tile
       dcY = putBlock(coefY(bi), dcY, dcTable, acTable)
       dcCb = putBlock(coefCb(bi), dcCb, dcTableC, acTableC)
       dcCr = putBlock(coefCr(bi), dcCr, dcTableC, acTableC)
       bi += 1
+      if (restartInterval > 0 && bi < nb && bi % restartInterval == 0) {
+        restart(rstM); rstM = (rstM + 1) % 8
+      }
     }
     if (bitCnt > 0) {
       bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
@@ -382,7 +403,8 @@ object Jpeg {
                     qLuma: Array[Array[Int]], qChroma: Array[Array[Int]],
                     coefY: Array[Array[Array[Int]]],
                     coefCb: Array[Array[Array[Int]]],
-                    coefCr: Array[Array[Array[Int]]]): Array[Byte] = {
+                    coefCr: Array[Array[Array[Int]]],
+                    restartInterval: Int = 0): Array[Byte] = {
     require(w % 16 == 0 && h % 16 == 0, "profile: dims multiples of 16")
     val bw = w / 8; val bh = h / 8
     require(coefY.length == bw * bh, "one Y block per 8x8 luma tile")
@@ -414,6 +436,9 @@ object Jpeg {
     }
     dht(0, 0, dcBits, dcVals); dht(1, 0, acBits, acVals)
     dht(0, 1, dcBitsC, dcValsC); dht(1, 1, acBitsC, acValsC)
+    if (restartInterval > 0) { // DRI: restart every Ri MCUs
+      marker(0xdd); be16(4); be16(restartInterval)
+    }
     marker(0xda); be16(2 + 1 + 2 * 3 + 3)
     b(3)
     b(1); b(0x00)
@@ -459,8 +484,19 @@ object Jpeg {
       dc
     }
     var dcY = 0; var dcCb = 0; var dcCr = 0
+    def restart(m: Int): Unit = { // E.1.4, as in encodeJpegColor
+      if (bitCnt > 0) {
+        bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+        b(bitBuf)
+        if ((bitBuf & 0xff) == 0xff) b(0x00)
+        bitBuf = 0; bitCnt = 0
+      }
+      marker(0xd0 + m)
+      dcY = 0; dcCb = 0; dcCr = 0
+    }
     val mcx = w / 16; val mcy = h / 16
     var mi = 0
+    var rstM = 0
     while (mi < mcx * mcy) {
       val my = mi / mcx; val mx = mi % mcx
       var bv = 0
@@ -476,6 +512,9 @@ object Jpeg {
       dcCb = putBlock(coefCb(my * (bw / 2) + mx), dcCb, dcTableC, acTableC)
       dcCr = putBlock(coefCr(my * (bw / 2) + mx), dcCr, dcTableC, acTableC)
       mi += 1
+      if (restartInterval > 0 && mi < mcx * mcy && mi % restartInterval == 0) {
+        restart(rstM); rstM = (rstM + 1) % 8
+      }
     }
     if (bitCnt > 0) {
       bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
@@ -536,6 +575,7 @@ object Jpeg {
     var compV: Array[Int] = null // component -> vertical sampling factor
     var compDc: Array[Int] = null // component -> DC table id (from SOS)
     var compAc: Array[Int] = null
+    var restartInterval = 0 // DRI: 0 = no restarts
     var scanStart = -1
     while (scanStart < 0) {
       if (pos + 4 > p.length) return None
@@ -607,6 +647,9 @@ object Jpeg {
           if (u8(seg + 1 + 2 * nf) != 0 || u8(seg + 2 + 2 * nf) != 63 ||
             u8(seg + 3 + 2 * nf) != 0) return None
           scanStart = pos + 2 + len
+        case 0xdd => // DRI (B.2.4.4): fixed 4-byte segment
+          if (len != 4) return None
+          restartInterval = be16(seg)
         case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
           return None // any other SOF: outside the baseline profile
         case _ => () // APPn / COM / other: skipped BY LENGTH
@@ -716,6 +759,20 @@ object Jpeg {
         comp += 1
       }
       mi += 1
+      // restart boundary (E.2.4): discard the pad bits of the current
+      // byte, expect RSTm with m cycling 0..7 (a stuffed 00 after an
+      // 0xFF pad byte was already consumed by the bit reader), reset
+      // every DC predictor. A missing or out-of-cycle RST is
+      // malformed; an unexpected RST mid-scan errors in bit().
+      if (restartInterval > 0 && mi < mcx * mcy &&
+        mi % restartInterval == 0) {
+        bitCnt = 0 // byte-align: the rest of the buffered byte is pad
+        if (sp + 2 > p.length) return None
+        if (u8(sp) != 0xff || u8(sp + 1) != 0xd0 + (mi / restartInterval - 1) % 8)
+          return None
+        sp += 2
+        java.util.Arrays.fill(prevDc, 0)
+      }
     }
     // after the last block: byte-align, then expect EOI (possibly after
     // pad bits already consumed within the final byte)

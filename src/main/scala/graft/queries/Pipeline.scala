@@ -73,7 +73,7 @@ object Pipeline extends PipelineStreamBatch {
     "m05_audio_meta" -> m05, "m08_pixel_decode" -> m08,
     "m09_audio_samples" -> m09, "m10_png_decode" -> m10,
     "m12_jpeg_decode" -> m12, "m13_jpeg_color" -> m13,
-    "m14_jpeg_420" -> m14,
+    "m14_jpeg_420" -> m14, "m15_jpeg_restart" -> m15,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -145,6 +145,9 @@ object Pipeline extends PipelineStreamBatch {
     "m09_audio_samples" -> m09Sql, "m10_png_decode" -> m10Sql,
     "m12_jpeg_decode" -> m12Sql, "m13_jpeg_color" -> m13Sql,
     "m14_jpeg_420" -> m14Sql,
+    // m15 shares m14's oracle VERBATIM: restart markers are pure framing,
+    // so hash equality proves the restarted decode is pixel-identical
+    "m15_jpeg_restart" -> m14Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

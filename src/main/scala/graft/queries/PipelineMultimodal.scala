@@ -572,7 +572,8 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   // Scale: m13's class — map-only, 16-row fan-out, linear in pixels;
   // subsampling reads 2x fewer chroma blocks per pixel, exactly the
   // byte savings the format exists for.
-  private[queries] def framedJpegMixed(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+  private[queries] def framedJpegMixed(s: SparkSession, d: String,
+      withRestarts: Boolean = false): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.{Jpeg, Multimodal}
     T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
@@ -583,6 +584,9 @@ private[graft] trait PipelineMultimodal extends PipelineText {
         }
         it.map { case (id, src) =>
           val gap = (id % 6).toInt
+          // m15's corpus: the SAME images with restart intervals
+          // rotating 0 (no DRI) / 1 / 2 MCUs — pure reframing
+          val ri = if (withRestarts) ((id / 2) % 3).toInt else 0
           def blocks(bw: Int, bh: Int)(m: Int, mask: Int, a: Int, b: Int,
                                        c: Int, dd: Int, e: Int) =
             Array.tabulate(bw * bh) { bi =>
@@ -600,7 +604,8 @@ private[graft] trait PipelineMultimodal extends PipelineText {
             Jpeg.encodeJpegColor(w, h, gap, qL, qC,
               blocks(bw, bh)(15, 2, 7, 5, 3, 11, 13),
               blocks(bw, bh)(11, 1, 5, 7, 11, 3, 9),
-              blocks(bw, bh)(9, 1, 13, 3, 7, 5, 2))
+              blocks(bw, bh)(9, 1, 13, 3, 7, 5, 2),
+              restartInterval = ri)
           } else {
             val w = 16 * (1 + ((id / 2) % 2)).toInt
             val h = 16 * (1 + ((id / 2) % 3)).toInt
@@ -608,7 +613,8 @@ private[graft] trait PipelineMultimodal extends PipelineText {
             Jpeg.encodeJpeg420(w, h, gap, qL, qC,
               blocks(bw, bh)(15, 2, 7, 5, 3, 11, 13),
               blocks(bw / 2, bh / 2)(11, 1, 5, 7, 11, 3, 9),
-              blocks(bw / 2, bh / 2)(9, 1, 13, 3, 7, 5, 2))
+              blocks(bw / 2, bh / 2)(9, 1, 13, 3, 7, 5, 2),
+              restartInterval = ri)
           }
           Multimodal.MediaRecord(id, src, payload)
         }
@@ -619,6 +625,32 @@ private[graft] trait PipelineMultimodal extends PipelineText {
     import s.implicits._
     import graft.operators.{Jpeg, Multimodal}
     framedJpegMixed(s, d).mapPartitions { it =>
+      it.flatMap { r =>
+        Jpeg.parseJpeg(r.payload) match {
+          case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
+          case None => Iterator.empty
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  // -- m15: restart markers (DRI/RSTn) over m14's mixed corpus --------------
+  // Real crawl JPEGs carry restart intervals (cameras emit them for
+  // error resilience and parallel decode). Restarts are PURE FRAMING:
+  // the scan byte-aligns at every interval boundary, an RSTm marker
+  // (m cycling 0..7) lands in the entropy stream, and every DC
+  // predictor resets — but the decoded pixels are IDENTICAL to the
+  // unrestarted stream. m15 makes that the certificate: the corpus is
+  // m14's images re-encoded with restart intervals rotating 0 (no
+  // DRI) / 1 / 2 MCUs, and the oracle is m14Sql VERBATIM (the d17 →
+  // d16Sql idiom) — hash equality proves the decoder consumes DRI,
+  // byte-aligns, verifies the RST cycle, and resets predictors
+  // without perturbing a single coefficient. JpegSpec additionally
+  // pins the negative space (missing RST, out-of-cycle RST).
+  private[queries] val m15: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{Jpeg, Multimodal}
+    framedJpegMixed(s, d, withRestarts = true).mapPartitions { it =>
       it.flatMap { r =>
         Jpeg.parseJpeg(r.payload) match {
           case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator

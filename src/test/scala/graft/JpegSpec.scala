@@ -205,6 +205,60 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.parseJpeg(badW).isEmpty, "4:2:0 with w % 16 != 0 must be rejected")
   }
 
+  test("restart markers: pixel-identical reframing; missing/out-of-cycle RST rejected") {
+    val rnd = new scala.util.Random(0xD0)
+    def qcZig(shift: Int): Array[Array[Int]] = {
+      val q = Array.ofDim[Int](8, 8)
+      Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
+        q(r)(c) = 1 + ((k + shift) % 3)
+      }
+      q
+    }
+    val qL = qcZig(0); val qC = qcZig(1)
+    def comps(n: Int) = Array.tabulate(n) { _ =>
+      Array.tabulate(8, 8)((v, u) =>
+        if (rnd.nextInt(10) < 6) 0 else rnd.nextInt(15) - 7)
+    }
+    // 4:4:4 with 12 MCUs and ri=1: m must CYCLE through 0..7 and wrap
+    val (bw, bh) = (4, 3)
+    val (cy, cb, cr) = (comps(bw * bh), comps(bw * bh), comps(bw * bh))
+    val plain = Jpeg.encodeJpegColor(bw * 8, bh * 8, 0, qL, qC, cy, cb, cr)
+    for (ri <- Seq(1, 2, 5)) {
+      val restarted = Jpeg.encodeJpegColor(bw * 8, bh * 8, 0, qL, qC, cy, cb, cr,
+        restartInterval = ri)
+      assert(restarted.length > plain.length, s"ri=$ri must add RST bytes")
+      val a = Jpeg.parseJpeg(plain).get; val b = Jpeg.parseJpeg(restarted).get
+      for (y <- 0 until bh * 8; x <- 0 until bw * 8)
+        assert(a.rgb(x, y) == b.rgb(x, y),
+          s"restart reframing changed a pixel at ($x,$y), ri=$ri")
+    }
+    // 4:2:0 restarts too
+    val cy4 = comps(4 * 4); val cbc = comps(2 * 2); val crc = comps(2 * 2)
+    val p420 = Jpeg.parseJpeg(
+      Jpeg.encodeJpeg420(32, 32, 0, qL, qC, cy4, cbc, crc)).get
+    val r420 = Jpeg.parseJpeg(
+      Jpeg.encodeJpeg420(32, 32, 0, qL, qC, cy4, cbc, crc, restartInterval = 1)).get
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert(p420.rgb(x, y) == r420.rgb(x, y), s"4:2:0 restart drift at ($x,$y)")
+    // negative space: break the FIRST RST marker's index (RST0→RST3)
+    val restarted = Jpeg.encodeJpegColor(bw * 8, bh * 8, 0, qL, qC, cy, cb, cr,
+      restartInterval = 1)
+    val sos = (0 until restarted.length - 1).find(i =>
+      (restarted(i) & 0xff) == 0xff && (restarted(i + 1) & 0xff) == 0xda).get
+    val rst0 = (sos until restarted.length - 1).find(i =>
+      (restarted(i) & 0xff) == 0xff && (restarted(i + 1) & 0xff) == 0xd0).get
+    val badCycle = restarted.clone(); badCycle(rst0 + 1) = 0xd3.toByte
+    assert(Jpeg.parseJpeg(badCycle).isEmpty, "out-of-cycle RST must be rejected")
+    // remove the RST pair entirely: the decoder must not resync silently
+    val missing = restarted.take(rst0) ++ restarted.drop(rst0 + 2)
+    assert(Jpeg.parseJpeg(missing).isEmpty, "missing RST must be rejected")
+    // a DRI with the wrong segment length is malformed
+    val dri = (0 until restarted.length - 1).find(i =>
+      (restarted(i) & 0xff) == 0xff && (restarted(i + 1) & 0xff) == 0xdd).get
+    val badDri = restarted.clone(); badDri(dri + 3) = 5
+    assert(Jpeg.parseJpeg(badDri).isEmpty, "DRI with len != 4 must be rejected")
+  }
+
   test("out-of-profile and malformed streams are rejected, never thrown") {
     val good = Jpeg.encodeJpeg(16, 8, 3, qZig,
       Array.tabulate(2)(bi => Array.tabulate(8, 8)((v, u) =>
