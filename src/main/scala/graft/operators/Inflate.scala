@@ -186,9 +186,38 @@ object Inflate {
     * zlib's Adler-32 trailer sits); None for anything malformed. */
   def inflate(z: Array[Byte], off: Int, end: Int,
               exactOut: Int): Option[(Array[Byte], Int)] = {
-    if (off < 0 || end > z.length || off > end || exactOut < 0) return None
-    val out = new Array[Byte](exactOut)
+    if (exactOut < 0) return None
+    inflateCore(z, off, end, maxOut = exactOut) match {
+      case Some((buf, len, next)) if len == exactOut =>
+        Some((if (buf.length == len) buf else java.util.Arrays.copyOf(buf, len),
+          next))
+      case _ => None
+    }
+  }
+
+  /** The deflate decode loop over a GROWABLE output (the deflate
+    * stream is self-delimiting, so the caller need not know the
+    * output size — what the multi-member gzip walk requires, where
+    * each member's ISIZE trailer FOLLOWS its stream). `maxOut` bounds
+    * allocation; [[inflate]] passes its exact size (identical
+    * overflow behavior to the fixed-buffer form it replaced).
+    * Returns (buffer, decoded length, next byte offset). */
+  private def inflateCore(z: Array[Byte], off: Int, end: Int,
+                          maxOut: Int): Option[(Array[Byte], Int, Int)] = {
+    if (off < 0 || end > z.length || off > end || maxOut < 0) return None
+    var out = new Array[Byte](math.min(maxOut, 4096))
     var op = 0
+    @inline def ensure(n: Int): Boolean = {
+      if (op + n > maxOut || op + n < 0) false
+      else {
+        if (op + n > out.length) {
+          var cap = math.max(out.length * 2, op + n)
+          cap = math.min(cap, maxOut)
+          out = java.util.Arrays.copyOf(out, cap)
+        }
+        true
+      }
+    }
     val br = new BitReader(z, off, end)
     var fin = false
     while (!fin) {
@@ -202,7 +231,7 @@ object Inflate {
         val nlen = br.bits(16)
         if (br.err || (len ^ 0xffff) != nlen) return None
         val start = br.bytePos
-        if (start + len > end || op + len > exactOut) return None
+        if (start + len > end || !ensure(len)) return None
         System.arraycopy(z, start, out, op, len)
         op += len
         br.pos = start + len; br.bitBuf = 0; br.bitCnt = 0
@@ -218,7 +247,7 @@ object Inflate {
           val sym = br.decode(lit)
           if (br.err || sym < 0) return None
           if (sym < 256) {
-            if (op >= exactOut) return None
+            if (!ensure(1)) return None
             out(op) = sym.toByte; op += 1
           } else if (sym == 256) eob = true
           else {
@@ -229,16 +258,15 @@ object Inflate {
             if (br.err || dsym < 0 || dsym > 29) return None
             val distance = distBase(dsym) + br.bits(distExtra(dsym))
             if (br.err) return None
-            if (distance > op || op + length > exactOut) return None
+            if (distance > op || !ensure(length)) return None
             var i = 0 // byte-by-byte: distance < length overlap is legal
             while (i < length) { out(op) = out(op - distance); op += 1; i += 1 }
           }
         }
       } else return None // BTYPE=11 reserved
     }
-    if (op != exactOut) return None
     br.alignByte()
-    Some((out, br.bytePos))
+    Some((out, op, br.bytePos))
   }
 
   // ======================= fixture encoders ================================
@@ -504,39 +532,53 @@ object Inflate {
     * single-member only, by design), CRC-32 + ISIZE verification, and
     * the member must consume the whole payload. None for anything
     * malformed — never throws. */
+  /** Walk one member's header from `start` (magic, method, option
+    * flags in order FEXTRA/FNAME/FCOMMENT/FHCRC, with the CRC-16
+    * verified over the header's own bytes when present). Returns the
+    * offset of the deflate stream, or -1 on any malformation. Shared
+    * by [[gunzip]] (single member) and [[gunzipMembers]] (the RFC
+    * 1952 §2.2 member series). */
+  private def memberHeaderEnd(p: Array[Byte], start: Int): Int = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    if (start + 10 > p.length) return -1
+    if (u8(start) != 0x1f || u8(start + 1) != 0x8b || u8(start + 2) != 8) return -1
+    val flg = u8(start + 3)
+    if ((flg & 0xe0) != 0) return -1 // reserved bits must be zero
+    var pos = start + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (pos + 2 > p.length) return -1
+      val xlen = u8(pos) | (u8(pos + 1) << 8)
+      pos += 2 + xlen
+      if (pos > p.length) return -1
+    }
+    if ((flg & 8) != 0) { // FNAME
+      while (pos < p.length && p(pos) != 0) pos += 1
+      if (pos >= p.length) return -1
+      pos += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (pos < p.length && p(pos) != 0) pos += 1
+      if (pos >= p.length) return -1
+      pos += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC: low 16 bits of the header's CRC-32
+      if (pos + 2 > p.length) return -1
+      val c = new java.util.zip.CRC32
+      c.update(p, start, pos - start)
+      if ((c.getValue & 0xffff).toInt != (u8(pos) | (u8(pos + 1) << 8)))
+        return -1
+      pos += 2
+    }
+    pos
+  }
+
   def gunzip(p: Array[Byte]): Option[Array[Byte]] = {
     @inline def u8(i: Int): Int = p(i) & 0xff
     if (p.length < 18 + 2) { // header(10) + empty stored block + trailer(8)
       if (p.length < 20) return None
     }
-    if (u8(0) != 0x1f || u8(1) != 0x8b || u8(2) != 8) return None
-    val flg = u8(3)
-    if ((flg & 0xe0) != 0) return None // reserved bits must be zero
-    var pos = 10
-    if ((flg & 4) != 0) { // FEXTRA
-      if (pos + 2 > p.length) return None
-      val xlen = u8(pos) | (u8(pos + 1) << 8)
-      pos += 2 + xlen
-      if (pos > p.length) return None
-    }
-    if ((flg & 8) != 0) { // FNAME
-      while (pos < p.length && p(pos) != 0) pos += 1
-      if (pos >= p.length) return None
-      pos += 1
-    }
-    if ((flg & 16) != 0) { // FCOMMENT
-      while (pos < p.length && p(pos) != 0) pos += 1
-      if (pos >= p.length) return None
-      pos += 1
-    }
-    if ((flg & 2) != 0) { // FHCRC: low 16 bits of the header's CRC-32
-      if (pos + 2 > p.length) return None
-      val c = new java.util.zip.CRC32
-      c.update(p, 0, pos)
-      if ((c.getValue & 0xffff).toInt != (u8(pos) | (u8(pos + 1) << 8)))
-        return None
-      pos += 2
-    }
+    val pos = memberHeaderEnd(p, 0)
+    if (pos < 0) return None
     if (p.length - pos < 8 + 1) return None
     val t = p.length - 8 // trailer offset for a single member
     val isize = (u8(t + 4).toLong | (u8(t + 5).toLong << 8) |
@@ -552,5 +594,47 @@ object Inflate {
       (u8(t + 2).toLong << 16) | (u8(t + 3).toLong << 24))
     if (c.getValue != crc) return None
     Some(raw)
+  }
+
+  /** RFC 1952 §2.2: a gzip FILE is a SERIES of members — `cat a.gz
+    * b.gz` is a valid gzip file, and warehouse text shards routinely
+    * arrive that way (shard concatenation, bgzip-class writers). Walks
+    * every member (header by option flags, growable inflate — each
+    * member's deflate stream is self-delimiting, its trailer only
+    * FOLLOWS it — then CRC-32 + ISIZE verified per member), requires
+    * the members to exactly tile the payload, and returns the
+    * concatenated bytes plus the member count. None on any
+    * malformation in any member; `maxOut` bounds total allocation.
+    * A single-member stream returns exactly [[gunzip]]'s bytes. */
+  def gunzipMembers(p: Array[Byte],
+                    maxOut: Int = 1 << 26): Option[(Array[Byte], Int)] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    val acc = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    var members = 0
+    while (pos < p.length) {
+      val dstart = memberHeaderEnd(p, pos)
+      if (dstart < 0) return None
+      if (p.length - dstart < 8) return None
+      val (buf, len, next) =
+        inflateCore(p, dstart, p.length - 8, maxOut - acc.size) match {
+          case Some(r) => r
+          case None => return None
+        }
+      if (next + 8 > p.length) return None
+      val c = new java.util.zip.CRC32
+      c.update(buf, 0, len)
+      val crc = (u8(next).toLong | (u8(next + 1).toLong << 8) |
+        (u8(next + 2).toLong << 16) | (u8(next + 3).toLong << 24))
+      if (c.getValue != crc) return None
+      val isize = (u8(next + 4).toLong | (u8(next + 5).toLong << 8) |
+        (u8(next + 6).toLong << 16) | (u8(next + 7).toLong << 24))
+      if (isize != (len.toLong & 0xffffffffL)) return None
+      acc.write(buf, 0, len)
+      pos = next + 8
+      members += 1
+    }
+    if (members == 0) return None
+    Some((acc.toByteArray, members))
   }
 }

@@ -1807,4 +1807,70 @@ private[graft] trait PipelineText extends PipelineDedup {
        |    AS body_md5
        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- t27: MULTI-MEMBER gzip ingest (RFC 1952 §2.2) ------------------------
+  // A gzip FILE is a SERIES of members — `cat a.gz b.gz` is valid
+  // gzip, and warehouse text shards routinely arrive concatenated
+  // (shard appends, bgzip-class writers). t25 certified the single
+  // member; t27 certifies the member WALK: each doc's text splits
+  // into 1 + doc_id % 3 code-point pieces, each piece framed as its
+  // OWN member (deflate mode and header variant rotating PER MEMBER
+  // on doc_id + j, so one payload mixes stored/fixed/dynamic bodies
+  // AND bare/FNAME/FCOMMENT+FHCRC/FEXTRA+FHCRC headers), and
+  // Inflate.gunzipMembers walks them — growable inflate (a member's
+  // ISIZE trailer FOLLOWS its stream, so the exact-size single-member
+  // path cannot apply), CRC-32 + ISIZE verified per member, members
+  // must exactly tile the payload. Report = member count + length +
+  // md5 of the CONCATENATED decode, which the oracle states from
+  // documents.text directly: one misread byte in ANY member's header
+  // walk, inflate, or trailer — or a boundary drift between members —
+  // breaks the hash.
+  //
+  // Scale: t25's class — two map-only passes, linear in text bytes.
+  private[queries] val t27: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Inflate
+    T.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val nmem = 1 + (id % 3).toInt
+          val lenCp = text.codePointCount(0, text.length)
+          val members = (0 until nmem).map { j =>
+            val a = (j.toLong * lenCp / nmem).toInt
+            val b = ((j + 1).toLong * lenCp / nmem).toInt
+            val piece = text.substring(
+              text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
+            val v = id + j
+            Inflate.gzipMember(piece.getBytes("UTF-8"), (v % 3).toInt,
+              fname = if (v % 4 == 1) Some(s"doc-$id-$j.txt") else None,
+              fcomment = if (v % 4 == 2) Some("graft-multi") else None,
+              extra = if (v % 4 == 3) Some(Array[Byte](7, (v % 127).toByte)) else None,
+              hcrc = v % 4 >= 2)
+          }
+          (id, members.toArray.flatten)
+        }
+      }
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, z) =>
+          Inflate.gunzipMembers(z).map { case (raw, nm) =>
+            val text = new String(raw, "UTF-8")
+            (id, nm.toLong, text.codePointCount(0, text.length).toLong, text)
+          }
+        }
+      }
+      .toDF("doc_id", "n_members", "n_chars", "text")
+      .select(col("doc_id"), col("n_members"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t27Sql: String =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS n_members,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
 }

@@ -186,6 +186,58 @@ class InflateSpec extends AnyFunSuite {
     assert(Inflate.gunzip(rsv).isEmpty, "reserved FLG bit must reject")
   }
 
+  test("gunzipMembers walks concatenated members; java.util.zip agrees both ways") {
+    val pieces = Seq("first member", "", "third — with ünïcode 😀",
+      "a longer fourth member with enough text to leave the stored path " * 3)
+      .map(_.getBytes("UTF-8"))
+    val flat = pieces.foldLeft(Array.emptyByteArray)(_ ++ _)
+    // our encoder, modes and headers rotating per member
+    val ours = pieces.zipWithIndex.map { case (p, j) =>
+      Inflate.gzipMember(p, j % 3,
+        fname = if (j % 4 == 1) Some(s"m$j") else None,
+        fcomment = if (j % 4 == 2) Some("multi") else None,
+        hcrc = j % 4 >= 2)
+    }.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val (raw, nm) = Inflate.gunzipMembers(ours)
+      .getOrElse(fail("gunzipMembers None on our own members"))
+    assert(nm == pieces.length)
+    assert(raw.sameElements(flat), "concat drift")
+    // java.util.zip reads multi-member streams natively: cross-check ours
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(ours))
+    assert(in.readAllBytes().sameElements(flat),
+      "java.util.zip disagrees on our multi-member stream")
+    in.close()
+    // and we read java's concatenated members (the `cat a.gz b.gz` case)
+    val javas = pieces.map { p =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(p); gz.close(); bos.toByteArray
+    }.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val (raw2, nm2) = Inflate.gunzipMembers(javas)
+      .getOrElse(fail("gunzipMembers None on GZIPOutputStream members"))
+    assert(nm2 == pieces.length && raw2.sameElements(flat))
+    // a single member returns exactly gunzip's bytes
+    val single = Inflate.gzipMember("just one".getBytes, 1)
+    assert(Inflate.gunzipMembers(single).get._1
+      .sameElements(Inflate.gunzip(single).get))
+    assert(Inflate.gunzipMembers(single).get._2 == 1)
+    // negative space: corruption in the SECOND member, garbage between
+    // members, truncated final trailer, empty input — all rejected
+    val two = Inflate.gzipMember("aaa".getBytes, 0) ++
+      Inflate.gzipMember("bbb".getBytes, 2)
+    assert(Inflate.gunzipMembers(two).exists(_._2 == 2))
+    val badSecond = two.clone()
+    badSecond(two.length - 5) = (badSecond(two.length - 5) ^ 0x1).toByte
+    assert(Inflate.gunzipMembers(badSecond).isEmpty, "2nd-member CRC corruption")
+    val gap = Inflate.gzipMember("aaa".getBytes, 0) ++ Array[Byte](0x55) ++
+      Inflate.gzipMember("bbb".getBytes, 2)
+    assert(Inflate.gunzipMembers(gap).isEmpty, "inter-member garbage must reject")
+    assert(Inflate.gunzipMembers(two.dropRight(3)).isEmpty, "truncated trailer")
+    assert(Inflate.gunzipMembers(Array.emptyByteArray).isEmpty, "empty input")
+    // maxOut bounds total decoded size across members
+    assert(Inflate.gunzipMembers(two, maxOut = 5).isEmpty, "maxOut must bound")
+  }
+
   test("parsePng decodes all three deflate modes; Huffman-layer corruption rejected") {
     def px(x: Int, y: Int): (Int, Int, Int) =
       ((x * 7 + y) % 256, (y * 5) % 256, (x + 3 * y) % 256)
