@@ -554,9 +554,52 @@ object Multimodal {
       }
       y += 1
     }
-    // raw zlib payload: per row, filter byte + filtered bytes
+    val raw = pngFilterRows(recon, w, h, bpp = 3, filtered)
+    pngAssemble(w, h, gap, colorType = 2, plte = null, raw, deflateMode)
+  }
+
+  /** PALETTE encode (color type 3, round 13): indexed scanlines
+    * (1 byte/pixel) over a PLTE chunk of RGB triples — the layout
+    * icons/diagrams/screenshots in a crawl actually use. Same filter
+    * pass (bpp = 1 changes the left/up-left predictor offsets) and
+    * same zlib/chunk assembly as the RGB encoder — one definition
+    * each. `index(x, y)` must be < palette.length. */
+  def encodePngPaletted(w: Int, h: Int, gap: Int,
+                        palette: Array[(Int, Int, Int)],
+                        index: (Int, Int) => Int,
+                        deflateMode: Int = 0,
+                        filtered: Boolean = false): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256, "PLTE: 1..256 entries")
+    val recon = Array.ofDim[Int](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = index(x, y)
+        require(i >= 0 && i < palette.length, s"index out of palette: $i")
+        recon(y)(x) = i
+        x += 1
+      }
+      y += 1
+    }
+    val plte = new Array[Byte](3 * palette.length)
+    palette.indices.foreach { i =>
+      plte(3 * i) = (palette(i)._1 & 0xff).toByte
+      plte(3 * i + 1) = (palette(i)._2 & 0xff).toByte
+      plte(3 * i + 2) = (palette(i)._3 & 0xff).toByte
+    }
+    val raw = pngFilterRows(recon, w, h, bpp = 1, filtered)
+    pngAssemble(w, h, gap, colorType = 3, plte, raw, deflateMode)
+  }
+
+  /** The filter pass shared by the RGB and PALETTE encoders: per row,
+    * filter byte + filtered bytes, predictors over `bpp`-byte pixels
+    * (PNG §9 defines a/c as the bytes bpp positions left). */
+  private def pngFilterRows(recon: Array[Array[Int]], w: Int, h: Int,
+                            bpp: Int, filtered: Boolean): Array[Byte] = {
+    val stride = bpp * w
     val raw = new Array[Byte](h * (1 + stride))
-    y = 0
+    var y = 0
     while (y < h) {
       val base = y * (1 + stride)
       val ft = if (filtered) (y + w + h) % 5 else 0
@@ -564,9 +607,9 @@ object Multimodal {
       var i = 0
       while (i < stride) {
         val cur = recon(y)(i)
-        val a = if (i >= 3) recon(y)(i - 3) else 0 // left
+        val a = if (i >= bpp) recon(y)(i - bpp) else 0 // left
         val b = if (y > 0) recon(y - 1)(i) else 0 // up
-        val c = if (y > 0 && i >= 3) recon(y - 1)(i - 3) else 0 // up-left
+        val c = if (y > 0 && i >= bpp) recon(y - 1)(i - bpp) else 0 // up-left
         val filt = ft match {
           case 0 => cur
           case 1 => cur - a // Sub
@@ -579,6 +622,16 @@ object Multimodal {
       }
       y += 1
     }
+    raw
+  }
+
+  /** zlib wrap + chunk assembly shared by both PNG encoders: the
+    * deflate body per mode, Adler-32, IHDR (with the given color
+    * type), optional PLTE, optional tEXt junk, the split-IDAT path,
+    * IEND. */
+  private def pngAssemble(w: Int, h: Int, gap: Int, colorType: Int,
+                          plte: Array[Byte], raw: Array[Byte],
+                          deflateMode: Int): Array[Byte] = {
     // zlib stream: 2-byte header, deflate body per deflateMode, adler32
     val zlib = new scala.collection.mutable.ArrayBuffer[Byte](raw.length + 64)
     zlib += 0x78.toByte += 0x01.toByte // CMF: deflate/32k, FLG: check bits
@@ -622,8 +675,9 @@ object Multimodal {
       arr(i + 2) = (v >> 8).toByte; arr(i + 3) = v.toByte
     }
     be32(ihdr, 0, w); be32(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (RGB)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // bit depth 8, RGB or palette
     chunk("IHDR", ihdr)
+    if (plte != null) chunk("PLTE", plte)
     if (gap > 0)
       chunk("tEXt", Array.tabulate(gap)(i => (0x61 + (i % 16)).toByte))
     if (z.length > 64) { // force the multi-IDAT concatenation path
@@ -637,16 +691,19 @@ object Multimodal {
 
   /** PNG parse + full RFC 1951 inflate: validates the signature,
     * walks chunks by LENGTH with CRC-32 verified per chunk, requires
-    * IHDR first (8-bit RGB, no interlace), concatenates every IDAT,
-    * checks the zlib header (deflate method, FCHECK, no preset
-    * dictionary), inflates stored / fixed-Huffman / dynamic-Huffman
-    * blocks through the hand-written [[Inflate.inflate]] (bit reader,
-    * canonical Huffman decode, CL alphabet, LZ77 window — every
-    * malformation in that layer returns None), verifies the Adler-32
-    * trailer over the inflated bytes, and reconstructs scanlines
-    * through all five standard filter types (None/Sub/Up/Average/
-    * Paeth — the per-row defilter pass). None for anything malformed
-    * or outside the profile — never throws. */
+    * IHDR first (8-bit RGB type 2 OR 8-bit PALETTE type 3 with a
+    * mandatory single pre-IDAT PLTE of 1..256 triples; no interlace),
+    * concatenates every IDAT, checks the zlib header (deflate method,
+    * FCHECK, no preset dictionary), inflates stored / fixed-Huffman /
+    * dynamic-Huffman blocks through the hand-written
+    * [[Inflate.inflate]] (bit reader, canonical Huffman decode, CL
+    * alphabet, LZ77 window — every malformation in that layer returns
+    * None), verifies the Adler-32 trailer over the inflated bytes,
+    * reconstructs scanlines through all five standard filter types
+    * with bpp-aware predictors (3 for RGB, 1 for indices), and for
+    * palette images expands indices through PLTE (out-of-range index
+    * = malformed). None for anything malformed or outside the
+    * profile — never throws. */
   def parsePng(p: Array[Byte]): Option[PngImage] = {
     @inline def u8(i: Int): Int = p(i) & 0xff
     def be32(i: Int): Long =
@@ -656,6 +713,8 @@ object Multimodal {
     if (p.length < 8 + 25 || !sig.indices.forall(i => u8(i) == sig(i))) return None
     var pos = 8
     var w = 0; var h = 0
+    var colorType = -1
+    var plte: Array[Byte] = null
     var sawIhdr = false; var sawIend = false
     val idat = new scala.collection.mutable.ArrayBuffer[Byte]()
     while (!sawIend) {
@@ -668,24 +727,36 @@ object Multimodal {
         if (typ != "IHDR" || len != 13) return None // IHDR must be first
         w = be32(pos + 8).toInt; h = be32(pos + 12).toInt
         if (w <= 0 || h <= 0) return None
-        // profile: 8-bit RGB, deflate, standard filtering, no interlace
-        if (u8(pos + 16) != 8 || u8(pos + 17) != 2 || u8(pos + 18) != 0 ||
-          u8(pos + 19) != 0 || u8(pos + 20) != 0) return None
+        // profile: 8-bit RGB (type 2) or 8-bit PALETTE (type 3),
+        // deflate, standard filtering, no interlace
+        colorType = u8(pos + 17)
+        if (u8(pos + 16) != 8 || (colorType != 2 && colorType != 3) ||
+          u8(pos + 18) != 0 || u8(pos + 19) != 0 || u8(pos + 20) != 0)
+          return None
         sawIhdr = true
       } else typ match {
-        case "IDAT" => idat ++= p.slice(pos + 8, pos + 8 + len.toInt)
+        case "PLTE" =>
+          // §11.2.3: before IDAT, 1..256 RGB triples, at most one
+          if (plte != null || idat.nonEmpty) return None
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          plte = p.slice(pos + 8, pos + 8 + len.toInt)
+        case "IDAT" =>
+          if (colorType == 3 && plte == null) return None // PLTE required
+          idat ++= p.slice(pos + 8, pos + 8 + len.toInt)
         case "IEND" => if (len != 0) return None else sawIend = true
         case _      => () // ancillary chunk: skipped BY LENGTH
       }
       pos += 12 + len.toInt
     }
+    if (colorType == 3 && plte == null) return None
     val z = idat.toArray
     if (z.length < 6) return None
     // zlib header (RFC 1950): deflate method, valid FCHECK, no dict
     val cmf = z(0) & 0xff; val flg = z(1) & 0xff
     if ((cmf & 0x0f) != 8 || ((cmf << 8) | flg) % 31 != 0 || (flg & 0x20) != 0)
       return None
-    val want = h * (1 + 3 * w)
+    val bpp = if (colorType == 3) 1 else 3 // bytes per pixel
+    val want = h * (1 + bpp * w)
     val (raw, zp) = Inflate.inflate(z, 2, z.length, want) match {
       case Some(r) => r
       case None    => return None // any RFC 1951 malformation
@@ -698,8 +769,9 @@ object Multimodal {
     if (ad.getValue != trailer) return None
     // defilter (spec §9): reconstruct each scanline from its filter
     // type and the previous RECONSTRUCTED row, in place (filter bytes
-    // zeroed afterwards so PngImage reads reconstructed pixels)
-    val stride = 3 * w
+    // zeroed afterwards so PngImage reads reconstructed pixels); the
+    // a/c predictors sit bpp positions left — 1 for palette indices
+    val stride = bpp * w
     var y = 0
     while (y < h) {
       val base = y * (1 + stride)
@@ -709,9 +781,9 @@ object Multimodal {
       var i = 0
       while (i < stride) {
         val cur = raw(base + 1 + i) & 0xff
-        val a = if (i >= 3) raw(base + 1 + i - 3) & 0xff else 0
+        val a = if (i >= bpp) raw(base + 1 + i - bpp) & 0xff else 0
         val b = if (y > 0) raw(prev + 1 + i) & 0xff else 0
-        val c = if (y > 0 && i >= 3) raw(prev + 1 + i - 3) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) raw(prev + 1 + i - bpp) & 0xff else 0
         val rec = ft match {
           case 0 => cur
           case 1 => cur + a
@@ -725,7 +797,28 @@ object Multimodal {
       raw(base) = 0
       y += 1
     }
-    Some(PngImage(w, h, raw))
+    if (colorType == 2) Some(PngImage(w, h, raw))
+    else {
+      // palette expansion: every index must exist in PLTE (strict —
+      // an out-of-range index is malformed, not clamped)
+      val nPal = plte.length / 3
+      val rgb = new Array[Byte](h * (1 + 3 * w))
+      var y2 = 0
+      while (y2 < h) {
+        val src = y2 * (1 + w); val dst = y2 * (1 + 3 * w)
+        var x = 0
+        while (x < w) {
+          val idx = raw(src + 1 + x) & 0xff
+          if (idx >= nPal) return None
+          rgb(dst + 1 + 3 * x) = plte(3 * idx)
+          rgb(dst + 1 + 3 * x + 1) = plte(3 * idx + 1)
+          rgb(dst + 1 + 3 * x + 2) = plte(3 * idx + 2)
+          x += 1
+        }
+        y2 += 1
+      }
+      Some(PngImage(w, h, rgb))
+    }
   }
 
   case class MediaEmbedding(doc_id: Long, source: String, hist: Seq[Double])

@@ -74,6 +74,7 @@ object Pipeline extends PipelineStreamBatch {
     "m09_audio_samples" -> m09, "m10_png_decode" -> m10,
     "m12_jpeg_decode" -> m12, "m13_jpeg_color" -> m13,
     "m14_jpeg_420" -> m14, "m15_jpeg_restart" -> m15,
+    "m16_png_palette" -> m16,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -148,6 +149,7 @@ object Pipeline extends PipelineStreamBatch {
     // m15 shares m14's oracle VERBATIM: restart markers are pure framing,
     // so hash equality proves the restarted decode is pixel-identical
     "m15_jpeg_restart" -> m14Sql,
+    "m16_png_palette" -> m16Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

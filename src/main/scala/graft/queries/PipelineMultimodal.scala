@@ -744,6 +744,79 @@ private[graft] trait PipelineMultimodal extends PipelineText {
        |ORDER BY doc_id, by, bx""".stripMargin
   }
 
+  // -- m16: PALETTE PNG decode (color type 3) -------------------------------
+  // m10 certified truecolor PNG (type 2); m16 adds the indexed form
+  // icons/diagrams/screenshots in a crawl actually use: 1-byte-per-
+  // pixel scanlines over a PLTE chunk of RGB triples. The decode
+  // stack is the SAME parsePng — it now dispatches on the IHDR color
+  // type, runs the filter reconstruction with bpp = 1 predictors
+  // (the spec's a/c sit bpp positions left — a truecolor-only
+  // defilter silently corrupts every Sub/Average/Paeth row of an
+  // indexed image), and expands indices through the palette with
+  // out-of-range indices REJECTED. Corpus rotates palette size
+  // (17..216 entries), deflate mode, filtered/unfiltered scanlines
+  // and the tEXt junk gap; the oracle re-derives palette AND indices
+  // from the integer formulas and folds the expanded RGB through the
+  // BT.601 grid — a predictor-offset bug or palette misread moves a
+  // luminance and breaks the hash.
+  //
+  // Scale: m10's class — map-only decode, 16-row fan-out, linear in
+  // pixels; indexed rows are 3× smaller on the wire, which is why
+  // the format exists.
+  private[queries] val m16: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val g = (id % 40).toInt
+          val w = 4 + (id % 13).toInt; val h = 4 + (id % 9).toInt
+          val npal = 17 + (id % 200).toInt
+          val palette = Array.tabulate(npal)(i =>
+            ((7 * i + 3 * g) % 256, (5 * i + 11 * g) % 256, (3 * i + 7 * g) % 256))
+          val png = Multimodal.encodePngPaletted(w, h, gap = (id % 7).toInt,
+            palette, (x, y) => (13 * g + 5 * x + 11 * y) % npal,
+            deflateMode = (id % 3).toInt, filtered = id % 2 == 1)
+          Multimodal.MediaRecord(id, src, png)
+        }
+      }
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          Multimodal.parsePng(r.payload) match {
+            case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
+            case None => Iterator.empty
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private[queries] val m16Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 40 AS g,
+      |    4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h,
+      |    17 + doc_id % 200 AS npal
+      |  FROM documents),
+      |xs AS (SELECT doc_id, g, w, h, npal, unnest(range(0, w)) AS x FROM dims),
+      |px AS (SELECT doc_id, g, w, h, npal, x, unnest(range(0, h)) AS y FROM xs),
+      |rgb AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    (7 * idx + 3 * g) % 256 AS r,
+      |    (5 * idx + 11 * g) % 256 AS gg,
+      |    (3 * idx + 7 * g) % 256 AS b
+      |  FROM (SELECT doc_id, g, w, h, x, y,
+      |          (13 * g + 5 * x + 11 * y) % npal AS idx
+      |        FROM px)),
+      |lums AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(y * 4 // h AS INTEGER) AS by, CAST(x * 4 // w AS INTEGER) AS bx,
+      |    (77 * r + 150 * gg + 29 * b) // 256 AS lum
+      |  FROM rgb)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+      |FROM lums GROUP BY doc_id, w, h, by, bx
+      |ORDER BY doc_id, by, bx""".stripMargin
+
   // -- m09: real PCM sample decode (audio, below the header) ---------------
   // m08's obligation carried to AUDIO: m05 parses the container, m09
   // decodes the SAMPLES — the loudness/clipping window scan an

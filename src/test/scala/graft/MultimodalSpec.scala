@@ -292,6 +292,59 @@ class MultimodalSpec extends SparkSpec {
       "fixture must contain cross-source duplicates for the claim to have teeth")
   }
 
+  test("palette PNG round-trips with bpp=1 predictors; PLTE violations rejected") {
+    val palette = Array.tabulate(200)(i => ((7 * i) % 256, (5 * i + 11) % 256, (3 * i + 1) % 256))
+    def idx(x: Int, y: Int): Int = (5 * x + 11 * y) % palette.length
+    // round-trip every deflate mode × filtered/unfiltered — the
+    // filtered path is where a bpp=3 predictor would corrupt rows
+    for (mode <- Seq(0, 1, 2); filt <- Seq(false, true)) {
+      val png = Multimodal.encodePngPaletted(11, 7, gap = 3, palette, idx,
+        deflateMode = mode, filtered = filt)
+      val img = Multimodal.parsePng(png)
+        .getOrElse(fail(s"palette parse None, mode=$mode filt=$filt"))
+      for (y <- 0 until 7; x <- 0 until 11)
+        assert(img.rgb(x, y) == palette(idx(x, y)),
+          s"palette pixel drift at ($x,$y), mode=$mode filt=$filt")
+    }
+    val good = Multimodal.encodePngPaletted(11, 7, 0, palette, idx,
+      deflateMode = 1, filtered = true)
+    def findChunk(png: Array[Byte], typ: String): Int = {
+      val t = typ.getBytes("US-ASCII")
+      (0 until png.length - 4).find(i => png.slice(i, i + 4).sameElements(t)).get
+    }
+    // strip PLTE entirely: color type 3 without a palette is malformed
+    val plteAt = findChunk(good, "PLTE") - 4
+    val plteLen = java.nio.ByteBuffer.wrap(good, plteAt, 4).getInt
+    val noPlte = good.take(plteAt) ++ good.drop(plteAt + 12 + plteLen)
+    assert(Multimodal.parsePng(noPlte).isEmpty, "type 3 without PLTE must reject")
+    // out-of-range index: shrink PLTE so the max index exceeds it —
+    // easiest with a 2-entry palette and an index formula reaching 2
+    val tiny = Array((1, 2, 3), (4, 5, 6))
+    intercept[IllegalArgumentException] { // encoder refuses
+      Multimodal.encodePngPaletted(4, 4, 0, tiny, (x, y) => (x + y) % 3)
+    }
+    // decoder-side: valid 3-entry image, then truncate PLTE to 2 entries
+    // (recompute the chunk CRC so only the INDEX check can reject)
+    val three = Array((1, 2, 3), (4, 5, 6), (7, 8, 9))
+    val p3 = Multimodal.encodePngPaletted(4, 4, 0, three, (x, y) => (x + y) % 3)
+    assert(Multimodal.parsePng(p3).isDefined)
+    val at = findChunk(p3, "PLTE") - 4
+    val shrunk = p3.take(at) ++ {
+      val body = "PLTE".getBytes("US-ASCII") ++ p3.slice(at + 8, at + 8 + 6)
+      val crc = new java.util.zip.CRC32
+      crc.update(body); val c = crc.getValue
+      Array[Byte](0, 0, 0, 6) ++ body ++ Array(
+        ((c >> 24) & 0xff).toByte, ((c >> 16) & 0xff).toByte,
+        ((c >> 8) & 0xff).toByte, (c & 0xff).toByte)
+    } ++ p3.drop(at + 12 + 9)
+    assert(Multimodal.parsePng(shrunk).isEmpty,
+      "index beyond the (shrunk) palette must be rejected, not clamped")
+    // truecolor images still decode exactly as before (type-2 path)
+    val rgbPng = Multimodal.encodePng(5, 4, 0, (x, y) => (x, y, x + y),
+      deflateMode = 2, filtered = true)
+    assert(Multimodal.parsePng(rgbPng).isDefined)
+  }
+
   test("hot-cell salting emits EXACTLY the unsalted pair set (sf0.1, forcing cap)") {
     // The round-12 verdict's #6, pinned: the salted join must be a
     // pure memory-shape change. At sf0.1 the quantizer cells hold
