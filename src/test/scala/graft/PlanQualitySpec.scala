@@ -828,6 +828,42 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("salted p05b: SMJ pair join with the per-block salt-count frame broadcast") {
+    // round-13 verdict #6, plan-pinned: the salting must not change
+    // the join strategy (SMJ — the round-12 spill pin) and the tiny
+    // per-block (block, nsalt) frame must BROADCAST onto both sides,
+    // never shuffle the corpus for it.
+    val p = plan("p05b_multimodal_dedup_cells")
+    assert(p.contains("SortMergeJoin"),
+      s"the salted pair join must stay SMJ (per-key spill):\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nsalt count frame must broadcast:\n${p.take(3000)}")
+    graft.CacheScope.drain()
+  }
+
+  test("s26 code-routed walk stays broadcast-shaped (no extra SMJ vs s20)") {
+    // swapping the walk's scored frame from full vectors to PQ
+    // reconstructions must not introduce shuffle joins: the bounded
+    // frames (beam nodes, arrivals, shortlist) still broadcast
+    // against the corpus-sized recon/embedding frames.
+    def smjCount(name: String): Int = {
+      val p = plan(name)
+      val n = p.linesIterator.count(_.contains("SortMergeJoin"))
+      graft.CacheScope.drain(); n
+    }
+    val s20 = smjCount("s20_ann_beam")
+    val s26 = smjCount("s26_ann_beam_pq_rerank")
+    assert(s26 <= s20,
+      s"code routing must not add shuffle joins: s26=$s26 vs s20=$s20")
+  }
+
+  test("p16's semantic gate broadcasts the benchmark side (d16's asymmetry survives composition)") {
+    val p = plan("p16_pretrain_build_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the d16 stage must broadcast the bench side inside the composed plan:\n${p.take(3000)}")
+    graft.CacheScope.drain()
+  }
+
   test("PlanAudit extracts the structural scale properties programmatically") {
     import graft.plans.PlanAudit
     val a3 = PlanAudit.of(SparkEntry.queries("q03_star_join")(spark, sfDir))
