@@ -140,12 +140,28 @@ def _round_no():
 if len(results) >= 50:  # full-gate runs only; skip per-query dev runs
     driver_fmt = {}
     for k, v in sorted(results.items()):
-        passed = v == "OK" or v.startswith("ROWS_ONLY")
+        # Derive each bit from the failure class explicitly (round-13
+        # advice): a VALUES_OK_DTYPES result is a dtype mismatch with
+        # equal values (schema_match must be False); a COLS failure
+        # never reached the row compare (rows_match is unknown, not
+        # True); a ROWS_ONLY query was never hash-verified
+        # (hash_match=None + rows_only flag, not a silent True).
+        rows_only = v.startswith("ROWS_ONLY")
+        no_compare = v.startswith("NO_OUTPUT") or v.startswith("ORACLE_SQL_ERROR")
+        schema_bad = v.startswith("COLS") or v.startswith("DTYPES") \
+            or v.startswith("VALUES_OK_DTYPES")
+        # row compare only runs once columns matched
+        rows_compared = not (rows_only or no_compare or v.startswith("COLS"))
+        values_exact = v == "OK" or v.startswith("VALUES_OK_")
+        passed = v == "OK" or rows_only
         driver_fmt[k] = {
-            "rows_match": passed or not v.startswith("ROWS "),
-            "schema_match": passed or not (v.startswith("COLS")
-                                           or v.startswith("DTYPES")),
-            "hash_match": passed,
+            "rows_match": (None if not rows_compared
+                           else not v.startswith("ROWS ")),
+            "schema_match": (None if rows_only or no_compare
+                             else not schema_bad),
+            "hash_match": (None if rows_only or no_compare
+                           else values_exact),
+            "rows_only": rows_only,
             "err": None if passed else v[:500],
         }
     local_path = os.path.join(repo_root,

@@ -115,14 +115,29 @@ object Jsonl {
       val neg = i < n && line.charAt(i) == '-'
       if (neg) i += 1
       val start = i
+      // Accumulate NEGATIVE (java.lang.Long.parseLong's discipline) so
+      // Long.MinValue round-trips and overflow is caught BEFORE the
+      // multiply — v*10 can wrap past the sign bit back to positive,
+      // so a post-hoc `v < 0` test lets e.g. 2^65+1 parse as 1. RFC
+      // 8259 numbers are unbounded; our record contract is a Long, so
+      // out-of-range = malformed.
+      val limit = if (neg) Long.MinValue else -Long.MaxValue
+      val multmin = limit / 10
       var v = 0L
       while (i < n && line.charAt(i) >= '0' && line.charAt(i) <= '9') {
-        v = v * 10 + (line.charAt(i) - '0')
-        if (v < 0) bad() // overflow past Long.MaxValue
+        val d = line.charAt(i) - '0'
+        if (v < multmin) bad()
+        v *= 10
+        if (v < limit + d) bad()
+        v -= d
         i += 1
       }
       if (i == start) bad() // no digits
-      if (neg) -v else v
+      // RFC 8259 forbids leading zeros ("007"): a conforming oracle
+      // parser would count such a record malformed, so we must too
+      // ("-0" stays accepted — the RFC's int grammar allows it)
+      if (line.charAt(start) == '0' && i - start > 1) bad()
+      if (neg) v else -v
     }
     ws(); expect('{')
     var doc: java.lang.Long = null

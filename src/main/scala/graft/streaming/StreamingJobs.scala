@@ -256,8 +256,9 @@ object StreamingJobs {
     * throws), folded per (hour window, source) into the intake SLO
     * with BOTH failure levels accounted: an undecodable MEMBER
     * (broken gzip) counts in n_undecodable, a malformed RECORD inside
-    * a healthy member counts in n_malformed — neither kills the job,
-    * neither silently vanishes. Running the same function on a batch
+    * a healthy member counts in n_malformed (including a parseable
+    * record whose doc claim differs from the member's doc_id — batch
+    * t26's rule) — neither kills the job, neither silently vanishes. Running the same function on a batch
     * frame IS the oracle (e03's trick); StreamingSpec proves the
     * incremental run matches and that a corrupt record surfaces.
     *
@@ -267,21 +268,24 @@ object StreamingJobs {
   def jsonlIntakeStream(media: DataFrame): DataFrame = {
     val sp = media.sparkSession
     import sp.implicits._
-    media.select(col("ts"), col("source"), col("payload"))
-      .as[(java.sql.Timestamp, String, Array[Byte])]
+    media.select(col("doc_id"), col("ts"), col("source"), col("payload"))
+      .as[(Long, java.sql.Timestamp, String, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (ts, src, payload) =>
+        it.map { case (docId, ts, src, payload) =>
           graft.operators.Inflate.gunzip(payload) match {
             case Some(raw) =>
               val lines = new String(raw, "UTF-8").split("\n", -1)
               var ok = 0L; var bad = 0L; var chars = 0L
               lines.foreach { l =>
                 graft.sources.Jsonl.parseRecord(l) match {
-                  case Some(r) =>
+                  // a record claiming another doc is an intake error
+                  // too — same accounting as batch t26, so the
+                  // streaming and batch twins cannot drift
+                  case Some(r) if r.doc == docId =>
                     ok += 1
                     // code points, matching Spark/DuckDB length()
                     chars += r.body.codePointCount(0, r.body.length)
-                  case None => bad += 1
+                  case _ => bad += 1
                 }
               }
               (ts, src, true, ok, bad, chars)

@@ -39,6 +39,18 @@ class JsonlSpec extends AnyFunSuite {
       .contains(Jsonl.Rec(3, 1, "😀")))
     assert(Jsonl.parseRecord("""{"doc":-5,"seq":0,"body":""}""")
       .contains(Jsonl.Rec(-5, 0, "")))
+    // full Long range round-trips; "-0" and bare "0" are valid RFC
+    // 8259 ints (the leading-zero ban is on MULTI-digit forms)
+    assert(Jsonl.parseRecord(
+      s"""{"doc":${Long.MaxValue},"seq":0,"body":""}""")
+      .contains(Jsonl.Rec(Long.MaxValue, 0, "")))
+    assert(Jsonl.parseRecord(
+      s"""{"doc":${Long.MinValue},"seq":0,"body":""}""")
+      .contains(Jsonl.Rec(Long.MinValue, 0, "")))
+    assert(Jsonl.parseRecord("""{"doc":-0,"seq":0,"body":""}""")
+      .contains(Jsonl.Rec(0, 0, "")))
+    assert(Jsonl.parseRecord("""{"doc":0,"seq":0,"body":""}""")
+      .contains(Jsonl.Rec(0, 0, "")))
   }
 
   test("every malformation class returns None, never throws") {
@@ -57,6 +69,14 @@ class JsonlSpec extends AnyFunSuite {
       """{"doc":1,"seq":2,"body":"trunc """ + "\\u00\"}", // truncated unicode escape
       "{\"doc\":1,\"seq\":2,\"body\":\"raw  ctl\"}", // raw control char
       """{"doc":99999999999999999999,"seq":2,"body":"x"}""", // long overflow
+      // overflow forms that WRAP BACK POSITIVE under naive v*10+d —
+      // a post-hoc sign test accepts 2^65+1 as 1 (round-13 advice)
+      """{"doc":36893488147419103233,"seq":2,"body":"x"}""",
+      """{"doc":40000000000000000000,"seq":2,"body":"x"}""",
+      """{"doc":9223372036854775808,"seq":2,"body":"x"}""", // MaxValue+1
+      """{"doc":-9223372036854775809,"seq":2,"body":"x"}""", // MinValue-1
+      """{"doc":007,"seq":2,"body":"x"}""", // RFC 8259: no leading zeros
+      """{"doc":01,"seq":2,"body":"x"}""",
       """{"doc":,"seq":2,"body":"x"}""", // no digits
       """{"doc":1 "seq":2,"body":"x"}""", // missing comma
       """{"doc":"1","seq":2,"body":"x"}""", // string where int expected

@@ -301,9 +301,10 @@ class StreamingSpec extends SparkSpec {
       Inflate.gzipMember(lines.mkString("\n").getBytes("UTF-8"), mode)
     val healthy = gz(Seq(
       Jsonl.record(1, 0, "first half"), Jsonl.record(1, 1, "second half")), 0)
-    val recCorrupt = gz(Seq( // one record loses its closing quote+brace
-      Jsonl.record(2, 0, "survives"),
+    val recCorrupt = gz(Seq( // one record loses its closing quote+brace,
+      Jsonl.record(2, 0, "survives"), // one parses but claims doc 9
       Jsonl.record(2, 1, "does not").dropRight(2),
+      Jsonl.record(9, 3, "wrong doc"),
       Jsonl.record(2, 2, "also survives")), 1)
     val memCorrupt = { // whole member dies: CRC-32 trailer flipped
       val g = gz(Seq(Jsonl.record(3, 0, "never seen")), 2)
@@ -332,9 +333,10 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Seq(
       // books hour 0: the member itself is undecodable
       (ts("2024-01-01 00:00:00"), "books", 1L, 1L, 0L, 0L, 0L),
-      // web hour 0: 2 members, 4 parsed records, 1 malformed record,
+      // web hour 0: 2 members, 4 accepted records, 2 malformed (one
+      // unterminated, one claiming doc 9 inside doc 2's member),
       // chars = "first half"+"second half"+"survives"+"also survives"
-      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 4L, 1L, 42L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 4L, 2L, 42L),
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
   }
 
