@@ -607,17 +607,35 @@ object Inflate {
     * malformation in any member; `maxOut` bounds total allocation.
     * A single-member stream returns exactly [[gunzip]]'s bytes. */
   def gunzipMembers(p: Array[Byte],
-                    maxOut: Int = 1 << 26): Option[(Array[Byte], Int)] = {
+                    maxOut: Int = 1 << 26): Option[(Array[Byte], Int)] =
+    gunzipMemberList(p, maxOut).map { ms =>
+      val acc = new java.io.ByteArrayOutputStream()
+      ms.foreach(m => acc.write(m, 0, m.length))
+      (acc.toByteArray, ms.length)
+    }
+
+  /** [[gunzipMembers]]' walk with the member BOUNDARIES kept: one
+    * decoded byte array per member, in payload order. This is the
+    * read primitive for record-per-member containers — Common Crawl
+    * `.warc.gz` shards frame every WARC record as its own gzip member
+    * (the record parse above needs each member separately, not the
+    * concatenation). None on any malformation in any member (a
+    * corrupt member's LENGTH is unknowable without inflating it, so
+    * the walk cannot resync past one — the caller accounts the whole
+    * payload, the e15 idiom); `maxOut` bounds total allocation. */
+  def gunzipMemberList(p: Array[Byte],
+                       maxOut: Int = 1 << 26): Option[Vector[Array[Byte]]] = {
     @inline def u8(i: Int): Int = p(i) & 0xff
-    val acc = new java.io.ByteArrayOutputStream()
+    val members = Vector.newBuilder[Array[Byte]]
+    var total = 0
     var pos = 0
-    var members = 0
+    var n = 0
     while (pos < p.length) {
       val dstart = memberHeaderEnd(p, pos)
       if (dstart < 0) return None
       if (p.length - dstart < 8) return None
       val (buf, len, next) =
-        inflateCore(p, dstart, p.length - 8, maxOut - acc.size) match {
+        inflateCore(p, dstart, p.length - 8, maxOut - total) match {
           case Some(r) => r
           case None => return None
         }
@@ -630,11 +648,12 @@ object Inflate {
       val isize = (u8(next + 4).toLong | (u8(next + 5).toLong << 8) |
         (u8(next + 6).toLong << 16) | (u8(next + 7).toLong << 24))
       if (isize != (len.toLong & 0xffffffffL)) return None
-      acc.write(buf, 0, len)
+      members += java.util.Arrays.copyOfRange(buf, 0, len)
+      total += len
       pos = next + 8
-      members += 1
+      n += 1
     }
-    if (members == 0) return None
-    Some((acc.toByteArray, members))
+    if (n == 0) return None
+    Some(members.result())
   }
 }

@@ -121,6 +121,58 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
        |  CAST(SUM(n_chars) AS BIGINT) AS body_chars
        |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e17: streaming WARC shard intake -------------------------------------
+  // t28's read path joined to the streaming family (see
+  // StreamingJobs.warcIntakeStream): `.warc.gz` shards member-walked
+  // AS THEY ARRIVE, each member parsed as a strict ISO 28500 record,
+  // response HTTP bodies extracted, both failure levels (undecodable
+  // shard / malformed record) accounted per (hour window, source).
+  // Batch run of the same code path is the oracle; the oracle SQL
+  // re-derives record counts and body volumes from documents via
+  // t28's piece arithmetic (a parser misreading one header or one
+  // member boundary shifts a count and breaks the hash).
+  private[queries] val e17: Q = (s, d) => {
+    val media = framedWarcGzip(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.warcIntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private[queries] val e17Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, text, length(text) AS len,
+      |    1 + doc_id % 3 AS nrec,
+      |    CASE WHEN doc_id % 11 = 7
+      |         THEN (doc_id // 11) % (1 + doc_id % 3)
+      |         ELSE -1 END AS badj,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS hasreq,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+      |  FROM documents),
+      |recs AS (
+      |  SELECT doc_id, source, ts, text, len, nrec, badj, hasreq,
+      |    unnest(range(0, nrec)) AS j
+      |  FROM d),
+      |perdoc AS (
+      |  SELECT doc_id, source, ts,
+      |    1 + MAX(hasreq)
+      |      + SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS n_records,
+      |    SUM(CASE WHEN j = badj THEN 1 ELSE 0 END) AS n_malformed,
+      |    SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS n_responses,
+      |    SUM(CASE WHEN j = badj THEN 0 ELSE
+      |      length(substr(text, CAST(j * len // nrec AS INTEGER) + 1,
+      |        CAST((j + 1) * len // nrec - j * len // nrec AS INTEGER)))
+      |      END) AS n_chars
+      |  FROM recs GROUP BY 1, 2, 3)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_shards,
+      |  CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(SUM(n_records) AS BIGINT) AS n_records,
+      |  CAST(SUM(n_malformed) AS BIGINT) AS n_malformed,
+      |  CAST(SUM(n_responses) AS BIGINT) AS n_responses,
+      |  CAST(SUM(n_chars) AS BIGINT) AS body_chars
+      |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e14: streaming audio sample QC --------------------------------------
   // m09's sample decode joined to the streaming family (see
   // StreamingJobs.audioQcStream): clips DECODED as they arrive,

@@ -1873,4 +1873,164 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t28: WARC record ingest (ISO 28500 over the member walk) -------------
+  // The container 100-TB web corpora actually ship in: Common Crawl
+  // is `.warc.gz` — each WARC record framed as its OWN gzip member of
+  // a concatenated shard (exactly t27's member series), the record
+  // itself a version line + named CRLF headers + Content-Length block
+  // + CRLF CRLF terminator, and `response` records carrying an HTTP
+  // message whose BODY is the text the pipeline wants. The fixture
+  // renders each doc as a real shard — a warcinfo record, a request
+  // record for every doc_id % 5 == 0 doc (proving WARC-Type dispatch:
+  // requests parse but must not contribute body text), and
+  // 1 + doc_id % 3 response records each carrying a code-point piece
+  // of documents.text as an HTTP/1.1 200 body (HTTP Content-Length
+  // checked against the block remainder) — with t27's per-member
+  // deflate-mode and gzip-header rotations, and CORRUPTS one response
+  // per doc_id % 11 == 7 doc (6 bytes dropped: kills the record
+  // terminator and truncates the block — malformed for ANY content).
+  // graft.sources.Warc parses strictly (None on any malformation,
+  // never throws); malformed records are COUNTED at the record level
+  // exactly as t26 counts JSONL records. The report re-derives from
+  // documents.text through the generator's piece arithmetic — a
+  // parser misreading one header, one Content-Length, or one member
+  // boundary shifts a count or breaks the body hash.
+  //
+  // Scale: t25's class — two map-only passes (render, member-walk +
+  // parse), linear in shard bytes, zero shuffles before the output
+  // sort; a 1000-executor sweep partitions on shards with no skew
+  // coupling (each shard decodes independently).
+  private[queries] def framedWarcGzip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Inflate
+    import graft.sources.Warc
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val nrec = 1 + (id % 3).toInt
+          val lenCp = text.codePointCount(0, text.length)
+          val badJ = if (id % 11 == 7) ((id / 11) % nrec).toInt else -1
+          val date = "2024-01-01T00:00:00Z"
+          val info = Warc.render("warcinfo", s"<urn:uuid:info-$id>", date,
+            Seq("Content-Type" -> "application/warc-fields"),
+            (s"software: graft\r\nformat: WARC File Format 1.0\r\n" +
+              s"shard: $id").getBytes("UTF-8"))
+          val req =
+            if (id % 5 == 0)
+              Seq(Warc.render("request", s"<urn:uuid:req-$id>", date,
+                Seq("WARC-Target-URI" -> s"http://example.com/$id",
+                  "Content-Type" -> "application/http; msgtype=request"),
+                (s"GET /$id HTTP/1.1\r\nHost: example.com\r\n\r\n")
+                  .getBytes("UTF-8")))
+            else Seq.empty
+          val resps = (0 until nrec).map { j =>
+            val a = (j.toLong * lenCp / nrec).toInt
+            val b = ((j + 1).toLong * lenCp / nrec).toInt
+            val piece = text.substring(
+              text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
+              .getBytes("UTF-8")
+            val http = (s"HTTP/1.1 200 OK\r\n" +
+              s"Content-Type: text/plain; charset=utf-8\r\n" +
+              s"Content-Length: ${piece.length}\r\n\r\n").getBytes("UTF-8") ++
+              piece
+            val r = Warc.render("response", s"<urn:uuid:resp-$id-$j>", date,
+              Seq("WARC-Target-URI" -> s"http://example.com/$id/$j",
+                "Content-Type" -> "application/http; msgtype=response"),
+              http)
+            // dropping 6 bytes removes the CRLF CRLF terminator AND
+            // truncates the block — malformed for any body content
+            if (j == badJ) r.dropRight(6) else r
+          }
+          val payload = (Seq(info) ++ req ++ resps).zipWithIndex.flatMap {
+            case (r, k) =>
+              val v = id + k
+              Inflate.gzipMember(r, (v % 3).toInt,
+                fname = if (v % 4 == 1) Some(s"rec-$id-$k.warc") else None,
+                fcomment = if (v % 4 == 2) Some("graft-warc") else None,
+                extra = if (v % 4 == 3) Some(Array[Byte](7, (v % 127).toByte)) else None,
+                hcrc = v % 4 >= 2)
+          }.toArray
+          (id, src, payload)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t28: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Inflate
+    import graft.sources.Warc
+    framedWarcGzip(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, z) =>
+          Inflate.gunzipMemberList(z).map { members =>
+            var nRec = 0L; var nBad = 0L; var nResp = 0L
+            val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+            members.foreach { m =>
+              Warc.parseMember(m) match {
+                case Some(rec) => rec.warcType.map(_.toLowerCase) match {
+                  case Some("response") =>
+                    Warc.httpBody(rec.block) match {
+                      case Some(b) =>
+                        nRec += 1; nResp += 1
+                        bodies += new String(b, "UTF-8")
+                      // a response whose HTTP message is malformed is
+                      // an intake error too — same level as t26's
+                      // doc-claim rule
+                      case None => nBad += 1
+                    }
+                  case Some(_) => nRec += 1 // warcinfo / request
+                  case None => nBad += 1 // unreachable: type is mandatory
+                }
+                case None => nBad += 1
+              }
+            }
+            val joined = bodies.mkString
+            (id, members.length.toLong, nRec, nBad, nResp,
+              joined.codePointCount(0, joined.length).toLong, joined)
+          }
+        }
+      }
+      .toDF("doc_id", "n_members", "n_records", "n_malformed",
+        "n_responses", "body_chars", "joined")
+      .select(col("doc_id"), col("n_members"), col("n_records"),
+        col("n_malformed"), col("n_responses"), col("body_chars"),
+        md5(col("joined").cast(BinaryType)).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t28Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    1 + doc_id % 3 AS nrec,
+      |    CASE WHEN doc_id % 11 = 7
+      |         THEN (doc_id // 11) % (1 + doc_id % 3)
+      |         ELSE -1 END AS badj,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS hasreq
+      |  FROM documents),
+      |recs AS (
+      |  SELECT doc_id, text, len, nrec, badj, hasreq,
+      |    unnest(range(0, nrec)) AS j
+      |  FROM d),
+      |pieces AS (
+      |  SELECT doc_id, nrec, badj, hasreq, j,
+      |    substr(text, CAST(j * len // nrec AS INTEGER) + 1,
+      |      CAST((j + 1) * len // nrec - j * len // nrec AS INTEGER)) AS piece
+      |  FROM recs)
+      |SELECT doc_id,
+      |  CAST(1 + MAX(hasreq) + MAX(nrec) AS BIGINT) AS n_members,
+      |  CAST(1 + MAX(hasreq)
+      |    + SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS BIGINT) AS n_records,
+      |  CAST(SUM(CASE WHEN j = badj THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_malformed,
+      |  CAST(SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_responses,
+      |  CAST(SUM(CASE WHEN j = badj THEN 0 ELSE length(piece) END) AS BIGINT)
+      |    AS body_chars,
+      |  md5(string_agg(CASE WHEN j = badj THEN '' ELSE piece END, '' ORDER BY j))
+      |    AS body_md5
+      |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
 }

@@ -1,0 +1,200 @@
+package graft.sources
+
+/** Minimal strict WARC (ISO 28500) record codec for the web-corpus
+  * read path (t28 batch / e17 streaming): Common Crawl — the corpus
+  * 100-TB text pipelines actually ingest — ships as `.warc.gz` shards
+  * where EACH record is its own gzip member of a concatenated series
+  * (exactly the framing [[graft.operators.Inflate.gunzipMemberList]]
+  * walks), so the layer above the member walk is a per-record WARC
+  * parse with malformed records COUNTED, never thrown and never
+  * silently dropped (the Jsonl discipline one container out).
+  *
+  * Record shape (ISO 28500 §4): a version line `WARC/1.0` (or 1.1),
+  * CRLF-terminated named header lines until an empty line, then
+  * exactly `Content-Length` block octets, then CRLF CRLF. Header
+  * names are case-insensitive; WARC-Type, WARC-Record-ID, WARC-Date
+  * and Content-Length are mandatory. For `response` records the block
+  * is an HTTP/1.x response message; [[httpBody]] extracts its body.
+  *
+  * [[render]] is the encoder half (the fixture generator writes
+  * through it); [[parseMember]] is the decoder — `None` on ANY
+  * malformation (bad version line, bare-LF line ends, header without
+  * a colon, duplicate or missing mandatory headers, non-numeric /
+  * overflowing Content-Length, truncated block, missing record
+  * terminator, trailing garbage) and never throws.
+  */
+object Warc {
+
+  /** One parsed record: the version token ("1.0"/"1.1"), headers
+    * keyed by their LOWER-CASED names (values trimmed), and the raw
+    * block octets. */
+  final case class Rec(version: String, headers: Map[String, String],
+                       block: Array[Byte]) {
+    def warcType: Option[String] = headers.get("warc-type")
+    def contentLength: Long = block.length.toLong
+  }
+
+  private val CR = '\r'.toByte
+  private val LF = '\n'.toByte
+
+  /** Encoder half: one record's bytes — version line, headers in the
+    * given order, blank line, block, CRLF CRLF terminator. The
+    * Content-Length header is appended automatically (last, so the
+    * fixture's header order stays stable). */
+  def render(warcType: String, recordId: String, date: String,
+             extraHeaders: Seq[(String, String)],
+             block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(256)
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(warcType).append("\r\n")
+    sb.append("WARC-Record-ID: ").append(recordId).append("\r\n")
+    sb.append("WARC-Date: ").append(date).append("\r\n")
+    extraHeaders.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n")
+    }
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes("UTF-8")
+    val out = new Array[Byte](head.length + block.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(block, 0, out, head.length, block.length)
+    out(out.length - 4) = CR; out(out.length - 3) = LF
+    out(out.length - 2) = CR; out(out.length - 1) = LF
+    out
+  }
+
+  /** Strict parse of ONE record that must exactly tile `b` (the
+    * Common Crawl convention: one record per gzip member, terminator
+    * included). None on any malformation; never throws. */
+  def parseMember(b: Array[Byte]): Option[Rec] =
+    parseRecord(b, 0) match {
+      case Some((rec, next)) if next == b.length => Some(rec)
+      case _ => None
+    }
+
+  /** Strict parse of one record starting at `off`; returns the record
+    * and the offset just past its CRLF CRLF terminator. Usable for
+    * walking an UNCOMPRESSED .warc file of concatenated records. */
+  def parseRecord(b: Array[Byte], off: Int): Option[(Rec, Int)] = {
+    // version line
+    val vEnd = lineEnd(b, off)
+    if (vEnd < 0) return None
+    val vLine = ascii(b, off, vEnd)
+    if (vLine != "WARC/1.0" && vLine != "WARC/1.1") return None
+    val version = vLine.substring(5)
+    // header lines until the empty line
+    var i = vEnd + 2
+    var headers = Map.empty[String, String]
+    var done = false
+    while (!done) {
+      val e = lineEnd(b, i)
+      if (e < 0) return None
+      if (e == i) done = true // empty line: header section ends
+      else {
+        val line = new String(b, i, e - i, "UTF-8")
+        val c = line.indexOf(':')
+        if (c <= 0) return None // no colon, or empty name
+        val name = line.substring(0, c).trim.toLowerCase
+        if (name.isEmpty || name.exists(ch => ch <= ' ')) return None
+        val value = line.substring(c + 1).trim
+        if (headers.contains(name)) return None // duplicate header
+        headers += (name -> value)
+        i = e // advance to the CRLF we just validated
+      }
+      i += 2
+    }
+    // mandatory headers (ISO 28500 §5.2–§5.5)
+    for (m <- Seq("warc-type", "warc-record-id", "warc-date",
+                  "content-length"))
+      if (!headers.contains(m)) return None
+    val len = parseLen(headers("content-length")) match {
+      case Some(v) => v
+      case None => return None
+    }
+    if (len > Int.MaxValue - 4 || i + len + 4 > b.length)
+      return None // truncated block
+    val blockEnd = i + len.toInt
+    if (b(blockEnd) != CR || b(blockEnd + 1) != LF ||
+        b(blockEnd + 2) != CR || b(blockEnd + 3) != LF)
+      return None // missing record terminator
+    val block = java.util.Arrays.copyOfRange(b, i, blockEnd)
+    Some((Rec(version, headers, block), blockEnd + 4))
+  }
+
+  /** HTTP message body extraction for `application/http` blocks: a
+    * status/request line starting the message, CRLF-terminated header
+    * lines, an empty line, then the body (which, when the message
+    * carries a Content-Length header, must match the remaining octet
+    * count exactly). None on any malformation. */
+  def httpBody(block: Array[Byte]): Option[Array[Byte]] = {
+    val sEnd = lineEnd(block, 0)
+    if (sEnd < 0) return None
+    val start = ascii(block, 0, sEnd)
+    // response status line or request line — either way the message
+    // must declare HTTP/ somewhere in its first line
+    if (!start.contains("HTTP/")) return None
+    var i = sEnd + 2
+    var declared: Option[Long] = None
+    var done = false
+    while (!done) {
+      val e = lineEnd(block, i)
+      if (e < 0) return None
+      if (e == i) done = true
+      else {
+        val line = new String(block, i, e - i, "UTF-8")
+        val c = line.indexOf(':')
+        if (c <= 0) return None
+        if (line.substring(0, c).trim.equalsIgnoreCase("content-length")) {
+          if (declared.isDefined) return None // duplicate
+          declared = parseLen(line.substring(c + 1).trim)
+          if (declared.isEmpty) return None
+        }
+        i = e
+      }
+      i += 2
+    }
+    val body = java.util.Arrays.copyOfRange(block, i, block.length)
+    declared match {
+      case Some(n) if n != body.length.toLong => None
+      case _ => Some(body)
+    }
+  }
+
+  /** Index of the CR of the next CRLF at-or-after `from`, or -1 if
+    * none before the buffer ends or a bare LF / stray CR intervenes
+    * (WARC headers are CRLF-terminated by spec; a bare-LF header
+    * section is a malformation, not a tolerated variant). */
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length) {
+      if (b(i) == CR)
+        return if (i + 1 < b.length && b(i + 1) == LF) i else -1
+      if (b(i) == LF) return -1 // bare LF
+      i += 1
+    }
+    -1
+  }
+
+  private def ascii(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, "UTF-8")
+
+  /** Non-negative decimal Content-Length; None on empty, non-digit,
+    * or overflow past Long.MaxValue (accumulates negative so the
+    * pre-multiply guard is exact — the Jsonl.parseLong discipline). */
+  private def parseLen(s: String): Option[Long] = {
+    if (s.isEmpty) return None
+    var v = 0L
+    val multmin = -Long.MaxValue / 10
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch < '0' || ch > '9') return None
+      val d = ch - '0'
+      if (v < multmin) return None
+      v *= 10
+      if (v < -Long.MaxValue + d) return None
+      v -= d
+      i += 1
+    }
+    Some(-v)
+  }
+}

@@ -306,6 +306,69 @@ object StreamingJobs {
         col("n_malformed"), col("body_chars"))
   }
 
+  /** e17: streaming WARC shard intake — t28's read path joined to the
+    * streaming family: `.warc.gz` shards decompressed ON ARRIVAL
+    * (member walk — Common Crawl frames each record as its own gzip
+    * member), each member parsed as a strict ISO 28500 record
+    * (graft.sources.Warc — None on malformation, never throws),
+    * response records' HTTP bodies extracted, folded per (hour
+    * window, source) into the intake SLO with BOTH failure levels
+    * accounted: an undecodable SHARD (any corrupt member — a corrupt
+    * member's length is unknowable, so the walk cannot resync past
+    * one) counts in n_undecodable, a malformed RECORD inside a
+    * healthy shard counts in n_malformed. Running the same function
+    * on a batch frame IS the oracle (e03's trick).
+    *
+    * Scale: decompress + parse are map-side, linear in shard bytes;
+    * one (window, source) shuffle of five longs per partial; state =
+    * open windows × sources. */
+  def warcIntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.operators.Inflate.gunzipMemberList(payload) match {
+            case Some(members) =>
+              var ok = 0L; var bad = 0L; var resp = 0L; var chars = 0L
+              members.foreach { m =>
+                graft.sources.Warc.parseMember(m) match {
+                  case Some(rec) => rec.warcType.map(_.toLowerCase) match {
+                    case Some("response") =>
+                      graft.sources.Warc.httpBody(rec.block) match {
+                        case Some(b) =>
+                          ok += 1; resp += 1
+                          val t = new String(b, "UTF-8")
+                          // code points, matching Spark/DuckDB length()
+                          chars += t.codePointCount(0, t.length)
+                        case None => bad += 1
+                      }
+                    case Some(_) => ok += 1
+                    case None => bad += 1
+                  }
+                  case None => bad += 1
+                }
+              }
+              (ts, src, true, ok, bad, resp, chars)
+            case None => (ts, src, false, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "n_rec", "n_bad", "n_resp", "n_chars")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_rec")).as("n_records"),
+        sum(col("n_bad")).as("n_malformed"),
+        sum(col("n_resp")).as("n_responses"),
+        sum(col("n_chars")).as("body_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_shards"), col("n_undecodable"), col("n_records"),
+        col("n_malformed"), col("n_responses"), col("body_chars"))
+  }
+
   /** e13: streaming SCD2 enrichment — the event-time dimension
     * lookup every streaming ETL performs (q35's validity intervals
     * consumed ON ARRIVAL): each arriving event joins the dimension

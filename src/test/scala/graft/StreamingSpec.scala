@@ -340,6 +340,64 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
   }
 
+  test("warcIntakeStream: incremental equals batch; corrupt records AND shards accounted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Inflate
+    import graft.sources.Warc
+    val date = "2024-01-01T00:00:00Z"
+    def respRec(id: String, body: String): Array[Byte] = {
+      val b = body.getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Length: ${b.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ b
+      Warc.render("response", id, date,
+        Seq("Content-Type" -> "application/http; msgtype=response"), http)
+    }
+    def shard(recs: Seq[Array[Byte]]): Array[Byte] =
+      recs.zipWithIndex.flatMap { case (r, k) =>
+        Inflate.gzipMember(r, k % 3)
+      }.toArray
+    val info = Warc.render("warcinfo", "<urn:uuid:i>", date,
+      Seq("Content-Type" -> "application/warc-fields"),
+      "software: graft".getBytes("UTF-8"))
+    val healthy = shard(Seq(info, respRec("<urn:uuid:a>", "first body"),
+      respRec("<urn:uuid:b>", "second")))
+    val recCorrupt = shard(Seq( // one record loses its terminator+block tail
+      respRec("<urn:uuid:c>", "survives"),
+      respRec("<urn:uuid:d>", "does not").dropRight(6)))
+    val memCorrupt = { // whole shard dies: a member's CRC-32 flipped
+      val g = shard(Seq(respRec("<urn:uuid:e>", "never seen")))
+      g(g.length - 5) = (g(g.length - 5) ^ 0x1).toByte; g
+    }
+    val laterHour = shard(Seq(respRec("<urn:uuid:f>", "hour two")))
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"), healthy, "web"),
+      (ts("2024-01-01 00:20:00"), recCorrupt, "web"),
+      (ts("2024-01-01 00:45:00"), memCorrupt, "books"),
+      (ts("2024-01-01 01:10:00"), laterHour, "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.warcIntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_warc").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_warc").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.warcIntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      // books hour 0: the shard itself is undecodable
+      (ts("2024-01-01 00:00:00"), "books", 1L, 1L, 0L, 0L, 0L, 0L),
+      // web hour 0: 2 shards, 4 valid records (1 warcinfo + 3
+      // responses), 1 malformed record, chars =
+      // "first body"+"second"+"survives" = 10+6+8
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 4L, 1L, 3L, 24L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 1L, 8L)))
+  }
+
   test("cmsStream: incremental sketch equals the batch sketch, state bounded at depth*width") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

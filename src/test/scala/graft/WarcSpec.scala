@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Inflate
+import graft.sources.Warc
+
+/** Strict WARC (ISO 28500) record codec: render/parseMember must be
+  * exact inverses, every malformation class must return None — never
+  * throw, never misread — and the member-boundary gzip walk must
+  * keep boundaries (the t28/e17 oracle identity depends on all
+  * three). No Spark involved. */
+class WarcSpec extends AnyFunSuite {
+
+  private val date = "2024-01-01T00:00:00Z"
+
+  private def resp(body: String, id: String = "<urn:uuid:r1>"): Array[Byte] = {
+    val b = body.getBytes("UTF-8")
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${b.length}\r\n\r\n").getBytes("UTF-8") ++ b
+    Warc.render("response", id, date,
+      Seq("WARC-Target-URI" -> "http://example.com/x",
+        "Content-Type" -> "application/http; msgtype=response"), http)
+  }
+
+  test("render/parseMember round-trips; headers are case-insensitive and trimmed") {
+    val bodies = Seq("", "plain", "with\r\nCRLFs and \"quotes\"",
+      "unicode é 漢字 и", "non-BMP 😀 emoji", "WARC/1.0 lookalike\r\n\r\n")
+    for (b <- bodies) {
+      val rec = Warc.parseMember(resp(b)).getOrElse(fail(s"parse None for: $b"))
+      assert(rec.version == "1.0")
+      assert(rec.warcType.contains("response"))
+      assert(rec.headers("warc-target-uri") == "http://example.com/x")
+      val body = Warc.httpBody(rec.block).getOrElse(fail("httpBody None"))
+      assert(new String(body, "UTF-8") == b, "body round-trip drift")
+    }
+    // mixed-case header names and extra value whitespace tolerated
+    val raw = ("WARC/1.1\r\nwarc-TYPE:   metadata \r\n" +
+      "WARC-Record-ID: <urn:uuid:x>\r\nWarc-Date: " + date + "\r\n" +
+      "CONTENT-LENGTH: 2\r\n\r\nhi\r\n\r\n").getBytes("UTF-8")
+    val rec = Warc.parseMember(raw).getOrElse(fail("mixed-case parse None"))
+    assert(rec.version == "1.1" && rec.warcType.contains("metadata"))
+    assert(new String(rec.block, "UTF-8") == "hi")
+  }
+
+  test("parseRecord walks concatenated uncompressed records") {
+    val a = resp("first", "<urn:uuid:a>")
+    val b = resp("second", "<urn:uuid:b>")
+    val cat = a ++ b
+    val (r1, n1) = Warc.parseRecord(cat, 0).getOrElse(fail("rec 1 None"))
+    assert(n1 == a.length)
+    val (r2, n2) = Warc.parseRecord(cat, n1).getOrElse(fail("rec 2 None"))
+    assert(n2 == cat.length)
+    assert(Warc.httpBody(r1.block).map(new String(_, "UTF-8")).contains("first"))
+    assert(Warc.httpBody(r2.block).map(new String(_, "UTF-8")).contains("second"))
+    // parseMember requires exact tiling: two records in one member fail
+    assert(Warc.parseMember(cat).isEmpty)
+  }
+
+  test("every malformation class returns None, never throws") {
+    val ok = resp("payload body")
+    def s2b(s: String) = s.getBytes("UTF-8")
+    val blockLen = "Content-Length: "
+    val bad: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      s2b("WARC/1.0\r\n\r\n"), // no headers at all
+      s2b("WARC/2.0\r\nWARC-Type: x\r\n\r\n\r\n\r\n"), // unknown version
+      s2b("warc/1.0" + new String(ok.drop(8), "ISO-8859-1")), // case-sensitive version
+      // bare-LF line ends are a malformation, not a tolerated variant
+      s2b(new String(ok, "ISO-8859-1").replaceFirst("\r\n", "\n")),
+      s2b("WARC/1.0\r\nNoColonHeader\r\n\r\n\r\n\r\n"),
+      s2b("WARC/1.0\r\n: value\r\n\r\n\r\n\r\n"), // empty header name
+      // duplicate header (case-insensitive)
+      s2b("WARC/1.0\r\nWARC-Type: a\r\nwarc-type: b\r\n" +
+        "WARC-Record-ID: <u>\r\nWARC-Date: " + date +
+        "\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+      // each mandatory header missing in turn
+      s2b("WARC/1.0\r\nWARC-Record-ID: <u>\r\nWARC-Date: " + date +
+        "\r\nContent-Length: 0\r\n\r\n\r\n\r\n"), // no type
+      s2b("WARC/1.0\r\nWARC-Type: x\r\nWARC-Date: " + date +
+        "\r\nContent-Length: 0\r\n\r\n\r\n\r\n"), // no id
+      s2b("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <u>" +
+        "\r\nContent-Length: 0\r\n\r\n\r\n\r\n"), // no date
+      s2b("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <u>\r\nWARC-Date: " +
+        date + "\r\n\r\n\r\n\r\n"), // no length
+      // Content-Length malformations: sign, blank, non-digit, overflow
+      s2b(new String(ok, "ISO-8859-1").replaceFirst(blockLen + "\\d+",
+        blockLen + "-1")),
+      s2b(new String(ok, "ISO-8859-1").replaceFirst(blockLen + "\\d+",
+        blockLen.trim)),
+      s2b(new String(ok, "ISO-8859-1").replaceFirst(blockLen + "\\d+",
+        blockLen + "12x")),
+      s2b(new String(ok, "ISO-8859-1").replaceFirst(blockLen + "\\d+",
+        blockLen + "99999999999999999999")),
+      // declared length larger than the remaining bytes (truncation)
+      s2b(new String(ok, "ISO-8859-1").replaceFirst(blockLen + "(\\d+)",
+        blockLen + "9999")),
+      ok.dropRight(1), // terminator cut
+      ok.dropRight(6), // the t28 corruption idiom: always malformed
+      ok ++ s2b(" "), // trailing garbage after the final terminator
+      { val c = ok.clone() // terminator bytes overwritten
+        c(c.length - 2) = 'X'.toByte; c })
+    bad.foreach { m =>
+      assert(Warc.parseMember(m).isEmpty,
+        s"must reject: ${new String(m.take(120), "ISO-8859-1")}")
+    }
+    // the corruption idiom stays malformed even for an empty body
+    assert(Warc.parseMember(resp("").dropRight(6)).isEmpty)
+  }
+
+  test("httpBody: declared-length mismatch, missing blank line, non-HTTP start all None") {
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(Warc.httpBody(b("HTTP/1.1 200 OK\r\n\r\nbody")).map(new String(_, "UTF-8"))
+      .contains("body"))
+    // request-line form works too (msgtype=request blocks)
+    assert(Warc.httpBody(b("GET /x HTTP/1.1\r\nHost: h\r\n\r\n"))
+      .map(_.length).contains(0))
+    assert(Warc.httpBody(b("HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nbody"))
+      .map(new String(_, "UTF-8")).contains("body"))
+    assert(Warc.httpBody(b("HTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nbody")).isEmpty)
+    assert(Warc.httpBody(
+      b("HTTP/1.1 200 OK\r\nContent-Length: 4\r\nContent-Length: 4\r\n\r\nbody")).isEmpty)
+    assert(Warc.httpBody(b("HTTP/1.1 200 OK\r\nNo blank line")).isEmpty)
+    assert(Warc.httpBody(b("not an http message\r\n\r\nbody")).isEmpty)
+    assert(Warc.httpBody(b("HTTP/1.1 200 OK\nLF only\n\nbody")).isEmpty)
+  }
+
+  test("gunzipMemberList keeps member boundaries; gunzipMembers equals its concatenation") {
+    val pieces = Seq("alpha", "", "gamma delta", "Ω non-BMP 😀")
+      .map(_.getBytes("UTF-8"))
+    val payload = pieces.zipWithIndex.flatMap { case (p, k) =>
+      Inflate.gzipMember(p, k % 3,
+        fname = if (k % 2 == 0) Some(s"m$k") else None,
+        hcrc = k % 2 == 1)
+    }.toArray
+    val members = Inflate.gunzipMemberList(payload).getOrElse(fail("walk None"))
+    assert(members.length == pieces.length)
+    members.zip(pieces).foreach { case (got, exp) =>
+      assert(java.util.Arrays.equals(got, exp), "member boundary drift")
+    }
+    val (cat, n) = Inflate.gunzipMembers(payload).getOrElse(fail("members None"))
+    assert(n == pieces.length)
+    assert(java.util.Arrays.equals(cat, pieces.toArray.flatten))
+    // corrupt SECOND member kills the walk (length unknowable, no resync)
+    val corrupt = payload.clone()
+    corrupt(pieces.head.length + 30) = (corrupt(pieces.head.length + 30) ^ 0x1).toByte
+    assert(Inflate.gunzipMemberList(corrupt).isEmpty)
+  }
+}
