@@ -34,12 +34,13 @@ case class CharGramCounts(child: Expression, k: Int)
     StructField("c", IntegerType, nullable = false))), containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val n = math.max(text.length - k + 1, 1)
+    // CODE POINTS, not UTF-16 units — see CharGrams (round-13 #3)
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = math.max(cps.length - k + 1, 1)
     val counts = new java.util.TreeMap[String, Integer]()
     var i = 0
     while (i < n) {
-      val g = text.substring(i, math.min(i + k, text.length))
+      val g = new String(cps, i, math.min(k, cps.length - i))
       val c = counts.get(g)
       counts.put(g, if (c == null) 1 else c + 1)
       i += 1

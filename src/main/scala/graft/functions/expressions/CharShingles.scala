@@ -22,12 +22,15 @@ case class CharShingles(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val n = math.max(text.length - k + 1, 1)
+    // CODE POINTS, not UTF-16 units: SQL substr positions count code
+    // points, and a charAt slice can split a surrogate pair into
+    // invalid half-strings (round-13 verdict #3)
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = math.max(cps.length - k + 1, 1)
     val seen = new java.util.LinkedHashSet[String](math.min(n, 1 << 12))
     var i = 0
     while (i < n) {
-      seen.add(text.substring(i, math.min(i + k, text.length)))
+      seen.add(new String(cps, i, math.min(k, cps.length - i)))
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -41,16 +41,21 @@ case class MinHashShingles(child: Expression, k: Int, numPerms: Int)
   private lazy val bs: Array[Long] = Array.tabulate(numPerms)(bConst)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+    // CODE POINTS, not UTF-16 units: shingle positions and the values
+    // the polynomial folds must match the oracle's unicode(substr(..))
+    // replay on ANY text — a charAt walk silently diverges on every
+    // supplementary-plane character (emoji, CJK-B), which real web
+    // corpora carry on every shard (round-13 verdict #3).
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
     val mins = Array.fill(numPerms)(Long.MaxValue)
-    val n = math.max(text.length - k + 1, 1)
+    val n = math.max(cps.length - k + 1, 1)
     var i = 0
     while (i < n) {
-      val end = math.min(i + k, text.length)
-      // polynomial hash over the shingle's chars — no substring allocation
+      val end = math.min(i + k, cps.length)
+      // polynomial hash over the shingle's code points — no allocation
       var h = 0L
       var j = i
-      while (j < end) { h = (h * 131L + text.charAt(j)) % M; j += 1 }
+      while (j < end) { h = (h * 131L + cps(j)) % M; j += 1 }
       var p = 0
       while (p < numPerms) {
         val x = (as(p) * h + bs(p)) % M // a,h < M ≈ 2^30 ⇒ product < 2^60

@@ -35,9 +35,14 @@ case class SimHashTokens(child: Expression)
       while (i < n && isSep(text.charAt(i))) i += 1
       if (i < n) {
         var h = 0L
+        // fold CODE POINTS (a surrogate pair is ONE oracle char): the
+        // separators are ASCII so boundary detection stays charAt,
+        // but the hash must match unicode(substr(tok, i, 1)) on any
+        // text, supplementary planes included
         while (i < n && !isSep(text.charAt(i))) {
-          h = (h * 131L + text.charAt(i)) % M
-          i += 1
+          val cp = text.codePointAt(i)
+          h = (h * 131L + cp) % M
+          i += Character.charCount(cp)
         }
         var b = 0
         while (b < 64) {

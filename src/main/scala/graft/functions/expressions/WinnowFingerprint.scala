@@ -34,19 +34,23 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val n = text.length
+    // CODE POINTS, not UTF-16 units: gram positions and the rolled
+    // values must match the oracle's unicode(substr(..)) replay on
+    // any text, supplementary planes included (round-13 verdict #3)
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     val numGrams = n - k + 1
     if (numGrams < w) return new GenericArrayData(Array.empty[Long])
     val h = new Array[Long](numGrams)
     var acc = 0L
     var i = 0
-    while (i < k) { acc = (acc * B + text.charAt(i)) % M; i += 1 }
+    while (i < k) { acc = (acc * B + cps(i)) % M; i += 1 }
     h(0) = acc
     i = 1
     while (i < numGrams) {
-      // roll out char i-1, roll in char i+k-1; keep the residue positive
-      acc = ((acc - text.charAt(i - 1) * BK % M + M) % M * B + text.charAt(i + k - 1)) % M
+      // roll out gram i-1's lead, roll in code point i+k-1; keep the
+      // residue positive
+      acc = ((acc - cps(i - 1) * BK % M + M) % M * B + cps(i + k - 1)) % M
       h(i) = acc
       i += 1
     }

@@ -254,12 +254,11 @@ private[graft] trait PipelineDedup extends PipelineAnn {
   // polynomial shingle hash + a_p·h+b_p mod 1e9+7 bijections), so the
   // whole signature → banding → candidate pipeline replays in DuckDB
   // as plain SQL: banding is just GROUP BY (band, band value).
-  // BMP contract (here and d05): the Scala expressions iterate UTF-16
-  // code units (charAt) while the SQL replays code points
-  // (unicode(substr)) — identical iff the corpus has no
-  // supplementary-plane characters (true of the testdata and the RDW
-  // text domain; SURVEY §5). A corpus with emoji/CJK-extB would need
-  // Character.codePointAt iteration in the native expressions.
+  // Char indexing (here and d05): the native expressions iterate CODE
+  // POINTS (round 14 — formerly UTF-16 charAt, a documented BMP-only
+  // contract), so the SQL's unicode(substr) replay matches on ANY
+  // text, emoji/CJK-extB included; FunctionsSpec pins native == HOF
+  // on a supplementary-plane corpus.
   // est_jaccard is matches/32 — an exact power-of-two division, no
   // rounding (round() can diverge across engines on half-boundaries).
   private[queries] val d04: Q = (s, d) => {
