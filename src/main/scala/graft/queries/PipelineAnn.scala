@@ -1702,8 +1702,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |  JOIN main.embeddings em ON em.vec_id = r.rep_id) c
        |  ON c.basin = e.vec_id % $S25Basins""".stripMargin
 
-  /** One geometry's grid rows: exact baseline + the three graph
-    * rungs over ONE shared fit and ONE shared graph build, emitting
+  /** One geometry's grid rows: exact baseline + the four graph-family
+    * rungs (s16 frontier, s20 exact-routed beam, s24 IVF-seeded beam,
+    * s26 PQ-routed beam + exact re-rank) over ONE shared fit and ONE
+    * shared graph build per geometry (the PQ codebooks are the one
+    * extra fit, trained on the geometry frame), emitting
     * (method, q_id, hits, cands, recall). */
   private[queries] def s25GridOf(emb0: DataFrame, n: Long): DataFrame = {
     // every stage below re-reads the geometry frame (fit sample,
@@ -1756,10 +1759,34 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val cands24 = entryScored.select(col("q_id"), col("node").as("cand_id"))
       .unionByName(vis24.select(col("q_id"), col("node").as("cand_id")))
       .distinct()
+    // s26's rung (round 14: the deployed disk-resident shape priced
+    // next to its exact-routing siblings): the SAME pivot-entry walk
+    // with the scored frame swapped to PQ reconstructions (one fit
+    // per geometry — pqCodebooksDf on the geometry frame), exact
+    // re-rank of the overfetched shortlist having the final word.
+    // `cands` counts the code-scored visited set (the hot-path reads,
+    // s20_beam's basis); the rerank's full-precision reads are a
+    // fixed overfetch=10 per query on top.
+    val (sub26, codebooks26) = pqCodebooksDf(emb, n, PqNumSub, 16)
+    val recon26 = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id") +: pqEncodeCols(codebooks26, sub26): _*)
+      .withColumn("embedding", flatten(array(codebooks26.indices.map { m =>
+        element_at(typedlit(codebooks26(m)), col(s"code$m") + 1)
+      }: _*)))
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.CacheScope.cached) // scored every walk round
+    val vis26 = beamVisited(edges, piv, q, recon26, beam = 4, rounds = 3)
+    val w26 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+    val short26 = vis26
+      .withColumn("rn_a", row_number().over(w26)).filter(col("rn_a") <= 10)
+      .select(col("q_id"), col("node").as("cand_id"))
+    val top26 = pqRerank(short26, emb, q, k = 5)
+      .select(col("q_id"), col("cand_id"))
     val methods = Seq(
       ("s16_graph", frontier.select(col("q_id"), col("node").as("cand_id")), s16Top),
       ("s20_beam", vis20.select(col("q_id"), col("node").as("cand_id")), top5(vis20)),
-      ("s24_ivf_beam", cands24, top5(vis24)))
+      ("s24_ivf_beam", cands24, top5(vis24)),
+      ("s26_pq_beam", vis26.select(col("q_id"), col("node").as("cand_id")), top26))
     val tagged = methods.map { case (m, _, top) =>
       top.select(lit(m).as("method"), col("q_id"), col("cand_id"))
     }.reduce(_.unionByName(_))
@@ -1795,9 +1822,10 @@ private[graft] trait PipelineAnn extends PipelineShared {
   }
 
   /** One geometry's grid replay: the shared fit/assignment/graph
-    * CTEs, the s16 frontier, BOTH walks (v = pivot entry, w = IVF-
-    * seeded — beamRoundsSql's prefix keeps them apart), the exact
-    * baseline, and the methods × queries grid. `embSrc` shadows the
+    * CTEs, the s16 frontier, THREE walks (v = pivot entry, w = IVF-
+    * seeded, u = pivot entry over PQ reconstructions with the exact
+    * re-rank tail — beamRoundsSql's prefix keeps them apart), the
+    * exact baseline, and the methods × queries grid. `embSrc` shadows the
     * embeddings view for the clustered geometry. */
   private[queries] def s25GeomSql(geometry: String, embSrc: Option[String]): String = {
     val shadow = embSrc.map(src => s"embeddings AS MATERIALIZED (\n$src),\n").getOrElse("")
@@ -1855,6 +1883,32 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |    ON m.cluster = qq.cluster),
        |w0 AS MATERIALIZED (SELECT q_id, node, cos FROM e0 WHERE ern <= 4),
        |${beamRoundsSql(4, 3, "w")},
+       |$pqFitSql,
+       |${pqCodesReconCtes()},
+       |reconv AS (SELECT vec_id, rv AS embedding FROM recon),
+       |u0 AS MATERIALIZED (
+       |  SELECT en.q_id, en.node,
+       |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+       |                           CAST(em.embedding AS DOUBLE[])) AS cos
+       |  FROM entry en JOIN q USING (q_id)
+       |  JOIN reconv em ON em.vec_id = en.node),
+       |${beamRoundsSql(4, 3, "u", src = "reconv")},
+       |ushort AS (
+       |  SELECT q_id, node AS cand_id FROM (
+       |    SELECT q_id, node,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn_a
+       |    FROM u3)
+       |  WHERE rn_a <= 10),
+       |utop AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT s.q_id, s.cand_id,
+       |      row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |        list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                               CAST(ce.embedding AS DOUBLE[])) DESC, s.cand_id) AS rn
+       |    FROM ushort s
+       |    JOIN embeddings qe ON qe.vec_id = s.q_id
+       |    JOIN embeddings ce ON ce.vec_id = s.cand_id)
+       |  WHERE rn <= 5),
        |exact AS MATERIALIZED (
        |  SELECT q_id, cand_id FROM (
        |    SELECT q.q_id, c.vec_id AS cand_id,
@@ -1874,7 +1928,9 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |  SELECT 's24_ivf_beam', q_id, node FROM (
        |    SELECT q_id, node,
        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
-       |    FROM w3) WHERE rn <= 5),
+       |    FROM w3) WHERE rn <= 5
+       |  UNION ALL
+       |  SELECT 's26_pq_beam', q_id, cand_id FROM utop),
        |candidates AS (
        |  SELECT 's16_graph' AS method, q_id, node AS cand_id FROM frontier
        |  UNION ALL
@@ -1882,7 +1938,9 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |  UNION ALL
        |  SELECT 's24_ivf_beam', q_id, cand_id FROM (
        |    SELECT q_id, node AS cand_id FROM e0
-       |    UNION SELECT q_id, node FROM w3)),
+       |    UNION SELECT q_id, node FROM w3)
+       |  UNION ALL
+       |  SELECT 's26_pq_beam', q_id, node FROM u3),
        |ccnt AS (
        |  SELECT method, q_id, CAST(COUNT(*) AS BIGINT) AS cands
        |  FROM candidates GROUP BY method, q_id),
@@ -1895,7 +1953,8 @@ private[graft] trait PipelineAnn extends PipelineShared {
        |grid AS (
        |  SELECT m.method, q.q_id
        |  FROM (SELECT DISTINCT q_id FROM exact) q,
-       |       (SELECT unnest(['s16_graph', 's20_beam', 's24_ivf_beam']) AS method) m)
+       |       (SELECT unnest(['s16_graph', 's20_beam', 's24_ivf_beam',
+       |                       's26_pq_beam']) AS method) m)
        |SELECT g.method, g.q_id,
        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(COALESCE(c.cands, 0) AS BIGINT) AS cands,
