@@ -2033,4 +2033,112 @@ private[graft] trait PipelineText extends PipelineDedup {
       |    AS body_md5
       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- t29: HTML → text extraction ------------------------------------------
+  // Between WARC payloads (t28) and the text gates (t01–t24) sits the
+  // extraction step every web pipeline runs: tag stripping with
+  // quoted-attribute handling (`data-x="a>b"`), script/style/title
+  // content removal, comment and DOCTYPE removal, named + numeric
+  // (decimal AND hex) entity decoding, whitespace normalization to
+  // the canonical gate form. graft.sources.Html is the strict
+  // replayable scanner (None on unterminated tag/comment/raw-text
+  // element/entity or invalid entity value — the Jsonl/Warc
+  // discipline at document level). The fixture renders each doc's
+  // text as a real page — head with title/script/style whose contents
+  // must NOT leak (the script body contains fake tags and a bare &),
+  // a comment with markup inside, paragraphs carrying escaped
+  // code-point pieces of documents.text each prefixed with a numeric
+  // entity — and corrupts doc_id%11==7 docs with an unterminated
+  // trailing tag and doc_id%13==5 docs by dropping </style>. The
+  // oracle re-derives the tag/entity counts and the normalized-text
+  // md5 from documents.text: a scanner that leaks one script char,
+  // miscounts one quoted '>', or decodes one entity wrong breaks the
+  // hash.
+  //
+  // Scale: one map-only pass (render + extract), linear in page
+  // bytes, zero shuffles before the output sort.
+  private[queries] val t29: Q = (s, d) => {
+    import s.implicits._
+    import graft.sources.Html
+    T.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          Html.extract(HtmlFixture.render(id, text)) match {
+            case Some(e) =>
+              (id, true, e.nTags, e.nEntities,
+                e.text.codePointCount(0, e.text.length).toLong, e.text)
+            case None => (id, false, 0L, 0L, 0L, "")
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "n_tags", "n_entities", "text_chars", "extracted")
+      .select(col("doc_id"), col("ok"), col("n_tags"), col("n_entities"),
+        col("text_chars"), md5(col("extracted").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t29Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    1 + doc_id % 4 AS nrec,
+      |    65 + doc_id % 26 AS ent,
+      |    (doc_id % 11 = 7 OR doc_id % 13 = 5) AS corrupt
+      |  FROM documents),
+      |recs AS (
+      |  SELECT doc_id, text, len, nrec, ent, corrupt,
+      |    unnest(range(0, nrec)) AS j
+      |  FROM d),
+      |pieces AS (
+      |  SELECT doc_id, nrec, ent, corrupt, j,
+      |    substr(text, CAST(j * len // nrec AS INTEGER) + 1,
+      |      CAST((j + 1) * len // nrec - j * len // nrec AS INTEGER)) AS piece
+      |  FROM recs),
+      |agg AS (
+      |  SELECT doc_id, MAX(nrec) AS nrec, MAX(corrupt) AS corrupt,
+      |    SUM(length(piece) - length(translate(piece, '&<>', ''))) AS npe,
+      |    trim(regexp_replace(
+      |      string_agg(chr(CAST(ent AS INTEGER)) || piece, chr(10) ORDER BY j),
+      |      '[ \t\n\f\r]+', ' ', 'g')) AS norm
+      |  FROM pieces GROUP BY doc_id)
+      |SELECT doc_id,
+      |  NOT corrupt AS ok,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE 12 + 2 * nrec END AS BIGINT) AS n_tags,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE nrec + npe END AS BIGINT) AS n_entities,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE length(norm) END AS BIGINT) AS text_chars,
+      |  CASE WHEN corrupt THEN md5('') ELSE md5(norm) END AS text_md5
+      |FROM agg ORDER BY doc_id""".stripMargin
+}
+
+/** t29's page fixture — a standalone object so executor closures
+  * reference a static, not the enclosing query trait (the t26
+  * capture-nothing discipline). */
+private[queries] object HtmlFixture {
+  def render(id: Long, text: String): String = {
+    val nrec = 1 + (id % 4).toInt
+    val lenCp = text.codePointCount(0, text.length)
+    val entCp = 65 + (id % 26).toInt
+    def esc(x: String): String =
+      x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder(text.length + 512)
+    sb.append("<!DOCTYPE html>\n<html>\n<head>\n")
+    sb.append(s"<title>Doc $id &amp; friends</title>\n")
+    sb.append("<script type=\"text/javascript\">var x")
+      .append(id).append(" = \"<p>junk</p> & &amp;\";</script>\n")
+    val styleClose = if (id % 11 != 7 && id % 13 == 5) "" else "</style>"
+    sb.append(s"<style>.c$id { color: #fff; }$styleClose\n")
+    sb.append("<!-- comment <b>junk</b> &lt; -->\n</head>\n")
+    sb.append("<body class=\"b\" data-x=\"a>b\">\n")
+    (0 until nrec).foreach { j =>
+      val a = (j.toLong * lenCp / nrec).toInt
+      val b = ((j + 1).toLong * lenCp / nrec).toInt
+      val piece = text.substring(
+        text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
+      val ent = if (id % 2 == 0) s"&#$entCp;" else s"&#x${entCp.toHexString};"
+      sb.append("<p id=\"p").append(j).append("\">")
+        .append(ent).append(esc(piece)).append("</p>\n")
+    }
+    sb.append("</body>\n</html>")
+    if (id % 11 == 7) sb.append("<div class=") // unterminated tag
+    sb.toString
+  }
 }
