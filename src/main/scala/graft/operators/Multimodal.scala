@@ -438,6 +438,39 @@ object Multimodal {
     out
   }
 
+  case class AlphaBlock(doc_id: Long, width: Int, height: Int,
+                        by: Int, bx: Int, npx: Long, lum_sum: Long,
+                        alpha_sum: Long)
+
+  /** [[blockLum]]'s grid with the PNG alpha plane folded alongside
+    * the luminance (m17): per cell, the exact integer sums of both —
+    * alpha-free color types sum PNG's fully-opaque 255 default, so
+    * presence semantics are part of the certified contract. */
+  def blockLumAlpha(doc_id: Long, img: PngImage, grid: Int): Array[AlphaBlock] = {
+    val npx = new Array[Long](grid * grid)
+    val lsum = new Array[Long](grid * grid)
+    val asum = new Array[Long](grid * grid)
+    var y = 0
+    while (y < img.height) {
+      val by = y * grid / img.height
+      var x = 0
+      while (x < img.width) {
+        val bx = x * grid / img.width
+        val (r, g, b) = img.rgb(x, y)
+        val cell = by * grid + bx
+        npx(cell) += 1L
+        lsum(cell) += lum601(r, g, b)
+        asum(cell) += img.alphaAt(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid) { c =>
+      AlphaBlock(doc_id, img.width, img.height, c / grid, c % grid,
+        npx(c), lsum(c), asum(c))
+    }
+  }
+
   /** 24bpp bottom-up BMP encode — the generator half of the m08
     * decode proof (same pattern as the PNG/JPEG/WAV/MP4 framers:
     * generator writes a REAL container, parser must invert it from
@@ -495,13 +528,19 @@ object Multimodal {
 
   /** A decoded PNG raster over the inflated + DEFILTERED scanline
     * stream (filter-byte slots zeroed in place, rows top-down —
-    * PNG's native order). */
-  final case class PngImage(width: Int, height: Int, raw: Array[Byte])
+    * PNG's native order). Gray and palette images arrive EXPANDED to
+    * RGB rows (gray g → (g,g,g)); `alpha` is the per-pixel alpha
+    * plane for color types 4/6 and null for the alpha-free types
+    * ([[alphaAt]] reads 255 there — PNG's fully-opaque default). */
+  final case class PngImage(width: Int, height: Int, raw: Array[Byte],
+                            alpha: Array[Byte] = null)
       extends Raster {
     def rgb(x: Int, y: Int): (Int, Int, Int) = {
       val base = y * (1 + 3 * width) + 1 + 3 * x
       ((raw(base) & 0xff), (raw(base + 1) & 0xff), (raw(base + 2) & 0xff))
     }
+    def alphaAt(x: Int, y: Int): Int =
+      if (alpha == null) 255 else alpha(y * width + x) & 0xff
   }
 
   private def crc32(bytes: Array[Byte], off: Int, len: Int): Long = {
@@ -518,7 +557,7 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** 8-bit RGB (color type 2) PNG encode: IHDR, a junk `tEXt` chunk
+  /** 8-bit RGB (color type 2) PNG encode: IHDR, a junk ancillary chunk
     * of `gap` bytes when gap > 0 (variable chunk layout — a parser
     * that assumes IDAT's position cheats), the zlib stream split
     * across TWO IDAT chunks when it is long enough (concatenation
@@ -537,25 +576,47 @@ object Multimodal {
   def encodePng(w: Int, h: Int, gap: Int,
                 pixel: (Int, Int) => (Int, Int, Int),
                 deflateMode: Int = 0,
-                filtered: Boolean = false): Array[Byte] = {
-    val stride = 3 * w
-    // reconstructed scanlines (the pixels themselves), used both as
+                filtered: Boolean = false): Array[Byte] =
+    encodePngSamples(w, h, gap, colorType = 2,
+      (x, y) => { val (r, g, b) = pixel(x, y); Array(r, g, b) },
+      deflateMode, filtered)
+
+  /** PNG bytes-per-pixel by color type at bit depth 8 (§11.2.2):
+    * gray 1, RGB 3, palette index 1, gray+alpha 2, RGBA 4. */
+  private[operators] def pngBpp(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case t => throw new IllegalArgumentException(s"color type $t")
+  }
+
+  /** Channel-sample PNG encode for the non-palette color types the
+    * web actually carries — gray (0), RGB (2), gray+alpha (4), RGBA
+    * (6, the common web case): `sample(x, y)` returns the pixel's
+    * channel values in scanline order, bpp of them. One filter pass
+    * and one zlib/chunk assembly definition shared with the RGB and
+    * palette encoders (round 13's m16 factoring). */
+  def encodePngSamples(w: Int, h: Int, gap: Int, colorType: Int,
+                       sample: (Int, Int) => Array[Int],
+                       deflateMode: Int = 0,
+                       filtered: Boolean = false): Array[Byte] = {
+    require(colorType != 3, "palette encode is encodePngPaletted")
+    val bpp = pngBpp(colorType)
+    // reconstructed scanlines (the samples themselves), used both as
     // the encode source and as the Average/Paeth/Sub/Up predictors
-    val recon = Array.ofDim[Int](h, stride)
+    val recon = Array.ofDim[Int](h, bpp * w)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val (r, g, b) = pixel(x, y)
-        recon(y)(3 * x) = r & 0xff
-        recon(y)(3 * x + 1) = g & 0xff
-        recon(y)(3 * x + 2) = b & 0xff
+        val ss = sample(x, y)
+        require(ss.length == bpp, s"expected $bpp samples, got ${ss.length}")
+        var c = 0
+        while (c < bpp) { recon(y)(bpp * x + c) = ss(c) & 0xff; c += 1 }
         x += 1
       }
       y += 1
     }
-    val raw = pngFilterRows(recon, w, h, bpp = 3, filtered)
-    pngAssemble(w, h, gap, colorType = 2, plte = null, raw, deflateMode)
+    val raw = pngFilterRows(recon, w, h, bpp, filtered)
+    pngAssemble(w, h, gap, colorType, plte = null, raw, deflateMode)
   }
 
   /** PALETTE encode (color type 3, round 13): indexed scanlines
@@ -627,7 +688,7 @@ object Multimodal {
 
   /** zlib wrap + chunk assembly shared by both PNG encoders: the
     * deflate body per mode, Adler-32, IHDR (with the given color
-    * type), optional PLTE, optional tEXt junk, the split-IDAT path,
+    * type), optional PLTE, optional ancillary junk, the split-IDAT path,
     * IEND. */
   private def pngAssemble(w: Int, h: Int, gap: Int, colorType: Int,
                           plte: Array[Byte], raw: Array[Byte],
@@ -679,7 +740,11 @@ object Multimodal {
     chunk("IHDR", ihdr)
     if (plte != null) chunk("PLTE", plte)
     if (gap > 0)
-      chunk("tEXt", Array.tabulate(gap)(i => (0x61 + (i % 16)).toByte))
+      // a private ancillary chunk (lowercase 1st/2nd letter = ancillary
+      // + private): readers must skip it BY LENGTH. Formerly "tEXt",
+      // whose payload grammar (keyword NUL text) strict readers parse —
+      // the JDK ImageIO codec rejects a keywordless one (round 14).
+      chunk("juNk", Array.tabulate(gap)(i => (0x61 + (i % 16)).toByte))
     if (z.length > 64) { // force the multi-IDAT concatenation path
       val cut = 37 // odd on purpose: never a block boundary
       chunk("IDAT", z.slice(0, cut))
@@ -691,8 +756,10 @@ object Multimodal {
 
   /** PNG parse + full RFC 1951 inflate: validates the signature,
     * walks chunks by LENGTH with CRC-32 verified per chunk, requires
-    * IHDR first (8-bit RGB type 2 OR 8-bit PALETTE type 3 with a
-    * mandatory single pre-IDAT PLTE of 1..256 triples; no interlace),
+    * IHDR first (every 8-bit §11.2.2 color type — gray 0, RGB 2,
+    * PALETTE 3 with a mandatory single pre-IDAT PLTE of 1..256
+    * triples, gray+alpha 4, RGBA 6; PLTE on any other type rejected;
+    * no interlace),
     * concatenates every IDAT, checks the zlib header (deflate method,
     * FCHECK, no preset dictionary), inflates stored / fixed-Huffman /
     * dynamic-Huffman blocks through the hand-written
@@ -727,16 +794,23 @@ object Multimodal {
         if (typ != "IHDR" || len != 13) return None // IHDR must be first
         w = be32(pos + 8).toInt; h = be32(pos + 12).toInt
         if (w <= 0 || h <= 0) return None
-        // profile: 8-bit RGB (type 2) or 8-bit PALETTE (type 3),
+        // profile: 8-bit gray (0), RGB (2), PALETTE (3), gray+alpha
+        // (4) or RGBA (6) — every §11.2.2 color type at bit depth 8 —
         // deflate, standard filtering, no interlace
         colorType = u8(pos + 17)
-        if (u8(pos + 16) != 8 || (colorType != 2 && colorType != 3) ||
+        if (u8(pos + 16) != 8 ||
+          (colorType != 0 && colorType != 2 && colorType != 3 &&
+            colorType != 4 && colorType != 6) ||
           u8(pos + 18) != 0 || u8(pos + 19) != 0 || u8(pos + 20) != 0)
           return None
         sawIhdr = true
       } else typ match {
         case "PLTE" =>
-          // §11.2.3: before IDAT, 1..256 RGB triples, at most one
+          // §11.2.3: before IDAT, 1..256 RGB triples, at most one;
+          // forbidden for the grayscale types (spec: 0 and 4 must
+          // not have PLTE; our strict profile rejects it for 2/6
+          // too — the suggested-palette use is out of profile)
+          if (colorType != 3) return None
           if (plte != null || idat.nonEmpty) return None
           if (len == 0 || len % 3 != 0 || len > 768) return None
           plte = p.slice(pos + 8, pos + 8 + len.toInt)
@@ -755,7 +829,7 @@ object Multimodal {
     val cmf = z(0) & 0xff; val flg = z(1) & 0xff
     if ((cmf & 0x0f) != 8 || ((cmf << 8) | flg) % 31 != 0 || (flg & 0x20) != 0)
       return None
-    val bpp = if (colorType == 3) 1 else 3 // bytes per pixel
+    val bpp = pngBpp(colorType) // bytes per pixel
     val want = h * (1 + bpp * w)
     val (raw, zp) = Inflate.inflate(z, 2, z.length, want) match {
       case Some(r) => r
@@ -797,27 +871,64 @@ object Multimodal {
       raw(base) = 0
       y += 1
     }
-    if (colorType == 2) Some(PngImage(w, h, raw))
-    else {
-      // palette expansion: every index must exist in PLTE (strict —
-      // an out-of-range index is malformed, not clamped)
-      val nPal = plte.length / 3
-      val rgb = new Array[Byte](h * (1 + 3 * w))
-      var y2 = 0
-      while (y2 < h) {
-        val src = y2 * (1 + w); val dst = y2 * (1 + 3 * w)
-        var x = 0
-        while (x < w) {
-          val idx = raw(src + 1 + x) & 0xff
-          if (idx >= nPal) return None
-          rgb(dst + 1 + 3 * x) = plte(3 * idx)
-          rgb(dst + 1 + 3 * x + 1) = plte(3 * idx + 1)
-          rgb(dst + 1 + 3 * x + 2) = plte(3 * idx + 2)
-          x += 1
+    colorType match {
+      case 2 => Some(PngImage(w, h, raw))
+      case 3 =>
+        // palette expansion: every index must exist in PLTE (strict —
+        // an out-of-range index is malformed, not clamped)
+        val nPal = plte.length / 3
+        val rgb = new Array[Byte](h * (1 + 3 * w))
+        var y2 = 0
+        while (y2 < h) {
+          val src = y2 * (1 + w); val dst = y2 * (1 + 3 * w)
+          var x = 0
+          while (x < w) {
+            val idx = raw(src + 1 + x) & 0xff
+            if (idx >= nPal) return None
+            rgb(dst + 1 + 3 * x) = plte(3 * idx)
+            rgb(dst + 1 + 3 * x + 1) = plte(3 * idx + 1)
+            rgb(dst + 1 + 3 * x + 2) = plte(3 * idx + 2)
+            x += 1
+          }
+          y2 += 1
         }
-        y2 += 1
-      }
-      Some(PngImage(w, h, rgb))
+        Some(PngImage(w, h, rgb))
+      case _ =>
+        // channel expansion to the shared RGB raster contract: gray
+        // g → (g,g,g); the alpha channel (types 4/6) lands in its own
+        // plane so consumers can certify it separately
+        val rgb = new Array[Byte](h * (1 + 3 * w))
+        val al = if (colorType == 4 || colorType == 6)
+          new Array[Byte](h * w) else null
+        var y2 = 0
+        while (y2 < h) {
+          val src = y2 * (1 + bpp * w); val dst = y2 * (1 + 3 * w)
+          var x = 0
+          while (x < w) {
+            val s0 = src + 1 + bpp * x
+            colorType match {
+              case 0 =>
+                val g = raw(s0)
+                rgb(dst + 1 + 3 * x) = g
+                rgb(dst + 1 + 3 * x + 1) = g
+                rgb(dst + 1 + 3 * x + 2) = g
+              case 4 =>
+                val g = raw(s0)
+                rgb(dst + 1 + 3 * x) = g
+                rgb(dst + 1 + 3 * x + 1) = g
+                rgb(dst + 1 + 3 * x + 2) = g
+                al(y2 * w + x) = raw(s0 + 1)
+              case _ => // 6: RGBA
+                rgb(dst + 1 + 3 * x) = raw(s0)
+                rgb(dst + 1 + 3 * x + 1) = raw(s0 + 1)
+                rgb(dst + 1 + 3 * x + 2) = raw(s0 + 2)
+                al(y2 * w + x) = raw(s0 + 3)
+            }
+            x += 1
+          }
+          y2 += 1
+        }
+        Some(PngImage(w, h, rgb, al))
     }
   }
 

@@ -251,7 +251,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   // — now including the entropy-coded layer (the round-11 verdict's
   // #1 ask). The generator renders each doc as a genuine PNG — 8-bit
   // RGB, real CRC-32 chunk trailers and Adler-32 zlib trailer, a
-  // variable-length tEXt chunk before IDAT (chunk layout must be
+  // variable-length ancillary junk chunk before IDAT (chunk layout must be
   // WALKED, not assumed), the zlib stream split across two IDAT
   // chunks (concatenation must be real) — and the deflate BODY
   // rotates by doc_id % 3 through all three RFC 1951 block types:
@@ -755,7 +755,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   // indexed image), and expands indices through the palette with
   // out-of-range indices REJECTED. Corpus rotates palette size
   // (17..216 entries), deflate mode, filtered/unfiltered scanlines
-  // and the tEXt junk gap; the oracle re-derives palette AND indices
+  // and the ancillary junk gap; the oracle re-derives palette AND indices
   // from the integer formulas and folds the expanded RGB through the
   // BT.601 grid — a predictor-offset bug or palette misread moves a
   // luminance and breaks the hash.
@@ -815,6 +815,95 @@ private[graft] trait PipelineMultimodal extends PipelineText {
       |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
       |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
       |FROM lums GROUP BY doc_id, w, h, by, bx
+      |ORDER BY doc_id, by, bx""".stripMargin
+
+  // -- m17: PNG channel types (gray / gray+alpha / RGBA) --------------------
+  // m10/m16 certified color types 2 and 3; web crawls carry RGBA
+  // (type 6 — THE common web case), grayscale (0) and gray+alpha (4)
+  // on every shard. The corpus MIXES all four non-indexed-profile
+  // types by doc_id % 4 (0 → gray, 1 → gray+alpha, 2 → RGBA,
+  // 3 → m10's RGB) so parsePng provably dispatches on the IHDR color
+  // type, with bpp-correct filter predictors per type (a/c sit bpp
+  // positions left: 1, 2, 3 or 4 — a fixed-bpp defilter silently
+  // corrupts every Sub/Average/Paeth row of the other types) and
+  // deflate mode / scanline filtering / junk-chunk gap rotating as in m10.
+  // The report folds BOTH decoded planes — the BT.601 luminance of
+  // the RGB expansion (gray g expands to (g,g,g), where lum601 is
+  // exactly g) AND the alpha plane (255 for the alpha-free types —
+  // presence semantics are part of the contract) — into the 4×4
+  // integer grid; the oracle re-derives every sample from the
+  // generator formulas, so one wrong predictor offset, channel
+  // order, or alpha byte breaks the hash.
+  //
+  // Scale: m10's class — map-only decode, 16-row fan-out, linear in
+  // pixels.
+  private[queries] val m17: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val g = (id % 70).toInt
+          val w = (id % 14).toInt + 4; val h = (id % 10).toInt + 4
+          val gap = (id % 7).toInt
+          val mode = (id % 3).toInt
+          val filt = id % 2 == 1
+          val bytes = (id % 4) match {
+            case 0 => Multimodal.encodePngSamples(w, h, gap, colorType = 0,
+              (x, y) => Array((3 * g + 7 * x + 11 * y) % 256), mode, filt)
+            case 1 => Multimodal.encodePngSamples(w, h, gap, colorType = 4,
+              (x, y) => Array((5 * g + 4 * x + 3 * y) % 256,
+                (2 * g + 6 * x + 5 * y) % 256), mode, filt)
+            case 2 => Multimodal.encodePngSamples(w, h, gap, colorType = 6,
+              (x, y) => Array((5 * g + 7 * x + 11 * y) % 256,
+                (9 * g + 4 * x + 3 * y) % 256,
+                (2 * g + 6 * x + 5 * y) % 256,
+                (7 * g + 2 * x + 9 * y) % 256), mode, filt)
+            case _ => Multimodal.encodePng(w, h, gap, (x, y) => (
+              (5 * g + 7 * x + 11 * y) % 256,
+              (9 * g + 4 * x + 3 * y) % 256,
+              (2 * g + 6 * x + 5 * y) % 256), mode, filt)
+          }
+          Multimodal.MediaRecord(id, src, bytes)
+        }
+      }
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          Multimodal.parsePng(r.payload) match {
+            case Some(img) =>
+              Multimodal.blockLumAlpha(r.doc_id, img, grid = 4).iterator
+            case None => Iterator.empty
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private[queries] val m17Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 14) + 4 AS w, (doc_id % 10) + 4 AS h,
+      |    doc_id % 70 AS g, doc_id % 4 AS ct
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, g, ct, unnest(range(0, w)) AS x FROM dims),
+      |px AS (SELECT doc_id, w, h, g, ct, x, unnest(range(0, h)) AS y FROM xs),
+      |vals AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(y * 4 // h AS INTEGER) AS by, CAST(x * 4 // w AS INTEGER) AS bx,
+      |    CASE ct
+      |      WHEN 0 THEN (3*g + 7*x + 11*y) % 256
+      |      WHEN 1 THEN (5*g + 4*x + 3*y) % 256
+      |      ELSE (77 * ((5*g + 7*x + 11*y) % 256)
+      |          + 150 * ((9*g + 4*x + 3*y) % 256)
+      |          + 29 * ((2*g + 6*x + 5*y) % 256)) // 256
+      |    END AS lum,
+      |    CASE ct
+      |      WHEN 1 THEN (2*g + 6*x + 5*y) % 256
+      |      WHEN 2 THEN (7*g + 2*x + 9*y) % 256
+      |      ELSE 255 END AS alpha
+      |  FROM px)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(alpha) AS BIGINT) AS alpha_sum
+      |FROM vals GROUP BY doc_id, w, h, by, bx
       |ORDER BY doc_id, by, bx""".stripMargin
 
   // -- m09: real PCM sample decode (audio, below the header) ---------------

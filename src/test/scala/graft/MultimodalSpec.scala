@@ -426,6 +426,98 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG channel types 0/4/6: bpp-aware round-trip, alpha plane, PLTE rejection") {
+    def gray(x: Int, y: Int) = Array((3 + 7 * x + 11 * y) % 256)
+    def ga(x: Int, y: Int) = Array((5 + 4 * x + 3 * y) % 256, (2 + 6 * x + 5 * y) % 256)
+    def rgba(x: Int, y: Int) = Array((5 + 7 * x + 11 * y) % 256,
+      (9 + 4 * x + 3 * y) % 256, (2 + 6 * x + 5 * y) % 256, (7 + 2 * x + 9 * y) % 256)
+    for (mode <- 0 to 2; filt <- Seq(false, true)) {
+      val w = 9; val h = 7
+      val g = Multimodal.parsePng(
+        Multimodal.encodePngSamples(w, h, 3, 0, gray, mode, filt))
+        .getOrElse(fail(s"gray None mode=$mode filt=$filt"))
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = gray(x, y)(0)
+        assert(g.rgb(x, y) == ((v, v, v)) && g.alphaAt(x, y) == 255)
+      }
+      val a4 = Multimodal.parsePng(
+        Multimodal.encodePngSamples(w, h, 0, 4, ga, mode, filt))
+        .getOrElse(fail(s"gray+alpha None mode=$mode filt=$filt"))
+      for (x <- 0 until w; y <- 0 until h) {
+        val Array(v, a) = ga(x, y)
+        assert(a4.rgb(x, y) == ((v, v, v)) && a4.alphaAt(x, y) == a)
+      }
+      val a6 = Multimodal.parsePng(
+        Multimodal.encodePngSamples(w, h, 5, 6, rgba, mode, filt))
+        .getOrElse(fail(s"rgba None mode=$mode filt=$filt"))
+      for (x <- 0 until w; y <- 0 until h) {
+        val Array(r, gg, b, a) = rgba(x, y)
+        assert(a6.rgb(x, y) == ((r, gg, b)) && a6.alphaAt(x, y) == a)
+      }
+    }
+    // PLTE is rejected on every non-palette type (strict profile):
+    // splice a valid PLTE chunk into a grayscale image before IDAT
+    val base = Multimodal.encodePngSamples(8, 6, 0, 0, gray, 0, false)
+    val ihdrEnd = 8 + 12 + 13 // signature + IHDR chunk
+    val plteData = Array.tabulate(9)(i => (i * 11 % 256).toByte)
+    val crc = { val c = new java.util.zip.CRC32
+      c.update("PLTE".getBytes("US-ASCII") ++ plteData); c.getValue }
+    val plteChunk = Array[Byte](0, 0, 0, 9) ++
+      "PLTE".getBytes("US-ASCII") ++ plteData ++
+      Array(((crc >> 24) & 0xff).toByte, ((crc >> 16) & 0xff).toByte,
+        ((crc >> 8) & 0xff).toByte, (crc & 0xff).toByte)
+    val spliced = base.take(ihdrEnd) ++ plteChunk ++ base.drop(ihdrEnd)
+    assert(Multimodal.parsePng(spliced).isEmpty, "PLTE on gray must reject")
+  }
+
+  test("PNG encode/decode cross-validates against the JDK ImageIO codec, all five color types") {
+    import java.awt.image.BufferedImage
+    def check(png: Array[Byte]): Unit = {
+      val ours = Multimodal.parsePng(png).getOrElse(fail("our parse None"))
+      val ref: BufferedImage = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(ref != null, "ImageIO rejected our encoder's bytes")
+      assert(ref.getWidth == ours.width && ref.getHeight == ours.height)
+      // gray PNGs land in a linear-gray color space where getRGB
+      // applies an sRGB transfer curve — compare RAW raster samples
+      // there; RGB/RGBA/indexed color models pass getRGB through
+      val grayCs = ref.getColorModel.getColorSpace.getType ==
+        java.awt.color.ColorSpace.TYPE_GRAY
+      for (x <- 0 until ours.width; y <- 0 until ours.height) {
+        val (r, g, b) = ours.rgb(x, y)
+        if (grayCs) {
+          val v = ref.getRaster.getSample(x, y, 0)
+          assert(v == r && v == g && v == b, s"gray drift at ($x,$y): $v vs $r")
+          val a = if (ref.getColorModel.hasAlpha)
+            ref.getRaster.getSample(x, y, 1) else 255
+          assert(a == ours.alphaAt(x, y), s"alpha drift at ($x,$y)")
+        } else {
+          val argb = ref.getRGB(x, y)
+          assert(((argb >> 16) & 0xff) == r && ((argb >> 8) & 0xff) == g &&
+            (argb & 0xff) == b, s"rgb drift at ($x,$y)")
+          assert(((argb >> 24) & 0xff) == ours.alphaAt(x, y), s"alpha drift at ($x,$y)")
+        }
+      }
+    }
+    for (mode <- 0 to 2) {
+      check(Multimodal.encodePngSamples(11, 8, 4, 0,
+        (x, y) => Array((3 + 7 * x + 11 * y) % 256), mode, filtered = true))
+      check(Multimodal.encodePng(11, 8, 4, (x, y) => (
+        (5 + 7 * x + 11 * y) % 256, (9 + 4 * x + 3 * y) % 256,
+        (2 + 6 * x + 5 * y) % 256), mode, filtered = true))
+      check(Multimodal.encodePngPaletted(11, 8, 4,
+        Array.tabulate(19)(i => ((7 * i + 3) % 256, (5 * i + 11) % 256, (3 * i + 7) % 256)),
+        (x, y) => (13 + 5 * x + 11 * y) % 19, mode, filtered = true))
+      check(Multimodal.encodePngSamples(11, 8, 4, 4,
+        (x, y) => Array((5 + 4 * x + 3 * y) % 256, (2 + 6 * x + 5 * y) % 256),
+        mode, filtered = true))
+      check(Multimodal.encodePngSamples(11, 8, 4, 6,
+        (x, y) => Array((5 + 7 * x + 11 * y) % 256, (9 + 4 * x + 3 * y) % 256,
+          (2 + 6 * x + 5 * y) % 256, (7 + 2 * x + 9 * y) % 256),
+        mode, filtered = true))
+    }
+  }
+
   test("encodePng/parsePng roundtrip both IDAT layouts; every validation layer rejects") {
     import graft.operators.Multimodal
     def px(x: Int, y: Int): (Int, Int, Int) = ((x * 7 + y) % 256, (y * 5) % 256, (x + 3 * y) % 256)
