@@ -134,6 +134,16 @@ object Jpeg {
   private lazy val dcTableC = new HuffTable(dcBitsC, dcValsC)
   private lazy val acTableC = new HuffTable(acBitsC, acValsC)
 
+  // progressive AC table: the Annex K baseline AC alphabets have no
+  // EOBn symbols (run > 0, size = 0) — those exist only in Annex G
+  // scans, where encoders ship custom tables. This fixed full-byte
+  // alphabet (255 codes of length 8 + 0xFF at length 9, the all-ones
+  // 9-bit slot left unused per C.2's reserved-prefix convention)
+  // covers every symbol a progressive scan can emit.
+  private val acBitsP = Array(0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val acValsP = (0 until 256).toArray
+  private lazy val acTableP = new HuffTable(acBitsP, acValsP)
+
   // ---- fixed-point IDCT basis: M(u)(x) = round(2048·C(u)·cos((2x+1)uπ/16))
   // with C(0)=1/√2, C(u>0)=1. pixel = ((Σ_{u,v} coef·q·M(u)(x)·M(v)(y)
   // + 2^23) >> 24) + 128, clamped — 2048² · 4 = 2^24 (the 1/4 of the
@@ -525,6 +535,274 @@ object Jpeg {
     out.toArray
   }
 
+  // ================ progressive encoder (SOF2, round 14) ==================
+
+  /** PROGRESSIVE encode (SOF2, T.81 Annex G): grayscale (1 component)
+    * or YCbCr 4:4:4 (3 components, all 1×1), spectral selection +
+    * one successive-approximation step. ~10% of web-crawl JPEGs are
+    * progressive; this is the generator half of the m18 decode proof.
+    *
+    * Scan script (the classic two-level progression — every protocol
+    * arm of Annex G is exercised):
+    *   1. DC first, interleaved:     Ss=0 Se=0  Ah=0 Al=1
+    *   2. AC first, per component:   Ss=1 Se=5  Ah=0 Al=1
+    *   3. AC first, per component:   Ss=6 Se=63 Ah=0 Al=1
+    *   4. DC refine, interleaved:    Ss=0 Se=0  Ah=1 Al=0
+    *   5. AC refine, per component:  Ss=1 Se=63 Ah=1 Al=0
+    * DC uses the arithmetic-shift point transform, AC the
+    * sign-magnitude one (A.4); EOB runs span blocks in the AC-first
+    * scans, and the AC-refinement scans carry libjpeg-ordered
+    * correction bits (buffered bits emitted after the next coded
+    * symbol — G.1.2.3). Because Al steps 1 → 0, the decoded
+    * coefficients equal the input EXACTLY: progression is pure
+    * framing, so m18's oracle is the baseline pixel derivation.
+    *
+    * `comps(c)(blockIndex)(v)(u)` are the quantized coefficients,
+    * row-major blocks; components all 1×1 so every component has the
+    * same block count. */
+  def encodeJpegProgressive(w: Int, h: Int, gap: Int,
+                            qLuma: Array[Array[Int]],
+                            qChroma: Array[Array[Int]],
+                            comps: Array[Array[Array[Array[Int]]]]): Array[Byte] = {
+    val nf = comps.length
+    require(nf == 1 || nf == 3, "profile: 1 or 3 components")
+    require(w % 8 == 0 && h % 8 == 0, "profile: dims multiples of 8")
+    val nBlocks = (w / 8) * (h / 8)
+    require(comps.forall(_.length == nBlocks), "one block per 8x8 tile")
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = out += (v & 0xff).toByte
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xff); b(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 JFIF
+    "JFIF".foreach(ch => b(ch)); b(0)
+    b(1); b(1); b(0); be16(1); be16(1); b(0); b(0)
+    if (gap > 0) { // COM segment: variable layout, must be walked
+      marker(0xfe); be16(2 + gap)
+      (0 until gap).foreach(i => b(0x41 + (i % 16)))
+    }
+    def dqt(tq: Int, q: Array[Array[Int]]): Unit = {
+      marker(0xdb); be16(2 + 1 + 64); b(tq)
+      zigzag.foreach { case (r, c) => b(q(r)(c)) }
+    }
+    dqt(0, qLuma)
+    if (nf == 3) dqt(1, qChroma)
+    marker(0xc2); be16(2 + 6 + 3 * nf) // SOF2: progressive DCT
+    b(8); be16(h); be16(w); b(nf)
+    (0 until nf).foreach { c =>
+      b(c + 1); b(0x11); b(if (c == 0) 0 else 1)
+    }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      b((tc << 4) | th)
+      bits.foreach(b(_)); vals.foreach(b(_))
+    }
+    // DC tables: the Annex K pairs; AC table: the progressive
+    // full-alphabet table (slot 0) — Annex K's AC alphabets lack EOBn
+    dht(0, 0, dcBits, dcVals); dht(1, 0, acBitsP, acValsP)
+    if (nf == 3) dht(0, 1, dcBitsC, dcValsC)
+
+    // per-scan bit writer (fresh buffer per scan, 1-padded at end)
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          b(bitBuf)
+          if (bitBuf == 0xff) b(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def padScan(): Unit = {
+      if (bitCnt > 0) {
+        bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+        b(bitBuf)
+        if ((bitBuf & 0xff) == 0xff) b(0x00)
+        bitBuf = 0; bitCnt = 0
+      }
+    }
+    def putHuff(t: HuffTable, sym: Int): Unit = putBits(t.codeOf(sym), t.lenOf(sym))
+    def putAmp(v: Int, size: Int): Unit =
+      if (size > 0) putBits(if (v >= 0) v else v + (1 << size) - 1, size)
+    def sos(comps0: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); be16(2 + 1 + 2 * comps0.length + 3)
+      b(comps0.length)
+      comps0.foreach { c =>
+        val td = if (c == 0) 0 else 1
+        b(c + 1); b((td << 4) | 0) // every AC scan reads table 0
+      }
+      b(ss); b(se); b((ah << 4) | al)
+    }
+    def dcT(c: Int) = if (c == 0) dcTable else dcTableC
+    def acT(c: Int) = acTableP
+
+    // --- scan 1: DC first (interleaved), arithmetic-shift transform
+    val alDc = 1
+    sos(0 until nf, 0, 0, 0, alDc)
+    val prevDc = new Array[Int](nf)
+    var bi = 0
+    while (bi < nBlocks) {
+      var c = 0
+      while (c < nf) {
+        val dc = comps(c)(bi)(0)(0) >> alDc // arithmetic shift (G.1.2.1)
+        val diff = dc - prevDc(c)
+        prevDc(c) = dc
+        val sz = category(diff)
+        putHuff(dcT(c), sz); putAmp(diff, sz)
+        c += 1
+      }
+      bi += 1
+    }
+    padScan()
+
+    // --- AC first scans: sign-magnitude transform, EOB runs
+    def acFirst(c: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(c), ss, se, 0, al)
+      val ac = acT(c)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        putHuff(ac, n << 4)
+        putBits(eobrun - (1 << n), n)
+        eobrun = 0
+      }
+      var blk = 0
+      while (blk < nBlocks) {
+        val cf = comps(c)(blk)
+        @inline def tv(k: Int): Int = {
+          val (r, cc) = zigzag(k)
+          val v = cf(r)(cc)
+          if (v >= 0) v >> al else -((-v) >> al) // sign-magnitude (A.4)
+        }
+        var any = false
+        var k = ss
+        while (k <= se) { if (tv(k) != 0) any = true; k += 1 }
+        if (!any) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          k = ss
+          while (k <= se) {
+            val v = tv(k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { putHuff(ac, 0xf0); run -= 16 }
+              val sz = category(v)
+              putHuff(ac, (run << 4) | sz); putAmp(v, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) eobrun += 1 // trailing zeros join the EOB run
+        }
+        blk += 1
+      }
+      flushEob()
+      padScan()
+    }
+    (0 until nf).foreach(c => acFirst(c, 1, 5, alDc))
+    (0 until nf).foreach(c => acFirst(c, 6, 63, alDc))
+
+    // --- scan: DC refinement (interleaved) — one raw bit per block
+    sos(0 until nf, 0, 0, alDc, alDc - 1)
+    bi = 0
+    while (bi < nBlocks) {
+      var c = 0
+      while (c < nf) {
+        putBits((comps(c)(bi)(0)(0) >> (alDc - 1)) & 1, 1)
+        c += 1
+      }
+      bi += 1
+    }
+    padScan()
+
+    // --- AC refinement scans (G.1.2.3, libjpeg bit-buffer ordering)
+    def acRefine(c: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(c), ss, se, al + 1, al)
+      val ac = acT(c)
+      var eobrun = 0
+      val corr = new scala.collection.mutable.ArrayBuffer[Int]()
+      def emitCorr(): Unit = { corr.foreach(putBits(_, 1)); corr.clear() }
+      def flushEob(): Unit = if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        putHuff(ac, n << 4)
+        putBits(eobrun - (1 << n), n)
+        emitCorr()
+        eobrun = 0
+      }
+      var blk = 0
+      while (blk < nBlocks) {
+        val cf = comps(c)(blk)
+        @inline def absAl(k: Int): Int = {
+          val (r, cc) = zigzag(k); math.abs(cf(r)(cc)) >> al
+        }
+        @inline def isNeg(k: Int): Boolean = {
+          val (r, cc) = zigzag(k); cf(r)(cc) < 0
+        }
+        // previously nonzero = visible at the coarser Al+1 precision
+        @inline def prevNz(k: Int): Boolean = (absAl(k) >> 1) != 0
+        // last NEWLY-nonzero position (|v|>>al == 1, invisible before)
+        var kEnd = ss - 1
+        var k = ss
+        while (k <= se) {
+          if (!prevNz(k) && absAl(k) != 0) kEnd = k
+          k += 1
+        }
+        if (kEnd < ss) {
+          // no new coefficients: whole block joins the EOB run; its
+          // correction bits ride the run's buffer
+          eobrun += 1
+          k = ss
+          while (k <= se) {
+            if (prevNz(k)) corr += (absAl(k) & 1)
+            k += 1
+          }
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          k = ss
+          while (k <= kEnd) {
+            if (prevNz(k)) corr += (absAl(k) & 1)
+            else if (absAl(k) == 0) {
+              run += 1
+              if (run == 16) { putHuff(ac, 0xf0); emitCorr(); run = 0 }
+            } else {
+              // newly nonzero: magnitude is exactly 1 at this step
+              putHuff(ac, (run << 4) | 1)
+              putBits(if (isNeg(k)) 0 else 1, 1)
+              emitCorr()
+              run = 0
+            }
+            k += 1
+          }
+          if (kEnd < se) {
+            // the block's tail joins the EOB run
+            eobrun += 1
+            k = kEnd + 1
+            while (k <= se) {
+              if (prevNz(k)) corr += (absAl(k) & 1)
+              k += 1
+            }
+          }
+        }
+        blk += 1
+      }
+      flushEob()
+      padScan()
+    }
+    (0 until nf).foreach(c => acRefine(c, 1, 63, alDc - 1))
+
+    marker(0xd9) // EOI
+    out.toArray
+  }
+
   // ======================= decoder ========================================
 
   /** Grayscale raster decoded from a baseline JPEG; satisfies the
@@ -817,4 +1095,367 @@ object Jpeg {
   // decode helper shared by DC and AC reads (method, not closure, so
   // the hot loop stays allocation-free)
   private def huffDecode(t: HuffTable, br: () => Int): Int = t.decode(br())
+
+  /** Decode a PROGRESSIVE JPEG (SOF2, T.81 Annex G) within this
+    * object's profile: 8-bit, 1 or 3 components all at 1×1 sampling,
+    * dims multiples of 8, no DRI. Walks segments by length (DQT/DHT
+    * may appear between scans), then decodes EVERY scan against the
+    * per-component coefficient store: DC-first scans accumulate
+    * shifted diffs (arithmetic-shift point transform), DC-refinement
+    * scans OR one raw bit per block, AC-first scans run-length decode
+    * a spectral band with cross-block EOB runs, and AC-refinement
+    * scans replay Annex G.2's correction-bit protocol (libjpeg
+    * ordering: bits follow the symbol that crossed their
+    * coefficients). Scan-header constraints are enforced (Ss=0 ⇒
+    * Se=0; Ss>0 ⇒ single-component scan; Ah>0 ⇒ Al=Ah−1; bands in
+    * range). After EOI: dequantize, integer-IDCT, level-shift, clamp
+    * — the SAME tail as [[parseJpeg]] — and YCbCr→RGB for color. None
+    * for anything malformed or outside the profile — never throws. */
+  def parseJpegProgressive(p: Array[Byte]): Option[Multimodal.Raster] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var pos = 2
+    var w = -1; var h = -1
+    var nf = 0
+    val qts = new Array[Array[Array[Int]]](4)
+    val dcTs = new Array[HuffTable](4)
+    val acTs = new Array[HuffTable](4)
+    var compQ: Array[Int] = null
+    var compDcT: Array[Int] = null // from each scan header
+    var compAcT: Array[Int] = null
+    var nBlocks = 0
+    // coefficient store: per component, per block, 64 zigzag-indexed
+    var coef: Array[Array[Array[Int]]] = null
+    val prevDc = new Array[Int](4)
+    var sawEoi = false
+    while (!sawEoi) {
+      if (pos + 2 > p.length) return None
+      if (u8(pos) != 0xff) return None
+      val m = u8(pos + 1)
+      if (m == 0xd9) { sawEoi = true; pos += 2 }
+      else {
+        if (pos + 4 > p.length) return None
+        val len = be16(pos + 2)
+        if (len < 2 || pos + 2 + len > p.length) return None
+        val seg = pos + 4
+        m match {
+          case 0xdb =>
+            if (len != 2 + 1 + 64 || (u8(seg) >> 4) != 0 || (u8(seg) & 0x0f) > 3)
+              return None
+            val qt = Array.ofDim[Int](8, 8)
+            var k = 0
+            while (k < 64) {
+              val (r, c) = zigzag(k); qt(r)(c) = u8(seg + 1 + k); k += 1
+            }
+            qts(u8(seg) & 0x0f) = qt
+          case 0xc2 => // SOF2
+            if (coef != null) return None // one frame only
+            if (len < 2 + 6 || u8(seg) != 8) return None
+            h = be16(seg + 1); w = be16(seg + 3)
+            nf = u8(seg + 5)
+            if ((nf != 1 && nf != 3) || len != 2 + 6 + 3 * nf) return None
+            if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+            compQ = new Array[Int](nf)
+            var ci = 0
+            while (ci < nf) {
+              if (u8(seg + 7 + 3 * ci) != 0x11) return None // 1×1 only
+              val tq = u8(seg + 8 + 3 * ci)
+              if (tq > 3) return None
+              compQ(ci) = tq
+              ci += 1
+            }
+            nBlocks = (w / 8) * (h / 8)
+            coef = Array.fill(nf)(Array.ofDim[Int](nBlocks, 64))
+          case 0xc4 =>
+            var q = seg
+            while (q < pos + 2 + len) {
+              val tcth = u8(q)
+              if ((tcth >> 4) > 1 || (tcth & 0x0f) > 3) return None
+              val bits = Array.tabulate(16)(i => u8(q + 1 + i))
+              val n = bits.sum
+              if (q + 17 + n > pos + 2 + len || n > 256) return None
+              val vals = Array.tabulate(n)(i => u8(q + 17 + i))
+              val t = new HuffTable(bits, vals)
+              if ((tcth >> 4) == 0) dcTs(tcth & 0x0f) = t
+              else acTs(tcth & 0x0f) = t
+              q += 17 + n
+            }
+          case 0xda => // one SCAN: header + entropy data
+            if (coef == null) return None // SOS before SOF2
+            val ns = u8(seg)
+            if (ns < 1 || ns > nf || len != 2 + 1 + 2 * ns + 3) return None
+            val scanComp = new Array[Int](ns)
+            compDcT = new Array[Int](nf); compAcT = new Array[Int](nf)
+            var si = 0
+            while (si < ns) {
+              val cs = u8(seg + 1 + 2 * si) - 1
+              if (cs < 0 || cs >= nf) return None
+              scanComp(si) = cs
+              val tdta = u8(seg + 2 + 2 * si)
+              compDcT(cs) = tdta >> 4; compAcT(cs) = tdta & 0x0f
+              if (compDcT(cs) > 3 || compAcT(cs) > 3) return None
+              si += 1
+            }
+            val ss = u8(seg + 1 + 2 * ns)
+            val se = u8(seg + 2 + 2 * ns)
+            val ahal = u8(seg + 3 + 2 * ns)
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            // B.2.3 / G.1: DC scans cover exactly [0,0]; AC scans are
+            // single-component; a refinement steps Al by one
+            if (ss == 0 && se != 0) return None
+            if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+            if (ah != 0 && al != ah - 1) return None
+            if (al > 13) return None
+            // entropy reader for this scan
+            var sp = pos + 2 + len
+            var bitBuf = 0; var bitCnt = 0
+            var err = false
+            def bit(): Int = {
+              if (bitCnt == 0) {
+                if (sp >= p.length) { err = true; return -1 }
+                var byte = u8(sp); sp += 1
+                if (byte == 0xff) {
+                  if (sp >= p.length) { err = true; return -1 }
+                  if (u8(sp) == 0x00) sp += 1
+                  else { err = true; return -1 }
+                  byte = 0xff
+                }
+                bitBuf = byte; bitCnt = 8
+              }
+              bitCnt -= 1
+              (bitBuf >> bitCnt) & 1
+            }
+            def extend(v: Int, sz: Int): Int =
+              if (sz == 0) 0 else if (v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
+            def recv(sz: Int): Int = {
+              var v = 0
+              var i = 0
+              while (i < sz) { val b0 = bit(); if (err) return 0; v = (v << 1) | b0; i += 1 }
+              v
+            }
+            if (ss == 0) {
+              // DC scan over all scan components, interleaved in MCU
+              // (= block, all-1×1) order
+              if (ah == 0) java.util.Arrays.fill(prevDc, 0)
+              var blk = 0
+              while (blk < nBlocks) {
+                var si2 = 0
+                while (si2 < ns) {
+                  val c = scanComp(si2)
+                  if (ah == 0) {
+                    val t = dcTs(compDcT(c))
+                    if (t == null) return None
+                    val sz = huffDecode(t, bit _)
+                    if (err || sz < 0 || sz > 11) return None
+                    val diff = extend(recv(sz), sz)
+                    if (err) return None
+                    prevDc(c) += diff
+                    coef(c)(blk)(0) = prevDc(c) << al
+                  } else {
+                    val b0 = bit()
+                    if (err) return None
+                    coef(c)(blk)(0) |= b0 << al
+                  }
+                  si2 += 1
+                }
+                blk += 1
+              }
+            } else {
+              // AC scan: single component, spectral band [ss, se]
+              val c = scanComp(0)
+              val cf = coef(c)
+              val ac = acTs(compAcT(c))
+              if (ac == null) return None
+              var eobrun = 0
+              if (ah == 0) { // first pass over this band
+                var blk = 0
+                while (blk < nBlocks) {
+                  if (eobrun > 0) eobrun -= 1
+                  else {
+                    var k = ss
+                    var done = false
+                    while (!done && k <= se) {
+                      val sym = huffDecode(ac, bit _)
+                      if (err || sym < 0) return None
+                      val run = sym >> 4; val sz = sym & 0x0f
+                      if (sz == 0) {
+                        if (run == 15) k += 16 // ZRL
+                        else {
+                          eobrun = (1 << run) + recv(run) - 1
+                          if (err) return None
+                          done = true
+                        }
+                      } else {
+                        k += run
+                        if (k > se) return None
+                        val v = extend(recv(sz), sz)
+                        if (err) return None
+                        cf(blk)(k) = v << al
+                        k += 1
+                      }
+                    }
+                    if (k > se + 1) return None // ZRL overran the band
+                  }
+                  blk += 1
+                }
+              } else { // refinement pass (G.2, libjpeg ordering)
+                val p1 = 1 << al
+                val m1 = -1 << al
+                @inline def correct(blk: Int, k: Int): Boolean = {
+                  val b0 = bit()
+                  if (err) return false
+                  if (b0 == 1 && (cf(blk)(k) & p1) == 0)
+                    cf(blk)(k) += (if (cf(blk)(k) >= 0) p1 else m1)
+                  true
+                }
+                var blk = 0
+                while (blk < nBlocks) {
+                  if (eobrun > 0) {
+                    var k = ss
+                    while (k <= se) {
+                      if (cf(blk)(k) != 0 && !correct(blk, k)) return None
+                      k += 1
+                    }
+                    eobrun -= 1
+                  } else {
+                    var k = ss
+                    while (k <= se) {
+                      val sym = huffDecode(ac, bit _)
+                      if (err || sym < 0) return None
+                      val run0 = sym >> 4; val sz = sym & 0x0f
+                      var newval = 0
+                      var r = run0
+                      if (sz == 0) {
+                        if (run0 != 15) {
+                          // EOBn: corrections for the block's tail,
+                          // then eobrun-1 further whole blocks
+                          eobrun = (1 << run0) + recv(run0)
+                          if (err) return None
+                          while (k <= se) {
+                            if (cf(blk)(k) != 0 && !correct(blk, k)) return None
+                            k += 1
+                          }
+                          eobrun -= 1
+                        }
+                        // ZRL: fall through with r = 15 (skips 16 zeros)
+                      } else {
+                        if (sz != 1) return None // refinement codes ±1 only
+                        val sb = bit()
+                        if (err) return None
+                        newval = if (sb == 1) p1 else m1
+                      }
+                      if (k <= se && (sz != 0 || r == 15)) {
+                        var placed = false
+                        while (!placed && k <= se) {
+                          if (cf(blk)(k) != 0) {
+                            if (!correct(blk, k)) return None
+                          } else {
+                            r -= 1
+                            if (r < 0) {
+                              if (sz != 0) cf(blk)(k) = newval
+                              placed = true
+                            }
+                          }
+                          k += 1
+                        }
+                        // a ZRL or (run,1) that never lands is malformed
+                        if (!placed && (sz != 0 || r >= 0)) return None
+                      }
+                    }
+                  }
+                  blk += 1
+                }
+              }
+            }
+            // byte-align: the scan's trailing pad bits are discarded
+            pos = sp
+          case 0xdd => return None // DRI: outside the progressive profile
+          case x if x >= 0xc0 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xc2 =>
+            return None // any other SOF: not progressive
+          case _ => () // APPn / COM: skipped BY LENGTH
+        }
+        if (m != 0xda) pos += 2 + len
+      }
+    }
+    if (coef == null || w < 0) return None
+    var ci = 0
+    while (ci < nf) { if (qts(compQ(ci)) == null) return None; ci += 1 }
+    // dequantize + IDCT per block — the baseline tail, 1×1 planes
+    val planes = Array.tabulate(nf)(_ => new Array[Int](w * h))
+    val bw = w / 8
+    ci = 0
+    while (ci < nf) {
+      val qt = qts(compQ(ci))
+      var blk = 0
+      while (blk < nBlocks) {
+        val dq = Array.ofDim[Long](8, 8)
+        var k = 0
+        while (k < 64) {
+          val (r, c) = zigzag(k)
+          dq(r)(c) = coef(ci)(blk)(k).toLong * qt(r)(c)
+          k += 1
+        }
+        val px = idctBlock(dq)
+        val by = blk / bw; val bx = blk % bw
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            planes(ci)((by * 8 + y) * w + bx * 8 + x) = px(y)(x)
+            x += 1
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      ci += 1
+    }
+    if (nf == 1) {
+      val gray = new Array[Byte](w * h)
+      var i = 0
+      while (i < gray.length) { gray(i) = planes(0)(i).toByte; i += 1 }
+      Some(JpegImage(w, h, gray))
+    } else {
+      @inline def cl(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+      val pix = new Array[Int](w * h)
+      var i = 0
+      while (i < pix.length) {
+        val yy = planes(0)(i).toLong
+        val cb = planes(1)(i) - 128L
+        val cr = planes(2)(i) - 128L
+        val r = cl(yy + ((CrR * cr + 32768L) >> 16))
+        val g = cl(yy - ((CbG * cb + CrG * cr + 32768L) >> 16))
+        val b = cl(yy + ((CbB * cb + 32768L) >> 16))
+        pix(i) = (r << 16) | (g << 8) | b
+        i += 1
+      }
+      Some(ColorJpegImage(w, h, pix))
+    }
+  }
+
+  /** SOF-type dispatch: walk segments from SOI to the frame header
+    * and route — SOF0 → [[parseJpeg]] (baseline), SOF2 →
+    * [[parseJpegProgressive]]; any other SOF (or none) is outside the
+    * profile. The m18 corpus mixes both framings, so a decoder that
+    * assumes one silently loses half the corpus. */
+  def parseJpegAuto(p: Array[Byte]): Option[Multimodal.Raster] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var pos = 2
+    while (pos + 4 <= p.length) {
+      if (u8(pos) != 0xff) return None
+      val m = u8(pos + 1)
+      if (m == 0xc0) return parseJpeg(p)
+      if (m == 0xc2) return parseJpegProgressive(p)
+      if (m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        return None // some other SOF: outside the profile
+      if (m == 0xd9 || m == 0xda) return None // no frame header seen
+      val len = be16(pos + 2)
+      if (len < 2 || pos + 2 + len > p.length) return None
+      pos += 2 + len
+    }
+    None
+  }
 }

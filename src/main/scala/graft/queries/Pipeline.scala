@@ -76,6 +76,7 @@ object Pipeline extends PipelineStreamBatch {
     "m12_jpeg_decode" -> m12, "m13_jpeg_color" -> m13,
     "m14_jpeg_420" -> m14, "m15_jpeg_restart" -> m15,
     "m16_png_palette" -> m16, "m17_png_channels" -> m17,
+    "m18_jpeg_progressive" -> m18,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -153,6 +154,7 @@ object Pipeline extends PipelineStreamBatch {
     // so hash equality proves the restarted decode is pixel-identical
     "m15_jpeg_restart" -> m14Sql,
     "m16_png_palette" -> m16Sql, "m17_png_channels" -> m17Sql,
+    "m18_jpeg_progressive" -> m18Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

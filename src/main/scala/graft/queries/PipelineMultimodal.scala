@@ -554,6 +554,172 @@ private[graft] trait PipelineMultimodal extends PipelineText {
        |ORDER BY doc_id, by, bx""".stripMargin
   }
 
+  // -- m18: PROGRESSIVE JPEG (SOF2) over a MIXED corpus ----------------------
+  // ~10% of web-crawl JPEGs are progressive; m12–m15 decoded baseline
+  // only (SOF2 rejected by profile). Jpeg.encodeJpegProgressive /
+  // parseJpegProgressive implement T.81 Annex G's multi-scan
+  // protocol — spectral selection (DC scan, two AC bands) + one
+  // successive-approximation step (Al 1 → 0): DC-first with the
+  // arithmetic-shift point transform, AC-first with sign-magnitude
+  // values and CROSS-BLOCK EOB runs, DC refinement (one raw bit per
+  // block), AC refinement with libjpeg-ordered correction bits, and
+  // a full-alphabet AC Huffman table (Annex K's baseline AC alphabets
+  // have no EOBn symbols). Because Al steps to 0, the decoded
+  // coefficients equal the generator's EXACTLY — progression is pure
+  // framing (m15's restart argument) — so the oracle is the baseline
+  // pixel derivation. The corpus MIXES four framings by doc_id % 4
+  // (progressive gray / baseline gray / progressive color 4:4:4 /
+  // baseline color) with one dim/coefficient formula family, decoded
+  // through Jpeg.parseJpegAuto's SOF dispatch: a decoder that assumes
+  // one framing silently loses half the corpus, and a scan-protocol
+  // bug shifts a luminance and breaks the hash. JpegSpec additionally
+  // pins progressive == baseline pixels on random coefficients and
+  // cross-validates the whole stream against the JDK ImageIO codec.
+  //
+  // Scale: m12/m13's class — map-only decode, 16-row fan-out; the
+  // multi-scan walk reads the payload a handful of times but stays
+  // linear in image bytes.
+  private[queries] val m18: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{Jpeg, Multimodal}
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        val qZ = Array.ofDim[Int](8, 8); val qC = Array.ofDim[Int](8, 8)
+        Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
+          qZ(r)(c) = 1 + (k % 4); qC(r)(c) = 1 + ((k + 1) % 3)
+        }
+        it.map { case (id, src) =>
+          val w = 8 * (1 + (id % 3)).toInt
+          val h = 8 * (1 + ((id / 4) % 2)).toInt
+          val gap = (id % 9).toInt
+          val bw = w / 8; val bh = h / 8
+          def gray = Array.tabulate(bw * bh) { bi =>
+            val by = bi / bw; val bx = bi % bw
+            Array.tabulate(8, 8) { (v, u) =>
+              if (u + v <= 2)
+                ((id * 7 + bx * 5 + by * 3 + u * 11 + v * 13) % 15).toInt - 7
+              else 0
+            }
+          }
+          def blocks(m: Int, mask: Int, a: Int, b: Int, c: Int, dd: Int, e: Int) =
+            Array.tabulate(bw * bh) { bi =>
+              val by = bi / bw; val bx = bi % bw
+              Array.tabulate(8, 8) { (v, u) =>
+                if (u + v <= mask)
+                  ((id * a + bx * b + by * c + u * dd + v * e) % m).toInt - m / 2
+                else 0
+              }
+            }
+          def coefY = blocks(15, 2, 7, 5, 3, 11, 13)
+          def coefCb = blocks(11, 1, 5, 7, 11, 3, 9)
+          def coefCr = blocks(9, 1, 13, 3, 7, 5, 2)
+          val bytes = (id % 4).toInt match {
+            case 0 => Jpeg.encodeJpegProgressive(w, h, gap, qZ, qC, Array(gray))
+            case 1 => Jpeg.encodeJpeg(w, h, gap, qZ, gray)
+            case 2 => Jpeg.encodeJpegProgressive(w, h, gap, qZ, qC,
+              Array(coefY, coefCb, coefCr))
+            case _ => Jpeg.encodeJpegColor(w, h, gap, qZ, qC, coefY, coefCb, coefCr)
+          }
+          Multimodal.MediaRecord(id, src, bytes)
+        }
+      }
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          Jpeg.parseJpegAuto(r.payload) match {
+            case Some(img) => Multimodal.blockLum(r.doc_id, img, grid = 4).iterator
+            case None => Iterator.empty
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private[queries] val m18Sql: String = {
+    import graft.operators.Jpeg
+    val basisRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Jpeg.idctBasis(u)(x)})").mkString(", ")
+    val quantRows = (for {
+      comp <- 0 until 3
+      ((r, c), k) <- Jpeg.zigzag.zipWithIndex
+    } yield s"($comp, $r, $c, ${if (comp == 0) 1 + (k % 4) else 1 + ((k + 1) % 3)})")
+      .mkString(", ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 8 * (1 + (doc_id % 3)) AS w,
+       |    8 * (1 + ((doc_id // 4) % 2)) AS h, doc_id % 4 AS ct
+       |  FROM documents),
+       |bxs AS (SELECT doc_id, w, h, ct, unnest(range(0, w // 8)) AS bx FROM dims),
+       |blocks AS (SELECT doc_id, w, h, ct, bx, unnest(range(0, h // 8)) AS by FROM bxs),
+       |basis AS (SELECT * FROM (VALUES $basisRows) AS t(u, x, m)),
+       |quant AS (SELECT * FROM (VALUES $quantRows) AS t(comp, v, u, q)),
+       |gcoef AS (
+       |  SELECT b.doc_id, b.w, b.h, b.bx, b.by, z.u, z.v,
+       |    (((b.doc_id*7 + b.bx*5 + b.by*3 + z.u*11 + z.v*13) % 15) - 7) * z.q AS cq
+       |  FROM blocks b, quant z
+       |  WHERE b.ct <= 1 AND z.comp = 0 AND z.u + z.v <= 2),
+       |gpix AS (
+       |  SELECT c.doc_id, c.w, c.h, c.bx, c.by, mu.x AS x, mv.x AS y,
+       |    CAST(SUM(c.cq * mu.m * mv.m) AS BIGINT) AS s
+       |  FROM gcoef c
+       |  JOIN basis mu ON mu.u = c.u
+       |  JOIN basis mv ON mv.u = c.v
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |glum AS (
+       |  SELECT doc_id, w, h, bx * 8 + x AS gx, by * 8 + y AS gy,
+       |    least(255, greatest(0,
+       |      CAST(floor(CAST(s + 8388608 AS DOUBLE) / 16777216.0) AS BIGINT)
+       |        + 128)) AS lum
+       |  FROM gpix),
+       |ccoef AS (
+       |  SELECT b.doc_id, b.w, b.h, b.bx, b.by, z.comp, z.u, z.v,
+       |    CASE z.comp
+       |      WHEN 0 THEN ((b.doc_id*7 + b.bx*5 + b.by*3 + z.u*11 + z.v*13) % 15) - 7
+       |      WHEN 1 THEN ((b.doc_id*5 + b.bx*7 + b.by*11 + z.u*3 + z.v*9) % 11) - 5
+       |      ELSE ((b.doc_id*13 + b.bx*3 + b.by*7 + z.u*5 + z.v*2) % 9) - 4
+       |    END * z.q AS cq
+       |  FROM blocks b, quant z
+       |  WHERE b.ct >= 2 AND
+       |    ((z.comp = 0 AND z.u + z.v <= 2) OR (z.comp > 0 AND z.u + z.v <= 1))),
+       |cpix AS (
+       |  SELECT c.doc_id, c.w, c.h, c.bx, c.by, c.comp, mu.x AS x, mv.x AS y,
+       |    CAST(SUM(c.cq * mu.m * mv.m) AS BIGINT) AS s
+       |  FROM ccoef c
+       |  JOIN basis mu ON mu.u = c.u
+       |  JOIN basis mv ON mv.u = c.v
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |gval AS (
+       |  SELECT doc_id, w, h, comp, bx * 8 + x AS gx, by * 8 + y AS gy,
+       |    least(255, greatest(0,
+       |      CAST(floor(CAST(s + 8388608 AS DOUBLE) / 16777216.0) AS BIGINT)
+       |        + 128)) AS val
+       |  FROM cpix),
+       |ycc AS (
+       |  SELECT doc_id, w, h, gx, gy,
+       |    MAX(CASE WHEN comp = 0 THEN val END) AS yy,
+       |    MAX(CASE WHEN comp = 1 THEN val END) - 128 AS cb,
+       |    MAX(CASE WHEN comp = 2 THEN val END) - 128 AS cr
+       |  FROM gval GROUP BY 1, 2, 3, 4, 5),
+       |crgb AS (
+       |  SELECT doc_id, w, h, gx, gy,
+       |    least(255, greatest(0, yy + CAST(floor((${Jpeg.CrR}*cr + 32768)
+       |      / 65536.0) AS BIGINT))) AS r,
+       |    least(255, greatest(0, yy - CAST(floor((${Jpeg.CbG}*cb + ${Jpeg.CrG}*cr
+       |      + 32768) / 65536.0) AS BIGINT))) AS g,
+       |    least(255, greatest(0, yy + CAST(floor((${Jpeg.CbB}*cb + 32768)
+       |      / 65536.0) AS BIGINT))) AS b
+       |  FROM ycc),
+       |lums AS (
+       |  SELECT doc_id, w, h, gx, gy, lum FROM glum
+       |  UNION ALL
+       |  SELECT doc_id, w, h, gx, gy,
+       |    (77 * r + 150 * g + 29 * b) // 256 AS lum
+       |  FROM crgb)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(gy * 4 // h AS INTEGER) AS by, CAST(gx * 4 // w AS INTEGER) AS bx,
+       |  COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+       |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+       |FROM lums GROUP BY doc_id, w, h, by, bx
+       |ORDER BY doc_id, by, bx""".stripMargin
+  }
+
   // -- m14: 4:2:0 chroma-subsampled JPEG over a MIXED corpus ----------------
   // m13 proved 3-component color at 4:4:4; m14 closes the gap to the
   // JPEGs a crawl actually contains: 4:2:0 chroma subsampling (Y

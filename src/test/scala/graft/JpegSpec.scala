@@ -283,4 +283,108 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.parseJpeg(
       graft.operators.Multimodal.encodeBmp(8, 8, 0, (_, _) => (1, 2, 3))).isEmpty)
   }
+
+  test("progressive == baseline pixels: progression is pure framing (gray + color)") {
+    val rnd = new scala.util.Random(1406)
+    for (trial <- 0 until 12) {
+      val bw = 1 + rnd.nextInt(3); val bh = 1 + rnd.nextInt(3)
+      val w = bw * 8; val h = bh * 8
+      def blocks() = Array.tabulate(bw * bh) { _ =>
+        Array.tabulate(8, 8) { (_, _) =>
+          val roll = rnd.nextInt(10)
+          if (roll < 6) 0
+          else if (roll < 9) rnd.nextInt(15) - 7 // exercises ±1 (newly-nonzero)
+          else rnd.nextInt(511) - 255
+        }
+      }
+      if (trial % 2 == 0) { // grayscale
+        val coef = blocks()
+        val base = Jpeg.parseJpegAuto(Jpeg.encodeJpeg(w, h, trial % 5, qZig, coef))
+          .getOrElse(fail(s"baseline None, trial $trial"))
+        val prog = Jpeg.parseJpegAuto(
+          Jpeg.encodeJpegProgressive(w, h, trial % 5, qZig, qOnes, Array(coef)))
+          .getOrElse(fail(s"progressive None, trial $trial"))
+        assert(base.width == prog.width && base.height == prog.height)
+        for (x <- 0 until w; y <- 0 until h)
+          assert(base.rgb(x, y) == prog.rgb(x, y), s"pixel drift trial $trial ($x,$y)")
+      } else { // color 4:4:4
+        val cy = blocks(); val cb = blocks(); val cr = blocks()
+        val base = Jpeg.parseJpegAuto(
+          Jpeg.encodeJpegColor(w, h, trial % 5, qZig, qOnes, cy, cb, cr))
+          .getOrElse(fail(s"baseline color None, trial $trial"))
+        val prog = Jpeg.parseJpegAuto(
+          Jpeg.encodeJpegProgressive(w, h, trial % 5, qZig, qOnes, Array(cy, cb, cr)))
+          .getOrElse(fail(s"progressive color None, trial $trial"))
+        for (x <- 0 until w; y <- 0 until h)
+          assert(base.rgb(x, y) == prog.rgb(x, y), s"color drift trial $trial ($x,$y)")
+      }
+    }
+  }
+
+  test("progressive decode cross-validates against the JDK ImageIO codec") {
+    // ImageIO's IDCT is a different conforming implementation, so
+    // pixels may differ by a small rounding slack — a scan-protocol
+    // bug produces drifts orders of magnitude larger
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 0 until 4) {
+      val bw = 1 + rnd.nextInt(2); val bh = 1 + rnd.nextInt(2)
+      val w = bw * 8; val h = bh * 8
+      def blocks() = Array.tabulate(bw * bh) { _ =>
+        Array.tabulate(8, 8) { (_, _) =>
+          val roll = rnd.nextInt(10)
+          if (roll < 6) 0 else rnd.nextInt(31) - 15
+        }
+      }
+      val comps =
+        if (trial % 2 == 0) Array(blocks())
+        else Array(blocks(), blocks(), blocks())
+      val bytes = Jpeg.encodeJpegProgressive(w, h, 2, qZig, qOnes, comps)
+      val ours = Jpeg.parseJpegProgressive(bytes).getOrElse(fail("our parse None"))
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, "ImageIO rejected our progressive stream")
+      assert(ref.getWidth == w && ref.getHeight == h)
+      // grayscale JPEGs land in a linear-gray color space where
+      // getRGB applies the sRGB transfer curve (the PNG ImageIO
+      // lesson) — compare RAW raster samples there
+      val grayCs = ref.getColorModel.getColorSpace.getType ==
+        java.awt.color.ColorSpace.TYPE_GRAY
+      for (x <- 0 until w; y <- 0 until h) {
+        val (r, g, b) = ours.rgb(x, y)
+        val (er, eg, eb) =
+          if (grayCs) {
+            val v = ref.getRaster.getSample(x, y, 0); (v, v, v)
+          } else {
+            val argb = ref.getRGB(x, y)
+            ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+          }
+        val dr = math.abs(er - r); val dg = math.abs(eg - g)
+        val db = math.abs(eb - b)
+        assert(dr <= 3 && dg <= 3 && db <= 3,
+          s"trial $trial ($x,$y): ours ($r,$g,$b) vs ImageIO ($er,$eg,$eb)")
+      }
+    }
+  }
+
+  test("progressive profile rejections: DRI, baseline-in-progressive, bad scan headers") {
+    val coef = Array.tabulate(2)(bi => Array.tabulate(8, 8)((v, u) =>
+      if (u + v <= 1) bi * 3 + u + v + 1 else 0))
+    val good = Jpeg.encodeJpegProgressive(16, 8, 3, qZig, qOnes, Array(coef))
+    assert(Jpeg.parseJpegProgressive(good).isDefined)
+    assert(Jpeg.parseJpegAuto(good).isDefined)
+    // a baseline stream is not a progressive one and vice versa
+    val baseline = Jpeg.encodeJpeg(16, 8, 3, qZig, coef)
+    assert(Jpeg.parseJpegProgressive(baseline).isEmpty)
+    assert(Jpeg.parseJpeg(good).isEmpty)
+    // truncation at every layer
+    for (cut <- Seq(4, 40, good.length / 2, good.length - 1))
+      assert(Jpeg.parseJpegProgressive(good.take(cut)).isEmpty, s"cut $cut")
+    // corrupt a scan-header byte: Se > 63 in the first AC scan
+    val sosPositions = (0 until good.length - 1).filter(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    assert(sosPositions.length == 5, "the 5-scan script")
+    val badSe = good.clone()
+    // second SOS (first AC scan): Se byte sits at sos + 2 + 2 + 1 + 2*1 + 1
+    badSe(sosPositions(1) + 8) = 77.toByte
+    assert(Jpeg.parseJpegProgressive(badSe).isEmpty, "Se > 63 must reject")
+  }
 }
