@@ -37,6 +37,7 @@ object Pipeline extends PipelineStreamBatch {
     "p12_leakage_safe_split" -> p12, "p13_pack_bpe" -> p13,
     "p14_epoch_schedule" -> p14, "p15_pretrain_build" -> p15,
     "p16_pretrain_build_semantic" -> p16,
+    "p17_pretrain_build_multimodal" -> p17,
     "t13_vocab_coverage" -> t13,
     "t14_dedup_impact" -> t14, "t15_lm_quality_partition" -> t15,
     "t16_ngram_novelty" -> t16, "t17_learned_tokenizer" -> t17,
@@ -110,6 +111,7 @@ object Pipeline extends PipelineStreamBatch {
     "p12_leakage_safe_split" -> p12Sql, "p13_pack_bpe" -> p13Sql,
     "p14_epoch_schedule" -> p14Sql, "p15_pretrain_build" -> p15Sql,
     "p16_pretrain_build_semantic" -> p16Sql,
+    "p17_pretrain_build_multimodal" -> p17Sql,
     "t13_vocab_coverage" -> t13Sql,
     "s06_ann_range_search" -> s06Sql, "s07_ann_range_ivf" -> s07Sql,
     "s08_ann_topk_ivf" -> s08Sql, "s09_ann_mips" -> s09Sql,

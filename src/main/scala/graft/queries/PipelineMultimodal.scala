@@ -208,6 +208,207 @@ private[graft] trait PipelineMultimodal extends PipelineText {
       |WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995
       |ORDER BY a_id, b_id""".stripMargin
 
+  // -- p17: the MULTIMODAL pretrain build ------------------------------------
+  // p15/p16 certify the TEXT build; p17 composes the multimodal
+  // family's own certified stages into one declarative manifest (the
+  // round-13 verdict's #7): mixed BMP/PNG payloads decoded to m08's
+  // content embeddings (container-blind) → p05b's cell-blocked,
+  // hot-cell-salted near-dup pair graph computed ONCE and reused at
+  // BOTH thresholds — near-identical classes (cosine ≥ 0.9999) keep
+  // their min-id representative, and ≥ 0.995 components become the
+  // LEAKAGE-SAFE split units (a near-dup pair straddling train/test
+  // is a leak even when both survive dedup) — → m04's multimodal
+  // token pricing (text tokens + 576/image patch tokens, one
+  // arithmetic with text packing) → hierarchicalPack into 8192-token
+  // bins → p14's wrap-around epoch schedule. One row per surviving
+  // doc: split, price, bin placement, first epoch.
+  //
+  // The oracle composes the stages' own certified CTE chains
+  // (pixel-formula embeddings, the IntLloyd cell fit, the blocked
+  // pair join, recursive components, m04's cost arithmetic, the
+  // prefix-sum pack, the schedule) — hash equality certifies the
+  // COMPOSITION; PipelineScaleSpec additionally pins the survivor set
+  // against the standalone p05b pair graph.
+  //
+  // Scale: every stage keeps its own documented shape — map-only
+  // decode+embed, √n-cell blocking with the salting cap, O(diameter)
+  // components over pairs only, map-side pricing, two bounded
+  // window shuffles for packing, two for the schedule.
+  private[queries] val p17: Q = (s, d) => {
+    import graft.operators.Multimodal
+    val docs = T.documents(s, d)
+    val n = T.documentsCount(s, d)
+    val kk = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val emb = Multimodal.embed(s, framedRaster(s, d)).toDF()
+      .transform(graft.CacheScope.cached) // fit sample + assignment + join sides
+    val cents = graft.operators.IntLloyd.fit(
+      emb, "doc_id", "hist", n, numSub = 1, subLen = 16, k = kk,
+      cap = math.max(2048L, 64L * kk), iters = 5, salt = "bmpcell")(0)
+      .map(_.map(_.toDouble))
+    val cells = emb.withColumn("cell", element_at(
+      graft.functions.GraftColumns.nearestClusters(col("hist"), cents, 1), 1))
+    val pairsAll = saltedBlockedCosinePairs(cells, "cell", "doc_id", "hist",
+      0.995, cap = P05bHotCellCap)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .transform(graft.CacheScope.cached) // both thresholds read it
+    // 2. near-identical keeper: min doc_id survives its class
+    val kPairs = pairsAll.filter(col("cosine") >= 0.9999)
+      .select(col("a_id"), col("b_id"))
+    val dropped = Operators.connectedComponents(kPairs, "a_id", "b_id")
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val c2 = emb.select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .transform(graft.CacheScope.cached) // split restrict + manifest base
+    val c2ids = c2.select(col("doc_id"))
+    // 3. leakage-safe split over the SAME pair graph at ≥ 0.995
+    val sPairs = pairsAll.select(col("a_id"), col("b_id"))
+      .join(c2ids.toDF("a_id"), Seq("a_id"), "left_semi")
+      .join(c2ids.toDF("b_id"), Seq("b_id"), "left_semi")
+    val comps = Operators.connectedComponents(sPairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val assigned = c2.join(comps, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", substring(
+        md5(concat(col("split_key").cast(StringType), lit("|graft-msplit"))), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cd", "train")
+          .when(col("bucket") < "e7", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+    // 4. price in multimodal tokens (m04's certified arithmetic)
+    val cost = docs
+      .withColumn("text_tokens",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")))
+      .withColumn("n_images",
+        (least(expr("octet_length(cast(text as binary)) div 1000"), lit(7)) + 1)
+          .cast(IntegerType))
+      .select(col("doc_id"),
+        (col("text_tokens") + col("n_images") * 576).cast(LongType).as("mm"))
+    val priced = assigned.join(cost, Seq("doc_id"), "left")
+      .withColumn("mm_tokens", coalesce(col("mm"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("split"), col("mm_tokens"))
+      .transform(graft.CacheScope.cached) // packing + schedule + manifest
+    val train = priced.filter(col("split") === "train")
+    // 5. pack the train split
+    val packed = hierarchicalPack(
+      train.withColumn("cost", col("mm_tokens")), budget = 8192, shardSize = 512)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+    // 6. first epoch (p14's wrap-around slice policy, E=4)
+    val ranked = train
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("p17|"), col("doc_id").cast(StringType))),
+          col("doc_id"))) - 1)
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("quota", expr("(n_src + 1) div 2"))
+    def adm(e: Int) =
+      pmod(col("r") - lit(e.toLong) * col("quota"), col("n_src")) < col("quota")
+    val sched = ranked.select(col("doc_id"),
+      when(adm(0), 0L).when(adm(1), 1L).when(adm(2), 2L).when(adm(3), 3L)
+        .otherwise(-1L).as("first_epoch"))
+    priced
+      .join(packed, Seq("doc_id"), "left")
+      .join(sched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("split"), col("mm_tokens"),
+        coalesce(col("bin_id"), lit(-1L)).as("bin_id"),
+        coalesce(col("bin_offset"), lit(-1L)).as("bin_offset"),
+        coalesce(col("first_epoch"), lit(-1L)).as("first_epoch"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val p17Sql: String =
+    s"""WITH RECURSIVE
+      |$bmpHistSql,
+      |${graft.operators.IntLloyd.fitSql(
+          srcSql = "SELECT doc_id, hist FROM f",
+          idExpr = "doc_id", vecExpr = "hist", numSub = 1, subLen = 16,
+          kExpr = "GREATEST(8, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))",
+          capExpr = "GREATEST(2048, 64*k)", iters = 5, salt = "bmpcell", p = "bc")},
+      |asgb AS (
+      |  SELECT doc_id, source, hist, cluster FROM (
+      |    SELECT f.doc_id, f.source, f.hist, c.cluster,
+      |      row_number() OVER (PARTITION BY f.doc_id ORDER BY
+      |        list_cosine_similarity(f.hist, c.cv) DESC, c.cluster) AS rn
+      |    FROM f CROSS JOIN bccent c)
+      |  WHERE rn = 1),
+      |mpairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    list_cosine_similarity(a.hist, b.hist) AS cosine
+      |  FROM asgb a JOIN asgb b ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+      |  WHERE list_cosine_similarity(a.hist, b.hist) >= 0.995),
+      |kpairs AS (SELECT a_id, b_id FROM mpairs WHERE cosine >= 0.9999),
+      |ke AS (SELECT a_id AS src, b_id AS dst FROM kpairs
+      |       UNION ALL SELECT b_id, a_id FROM kpairs),
+      |kreach(src, dst) AS (
+      |  SELECT src, dst FROM ke
+      |  UNION
+      |  SELECT r.src, e.dst FROM kreach r JOIN ke e ON r.dst = e.src),
+      |kcomp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS comp
+      |          FROM kreach GROUP BY src),
+      |dropped AS (SELECT doc_id FROM kcomp WHERE doc_id <> comp),
+      |c2 AS (SELECT doc_id, source FROM documents
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+      |spairs AS (
+      |  SELECT a_id, b_id FROM mpairs
+      |  WHERE a_id IN (SELECT doc_id FROM c2)
+      |    AND b_id IN (SELECT doc_id FROM c2)),
+      |se AS (SELECT a_id AS src, b_id AS dst FROM spairs
+      |       UNION ALL SELECT b_id, a_id FROM spairs),
+      |sreach(src, dst) AS (
+      |  SELECT src, dst FROM se
+      |  UNION
+      |  SELECT r.src, e.dst FROM sreach r JOIN se e ON r.dst = e.src),
+      |scomp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      |          FROM sreach GROUP BY src),
+      |assigned AS (
+      |  SELECT c.doc_id, c.source,
+      |    CASE WHEN substr(md5(CAST(COALESCE(sc.cluster_id, c.doc_id) AS VARCHAR)
+      |        || '|graft-msplit'), 1, 2) < 'cd' THEN 'train'
+      |      WHEN substr(md5(CAST(COALESCE(sc.cluster_id, c.doc_id) AS VARCHAR)
+      |        || '|graft-msplit'), 1, 2) < 'e7' THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM c2 c LEFT JOIN scomp sc ON c.doc_id = sc.doc_id),
+      |mcost AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+      |      + CAST(least(octet_length(encode(text)) // 1000, 7) + 1 AS BIGINT) * 576
+      |      AS mm
+      |  FROM documents),
+      |priced AS (
+      |  SELECT a.doc_id, a.source, a.split,
+      |    CAST(COALESCE(m.mm, 0) AS BIGINT) AS mm_tokens
+      |  FROM assigned a LEFT JOIN mcost m ON a.doc_id = m.doc_id),
+      |packw AS (
+      |  SELECT doc_id, mm_tokens,
+      |    CAST(SUM(mm_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM priced WHERE split = 'train'),
+      |packed AS (
+      |  SELECT doc_id, (cum - mm_tokens) // 8192 AS bin_id,
+      |    (cum - mm_tokens) % 8192 AS bin_offset
+      |  FROM packw),
+      |tr AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('p17|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_src
+      |  FROM priced WHERE split = 'train'),
+      |sched AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ((r - 0 * q) % n_src + n_src) % n_src < q THEN 0
+      |         WHEN ((r - 1 * q) % n_src + n_src) % n_src < q THEN 1
+      |         WHEN ((r - 2 * q) % n_src + n_src) % n_src < q THEN 2
+      |         WHEN ((r - 3 * q) % n_src + n_src) % n_src < q THEN 3
+      |         ELSE -1 END AS first_epoch
+      |  FROM (SELECT doc_id, r, n_src, (n_src + 1) // 2 AS q FROM tr))
+      |SELECT p.doc_id, p.source, p.split, p.mm_tokens,
+      |  CAST(COALESCE(pk.bin_id, -1) AS BIGINT) AS bin_id,
+      |  CAST(COALESCE(pk.bin_offset, -1) AS BIGINT) AS bin_offset,
+      |  CAST(COALESCE(sd.first_epoch, -1) AS BIGINT) AS first_epoch
+      |FROM priced p
+      |LEFT JOIN packed pk ON p.doc_id = pk.doc_id
+      |LEFT JOIN sched sd ON p.doc_id = sd.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   // -- m08: REAL pixel decode + block-mean-luminance grid ------------------
   // The last declared fake, closed: payloads are genuine 24bpp BMPs
   // (public compression-free format — pure byte arithmetic, no codec

@@ -857,6 +857,48 @@ class PipelineScaleSpec extends SparkSpec {
       s"(flagged ${(p15Ids intersect semFlagged).size}, held-out ${p15Ids.count(_ % 13 == 7)})")
   }
 
+  test("p17 survivors = all docs minus exactly the standalone p05b near-identical classes' non-keepers") {
+    // The multimodal build's keeper stage must drop PRECISELY the
+    // non-min members of the ≥ 0.9999 components of the standalone
+    // p05b pair graph — tying the composed manifest to its certified
+    // stage. Split/pack/schedule recompute over the survivor set, so
+    // the ID-set invariant is the stable one (the p16 pin's shape).
+    val manifest = SparkEntry.queries("p17_pretrain_build_multimodal")(spark, sfDir)
+      .select("doc_id", "split").collect()
+    graft.CacheScope.drain()
+    val p17Ids = manifest.map(_.getLong(0)).toSet
+    val pairs = SparkEntry.queries("p05b_multimodal_dedup_cells")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.CacheScope.drain()
+    // brute-force the ≥ 0.9999 components and their min-id keepers
+    val strong = pairs.filter(_._3 >= 0.9999).map(p => (p._1, p._2))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    strong.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = strong.flatMap(p => Seq(p._1, p._2)).toSet
+    val nonKeepers = members.filter(id => find(id) != id)
+    val allIds = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p17Ids == allIds -- nonKeepers,
+      s"keeper drift: extra=${p17Ids -- (allIds -- nonKeepers)} " +
+        s"missing=${(allIds -- nonKeepers) -- p17Ids}")
+    assert(nonKeepers.nonEmpty, "the keeper must actually drop something here")
+    // leakage-safety: no >= 0.995 pair straddles two splits
+    val splitOf = manifest.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leaks = pairs.filter { case (a, b, _) =>
+      splitOf.contains(a) && splitOf.contains(b) && splitOf(a) != splitOf(b)
+    }
+    assert(leaks.isEmpty, s"near-dup pairs straddle splits: ${leaks.take(5).toSeq}")
+    info(s"docs ${allIds.size} -> p17 survivors ${p17Ids.size} " +
+      s"(dropped ${nonKeepers.size}); ${pairs.length} pairs, zero split leaks")
+  }
+
   test("s26 code-routed walk re-ranks at full precision; clustered recall survives codes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
