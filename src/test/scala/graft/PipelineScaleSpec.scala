@@ -961,18 +961,20 @@ class PipelineScaleSpec extends SparkSpec {
 
   test("s25 geometry grid prices the graph family on both geometries in one frame") {
     // The round-12 verdict's #1, pinned structurally: the grid must
-    // carry BOTH geometries for all three graph rungs, the clustered
-    // re-geometry must reproduce the basin-lock finding (s24 ≥ s20,
-    // s24 high) inside the SAME registered query, and recall must
-    // equal hits/5 row by row (the exact join is the one baseline).
+    // carry BOTH geometries for all FOUR graph-family rungs (round 14
+    // added s26's PQ-routed walk per the round-13 verdict's #2), the
+    // clustered re-geometry must reproduce the basin-lock finding
+    // (s24 ≥ s20, s24 high) inside the SAME registered query, and
+    // recall must equal hits/5 row by row (the exact join is the one
+    // baseline).
     val rows = SparkEntry.queries("s25_ann_graph_geometry_grid")(spark, sfDir)
       .collect()
     graft.CacheScope.drain()
     val geoms = rows.map(_.getString(0)).toSet
     val methods = rows.map(_.getString(1)).toSet
     assert(geoms == Set("random", "clustered"))
-    assert(methods == Set("s16_graph", "s20_beam", "s24_ivf_beam"))
-    assert(rows.length == 2 * 3 * 10, s"2 geoms x 3 methods x 10 queries, got ${rows.length}")
+    assert(methods == Set("s16_graph", "s20_beam", "s24_ivf_beam", "s26_pq_beam"))
+    assert(rows.length == 2 * 4 * 10, s"2 geoms x 4 methods x 10 queries, got ${rows.length}")
     rows.foreach { r =>
       assert(r.getDouble(5) == r.getLong(3).toDouble / 5,
         s"recall must be hits/5: $r")
