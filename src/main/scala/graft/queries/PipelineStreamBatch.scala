@@ -121,6 +121,43 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
        |  CAST(SUM(n_chars) AS BIGINT) AS body_chars
        |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e18: streaming zstd intake --------------------------------------------
+  // t30's read path joined to the streaming family (see
+  // StreamingJobs.zstdIntakeStream): real-library-compressed frames
+  // decoded AS THEY ARRIVE by the hand-written RFC 8878 decoder,
+  // folded per (hour window, source). Batch run of the same code path
+  // is the oracle; the oracle SQL states the decoded-text volumes
+  // directly from documents (e15's shape — a decoder misreading any
+  // symbol changes text_chars and breaks the hash).
+  private[queries] val e18: Q = (s, d) => {
+    import s.implicits._
+    val media = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val level = 1 + ((id % 4) * 6).toInt
+          (id, src, com.github.luben.zstd.Zstd.compress(text.getBytes("UTF-8"), level))
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+      .withColumn("ts",
+        to_timestamp(lit("2024-01-01 00:00:00")) +
+          expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.zstdIntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private[queries] val e18Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, length(text) AS n_chars,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+      |  FROM documents)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_files,
+      |  CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(SUM(n_chars) AS BIGINT) AS text_chars
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e17: streaming WARC shard intake -------------------------------------
   // t28's read path joined to the streaming family (see
   // StreamingJobs.warcIntakeStream): `.warc.gz` shards member-walked

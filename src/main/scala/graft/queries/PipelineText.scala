@@ -2077,6 +2077,61 @@ private[graft] trait PipelineText extends PipelineDedup {
       .orderBy(col("doc_id"))
   }
 
+  // -- t30: zstd ingest (RFC 8878) -------------------------------------------
+  // The OTHER wire format modern corpora arrive in: `.zst` shards.
+  // The fixture compresses documents.text with the REAL zstd library
+  // (zstd-jni, on the provided classpath because Spark ships it for
+  // shuffle compression), rotating compression level by doc (1 / 7 /
+  // 13 / 19 — different levels exercise different literals/sequence
+  // mode mixes: RLE tables, FSE-compressed tables, treeless repeats,
+  // 4-stream literals) and turning the XXH64 content checksum ON for
+  // every third doc; graft.operators.Zstd — the hand-written RFC 8878
+  // decoder (backward bitstream, FSE table build + NCount parse,
+  // Huffman literals with FSE-compressed weights, predefined/RLE/
+  // FSE/repeat sequence modes, repeat-offset history, checksum
+  // verification) — decodes every frame. The report re-derives from
+  // documents.text (t25's oracle identity): one misdecoded symbol
+  // anywhere in the entropy stack changes the md5.
+  //
+  // Scale: t25's class — two map-only passes, linear in text bytes,
+  // zero shuffles before the output sort.
+  private[queries] val t30: Q = (s, d) => {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val level = 1 + ((id % 4) * 6).toInt // 1, 7, 13, 19
+          val z =
+            if (id % 3 == 0) {
+              val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+              try { ctx.setLevel(level); ctx.setChecksum(true); ctx.compress(raw) }
+              finally ctx.close()
+            } else com.github.luben.zstd.Zstd.compress(raw, level)
+          (id, z)
+        }
+      }
+      .mapPartitions { it =>
+        it.flatMap { case (id, z) =>
+          graft.operators.Zstd.decompress(z).map { raw =>
+            val text = new String(raw, "UTF-8")
+            (id, z.length.toLong,
+              text.codePointCount(0, text.length).toLong, text)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_bytes", "n_chars", "text")
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t30Sql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private[queries] val t29Sql: String =
     """WITH d AS (
       |  SELECT doc_id, text, length(text) AS len,

@@ -306,6 +306,42 @@ object StreamingJobs {
         col("n_malformed"), col("body_chars"))
   }
 
+  /** e18: streaming zstd intake — t30's read path joined to the
+    * streaming family: `.zst` frames decoded ON ARRIVAL by the
+    * hand-written RFC 8878 decoder (graft.operators.Zstd — full
+    * entropy stack, checksum verified when present), folded per (hour
+    * window, source) into the intake SLO; an undecodable frame counts
+    * in n_undecodable, never kills the job. Batch run of the same
+    * function is the oracle (e03's trick).
+    *
+    * Scale: decode is map-side, linear in frame bytes; one (window,
+    * source) shuffle of two longs per partial. */
+  def zstdIntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.operators.Zstd.decompress(payload) match {
+            case Some(raw) =>
+              // code points, matching Spark/DuckDB length()
+              val s = new String(raw, "UTF-8")
+              (ts, src, true, s.codePointCount(0, s.length).toLong)
+            case None => (ts, src, false, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "n_chars")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_chars")).as("text_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_files"), col("n_undecodable"), col("text_chars"))
+  }
+
   /** e17: streaming WARC shard intake — t28's read path joined to the
     * streaming family: `.warc.gz` shards decompressed ON ARRIVAL
     * (member walk — Common Crawl frames each record as its own gzip

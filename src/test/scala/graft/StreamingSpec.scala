@@ -340,6 +340,42 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
   }
 
+  test("zstdIntakeStream: incremental equals batch; corrupt frames in n_undecodable") {
+    implicit val sqlCtx = spark.sqlContext
+    def z(s: String, level: Int) =
+      com.github.luben.zstd.Zstd.compress(s.getBytes("UTF-8"), level)
+    val corrupt = {
+      val g = z("never seen at all", 3)
+      g(g.length / 2) = (g(g.length / 2) ^ 0x55).toByte
+      // a mid-frame flip may still decode to different bytes; kill the
+      // magic too so the frame is undecodable by construction
+      g(0) = 0x29.toByte; g
+    }
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"), z("first text", 1), "web"),
+      (ts("2024-01-01 00:20:00"), z("second document body", 19), "web"),
+      (ts("2024-01-01 00:45:00"), corrupt, "books"),
+      (ts("2024-01-01 01:10:00"), z("hour two", 7), "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.zstdIntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_zstd").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_zstd").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.zstdIntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 1L, 1L, 0L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 30L), // 10 + 20 chars
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
+  }
+
   test("warcIntakeStream: incremental equals batch; corrupt records AND shards accounted") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Inflate
