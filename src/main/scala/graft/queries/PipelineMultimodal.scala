@@ -240,24 +240,46 @@ private[graft] trait PipelineMultimodal extends PipelineText {
     val n = T.documentsCount(s, d)
     val kk = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
     val emb = Multimodal.embed(s, framedRaster(s, d)).toDF()
-      .transform(graft.CacheScope.cached) // fit sample + assignment + join sides
+      .transform(graft.CacheScope.cached) // fit sample + collapse + join sides
+    // 1b. EXACT-IDENTITY COLLAPSE before any pairing (round 14's 100×
+    // lesson, measured: the clique pair graph of identical-content
+    // classes spilled 50+ GB at 100× — class sizes grow with the
+    // corpus, so at warehouse scale pairing inside them is the
+    // quadratic term). Identical embeddings — identical rasters —
+    // collapse to their min-id representative with ONE linear
+    // groupBy; the near-dup machinery then runs on DISTINCT vectors
+    // only. Provably the same manifest: identical vectors assign to
+    // the same cell and pair at cosine 1 ≥ every threshold, reps are
+    // class minima, so full-graph components = rep-graph components
+    // expanded, with the same minimum (the PipelineScaleSpec pin
+    // checks the survivor set against the standalone p05b pair graph
+    // unchanged).
+    val classRep = emb.groupBy(col("hist")).agg(min(col("doc_id")).as("rep"))
+    val withRep = emb.join(classRep, Seq("hist"))
+      .select(col("doc_id"), col("source"), col("hist"), col("rep"))
+      .transform(graft.CacheScope.cached) // rep frame + survivor base
+    val repEmb = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("source"), col("hist"))
     val cents = graft.operators.IntLloyd.fit(
       emb, "doc_id", "hist", n, numSub = 1, subLen = 16, k = kk,
       cap = math.max(2048L, 64L * kk), iters = 5, salt = "bmpcell")(0)
       .map(_.map(_.toDouble))
-    val cells = emb.withColumn("cell", element_at(
+    val cells = repEmb.withColumn("cell", element_at(
       graft.functions.GraftColumns.nearestClusters(col("hist"), cents, 1), 1))
     val pairsAll = saltedBlockedCosinePairs(cells, "cell", "doc_id", "hist",
       0.995, cap = P05bHotCellCap)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .transform(graft.CacheScope.cached) // both thresholds read it
-    // 2. near-identical keeper: min doc_id survives its class
+    // 2. near-identical keeper: a doc survives iff it IS its identity
+    // rep AND its rep is its ≥0.9999 rep-component's minimum
     val kPairs = pairsAll.filter(col("cosine") >= 0.9999)
       .select(col("a_id"), col("b_id"))
-    val dropped = Operators.connectedComponents(kPairs, "a_id", "b_id")
-      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
-    val c2 = emb.select(col("doc_id"), col("source"))
-      .join(dropped, Seq("doc_id"), "left_anti")
+    val kComps = Operators.connectedComponents(kPairs, "a_id", "b_id")
+      .select(col("id").as("rep"), col("comp"))
+    val c2 = withRep
+      .join(kComps, Seq("rep"), "left")
+      .filter(col("doc_id") === coalesce(col("comp"), col("rep")))
+      .select(col("doc_id"), col("source"))
       .transform(graft.CacheScope.cached) // split restrict + manifest base
     val c2ids = c2.select(col("doc_id"))
     // 3. leakage-safe split over the SAME pair graph at ≥ 0.995
