@@ -9,7 +9,10 @@ package graft.operators
   * form; ZstdSpec round-trips against zstd-jni across levels and
   * shapes and corrupts streams at every structural layer.
   *
-  * Implements the full single-frame format: frame header (window
+  * Implements the frame SERIES format of RFC 8878 §3.1.2
+  * ([[frameList]] / [[decompressSeries]]: zstd frames interleaved
+  * with skippable frames, the shape pzstd and seekable-zstd write)
+  * and, per frame: frame header (window
   * descriptor / single-segment, all four frame-content-size fields,
   * dictionary ids rejected as out of profile, content checksum
   * VERIFIED via a hand-written XXH64), raw / RLE / compressed blocks,
@@ -349,18 +352,85 @@ object Zstd {
     * on any malformation or out-of-profile feature (dictionaries).
     * `maxOut` bounds the decompressed allocation. */
   def decompress(p: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] =
-    try Some(decode0(p, maxOut)) catch {
+    try {
+      val (raw, next) = decodeFrame(p, 0, maxOut)
+      if (next == p.length) Some(raw) else None
+    } catch {
       case Bad => None
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
     }
 
-  private def decode0(p: Array[Byte], maxOut: Int): Array[Byte] = {
+  /** RFC 8878 §3.1.2: a `.zst` PAYLOAD is a SERIES of frames — zstd
+    * frames interleaved with skippable frames (magic 0x184D2A5?, an
+    * explicit 4-byte length, opaque content; pzstd and seekable-zstd
+    * write them routinely) — the gzip member-series story
+    * ([[Inflate.gunzipMemberList]]) one format over. Walks every
+    * frame (each zstd frame fully decoded and verified, each
+    * skippable frame skipped by its declared length), requires the
+    * frames to exactly tile the payload, and returns one decoded
+    * array per ZSTD frame (boundaries kept — the record-per-frame
+    * read primitive) plus the skippable-frame count. None on any
+    * malformation in any frame: a corrupt frame's length is
+    * unknowable, so the walk cannot resync past one — the caller
+    * accounts the whole payload (the e15/e17 idiom). `maxOut` bounds
+    * TOTAL allocation across the series. */
+  def frameList(p: Array[Byte],
+                maxOut: Int = 1 << 26): Option[(Vector[Array[Byte]], Int)] =
+    try {
+      if (p.length == 0) return None
+      val frames = Vector.newBuilder[Array[Byte]]
+      var nSkip = 0
+      var total = 0L
+      var pos = 0
+      while (pos < p.length) {
+        if (pos + 4 > p.length) return None
+        val magic = (p(pos) & 0xff) | ((p(pos + 1) & 0xff) << 8) |
+          ((p(pos + 2) & 0xff) << 16) | ((p(pos + 3) & 0xff) << 24)
+        if (magic == 0xfd2fb528) {
+          val (raw, next) = decodeFrame(p, pos, (maxOut - total).toInt)
+          frames += raw
+          total += raw.length
+          pos = next
+        } else if ((magic & 0xfffffff0) == 0x184d2a50) { // skippable
+          if (pos + 8 > p.length) return None
+          val sz = (p(pos + 4) & 0xffL) | ((p(pos + 5) & 0xffL) << 8) |
+            ((p(pos + 6) & 0xffL) << 16) | ((p(pos + 7) & 0xffL) << 24)
+          if (pos + 8 + sz > p.length) return None
+          pos += 8 + sz.toInt
+          nSkip += 1
+        } else return None
+      }
+      Some((frames.result(), nSkip))
+    } catch {
+      case Bad => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  /** [[frameList]]'s concatenation — what a `.zst` shard decodes to. */
+  def decompressSeries(p: Array[Byte],
+                       maxOut: Int = 1 << 26): Option[Array[Byte]] =
+    frameList(p, maxOut).map { case (fs, _) =>
+      var n = 0
+      fs.foreach(f => n += f.length)
+      val out = new Array[Byte](n)
+      var o = 0
+      fs.foreach { f => System.arraycopy(f, 0, out, o, f.length); o += f.length }
+      out
+    }
+
+  /** Decode ONE zstd frame starting at `start`; returns the decoded
+    * bytes and the offset just past the frame (checksum included).
+    * Throws [[Bad]] on any malformation. */
+  private def decodeFrame(p: Array[Byte], start: Int, maxOut: Int): (Array[Byte], Int) = {
     def bad(): Nothing = throw Bad
     @inline def u8(i: Int): Int = { if (i < 0 || i >= p.length) bad(); p(i) & 0xff }
-    if (p.length < 6) bad()
-    if (u8(0) != 0x28 || u8(1) != 0xb5 || u8(2) != 0x2f || u8(3) != 0xfd) bad()
-    var pos = 4
+    if (maxOut < 0) bad()
+    if (start < 0 || start + 6 > p.length) bad()
+    if (u8(start) != 0x28 || u8(start + 1) != 0xb5 ||
+        u8(start + 2) != 0x2f || u8(start + 3) != 0xfd) bad()
+    var pos = start + 4
     val fhd = u8(pos); pos += 1
     val fcsFlag = fhd >> 6
     val singleSeg = (fhd & 0x20) != 0
@@ -393,8 +463,17 @@ object Zstd {
     if (windowSize < 0 || fcs > maxOut) bad()
     val blockMax = math.max(1L, math.min(windowSize, 128L * 1024)).toInt
 
-    val out = new java.io.ByteArrayOutputStream(
-      if (fcs >= 0 && fcs < (1 << 26)) fcs.toInt else 4096)
+    // ONE growable output buffer for the whole frame: match copies
+    // index it directly, so multi-block decode is O(output bytes),
+    // not O(blocks × output) per-block history snapshots.
+    var outBuf = new Array[Byte](
+      math.max(64, if (fcs >= 0 && fcs < (1 << 26)) fcs.toInt else 4096))
+    var outLen = 0
+    @inline def ensure(n: Int): Unit = {
+      if (n < 0) bad()
+      if (n > outBuf.length)
+        outBuf = java.util.Arrays.copyOf(outBuf, math.max(outBuf.length * 2, n))
+    }
     // cross-block decoder state
     val reps = Array(1, 4, 8)
     var prevHuf: HufTable = null
@@ -412,14 +491,17 @@ object Zstd {
       btype match {
         case 0 => // raw
           if (pos + bsize > p.length || bsize > blockMax) bad()
-          if (out.size + bsize > maxOut) bad()
-          out.write(p, pos, bsize)
+          if (outLen + bsize > maxOut) bad()
+          ensure(outLen + bsize)
+          System.arraycopy(p, pos, outBuf, outLen, bsize)
+          outLen += bsize
           pos += bsize
         case 1 => // RLE
-          if (bsize > blockMax || out.size + bsize > maxOut) bad()
-          val b = u8(pos).toByte; pos += 1
-          var k = 0
-          while (k < bsize) { out.write(b); k += 1 }
+          if (bsize > blockMax || outLen + bsize > maxOut) bad()
+          ensure(outLen + bsize)
+          java.util.Arrays.fill(outBuf, outLen, outLen + bsize, u8(pos).toByte)
+          outLen += bsize
+          pos += 1
         case 2 => // compressed
           if (pos + bsize > p.length) bad()
           val blockEnd = pos + bsize
@@ -535,46 +617,48 @@ object Zstd {
           if (sb0 == 0) { nbSeq = 0; pos += 1 }
           else if (sb0 < 128) { nbSeq = sb0; pos += 1 }
           else if (sb0 < 255) { nbSeq = ((sb0 - 128) << 8) | u8(pos + 1); pos += 2 }
-          else { nbSeq = u8(pos + 1) | (u8(pos + 2) << 8) | 0x7f00; pos += 3 }
+          else { // byte0 == 255: nbSeq = byte1 + (byte2<<8) + 0x7f00 (ADD)
+            nbSeq = (u8(pos + 1) | (u8(pos + 2) << 8)) + 0x7f00; pos += 3
+          }
 
-          val blk = new Array[Byte](blockMax)
-          var blkLen = 0
+          val blockStart = outLen
+          ensure(blockStart + blockMax) // block content is capped by blockMax
           var litPos = 0
-          val history = out.toByteArray
           if (nbSeq > 0) {
             val scm = u8(pos); pos += 1
             if ((scm & 3) != 0) bad()
-            var rleLL = -1; var rleOF = -1; var rleML = -1
             def loadTable(m: Int, maxSym: Int, maxLog: Int, defT: FseTable,
-                          prevT: FseTable, setRle: Int => Unit): FseTable = m match {
+                          prevT: FseTable): FseTable = m match {
               case 0 => defT
               case 1 =>
-                val s = u8(pos); pos += 1
-                if (s > maxSym) bad()
-                setRle(s); null
+                val sSym = u8(pos); pos += 1
+                if (sSym > maxSym) bad()
+                // reference ZSTD_buildSeqTable(set_rle): a one-cell
+                // table (accuracyLog 0) that always yields sSym with
+                // 0-bit state reads — and it IS the Repeat_Mode
+                // target for the next block, like any built table.
+                new FseTable(0, Array(sSym), Array(0), Array(0))
               case 2 =>
                 val (t, n) = fseParse(p, pos, blockEnd, maxSym, maxLog)
                   .getOrElse(bad())
                 pos += n; t
               case _ => if (prevT == null) bad(); prevT
             }
-            val tLL = loadTable((scm >> 6) & 3, 35, 9, llDefaultT, prevLL, rleLL = _)
-            val tOF = loadTable((scm >> 4) & 3, 31, 8, ofDefaultT, prevOF, rleOF = _)
-            val tML = loadTable((scm >> 2) & 3, 52, 9, mlDefaultT, prevML, rleML = _)
-            if (((scm >> 6) & 3) != 1) prevLL = tLL
-            if (((scm >> 4) & 3) != 1) prevOF = tOF
-            if (((scm >> 2) & 3) != 1) prevML = tML
+            val tLL = loadTable((scm >> 6) & 3, 35, 9, llDefaultT, prevLL)
+            val tOF = loadTable((scm >> 4) & 3, 31, 8, ofDefaultT, prevOF)
+            val tML = loadTable((scm >> 2) & 3, 52, 9, mlDefaultT, prevML)
+            prevLL = tLL; prevOF = tOF; prevML = tML
             val bs = new BackBits(p, pos, blockEnd)
             if (bs.bad) bad()
-            var stLL = if (tLL != null) bs.read(tLL.accuracyLog) else 0
-            var stOF = if (tOF != null) bs.read(tOF.accuracyLog) else 0
-            var stML = if (tML != null) bs.read(tML.accuracyLog) else 0
+            var stLL = bs.read(tLL.accuracyLog)
+            var stOF = bs.read(tOF.accuracyLog)
+            var stML = bs.read(tML.accuracyLog)
             if (bs.overread) bad()
             var si = 0
             while (si < nbSeq) {
-              val llCode = if (tLL != null) tLL.symbol(stLL) else rleLL
-              val ofCode = if (tOF != null) tOF.symbol(stOF) else rleOF
-              val mlCode = if (tML != null) tML.symbol(stML) else rleML
+              val llCode = tLL.symbol(stLL)
+              val ofCode = tOF.symbol(stOF)
+              val mlCode = tML.symbol(stML)
               if (llCode > 35 || mlCode > 52 || ofCode > 31 || ofCode < 0) bad()
               // extra bits: offset, then match, then literals (§3.1.1.4)
               val ofVal = (1L << ofCode) + bs.read(ofCode)
@@ -600,29 +684,26 @@ object Zstd {
                 }
               }
               // literals copy
-              if (litPos + ll > literals.length || blkLen + ll > blockMax) bad()
-              System.arraycopy(literals, litPos, blk, blkLen, ll)
-              litPos += ll; blkLen += ll
+              if (litPos + ll > literals.length ||
+                  outLen - blockStart + ll > blockMax) bad()
+              System.arraycopy(literals, litPos, outBuf, outLen, ll)
+              litPos += ll; outLen += ll
               // match copy (forward byte-by-byte: overlap-correct),
-              // source may reach into prior blocks' output
-              if (blkLen + ml > blockMax) bad()
-              var srcIdx = history.length + blkLen - offset
+              // source may reach into prior blocks' output — the same
+              // buffer, indexed directly
+              if (outLen - blockStart + ml > blockMax) bad()
+              var srcIdx = outLen - offset
               if (srcIdx < 0) bad()
               var k = 0
               while (k < ml) {
-                blk(blkLen) =
-                  if (srcIdx < history.length) history(srcIdx)
-                  else blk(srcIdx - history.length)
-                blkLen += 1; srcIdx += 1; k += 1
+                outBuf(outLen) = outBuf(srcIdx)
+                outLen += 1; srcIdx += 1; k += 1
               }
               si += 1
               if (si < nbSeq) { // state updates: LL, ML, OF (§4.1.2)
-                if (tLL != null)
-                  stLL = tLL.newStateBase(stLL) + bs.read(tLL.nbBits(stLL))
-                if (tML != null)
-                  stML = tML.newStateBase(stML) + bs.read(tML.nbBits(stML))
-                if (tOF != null)
-                  stOF = tOF.newStateBase(stOF) + bs.read(tOF.nbBits(stOF))
+                stLL = tLL.newStateBase(stLL) + bs.read(tLL.nbBits(stLL))
+                stML = tML.newStateBase(stML) + bs.read(tML.nbBits(stML))
+                stOF = tOF.newStateBase(stOF) + bs.read(tOF.nbBits(stOF))
                 if (bs.overread) bad()
               }
             }
@@ -634,24 +715,23 @@ object Zstd {
           // trailing literals
           val tail = literals.length - litPos
           if (tail > 0) {
-            if (blkLen + tail > blockMax) bad()
-            System.arraycopy(literals, litPos, blk, blkLen, tail)
-            blkLen += tail
+            if (outLen - blockStart + tail > blockMax) bad()
+            System.arraycopy(literals, litPos, outBuf, outLen, tail)
+            outLen += tail
           }
-          if (out.size + blkLen > maxOut) bad()
-          out.write(blk, 0, blkLen)
+          if (outLen > maxOut) bad()
         case _ => bad() // reserved block type
       }
     }
-    if (fcs >= 0 && out.size.toLong != fcs) bad()
+    if (fcs >= 0 && outLen.toLong != fcs) bad()
+    val result = java.util.Arrays.copyOf(outBuf, outLen)
     if (hasChecksum) {
       val want = u8(pos).toLong | (u8(pos + 1).toLong << 8) |
         (u8(pos + 2).toLong << 16) | (u8(pos + 3).toLong << 24)
-      if ((xxh64(out.toByteArray) & 0xffffffffL) != want) bad()
+      if ((xxh64(result) & 0xffffffffL) != want) bad()
       pos += 4
     }
-    if (pos != p.length) bad() // the frame must tile the payload
-    out.toByteArray
+    (result, pos)
   }
 
 }

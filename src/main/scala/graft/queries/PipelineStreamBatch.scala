@@ -123,26 +123,19 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
 
   // -- e18: streaming zstd intake --------------------------------------------
   // t30's read path joined to the streaming family (see
-  // StreamingJobs.zstdIntakeStream): real-library-compressed frames
-  // decoded AS THEY ARRIVE by the hand-written RFC 8878 decoder,
-  // folded per (hour window, source). Batch run of the same code path
-  // is the oracle; the oracle SQL states the decoded-text volumes
-  // directly from documents (e15's shape — a decoder misreading any
-  // symbol changes text_chars and breaks the hash).
+  // StreamingJobs.zstdIntakeStream): real-library-compressed FRAME
+  // SERIES — zstd frames with skippable frames interleaved (RFC 8878
+  // §3.1.2) — walked and decoded AS THEY ARRIVE by the hand-written
+  // RFC 8878 decoder, strict UTF-8 per frame, folded per (hour
+  // window, source); t30's corrupt payloads surface in n_undecodable.
+  // Batch run of the same code path is the oracle; the oracle SQL
+  // re-derives counts and volumes from documents via t30's doc
+  // arithmetic (a mis-walked boundary or misdecoded symbol shifts a
+  // count or changes text_chars and breaks the hash).
   private[queries] val e18: Q = (s, d) => {
-    import s.implicits._
-    val media = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .mapPartitions { it =>
-        it.map { case (id, src, text) =>
-          val level = 1 + ((id % 4) * 6).toInt
-          (id, src, com.github.luben.zstd.Zstd.compress(text.getBytes("UTF-8"), level))
-        }
-      }
-      .toDF("doc_id", "source", "payload")
-      .withColumn("ts",
-        to_timestamp(lit("2024-01-01 00:00:00")) +
-          expr("make_dt_interval(0, 0, doc_id, 0)"))
+    val media = framedZstdSeries(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
     graft.streaming.StreamingJobs.zstdIntakeStream(media)
       .orderBy(col("window_start"), col("source"))
   }
@@ -150,12 +143,21 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
   private[queries] val e18Sql =
     """WITH d AS (
       |  SELECT doc_id, source, length(text) AS n_chars,
+      |    doc_id % 11 = 7 AS corrupt,
+      |    1 + doc_id % 3 AS nfrm,
+      |    (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS nskip,
       |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
       |  FROM documents)
       |SELECT date_trunc('hour', ts) AS window_start, source,
       |  COUNT(*) AS n_files,
-      |  CAST(0 AS BIGINT) AS n_undecodable,
-      |  CAST(SUM(n_chars) AS BIGINT) AS text_chars
+      |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_undecodable,
+      |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE nfrm END) AS BIGINT) AS n_frames,
+      |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE nskip END) AS BIGINT)
+      |    AS n_skippable,
+      |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE n_chars END) AS BIGINT)
+      |    AS text_chars
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -- e17: streaming WARC shard intake -------------------------------------

@@ -1668,8 +1668,11 @@ private[graft] trait PipelineText extends PipelineDedup {
       .mapPartitions { it =>
         it.flatMap { case (id, z) =>
           // the ingest half: decode-or-drop (a malformed member must
-          // never take the job down — the curation report counts it)
-          Inflate.gunzip(z).map(raw => (id, new String(raw, "UTF-8")))
+          // never take the job down — the curation report counts it);
+          // STRICT UTF-8 (invalid bytes are a malformation, not a
+          // silent U+FFFD substitution)
+          Inflate.gunzip(z).flatMap(graft.sources.Utf8.decodeStrict(_))
+            .map(text => (id, text))
         }
       }
       .toDF("doc_id", "text")
@@ -1756,8 +1759,8 @@ private[graft] trait PipelineText extends PipelineDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, z) =>
-          Inflate.gunzip(z).map { raw =>
-            val lines = new String(raw, "UTF-8").split("\n", -1)
+          Inflate.gunzip(z).flatMap(graft.sources.Utf8.decodeStrict(_)).map { decoded =>
+            val lines = decoded.split("\n", -1)
             var nOk = 0L; var nBad = 0L
             val bodies = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
             lines.foreach { line =>
@@ -1854,9 +1857,10 @@ private[graft] trait PipelineText extends PipelineDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, z) =>
-          Inflate.gunzipMembers(z).map { case (raw, nm) =>
-            val text = new String(raw, "UTF-8")
-            (id, nm.toLong, text.codePointCount(0, text.length).toLong, text)
+          Inflate.gunzipMembers(z).flatMap { case (raw, nm) =>
+            graft.sources.Utf8.decodeStrict(raw).map { text =>
+              (id, nm.toLong, text.codePointCount(0, text.length).toLong, text)
+            }
           }
         }
       }
@@ -2077,59 +2081,123 @@ private[graft] trait PipelineText extends PipelineDedup {
       .orderBy(col("doc_id"))
   }
 
-  // -- t30: zstd ingest (RFC 8878) -------------------------------------------
-  // The OTHER wire format modern corpora arrive in: `.zst` shards.
-  // The fixture compresses documents.text with the REAL zstd library
-  // (zstd-jni, on the provided classpath because Spark ships it for
-  // shuffle compression), rotating compression level by doc (1 / 7 /
-  // 13 / 19 — different levels exercise different literals/sequence
-  // mode mixes: RLE tables, FSE-compressed tables, treeless repeats,
-  // 4-stream literals) and turning the XXH64 content checksum ON for
-  // every third doc; graft.operators.Zstd — the hand-written RFC 8878
-  // decoder (backward bitstream, FSE table build + NCount parse,
-  // Huffman literals with FSE-compressed weights, predefined/RLE/
-  // FSE/repeat sequence modes, repeat-offset history, checksum
-  // verification) — decodes every frame. The report re-derives from
-  // documents.text (t25's oracle identity): one misdecoded symbol
-  // anywhere in the entropy stack changes the md5.
+  // -- t30: zstd ingest (RFC 8878 frame series) ------------------------------
+  // The OTHER wire format modern corpora arrive in: `.zst` shards —
+  // and real shards are FRAME SERIES (RFC 8878 §3.1.2): multiple zstd
+  // frames concatenated with skippable frames interleaved (pzstd and
+  // seekable-zstd write them routinely) — t27's gzip member-walk
+  // story one format over. The fixture splits documents.text into
+  // 1 + doc_id % 3 code-point pieces, compresses EACH as its own
+  // frame with the REAL zstd library (zstd-jni, on the provided
+  // classpath because Spark ships it for shuffle compression),
+  // rotating compression level by (doc, frame) (1 / 7 / 13 / 19 —
+  // different levels exercise different literals/sequence mode
+  // mixes) and the XXH64 content checksum per (id+j) % 3, and
+  // interleaves skippable frames (a leading one per doc_id % 5 == 0,
+  // one after the first frame per doc_id % 7 == 3). Per-frame
+  // accounting at BOTH levels: doc_id % 11 == 7 payloads are
+  // corrupted (6 bytes dropped — kills the last frame's tiling, and
+  // a corrupt frame's length is unknowable so the walk cannot resync
+  // past one: the whole payload is counted undecodable, the e15
+  // idiom), and every decoded frame's bytes pass the STRICT UTF-8
+  // gate (graft.sources.Utf8 — U+FFFD substitution would hash
+  // garbage as if it were data). graft.operators.Zstd — the
+  // hand-written RFC 8878 decoder (backward bitstream, FSE table
+  // build + NCount parse, Huffman literals with FSE-compressed
+  // weights, predefined/RLE/FSE/repeat sequence modes, repeat-offset
+  // history, checksum verification, the frame+skippable series walk)
+  // — decodes every frame. The report re-derives from documents.text
+  // (t25's oracle identity): one misdecoded symbol anywhere in the
+  // entropy stack, one mis-walked frame boundary, or one miscounted
+  // skippable changes a hash or a count.
   //
   // Scale: t25's class — two map-only passes, linear in text bytes,
   // zero shuffles before the output sort.
-  private[queries] val t30: Q = (s, d) => {
+  /** The zstd frame-series corpus: each doc's text split into
+    * 1 + doc_id % 3 code-point pieces, each compressed as its own
+    * genuine zstd-jni frame (level and checksum rotating), skippable
+    * frames interleaved per doc arithmetic, doc_id % 11 == 7 payloads
+    * corrupted — shared by t30 (batch ingest report) and e18
+    * (streaming intake). */
+  private[queries] def framedZstdSeries(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T.documents(s, d).select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          val level = 1 + ((id % 4) * 6).toInt // 1, 7, 13, 19
-          val z =
-            if (id % 3 == 0) {
+        it.map { case (id, src, text) =>
+          val nrec = 1 + (id % 3).toInt
+          val lenCp = text.codePointCount(0, text.length)
+          def skippable(tag: String, nib: Int): Array[Byte] = {
+            val content = s"graft-skip-$tag-$id".getBytes("UTF-8")
+            val out = new Array[Byte](8 + content.length)
+            out(0) = (0x50 | (nib & 0xf)).toByte; out(1) = 0x2a
+            out(2) = 0x4d; out(3) = 0x18
+            var k = 0
+            while (k < 4) { out(4 + k) = ((content.length >> (8 * k)) & 0xff).toByte; k += 1 }
+            System.arraycopy(content, 0, out, 8, content.length)
+            out
+          }
+          val frames = (0 until nrec).map { j =>
+            val a = (j.toLong * lenCp / nrec).toInt
+            val b = ((j + 1).toLong * lenCp / nrec).toInt
+            val piece = text.substring(
+              text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
+              .getBytes("UTF-8")
+            val level = 1 + (((id + j) % 4) * 6).toInt // 1, 7, 13, 19
+            if ((id + j) % 3 == 0) {
               val ctx = new com.github.luben.zstd.ZstdCompressCtx()
-              try { ctx.setLevel(level); ctx.setChecksum(true); ctx.compress(raw) }
+              try { ctx.setLevel(level); ctx.setChecksum(true); ctx.compress(piece) }
               finally ctx.close()
-            } else com.github.luben.zstd.Zstd.compress(raw, level)
-          (id, z)
+            } else com.github.luben.zstd.Zstd.compress(piece, level)
+          }
+          val parts = Seq.newBuilder[Array[Byte]]
+          if (id % 5 == 0) parts += skippable("pre", (id % 16).toInt)
+          parts += frames.head
+          if (id % 7 == 3) parts += skippable("mid", ((id + 9) % 16).toInt)
+          frames.tail.foreach(parts += _)
+          val payload = parts.result().toArray.flatten
+          (id, src, if (id % 11 == 7) payload.dropRight(6) else payload)
         }
       }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t30: Q = (s, d) => {
+    import s.implicits._
+    framedZstdSeries(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (id, z) =>
-          graft.operators.Zstd.decompress(z).map { raw =>
-            val text = new String(raw, "UTF-8")
-            (id, z.length.toLong,
-              text.codePointCount(0, text.length).toLong, text)
+        it.map { case (id, z) =>
+          graft.operators.Zstd.frameList(z) match {
+            case Some((frames, nSkip)) =>
+              val texts = frames.map(graft.sources.Utf8.decodeStrict(_))
+              if (texts.forall(_.isDefined)) {
+                val text = texts.flatMap(x => x).mkString
+                (id, true, frames.length.toLong, nSkip.toLong,
+                  text.codePointCount(0, text.length).toLong, text)
+              } else (id, false, frames.length.toLong, nSkip.toLong, 0L, "")
+            case None => (id, false, 0L, 0L, 0L, "")
           }
         }
       }
-      .toDF("doc_id", "frame_bytes", "n_chars", "text")
-      .select(col("doc_id"), col("n_chars"),
-        md5(col("text").cast(BinaryType)).as("text_md5"))
+      .toDF("doc_id", "ok", "n_frames", "n_skippable", "n_chars", "text")
+      .select(col("doc_id"), col("ok"), col("n_frames"), col("n_skippable"),
+        col("n_chars"), md5(col("text").cast(BinaryType)).as("text_md5"))
       .orderBy(col("doc_id"))
   }
 
   private[queries] val t30Sql: String =
-    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-      |  md5(text) AS text_md5
+    """SELECT doc_id,
+      |  doc_id % 11 <> 7 AS ok,
+      |  CAST(CASE WHEN doc_id % 11 = 7 THEN 0
+      |       ELSE 1 + doc_id % 3 END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN doc_id % 11 = 7 THEN 0
+      |       ELSE (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+      |       END AS BIGINT) AS n_skippable,
+      |  CAST(CASE WHEN doc_id % 11 = 7 THEN 0
+      |       ELSE length(text) END AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
   private[queries] val t29Sql: String =

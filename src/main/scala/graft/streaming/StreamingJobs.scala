@@ -228,12 +228,14 @@ object StreamingJobs {
       .as[(java.sql.Timestamp, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (ts, src, payload) =>
-          graft.operators.Inflate.gunzip(payload) match {
-            case Some(raw) =>
+          graft.operators.Inflate.gunzip(payload)
+            .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+            case Some(s) =>
               // code points, not UTF-16 units: matches t25's Spark
               // length() and the DuckDB oracle's length() on text,
-              // so supplementary-plane chars hash identically
-              val s = new String(raw, "UTF-8")
+              // so supplementary-plane chars hash identically; strict
+              // UTF-8 — an invalid byte sequence is a malformation,
+              // not a silent U+FFFD substitution
               (ts, src, true, s.codePointCount(0, s.length).toLong)
             case None => (ts, src, false, 0L)
           }
@@ -272,9 +274,10 @@ object StreamingJobs {
       .as[(Long, java.sql.Timestamp, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (docId, ts, src, payload) =>
-          graft.operators.Inflate.gunzip(payload) match {
-            case Some(raw) =>
-              val lines = new String(raw, "UTF-8").split("\n", -1)
+          graft.operators.Inflate.gunzip(payload)
+            .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+            case Some(decoded) =>
+              val lines = decoded.split("\n", -1)
               var ok = 0L; var bad = 0L; var chars = 0L
               lines.foreach { l =>
                 graft.sources.Jsonl.parseRecord(l) match {
@@ -307,15 +310,19 @@ object StreamingJobs {
   }
 
   /** e18: streaming zstd intake — t30's read path joined to the
-    * streaming family: `.zst` frames decoded ON ARRIVAL by the
-    * hand-written RFC 8878 decoder (graft.operators.Zstd — full
-    * entropy stack, checksum verified when present), folded per (hour
-    * window, source) into the intake SLO; an undecodable frame counts
-    * in n_undecodable, never kills the job. Batch run of the same
-    * function is the oracle (e03's trick).
+    * streaming family: `.zst` payloads are FRAME SERIES (RFC 8878
+    * §3.1.2 — zstd frames with skippable frames interleaved, the
+    * shape pzstd/seekable-zstd write) walked and decoded ON ARRIVAL
+    * by the hand-written RFC 8878 decoder (graft.operators.Zstd —
+    * full entropy stack, checksum verified when present), each
+    * frame's bytes through the STRICT UTF-8 gate, folded per (hour
+    * window, source) into the intake SLO; an undecodable payload (a
+    * corrupt frame's length is unknowable — the walk cannot resync
+    * past one) counts in n_undecodable, never kills the job. Batch
+    * run of the same function is the oracle (e03's trick).
     *
     * Scale: decode is map-side, linear in frame bytes; one (window,
-    * source) shuffle of two longs per partial. */
+    * source) shuffle of four longs per partial. */
   def zstdIntakeStream(media: DataFrame): DataFrame = {
     val sp = media.sparkSession
     import sp.implicits._
@@ -323,23 +330,30 @@ object StreamingJobs {
       .as[(java.sql.Timestamp, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (ts, src, payload) =>
-          graft.operators.Zstd.decompress(payload) match {
-            case Some(raw) =>
-              // code points, matching Spark/DuckDB length()
-              val s = new String(raw, "UTF-8")
-              (ts, src, true, s.codePointCount(0, s.length).toLong)
-            case None => (ts, src, false, 0L)
+          graft.operators.Zstd.frameList(payload) match {
+            case Some((frames, nSkip)) =>
+              val texts = frames.map(graft.sources.Utf8.decodeStrict(_))
+              if (texts.forall(_.isDefined)) {
+                // code points, matching Spark/DuckDB length()
+                val t = texts.flatMap(x => x).mkString
+                (ts, src, true, frames.length.toLong, nSkip.toLong,
+                  t.codePointCount(0, t.length).toLong)
+              } else (ts, src, false, 0L, 0L, 0L)
+            case None => (ts, src, false, 0L, 0L, 0L)
           }
         }
       }
-      .toDF("ts", "source", "decoded", "n_chars")
+      .toDF("ts", "source", "decoded", "n_frm", "n_skip", "n_chars")
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("source"))
       .agg(count(lit(1)).as("n_files"),
         sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_frm")).as("n_frames"),
+        sum(col("n_skip")).as("n_skippable"),
         sum(col("n_chars")).as("text_chars"))
       .select(col("window.start").as("window_start"), col("source"),
-        col("n_files"), col("n_undecodable"), col("text_chars"))
+        col("n_files"), col("n_undecodable"), col("n_frames"),
+        col("n_skippable"), col("text_chars"))
   }
 
   /** e17: streaming WARC shard intake — t28's read path joined to the

@@ -340,10 +340,15 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
   }
 
-  test("zstdIntakeStream: incremental equals batch; corrupt frames in n_undecodable") {
+  test("zstdIntakeStream: incremental equals batch; series walked; corrupt/invalid in n_undecodable") {
     implicit val sqlCtx = spark.sqlContext
     def z(s: String, level: Int) =
       com.github.luben.zstd.Zstd.compress(s.getBytes("UTF-8"), level)
+    def skippable(content: String): Array[Byte] = {
+      val c = content.getBytes("UTF-8")
+      Array[Byte](0x52, 0x2a, 0x4d, 0x18) ++
+        (0 until 4).map(k => ((c.length >> (8 * k)) & 0xff).toByte) ++ c
+    }
     val corrupt = {
       val g = z("never seen at all", 3)
       g(g.length / 2) = (g(g.length / 2) ^ 0x55).toByte
@@ -351,10 +356,18 @@ class StreamingSpec extends SparkSpec {
       // magic too so the frame is undecodable by construction
       g(0) = 0x29.toByte; g
     }
+    // a VALID zstd frame whose content is invalid UTF-8 (stray
+    // continuation byte): decodes, fails the strict text gate
+    val invalidUtf8 = com.github.luben.zstd.Zstd.compress(
+      Array[Byte](0x61, 0xc3.toByte, 0x28, 0x62), 3)
     val docs = Seq(
       (ts("2024-01-01 00:05:00"), z("first text", 1), "web"),
-      (ts("2024-01-01 00:20:00"), z("second document body", 19), "web"),
+      // a real frame SERIES: frame + skippable + frame
+      (ts("2024-01-01 00:20:00"),
+        z("second ", 19) ++ skippable("seek table") ++ z("document body", 3),
+        "web"),
       (ts("2024-01-01 00:45:00"), corrupt, "books"),
+      (ts("2024-01-01 00:50:00"), invalidUtf8, "books"),
       (ts("2024-01-01 01:10:00"), z("hour two", 7), "web"))
     val ms = MemoryStream[(Timestamp, Array[Byte], String)]
     ms.addData(docs.take(2))
@@ -364,16 +377,17 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("t_zstd").outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("t_zstd").orderBy("window_start", "source")
-      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+      .as[(Timestamp, String, Long, Long, Long, Long, Long)].collect().toSeq
     val batch = StreamingJobs.zstdIntakeStream(
         docs.toDF("ts", "payload", "source"))
       .orderBy("window_start", "source")
-      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+      .as[(Timestamp, String, Long, Long, Long, Long, Long)].collect().toSeq
     assert(streamed == batch)
     assert(streamed == Seq(
-      (ts("2024-01-01 00:00:00"), "books", 1L, 1L, 0L),
-      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 30L), // 10 + 20 chars
-      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
+      (ts("2024-01-01 00:00:00"), "books", 2L, 2L, 0L, 0L, 0L),
+      // web hour 0: 1 + 2 frames, 1 skippable, 10 + 20 chars
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 3L, 1L, 30L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
   }
 
   test("warcIntakeStream: incremental equals batch; corrupt records AND shards accounted") {
