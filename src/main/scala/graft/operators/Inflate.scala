@@ -464,6 +464,66 @@ object Inflate {
     bw.finish()
   }
 
+  // ======================= zlib (RFC 1950) =================================
+  // The deflate substrate in its OTHER wire wrapper: the `deflate`
+  // HTTP Content-Encoding is a zlib stream (2-byte header, deflate
+  // body, Adler-32 trailer) — what the WARC read path needs to decode
+  // real crawled response bodies.
+
+  /** Encode one zlib stream around `raw`; deflateMode 0|1|2 as in
+    * [[gzipMember]] (stored / fixed / dynamic). */
+  def zlibEncode(raw: Array[Byte], deflateMode: Int = 2): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](raw.length + 16)
+    out += 0x78.toByte += 0x01.toByte // CMF: deflate/32k, FLG: check bits
+    if (deflateMode == 1) out ++= deflateFixed(raw)
+    else if (deflateMode == 2) out ++= deflateDynamic(raw)
+    else { // stored blocks, <= 40 bytes each (the PNG generator's framing)
+      var pos = 0
+      var fin = false
+      while (!fin) {
+        val len = math.min(40, raw.length - pos)
+        fin = pos + len >= raw.length
+        out += (if (fin) 1 else 0).toByte
+        out += (len & 0xff).toByte += ((len >> 8) & 0xff).toByte
+        out += (~len & 0xff).toByte += ((~len >> 8) & 0xff).toByte
+        var i = 0
+        while (i < len) { out += raw(pos + i); i += 1 }
+        pos += len
+      }
+    }
+    val ad = new java.util.zip.Adler32
+    ad.update(raw, 0, raw.length)
+    val a = ad.getValue
+    out += ((a >> 24) & 0xff).toByte += ((a >> 16) & 0xff).toByte
+    out += ((a >> 8) & 0xff).toByte += (a & 0xff).toByte
+    out.toArray
+  }
+
+  /** Decode a zlib stream that must exactly tile `p`: 2-byte header
+    * (deflate method, valid FCHECK, no preset dictionary), growable
+    * inflate, big-endian Adler-32 trailer verified over the inflated
+    * bytes. None for anything malformed — never throws. */
+  def zlibDecode(p: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    if (p.length < 2 + 1 + 4) return None
+    val cmf = u8(0); val flg = u8(1)
+    if ((cmf & 0x0f) != 8) return None // deflate method only
+    if ((cmf >> 4) > 7) return None // window size > 32k is invalid
+    if ((cmf * 256 + flg) % 31 != 0) return None // FCHECK
+    if ((flg & 0x20) != 0) return None // preset dictionary: out of profile
+    val (buf, len, next) = inflateCore(p, 2, p.length - 4, maxOut) match {
+      case Some(r) => r
+      case None => return None
+    }
+    if (next != p.length - 4) return None // stream must tile to the trailer
+    val ad = new java.util.zip.Adler32
+    ad.update(buf, 0, len)
+    val want = (u8(p.length - 4).toLong << 24) | (u8(p.length - 3).toLong << 16) |
+      (u8(p.length - 2).toLong << 8) | u8(p.length - 1).toLong
+    if (ad.getValue != want) return None
+    Some(java.util.Arrays.copyOf(buf, len))
+  }
+
   // ======================= gzip (RFC 1952) =================================
   // The deflate substrate applied to the format 100-TB text corpora
   // actually arrive in: single-member gzip files. Header variants

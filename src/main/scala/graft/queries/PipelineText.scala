@@ -1888,8 +1888,13 @@ private[graft] trait PipelineText extends PipelineDedup {
   // record for every doc_id % 5 == 0 doc (proving WARC-Type dispatch:
   // requests parse but must not contribute body text), and
   // 1 + doc_id % 3 response records each carrying a code-point piece
-  // of documents.text as an HTTP/1.1 200 body (HTTP Content-Length
-  // checked against the block remainder) — with t27's per-member
+  // of documents.text as an HTTP/1.1 200 body with REAL message
+  // semantics — the form rotates (id+j) % 5 through identity+
+  // Content-Length / chunked (RFC 9112 §7.1 framing, with chunk
+  // extensions, mixed-case hex sizes and trailer headers on doc
+  // arithmetic) / gzip+CL / chunked+x-gzip / deflate+CL, the
+  // Content-Encodings decoded through the certified inflate
+  // substrate — with t27's per-member
   // deflate-mode and gzip-header rotations, and CORRUPTS one response
   // per doc_id % 11 == 7 doc (6 bytes dropped: kills the record
   // terminator and truncates the block — malformed for ANY content).
@@ -1934,10 +1939,11 @@ private[graft] trait PipelineText extends PipelineDedup {
             val piece = text.substring(
               text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
               .getBytes("UTF-8")
-            val http = (s"HTTP/1.1 200 OK\r\n" +
-              s"Content-Type: text/plain; charset=utf-8\r\n" +
-              s"Content-Length: ${piece.length}\r\n\r\n").getBytes("UTF-8") ++
-              piece
+            // body form rotates (id + j) % 5: identity+CL / chunked /
+            // gzip+CL / chunked+x-gzip / deflate+CL — the message
+            // semantics real crawls carry; all decode back to piece,
+            // so the oracle's piece arithmetic is form-independent
+            val http = WarcHttpFixture.response(id, j, piece)
             val r = Warc.render("response", s"<urn:uuid:resp-$id-$j>", date,
               Seq("WARC-Target-URI" -> s"http://example.com/$id/$j",
                 "Content-Type" -> "application/http; msgtype=response"),
@@ -1976,12 +1982,14 @@ private[graft] trait PipelineText extends PipelineDedup {
               Warc.parseMember(m) match {
                 case Some(rec) => rec.warcType.map(_.toLowerCase) match {
                   case Some("response") =>
-                    Warc.httpBody(rec.block) match {
-                      case Some(b) =>
+                    Warc.httpBody(rec.block)
+                      .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+                      case Some(body) =>
                         nRec += 1; nResp += 1
-                        bodies += new String(b, "UTF-8")
-                      // a response whose HTTP message is malformed is
-                      // an intake error too — same level as t26's
+                        bodies += body
+                      // a response whose HTTP message is malformed —
+                      // framing, coding, or invalid UTF-8 — is an
+                      // intake error too, same level as t26's
                       // doc-claim rule
                       case None => nBad += 1
                     }
@@ -2230,6 +2238,60 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CAST(CASE WHEN corrupt THEN 0 ELSE length(norm) END AS BIGINT) AS text_chars,
       |  CASE WHEN corrupt THEN md5('') ELSE md5(norm) END AS text_md5
       |FROM agg ORDER BY doc_id""".stripMargin
+}
+
+/** t28's HTTP response fixture — a standalone object so executor
+  * closures reference a static, not the enclosing query trait (the
+  * t26 capture-nothing discipline). One HTTP/1.1 response message
+  * around `piece`, body form rotating (id + j) % 5:
+  * identity+Content-Length / chunked / gzip+Content-Length /
+  * chunked+x-gzip / deflate+Content-Length — with chunk extensions,
+  * mixed-case hex sizes and trailer headers exercised on doc
+  * arithmetic, so Warc.httpBody's full RFC 9112 §7.1 + Content-
+  * Encoding surface is certified by the t28/e17 oracles. */
+private[queries] object WarcHttpFixture {
+  import graft.operators.Inflate
+
+  def response(id: Long, j: Int, piece: Array[Byte]): Array[Byte] = {
+    val form = ((id + j) % 5).toInt
+    def chunked(body: Array[Byte]): Array[Byte] = {
+      val sb = new scala.collection.mutable.ArrayBuffer[Byte]()
+      val step = 17 + ((id + j) % 23).toInt
+      var pos = 0
+      var first = true
+      while (pos < body.length) {
+        val n = math.min(step, body.length - pos)
+        var size = n.toHexString
+        if ((id + j) % 2 == 1) size = size.toUpperCase
+        val ext = if (first && id % 13 == 2) ";graft=1" else ""
+        sb ++= (size + ext + "\r\n").getBytes("UTF-8")
+        sb ++= body.slice(pos, pos + n)
+        sb ++= "\r\n".getBytes("UTF-8")
+        pos += n
+        first = false
+      }
+      sb ++= "0\r\n".getBytes("UTF-8")
+      if (id % 9 == 4) sb ++= "X-Graft-Trailer: t\r\n".getBytes("UTF-8")
+      sb ++= "\r\n".getBytes("UTF-8")
+      sb.toArray
+    }
+    val (headers, body) = form match {
+      case 0 => (Seq(s"Content-Length: ${piece.length}"), piece)
+      case 1 => (Seq("Transfer-Encoding: chunked"), chunked(piece))
+      case 2 =>
+        val gz = Inflate.gzipMember(piece, ((id + j) % 3).toInt)
+        (Seq("Content-Encoding: gzip", s"Content-Length: ${gz.length}"), gz)
+      case 3 =>
+        val gz = Inflate.gzipMember(piece, ((id + j + 1) % 3).toInt)
+        (Seq("Content-Encoding: x-gzip", "Transfer-Encoding: chunked"),
+          chunked(gz))
+      case _ =>
+        val zl = Inflate.zlibEncode(piece, ((id + j) % 3).toInt)
+        (Seq("Content-Encoding: deflate", s"Content-Length: ${zl.length}"), zl)
+    }
+    (Seq("HTTP/1.1 200 OK", "Content-Type: text/plain; charset=utf-8") ++
+      headers).mkString("", "\r\n", "\r\n\r\n").getBytes("UTF-8") ++ body
+  }
 }
 
 /** t29's page fixture — a standalone object so executor closures

@@ -90,7 +90,10 @@ object Warc {
       if (e < 0) return None
       if (e == i) done = true // empty line: header section ends
       else {
-        val line = new String(b, i, e - i, "UTF-8")
+        val line = Utf8.decodeStrict(b, i, e - i) match {
+          case Some(l) => l
+          case None => return None // invalid UTF-8 header: malformed
+        }
         val c = line.indexOf(':')
         if (c <= 0) return None // no colon, or empty name
         val name = line.substring(0, c).trim.toLowerCase
@@ -122,9 +125,26 @@ object Warc {
 
   /** HTTP message body extraction for `application/http` blocks: a
     * status/request line starting the message, CRLF-terminated header
-    * lines, an empty line, then the body (which, when the message
-    * carries a Content-Length header, must match the remaining octet
-    * count exactly). None on any malformation. */
+    * lines, an empty line, then the body, with REAL message semantics
+    * — the body forms every Common Crawl shard actually contains:
+    *
+    * - identity: when the message carries a Content-Length header it
+    *   must match the remaining octet count exactly; otherwise the
+    *   raw remainder is the body.
+    * - `Transfer-Encoding: chunked` (RFC 9112 §7.1): hex chunk-size
+    *   lines (optional ;extensions skipped), chunk octets + CRLF, the
+    *   0-size last chunk, optional trailer header lines, final CRLF —
+    *   the framing must exactly tile the remainder. A message with
+    *   BOTH Transfer-Encoding and Content-Length is the request-
+    *   smuggling shape → None. Any other transfer-coding → None.
+    * - `Content-Encoding: gzip|x-gzip|deflate|identity` applied AFTER
+    *   de-chunking: gzip through [[graft.operators.Inflate.gunzip]],
+    *   deflate through the RFC 1950 zlib form
+    *   ([[graft.operators.Inflate.zlibDecode]]). Any other (or
+    *   duplicate) coding → None, so an unknown coding is COUNTED
+    *   malformed, never passed through as garbage bytes.
+    *
+    * None on any malformation. */
   def httpBody(block: Array[Byte]): Option[Array[Byte]] = {
     val sEnd = lineEnd(block, 0)
     if (sEnd < 0) return None
@@ -134,29 +154,125 @@ object Warc {
     if (!start.contains("HTTP/")) return None
     var i = sEnd + 2
     var declared: Option[Long] = None
+    var transferEnc: Option[String] = None
+    var contentEnc: Option[String] = None
     var done = false
     while (!done) {
       val e = lineEnd(block, i)
       if (e < 0) return None
       if (e == i) done = true
       else {
-        val line = new String(block, i, e - i, "UTF-8")
+        val line = Utf8.decodeStrict(block, i, e - i) match {
+          case Some(l) => l
+          case None => return None
+        }
         val c = line.indexOf(':')
         if (c <= 0) return None
-        if (line.substring(0, c).trim.equalsIgnoreCase("content-length")) {
-          if (declared.isDefined) return None // duplicate
-          declared = parseLen(line.substring(c + 1).trim)
-          if (declared.isEmpty) return None
+        val name = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        name match {
+          case "content-length" =>
+            if (declared.isDefined) return None // duplicate
+            declared = parseLen(value)
+            if (declared.isEmpty) return None
+          case "transfer-encoding" =>
+            if (transferEnc.isDefined) return None // duplicate
+            transferEnc = Some(value.toLowerCase)
+          case "content-encoding" =>
+            if (contentEnc.isDefined) return None // duplicate
+            contentEnc = Some(value.toLowerCase)
+          case _ => ()
         }
         i = e
       }
       i += 2
     }
-    val body = java.util.Arrays.copyOfRange(block, i, block.length)
-    declared match {
-      case Some(n) if n != body.length.toLong => None
-      case _ => Some(body)
+    val encoded: Array[Byte] = transferEnc match {
+      case Some("chunked") =>
+        if (declared.isDefined) return None // TE + CL: smuggling shape
+        dechunk(block, i) match {
+          case Some(b) => b
+          case None => return None
+        }
+      case Some(_) => return None // unknown transfer-coding
+      case None =>
+        val body = java.util.Arrays.copyOfRange(block, i, block.length)
+        declared match {
+          case Some(n) if n != body.length.toLong => return None
+          case _ => body
+        }
     }
+    contentEnc match {
+      case None | Some("identity") => Some(encoded)
+      case Some("gzip") | Some("x-gzip") =>
+        graft.operators.Inflate.gunzip(encoded)
+      case Some("deflate") => graft.operators.Inflate.zlibDecode(encoded)
+      case Some(_) => None // unknown content-coding: counted, not garbage
+    }
+  }
+
+  /** RFC 9112 §7.1 chunked framing from `off`: size line (hex, case-
+    * insensitive, optional ;extension skipped), chunk data + CRLF,
+    * 0-size last chunk, trailer header lines, final CRLF; must
+    * exactly tile the buffer. None on any malformation. */
+  private def dechunk(b: Array[Byte], off: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = off
+    var last = false
+    while (!last) {
+      val e = lineEnd(b, i)
+      if (e < 0) return None
+      val line = ascii(b, i, e)
+      val semi = line.indexOf(';')
+      val szStr = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val sz = parseHex(szStr) match {
+        case Some(v) => v
+        case None => return None
+      }
+      i = e + 2
+      if (sz == 0) last = true
+      else {
+        if (i + sz + 2 > b.length) return None // truncated chunk
+        out.write(b, i, sz.toInt)
+        i += sz.toInt
+        if (b(i) != CR || b(i + 1) != LF) return None
+        i += 2
+      }
+    }
+    // trailer section: zero or more header lines, then the empty line
+    var done = false
+    while (!done) {
+      val e = lineEnd(b, i)
+      if (e < 0) return None
+      if (e == i) done = true
+      else {
+        val line = ascii(b, i, e)
+        if (line.indexOf(':') <= 0) return None
+        i = e
+      }
+      i += 2
+    }
+    if (i != b.length) return None // framing must tile the body
+    Some(out.toByteArray)
+  }
+
+  /** Non-negative hex chunk size, case-insensitive, at most 8 digits
+    * (a >4 GiB chunk is out of profile); None on empty or non-hex. */
+  private def parseHex(s: String): Option[Long] = {
+    if (s.isEmpty || s.length > 8) return None
+    var v = 0L
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      val d =
+        if (ch >= '0' && ch <= '9') ch - '0'
+        else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+        else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+        else return None
+      v = v * 16 + d
+      i += 1
+    }
+    Some(v)
   }
 
   /** Index of the CR of the next CRLF at-or-after `from`, or -1 if

@@ -386,10 +386,10 @@ object StreamingJobs {
                 graft.sources.Warc.parseMember(m) match {
                   case Some(rec) => rec.warcType.map(_.toLowerCase) match {
                     case Some("response") =>
-                      graft.sources.Warc.httpBody(rec.block) match {
-                        case Some(b) =>
+                      graft.sources.Warc.httpBody(rec.block)
+                        .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+                        case Some(t) =>
                           ok += 1; resp += 1
-                          val t = new String(b, "UTF-8")
                           // code points, matching Spark/DuckDB length()
                           chars += t.codePointCount(0, t.length)
                         case None => bad += 1

@@ -125,6 +125,150 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.httpBody(b("HTTP/1.1 200 OK\nLF only\n\nbody")).isEmpty)
   }
 
+  private def msg(headers: Seq[String], body: Array[Byte]): Array[Byte] =
+    (Seq("HTTP/1.1 200 OK") ++ headers).mkString("", "\r\n", "\r\n\r\n")
+      .getBytes("UTF-8") ++ body
+
+  private def chunk(parts: Seq[String], trailer: Seq[String] = Nil,
+                    ext: String = "", upper: Boolean = false): Array[Byte] = {
+    val sb = new StringBuilder
+    parts.zipWithIndex.foreach { case (p, k) =>
+      val size = if (upper) p.getBytes("UTF-8").length.toHexString.toUpperCase
+                 else p.getBytes("UTF-8").length.toHexString
+      sb.append(size).append(if (k == 0) ext else "").append("\r\n")
+        .append(p).append("\r\n")
+    }
+    sb.append("0\r\n")
+    trailer.foreach(t => sb.append(t).append("\r\n"))
+    sb.append("\r\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  test("httpBody: chunked transfer-coding — framing, extensions, mixed-case hex, trailers") {
+    def get(b: Array[Byte]) = Warc.httpBody(b).map(new String(_, "UTF-8"))
+    val te = Seq("Transfer-Encoding: chunked")
+    assert(get(msg(te, chunk(Seq("hello ", "chunked", " world"))))
+      .contains("hello chunked world"))
+    // empty body: just the last chunk
+    assert(get(msg(te, chunk(Nil))).contains(""))
+    // chunk extension skipped, not data
+    assert(get(msg(te, chunk(Seq("ab", "cd"), ext = ";graft=1"))).contains("abcd"))
+    // uppercase hex sizes
+    assert(get(msg(te, chunk(Seq("x" * 30, "y" * 11), upper = true)))
+      .contains("x" * 30 + "y" * 11))
+    // trailer header lines after the last chunk
+    assert(get(msg(te, chunk(Seq("tail"), trailer = Seq("X-T: 1", "X-U: 2"))))
+      .contains("tail"))
+    // case-insensitive header value
+    assert(get(msg(Seq("Transfer-Encoding: Chunked"), chunk(Seq("ok"))))
+      .contains("ok"))
+  }
+
+  test("httpBody: chunked malformations all None — sizes, truncation, framing, smuggling shape") {
+    def b(s: String) = s.getBytes("UTF-8")
+    val te = Seq("Transfer-Encoding: chunked")
+    // non-hex, empty, and oversized chunk-size lines
+    assert(Warc.httpBody(msg(te, b("zz\r\nhi\r\n0\r\n\r\n"))).isEmpty)
+    assert(Warc.httpBody(msg(te, b("\r\nhi\r\n0\r\n\r\n"))).isEmpty)
+    assert(Warc.httpBody(msg(te, b("123456789\r\nhi\r\n0\r\n\r\n"))).isEmpty)
+    // declared size overruns the remaining bytes (truncated chunk)
+    assert(Warc.httpBody(msg(te, b("ff\r\nshort\r\n0\r\n\r\n"))).isEmpty)
+    // chunk data not followed by CRLF
+    assert(Warc.httpBody(msg(te, b("2\r\nhiX\r\n0\r\n\r\n"))).isEmpty)
+    // missing last chunk / missing final CRLF / trailing garbage
+    assert(Warc.httpBody(msg(te, b("2\r\nhi\r\n"))).isEmpty)
+    assert(Warc.httpBody(msg(te, b("2\r\nhi\r\n0\r\n"))).isEmpty)
+    assert(Warc.httpBody(msg(te, chunk(Seq("hi")) ++ b("junk"))).isEmpty)
+    // malformed trailer line (no colon)
+    assert(Warc.httpBody(msg(te, b("2\r\nhi\r\n0\r\nnocolon\r\n\r\n"))).isEmpty)
+    // Transfer-Encoding + Content-Length: the request-smuggling shape
+    assert(Warc.httpBody(msg(
+      Seq("Transfer-Encoding: chunked", "Content-Length: 2"),
+      chunk(Seq("hi")))).isEmpty)
+    // unknown / duplicate transfer-coding
+    assert(Warc.httpBody(msg(Seq("Transfer-Encoding: gzip"), b("x"))).isEmpty)
+    assert(Warc.httpBody(msg(
+      Seq("Transfer-Encoding: chunked", "Transfer-Encoding: chunked"),
+      chunk(Seq("hi")))).isEmpty)
+  }
+
+  test("httpBody: Content-Encoding gzip / x-gzip / deflate decode; unknown and corrupt None") {
+    def get(b: Array[Byte]) = Warc.httpBody(b).map(new String(_, "UTF-8"))
+    val text = "compressed response body é 😀"
+    val raw = text.getBytes("UTF-8")
+    for (mode <- 0 to 2) {
+      val gz = Inflate.gzipMember(raw, mode)
+      assert(get(msg(Seq("Content-Encoding: gzip",
+        s"Content-Length: ${gz.length}"), gz)).contains(text), s"gzip mode $mode")
+      assert(get(msg(Seq("Content-Encoding: x-gzip",
+        s"Content-Length: ${gz.length}"), gz)).contains(text))
+      val zl = Inflate.zlibEncode(raw, mode)
+      assert(get(msg(Seq("Content-Encoding: deflate",
+        s"Content-Length: ${zl.length}"), zl)).contains(text), s"deflate mode $mode")
+    }
+    // chunked + gzip composes: de-chunk first, then decode
+    val gz = Inflate.gzipMember(raw, 2)
+    val chunkedGz = {
+      val sb = new scala.collection.mutable.ArrayBuffer[Byte]()
+      gz.grouped(13).foreach { g =>
+        sb ++= (g.length.toHexString + "\r\n").getBytes("UTF-8")
+        sb ++= g; sb ++= "\r\n".getBytes("UTF-8")
+      }
+      sb ++= "0\r\n\r\n".getBytes("UTF-8")
+      sb.toArray
+    }
+    assert(get(msg(Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip"),
+      chunkedGz)).contains(text))
+    // identity passes through; unknown/duplicate codings are None
+    assert(get(msg(Seq("Content-Encoding: identity", "Content-Length: 2"),
+      "hi".getBytes("UTF-8"))).contains("hi"))
+    assert(Warc.httpBody(msg(Seq("Content-Encoding: br", "Content-Length: 2"),
+      "hi".getBytes("UTF-8"))).isEmpty)
+    assert(Warc.httpBody(msg(Seq("Content-Encoding: gzip, deflate",
+      s"Content-Length: ${gz.length}"), gz)).isEmpty)
+    assert(Warc.httpBody(msg(
+      Seq("Content-Encoding: gzip", "Content-Encoding: gzip",
+        s"Content-Length: ${gz.length}"), gz)).isEmpty)
+    // corrupt compressed bodies are None, not garbage text
+    val bad = gz.clone(); bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x55).toByte
+    assert(Warc.httpBody(msg(Seq("Content-Encoding: gzip",
+      s"Content-Length: ${bad.length}"), bad)).isEmpty)
+    val zl = Inflate.zlibEncode(raw, 1)
+    val badZl = zl.clone(); badZl(badZl.length - 1) = (badZl(badZl.length - 1) ^ 0x1).toByte
+    assert(Warc.httpBody(msg(Seq("Content-Encoding: deflate",
+      s"Content-Length: ${badZl.length}"), badZl)).isEmpty)
+  }
+
+  test("zlibEncode/zlibDecode round-trip; header and trailer malformations None") {
+    for (mode <- 0 to 2; s <- Seq("", "x", "zlib round trip " * 40)) {
+      val raw = s.getBytes("UTF-8")
+      val z = Inflate.zlibEncode(raw, mode)
+      assert(Inflate.zlibDecode(z).exists(java.util.Arrays.equals(_, raw)),
+        s"zlib mode $mode len ${raw.length}")
+    }
+    val z = Inflate.zlibEncode("content".getBytes("UTF-8"), 2)
+    val wrongMethod = z.clone(); wrongMethod(0) = 0x79.toByte
+    assert(Inflate.zlibDecode(wrongMethod).isEmpty)
+    val badCheck = z.clone(); badCheck(1) = (badCheck(1) ^ 0x4).toByte
+    assert(Inflate.zlibDecode(badCheck).isEmpty)
+    val badAdler = z.clone()
+    badAdler(badAdler.length - 1) = (badAdler(badAdler.length - 1) ^ 0x1).toByte
+    assert(Inflate.zlibDecode(badAdler).isEmpty)
+    assert(Inflate.zlibDecode(z.dropRight(1)).isEmpty)
+    assert(Inflate.zlibDecode(z :+ 0x0.toByte).isEmpty)
+    assert(Inflate.zlibDecode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("invalid UTF-8 in a WARC header line is a malformation") {
+    val ok = resp("body text")
+    // splice an invalid byte into the WARC-Target-URI header value
+    val s = new String(ok, "ISO-8859-1")
+    val at = s.indexOf("example.com")
+    val bad = ok.clone()
+    bad(at) = 0xff.toByte
+    assert(Warc.parseMember(bad).isEmpty)
+  }
+
   test("gunzipMemberList keeps member boundaries; gunzipMembers equals its concatenation") {
     val pieces = Seq("alpha", "", "gamma delta", "Ω non-BMP 😀")
       .map(_.getBytes("UTF-8"))
