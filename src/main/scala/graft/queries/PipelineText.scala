@@ -2054,13 +2054,19 @@ private[graft] trait PipelineText extends PipelineDedup {
   // the canonical gate form. graft.sources.Html is the strict
   // replayable scanner (None on unterminated tag/comment/raw-text
   // element/entity or invalid entity value — the Jsonl/Warc
-  // discipline at document level). The fixture renders each doc's
+  // discipline at document level — with HTML5's lenient ampersand
+  // and end-tag-delimiter rules: a '&' not forming a ';'-terminated
+  // entity is literal text, and `</scripts>` inside a script body
+  // does not close the element). The fixture renders each doc's
   // text as a real page — head with title/script/style whose contents
-  // must NOT leak (the script body contains fake tags and a bare &),
-  // a comment with markup inside, paragraphs carrying escaped
-  // code-point pieces of documents.text each prefixed with a numeric
-  // entity — and corrupts doc_id%11==7 docs with an unterminated
-  // trailing tag and doc_id%13==5 docs by dropping </style>. The
+  // must NOT leak (the script body contains fake tags, `</scripts>`
+  // and a bare &; the style body contains `</styles>`), a comment
+  // with markup inside, paragraphs carrying escaped code-point
+  // pieces of documents.text each prefixed with a numeric entity,
+  // and a bare-'&' prose paragraph (Q&A, 1&2, &unknown;, a surrogate
+  // numeric ref that decodes to U+FFFD) — and corrupts doc_id%11==7
+  // docs with an unterminated trailing tag and doc_id%13==5 docs by
+  // dropping </style>. The
   // oracle re-derives the tag/entity counts and the normalized-text
   // md5 from documents.text: a scanner that leaks one script char,
   // miscounts one quoted '>', or decodes one entity wrong breaks the
@@ -2228,13 +2234,17 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  SELECT doc_id, MAX(nrec) AS nrec, MAX(corrupt) AS corrupt,
       |    SUM(length(piece) - length(translate(piece, '&<>', ''))) AS npe,
       |    trim(regexp_replace(
-      |      string_agg(chr(CAST(ent AS INTEGER)) || piece, chr(10) ORDER BY j),
+      |      string_agg(chr(CAST(ent AS INTEGER)) || piece, chr(10) ORDER BY j)
+      |        || chr(10) || 'Q&A #' || doc_id
+      |        || ' R&D 1&2 a && b &; &#; &#xG; &unknown; ' || chr(65533)
+      |        || ' tail&',
       |      '[ \t\n\f\r]+', ' ', 'g')) AS norm
       |  FROM pieces GROUP BY doc_id)
       |SELECT doc_id,
       |  NOT corrupt AS ok,
-      |  CAST(CASE WHEN corrupt THEN 0 ELSE 12 + 2 * nrec END AS BIGINT) AS n_tags,
-      |  CAST(CASE WHEN corrupt THEN 0 ELSE nrec + npe END AS BIGINT) AS n_entities,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE 14 + 2 * nrec END AS BIGINT) AS n_tags,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 + nrec + npe END AS BIGINT)
+      |    AS n_entities,
       |  CAST(CASE WHEN corrupt THEN 0 ELSE length(norm) END AS BIGINT) AS text_chars,
       |  CASE WHEN corrupt THEN md5('') ELSE md5(norm) END AS text_md5
       |FROM agg ORDER BY doc_id""".stripMargin
@@ -2307,10 +2317,12 @@ private[queries] object HtmlFixture {
     val sb = new StringBuilder(text.length + 512)
     sb.append("<!DOCTYPE html>\n<html>\n<head>\n")
     sb.append(s"<title>Doc $id &amp; friends</title>\n")
+    // `</scripts>` inside the body must NOT close the element (HTML5
+    // end-tag delimiter rule)
     sb.append("<script type=\"text/javascript\">var x")
-      .append(id).append(" = \"<p>junk</p> & &amp;\";</script>\n")
+      .append(id).append(" = \"<p>junk</p> </scripts> & &amp;\";</script>\n")
     val styleClose = if (id % 11 != 7 && id % 13 == 5) "" else "</style>"
-    sb.append(s"<style>.c$id { color: #fff; }$styleClose\n")
+    sb.append(s"<style>.c$id { color: #fff; } /*</styles>*/$styleClose\n")
     sb.append("<!-- comment <b>junk</b> &lt; -->\n</head>\n")
     sb.append("<body class=\"b\" data-x=\"a>b\">\n")
     (0 until nrec).foreach { j =>
@@ -2322,8 +2334,18 @@ private[queries] object HtmlFixture {
       sb.append("<p id=\"p").append(j).append("\">")
         .append(ent).append(esc(piece)).append("</p>\n")
     }
+    // ambiguous ampersands (literal text per HTML5) plus one
+    // semantically-invalid numeric reference (U+FFFD, counted)
+    sb.append("<p id=\"amp\">").append(ampText(id)).append("</p>\n")
     sb.append("</body>\n</html>")
     if (id % 11 == 7) sb.append("<div class=") // unterminated tag
     sb.toString
   }
+
+  /** The bare-'&' prose paragraph: every '&' here is literal text
+    * under HTML5's ambiguous-ampersand rule except `&#xD800;`, which
+    * is a syntactically complete numeric reference with a surrogate
+    * value → U+FFFD, counted as an entity. */
+  def ampText(id: Long): String =
+    s"Q&A #$id R&D 1&2 a && b &; &#; &#xG; &unknown; &#xD800; tail&"
 }

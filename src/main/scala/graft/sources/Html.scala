@@ -14,19 +14,27 @@ package graft.sources
   * - `<tag ...>` and `</tag>` are stripped; quoted attribute values
   *   may contain `>` (`data-x="a>b"`) — the scanner honors quotes.
   * - `<script>`, `<style>`, `<title>` drop their CONTENT up to the
-  *   matching case-insensitive close tag (script bodies contain `<`
+  *   matching case-insensitive close tag, which per HTML5 must be
+  *   followed by `>`, `/` or whitespace — `</scripts>` inside a
+  *   script body does NOT end the element (script bodies contain `<`
   *   and quotes by construction — no tag parsing inside).
   * - `<!-- ... -->` comments and `<!DOCTYPE ...>` declarations drop.
   * - Entities decode: named amp/lt/gt/quot/apos and numeric decimal
-  *   `&#NN;` / hex `&#xHH;` forms (code points ≤ U+10FFFF, surrogate
-  *   range rejected). A bare `&` that does not start a valid entity
-  *   is a malformation — real corpora escape; strictness keeps the
-  *   extraction replayable.
+  *   `&#NN;` / hex `&#xHH;` forms, all ';'-terminated. A numeric
+  *   value that is 0, a surrogate, or past U+10FFFF decodes to
+  *   U+FFFD (HTML5's numeric-reference rule) and still counts as an
+  *   entity. A `&` that does not start a ';'-terminated valid form
+  *   is LITERAL TEXT (HTML5's ambiguous-ampersand rule — unescaped
+  *   '&' in href query strings and prose is ubiquitous in real
+  *   corpora), not counted, not a malformation. Deliberate
+  *   simplifications, pinned by spec: legacy semicolon-less named
+  *   refs (`&amp` bare) stay literal, and C1-range numeric values
+  *   pass through as code points (no windows-1252 remapping).
   * - Text whitespace runs ([ \t\n\f\r]) collapse to one space and the
   *   result is trimmed — the canonical form the downstream gates see.
   *
-  * None on: unterminated tag / comment / script / style / title /
-  * entity, invalid entity value. Never throws.
+  * None on: unterminated tag / comment / script / style / title.
+  * Never throws.
   */
 object Html {
 
@@ -80,23 +88,36 @@ object Html {
       bad() // unterminated tag
     }
 
-    /** Drop content up to (and past) `</name>`, case-insensitive. */
+    /** Drop content up to (and past) `</name>`, case-insensitive; per
+      * HTML5 the end-tag name must be followed by '>', '/' or
+      * whitespace — `</scripts>` inside a script body is raw text. */
     def dropRawText(name: String): Unit = {
       val close = "</" + name
       while (i < n) {
         if (s.charAt(i) == '<' && matches(i, close)) {
-          // the close tag itself parses as a normal tag (counted)
-          skipTag()
-          return
+          val p = i + close.length
+          val delim = p < n && {
+            val c = s.charAt(p)
+            c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' ||
+              c == '\f' || c == '\r'
+          }
+          if (delim) {
+            // the close tag itself parses as a normal tag (counted)
+            skipTag()
+            return
+          }
         }
         i += 1
       }
       bad() // unterminated raw-text element
     }
 
+    /** HTML5 ampersand: decode a ';'-terminated valid entity, or emit
+      * the '&' as literal text (the ambiguous-ampersand rule). */
     def decodeEntity(): Unit = { // s(i) == '&'
+      def literal(): Unit = { out.append('&'); i += 1 }
       val semi = s.indexOf(';', i + 1)
-      if (semi < 0 || semi > i + 12) bad() // unterminated entity
+      if (semi < 0 || semi > i + 12) return literal() // no entity form here
       val body = s.substring(i + 1, semi)
       val decoded: Int = body match {
         case "amp" => '&'
@@ -105,10 +126,10 @@ object Html {
         case "quot" => '"'
         case "apos" => '\''
         case _ =>
-          if (body.length < 2 || body.charAt(0) != '#') bad()
+          if (body.length < 2 || body.charAt(0) != '#') return literal()
           val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
           val digits = if (hex) body.substring(2) else body.substring(1)
-          if (digits.isEmpty) bad()
+          if (digits.isEmpty) return literal()
           var v = 0
           var k = 0
           while (k < digits.length) {
@@ -117,13 +138,14 @@ object Html {
               if (c >= '0' && c <= '9') c - '0'
               else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
               else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
-              else bad()
-            v = v * (if (hex) 16 else 10) + d
-            if (v > 0x10FFFF) bad()
+              else return literal() // non-digit: not a numeric entity
+            if (v <= 0x10FFFF) v = v * (if (hex) 16 else 10) + d
             k += 1
           }
-          if (v >= 0xD800 && v <= 0xDFFF) bad() // surrogate range
-          v
+          // syntactically complete but semantically invalid numeric
+          // reference: HTML5 says U+FFFD, counted as an entity
+          if (v == 0 || v > 0x10FFFF || (v >= 0xD800 && v <= 0xDFFF)) 0xFFFD
+          else v
       }
       out.appendCodePoint(decoded)
       nEnt += 1

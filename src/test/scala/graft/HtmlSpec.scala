@@ -55,19 +55,64 @@ class HtmlSpec extends AnyFunSuite {
       "<!-- unterminated comment <p>x</p>",
       "<script>var a = 1;", // unterminated raw-text element
       "<style>.c{}", // unterminated style
-      "<title>no close", // unterminated title
-      "bare & ampersand", // & must start a valid entity
-      "&unknown;", "&;", "&#;", "&#x;", "&#12z;", "&#xZZ;",
-      "&#1114112;", // > U+10FFFF
-      "&#55296;", // surrogate range (U+D800)
-      "&toolongentitybody;", // no ';' within the cap
-      "<p>&amp</p>") // entity without ';' before tag (indexOf ; fails in cap)
+      "<title>no close") // unterminated title
     bad.foreach { h =>
       assert(Html.extract(h).isEmpty, s"must reject: $h")
     }
     // the t29 corruption idioms
     assert(Html.extract("<p>x</p><div class=").isEmpty)
     assert(Html.extract("<style>.c{} no close\n<p>x</p>").isEmpty)
+  }
+
+  test("HTML5 ambiguous ampersand: '&' not forming an entity is literal text, not counted") {
+    val cases = Seq(
+      ("bare & ampersand", "bare & ampersand"),
+      ("Q&A and R&D", "Q&A and R&D"),
+      ("a=1&b=2&c=3", "a=1&b=2&c=3"),
+      ("&unknown;", "&unknown;"),
+      ("&;", "&;"),
+      ("&#;", "&#;"),
+      ("&#x;", "&#x;"),
+      ("&#12z;", "&#12z;"),
+      ("&#xZZ;", "&#xZZ;"),
+      ("&toolongentitybody;", "&toolongentitybody;"), // no ';' within cap
+      ("<p>&amp</p>", "&amp"), // semicolon-less named ref stays literal
+      ("tail&", "tail&"))
+    for ((in, want) <- cases) {
+      val e = Html.extract(in).getOrElse(fail(s"None for: $in"))
+      assert(e.text == want, s"got '${e.text}' for '$in'")
+      assert(e.nEntities == 0, s"counted an entity in '$in'")
+    }
+    // literal '&' and decoded entities mix in one text run
+    val e = Html.extract("<p>Q&A &amp; B&W</p>").getOrElse(fail("mix None"))
+    assert(e.text == "Q&A & B&W" && e.nEntities == 1)
+  }
+
+  test("semantically invalid numeric references decode to U+FFFD and count (HTML5 rule)") {
+    for (in <- Seq("&#1114112;", "&#x110000;", "&#55296;", "&#xD800;",
+                   "&#xDFFF;", "&#0;", "&#x99999999;")) {
+      val e = Html.extract(in).getOrElse(fail(s"None for: $in"))
+      assert(e.text == "�", s"got '${e.text}' for '$in'")
+      assert(e.nEntities == 1, s"not counted: $in")
+    }
+    // boundary values still decode normally
+    assert(Html.extract("&#x10FFFF;").exists(_.text ==
+      new String(Character.toChars(0x10FFFF))))
+  }
+
+  test("raw-text end tag needs a delimiter: </scripts> does not close <script>") {
+    val e = Html.extract(
+      "<script>var a = \"</scripts> not a close\";</script><p>ok</p>")
+      .getOrElse(fail("None"))
+    assert(e.text == "ok", s"got '${e.text}'")
+    assert(e.nTags == 4)
+    // whitespace and '/' delimit too (HTML5: </script >, </script/>)
+    assert(Html.extract("<script>x</script ><p>a</p>").exists(_.text == "a"))
+    assert(Html.extract("<script>x</script/><p>a</p>").exists(_.text == "a"))
+    assert(Html.extract("<style>.c{content:'</styles>'}</style><p>s</p>")
+      .exists(_.text == "s"))
+    // a non-delimited lookalike with no real close is unterminated
+    assert(Html.extract("<script>var a = '</scripts>';").isEmpty)
   }
 
   test("entities inside dropped content are not decoded or counted") {
