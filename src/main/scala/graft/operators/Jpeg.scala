@@ -542,20 +542,24 @@ object Jpeg {
     * one successive-approximation step. ~10% of web-crawl JPEGs are
     * progressive; this is the generator half of the m18 decode proof.
     *
-    * Scan script (the classic two-level progression — every protocol
-    * arm of Annex G is exercised):
-    *   1. DC first, interleaved:     Ss=0 Se=0  Ah=0 Al=1
-    *   2. AC first, per component:   Ss=1 Se=5  Ah=0 Al=1
-    *   3. AC first, per component:   Ss=6 Se=63 Ah=0 Al=1
-    *   4. DC refine, interleaved:    Ss=0 Se=0  Ah=1 Al=0
-    *   5. AC refine, per component:  Ss=1 Se=63 Ah=1 Al=0
+    * Scan script (generalized to MULTI-STEP successive approximation,
+    * the libjpeg-default-script shape — every protocol arm of Annex G
+    * is exercised; `dcAl`/`acAl` set the approximation depth, 1 gives
+    * the classic two-level progression):
+    *   1. DC first, interleaved:     Ss=0 Se=0  Ah=0     Al=dcAl
+    *   2. AC first, per component:   Ss=1 Se=5  Ah=0     Al=acAl
+    *   3. AC first, per component:   Ss=6 Se=63 Ah=0     Al=acAl
+    *   4. AC refine, per component:  Ss=1 Se=63 Ah=al+1  Al=al
+    *      for al = acAl-1 … 0 (multiple refinement scans per band)
+    *   5. DC refine, interleaved:    Ss=0 Se=0  Ah=al+1  Al=al
+    *      for al = dcAl-1 … 0 (a DC refinement SEQUENCE)
     * DC uses the arithmetic-shift point transform, AC the
     * sign-magnitude one (A.4); EOB runs span blocks in the AC-first
     * scans, and the AC-refinement scans carry libjpeg-ordered
     * correction bits (buffered bits emitted after the next coded
-    * symbol — G.1.2.3). Because Al steps 1 → 0, the decoded
-    * coefficients equal the input EXACTLY: progression is pure
-    * framing, so m18's oracle is the baseline pixel derivation.
+    * symbol — G.1.2.3). Because every Al chain steps down to 0, the
+    * decoded coefficients equal the input EXACTLY: progression is
+    * pure framing, so m18's oracle is the baseline pixel derivation.
     *
     * `comps(c)(blockIndex)(v)(u)` are the quantized coefficients,
     * row-major blocks; components all 1×1 so every component has the
@@ -563,7 +567,10 @@ object Jpeg {
   def encodeJpegProgressive(w: Int, h: Int, gap: Int,
                             qLuma: Array[Array[Int]],
                             qChroma: Array[Array[Int]],
-                            comps: Array[Array[Array[Array[Int]]]]): Array[Byte] = {
+                            comps: Array[Array[Array[Array[Int]]]],
+                            dcAl: Int = 1, acAl: Int = 1): Array[Byte] = {
+    require(dcAl >= 1 && dcAl <= 13 && acAl >= 1 && acAl <= 13,
+      "approximation depth out of range")
     val nf = comps.length
     require(nf == 1 || nf == 3, "profile: 1 or 3 components")
     require(w % 8 == 0 && h % 8 == 0, "profile: dims multiples of 8")
@@ -641,7 +648,7 @@ object Jpeg {
     def acT(c: Int) = acTableP
 
     // --- scan 1: DC first (interleaved), arithmetic-shift transform
-    val alDc = 1
+    val alDc = dcAl
     sos(0 until nf, 0, 0, 0, alDc)
     val prevDc = new Array[Int](nf)
     var bi = 0
@@ -706,21 +713,8 @@ object Jpeg {
       flushEob()
       padScan()
     }
-    (0 until nf).foreach(c => acFirst(c, 1, 5, alDc))
-    (0 until nf).foreach(c => acFirst(c, 6, 63, alDc))
-
-    // --- scan: DC refinement (interleaved) — one raw bit per block
-    sos(0 until nf, 0, 0, alDc, alDc - 1)
-    bi = 0
-    while (bi < nBlocks) {
-      var c = 0
-      while (c < nf) {
-        putBits((comps(c)(bi)(0)(0) >> (alDc - 1)) & 1, 1)
-        c += 1
-      }
-      bi += 1
-    }
-    padScan()
+    (0 until nf).foreach(c => acFirst(c, 1, 5, acAl))
+    (0 until nf).foreach(c => acFirst(c, 6, 63, acAl))
 
     // --- AC refinement scans (G.1.2.3, libjpeg bit-buffer ordering)
     def acRefine(c: Int, ss: Int, se: Int, al: Int): Unit = {
@@ -797,7 +791,30 @@ object Jpeg {
       flushEob()
       padScan()
     }
-    (0 until nf).foreach(c => acRefine(c, 1, 63, alDc - 1))
+    // multiple AC refinement scans per band: al walks acAl-1 … 0
+    var alAc = acAl - 1
+    while (alAc >= 0) {
+      (0 until nf).foreach(c => acRefine(c, 1, 63, alAc))
+      alAc -= 1
+    }
+
+    // --- DC refinement SEQUENCE (interleaved) — one raw bit per
+    // block per step, al walks dcAl-1 … 0
+    var alD = alDc - 1
+    while (alD >= 0) {
+      sos(0 until nf, 0, 0, alD + 1, alD)
+      bi = 0
+      while (bi < nBlocks) {
+        var c = 0
+        while (c < nf) {
+          putBits((comps(c)(bi)(0)(0) >> alD) & 1, 1)
+          c += 1
+        }
+        bi += 1
+      }
+      padScan()
+      alD -= 1
+    }
 
     marker(0xd9) // EOI
     out.toArray

@@ -781,8 +781,10 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   // ~10% of web-crawl JPEGs are progressive; m12–m15 decoded baseline
   // only (SOF2 rejected by profile). Jpeg.encodeJpegProgressive /
   // parseJpegProgressive implement T.81 Annex G's multi-scan
-  // protocol — spectral selection (DC scan, two AC bands) + one
-  // successive-approximation step (Al 1 → 0): DC-first with the
+  // protocol — spectral selection (DC scan, two AC bands) +
+  // MULTI-STEP successive approximation (per-doc Al chains down from
+  // dc 2 / ac 3 — the libjpeg default-script shape — mixed with
+  // one-step docs): DC-first with the
   // arithmetic-shift point transform, AC-first with sign-magnitude
   // values and CROSS-BLOCK EOB runs, DC refinement (one raw bit per
   // block), AC refinement with libjpeg-ordered correction bits, and
@@ -836,11 +838,18 @@ private[graft] trait PipelineMultimodal extends PipelineText {
           def coefY = blocks(15, 2, 7, 5, 3, 11, 13)
           def coefCb = blocks(11, 1, 5, 7, 11, 3, 9)
           def coefCr = blocks(9, 1, 13, 3, 7, 5, 2)
+          // progressive docs mix approximation depths: one-step
+          // (dc 1, ac 1) and multi-step (up to dc 2 / ac 3) scripts —
+          // the libjpeg default-script shape with several AC
+          // refinement scans per band and DC refinement sequences
+          val dcAl = 1 + ((id / 2) % 2).toInt
+          val acAl = 1 + ((id / 3) % 3).toInt
           val bytes = (id % 4).toInt match {
-            case 0 => Jpeg.encodeJpegProgressive(w, h, gap, qZ, qC, Array(gray))
+            case 0 => Jpeg.encodeJpegProgressive(w, h, gap, qZ, qC, Array(gray),
+              dcAl, acAl)
             case 1 => Jpeg.encodeJpeg(w, h, gap, qZ, gray)
             case 2 => Jpeg.encodeJpegProgressive(w, h, gap, qZ, qC,
-              Array(coefY, coefCb, coefCr))
+              Array(coefY, coefCb, coefCr), dcAl, acAl)
             case _ => Jpeg.encodeJpegColor(w, h, gap, qZ, qC, coefY, coefCb, coefCr)
           }
           Multimodal.MediaRecord(id, src, bytes)

@@ -297,27 +297,55 @@ class JpegSpec extends AnyFunSuite {
           else rnd.nextInt(511) - 255
         }
       }
+      // multi-step successive approximation: depths 1..3 mixed, the
+      // libjpeg-default-script shape (several refinement scans per
+      // band, DC refinement sequences) — still exact framing
+      val dcAl = 1 + trial % 3
+      val acAl = 1 + (trial / 2) % 3
       if (trial % 2 == 0) { // grayscale
         val coef = blocks()
         val base = Jpeg.parseJpegAuto(Jpeg.encodeJpeg(w, h, trial % 5, qZig, coef))
           .getOrElse(fail(s"baseline None, trial $trial"))
         val prog = Jpeg.parseJpegAuto(
-          Jpeg.encodeJpegProgressive(w, h, trial % 5, qZig, qOnes, Array(coef)))
-          .getOrElse(fail(s"progressive None, trial $trial"))
+          Jpeg.encodeJpegProgressive(w, h, trial % 5, qZig, qOnes, Array(coef),
+            dcAl, acAl))
+          .getOrElse(fail(s"progressive None, trial $trial (dc $dcAl ac $acAl)"))
         assert(base.width == prog.width && base.height == prog.height)
         for (x <- 0 until w; y <- 0 until h)
-          assert(base.rgb(x, y) == prog.rgb(x, y), s"pixel drift trial $trial ($x,$y)")
+          assert(base.rgb(x, y) == prog.rgb(x, y),
+            s"pixel drift trial $trial ($x,$y) dc $dcAl ac $acAl")
       } else { // color 4:4:4
         val cy = blocks(); val cb = blocks(); val cr = blocks()
         val base = Jpeg.parseJpegAuto(
           Jpeg.encodeJpegColor(w, h, trial % 5, qZig, qOnes, cy, cb, cr))
           .getOrElse(fail(s"baseline color None, trial $trial"))
         val prog = Jpeg.parseJpegAuto(
-          Jpeg.encodeJpegProgressive(w, h, trial % 5, qZig, qOnes, Array(cy, cb, cr)))
+          Jpeg.encodeJpegProgressive(w, h, trial % 5, qZig, qOnes,
+            Array(cy, cb, cr), dcAl, acAl))
           .getOrElse(fail(s"progressive color None, trial $trial"))
         for (x <- 0 until w; y <- 0 until h)
-          assert(base.rgb(x, y) == prog.rgb(x, y), s"color drift trial $trial ($x,$y)")
+          assert(base.rgb(x, y) == prog.rgb(x, y),
+            s"color drift trial $trial ($x,$y) dc $dcAl ac $acAl")
       }
+    }
+  }
+
+  test("multi-step scan script: expected SOS count, deep chains reconstruct exactly") {
+    val coef = Array.tabulate(4)(bi => Array.tabulate(8, 8)((v, u) =>
+      if (u + v <= 3) ((bi * 37 + u * 11 + v * 5) % 23) - 11 else 0))
+    for ((dcAl, acAl) <- Seq((2, 2), (1, 3), (3, 1), (4, 4))) {
+      val bytes = Jpeg.encodeJpegProgressive(16, 16, 1, qZig, qOnes,
+        Array(coef), dcAl, acAl)
+      val sosCount = (0 until bytes.length - 1).count(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda)
+      // 1 DC-first + 2 AC-first bands + acAl AC refines + dcAl DC refines
+      assert(sosCount == 3 + acAl + dcAl, s"scan count dc $dcAl ac $acAl")
+      val base = Jpeg.parseJpegAuto(Jpeg.encodeJpeg(16, 16, 1, qZig, coef))
+        .getOrElse(fail("baseline None"))
+      val prog = Jpeg.parseJpegAuto(bytes)
+        .getOrElse(fail(s"deep-chain None dc $dcAl ac $acAl"))
+      for (x <- 0 until 16; y <- 0 until 16)
+        assert(base.rgb(x, y) == prog.rgb(x, y), s"drift dc $dcAl ac $acAl ($x,$y)")
     }
   }
 
@@ -338,7 +366,9 @@ class JpegSpec extends AnyFunSuite {
       val comps =
         if (trial % 2 == 0) Array(blocks())
         else Array(blocks(), blocks(), blocks())
-      val bytes = Jpeg.encodeJpegProgressive(w, h, 2, qZig, qOnes, comps)
+      // one-step and multi-step scripts both go through ImageIO
+      val bytes = Jpeg.encodeJpegProgressive(w, h, 2, qZig, qOnes, comps,
+        1 + trial % 2, 1 + trial % 3)
       val ours = Jpeg.parseJpegProgressive(bytes).getOrElse(fail("our parse None"))
       val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       assert(ref != null, "ImageIO rejected our progressive stream")
