@@ -160,6 +160,37 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
       |    AS text_chars
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e19: streaming brotli intake -------------------------------------------
+  // t31's read path joined to the streaming family (see
+  // StreamingJobs.brotliIntakeStream): RFC 7932 streams decoded AS
+  // THEY ARRIVE by the hand-written decoder, strict UTF-8, folded per
+  // (hour window, source); t31's corrupt payloads surface in
+  // n_undecodable. Batch run of the same code path is the oracle; the
+  // oracle SQL re-derives volumes from documents via t31's doc
+  // arithmetic (one misdecoded symbol changes text_chars and breaks
+  // the hash).
+  private[queries] val e19: Q = (s, d) => {
+    val media = framedBrotli(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.brotliIntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private[queries] val e19Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, length(text) AS n_chars,
+      |    doc_id % 11 = 7 AS corrupt,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+      |  FROM documents)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_undecodable,
+      |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE n_chars END) AS BIGINT)
+      |    AS text_chars
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e17: streaming WARC shard intake -------------------------------------
   // t28's read path joined to the streaming family (see
   // StreamingJobs.warcIntakeStream): `.warc.gz` shards member-walked

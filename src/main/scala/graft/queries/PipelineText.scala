@@ -1889,12 +1889,12 @@ private[graft] trait PipelineText extends PipelineDedup {
   // requests parse but must not contribute body text), and
   // 1 + doc_id % 3 response records each carrying a code-point piece
   // of documents.text as an HTTP/1.1 200 body with REAL message
-  // semantics — the form rotates (id+j) % 5 through identity+
+  // semantics — the form rotates (id+j) % 6 through identity+
   // Content-Length / chunked (RFC 9112 §7.1 framing, with chunk
   // extensions, mixed-case hex sizes and trailer headers on doc
-  // arithmetic) / gzip+CL / chunked+x-gzip / deflate+CL, the
+  // arithmetic) / gzip+CL / chunked+x-gzip / deflate+CL / br+CL, the
   // Content-Encodings decoded through the certified inflate
-  // substrate — with t27's per-member
+  // substrate and the RFC 7932 brotli decoder — with t27's per-member
   // deflate-mode and gzip-header rotations, and CORRUPTS one response
   // per doc_id % 11 == 7 doc (6 bytes dropped: kills the record
   // terminator and truncates the block — malformed for ANY content).
@@ -1939,10 +1939,11 @@ private[graft] trait PipelineText extends PipelineDedup {
             val piece = text.substring(
               text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
               .getBytes("UTF-8")
-            // body form rotates (id + j) % 5: identity+CL / chunked /
-            // gzip+CL / chunked+x-gzip / deflate+CL — the message
-            // semantics real crawls carry; all decode back to piece,
-            // so the oracle's piece arithmetic is form-independent
+            // body form rotates (id + j) % 6: identity+CL / chunked /
+            // gzip+CL / chunked+x-gzip / deflate+CL / br+CL — the
+            // message semantics real crawls carry; all decode back to
+            // piece, so the oracle's piece arithmetic is
+            // form-independent
             val http = WarcHttpFixture.response(id, j, piece)
             val r = Warc.render("response", s"<urn:uuid:resp-$id-$j>", date,
               Seq("WARC-Target-URI" -> s"http://example.com/$id/$j",
@@ -2214,6 +2215,75 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t31: brotli ingest (RFC 7932) -----------------------------------------
+  // The web's THIRD Content-Encoding, and the remaining wire format a
+  // crawl pipeline meets: `.br` payloads. graft.operators.Brotli is
+  // the hand-written RFC 7932 decoder (simple + complex prefix codes
+  // through the fixed code-length code and repeat-16/17 machinery,
+  // block switching, context maps with RLE + inverse-MTF, the
+  // 704-symbol command alphabet, NPOSTFIX/NDIRECT distances, the
+  // four-slot ring, overlap-correct copies) with an HONEST profile
+  // boundary: no brotli implementation exists on this classpath to
+  // cross-validate against, so static-dictionary references and the
+  // unverifiable UTF8/Signed context tables are REJECTED (counted),
+  // never guessed — the certificate is round-trips against the
+  // conforming fixture encoder, the reference encoder's known
+  // empty-stream bytes (0x3B), and BrotliSpec's hand-assembled RFC
+  // bit-layout streams. The fixture rotates stream shapes by doc
+  // (metadata-skip blocks, uncompressed meta-blocks interleaved,
+  // context-mode bit) and corrupts doc_id%11==7 payloads (6 bytes
+  // dropped — tiling broken for any content); decoded bytes pass the
+  // STRICT UTF-8 gate. The report re-derives from documents.text
+  // (t25's oracle identity): one misdecoded symbol anywhere in the
+  // prefix-code or command machinery changes the md5.
+  //
+  // Scale: t25's class — two map-only passes, linear in text bytes,
+  // zero shuffles before the output sort.
+  /** The brotli-framed corpus: one RFC 7932 stream per doc from the
+    * conforming fixture encoder (shape rotating by doc id),
+    * doc_id%11==7 payloads corrupted — shared by t31 (batch ingest
+    * report) and e19 (streaming intake). */
+  private[queries] def framedBrotli(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val z = graft.operators.Brotli.compress(text.getBytes("UTF-8"), id)
+          (id, src, if (id % 11 == 7) z.dropRight(6) else z)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t31: Q = (s, d) => {
+    import s.implicits._
+    framedBrotli(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, z) =>
+          graft.operators.Brotli.decompress(z)
+            .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+            case Some(text) =>
+              (id, true, text.codePointCount(0, text.length).toLong, text)
+            case None => (id, false, 0L, "")
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "n_chars", "text")
+      .select(col("doc_id"), col("ok"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t31Sql: String =
+    """SELECT doc_id,
+      |  doc_id % 11 <> 7 AS ok,
+      |  CAST(CASE WHEN doc_id % 11 = 7 THEN 0
+      |       ELSE length(text) END AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private[queries] val t29Sql: String =
     """WITH d AS (
       |  SELECT doc_id, text, length(text) AS len,
@@ -2253,17 +2323,18 @@ private[graft] trait PipelineText extends PipelineDedup {
 /** t28's HTTP response fixture — a standalone object so executor
   * closures reference a static, not the enclosing query trait (the
   * t26 capture-nothing discipline). One HTTP/1.1 response message
-  * around `piece`, body form rotating (id + j) % 5:
+  * around `piece`, body form rotating (id + j) % 6:
   * identity+Content-Length / chunked / gzip+Content-Length /
-  * chunked+x-gzip / deflate+Content-Length — with chunk extensions,
-  * mixed-case hex sizes and trailer headers exercised on doc
-  * arithmetic, so Warc.httpBody's full RFC 9112 §7.1 + Content-
-  * Encoding surface is certified by the t28/e17 oracles. */
+  * chunked+x-gzip / deflate+Content-Length / br+Content-Length —
+  * with chunk extensions, mixed-case hex sizes and trailer headers
+  * exercised on doc arithmetic, so Warc.httpBody's full RFC 9112
+  * §7.1 + Content-Encoding surface (brotli included) is certified by
+  * the t28/e17 oracles. */
 private[queries] object WarcHttpFixture {
   import graft.operators.Inflate
 
   def response(id: Long, j: Int, piece: Array[Byte]): Array[Byte] = {
-    val form = ((id + j) % 5).toInt
+    val form = ((id + j) % 6).toInt
     def chunked(body: Array[Byte]): Array[Byte] = {
       val sb = new scala.collection.mutable.ArrayBuffer[Byte]()
       val step = 17 + ((id + j) % 23).toInt
@@ -2295,9 +2366,12 @@ private[queries] object WarcHttpFixture {
         val gz = Inflate.gzipMember(piece, ((id + j + 1) % 3).toInt)
         (Seq("Content-Encoding: x-gzip", "Transfer-Encoding: chunked"),
           chunked(gz))
-      case _ =>
+      case 4 =>
         val zl = Inflate.zlibEncode(piece, ((id + j) % 3).toInt)
         (Seq("Content-Encoding: deflate", s"Content-Length: ${zl.length}"), zl)
+      case _ =>
+        val b = graft.operators.Brotli.compress(piece, id + j)
+        (Seq("Content-Encoding: br", s"Content-Length: ${b.length}"), b)
     }
     (Seq("HTTP/1.1 200 OK", "Content-Type: text/plain; charset=utf-8") ++
       headers).mkString("", "\r\n", "\r\n\r\n").getBytes("UTF-8") ++ body

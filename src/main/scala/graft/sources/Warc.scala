@@ -137,12 +137,14 @@ object Warc {
     *   the framing must exactly tile the remainder. A message with
     *   BOTH Transfer-Encoding and Content-Length is the request-
     *   smuggling shape → None. Any other transfer-coding → None.
-    * - `Content-Encoding: gzip|x-gzip|deflate|identity` applied AFTER
-    *   de-chunking: gzip through [[graft.operators.Inflate.gunzip]],
-    *   deflate through the RFC 1950 zlib form
-    *   ([[graft.operators.Inflate.zlibDecode]]). Any other (or
-    *   duplicate) coding → None, so an unknown coding is COUNTED
-    *   malformed, never passed through as garbage bytes.
+    * - `Content-Encoding: gzip|x-gzip|deflate|br|identity` applied
+    *   AFTER de-chunking: gzip through
+    *   [[graft.operators.Inflate.gunzip]], deflate through the RFC
+    *   1950 zlib form ([[graft.operators.Inflate.zlibDecode]]), br
+    *   through the RFC 7932 decoder ([[graft.operators.Brotli]] —
+    *   see its profile boundary). Any other (or duplicate) coding →
+    *   None, so an unknown coding is COUNTED malformed, never passed
+    *   through as garbage bytes.
     *
     * None on any malformation. */
   def httpBody(block: Array[Byte]): Option[Array[Byte]] = {
@@ -207,6 +209,7 @@ object Warc {
       case Some("gzip") | Some("x-gzip") =>
         graft.operators.Inflate.gunzip(encoded)
       case Some("deflate") => graft.operators.Inflate.zlibDecode(encoded)
+      case Some("br") => graft.operators.Brotli.decompress(encoded)
       case Some(_) => None // unknown content-coding: counted, not garbage
     }
   }

@@ -390,6 +390,38 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
   }
 
+  test("brotliIntakeStream: incremental equals batch; corrupt/invalid payloads in n_undecodable") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Brotli
+    def br(s: String, v: Long) = Brotli.compress(s.getBytes("UTF-8"), v)
+    // a VALID brotli stream of invalid UTF-8: fails the strict text gate
+    val invalidUtf8 = Brotli.compress(Array[Byte](0x61, 0xc3.toByte, 0x28), 0)
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"), br("first text", 0), "web"),
+      (ts("2024-01-01 00:20:00"), br("second document body", 1), "web"),
+      (ts("2024-01-01 00:45:00"), br("never seen", 2).dropRight(4), "books"),
+      (ts("2024-01-01 00:50:00"), invalidUtf8, "books"),
+      (ts("2024-01-01 01:10:00"), br("hour two", 2), "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.brotliIntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_brotli").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_brotli").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.brotliIntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 2L, 2L, 0L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 30L), // 10 + 20 chars
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
+  }
+
   test("warcIntakeStream: incremental equals batch; corrupt records AND shards accounted") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Inflate

@@ -219,9 +219,16 @@ class WarcSpec extends AnyFunSuite {
     }
     assert(get(msg(Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip"),
       chunkedGz)).contains(text))
+    // brotli (RFC 7932) completes the coding dispatch
+    val br = graft.operators.Brotli.compress(raw, 0)
+    assert(get(msg(Seq("Content-Encoding: br",
+      s"Content-Length: ${br.length}"), br)).contains(text))
     // identity passes through; unknown/duplicate codings are None
     assert(get(msg(Seq("Content-Encoding: identity", "Content-Length: 2"),
       "hi".getBytes("UTF-8"))).contains("hi"))
+    assert(Warc.httpBody(msg(Seq("Content-Encoding: compress", "Content-Length: 2"),
+      "hi".getBytes("UTF-8"))).isEmpty)
+    // a 'br' body that is not a valid brotli stream is None, not garbage
     assert(Warc.httpBody(msg(Seq("Content-Encoding: br", "Content-Length: 2"),
       "hi".getBytes("UTF-8"))).isEmpty)
     assert(Warc.httpBody(msg(Seq("Content-Encoding: gzip, deflate",
