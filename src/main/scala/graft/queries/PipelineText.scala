@@ -2307,13 +2307,13 @@ private[graft] trait PipelineText extends PipelineDedup {
       |      string_agg(chr(CAST(ent AS INTEGER)) || piece, chr(10) ORDER BY j)
       |        || chr(10) || 'Q&A #' || doc_id
       |        || ' R&D 1&2 a && b &; &#; &#xG; &unknown; ' || chr(65533)
-      |        || ' tail&',
+      |        || ' tail& ' || chr(160) || chr(8212) || chr(8230) || ' fin',
       |      '[ \t\n\f\r]+', ' ', 'g')) AS norm
       |  FROM pieces GROUP BY doc_id)
       |SELECT doc_id,
       |  NOT corrupt AS ok,
       |  CAST(CASE WHEN corrupt THEN 0 ELSE 14 + 2 * nrec END AS BIGINT) AS n_tags,
-      |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 + nrec + npe END AS BIGINT)
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE 4 + nrec + npe END AS BIGINT)
       |    AS n_entities,
       |  CAST(CASE WHEN corrupt THEN 0 ELSE length(norm) END AS BIGINT) AS text_chars,
       |  CASE WHEN corrupt THEN md5('') ELSE md5(norm) END AS text_md5
@@ -2417,9 +2417,12 @@ private[queries] object HtmlFixture {
   }
 
   /** The bare-'&' prose paragraph: every '&' here is literal text
-    * under HTML5's ambiguous-ampersand rule except `&#xD800;`, which
-    * is a syntactically complete numeric reference with a surrogate
-    * value → U+FFFD, counted as an entity. */
+    * under HTML5's ambiguous-ampersand rule except `&#xD800;` (a
+    * syntactically complete numeric reference with a surrogate value
+    * → U+FFFD, counted) and the three common NAMED entities at the
+    * end (nbsp/mdash/hellip — the high-frequency set real pages use,
+    * decoded and counted). */
   def ampText(id: Long): String =
-    s"Q&A #$id R&D 1&2 a && b &; &#; &#xG; &unknown; &#xD800; tail&"
+    s"Q&A #$id R&D 1&2 a && b &; &#; &#xG; &unknown; &#xD800; " +
+      "tail& &nbsp;&mdash;&hellip; fin"
 }

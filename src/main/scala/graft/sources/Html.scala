@@ -19,7 +19,9 @@ package graft.sources
   *   script body does NOT end the element (script bodies contain `<`
   *   and quotes by construction — no tag parsing inside).
   * - `<!-- ... -->` comments and `<!DOCTYPE ...>` declarations drop.
-  * - Entities decode: named amp/lt/gt/quot/apos and numeric decimal
+  * - Entities decode: the named set real pages use (the XML five
+  *   plus nbsp/copy/mdash/hellip/euro and the rest of the
+  *   high-frequency HTML set — see `named`) and numeric decimal
   *   `&#NN;` / hex `&#xHH;` forms, all ';'-terminated. A numeric
   *   value that is 0, a surrogate, or past U+10FFFF decodes to
   *   U+FFFD (HTML5's numeric-reference rule) and still counts as an
@@ -44,6 +46,21 @@ object Html {
   final case class Extract(text: String, nTags: Long, nEntities: Long)
 
   private object Bad extends scala.util.control.ControlThrowable
+
+  /** The ';'-terminated named entities the extractor decodes: the XML
+    * five plus the high-frequency HTML set real pages actually use
+    * (&nbsp; above all). Anything else stays literal text under the
+    * ambiguous-ampersand rule — deterministic and replayable. */
+  private val named: Map[String, Int] = Map(
+    "amp" -> '&'.toInt, "lt" -> '<'.toInt, "gt" -> '>'.toInt,
+    "quot" -> '"'.toInt, "apos" -> '\''.toInt,
+    "nbsp" -> 0xA0, "copy" -> 0xA9, "reg" -> 0xAE, "trade" -> 0x2122,
+    "mdash" -> 0x2014, "ndash" -> 0x2013, "hellip" -> 0x2026,
+    "lsquo" -> 0x2018, "rsquo" -> 0x2019, "ldquo" -> 0x201C,
+    "rdquo" -> 0x201D, "sect" -> 0xA7, "middot" -> 0xB7, "deg" -> 0xB0,
+    "plusmn" -> 0xB1, "times" -> 0xD7, "divide" -> 0xF7, "euro" -> 0x20AC,
+    "pound" -> 0xA3, "yen" -> 0xA5, "cent" -> 0xA2, "laquo" -> 0xAB,
+    "raquo" -> 0xBB)
 
   def extract(html: String): Option[Extract] =
     try Some(extract0(html)) catch { case Bad => None }
@@ -119,13 +136,9 @@ object Html {
       val semi = s.indexOf(';', i + 1)
       if (semi < 0 || semi > i + 12) return literal() // no entity form here
       val body = s.substring(i + 1, semi)
-      val decoded: Int = body match {
-        case "amp" => '&'
-        case "lt" => '<'
-        case "gt" => '>'
-        case "quot" => '"'
-        case "apos" => '\''
-        case _ =>
+      val decoded: Int = named.get(body) match {
+        case Some(cp) => cp
+        case None =>
           if (body.length < 2 || body.charAt(0) != '#') return literal()
           val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
           val digits = if (hex) body.substring(2) else body.substring(1)

@@ -88,6 +88,27 @@ class HtmlSpec extends AnyFunSuite {
     assert(e.text == "Q&A & B&W" && e.nEntities == 1)
   }
 
+  test("the common named-entity set decodes to the exact code points; others stay literal") {
+    val expected = Seq(
+      "nbsp" -> 0xA0, "copy" -> 0xA9, "reg" -> 0xAE, "trade" -> 0x2122,
+      "mdash" -> 0x2014, "ndash" -> 0x2013, "hellip" -> 0x2026,
+      "lsquo" -> 0x2018, "rsquo" -> 0x2019, "ldquo" -> 0x201C,
+      "rdquo" -> 0x201D, "sect" -> 0xA7, "middot" -> 0xB7, "deg" -> 0xB0,
+      "plusmn" -> 0xB1, "times" -> 0xD7, "divide" -> 0xF7,
+      "euro" -> 0x20AC, "pound" -> 0xA3, "yen" -> 0xA5, "cent" -> 0xA2,
+      "laquo" -> 0xAB, "raquo" -> 0xBB)
+    for ((name, cp) <- expected) {
+      val e = Html.extract(s"<p>x&$name;y</p>").getOrElse(fail(s"None for &$name;"))
+      assert(e.text == "x" + new String(Character.toChars(cp)) + "y",
+        s"&$name; decoded wrong")
+      assert(e.nEntities == 1)
+    }
+    // NBSP is NOT in the whitespace-collapse class: it survives as text
+    assert(Html.extract("<p>a&nbsp; &nbsp;b</p>").exists(_.text == "a   b"))
+    // an uncommon named ref stays literal under the lenient contract
+    assert(Html.extract("&aleph;").exists(e => e.text == "&aleph;" && e.nEntities == 0))
+  }
+
   test("semantically invalid numeric references decode to U+FFFD and count (HTML5 rule)") {
     for (in <- Seq("&#1114112;", "&#x110000;", "&#55296;", "&#xD800;",
                    "&#xDFFF;", "&#0;", "&#x99999999;")) {
