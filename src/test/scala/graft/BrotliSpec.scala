@@ -126,6 +126,68 @@ class BrotliSpec extends AnyFunSuite {
     assert(new String(got, "UTF-8") == "AAAABBBBAAAABBBB")
   }
 
+  test("crafted stream: context map with inverse move-to-front") {
+    // same output as the block-switching stream, but the context map
+    // [0 x64, 1 x64] is transmitted MTF-transformed: [0 x64, 1, 0 x63]
+    // with the IMTF bit set
+    val w = new W
+    w.put(0, 1) // WBITS = 16
+    w.put(1, 1); w.put(0, 1) // ISLAST, not empty
+    w.put(0, 2); w.put(15, 16) // MLEN = 16
+    w.put(1, 1); w.put(0, 3) // NBLTYPESL = 2
+    w.put(1, 2); w.put(0, 2); w.put(1, 2) // type code: always "next"
+    w.put(1, 2); w.put(0, 2); w.put(0, 5) // count code: 1..4
+    w.put(3, 2) // first literal block count = 4
+    w.put(0, 1); w.put(0, 1) // NBLTYPESI/D = 1
+    w.put(0, 2); w.put(0, 4) // NPOSTFIX, NDIRECT
+    w.put(0, 2); w.put(0, 2) // context modes
+    w.put(1, 1); w.put(0, 3) // NTREESL = 2
+    w.put(1, 1) // RLE used
+    w.put(5, 4) // RLEMAX = 6
+    // cmap prefix code: simple 3-symbol {6 (len1), 5, 7 (len2)}
+    w.put(1, 2); w.put(2, 2); w.put(6, 3); w.put(5, 3); w.put(7, 3)
+    w.putCode(0, 1); w.put(0, 6) // sym 6: zero-run of 64
+    w.putCode(3, 2) // sym 7: literal value 1 (moves to front)
+    w.putCode(2, 2); w.put(31, 5) // sym 5: zero-run of 63
+    w.put(1, 1) // IMTF = 1
+    w.put(0, 1) // NTREESD = 1
+    w.put(1, 2); w.put(0, 2); w.put(65, 8) // literal tree 0: 'A'
+    w.put(1, 2); w.put(0, 2); w.put(66, 8) // literal tree 1: 'B'
+    w.put(1, 2); w.put(0, 2); w.put(264, 10) // command: insert16
+    w.put(1, 2); w.put(0, 2); w.put(0, 6) // distance code (unused)
+    w.put(2, 2) // insert extra: 14 + 2 = 16
+    w.put(3, 2); w.put(3, 2); w.put(3, 2) // 3 block-switch counts
+    val got = Brotli.decompress(w.bytes).getOrElse(fail("IMTF stream None"))
+    assert(new String(got, "UTF-8") == "AAAABBBBAAAABBBB")
+  }
+
+  test("crafted stream: complex prefix code with HSKIP = 2") {
+    val w = new W
+    w.put(0, 1) // WBITS = 16
+    w.put(1, 1); w.put(0, 1) // ISLAST, not empty
+    w.put(0, 2); w.put(1, 16) // MLEN = 2
+    w.put(0, 1); w.put(0, 1); w.put(0, 1) // NBLTYPES all 1
+    w.put(0, 2); w.put(0, 4) // NPOSTFIX, NDIRECT
+    w.put(0, 2); w.put(0, 1); w.put(0, 1) // mode, NTREESL, NTREESD
+    // literal code: flat-8 via the COMPLEX form with HSKIP = 2 — the
+    // first two code-length slots (symbols 1, 2) are skipped
+    w.put(2, 2) // kind = HSKIP = 2
+    // order from i=2: 3,4,0,5,17,6 are zeros, then 16 -> 1, 7 -> 0, 8 -> 1
+    (0 until 6).foreach(_ => w.put(0, 2))
+    w.put(7, 4); w.put(0, 2); w.put(7, 4)
+    // tokens: literal 8 once, then a 16-chain covering 255 repeats
+    w.putCode(0, 1)
+    w.putCode(1, 1); w.put(2, 2)
+    w.putCode(1, 1); w.put(2, 2)
+    w.putCode(1, 1); w.put(2, 2)
+    w.putCode(1, 1); w.put(0, 2)
+    w.put(1, 2); w.put(0, 2); w.put(144, 10) // command: insert 2 + copy
+    w.put(1, 2); w.put(0, 2); w.put(0, 6) // distance code (unused)
+    w.putCode(104, 8); w.putCode(105, 8) // "hi" through the flat-8 code
+    val got = Brotli.decompress(w.bytes).getOrElse(fail("HSKIP stream None"))
+    assert(new String(got, "UTF-8") == "hi")
+  }
+
   test("crafted stream: NPOSTFIX/NDIRECT distances, ring +1 form, implicit distance zero") {
     val w = new W
     w.put(0, 1) // WBITS = 16
