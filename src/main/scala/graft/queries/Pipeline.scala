@@ -48,6 +48,7 @@ object Pipeline extends PipelineStreamBatch {
     "t26_jsonl_gzip_ingest" -> t26, "t27_gzip_multimember" -> t27,
     "t28_warc_ingest" -> t28, "t29_html_extract" -> t29,
     "t30_zstd_ingest" -> t30, "t31_brotli_ingest" -> t31,
+    "t32_link_extract" -> t32,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -136,6 +137,7 @@ object Pipeline extends PipelineStreamBatch {
     "t26_jsonl_gzip_ingest" -> t26Sql, "t27_gzip_multimember" -> t27Sql,
     "t28_warc_ingest" -> t28Sql, "t29_html_extract" -> t29Sql,
     "t30_zstd_ingest" -> t30Sql, "t31_brotli_ingest" -> t31Sql,
+    "t32_link_extract" -> t32Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,

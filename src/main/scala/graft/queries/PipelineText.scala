@@ -2215,6 +2215,63 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t32: out-link extraction (the link-graph primitive) -------------------
+  // Between extraction (t29) and any crawl frontier / PageRank-style
+  // weighting sits the per-document OUT-LINK harvest every web
+  // pipeline runs: `<a href>` values in document order.
+  // graft.sources.Html now walks the ATTRIBUTE LIST structurally
+  // (names, '=', quoted values that may contain '>', unquoted
+  // values), captures the first href of each `<a>` START tag, and
+  // entity-decodes the value (`&amp;` in query strings is ubiquitous;
+  // the attribute-value ambiguous-ampersand rule keeps bare '&'
+  // literal). The fixture renders each doc as a real page — links in
+  // all three quote styles by (id+j)%3, a data-href decoy, an
+  // href-less anchor, links inside a script body and a comment that
+  // must NOT exist, and the doc's escaped text as page prose — and
+  // corrupts doc_id%11==7 pages with an unterminated quoted value
+  // (ok=false, the t29 accounting). The oracle re-derives every URL
+  // from doc arithmetic (including the &amp; → & decode): one
+  // captured decoy, one missed quote style, or one undecoded entity
+  // breaks the hash.
+  //
+  // Scale: one map-only pass (render + extract), linear in page
+  // bytes, zero shuffles before the output sort — t29's class.
+  private[queries] val t32: Q = (s, d) => {
+    import s.implicits._
+    import graft.sources.Html
+    T.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          Html.extract(LinkFixture.render(id, text)) match {
+            case Some(e) =>
+              (id, true, e.links.length.toLong, e.links.mkString("\n"))
+            case None => (id, false, 0L, "")
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "n_links", "joined")
+      .select(col("doc_id"), col("ok"), col("n_links"),
+        md5(col("joined").cast(BinaryType)).as("links_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t32Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 1 + doc_id % 4 AS nl, doc_id % 11 = 7 AS corrupt
+      |  FROM documents),
+      |l AS (SELECT doc_id, nl, corrupt, unnest(range(0, nl)) AS j FROM d),
+      |agg AS (
+      |  SELECT doc_id, MAX(nl) AS nl, MAX(corrupt) AS corrupt,
+      |    string_agg('https://ex.org/' || doc_id || '/' || j || '?a=' || j
+      |      || '&b=' || (doc_id % 7), chr(10) ORDER BY j) AS lk
+      |  FROM l GROUP BY doc_id)
+      |SELECT doc_id,
+      |  NOT corrupt AS ok,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE nl END AS BIGINT) AS n_links,
+      |  CASE WHEN corrupt THEN md5('') ELSE md5(lk) END AS links_md5
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // -- t31: brotli ingest (RFC 7932) -----------------------------------------
   // The web's THIRD Content-Encoding, and the remaining wire format a
   // crawl pipeline meets: `.br` payloads. graft.operators.Brotli is
@@ -2375,6 +2432,39 @@ private[queries] object WarcHttpFixture {
     }
     (Seq("HTTP/1.1 200 OK", "Content-Type: text/plain; charset=utf-8") ++
       headers).mkString("", "\r\n", "\r\n\r\n").getBytes("UTF-8") ++ body
+  }
+}
+
+/** t32's link-bearing page fixture — a standalone object so executor
+  * closures reference a static, not the enclosing query trait (the
+  * t26 capture-nothing discipline). */
+private[queries] object LinkFixture {
+  def render(id: Long, text: String): String = {
+    val nl = 1 + (id % 4).toInt
+    def esc(x: String): String =
+      x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder(text.length + 512)
+    sb.append("<!DOCTYPE html>\n<html>\n<head>\n<title>Links ")
+      .append(id).append("</title>\n")
+    sb.append("<script>var s").append(id)
+      .append(" = '<a href=\"https://no.example/script\">x</a>';</script>\n")
+    sb.append("</head>\n<body>\n")
+    sb.append("<!-- <a href=\"https://no.example/comment\">c</a> -->\n")
+    sb.append("<p><a data-href=\"https://no.example/decoy\" class=\"d\">decoy</a>\n")
+    sb.append("<a name=\"only-").append(id).append("\">anchor</a></p>\n")
+    (0 until nl).foreach { j =>
+      val url = s"https://ex.org/$id/$j?a=$j&amp;b=${id % 7}"
+      val open = ((id + j) % 3).toInt match {
+        case 0 => "<a href=\"" + url + "\" rel=\"nofollow\">"
+        case 1 => "<a rel='tag' href='" + url + "'>"
+        case _ => "<a href=" + url + ">"
+      }
+      sb.append(open).append("t").append(j).append("</a>\n")
+    }
+    sb.append("<p>").append(esc(text)).append("</p>\n")
+    sb.append("</body>\n</html>")
+    if (id % 11 == 7) sb.append("<a href=\"broken-") // unterminated value
+    sb.toString
   }
 }
 

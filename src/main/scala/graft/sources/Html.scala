@@ -42,8 +42,12 @@ object Html {
 
   /** Extraction result: normalized text, tags stripped (open+close,
     * raw-text elements' own tags included; comments and declarations
-    * NOT counted), entities decoded. */
-  final case class Extract(text: String, nTags: Long, nEntities: Long)
+    * NOT counted), entities decoded, and the document's out-links —
+    * `href` values of `<a>` START tags in document order (first href
+    * per tag; entity-decoded like any attribute value; links inside
+    * dropped script/style/title content or comments do not exist). */
+  final case class Extract(text: String, nTags: Long, nEntities: Long,
+                           links: Vector[String])
 
   private object Bad extends scala.util.control.ControlThrowable
 
@@ -65,9 +69,62 @@ object Html {
   def extract(html: String): Option[Extract] =
     try Some(extract0(html)) catch { case Bad => None }
 
+  /** The entity candidate at s(i) == '&': returns (cp << 32) | next,
+    * with cp = -1 when the ampersand is literal text (HTML5's
+    * ambiguous-ampersand rule) and cp = 0xFFFD for syntactically
+    * complete but semantically invalid numeric references. */
+  private def entityAt(s: String, i: Int): Long = {
+    def lit: Long = (-1L << 32) | (i + 1).toLong
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi > i + 12) return lit
+    val body = s.substring(i + 1, semi)
+    val cp: Int = named.get(body) match {
+      case Some(c) => c
+      case None =>
+        if (body.length < 2 || body.charAt(0) != '#') return lit
+        val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
+        val digits = if (hex) body.substring(2) else body.substring(1)
+        if (digits.isEmpty) return lit
+        var v = 0
+        var k = 0
+        while (k < digits.length) {
+          val c = digits.charAt(k)
+          val d =
+            if (c >= '0' && c <= '9') c - '0'
+            else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+            else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+            else return lit // non-digit: not a numeric entity
+          if (v <= 0x10FFFF) v = v * (if (hex) 16 else 10) + d
+          k += 1
+        }
+        if (v == 0 || v > 0x10FFFF || (v >= 0xD800 && v <= 0xDFFF)) 0xFFFD
+        else v
+    }
+    (cp.toLong << 32) | (semi + 1).toLong
+  }
+
+  /** Entity-decode a whole string (attribute values — `&amp;` in href
+    * query strings is ubiquitous): decoded references substituted,
+    * ambiguous ampersands literal; nothing counted. */
+  private def decodeRefs(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val out = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '&') {
+        val r = entityAt(v, i)
+        val cp = (r >> 32).toInt
+        if (cp < 0) { out.append('&'); i += 1 }
+        else { out.appendCodePoint(cp); i = (r & 0xffffffffL).toInt }
+      } else { out.append(v.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
   private def extract0(s: String): Extract = {
     val n = s.length
     val out = new java.lang.StringBuilder(n)
+    val links = Vector.newBuilder[String]
     var nTags = 0L
     var nEnt = 0L
     var i = 0
@@ -84,25 +141,67 @@ object Html {
       true
     }
 
-    /** Skip a tag from its '<' (s(i) == '<'), honoring quoted
-      * attribute values; returns the index past '>' and the
-      * lower-cased tag name. */
+    /** Walk a tag from its '<' (s(i) == '<') through its ATTRIBUTE
+      * LIST (names, '=', quoted values — which may contain '>' — or
+      * unquoted values), advancing past '>'; returns the lower-cased
+      * tag name. Captures the first `href` value of an `<a>` START
+      * tag into `links`, entity-decoded. Unterminated tag or quoted
+      * value → malformation. */
     def skipTag(): String = {
-      // tag name
       var p = i + 1
-      if (p < n && s.charAt(p) == '/') p += 1
+      val isEnd = p < n && s.charAt(p) == '/'
+      if (isEnd) p += 1
       val nameStart = p
       while (p < n && (s.charAt(p).isLetterOrDigit)) p += 1
       val name = s.substring(nameStart, p).toLowerCase
-      var quote: Char = 0
-      while (p < n) {
+      @inline def ws(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+      var href: String = null
+      var done = false
+      while (!done) {
+        while (p < n && ws(s.charAt(p))) p += 1
+        if (p >= n) bad() // unterminated tag
         val c = s.charAt(p)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else if (c == '"' || c == '\'') quote = c
-        else if (c == '>') { i = p + 1; nTags += 1; return name }
-        p += 1
+        if (c == '>') { done = true; p += 1 }
+        else if (c == '/') p += 1
+        else {
+          val aStart = p
+          while (p < n && {
+            val ch = s.charAt(p)
+            ch != '=' && ch != '>' && ch != '/' && !ws(ch)
+          }) p += 1
+          if (p >= n) bad()
+          val aName = s.substring(aStart, p).toLowerCase
+          while (p < n && ws(s.charAt(p))) p += 1
+          var value: String = null
+          if (p < n && s.charAt(p) == '=') {
+            p += 1
+            while (p < n && ws(s.charAt(p))) p += 1
+            if (p >= n) bad()
+            val q = s.charAt(p)
+            if (q == '"' || q == '\'') {
+              p += 1
+              val vStart = p
+              while (p < n && s.charAt(p) != q) p += 1
+              if (p >= n) bad() // unterminated quoted value
+              value = s.substring(vStart, p)
+              p += 1
+            } else {
+              val vStart = p
+              while (p < n && { val ch = s.charAt(p); !ws(ch) && ch != '>' })
+                p += 1
+              value = s.substring(vStart, p)
+            }
+          }
+          if (!isEnd && name == "a" && aName == "href" &&
+              href == null && value != null)
+            href = value
+        }
       }
-      bad() // unterminated tag
+      i = p
+      nTags += 1
+      if (href != null) links += decodeRefs(href)
+      name
     }
 
     /** Drop content up to (and past) `</name>`, case-insensitive; per
@@ -129,40 +228,18 @@ object Html {
       bad() // unterminated raw-text element
     }
 
-    /** HTML5 ampersand: decode a ';'-terminated valid entity, or emit
-      * the '&' as literal text (the ambiguous-ampersand rule). */
+    /** HTML5 ampersand: decode a ';'-terminated valid entity (counted),
+      * or emit the '&' as literal text (the ambiguous-ampersand rule;
+      * not counted). The parse itself is the shared [[entityAt]]. */
     def decodeEntity(): Unit = { // s(i) == '&'
-      def literal(): Unit = { out.append('&'); i += 1 }
-      val semi = s.indexOf(';', i + 1)
-      if (semi < 0 || semi > i + 12) return literal() // no entity form here
-      val body = s.substring(i + 1, semi)
-      val decoded: Int = named.get(body) match {
-        case Some(cp) => cp
-        case None =>
-          if (body.length < 2 || body.charAt(0) != '#') return literal()
-          val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
-          val digits = if (hex) body.substring(2) else body.substring(1)
-          if (digits.isEmpty) return literal()
-          var v = 0
-          var k = 0
-          while (k < digits.length) {
-            val c = digits.charAt(k)
-            val d =
-              if (c >= '0' && c <= '9') c - '0'
-              else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
-              else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
-              else return literal() // non-digit: not a numeric entity
-            if (v <= 0x10FFFF) v = v * (if (hex) 16 else 10) + d
-            k += 1
-          }
-          // syntactically complete but semantically invalid numeric
-          // reference: HTML5 says U+FFFD, counted as an entity
-          if (v == 0 || v > 0x10FFFF || (v >= 0xD800 && v <= 0xDFFF)) 0xFFFD
-          else v
+      val r = entityAt(s, i)
+      val cp = (r >> 32).toInt
+      if (cp < 0) { out.append('&'); i += 1 }
+      else {
+        out.appendCodePoint(cp)
+        nEnt += 1
+        i = (r & 0xffffffffL).toInt
       }
-      out.appendCodePoint(decoded)
-      nEnt += 1
-      i = semi + 1
     }
 
     while (i < n) {
@@ -201,6 +278,6 @@ object Html {
       }
       j += 1
     }
-    Extract(norm.toString, nTags, nEnt)
+    Extract(norm.toString, nTags, nEnt, links.result())
   }
 }

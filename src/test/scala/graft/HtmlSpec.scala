@@ -136,6 +136,33 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extract("<script>var a = '</scripts>';").isEmpty)
   }
 
+  test("out-links: href capture across quote styles, entity-decoded, decoys excluded") {
+    val e = Html.extract(
+      "<a href=\"https://a.example/x?p=1&amp;q=2\">one</a>" +
+        "<a rel='nofollow' href='https://b.example/y'>two</a>" +
+        "<a href=https://c.example/z#frag>three</a>" +
+        "<a data-href=\"https://no.example/decoy\">decoy</a>" +
+        "<a name=\"anchor\">no href</a>" +
+        "<a href=\"first\" href=\"second\">first wins</a>" +
+        "<p href=\"https://no.example/not-an-a\">p</p>")
+      .getOrElse(fail("None"))
+    assert(e.links == Vector("https://a.example/x?p=1&q=2",
+      "https://b.example/y", "https://c.example/z#frag", "first"))
+    // links inside dropped content or comments do not exist
+    val d = Html.extract(
+      "<script>var a = '<a href=\"https://no.example/s\">x</a>';</script>" +
+        "<!-- <a href=\"https://no.example/c\">c</a> -->" +
+        "<a href=\"https://yes.example/\">ok</a>").getOrElse(fail("None"))
+    assert(d.links == Vector("https://yes.example/"))
+    // an END tag with an href is not a link; bare ampersands in hrefs
+    // stay literal (the attribute-value ambiguous-ampersand rule)
+    val f = Html.extract("<a href=\"u?a=1&b=2\">x</a href=\"no\">")
+      .getOrElse(fail("None"))
+    assert(f.links == Vector("u?a=1&b=2"))
+    // unterminated quoted value is a malformation
+    assert(Html.extract("<a href=\"unclosed>x</a>").isEmpty)
+  }
+
   test("entities inside dropped content are not decoded or counted") {
     val e = Html.extract("<title>&amp;&bogus;</title><p>&lt;</p>")
       .getOrElse(fail("None"))
