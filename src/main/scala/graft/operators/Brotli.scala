@@ -19,28 +19,34 @@ package graft.operators
   * distance decoding, the four-slot distance ring buffer with ±1..3
   * forms, and overlap-correct window copies.
   *
-  * HONEST PROFILE BOUNDARY (no brotli implementation exists on this
-  * classpath to cross-validate against — netty's Brotli.isAvailable
-  * is false and commons-compress's facade requires org.brotli.dec,
-  * absent — so anything that cannot be verified is REJECTED, never
-  * guessed):
-  * - Static-dictionary references (distance past the produced data)
-  *   → None. The 122,784-byte dictionary blob is not derivable from
-  *   the RFC text; a wrong byte would be silently-wrong-on-real-data.
-  * - Literal context modes UTF8 (2) and Signed (3) → None, but ONLY
-  *   when NTREESL > 1 (when the context actually selects a tree);
-  *   with one literal tree the context value is irrelevant and any
-  *   mode decodes. The RFC's 512-entry context tables are likewise
-  *   unverifiable here.
-  * - A metadata meta-block with ISLAST set → None (conservative).
+  * FULL RFC 7932 (round 16 — rounds 15's profile boundary is CLOSED):
+  * all four literal context modes (LSB6/MSB6/UTF8/Signed through the
+  * spec's 2,048-byte context lookup, [[BrotliTables.contextLut]]) and
+  * STATIC DICTIONARY references — the 122,784-byte word blob, the
+  * NDBITS word-count layout, and all 121 word transformations
+  * (omit-first/omit-last, ferment-first/ferment-all with the spec's
+  * multi-byte ferment steps, prefix/suffix attachment) per §8. The
+  * spec data tables live in [[BrotliTables]] (CRC-pinned), and the
+  * certificate is no longer self-referential: BrotliSpec decodes 87
+  * streams produced by the REAL brotli encoder (library v1.2.0,
+  * qualities 0–11, text/generic/font modes, window 10–24, inputs from
+  * prose to UTF-8 multilingual to binary) byte-exactly — those
+  * streams carry dictionary references, UTF8/Signed context modeling,
+  * block splitting and NPOSTFIX distances as real encoders emit them.
+  * The one remaining rejection is the large-window EXTENSION
+  * (WBITS > 24), which is outside RFC 7932 itself. Inputs whose bit
+  * count would overflow the Int bit cursor (≥ 2^28 bytes) are
+  * rejected by an explicit guard, not an overflow artifact.
   *
   * [[compress]] is the fixture half: a conforming greedy-LZ encoder
   * (flat literal code, real canonical Huffman command/distance codes
   * written through the repeat-coded code-length machinery, distance
-  * ring reuse, uncompressed and metadata meta-blocks on demand) whose
-  * output exercises every decoder arm the profile certifies.
-  * BrotliSpec round-trips the pair, pins the reference encoder's
-  * known empty-stream bytes (0x3B, and the WBITS=16 form 0x06), and
+  * ring reuse, uncompressed, metadata and last-metadata meta-blocks,
+  * UTF8-context two-tree literal coding, and static-dictionary
+  * references on rotating variants) whose output exercises every
+  * decoder arm on the oracle-certified t31/e19 path. BrotliSpec
+  * round-trips the pair, pins the reference encoder's known
+  * empty-stream bytes (0x3B, and the WBITS=16 form 0x06), and
   * rejects a malformation per structural layer. `None` on ANY
   * malformation — never throws.
   */
@@ -136,6 +142,7 @@ object Brotli {
   }
 
   // ---- fixed tables --------------------------------------------------------
+  private val ctxLut = BrotliTables.contextLut
   // code-length-code order and its fixed 4-bit-peek prefix code (§3.5)
   private val clOrder = Array(1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
   // the fixed code: 0="00", 3="01", 4="10", 2="110", 1="1110", 5="1111"
@@ -337,6 +344,50 @@ object Brotli {
     } else new BlockState(1, null, null, Int.MaxValue)
   }
 
+  /** §8 word transformation: prefix ++ ferment/omit(word) ++ suffix.
+    * Ferment steps 1 byte below 0xC0 (XOR 32 on a-z), 2 bytes below
+    * 0xE0 (XOR 32 on the second), else 3 (XOR 5 on the third); a step
+    * whose mutated byte falls past the word's end leaves it unchanged
+    * (the reference applies the ferment before the suffix is attached,
+    * so such writes are overwritten — same visible behavior). */
+  private def dictWord(tId: Int, woff: Int, len: Int): Array[Byte] = {
+    val t = BrotliTables.transforms(tId)
+    val dic = BrotliTables.dictionary
+    var off = woff
+    var n = len
+    val op = t.op
+    if (op >= 12) { val skip = math.min(op - 11, n); off += skip; n -= skip }
+    else if (op >= 1 && op <= 9) n = math.max(0, n - op)
+    val w = new Array[Byte](n)
+    System.arraycopy(dic, off, w, 0, n)
+    // ferment-first (10) / ferment-all (11)
+    @inline def fermentAt(i: Int): Int = {
+      val b = w(i) & 0xff
+      if (b < 0xc0) {
+        if (b >= 'a' && b <= 'z') w(i) = (b ^ 32).toByte
+        1
+      } else if (b < 0xe0) {
+        if (i + 1 < n) w(i + 1) = (w(i + 1) ^ 32).toByte
+        2
+      } else {
+        if (i + 2 < n) w(i + 2) = (w(i + 2) ^ 5).toByte
+        3
+      }
+    }
+    if (op == 10) { if (n > 0) fermentAt(0) }
+    else if (op == 11) {
+      var i = 0
+      while (i < n) i += fermentAt(i)
+    }
+    val pre = t.prefixBytes
+    val suf = t.suffixBytes
+    val out = new Array[Byte](pre.length + n + suf.length)
+    System.arraycopy(pre, 0, out, 0, pre.length)
+    System.arraycopy(w, 0, out, pre.length, n)
+    System.arraycopy(suf, 0, out, pre.length + n, suf.length)
+    out
+  }
+
   // ---- decoder -------------------------------------------------------------
   /** Decode one complete brotli stream that must exactly tile `p`
     * (padding bits in the final byte excepted, per the RFC). None on
@@ -352,6 +403,10 @@ object Brotli {
   private def decode0(p: Array[Byte], maxOut: Int): Array[Byte] = {
     def bad(): Nothing = throw Bad
     if (maxOut < 0) bad()
+    // Bits.pos is an Int of absolute bit positions: inputs at or past
+    // 2^28 bytes (2^31 bits) are rejected deliberately, not by
+    // overflow (maxOut bounds output, not input)
+    if (p.length >= (1 << 28)) bad()
     val br = new Bits(p, p.length)
     // WBITS (§9.1)
     val wbits =
@@ -379,7 +434,11 @@ object Brotli {
       }
     }
 
-    val ring = Array(16, 15, 11, 4) // initial last distances (§4)
+    // initial last distances (§4): the spec lists them fourth-last to
+    // last, so the LAST distance (code 0) starts at 4 — pinned by the
+    // real-encoder fixtures (a reversed ring decodes self-round-trips
+    // fine but drifts on real streams)
+    val ring = Array(4, 11, 15, 16)
     var isLast = false
     while (!isLast) {
       isLast = br.bit() == 1
@@ -393,8 +452,7 @@ object Brotli {
         case 3 => 0
         case n => n + 4
       }
-      if (mnibbles == 0) { // metadata meta-block (§9.2)
-        if (isLast) bad() // conservative: metadata cannot be last
+      if (mnibbles == 0) { // metadata meta-block (§9.2; ISLAST allowed)
         if (br.bit() != 0) bad() // reserved bit
         val skipBytes = br.read(2)
         var skipLen = 0
@@ -432,9 +490,6 @@ object Brotli {
           var i = 0
           while (i < blkL.ntypes) { cmodes(i) = br.read(2); i += 1 }
           val ntreesL = varLenUint8(br) + 1
-          // UTF8/Signed context tables are unverifiable here; they only
-          // matter when the context selects among several trees
-          if (ntreesL > 1 && cmodes.exists(_ >= 2)) bad()
           val cmapL = readContextMap(br, 64 * blkL.ntypes, ntreesL)
           val ntreesD = varLenUint8(br) + 1
           val cmapD = readContextMap(br, 4 * blkD.ntypes, ntreesD)
@@ -465,11 +520,10 @@ object Brotli {
               blkL.count -= 1
               val p1 = if (outLen > 0) out(outLen - 1) & 0xff else 0
               val p2 = if (outLen > 1) out(outLen - 2) & 0xff else 0
-              val ctx = cmodes(blkL.cur) match {
-                case 0 => p1 & 0x3f // LSB6
-                case 1 => p1 >> 2 // MSB6
-                case _ => 0 // single-tree only (checked above)
-              }
+              // §7.1: all four modes through the spec's lookup table —
+              // 512 bytes per mode (256 for p1, 256 for p2), OR-combined
+              val lutOff = cmodes(blkL.cur) << 9
+              val ctx = (ctxLut(lutOff + p1) | ctxLut(lutOff + 256 + p2)) & 0xff
               val tree = cmapL(64 * blkL.cur + ctx)
               if (tree >= ntreesL) bad()
               val lit = litHuffs(tree).decode(br)
@@ -519,21 +573,40 @@ object Brotli {
                 }
               }
               val maxDist = math.min(windowSize, outLen)
-              if (distance > maxDist) bad() // static dictionary: out of profile
-              // ring update: not for distance code 0 (explicit or implied)
-              if (!implicitZero && dcode != 0) {
-                ring(3) = ring(2); ring(2) = ring(1)
-                ring(1) = ring(0); ring(0) = distance
+              if (distance > maxDist) {
+                // static dictionary reference (§8): the word id selects
+                // (index within the length bucket, transform id); the
+                // ring is NOT updated for dictionary references (§4)
+                if (cpyLen < 4 || cpyLen > 24) bad()
+                val sizeBits = BrotliTables.sizeBitsByLength(cpyLen)
+                val wordId = distance - maxDist - 1
+                val index = wordId & ((1 << sizeBits) - 1)
+                val tId = wordId >>> sizeBits
+                if (tId >= 121) bad()
+                val word = dictWord(tId,
+                  BrotliTables.offsetByLength(cpyLen) + cpyLen * index, cpyLen)
+                if (produced + word.length > mlen) bad()
+                ensure(outLen + word.length)
+                System.arraycopy(word, 0, out, outLen, word.length)
+                outLen += word.length
+                produced += word.length
+              } else {
+                // ring update: not for distance code 0 (explicit or
+                // implied) and not for dictionary references
+                if (!implicitZero && dcode != 0) {
+                  ring(3) = ring(2); ring(2) = ring(1)
+                  ring(1) = ring(0); ring(0) = distance
+                }
+                if (produced + cpyLen > mlen) bad()
+                ensure(outLen + cpyLen)
+                var src = outLen - distance
+                var k2 = 0
+                while (k2 < cpyLen) {
+                  out(outLen) = out(src)
+                  outLen += 1; src += 1; k2 += 1
+                }
+                produced += cpyLen
               }
-              if (produced + cpyLen > mlen) bad()
-              ensure(outLen + cpyLen)
-              var src = outLen - distance
-              var k2 = 0
-              while (k2 < cpyLen) {
-                out(outLen) = out(src)
-                outLen += 1; src += 1; k2 += 1
-              }
-              produced += cpyLen
             }
           }
         }
@@ -724,15 +797,42 @@ object Brotli {
     ((riLut((insCode >> 3, cpyCode >> 3)) + 2) << 6) |
       ((insCode & 7) << 3) | (cpyCode & 7)
 
-  private final case class Cmd(litStart: Int, litLen: Int, cpyLen: Int, dist: Int)
+  private final case class Cmd(litStart: Int, litLen: Int, cpyLen: Int,
+                               dist: Int, dictIdx: Int = -1)
+
+  /** Static-dictionary words of length 4..8 → index, for the fixture
+    * encoder's dictionary-reference variant (Identity transform). */
+  private lazy val dictIndex: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](16384)
+    var len = 4
+    while (len <= 8) {
+      val n = 1 << BrotliTables.sizeBitsByLength(len)
+      val base = BrotliTables.offsetByLength(len)
+      var i = 0
+      while (i < n) {
+        m.put(new String(BrotliTables.dictionary, base + len * i, len,
+          "ISO-8859-1"), i)
+        i += 1
+      }
+      len += 1
+    }
+    m
+  }
 
   /** Encode `raw` as one brotli stream. `variant` rotates stream
     * shapes: metadata-skip block (v%3==1), uncompressed meta-blocks
-    * interleaved (v%4==2), context-mode bit (v%2). */
+    * interleaved (v%4==2), UTF8 context mode with TWO literal trees
+    * split on the spec's context value (v%5==2, certifying the §7.1
+    * lookup on the oracle path), static-dictionary references
+    * (v%7==3, certifying §8 word lookup on the oracle path), a LAST
+    * metadata meta-block ending the stream (v%9==5), context-mode
+    * bit when single-tree (v%2). */
   def compress(raw: Array[Byte], variant: Long = 0): Array[Byte] = {
     val bw = new BitWriter
     bw.put(1, 1); bw.put(5, 3) // WBITS = 22
     val window = (1 << 22) - 16
+    val useUtf8Ctx = variant % 5 == 2
+    val useDict = variant % 7 == 3
     if (variant % 3 == 1) { // metadata-skip meta-block
       val meta = s"graft-meta-$variant".getBytes("UTF-8")
       bw.put(0, 1) // ISLAST
@@ -753,8 +853,8 @@ object Brotli {
     }
     var segStart = 0
     var segIdx = 0
-    // mirror of the decoder's distance ring
-    val ring = Array(16, 15, 11, 4)
+    // mirror of the decoder's distance ring (last distance first)
+    val ring = Array(4, 11, 15, 16)
     while (segStart < raw.length) {
       val segLen = math.min(50000, raw.length - segStart)
       val segEnd = segStart + segLen
@@ -786,8 +886,18 @@ object Brotli {
             }
             table(h) = i
           }
+          var dictIdx = -1
+          if (take == 0 && useDict && i + 4 <= segEnd) {
+            // try the static dictionary (longest of lengths 8..4)
+            var len = math.min(8, segEnd - i)
+            while (len >= 4 && dictIdx < 0) {
+              val hit = dictIndex.get(new String(raw, i, len, "ISO-8859-1"))
+              if (hit ne null) { dictIdx = hit.intValue; take = len }
+              else len -= 1
+            }
+          }
           if (take > 0) {
-            cmds += Cmd(litStart, i - litStart, take, dist)
+            cmds += Cmd(litStart, i - litStart, take, dist, dictIdx)
             var k = i + 1
             val stop = math.min(i + take, segEnd - 4)
             while (k < stop) { table(hash(k)) = k; k += 1 }
@@ -804,30 +914,49 @@ object Brotli {
         bw.put(0, 1); bw.put(0, 1); bw.put(0, 1) // NBLTYPES L/I/D = 1
         bw.put(0, 2) // NPOSTFIX = 0
         bw.put(0, 4) // NDIRECT = 0
-        bw.put((variant % 2).toInt, 2) // context mode (irrelevant: 1 tree)
-        bw.put(0, 1) // NTREESL = 1
+        if (useUtf8Ctx) {
+          bw.put(2, 2) // context mode UTF8
+          bw.put(1, 1); bw.put(0, 3) // NTREESL = 2 (varlen value 1)
+          // context map: trees split on context value (ctx >= 32 →
+          // tree 1); no RLE, simple 2-symbol code, no inverse MTF
+          bw.put(0, 1) // RLEMAX absent
+          bw.put(1, 2); bw.put(1, 2) // simple code, NSYM = 2
+          bw.put(0, 1); bw.put(1, 1) // symbols 0, 1 (1-bit alphabet)
+          var cm = 0
+          while (cm < 64) { bw.put(if (cm >= 32) 1 else 0, 1); cm += 1 }
+          bw.put(0, 1) // IMTF = 0
+        } else {
+          bw.put((variant % 2).toInt, 2) // context mode (irrelevant: 1 tree)
+          bw.put(0, 1) // NTREESL = 1
+        }
         bw.put(0, 1) // NTREESD = 1
-        // resolve distance symbols against the ring (decoder's model)
+        // resolve distance symbols against the ring (decoder's model);
+        // dictionary references encode explicitly and never push (§4)
         val distSyms = new Array[Int](cmds.length)
         val distExtra = new Array[(Int, Int)](cmds.length)
+        @inline def explicitForm(ci: Int, d: Int): Int = {
+          val big = d + 3
+          val n = 31 - Integer.numberOfLeadingZeros(big) - 1
+          val h = (big >> n) - 2
+          distExtra(ci) = (big - ((2 + h) << n), n)
+          16 + 2 * (n - 1) + h
+        }
         var ci = 0
         while (ci < cmds.length) {
           val c = cmds(ci)
           val isFinalNoCopy = c.cpyLen == 0
-          if (!isFinalNoCopy) {
+          if (c.dictIdx >= 0) {
+            // distance past the window selects word (index, Identity)
+            val pos = c.litStart + c.litLen
+            distSyms(ci) = explicitForm(ci, math.min(window, pos) + 1 + c.dictIdx)
+          } else if (!isFinalNoCopy) {
             val d = c.dist
             val sym =
               if (d == ring(0)) 0
               else if (d == ring(1)) 1
               else if (d == ring(2)) 2
               else if (d == ring(3)) 3
-              else {
-                val big = d + 3
-                val n = 31 - Integer.numberOfLeadingZeros(big) - 1
-                val h = (big >> n) - 2
-                distExtra(ci) = (big - ((2 + h) << n), n)
-                16 + 2 * (n - 1) + h
-              }
+              else explicitForm(ci, d)
             if (sym != 0) { // ring codes 1..3 and explicit forms push
               ring(3) = ring(2); ring(2) = ring(1)
               ring(1) = ring(0); ring(0) = d
@@ -847,10 +976,33 @@ object Brotli {
           if (distSyms(k) >= 0) dstFreq(distSyms(k)) += 1
         }
         if (!dstFreq.exists(_ > 0)) dstFreq(0) = 1 // header needs one code
-        val litLens = Array.fill(256)(8) // flat-8, complete by construction
+        // literal tree for a literal at absolute position `idx` under
+        // the UTF8 context split (the decoder's §7.1 computation —
+        // decode output equals the raw prefix, so p1/p2 are raw bytes)
+        @inline def litTree(idx: Int): Int = {
+          if (!useUtf8Ctx) return 0
+          val p1 = if (idx > 0) raw(idx - 1) & 0xff else 0
+          val p2 = if (idx > 1) raw(idx - 2) & 0xff else 0
+          if (((ctxLut(1024 + p1) | ctxLut(1280 + p2)) & 0xff) >= 32) 1 else 0
+        }
+        val litLens = Array.fill(256)(8) // tree 0: flat-8, complete
+        val lit1Freq = new Array[Int](256)
+        if (useUtf8Ctx) cmds.foreach { c =>
+          var li = 0
+          while (li < c.litLen) {
+            val idx = c.litStart + li
+            if (litTree(idx) == 1) lit1Freq(raw(idx) & 0xff) += 1
+            li += 1
+          }
+        }
+        if (!lit1Freq.exists(_ > 0)) lit1Freq(0) = 1 // header needs one code
+        val lit1Lens = huffLengths(lit1Freq, 15)
+        val lit1Codes = canonicalCodes(lit1Lens)
+        val lit1Single = lit1Lens.count(_ > 0) == 1
         val cmdLens = huffLengths(cmdFreq, 15)
         val dstLens = huffLengths(dstFreq, 15)
         writePrefixCode(bw, litLens)
+        if (useUtf8Ctx) writePrefixCode(bw, lit1Lens)
         writePrefixCode(bw, cmdLens)
         writePrefixCode(bw, dstLens)
         val cmdCodes = canonicalCodes(cmdLens)
@@ -868,8 +1020,11 @@ object Brotli {
           bw.put((if (c.cpyLen == 0) 2 else c.cpyLen) - cpyBase(cpy),
             cpyExtra(cpy))
           var li = 0
-          while (li < c.litLen) { // flat-8: code == byte value
-            bw.putCode(raw(c.litStart + li) & 0xff, 8)
+          while (li < c.litLen) {
+            val idx = c.litStart + li
+            val b = raw(idx) & 0xff
+            if (litTree(idx) == 0) bw.putCode(b, 8) // flat-8: code == byte
+            else if (!lit1Single) bw.putCode(lit1Codes(b), lit1Lens(b))
             li += 1
           }
           if (distSyms(k) >= 0) {
@@ -883,8 +1038,20 @@ object Brotli {
       segStart = segEnd
       segIdx += 1
     }
-    bw.put(1, 1) // ISLAST
-    bw.put(1, 1) // ISLASTEMPTY
+    if (variant % 9 == 5) { // LAST metadata meta-block ends the stream
+      val meta = s"graft-tail-$variant".getBytes("UTF-8")
+      bw.put(1, 1) // ISLAST
+      bw.put(0, 1) // ISLASTEMPTY = 0
+      bw.put(3, 2) // MNIBBLES code 3: metadata
+      bw.put(0, 1) // reserved
+      bw.put(1, 2) // MSKIPBYTES = 1
+      bw.put(meta.length - 1, 8)
+      bw.alignByte()
+      bw.putRaw(meta, 0, meta.length)
+    } else {
+      bw.put(1, 1) // ISLAST
+      bw.put(1, 1) // ISLASTEMPTY
+    }
     bw.finish()
   }
 }

@@ -4,17 +4,24 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Brotli
 
-/** Hand-written RFC 7932 decoder. NO brotli implementation exists on
-  * this classpath (netty's Brotli.isAvailable is false; the
-  * commons-compress facade needs org.brotli.dec, absent), so the
-  * certificate is: (a) exact round-trips against our conforming
-  * fixture encoder across stream shapes, (b) the reference encoder's
-  * KNOWN empty-stream byte (0x3B — `brotli /dev/null`'s output — and
-  * the WBITS=16 form 0x06), (c) hand-assembled streams from the RFC's
-  * bit layout exercising the arms the fixture encoder never emits
-  * (block switching, context maps, NPOSTFIX/NDIRECT, the distance
-  * ring ±1 forms, implicit distance-zero commands), and (d) a
-  * malformation per structural layer, None never throw. */
+/** Hand-written RFC 7932 decoder — full spec as of round 16 (static
+  * dictionary, all context modes). The certificate: (a) 87
+  * CROSS-VALIDATION fixtures produced by the REAL brotli encoder
+  * (library v1.2.0; qualities 0–11, text/generic/font modes, window
+  * 10–24, inputs from ASCII prose to UTF-8 multilingual to binary —
+  * src/test/resources/brotli) must decode byte-exactly: real
+  * quality-11 text streams carry dictionary references, transforms,
+  * and UTF8/Signed context modeling, so one wrong table entry in
+  * [[graft.operators.BrotliTables]] breaks them; (b) exact
+  * round-trips against our conforming fixture encoder across stream
+  * shapes and variants (UTF8 two-tree context coding, dictionary
+  * references, metadata / last-metadata / uncompressed meta-blocks);
+  * (c) the reference encoder's KNOWN empty-stream byte (0x3B) and the
+  * WBITS=16 form 0x06; (d) hand-assembled streams from the RFC's bit
+  * layout exercising block switching, context maps, NPOSTFIX/NDIRECT,
+  * the distance ring ±1 forms, implicit distance-zero commands and
+  * dictionary-word selection; (e) a malformation per structural
+  * layer, None never throw. */
 class BrotliSpec extends AnyFunSuite {
 
   private val textLike: Array[Byte] = {
@@ -44,13 +51,32 @@ class BrotliSpec extends AnyFunSuite {
       ("seg-edge+1", Array.tabulate[Byte](50001)(i => (i % 7).toByte)))
   }
 
-  test("round-trips across shapes and stream variants (metadata, uncompressed blocks)") {
-    for ((name, raw) <- shapes; v <- 0L until 4L) {
+  test("round-trips across shapes and stream variants (metadata, uncompressed, UTF8-context, dictionary, last-metadata)") {
+    for ((name, raw) <- shapes; v <- 0L until 12L) {
       val z = Brotli.compress(raw, v)
       val got = Brotli.decompress(z)
         .getOrElse(fail(s"decode None: $name variant $v (${z.length} bytes)"))
       assert(java.util.Arrays.equals(got, raw), s"drift: $name variant $v")
     }
+  }
+
+  test("real-encoder streams decode byte-exactly (the cross-validation corpus)") {
+    val dir = new java.io.File("src/test/resources/brotli")
+    val cases = dir.listFiles().filter(_.getName.endsWith(".br")).sortBy(_.getName)
+    assert(cases.length >= 80, "fixture corpus missing")
+    for (br <- cases) {
+      val z = java.nio.file.Files.readAllBytes(br.toPath)
+      val in = java.nio.file.Files.readAllBytes(new java.io.File(dir,
+        br.getName.stripSuffix(".br") + ".in").toPath)
+      val got = Brotli.decompress(z, maxOut = in.length max 16)
+        .getOrElse(fail(s"decode None: ${br.getName} (${z.length} bytes)"))
+      assert(java.util.Arrays.equals(got, in), s"drift: ${br.getName}")
+    }
+    // the dictionary-word probe (157 bytes of pure dictionary words,
+    // cased and plain) compresses to 80 bytes at quality 11 — only
+    // dictionary references with ferment transforms get there, so its
+    // exact decode above certifies §8 against the real encoder
+    assert(cases.exists(_.getName == "dictheavy_q11.br"))
   }
 
   test("the reference encoder's known empty-stream bytes decode (0x3B; WBITS16 form 0x06)") {
@@ -234,9 +260,31 @@ class BrotliSpec extends AnyFunSuite {
     assert(new String(got, "UTF-8") == "abcdabcdabcddabcdabcd")
   }
 
-  test("static-dictionary references are rejected, not guessed") {
-    // insert 4 literals then an implicit-distance copy: ring0 is the
-    // initial 16 > produced 4, i.e. a dictionary reference -> None
+  test("static-dictionary reference via the initial ring selects the §8 word") {
+    // insert 3 literals then an implicit-distance copy of length 4:
+    // the initial LAST distance is 4 > max distance 3, i.e. a
+    // dictionary reference with word_id = 4 - 3 - 1 = 0 → length-4
+    // word index 0 ("time"), transform 0 (Identity); no ring push
+    val w = new W
+    w.put(0, 1); w.put(1, 1); w.put(0, 1)
+    w.put(0, 2); w.put(6, 16) // MLEN = 7
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    w.put(0, 2); w.put(0, 4)
+    w.put(0, 2); w.put(0, 1); w.put(0, 1)
+    w.put(1, 2); w.put(3, 2) // literal code: a b c d
+    w.put(97, 8); w.put(98, 8); w.put(99, 8); w.put(100, 8); w.put(0, 1)
+    w.put(1, 2); w.put(0, 2); w.put(26, 10) // command: implicit ins3+copy4
+    w.put(1, 2); w.put(0, 2); w.put(0, 6) // distance code (unused)
+    w.putCode(0, 2); w.putCode(1, 2); w.putCode(2, 2)
+    val got = Brotli.decompress(w.bytes).getOrElse(fail("dictionary stream None"))
+    assert(new String(got, "UTF-8") == "abctime")
+  }
+
+  test("the initial LAST distance is 4 (the spec lists the ring fourth-last to last)") {
+    // insert 4 literals then an implicit-distance copy of length 4:
+    // the last distance starts at 4, so the copy repeats the 4
+    // literals — a reversed ring would read 16 and go to the
+    // dictionary instead (pinned by the real-encoder fixtures too)
     val w = new W
     w.put(0, 1); w.put(1, 1); w.put(0, 1)
     w.put(0, 2); w.put(7, 16) // MLEN = 8
@@ -248,7 +296,34 @@ class BrotliSpec extends AnyFunSuite {
     w.put(1, 2); w.put(0, 2); w.put(34, 10) // command: implicit ins4+copy4
     w.put(1, 2); w.put(0, 2); w.put(0, 6) // distance code (unused)
     w.putCode(0, 2); w.putCode(1, 2); w.putCode(2, 2); w.putCode(3, 2)
+    val got = Brotli.decompress(w.bytes).getOrElse(fail("initial-ring stream None"))
+    assert(new String(got, "UTF-8") == "abcdabcd")
+  }
+
+  test("dictionary references with an invalid transform id are rejected") {
+    // same stream but MLEN large enough to require a copy with an
+    // explicit distance far past the word space: transform_id >= 121
+    val w = new W
+    w.put(0, 1); w.put(1, 1); w.put(0, 1)
+    w.put(0, 2); w.put(7, 16) // MLEN = 8
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    w.put(0, 2); w.put(0, 4)
+    w.put(0, 2); w.put(0, 1); w.put(0, 1)
+    w.put(1, 2); w.put(3, 2) // literal code: a b c d
+    w.put(97, 8); w.put(98, 8); w.put(99, 8); w.put(100, 8); w.put(0, 1)
+    w.put(1, 2); w.put(0, 2); w.put(162, 10) // command: ins4+copy4, explicit
+    w.put(1, 2); w.put(0, 2); w.put(63, 6) // distance code: largest explicit
+    w.putCode(0, 2); w.putCode(1, 2); w.putCode(2, 2); w.putCode(3, 2)
+    // dcode 63: n=24, h=1 → distance = (3<<24) - 4 + extra + 1: far past
+    // 121 << 10 word ids for length 4
+    w.put(0, 24)
     assert(Brotli.decompress(w.bytes).isEmpty)
+  }
+
+  test("input size cap is a deliberate guard, not an overflow artifact") {
+    // 2^28 input bytes would overflow the Int bit cursor — rejected up
+    // front (maxOut bounds output, not input)
+    assert(Brotli.decompress(new Array[Byte](1 << 28)).isEmpty)
   }
 
   test("structural corruptions return None, never throw") {
