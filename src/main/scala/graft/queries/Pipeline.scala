@@ -48,7 +48,7 @@ object Pipeline extends PipelineStreamBatch {
     "t26_jsonl_gzip_ingest" -> t26, "t27_gzip_multimember" -> t27,
     "t28_warc_ingest" -> t28, "t29_html_extract" -> t29,
     "t30_zstd_ingest" -> t30, "t31_brotli_ingest" -> t31,
-    "t32_link_extract" -> t32,
+    "t32_link_extract" -> t32, "t33_charset_report" -> t33,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -88,7 +88,8 @@ object Pipeline extends PipelineStreamBatch {
     "e16_stream_jsonl_intake" -> e16,
     "e12_stream_drift" -> e12, "e13_stream_scd2_enrich" -> e13,
     "e17_stream_warc_intake" -> e17, "e18_stream_zstd_intake" -> e18,
-    "e19_stream_brotli_intake" -> e19,
+    "e19_stream_brotli_intake" -> e19, "e20_stream_wet_intake" -> e20,
+    "t34_wet_ingest" -> t34,
     "e05_stream_neardup" -> e05, "e06_stream_olap_migrate" -> e06,
     "e07_stream_sessionize" -> e07, "e08_stream_heavy_hitters" -> e08,
     "e09_stream_latency_monitor" -> e09)
@@ -137,7 +138,7 @@ object Pipeline extends PipelineStreamBatch {
     "t26_jsonl_gzip_ingest" -> t26Sql, "t27_gzip_multimember" -> t27Sql,
     "t28_warc_ingest" -> t28Sql, "t29_html_extract" -> t29Sql,
     "t30_zstd_ingest" -> t30Sql, "t31_brotli_ingest" -> t31Sql,
-    "t32_link_extract" -> t32Sql,
+    "t32_link_extract" -> t32Sql, "t33_charset_report" -> t33Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
@@ -169,7 +170,8 @@ object Pipeline extends PipelineStreamBatch {
     "e14_stream_audio_qc" -> e14Sql, "e15_stream_gzip_intake" -> e15Sql,
     "e16_stream_jsonl_intake" -> e16Sql,
     "e17_stream_warc_intake" -> e17Sql, "e18_stream_zstd_intake" -> e18Sql,
-    "e19_stream_brotli_intake" -> e19Sql,
+    "e19_stream_brotli_intake" -> e19Sql, "e20_stream_wet_intake" -> e20Sql,
+    "t34_wet_ingest" -> t34Sql,
     "e12_stream_drift" -> e12Sql, "e13_stream_scd2_enrich" -> e13Sql,
     "e05_stream_neardup" -> e05Sql, "e06_stream_olap_migrate" -> e06Sql,
     "e07_stream_sessionize" -> e07Sql, "e08_stream_heavy_hitters" -> e08Sql,

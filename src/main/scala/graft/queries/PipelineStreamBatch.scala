@@ -191,6 +191,54 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
       |    AS text_chars
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e20: streaming WET shard intake ---------------------------------------
+  // t34's read path joined to the streaming family (see
+  // StreamingJobs.wetIntakeStream): `.wet.gz` shards member-walked AS
+  // THEY ARRIVE, `conversion` records' text/plain blocks decoded
+  // charset-aware, the e17 two-level accounting. Batch run of the
+  // same code path is the oracle; the oracle SQL re-derives record
+  // counts and body volumes from documents via t34's piece
+  // arithmetic.
+  private[queries] val e20: Q = (s, d) => {
+    val media = framedWet(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.wetIntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private[queries] val e20Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, text, length(text) AS len,
+      |    1 + doc_id % 3 AS nrec,
+      |    CASE WHEN doc_id % 11 = 7
+      |         THEN (doc_id // 11) % (1 + doc_id % 3)
+      |         ELSE -1 END AS badj,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+      |  FROM documents),
+      |recs AS (
+      |  SELECT doc_id, source, ts, text, len, nrec, badj,
+      |    unnest(range(0, nrec)) AS j
+      |  FROM d),
+      |perdoc AS (
+      |  SELECT doc_id, source, ts,
+      |    1 + SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS n_records,
+      |    SUM(CASE WHEN j = badj THEN 1 ELSE 0 END) AS n_malformed,
+      |    SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS n_conversions,
+      |    SUM(CASE WHEN j = badj THEN 0 ELSE
+      |      length(substr(text, CAST(j * len // nrec AS INTEGER) + 1,
+      |        CAST((j + 1) * len // nrec - j * len // nrec AS INTEGER)))
+      |      END) AS n_chars
+      |  FROM recs GROUP BY 1, 2, 3)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_shards,
+      |  CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(SUM(n_records) AS BIGINT) AS n_records,
+      |  CAST(SUM(n_malformed) AS BIGINT) AS n_malformed,
+      |  CAST(SUM(n_conversions) AS BIGINT) AS n_conversions,
+      |  CAST(SUM(n_chars) AS BIGINT) AS body_chars
+      |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e17: streaming WARC shard intake -------------------------------------
   // t28's read path joined to the streaming family (see
   // StreamingJobs.warcIntakeStream): `.warc.gz` shards member-walked

@@ -1983,15 +1983,22 @@ private[graft] trait PipelineText extends PipelineDedup {
               Warc.parseMember(m) match {
                 case Some(rec) => rec.warcType.map(_.toLowerCase) match {
                   case Some("response") =>
-                    Warc.httpBody(rec.block)
-                      .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
-                      case Some(body) =>
+                    // charset-aware decode: the Content-Type charset
+                    // parameter (rotated by the fixture across
+                    // utf-8/us-ascii/none) resolves WHATWG-style —
+                    // decode-invariant for these ASCII bodies, so the
+                    // oracle is unchanged while the real read path is
+                    // exercised end to end
+                    Warc.httpMessage(rec.block).flatMap { case (b, ct) =>
+                      graft.sources.Charset.decode(b, ct, htmlPrescan = false)
+                    } match {
+                      case Some(dd) =>
                         nRec += 1; nResp += 1
-                        bodies += body
+                        bodies += dd.text
                       // a response whose HTTP message is malformed —
-                      // framing, coding, or invalid UTF-8 — is an
-                      // intake error too, same level as t26's
-                      // doc-claim rule
+                      // framing, coding, or undecodable under its
+                      // declared encoding — is an intake error too,
+                      // same level as t26's doc-claim rule
                       case None => nBad += 1
                     }
                   case Some(_) => nRec += 1 // warcinfo / request
@@ -2341,6 +2348,226 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t34: WET conversion-record ingest (ISO 28500 `conversion`) ------------
+  // Common Crawl's MOST-CONSUMED artifact is not the raw WARC but the
+  // WET sidecar: `WARC-Type: conversion` records whose block is the
+  // extracted text/plain (no HTTP message layer), framed exactly like
+  // the WARC shards (one record per gzip member of a concatenated
+  // series). t28's dispatch accepted warcinfo/request/response only —
+  // a pipeline pointed at WET shards got ZERO body text. t34 is that
+  // read path: the fixture renders each doc as a genuine WET shard (a
+  // warcinfo record, then 1 + doc_id % 3 conversion records carrying
+  // code-point pieces of documents.text with WARC-Target-URI /
+  // WARC-Refers-To headers, per-member gzip rotations, one record
+  // corrupted per doc_id % 11 == 7 doc), and the reader walks members,
+  // parses strictly, and decodes conversion blocks CHARSET-AWARE
+  // against the record's own Content-Type (WET is UTF-8 in the wild;
+  // the resolution layer is shared with t28/t33). The report
+  // re-derives from documents.text through the piece arithmetic.
+  //
+  // Scale: t28's class — two map-only passes, linear in shard bytes,
+  // zero shuffles before the output sort.
+  /** The WET corpus: each doc as a warcinfo + conversion-record shard,
+    * one record per gzip member — shared by t34 (batch) and e20
+    * (streaming). */
+  private[queries] def framedWet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Inflate
+    import graft.sources.Warc
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val nrec = 1 + (id % 3).toInt
+          val lenCp = text.codePointCount(0, text.length)
+          val badJ = if (id % 11 == 7) ((id / 11) % nrec).toInt else -1
+          val date = "2024-01-01T00:00:00Z"
+          val info = Warc.render("warcinfo", s"<urn:uuid:wetinfo-$id>", date,
+            Seq("Content-Type" -> "application/warc-fields"),
+            (s"software: graft-wet\r\nextractedDate: $date\r\n" +
+              s"shard: $id").getBytes("UTF-8"))
+          val convs = (0 until nrec).map { j =>
+            val a = (j.toLong * lenCp / nrec).toInt
+            val b = ((j + 1).toLong * lenCp / nrec).toInt
+            val piece = text.substring(
+              text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
+              .getBytes("UTF-8")
+            val r = Warc.render("conversion", s"<urn:uuid:conv-$id-$j>", date,
+              Seq("WARC-Target-URI" -> s"http://example.com/$id/$j",
+                "WARC-Refers-To" -> s"<urn:uuid:resp-$id-$j>",
+                "Content-Type" -> "text/plain"),
+              piece)
+            if (j == badJ) r.dropRight(6) else r
+          }
+          val payload = (Seq(info) ++ convs).zipWithIndex.flatMap {
+            case (r, k) =>
+              val v = id + k
+              Inflate.gzipMember(r, (v % 3).toInt,
+                fname = if (v % 4 == 1) Some(s"rec-$id-$k.wet") else None,
+                fcomment = if (v % 4 == 2) Some("graft-wet") else None,
+                extra = if (v % 4 == 3) Some(Array[Byte](7, (v % 127).toByte)) else None,
+                hcrc = v % 4 >= 2)
+          }.toArray
+          (id, src, payload)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t34: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Inflate
+    import graft.sources.Warc
+    framedWet(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, z) =>
+          Inflate.gunzipMemberList(z).map { members =>
+            var nRec = 0L; var nBad = 0L; var nConv = 0L
+            val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+            members.foreach { m =>
+              Warc.parseMember(m) match {
+                case Some(rec) => rec.warcType.map(_.toLowerCase) match {
+                  case Some("conversion") =>
+                    graft.sources.Charset.decode(rec.block,
+                      rec.headers.get("content-type"),
+                      htmlPrescan = false) match {
+                      case Some(dd) =>
+                        nRec += 1; nConv += 1
+                        bodies += dd.text
+                      case None => nBad += 1
+                    }
+                  case Some(_) => nRec += 1 // warcinfo
+                  case None => nBad += 1 // unreachable: type is mandatory
+                }
+                case None => nBad += 1
+              }
+            }
+            val joined = bodies.mkString
+            (id, members.length.toLong, nRec, nBad, nConv,
+              joined.codePointCount(0, joined.length).toLong, joined)
+          }
+        }
+      }
+      .toDF("doc_id", "n_members", "n_records", "n_malformed",
+        "n_conversions", "body_chars", "joined")
+      .select(col("doc_id"), col("n_members"), col("n_records"),
+        col("n_malformed"), col("n_conversions"), col("body_chars"),
+        md5(col("joined").cast(BinaryType)).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t34Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    1 + doc_id % 3 AS nrec,
+      |    CASE WHEN doc_id % 11 = 7
+      |         THEN (doc_id // 11) % (1 + doc_id % 3)
+      |         ELSE -1 END AS badj
+      |  FROM documents),
+      |recs AS (
+      |  SELECT doc_id, text, len, nrec, badj,
+      |    unnest(range(0, nrec)) AS j
+      |  FROM d),
+      |pieces AS (
+      |  SELECT doc_id, nrec, badj, j,
+      |    substr(text, CAST(j * len // nrec AS INTEGER) + 1,
+      |      CAST((j + 1) * len // nrec - j * len // nrec AS INTEGER)) AS piece
+      |  FROM recs)
+      |SELECT doc_id,
+      |  CAST(1 + MAX(nrec) AS BIGINT) AS n_members,
+      |  CAST(1 + SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_records,
+      |  CAST(SUM(CASE WHEN j = badj THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_malformed,
+      |  CAST(SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_conversions,
+      |  CAST(SUM(CASE WHEN j = badj THEN 0 ELSE length(piece) END) AS BIGINT)
+      |    AS body_chars,
+      |  md5(string_agg(CASE WHEN j = badj THEN '' ELSE piece END, '' ORDER BY j))
+      |    AS body_md5
+      |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- t33: charset-aware intake (WHATWG encoding resolution) ----------------
+  // The #1 silently-dropped-on-real-data class the strict-UTF-8-only
+  // intake left (round-15 verdict #1): real crawls carry windows-1252
+  // / ISO-8859-1 (and BOM'd) pages that are perfectly decodable.
+  // graft.sources.Charset resolves WHATWG-style — BOM > Content-Type
+  // charset parameter > <meta charset> prescan of the first 1024
+  // bytes > fallback (strict UTF-8 else the total windows-1252) — and
+  // ACCOUNTS: the report names the encoding used and the resolution
+  // source per page, so a transcoded page is counted as transcoded,
+  // never silently mixed with native UTF-8, and n_undecodable shrinks
+  // to pages whose DECLARED unicode encoding fails its strict decode.
+  // The fixture decorates documents.text with a fixed non-ASCII
+  // windows-1252-repertoire suffix (so single-byte encodes genuinely
+  // differ from UTF-8 bytes) and rotates doc_id % 5 through: declared
+  // utf-8 / declared windows-1252 / meta-declared iso-8859-1 (the
+  // WHATWG superset rule maps it to windows-1252) / BOM'd UTF-8 under
+  // a CONTRADICTING header (BOM wins) / undeclared cp1252 bytes
+  // (invalid as UTF-8 → fallback transcode). doc_id % 11 == 7 pages
+  // declare utf-8 but carry cp1252 bytes — genuinely undecodable
+  // under their authoritative encoding, counted. The oracle re-derives
+  // the decoded TEXT from documents.text + the chr()-spelled
+  // decoration — all five variants decode to the same Unicode string
+  // by construction, so one wrong table entry or mis-resolved label
+  // breaks the hash.
+  //
+  // Scale: t25's class — two map-only passes, linear in page bytes,
+  // zero shuffles before the output sort.
+  private[queries] val t33: Q = (s, d) => {
+    import s.implicits._
+    import graft.sources.Charset
+    T.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) => CharsetFixture.page(id, text) }
+      }
+      .toDF("doc_id", "payload", "content_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, z, ct) =>
+          Charset.decode(z, Some(ct), htmlPrescan = ct.startsWith("text/html")) match {
+            case Some(dd) =>
+              (id, true, dd.encoding, dd.source,
+                dd.text.codePointCount(0, dd.text.length).toLong, dd.text)
+            case None => (id, false, "", "", 0L, "")
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "encoding", "source", "n_chars", "text")
+      .select(col("doc_id"), col("ok"), col("encoding"), col("source"),
+        col("n_chars"), md5(col("text").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t33Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, doc_id % 5 AS v, doc_id % 11 = 7 AS corrupt
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, v, corrupt,
+      |    CASE WHEN NOT corrupt AND v = 2
+      |         THEN '<meta charset=iso-8859-1>' || chr(10) ELSE '' END
+      |      || text || ' ' || chr(233) || chr(171) || chr(187) || chr(8212)
+      |      || chr(8220) || chr(8221) || chr(8230) || chr(8364) || chr(352)
+      |      || chr(376) AS body
+      |  FROM d)
+      |SELECT doc_id,
+      |  NOT corrupt AS ok,
+      |  CASE WHEN corrupt THEN ''
+      |       WHEN v IN (0, 3) THEN 'utf-8'
+      |       ELSE 'windows-1252' END AS encoding,
+      |  CASE WHEN corrupt THEN ''
+      |       WHEN v IN (0, 1) THEN 'header'
+      |       WHEN v = 2 THEN 'meta'
+      |       WHEN v = 3 THEN 'bom'
+      |       ELSE 'fallback' END AS source,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE length(body) END AS BIGINT)
+      |    AS n_chars,
+      |  CASE WHEN corrupt THEN md5('') ELSE md5(body) END AS text_md5
+      |FROM x ORDER BY doc_id""".stripMargin
+
   private[queries] val t29Sql: String =
     """WITH d AS (
       |  SELECT doc_id, text, length(text) AS len,
@@ -2401,6 +2628,8 @@ private[queries] object WarcHttpFixture {
         val n = math.min(step, body.length - pos)
         var size = n.toHexString
         if ((id + j) % 2 == 1) size = size.toUpperCase
+        // RFC 9112 1*HEXDIG permits leading zeros — exercise the parse
+        if (id % 17 == 6) size = "00" + size
         val ext = if (first && id % 13 == 2) ";graft=1" else ""
         sb ++= (size + ext + "\r\n").getBytes("UTF-8")
         sb ++= body.slice(pos, pos + n)
@@ -2412,6 +2641,15 @@ private[queries] object WarcHttpFixture {
       if (id % 9 == 4) sb ++= "X-Graft-Trailer: t\r\n".getBytes("UTF-8")
       sb ++= "\r\n".getBytes("UTF-8")
       sb.toArray
+    }
+    // declared charset rotates (decode-invariant for ASCII bodies):
+    // exercises header resolution, the us-ascii→windows-1252 superset
+    // rule, and the valid-UTF-8 fallback on the t28/e17 oracle path
+    val ctype = ((id + 2 * j) % 4).toInt match {
+      case 0 => "Content-Type: text/plain; charset=utf-8"
+      case 1 => "Content-Type: text/plain; charset=UTF-8"
+      case 2 => "Content-Type: text/plain; charset=us-ascii"
+      case _ => "Content-Type: text/plain"
     }
     val (headers, body) = form match {
       case 0 => (Seq(s"Content-Length: ${piece.length}"), piece)
@@ -2430,8 +2668,42 @@ private[queries] object WarcHttpFixture {
         val b = graft.operators.Brotli.compress(piece, id + j)
         (Seq("Content-Encoding: br", s"Content-Length: ${b.length}"), b)
     }
-    (Seq("HTTP/1.1 200 OK", "Content-Type: text/plain; charset=utf-8") ++
+    (Seq("HTTP/1.1 200 OK", ctype) ++
       headers).mkString("", "\r\n", "\r\n\r\n").getBytes("UTF-8") ++ body
+  }
+}
+
+/** t33's charset fixture — a standalone object so executor closures
+  * reference a static (the t26 capture-nothing discipline). Decorates
+  * the doc text with a fixed non-ASCII windows-1252-repertoire suffix
+  * and rotates encoding/declaration shapes by doc_id % 5, with
+  * doc_id % 11 == 7 pages declaring utf-8 over cp1252 bytes
+  * (genuinely undecodable — counted). */
+private[queries] object CharsetFixture {
+  import graft.sources.Charset
+
+  /** é « » — “ ” … € Š Ÿ (code points 233 171 187 8212 8220 8221 8230
+    * 8364 352 376, the oracle's chr() list) — all inside
+    * windows-1252, and the cp1252 encode is INVALID UTF-8 (0x97 for
+    * the em dash is a bare continuation byte), so the fallback arm
+    * genuinely transcodes. */
+  val deco: String =
+    " \u00e9\u00ab\u00bb\u2014\u201c\u201d\u2026\u20ac\u0160\u0178"
+
+  def page(id: Long, text: String): (Long, Array[Byte], String) = {
+    val full = text + deco
+    def cp1252(s: String): Array[Byte] = Charset.encodeWindows1252(s)
+      .getOrElse(sys.error("fixture text outside windows-1252"))
+    if (id % 11 == 7) // declared utf-8 over cp1252 bytes: undecodable
+      return (id, cp1252(full), "text/plain; charset=utf-8")
+    (id % 5).toInt match {
+      case 0 => (id, full.getBytes("UTF-8"), "text/plain; charset=utf-8")
+      case 1 => (id, cp1252(full), "text/html; charset=windows-1252")
+      case 2 => (id, cp1252("<meta charset=iso-8859-1>\n" + full), "text/html")
+      case 3 => (id, Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        full.getBytes("UTF-8"), "text/html; charset=iso-8859-1")
+      case _ => (id, cp1252(full), "application/octet-stream")
+    }
   }
 }
 

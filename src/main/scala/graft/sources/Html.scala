@@ -72,11 +72,18 @@ object Html {
   /** The entity candidate at s(i) == '&': returns (cp << 32) | next,
     * with cp = -1 when the ampersand is literal text (HTML5's
     * ambiguous-ampersand rule) and cp = 0xFFFD for syntactically
-    * complete but semantically invalid numeric references. */
+    * complete but semantically invalid numeric references. The ';'
+    * window is 12 chars for named forms (the longest decoded name is
+    * 6) and 64 for numeric forms — numeric references may carry
+    * arbitrarily many leading zeros per HTML5 (`&#0000000000065;`
+    * decodes; the digit parse saturates above U+10FFFF so zero-runs
+    * cost nothing), and a reference body past 64 chars is literal
+    * text by documented simplification. */
   private def entityAt(s: String, i: Int): Long = {
     def lit: Long = (-1L << 32) | (i + 1).toLong
+    val isNum = i + 1 < s.length && s.charAt(i + 1) == '#'
     val semi = s.indexOf(';', i + 1)
-    if (semi < 0 || semi > i + 12) return lit
+    if (semi < 0 || semi > i + (if (isNum) 64 else 12)) return lit
     val body = s.substring(i + 1, semi)
     val cp: Int = named.get(body) match {
       case Some(c) => c

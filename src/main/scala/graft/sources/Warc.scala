@@ -147,7 +147,12 @@ object Warc {
     *   through as garbage bytes.
     *
     * None on any malformation. */
-  def httpBody(block: Array[Byte]): Option[Array[Byte]] = {
+  def httpBody(block: Array[Byte]): Option[Array[Byte]] =
+    httpMessage(block).map(_._1)
+
+  /** [[httpBody]] plus the message's Content-Type header value (None
+    * when absent) — the charset-resolution input (t33). */
+  def httpMessage(block: Array[Byte]): Option[(Array[Byte], Option[String])] = {
     val sEnd = lineEnd(block, 0)
     if (sEnd < 0) return None
     val start = ascii(block, 0, sEnd)
@@ -158,16 +163,17 @@ object Warc {
     var declared: Option[Long] = None
     var transferEnc: Option[String] = None
     var contentEnc: Option[String] = None
+    var contentType: Option[String] = None
     var done = false
     while (!done) {
       val e = lineEnd(block, i)
       if (e < 0) return None
       if (e == i) done = true
       else {
-        val line = Utf8.decodeStrict(block, i, e - i) match {
-          case Some(l) => l
-          case None => return None
-        }
+        // HTTP field lines are latin-1 octets (RFC 9112 §5.5's historic
+        // charset), NOT UTF-8 — a high-byte header octet is data, not a
+        // malformation (unlike WARC record headers, UTF-8 per ISO 28500)
+        val line = new String(block, i, e - i, "ISO-8859-1")
         val c = line.indexOf(':')
         if (c <= 0) return None
         val name = line.substring(0, c).trim.toLowerCase
@@ -183,6 +189,9 @@ object Warc {
           case "content-encoding" =>
             if (contentEnc.isDefined) return None // duplicate
             contentEnc = Some(value.toLowerCase)
+          case "content-type" =>
+            if (contentType.isDefined) return None // duplicate
+            contentType = Some(value)
           case _ => ()
         }
         i = e
@@ -204,7 +213,7 @@ object Warc {
           case _ => body
         }
     }
-    contentEnc match {
+    val body = contentEnc match {
       case None | Some("identity") => Some(encoded)
       case Some("gzip") | Some("x-gzip") =>
         graft.operators.Inflate.gunzip(encoded)
@@ -212,6 +221,7 @@ object Warc {
       case Some("br") => graft.operators.Brotli.decompress(encoded)
       case Some(_) => None // unknown content-coding: counted, not garbage
     }
+    body.map((_, contentType))
   }
 
   /** RFC 9112 §7.1 chunked framing from `off`: size line (hex, case-
@@ -259,10 +269,16 @@ object Warc {
     Some(out.toByteArray)
   }
 
-  /** Non-negative hex chunk size, case-insensitive, at most 8 digits
-    * (a >4 GiB chunk is out of profile); None on empty or non-hex. */
-  private def parseHex(s: String): Option[Long] = {
-    if (s.isEmpty || s.length > 8) return None
+  /** Non-negative hex chunk size, case-insensitive; RFC 9112's
+    * 1*HEXDIG permits leading zeros, so they are skipped before the
+    * 8-significant-digit overflow cap (a >4 GiB chunk is out of
+    * profile); None on empty or non-hex. */
+  private def parseHex(s0: String): Option[Long] = {
+    if (s0.isEmpty) return None
+    var z = 0
+    while (z < s0.length - 1 && s0.charAt(z) == '0') z += 1
+    val s = s0.substring(z)
+    if (s.length > 8) return None
     var v = 0L
     var i = 0
     while (i < s.length) {

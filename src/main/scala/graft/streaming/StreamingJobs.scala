@@ -424,8 +424,11 @@ object StreamingJobs {
                 graft.sources.Warc.parseMember(m) match {
                   case Some(rec) => rec.warcType.map(_.toLowerCase) match {
                     case Some("response") =>
-                      graft.sources.Warc.httpBody(rec.block)
-                        .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+                      // charset-aware, mirroring t28's batch reader
+                      graft.sources.Warc.httpMessage(rec.block).flatMap {
+                        case (b, ct) => graft.sources.Charset
+                          .decode(b, ct, htmlPrescan = false).map(_.text)
+                      } match {
                         case Some(t) =>
                           ok += 1; resp += 1
                           // code points, matching Spark/DuckDB length()
@@ -455,6 +458,65 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("source"),
         col("n_shards"), col("n_undecodable"), col("n_records"),
         col("n_malformed"), col("n_responses"), col("body_chars"))
+  }
+
+  /** e20: streaming WET shard intake — t34's read path joined to the
+    * streaming family: `.wet.gz` shards (Common Crawl's most-consumed
+    * sidecar) member-walked ON ARRIVAL, each member a strict ISO 28500
+    * record, `conversion` records' text/plain blocks decoded
+    * CHARSET-AWARE against the record's own Content-Type (no HTTP
+    * message layer in WET), folded per (hour window, source) with the
+    * e17 two-level accounting (undecodable shard vs malformed
+    * record). Running the same function on a batch frame IS the
+    * oracle (e03's trick).
+    *
+    * Scale: e17's class — decompress + parse + decode map-side, one
+    * (window, source) shuffle of five longs per partial. */
+  def wetIntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.operators.Inflate.gunzipMemberList(payload) match {
+            case Some(members) =>
+              var ok = 0L; var bad = 0L; var conv = 0L; var chars = 0L
+              members.foreach { m =>
+                graft.sources.Warc.parseMember(m) match {
+                  case Some(rec) => rec.warcType.map(_.toLowerCase) match {
+                    case Some("conversion") =>
+                      graft.sources.Charset.decode(rec.block,
+                        rec.headers.get("content-type"),
+                        htmlPrescan = false) match {
+                        case Some(dd) =>
+                          ok += 1; conv += 1
+                          chars += dd.text.codePointCount(0, dd.text.length)
+                        case None => bad += 1
+                      }
+                    case Some(_) => ok += 1
+                    case None => bad += 1
+                  }
+                  case None => bad += 1
+                }
+              }
+              (ts, src, true, ok, bad, conv, chars)
+            case None => (ts, src, false, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "n_rec", "n_bad", "n_conv", "n_chars")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_rec")).as("n_records"),
+        sum(col("n_bad")).as("n_malformed"),
+        sum(col("n_conv")).as("n_conversions"),
+        sum(col("n_chars")).as("body_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_shards"), col("n_undecodable"), col("n_records"),
+        col("n_malformed"), col("n_conversions"), col("body_chars"))
   }
 
   /** e13: streaming SCD2 enrichment — the event-time dimension

@@ -121,6 +121,21 @@ class HtmlSpec extends AnyFunSuite {
       new String(Character.toChars(0x10FFFF))))
   }
 
+  test("numeric references with leading zeros decode (HTML5: digits, no length cap below 64)") {
+    assert(Html.extract("&#0000000000065;").exists(e =>
+      e.text == "A" && e.nEntities == 1))
+    assert(Html.extract("&#x0000000000041;").exists(e =>
+      e.text == "A" && e.nEntities == 1))
+    // zero-run then an overflowing value still saturates to U+FFFD
+    assert(Html.extract("&#0001114112;").exists(e =>
+      e.text == "�" && e.nEntities == 1))
+    // the documented 64-char window: a longer body is literal text
+    val long = "&#" + "0" * 70 + "65;"
+    assert(Html.extract(long).exists(e => e.text == long && e.nEntities == 0))
+    // named forms keep the 12-char window (longest decoded name is 6)
+    assert(Html.extract("&notanentityname;").exists(_.nEntities == 0))
+  }
+
   test("raw-text end tag needs a delimiter: </scripts> does not close <script>") {
     val e = Html.extract(
       "<script>var a = \"</scripts> not a close\";</script><p>ok</p>")

@@ -480,6 +480,64 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 1L, 8L)))
   }
 
+  test("wetIntakeStream: incremental equals batch; conversion bodies decode charset-aware") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Inflate
+    import graft.sources.Warc
+    val date = "2024-01-01T00:00:00Z"
+    def convRec(id: String, body: Array[Byte], ctype: String): Array[Byte] =
+      Warc.render("conversion", id, date,
+        Seq("WARC-Target-URI" -> "http://example.com/x",
+          "Content-Type" -> ctype), body)
+    def shard(recs: Seq[Array[Byte]]): Array[Byte] =
+      recs.zipWithIndex.flatMap { case (r, k) =>
+        Inflate.gzipMember(r, k % 3)
+      }.toArray
+    val info = Warc.render("warcinfo", "<urn:uuid:wi>", date,
+      Seq("Content-Type" -> "application/warc-fields"),
+      "software: graft-wet".getBytes("UTF-8"))
+    // one UTF-8 body, one DECLARED-cp1252 body with a non-ASCII byte —
+    // both decode; chars count code points, not bytes
+    val healthy = shard(Seq(info,
+      convRec("<urn:uuid:a>", "first body".getBytes("UTF-8"), "text/plain"),
+      convRec("<urn:uuid:b>", graft.sources.Charset.encodeWindows1252("café").get,
+        "text/plain; charset=windows-1252")))
+    val recCorrupt = shard(Seq(
+      convRec("<urn:uuid:c>", "survives".getBytes("UTF-8"), "text/plain"),
+      convRec("<urn:uuid:d>", "does not".getBytes("UTF-8"), "text/plain").dropRight(6)))
+    val memCorrupt = {
+      val g = shard(Seq(convRec("<urn:uuid:e>", "never".getBytes("UTF-8"), "text/plain")))
+      g(g.length - 5) = (g(g.length - 5) ^ 0x1).toByte; g
+    }
+    val laterHour = shard(Seq(convRec("<urn:uuid:f>", "hour two".getBytes("UTF-8"), "text/plain")))
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"), healthy, "web"),
+      (ts("2024-01-01 00:20:00"), recCorrupt, "web"),
+      (ts("2024-01-01 00:45:00"), memCorrupt, "books"),
+      (ts("2024-01-01 01:10:00"), laterHour, "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2))
+    val q = StreamingJobs.wetIntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_wet").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_wet").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.wetIntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 1L, 1L, 0L, 0L, 0L, 0L),
+      // web hour 0: 2 shards, 4 valid records (1 warcinfo + 3
+      // conversions), 1 malformed; chars = "first body"(10) +
+      // "café"(4 code points) + "survives"(8) = 22
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 4L, 1L, 3L, 22L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 1L, 8L)))
+  }
+
   test("cmsStream: incremental sketch equals the batch sketch, state bounded at depth*width") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

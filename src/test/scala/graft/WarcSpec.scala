@@ -162,6 +162,33 @@ class WarcSpec extends AnyFunSuite {
     // case-insensitive header value
     assert(get(msg(Seq("Transfer-Encoding: Chunked"), chunk(Seq("ok"))))
       .contains("ok"))
+    // RFC 9112 1*HEXDIG: leading zeros are valid chunk sizes, and more
+    // than 8 SIGNIFICANT digits still overflows
+    assert(get(msg(te, "000000001a\r\n".getBytes("UTF-8") ++
+      ("z" * 26 + "\r\n0\r\n\r\n").getBytes("UTF-8"))).contains("z" * 26))
+    assert(Warc.httpBody(msg(te,
+      "00123456789\r\nhi\r\n0\r\n\r\n".getBytes("UTF-8"))).isEmpty)
+  }
+
+  test("HTTP header lines are latin-1 octets (RFC 9112), not strict UTF-8") {
+    // a high-byte (invalid-UTF-8) octet in an HTTP header value is
+    // data, not a malformation — unlike WARC record headers
+    val head = "HTTP/1.1 200 OK\r\nX-Legacy: café\r\nContent-Length: 2\r\n\r\n"
+    val b = head.getBytes("ISO-8859-1") ++ "ok".getBytes("UTF-8")
+    assert(Warc.httpBody(b).map(new String(_, "UTF-8")).contains("ok"))
+  }
+
+  test("httpMessage surfaces the Content-Type header; duplicates reject") {
+    val b = msg(Seq("Content-Type: text/html; charset=windows-1252",
+      "Content-Length: 2"), "hi".getBytes("UTF-8"))
+    val (body, ct) = Warc.httpMessage(b).getOrElse(fail("message None"))
+    assert(new String(body, "UTF-8") == "hi")
+    assert(ct.contains("text/html; charset=windows-1252"))
+    assert(Warc.httpMessage(msg(Seq("Content-Type: a", "Content-Type: b"),
+      Array.emptyByteArray)).isEmpty)
+    // absent Content-Type -> None field
+    assert(Warc.httpMessage(msg(Nil, Array.emptyByteArray))
+      .exists(_._2.isEmpty))
   }
 
   test("httpBody: chunked malformations all None — sizes, truncation, framing, smuggling shape") {
