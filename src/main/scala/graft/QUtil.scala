@@ -34,4 +34,31 @@ object QUtil {
     s"CAST(SUM(CAST($expr AS DECIMAL(12,2))) AS DOUBLE)"
   def sqlMoneyAvg(expr: String): String =
     s"${sqlMoneySum(expr)} / COUNT(*)"
+
+  /** Above this many driver-collected cell ids, a literal IN-list
+    * prune becomes a broadcast join: a uniform tombstone/compaction
+    * batch touches O(√n) cells (~10⁵ at 100 TB), and a 10⁵-literal
+    * predicate bloats every plan that carries it. */
+  val CellPruneInMax = 512
+
+  /** Partition-prune `df` to (or, with `negate`, away from) a
+    * driver-collected cell-id list. Small lists stay a literal
+    * `isin` — STATIC partition pruning on the `cell=`/`cluster=`
+    * directories; past [[CellPruneInMax]] the prune becomes a
+    * broadcast semi-join (anti-join under negation) on a one-column
+    * cell frame, with dynamic partition pruning handling the
+    * directory read. Result rows are identical either way (IndexSpec
+    * pins frame identity; PlanQualitySpec pins the big-batch plan). */
+  def pruneCells(df: org.apache.spark.sql.DataFrame, column: String,
+                 cells: Seq[Int], negate: Boolean = false):
+      org.apache.spark.sql.DataFrame =
+    if (cells.length <= CellPruneInMax) {
+      val p = col(column).isin(cells: _*)
+      df.filter(if (negate) !p else p)
+    } else {
+      val s = df.sparkSession
+      import s.implicits._
+      df.join(broadcast(cells.toDF(column)), Seq(column),
+        if (negate) "left_anti" else "left_semi")
+    }
 }

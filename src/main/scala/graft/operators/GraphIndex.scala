@@ -124,7 +124,7 @@ object GraphIndex {
     IndexIo.stagedDynamicOverwrite(s, rewritten, "cell",
       s"$path/edges", s"$path/edges_staged")
     IndexIo.stagedDynamicOverwrite(s,
-      surv.filter(col("cluster").isin(affCells: _*)), "cluster",
+      graft.QUtil.pruneCells(surv, "cluster", affCells), "cluster",
       s"$path/assigned", s"$path/assigned_staged")
     pivStaged.toDF("cluster", "pid", "p_vec")
       .write.mode("overwrite").parquet(s"$path/pivots")

@@ -49,6 +49,8 @@ object Pipeline extends PipelineStreamBatch {
     "t28_warc_ingest" -> t28, "t29_html_extract" -> t29,
     "t30_zstd_ingest" -> t30, "t31_brotli_ingest" -> t31,
     "t32_link_extract" -> t32, "t33_charset_report" -> t33,
+    "t35_host_link_graph" -> t35, "t36_quality_model_gate" -> t36,
+    "t37_zip_ingest" -> t37,
     "s01_ann_bruteforce" -> s01, "s02_ann_lsh" -> s02, "s03_ann_ivf" -> s03,
     "s04_ann_pq" -> s04, "s05_ann_ivfpq" -> s05, "s06_ann_range_search" -> s06,
     "s07_ann_range_ivf" -> s07, "s08_ann_topk_ivf" -> s08,
@@ -79,7 +81,7 @@ object Pipeline extends PipelineStreamBatch {
     "m12_jpeg_decode" -> m12, "m13_jpeg_color" -> m13,
     "m14_jpeg_420" -> m14, "m15_jpeg_restart" -> m15,
     "m16_png_palette" -> m16, "m17_png_channels" -> m17,
-    "m18_jpeg_progressive" -> m18,
+    "m18_jpeg_progressive" -> m18, "m19_gif_decode" -> m19,
     "p09_shard_manifest" -> p09,
     "e01_stream_tumbling" -> e01, "e02_stream_dedupe" -> e02,
     "e03_stream_join" -> e03, "e04_stream_curation" -> e04,
@@ -139,6 +141,8 @@ object Pipeline extends PipelineStreamBatch {
     "t28_warc_ingest" -> t28Sql, "t29_html_extract" -> t29Sql,
     "t30_zstd_ingest" -> t30Sql, "t31_brotli_ingest" -> t31Sql,
     "t32_link_extract" -> t32Sql, "t33_charset_report" -> t33Sql,
+    "t35_host_link_graph" -> t35Sql, "t36_quality_model_gate" -> t36Sql,
+    "t37_zip_ingest" -> t37Sql,
     "p10_pack_learned" -> p10Sql,
     "s01_ann_bruteforce" -> s01Sql, "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql, "s04_ann_pq" -> s04Sql, "s05_ann_ivfpq" -> s05Sql,
@@ -162,7 +166,7 @@ object Pipeline extends PipelineStreamBatch {
     // so hash equality proves the restarted decode is pixel-identical
     "m15_jpeg_restart" -> m14Sql,
     "m16_png_palette" -> m16Sql, "m17_png_channels" -> m17Sql,
-    "m18_jpeg_progressive" -> m18Sql,
+    "m18_jpeg_progressive" -> m18Sql, "m19_gif_decode" -> m19Sql,
     "p09_shard_manifest" -> p09Sql,
     "e01_stream_tumbling" -> e01Sql, "e02_stream_dedupe" -> e02Sql,
     "e03_stream_join" -> e03Sql, "e04_stream_curation" -> e04Sql,

@@ -1036,7 +1036,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val deltaAsg = graphAssign(delta, cents)
     val touched = deltaAsg.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ 2·|delta| and ≤ k cell ids
-    val basePool = assignedBase.filter(col("cluster").isin(touched: _*))
+    val basePool = graft.QUtil.pruneCells(assignedBase, "cluster", touched)
     val poolAll = basePool.select(col("vec_id"), col("embedding"), col("cluster"))
       .unionByName(deltaAsg.select(col("vec_id"), col("embedding"), col("cluster")))
     val deltaEdges = graphEdgesFor(deltaAsg, poolAll)
@@ -1060,7 +1060,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val touchedEdgeCells = basePool.select(col("prim"))
       .unionByName(deltaAsg.select(col("prim")))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val carry = edgesBase.filter(col("cell").isin(touchedEdgeCells: _*))
+    val carry = graft.QUtil.pruneCells(edgesBase, "cell", touchedEdgeCells)
       .join(affIds.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
     val rewritten = carry.select(col("a_id"), col("b_id"), col("cos"), col("cell"))
       .unionByName(mergedAff)
@@ -1097,11 +1097,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val affCells = tombAsg.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq // cells that lost a member
     val surv = assigned.join(tombV, Seq("vec_id"), "left_anti")
-    val affIds = surv.filter(col("cluster").isin(affCells: _*))
+    val affIds = graft.QUtil.pruneCells(surv, "cluster", affCells)
       .select(col("vec_id")).distinct()
     val poolCells = surv.join(affIds, Seq("vec_id"))
       .select(col("cluster")).distinct().collect().map(_.getInt(0)).toSeq
-    val pool = surv.filter(col("cluster").isin(poolCells: _*))
+    val pool = graft.QUtil.pruneCells(surv, "cluster", poolCells)
     val aSide = pool.join(affIds, Seq("vec_id"))
     val recomputed = graphEdgesFor(
       aSide, pool.select(col("vec_id"), col("embedding"), col("cluster")))
@@ -1109,13 +1109,13 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .unionByName(tombAsg.select(col("prim")))
       .distinct().collect().map(_.getInt(0)).toSeq
     val tombA = tombV.withColumnRenamed("vec_id", "a_id")
-    val carry = edges.filter(col("cell").isin(rewriteCells: _*))
+    val carry = graft.QUtil.pruneCells(edges, "cell", rewriteCells)
       .join(affIds.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
       .join(tombA, Seq("a_id"), "left_anti")
     val rewritten = carry.select(col("a_id"), col("b_id"), col("cos"), col("cell"))
       .unionByName(recomputed.select(col("a_id"), col("b_id"), col("cos"), col("cell")))
-    val newPiv = piv.filter(!col("cluster").isin(affCells: _*))
-      .unionByName(graphPivots(surv.filter(col("prim").isin(affCells: _*))))
+    val newPiv = graft.QUtil.pruneCells(piv, "cluster", affCells, negate = true)
+      .unionByName(graphPivots(graft.QUtil.pruneCells(surv, "prim", affCells)))
     (surv, rewritten, rewriteCells, affCells, newPiv)
   }
 
@@ -1508,7 +1508,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // ---- the append: frozen centroids, no refit, no full-base rescan ----
     val (_, rewritten, touchedCells, piv) =
       graphAppendFrames(asgB, edgesB, pivB, delta, cents)
-    val edges = edgesB.filter(!col("cell").isin(touchedCells: _*))
+    val edges = graft.QUtil.pruneCells(edgesB, "cell", touchedCells, negate = true)
       .unionByName(rewritten)
       .select(col("a_id"), col("b_id"))
       .transform(graft.CacheScope.cached) // walked twice by the probe

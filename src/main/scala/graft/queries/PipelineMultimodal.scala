@@ -1142,6 +1142,103 @@ private[graft] trait PipelineMultimodal extends PipelineText {
        |ORDER BY doc_id, by, bx""".stripMargin
   }
 
+  // -- m19: GIF decode (LZW + palette + interlace) ----------------------------
+  // The one remaining ubiquitous crawl raster format after
+  // BMP/PNG/JPEG/WAV/MP4 (round-15 verdict #5): logos, icons and
+  // animations on every web shard. graft.operators.Gif is the full
+  // 87a/89a read path — header + logical screen descriptor, global
+  // color table, extension blocks walked as length-prefixed sub-block
+  // chains (graphic control / comment), the GIF flavor of LZW
+  // (variable code width from min-code-size+1, clear/EOI, the
+  // 4096-entry dictionary with the KwKwK case, codes packed LSB-first
+  // ACROSS sub-block boundaries), the four-pass INTERLACE row
+  // schedule, palette expansion with out-of-range indices rejected,
+  // multi-frame files walked structurally with first-frame decode
+  // (the thumbnail/dedup semantics) — cross-validated BOTH directions
+  // against the JDK ImageIO GIF codec in MultimodalSpec. The corpus
+  // rotates palette size (4..253), interlace, version (87a/89a), GCE
+  // and comment extensions, sub-block size (3..255) and a second
+  // frame; the oracle re-derives palette and indices from the integer
+  // formulas and folds the RGB expansion through the BT.601 grid with
+  // per-doc version/frame/extension accounting — one wrong LZW code
+  // width, interlace row, or palette byte breaks the hash.
+  //
+  // Scale: m16's class — map-only decode, 16-row fan-out, linear in
+  // pixels.
+  private[queries] val m19: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{Gif, Multimodal}
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val g = (id % 40).toInt
+          val w = 4 + (id % 13).toInt; val h = 4 + (id % 9).toInt
+          val npal = 4 + (id % 250).toInt
+          val palette = Array.tabulate(npal)(i =>
+            ((11 * i + 5 * g) % 256, (7 * i + 3 * g) % 256, (5 * i + 13 * g) % 256))
+          val bytes = Gif.encodeGif(w, h, palette,
+            (x, y) => (9 * g + 7 * x + 5 * y) % npal,
+            interlace = id % 2 == 1,
+            version89 = id % 3 != 0,
+            gce = id % 3 != 0 && id % 5 == 0,
+            comment = if (id % 3 != 0 && id % 7 == 2) Some(s"graft-gif-$id") else None,
+            chunk = 3 + (id % 253).toInt,
+            extraFrame = id % 4 == 1)
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Gif.parseGif(bytes) match {
+            case Some(pr) =>
+              Multimodal.blockLum(id, pr.raster, grid = 4).iterator.map(b =>
+                (id, pr.version, pr.nFrames.toLong, pr.nExtensions.toLong,
+                  pr.interlaced, b.width, b.height, b.by, b.bx, b.npx,
+                  b.lum_sum, b.lum_mean))
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "version", "n_frames", "n_ext", "interlaced",
+        "width", "height", "by", "bx", "npx", "lum_sum", "lum_mean")
+      .orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private[queries] val m19Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 40 AS g,
+      |    4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h,
+      |    4 + doc_id % 250 AS npal
+      |  FROM documents),
+      |xs AS (SELECT doc_id, g, w, h, npal, unnest(range(0, w)) AS x FROM dims),
+      |px AS (SELECT doc_id, g, w, h, npal, x, unnest(range(0, h)) AS y FROM xs),
+      |rgb AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    (11 * idx + 5 * g) % 256 AS r,
+      |    (7 * idx + 3 * g) % 256 AS gg,
+      |    (5 * idx + 13 * g) % 256 AS b
+      |  FROM (SELECT doc_id, g, w, h, x, y,
+      |          (9 * g + 7 * x + 5 * y) % npal AS idx
+      |        FROM px)),
+      |lums AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(y * 4 // h AS INTEGER) AS by, CAST(x * 4 // w AS INTEGER) AS bx,
+      |    (77 * r + 150 * gg + 29 * b) // 256 AS lum
+      |  FROM rgb)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN '87a' ELSE '89a' END AS version,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_frames,
+      |  CAST((CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 2 THEN 1 ELSE 0 END)
+      |     AS BIGINT) AS n_ext,
+      |  doc_id % 2 = 1 AS interlaced,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+      |FROM lums GROUP BY doc_id, w, h, by, bx
+      |ORDER BY doc_id, by, bx""".stripMargin
+
   // -- m16: PALETTE PNG decode (color type 3) -------------------------------
   // m10 certified truecolor PNG (type 2); m16 adds the indexed form
   // icons/diagrams/screenshots in a crawl actually use: 1-byte-per-

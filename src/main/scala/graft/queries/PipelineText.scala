@@ -2348,6 +2348,355 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t37: ZIP archive ingest (central-directory walk + CRC) ----------------
+  // The container format the long tail of a real corpus intake
+  // actually arrives in: site exports, dataset drops, DOCX/EPUB/JAR
+  // payloads. graft.sources.Zip implements the public PKWARE APPNOTE
+  // subset the way real readers do — EOCD located by the backward
+  // comment-window scan (accepted only when the comment length
+  // exactly tiles the file), central directory walked as the INDEX
+  // (counted entries, exact tiling of [cdOff, cdOff+cdSize)), and per
+  // member: local-header agreement, stored/deflate decode through the
+  // hand-written Inflate substrate, CRC-32 verification, and the
+  // signed data-descriptor protocol for streaming-writer members.
+  // Validation is two-level (t28's contract): an unusable index → the
+  // archive is undecodable; a bad MEMBER (here: a consistently
+  // perturbed recorded CRC, so only the CRC-vs-data check can fire)
+  // is counted, never killing the job. Cross-validated BOTH
+  // directions against java.util.zip in ZipSpec. The fixture splits
+  // each doc's text into 1 + doc_id%3 code-point pieces (t26's
+  // arithmetic), one member per piece, rotating per member through
+  // stored/deflate-fixed/deflate-dynamic bodies and per archive
+  // through data-descriptor members / UTF-8-flagged names / extra
+  // fields / archive comments, corrupting one member per doc_id%11==7
+  // doc; the report's body_md5 covers names AND decoded bodies in
+  // directory order, so one misread header field, name byte, CRC, or
+  // inflate byte breaks the hash.
+  //
+  // Scale: t25's class — two map-only passes (frame, decode), linear
+  // in archive bytes, zero shuffles before the output sort. At a real
+  // warehouse this is spark.read.binaryFile → Zip.parseZip →
+  // explode(members).
+  /** The ZIP-framed corpus — shared by t37 (batch) and e21
+    * (streaming intake). */
+  private[queries] def framedZip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Zip
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val nmem = 1 + (id % 3).toInt
+          val lenCp = text.codePointCount(0, text.length)
+          val badJ = if (id % 11 == 7) ((id / 11) % nmem).toInt else -1
+          val members = (0 until nmem).map { j =>
+            val a = (j.toLong * lenCp / nmem).toInt
+            val b = ((j + 1).toLong * lenCp / nmem).toInt
+            val piece = text.substring(
+              text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
+            (s"part-$j.txt", piece.getBytes("UTF-8"))
+          }
+          val z = Zip.encodeZip(members,
+            methods = j => ((id + j) % 3).toInt,
+            dd = id % 3 == 1,
+            utf8Names = id % 2 == 0,
+            extra = if (id % 4 == 3) Some(Array[Byte](9, (id % 127).toByte)) else None,
+            comment = if (id % 5 == 0) Some("graft-zip") else None,
+            corrupt = badJ)
+          (id, src, z)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t37: Q = (s, d) => {
+    import s.implicits._
+    import graft.sources.{Utf8, Zip}
+    framedZip(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, z) =>
+          Zip.parseZip(z).map { members =>
+            var nOk = 0L; var nBad = 0L; var nStored = 0L
+            var chars = 0L
+            val sb = new StringBuilder
+            members.foreach { m =>
+              if (m.method == 0) nStored += 1
+              (if (m.ok) Utf8.decodeStrict(m.data) else None) match {
+                case Some(t) =>
+                  nOk += 1
+                  chars += t.codePointCount(0, t.length)
+                  sb.append(m.name).append('\n').append(t)
+                case None => nBad += 1
+              }
+            }
+            (id, members.length.toLong, nOk, nBad, nStored, chars, sb.toString)
+          }
+        }
+      }
+      .toDF("doc_id", "n_members", "n_ok", "n_malformed", "n_stored",
+        "body_chars", "joined")
+      .select(col("doc_id"), col("n_members"), col("n_ok"),
+        col("n_malformed"), col("n_stored"), col("body_chars"),
+        md5(col("joined").cast(BinaryType)).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t37Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    1 + doc_id % 3 AS nmem,
+      |    CASE WHEN doc_id % 11 = 7
+      |         THEN (doc_id // 11) % (1 + doc_id % 3)
+      |         ELSE -1 END AS badj
+      |  FROM documents),
+      |recs AS (
+      |  SELECT doc_id, text, len, nmem, badj,
+      |    unnest(range(0, nmem)) AS j
+      |  FROM d),
+      |pieces AS (
+      |  SELECT doc_id, nmem, badj, j,
+      |    substr(text, CAST(j * len // nmem AS INTEGER) + 1,
+      |      CAST((j + 1) * len // nmem - j * len // nmem AS INTEGER)) AS piece
+      |  FROM recs)
+      |SELECT doc_id,
+      |  CAST(MAX(nmem) AS BIGINT) AS n_members,
+      |  CAST(SUM(CASE WHEN j = badj THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+      |  CAST(SUM(CASE WHEN j = badj THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+      |  CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 0
+      |                WHEN (doc_id + j) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_stored,
+      |  CAST(SUM(CASE WHEN j = badj THEN 0 ELSE length(piece) END) AS BIGINT)
+      |    AS body_chars,
+      |  md5(string_agg(CASE WHEN j = badj THEN ''
+      |                 ELSE 'part-' || j || '.txt' || chr(10) || piece END,
+      |                 '' ORDER BY j)) AS body_md5
+      |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- t36: model-based quality gate (frozen integer-weight scorer) ----------
+  // The CCNet/fastText-class filter every deployed curation pipeline
+  // runs: a FROZEN linear model over the certified feature family —
+  // token volume (capped length credit), type ratio (distinct/total,
+  // t22's signal), stopword mass (t02's), repetition (t08's
+  // top-token share via the native tokenRepetitionStats expression),
+  // and long-word mass — scoring each document and bucketing
+  // head/middle/tail at config cut-offs (t15's pattern). Weights are
+  // INTEGER micro-units and every ratio term is Long floor-division
+  // (values non-negative, so DuckDB's truncating // replays exactly):
+  //   score = w_len·min(n_tok,200) + (w_type·n_distinct) div n_tok
+  //         + (w_stop·n_stop) div n_tok − (w_rep·top_c) div n_tok
+  //         + (w_long·n_long) div n_tok
+  // The weights ride a one-row BROADCAST config frame (the deployed
+  // shape: models update without replanning), and the report carries
+  // the features so a drifted scorer is attributable per term.
+  //
+  // Scale: one map-only pass (the native expression + array HOFs over
+  // each doc's own tokens), zero shuffles before the output sort; the
+  // config broadcast is one row.
+  private[queries] val t36: Q = (s, d) => {
+    import s.implicits._
+    val weights = Seq((20L, 3000L, 2000L, 5000L, 1000L, 2550L, 2300L))
+      .toDF("w_len", "w_type", "w_stop", "w_rep", "w_long", "cut_head", "cut_mid")
+    val stopList = stopwords.map("'" + _ + "'").mkString(", ")
+    docsSpread(s, d)
+      .withColumn("st", graft.functions.GraftColumns.tokenRepetitionStats(col("text")))
+      .withColumn("toks", expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')"))
+      .select(col("doc_id"),
+        col("st.n_tok").cast(LongType).as("n_tok"),
+        col("st.n_distinct").cast(LongType).as("n_distinct"),
+        col("st.top_token_c").cast(LongType).as("top_c"),
+        expr(s"size(filter(toks, w -> w IN ($stopList)))").cast(LongType).as("n_stop"),
+        expr("size(filter(toks, w -> length(w) >= 8))").cast(LongType).as("n_long"))
+      .crossJoin(broadcast(weights))
+      .withColumn("score", expr(
+        """w_len * least(n_tok, 200L)
+          | + (w_type * n_distinct) div n_tok
+          | + (w_stop * n_stop) div n_tok
+          | - (w_rep * top_c) div n_tok
+          | + (w_long * n_long) div n_tok""".stripMargin))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"), col("n_stop"),
+        col("n_long"), col("top_c"), col("score"),
+        when(col("score") >= col("cut_head"), "1_head")
+          .when(col("score") >= col("cut_mid"), "2_middle")
+          .otherwise("3_tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t36Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, x -> x IN
+       |      (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_filter(toks, x -> len(x) >= 8)) AS BIGINT) AS n_long,
+       |    CAST((SELECT MAX(c) FROM
+       |      (SELECT COUNT(*) AS c FROM unnest(toks) AS u(g) GROUP BY g))
+       |      AS BIGINT) AS top_c
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, n_tok, n_distinct, n_stop, n_long, top_c,
+       |    CAST(20 * least(n_tok, 200) + (3000 * n_distinct) // n_tok
+       |      + (2000 * n_stop) // n_tok - (5000 * top_c) // n_tok
+       |      + (1000 * n_long) // n_tok AS BIGINT) AS score
+       |  FROM f)
+       |SELECT doc_id, n_tok, n_distinct, n_stop, n_long, top_c, score,
+       |  CASE WHEN score >= 2550 THEN '1_head'
+       |       WHEN score >= 2300 THEN '2_middle'
+       |       ELSE '3_tail' END AS bucket
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // -- t35: URL normalization + host link graph -------------------------------
+  // Between t32's raw href harvest and any crawl-frontier / curation
+  // weighting sits the normalization + aggregation every web pipeline
+  // runs (the CCNet/RefinedWeb-class signal): resolve each href
+  // against its page URL (RFC 3986 §5 — absolute / scheme-relative /
+  // path-absolute / path-relative with dot-segment removal), normalize
+  // (scheme+host lowercase, default port stripped, fragment dropped,
+  // non-http(s) schemes excluded — graft.sources.Url), aggregate to
+  // HOST-level weighted edges, and compute a REPLAYABLE link weight:
+  // fixed-R integer-quantized power iteration (R=3) in micro-units —
+  // rank0 = 1,000,000 per host; each round rank'(v) = 150,000 +
+  // (85 * Σ_{u→v} (rank(u) * w(u,v)) / outW(u)) / 100, all Long
+  // floor-division (values positive, so DuckDB's truncating // is
+  // identical) — q78's IntLloyd discipline: exact integers per round,
+  // R a config constant, the oracle unrolls the rounds as CTEs.
+  // Dangling hosts (in-links only) contribute nothing (documented).
+  // The fixture renders each doc as a page at
+  // http://site{id%7}.example/dir{id%3}/page{id}.html whose 1+id%4
+  // links rotate (id+j)%5 through: ABSOLUTE with uppercase scheme/
+  // host + explicit default port + fragment / scheme-relative /
+  // path-absolute / dot-segment relative (../rel/./j) / plain
+  // relative — plus a mailto: decoy that must NOT be an edge — and
+  // corrupts doc_id%11==7 pages (no edges). The report's urls_md5
+  // (sorted distinct normalized in-URLs per host) certifies every
+  // normalization rule byte-exactly: one unstripped port, uncased
+  // host, surviving fragment, or wrong dot-segment resolution breaks
+  // the hash.
+  //
+  // Scale: extraction is map-only; ONE (src,dst) shuffle builds the
+  // host edges; each of the R rounds is one join + one aggregate on
+  // host keys (the standard distributed PageRank shape — R fixed, no
+  // driver-side data). The urls_md5 certification column collects
+  // distinct in-URLs per host — bounded here by the fixture's URL
+  // universe; at 100 TB the certification column would be dropped or
+  // replaced by a sketch (documented, not silent).
+  private[queries] val T35Rounds = 3
+  private[queries] val t35: Q = (s, d) => {
+    import s.implicits._
+    import graft.sources.{Html, Url}
+    val links = T.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val page = HostLinkFixture.pageUrl(id)
+          Html.extract(HostLinkFixture.render(id, text)) match {
+            case Some(e) =>
+              e.links.flatMap(Url.resolve(page, _)).map { u =>
+                (Url.hostOf(page), Url.hostOf(u), u)
+              }
+            case None => Seq.empty
+          }
+        }
+      }
+      .toDF("src", "dst", "url")
+    val linksC = graft.CacheScope.cached(links)
+    val edges = graft.CacheScope.cached(
+      linksC.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
+    val hosts = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    var ranks = hosts.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to T35Rounds) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("host"))
+        .join(outW, "src")
+        // `div` is Long floor-division on positive values — Spark's
+        // `/` would produce DOUBLE and break the integer replay
+        .select(col("dst"), expr("(rank * w) div outw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = hosts.join(contrib, hosts("host") === contrib("dst"), "left")
+        .select(col("host"),
+          expr("150000L + (85L * coalesce(s, 0L)) div 100L").as("rank"))
+    }
+    val inAgg = linksC.groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_w"),
+        md5(concat_ws("\n", array_sort(collect_set(col("url"))))
+          .cast(BinaryType)).as("urls_md5"))
+    hosts
+      .join(ranks, "host")
+      .join(outW.withColumnRenamed("src", "host"), Seq("host"), "left")
+      .join(inAgg.withColumnRenamed("dst", "host"), Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("outw"), lit(0L)).as("out_w"),
+        col("rank"),
+        coalesce(col("urls_md5"), md5(lit(""))).as("urls_md5"))
+      .orderBy(col("host"))
+  }
+
+  private[queries] val t35Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 1 + doc_id % 4 AS nl,
+      |    doc_id % 7 AS sh, doc_id % 3 AS dir
+      |  FROM documents WHERE doc_id % 11 <> 7),
+      |l AS (SELECT doc_id, sh, dir, unnest(range(0, nl)) AS j FROM d),
+      |links AS (
+      |  SELECT 'site' || sh || '.example' AS src,
+      |    CASE WHEN (doc_id + j) % 5 IN (0, 1)
+      |         THEN 'site' || ((doc_id + 3 * j + 1) % 7) || '.example'
+      |         ELSE 'site' || sh || '.example' END AS dst,
+      |    CASE (doc_id + j) % 5
+      |      WHEN 0 THEN 'http://site' || ((doc_id + 3 * j + 1) % 7)
+      |        || '.example/abs/' || j
+      |      WHEN 1 THEN 'http://site' || ((doc_id + 3 * j + 1) % 7)
+      |        || '.example/sr/' || j
+      |      WHEN 2 THEN 'http://site' || sh || '.example/pa/' || j
+      |      WHEN 3 THEN 'http://site' || sh || '.example/rel/' || j
+      |      ELSE 'http://site' || sh || '.example/dir' || dir || '/sub/' || j
+      |    END AS url
+      |  FROM l),
+      |edges AS (SELECT src, dst, COUNT(*) AS w FROM links GROUP BY 1, 2),
+      |hosts AS (SELECT DISTINCT host FROM
+      |  (SELECT src AS host FROM edges UNION SELECT dst FROM edges)),
+      |outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+      |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM hosts),
+      |r1 AS (
+      |  SELECT h.host, CAST(150000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS rank
+      |  FROM hosts h LEFT JOIN (
+      |    SELECT e.dst, SUM(r.rank * e.w // o.outw) AS s
+      |    FROM edges e JOIN r0 r ON e.src = r.host JOIN outw o ON e.src = o.src
+      |    GROUP BY e.dst) c ON h.host = c.dst),
+      |r2 AS (
+      |  SELECT h.host, CAST(150000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS rank
+      |  FROM hosts h LEFT JOIN (
+      |    SELECT e.dst, SUM(r.rank * e.w // o.outw) AS s
+      |    FROM edges e JOIN r1 r ON e.src = r.host JOIN outw o ON e.src = o.src
+      |    GROUP BY e.dst) c ON h.host = c.dst),
+      |r3 AS (
+      |  SELECT h.host, CAST(150000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS rank
+      |  FROM hosts h LEFT JOIN (
+      |    SELECT e.dst, SUM(r.rank * e.w // o.outw) AS s
+      |    FROM edges e JOIN r2 r ON e.src = r.host JOIN outw o ON e.src = o.src
+      |    GROUP BY e.dst) c ON h.host = c.dst),
+      |inagg AS (
+      |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_w,
+      |    md5(string_agg(DISTINCT url, chr(10) ORDER BY url)) AS urls_md5
+      |  FROM links GROUP BY 1)
+      |SELECT h.host,
+      |  COALESCE(i.in_w, 0) AS in_w,
+      |  CAST(COALESCE(o.outw, 0) AS BIGINT) AS out_w,
+      |  r3.rank AS rank,
+      |  COALESCE(i.urls_md5, md5('')) AS urls_md5
+      |FROM hosts h
+      |JOIN r3 ON h.host = r3.host
+      |LEFT JOIN outw o ON h.host = o.src
+      |LEFT JOIN inagg i ON h.host = i.dst
+      |ORDER BY h.host""".stripMargin
+
   // -- t34: WET conversion-record ingest (ISO 28500 `conversion`) ------------
   // Common Crawl's MOST-CONSUMED artifact is not the raw WARC but the
   // WET sidecar: `WARC-Type: conversion` records whose block is the
@@ -2670,6 +3019,48 @@ private[queries] object WarcHttpFixture {
     }
     (Seq("HTTP/1.1 200 OK", ctype) ++
       headers).mkString("", "\r\n", "\r\n\r\n").getBytes("UTF-8") ++ body
+  }
+}
+
+/** t35's host-link page fixture — a standalone object so executor
+  * closures reference a static (the t26 capture-nothing discipline).
+  * Each page lives at [[pageUrl]] and carries 1 + id%4 links rotating
+  * (id+j)%5 through the five RFC 3986 reference forms (absolute with
+  * uppercase scheme/host, explicit default port and fragment /
+  * scheme-relative / path-absolute / dot-segment relative / plain
+  * relative), a `mailto:` decoy that must NOT become an edge, and the
+  * doc's escaped text as prose; id%11==7 pages are corrupted
+  * (unterminated quoted value → no edges). */
+private[queries] object HostLinkFixture {
+  def pageUrl(id: Long): String =
+    s"http://site${id % 7}.example/dir${id % 3}/page$id.html"
+
+  def render(id: Long, text: String): String = {
+    val nl = 1 + (id % 4).toInt
+    def esc(x: String): String =
+      x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder(text.length + 512)
+    sb.append("<!DOCTYPE html>\n<html>\n<head><title>Host links ")
+      .append(id).append("</title></head>\n<body>\n")
+    sb.append("<p><a href=\"mailto:owner-").append(id)
+      .append("@example.com\">mail</a>\n")
+    sb.append("<a name=\"top-").append(id).append("\">anchor</a></p>\n")
+    (0 until nl).foreach { j =>
+      val h = (id + 3 * j + 1) % 7
+      val href = ((id + j) % 5).toInt match {
+        case 0 => s"HTTP://SITE$h.Example:80/abs/$j#top"
+        case 1 => s"//site$h.example/sr/$j#s"
+        case 2 => s"/pa/$j"
+        case 3 => s"../rel/./$j"
+        case _ => s"sub/$j"
+      }
+      sb.append("<a href=\"").append(href).append("\">l").append(j)
+        .append("</a>\n")
+    }
+    sb.append("<p>").append(esc(text)).append("</p>\n")
+    sb.append("</body>\n</html>")
+    if (id % 11 == 7) sb.append("<a href=\"broken-") // unterminated value
+    sb.toString
   }
 }
 

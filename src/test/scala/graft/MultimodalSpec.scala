@@ -555,4 +555,104 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.encodeBmp(12, 9, 0, px)).get, grid = 4)
     assert(gPng.toSeq == gBmp.toSeq, "two containers, one embedding")
   }
+
+  test("GIF round-trips; ImageIO cross-validation BOTH directions; interlace, sub-blocks, frames") {
+    import graft.operators.Gif
+    // 1) our encoder -> our decoder, exercising every rotation arm
+    for (seed <- 0 until 40) {
+      val g = seed % 40
+      val w = 4 + seed % 13; val h = 4 + seed % 9
+      val npal = 4 + (seed * 17) % 250
+      val pal = Array.tabulate(npal)(i =>
+        ((11 * i + 5 * g) % 256, (7 * i + 3 * g) % 256, (5 * i + 13 * g) % 256))
+      def idx(x: Int, y: Int): Int = (9 * g + 7 * x + 5 * y) % npal
+      val z = Gif.encodeGif(w, h, pal, idx, interlace = seed % 2 == 1,
+        version89 = seed % 3 != 0, gce = seed % 3 != 0 && seed % 5 == 0,
+        comment = if (seed % 3 != 0 && seed % 7 == 2) Some(s"c$seed") else None,
+        chunk = 3 + seed % 253, extraFrame = seed % 4 == 1)
+      val pr = Gif.parseGif(z).getOrElse(fail(s"parse None: seed $seed"))
+      assert(pr.raster.width == w && pr.raster.height == h)
+      assert(pr.nFrames == (if (seed % 4 == 1) 2 else 1))
+      assert(pr.interlaced == (seed % 2 == 1))
+      for (y <- 0 until h; x <- 0 until w) {
+        assert(pr.raster.index(x, y) == idx(x, y), s"seed $seed px ($x,$y)")
+        assert(pr.raster.rgb(x, y) == pal(idx(x, y)))
+      }
+      // 2) our encoder -> ImageIO (pixel-exact). Two verified JDK
+      //    reader quirks are avoided in THIS direction only (both
+      //    inputs are spec-valid and our decoder handles them):
+      //    tiny sub-blocks corrupt its bit refill (chunk=3 drifts
+      //    from pixel 7), and an EMPTY interlace pass (h <= 4)
+      //    mis-assigns rows (it advances passes with a single `if`,
+      //    not a loop — giflib and our schedule skip the empty pass)
+      val zIo = Gif.encodeGif(w, h, pal, idx,
+        interlace = seed % 2 == 1 && h >= 5,
+        version89 = seed % 3 != 0, gce = seed % 3 != 0 && seed % 5 == 0,
+        comment = if (seed % 3 != 0 && seed % 7 == 2) Some(s"c$seed") else None,
+        chunk = 255, extraFrame = seed % 4 == 1)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(zIo))
+      assert(ref != null, s"ImageIO rejected seed $seed")
+      assert(ref.getWidth == w && ref.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, gg, b) = pal(idx(x, y))
+        val got = ref.getRGB(x, y)
+        assert(((got >> 16) & 0xff, (got >> 8) & 0xff, got & 0xff) == ((r, gg, b)),
+          s"ImageIO drift seed $seed at ($x,$y)")
+      }
+    }
+    // 3) ImageIO writer -> our decoder (pixel-exact), image large
+    //    enough to cross several LZW width boundaries
+    val big = new java.awt.image.BufferedImage(101, 83,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 83; x <- 0 until 101)
+      big.setRGB(x, y, ((x * 31 + y * 57) % 255) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(big, "gif", bos))
+    val mine = Gif.parseGif(bos.toByteArray)
+      .getOrElse(fail("our decoder rejected ImageIO's GIF"))
+    assert(mine.raster.width == 101 && mine.raster.height == 83)
+    for (y <- 0 until 83; x <- 0 until 101) {
+      val want = big.getRGB(x, y) & 0xffffff
+      val (r, g, b) = mine.raster.rgb(x, y)
+      assert(((r << 16) | (g << 8) | b) == want, s"decode drift at ($x,$y)")
+    }
+  }
+
+  test("GIF malformations return None, never throw") {
+    import graft.operators.Gif
+    val pal = Array.tabulate(16)(i => (i * 16, 255 - i * 16, i * 7))
+    val good = Gif.encodeGif(10, 8, pal, (x, y) => (x + y) % 16,
+      interlace = true, gce = true, comment = Some("x"), extraFrame = true)
+    assert(Gif.parseGif(good).isDefined)
+    // truncations at every layer
+    for (cut <- Seq(0, 5, 12, 20, good.length / 2, good.length - 1))
+      assert(Gif.parseGif(good.take(cut)).isEmpty, s"truncation at $cut")
+    // trailing garbage after the trailer
+    assert(Gif.parseGif(good :+ 0x00.toByte).isEmpty)
+    // bad signature
+    val sig = good.clone(); sig(0) = 'J'.toByte
+    assert(Gif.parseGif(sig).isEmpty)
+    // reserved block label
+    val lbl = good.clone()
+    val extAt = good.indexOf(0x21.toByte)
+    lbl(extAt + 1) = 0x42.toByte
+    assert(Gif.parseGif(lbl).isEmpty)
+    // image without ANY color table
+    val noGct = Gif.encodeGif(4, 4, pal, (_, _) => 0)
+    val cut = noGct.clone(); cut(10) = (cut(10) & 0x7f).toByte // GCT flag off
+    // (table bytes now misparse as blocks -> must reject, not throw)
+    assert(Gif.parseGif(cut).isEmpty)
+    // corruption sweep over the LZW body: reject or decode clean
+    var caught = 0
+    for (i <- 13 until good.length - 1) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x55).toByte
+      Gif.parseGif(bad) match {
+        case None => caught += 1
+        case Some(pr) => assert(pr.raster.width <= 65535)
+      }
+    }
+    assert(caught > 0)
+    assert(Gif.parseGif(Array.fill[Byte](32)(0x11)).isEmpty)
+    assert(Gif.parseGif(Array.emptyByteArray).isEmpty)
+  }
 }

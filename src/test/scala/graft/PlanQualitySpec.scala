@@ -876,4 +876,31 @@ class PlanQualitySpec extends SparkSpec {
     val a1 = PlanAudit.executed(SparkEntry.queries("q01_agg_summary")(spark, sfDir))
     assert(a1.partialAggregates >= 1 && a1.codegenSpans >= 1, a1.render)
   }
+
+  test("cell pruning: literal IN below the threshold, broadcast join above it (same rows)") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i % 2000, i.toLong)).toDF("cluster", "v")
+    val small = (0 until 100).toSeq
+    val big = (0 until 1500).toSeq // > QUtil.CellPruneInMax
+    // row identity between the two plan shapes
+    val viaIn = df.filter(org.apache.spark.sql.functions.col("cluster")
+      .isin(big.map(x => x: Any): _*)).as[(Int, Long)].collect().toSet
+    val viaJoin = graft.QUtil.pruneCells(df, "cluster", big)
+      .as[(Int, Long)].collect().toSet
+    assert(viaJoin == viaIn, "prune paths must select identical rows")
+    val negIn = df.filter(!org.apache.spark.sql.functions.col("cluster")
+      .isin(big.map(x => x: Any): _*)).as[(Int, Long)].collect().toSet
+    val negJoin = graft.QUtil.pruneCells(df, "cluster", big, negate = true)
+      .as[(Int, Long)].collect().toSet
+    assert(negJoin == negIn)
+    // plan pins: a big batch plans a BROADCAST join, not a 1500-literal
+    // filter; a small batch stays a literal In (static partition pruning)
+    val bigPlan = graft.QUtil.pruneCells(df, "cluster", big)
+      .queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastHashJoin") || bigPlan.contains("BroadcastNestedLoopJoin"),
+      s"big-batch prune must broadcast: $bigPlan")
+    val smallPlan = graft.QUtil.pruneCells(df, "cluster", small)
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("Join"), s"small-batch prune must stay a filter: $smallPlan")
+  }
 }
