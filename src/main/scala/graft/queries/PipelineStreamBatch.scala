@@ -239,6 +239,47 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
       |  CAST(SUM(n_chars) AS BIGINT) AS body_chars
       |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e21: streaming ZIP archive intake -------------------------------------
+  // t37's read path joined to the streaming family (see
+  // StreamingJobs.zipIntakeStream): ZIP archives index-walked AS THEY
+  // ARRIVE, members stored/deflate-decoded + CRC-checked, both
+  // failure levels (unusable index / bad member) accounted per (hour
+  // window, source). Batch run of the same code path is the oracle;
+  // the oracle SQL re-derives member counts and body volumes from
+  // documents via t37's piece arithmetic (a walker misreading one
+  // header field or CRC shifts a count and breaks the hash).
+  private[queries] val e21: Q = (s, d) => {
+    val media = framedZip(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.zipIntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private[queries] val e21Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, length(text) AS len,
+      |    1 + doc_id % 3 AS nmem,
+      |    CASE WHEN doc_id % 11 = 7
+      |         THEN (doc_id // 11) % (1 + doc_id % 3)
+      |         ELSE -1 END AS badj,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, ts, nmem,
+      |    CASE WHEN badj >= 0 THEN 1 ELSE 0 END AS bad,
+      |    len - CASE WHEN badj >= 0
+      |          THEN (badj + 1) * len // nmem - badj * len // nmem
+      |          ELSE 0 END AS ok_chars
+      |  FROM d)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_archives,
+      |  CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(SUM(nmem) AS BIGINT) AS n_members,
+      |  CAST(SUM(bad) AS BIGINT) AS n_malformed,
+      |  CAST(SUM(ok_chars) AS BIGINT) AS text_chars
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e17: streaming WARC shard intake -------------------------------------
   // t28's read path joined to the streaming family (see
   // StreamingJobs.warcIntakeStream): `.warc.gz` shards member-walked

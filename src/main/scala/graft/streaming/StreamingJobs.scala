@@ -394,6 +394,57 @@ object StreamingJobs {
         col("n_files"), col("n_undecodable"), col("text_chars"))
   }
 
+  /** e21: streaming ZIP archive intake — t37's read path joined to
+    * the streaming family: ZIP archives walked ON ARRIVAL
+    * (graft.sources.Zip — EOCD scan, central-directory index walk,
+    * per-member stored/deflate decode + CRC-32 through the
+    * hand-written Inflate substrate), decoded bodies through the
+    * strict UTF-8 gate, folded per (hour window, source) with BOTH
+    * failure levels accounted (e17's contract): an archive whose
+    * INDEX is unusable counts in n_undecodable, a bad MEMBER inside a
+    * walkable archive (CRC mismatch, encryption flag, unknown method,
+    * undecodable name or body) counts in n_malformed — neither kills
+    * the job, neither silently vanishes. Batch run of the same
+    * function is the oracle (e03's trick).
+    *
+    * Scale: walk + decode are map-side, linear in archive bytes; one
+    * (window, source) shuffle of four longs per partial; state = open
+    * windows × sources. */
+  def zipIntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.sources.Zip.parseZip(payload) match {
+            case Some(members) =>
+              var bad = 0L; var chars = 0L
+              members.foreach { m =>
+                (if (m.ok) graft.sources.Utf8.decodeStrict(m.data) else None) match {
+                  // code points, matching Spark/DuckDB length()
+                  case Some(t) => chars += t.codePointCount(0, t.length)
+                  case None => bad += 1
+                }
+              }
+              (ts, src, true, members.length.toLong, bad, chars)
+            case None => (ts, src, false, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "n_mem", "n_bad", "n_chars")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_archives"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_mem")).as("n_members"),
+        sum(col("n_bad")).as("n_malformed"),
+        sum(col("n_chars")).as("text_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_archives"), col("n_undecodable"), col("n_members"),
+        col("n_malformed"), col("text_chars"))
+  }
+
   /** e17: streaming WARC shard intake — t28's read path joined to the
     * streaming family: `.warc.gz` shards decompressed ON ARRIVAL
     * (member walk — Common Crawl frames each record as its own gzip

@@ -422,6 +422,49 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
   }
 
+  test("zipIntakeStream: incremental equals batch; bad index vs bad member accounted at the right level") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Zip
+    def arch(ms: Seq[(String, String)], corrupt: Int = -1): Array[Byte] =
+      Zip.encodeZip(ms.map { case (n, t) => (n, t.getBytes("UTF-8")) },
+        methods = j => j % 3, corrupt = corrupt)
+    // a walkable archive holding a member whose BYTES are valid zip
+    // but invalid UTF-8: the member decodes, the text gate counts it
+    val invalidUtf8 = Zip.encodeZip(
+      Seq("bin.dat" -> Array[Byte](0x61, 0xc3.toByte, 0x28)), methods = _ => 1)
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"),
+        arch(Seq("a.txt" -> "first text", "b.txt" -> "ten chars!")), "web"),
+      (ts("2024-01-01 00:20:00"),
+        arch(Seq("c.txt" -> "keep me", "d.txt" -> "drop me"), corrupt = 1), "web"),
+      // index-level: truncated EOCD — nothing safe to enumerate
+      (ts("2024-01-01 00:45:00"),
+        arch(Seq("x.txt" -> "never seen")).dropRight(5), "books"),
+      (ts("2024-01-01 00:50:00"), invalidUtf8, "books"),
+      (ts("2024-01-01 01:10:00"), arch(Seq("h2.txt" -> "hour two")), "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.zipIntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_zip").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_zip").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.zipIntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      // books hour 0: one unusable INDEX, one walkable archive whose
+      // single member fails the strict text gate
+      (ts("2024-01-01 00:00:00"), "books", 2L, 1L, 1L, 1L, 0L),
+      // web hour 0: 4 members, 1 bad CRC, chars = 10 + 10 + 7
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 4L, 1L, 27L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
+  }
+
   test("warcIntakeStream: incremental equals batch; corrupt records AND shards accounted") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Inflate
