@@ -280,6 +280,36 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
       |  CAST(SUM(ok_chars) AS BIGINT) AS text_chars
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e22: streaming tar.gz intake ------------------------------------------
+  // t38's read path joined to the streaming family (see
+  // StreamingJobs.tarIntakeStream): `.tar.gz` drops gunzipped and
+  // ustar-walked AS THEY ARRIVE, archive-level failure accounting
+  // (tar has no index and no resync — a bad header checksum counts
+  // the whole archive). Batch run of the same code path is the
+  // oracle; the oracle SQL re-derives file counts and body volumes
+  // from documents via t38's piece arithmetic.
+  private[queries] val e22: Q = (s, d) => {
+    val media = framedTarGzip(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.tarIntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private[queries] val e22Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, length(text) AS len,
+      |    1 + doc_id % 3 AS nmem,
+      |    CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END AS bad,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+      |  FROM documents)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_archives,
+      |  CAST(SUM(bad) AS BIGINT) AS n_undecodable,
+      |  CAST(SUM(CASE WHEN bad = 1 THEN 0 ELSE nmem END) AS BIGINT) AS n_files,
+      |  CAST(SUM(CASE WHEN bad = 1 THEN 0 ELSE len END) AS BIGINT) AS text_chars
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e17: streaming WARC shard intake -------------------------------------
   // t28's read path joined to the streaming family (see
   // StreamingJobs.warcIntakeStream): `.warc.gz` shards member-walked

@@ -2473,6 +2473,132 @@ private[graft] trait PipelineText extends PipelineDedup {
       |                 '' ORDER BY j)) AS body_md5
       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- t38: TAR corpus ingest (.tar.gz over the gzip substrate) --------------
+  // The other half of the corpus-drop container story (t37's ZIP):
+  // source-code datasets, model drops and academic corpora ship as
+  // `.tar.gz`. graft.sources.Tar walks the POSIX ustar layout — 512-
+  // byte headers with the per-entry CHECKSUM verified (tar's only
+  // integrity device), octal fields tolerant of the wire's
+  // terminator variants, name/prefix split, GNU 'L' longname records
+  // (the >100-byte paths real tarballs carry), pax 'x'/'g' headers
+  // skipped as advisory, data rounded to blocks, two-zero-block end
+  // marker with trailing-padding/garbage discrimination. Unlike ZIP
+  // there is NO index and no resync: a bad header poisons everything
+  // after it, so validation is ARCHIVE-level (e17's corrupt-shard
+  // semantics) — the fixture perturbs one header checksum per
+  // doc_id%11==7 doc and that doc reports ok=false with zeroed
+  // stats, counted, never killing the job. TarSpec cross-validates
+  // BOTH directions against GNU tar 1.34 (tar -tf / -xOf on our
+  // bytes; a tar(1)-built gnu-format archive with a >100-char path
+  // decoded by ours). The fixture frames each doc's text as 1 +
+  // doc_id%3 member files under a leading directory entry (one
+  // member per t26 code-point piece; docs with doc_id%4==2 route
+  // their first member through the GNU longname path), gzip-wrapped
+  // with t25's deflate-mode rotation; the report's body_md5 covers
+  // names AND bodies in walk order.
+  //
+  // Scale: t25's class — two map-only passes (frame, decode), linear
+  // in archive bytes, zero shuffles before the output sort.
+  /** The tar.gz-framed corpus — shared by t38 (batch) and e22
+    * (streaming intake). */
+  private[queries] def framedTarGzip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Inflate
+    import graft.sources.Tar
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val nmem = 1 + (id % 3).toInt
+          val lenCp = text.codePointCount(0, text.length)
+          val badJ = if (id % 11 == 7) ((id / 11) % nmem).toInt else -1
+          val files = (0 until nmem).map { j =>
+            val a = (j.toLong * lenCp / nmem).toInt
+            val b = ((j + 1).toLong * lenCp / nmem).toInt
+            val piece = text.substring(
+              text.offsetByCodePoints(0, a), text.offsetByCodePoints(0, b))
+            val name =
+              if (id % 4 == 2 && j == 0) "doc/" + "n" * 110 + "/part-0.txt"
+              else s"doc/part-$j.txt"
+            (name, piece.getBytes("UTF-8"))
+          }
+          val tar = Tar.encodeTar(files, dir = Some("doc/"), corruptHeader = badJ)
+          val z = Inflate.gzipMember(tar, (id % 3).toInt)
+          (id, src, z)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t38: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Inflate
+    import graft.sources.{Tar, Utf8}
+    framedTarGzip(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, z) =>
+          Inflate.gunzip(z).flatMap(Tar.parseTar(_)) match {
+            case Some(entries) =>
+              var nFiles = 0L; var nDirs = 0L; var chars = 0L
+              val sb = new StringBuilder
+              var ok = true
+              entries.foreach { e =>
+                e.kind match {
+                  case 0 =>
+                    Utf8.decodeStrict(e.data) match {
+                      case Some(t) =>
+                        nFiles += 1
+                        chars += t.codePointCount(0, t.length)
+                        sb.append(e.name).append('\n').append(t)
+                      case None => ok = false
+                    }
+                  case 5 => nDirs += 1
+                  case _ => ()
+                }
+              }
+              if (ok) (id, true, nFiles, nDirs, chars, sb.toString)
+              else (id, false, 0L, 0L, 0L, "")
+            case None => (id, false, 0L, 0L, 0L, "")
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "n_files", "n_dirs", "body_chars", "joined")
+      .select(col("doc_id"), col("ok"), col("n_files"), col("n_dirs"),
+        col("body_chars"),
+        md5(col("joined").cast(BinaryType)).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t38Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    1 + doc_id % 3 AS nmem,
+      |    doc_id % 11 = 7 AS bad
+      |  FROM documents),
+      |recs AS (
+      |  SELECT doc_id, text, len, nmem, bad,
+      |    unnest(range(0, nmem)) AS j
+      |  FROM d),
+      |pieces AS (
+      |  SELECT doc_id, nmem, bad, j,
+      |    CASE WHEN doc_id % 4 = 2 AND j = 0
+      |         THEN 'doc/' || repeat('n', 110) || '/part-0.txt'
+      |         ELSE 'doc/part-' || j || '.txt' END AS fname,
+      |    substr(text, CAST(j * len // nmem AS INTEGER) + 1,
+      |      CAST((j + 1) * len // nmem - j * len // nmem AS INTEGER)) AS piece
+      |  FROM recs)
+      |SELECT doc_id,
+      |  NOT MAX(bad) AS ok,
+      |  CAST(CASE WHEN MAX(bad) THEN 0 ELSE MAX(nmem) END AS BIGINT) AS n_files,
+      |  CAST(CASE WHEN MAX(bad) THEN 0 ELSE 1 END AS BIGINT) AS n_dirs,
+      |  CAST(CASE WHEN MAX(bad) THEN 0
+      |       ELSE SUM(length(piece)) END AS BIGINT) AS body_chars,
+      |  CASE WHEN MAX(bad) THEN md5('')
+      |       ELSE md5(string_agg(fname || chr(10) || piece, '' ORDER BY j))
+      |       END AS body_md5
+      |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -- t36: model-based quality gate (frozen integer-weight scorer) ----------
   // The CCNet/fastText-class filter every deployed curation pipeline
   // runs: a FROZEN linear model over the certified feature family —

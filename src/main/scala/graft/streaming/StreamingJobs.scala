@@ -445,6 +445,59 @@ object StreamingJobs {
         col("n_malformed"), col("text_chars"))
   }
 
+  /** e22: streaming tar.gz intake — t38's read path joined to the
+    * streaming family: `.tar.gz` corpus drops gunzipped and
+    * ustar-walked ON ARRIVAL (graft.sources.Tar — per-entry checksum,
+    * GNU longname records, block-aligned walk with end-marker
+    * discrimination), file bodies through the strict UTF-8 gate,
+    * folded per (hour window, source). tar has no index and no
+    * resync, so failure accounting is ARCHIVE-level (e17's
+    * corrupt-shard semantics): a bad header, truncation, or
+    * undecodable body counts the whole archive in n_undecodable —
+    * never killing the job. Batch run of the same function is the
+    * oracle (e03's trick).
+    *
+    * Scale: gunzip + walk are map-side, linear in archive bytes; one
+    * (window, source) shuffle of three longs per partial. */
+  def tarIntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.operators.Inflate.gunzip(payload)
+            .flatMap(graft.sources.Tar.parseTar(_)) match {
+            case Some(entries) =>
+              var files = 0L; var chars = 0L; var ok = true
+              entries.foreach { e =>
+                if (e.kind == 0) {
+                  graft.sources.Utf8.decodeStrict(e.data) match {
+                    // code points, matching Spark/DuckDB length()
+                    case Some(t) =>
+                      files += 1; chars += t.codePointCount(0, t.length)
+                    case None => ok = false
+                  }
+                }
+              }
+              if (ok) (ts, src, true, files, chars)
+              else (ts, src, false, 0L, 0L)
+            case None => (ts, src, false, 0L, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "n_f", "n_chars")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_archives"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_f")).as("n_files"),
+        sum(col("n_chars")).as("text_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_archives"), col("n_undecodable"), col("n_files"),
+        col("text_chars"))
+  }
+
   /** e17: streaming WARC shard intake — t28's read path joined to the
     * streaming family: `.warc.gz` shards decompressed ON ARRIVAL
     * (member walk — Common Crawl frames each record as its own gzip

@@ -465,6 +465,48 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 0L, 8L)))
   }
 
+  test("tarIntakeStream: incremental equals batch; a bad header counts the whole archive") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Inflate
+    import graft.sources.Tar
+    def targz(fs: Seq[(String, String)], corrupt: Int = -1): Array[Byte] =
+      Inflate.gzipMember(
+        Tar.encodeTar(fs.map { case (n, t) => (n, t.getBytes("UTF-8")) },
+          dir = Some("doc/"), corruptHeader = corrupt),
+        deflateMode = 2)
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"),
+        targz(Seq("doc/a.txt" -> "first text", "doc/b.txt" -> "ten chars!")), "web"),
+      // a bad header checksum poisons the whole archive (no resync)
+      (ts("2024-01-01 00:20:00"),
+        targz(Seq("doc/c.txt" -> "keep me", "doc/d.txt" -> "drop me"), corrupt = 1), "web"),
+      // valid tar, file body invalid UTF-8 → archive counted
+      (ts("2024-01-01 00:45:00"), Inflate.gzipMember(
+        Tar.encodeTar(Seq("doc/x.bin" -> Array[Byte](0x61, 0xc3.toByte, 0x28))),
+        deflateMode = 1), "books"),
+      (ts("2024-01-01 01:10:00"),
+        targz(Seq("doc/h2.txt" -> "hour two")), "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.tarIntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_tar").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_tar").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.tarIntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 1L, 1L, 0L, 0L),
+      // web hour 0: one clean archive (2 files, 20 chars), one poisoned
+      (ts("2024-01-01 00:00:00"), "web", 2L, 1L, 2L, 20L),
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 1L, 8L)))
+  }
+
   test("warcIntakeStream: incremental equals batch; corrupt records AND shards accounted") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Inflate
