@@ -2599,6 +2599,76 @@ private[graft] trait PipelineText extends PipelineDedup {
       |       END AS body_md5
       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- t39: robots.txt crawl-politeness gate (RFC 9309) ----------------------
+  // Between t35's link discovery and any fetch sits the Robots
+  // Exclusion Protocol — every deployed crawl pipeline evaluates it
+  // per URL. graft.sources.Robots implements RFC 9309: tolerant
+  // line parse (BOM, CRLF, comments, case-insensitive keys),
+  // GROUPS with the non-group-line rule (sitemap/crawl-delay never
+  // split a group), same-agent group MERGE (§2.2.1), `*` fallback,
+  // and the published matching semantics — `*` wildcards, `$` end
+  // anchor, most-specific (longest-pattern) rule wins, allow wins
+  // ties, no match → allowed. RobotsSpec pins the published
+  // wildcard/anchor table and the precedence examples. The fixture
+  // renders one robots.txt per doc-site (key case / line endings /
+  // BOM / comments rotating; a decoy `otherbot` group; doc_id%3==0
+  // sites carry a dedicated `graftbot` group with a `$`-anchored
+  // wildcard rule, others resolve to `*`) and evaluates 1 + doc_id%4
+  // candidate paths exercising every decision class: no-match,
+  // prefix disallow, longer-allow override, anchored wildcard block,
+  // and the longest-match tie inside the `*` group. The report
+  // carries the winning rule length per path, so one mis-scored
+  // pattern breaks the compare.
+  //
+  // Scale: map-only — rules are parsed once per site and applied to
+  // its paths in the same pass (at a warehouse the per-host rule
+  // frame is the broadcast side of the URL join); zero shuffles
+  // before the output sort.
+  private[queries] val t39: Q = (s, d) => {
+    import s.implicits._
+    import graft.sources.Robots
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val f = Robots.parse(RobotsFixture.render(id))
+          val rules = Robots.selectGroup(f, "graftbot").getOrElse(Vector.empty)
+          val grp = if (id % 3 == 0) "graftbot" else "*"
+          val nl = 1 + (id % 4).toInt
+          (0 until nl).map { j =>
+            val path = RobotsFixture.path(id, j)
+            val (allowed, len) = Robots.decide(rules, path)
+            (id, j, path, grp, allowed, len, f.sitemaps.length.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "j", "path", "grp", "allowed", "rule_len", "n_sitemaps")
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  private[queries] val t39Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 1 + doc_id % 4 AS nl, doc_id % 3 = 0 AS gb,
+      |    doc_id % 5 AS a, doc_id % 7 AS b, doc_id % 2 = 1 AS odd
+      |  FROM documents),
+      |l AS (SELECT doc_id, gb, a, b, odd, unnest(range(0, nl)) AS j FROM d)
+      |SELECT doc_id, CAST(j AS INTEGER) AS j,
+      |  CASE WHEN j = 0 THEN
+      |         CASE WHEN odd THEN '/private/ok' || b || '/y'
+      |              ELSE '/private/x' || j END
+      |       WHEN j = 1 THEN '/dir' || a || '/page' || j || '.html'
+      |       WHEN j = 2 THEN '/dir' || a || '/pub/doc' || j
+      |       ELSE '/files/f' || j || '.bin' END AS path,
+      |  CASE WHEN gb THEN 'graftbot' ELSE '*' END AS grp,
+      |  CASE WHEN gb THEN j <> 1 AND j <> 3
+      |       ELSE NOT (j = 0 AND NOT odd) END AS allowed,
+      |  CAST(CASE WHEN gb THEN
+      |         CASE WHEN j = 1 THEN 6 WHEN j = 2 THEN 9
+      |              WHEN j = 3 THEN 7 ELSE 0 END
+      |       ELSE CASE WHEN j = 0 THEN CASE WHEN odd THEN 12 ELSE 9 END
+      |            ELSE 0 END END AS INTEGER) AS rule_len,
+      |  CAST(1 AS BIGINT) AS n_sitemaps
+      |FROM l ORDER BY doc_id, j""".stripMargin
+
   // -- t36: model-based quality gate (frozen integer-weight scorer) ----------
   // The CCNet/fastText-class filter every deployed curation pipeline
   // runs: a FROZEN linear model over the certified feature family —
@@ -3186,6 +3256,52 @@ private[queries] object HostLinkFixture {
     sb.append("<p>").append(esc(text)).append("</p>\n")
     sb.append("</body>\n</html>")
     if (id % 11 == 7) sb.append("<a href=\"broken-") // unterminated value
+    sb.toString
+  }
+}
+
+/** t39's robots.txt fixture — a standalone object so executor
+  * closures reference a static (the t26 capture-nothing discipline).
+  * One robots.txt per doc-site: a decoy `otherbot` group (must be
+  * ignored), a `graftbot` group on id%3==0 sites (prefix disallow,
+  * longer allow override, `$`-anchored wildcard), a `*` group
+  * carrying the longest-match tie (/private/ disallow vs
+  * /private/ok{b} allow), a sitemap + crawl-delay line INSIDE the
+  * group run (must not split it), with key case, line endings, BOM
+  * and comments rotating per doc. */
+private[queries] object RobotsFixture {
+  def path(id: Long, j: Int): String = j match {
+    case 0 =>
+      if (id % 2 == 1) s"/private/ok${id % 7}/y" else s"/private/x$j"
+    case 1 => s"/dir${id % 5}/page$j.html"
+    case 2 => s"/dir${id % 5}/pub/doc$j"
+    case _ => s"/files/f$j.bin"
+  }
+
+  def render(id: Long): String = {
+    val nlSep = if (id % 2 == 1) "\r\n" else "\n"
+    val (ua, dis, alw) = (id % 3) match {
+      case 0 => ("User-agent", "Disallow", "Allow")
+      case 1 => ("USER-AGENT", "DISALLOW", "ALLOW")
+      case _ => ("user-agent", "disallow", "allow")
+    }
+    val sb = new StringBuilder(256)
+    if (id % 4 == 0) sb.append('\uFEFF')
+    sb.append("# graft robots fixture ").append(id).append(nlSep)
+    sb.append(ua).append(": otherbot").append(nlSep)
+    sb.append(dis).append(": /").append(nlSep).append(nlSep)
+    if (id % 3 == 0) {
+      sb.append(ua).append(": graftbot # our crawler").append(nlSep)
+      sb.append(dis).append(": /dir").append(id % 5).append('/').append(nlSep)
+      sb.append(alw).append(": /dir").append(id % 5).append("/pub").append(nlSep)
+      sb.append(dis).append(": /*.bin$").append(nlSep).append(nlSep)
+    }
+    sb.append(ua).append(": *").append(nlSep)
+    sb.append(dis).append(": /private/").append(nlSep)
+    sb.append("Crawl-delay: 5").append(nlSep)
+    sb.append(alw).append(": /private/ok").append(id % 7).append(nlSep)
+    sb.append("Sitemap: http://site").append(id % 7)
+      .append(".example/sitemap.xml").append(nlSep)
     sb.toString
   }
 }
