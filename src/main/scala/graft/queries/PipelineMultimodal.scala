@@ -1239,6 +1239,95 @@ private[graft] trait PipelineMultimodal extends PipelineText {
       |FROM lums GROUP BY doc_id, w, h, by, bx
       |ORDER BY doc_id, by, bx""".stripMargin
 
+  // -- m20: baseline TIFF decode (IFD walk, LZW/PackBits, both orders) -------
+  // The raster container scans and scanned-document corpora arrive
+  // in — and the last ubiquitous format after BMP/PNG/JPEG/GIF/WAV/
+  // MP4. graft.operators.Tiff walks the public TIFF 6.0 layout: both
+  // byte orders through one order-parameterized reader (endianness
+  // is DATA in this format), the IFD entry walk with the
+  // inline-vs-offset value rule, 8-bit gray + RGB strip layout, and
+  // compressions none / PackBits / LZW (TIFF flavor: MSB-first
+  // packing, EARLY code-width change, per-strip reset) with
+  // horizontal-differencing predictor 2 on the LZW arm — all
+  // cross-validated BOTH directions against the JDK ImageIO TIFF
+  // codec in TiffSpec. The corpus rotates byte order, compression,
+  // predictor, gray/RGB and rows-per-strip so every arm and strip
+  // count appears; the oracle re-derives each pixel from the
+  // generator formulas and folds the BT.601 grid — one wrong IFD
+  // field, LZW width bump, PackBits run, predictor delta or byte
+  // order breaks the hash.
+  //
+  // Scale: m16's map-only class — decode linear in pixels, 16-row
+  // fan-out, zero shuffles before the output sort.
+  private[queries] val m20: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{Multimodal, Tiff}
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = (id % 40).toInt
+          val w = 5 + (id % 17).toInt; val h = 4 + (id % 11).toInt
+          val gray = id % 4 == 3
+          val comp = (id % 3) match { case 0 => 1; case 1 => 5; case _ => 32773 }
+          val pred = if (comp == 5 && id % 2 == 1) 2 else 1
+          val z = Tiff.encodeTiff(w, h, gray,
+            (x, y) => ((11 * x + 5 * y + g) % 256, (7 * x + 3 * y + 2 * g) % 256,
+              (5 * x + 13 * y + 3 * g) % 256),
+            bigEndian = id % 2 == 0, compression = comp, predictor = pred,
+            rowsPerStrip = 3 + (id % 6).toInt)
+          (id, z)
+        }
+      }
+      .toDF("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Tiff.parseTiff(bytes) match {
+            case Some(pr) =>
+              Multimodal.blockLum(id, pr.raster, grid = 4).iterator.map(b =>
+                (id, pr.bigEndian, pr.compression, pr.predictor, pr.gray,
+                  pr.nStrips.toLong, b.width, b.height, b.by, b.bx, b.npx,
+                  b.lum_sum, b.lum_mean))
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "big_endian", "compression", "predictor", "gray",
+        "n_strips", "width", "height", "by", "bx", "npx", "lum_sum", "lum_mean")
+      .orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
+  private[queries] val m20Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 40 AS g,
+      |    5 + doc_id % 17 AS w, 4 + doc_id % 11 AS h,
+      |    3 + doc_id % 6 AS rps
+      |  FROM documents),
+      |xs AS (SELECT doc_id, g, w, h, rps, unnest(range(0, w)) AS x FROM dims),
+      |px AS (SELECT doc_id, g, w, h, rps, x, unnest(range(0, h)) AS y FROM xs),
+      |lums AS (
+      |  SELECT doc_id, w, h, rps,
+      |    CAST(y * 4 // h AS INTEGER) AS by, CAST(x * 4 // w AS INTEGER) AS bx,
+      |    CASE WHEN doc_id % 4 = 3
+      |         THEN (11 * x + 5 * y + g) % 256
+      |         ELSE (77 * ((11 * x + 5 * y + g) % 256)
+      |             + 150 * ((7 * x + 3 * y + 2 * g) % 256)
+      |             + 29 * ((5 * x + 13 * y + 3 * g) % 256)) // 256
+      |    END AS lum
+      |  FROM px)
+      |SELECT doc_id,
+      |  doc_id % 2 = 0 AS big_endian,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5 ELSE 32773 END
+      |    AS INTEGER) AS compression,
+      |  CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 2 = 1 THEN 2 ELSE 1 END
+      |    AS INTEGER) AS predictor,
+      |  doc_id % 4 = 3 AS gray,
+      |  CAST((h + rps - 1) // rps AS BIGINT) AS n_strips,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  by, bx, COUNT(*) AS npx, CAST(SUM(lum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS lum_mean
+      |FROM lums GROUP BY doc_id, w, h, rps, by, bx
+      |ORDER BY doc_id, by, bx""".stripMargin
+
   // -- m16: PALETTE PNG decode (color type 3) -------------------------------
   // m10 certified truecolor PNG (type 2); m16 adds the indexed form
   // icons/diagrams/screenshots in a crawl actually use: 1-byte-per-
