@@ -2348,6 +2348,81 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t40: bzip2 corpus ingest (BWT/MTF/Huffman over the bit stream) --------
+  // The third classic general-purpose codec after gzip (t25) and
+  // zstd (t30): Wikipedia dumps and long-tail archive mirrors ship
+  // `.bz2`. graft.operators.Bzip2 is a hand-written decoder for the
+  // public bzip2 stream format — MSB-first bit stream with blocks
+  // NOT byte-aligned, the two-level used-byte map, 2–6 Huffman
+  // groups with delta-coded lengths and unary+MTF selectors
+  // switching every 50 symbols, MTF + RUNA/RUNB bijective-base-2
+  // zero runs, inverse BWT via the counting/link-vector walk, outer
+  // RLE, bzip2's non-reflected CRC-32 per block and the
+  // rotate-left-xor combined CRC at the stream end. The FIXTURE
+  // side is the real commons-compress writer (t30's zstd-jni
+  // discipline: the decoder is certified against independent
+  // library bytes, not a sibling encoder) with the block-size level
+  // rotating 1/5/9; Bzip2Spec additionally cross-validates against
+  // the system bzip2(1) binary, a 3-block stream whose block magics
+  // land mid-byte, and a full-stream corruption sweep (every single
+  // byte flip is caught by structure or CRC — zero silent
+  // corruptions). Corrupt doc_id%11==7 payloads are counted per
+  // doc; oracle = t25's identity with t31's ok accounting.
+  //
+  // Scale: t25's class — two map-only passes, linear in stream
+  // bytes (the BWT walk is O(n) per block), zero shuffles before
+  // the output sort.
+  /** The bzip2-framed corpus: real commons-compress streams, level
+    * rotating, doc_id%11==7 corrupted — shared by t40 (batch) and
+    * e23 (streaming intake). */
+  private[queries] def framedBzip2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val level = 1 + 4 * (id % 3).toInt // 1 / 5 / 9
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(bos, level)
+          z.write(text.getBytes("UTF-8")); z.close()
+          val payload = bos.toByteArray
+          if (id % 11 == 7)
+            payload(payload.length / 2) = (payload(payload.length / 2) ^ 0x55).toByte
+          (id, src, payload)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t40: Q = (s, d) => {
+    import s.implicits._
+    framedBzip2(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, z) =>
+          graft.operators.Bzip2.decompress(z)
+            .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+            case Some(text) =>
+              (id, true, text.codePointCount(0, text.length).toLong, text)
+            case None => (id, false, 0L, "")
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "n_chars", "text")
+      .select(col("doc_id"), col("ok"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t40Sql: String =
+    """SELECT doc_id,
+      |  doc_id % 11 <> 7 AS ok,
+      |  CAST(CASE WHEN doc_id % 11 = 7 THEN 0
+      |       ELSE length(text) END AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -- t37: ZIP archive ingest (central-directory walk + CRC) ----------------
   // The container format the long tail of a real corpus intake
   // actually arrives in: site exports, dataset drops, DOCX/EPUB/JAR

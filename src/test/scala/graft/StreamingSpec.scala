@@ -422,6 +422,48 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
   }
 
+  test("bzip2IntakeStream: incremental equals batch; corrupt/invalid payloads in n_undecodable") {
+    implicit val sqlCtx = spark.sqlContext
+    def bz(raw: Array[Byte], level: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos, level)
+      z.write(raw); z.close()
+      bos.toByteArray
+    }
+    def bzs(s: String, level: Int) = bz(s.getBytes("UTF-8"), level)
+    val corrupt = {
+      val g = bzs("never seen at all", 1)
+      g(g.length / 2) = (g(g.length / 2) ^ 0x55).toByte; g
+    }
+    // a VALID bzip2 stream of invalid UTF-8: fails the strict text gate
+    val invalidUtf8 = bz(Array[Byte](0x61, 0xc3.toByte, 0x28), 1)
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"), bzs("first text", 1), "web"),
+      (ts("2024-01-01 00:20:00"), bzs("second document body", 5), "web"),
+      (ts("2024-01-01 00:45:00"), corrupt, "books"),
+      (ts("2024-01-01 00:50:00"), invalidUtf8, "books"),
+      (ts("2024-01-01 01:10:00"), bzs("hour two", 9), "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.bzip2IntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_bz2").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_bz2").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.bzip2IntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 2L, 2L, 0L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 30L), // 10 + 20 chars
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
+  }
+
   test("zipIntakeStream: incremental equals batch; bad index vs bad member accounted at the right level") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Zip
