@@ -2423,6 +2423,88 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t41: xz corpus ingest (LZMA2 range coding under the xz container) -----
+  // The fourth general-purpose codec of the intake ladder (gzip t25,
+  // zstd t30, brotli t31, bzip2 t40): scientific datasets, software
+  // archives and public corpora ship `.xz`. graft.operators.Xz is a
+  // hand-written decoder for the public xz + LZMA specifications —
+  // the full container (stream flags + CRC, block headers with
+  // filter chain and CRC, block padding, CRC32/CRC64/SHA-256 checks
+  // over DECODED bytes, the index verified record-by-record against
+  // what was actually decoded, footer backward-size/flags/magic),
+  // the LZMA2 chunk layer (end marker, uncompressed chunks, the four
+  // reset classes, packed-size exactness), and LZMA proper: the
+  // 11-bit-probability binary range coder, 12-state machine,
+  // bit-tree/reverse-tree decoders, lc/lp literal contexts with
+  // matched-literal mode, the 64-slot distance model, the rep ring —
+  // with the dictionary-position context resetting with the DICT,
+  // not the chunk (the classic cross-chunk bug class, pinned by
+  // XzSpec's tiny-dictionary 320 KB stream). The FIXTURE is the real
+  // org.tukaani.xz writer (t30's discipline) rotating preset 0/3/6/9
+  // with the check type rotating CRC64/CRC32/SHA-256; XzSpec
+  // additionally cross-validates against the system xz(1) binary and
+  // runs a full byte-flip sweep (zero silent corruptions). Corrupt
+  // doc_id%11==7 payloads are counted per doc; oracle = t25's
+  // identity with t31's ok accounting.
+  //
+  // Scale: t25's class — two map-only passes, linear in stream
+  // bytes, zero shuffles before the output sort.
+  /** The xz-framed corpus: real tukaani streams, preset + check type
+    * rotating, doc_id%11==7 corrupted — shared by t41 (batch) and
+    * e24 (streaming intake). */
+  private[queries] def framedXz(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val preset = Array(0, 3, 6, 9)((id % 4).toInt)
+          val check = (id % 3) match {
+            case 0 => org.tukaani.xz.XZ.CHECK_CRC64
+            case 1 => org.tukaani.xz.XZ.CHECK_CRC32
+            case _ => org.tukaani.xz.XZ.CHECK_SHA256
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new org.tukaani.xz.XZOutputStream(bos,
+            new org.tukaani.xz.LZMA2Options(preset), check)
+          z.write(text.getBytes("UTF-8")); z.finish()
+          val payload = bos.toByteArray
+          if (id % 11 == 7)
+            payload(payload.length / 2) = (payload(payload.length / 2) ^ 0x55).toByte
+          (id, src, payload)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t41: Q = (s, d) => {
+    import s.implicits._
+    framedXz(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, z) =>
+          graft.operators.Xz.decompress(z)
+            .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+            case Some(text) =>
+              (id, true, text.codePointCount(0, text.length).toLong, text)
+            case None => (id, false, 0L, "")
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "n_chars", "text")
+      .select(col("doc_id"), col("ok"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t41Sql: String =
+    """SELECT doc_id,
+      |  doc_id % 11 <> 7 AS ok,
+      |  CAST(CASE WHEN doc_id % 11 = 7 THEN 0
+      |       ELSE length(text) END AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -- t37: ZIP archive ingest (central-directory walk + CRC) ----------------
   // The container format the long tail of a real corpus intake
   // actually arrives in: site exports, dataset drops, DOCX/EPUB/JAR

@@ -464,6 +464,48 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
   }
 
+  test("xzIntakeStream: incremental equals batch; corrupt/invalid payloads in n_undecodable") {
+    implicit val sqlCtx = spark.sqlContext
+    def xz(raw: Array[Byte], preset: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new org.tukaani.xz.XZOutputStream(bos,
+        new org.tukaani.xz.LZMA2Options(preset))
+      z.write(raw); z.finish()
+      bos.toByteArray
+    }
+    def xzs(s: String, preset: Int) = xz(s.getBytes("UTF-8"), preset)
+    val corrupt = {
+      val g = xzs("never seen at all", 1)
+      g(g.length / 2) = (g(g.length / 2) ^ 0x55).toByte; g
+    }
+    // a VALID xz stream of invalid UTF-8: fails the strict text gate
+    val invalidUtf8 = xz(Array[Byte](0x61, 0xc3.toByte, 0x28), 1)
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"), xzs("first text", 0), "web"),
+      (ts("2024-01-01 00:20:00"), xzs("second document body", 6), "web"),
+      (ts("2024-01-01 00:45:00"), corrupt, "books"),
+      (ts("2024-01-01 00:50:00"), invalidUtf8, "books"),
+      (ts("2024-01-01 01:10:00"), xzs("hour two", 9), "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.xzIntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_xz").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_xz").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.xzIntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 2L, 2L, 0L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 30L), // 10 + 20 chars
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
+  }
+
   test("zipIntakeStream: incremental equals batch; bad index vs bad member accounted at the right level") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Zip
