@@ -220,6 +220,35 @@ private[graft] trait PipelineStreamBatch extends PipelinePack {
       |    AS text_chars
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- e25: streaming lz4 intake ------------------------------------------------
+  // t42's read path joined to the streaming family (see
+  // StreamingJobs.lz4IntakeStream): LZ4 frames decoded AS THEY
+  // ARRIVE by the hand-written decoder, corrupt payloads counted in
+  // n_undecodable. Batch run of the same code path is the oracle;
+  // the oracle SQL states decoded-text volumes directly from
+  // documents (t42's shared fixture).
+  private[queries] val e25: Q = (s, d) => {
+    val media = framedLz4(s, d).withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, doc_id, 0)"))
+    graft.streaming.StreamingJobs.lz4IntakeStream(media)
+      .orderBy(col("window_start"), col("source"))
+  }
+
+  private[queries] val e25Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, length(text) AS n_chars,
+      |    doc_id % 11 = 7 AS corrupt,
+      |    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+      |  FROM documents)
+      |SELECT date_trunc('hour', ts) AS window_start, source,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_undecodable,
+      |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE n_chars END) AS BIGINT)
+      |    AS text_chars
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- e24: streaming xz intake -------------------------------------------------
   // t41's read path joined to the streaming family (see
   // StreamingJobs.xzIntakeStream): xz streams decoded AS THEY ARRIVE

@@ -2505,6 +2505,86 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t42: lz4 corpus ingest (frame format over the block codec) ------------
+  // The fifth codec of the intake ladder (gzip t25, zstd t30, brotli
+  // t31, bzip2 t40, xz t41): LZ4 is the data-lake interchange codec —
+  // shuffle spills, Kafka payloads, fast-tier archives.
+  // graft.operators.Lz4 is a hand-written decoder for the public LZ4
+  // frame + block formats — descriptor flags with reserved-bit
+  // enforcement, the xxh32-derived header-checksum byte, stored vs
+  // compressed blocks, token sequences with 255-saturated lengths
+  // and overlap-correct copies, LINKED-mode windows reaching across
+  // block boundaries (what lz4(1) emits), per-block and content
+  // xxh32 — with xxHash32 itself implemented from its public spec
+  // and pinned to the published vectors. The FIXTURE is the real
+  // lz4-java frame writer (t30's discipline) rotating block size,
+  // content-checksum and known-content-size flags; Lz4Spec
+  // additionally cross-validates a linked-mode lz4(1) stream whose
+  // matches cross 64K block boundaries, plus a byte-flip sweep.
+  // Corrupt doc_id%11==7 payloads are counted per doc; oracle =
+  // t25's identity with t31's ok accounting.
+  //
+  // Scale: t25's class — two map-only passes, linear in stream
+  // bytes, zero shuffles before the output sort.
+  /** The lz4-framed corpus: real lz4-java frames, flags rotating,
+    * doc_id%11==7 corrupted — shared by t42 (batch) and e25
+    * (streaming intake). */
+  private[queries] def framedLz4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          import net.jpountz.lz4.LZ4FrameOutputStream.{BLOCKSIZE, FLG}
+          val raw = text.getBytes("UTF-8")
+          val bs = if (id % 2 == 0) BLOCKSIZE.SIZE_64KB else BLOCKSIZE.SIZE_256KB
+          // corrupt docs always carry the content checksum: without
+          // it a flipped LITERAL byte decodes "successfully" to wrong
+          // text — the flip must be deterministically caught
+          val bits =
+            if (id % 3 == 0 && id % 11 != 7) Seq(FLG.Bits.BLOCK_INDEPENDENCE)
+            else Seq(FLG.Bits.BLOCK_INDEPENDENCE, FLG.Bits.CONTENT_CHECKSUM)
+          val known = if (id % 4 == 1) raw.length.toLong else -1L
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new net.jpountz.lz4.LZ4FrameOutputStream(bos, bs, known, bits: _*)
+          z.write(raw); z.close()
+          val payload = bos.toByteArray
+          if (id % 11 == 7)
+            payload(payload.length / 2) = (payload(payload.length / 2) ^ 0x55).toByte
+          (id, src, payload)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  private[queries] val t42: Q = (s, d) => {
+    import s.implicits._
+    framedLz4(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, z) =>
+          graft.operators.Lz4.decompress(z)
+            .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+            case Some(text) =>
+              (id, true, text.codePointCount(0, text.length).toLong, text)
+            case None => (id, false, 0L, "")
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "n_chars", "text")
+      .select(col("doc_id"), col("ok"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t42Sql: String =
+    """SELECT doc_id,
+      |  doc_id % 11 <> 7 AS ok,
+      |  CAST(CASE WHEN doc_id % 11 = 7 THEN 0
+      |       ELSE length(text) END AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 11 = 7 THEN md5('') ELSE md5(text) END AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -- t37: ZIP archive ingest (central-directory walk + CRC) ----------------
   // The container format the long tail of a real corpus intake
   // actually arrives in: site exports, dataset drops, DOCX/EPUB/JAR

@@ -431,6 +431,43 @@ object StreamingJobs {
         col("n_files"), col("n_undecodable"), col("text_chars"))
   }
 
+  /** e25: streaming lz4 intake — t42's read path joined to the
+    * streaming family: LZ4 frames decoded ON ARRIVAL by the
+    * hand-written decoder (graft.operators.Lz4 — frame descriptor,
+    * block token sequences, linked-mode windows, xxh32 checks),
+    * decoded bytes through the strict UTF-8 gate, folded per (hour
+    * window, source) into the intake SLO; an undecodable payload
+    * counts in n_undecodable, never kills the job. Batch run of the
+    * same function is the oracle (e03's trick).
+    *
+    * Scale: decode is map-side, linear in stream bytes; one (window,
+    * source) shuffle of two longs per partial. */
+  def lz4IntakeStream(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("ts"), col("source"), col("payload"))
+      .as[(java.sql.Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, payload) =>
+          graft.operators.Lz4.decompress(payload)
+            .flatMap(graft.sources.Utf8.decodeStrict(_)) match {
+            case Some(t) =>
+              // code points, matching Spark/DuckDB length()
+              (ts, src, true, t.codePointCount(0, t.length).toLong)
+            case None => (ts, src, false, 0L)
+          }
+        }
+      }
+      .toDF("ts", "source", "decoded", "n_chars")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("n_chars")).as("text_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_files"), col("n_undecodable"), col("text_chars"))
+  }
+
   /** e24: streaming xz intake — t41's read path joined to the
     * streaming family: xz streams decoded ON ARRIVAL by the
     * hand-written decoder (graft.operators.Xz — full container walk,

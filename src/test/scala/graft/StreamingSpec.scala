@@ -464,6 +464,50 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
   }
 
+  test("lz4IntakeStream: incremental equals batch; corrupt/invalid payloads in n_undecodable") {
+    implicit val sqlCtx = spark.sqlContext
+    import net.jpountz.lz4.LZ4FrameOutputStream
+    import net.jpountz.lz4.LZ4FrameOutputStream.{BLOCKSIZE, FLG}
+    def lz(raw: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new LZ4FrameOutputStream(bos, BLOCKSIZE.SIZE_64KB, -1L,
+        FLG.Bits.BLOCK_INDEPENDENCE, FLG.Bits.CONTENT_CHECKSUM)
+      z.write(raw); z.close()
+      bos.toByteArray
+    }
+    def lzs(s: String) = lz(s.getBytes("UTF-8"))
+    val corrupt = {
+      val g = lzs("never seen at all")
+      g(g.length / 2) = (g(g.length / 2) ^ 0x55).toByte; g
+    }
+    // a VALID frame of invalid UTF-8: fails the strict text gate
+    val invalidUtf8 = lz(Array[Byte](0x61, 0xc3.toByte, 0x28))
+    val docs = Seq(
+      (ts("2024-01-01 00:05:00"), lzs("first text"), "web"),
+      (ts("2024-01-01 00:20:00"), lzs("second document body"), "web"),
+      (ts("2024-01-01 00:45:00"), corrupt, "books"),
+      (ts("2024-01-01 00:50:00"), invalidUtf8, "books"),
+      (ts("2024-01-01 01:10:00"), lzs("hour two"), "web"))
+    val ms = MemoryStream[(Timestamp, Array[Byte], String)]
+    ms.addData(docs.take(2))
+    ms.addData(docs.drop(2)) // cross-batch window merge
+    val q = StreamingJobs.lz4IntakeStream(
+        ms.toDF().toDF("ts", "payload", "source"))
+      .writeStream.format("memory").queryName("t_lz4").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_lz4").orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    val batch = StreamingJobs.lz4IntakeStream(
+        docs.toDF("ts", "payload", "source"))
+      .orderBy("window_start", "source")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2024-01-01 00:00:00"), "books", 2L, 2L, 0L),
+      (ts("2024-01-01 00:00:00"), "web", 2L, 0L, 30L), // 10 + 20 chars
+      (ts("2024-01-01 01:00:00"), "web", 1L, 0L, 8L)))
+  }
+
   test("xzIntakeStream: incremental equals batch; corrupt/invalid payloads in n_undecodable") {
     implicit val sqlCtx = spark.sqlContext
     def xz(raw: Array[Byte], preset: Int): Array[Byte] = {
