@@ -3595,20 +3595,37 @@ object Relational {
   // is exact integers; no doubles anywhere.
   //
   // Scale: one fact shuffle to score cells, one shuffle to the
-  // distinct-score frame, a window over THAT frame (distinct scores,
-  // not population), output fixed at ≤99 rows. The 1-row total
-  // broadcasts.
+  // distinct-score frame, and the prefix sum over THAT frame is
+  // RANGE-PARTITIONED (round 16, closing the round-15 watch item:
+  // distinct money-cent values can reach 10⁶–10⁷ at 100×, too big
+  // for one ORDER BY window partition): distinct scores bucket by
+  // score div 10⁶ (fixed $10k range cells — bucket count follows the
+  // VALUE RANGE of a yearly customer spend, not data volume), the
+  // in-bucket cumsum runs partitioned-parallel, and bucket offsets
+  // come from one tiny prefix sum over the ≤~10³-row bucket-total
+  // frame, broadcast back. Result rows are identical to the naive
+  // global window (the unchanged oracle proves it). Output fixed at
+  // ≤99 rows; the 1-row total broadcasts.
   private val q85: Q = (s, d) => {
     val scores = T.orders(s, d)
       .filter(year(col("o_orderdate")) === 1998)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("score"))
     val dist = scores.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", expr("score div 1000000L"))
     val tot = dist.agg(sum(col("cnt")).as("n"))
-    val wOrd = Window.orderBy(col("score"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dist.crossJoin(broadcast(tot))
-      .withColumn("cum", sum(col("cnt")).over(wOrd))
+    val wBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = dist.groupBy(col("bkt")).agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("off", coalesce(sum(col("bcnt")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("off"))
+    dist
+      .withColumn("lcum", sum(col("cnt")).over(wIn))
+      .join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("lcum") + col("off"))
       .withColumn("prev_cum", col("cum") - col("cnt"))
       .withColumn("p_low",
         greatest(expr("(prev_cum * 100) div n + 1"), lit(1L)))
