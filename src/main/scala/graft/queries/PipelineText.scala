@@ -2906,6 +2906,86 @@ private[graft] trait PipelineText extends PipelineDedup {
       |  CAST(1 AS BIGINT) AS n_sitemaps
       |FROM l ORDER BY doc_id, j""".stripMargin
 
+  // -- t43: sitemap ingest (the URL-discovery side of the crawl loop) --------
+  // t35 normalizes harvested links, t39 gates fetches; t43 is the
+  // third leg every crawl pipeline runs: sitemaps.org XML — <urlset>
+  // files with <url><loc/><lastmod/><priority/> entries and
+  // <sitemapindex> files pointing at child sitemaps. Parsed with
+  // Spark's BUILT-IN from_xml in PERMISSIVE mode (the platform
+  // already owns XML — no hand parser where Catalyst has one; one
+  // schema carries both roots, the absent array stays null), XML
+  // entity unescaping proven by &amp; inside <loc>, then the locs
+  // normalize through graft.sources.Url (uppercase scheme/host,
+  // explicit default port and fragments in the fixture must all
+  // come out canonical) in the SAME typed pass. A doc_id%11==7 doc
+  // truncates its closing root tag → PERMISSIVE corrupt record,
+  // counted as kind='malformed'. The report certifies entry counts,
+  // the lastmod day-sum (exact integers) and the md5 over normalized
+  // locs in document order.
+  //
+  // Scale: map-only — from_xml + array ops + one typed normalization
+  // pass, zero shuffles before the output sort.
+  private[queries] val t43: Q = (s, d) => {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType.fromDDL(
+      "url array<struct<loc:string,lastmod:string,priority:double>>, " +
+        "sitemap array<struct<loc:string,lastmod:string>>, " +
+        "_corrupt_record string")
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record").asJava
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, SitemapFixture.render(id))))
+      .toDF("doc_id", "xml")
+      .select(col("doc_id"), from_xml(col("xml"), schema, opts).as("x"))
+      .select(col("doc_id"),
+        when(col("x._corrupt_record").isNotNull, "malformed")
+          .when(col("x.sitemap").isNotNull, "index")
+          .otherwise("urlset").as("kind"),
+        coalesce(col("x.url.loc"), col("x.sitemap.loc"),
+          array().cast("array<string>")).as("locs"),
+        coalesce(col("x.url.lastmod"), col("x.sitemap.lastmod"),
+          array().cast("array<string>")).as("lastmods"))
+      .as[(Long, String, Seq[String], Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, locs, lastmods) =>
+          val norm = locs.flatMap(graft.sources.Url.resolve("http://x.example/", _))
+          val daySum = lastmods.map(_.takeRight(2).toLong).sum
+          (id, kind, norm.length.toLong, daySum, norm.mkString("\n"))
+        }
+      }
+      .toDF("doc_id", "kind", "n_entries", "lastmod_daysum", "joined")
+      .select(col("doc_id"), col("kind"), col("n_entries"),
+        col("lastmod_daysum"),
+        md5(col("joined").cast(BinaryType)).as("locs_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val t43Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 7 = 3 AS isidx, doc_id % 11 = 7 AS bad,
+      |    CASE WHEN doc_id % 7 = 3 THEN 1 + doc_id % 3
+      |         ELSE 1 + doc_id % 5 END AS n,
+      |    doc_id % 7 AS h
+      |  FROM documents),
+      |e AS (SELECT doc_id, isidx, bad, n, h, unnest(range(0, n)) AS k FROM d),
+      |locs AS (
+      |  SELECT doc_id, isidx, bad, n, k,
+      |    CASE WHEN isidx
+      |         THEN 'http://site' || h || '.example/sub' || k || '/sitemap.xml'
+      |         ELSE 'http://site' || h || '.example/p' || k || '?q=a&b' END AS loc,
+      |    1 + (doc_id + k) % 28 AS dd
+      |  FROM e)
+      |SELECT doc_id,
+      |  CASE WHEN bad THEN 'malformed'
+      |       WHEN isidx THEN 'index' ELSE 'urlset' END AS kind,
+      |  CAST(CASE WHEN bad THEN 0 ELSE MAX(n) END AS BIGINT) AS n_entries,
+      |  CAST(CASE WHEN bad THEN 0 ELSE SUM(dd) END AS BIGINT) AS lastmod_daysum,
+      |  CASE WHEN bad THEN md5('')
+      |       ELSE md5(string_agg(loc, chr(10) ORDER BY k)) END AS locs_md5
+      |FROM locs GROUP BY doc_id, bad, isidx ORDER BY doc_id""".stripMargin
+
   // -- t36: model-based quality gate (frozen integer-weight scorer) ----------
   // The CCNet/fastText-class filter every deployed curation pipeline
   // runs: a FROZEN linear model over the certified feature family —
@@ -3493,6 +3573,45 @@ private[queries] object HostLinkFixture {
     sb.append("<p>").append(esc(text)).append("</p>\n")
     sb.append("</body>\n</html>")
     if (id % 11 == 7) sb.append("<a href=\"broken-") // unterminated value
+    sb.toString
+  }
+}
+
+/** t43's sitemap fixture — a standalone object so executor closures
+  * reference a static (the t26 capture-nothing discipline). urlset
+  * docs carry 1 + id%5 <url> entries whose <loc> needs real work —
+  * XML-escaped &amp; in the query, uppercase scheme/host, explicit
+  * default port, a fragment — plus <lastmod> and <priority>;
+  * id%7==3 docs are <sitemapindex> files with 1 + id%3 children;
+  * id%11==7 docs truncate the closing root tag (PERMISSIVE corrupt
+  * record). */
+private[queries] object SitemapFixture {
+  def render(id: Long): String = {
+    val h = id % 7
+    val sb = new StringBuilder(512)
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    if (id % 7 == 3) {
+      val n = 1 + (id % 3).toInt
+      sb.append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+      (0 until n).foreach { k =>
+        sb.append("  <sitemap>\n    <loc>HTTP://site").append(h)
+          .append(".EXAMPLE/sub").append(k).append("/sitemap.xml</loc>\n")
+        sb.append(f"    <lastmod>2024-01-${1 + (id + k) % 28}%02d</lastmod>\n")
+        sb.append("  </sitemap>\n")
+      }
+      if (id % 11 != 7) sb.append("</sitemapindex>\n")
+    } else {
+      val n = 1 + (id % 5).toInt
+      sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+      (0 until n).foreach { k =>
+        sb.append("  <url>\n    <loc>HTTP://SITE").append(h)
+          .append(".Example:80/p").append(k)
+          .append("?q=a&amp;b#frag").append(k).append("</loc>\n")
+        sb.append(f"    <lastmod>2024-01-${1 + (id + k) % 28}%02d</lastmod>\n")
+        sb.append("    <priority>0.5</priority>\n  </url>\n")
+      }
+      if (id % 11 != 7) sb.append("</urlset>\n")
+    }
     sb.toString
   }
 }
