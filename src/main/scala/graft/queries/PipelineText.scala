@@ -2382,10 +2382,20 @@ private[graft] trait PipelineText extends PipelineDedup {
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
           val level = 1 + 4 * (id % 3).toInt // 1 / 5 / 9
+          val bytes = text.getBytes("UTF-8")
+          // Cap the block size at what the document fills (≥ 1 ⇒
+          // 100 kB): the encoder allocates its BWT/sort arrays by
+          // declared block size, so level 9 on a ~2 kB doc is ~8 ms of
+          // allocation+GC for identical compression — for inputs under
+          // 100 kB the stream differs only in the 'BZh<n>' header
+          // digit (one block, same BWT), so decode and every result
+          // column are unchanged; docs that actually span blocks keep
+          // the rotated level (guide §1.2 step 2: per-task work).
+          val bs = math.min(level, 1 + bytes.length / 100000)
           val bos = new java.io.ByteArrayOutputStream()
           val z = new org.apache.commons.compress.compressors.bzip2
-            .BZip2CompressorOutputStream(bos, level)
-          z.write(text.getBytes("UTF-8")); z.close()
+            .BZip2CompressorOutputStream(bos, bs)
+          z.write(bytes); z.close()
           val payload = bos.toByteArray
           if (id % 11 == 7)
             payload(payload.length / 2) = (payload(payload.length / 2) ^ 0x55).toByte
@@ -2457,6 +2467,14 @@ private[graft] trait PipelineText extends PipelineDedup {
     T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
+        // One array cache per task: tukaani sizes its dictionary and
+        // match-finder arrays by dictSize (64 MiB at preset 9), so a
+        // fresh XZOutputStream per ~1 KB document is pure
+        // allocation+GC — measured 90 ms/doc fresh vs 8 ms/doc cached
+        // at preset 9, with BIT-IDENTICAL stream bytes (guide §1.2
+        // step 2: per-task work; §4.5: heavyweight state once per
+        // task). This was 2×~390 s of the round-16 suite (t41+e24).
+        val cache = new org.tukaani.xz.BasicArrayCache()
         it.map { case (id, src, text) =>
           val preset = Array(0, 3, 6, 9)((id % 4).toInt)
           val check = (id % 3) match {
@@ -2465,9 +2483,21 @@ private[graft] trait PipelineText extends PipelineDedup {
             case _ => org.tukaani.xz.XZ.CHECK_SHA256
           }
           val bos = new java.io.ByteArrayOutputStream()
-          val z = new org.tukaani.xz.XZOutputStream(bos,
-            new org.tukaani.xz.LZMA2Options(preset), check)
-          z.write(text.getBytes("UTF-8")); z.finish()
+          val bytes = text.getBytes("UTF-8")
+          val opts = new org.tukaani.xz.LZMA2Options(preset)
+          // Cap the DECLARED dictionary at the document size (power of
+          // two, ≥ the format's 4 KiB minimum): the match window only
+          // needs to cover the input, and the encoder's hash/match
+          // arrays scale with dictSize — preset 9's default 64 MiB
+          // dict costs 6 ms/doc even with the cache vs 0.9 ms capped
+          // (measured). Same compressed payload for inputs ≤ dict
+          // (every match distance < input length), so decode, the ok
+          // accounting and every result column are unchanged; this is
+          // what `xz --lzma2=preset=9,dict=8KiB` emits for small docs.
+          opts.setDictSize(math.max(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN,
+            Integer.highestOneBit(math.max(1, bytes.length)) * 2))
+          val z = new org.tukaani.xz.XZOutputStream(bos, opts, check, cache)
+          z.write(bytes); z.finish()
           val payload = bos.toByteArray
           if (id % 11 == 7)
             payload(payload.length / 2) = (payload(payload.length / 2) ^ 0x55).toByte
