@@ -104,11 +104,48 @@ object IntLloyd {
     * init collect is ≤ numSub·k rows, each iteration's update collect
     * is ≤ numSub·k·subLen (cluster, dim) partial rows.
     */
+  /** Scale gate for the driver-side fit below: the exploded sample
+    * may hold at most this many Long cells (rows × numSub × subLen —
+    * 32 MiB at 4M cells), and one fit may cost at most
+    * [[DriverFitMaxFlops]] distance multiply-adds, before the fit
+    * falls back to the distributed per-iteration path. The coarse
+    * quantizer's cap is 64·k with k ≈ √n, so at warehouse scale
+    * (k ~ 10⁴⁺) both bounds trip and the fit stays distributed —
+    * the same small-side/big-side dispatch a broadcast join makes. */
+  private val DriverFitMaxCells = 4L << 20
+  private val DriverFitMaxFlops = 4L << 30
+
   def fit(vecs: DataFrame, idCol: String, vecCol: String, n: Long,
           numSub: Int, subLen: Int, k: Int, cap: Long, iters: Int,
           salt: String): Array[Array[Array[Long]]] = {
     val q = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
     val train0 = trainingSample(q, col("id"), n, cap, salt)
+    // The sample is ABSOLUTE-capped (≈`cap` rows in expectation), so
+    // below the gates the whole fit runs on the driver from ONE
+    // bounded collect — the previous shape paid 1 + iters collect
+    // jobs per fit (init + every Lloyd update), which the r16 profile
+    // measured at ~0.1–0.2 s of scheduling per job across ~30 fit
+    // sites in the suite (guide §1.2 step 1: remove passes). The
+    // arithmetic below is the SAME exact integer arithmetic in the
+    // same order as the distributed path (IntLloydSpec pins
+    // driver == distributed on random frames), so centroids are
+    // bit-identical and every oracle replay is unchanged.
+    val sampleRows = math.min(n, cap)
+    if (sampleRows * numSub * subLen <= DriverFitMaxCells &&
+        iters.toLong * k * subLen * numSub * sampleRows <= DriverFitMaxFlops)
+      fitOnDriver(train0, numSub, subLen, k, cap, iters, salt, n)
+    else
+      fitDistributed(train0, numSub, subLen, k, cap, iters, salt, n)
+  }
+
+  /** The distributed fit: one assignment+update job per Lloyd
+    * iteration — the scale path once the sample or the fit's FLOPs
+    * outgrow the driver gate. Kept callable separately so
+    * IntLloydSpec can pin driver == distributed. */
+  private[graft] def fitDistributed(train0: DataFrame, numSub: Int,
+                                    subLen: Int, k: Int, cap: Long,
+                                    iters: Int, salt: String,
+                                    n: Long): Array[Array[Array[Long]]] = {
     val subCols = (0 until numSub).map(m =>
       struct(lit(m).as("m"), slice(col("qv"), m * subLen + 1, subLen).as("sv")))
     val tr = train0
@@ -160,6 +197,116 @@ object IntLloyd {
       }
       cents
     } finally { tr.unpersist(); () }
+  }
+
+  /** The driver-side fit: ONE collect of the capped training sample,
+    * then init + `iters` Lloyd rounds in local exact-integer
+    * arithmetic — element-for-element the distributed path's
+    * operations (md5-ordered init with id tie-break, strict-< argmin
+    * by squared L2 in Longs, exact Long sums, floor(sum/count) of the
+    * one double division), so the returned centroids are
+    * bit-identical to the distributed path's and to the SQL replay.
+    * Long sums are associative, so collect order is irrelevant. */
+  private[graft] def fitOnDriver(train0: DataFrame, numSub: Int, subLen: Int,
+                          k: Int, cap: Long, iters: Int, salt: String,
+                          n: Long): Array[Array[Array[Long]]] = {
+    val rows = train0.collect()
+    require(rows.nonEmpty,
+      s"IntLloyd: empty training set (n=$n, cap=$cap, salt=$salt) — " +
+        "the source table has no rows to fit on")
+    val ids = new Array[Long](rows.length)
+    val qvs = new Array[Array[Long]](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i).get(0) match {
+        case l: Long => l
+        case x: Int => x.toLong
+        case other => throw new IllegalArgumentException(
+          s"IntLloyd: id column must be integral, got ${other.getClass}")
+      }
+      val s = rows(i).getSeq[Long](1)
+      // same fail-fast as the distributed path's init check: a short
+      // vector would silently fit on truncated subvectors otherwise
+      require(s.length == numSub * subLen,
+        s"IntLloyd: vector is ${s.length}-dim, expected ${numSub * subLen} — " +
+          "vector dimension does not match the numSub×subLen geometry")
+      qvs(i) = s.toArray
+      i += 1
+    }
+    // init: the window's (md5(id || "|init|" || salt), id) order —
+    // md5 hex is ASCII so String compare == the engine's binary
+    // compare; the first min(k, rows) rows seed every subspace
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+    val order = Array.range(0, rows.length)
+      .map(j => (md5hex(s"${ids(j)}|init|$salt"), ids(j), j))
+      .sortBy(t => (t._1, t._2)).map(_._3)
+    val kEff = math.min(k, rows.length)
+    var cents = Array.tabulate(numSub) { m =>
+      Array.tabulate(kEff) { c =>
+        val qv = qvs(order(c))
+        java.util.Arrays.copyOfRange(qv, m * subLen, (m + 1) * subLen)
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Long](numSub, kEff, subLen)
+      val cnts = Array.ofDim[Long](numSub, kEff)
+      var r = 0
+      while (r < rows.length) {
+        val qv = qvs(r)
+        var m = 0
+        while (m < numSub) {
+          val cm = cents(m)
+          val base = m * subLen
+          var best = -1
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < kEff) {
+            val cent = cm(c)
+            var d = 0L
+            var j = 0
+            while (j < subLen) {
+              val t = qv(base + j) - cent(j); d += t * t; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c } // strict <: lowest index wins
+            c += 1
+          }
+          val sb = sums(m)(best)
+          var j = 0
+          while (j < subLen) { sb(j) += qv(base + j); j += 1 }
+          cnts(m)(best) += 1
+          m += 1
+        }
+        r += 1
+      }
+      val next = cents.map(_.map(_.clone())) // empty clusters keep their centroid
+      var m = 0
+      while (m < numSub) {
+        var c = 0
+        while (c < kEff) {
+          if (cnts(m)(c) > 0) {
+            var j = 0
+            while (j < subLen) {
+              next(m)(c)(j) =
+                math.floor(sums(m)(c)(j).toDouble / cnts(m)(c).toDouble).toLong
+              j += 1
+            }
+          }
+          c += 1
+        }
+        m += 1
+      }
+      cents = next
+      it += 1
+    }
+    cents
   }
 
   /** The fit as a DuckDB CTE chain (append inside a WITH clause). The

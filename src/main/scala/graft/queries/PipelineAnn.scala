@@ -1295,10 +1295,21 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
     var visited = scored(entry)
     (1 to rounds).foreach { _ =>
-      // persist each round's visited set: the next round reads it
-      // twice (beam selection + union), and without a cut the plan
-      // re-derives the whole walk per reference (2^rounds blowup)
-      visited = graft.CacheScope.cached(visited)
+      // localCheckpoint each round's visited set: the next round reads
+      // it twice (beam selection + union), and without a cut the plan
+      // re-derives the whole walk per reference (2^rounds blowup).
+      // Round 16 moved this from persist() to localCheckpoint(): a
+      // persisted frame keeps its FULL logical plan, so round r's plan
+      // embedded every earlier round's — the serialized task binary
+      // crossed 10 MiB and the r16 profile measured the s25 grid's one
+      // action at 36 s of driver planning/AQE-replan time plus ~590 s
+      // of summed task time that was mostly plan deserialization
+      // (guide §3.3/§7.3: very large plans — truncate with a
+      // materialized intermediate). The visited frame is per-query
+      // bounded (≤ 1 + rounds·beam·M rows/query), so the checkpoint
+      // is small; on a cluster with executor-loss concerns this would
+      // be a reliable checkpoint instead.
+      visited = visited.localCheckpoint()
       val beamNodes = visited
         .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
         .select(col("q_id"), col("node"))
@@ -1312,7 +1323,10 @@ private[graft] trait PipelineAnn extends PipelineShared {
         .distinct()
       visited = visited.unionByName(scored(arrivals)).distinct()
     }
-    visited
+    // cut the final round too: every caller layers at least a window
+    // on top (top-k), s20/s24/s25 additionally count the same frame
+    // for the cost column — the cut keeps both reads one scan
+    visited.localCheckpoint()
   }
 
   /** s20's visited set: best-pivot entry, then [[beamWalk]]. */
@@ -1712,15 +1726,20 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // every stage below re-reads the geometry frame (fit sample,
     // graph build, four walk rounds per beam, exact scoring): cut it
     // once — for the clustered geometry this also stops the derive
-    // join from re-running per job
-    val emb = graft.CacheScope.cached(emb0.select(col("vec_id"), col("embedding")))
+    // join from re-running per job. localCheckpoint (not persist):
+    // a persisted frame keeps its full logical plan, and with ~10
+    // cached frames composed into one grid the final action's plan
+    // measured 36 s of driver planning/AQE time and >10 MiB task
+    // binaries (r16 profile) — the cut turns every downstream plan
+    // into a scan of a materialized RDD (guide §3.3/§7.3).
+    val emb = emb0.select(col("vec_id"), col("embedding")).localCheckpoint()
     val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val (assigned0, cents) = kmeansAssignDf(emb, kk, n)
     val assigned = assigned0
-      .transform(graft.CacheScope.cached) // s24 entry reads it twice
+      .localCheckpoint() // s24 entry reads it twice
     val (_, edgesRaw, piv) = graphBuildFrom(emb, cents)
     val edges = edgesRaw.select(col("a_id"), col("b_id"))
-      .transform(graft.CacheScope.cached) // frontier hops + two walks read it
+      .localCheckpoint() // frontier hops + two walks read it
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val wX = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
@@ -1731,13 +1750,13 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .withColumn("rn", row_number().over(wX)).filter(col("rn") <= 5)
       .select(col("q_id"), col("cand_id"))
       .withColumn("hit", lit(1L))
-      .transform(graft.CacheScope.cached) // hit join + grid spine read it
+      .localCheckpoint() // hit join + grid spine read it
     val wT = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
     def top5(visited: DataFrame): DataFrame = visited
       .withColumn("rn", row_number().over(wT)).filter(col("rn") <= 5)
       .select(col("q_id"), col("node").as("cand_id"))
     val frontier = graphFrontier(edges, piv, q)
-      .transform(graft.CacheScope.cached) // cost count + probe scoring read it
+      .localCheckpoint() // cost count + probe scoring read it
     val s16Top = graphProbe(edges, piv, q, emb, k = 5)
       .select(col("q_id"), col("cand_id"))
     val vis20 = beamVisited(edges, piv, q, emb, beam = 4, rounds = 3)
@@ -1751,7 +1770,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val entryScored = members.join(broadcast(qcell), "cluster")
       .withColumn("ecos", VF.cosine(col("q_vec"), col("m_vec")))
       .select(col("q_id"), col("node"), col("ecos"))
-      .transform(graft.CacheScope.cached) // seeds the walk AND the cost frame
+      .localCheckpoint() // seeds the walk AND the cost frame
     val entry24 = entryScored
       .withColumn("ern", row_number().over(wE)).filter(col("ern") <= 4)
       .select(col("q_id"), col("node"))
@@ -1774,7 +1793,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
         element_at(typedlit(codebooks26(m)), col(s"code$m") + 1)
       }: _*)))
       .select(col("vec_id"), col("embedding"))
-      .transform(graft.CacheScope.cached) // scored every walk round
+      .localCheckpoint() // scored every walk round
     val vis26 = beamVisited(edges, piv, q, recon26, beam = 4, rounds = 3)
     val w26 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
     val short26 = vis26

@@ -68,6 +68,33 @@ class IntLloydSpec extends SparkSpec {
     assert(joint(1).map(_.toSeq).toSeq == hi(0).map(_.toSeq).toSeq)
   }
 
+  test("driver-side fit equals the distributed fit bit-for-bit (random frames)") {
+    // fit() dispatches to a driver-local Lloyd loop below the scale
+    // gate (r16 optimization: one bounded collect instead of 1+iters
+    // collect jobs per fit); this pins the two paths to the SAME
+    // centroids on random frames — over- and under-k regimes, an
+    // admission-filtered sample (n > cap), and a multi-subspace fit.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("id", "vec")
+    for ((numSub, subLen, k, cap, n) <- Seq(
+        (1, 8, 4, 100L, 60L),   // n <= cap: sample = identity
+        (1, 8, 128, 100L, 60L), // k > rows: kEff clamps to the sample
+        (2, 4, 3, 32L, 60L),    // n > cap: md5 admission filters
+        (4, 2, 5, 100L, 60L))) {
+      val q = vecs.select(col("id"), IntLloyd.quantize(col("vec")).as("qv"))
+      val train0 = IntLloyd.trainingSample(q, col("id"), n, cap, "spec2")
+      val drv = IntLloyd.fitOnDriver(train0, numSub, subLen, k, cap,
+        iters = 3, salt = "spec2", n = n)
+      val dist = IntLloyd.fitDistributed(train0, numSub, subLen, k, cap,
+        iters = 3, salt = "spec2", n = n)
+      assert(drv.map(_.map(_.toSeq).toSeq).toSeq ==
+        dist.map(_.map(_.toSeq).toSeq).toSeq,
+        s"driver != distributed at numSub=$numSub k=$k cap=$cap")
+    }
+  }
+
   test("empty clusters carry their previous centroid (never vanish or zero)") {
     // all vectors identical → init duplicates the same centroid k=2
     // times; every row assigns to cluster 0 (lowest-index tie), so
