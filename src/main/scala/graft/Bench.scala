@@ -36,6 +36,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE right-size CACHED plan output partitioning by bytes
+      // (default false): cached intermediates (inverted indexes, pair
+      // graphs, fixpoint state) otherwise materialize at the static
+      // shuffle-partition count, and every later stage over them pays
+      // that task count regardless of size — the r16 profile measured
+      // ~1000 tasks per component-fixpoint round at sf0.1 (measured
+      // -14% suite-slice wall with the flag; scale-adaptive by design:
+      // AQE sizes by advisoryPartitionSizeInBytes at any corpus size).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -26,9 +26,21 @@ import org.apache.spark.sql.DataFrame
   * until unpersisted elsewhere or evicted.
   */
 object CacheScope {
-  private val live = new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
-    override def initialValue(): java.util.ArrayDeque[DataFrame] =
-      new java.util.ArrayDeque[DataFrame]
+  // Inheritable + concurrent (r16): queries may fan independent
+  // sub-plans out to short-lived driver threads (guide §2.6 — s11's
+  // rungs, s25's geometries); a pool thread created inside the query
+  // inherits the SAME queue object, so frames it registers drain with
+  // the parent query's drain(). The queue is concurrent because two
+  // branch threads can register at once. The per-driver-thread
+  // isolation contract is unchanged: inheritance only flows to
+  // threads the query itself creates.
+  private val live = new InheritableThreadLocal[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]] {
+    override def initialValue(): java.util.concurrent.ConcurrentLinkedQueue[DataFrame] =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+    // the CHILD shares the parent's queue (default childValue copies
+    // the reference already; stated explicitly for the contract)
+    override def childValue(parent: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]):
+        java.util.concurrent.ConcurrentLinkedQueue[DataFrame] = parent
   }
 
   /** Persist `df` and register it for this thread's next [[drain]]. */

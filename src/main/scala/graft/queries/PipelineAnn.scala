@@ -1147,8 +1147,15 @@ private[graft] trait PipelineAnn extends PipelineShared {
     * 2-hop frontier expansion, exact scoring, top-k. One definition
     * for the per-query path and the persisted-index probe. */
   private[graft] def graphProbe(edges: DataFrame, piv: DataFrame,
-                                q: DataFrame, emb: DataFrame, k: Int): DataFrame = {
-    val frontier = graphFrontier(edges, piv, q)
+                                q: DataFrame, emb: DataFrame, k: Int): DataFrame =
+    graphProbeOver(graphFrontier(edges, piv, q), q, emb, k)
+
+  /** The probe's scoring tail over an ALREADY-BUILT frontier — so a
+    * caller that materialized the frontier for the cost column (s16's
+    * Frames pair, s25's grid) scores that same frame instead of
+    * re-deriving the two-hop expansion a second time. */
+  private[graft] def graphProbeOver(frontier: DataFrame, q: DataFrame,
+                                    emb: DataFrame, k: Int): DataFrame = {
     val ws = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     broadcast(frontier)
       .join(emb.select(col("vec_id").as("node"), col("embedding").as("c_vec")), "node")
@@ -1168,9 +1175,11 @@ private[graft] trait PipelineAnn extends PipelineShared {
     val edges = edges0.transform(graft.CacheScope.cached) // walked twice (1-hop, 2-hop)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    (graphFrontier(edges, piv, q)
-       .select(col("q_id"), col("node").as("cand_id")),
-      graphProbe(edges, piv, q, emb, k = 5))
+    // one frontier derivation feeds BOTH the cost frame and the probe
+    // (graphProbe would re-derive the 2-hop expansion otherwise)
+    val frontier = graphFrontier(edges, piv, q).localCheckpoint()
+    (frontier.select(col("q_id"), col("node").as("cand_id")),
+      graphProbeOver(frontier, q, emb, k = 5))
   }
   private[queries] val s16: Q = (s, d) => s16Frames(s, d)._2
 
@@ -1755,52 +1764,71 @@ private[graft] trait PipelineAnn extends PipelineShared {
     def top5(visited: DataFrame): DataFrame = visited
       .withColumn("rn", row_number().over(wT)).filter(col("rn") <= 5)
       .select(col("q_id"), col("node").as("cand_id"))
-    val frontier = graphFrontier(edges, piv, q)
-      .localCheckpoint() // cost count + probe scoring read it
-    val s16Top = graphProbe(edges, piv, q, emb, k = 5)
-      .select(col("q_id"), col("cand_id"))
-    val vis20 = beamVisited(edges, piv, q, emb, beam = 4, rounds = 3)
-    // s24's entry: the query's own assigned cell, scored (s03's
-    // 1-probe candidate set), top-B seeding the same walk
-    val qcell = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cluster"))
-    val members = assigned.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("node"), col("embedding").as("m_vec"), col("cluster"))
-    val wE = Window.partitionBy(col("q_id")).orderBy(col("ecos").desc, col("node"))
-    val entryScored = members.join(broadcast(qcell), "cluster")
-      .withColumn("ecos", VF.cosine(col("q_vec"), col("m_vec")))
-      .select(col("q_id"), col("node"), col("ecos"))
-      .localCheckpoint() // seeds the walk AND the cost frame
-    val entry24 = entryScored
-      .withColumn("ern", row_number().over(wE)).filter(col("ern") <= 4)
-      .select(col("q_id"), col("node"))
-    val vis24 = beamWalk(edges, q, emb, entry24, beam = 4, rounds = 3)
-    val cands24 = entryScored.select(col("q_id"), col("node").as("cand_id"))
-      .unionByName(vis24.select(col("q_id"), col("node").as("cand_id")))
-      .distinct()
-    // s26's rung (round 14: the deployed disk-resident shape priced
-    // next to its exact-routing siblings): the SAME pivot-entry walk
-    // with the scored frame swapped to PQ reconstructions (one fit
-    // per geometry — pqCodebooksDf on the geometry frame), exact
-    // re-rank of the overfetched shortlist having the final word.
-    // `cands` counts the code-scored visited set (the hot-path reads,
-    // s20_beam's basis); the rerank's full-precision reads are a
-    // fixed overfetch=10 per query on top.
-    val (sub26, codebooks26) = pqCodebooksDf(emb, n, PqNumSub, 16)
-    val recon26 = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id") +: pqEncodeCols(codebooks26, sub26): _*)
-      .withColumn("embedding", flatten(array(codebooks26.indices.map { m =>
-        element_at(typedlit(codebooks26(m)), col(s"code$m") + 1)
-      }: _*)))
-      .select(col("vec_id"), col("embedding"))
-      .localCheckpoint() // scored every walk round
-    val vis26 = beamVisited(edges, piv, q, recon26, beam = 4, rounds = 3)
-    val w26 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
-    val short26 = vis26
-      .withColumn("rn_a", row_number().over(w26)).filter(col("rn_a") <= 10)
-      .select(col("q_id"), col("node").as("cand_id"))
-    val top26 = pqRerank(short26, emb, q, k = 5)
-      .select(col("q_id"), col("cand_id"))
+    // The four method branches below are independent chains of small
+    // materializing actions (frontier cut / walk rounds / PQ fit +
+    // recon cut); run them from a driver pool so the per-action
+    // scheduling latency overlaps (guide §2.6). Same frames, same
+    // grid assembly, same rows.
+    val branchPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    def branch[A](body: => A): java.util.concurrent.Future[A] = branchPool.submit(
+      new java.util.concurrent.Callable[A] { def call(): A = body })
+    val b16 = branch {
+      val frontier = graphFrontier(edges, piv, q)
+        .localCheckpoint() // cost count + probe scoring read it
+      (frontier,
+        graphProbeOver(frontier, q, emb, k = 5).select(col("q_id"), col("cand_id")))
+    }
+    val b20 = branch { beamVisited(edges, piv, q, emb, beam = 4, rounds = 3) }
+    val b24 = branch {
+      // s24's entry: the query's own assigned cell, scored (s03's
+      // 1-probe candidate set), top-B seeding the same walk
+      val qcell = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cluster"))
+      val members = assigned.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("node"), col("embedding").as("m_vec"), col("cluster"))
+      val wE = Window.partitionBy(col("q_id")).orderBy(col("ecos").desc, col("node"))
+      val entryScored = members.join(broadcast(qcell), "cluster")
+        .withColumn("ecos", VF.cosine(col("q_vec"), col("m_vec")))
+        .select(col("q_id"), col("node"), col("ecos"))
+        .localCheckpoint() // seeds the walk AND the cost frame
+      val entry24 = entryScored
+        .withColumn("ern", row_number().over(wE)).filter(col("ern") <= 4)
+        .select(col("q_id"), col("node"))
+      val vis24 = beamWalk(edges, q, emb, entry24, beam = 4, rounds = 3)
+      val cands24 = entryScored.select(col("q_id"), col("node").as("cand_id"))
+        .unionByName(vis24.select(col("q_id"), col("node").as("cand_id")))
+        .distinct()
+      (cands24, vis24)
+    }
+    val b26 = branch {
+      // s26's rung (round 14: the deployed disk-resident shape priced
+      // next to its exact-routing siblings): the SAME pivot-entry walk
+      // with the scored frame swapped to PQ reconstructions (one fit
+      // per geometry — pqCodebooksDf on the geometry frame), exact
+      // re-rank of the overfetched shortlist having the final word.
+      // `cands` counts the code-scored visited set (the hot-path reads,
+      // s20_beam's basis); the rerank's full-precision reads are a
+      // fixed overfetch=10 per query on top.
+      val (sub26, codebooks26) = pqCodebooksDf(emb, n, PqNumSub, 16)
+      val recon26 = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id") +: pqEncodeCols(codebooks26, sub26): _*)
+        .withColumn("embedding", flatten(array(codebooks26.indices.map { m =>
+          element_at(typedlit(codebooks26(m)), col(s"code$m") + 1)
+        }: _*)))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // scored every walk round
+      val vis26 = beamVisited(edges, piv, q, recon26, beam = 4, rounds = 3)
+      val w26 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+      val short26 = vis26
+        .withColumn("rn_a", row_number().over(w26)).filter(col("rn_a") <= 10)
+        .select(col("q_id"), col("node").as("cand_id"))
+      (vis26, pqRerank(short26, emb, q, k = 5).select(col("q_id"), col("cand_id")))
+    }
+    val (frontier, s16Top) = b16.get()
+    val vis20 = b20.get()
+    val (cands24, vis24) = b24.get()
+    val (vis26, top26) = b26.get()
+    branchPool.shutdown()
     val methods = Seq(
       ("s16_graph", frontier.select(col("q_id"), col("node").as("cand_id")), s16Top),
       ("s20_beam", vis20.select(col("q_id"), col("node").as("cand_id")), top5(vis20)),
@@ -1832,12 +1860,29 @@ private[graft] trait PipelineAnn extends PipelineShared {
   private[queries] val s25: Q = (s, d) => {
     val emb = T.embeddings(s, d)
     val n = T.embeddingsCount(s, d)
-    s25GridOf(emb, n).withColumn("geometry", lit("random"))
-      .unionByName(
-        s25GridOf(clusteredGeom(emb), n).withColumn("geometry", lit("clustered")))
-      .select(col("geometry"), col("method"), col("q_id"),
-        col("hits"), col("cands"), col("recall"))
-      .orderBy(col("geometry"), col("method"), col("q_id"))
+    // The two geometries are fully independent grids over independent
+    // frames, but each one's construction is a CHAIN of small
+    // materializing actions (fit collect, lineage cuts, walk rounds),
+    // so run them from two driver threads and let the scheduler
+    // overlap the per-action latency (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially). The
+    // union and final sort stay on the caller's thread; results are
+    // the same rows in the same output order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fRandom = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = s25GridOf(emb, n)
+      })
+      val fClustered = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = s25GridOf(clusteredGeom(emb), n)
+      })
+      fRandom.get().withColumn("geometry", lit("random"))
+        .unionByName(
+          fClustered.get().withColumn("geometry", lit("clustered")))
+        .select(col("geometry"), col("method"), col("q_id"),
+          col("hits"), col("cands"), col("recall"))
+        .orderBy(col("geometry"), col("method"), col("q_id"))
+    } finally { pool.shutdown() }
   }
 
   /** One geometry's grid replay: the shared fit/assignment/graph
@@ -2647,11 +2692,25 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // the fits run once per rung, and the cost column counts the SAME
     // candidate frame the rung's top-5 derives from, so recall and
     // cost can never come from different candidate generations
-    val methods = Seq(
-      "s02_lsh" -> s02Frames(s, d), "s03_ivf" -> s03Frames(s, d),
-      "s04_pq" -> s04Frames(s, d), "s05_ivfpq" -> s05Frames(s, d),
-      "s14_sq8" -> s14Frames(s, d), "s16_graph" -> s16Frames(s, d),
-      "s19_ivfpq_res" -> s19Frames(s, d), "s20_beam" -> s20Frames(s, d))
+    // Each rung's Frames call runs its own chain of small actions
+    // (fit collects, lineage cuts, walk rounds) before returning; the
+    // eight rungs are independent, so construct them from a small
+    // driver pool and let the scheduler overlap the per-action
+    // latency (guide §2.6). Assembly below is unchanged — same
+    // frames, same composition, same rows.
+    val rungs: Seq[(String, (SparkSession, String) => (DataFrame, DataFrame))] = Seq(
+      "s02_lsh" -> (s02Frames _), "s03_ivf" -> (s03Frames _),
+      "s04_pq" -> (s04Frames _), "s05_ivfpq" -> (s05Frames _),
+      "s14_sq8" -> (s14Frames _), "s16_graph" -> (s16Frames _),
+      "s19_ivfpq_res" -> (s19Frames _), "s20_beam" -> (s20Frames _))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val methods = try {
+      rungs.map { case (name, fn) =>
+        name -> pool.submit(new java.util.concurrent.Callable[(DataFrame, DataFrame)] {
+          def call(): (DataFrame, DataFrame) = fn(s, d)
+        })
+      }.map { case (name, fut) => name -> fut.get() }
+    } finally { pool.shutdown() }
     // s24 is NOT in the grid: adding a ninth rung (its recall AND cost
     // replays) pushed the composed DuckDB oracle past the engine's
     // memory (measured in-round: 18 inlined rung subqueries OOM at

@@ -904,6 +904,16 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
   private def pretrainBuild(s: SparkSession, d: String,
                             semantic: Boolean): DataFrame = {
     val docs = T.documents(s, d)
+    // The BPE vocabulary (stage 5's broadcast side) trains through
+    // ~80 driver-launched rounds and depends on nothing but `docs`,
+    // while stages 1–4 run their own driver-side component fixpoints —
+    // two independent chains of small actions, so train the vocab on
+    // a second driver thread and let the scheduler overlap them
+    // (guide §2.6). Same vocab, same join, same rows.
+    val vocabPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val fVocab = vocabPool.submit(new java.util.concurrent.Callable[DataFrame] {
+      def call(): DataFrame = bpeWordTok(docs)
+    })
     // 1. curate
     val kept1 = p01Curated(s, d).select(col("doc_id"), col("source"))
       .transform(graft.CacheScope.cached) // keeper restrict + survivor base
@@ -954,9 +964,10 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
           .otherwise("test"))
       .select(col("doc_id"), col("source"), col("split"))
     // 5. price in trained-BPE tokens
+    val vocab = try fVocab.get() finally vocabPool.shutdown()
     val cost = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .join(broadcast(bpeWordTok(docs)), "w")
+      .join(broadcast(vocab), "w")
       .groupBy(col("doc_id")).agg(sum(col("tok")).as("bpe"))
     val priced = assigned.join(cost, Seq("doc_id"), "left")
       .withColumn("bpe_tokens", coalesce(col("bpe"), lit(0L)))
