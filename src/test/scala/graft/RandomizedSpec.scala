@@ -320,10 +320,55 @@ class RandomizedSpec extends SparkSpec {
     // that lets the sequential oracle certify the batched t20); small
     // bmax values exercise the window-boundary branches
     for (bmax <- Seq(2, 4, 16)) {
+      // bpeTrainBatched routes tiny corpora to the driver-side fit, so
+      // exercise the DISTRIBUTED batched loop directly as well — both
+      // must equal the sequential argmax
       val batched = graft.queries.Pipeline
         .bpeTrainBatched(docs.toDF("doc_id", "text"), 8, bmax).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
       assert(batched == got, s"bmax=$bmax: batched $batched\nsequential $got")
+      val wf = docs.toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val dist = graft.queries.Pipeline.bpeTrainDistributed(wf, 8, bmax).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      assert(dist == got, s"bmax=$bmax: distributed $dist\nsequential $got")
     }
+  }
+
+  test("t20 driver-side BPE fit equals the distributed loop, non-ASCII ties included") {
+    import spark.implicits._
+    // alphabet where UTF-16 code-unit order and UTF-8 byte order
+    // DISAGREE: U+FF5A sorts BELOW U+1F600 in UTF-8/code-point order
+    // but ABOVE it in UTF-16 code-unit order (high surrogates < FF5A)
+    // — tie-breaks must follow the engines' UTF-8 order
+    val alpha = Seq("a", "z", "\u00e9", "\uff5a", new String(Character.toChars(0x1F600)))
+    def word(): String =
+      Seq.fill(2 + rnd.nextInt(4))(alpha(rnd.nextInt(alpha.size))).mkString
+    val docs = (0 until 40).map(i => (i.toLong, Seq.fill(12)(word()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val dist = graft.queries.Pipeline.bpeTrainDistributed(wf, 12, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val rows = wf.collect().map(r => (r.getString(0), r.getLong(1)))
+    val fit = graft.queries.Pipeline.bpeTrainLocal(rows, 12)
+    assert(fit.merges == dist, s"local ${fit.merges}\ndistributed $dist")
+    // wordTok must equal the string-rewrite apply (leftmost-nonoverlap
+    // replace of the bracketed form, merge order) — the path t23/p13
+    // price the corpus through
+    val bl = "\u0010"; val br = "\u0011"
+    val tokRef = rows.map { case (w, _) =>
+      var st = w.codePoints().toArray
+        .map(cp => bl + new String(Character.toChars(cp)) + br).mkString
+      fit.merges.foreach { case (_, l, r, m, _) =>
+        st = st.replace(bl + l + br + bl + r + br, bl + m + br)
+      }
+      (w, st.count(_ == bl.charAt(0)).toLong)
+    }.toMap
+    assert(fit.wordTok.size == tokRef.size)
+    fit.wordTok.foreach { case (w, t) => assert(t == tokRef(w), s"word $w: $t vs ref") }
   }
 }
