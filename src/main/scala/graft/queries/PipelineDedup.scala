@@ -59,11 +59,17 @@ private[graft] trait PipelineDedup extends PipelineAnn {
     // is the inverted-index checkpoint every near-dup pipeline has.
     val sh = shAll
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf).drop("df")
+      .filter(col("df") <= maxDf)
       .transform(graft.CacheScope.cached)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // a df = 1 shingle cannot produce a pair (the self-join needs two
+    // distinct docs on the same s), so drop singletons from the JOIN
+    // input only — `sizes` above still counts them, so the jaccard
+    // denominators are unchanged (guide §3.2 pre-filter the big side;
+    // −28 % join input rows at sf0.1)
+    val shj = sh.filter(col("df") >= 2).drop("df")
+    val pairs = shj.as("a")
+      .join(shj.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
     // unrounded: a single IEEE division of exact ints is bit-identical
@@ -117,11 +123,14 @@ private[graft] trait PipelineDedup extends PipelineAnn {
         explode(graft.functions.GraftColumns.winnowFingerprint(col("text"), 8, 4)).as("h"))
     val pruned = fp
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxDf).drop("df")
+      .filter(col("df") <= maxDf)
       .transform(graft.CacheScope.cached)
     val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = pruned.as("a")
-      .join(pruned.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    // same singleton prune as d03: df = 1 fingerprints cannot pair,
+    // and `sizes` above keeps counting them, so jaccard is unchanged
+    val prj = pruned.filter(col("df") >= 2).drop("df")
+    val pairs = prj.as("a")
+      .join(prj.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast(DoubleType) /
