@@ -396,10 +396,62 @@ object Operators {
     * rows; propagation is monotone (labels only decrease) so
     * convergence is guaranteed.
     */
+  /** Driver-side small-graph gate (r17; the IntLloyd/BPE small-side
+    * dispatch precedent): at or below this many undirected rows
+    * (= 2 × edges, ≈ 128 MB of long pairs at the gate) the edge list
+    * — already materialized in the cache the first distributed round
+    * would have paid for anyway — is collected ONCE and labeled by
+    * union-find with union-by-min-root, which yields exactly the
+    * fixpoint the propagation loop converges to (comp = minimum
+    * vertex id in the component; Long ids only — any other id type
+    * takes the distributed path). Every near-dup cluster graph is
+    * pairs-of-duplicates sized (≪ corpus); at warehouse scale the
+    * graph blows the gate and the distributed loop below runs
+    * untouched. OperatorsSpec pins driver == distributed. */
+  private[graft] val ccDriverGateRows = 8L * 1024 * 1024
+
   def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame = {
     val und = edges.select(col(src), col(dst))
       .union(edges.select(col(dst), col(src)))
       .toDF("src", "dst").cache()
+    val longIds = und.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && und.count() <= ccDriverGateRows) {
+      val labeled = ccUnionFind(
+        und.collect().map(r => (r.getLong(0), r.getLong(1))))
+      und.unpersist()
+      edges.sparkSession.createDataFrame(labeled).toDF("id", "comp")
+    } else ccDistributed(und)
+  }
+
+  /** Union-find with union-by-min-root + path compression: the root
+    * of every set is always its minimum member, so the final label
+    * equals the distributed min-propagation fixpoint exactly. */
+  private[graft] def ccUnionFind(rows: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    rows.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+  }
+
+  /** The distributed min-label propagation (unchanged; the above-gate
+    * path and the spec target the driver fit is pinned against).
+    * `und` must be the cached undirected (src, dst) frame. */
+  private[graft] def ccDistributed(und: DataFrame): DataFrame = {
     var comp = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     // Labels only ever decrease, so the label SUM is strictly
@@ -425,7 +477,7 @@ object Operators {
       // would be a reliable checkpoint to the checkpoint dir instead.
       val next = comp.unionByName(viaNeighbors).unionByName(viaLabel)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .transform(graft.CacheScope.cut)
       // sum over an empty frame is null: an empty vertex set (clean
       // corpus, zero near-dup pairs) is already converged — without
       // the guard the BigDecimal constructor NPEs.
@@ -466,7 +518,7 @@ object Operators {
     var reach = edges.select(col(node).as("node")).distinct()
       .select(col("node"), col("node").as("anc"))
       .unionByName(base)
-      .localCheckpoint(true)
+      .transform(graft.CacheScope.cut)
     var prev = -1L
     var n = reach.count()
     while (n != prev) {
@@ -474,7 +526,7 @@ object Operators {
       val composed = reach.as("a")
         .join(reach.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"))
-      reach = reach.unionByName(composed).distinct().localCheckpoint(true)
+      reach = reach.unionByName(composed).distinct().transform(graft.CacheScope.cut)
       n = reach.count()
     }
     reach

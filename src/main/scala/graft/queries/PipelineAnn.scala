@@ -1177,7 +1177,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     // one frontier derivation feeds BOTH the cost frame and the probe
     // (graphProbe would re-derive the 2-hop expansion otherwise)
-    val frontier = graphFrontier(edges, piv, q).localCheckpoint()
+    val frontier = graphFrontier(edges, piv, q).transform(graft.CacheScope.cut)
     (frontier.select(col("q_id"), col("node").as("cand_id")),
       graphProbeOver(frontier, q, emb, k = 5))
   }
@@ -1316,9 +1316,10 @@ private[graft] trait PipelineAnn extends PipelineShared {
       // (guide §3.3/§7.3: very large plans — truncate with a
       // materialized intermediate). The visited frame is per-query
       // bounded (≤ 1 + rounds·beam·M rows/query), so the checkpoint
-      // is small; on a cluster with executor-loss concerns this would
-      // be a reliable checkpoint instead.
-      visited = visited.localCheckpoint()
+      // is small; CacheScope.cut dispatches to a RELIABLE checkpoint
+      // when the context has a checkpoint dir (cluster deployments
+      // with executor-loss concerns), localCheckpoint otherwise.
+      visited = visited.transform(graft.CacheScope.cut)
       val beamNodes = visited
         .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
         .select(col("q_id"), col("node"))
@@ -1335,7 +1336,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // cut the final round too: every caller layers at least a window
     // on top (top-k), s20/s24/s25 additionally count the same frame
     // for the cost column — the cut keeps both reads one scan
-    visited.localCheckpoint()
+    visited.transform(graft.CacheScope.cut)
   }
 
   /** s20's visited set: best-pivot entry, then [[beamWalk]]. */
@@ -1741,14 +1742,14 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // measured 36 s of driver planning/AQE time and >10 MiB task
     // binaries (r16 profile) — the cut turns every downstream plan
     // into a scan of a materialized RDD (guide §3.3/§7.3).
-    val emb = emb0.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val emb = emb0.select(col("vec_id"), col("embedding")).transform(graft.CacheScope.cut)
     val kk = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val (assigned0, cents) = kmeansAssignDf(emb, kk, n)
     val assigned = assigned0
-      .localCheckpoint() // s24 entry reads it twice
+      .transform(graft.CacheScope.cut) // s24 entry reads it twice
     val (_, edgesRaw, piv) = graphBuildFrom(emb, cents)
     val edges = edgesRaw.select(col("a_id"), col("b_id"))
-      .localCheckpoint() // frontier hops + two walks read it
+      .transform(graft.CacheScope.cut) // frontier hops + two walks read it
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val wX = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
@@ -1759,7 +1760,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
       .withColumn("rn", row_number().over(wX)).filter(col("rn") <= 5)
       .select(col("q_id"), col("cand_id"))
       .withColumn("hit", lit(1L))
-      .localCheckpoint() // hit join + grid spine read it
+      .transform(graft.CacheScope.cut) // hit join + grid spine read it
     val wT = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
     def top5(visited: DataFrame): DataFrame = visited
       .withColumn("rn", row_number().over(wT)).filter(col("rn") <= 5)
@@ -1769,12 +1770,12 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // recon cut); run them from a driver pool so the per-action
     // scheduling latency overlaps (guide §2.6). Same frames, same
     // grid assembly, same rows.
-    val branchPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val branchPool = graft.CacheScope.pool(4)
     def branch[A](body: => A): java.util.concurrent.Future[A] = branchPool.submit(
       new java.util.concurrent.Callable[A] { def call(): A = body })
     val b16 = branch {
       val frontier = graphFrontier(edges, piv, q)
-        .localCheckpoint() // cost count + probe scoring read it
+        .transform(graft.CacheScope.cut) // cost count + probe scoring read it
       (frontier,
         graphProbeOver(frontier, q, emb, k = 5).select(col("q_id"), col("cand_id")))
     }
@@ -1790,7 +1791,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
       val entryScored = members.join(broadcast(qcell), "cluster")
         .withColumn("ecos", VF.cosine(col("q_vec"), col("m_vec")))
         .select(col("q_id"), col("node"), col("ecos"))
-        .localCheckpoint() // seeds the walk AND the cost frame
+        .transform(graft.CacheScope.cut) // seeds the walk AND the cost frame
       val entry24 = entryScored
         .withColumn("ern", row_number().over(wE)).filter(col("ern") <= 4)
         .select(col("q_id"), col("node"))
@@ -1816,7 +1817,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
           element_at(typedlit(codebooks26(m)), col(s"code$m") + 1)
         }: _*)))
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint() // scored every walk round
+        .transform(graft.CacheScope.cut) // scored every walk round
       val vis26 = beamVisited(edges, piv, q, recon26, beam = 4, rounds = 3)
       val w26 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
       val short26 = vis26
@@ -1824,11 +1825,9 @@ private[graft] trait PipelineAnn extends PipelineShared {
         .select(col("q_id"), col("node").as("cand_id"))
       (vis26, pqRerank(short26, emb, q, k = 5).select(col("q_id"), col("cand_id")))
     }
-    val (frontier, s16Top) = b16.get()
-    val vis20 = b20.get()
-    val (cands24, vis24) = b24.get()
-    val (vis26, top26) = b26.get()
-    branchPool.shutdown()
+    val ((frontier, s16Top), vis20, (cands24, vis24), (vis26, top26)) =
+      try { (b16.get(), b20.get(), b24.get(), b26.get()) }
+      finally branchPool.shutdown()
     val methods = Seq(
       ("s16_graph", frontier.select(col("q_id"), col("node").as("cand_id")), s16Top),
       ("s20_beam", vis20.select(col("q_id"), col("node").as("cand_id")), top5(vis20)),
@@ -1868,7 +1867,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
     // sequential because the driver calls them sequentially). The
     // union and final sort stay on the caller's thread; results are
     // the same rows in the same output order.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val pool = graft.CacheScope.pool(2)
     try {
       val fRandom = pool.submit(new java.util.concurrent.Callable[DataFrame] {
         def call(): DataFrame = s25GridOf(emb, n)
@@ -2703,7 +2702,7 @@ private[graft] trait PipelineAnn extends PipelineShared {
       "s04_pq" -> (s04Frames _), "s05_ivfpq" -> (s05Frames _),
       "s14_sq8" -> (s14Frames _), "s16_graph" -> (s16Frames _),
       "s19_ivfpq_res" -> (s19Frames _), "s20_beam" -> (s20Frames _))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = graft.CacheScope.pool(4)
     val methods = try {
       rungs.map { case (name, fn) =>
         name -> pool.submit(new java.util.concurrent.Callable[(DataFrame, DataFrame)] {

@@ -29,7 +29,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] def framedBmp(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val g = (id % 48).toInt
@@ -59,7 +59,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[graft] def framedRaster(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val g = (id % 48).toInt
@@ -498,7 +498,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] def framedPng(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val g = (id % 70).toInt
@@ -572,7 +572,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] def framedJpeg(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.{Jpeg, Multimodal}
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         val qtable = Array.ofDim[Int](8, 8)
         Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
@@ -670,7 +670,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] def framedJpegColor(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.{Jpeg, Multimodal}
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         val qL = Array.ofDim[Int](8, 8); val qC = Array.ofDim[Int](8, 8)
         Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
@@ -807,7 +807,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] val m18: Q = (s, d) => {
     import s.implicits._
     import graft.operators.{Jpeg, Multimodal}
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         val qZ = Array.ofDim[Int](8, 8); val qC = Array.ofDim[Int](8, 8)
         Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
@@ -974,7 +974,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
       withRestarts: Boolean = false): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.{Jpeg, Multimodal}
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         val qL = Array.ofDim[Int](8, 8); val qC = Array.ofDim[Int](8, 8)
         Jpeg.zigzag.zipWithIndex.foreach { case ((r, c), k) =>
@@ -1168,7 +1168,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] val m19: Q = (s, d) => {
     import s.implicits._
     import graft.operators.{Gif, Multimodal}
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val g = (id % 40).toInt
@@ -1262,7 +1262,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] val m20: Q = (s, d) => {
     import s.implicits._
     import graft.operators.{Multimodal, Tiff}
-    T.documents(s, d).select(col("doc_id")).as[Long]
+    docsSpread(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val g = (id % 40).toInt
@@ -1350,7 +1350,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] val m16: Q = (s, d) => {
     import s.implicits._
     import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val g = (id % 40).toInt
@@ -1424,7 +1424,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] val m17: Q = (s, d) => {
     import s.implicits._
     import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val g = (id % 70).toInt
@@ -1515,7 +1515,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
       org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.Multimodal
-    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val ch = (id % 2 + 1).toInt

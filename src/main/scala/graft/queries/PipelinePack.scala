@@ -910,7 +910,7 @@ private[graft] trait PipelinePack extends PipelineMultimodal {
     // two independent chains of small actions, so train the vocab on
     // a second driver thread and let the scheduler overlap them
     // (guide §2.6). Same vocab, same join, same rows.
-    val vocabPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val vocabPool = graft.CacheScope.pool(1)
     val fVocab = vocabPool.submit(new java.util.concurrent.Callable[DataFrame] {
       def call(): DataFrame = bpeWordTok(docs)
     })

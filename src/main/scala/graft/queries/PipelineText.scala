@@ -899,7 +899,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     // the persist the tokenize + 1-md5-per-token chain runs three times
     // (measured 8.8× second-decade growth at 100×; cached it is the
     // one-scan shape)
-    val tf = T.documents(s, d)
+    val tf = docsSpread(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .withColumn("bucket", TF.cmsBucket(col("w"), 0, dim))
@@ -1202,7 +1202,7 @@ private[graft] trait PipelineText extends PipelineDedup {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .transform(graft.CacheScope.cut)
 
   // Driver-side fit gates (IntLloyd's small-side/big-side dispatch,
   // guide §1.2 "remove whole passes"): BPE trains over the DISTINCT
@@ -1369,7 +1369,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     var st = wf
       .withColumn("st", regexp_replace(col("w"), "(.)", bl + "$1" + br))
       .select(col("c"), col("st"))
-      .localCheckpoint()
+      .transform(graft.CacheScope.cut)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var collected = 0
     var rounds = 0
@@ -1414,7 +1414,7 @@ private[graft] trait PipelineText extends PipelineDedup {
           ns = ns.withColumn("st",
             replace(col("st"), lit(bl + l + br + bl + r + br), lit(bl + l + r + br)))
         }
-        st = ns.localCheckpoint() // flat lineage: next round replays zero replaces
+        st = ns.transform(graft.CacheScope.cut) // flat lineage: next round replays zero replaces
         collected += b
       }
     }
@@ -1821,7 +1821,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] def framedGzip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.Inflate
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -1898,7 +1898,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     import graft.operators.Inflate
     import graft.sources.Jsonl
     val nrecMod = T26Recs
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -2008,7 +2008,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t27: Q = (s, d) => {
     import s.implicits._
     import graft.operators.Inflate
-    T.documents(s, d).select(col("doc_id"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -2089,7 +2089,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     import s.implicits._
     import graft.operators.Inflate
     import graft.sources.Warc
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -2261,7 +2261,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t29: Q = (s, d) => {
     import s.implicits._
     import graft.sources.Html
-    T.documents(s, d).select(col("doc_id"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -2319,7 +2319,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     * (streaming intake). */
   private[queries] def framedZstdSeries(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -2422,7 +2422,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t32: Q = (s, d) => {
     import s.implicits._
     import graft.sources.Html
-    T.documents(s, d).select(col("doc_id"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -2485,7 +2485,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     * report) and e19 (streaming intake). */
   private[queries] def framedBrotli(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -2553,7 +2553,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     * e23 (streaming intake). */
   private[queries] def framedBzip2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -2640,7 +2640,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     * e24 (streaming intake). */
   private[queries] def framedXz(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         // One array cache per task: tukaani sizes its dictionary and
@@ -2737,7 +2737,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     * (streaming intake). */
   private[queries] def framedLz4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -2825,7 +2825,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] def framedZip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.sources.Zip
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -2948,7 +2948,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     import s.implicits._
     import graft.operators.Inflate
     import graft.sources.Tar
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -3070,7 +3070,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t39: Q = (s, d) => {
     import s.implicits._
     import graft.sources.Robots
-    T.documents(s, d).select(col("doc_id")).as[Long]
+    docsSpread(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
           val f = Robots.parse(RobotsFixture.render(id))
@@ -3141,7 +3141,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     val opts = Map(
       "mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> "_corrupt_record").asJava
-    T.documents(s, d).select(col("doc_id")).as[Long]
+    docsSpread(s, d).select(col("doc_id")).as[Long]
       .mapPartitions(it => it.map(id => (id, SitemapFixture.render(id))))
       .toDF("doc_id", "xml")
       .select(col("doc_id"), from_xml(col("xml"), schema, opts).as("x"))
@@ -3307,7 +3307,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t35: Q = (s, d) => {
     import s.implicits._
     import graft.sources.{Html, Url}
-    val links = T.documents(s, d).select(col("doc_id"), col("text"))
+    val links = docsSpread(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -3442,7 +3442,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     import s.implicits._
     import graft.operators.Inflate
     import graft.sources.Warc
-    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -3586,7 +3586,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t33: Q = (s, d) => {
     import s.implicits._
     import graft.sources.Charset
-    T.documents(s, d).select(col("doc_id"), col("text"))
+    docsSpread(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) => CharsetFixture.page(id, text) }

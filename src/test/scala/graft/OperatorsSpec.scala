@@ -252,6 +252,30 @@ class OperatorsSpec extends SparkSpec {
     assert(Operators.connectedComponents(edges, "a", "b").count() == 0)
   }
 
+  test("connectedComponents: driver union-find equals the distributed fixpoint (random graphs)") {
+    // the r17 small-graph gate routes every sub-gate graph to
+    // union-find; pin it label-for-label against the distributed
+    // propagation on random graphs (chains force multi-round
+    // propagation; duplicate and self edges exercise the degenerate
+    // paths)
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(40)
+      val edges = (1 to n).map { _ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      } ++ (1 to 5).map(i => (100L + i, 101L + i)) // a chain, diameter 5
+      val df = edges.toDF("a", "b")
+      val local = Operators.connectedComponents(df, "a", "b")
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val und = df.select(col("a"), col("b"))
+        .union(df.select(col("b"), col("a"))).toDF("src", "dst").cache()
+      val dist = Operators.ccDistributed(und)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      und.unpersist()
+      assert(local == dist, s"trial $trial: driver fit diverged from distributed")
+    }
+  }
+
   test("validateNormsImport reports every Norms.md:32-36 violation class, one row each") {
     // (assessment_id, line_no, percentile_rank, score, subject)
     val file = Seq(
