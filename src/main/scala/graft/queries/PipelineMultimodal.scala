@@ -29,7 +29,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
   private[queries] def framedBmp(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.Multimodal
-    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val g = (id % 48).toInt
@@ -1515,7 +1515,7 @@ private[graft] trait PipelineMultimodal extends PipelineText {
       org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
     import s.implicits._
     import graft.operators.Multimodal
-    docsSpread(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+    T.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val ch = (id % 2 + 1).toInt

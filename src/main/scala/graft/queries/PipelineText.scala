@@ -899,7 +899,7 @@ private[graft] trait PipelineText extends PipelineDedup {
     // the persist the tokenize + 1-md5-per-token chain runs three times
     // (measured 8.8× second-decade growth at 100×; cached it is the
     // one-scan shape)
-    val tf = docsSpread(s, d)
+    val tf = T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .withColumn("bucket", TF.cmsBucket(col("w"), 0, dim))
@@ -1821,7 +1821,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] def framedGzip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.Inflate
-    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -2261,7 +2261,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t29: Q = (s, d) => {
     import s.implicits._
     import graft.sources.Html
-    docsSpread(s, d).select(col("doc_id"), col("text"))
+    T.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -2422,7 +2422,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t32: Q = (s, d) => {
     import s.implicits._
     import graft.sources.Html
-    docsSpread(s, d).select(col("doc_id"), col("text"))
+    T.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -2562,11 +2562,17 @@ private[graft] trait PipelineText extends PipelineDedup {
           // Cap the block size at what the document fills (≥ 1 ⇒
           // 100 kB): the encoder allocates its BWT/sort arrays by
           // declared block size, so level 9 on a ~2 kB doc is ~8 ms of
-          // allocation+GC for identical compression — for inputs under
-          // 100 kB the stream differs only in the 'BZh<n>' header
-          // digit (one block, same BWT), so decode and every result
-          // column are unchanged; docs that actually span blocks keep
-          // the rotated level (guide §1.2 step 2: per-task work).
+          // allocation+GC for identical compression — for inputs below
+          // the usable block (blockSize·100000 minus ~20 bytes of
+          // commons-compress overhead) the stream differs only in the
+          // 'BZh<n>' header digit (one block, same BWT); in the
+          // 99981..99999-byte boundary band a capped level emits a
+          // 2-block stream where the rotated level was single-block —
+          // STILL result-identical, because t40/e23 columns depend
+          // only on the decoded text and the id%11 corruption rule,
+          // and any mid-stream byte flip is structure/CRC-caught
+          // regardless of block framing (r16 advice). Docs that span
+          // blocks keep the rotated level (guide §1.2 step 2).
           val bs = math.min(level, 1 + bytes.length / 100000)
           val bos = new java.io.ByteArrayOutputStream()
           val z = new org.apache.commons.compress.compressors.bzip2
@@ -2825,7 +2831,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] def framedZip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.sources.Zip
-    docsSpread(s, d).select(col("doc_id"), col("source"), col("text"))
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, src, text) =>
@@ -3070,7 +3076,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t39: Q = (s, d) => {
     import s.implicits._
     import graft.sources.Robots
-    docsSpread(s, d).select(col("doc_id")).as[Long]
+    T.documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
           val f = Robots.parse(RobotsFixture.render(id))
@@ -3586,7 +3592,7 @@ private[graft] trait PipelineText extends PipelineDedup {
   private[queries] val t33: Q = (s, d) => {
     import s.implicits._
     import graft.sources.Charset
-    docsSpread(s, d).select(col("doc_id"), col("text"))
+    T.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) => CharsetFixture.page(id, text) }
